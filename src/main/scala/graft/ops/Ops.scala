@@ -1,0 +1,95 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.Functions._
+
+/** Relational operator families from SURVEY.md §2.3-2.6, as
+  * DataFrame→DataFrame combinators. Each is a declarative plan
+  * fragment — Catalyst handles pushdown/pruning/broadcast; the only
+  * scale decisions made here are explicit `broadcast()` on dimension
+  * sides and total-order tiebreaks for determinism.
+  */
+object Ops {
+
+  // ───────────────────────── dedup / snapshots ──────────────────────
+
+  /** A1 — full-table dedup by MD5 content hash over all non-lineage
+    * columns; among duplicates the row with the smallest tiebreak
+    * wins (the reference's keep="first" is file-order; a shuffle
+    * engine needs an explicit total order).
+    * Ref: run_ac_extraction.py:126-131, 170-172.
+    *
+    * Scale: one shuffle on the 128-bit hash — effectively unskewed
+    * keys, so this partitions evenly at any data size. */
+  def contentHashDedup(df: DataFrame, lineageCols: Seq[String], tiebreak: Column): DataFrame = {
+    val contentCols = df.columns.filterNot(lineageCols.contains).sorted.map(col(_))
+    val hashed = df.withColumn("_row_hash", rowHash(contentCols.toSeq))
+    val w = Window.partitionBy(col("_row_hash")).orderBy(tiebreak.asc)
+    hashed
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1)
+      .drop("_rn", "_row_hash")
+  }
+
+  /** A2 — SCD-1 "latest per key": keep the newest row per business
+    * key by (ts desc, tiebreak desc). Ref: run_ac_extraction.py:175-188.
+    *
+    * Scale: single hash-partition shuffle on the business key; skewed
+    * keys are bounded because output is 1 row/key (row_number streams,
+    * no buffering beyond the sort spill). */
+  def latestSnapshot(df: DataFrame, keys: Seq[String], ts: Column, tiebreak: Column): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(ts.desc_nulls_last, tiebreak.desc)
+    df.withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1).drop("_rn")
+  }
+
+  /** A4 — most-recent N rows per group. Ref: run_ac_extraction.py:1183-1193. */
+  def topNPerGroup(df: DataFrame, keys: Seq[String], order: Seq[Column], n: Int): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(order: _*)
+    df.withColumn("_rn", row_number().over(w)).filter(col("_rn") <= n).drop("_rn")
+  }
+
+  // ───────────────────────────── unions ─────────────────────────────
+
+  /** U1 — append aligning columns by name, absent columns → NULL
+    * (pandas concat semantics). Ref: run_ac_extraction.py:164-167. */
+  def alignUnion(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b, allowMissingColumns = true)
+
+  /** U2 — union of heterogeneous sources already conformed to a shared
+    * schema. Ref: run_ac_extraction.py:1371-1384. */
+  def conformedUnion(sources: Seq[DataFrame]): DataFrame =
+    sources.reduce(_.unionByName(_, allowMissingColumns = true))
+
+  // ───────────────────────────── joins ──────────────────────────────
+
+  /** J3 — dict-map lookup = broadcast LEFT join against a 2-column
+    * dim(id→name). The reference does `Series.map(dict(zip(id,name)))`
+    * ~15 times; every one is this plan.
+    * Ref: run_ac_extraction.py:899-954, 1044-1127.
+    *
+    * Scale: `broadcast()` is explicit — dims are orders of magnitude
+    * smaller than facts, so this must never become a shuffle join. */
+  def mapLookup(fact: DataFrame, dim: DataFrame, factKey: Column,
+                dimKey: String, dimVal: String, as: String): DataFrame = {
+    val d = dim.select(col(dimKey).cast("string").as("_mk"), col(dimVal).as(as))
+    fact.join(broadcast(d), factKey.cast("string") === col("_mk"), "left").drop("_mk")
+  }
+
+  /** J4 — layered lookup with fallback: primary value if non-blank,
+    * else the fallback lookup. Ref: run_ac_extraction.py:926-949,
+    * 1083-1086, 1234-1240. */
+  def fallbackChain(primary: Column, fallbacks: Column*): Column =
+    coalesce((primary +: fallbacks).map(nullifBlank): _*)
+
+  // ─────────────────────── per-group rollups ────────────────────────
+
+  /** A6 — per-key sorted distinct set rendered ", "-joined.
+    * Ref: run_ac_extraction.py:1447-1474, 1500-1502.
+    * Scale: collect_set is a partial (map-side) aggregate — distinct
+    * values per key are assumed dim-sized (tag/list names), so state
+    * stays small even on skewed keys. */
+  def sortedSetAgg(c: Column): Column =
+    array_join(array_sort(collect_set(c)), ", ")
+}

@@ -1,0 +1,143 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.Functions._
+import graft.ops.Ops._
+
+/** Table access for the driver testdata lake (TESTDATA.md).
+  *
+  * `events.ts` is stored as parquet TIMESTAMP(NANOS), which Spark only
+  * reads as INT64 under `spark.sql.legacy.parquet.nanosAsLong=true`
+  * (set by [[graft.Sessions]]); we convert to a micros TimestampType
+  * here with integer division (no double round-trip — ns since epoch
+  * exceed double's 53-bit mantissa). */
+object Tables {
+  def t(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    val df = spark.read.parquet(s"$sfDir/$name.parquet")
+    if (name == "events") df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    else df
+  }
+}
+
+/** E3 `build_chatter_master` — the reference's flagship analytics
+  * query (run_ac_extraction.py:1016-1507) re-expressed on the
+  * testdata star schema: conform N heterogeneous sources to one
+  * event schema (§2.8), union (U2), enrich via broadcast dims
+  * (J1/J3), derive names/lines (F1/F2), bound per-contact history
+  * (A4), total-order sort (O1).
+  *
+  * Role mapping (FIXTURES.md): customer≙contacts, events≙activity
+  * stream, orders/lineitem≙per-contact fact fan-out,
+  * nation/region≙dimension lookups.
+  *
+  * Scale notes: the conform step is narrow (per-source projections —
+  * no shuffle); the union is a plan-level concat; the only wide ops
+  * are the orders⋈lineitem key join (shuffle on orderkey, naturally
+  * well-distributed), the window top-N (one shuffle on contact_id),
+  * and the final sort. Dims are explicitly broadcast.
+  */
+object ChatterMaster {
+  import Tables.t
+
+  /** The conformed event schema (subset of the reference's 27-col
+    * ChatterEvent, run_ac_extraction.py:1199-1227, adapted to the
+    * testdata domain). */
+  val eventCols: Seq[String] = Seq(
+    "event_id", "contact_id", "source", "source_row_id",
+    "event_ts", "event_type", "title", "detail", "url")
+
+  /** Source 1: the `events` activity stream (ts/type/value/props —
+    * props is a JSON string, exercising F5 get_json_object). */
+  def conformEvents(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = t(spark, sfDir, "events")
+    e.select(
+      concat_ws(":", lit("events"), col("event_id")).as("event_id"),
+      col("user_id").cast("bigint").as("contact_id"),
+      lit("events").as("source"),
+      col("event_id").cast("string").as("source_row_id"),
+      tsOut(col("ts")).as("event_ts"),
+      col("event_type").as("event_type"),
+      concat_ws(" ", lit("activity"), col("event_type")).as("title"),
+      get_json_object(col("props"), "$.k").as("detail"),
+      concat_ws("", lit("https://example.test/events/"), col("event_id")).as("url"))
+  }
+
+  /** Source 2: orders as "order placed" events. */
+  def conformOrders(spark: SparkSession, sfDir: String): DataFrame = {
+    val o = t(spark, sfDir, "orders")
+    o.select(
+      concat_ws(":", lit("orders"), col("o_orderkey")).as("event_id"),
+      col("o_custkey").cast("bigint").as("contact_id"),
+      lit("orders").as("source"),
+      col("o_orderkey").cast("string").as("source_row_id"),
+      tsOut(col("o_orderdate")).as("event_ts"),
+      decodeMap(col("o_orderstatus"),
+        Seq("O" -> "order_open", "F" -> "order_filled", "P" -> "order_pending"),
+        lit("order_other")).as("event_type"),
+      col("o_orderpriority").as("title"),
+      col("o_totalprice").cast("decimal(12,2)").cast("string").as("detail"),
+      lit(null).cast("string").as("url"))
+  }
+
+  /** Source 3: lineitem shipments, resolved to a contact through
+    * orders (two-level fan-out J5: contact → order → lineitem). */
+  def conformShipments(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = t(spark, sfDir, "lineitem")
+    val o = t(spark, sfDir, "orders").select(col("o_orderkey"), col("o_custkey"))
+    li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .select(
+        concat_ws(":", lit("lineitem"), col("l_orderkey"), col("l_linenumber")).as("event_id"),
+        col("o_custkey").cast("bigint").as("contact_id"),
+        lit("lineitem").as("source"),
+        concat_ws("-", col("l_orderkey"), col("l_linenumber")).as("source_row_id"),
+        tsOut(col("l_shipdate")).as("event_ts"),
+        lit("shipment").as("event_type"),
+        concat_ws(" ", lit("ship"), col("l_returnflag"), col("l_linestatus")).as("title"),
+        col("l_quantity").cast("decimal(12,2)").cast("string").as("detail"),
+        lit(null).cast("string").as("url"))
+  }
+
+  /** U2: the conformed all-sources union. */
+  def unifiedEvents(spark: SparkSession, sfDir: String): DataFrame =
+    conformedUnion(Seq(
+      conformEvents(spark, sfDir),
+      conformOrders(spark, sfDir),
+      conformShipments(spark, sfDir)))
+
+  /** The full mart: unified events ⟕ contacts (J1, broadcast) with
+    * name derivation (F1), chatter line (F2), per-contact recency
+    * bound (A4, keep most recent `maxEventsPerContact`), total-order
+    * timeline sort (O1). */
+  def chatterMaster(spark: SparkSession, sfDir: String,
+                    maxEventsPerContact: Int = 500): DataFrame = {
+    val unified = unifiedEvents(spark, sfDir)
+    val contacts = t(spark, sfDir, "customer").select(
+      col("c_custkey").cast("bigint").as("contact_id"),
+      col("c_name").as("contact_name"),
+      col("c_mktsegment").as("segment"))
+    val nations = t(spark, sfDir, "nation")
+
+    val bounded = topNPerGroup(unified, Seq("contact_id"),
+      Seq(col("event_ts").desc, col("event_id").desc), maxEventsPerContact)
+
+    val joined = bounded
+      .join(broadcast(contacts), Seq("contact_id"), "left")
+    val enriched = mapLookup(
+      joined.join(
+        broadcast(t(spark, sfDir, "customer")
+          .select(col("c_custkey").cast("bigint").as("contact_id"),
+                  col("c_nationkey").as("_natkey"))),
+        Seq("contact_id"), "left"),
+      nations, col("_natkey"), "n_nationkey", "n_name", "nation_name")
+      .drop("_natkey")
+
+    enriched
+      .withColumn("contact_display",
+        mkName(col("contact_name"), col("segment"), concat_ws("", lit("contact#"), col("contact_id"))))
+      .withColumn("chatter_line",
+        chatterLine(col("event_ts"), col("title"), col("contact_display"),
+                    col("detail"), col("url")))
+      .orderBy(col("contact_id").asc, col("event_ts").asc_nulls_last, col("event_id").asc)
+  }
+}

@@ -1,0 +1,725 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.functions.Functions._
+import graft.ops.Ops._
+import graft.pipeline.Tables.t
+import graft.pipeline.ChatterMaster
+
+/** SURVEY.md §2 operator inventory over the driver testdata
+  * (TESTDATA.md / FIXTURES.md role mapping: customer≙contacts,
+  * events≙activity stream, nation/region≙dims, orders/lineitem≙
+  * per-contact fan-out facts).
+  *
+  * Every query is deterministic: total-order `ORDER BY` with a unique
+  * tiebreak, timestamps rendered as strings, doubles canonicalized to
+  * DECIMAL(12,2) before use — the DuckDB oracle mirrors each of those
+  * choices exactly (SURVEY.md §7 "oracle parity traps").
+  */
+object CoreQueries {
+
+  private val TS = "yyyy-MM-dd HH:mm:ss"
+  private val TSD = "%Y-%m-%d %H:%M:%S" // duckdb strftime equivalent
+
+  /** nullifBlank as DuckDB SQL over an expression string. */
+  private def nbSql(e: String): String =
+    s"CASE WHEN $e IS NULL OR trim($e) IN ('', 'nan', 'None') THEN NULL ELSE trim($e) END"
+
+  val all: Seq[QDef] = Seq(
+
+    // ─────────────────────── §2.1 sources ────────────────────────
+
+    // S1: all-string staging scan (the reference reads every CSV
+    // dtype=str; run_ac_extraction.py:165,289,384). Doubles are
+    // canonicalized via DECIMAL(12,2) so both engines render the
+    // same string.
+    QDef("q_scan_allstring", Some(s"""
+      SELECT CAST(c_custkey AS VARCHAR) AS c_custkey, c_name,
+             CAST(c_nationkey AS VARCHAR) AS c_nationkey,
+             CAST(CAST(c_acctbal AS DECIMAL(12,2)) AS VARCHAR) AS c_acctbal,
+             c_mktsegment
+      FROM customer ORDER BY CAST(c_custkey AS BIGINT)"""),
+      (s, d) => t(s, d, "customer").select(
+        col("c_custkey").cast(StringType).as("c_custkey"),
+        col("c_name"),
+        col("c_nationkey").cast(StringType).as("c_nationkey"),
+        col("c_acctbal").cast("decimal(12,2)").cast(StringType).as("c_acctbal"),
+        col("c_mktsegment"))
+        .orderBy(col("c_custkey").cast(LongType))),
+
+    // S4: offset/limit-paginated collection scan (pagination is the
+    // connector's concern — graft.sources.PagedSource; semantically a
+    // full ordered scan; run_ac_extraction.py:222-247).
+    QDef("q_src_paginated", Some(s"""
+      SELECT o_orderkey, o_custkey, o_orderstatus,
+             strftime(o_orderdate, '$TSD') AS o_orderdate, o_orderpriority
+      FROM orders ORDER BY o_orderkey"""),
+      (s, d) => t(s, d, "orders").select(
+        col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        date_format(col("o_orderdate"), TS).as("o_orderdate"),
+        col("o_orderpriority"))
+        .orderBy("o_orderkey")),
+
+    // S5: keyset incremental scan past a watermark
+    // (run_ac_extraction.py:249-270; filter is pushed to the parquet
+    // scan — at 100 TB this prunes, not post-filters).
+    QDef("q_src_keyset_incremental", Some(s"""
+      SELECT o_orderkey, o_custkey, strftime(o_orderdate, '$TSD') AS o_orderdate
+      FROM orders WHERE o_orderkey > 1000 ORDER BY o_orderkey"""),
+      (s, d) => t(s, d, "orders")
+        .filter(col("o_orderkey") > 1000)
+        .select(col("o_orderkey"), col("o_custkey"),
+          date_format(col("o_orderdate"), TS).as("o_orderdate"))
+        .orderBy("o_orderkey")),
+
+    // S8: per-key fan-out scan (the reference's N+1 API pattern ≡ an
+    // equi-join driving table × detail; run_ac_extraction.py:422-441).
+    QDef("q_src_fanout", Some("""
+      SELECT o.o_orderkey, l.l_linenumber, l.l_partkey,
+             CAST(l.l_quantity AS DECIMAL(12,2)) AS quantity
+      FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+      ORDER BY o.o_orderkey, l.l_linenumber"""),
+      (s, d) => t(s, d, "orders").select("o_orderkey")
+        .join(t(s, d, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_orderkey"), col("l_linenumber"), col("l_partkey"),
+          col("l_quantity").cast("decimal(12,2)").as("quantity"))
+        .orderBy("o_orderkey", "l_linenumber")),
+
+    // ──────────────── §2.2 projection / derivation ────────────────
+
+    // P1: lineage stamping (fixed literals for determinism;
+    // run_ac_extraction.py:151-153).
+    QDef("q_lineage_stamp", Some("""
+      SELECT o_orderkey, 'r1' AS run_id, '2026-01-01T00:00:00Z' AS extracted_at
+      FROM orders ORDER BY o_orderkey"""),
+      (s, d) => t(s, d, "orders")
+        .select(col("o_orderkey"), lit("r1").as("run_id"),
+          lit("2026-01-01T00:00:00Z").as("extracted_at"))
+        .orderBy("o_orderkey")),
+
+    // P2: rename + column-subset projection (run_ac_extraction.py:1516-1517).
+    QDef("q_rename_project", Some("""
+      SELECT c_custkey AS contact_id, c_name AS contact_name, c_mktsegment AS segment
+      FROM customer ORDER BY contact_id"""),
+      (s, d) => t(s, d, "customer")
+        .withColumnRenamed("c_custkey", "contact_id")
+        .withColumnRenamed("c_name", "contact_name")
+        .withColumnRenamed("c_mktsegment", "segment")
+        .select("contact_id", "contact_name", "segment")
+        .orderBy("contact_id")),
+
+    // P3: cast key columns to string before joins (run_ac_extraction.py:886-889).
+    QDef("q_cast_string_norm", Some("""
+      SELECT CAST(c_custkey AS VARCHAR) AS contact_id,
+             CAST(c_nationkey AS VARCHAR) AS nation_id
+      FROM customer ORDER BY CAST(c_custkey AS BIGINT)"""),
+      (s, d) => t(s, d, "customer").select(
+        col("c_custkey").cast(StringType).as("contact_id"),
+        col("c_nationkey").cast(StringType).as("nation_id"))
+        .orderBy(col("contact_id").cast(LongType))),
+
+    // P4: single-key equality predicate (run_ac_extraction.py:1442).
+    QDef("q_filter_eq", Some(s"""
+      SELECT event_id, user_id, event_type, strftime(ts, '$TSD') AS event_ts
+      FROM events WHERE user_id = 42 ORDER BY event_id"""),
+      (s, d) => t(s, d, "events")
+        .filter(col("user_id") === 42)
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          date_format(col("ts"), TS).as("event_ts"))
+        .orderBy("event_id")),
+
+    // P5: membership predicate (run_ac_extraction.py:1680, 949).
+    QDef("q_filter_isin", Some("""
+      SELECT event_id, event_type FROM events
+      WHERE event_type IN ('signup', 'purchase') ORDER BY event_id"""),
+      (s, d) => t(s, d, "events")
+        .filter(col("event_type").isin("signup", "purchase"))
+        .select("event_id", "event_type")
+        .orderBy("event_id")),
+
+    // P6: drop blank/'nan'/'None'/NULL strings — the all-string
+    // lake's null idiom (run_ac_extraction.py:1452, 1461-1463).
+    // Blanks are synthesized deterministically to exercise each path.
+    QDef("q_filter_nonblank", Some(s"""
+      WITH e AS (SELECT event_id,
+        CASE WHEN event_id % 7 = 0 THEN ''
+             WHEN event_id % 11 = 0 THEN 'nan'
+             WHEN event_id % 13 = 0 THEN NULL
+             ELSE event_type END AS raw FROM events)
+      SELECT event_id, raw AS kept_type FROM e
+      WHERE ${nbSql("raw")} IS NOT NULL ORDER BY event_id"""),
+      (s, d) => t(s, d, "events")
+        .withColumn("raw",
+          when(col("event_id") % 7 === 0, lit(""))
+            .when(col("event_id") % 11 === 0, lit("nan"))
+            .when(col("event_id") % 13 === 0, lit(null).cast(StringType))
+            .otherwise(col("event_type")))
+        .filter(nullifBlank(col("raw")).isNotNull)
+        .select(col("event_id"), col("raw").as("kept_type"))
+        .orderBy("event_id")),
+
+    // P7: first non-blank of N candidate columns
+    // (run_ac_extraction.py:1165-1169, 892-916).
+    QDef("q_coalesce_candidates", Some(s"""
+      WITH e AS (SELECT event_id,
+        CASE WHEN event_id % 3 = 0 THEN '' ELSE event_type END AS c1,
+        CASE WHEN event_id % 5 = 0 THEN NULL ELSE 'alt_' || event_type END AS c2
+        FROM events)
+      SELECT event_id,
+             COALESCE(${nbSql("c1")}, ${nbSql("c2")}, 'default') AS picked
+      FROM e ORDER BY event_id"""),
+      (s, d) => t(s, d, "events")
+        .withColumn("c1", when(col("event_id") % 3 === 0, lit("")).otherwise(col("event_type")))
+        .withColumn("c2", when(col("event_id") % 5 === 0, lit(null).cast(StringType))
+          .otherwise(concat(lit("alt_"), col("event_type"))))
+        .select(col("event_id"),
+          coalesce(coalesceCandidates(col("c1"), col("c2")), lit("default")).as("picked"))
+        .orderBy("event_id")),
+
+    // P8: dict decode with passthrough default (run_ac_extraction.py:409-410).
+    QDef("q_conditional_decode", Some("""
+      SELECT o_orderkey,
+             CASE o_orderstatus WHEN 'O' THEN 'Open' WHEN 'F' THEN 'Finished'
+                  WHEN 'P' THEN 'Pending' ELSE o_orderstatus END AS status_decoded
+      FROM orders ORDER BY o_orderkey"""),
+      (s, d) => t(s, d, "orders")
+        .select(col("o_orderkey"),
+          decodeMap(col("o_orderstatus"),
+            Seq("O" -> "Open", "F" -> "Finished", "P" -> "Pending"),
+            col("o_orderstatus")).as("status_decoded"))
+        .orderBy("o_orderkey")),
+
+    // P9: lenient int coercion, default 0 (safe_int,
+    // run_ac_extraction.py:58-63). Corrupt values synthesized.
+    QDef("q_safe_int", Some("""
+      WITH e AS (SELECT event_id,
+        CASE WHEN event_id % 9 = 0 THEN 'oops'
+             ELSE json_extract_string(props, '$.k') END AS raw FROM events)
+      SELECT event_id, COALESCE(TRY_CAST(trim(raw) AS BIGINT), 0) AS k_int
+      FROM e ORDER BY event_id"""),
+      (s, d) => t(s, d, "events")
+        .withColumn("raw", when(col("event_id") % 9 === 0, lit("oops"))
+          .otherwise(get_json_object(col("props"), "$.k")))
+        .select(col("event_id"), safeInt(col("raw")).as("k_int"))
+        .orderBy("event_id")),
+
+    // ───────────────────────── §2.3 joins ─────────────────────────
+
+    // J1: left outer enrich events ⟕ contacts — contact dim is
+    // explicitly broadcast (run_ac_extraction.py:1390-1392).
+    QDef("q_join_left_enrich", Some("""
+      SELECT e.event_id, e.user_id, c.c_name AS contact_name, e.event_type
+      FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
+      ORDER BY e.event_id"""),
+      (s, d) => t(s, d, "events")
+        .join(broadcast(t(s, d, "customer")
+          .select(col("c_custkey").as("user_id"), col("c_name").as("contact_name"))),
+          Seq("user_id"), "left")
+        .select("event_id", "user_id", "contact_name", "event_type")
+        .orderBy("event_id")),
+
+    // J2: seed join + fill-blank-from-seed COALESCE-on-blank
+    // (run_ac_extraction.py:1513-1531, esp. 1525-1529).
+    QDef("q_join_seed_coalesce", Some("""
+      WITH contacts AS (SELECT c_custkey,
+             CASE WHEN c_custkey % 5 = 0 THEN ''
+                  ELSE lower(c_name) || '@live.test' END AS email FROM customer),
+      seed AS (SELECT c_custkey, 'seed+' || c_custkey || '@seed.test' AS email_seed
+               FROM customer WHERE c_custkey % 2 = 0)
+      SELECT c.c_custkey,
+             CASE WHEN trim(c.email) = '' AND s.email_seed IS NOT NULL
+                  THEN s.email_seed ELSE c.email END AS email
+      FROM contacts c LEFT JOIN seed s ON c.c_custkey = s.c_custkey
+      ORDER BY c.c_custkey"""),
+      (s, d) => {
+        val cust = t(s, d, "customer")
+        val contacts = cust.select(col("c_custkey"),
+          when(col("c_custkey") % 5 === 0, lit(""))
+            .otherwise(concat(lower(col("c_name")), lit("@live.test"))).as("email"))
+        val seed = cust.filter(col("c_custkey") % 2 === 0)
+          .select(col("c_custkey"),
+            concat(lit("seed+"), col("c_custkey"), lit("@seed.test")).as("email_seed"))
+        contacts.join(broadcast(seed), Seq("c_custkey"), "left")
+          .select(col("c_custkey"),
+            when(trim(col("email")) === "" && col("email_seed").isNotNull,
+              col("email_seed")).otherwise(col("email")).as("email"))
+          .orderBy("c_custkey")
+      }),
+
+    // J3: dict-map lookup = broadcast left join dim(id→name) on
+    // string-normalized keys (run_ac_extraction.py:899-954, 1044-1127).
+    QDef("q_maplookup_broadcast", Some("""
+      SELECT c.c_custkey, n.n_name AS nation_name
+      FROM customer c LEFT JOIN nation n
+        ON CAST(c.c_nationkey AS VARCHAR) = CAST(n.n_nationkey AS VARCHAR)
+      ORDER BY c.c_custkey"""),
+      (s, d) => mapLookup(t(s, d, "customer"), t(s, d, "nation"),
+        col("c_nationkey"), "n_nationkey", "n_name", "nation_name")
+        .select("c_custkey", "nation_name")
+        .orderBy("c_custkey")),
+
+    // J4: layered lookup with blank-aware fallback
+    // (run_ac_extraction.py:926-949, 1083-1086).
+    QDef("q_join_fallback_chain", Some("""
+      SELECT c.c_custkey,
+             COALESCE(CASE WHEN n.n_nationkey % 3 = 0 THEN NULL ELSE n.n_name END,
+                      r.r_name) AS region_or_nation
+      FROM customer c
+      LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
+      LEFT JOIN region r ON n.n_regionkey = r.r_regionkey
+      ORDER BY c.c_custkey"""),
+      (s, d) => t(s, d, "customer")
+        .join(broadcast(t(s, d, "nation")), col("c_nationkey") === col("n_nationkey"), "left")
+        .join(broadcast(t(s, d, "region")), col("n_regionkey") === col("r_regionkey"), "left")
+        .select(col("c_custkey"),
+          fallbackChain(
+            when(col("n_nationkey") % 3 === 0, lit("")).otherwise(col("n_name")),
+            col("r_name")).as("region_or_nation"))
+        .orderBy("c_custkey")),
+
+    // J5: two-level nested fan-out contacts→orders→lineitem
+    // (run_deals_bundle, run_ac_extraction.py:836-861).
+    QDef("q_join_nested_fanout", Some("""
+      SELECT c.c_custkey, o.o_orderkey, l.l_linenumber,
+             CAST(l.l_extendedprice AS DECIMAL(12,2)) AS price
+      FROM customer c
+      JOIN orders o ON c.c_custkey = o.o_custkey
+      JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+      ORDER BY c.c_custkey, o.o_orderkey, l.l_linenumber, price"""),
+      (s, d) => broadcast(t(s, d, "customer").select("c_custkey"))
+        .join(t(s, d, "orders"), col("c_custkey") === col("o_custkey"))
+        .join(t(s, d, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+        .select(col("c_custkey"), col("o_orderkey"), col("l_linenumber"),
+          col("l_extendedprice").cast("decimal(12,2)").as("price"))
+        // (l_orderkey, l_linenumber) is NOT unique in the synthetic
+        // testdata — price completes the total order.
+        .orderBy("c_custkey", "o_orderkey", "l_linenumber", "price")),
+
+    // J6: email→contact_id resolution (run_ac_extraction.py:315-327).
+    QDef("q_join_email_resolve", Some("""
+      WITH contacts AS (SELECT c_custkey, lower(c_name) || '@x.test' AS email FROM customer),
+      seed AS (SELECT lower(c_name) || '@x.test' AS email FROM customer WHERE c_custkey % 10 = 0)
+      SELECT s.email, c.c_custkey AS contact_id
+      FROM seed s LEFT JOIN contacts c ON s.email = c.email
+      ORDER BY s.email"""),
+      (s, d) => {
+        val cust = t(s, d, "customer")
+        val contacts = cust.select(col("c_custkey"),
+          concat(lower(col("c_name")), lit("@x.test")).as("email"))
+        val seed = cust.filter(col("c_custkey") % 10 === 0)
+          .select(concat(lower(col("c_name")), lit("@x.test")).as("email"))
+        seed.join(contacts.withColumnRenamed("c_custkey", "contact_id"), Seq("email"), "left")
+          .select("email", "contact_id")
+          .orderBy("email")
+      }),
+
+    // ─────────────────── §2.4 aggregations / dedup ─────────────────
+
+    // A1: content-hash dedup over all non-lineage columns; among
+    // duplicates min(run_id) wins (run_ac_extraction.py:126-131,
+    // 170-172). Two synthetic "runs" with a deterministic drift.
+    QDef("q_dedup_content_hash", Some("""
+      WITH base AS (
+        SELECT c_custkey, c_name, c_nationkey, c_mktsegment AS segment, 'r1' AS run_id FROM customer
+        UNION ALL
+        SELECT c_custkey, c_name, c_nationkey,
+               CASE WHEN c_custkey % 4 = 0 THEN 'CHANGED' ELSE c_mktsegment END, 'r2' FROM customer
+      ), hashed AS (
+        SELECT *, md5(COALESCE(CAST(c_custkey AS VARCHAR), '') || '||' ||
+                      COALESCE(c_name, '') || '||' ||
+                      COALESCE(CAST(c_nationkey AS VARCHAR), '') || '||' ||
+                      COALESCE(segment, '')) AS _h
+        FROM base)
+      SELECT c_custkey, c_name, c_nationkey, segment, run_id FROM hashed
+      QUALIFY row_number() OVER (PARTITION BY _h ORDER BY run_id) = 1
+      ORDER BY c_custkey, run_id"""),
+      (s, d) => {
+        val cust = t(s, d, "customer")
+        val r1 = cust.select(col("c_custkey"), col("c_name"), col("c_nationkey"),
+          col("c_mktsegment").as("segment"), lit("r1").as("run_id"))
+        val r2 = cust.select(col("c_custkey"), col("c_name"), col("c_nationkey"),
+          when(col("c_custkey") % 4 === 0, lit("CHANGED"))
+            .otherwise(col("c_mktsegment")).as("segment"), lit("r2").as("run_id"))
+        contentHashDedup(r1.unionByName(r2), Seq("run_id"), col("run_id"))
+          .orderBy("c_custkey", "run_id")
+      }),
+
+    // A2: SCD-1 latest-per-key snapshot (run_ac_extraction.py:175-188).
+    QDef("q_latest_snapshot", Some(s"""
+      SELECT l_orderkey, l_linenumber, strftime(l_shipdate, '$TSD') AS updated_at
+      FROM lineitem
+      QUALIFY row_number() OVER (PARTITION BY l_orderkey
+                                 ORDER BY l_shipdate DESC, l_linenumber DESC) = 1
+      ORDER BY l_orderkey"""),
+      (s, d) => latestSnapshot(t(s, d, "lineitem"), Seq("l_orderkey"),
+        col("l_shipdate"), col("l_linenumber"))
+        .select(col("l_orderkey"), col("l_linenumber"),
+          date_format(col("l_shipdate"), TS).as("updated_at"))
+        .orderBy("l_orderkey")),
+
+    // A3: distinct by key (run_ac_extraction.py:313, 327).
+    QDef("q_dedup_key", Some(
+      "SELECT DISTINCT o_custkey FROM orders ORDER BY o_custkey"),
+      (s, d) => t(s, d, "orders").select("o_custkey")
+        .dropDuplicates("o_custkey").orderBy("o_custkey")),
+
+    // A4: most-recent N per group (run_ac_extraction.py:1183-1193).
+    QDef("q_topn_per_group", Some(s"""
+      SELECT user_id, event_id, strftime(ts, '$TSD') AS event_ts, event_type
+      FROM events
+      QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) <= 5
+      ORDER BY user_id, event_id"""),
+      (s, d) => topNPerGroup(t(s, d, "events"), Seq("user_id"),
+        Seq(col("ts").desc, col("event_id").desc), 5)
+        .select(col("user_id"), col("event_id"),
+          date_format(col("ts"), TS).as("event_ts"), col("event_type"))
+        .orderBy("user_id", "event_id")),
+
+    // A5: last-k after chronological sort = top-k by recency,
+    // re-emitted in ascending order (run_ac_extraction.py:1479).
+    QDef("q_lastk_per_group", Some(s"""
+      SELECT user_id, event_id, strftime(ts, '$TSD') AS event_ts
+      FROM events
+      QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) <= 3
+      ORDER BY user_id, event_ts, event_id"""),
+      (s, d) => topNPerGroup(t(s, d, "events"), Seq("user_id"),
+        Seq(col("ts").desc, col("event_id").desc), 3)
+        .select(col("user_id"), col("event_id"),
+          date_format(col("ts"), TS).as("event_ts"))
+        .orderBy("user_id", "event_ts", "event_id")),
+
+    // A6: per-key sorted distinct set, ", "-joined
+    // (run_ac_extraction.py:1447-1474).
+    QDef("q_collect_sorted_set", Some("""
+      SELECT user_id, string_agg(DISTINCT event_type, ', ' ORDER BY event_type) AS types
+      FROM events GROUP BY user_id ORDER BY user_id"""),
+      (s, d) => t(s, d, "events").groupBy("user_id")
+        .agg(sortedSetAgg(col("event_type")).as("types"))
+        .orderBy("user_id")),
+
+    // A7: max-id watermark advance (run_ac_extraction.py:266, 1568).
+    QDef("q_agg_max_watermark", Some(
+      "SELECT max(event_id) AS max_id FROM events"),
+      (s, d) => t(s, d, "events").agg(max(col("event_id")).as("max_id"))),
+
+    // A8: per-(key,key) entry counts (run_ac_extraction.py:768-787).
+    QDef("q_count_entries", Some("""
+      SELECT user_id, event_type, count(*) AS n FROM events
+      GROUP BY user_id, event_type ORDER BY user_id, event_type"""),
+      (s, d) => t(s, d, "events").groupBy("user_id", "event_type")
+        .agg(count(lit(1)).as("n"))
+        .orderBy("user_id", "event_type")),
+
+    // Float aggregation surface (SURVEY.md §2.7 note): TPC-H Q1-style
+    // pricing summary; doubles canonicalized to DECIMAL for exact
+    // cross-engine arithmetic.
+    QDef("q_agg_pricing_summary", Some("""
+      SELECT l_returnflag, l_linestatus,
+             sum(CAST(l_quantity AS DECIMAL(12,2))) AS sum_qty,
+             sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS sum_price,
+             count(*) AS n
+      FROM lineitem GROUP BY l_returnflag, l_linestatus
+      ORDER BY l_returnflag, l_linestatus"""),
+      (s, d) => t(s, d, "lineitem").groupBy("l_returnflag", "l_linestatus")
+        .agg(sum(col("l_quantity").cast("decimal(12,2)")).as("sum_qty"),
+          sum(col("l_extendedprice").cast("decimal(12,2)")).as("sum_price"),
+          count(lit(1)).as("n"))
+        .orderBy("l_returnflag", "l_linestatus")),
+
+    // ─────────────────── §2.5 sorts / limits ──────────────────────
+
+    // O1: global total-order timeline sort with explicit tiebreak
+    // (run_ac_extraction.py:1425).
+    QDef("q_sort_stable_multikey", Some(s"""
+      SELECT user_id, event_id, strftime(ts, '$TSD') AS event_ts, event_type
+      FROM events
+      ORDER BY user_id ASC, event_ts ASC NULLS LAST, event_id ASC"""),
+      (s, d) => t(s, d, "events")
+        .select(col("user_id"), col("event_id"),
+          date_format(col("ts"), TS).as("event_ts"), col("event_type"))
+        .orderBy(col("user_id").asc, col("event_ts").asc_nulls_last, col("event_id").asc)),
+
+    // O2: debug sampling — first N after numeric sort
+    // (run_ac_extraction.py:1582-1584).
+    QDef("q_limit_sample", Some(
+      "SELECT c_custkey FROM customer ORDER BY c_custkey LIMIT 10"),
+      (s, d) => t(s, d, "customer").select("c_custkey")
+        .orderBy("c_custkey").limit(10)),
+
+    // ───────────────────── §2.6 set operations ────────────────────
+
+    // U1: align-by-name union, absent cols → NULL
+    // (run_ac_extraction.py:164-167).
+    QDef("q_union_align_by_name", Some("""
+      SELECT * FROM (
+        SELECT c_custkey, c_name, 'a' AS src FROM customer
+        UNION ALL BY NAME
+        SELECT c_custkey, c_mktsegment AS segment, 'b' AS src FROM customer)
+      ORDER BY c_custkey, src"""),
+      (s, d) => {
+        val cust = t(s, d, "customer")
+        val a = cust.select(col("c_custkey"), col("c_name"), lit("a").as("src"))
+        val b = cust.select(col("c_custkey"), col("c_mktsegment").as("segment"), lit("b").as("src"))
+        alignUnion(a, b).orderBy("c_custkey", "src")
+      }),
+
+    // U3: distinct union of id universes, numeric order
+    // (run_ac_extraction.py:1576-1580).
+    QDef("q_union_distinct_ids", Some("""
+      SELECT DISTINCT id FROM (
+        SELECT c_custkey AS id FROM customer
+        UNION ALL SELECT user_id AS id FROM events) ORDER BY id"""),
+      (s, d) => t(s, d, "customer").select(col("c_custkey").as("id"))
+        .union(t(s, d, "events").select(col("user_id").as("id")))
+        .distinct().orderBy("id")),
+
+    // U2 / §2.8: the 13-way conform-union, 3 heterogeneous testdata
+    // sources conformed to the unified event schema
+    // (run_ac_extraction.py:1171-1384).
+    QDef("q_conform_union", Some(s"""
+      WITH ev AS (
+        SELECT 'events:' || event_id AS event_id, user_id AS contact_id,
+               'events' AS source, CAST(event_id AS VARCHAR) AS source_row_id,
+               strftime(ts, '$TSD') AS event_ts, event_type,
+               'activity ' || event_type AS title,
+               json_extract_string(props, '$$.k') AS detail,
+               'https://example.test/events/' || event_id AS url
+        FROM events),
+      od AS (
+        SELECT 'orders:' || o_orderkey AS event_id, o_custkey AS contact_id,
+               'orders' AS source, CAST(o_orderkey AS VARCHAR) AS source_row_id,
+               strftime(o_orderdate, '$TSD') AS event_ts,
+               CASE o_orderstatus WHEN 'O' THEN 'order_open' WHEN 'F' THEN 'order_filled'
+                    WHEN 'P' THEN 'order_pending' ELSE 'order_other' END AS event_type,
+               o_orderpriority AS title,
+               CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS VARCHAR) AS detail,
+               CAST(NULL AS VARCHAR) AS url
+        FROM orders),
+      sh AS (
+        SELECT 'lineitem:' || l_orderkey || ':' || l_linenumber AS event_id,
+               o_custkey AS contact_id, 'lineitem' AS source,
+               l_orderkey || '-' || l_linenumber AS source_row_id,
+               strftime(l_shipdate, '$TSD') AS event_ts, 'shipment' AS event_type,
+               'ship ' || l_returnflag || ' ' || l_linestatus AS title,
+               CAST(CAST(l_quantity AS DECIMAL(12,2)) AS VARCHAR) AS detail,
+               CAST(NULL AS VARCHAR) AS url
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey)
+      SELECT * FROM (SELECT * FROM ev UNION ALL SELECT * FROM od UNION ALL SELECT * FROM sh)
+      ORDER BY contact_id, event_ts, event_id, title, detail"""),
+      // event_id is not unique for lineitem-derived events (duplicate
+      // (l_orderkey, l_linenumber) pairs exist in the synthetic data),
+      // so title+detail complete the total order.
+      (s, d) => ChatterMaster.unifiedEvents(s, d)
+        .orderBy("contact_id", "event_ts", "event_id", "title", "detail")),
+
+    // ─────────────────── §2.7 scalar functions ────────────────────
+
+    // F1: trim/concat full-name build with fallback (_mk_name,
+    // run_ac_extraction.py:1011-1013).
+    QDef("q_str_trim_concat", Some(s"""
+      WITH c AS (SELECT c_custkey,
+        CASE WHEN c_custkey % 6 = 0 THEN '' ELSE c_name END AS fn,
+        CASE WHEN c_custkey % 6 = 0 THEN '' ELSE c_mktsegment END AS ln
+        FROM customer)
+      SELECT c_custkey,
+        COALESCE(${nbSql("trim(concat_ws(' ', COALESCE(trim(fn), ''), COALESCE(trim(ln), '')))")},
+                 'contact#' || c_custkey) AS display
+      FROM c ORDER BY c_custkey"""),
+      (s, d) => t(s, d, "customer")
+        .withColumn("fn", when(col("c_custkey") % 6 === 0, lit("")).otherwise(col("c_name")))
+        .withColumn("ln", when(col("c_custkey") % 6 === 0, lit("")).otherwise(col("c_mktsegment")))
+        .select(col("c_custkey"),
+          mkName(col("fn"), col("ln"),
+            concat(lit("contact#"), col("c_custkey"))).as("display"))
+        .orderBy("c_custkey")),
+
+    // F2: template chatter line, blank parts skipped
+    // (_mk_chatter_line, run_ac_extraction.py:1411-1422).
+    QDef("q_str_format", Some(s"""
+      WITH e AS (SELECT event_id, strftime(ts, '$TSD') AS ets, event_type,
+        CASE WHEN event_id % 4 = 0 THEN '' ELSE json_extract_string(props, '$$.k') END AS detail,
+        CASE WHEN event_id % 2 = 0 THEN 'https://x.test/e/' || event_id ELSE NULL END AS url
+        FROM events)
+      SELECT event_id,
+             concat_ws(' — ', ${nbSql("ets")}, ${nbSql("event_type")},
+                       ${nbSql("detail")}, ${nbSql("url")}) AS line
+      FROM e ORDER BY event_id"""),
+      (s, d) => t(s, d, "events")
+        .withColumn("ets", date_format(col("ts"), TS))
+        .withColumn("detail", when(col("event_id") % 4 === 0, lit(""))
+          .otherwise(get_json_object(col("props"), "$.k")))
+        .withColumn("url", when(col("event_id") % 2 === 0,
+          concat(lit("https://x.test/e/"), col("event_id"))).otherwise(lit(null).cast(StringType)))
+        .select(col("event_id"),
+          chatterLine(col("ets"), col("event_type"), col("detail"), col("url")).as("line"))
+        .orderBy("event_id")),
+
+    // F3: case-insensitive prefix dispatch (run_ac_extraction.py:1251-1262).
+    QDef("q_str_prefix_dispatch", Some("""
+      SELECT event_id,
+             CASE WHEN lower(event_type) LIKE 'sign%' THEN 'registration'
+                  WHEN lower(event_type) LIKE 'purch%' THEN 'commerce'
+                  ELSE 'other' END AS category
+      FROM events ORDER BY event_id"""),
+      (s, d) => t(s, d, "events")
+        .select(col("event_id"),
+          when(lower(col("event_type")).startsWith("sign"), lit("registration"))
+            .when(lower(col("event_type")).startsWith("purch"), lit("commerce"))
+            .otherwise(lit("other")).as("category"))
+        .orderBy("event_id")),
+
+    // F4: trailing integer id from URL (extract_id_from_url,
+    // run_ac_extraction.py:83-87).
+    QDef("q_regexp_extract_id", Some("""
+      WITH e AS (SELECT event_id,
+        'https://x.test/api/' || user_id ||
+          CASE WHEN event_id % 2 = 0 THEN '?page=1' ELSE '' END AS url
+        FROM events)
+      SELECT event_id, regexp_extract(url, '/(\d+)(\?|$)', 1) AS extracted_id
+      FROM e ORDER BY event_id"""),
+      (s, d) => t(s, d, "events")
+        .withColumn("url", concat(lit("https://x.test/api/"), col("user_id"),
+          when(col("event_id") % 2 === 0, lit("?page=1")).otherwise(lit(""))))
+        .select(col("event_id"),
+          regexp_extract(col("url"), "/(\\d+)(\\?|$)", 1).as("extracted_id"))
+        .orderBy("event_id")),
+
+    // F5: JSON-path fetch from a string cell (run_ac_extraction.py:936-947).
+    QDef("q_json_get", Some("""
+      SELECT event_id, json_extract_string(props, '$.k') AS k
+      FROM events ORDER BY event_id"""),
+      (s, d) => t(s, d, "events")
+        .select(col("event_id"), get_json_object(col("props"), "$.k").as("k"))
+        .orderBy("event_id")),
+
+    // F6: md5 hex digest (run_ac_extraction.py:130, 1200).
+    QDef("q_md5_hash", Some(
+      "SELECT c_custkey, md5(c_name) AS name_md5 FROM customer ORDER BY c_custkey"),
+      (s, d) => t(s, d, "customer")
+        .select(col("c_custkey"), md5(col("c_name")).as("name_md5"))
+        .orderBy("c_custkey")),
+
+    // F7: lenient timestamp parse, invalid → NULL
+    // (run_ac_extraction.py:1188, 1401-1403).
+    QDef("q_ts_parse_lenient", Some(s"""
+      WITH e AS (SELECT event_id,
+        CASE WHEN event_id % 10 = 0 THEN 'not-a-ts'
+             ELSE strftime(ts, '$TSD') END AS raw FROM events)
+      SELECT event_id, strftime(TRY_CAST(raw AS TIMESTAMP), '$TSD') AS parsed
+      FROM e ORDER BY event_id"""),
+      (s, d) => t(s, d, "events")
+        .withColumn("raw", when(col("event_id") % 10 === 0, lit("not-a-ts"))
+          .otherwise(date_format(col("ts"), TS)))
+        .select(col("event_id"),
+          date_format(try_to_timestamp(col("raw")), TS).as("parsed"))
+        .orderBy("event_id")),
+
+    // F8: strftime renderings incl. ISO-Z (run_ac_extraction.py:55, 1403-1404).
+    QDef("q_ts_format", Some("""
+      SELECT event_id, strftime(ts, '%Y-%m-%dT%H:%M:%SZ') AS iso_z,
+             strftime(ts, '%Y-%m-%d') AS d
+      FROM events ORDER BY event_id"""),
+      (s, d) => t(s, d, "events")
+        .select(col("event_id"), tsIsoZ(col("ts")).as("iso_z"),
+          date_format(col("ts"), "yyyy-MM-dd").as("d"))
+        .orderBy("event_id")),
+
+    // F9: whole-day age ≥ TTL check (fixed "now" literal for
+    // determinism; run_ac_extraction.py:360-363).
+    QDef("q_date_age_days", Some("""
+      SELECT o_orderkey,
+             CASE WHEN datediff('day', CAST(o_orderdate AS DATE), DATE '2026-08-01') >= 7
+                  THEN 1 ELSE 0 END AS stale
+      FROM orders ORDER BY o_orderkey"""),
+      (s, d) => t(s, d, "orders")
+        .select(col("o_orderkey"),
+          when(datediff(lit("2026-08-01").cast(DateType), to_date(col("o_orderdate"))) >= 7,
+            lit(1)).otherwise(lit(0)).as("stale"))
+        .orderBy("o_orderkey")),
+
+    // F11: lowercase normalization (run_ac_extraction.py:297-300).
+    QDef("q_lower", Some(
+      "SELECT c_custkey, lower(c_mktsegment) AS seg FROM customer ORDER BY c_custkey"),
+      (s, d) => t(s, d, "customer")
+        .select(col("c_custkey"), lower(col("c_mktsegment")).as("seg"))
+        .orderBy("c_custkey")),
+
+    // F12: synthetic event id "{source}:{rowid}" with md5-of-row
+    // fallback (run_ac_extraction.py:1197-1200).
+    QDef("q_synth_event_id", Some("""
+      WITH e AS (SELECT event_id, user_id, event_type,
+        CASE WHEN event_id % 8 = 0 THEN NULL ELSE CAST(event_id AS VARCHAR) END AS src_id
+        FROM events)
+      SELECT event_id,
+             concat_ws(':', 'events',
+               COALESCE(src_id,
+                 md5(COALESCE(CAST(user_id AS VARCHAR), '') || '||' ||
+                     COALESCE(event_type, '')))) AS synth_id
+      FROM e ORDER BY event_id"""),
+      (s, d) => t(s, d, "events")
+        .withColumn("src_id", when(col("event_id") % 8 === 0, lit(null).cast(StringType))
+          .otherwise(col("event_id").cast(StringType)))
+        .select(col("event_id"),
+          synthEventId("events", col("src_id"),
+            rowHash(Seq(col("user_id"), col("event_type")))).as("synth_id"))
+        .orderBy("event_id")),
+
+    // ───────────── §2.9 streaming batch-analog: tumbling window ────
+    // (Structured Streaming variant lives in graft.streaming; this is
+    // the deterministic batch analog the oracle can check.)
+    QDef("q_window_tumbling", Some(s"""
+      SELECT strftime(date_trunc('hour', ts), '$TSD') AS window_start, event_type,
+             count(*) AS n, sum(CAST(value AS DECIMAL(12,2))) AS total_value
+      FROM events GROUP BY window_start, event_type
+      ORDER BY window_start, event_type"""),
+      (s, d) => t(s, d, "events")
+        .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(12,2)")).as("total_value"))
+        .select(date_format(col("w.start"), TS).as("window_start"),
+          col("event_type"), col("n"), col("total_value"))
+        .orderBy("window_start", "event_type")),
+
+    // A9: per-contact digest rollup — sorted sets + last-k lines
+    // folded into one template string (run_ac_extraction.py:1436-1506).
+    QDef("q_digest_rollup", Some(s"""
+      WITH e AS (SELECT user_id, event_id, strftime(ts, '$TSD') AS ets, event_type FROM events),
+      last3 AS (SELECT * FROM e
+        QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ets DESC, event_id DESC) <= 3),
+      lines AS (SELECT user_id,
+        string_agg(ets || ' — ' || event_type, chr(10) ORDER BY ets, event_id) AS tail
+        FROM last3 GROUP BY user_id),
+      sets AS (SELECT user_id,
+        string_agg(DISTINCT event_type, ', ' ORDER BY event_type) AS types
+        FROM e GROUP BY user_id)
+      SELECT c.c_custkey AS contact_id,
+             c.c_name || ' [' || s.types || ']' || chr(10) || l.tail AS digest
+      FROM customer c
+      JOIN sets s ON c.c_custkey = s.user_id
+      JOIN lines l ON c.c_custkey = l.user_id
+      ORDER BY contact_id"""),
+      (s, d) => {
+        val e = t(s, d, "events").select(col("user_id"), col("event_id"),
+          date_format(col("ts"), TS).as("ets"), col("event_type"))
+        val last3 = topNPerGroup(e, Seq("user_id"),
+          Seq(col("ets").desc, col("event_id").desc), 3)
+        val lines = last3
+          .withColumn("line", concat(col("ets"), lit(" — "), col("event_type")))
+          .groupBy("user_id")
+          .agg(array_join(transform(
+            array_sort(collect_list(struct(col("ets"), col("event_id"), col("line")))),
+            x => x.getField("line")), "\n").as("tail"))
+          .withColumnRenamed("user_id", "lu")
+        val sets = e.groupBy("user_id").agg(sortedSetAgg(col("event_type")).as("types"))
+          .withColumnRenamed("user_id", "su")
+        t(s, d, "customer")
+          .join(sets, col("c_custkey") === col("su"))
+          .join(lines, col("c_custkey") === col("lu"))
+          .select(col("c_custkey").as("contact_id"),
+            concat(col("c_name"), lit(" ["), col("types"), lit("]\n"), col("tail")).as("digest"))
+          .orderBy("contact_id")
+      })
+  )
+}
