@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{CoreQueries, QDef}
+import graft.queries.{CoreQueries, QDef, SimQueries, TextQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -12,7 +12,8 @@ import graft.queries.{CoreQueries, QDef}
   */
 object SparkEntry {
 
-  private def registry: Seq[QDef] = CoreQueries.all
+  private def registry: Seq[QDef] =
+    CoreQueries.all ++ TextQueries.all ++ SimQueries.all
 
   /** Flagship query (SURVEY.md §3 E3 build_chatter_master): unified,
     * enriched, chronologically sorted per-contact event timeline.

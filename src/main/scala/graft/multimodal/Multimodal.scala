@@ -1,0 +1,81 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal column plumbing: media (image/audio/video) as opaque
+  * `binary` columns with typed metadata, processed per-partition.
+  *
+  * The decode step itself is STUBBED (no image/audio codecs in this
+  * container — see `stubDecode`): it derives deterministic fake
+  * features from the bytes. Everything around it is real Spark
+  * plumbing — typed Datasets over binary columns, mapPartitions
+  * batch shape (one codec init per partition, not per row), and a
+  * schema a real decoder would fill.
+  *
+  * Scale notes: media blobs dominate row size — keep them in their
+  * own column so column pruning drops them unless the query actually
+  * decodes; decode via mapPartitions so codec state amortizes; at
+  * 100 TB the blobs live in parquet binary columns read with
+  * maxPartitionBytes sized to a few blobs per task.
+  */
+object Multimodal {
+
+  /** A media row: opaque payload + envelope metadata. */
+  final case class MediaRow(doc_id: Long, media_type: String, data: Array[Byte])
+
+  /** Decoded metadata a real codec would produce. */
+  final case class MediaMeta(
+      doc_id: Long,
+      n_bytes: Long,
+      content_fp: String,   // md5 prefix of the payload
+      decode_status: String)
+
+  /** Fixed-stride "frame sample" features — the stub for a real
+    * decode→resize→feature step. Deterministic in the bytes. */
+  final case class MediaFeatures(doc_id: Long, feature: Array[Double])
+
+  private def md5hex(bytes: Array[Byte]): String = {
+    val d = java.security.MessageDigest.getInstance("MD5").digest(bytes)
+    d.map("%02x".format(_)).mkString
+  }
+
+  /** STUB decode: a real build would decode the codec here (JPEG /
+    * PCM / container demux). We emit deterministic pseudo-features:
+    * `dim` byte samples at fixed strides, normalized to [0,1). */
+  private def stubDecode(data: Array[Byte], dim: Int): Array[Double] = {
+    val n = math.max(data.length, 1)
+    Array.tabulate(dim)(i => (data((i.toLong * n / dim).toInt % n) & 0xff) / 256.0)
+  }
+
+  /** Extract envelope metadata from a binary media column.
+    * One digest instance per partition (the mapPartitions batch
+    * shape a real codec needs). */
+  def extractMeta(media: Dataset[MediaRow]): Dataset[MediaMeta] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.map { r =>
+        MediaMeta(r.doc_id, r.data.length.toLong, md5hex(r.data).substring(0, 8), "decoded")
+      }
+    }
+  }
+
+  /** Decode + featurize (stubbed) — the plumbing for
+    * decode/resize/frame-sample stages. */
+  def extractFeatures(media: Dataset[MediaRow], dim: Int): Dataset[MediaFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.map(r => MediaFeatures(r.doc_id, stubDecode(r.data, dim)))
+    }
+  }
+
+  /** Documents table → MediaRow dataset (text bytes standing in for
+    * a real media payload; schema/partitioning identical). */
+  def mediaFromDocuments(spark: SparkSession, sfDir: String): Dataset[MediaRow] = {
+    import spark.implicits._
+    graft.pipeline.Tables.t(spark, sfDir, "documents")
+      .select(col("doc_id"), lit("text/plain").as("media_type"),
+        col("text").cast("binary").as("data"))
+      .as[MediaRow]
+  }
+}

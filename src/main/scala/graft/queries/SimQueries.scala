@@ -1,0 +1,94 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.pipeline.Tables.t
+import graft.sim.Similarity
+
+/** Similarity search over `embeddings` (vec_id, embedding:
+  * array<float> ×64, label). Arithmetic runs in float64 on both
+  * engines; similarities are rounded to 3 decimals with an id
+  * tiebreak so rankings are reproducible (SURVEY.md §5 float traps).
+  */
+object SimQueries {
+
+  /** Shared DuckDB cosine expression (mirrors Similarity.cosine:
+    * dot / (||a||·||b||), each norm sqrt'd separately). */
+  private val cosSql =
+    """list_sum(list_transform(list_zip(qv, cv), p -> p[1] * p[2])) /
+      |(sqrt(list_sum(list_transform(qv, x -> x * x))) *
+      | sqrt(list_sum(list_transform(cv, x -> x * x))))""".stripMargin
+
+  val all: Seq[QDef] = Seq(
+
+    // Brute-force cosine top-k: 10 query vectors vs the full corpus.
+    QDef("q_embed_cosine_topk", Some(s"""
+      WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 10),
+      c AS (SELECT vec_id AS cid, v AS cv FROM e),
+      s AS (SELECT qid, cid, round($cosSql, 3) AS sim3
+            FROM q CROSS JOIN c WHERE qid <> cid),
+      r AS (SELECT qid, cid, sim3,
+            CAST(row_number() OVER (PARTITION BY qid ORDER BY sim3 DESC, cid) AS BIGINT) AS rank
+            FROM s)
+      SELECT qid, cid, sim3, rank FROM r WHERE rank <= 5 ORDER BY qid, rank"""),
+      (s, d) => {
+        val e = t(s, d, "embeddings")
+          .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+        val q = e.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("qid"), col("v").as("qv"))
+        val c = e.select(col("vec_id").as("cid"), col("v").as("cv"))
+        Similarity.bruteForceTopK(c, q, 5).orderBy("qid", "rank")
+      }),
+
+    // IVF-style pruned top-k: candidates restricted to the query's
+    // cell (precomputed `label` column stands in for a k-means cell
+    // assignment; at scale the corpus is partitioned by cell so the
+    // scan prunes).
+    QDef("q_embed_ann_ivf", Some(s"""
+      WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      q AS (SELECT vec_id AS qid, label AS cell, v AS qv FROM e WHERE vec_id < 10),
+      c AS (SELECT vec_id AS cid, label AS cell, v AS cv FROM e),
+      s AS (SELECT qid, cid, round($cosSql, 3) AS sim3
+            FROM q JOIN c USING (cell) WHERE qid <> cid),
+      r AS (SELECT qid, cid, sim3,
+            CAST(row_number() OVER (PARTITION BY qid ORDER BY sim3 DESC, cid) AS BIGINT) AS rank
+            FROM s)
+      SELECT qid, cid, sim3, rank FROM r WHERE rank <= 5 ORDER BY qid, rank"""),
+      (s, d) => {
+        val e = t(s, d, "embeddings")
+          .select(col("vec_id"), col("label").as("cell"),
+            col("embedding").cast("array<double>").as("v"))
+        val q = e.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("qid"), col("cell"), col("v").as("qv"))
+        val c = e.select(col("vec_id").as("cid"), col("cell"), col("v").as("cv"))
+        Similarity.ivfTopK(c, q, 5).orderBy("qid", "rank")
+      }),
+
+    // Embedding-cosine near-dup pairs: vector pairs above a high
+    // similarity bar (brute force on a 1-in-5 sample; the LSH/IVF
+    // variants above are the scale path).
+    QDef("q_dedup_embed_cosine", Some(s"""
+      WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+                 WHERE vec_id % 5 = 0),
+      p AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+                   round(list_sum(list_transform(list_zip(a.v, b.v), p -> p[1] * p[2])) /
+                         (sqrt(list_sum(list_transform(a.v, x -> x * x))) *
+                          sqrt(list_sum(list_transform(b.v, x -> x * x)))), 3) AS sim3
+            FROM e a JOIN e b ON a.vec_id < b.vec_id)
+      SELECT vec_a, vec_b, sim3 FROM p WHERE sim3 >= 0.35 ORDER BY vec_a, vec_b"""),
+      (s, d) => {
+        val e = t(s, d, "embeddings").filter(col("vec_id") % 5 === 0)
+          .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+        val a = e.select(col("vec_id").as("vec_a"), col("v").as("va"))
+        val b = e.select(col("vec_id").as("vec_b"), col("v").as("vb"))
+        a.crossJoin(b).filter(col("vec_a") < col("vec_b"))
+          .select(col("vec_a"), col("vec_b"),
+            round(Similarity.cosine(col("va"), col("vb")), 3).as("sim3"))
+          // 0.35 sits in the upper tail of the synthetic corpus's
+          // similarity distribution (max ≈ 0.51) — high enough to be
+          // a near-dup bar, low enough to produce matches.
+          .filter(col("sim3") >= 0.35)
+          .orderBy("vec_a", "vec_b")
+      })
+  )
+}

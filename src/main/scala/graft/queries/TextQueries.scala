@@ -1,0 +1,218 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.pipeline.Tables.t
+import graft.text.{NearDup, TextAnalysis => TA}
+
+/** Training-data-pipeline text operators over `documents`
+  * (TESTDATA.md): dedup (exact / MinHash+LSH / SimHash / Jaccard),
+  * language-ID, quality scoring, token counting, fingerprinting.
+  *
+  * Sampling note: the synthetic corpus shares one 31-token vocabulary
+  * across all docs, so near-dup candidate generation fires on a large
+  * fraction of pairs; pair-producing queries therefore run on a
+  * deterministic doc_id-mod sample to bound the quadratic term at any
+  * scale factor (the operators themselves are corpus-size-agnostic —
+  * see graft.text.NearDup scale notes).
+  */
+object TextQueries {
+
+  /** doc → distinct tokens, shared CTE body (DuckDB side). */
+  private val tokCte =
+    """tok AS (SELECT DISTINCT doc_id, tok FROM
+      |  (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents %s)
+      |  WHERE tok <> '')""".stripMargin
+
+  private def tokDf(s: org.apache.spark.sql.SparkSession, d: String,
+                    sampleMod: Option[Int] = None) = {
+    val docs = sampleMod.fold(t(s, d, "documents"))(m =>
+      t(s, d, "documents").filter(col("doc_id") % m === 0))
+    docs.select(col("doc_id"), explode(TA.tokens(col("text"))).as("tok")).distinct()
+  }
+
+  // minhash signature SQL fragments (k columns), shared by 2 oracles
+  private def sigSelect(k: Int, over: String): String =
+    s"sig AS (SELECT doc_id, " +
+      (0 until k).map(i => s"min(md5('$i|' || $over)) AS s$i").mkString(", ") +
+      s" FROM ${if (over == "sh") "sh" else "tok"} GROUP BY doc_id)"
+
+  private def bandsSql(k: Int, rows: Int): String =
+    "bands AS (" + (0 until k / rows).map { b =>
+      val cols = (b * rows until (b + 1) * rows).map(i => s"s$i").mkString(" || ")
+      s"SELECT doc_id, $b AS band, md5($cols) AS bh FROM sig"
+    }.mkString(" UNION ALL ") + ")"
+
+  private val pairsSql =
+    """SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |FROM bands a JOIN bands b ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+      |ORDER BY doc_a, doc_b""".stripMargin
+
+  val all: Seq[QDef] = Seq(
+
+    // Token counting: whitespace tokens + BPE-ish regex tokens.
+    QDef("q_doc_token_stats", Some("""
+      WITH d AS (SELECT doc_id, n_chars,
+        list_filter(string_split(text, ' '), t -> t <> '') AS toks,
+        CAST(len(regexp_extract_all(text, '[a-z]+')) AS BIGINT) AS n_regex_tokens
+        FROM documents)
+      SELECT doc_id, n_chars, CAST(len(toks) AS BIGINT) AS n_tokens,
+             CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct, n_regex_tokens
+      FROM d ORDER BY doc_id"""),
+      (s, d) => t(s, d, "documents")
+        .withColumn("toks", TA.tokens(col("text")))
+        .select(col("doc_id"), col("n_chars"),
+          size(col("toks")).cast(LongType).as("n_tokens"),
+          size(array_distinct(col("toks"))).cast(LongType).as("n_distinct"),
+          size(expr("regexp_extract_all(text, '[a-z]+', 0)")).cast(LongType).as("n_regex_tokens"))
+        .orderBy("doc_id")),
+
+    // Language-ID: marker-token n-gram heuristic (deterministic
+    // argmax with fixed tie priority). The synthetic corpus shares
+    // one vocabulary, so accuracy is not meaningful here — the
+    // mechanics (score → argmax) are what's exercised.
+    QDef("q_doc_lang_id", Some("""
+      WITH d AS (SELECT doc_id, lang,
+        list_filter(string_split(text, ' '), t -> t <> '') AS toks FROM documents),
+      s AS (SELECT doc_id, lang,
+        CAST(len(list_filter(toks, t -> t IN ('the', 'a', 'data'))) AS BIGINT) AS s_en,
+        CAST(len(list_filter(toks, t -> t IN ('agg', 'merge', 'vector'))) AS BIGINT) AS s_es,
+        CAST(len(list_filter(toks, t -> t IN ('scan', 'query', 'batch'))) AS BIGINT) AS s_fr
+        FROM d)
+      SELECT doc_id, lang AS actual_lang, s_en, s_es, s_fr,
+             CASE WHEN s_en >= s_es AND s_en >= s_fr THEN 'en'
+                  WHEN s_es >= s_fr THEN 'es' ELSE 'fr' END AS predicted_lang
+      FROM s ORDER BY doc_id"""),
+      (s, d) => {
+        val base = t(s, d, "documents")
+          .withColumn("toks", TA.tokens(col("text")))
+          .select(col("doc_id"), col("lang").as("actual_lang"),
+            TA.langScore(col("toks"), Seq("the", "a", "data")).as("s_en"),
+            TA.langScore(col("toks"), Seq("agg", "merge", "vector")).as("s_es"),
+            TA.langScore(col("toks"), Seq("scan", "query", "batch")).as("s_fr"))
+        base.withColumn("predicted_lang",
+          when(col("s_en") >= col("s_es") && col("s_en") >= col("s_fr"), "en")
+            .when(col("s_es") >= col("s_fr"), "es").otherwise("fr"))
+          .orderBy("doc_id")
+      }),
+
+    // Quality scoring: integer-exact length/diversity metrics + flag.
+    QDef("q_doc_quality", Some("""
+      WITH d AS (SELECT doc_id, n_chars,
+        list_filter(string_split(text, ' '), t -> t <> '') AS toks FROM documents),
+      m AS (SELECT doc_id, n_chars,
+        CAST(len(toks) AS BIGINT) AS n_tokens,
+        CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct,
+        CAST(list_sum(list_transform(toks, t -> length(t))) AS BIGINT) AS sum_tok_chars
+        FROM d)
+      SELECT doc_id, n_chars, n_tokens, n_distinct, sum_tok_chars,
+             CASE WHEN n_tokens >= 10 AND 3 * n_distinct >= n_tokens THEN 1 ELSE 0 END AS quality_ok
+      FROM m ORDER BY doc_id"""),
+      (s, d) => t(s, d, "documents")
+        .withColumn("toks", TA.tokens(col("text")))
+        .select(col("doc_id"), col("n_chars"),
+          size(col("toks")).cast(LongType).as("n_tokens"),
+          size(array_distinct(col("toks"))).cast(LongType).as("n_distinct"),
+          aggregate(transform(col("toks"), t => length(t)), lit(0),
+            (acc, x) => acc + x).cast(LongType).as("sum_tok_chars"))
+        .withColumn("quality_ok",
+          when(col("n_tokens") >= 10 && col("n_distinct") * 3 >= col("n_tokens"), 1)
+            .otherwise(0))
+        .orderBy("doc_id")),
+
+    // Document fingerprinting: full-text md5, prefix md5, and an
+    // order-invariant bag-of-words fingerprint.
+    QDef("q_doc_fingerprint", Some("""
+      WITH d AS (SELECT doc_id, text,
+        list_filter(string_split(text, ' '), t -> t <> '') AS toks FROM documents)
+      SELECT doc_id, md5(text) AS fp_full, md5(substr(text, 1, 64)) AS fp_prefix,
+             md5(array_to_string(list_sort(list_distinct(toks)), ' ')) AS fp_bow
+      FROM d ORDER BY doc_id"""),
+      (s, d) => t(s, d, "documents")
+        .withColumn("toks", TA.tokens(col("text")))
+        .select(col("doc_id"), md5(col("text")).as("fp_full"),
+          md5(substring(col("text"), 1, 64)).as("fp_prefix"),
+          TA.bowFingerprint(col("toks")).as("fp_bow"))
+        .orderBy("doc_id")),
+
+    // Exact dedup by content hash; smallest doc_id survives.
+    QDef("q_dedup_exact", Some("""
+      SELECT md5(text) AS fp, min(doc_id) AS keep_id, count(*) AS n_dupes
+      FROM documents GROUP BY fp ORDER BY fp"""),
+      (s, d) => NearDup.exactDedup(t(s, d, "documents"), "doc_id", "text")
+        .orderBy("fp")),
+
+    // MinHash signatures (k=8) over the distinct token set.
+    QDef("q_dedup_minhash_sig", Some(
+      s"WITH ${tokCte.format("")}, ${sigSelect(8, "tok")} " +
+        "SELECT * FROM sig ORDER BY doc_id"),
+      (s, d) => NearDup.minhashSignatures(tokDf(s, d), "doc_id", "tok", 8)
+        .orderBy("doc_id")),
+
+    // MinHash LSH candidate pairs: 4 bands × 2 rows, on a
+    // deterministic 1-in-7 sample (see class doc).
+    QDef("q_dedup_minhash_pairs", Some(
+      s"WITH ${tokCte.format("WHERE doc_id % 7 = 0")}, ${sigSelect(8, "tok")}, " +
+        s"${bandsSql(8, 2)} $pairsSql"),
+      (s, d) => NearDup.lshCandidatePairs(
+        NearDup.lshBands(
+          NearDup.minhashSignatures(tokDf(s, d, Some(7)), "doc_id", "tok", 8),
+          "doc_id", 8, 2),
+        "doc_id").orderBy("doc_a", "doc_b")),
+
+    // n-gram (word 3-gram shingle) MinHash LSH pairs: k=4, 2 bands.
+    QDef("q_dedup_ngram_minhash_pairs", Some(s"""
+      WITH d AS (SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS toks
+                 FROM documents WHERE doc_id % 7 = 0),
+      sh AS (SELECT DISTINCT doc_id, sh FROM
+        (SELECT doc_id, unnest(list_transform(range(1, greatest(len(toks) - 1, 1)),
+                i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh FROM d)),
+      ${sigSelect(4, "sh")}, ${bandsSql(4, 2)} $pairsSql"""),
+      (s, d) => NearDup.lshCandidatePairs(
+        NearDup.lshBands(
+          NearDup.minhashSignatures(
+            NearDup.shingles3(t(s, d, "documents").filter(col("doc_id") % 7 === 0),
+              "doc_id", "text"),
+            "doc_id", "sh", 4),
+          "doc_id", 4, 2),
+        "doc_id").orderBy("doc_a", "doc_b")),
+
+    // 16-bit SimHash per doc (votes over md5-derived bits).
+    QDef("q_dedup_simhash", Some {
+      val v = "CAST(('0x' || substr(md5(tok), 1, 4)) AS INTEGER)"
+      val votes = (0 until 16).map(j =>
+        s"sum(CASE WHEN ($v >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS b$j").mkString(", ")
+      val bits = (0 until 16).map(j =>
+        s"CASE WHEN b$j > 0 THEN ${1L << j} ELSE 0 END").mkString(" + ")
+      s"WITH ${tokCte.format("")}, v AS (SELECT doc_id, $votes FROM tok GROUP BY doc_id) " +
+        s"SELECT doc_id, CAST($bits AS BIGINT) AS simhash16 FROM v ORDER BY doc_id"
+    },
+      (s, d) => NearDup.simhash16(tokDf(s, d), "doc_id", "tok").orderBy("doc_id")),
+
+    // Exact token-set Jaccard near-dup pairs on a 1-in-13 sample;
+    // integer cross-multiplied threshold (J >= 0.4).
+    QDef("q_dedup_token_jaccard", Some(s"""
+      WITH ${tokCte.format("WHERE doc_id % 13 = 0")},
+      sz AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id),
+      inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+                FROM tok a JOIN tok b ON a.tok = b.tok AND a.doc_id < b.doc_id
+                GROUP BY doc_a, doc_b)
+      SELECT doc_a, doc_b, i, sa.n AS na, sb.n AS nb,
+             CASE WHEN i * 10 >= 4 * (sa.n + sb.n - i) THEN 1 ELSE 0 END AS near_dup
+      FROM inter JOIN sz sa ON doc_a = sa.doc_id JOIN sz sb ON doc_b = sb.doc_id
+      ORDER BY doc_a, doc_b"""),
+      (s, d) => NearDup.tokenJaccardPairs(tokDf(s, d, Some(13)), "doc_id", "tok", 4)
+        .orderBy("doc_a", "doc_b")),
+
+    // Multimodal envelope metadata: binary payload column → typed
+    // mapPartitions extraction (decode stubbed; plumbing real —
+    // graft.multimodal.Multimodal).
+    QDef("q_multimodal_meta", Some("""
+      SELECT doc_id, CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
+             substr(md5(text), 1, 8) AS content_fp, 'decoded' AS decode_status
+      FROM documents ORDER BY doc_id"""),
+      (s, d) => graft.multimodal.Multimodal.extractMeta(
+        graft.multimodal.Multimodal.mediaFromDocuments(s, d))
+        .toDF().orderBy("doc_id"))
+  )
+}

@@ -1,0 +1,60 @@
+package graft.sim
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over embedding columns (`array<float>`).
+  *
+  * Scale design: the brute-force path broadcasts the (small) query
+  * set against a full scan of the corpus — one pass, no shuffle of
+  * the corpus, per-partition top-k via window. The IVF path prunes
+  * candidates to the query's cell before scoring; with a bucketed /
+  * partitioned-by-cell corpus layout the scan itself prunes. The dot
+  * product is a codegen'd expression fold (zip_with + aggregate) in
+  * float64 — no UDF.
+  */
+object Similarity {
+
+  /** Elementwise dot product of two array<double> columns. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  /** L2 norm. */
+  def l2(a: Column): Column =
+    sqrt(aggregate(transform(a, x => x * x), lit(0.0), (acc, x) => acc + x))
+
+  /** Cosine similarity (computed in float64; callers should cast
+    * float32 inputs up first so arithmetic is stable). */
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (l2(a) * l2(b))
+
+  /** Brute-force cosine top-k: for each query row, the k nearest
+    * corpus rows. Similarity is rounded to 3 decimals with an id
+    * tiebreak so ranking is reproducible across engines.
+    *
+    * @param corpus  (cid, cv: array<double>) — the full collection
+    * @param queries (qid, qv: array<double>) — small, broadcast
+    */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val scored = broadcast(queries).crossJoin(corpus)
+      .filter(col("qid") =!= col("cid"))
+      .select(col("qid"), col("cid"),
+        round(cosine(col("qv"), col("cv")), 3).as("sim3"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("sim3").desc, col("cid").asc)
+    scored.withColumn("rank", row_number().over(w).cast("bigint"))
+      .filter(col("rank") <= k)
+  }
+
+  /** IVF-style pruned top-k: candidates restricted to the query's
+    * cell (here the precomputed `cell` column; a full build would
+    * assign cells via k-means centroids and probe n>1 cells). */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val scored = broadcast(queries).join(corpus, Seq("cell"))
+      .filter(col("qid") =!= col("cid"))
+      .select(col("qid"), col("cid"),
+        round(cosine(col("qv"), col("cv")), 3).as("sim3"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("sim3").desc, col("cid").asc)
+    scored.withColumn("rank", row_number().over(w).cast("bigint"))
+      .filter(col("rank") <= k)
+  }
+}

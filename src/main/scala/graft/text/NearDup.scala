@@ -1,0 +1,101 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import TextAnalysis.tokens
+
+/** Near-duplicate detection for document corpora: exact hash,
+  * MinHash+LSH (token and n-gram shingle variants), SimHash, and
+  * token-set Jaccard.
+  *
+  * Scale design (100 TB corpus):
+  *  - signatures are computed with one explode + one hash-partitioned
+  *    aggregate per doc (map-side partial min/sum — skew-free);
+  *  - candidate pairing is a self-equi-join on (band, band_hash)
+  *    buckets, never an all-pairs cross join; bucket width (rows per
+  *    band) is the knob that bounds the quadratic term;
+  *  - exact Jaccard is only ever computed on bounded candidate sets.
+  */
+object NearDup {
+
+  /** Exact dedup: md5 of full text; keep the smallest doc_id per
+    * hash (deterministic survivor). */
+  def exactDedup(docs: DataFrame, id: String, text: String): DataFrame =
+    docs.groupBy(md5(col(text)).as("fp"))
+      .agg(min(col(id)).as("keep_id"), count(lit(1)).as("n_dupes"))
+
+  /** MinHash signature columns: sig_i = min over the doc's distinct
+    * token set of md5("i|" + token). md5-as-hash keeps the oracle
+    * SQL-expressible; a production build would swap in xxhash64. */
+  def minhashSignatures(docTokens: DataFrame, id: String, tok: String, k: Int): DataFrame = {
+    val sigs = (0 until k).map(i => min(md5(concat(lit(s"$i|"), col(tok)))).as(s"s$i"))
+    docTokens.groupBy(col(id)).agg(sigs.head, sigs.tail: _*)
+  }
+
+  /** LSH banding: fold `rowsPerBand` consecutive signature rows into
+    * one band hash; docs sharing any (band, hash) bucket are
+    * candidate pairs. */
+  def lshBands(sigs: DataFrame, id: String, k: Int, rowsPerBand: Int): DataFrame = {
+    val bands = (0 until k / rowsPerBand).map { b =>
+      val cols = (b * rowsPerBand until (b + 1) * rowsPerBand).map(i => col(s"s$i"))
+      sigs.select(col(id), lit(b).as("band"), md5(concat(cols: _*)).as("bh"))
+    }
+    bands.reduce(_.unionByName(_))
+  }
+
+  /** Distinct candidate pairs (a<b) from band buckets. */
+  def lshCandidatePairs(bands: DataFrame, id: String): DataFrame = {
+    val a = bands.select(col(id).as("doc_a"), col("band"), col("bh"))
+    val b = bands.select(col(id).as("doc_b"), col("band"), col("bh"))
+    a.join(b, Seq("band", "bh"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+  }
+
+  /** Word 3-gram shingles (distinct) per doc; docs with <3 tokens
+    * yield none. */
+  def shingles3(docs: DataFrame, id: String, text: String): DataFrame =
+    docs.select(col(id), tokens(col(text)).as("toks"))
+      .select(col(id), explode(
+        when(size(col("toks")) >= 3,
+          expr("transform(sequence(0, size(toks)-3), i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))"))
+          .otherwise(array().cast(ArrayType(StringType)))).as("sh"))
+      .distinct()
+
+  /** 16-bit SimHash over the distinct token set. Per token the hash
+    * value is the first 4 hex digits of md5 (16 bits); per bit the
+    * ±1 votes are summed and the sign becomes the output bit. One
+    * aggregate with 16 conditional-sum columns — no explode of bits,
+    * stays in whole-stage codegen. */
+  def simhash16(docTokens: DataFrame, id: String, tok: String): DataFrame = {
+    val v = conv(substring(md5(col(tok)), 1, 4), 16, 10).cast(LongType)
+    val votes = (0 until 16).map { j =>
+      sum(when(shiftright(v, j).bitwiseAND(lit(1L)) === 1L, 1L).otherwise(-1L)).as(s"b$j")
+    }
+    docTokens.groupBy(col(id)).agg(votes.head, votes.tail: _*)
+      .select(col(id),
+        (0 until 16).map(j => when(col(s"b$j") > 0, lit(1L << j)).otherwise(lit(0L)))
+          .reduce(_ + _).as("simhash16"))
+  }
+
+  /** Exact token-set Jaccard for all pairs within `docTokens`
+    * (callers bound the input — sampled or LSH-filtered). The
+    * near-dup predicate uses integer cross-multiplication so the
+    * oracle compare is exact: J >= t/10 ⟺ 10·|∩| >= t·|∪|. */
+  def tokenJaccardPairs(docTokens: DataFrame, id: String, tok: String,
+                        thresholdTenths: Int): DataFrame = {
+    val sizes = docTokens.groupBy(col(id)).agg(count(lit(1)).as("n"))
+    val a = docTokens.select(col(id).as("doc_a"), col(tok))
+    val b = docTokens.select(col(id).as("doc_b"), col(tok))
+    val inter = a.join(b, Seq(tok))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("i"))
+    inter
+      .join(sizes.withColumnRenamed("n", "na").withColumnRenamed(id, "doc_a"), "doc_a")
+      .join(sizes.withColumnRenamed("n", "nb").withColumnRenamed(id, "doc_b"), "doc_b")
+      .select(col("doc_a"), col("doc_b"), col("i"), col("na"), col("nb"),
+        when(col("i") * 10 >= (col("na") + col("nb") - col("i")) * thresholdTenths, 1)
+          .otherwise(0).as("near_dup"))
+  }
+}
