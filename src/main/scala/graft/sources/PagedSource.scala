@@ -1,0 +1,233 @@
+package graft.sources
+
+import java.util
+import java.util.concurrent.atomic.AtomicLong
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources.{Filter, GreaterThan}
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** DSv2 connector for an offset/limit-paginated REST-style
+  * collection (SURVEY.md §2.1 S4-S7) — the reference's
+  * `ACClient.get_paginated_offset` (run_ac_extraction.py:222-247)
+  * re-expressed as a Spark source so pagination parallelizes across
+  * executors instead of running as a single driver loop.
+  *
+  * Connector semantics carried over from the reference:
+  *  - one InputPartition per page range (S4); short page terminates
+  *    a scan with unknown total (:243-244);
+  *  - keyset predicate pushdown: `id > watermark` prunes whole pages
+  *    at planning time (S5, `orders[id]=ASC` keyset pagination);
+  *  - retry on transient errors with exponential backoff 0.5·2^n
+  *    capped at 30 s, 6 attempts (S6, :203-217);
+  *  - 404 ⇒ empty partition, not a failed job (S7, :374-382).
+  *
+  * The HTTP layer is a pluggable [[PageBackend]]; tests use the
+  * deterministic [[FixtureBackend]] (this container has no egress).
+  * Scale note: with N pages and P executors the scan is embarrassingly
+  * parallel up to the API's rate limit — the `sleepMs` throttle is
+  * per-reader, so cluster-wide request rate = executors / sleep.
+  */
+class PagedSource extends TableProvider {
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    PagedSource.schema
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: util.Map[String, String]): Table =
+    new PagedTable(properties.asScala.toMap)
+  override def supportsExternalMetadata(): Boolean = false
+}
+
+object PagedSource {
+  val schema: StructType = StructType(Seq(
+    StructField("id", LongType, nullable = false),
+    StructField("name", StringType),
+    StructField("updated_at", StringType)))
+}
+
+/** One logical "endpoint": rows with sequential ids 0..total-1. */
+trait PageBackend extends Serializable {
+  /** Fetch one page; throws TransientHttpError / NotFoundError. */
+  def fetch(page: Int, pageLimit: Int): Seq[(Long, String, String)]
+  /** Total row count if the API advertises it; -1 = unknown
+    * (short-page termination applies). */
+  def total: Long
+}
+
+final class TransientHttpError(status: Int)
+  extends RuntimeException(s"transient HTTP $status")
+final class NotFoundError extends RuntimeException("HTTP 404")
+
+/** Deterministic in-memory backend standing in for the REST API.
+  * Failure injection: every page's first `failAttempts` fetches throw
+  * a retryable 503; `notFound` simulates a 404 endpoint. */
+final case class FixtureBackend(totalRows: Long, failAttempts: Int,
+                                notFound: Boolean) extends PageBackend {
+  override def total: Long = totalRows
+  override def fetch(page: Int, pageLimit: Int): Seq[(Long, String, String)] = {
+    FixtureBackend.fetches.incrementAndGet()
+    if (notFound) throw new NotFoundError
+    val key = page.toLong
+    val prev = FixtureBackend.attempts.merge(key, 1L, _ + _)
+    if (prev <= failAttempts) throw new TransientHttpError(503)
+    val start = page.toLong * pageLimit
+    (start until math.min(start + pageLimit, totalRows)).map { i =>
+      (i, s"row#$i", f"2026-01-${(i % 28) + 1}%02dT00:00:00Z")
+    }
+  }
+}
+object FixtureBackend {
+  /** Observability for tests (local mode = one JVM). */
+  val fetches = new AtomicLong(0)
+  val attempts = new java.util.concurrent.ConcurrentHashMap[Long, Long]()
+  def reset(): Unit = { fetches.set(0); attempts.clear() }
+}
+
+class PagedTable(props: Map[String, String]) extends Table with SupportsRead {
+  override def name(): String = "graft_paged"
+  override def schema(): StructType = PagedSource.schema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new PagedScanBuilder(props ++ options.asScala)
+}
+
+class PagedScanBuilder(props: Map[String, String])
+    extends ScanBuilder with SupportsPushDownFilters {
+
+  private var minIdExclusive: Long = -1L
+  private var pushed: Array[Filter] = Array.empty
+
+  /** Keyset pushdown: accept `id > v` (the watermark shape); leave
+    * everything else to Spark. */
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val (accepted, rest) = filters.partition {
+      case GreaterThan("id", _: Long) => true
+      case _ => false
+    }
+    accepted.foreach { case GreaterThan(_, v: Long) =>
+      minIdExclusive = math.max(minIdExclusive, v)
+    }
+    pushed = accepted
+    rest // Spark re-applies nothing for accepted filters
+  }
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def build(): Scan = new PagedScan(props, minIdExclusive)
+}
+
+class PagedScan(props: Map[String, String], minIdExclusive: Long)
+    extends Scan with Batch {
+  private val pageLimit = props.getOrElse("pagelimit", "100").toInt
+  private val pagesPerPartition = props.getOrElse("pagesperpartition", "4").toInt
+  // APIs that don't advertise a collection size force sequential
+  // short-page-terminated scanning (the reference's only mode).
+  private val advertiseTotal = props.getOrElse("advertisetotal", "true").toBoolean
+  private def backend: PageBackend = FixtureBackend(
+    props.getOrElse("totalrows", "1000").toLong,
+    props.getOrElse("failattempts", "0").toInt,
+    props.getOrElse("notfound", "false").toBoolean)
+
+  override def readSchema(): StructType = PagedSource.schema
+  override def toBatch: Batch = this
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val b = backend
+    if (!advertiseTotal || b.total < 0) {
+      // Unknown total: a single sequential partition that walks pages
+      // until a short page (the reference's termination rule).
+      Array(PagedPartition(0, Int.MaxValue, sequential = true))
+    } else {
+      val totalPages = ((b.total + pageLimit - 1) / pageLimit).toInt
+      // Keyset pruning: ids are ascending, so pages entirely at or
+      // below the watermark are skipped at planning time.
+      val firstPage =
+        if (minIdExclusive < 0) 0
+        else ((minIdExclusive + 1) / pageLimit).toInt
+      (firstPage until totalPages by pagesPerPartition).map { p =>
+        PagedPartition(p, math.min(p + pagesPerPartition, totalPages),
+          sequential = false)
+      }.toArray[InputPartition]
+    }
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new PagedReaderFactory(props, pageLimit, minIdExclusive)
+}
+
+final case class PagedPartition(fromPage: Int, untilPage: Int,
+                                sequential: Boolean) extends InputPartition
+
+class PagedReaderFactory(props: Map[String, String], pageLimit: Int,
+                         minIdExclusive: Long) extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    new PagedReader(partition.asInstanceOf[PagedPartition], props, pageLimit,
+      minIdExclusive)
+}
+
+class PagedReader(part: PagedPartition, props: Map[String, String],
+                  pageLimit: Int, minIdExclusive: Long)
+    extends PartitionReader[InternalRow] {
+
+  private val backend = FixtureBackend(
+    props.getOrElse("totalrows", "1000").toLong,
+    props.getOrElse("failattempts", "0").toInt,
+    props.getOrElse("notfound", "false").toBoolean)
+  private val maxRetries = props.getOrElse("maxretries", "6").toInt
+  private val backoffBaseMs = props.getOrElse("backoffbasems", "500").toLong
+  private val backoffCapMs = props.getOrElse("backoffcapms", "30000").toLong
+  private val sleepMs = props.getOrElse("sleepms", "0").toLong
+
+  private var page = part.fromPage
+  private var done = false
+  private var buf: Iterator[(Long, String, String)] = Iterator.empty
+  private var current: (Long, String, String) = _
+
+  /** S6: resilient request — retry transient errors with capped
+    * exponential backoff; S7: 404 ⇒ empty result. */
+  private def fetchResilient(p: Int): Seq[(Long, String, String)] = {
+    var attempt = 0
+    while (true) {
+      try {
+        if (sleepMs > 0) Thread.sleep(sleepMs) // rate throttle
+        return backend.fetch(p, pageLimit)
+      } catch {
+        case _: NotFoundError => return Seq.empty
+        case e: TransientHttpError =>
+          attempt += 1
+          if (attempt > maxRetries) throw e
+          Thread.sleep(math.min(backoffBaseMs << (attempt - 1), backoffCapMs))
+      }
+    }
+    Nil // unreachable
+  }
+
+  private def advancePage(): Boolean = {
+    while (page < part.untilPage && !done) {
+      val rows = fetchResilient(page)
+      page += 1
+      if (part.sequential && rows.size < pageLimit) done = true // short page
+      val filtered =
+        if (minIdExclusive >= 0) rows.filter(_._1 > minIdExclusive) else rows
+      if (filtered.nonEmpty) { buf = filtered.iterator; return true }
+      if (part.sequential && done) return false
+    }
+    false
+  }
+
+  override def next(): Boolean = {
+    if (buf.hasNext || advancePage()) { current = buf.next(); true }
+    else false
+  }
+
+  override def get(): InternalRow =
+    InternalRow(current._1, UTF8String.fromString(current._2),
+      UTF8String.fromString(current._3))
+
+  override def close(): Unit = ()
+}

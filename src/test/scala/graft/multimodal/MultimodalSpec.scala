@@ -1,0 +1,38 @@
+package graft.multimodal
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkTesting
+import graft.multimodal.Multimodal._
+
+class MultimodalSpec extends AnyFunSuite {
+  lazy val spark = SparkTesting.spark
+
+  test("meta extraction: byte length + md5 prefix, deterministic") {
+    import spark.implicits._
+    val media = Seq(
+      MediaRow(1L, "image/fake", "hello".getBytes("UTF-8")),
+      MediaRow(2L, "image/fake", Array[Byte]()))
+      .toDS()
+    val got = extractMeta(media).orderBy("doc_id").collect()
+    assert(got(0).n_bytes == 5L)
+    assert(got(0).content_fp == "5d41402a") // md5("hello") prefix
+    assert(got(1).n_bytes == 0L)
+    assert(got.forall(_.decode_status == "decoded"))
+  }
+
+  test("stub featurize: fixed dim, values in [0,1), deterministic across runs") {
+    import spark.implicits._
+    val media = Seq(MediaRow(1L, "audio/fake", "some payload bytes".getBytes)).toDS()
+    val f1 = extractFeatures(media, 8).collect()(0)
+    val f2 = extractFeatures(media, 8).collect()(0)
+    assert(f1.feature.length == 8)
+    assert(f1.feature.forall(v => v >= 0.0 && v < 1.0))
+    assert(f1.feature.toSeq == f2.feature.toSeq)
+  }
+
+  test("documents → media rows plumbing at sf0.001") {
+    val media = mediaFromDocuments(spark, SparkTesting.sf)
+    val metas = extractMeta(media)
+    assert(metas.count() == 500) // documents table is 500 rows at sf0.001
+  }
+}

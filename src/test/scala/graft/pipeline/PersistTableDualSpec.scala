@@ -1,0 +1,56 @@
+package graft.pipeline
+
+import java.nio.file.Files
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkTesting
+import graft.pipeline.PersistTableDual.{Paths, persist}
+
+/** The reference's core invariant (run_ac_extraction.py:159-188):
+  * re-persisting the same delta leaves master/raw unchanged; updates
+  * win in master/latest by updated_at. */
+class PersistTableDualSpec extends AnyFunSuite {
+  lazy val spark = SparkTesting.spark
+  import spark.implicits._
+
+  private def freshPaths() =
+    Paths(Files.createTempDirectory("ptd").toString, "contacts")
+
+  private def delta(rows: (String, String, String)*) =
+    rows.toDF("contact_id", "email", "updated_at")
+
+  test("idempotent merge: same delta twice → raw unchanged") {
+    val p = freshPaths()
+    val d = delta(("1", "a@x", "2024-01-01"), ("2", "b@x", "2024-01-01"))
+    val (raw1, latest1) = persist(spark, p, d, "r1", "2026-01-01T00:00:00Z",
+      Seq("contact_id"), "updated_at")
+    // redelivery with different lineage: content-hash dedup absorbs it
+    val (raw2, latest2) = persist(spark, p, d, "r2", "2026-01-02T00:00:00Z",
+      Seq("contact_id"), "updated_at")
+    assert(raw1 == 2 && raw2 == 2, "raw must not grow on redelivery")
+    assert(latest1 == 2 && latest2 == 2)
+  }
+
+  test("update wins in latest; raw keeps full history") {
+    val p = freshPaths()
+    persist(spark, p, delta(("1", "old@x", "2024-01-01")), "r1",
+      "2026-01-01T00:00:00Z", Seq("contact_id"), "updated_at")
+    val (raw, latest) = persist(spark, p,
+      delta(("1", "new@x", "2024-02-01")), "r2",
+      "2026-01-02T00:00:00Z", Seq("contact_id"), "updated_at")
+    assert(raw == 2, "raw keeps both versions")
+    assert(latest == 1)
+    val email = spark.read.parquet(p.latest).select("email").as[String].head()
+    assert(email == "new@x")
+  }
+
+  test("delta dirs are preserved per run") {
+    val p = freshPaths()
+    persist(spark, p, delta(("1", "a@x", "2024-01-01")), "r1",
+      "2026-01-01T00:00:00Z", Seq("contact_id"), "updated_at")
+    persist(spark, p, delta(("2", "b@x", "2024-01-01")), "r2",
+      "2026-01-02T00:00:00Z", Seq("contact_id"), "updated_at")
+    assert(spark.read.parquet(p.delta("r1")).count() == 1)
+    assert(spark.read.parquet(p.delta("r2")).count() == 1)
+    assert(spark.read.parquet(p.raw).count() == 2)
+  }
+}

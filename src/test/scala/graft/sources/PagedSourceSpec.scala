@@ -1,0 +1,57 @@
+package graft.sources
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkTesting
+
+class PagedSourceSpec extends AnyFunSuite {
+  lazy val spark = SparkTesting.spark
+
+  private def read(opts: (String, String)*) = {
+    FixtureBackend.reset()
+    spark.read.format("graft.sources.PagedSource")
+      .options(opts.toMap).load()
+  }
+
+  test("full paginated scan: all rows, parallel page-range partitions (S4)") {
+    val df = read("totalrows" -> "1000", "pagelimit" -> "100",
+      "pagesperpartition" -> "2")
+    assert(df.count() == 1000)
+    assert(df.rdd.getNumPartitions == 5) // 10 pages / 2 per partition
+  }
+
+  test("keyset pushdown prunes whole pages at planning time (S5)") {
+    val df = read("totalrows" -> "1000", "pagelimit" -> "100",
+      "pagesperpartition" -> "1")
+    val filtered = df.filter(df("id") > 850L)
+    assert(filtered.count() == 149)
+    // pages 0..7 are skipped: only pages 8 and 9 fetched
+    assert(FixtureBackend.fetches.get() == 2,
+      s"expected 2 page fetches, got ${FixtureBackend.fetches.get()}")
+  }
+
+  test("transient 503s retried with backoff, scan succeeds (S6)") {
+    val df = read("totalrows" -> "200", "pagelimit" -> "100",
+      "failattempts" -> "2", "maxretries" -> "6", "backoffbasems" -> "1")
+    assert(df.count() == 200)
+  }
+
+  test("retries exhausted → scan fails (S6)") {
+    val df = read("totalrows" -> "100", "pagelimit" -> "100",
+      "failattempts" -> "99", "maxretries" -> "2", "backoffbasems" -> "1")
+    intercept[Exception] { df.count() }
+  }
+
+  test("404 endpoint → empty result, not a failed job (S7)") {
+    val df = read("totalrows" -> "100", "notfound" -> "true")
+    assert(df.count() == 0)
+  }
+
+  test("unknown total: sequential scan terminates on short page (O3)") {
+    val df = read("totalrows" -> "250", "pagelimit" -> "100",
+      "advertisetotal" -> "false")
+    assert(df.rdd.getNumPartitions == 1) // sequential walk
+    assert(df.count() == 250)
+    // pages 0,1 full + page 2 short (50) → exactly 3 fetches, no probe past
+    assert(FixtureBackend.fetches.get() == 3)
+  }
+}

@@ -1,0 +1,63 @@
+package graft.text
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkTesting
+import graft.text.NearDup._
+
+class NearDupSpec extends AnyFunSuite {
+  lazy val spark = SparkTesting.spark
+  import spark.implicits._
+
+  private def toks(docs: (Long, String)*) =
+    docs.toDF("doc_id", "text")
+      .select($"doc_id", explode(TextAnalysis.tokens($"text")).as("tok"))
+      .distinct()
+
+  test("identical token sets → identical minhash signatures; disjoint → different") {
+    val d = toks((1L, "a b c"), (2L, "c b a a"), (3L, "x y z"))
+    val sigs = minhashSignatures(d, "doc_id", "tok", 4)
+      .orderBy("doc_id").collect()
+    assert(sigs(0).toSeq.tail == sigs(1).toSeq.tail, "same set, same sigs")
+    assert(sigs(0).toSeq.tail != sigs(2).toSeq.tail)
+  }
+
+  test("LSH pairs surface identical docs") {
+    val d = toks((1L, "a b c d"), (2L, "a b c d"), (3L, "p q r s"))
+    val pairs = lshCandidatePairs(
+      lshBands(minhashSignatures(d, "doc_id", "tok", 4), "doc_id", 4, 2),
+      "doc_id").collect()
+    assert(pairs.map(r => (r.getLong(0), r.getLong(1))).toSet == Set((1L, 2L)))
+  }
+
+  test("simhash16: equal sets agree; value fits 16 bits") {
+    val d = toks((1L, "a b c"), (2L, "b c a"), (3L, "totally different words here"))
+    val sh = simhash16(d, "doc_id", "tok").orderBy("doc_id")
+      .select("simhash16").as[Long].collect()
+    assert(sh(0) == sh(1))
+    assert(sh.forall(v => v >= 0 && v < 65536))
+  }
+
+  test("token jaccard: threshold flag via integer math") {
+    // J(1,2) = 2/4 = 0.5 ≥ 0.4; J(1,3) = 0
+    val d = toks((1L, "a b c"), (2L, "b c d"), (3L, "x y"))
+    val got = tokenJaccardPairs(d, "doc_id", "tok", 4)
+      .orderBy("doc_a", "doc_b")
+      .select("doc_a", "doc_b", "near_dup").as[(Long, Long, Int)].collect()
+    assert(got.toSeq == Seq((1L, 2L, 1)))
+  }
+
+  test("3-gram shingles: sliding windows, short docs yield none") {
+    val sh = shingles3(Seq((1L, "a b c d"), (2L, "a b")).toDF("doc_id", "text"),
+      "doc_id", "text").orderBy("sh").select("sh").as[String].collect()
+    assert(sh.toSeq == Seq("a b c", "b c d"))
+  }
+
+  test("exact dedup keeps smallest doc_id") {
+    val got = exactDedup(Seq((5L, "same"), (2L, "same"), (9L, "other"))
+      .toDF("doc_id", "text"), "doc_id", "text")
+      .orderBy("keep_id")
+      .select("keep_id", "n_dupes").as[(Long, Long)].collect()
+    assert(got.toSeq == Seq((2L, 2L), (9L, 1L)))
+  }
+}
