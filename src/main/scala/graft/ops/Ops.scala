@@ -85,6 +85,13 @@ object Ops {
 
   // ─────────────────────── per-group rollups ────────────────────────
 
+  /** F10 — case-insensitive column resolution against candidate names:
+    * the first candidate that matches an actual column (ignoring case)
+    * wins. Driver-side schema logic, not a row expression.
+    * Ref: pick_col run_ac_extraction.py:292-301. */
+  def pickCol(columns: Seq[String], candidates: Seq[String]): Option[String] =
+    candidates.iterator.flatMap(c => columns.find(_.equalsIgnoreCase(c))).nextOption()
+
   /** A6 — per-key sorted distinct set rendered ", "-joined.
     * Ref: run_ac_extraction.py:1447-1474, 1500-1502.
     * Scale: collect_set is a partial (map-side) aggregate — distinct

@@ -35,7 +35,7 @@ object CoreQueries {
     // dtype=str; run_ac_extraction.py:165,289,384). Doubles are
     // canonicalized via DECIMAL(12,2) so both engines render the
     // same string.
-    QDef("q_scan_allstring", Some(s"""
+    QDef("q_scan_csv_allstring", Some(s"""
       SELECT CAST(c_custkey AS VARCHAR) AS c_custkey, c_name,
              CAST(c_nationkey AS VARCHAR) AS c_nationkey,
              CAST(CAST(c_acctbal AS DECIMAL(12,2)) AS VARCHAR) AS c_acctbal,
@@ -720,6 +720,224 @@ object CoreQueries {
           .select(col("c_custkey").as("contact_id"),
             concat(col("c_name"), lit(" ["), col("types"), lit("]\n"), col("tail")).as("digest"))
           .orderBy("contact_id")
+      }),
+
+    // ───────────── remaining §2 names (S2, O3, F10, U2-full) ─────────
+
+    // S2: CSV sink + readback roundtrip (write_csv_utf8sig,
+    // run_ac_extraction.py:65-67; the UTF-8-BOM byte is a sink-encoding
+    // detail outside the query surface). The oracle checks the written
+    // lake reads back value-identical under the all-string contract.
+    QDef("q_sink_csv", Some(s"""
+      SELECT CAST(c_custkey AS VARCHAR) AS c_custkey, c_name,
+             CAST(CAST(c_acctbal AS DECIMAL(12,2)) AS VARCHAR) AS c_acctbal,
+             c_mktsegment
+      FROM customer ORDER BY CAST(c_custkey AS BIGINT)"""),
+      (s, d) => {
+        val out = s"${sys.props("java.io.tmpdir")}/graft_q_sink_csv_${d.hashCode.toHexString}"
+        t(s, d, "customer").select(
+          col("c_custkey").cast(StringType).as("c_custkey"),
+          col("c_name"),
+          col("c_acctbal").cast("decimal(12,2)").cast(StringType).as("c_acctbal"),
+          col("c_mktsegment"))
+          .write.mode("overwrite").option("header", true).csv(out)
+        s.read.option("header", true).csv(out) // no inferSchema → all-string
+          .select("c_custkey", "c_name", "c_acctbal", "c_mktsegment")
+          .orderBy(col("c_custkey").cast(LongType))
+      }),
+
+    // O3: short-page head — the connector's page-boundary semantics as
+    // a batch ordered-limit (run_ac_extraction.py:243-244). o_orderkey
+    // is unique in the testdata, so the limit boundary is total-ordered.
+    QDef("q_head_page", Some("""
+      SELECT o_orderkey, o_custkey, o_orderstatus
+      FROM orders ORDER BY o_orderkey LIMIT 100"""),
+      (s, d) => t(s, d, "orders")
+        .select("o_orderkey", "o_custkey", "o_orderstatus")
+        .orderBy("o_orderkey").limit(100)),
+
+    // F10: case-insensitive column resolution against candidates
+    // (pick_col, run_ac_extraction.py:292-301) — schema logic applied
+    // to a deliberately case-mangled frame.
+    QDef("q_case_insensitive_colpick", Some("""
+      SELECT c_custkey AS contact_id, c_name AS contact_name
+      FROM customer ORDER BY contact_id"""),
+      (s, d) => {
+        val mangled = t(s, d, "customer")
+          .withColumnRenamed("c_custkey", "C_CustKey")
+          .withColumnRenamed("c_name", "C_NAME")
+        val cols = mangled.columns.toSeq
+        val idCol = graft.ops.Ops.pickCol(cols, Seq("custkey", "contact_id", "c_custkey")).get
+        val nameCol = graft.ops.Ops.pickCol(cols, Seq("name", "c_name")).get
+        mangled.select(col(idCol).as("contact_id"), col(nameCol).as("contact_name"))
+          .orderBy("contact_id")
+      }),
+
+    // U2 (full width): 13 heterogeneous sources conformed to the
+    // unified event schema and unioned BY NAME with missing columns →
+    // NULL (run_ac_extraction.py:1371-1384; branch shapes mirror
+    // _as_event_rows' 13 sources each populating a different column
+    // subset). Spark side exercises unionByName(allowMissingColumns);
+    // the oracle spells out the NULL padding per branch.
+    QDef("q_union_conformed_13", Some(s"""
+      WITH u AS (
+        SELECT 'events:' || event_id AS event_id, user_id AS contact_id,
+               'events_click' AS source, CAST(event_id AS VARCHAR) AS source_row_id,
+               strftime(ts, '$TSD') AS event_ts, event_type,
+               CAST(NULL AS VARCHAR) AS title, CAST(NULL AS VARCHAR) AS detail,
+               'https://example.test/events/' || event_id AS url
+        FROM events WHERE event_type = 'click'
+        UNION ALL
+        SELECT 'events:' || event_id, user_id, 'events_view',
+               CAST(event_id AS VARCHAR), strftime(ts, '$TSD'), event_type,
+               NULL, NULL, NULL
+        FROM events WHERE event_type = 'view'
+        UNION ALL
+        SELECT 'events:' || event_id, user_id, 'events_purchase',
+               CAST(event_id AS VARCHAR), strftime(ts, '$TSD'), event_type,
+               NULL, CAST(CAST(value AS DECIMAL(12,2)) AS VARCHAR), NULL
+        FROM events WHERE event_type = 'purchase'
+        UNION ALL
+        SELECT 'events:' || event_id, user_id, 'events_signup',
+               CAST(event_id AS VARCHAR), strftime(ts, '$TSD'), event_type,
+               'welcome', NULL, NULL
+        FROM events WHERE event_type = 'signup'
+        UNION ALL
+        SELECT 'events:' || event_id, user_id, 'events_error',
+               CAST(event_id AS VARCHAR), strftime(ts, '$TSD'), event_type,
+               NULL, json_extract_string(props, '$$.k'), NULL
+        FROM events WHERE event_type = 'error'
+        UNION ALL
+        SELECT 'orders:' || o_orderkey, o_custkey, 'orders_open',
+               CAST(o_orderkey AS VARCHAR), strftime(o_orderdate, '$TSD'), 'order_open',
+               o_orderpriority, NULL, NULL
+        FROM orders WHERE o_orderstatus = 'O'
+        UNION ALL
+        SELECT 'orders:' || o_orderkey, o_custkey, 'orders_filled',
+               CAST(o_orderkey AS VARCHAR), strftime(o_orderdate, '$TSD'), 'order_filled',
+               NULL, CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS VARCHAR), NULL
+        FROM orders WHERE o_orderstatus = 'F'
+        UNION ALL
+        SELECT 'orders:' || o_orderkey, o_custkey, 'orders_pending',
+               CAST(o_orderkey AS VARCHAR), strftime(o_orderdate, '$TSD'), 'order_pending',
+               o_orderpriority, CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS VARCHAR), NULL
+        FROM orders WHERE o_orderstatus = 'P'
+        UNION ALL
+        SELECT 'lineitem:' || l_orderkey || ':' || l_linenumber, o_custkey, 'lineitem',
+               l_orderkey || '-' || l_linenumber, strftime(l_shipdate, '$TSD'), 'shipment',
+               'ship ' || l_returnflag || ' ' || l_linestatus,
+               CAST(CAST(l_quantity AS DECIMAL(12,2)) AS VARCHAR), NULL
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        UNION ALL
+        SELECT 'customer:' || c_custkey, c_custkey, 'customer',
+               CAST(c_custkey AS VARCHAR), NULL, 'contact_seed',
+               c_name, c_mktsegment, NULL
+        FROM customer
+        UNION ALL
+        SELECT 'supplier:' || s_suppkey, NULL, 'supplier',
+               CAST(s_suppkey AS VARCHAR), NULL, 'supplier_onboarded',
+               s_name, NULL, NULL
+        FROM supplier
+        UNION ALL
+        SELECT 'part:' || p_partkey, NULL, 'part',
+               CAST(p_partkey AS VARCHAR), NULL, 'part_listed',
+               p_name, p_brand, NULL
+        FROM part
+        UNION ALL
+        SELECT 'nation:' || n_nationkey, NULL, 'nation',
+               CAST(n_nationkey AS VARCHAR), NULL, 'dim_nation_loaded',
+               n_name, NULL, NULL
+        FROM nation)
+      SELECT * FROM u
+      ORDER BY source, event_id, source_row_id, event_ts, title, detail"""),
+      (s, d) => {
+        def ev(typ: String, src: String)(extra: (String, Column)*): DataFrame = {
+          val base = t(s, d, "events").filter(col("event_type") === typ).select(
+            Seq(concat_ws(":", lit("events"), col("event_id")).as("event_id"),
+              col("user_id").cast("bigint").as("contact_id"),
+              lit(src).as("source"),
+              col("event_id").cast(StringType).as("source_row_id"),
+              date_format(col("ts"), TS).as("event_ts"),
+              col("event_type")) ++ extra.map { case (n, c) => c.as(n) }: _*)
+          base
+        }
+        val branches = Seq(
+          ev("click", "events_click")(
+            "url" -> concat_ws("", lit("https://example.test/events/"), col("event_id"))),
+          ev("view", "events_view")(),
+          ev("purchase", "events_purchase")(
+            "detail" -> col("value").cast("decimal(12,2)").cast(StringType)),
+          ev("signup", "events_signup")("title" -> lit("welcome")),
+          ev("error", "events_error")(
+            "detail" -> get_json_object(col("props"), "$.k")),
+          t(s, d, "orders").filter(col("o_orderstatus") === "O").select(
+            concat_ws(":", lit("orders"), col("o_orderkey")).as("event_id"),
+            col("o_custkey").cast("bigint").as("contact_id"),
+            lit("orders_open").as("source"),
+            col("o_orderkey").cast(StringType).as("source_row_id"),
+            date_format(col("o_orderdate"), TS).as("event_ts"),
+            lit("order_open").as("event_type"),
+            col("o_orderpriority").as("title")),
+          t(s, d, "orders").filter(col("o_orderstatus") === "F").select(
+            concat_ws(":", lit("orders"), col("o_orderkey")).as("event_id"),
+            col("o_custkey").cast("bigint").as("contact_id"),
+            lit("orders_filled").as("source"),
+            col("o_orderkey").cast(StringType).as("source_row_id"),
+            date_format(col("o_orderdate"), TS).as("event_ts"),
+            lit("order_filled").as("event_type"),
+            col("o_totalprice").cast("decimal(12,2)").cast(StringType).as("detail")),
+          t(s, d, "orders").filter(col("o_orderstatus") === "P").select(
+            concat_ws(":", lit("orders"), col("o_orderkey")).as("event_id"),
+            col("o_custkey").cast("bigint").as("contact_id"),
+            lit("orders_pending").as("source"),
+            col("o_orderkey").cast(StringType).as("source_row_id"),
+            date_format(col("o_orderdate"), TS).as("event_ts"),
+            lit("order_pending").as("event_type"),
+            col("o_orderpriority").as("title"),
+            col("o_totalprice").cast("decimal(12,2)").cast(StringType).as("detail")),
+          t(s, d, "lineitem")
+            .join(t(s, d, "orders").select("o_orderkey", "o_custkey"),
+              col("l_orderkey") === col("o_orderkey"))
+            .select(
+              concat_ws(":", lit("lineitem"), col("l_orderkey"), col("l_linenumber")).as("event_id"),
+              col("o_custkey").cast("bigint").as("contact_id"),
+              lit("lineitem").as("source"),
+              concat_ws("-", col("l_orderkey"), col("l_linenumber")).as("source_row_id"),
+              date_format(col("l_shipdate"), TS).as("event_ts"),
+              lit("shipment").as("event_type"),
+              concat_ws(" ", lit("ship"), col("l_returnflag"), col("l_linestatus")).as("title"),
+              col("l_quantity").cast("decimal(12,2)").cast(StringType).as("detail")),
+          t(s, d, "customer").select(
+            concat_ws(":", lit("customer"), col("c_custkey")).as("event_id"),
+            col("c_custkey").cast("bigint").as("contact_id"),
+            lit("customer").as("source"),
+            col("c_custkey").cast(StringType).as("source_row_id"),
+            lit("contact_seed").as("event_type"),
+            col("c_name").as("title"),
+            col("c_mktsegment").as("detail")),
+          t(s, d, "supplier").select(
+            concat_ws(":", lit("supplier"), col("s_suppkey")).as("event_id"),
+            lit("supplier").as("source"),
+            col("s_suppkey").cast(StringType).as("source_row_id"),
+            lit("supplier_onboarded").as("event_type"),
+            col("s_name").as("title")),
+          t(s, d, "part").select(
+            concat_ws(":", lit("part"), col("p_partkey")).as("event_id"),
+            lit("part").as("source"),
+            col("p_partkey").cast(StringType).as("source_row_id"),
+            lit("part_listed").as("event_type"),
+            col("p_name").as("title"),
+            col("p_brand").as("detail")),
+          t(s, d, "nation").select(
+            concat_ws(":", lit("nation"), col("n_nationkey")).as("event_id"),
+            lit("nation").as("source"),
+            col("n_nationkey").cast(StringType).as("source_row_id"),
+            lit("dim_nation_loaded").as("event_type"),
+            col("n_name").as("title")))
+        conformedUnion(branches)
+          .select("event_id", "contact_id", "source", "source_row_id",
+            "event_ts", "event_type", "title", "detail", "url")
+          .orderBy("source", "event_id", "source_row_id", "event_ts", "title", "detail")
       })
   )
 }
