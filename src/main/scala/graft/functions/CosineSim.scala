@@ -1,0 +1,126 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.GraftColumnBridge
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.SparkSessionExtensions
+
+/** Native Catalyst expression: fused single-pass cosine similarity
+  * over two numeric arrays (`array<float>` or `array<double>`),
+  * accumulating dot product and both norms in one loop with primitive
+  * `double` arithmetic and full whole-stage-codegen support.
+  *
+  * Why custom (SURVEY.md §2.10 preference order): the compositional
+  * form `aggregate(zip_with(a,b,_*_),...) / (sqrt(aggregate(...)) *
+  * sqrt(aggregate(...)))` uses higher-order functions, which are
+  * `CodegenFallback` in Spark — interpreted per row, three array
+  * traversals, boxed lambda calls, plus an intermediate zipped array
+  * allocation. This expression is one primitive loop inside the
+  * generated code. Float inputs are widened per element (a float is
+  * exactly representable as a double, so `float×float` accumulated in
+  * double equals `cast(array<double>)` arithmetic bit-for-bit — no
+  * need to materialize a casted copy of the corpus).
+  *
+  * Null semantics match the compositional form: null array, length
+  * mismatch (zip_with would pad with null), or any null element →
+  * NULL result.
+  */
+case class CosineSim(left: Expression, right: Expression) extends BinaryExpression {
+
+  override def prettyName: String = "cosine_sim"
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def nullIntolerant: Boolean = true
+
+  private def elemIsFloat(e: Expression): Boolean =
+    e.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(lt, _), ArrayType(rt, _))
+          if Seq(lt, rt).forall(t => t == FloatType || t == DoubleType) =>
+        TypeCheckResult.TypeCheckSuccess
+      case _ =>
+        TypeCheckResult.TypeCheckFailure(
+          s"$prettyName expects (array<float|double>, array<float|double>), got " +
+            s"(${left.dataType.catalogString}, ${right.dataType.catalogString})")
+    }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    if (n != y.numElements()) return null
+    val lf = elemIsFloat(left)
+    val rf = elemIsFloat(right)
+    var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+    while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
+      val xi = if (lf) x.getFloat(i).toDouble else x.getDouble(i)
+      val yi = if (rf) y.getFloat(i).toDouble else y.getDouble(i)
+      dot += xi * yi; na += xi * xi; nb += yi * yi
+      i += 1
+    }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val xGet = if (elemIsFloat(left)) s"(double) $a.getFloat" else s"$a.getDouble"
+      val yGet = if (elemIsFloat(right)) s"(double) $b.getFloat" else s"$b.getDouble"
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val dot = ctx.freshName("dot")
+      val na = ctx.freshName("na")
+      val nb = ctx.freshName("nb")
+      val xi = ctx.freshName("xi")
+      val yi = ctx.freshName("yi")
+      s"""
+         |final int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $dot = 0.0, $na = 0.0, $nb = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |    final double $xi = $xGet($i);
+         |    final double $yi = $yGet($i);
+         |    $dot += $xi * $yi; $na += $xi * $xi; $nb += $yi * $yi;
+         |  }
+         |  if (!${ev.isNull}) {
+         |    ${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
+         |  }
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): CosineSim =
+    copy(left = newLeft, right = newRight)
+}
+
+object CosineSim {
+  /** Column-level entry point. */
+  def apply(a: Column, b: Column): Column =
+    GraftColumnBridge.column(
+      CosineSim(GraftColumnBridge.expression(a), GraftColumnBridge.expression(b)))
+
+  /** Registration triple for `injectFunction` — exposes the
+    * expression to SQL as `cosine_sim(a, b)`. */
+  val registration: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("cosine_sim"),
+    new ExpressionInfo(classOf[CosineSim].getName, "cosine_sim"),
+    (children: Seq[Expression]) => CosineSim(children(0), children(1)))
+}
+
+/** SparkSessionExtensions installer: `spark.sql.extensions=graft.functions.GraftExtensions`
+  * (or `.withExtensions(new GraftExtensions)`). */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    ext.injectFunction(CosineSim.registration)
+}

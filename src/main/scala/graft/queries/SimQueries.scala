@@ -33,7 +33,7 @@ object SimQueries {
       SELECT qid, cid, sim3, rank FROM r WHERE rank <= 5 ORDER BY qid, rank"""),
       (s, d) => {
         val e = t(s, d, "embeddings")
-          .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+          .select(col("vec_id"), col("embedding").as("v"))
         val q = e.filter(col("vec_id") < 10)
           .select(col("vec_id").as("qid"), col("v").as("qv"))
         val c = e.select(col("vec_id").as("cid"), col("v").as("cv"))
@@ -57,7 +57,7 @@ object SimQueries {
       (s, d) => {
         val e = t(s, d, "embeddings")
           .select(col("vec_id"), col("label").as("cell"),
-            col("embedding").cast("array<double>").as("v"))
+            col("embedding").as("v"))
         val q = e.filter(col("vec_id") < 10)
           .select(col("vec_id").as("qid"), col("cell"), col("v").as("qv"))
         val c = e.select(col("vec_id").as("cid"), col("cell"), col("v").as("cv"))
@@ -78,7 +78,7 @@ object SimQueries {
       SELECT vec_a, vec_b, sim3 FROM p WHERE sim3 >= 0.35 ORDER BY vec_a, vec_b"""),
       (s, d) => {
         val e = t(s, d, "embeddings").filter(col("vec_id") % 5 === 0)
-          .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+          .select(col("vec_id"), col("embedding").as("v"))
         val a = e.select(col("vec_id").as("vec_a"), col("v").as("va"))
         val b = e.select(col("vec_id").as("vec_b"), col("v").as("vb"))
         a.crossJoin(b).filter(col("vec_a") < col("vec_b"))

@@ -16,7 +16,9 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Elementwise dot product of two array<double> columns. */
+  /** Elementwise dot product of two array<double> columns
+    * (compositional higher-order-function form — CodegenFallback;
+    * kept as the differential-test reference for [[cosine]]). */
   def dot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
 
@@ -24,9 +26,14 @@ object Similarity {
   def l2(a: Column): Column =
     sqrt(aggregate(transform(a, x => x * x), lit(0.0), (acc, x) => acc + x))
 
-  /** Cosine similarity (computed in float64; callers should cast
-    * float32 inputs up first so arithmetic is stable). */
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (l2(a) * l2(b))
+  /** Compositional cosine — three interpreted array passes; see
+    * [[graft.functions.CosineSim]] for why the native form wins. */
+  def cosineComposed(a: Column, b: Column): Column = dot(a, b) / (l2(a) * l2(b))
+
+  /** Cosine similarity: fused single-pass native Catalyst expression
+    * with whole-stage codegen (accepts array<float> or array<double>;
+    * accumulates in float64 either way). */
+  def cosine(a: Column, b: Column): Column = graft.functions.CosineSim(a, b)
 
   /** Brute-force cosine top-k: for each query row, the k nearest
     * corpus rows. Similarity is rounded to 3 decimals with an id
