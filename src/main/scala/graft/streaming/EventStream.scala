@@ -1,9 +1,9 @@
 package graft.streaming
 
-import org.apache.spark.sql.DataFrame
+import java.sql.Timestamp
+import org.apache.spark.sql.{DataFrame, Dataset, Row}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{DataStreamWriter, OutputMode, Trigger}
-import org.apache.spark.sql.Row
+import org.apache.spark.sql.streaming.{DataStreamWriter, GroupState, GroupStateTimeout, OutputMode, Trigger}
 
 /** Structured Streaming surface (SURVEY.md §2.9): the reference's
   * cron-micro-batch semantics mapped onto real streaming operators.
@@ -20,6 +20,19 @@ import org.apache.spark.sql.Row
   * CoreQueries are oracle-checked; these are exercised via
   * MemoryStream in EventStreamSpec).
   */
+/** Input row for the stateful digest stream. */
+final case class ContactEvent(contact_id: Long, event_id: Long,
+                              event_ts: Timestamp, event_type: String)
+
+/** Keyed state: running count, latest event millis, last-k
+  * (tsMillis, event_type) in chronological order. */
+final case class DigestState(count: Long, lastTsMillis: Option[Long],
+                             lastK: Vector[(Long, String)])
+
+/** Emitted digest row (one per contact per micro-batch with news). */
+final case class ContactDigest(contact_id: Long, n_events: Long,
+                               last_event_ts: Timestamp, recent_types: String)
+
 object EventStream {
 
   /** Tumbling-window counts/sums per event_type. `value` is
@@ -40,6 +53,50 @@ object EventStream {
   def dedupByIdWithWatermark(events: DataFrame, watermarkDelay: String): DataFrame =
     events.withWatermark("ts", watermarkDelay)
       .dropDuplicatesWithinWatermark("event_id")
+
+  /** Per-contact running digest as explicit keyed state
+    * (flatMapGroupsWithState): event count, latest event time, and the
+    * last `k` event types in chronological order — the streaming form
+    * of the reference's per-contact digest rollup (A9,
+    * run_ac_extraction.py:1436-1506), maintained incrementally instead
+    * of recomputed from the full raw table each run.
+    *
+    * Scale: state is O(k) per contact and partitioned by contact_id
+    * across executors. Pass an `idleTimeout` (e.g. "30 minutes") to
+    * evict contacts that stop producing events, bounding total state —
+    * note ProcessingTimeTimeout makes the engine schedule no-data
+    * batches to fire timeouts, so tests that drain with
+    * processAllAvailable use the default NoTimeout. */
+  def contactDigestStream(events: Dataset[ContactEvent], k: Int,
+                          idleTimeout: Option[String] = None): Dataset[ContactDigest] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.contact_id)
+      .flatMapGroupsWithState[DigestState, ContactDigest](
+        OutputMode.Update,
+        if (idleTimeout.isDefined) GroupStateTimeout.ProcessingTimeTimeout
+        else GroupStateTimeout.NoTimeout) {
+        (contactId: Long, batch: Iterator[ContactEvent], state: GroupState[DigestState]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val prev = state.getOption.getOrElse(DigestState(0L, None, Vector.empty))
+            // batch order is not guaranteed — sort the increment, then
+            // fold into the running tail (ts asc, event_id tiebreak)
+            val inc = batch.toVector.sortBy(e => (e.event_ts.getTime, e.event_id))
+            val tail = (prev.lastK ++ inc.map(e => (e.event_ts.getTime, e.event_type)))
+              .sortBy(_._1).takeRight(k)
+            val next = DigestState(
+              prev.count + inc.size,
+              Some(math.max(prev.lastTsMillis.getOrElse(Long.MinValue),
+                inc.map(_.event_ts.getTime).max)),
+              tail)
+            state.update(next)
+            idleTimeout.foreach(state.setTimeoutDuration)
+            Iterator(ContactDigest(contactId, next.count,
+              new Timestamp(next.lastTsMillis.get),
+              next.lastK.map(_._2).mkString(", ")))
+          }
+      }
+  }
 
   /** Per-micro-batch delta sink: each batch writes its own
     * batchId-keyed dir (the reference's runs/<run_id>/delta layout,

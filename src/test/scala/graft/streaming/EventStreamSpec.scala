@@ -69,6 +69,43 @@ class EventStreamSpec extends AnyFunSuite {
     assert(ids == Seq(1L, 2L))
   }
 
+  test("stateful per-contact digest evolves across micro-batches (flatMapGroupsWithState)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[ContactEvent]
+    val digests = EventStream.contactDigestStream(input.toDS(), k = 3)
+    val q = digests.writeStream.format("memory").queryName("digests")
+      .outputMode(OutputMode.Update).start()
+    try {
+      input.addData(
+        ContactEvent(1, 10, ts("2024-01-01 00:00:00"), "signup"),
+        ContactEvent(1, 11, ts("2024-01-01 00:01:00"), "click"),
+        ContactEvent(2, 20, ts("2024-01-01 00:02:00"), "view"))
+      q.processAllAvailable()
+      // batch 2: contact 1 gets 3 more events — last-3 window slides
+      input.addData(
+        ContactEvent(1, 12, ts("2024-01-01 00:03:00"), "view"),
+        ContactEvent(1, 13, ts("2024-01-01 00:04:00"), "purchase"),
+        ContactEvent(1, 14, ts("2024-01-01 00:05:00"), "click"))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    // memory sink in Update mode appends each emission; the digest for
+    // contact 1 after batch 2 is the row with the highest n_events
+    val c1 = spark.sql(
+      """SELECT n_events, date_format(last_event_ts,'yyyy-MM-dd HH:mm:ss'), recent_types
+        |FROM digests WHERE contact_id = 1 ORDER BY n_events DESC LIMIT 1""".stripMargin)
+      .as[(Long, String, String)].head()
+    assert(c1 == ((5L, "2024-01-01 00:05:00", "view, purchase, click")))
+    val c1b1 = spark.sql(
+      "SELECT n_events, recent_types FROM digests WHERE contact_id = 1 ORDER BY n_events LIMIT 1")
+      .as[(Long, String)].head()
+    assert(c1b1 == ((2L, "signup, click")))
+    val c2 = spark.sql("SELECT n_events, recent_types FROM digests WHERE contact_id = 2")
+      .as[(Long, String)].collect().toSeq
+    assert(c2 == Seq((1L, "view")))
+  }
+
   test("foreachBatch delta sink writes batchId-keyed dirs") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
