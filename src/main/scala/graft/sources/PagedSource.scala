@@ -8,6 +8,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, ReadMaxRows, SupportsAdmissionControl}
 import org.apache.spark.sql.sources.{Filter, GreaterThan}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -65,10 +66,14 @@ final class NotFoundError extends RuntimeException("HTTP 404")
 
 /** Deterministic in-memory backend standing in for the REST API.
   * Failure injection: every page's first `failAttempts` fetches throw
-  * a retryable 503; `notFound` simulates a 404 endpoint. */
+  * a retryable 503; `notFound` simulates a 404 endpoint; `dynamic`
+  * reads the row count from [[FixtureBackend.dynamicTotal]] so tests
+  * can grow the collection between micro-batches. */
 final case class FixtureBackend(totalRows: Long, failAttempts: Int,
-                                notFound: Boolean) extends PageBackend {
-  override def total: Long = totalRows
+                                notFound: Boolean,
+                                dynamic: Boolean = false) extends PageBackend {
+  override def total: Long =
+    if (dynamic) FixtureBackend.dynamicTotal.get() else totalRows
   override def fetch(page: Int, pageLimit: Int): Seq[(Long, String, String)] = {
     FixtureBackend.fetches.incrementAndGet()
     if (notFound) throw new NotFoundError
@@ -76,7 +81,7 @@ final case class FixtureBackend(totalRows: Long, failAttempts: Int,
     val prev = FixtureBackend.attempts.merge(key, 1L, _ + _)
     if (prev <= failAttempts) throw new TransientHttpError(503)
     val start = page.toLong * pageLimit
-    (start until math.min(start + pageLimit, totalRows)).map { i =>
+    (start until math.min(start + pageLimit, total)).map { i =>
       (i, s"row#$i", f"2026-01-${(i % 28) + 1}%02dT00:00:00Z")
     }
   }
@@ -85,14 +90,23 @@ object FixtureBackend {
   /** Observability for tests (local mode = one JVM). */
   val fetches = new AtomicLong(0)
   val attempts = new java.util.concurrent.ConcurrentHashMap[Long, Long]()
-  def reset(): Unit = { fetches.set(0); attempts.clear() }
+  /** Collection size for `dynamic` backends — grown by tests between
+    * micro-batches to simulate new upstream rows. */
+  val dynamicTotal = new AtomicLong(0)
+  def reset(): Unit = { fetches.set(0); attempts.clear(); dynamicTotal.set(0) }
+
+  def fromProps(props: Map[String, String]): FixtureBackend = FixtureBackend(
+    props.getOrElse("totalrows", "1000").toLong,
+    props.getOrElse("failattempts", "0").toInt,
+    props.getOrElse("notfound", "false").toBoolean,
+    props.getOrElse("dynamictotal", "false").toBoolean)
 }
 
 class PagedTable(props: Map[String, String]) extends Table with SupportsRead {
   override def name(): String = "graft_paged"
   override def schema(): StructType = PagedSource.schema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new PagedScanBuilder(props ++ options.asScala)
 }
@@ -128,13 +142,12 @@ class PagedScan(props: Map[String, String], minIdExclusive: Long)
   // APIs that don't advertise a collection size force sequential
   // short-page-terminated scanning (the reference's only mode).
   private val advertiseTotal = props.getOrElse("advertisetotal", "true").toBoolean
-  private def backend: PageBackend = FixtureBackend(
-    props.getOrElse("totalrows", "1000").toLong,
-    props.getOrElse("failattempts", "0").toInt,
-    props.getOrElse("notfound", "false").toBoolean)
+  private def backend: PageBackend = FixtureBackend.fromProps(props)
 
   override def readSchema(): StructType = PagedSource.schema
   override def toBatch: Batch = this
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+    new PagedMicroBatchStream(props, pageLimit, minIdExclusive)
 
   override def planInputPartitions(): Array[InputPartition] = {
     val b = backend
@@ -163,21 +176,90 @@ class PagedScan(props: Map[String, String], minIdExclusive: Long)
 final case class PagedPartition(fromPage: Int, untilPage: Int,
                                 sequential: Boolean) extends InputPartition
 
+/** Streaming offset: the keyset high watermark — ids < `id` have been
+  * ingested (the reference's `max_contact_id` state,
+  * run_ac_extraction.py:1556-1571, as a real source offset). */
+final case class IdOffset(id: Long) extends Offset {
+  override def json: String = id.toString
+}
+
+/** S5 as a true Structured Streaming source: each micro-batch reads
+  * the keyset range [start, end) where offsets advance to the
+  * upstream collection size. Admission control (`maxrowspertrigger`)
+  * is the reference's rate-throttle (§2.9 backpressure) expressed as
+  * a ReadLimit. Checkpointed offsets replace `state.json`. */
+class PagedMicroBatchStream(props: Map[String, String], pageLimit: Int,
+                            minIdExclusive: Long)
+    extends MicroBatchStream with SupportsAdmissionControl {
+
+  private val pagesPerPartition = props.getOrElse("pagesperpartition", "4").toInt
+  private def backend: PageBackend = FixtureBackend.fromProps(props)
+
+  override def initialOffset(): Offset = IdOffset(math.max(0L, minIdExclusive + 1))
+  override def deserializeOffset(json: String): Offset = IdOffset(json.toLong)
+
+  override def getDefaultReadLimit: ReadLimit =
+    props.get("maxrowspertrigger")
+      .map(n => ReadLimit.maxRows(n.toLong))
+      .getOrElse(ReadLimit.allAvailable())
+
+  override def latestOffset(): Offset =
+    throw new UnsupportedOperationException(
+      "latestOffset(Offset, ReadLimit) should be called instead")
+
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val from = start.asInstanceOf[IdOffset].id
+    val avail = backend.total
+    limit match {
+      case r: ReadMaxRows => IdOffset(math.min(avail, from + r.maxRows()))
+      case _ => IdOffset(math.max(from, avail))
+    }
+  }
+
+  override def reportLatestOffset(): Offset = IdOffset(backend.total)
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val from = start.asInstanceOf[IdOffset].id
+    val until = end.asInstanceOf[IdOffset].id
+    if (until <= from) Array.empty
+    else {
+      val firstPage = (from / pageLimit).toInt
+      val lastPage = ((until + pageLimit - 1) / pageLimit).toInt
+      (firstPage until lastPage by pagesPerPartition).map { p =>
+        RangedPagedPartition(p, math.min(p + pagesPerPartition, lastPage), from, until)
+      }.toArray[InputPartition]
+    }
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new PagedReaderFactory(props, pageLimit, minIdExclusive)
+
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+}
+
+/** Page range restricted to the id interval [fromId, untilId). */
+final case class RangedPagedPartition(fromPage: Int, untilPage: Int,
+                                      fromId: Long, untilId: Long) extends InputPartition
+
 class PagedReaderFactory(props: Map[String, String], pageLimit: Int,
                          minIdExclusive: Long) extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
-    new PagedReader(partition.asInstanceOf[PagedPartition], props, pageLimit,
-      minIdExclusive)
+    partition match {
+      case p: PagedPartition =>
+        new PagedReader(p, props, pageLimit, minIdExclusive, Long.MaxValue)
+      case r: RangedPagedPartition =>
+        new PagedReader(PagedPartition(r.fromPage, r.untilPage, sequential = false),
+          props, pageLimit, math.max(minIdExclusive, r.fromId - 1), r.untilId)
+    }
 }
 
 class PagedReader(part: PagedPartition, props: Map[String, String],
-                  pageLimit: Int, minIdExclusive: Long)
+                  pageLimit: Int, minIdExclusive: Long,
+                  untilIdExclusive: Long = Long.MaxValue)
     extends PartitionReader[InternalRow] {
 
-  private val backend = FixtureBackend(
-    props.getOrElse("totalrows", "1000").toLong,
-    props.getOrElse("failattempts", "0").toInt,
-    props.getOrElse("notfound", "false").toBoolean)
+  private val backend = FixtureBackend.fromProps(props)
   private val maxRetries = props.getOrElse("maxretries", "6").toInt
   private val backoffBaseMs = props.getOrElse("backoffbasems", "500").toLong
   private val backoffCapMs = props.getOrElse("backoffcapms", "30000").toLong
@@ -212,8 +294,8 @@ class PagedReader(part: PagedPartition, props: Map[String, String],
       val rows = fetchResilient(page)
       page += 1
       if (part.sequential && rows.size < pageLimit) done = true // short page
-      val filtered =
-        if (minIdExclusive >= 0) rows.filter(_._1 > minIdExclusive) else rows
+      val filtered = rows.filter(r =>
+        r._1 > minIdExclusive && r._1 < untilIdExclusive)
       if (filtered.nonEmpty) { buf = filtered.iterator; return true }
       if (part.sequential && done) return false
     }

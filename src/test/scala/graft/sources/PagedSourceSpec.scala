@@ -54,4 +54,43 @@ class PagedSourceSpec extends AnyFunSuite {
     // pages 0,1 full + page 2 short (50) → exactly 3 fetches, no probe past
     assert(FixtureBackend.fetches.get() == 3)
   }
+
+  test("micro-batch stream: keyset offsets advance as upstream grows (S5 streaming)") {
+    import spark.implicits._
+    FixtureBackend.reset()
+    FixtureBackend.dynamicTotal.set(250)
+    val stream = spark.readStream.format("graft.sources.PagedSource")
+      .option("dynamictotal", "true").option("pagelimit", "100").load()
+    val q = stream.writeStream.format("memory").queryName("paged_stream").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.sql("SELECT count(*) FROM paged_stream").head().getLong(0) == 250)
+      // upstream grows between triggers → next batch reads only [250, 400)
+      FixtureBackend.dynamicTotal.set(400)
+      q.processAllAvailable()
+      val (n, distinct) = spark.sql(
+        "SELECT count(*), count(DISTINCT id) FROM paged_stream")
+        .as[(Long, Long)].head()
+      assert(n == 400)          // no re-reads
+      assert(distinct == 400)   // no duplicates
+      assert(spark.sql("SELECT min(id), max(id) FROM paged_stream")
+        .as[(Long, Long)].head() == ((0L, 399L)))
+    } finally q.stop()
+  }
+
+  test("admission control: maxrowspertrigger caps each micro-batch (backpressure)") {
+    FixtureBackend.reset()
+    FixtureBackend.dynamicTotal.set(100)
+    val stream = spark.readStream.format("graft.sources.PagedSource")
+      .option("dynamictotal", "true").option("pagelimit", "10")
+      .option("maxrowspertrigger", "30").load()
+    val q = stream.writeStream.format("memory").queryName("paged_throttled").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.sql("SELECT count(*) FROM paged_throttled").head().getLong(0) == 100)
+      // 100 rows / ≤30 per trigger → at least 4 micro-batches
+      val batches = q.recentProgress.count(_.numInputRows > 0)
+      assert(batches >= 4, s"expected >=4 throttled batches, got $batches")
+    } finally q.stop()
+  }
 }
