@@ -10,6 +10,11 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = Sessions.local("graft-bench")
     spark.sparkContext.setLogLevel("WARN")
+    // Warm up codegen/JIT/parquet-footer paths so the alphabetically
+    // first query doesn't absorb ~4s of one-time session cost.
+    spark.range(1000000).selectExpr("sum(id)").collect()
+    Seq("customer", "orders", "lineitem", "events", "documents", "embeddings")
+      .foreach(n => spark.read.parquet(s"$sfDir/$n.parquet").limit(1).count())
     var failed = List.empty[String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()

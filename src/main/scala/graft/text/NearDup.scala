@@ -35,13 +35,18 @@ object NearDup {
 
   /** LSH banding: fold `rowsPerBand` consecutive signature rows into
     * one band hash; docs sharing any (band, hash) bucket are
-    * candidate pairs. */
+    * candidate pairs.
+    *
+    * One pass: all band hashes are computed in a single projection and
+    * exploded — NOT a union of per-band selects, which would
+    * re-evaluate the upstream signature aggregation once per band. */
   def lshBands(sigs: DataFrame, id: String, k: Int, rowsPerBand: Int): DataFrame = {
-    val bands = (0 until k / rowsPerBand).map { b =>
+    val bandStructs = (0 until k / rowsPerBand).map { b =>
       val cols = (b * rowsPerBand until (b + 1) * rowsPerBand).map(i => col(s"s$i"))
-      sigs.select(col(id), lit(b).as("band"), md5(concat(cols: _*)).as("bh"))
+      struct(lit(b).as("band"), md5(concat(cols: _*)).as("bh"))
     }
-    bands.reduce(_.unionByName(_))
+    sigs.select(col(id), explode(array(bandStructs: _*)).as("_b"))
+      .select(col(id), col("_b.band").as("band"), col("_b.bh").as("bh"))
   }
 
   /** Distinct candidate pairs (a<b) from band buckets. */
