@@ -722,6 +722,45 @@ object CoreQueries {
           .orderBy("contact_id")
       }),
 
+    // A9 (typed form): same digest contract, computed by the bounded
+    // O(k)-state typed Aggregator (graft.ops.DigestAgg) instead of
+    // collect_list+sort+slice — the scale path for skewed contacts.
+    QDef("q_digest_rollup_typed", Some(s"""
+      WITH e AS (SELECT user_id, event_id, strftime(ts, '$TSD') AS ets, event_type FROM events),
+      last3 AS (SELECT * FROM e
+        QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ets DESC, event_id DESC) <= 3),
+      lines AS (SELECT user_id,
+        string_agg(ets || ' — ' || event_type, chr(10) ORDER BY ets, event_id) AS tail
+        FROM last3 GROUP BY user_id),
+      sets AS (SELECT user_id,
+        string_agg(DISTINCT event_type, ', ' ORDER BY event_type) AS types
+        FROM e GROUP BY user_id)
+      SELECT c.c_custkey AS contact_id,
+             c.c_name || ' [' || s.types || ']' || chr(10) || l.tail AS digest
+      FROM customer c
+      JOIN sets s ON c.c_custkey = s.user_id
+      JOIN lines l ON c.c_custkey = l.user_id
+      ORDER BY contact_id"""),
+      (s, d) => {
+        import s.implicits._
+        val e = t(s, d, "events")
+          .select(col("user_id"), col("event_id"),
+            date_format(col("ts"), TS).as("ets"), col("event_type"))
+          .withColumn("line", concat(col("ets"), lit(" — "), col("event_type")))
+        val digests = e.select(col("user_id"),
+          struct(col("ets"), col("event_id"), col("event_type"), col("line")).as("ev"))
+          .as[(Long, graft.ops.DigestEvent)]
+          .groupByKey(_._1).mapValues(_._2)
+          .agg(new graft.ops.DigestAgg(3).toColumn)
+          .toDF("user_id", "out")
+        t(s, d, "customer")
+          .join(digests, col("c_custkey") === col("user_id"))
+          .select(col("c_custkey").as("contact_id"),
+            concat(col("c_name"), lit(" ["), col("out.types"), lit("]\n"),
+              col("out.tail")).as("digest"))
+          .orderBy("contact_id")
+      }),
+
     // ───────────── remaining §2 names (S2, O3, F10, U2-full) ─────────
 
     // S2: CSV sink + readback roundtrip (write_csv_utf8sig,
