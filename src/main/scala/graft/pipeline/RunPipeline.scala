@@ -1,5 +1,6 @@
 package graft.pipeline
 
+import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 import graft.Sessions
 
@@ -19,32 +20,39 @@ import graft.Sessions
   * Usage: runMain graft.pipeline.RunPipeline <outRoot> [totalRows]
   */
 object RunPipeline {
-  def main(args: Array[String]): Unit = {
-    val outRoot = args(0)
-    val totalRows = if (args.length > 1) args(1) else "300"
-    val spark = Sessions.local("graft-run-pipeline")
-    spark.sparkContext.setLogLevel("WARN")
 
+  /** One incremental run. Returns (sliceRows, rawRows, latestRows). */
+  def runOnce(spark: SparkSession, outRoot: String,
+              totalRows: Long): (Long, Long, Long) = {
     val statePath = s"$outRoot/state.json"
     val state = Watermark.load(statePath)
-    println(s"[pipeline] watermark in: max_id=${state.maxId}")
 
     val contacts = spark.read.format("graft.sources.PagedSource")
-      .option("totalrows", totalRows).option("pagelimit", "100").load()
+      .option("totalrows", totalRows.toString).option("pagelimit", "100").load()
     val slice = Watermark.incrementalSlice(contacts, "id", state)
     val sliceCount = slice.count()
-    println(s"[pipeline] incremental slice rows=$sliceCount")
 
     val runId = s"run_after_${state.maxId}"
     val (rawN, latestN) = PersistTableDual.persist(
       spark, PersistTableDual.Paths(outRoot, "contacts"),
       slice.withColumn("contact_id", col("id").cast("string")),
       runId, "2026-01-01T00:00:00Z", Seq("contact_id"), "updated_at")
-    println(s"[pipeline] master/raw rows=$rawN master/latest rows=$latestN")
 
     val advanced = Watermark.advance(slice, "id", state, "2026-01-01T00:00:00Z")
     Watermark.save(statePath, advanced)
-    println(s"[pipeline] watermark out: max_id=${advanced.maxId}")
+    (sliceCount, rawN, latestN)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val outRoot = args(0)
+    val totalRows = if (args.length > 1) args(1).toLong else 300L
+    val spark = Sessions.local("graft-run-pipeline")
+    spark.sparkContext.setLogLevel("WARN")
+    val before = Watermark.load(s"$outRoot/state.json").maxId
+    val (sliceN, rawN, latestN) = runOnce(spark, outRoot, totalRows)
+    val after = Watermark.load(s"$outRoot/state.json").maxId
+    println(s"[pipeline] watermark $before -> $after; slice=$sliceN " +
+      s"master/raw=$rawN master/latest=$latestN")
     spark.stop()
   }
 }

@@ -110,4 +110,28 @@ object EventStream {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         batch.write.mode("overwrite").parquet(s"$outRoot/batch_$batchId")
       }
+
+  /** Streaming persist-dual: every micro-batch flows through the full
+    * E2 merge (delta write → content-hash dedup into master/raw →
+    * latest-per-key snapshot), run_id = batchId — the reference's
+    * cron-run merge as a `foreachBatch` MERGE-style upsert
+    * (SURVEY.md §2.9 "late/updated data"). Redelivered rows across
+    * batch boundaries collapse in the content-hash dedup, so the lake
+    * stays idempotent even though the stream is at-least-once. */
+  def persistDualSink(events: DataFrame, root: String, table: String,
+                      checkpoint: String, keyCols: Seq[String],
+                      updatedAtCol: String,
+                      extractedAt: String): DataStreamWriter[Row] = {
+    val paths = graft.pipeline.PersistTableDual.Paths(root, table)
+    events.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.pipeline.PersistTableDual.persist(
+          batch.sparkSession, paths, batch, s"batch_$batchId",
+          extractedAt, keyCols, updatedAtCol)
+        ()
+      }
+  }
 }

@@ -117,4 +117,32 @@ class EventStreamSpec extends AnyFunSuite {
     try q.processAllAvailable() finally q.stop()
     assert(spark.read.parquet(s"$root/batch_0").count() == 1)
   }
+
+  test("streaming persist-dual: micro-batches merge idempotently into raw/latest") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(String, String, String)]
+    val root = Files.createTempDirectory("spd").toString
+    val cp = Files.createTempDirectory("spd_cp").toString
+    def sink() = EventStream.persistDualSink(
+      input.toDF().toDF("contact_id", "email", "updated_at"),
+      root, "contacts", cp, Seq("contact_id"), "updated_at",
+      "2026-01-01T00:00:00Z")
+
+    // batch 0: two contacts
+    input.addData(("1", "a@x", "2024-01-01"), ("2", "b@x", "2024-01-01"))
+    val q1 = sink().start(); try q1.processAllAvailable() finally q1.stop()
+    assert(spark.read.parquet(s"$root/master/raw/contacts").count() == 2)
+
+    // batch 1: redelivery of contact 1 (identical) + update of contact 2
+    input.addData(("1", "a@x", "2024-01-01"), ("2", "b2@x", "2024-02-01"))
+    val q2 = sink().start(); try q2.processAllAvailable() finally q2.stop()
+
+    // raw: redelivered row collapsed by content hash; update appended
+    assert(spark.read.parquet(s"$root/master/raw/contacts").count() == 3)
+    // latest: one row per key, update wins
+    val latest = spark.read.parquet(s"$root/master/latest/contacts")
+      .select("contact_id", "email").as[(String, String)].collect().sortBy(_._1)
+    assert(latest.toSeq == Seq(("1", "a@x"), ("2", "b2@x")))
+  }
 }
