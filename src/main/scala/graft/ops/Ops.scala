@@ -99,4 +99,24 @@ object Ops {
     * stays small even on skewed keys. */
   def sortedSetAgg(c: Column): Column =
     array_join(array_sort(collect_set(c)), ", ")
+
+  /** A6, skew-safe form: two-phase sorted-set aggregation over a
+    * salted key. `collect_set` partial-aggregates map-side, but a hot
+    * key still funnels ALL its raw rows' distinct values into one
+    * reducer; salting on `hash(value) % salt` splits a hot key across
+    * `salt` reducers (phase 1), then merges the much smaller distinct
+    * sets (phase 2). Same result as [[sortedSetAgg]] for any input —
+    * use when a key can dominate a partition (e.g. one contact with
+    * 10^8 events at 100 TB). */
+  def sortedSetAggSalted(df: DataFrame, keys: Seq[String], value: Column,
+                         as: String, salt: Int = 16): DataFrame = {
+    val phase1 = df
+      .withColumn("_salt", pmod(hash(value), lit(salt)))
+      .groupBy((keys.map(col) :+ col("_salt")): _*)
+      .agg(collect_set(value).as("_partial"))
+    phase1
+      .groupBy(keys.map(col): _*)
+      .agg(array_join(array_sort(array_distinct(flatten(collect_list(col("_partial"))))), ", ")
+        .as(as))
+  }
 }

@@ -42,10 +42,18 @@ object PersistTableDual {
 
   private val lineageCols = Seq("run_id", "extracted_at")
 
-  /** Full merge: returns (rawCount, latestCount) after the rewrite. */
+  /** Full merge: returns (rawCount, latestCount) after the rewrite.
+    *
+    * `partitionCols` gives raw/latest a hive-partitioned layout
+    * (e.g. by ingest date or key-hash bucket) so a scaled deployment
+    * rewrites/reads only affected partitions and downstream scans
+    * partition-prune; semantics are unchanged. */
   def persist(spark: SparkSession, paths: Paths, delta: DataFrame,
               runId: String, extractedAt: String,
-              keyCols: Seq[String], updatedAtCol: String): (Long, Long) = {
+              keyCols: Seq[String], updatedAtCol: String,
+              partitionCols: Seq[String] = Nil): (Long, Long) = {
+    def partitioned(w: org.apache.spark.sql.DataFrameWriter[org.apache.spark.sql.Row]) =
+      if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w
     val stamped = stampLineage(delta, runId, extractedAt)
     stamped.write.mode("overwrite").parquet(paths.delta(runId))
 
@@ -62,7 +70,7 @@ object PersistTableDual {
     // Rewrite raw via a staging dir: the plan reads paths.raw lazily,
     // so an in-place overwrite would clobber its own input.
     val stage = paths.raw + "__stage"
-    deduped.write.mode("overwrite").parquet(stage)
+    partitioned(deduped.write.mode("overwrite")).parquet(stage)
     val fs = org.apache.hadoop.fs.FileSystem.get(
       spark.sparkContext.hadoopConfiguration)
     val rawPath = new org.apache.hadoop.fs.Path(paths.raw)
@@ -73,7 +81,7 @@ object PersistTableDual {
     val raw = spark.read.parquet(paths.raw)
     val latest = latestSnapshot(raw, keyCols,
       col(updatedAtCol), col("extracted_at"))
-    latest.write.mode("overwrite").parquet(paths.latest)
+    partitioned(latest.write.mode("overwrite")).parquet(paths.latest)
 
     (raw.count(), spark.read.parquet(paths.latest).count())
   }

@@ -69,4 +69,20 @@ class OpsSpec extends AnyFunSuite {
     val got = df.select(fallbackChain($"p", $"f")).as[String].collect()
     assert(got.toSeq == Seq("fb", "fb", "v"))
   }
+
+  test("sortedSetAggSalted == sortedSetAgg on skewed real data") {
+    val e = graft.pipeline.Tables.t(spark, SparkTesting.sf, "events")
+      .select($"user_id", $"event_type")
+    val direct = e.groupBy("user_id").agg(sortedSetAgg($"event_type").as("types"))
+      .as[(Long, String)].collect().sortBy(_._1)
+    val salted = sortedSetAggSalted(e, Seq("user_id"), $"event_type", "types", salt = 4)
+      .as[(Long, String)].collect().sortBy(_._1)
+    assert(salted.toSeq == direct.toSeq)
+
+    // a deliberately skewed key (every row same user) still matches
+    val skew = Seq.tabulate(1000)(i => (7L, s"t${i % 5}")).toDF("user_id", "event_type")
+    val s2 = sortedSetAggSalted(skew, Seq("user_id"), $"event_type", "types", salt = 8)
+      .as[(Long, String)].head()
+    assert(s2 == ((7L, "t0, t1, t2, t3, t4")))
+  }
 }

@@ -1,0 +1,42 @@
+package graft.pipeline
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkTesting
+
+/** Golden regression for the flagship mart (SURVEY.md §5.3): the
+  * full sf0.001 chatter_master output — values AND row order — hashed
+  * against a checked-in digest. Any change to conform/union/enrich/
+  * window/sort semantics shows up here first. */
+class ChatterMasterGoldenSpec extends AnyFunSuite {
+  lazy val spark = SparkTesting.spark
+
+  test("chatter_master sf0.001 matches the golden digest (8500 rows)") {
+    // multiset digest: row-hashes sorted before folding, because the
+    // synthetic lineitem has duplicate (orderkey, linenumber) pairs →
+    // duplicate event_ids → ties the total order cannot break; row
+    // ORDER is asserted separately by the invariant test below.
+    val cm = ChatterMaster.chatterMaster(spark, SparkTesting.sf)
+    val cols = cm.columns.sorted.map(c => coalesce(col(c).cast("string"), lit(" NULL")))
+    val got = cm.select(md5(concat_ws("", cols: _*)).as("h"))
+      .agg(md5(concat_ws("", sort_array(collect_list("h")))).as("all"),
+        count(lit(1)).as("n"))
+      .head()
+    assert(got.getLong(1) == 8500L)
+    assert(got.getString(0) == "15192be9f4545a5fdd0ab76bb0459bcb")
+  }
+
+  test("flagship timeline invariants: per-contact chronological, ids unique") {
+    import spark.implicits._
+    val cm = ChatterMaster.chatterMaster(spark, SparkTesting.sf)
+      .select($"contact_id".cast("long"), $"event_ts", $"event_id").as[(Long, String, String)]
+      .collect()
+    // global order: contact asc, then ts asc within contact
+    val violations = cm.sliding(2).count {
+      case Array((c1, t1, _), (c2, t2, _)) =>
+        c1 > c2 || (c1 == c2 && t1 != null && t2 != null && t1 > t2)
+      case _ => false
+    }
+    assert(violations == 0)
+  }
+}

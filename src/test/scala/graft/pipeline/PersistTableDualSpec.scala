@@ -43,6 +43,24 @@ class PersistTableDualSpec extends AnyFunSuite {
     assert(email == "new@x")
   }
 
+  test("partitioned layout: raw/latest hive-partitioned, semantics unchanged") {
+    val p = freshPaths()
+    val d = delta(("1", "a@x", "2024-01-01"), ("2", "b@x", "2024-02-01"))
+      .withColumn("ym", org.apache.spark.sql.functions.substring(
+        org.apache.spark.sql.functions.col("updated_at"), 1, 7))
+    val (raw, latest) = persist(spark, p, d, "r1", "2026-01-01T00:00:00Z",
+      Seq("contact_id"), "updated_at", partitionCols = Seq("ym"))
+    assert(raw == 2 && latest == 2)
+    // hive layout on disk, partition column restored on read
+    val dirs = new java.io.File(p.raw).listFiles().map(_.getName).filter(_.startsWith("ym="))
+    assert(dirs.toSet == Set("ym=2024-01", "ym=2024-02"))
+    assert(spark.read.parquet(p.raw).columns.contains("ym"))
+    // idempotence holds in partitioned form too
+    val (raw2, _) = persist(spark, p, d, "r2", "2026-01-02T00:00:00Z",
+      Seq("contact_id"), "updated_at", partitionCols = Seq("ym"))
+    assert(raw2 == 2)
+  }
+
   test("delta dirs are preserved per run") {
     val p = freshPaths()
     persist(spark, p, delta(("1", "a@x", "2024-01-01")), "r1",
