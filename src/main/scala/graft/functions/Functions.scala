@@ -61,12 +61,35 @@ object Functions {
 
   /** Normalize a column to its canonical string rendering for content
     * hashing: NULL→"", everything else its string form. The staging
-    * lake is all-string so this is the v1-complete form; timestamps /
-    * collections must be pre-rendered by the caller (to_json of a
-    * canonical struct). Ref: _normalize_for_hash
+    * lake is all-string so this is the v1-complete form; for typed
+    * columns use [[canonicalForHash]]. Ref: _normalize_for_hash
     * run_ac_extraction.py:93-123. */
   def normalizeForHash(c: Column): Column =
     coalesce(c.cast(StringType), lit(""))
+
+  /** Schema-aware canonical rendering for content hashing — the full
+    * `_normalize_for_hash` semantics (run_ac_extraction.py:93-123):
+    * timestamps → ISO-8601 Z, dates → yyyy-MM-dd, maps → JSON with
+    * entries sorted by key (the reference's sort_keys=True), arrays/
+    * structs → JSON preserving element/field order, NULL → "".
+    * Everything is built-in expressions — order-canonicalization of
+    * maps uses array_sort(map_entries(...)), which sorts structs by
+    * their first field (the key). */
+  def canonicalForHash(c: Column, dt: DataType): Column = {
+    val rendered = dt match {
+      case TimestampType | TimestampNTZType => tsIsoZ(c)
+      case DateType => date_format(c, "yyyy-MM-dd")
+      case _: MapType => to_json(array_sort(map_entries(c)))
+      case _: ArrayType | _: StructType => to_json(c)
+      case _ => c.cast(StringType)
+    }
+    coalesce(rendered, lit(""))
+  }
+
+  /** MD5 content hash over a typed schema: each field rendered via
+    * [[canonicalForHash]], "||"-joined. */
+  def rowHashTyped(fields: Seq[(Column, DataType)]): Column =
+    md5(concat_ws("||", fields.map { case (c, dt) => canonicalForHash(c, dt) }: _*))
 
   /** MD5 content hash over the given columns, `"||"`-joined after
     * normalization — the synthetic dedup key.

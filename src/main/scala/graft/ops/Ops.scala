@@ -24,8 +24,13 @@ object Ops {
     * Scale: one shuffle on the 128-bit hash — effectively unskewed
     * keys, so this partitions evenly at any data size. */
   def contentHashDedup(df: DataFrame, lineageCols: Seq[String], tiebreak: Column): DataFrame = {
-    val contentCols = df.columns.filterNot(lineageCols.contains).sorted.map(col(_))
-    val hashed = df.withColumn("_row_hash", rowHash(contentCols.toSeq))
+    // schema-aware canonicalization: string columns hash as-is (the
+    // all-string staging contract), typed columns render canonically
+    // (ISO timestamps, sorted-key map JSON — _normalize_for_hash parity)
+    val contentFields = df.schema.fields
+      .filterNot(f => lineageCols.contains(f.name)).sortBy(_.name)
+      .map(f => (col(f.name), f.dataType)).toSeq
+    val hashed = df.withColumn("_row_hash", rowHashTyped(contentFields))
     val w = Window.partitionBy(col("_row_hash")).orderBy(tiebreak.asc)
     hashed
       .withColumn("_rn", row_number().over(w))

@@ -76,4 +76,39 @@ class FunctionsSpec extends AnyFunSuite {
     assert(got(0) == "src:7")
     assert(got(1).startsWith("src:") && got(1).length == 4 + 32)
   }
+
+  test("canonicalForHash: map key order canonicalized, array order preserved (py:93-123)") {
+    import org.apache.spark.sql.types._
+    // same map content, different insertion order → same rendering
+    val maps = Seq(Map("b" -> "2", "a" -> "1"), Map("a" -> "1", "b" -> "2"))
+      .toDF("m")
+    val r = maps.select(canonicalForHash($"m", MapType(StringType, StringType)).as("c"))
+      .as[String].collect()
+    assert(r(0) == r(1))
+    assert(r(0) == """[{"key":"a","value":"1"},{"key":"b","value":"2"}]""")
+
+    // arrays keep element order (lists are order-significant in the ref)
+    val arrs = Seq(Seq("x", "y"), Seq("y", "x")).toDF("a")
+    val ra = arrs.select(canonicalForHash($"a", ArrayType(StringType)).as("c"))
+      .as[String].collect()
+    assert(ra(0) != ra(1))
+
+    // timestamps → ISO Z; null → ""
+    val ts = Seq(java.sql.Timestamp.valueOf("2024-03-01 12:30:00")).toDF("t")
+    assert(ts.select(canonicalForHash($"t", TimestampType)).as[String].head()
+      == "2024-03-01T12:30:00Z")
+    val nulls = Seq((null: String)).toDF("s")
+    assert(nulls.select(canonicalForHash($"s", StringType)).as[String].head() == "")
+  }
+
+  test("contentHashDedup collapses typed duplicates regardless of map insertion order") {
+    import org.apache.spark.sql.functions.{col, lit}
+    val df = Seq(
+      ("1", Map("b" -> "2", "a" -> "1"), "r1"),
+      ("1", Map("a" -> "1", "b" -> "2"), "r2")) // same content, shuffled map
+      .toDF("k", "attrs", "run_id")
+    val out = graft.ops.Ops.contentHashDedup(df, Seq("run_id"), col("run_id"))
+    assert(out.count() == 1)
+    assert(out.select("run_id").as[String].head() == "r1")
+  }
 }
