@@ -112,23 +112,20 @@ object ChatterMaster {
   def chatterMaster(spark: SparkSession, sfDir: String,
                     maxEventsPerContact: Int = 500): DataFrame = {
     val unified = unifiedEvents(spark, sfDir)
+    // one broadcast of the contacts dim carries names AND the nation
+    // FK — a second customer join would broadcast the same table twice
     val contacts = t(spark, sfDir, "customer").select(
       col("c_custkey").cast("bigint").as("contact_id"),
       col("c_name").as("contact_name"),
-      col("c_mktsegment").as("segment"))
+      col("c_mktsegment").as("segment"),
+      col("c_nationkey").as("_natkey"))
     val nations = t(spark, sfDir, "nation")
 
     val bounded = topNPerGroup(unified, Seq("contact_id"),
       Seq(col("event_ts").desc, col("event_id").desc), maxEventsPerContact)
 
-    val joined = bounded
-      .join(broadcast(contacts), Seq("contact_id"), "left")
     val enriched = mapLookup(
-      joined.join(
-        broadcast(t(spark, sfDir, "customer")
-          .select(col("c_custkey").cast("bigint").as("contact_id"),
-                  col("c_nationkey").as("_natkey"))),
-        Seq("contact_id"), "left"),
+      bounded.join(broadcast(contacts), Seq("contact_id"), "left"),
       nations, col("_natkey"), "n_nationkey", "n_name", "nation_name")
       .drop("_natkey")
 
