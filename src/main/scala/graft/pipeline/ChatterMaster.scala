@@ -137,4 +137,22 @@ object ChatterMaster {
                     col("detail"), col("url")))
       .orderBy(col("contact_id").asc, col("event_ts").asc_nulls_last, col("event_id").asc)
   }
+
+  /** S9 — per-contact digest TXT sink (run_ac_extraction.py:1684-1692):
+    * one `<outDir>/contact_<id>.txt` per contact, written from the
+    * executors via `foreachPartition` (no driver collect). Input: any
+    * frame with (contact_id, digest). Scale: each task writes its own
+    * partition's contacts; repartition by contact_id upstream if one
+    * output dir per partition-worth of files matters. */
+  def writeDigestTxt(digests: DataFrame, outDir: String): Unit = {
+    new java.io.File(outDir).mkdirs()
+    digests.select(col("contact_id").cast("string"), col("digest"))
+      .foreachPartition { (rows: Iterator[org.apache.spark.sql.Row]) =>
+        rows.foreach { r =>
+          val p = java.nio.file.Paths.get(outDir, s"contact_${r.getString(0)}.txt")
+          java.nio.file.Files.write(p,
+            r.getString(1).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        }
+      }
+  }
 }

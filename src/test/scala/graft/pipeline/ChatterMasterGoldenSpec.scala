@@ -26,6 +26,19 @@ class ChatterMasterGoldenSpec extends AnyFunSuite {
     assert(got.getString(0) == "15192be9f4545a5fdd0ab76bb0459bcb")
   }
 
+  test("S9: per-contact digest TXT sink writes one file per contact") {
+    import spark.implicits._
+    val out = java.nio.file.Files.createTempDirectory("digests").toString
+    val digests = Seq((1L, "digest one"), (2L, "digest two"))
+      .toDF("contact_id", "digest")
+    ChatterMaster.writeDigestTxt(digests, out)
+    val files = new java.io.File(out).listFiles().map(_.getName).sorted
+    assert(files.toSeq == Seq("contact_1.txt", "contact_2.txt"))
+    val body = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(out, "contact_2.txt")), "UTF-8")
+    assert(body == "digest two")
+  }
+
   test("flagship timeline invariants: per-contact chronological, ids unique") {
     import spark.implicits._
     val cm = ChatterMaster.chatterMaster(spark, SparkTesting.sf)
