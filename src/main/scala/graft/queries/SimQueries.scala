@@ -64,6 +64,42 @@ object SimQueries {
         Similarity.ivfTopK(c, q, 5).orderBy("qid", "rank")
       }),
 
+    // IVF with a computed coarse index: centroids = the first 8
+    // vectors (deterministic "training" pick), every vector assigned
+    // to its argmax-cosine centroid (id tiebreak), then top-k within
+    // the query's cell. At scale the assigned corpus is written
+    // partitioned by cell so probes prune at the scan.
+    QDef("q_embed_ann_ivf_kmeans", Some(s"""
+      WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      cent AS (SELECT vec_id AS cell, v AS centv FROM e WHERE vec_id < 8),
+      scored AS (SELECT e.vec_id AS cid, e.v AS cv, cent.cell,
+        round(list_sum(list_transform(list_zip(e.v, cent.centv), p -> p[1] * p[2])) /
+              (sqrt(list_sum(list_transform(e.v, x -> x * x))) *
+               sqrt(list_sum(list_transform(cent.centv, x -> x * x)))), 6) AS cs
+        FROM e CROSS JOIN cent),
+      assigned AS (SELECT cid, cv, cell FROM scored
+        QUALIFY row_number() OVER (PARTITION BY cid ORDER BY cs DESC, cell) = 1),
+      q AS (SELECT cid AS qid, cell, cv AS qv FROM assigned WHERE cid < 10),
+      c AS (SELECT cid, cell, cv FROM assigned),
+      s AS (SELECT qid, cid, round($cosSql, 3) AS sim3
+            FROM q JOIN c USING (cell) WHERE qid <> cid),
+      r AS (SELECT qid, cid, sim3,
+            CAST(row_number() OVER (PARTITION BY qid ORDER BY sim3 DESC, cid) AS BIGINT) AS rank
+            FROM s)
+      SELECT qid, cid, sim3, rank FROM r WHERE rank <= 5 ORDER BY qid, rank"""),
+      (s, d) => {
+        val e = t(s, d, "embeddings")
+          .select(col("vec_id"), col("embedding").as("v"))
+        val corpus = e.select(col("vec_id").as("cid"), col("v").as("cv"))
+        val centroids = e.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("cell"), col("v").as("centv"))
+        val assigned = Similarity.ivfAssign(corpus, centroids)
+        val q = assigned.filter(col("cid") < 10)
+          .select(col("cid").as("qid"), col("cell"), col("cv").as("qv"))
+        val c = assigned.select(col("cid"), col("cell"), col("cv"))
+        Similarity.ivfTopK(c, q, 5).orderBy("qid", "rank")
+      }),
+
     // Embedding-cosine near-dup pairs: vector pairs above a high
     // similarity bar (brute force on a 1-in-5 sample; the LSH/IVF
     // variants above are the scale path).

@@ -52,9 +52,28 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
+  /** IVF coarse quantization: assign every vector to its
+    * highest-cosine centroid (deterministic id tiebreak). The
+    * centroid set is broadcast; assignment is one narrow pass over
+    * the corpus — at scale the assigned corpus is then written
+    * partitioned by cell so probes prune at the scan.
+    *
+    * @param corpus    (cid, cv) full collection
+    * @param centroids (cell, centv) small, broadcast
+    */
+  def ivfAssign(corpus: DataFrame, centroids: DataFrame): DataFrame = {
+    val scored = corpus.crossJoin(broadcast(centroids))
+      .select(col("cid"), col("cv"), col("cell"),
+        round(cosine(col("cv"), col("centv")), 6).as("_cs"))
+    val w = Window.partitionBy(col("cid")).orderBy(col("_cs").desc, col("cell").asc)
+    scored.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1)
+      .drop("_rn", "_cs")
+  }
+
   /** IVF-style pruned top-k: candidates restricted to the query's
-    * cell (here the precomputed `cell` column; a full build would
-    * assign cells via k-means centroids and probe n>1 cells). */
+    * cell (either a precomputed partition column or [[ivfAssign]]'s
+    * output; a full build would probe n>1 cells). */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
     val scored = broadcast(queries).join(corpus, Seq("cell"))
       .filter(col("qid") =!= col("cid"))
