@@ -56,27 +56,39 @@ object PersistTableDual {
       if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w
     val stamped = stampLineage(delta, runId, extractedAt)
     stamped.write.mode("overwrite").parquet(paths.delta(runId))
+    // From here on, read the delta back from its own parquet: one
+    // source scan total (a REST-backed delta would otherwise be
+    // re-fetched by every downstream action), and every later step
+    // sees exactly the rows that were durably written.
+    val deltaOnDisk = spark.read.parquet(paths.delta(runId))
 
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val rawPath = new org.apache.hadoop.fs.Path(paths.raw)
+    // Explicit existence check — a broad catch would misread a
+    // transient read failure as "first run" and silently rebuild the
+    // lake from just this delta.
     val existingRaw =
-      try Some(spark.read.parquet(paths.raw))
-      catch { case _: Throwable => None } // first run: no raw yet
+      if (fs.exists(rawPath)) Some(spark.read.parquet(paths.raw)) else None
 
-    val unioned = existingRaw.fold(stamped)(raw => alignUnion(raw, stamped))
+    val unioned = existingRaw.fold(deltaOnDisk)(raw => alignUnion(raw, deltaOnDisk))
     // Earliest lineage wins among content-duplicates, mirroring the
     // reference's keep="first" on the (older-first) concat order.
     val deduped = contentHashDedup(unioned, lineageCols,
       struct(col("extracted_at"), col("run_id")))
 
     // Rewrite raw via a staging dir: the plan reads paths.raw lazily,
-    // so an in-place overwrite would clobber its own input.
+    // so an in-place overwrite would clobber its own input. Hadoop
+    // FileSystem signals most failures via `false` returns — check
+    // them, or a failed delete turns the rename into a nested move
+    // and the next read silently sees doubled/stale data.
     val stage = paths.raw + "__stage"
     partitioned(deduped.write.mode("overwrite")).parquet(stage)
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      spark.sparkContext.hadoopConfiguration)
-    val rawPath = new org.apache.hadoop.fs.Path(paths.raw)
-    fs.delete(rawPath, true)
+    if (fs.exists(rawPath) && !fs.delete(rawPath, true))
+      throw new java.io.IOException(s"failed to delete old raw at $rawPath")
     fs.mkdirs(rawPath.getParent)
-    fs.rename(new org.apache.hadoop.fs.Path(stage), rawPath)
+    if (!fs.rename(new org.apache.hadoop.fs.Path(stage), rawPath))
+      throw new java.io.IOException(s"failed to move staged raw into $rawPath")
 
     val raw = spark.read.parquet(paths.raw)
     val latest = latestSnapshot(raw, keyCols,

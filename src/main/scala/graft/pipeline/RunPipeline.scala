@@ -30,15 +30,21 @@ object RunPipeline {
     val contacts = spark.read.format("graft.sources.PagedSource")
       .option("totalrows", totalRows.toString).option("pagelimit", "100").load()
     val slice = Watermark.incrementalSlice(contacts, "id", state)
-    val sliceCount = slice.count()
 
     val runId = s"run_after_${state.maxId}"
+    val paths = PersistTableDual.Paths(outRoot, "contacts")
     val (rawN, latestN) = PersistTableDual.persist(
-      spark, PersistTableDual.Paths(outRoot, "contacts"),
+      spark, paths,
       slice.withColumn("contact_id", col("id").cast("string")),
       runId, "2026-01-01T00:00:00Z", Seq("contact_id"), "updated_at")
 
-    val advanced = Watermark.advance(slice, "id", state, "2026-01-01T00:00:00Z")
+    // Advance from the delta that was durably WRITTEN, never from a
+    // re-scan of the live source: upstream may have grown between the
+    // persist and now, and a watermark past unpersisted ids would
+    // skip those rows forever.
+    val deltaOnDisk = spark.read.parquet(paths.delta(runId))
+    val sliceCount = deltaOnDisk.count()
+    val advanced = Watermark.advance(deltaOnDisk, "id", state, "2026-01-01T00:00:00Z")
     Watermark.save(statePath, advanced)
     (sliceCount, rawN, latestN)
   }

@@ -20,22 +20,33 @@ object Watermark {
   private val IdRe = """"max_id"\s*:\s*(-?\d+)""".r
   private val TsRe = """"last_run_utc"\s*:\s*"([^"]*)"""".r
 
+  /** Absent file = fresh start (maxId -1). A present-but-unparseable
+    * file is an ERROR, not a fresh start — silently treating garbage
+    * as maxId=-1 would re-extract the full history, and a truncated
+    * write could silently regress the watermark. */
   def load(path: String): State = {
     val p = JPaths.get(path)
     if (!Files.exists(p)) State(-1L, "")
     else {
       val s = Files.readString(p)
-      State(
-        IdRe.findFirstMatchIn(s).map(_.group(1).toLong).getOrElse(-1L),
-        TsRe.findFirstMatchIn(s).map(_.group(1)).getOrElse(""))
+      val id = IdRe.findFirstMatchIn(s).map(_.group(1).toLong)
+        .getOrElse(throw new IllegalStateException(
+          s"watermark state at $path exists but is unparseable: $s"))
+      State(id, TsRe.findFirstMatchIn(s).map(_.group(1)).getOrElse(""))
     }
   }
 
+  /** Write via temp file + atomic move so a crash mid-write can never
+    * leave a truncated (silently-regressed) state file. */
   def save(path: String, state: State): Unit = {
     val p = JPaths.get(path)
     if (p.getParent != null) Files.createDirectories(p.getParent)
-    Files.writeString(p,
+    val tmp = p.resolveSibling(p.getFileName.toString + ".tmp")
+    Files.writeString(tmp,
       s"""{"max_id": ${state.maxId}, "last_run_utc": "${state.lastRunUtc}"}""")
+    Files.move(tmp, p,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
   }
 
   /** S5: the incremental slice past the watermark. The comparison is

@@ -153,8 +153,13 @@ class PagedScan(props: Map[String, String], minIdExclusive: Long)
     val b = backend
     if (!advertiseTotal || b.total < 0) {
       // Unknown total: a single sequential partition that walks pages
-      // until a short page (the reference's termination rule).
-      Array(PagedPartition(0, Int.MaxValue, sequential = true))
+      // until a short page (the reference's termination rule). Ids are
+      // ascending by the keyset contract, so the walk still starts
+      // past the watermark instead of re-fetching all history.
+      val firstPage =
+        if (minIdExclusive < 0) 0
+        else ((minIdExclusive + 1) / pageLimit).toInt
+      Array(PagedPartition(firstPage, Int.MaxValue, sequential = true))
     } else {
       val totalPages = ((b.total + pageLimit - 1) / pageLimit).toInt
       // Keyset pruning: ids are ascending, so pages entirely at or
@@ -210,8 +215,11 @@ class PagedMicroBatchStream(props: Map[String, String], pageLimit: Int,
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val from = start.asInstanceOf[IdOffset].id
     val avail = backend.total
+    // Never move backwards (math.max with `from`): if the upstream
+    // collection shrinks below a committed offset, regressing would
+    // re-emit already-processed ids as duplicates once it regrows.
     limit match {
-      case r: ReadMaxRows => IdOffset(math.min(avail, from + r.maxRows()))
+      case r: ReadMaxRows => IdOffset(math.max(from, math.min(avail, from + r.maxRows())))
       case _ => IdOffset(math.max(from, avail))
     }
   }

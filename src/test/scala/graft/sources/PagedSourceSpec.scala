@@ -55,6 +55,40 @@ class PagedSourceSpec extends AnyFunSuite {
     assert(FixtureBackend.fetches.get() == 3)
   }
 
+  test("unknown total + watermark: sequential walk starts past the watermark") {
+    val df = read("totalrows" -> "1000", "pagelimit" -> "100",
+      "advertisetotal" -> "false")
+    val filtered = df.filter(df("id") > 850L)
+    assert(filtered.count() == 149)
+    // starts at page 8, walks 8,9 full + 10 empty-short → 3 fetches,
+    // not a re-walk of all 10 history pages
+    assert(FixtureBackend.fetches.get() == 3,
+      s"expected 3 page fetches, got ${FixtureBackend.fetches.get()}")
+  }
+
+  test("streaming offset never regresses when upstream shrinks (throttled mode)") {
+    import spark.implicits._
+    FixtureBackend.reset()
+    FixtureBackend.dynamicTotal.set(100)
+    val stream = spark.readStream.format("graft.sources.PagedSource")
+      .option("dynamictotal", "true").option("pagelimit", "10")
+      .option("maxrowspertrigger", "30").load()
+    val q = stream.writeStream.format("memory").queryName("paged_shrink").start()
+    try {
+      q.processAllAvailable()
+      // upstream "shrinks" below the committed offset, then regrows
+      FixtureBackend.dynamicTotal.set(50)
+      q.processAllAvailable()
+      FixtureBackend.dynamicTotal.set(150)
+      q.processAllAvailable()
+      val (n, distinct) = spark.sql(
+        "SELECT count(*), count(DISTINCT id) FROM paged_shrink")
+        .as[(Long, Long)].head()
+      assert(n == 150, s"expected 150 rows, got $n")
+      assert(distinct == 150, "shrink+regrow must not re-emit processed ids")
+    } finally q.stop()
+  }
+
   test("micro-batch stream: keyset offsets advance as upstream grows (S5 streaming)") {
     import spark.implicits._
     FixtureBackend.reset()
