@@ -78,7 +78,13 @@ object Ops {
     * smaller than facts, so this must never become a shuffle join. */
   def mapLookup(fact: DataFrame, dim: DataFrame, factKey: Column,
                 dimKey: String, dimVal: String, as: String): DataFrame = {
+    // dict semantics: exactly one value per key. A duplicate-keyed dim
+    // would otherwise fan out fact rows through the join; the
+    // reference's dict(zip(...)) collapses dupes (last wins by input
+    // order — undefined in a shuffle engine, so we take the
+    // deterministic max).
     val d = dim.select(col(dimKey).cast("string").as("_mk"), col(dimVal).as(as))
+      .groupBy("_mk").agg(max(col(as)).as(as))
     fact.join(broadcast(d), factKey.cast("string") === col("_mk"), "left").drop("_mk")
   }
 

@@ -27,6 +27,27 @@ object CoreQueries {
   private def nbSql(e: String): String =
     s"CASE WHEN $e IS NULL OR trim($e) IN ('', 'nan', 'None') THEN NULL ELSE trim($e) END"
 
+  /** The A9 digest contract as DuckDB SQL — shared verbatim by the
+    * compositional (q_digest_rollup) and typed-Aggregator
+    * (q_digest_rollup_typed) implementations: two engines, one
+    * contract, zero drift. */
+  private lazy val digestOracleSql = s"""
+      WITH e AS (SELECT user_id, event_id, strftime(ts, '$TSD') AS ets, event_type FROM events),
+      last3 AS (SELECT * FROM e
+        QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ets DESC, event_id DESC) <= 3),
+      lines AS (SELECT user_id,
+        string_agg(ets || ' — ' || event_type, chr(10) ORDER BY ets, event_id) AS tail
+        FROM last3 GROUP BY user_id),
+      sets AS (SELECT user_id,
+        string_agg(DISTINCT event_type, ', ' ORDER BY event_type) AS types
+        FROM e GROUP BY user_id)
+      SELECT c.c_custkey AS contact_id,
+             c.c_name || ' [' || s.types || ']' || chr(10) || l.tail AS digest
+      FROM customer c
+      JOIN sets s ON c.c_custkey = s.user_id
+      JOIN lines l ON c.c_custkey = l.user_id
+      ORDER BY contact_id"""
+
   val all: Seq[QDef] = Seq(
 
     // ─────────────────────── §2.1 sources ────────────────────────
@@ -80,12 +101,14 @@ object CoreQueries {
       SELECT o.o_orderkey, l.l_linenumber, l.l_partkey,
              CAST(l.l_quantity AS DECIMAL(12,2)) AS quantity
       FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
-      ORDER BY o.o_orderkey, l.l_linenumber"""),
+      ORDER BY o.o_orderkey, l.l_linenumber, l.l_partkey, quantity"""),
+      // (o_orderkey, l_linenumber) is NOT unique in the synthetic
+      // lineitem — l_partkey + quantity complete the total order.
       (s, d) => t(s, d, "orders").select("o_orderkey")
         .join(t(s, d, "lineitem"), col("o_orderkey") === col("l_orderkey"))
         .select(col("o_orderkey"), col("l_linenumber"), col("l_partkey"),
           col("l_quantity").cast("decimal(12,2)").as("quantity"))
-        .orderBy("o_orderkey", "l_linenumber")),
+        .orderBy("o_orderkey", "l_linenumber", "l_partkey", "quantity")),
 
     // ──────────────── §2.2 projection / derivation ────────────────
 
@@ -684,22 +707,7 @@ object CoreQueries {
 
     // A9: per-contact digest rollup — sorted sets + last-k lines
     // folded into one template string (run_ac_extraction.py:1436-1506).
-    QDef("q_digest_rollup", Some(s"""
-      WITH e AS (SELECT user_id, event_id, strftime(ts, '$TSD') AS ets, event_type FROM events),
-      last3 AS (SELECT * FROM e
-        QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ets DESC, event_id DESC) <= 3),
-      lines AS (SELECT user_id,
-        string_agg(ets || ' — ' || event_type, chr(10) ORDER BY ets, event_id) AS tail
-        FROM last3 GROUP BY user_id),
-      sets AS (SELECT user_id,
-        string_agg(DISTINCT event_type, ', ' ORDER BY event_type) AS types
-        FROM e GROUP BY user_id)
-      SELECT c.c_custkey AS contact_id,
-             c.c_name || ' [' || s.types || ']' || chr(10) || l.tail AS digest
-      FROM customer c
-      JOIN sets s ON c.c_custkey = s.user_id
-      JOIN lines l ON c.c_custkey = l.user_id
-      ORDER BY contact_id"""),
+    QDef("q_digest_rollup", Some(digestOracleSql),
       (s, d) => {
         val e = t(s, d, "events").select(col("user_id"), col("event_id"),
           date_format(col("ts"), TS).as("ets"), col("event_type"))
@@ -725,22 +733,7 @@ object CoreQueries {
     // A9 (typed form): same digest contract, computed by the bounded
     // O(k)-state typed Aggregator (graft.ops.DigestAgg) instead of
     // collect_list+sort+slice — the scale path for skewed contacts.
-    QDef("q_digest_rollup_typed", Some(s"""
-      WITH e AS (SELECT user_id, event_id, strftime(ts, '$TSD') AS ets, event_type FROM events),
-      last3 AS (SELECT * FROM e
-        QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ets DESC, event_id DESC) <= 3),
-      lines AS (SELECT user_id,
-        string_agg(ets || ' — ' || event_type, chr(10) ORDER BY ets, event_id) AS tail
-        FROM last3 GROUP BY user_id),
-      sets AS (SELECT user_id,
-        string_agg(DISTINCT event_type, ', ' ORDER BY event_type) AS types
-        FROM e GROUP BY user_id)
-      SELECT c.c_custkey AS contact_id,
-             c.c_name || ' [' || s.types || ']' || chr(10) || l.tail AS digest
-      FROM customer c
-      JOIN sets s ON c.c_custkey = s.user_id
-      JOIN lines l ON c.c_custkey = l.user_id
-      ORDER BY contact_id"""),
+    QDef("q_digest_rollup_typed", Some(digestOracleSql),
       (s, d) => {
         import s.implicits._
         val e = t(s, d, "events")

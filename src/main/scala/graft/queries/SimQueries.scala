@@ -11,12 +11,16 @@ import graft.sim.Similarity
   */
 object SimQueries {
 
-  /** Shared DuckDB cosine expression (mirrors Similarity.cosine:
-    * dot / (||a||·||b||), each norm sqrt'd separately). */
-  private val cosSql =
-    """list_sum(list_transform(list_zip(qv, cv), p -> p[1] * p[2])) /
-      |(sqrt(list_sum(list_transform(qv, x -> x * x))) *
-      | sqrt(list_sum(list_transform(cv, x -> x * x))))""".stripMargin
+  /** Shared DuckDB cosine expression over two named vector columns
+    * (mirrors Similarity.cosine: dot / (||a||·||b||), each norm
+    * sqrt'd separately) — ONE formula, parameterized, so every oracle
+    * that scores cosine stays in lockstep. */
+  private def cosineSql(a: String, b: String): String =
+    s"""list_sum(list_transform(list_zip($a, $b), p -> p[1] * p[2])) /
+       |(sqrt(list_sum(list_transform($a, x -> x * x))) *
+       | sqrt(list_sum(list_transform($b, x -> x * x))))""".stripMargin
+
+  private val cosSql = cosineSql("qv", "cv")
 
   val all: Seq[QDef] = Seq(
 
@@ -73,9 +77,7 @@ object SimQueries {
       WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
       cent AS (SELECT vec_id AS cell, v AS centv FROM e WHERE vec_id < 8),
       scored AS (SELECT e.vec_id AS cid, e.v AS cv, cent.cell,
-        round(list_sum(list_transform(list_zip(e.v, cent.centv), p -> p[1] * p[2])) /
-              (sqrt(list_sum(list_transform(e.v, x -> x * x))) *
-               sqrt(list_sum(list_transform(cent.centv, x -> x * x)))), 6) AS cs
+        round(${cosineSql("e.v", "cent.centv")}, 6) AS cs
         FROM e CROSS JOIN cent),
       assigned AS (SELECT cid, cv, cell FROM scored
         QUALIFY row_number() OVER (PARTITION BY cid ORDER BY cs DESC, cell) = 1),
@@ -107,9 +109,7 @@ object SimQueries {
       WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
                  WHERE vec_id % 5 = 0),
       p AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-                   round(list_sum(list_transform(list_zip(a.v, b.v), p -> p[1] * p[2])) /
-                         (sqrt(list_sum(list_transform(a.v, x -> x * x))) *
-                          sqrt(list_sum(list_transform(b.v, x -> x * x)))), 3) AS sim3
+                   round(${cosineSql("a.v", "b.v")}, 3) AS sim3
             FROM e a JOIN e b ON a.vec_id < b.vec_id)
       SELECT vec_a, vec_b, sim3 FROM p WHERE sim3 >= 0.35 ORDER BY vec_a, vec_b"""),
       (s, d) => {

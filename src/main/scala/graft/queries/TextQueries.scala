@@ -64,7 +64,7 @@ object TextQueries {
         .select(col("doc_id"), col("n_chars"),
           size(col("toks")).cast(LongType).as("n_tokens"),
           size(array_distinct(col("toks"))).cast(LongType).as("n_distinct"),
-          size(expr("regexp_extract_all(text, '[a-z]+', 0)")).cast(LongType).as("n_regex_tokens"))
+          TA.regexTokenCount(col("text")).as("n_regex_tokens"))
         .orderBy("doc_id")),
 
     // Language-ID: marker-token n-gram heuristic (deterministic
@@ -103,7 +103,7 @@ object TextQueries {
       m AS (SELECT doc_id, n_chars,
         CAST(len(toks) AS BIGINT) AS n_tokens,
         CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct,
-        CAST(list_sum(list_transform(toks, t -> length(t))) AS BIGINT) AS sum_tok_chars
+        CAST(COALESCE(list_sum(list_transform(toks, t -> length(t))), 0) AS BIGINT) AS sum_tok_chars
         FROM d)
       SELECT doc_id, n_chars, n_tokens, n_distinct, sum_tok_chars,
              CASE WHEN n_tokens >= 10 AND 3 * n_distinct >= n_tokens THEN 1 ELSE 0 END AS quality_ok

@@ -39,8 +39,14 @@ object Similarity {
     * corpus rows. Similarity is rounded to 3 decimals with an id
     * tiebreak so ranking is reproducible across engines.
     *
-    * @param corpus  (cid, cv: array<double>) — the full collection
-    * @param queries (qid, qv: array<double>) — small, broadcast
+    * Scale shape: the row_number-over-window + `rank <= k` filter is
+    * rewritten by Spark into a map-side partial `WindowGroupLimit`
+    * BEFORE the exchange (verified in the physical plan), so each map
+    * partition forwards at most k rows per query — the shuffle
+    * carries O(k × partitions) rows per query, not the scored corpus.
+    *
+    * @param corpus  (cid, cv: array<float|double>) — the full collection
+    * @param queries (qid, qv: array<float|double>) — small, broadcast
     */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
     val scored = broadcast(queries).crossJoin(corpus)
@@ -53,22 +59,39 @@ object Similarity {
   }
 
   /** IVF coarse quantization: assign every vector to its
-    * highest-cosine centroid (deterministic id tiebreak). The
-    * centroid set is broadcast; assignment is one narrow pass over
-    * the corpus — at scale the assigned corpus is then written
-    * partitioned by cell so probes prune at the scan.
+    * highest-cosine centroid (deterministic smaller-cell tiebreak).
+    *
+    * The centroid set is coarse-quantizer-sized (hundreds, by
+    * definition), so it is collected to the driver and inlined as
+    * literals: assignment is then a genuinely NARROW per-row argmax —
+    * no crossJoin row expansion, no shuffle, no window. (A
+    * crossJoin + window formulation would hash-shuffle the
+    * |corpus|×|centroids| expansion just to pick each row's max.) At
+    * scale the assigned corpus is written partitioned by cell so
+    * probes prune at the scan.
     *
     * @param corpus    (cid, cv) full collection
-    * @param centroids (cell, centv) small, broadcast
+    * @param centroids (cell, centv) small — collected to the driver
     */
   def ivfAssign(corpus: DataFrame, centroids: DataFrame): DataFrame = {
-    val scored = corpus.crossJoin(broadcast(centroids))
-      .select(col("cid"), col("cv"), col("cell"),
-        round(cosine(col("cv"), col("centv")), 6).as("_cs"))
-    val w = Window.partitionBy(col("cid")).orderBy(col("_cs").desc, col("cell").asc)
-    scored.withColumn("_rn", row_number().over(w))
-      .filter(col("_rn") === 1)
-      .drop("_rn", "_cs")
+    import org.apache.spark.sql.types.{ArrayType, FloatType}
+    val rows = centroids.select(col("cell").cast("long"), col("centv")).collect()
+    require(rows.nonEmpty, "ivfAssign needs at least one centroid")
+    val elemIsFloat = centroids.schema("centv").dataType
+      .asInstanceOf[ArrayType].elementType == FloatType
+    // per-centroid scored struct; array_max picks (max cs, then max
+    // -cell) = highest cosine with the SMALLEST cell on ties
+    val scored = rows.map { r =>
+      val vec =
+        if (elemIsFloat) typedLit(r.getSeq[Float](1))
+        else typedLit(r.getSeq[Double](1))
+      struct(round(cosine(col("cv"), vec), 6).as("cs"),
+        lit(-r.getLong(0)).as("negCell"))
+    }
+    corpus
+      .withColumn("_best", array_max(array(scored.toIndexedSeq: _*)))
+      .withColumn("cell", -col("_best.negCell"))
+      .drop("_best")
   }
 
   /** IVF-style pruned top-k: candidates restricted to the query's

@@ -41,6 +41,9 @@ object NearDup {
     * exploded — NOT a union of per-band selects, which would
     * re-evaluate the upstream signature aggregation once per band. */
   def lshBands(sigs: DataFrame, id: String, k: Int, rowsPerBand: Int): DataFrame = {
+    require(k % rowsPerBand == 0,
+      s"k=$k must divide evenly into rows-per-band=$rowsPerBand — " +
+        "trailing signature rows would be silently dropped from banding")
     val bandStructs = (0 until k / rowsPerBand).map { b =>
       val cols = (b * rowsPerBand until (b + 1) * rowsPerBand).map(i => col(s"s$i"))
       struct(lit(b).as("band"), md5(concat(cols: _*)).as("bh"))

@@ -22,13 +22,17 @@ object TextAnalysis {
 
   /** BPE-ish regex token count: alpha runs (the vocabulary here is
     * all lowercase ASCII; a fuller engine would use a byte-pair
-    * pattern — the plumbing is identical). */
+    * pattern — the plumbing is identical). Built with the Column
+    * function, not an expr() string splice, so aliased/quoted/derived
+    * columns work. */
   def regexTokenCount(text: Column): Column =
-    size(expr(s"regexp_extract_all(${text.toString}, '[a-z]+', 0)")).cast(LongType)
+    size(regexp_extract_all(text, lit("[a-z]+"), lit(0))).cast(LongType)
 
-  /** Marker-token language score: how many tokens fall in `markers`. */
+  /** Marker-token language score: how many tokens fall in `markers`
+    * (empty marker list scores 0). */
   def langScore(toks: Column, markers: Seq[String]): Column =
-    size(filter(toks, t => markers.map(m => t === m).reduce(_ || _))).cast(LongType)
+    size(filter(toks, t =>
+      markers.map(m => t === m).foldLeft(lit(false))(_ || _))).cast(LongType)
 
   /** Content fingerprint invariant to token order: md5 of the sorted
     * distinct token set (a cheap bag-of-words fingerprint that
