@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Plan-shape assertions for the scale claims in README "Design for
+  * 100 TB" — these hold at any data size because they are properties
+  * of the physical plan, not of the data. */
+class ScalePlanSpec extends AnyFunSuite {
+  lazy val spark = SparkTesting.spark
+
+  private def executedPlan(df: org.apache.spark.sql.DataFrame): String = {
+    df.collect() // force AQE final plan
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("bucketed co-located join: no shuffle exchange on either side") {
+    import spark.implicits._
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    spark.sql("DROP TABLE IF EXISTS b_lineitem")
+    val o = graft.pipeline.Tables.t(spark, SparkTesting.sf, "orders")
+    val l = graft.pipeline.Tables.t(spark, SparkTesting.sf, "lineitem")
+    o.write.mode("overwrite").bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+      .saveAsTable("b_orders")
+    l.write.mode("overwrite").bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+      .saveAsTable("b_lineitem")
+    try {
+      // disable broadcast so the join would otherwise need a shuffle
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val j = spark.table("b_orders")
+        .join(spark.table("b_lineitem"), $"o_orderkey" === $"l_orderkey")
+        .groupBy("o_orderkey").agg(sum("l_quantity"))
+      val plan = executedPlan(j)
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"bucketed join must not shuffle:\n$plan")
+      assert(j.count() > 0)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10MB")
+      spark.sql("DROP TABLE IF EXISTS b_orders")
+      spark.sql("DROP TABLE IF EXISTS b_lineitem")
+    }
+  }
+
+  test("column pruning: a 2-column projection reads a 2-column schema") {
+    val df = graft.pipeline.Tables.t(spark, SparkTesting.sf, "lineitem")
+      .select("l_orderkey", "l_quantity")
+    val plan = executedPlan(df)
+    val readSchema = "ReadSchema: struct<l_orderkey:bigint,l_quantity:double>"
+    assert(plan.contains(readSchema),
+      s"expected pruned $readSchema in:\n${plan.linesIterator.filter(_.contains("ReadSchema")).mkString("\n")}")
+  }
+
+  test("predicate pushdown: watermark filter reaches the parquet scan") {
+    val df = graft.pipeline.Tables.t(spark, SparkTesting.sf, "orders")
+      .filter(col("o_orderkey") > 1000L).select("o_orderkey")
+    val plan = executedPlan(df)
+    assert(plan.contains("PushedFilters: [IsNotNull(o_orderkey), GreaterThan(o_orderkey,1000)]"),
+      s"expected pushed filter in:\n${plan.linesIterator.filter(_.contains("PushedFilters")).mkString("\n")}")
+  }
+
+  test("flagship mart: dims broadcast, exactly two wide stages post-union") {
+    val cm = graft.pipeline.ChatterMaster.chatterMaster(spark, SparkTesting.sf)
+    val plan = executedPlan(cm)
+    // every dim join is a broadcast hash join
+    assert(plan.contains("BroadcastHashJoin"))
+    // wide stages in the FINAL adaptive plan (the AQE toString appends
+    // the initial plan after a marker — don't double count): the
+    // per-contact window exchange, the final sort's range exchange,
+    // and the dim-dedup's (dim-sized, tiny) hash exchange
+    val finalPlan = plan.split("== Initial Plan ==").head
+    val shuffles = finalPlan.linesIterator.count(l =>
+      l.contains("Exchange hashpartitioning") || l.contains("Exchange rangepartitioning"))
+    assert(shuffles <= 3, s"expected <=3 shuffle exchanges, got $shuffles:\n$finalPlan")
+    // the top-N window applies its limit map-side before the shuffle
+    assert(plan.contains("WindowGroupLimit"))
+  }
+}
