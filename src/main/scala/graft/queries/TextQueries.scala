@@ -48,6 +48,18 @@ object TextQueries {
       |FROM bands a JOIN bands b ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
       |ORDER BY doc_a, doc_b""".stripMargin
 
+  /** 16-bit SimHash CTEs (tok → votes → sig), shared by the signature
+    * and candidate-pair oracles. */
+  private def simhashSigCtes(where: String): String = {
+    val v = "CAST(('0x' || substr(md5(tok), 1, 4)) AS INTEGER)"
+    val votes = (0 until 16).map(j =>
+      s"sum(CASE WHEN ($v >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS b$j").mkString(", ")
+    val bits = (0 until 16).map(j =>
+      s"CASE WHEN b$j > 0 THEN ${1L << j} ELSE 0 END").mkString(" + ")
+    s"WITH ${tokCte.format(where)}, v AS (SELECT doc_id, $votes FROM tok GROUP BY doc_id), " +
+      s"sig AS (SELECT doc_id, CAST($bits AS BIGINT) AS simhash16 FROM v)"
+  }
+
   val all: Seq[QDef] = Seq(
 
     // Token counting: whitespace tokens + BPE-ish regex tokens.
@@ -178,16 +190,30 @@ object TextQueries {
         "doc_id").orderBy("doc_a", "doc_b")),
 
     // 16-bit SimHash per doc (votes over md5-derived bits).
-    QDef("q_dedup_simhash", Some {
-      val v = "CAST(('0x' || substr(md5(tok), 1, 4)) AS INTEGER)"
-      val votes = (0 until 16).map(j =>
-        s"sum(CASE WHEN ($v >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS b$j").mkString(", ")
-      val bits = (0 until 16).map(j =>
-        s"CASE WHEN b$j > 0 THEN ${1L << j} ELSE 0 END").mkString(" + ")
-      s"WITH ${tokCte.format("")}, v AS (SELECT doc_id, $votes FROM tok GROUP BY doc_id) " +
-        s"SELECT doc_id, CAST($bits AS BIGINT) AS simhash16 FROM v ORDER BY doc_id"
-    },
+    QDef("q_dedup_simhash", Some(
+      s"${simhashSigCtes("")} SELECT doc_id, simhash16 FROM sig ORDER BY doc_id"),
       (s, d) => NearDup.simhash16(tokDf(s, d), "doc_id", "tok").orderBy("doc_id")),
+
+    // SimHash near-dup pairs: 4-nibble banding (hamming<=3 pairs must
+    // share a band by pigeonhole) then exact bit_count(xor) filter, on
+    // the 1-in-7 sample.
+    QDef("q_dedup_simhash_pairs", Some(s"""
+      ${simhashSigCtes("WHERE doc_id % 7 = 0")},
+      bands AS (
+        SELECT doc_id, 0 AS band, (simhash16 >> 0) & 15 AS bv FROM sig
+        UNION ALL SELECT doc_id, 1, (simhash16 >> 4) & 15 FROM sig
+        UNION ALL SELECT doc_id, 2, (simhash16 >> 8) & 15 FROM sig
+        UNION ALL SELECT doc_id, 3, (simhash16 >> 12) & 15 FROM sig),
+      cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+               FROM bands a JOIN bands b
+                 ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id),
+      p AS (SELECT doc_a, doc_b,
+                   CAST(bit_count(xor(sa.simhash16, sb.simhash16)) AS BIGINT) AS hamming
+            FROM cand JOIN sig sa ON doc_a = sa.doc_id JOIN sig sb ON doc_b = sb.doc_id)
+      SELECT doc_a, doc_b, hamming FROM p WHERE hamming <= 3 ORDER BY doc_a, doc_b"""),
+      (s, d) => NearDup.simhashPairs(
+        NearDup.simhash16(tokDf(s, d, Some(7)), "doc_id", "tok"),
+        "doc_id", maxHamming = 3).orderBy("doc_a", "doc_b")),
 
     // Exact token-set Jaccard near-dup pairs on a 1-in-13 sample;
     // integer cross-multiplied threshold (J >= 0.4).

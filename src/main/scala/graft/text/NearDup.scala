@@ -87,6 +87,30 @@ object NearDup {
           .reduce(_ + _).as("simhash16"))
   }
 
+  /** SimHash near-dup candidate pairs: band the 16-bit hash into 4
+    * nibbles — any pair within hamming distance ≤ 3 must agree on at
+    * least one band (pigeonhole), so candidates come from a
+    * band-bucket equi-join (never all-pairs), then the exact
+    * `bit_count(xor)` hamming filter keeps true near-dups. */
+  def simhashPairs(sigs: DataFrame, id: String, maxHamming: Int): DataFrame = {
+    val bandStructs = (0 until 4).map(b =>
+      struct(lit(b).as("band"),
+        shiftright(col("simhash16"), b * 4).bitwiseAND(lit(15L)).as("bv")))
+    val bands = sigs
+      .select(col(id), explode(array(bandStructs: _*)).as("_b"))
+      .select(col(id), col("_b.band").as("band"), col("_b.bv").as("bv"))
+    val cand = bands.select(col(id).as("doc_a"), col("band"), col("bv"))
+      .join(bands.select(col(id).as("doc_b"), col("band"), col("bv")), Seq("band", "bv"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+    cand
+      .join(sigs.select(col(id).as("doc_a"), col("simhash16").as("_ha")), "doc_a")
+      .join(sigs.select(col(id).as("doc_b"), col("simhash16").as("_hb")), "doc_b")
+      .withColumn("hamming", bit_count(col("_ha").bitwiseXOR(col("_hb"))).cast(LongType))
+      .filter(col("hamming") <= maxHamming)
+      .select("doc_a", "doc_b", "hamming")
+  }
+
   /** Exact token-set Jaccard for all pairs within `docTokens`
     * (callers bound the input — sampled or LSH-filtered). The
     * near-dup predicate uses integer cross-multiplication so the
