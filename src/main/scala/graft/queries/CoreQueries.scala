@@ -451,6 +451,58 @@ object CoreQueries {
           count(lit(1)).as("n"))
         .orderBy("l_returnflag", "l_linestatus")),
 
+    // TPC-H Q3-shape: revenue of open orders by order, 3-way join +
+    // agg + ordered limit. Revenue in DECIMAL for exact cross-engine
+    // arithmetic; (revenue, orderkey) total-orders the limit boundary.
+    QDef("q_agg_top_revenue", Some("""
+      SELECT o.o_orderkey,
+             sum(CAST(l.l_extendedprice AS DECIMAL(12,2)) *
+                 (1 - CAST(l.l_discount AS DECIMAL(12,2)))) AS revenue,
+             strftime(o.o_orderdate, '%Y-%m-%d') AS odate, o.o_orderpriority
+      FROM customer c
+      JOIN orders o ON c.c_custkey = o.o_custkey
+      JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      WHERE c.c_mktsegment = 'BUILDING' AND o.o_orderstatus = 'O'
+      GROUP BY o.o_orderkey, odate, o.o_orderpriority
+      ORDER BY revenue DESC, o.o_orderkey LIMIT 20"""),
+      (s, d) => t(s, d, "customer").filter(col("c_mktsegment") === "BUILDING")
+        .select("c_custkey")
+        .join(t(s, d, "orders").filter(col("o_orderstatus") === "O"),
+          col("c_custkey") === col("o_custkey"))
+        .join(t(s, d, "lineitem"), col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderkey"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("odate"),
+          col("o_orderpriority"))
+        .agg(sum(col("l_extendedprice").cast("decimal(12,2)") *
+          (lit(1) - col("l_discount").cast("decimal(12,2)"))).as("revenue"))
+        .select("o_orderkey", "revenue", "odate", "o_orderpriority")
+        .orderBy(col("revenue").desc, col("o_orderkey")).limit(20)),
+
+    // TPC-H Q5-shape: revenue by nation through a 4-way join chain
+    // (region → nation → customer → orders → lineitem), broadcast
+    // dims, group by nation name.
+    QDef("q_agg_nation_revenue", Some("""
+      SELECT n.n_name,
+             sum(CAST(l.l_extendedprice AS DECIMAL(12,2)) *
+                 (1 - CAST(l.l_discount AS DECIMAL(12,2)))) AS revenue,
+             count(*) AS n_items
+      FROM nation n
+      JOIN customer c ON c.c_nationkey = n.n_nationkey
+      JOIN orders o ON o.o_custkey = c.c_custkey
+      JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      GROUP BY n.n_name ORDER BY n.n_name"""),
+      (s, d) => t(s, d, "lineitem")
+        .join(t(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(t(s, d, "customer").select("c_custkey", "c_nationkey")),
+          col("o_custkey") === col("c_custkey"))
+        .join(broadcast(t(s, d, "nation")),
+          col("c_nationkey") === col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(sum(col("l_extendedprice").cast("decimal(12,2)") *
+          (lit(1) - col("l_discount").cast("decimal(12,2)"))).as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy("n_name")),
+
     // ─────────────────── §2.5 sorts / limits ──────────────────────
 
     // O1: global total-order timeline sort with explicit tiebreak
