@@ -1,9 +1,9 @@
 package graft.streaming
 
 import java.sql.Timestamp
-import org.apache.spark.sql.{DataFrame, Dataset, Row}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders, Row}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{DataStreamWriter, GroupState, GroupStateTimeout, OutputMode, Trigger}
+import org.apache.spark.sql.streaming.{DataStreamWriter, GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, Trigger, ValueState}
 
 /** Structured Streaming surface (SURVEY.md §2.9): the reference's
   * cron-micro-batch semantics mapped onto real streaming operators.
@@ -32,6 +32,41 @@ final case class DigestState(count: Long, lastTsMillis: Option[Long],
 /** Emitted digest row (one per contact per micro-batch with news). */
 final case class ContactDigest(contact_id: Long, n_events: Long,
                                last_event_ts: Timestamp, recent_types: String)
+
+/** The same per-contact digest as [[EventStream.contactDigestStream]]
+  * expressed in Spark 4's `transformWithState` arbitrary-state API:
+  * explicit named `ValueState` (RocksDB-backed, optionally TTL'd)
+  * instead of the classic GroupState. One processor instance per
+  * partition; state is keyed implicitly by the grouping key. */
+final class DigestProcessor(k: Int, ttl: TTLConfig = TTLConfig.NONE)
+    extends StatefulProcessor[Long, ContactEvent, ContactDigest] {
+
+  @transient private var state: ValueState[DigestState] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    state = getHandle.getValueState[DigestState](
+      "digest", Encoders.product[DigestState], ttl)
+
+  override def handleInputRows(contactId: Long, rows: Iterator[ContactEvent],
+                               timers: TimerValues): Iterator[ContactDigest] = {
+    val prev = if (state.exists()) state.get() else DigestState(0L, None, Vector.empty)
+    val inc = rows.toVector.sortBy(e => (e.event_ts.getTime, e.event_id))
+    if (inc.isEmpty) Iterator.empty
+    else {
+      val tail = (prev.lastK ++ inc.map(e => (e.event_ts.getTime, e.event_type)))
+        .sortBy(_._1).takeRight(k)
+      val next = DigestState(
+        prev.count + inc.size,
+        Some(math.max(prev.lastTsMillis.getOrElse(Long.MinValue),
+          inc.map(_.event_ts.getTime).max)),
+        tail)
+      state.update(next)
+      Iterator.single(ContactDigest(contactId, next.count,
+        new Timestamp(next.lastTsMillis.get),
+        next.lastK.map(_._2).mkString(", ")))
+    }
+  }
+}
 
 object EventStream {
 
@@ -96,6 +131,16 @@ object EventStream {
               next.lastK.map(_._2).mkString(", ")))
           }
       }
+  }
+
+  /** [[DigestProcessor]] wired to a grouped stream — requires the
+    * RocksDB state store provider
+    * (`spark.sql.streaming.stateStore.providerClass`). */
+  def contactDigestTransformWithState(events: Dataset[ContactEvent],
+                                      k: Int): Dataset[ContactDigest] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.contact_id)
+      .transformWithState(new DigestProcessor(k), TimeMode.None(), OutputMode.Update())
   }
 
   /** Per-micro-batch delta sink: each batch writes its own

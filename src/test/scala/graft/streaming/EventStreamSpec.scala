@@ -118,6 +118,46 @@ class EventStreamSpec extends AnyFunSuite {
     assert(spark.read.parquet(s"$root/batch_0").count() == 1)
   }
 
+  test("transformWithState digest == flatMapGroupsWithState digest (RocksDB state)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val prevProvider = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val input = MemoryStream[ContactEvent]
+      val digests = EventStream.contactDigestTransformWithState(input.toDS(), k = 3)
+      val q = digests.writeStream.format("memory").queryName("tws_digests")
+        .outputMode(OutputMode.Update).start()
+      try {
+        input.addData(
+          ContactEvent(1, 10, ts("2024-01-01 00:00:00"), "signup"),
+          ContactEvent(1, 11, ts("2024-01-01 00:01:00"), "click"),
+          ContactEvent(2, 20, ts("2024-01-01 00:02:00"), "view"))
+        q.processAllAvailable()
+        input.addData(
+          ContactEvent(1, 12, ts("2024-01-01 00:03:00"), "view"),
+          ContactEvent(1, 13, ts("2024-01-01 00:04:00"), "purchase"),
+          ContactEvent(1, 14, ts("2024-01-01 00:05:00"), "click"))
+        q.processAllAvailable()
+      } finally q.stop()
+      // identical emissions to the flatMapGroupsWithState scenario
+      val c1 = spark.sql(
+        """SELECT n_events, date_format(last_event_ts,'yyyy-MM-dd HH:mm:ss'), recent_types
+          |FROM tws_digests WHERE contact_id = 1 ORDER BY n_events DESC LIMIT 1""".stripMargin)
+        .as[(Long, String, String)].head()
+      assert(c1 == ((5L, "2024-01-01 00:05:00", "view, purchase, click")))
+      val c2 = spark.sql("SELECT n_events, recent_types FROM tws_digests WHERE contact_id = 2")
+        .as[(Long, String)].collect().toSeq
+      assert(c2 == Seq((1L, "view")))
+    } finally {
+      prevProvider match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("streaming persist-dual: micro-batches merge idempotently into raw/latest") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
