@@ -230,6 +230,27 @@ object TextQueries {
       (s, d) => NearDup.tokenJaccardPairs(tokDf(s, d, Some(13)), "doc_id", "tok", 4)
         .orderBy("doc_a", "doc_b")),
 
+    // n-gram Jaccard near-dup pairs: word-3-gram shingle sets, exact
+    // Jaccard >= 0.2 via integer cross-multiplication, 1-in-13 sample.
+    QDef("q_dedup_ngram_jaccard", Some(s"""
+      WITH d AS (SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS toks
+                 FROM documents WHERE doc_id % 13 = 0),
+      sh AS (SELECT DISTINCT doc_id, sh FROM
+        (SELECT doc_id, unnest(list_transform(range(1, greatest(len(toks) - 1, 1)),
+                i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh FROM d)),
+      sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+      inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+                FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+                GROUP BY doc_a, doc_b)
+      SELECT doc_a, doc_b, i, sa.n AS na, sb.n AS nb,
+             CASE WHEN i * 10 >= 2 * (sa.n + sb.n - i) THEN 1 ELSE 0 END AS near_dup
+      FROM inter JOIN sz sa ON doc_a = sa.doc_id JOIN sz sb ON doc_b = sb.doc_id
+      ORDER BY doc_a, doc_b"""),
+      (s, d) => NearDup.tokenJaccardPairs(
+        NearDup.shingles3(t(s, d, "documents").filter(col("doc_id") % 13 === 0),
+          "doc_id", "text"),
+        "doc_id", "sh", 2).orderBy("doc_a", "doc_b")),
+
     // Multimodal envelope metadata: binary payload column → typed
     // mapPartitions extraction (decode stubbed; plumbing real —
     // graft.multimodal.Multimodal).
