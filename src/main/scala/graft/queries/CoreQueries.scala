@@ -757,6 +757,30 @@ object CoreQueries {
           col("event_type"), col("n"), col("total_value"))
         .orderBy("window_start", "event_type")),
 
+    // Session windows (batch analog; streaming form in
+    // graft.streaming.EventStream.sessionCounts): per-user sessions
+    // close after a 1-hour event gap. Spark's session_window merges
+    // events whose timestamps are strictly closer than the gap, which
+    // the oracle mirrors as a gaps-and-islands cumulative sum.
+    QDef("q_window_session", Some(s"""
+      WITH m AS (SELECT user_id, ts, event_id, value,
+        CASE WHEN lag(ts) OVER w IS NULL
+                  OR ts - lag(ts) OVER w >= INTERVAL 1 HOUR THEN 1 ELSE 0 END AS new_s
+        FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      s AS (SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                       ROWS UNBOUNDED PRECEDING) AS sid FROM m)
+      SELECT user_id, strftime(min(ts), '$TSD') AS session_start,
+             count(*) AS n, sum(CAST(value AS DECIMAL(12,2))) AS total_value
+      FROM s GROUP BY user_id, sid
+      ORDER BY user_id, session_start"""),
+      (s, d) => t(s, d, "events")
+        .groupBy(session_window(col("ts"), "1 hour").as("w"), col("user_id"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(12,2)")).as("total_value"))
+        .select(col("user_id"), date_format(col("w.start"), TS).as("session_start"),
+          col("n"), col("total_value"))
+        .orderBy("user_id", "session_start")),
+
     // A9: per-contact digest rollup — sorted sets + last-k lines
     // folded into one template string (run_ac_extraction.py:1436-1506).
     QDef("q_digest_rollup", Some(digestOracleSql),

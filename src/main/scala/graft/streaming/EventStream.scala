@@ -82,6 +82,18 @@ object EventStream {
       .select(col("w.start").as("window_start"), col("event_type"),
         col("n"), col("total_value"))
 
+  /** Session windows per key: a session closes after `gap` of event
+    * silence; the watermark bounds open-session state (batch-analog
+    * oracle: q_window_session). */
+  def sessionCounts(events: DataFrame, key: String, gap: String,
+                    watermarkDelay: String): DataFrame =
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupBy(session_window(col("ts"), gap).as("w"), col(key))
+      .agg(count(lit(1)).as("n"))
+      .select(col(key), col("w.start").as("session_start"),
+        col("w.end").as("session_end"), col("n"))
+
   /** At-least-once input → exactly-once effect: drop redelivered
     * rows by id, state bounded by the watermark (the streaming form
     * of the reference's content-hash merge dedup). */

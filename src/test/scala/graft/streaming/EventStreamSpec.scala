@@ -48,6 +48,31 @@ class EventStreamSpec extends AnyFunSuite {
     assert(batch == got)
   }
 
+  test("session windows: gap closes a session, watermark bounds state") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Ev]
+    // two bursts for "click" separated by > 30min, one lone "view"
+    input.addData(
+      Ev(1, ts("2024-01-01 00:00:00"), "click", 1.0),
+      Ev(2, ts("2024-01-01 00:10:00"), "click", 1.0),
+      Ev(3, ts("2024-01-01 01:00:00"), "click", 1.0),
+      Ev(4, ts("2024-01-01 00:05:00"), "view", 1.0))
+    val agg = EventStream.sessionCounts(input.toDF(), "event_type", "30 minutes", "10 minutes")
+    val q = agg.writeStream.format("memory").queryName("sessions")
+      .outputMode(OutputMode.Complete).start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.sql(
+      """SELECT event_type, date_format(session_start,'HH:mm') s,
+        |date_format(session_end,'HH:mm') e, n
+        |FROM sessions ORDER BY event_type, s""".stripMargin)
+      .as[(String, String, String, Long)].collect().toSeq
+    assert(got == Seq(
+      ("click", "00:00", "00:40", 2L),  // 00:00+00:10 merge; end = last+gap
+      ("click", "01:00", "01:30", 1L),  // 50min gap starts a new session
+      ("view", "00:05", "00:35", 1L)))
+  }
+
   test("redelivered ids are dropped within the watermark (exactly-once effect)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
