@@ -757,6 +757,26 @@ object CoreQueries {
           col("event_type"), col("n"), col("total_value"))
         .orderBy("window_start", "event_type")),
 
+    // Sliding windows: 1-hour windows every 30 minutes — each event
+    // lands in 2 overlapping windows. The oracle replays Spark's
+    // window assignment by unnesting both candidate starts per event.
+    QDef("q_window_sliding", Some(s"""
+      WITH w AS (SELECT event_type, value,
+        unnest([date_trunc('hour', ts),
+                date_trunc('hour', ts - INTERVAL 30 MINUTE) + INTERVAL 30 MINUTE]) AS ws
+        FROM events)
+      SELECT strftime(ws, '$TSD') AS window_start, event_type,
+             count(*) AS n, sum(CAST(value AS DECIMAL(12,2))) AS total_value
+      FROM w GROUP BY ws, event_type
+      ORDER BY window_start, event_type"""),
+      (s, d) => t(s, d, "events")
+        .groupBy(window(col("ts"), "1 hour", "30 minutes").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(12,2)")).as("total_value"))
+        .select(date_format(col("w.start"), TS).as("window_start"),
+          col("event_type"), col("n"), col("total_value"))
+        .orderBy("window_start", "event_type")),
+
     // Session windows (batch analog; streaming form in
     // graft.streaming.EventStream.sessionCounts): per-user sessions
     // close after a 1-hour event gap. Spark's session_window merges
