@@ -145,13 +145,19 @@ object ChatterMaster {
     * partition's contacts; repartition by contact_id upstream if one
     * output dir per partition-worth of files matters. */
   def writeDigestTxt(digests: DataFrame, outDir: String): Unit = {
-    new java.io.File(outDir).mkdirs()
     digests.select(col("contact_id").cast("string"), col("digest"))
       .foreachPartition { (rows: Iterator[org.apache.spark.sql.Row]) =>
+        // mkdirs INSIDE the task: on a cluster each executor has its
+        // own filesystem — a driver-side mkdirs would not exist here
+        java.nio.file.Files.createDirectories(java.nio.file.Paths.get(outDir))
         rows.foreach { r =>
-          val p = java.nio.file.Paths.get(outDir, s"contact_${r.getString(0)}.txt")
-          java.nio.file.Files.write(p,
-            r.getString(1).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          // rows without an id or digest have nothing to write —
+          // a shared contact_null.txt or an NPE helps no one
+          if (!r.isNullAt(0) && !r.isNullAt(1)) {
+            val p = java.nio.file.Paths.get(outDir, s"contact_${r.getString(0)}.txt")
+            java.nio.file.Files.write(p,
+              r.getString(1).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          }
         }
       }
   }

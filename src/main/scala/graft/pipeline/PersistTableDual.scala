@@ -62,14 +62,36 @@ object PersistTableDual {
     // sees exactly the rows that were durably written.
     val deltaOnDisk = spark.read.parquet(paths.delta(runId))
 
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      spark.sparkContext.hadoopConfiguration)
+    // resolve the filesystem FROM the path — FileSystem.get(conf)
+    // returns the default FS and throws "Wrong FS" for any other
+    // scheme (s3a://, abfs://, ...)
     val rawPath = new org.apache.hadoop.fs.Path(paths.raw)
+    val fs = rawPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     // Explicit existence check — a broad catch would misread a
     // transient read failure as "first run" and silently rebuild the
     // lake from just this delta.
     val existingRaw =
-      if (fs.exists(rawPath)) Some(spark.read.parquet(paths.raw)) else None
+      if (fs.exists(rawPath)) {
+        // partition-value type inference re-types hive partition
+        // columns on read-back (string "07" → int 7 — the leading
+        // zero is already gone, so casting back cannot restore it),
+        // changing their canonicalForHash rendering and silently
+        // breaking dedup idempotence. Supplying an explicit schema
+        // makes partition values parse as the declared type verbatim.
+        val probe = spark.read.parquet(paths.raw)
+        val raw =
+          if (partitionCols.isEmpty) probe
+          else {
+            val desired = org.apache.spark.sql.types.StructType(probe.schema.map { f =>
+              if (partitionCols.contains(f.name))
+                stamped.schema.find(_.name == f.name)
+                  .map(d => f.copy(dataType = d.dataType)).getOrElse(f)
+              else f
+            })
+            spark.read.schema(desired).parquet(paths.raw)
+          }
+        Some(raw)
+      } else None
 
     val unioned = existingRaw.fold(deltaOnDisk)(raw => alignUnion(raw, deltaOnDisk))
     // Earliest lineage wins among content-duplicates, mirroring the

@@ -42,7 +42,7 @@ object NearDup {
     * re-evaluate the upstream signature aggregation once per band. */
   def lshBands(sigs: DataFrame, id: String, k: Int, rowsPerBand: Int): DataFrame = {
     require(k % rowsPerBand == 0,
-      s"k=$k must divide evenly into rows-per-band=$rowsPerBand — " +
+      s"rows-per-band=$rowsPerBand must divide k=$k evenly — " +
         "trailing signature rows would be silently dropped from banding")
     val bandStructs = (0 until k / rowsPerBand).map { b =>
       val cols = (b * rowsPerBand until (b + 1) * rowsPerBand).map(i => col(s"s$i"))
@@ -95,14 +95,12 @@ object NearDup {
   def simhashPairs(sigs: DataFrame, id: String, maxHamming: Int): DataFrame = {
     val bandStructs = (0 until 4).map(b =>
       struct(lit(b).as("band"),
-        shiftright(col("simhash16"), b * 4).bitwiseAND(lit(15L)).as("bv")))
+        shiftright(col("simhash16"), b * 4).bitwiseAND(lit(15L)).as("bh")))
     val bands = sigs
       .select(col(id), explode(array(bandStructs: _*)).as("_b"))
-      .select(col(id), col("_b.band").as("band"), col("_b.bv").as("bv"))
-    val cand = bands.select(col(id).as("doc_a"), col("band"), col("bv"))
-      .join(bands.select(col(id).as("doc_b"), col("band"), col("bv")), Seq("band", "bv"))
-      .filter(col("doc_a") < col("doc_b"))
-      .select("doc_a", "doc_b").distinct()
+      .select(col(id), col("_b.band").as("band"), col("_b.bh").as("bh"))
+    // same candidate-pair shape as MinHash banding — one implementation
+    val cand = lshCandidatePairs(bands, id)
     cand
       .join(sigs.select(col(id).as("doc_a"), col("simhash16").as("_ha")), "doc_a")
       .join(sigs.select(col(id).as("doc_b"), col("simhash16").as("_hb")), "doc_b")

@@ -61,6 +61,32 @@ class PersistTableDualSpec extends AnyFunSuite {
     assert(raw2 == 2)
   }
 
+  test("partitioned idempotence survives type-inferable partition values") {
+    // "07" would be re-typed int 7 by partition inference on read-back,
+    // changing its hash rendering — the explicit-schema read keeps it
+    // a string and re-persisting stays a no-op
+    val p = freshPaths()
+    val d = delta(("1", "a@x", "2024-01-01"), ("2", "b@x", "2024-02-01"))
+      .withColumn("bucket",
+        org.apache.spark.sql.functions.when(
+          org.apache.spark.sql.functions.col("contact_id") === "1", "07").otherwise("11"))
+    val (raw1, _) = persist(spark, p, d, "r1", "2026-01-01T00:00:00Z",
+      Seq("contact_id"), "updated_at", partitionCols = Seq("bucket"))
+    val (raw2, _) = persist(spark, p, d, "r2", "2026-01-02T00:00:00Z",
+      Seq("contact_id"), "updated_at", partitionCols = Seq("bucket"))
+    assert(raw1 == 2 && raw2 == 2, "redelivery must not grow partitioned raw")
+    // consumers of a hive-partitioned lake supply the schema (or
+    // disable partitionColumnTypeInference) — an inferred read would
+    // re-type "07" as int 7
+    val schema = spark.read.parquet(p.raw).schema
+    val stringed = org.apache.spark.sql.types.StructType(
+      schema.map(f => if (f.name == "bucket")
+        f.copy(dataType = org.apache.spark.sql.types.StringType) else f))
+    val buckets = spark.read.schema(stringed).parquet(p.raw).select("bucket")
+      .as[String].collect().sorted.toSeq
+    assert(buckets == Seq("07", "11"), s"leading zero must survive: $buckets")
+  }
+
   test("delta dirs are preserved per run") {
     val p = freshPaths()
     persist(spark, p, delta(("1", "a@x", "2024-01-01")), "r1",
