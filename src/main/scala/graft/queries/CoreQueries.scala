@@ -503,6 +503,18 @@ object CoreQueries {
           count(lit(1)).as("n_items"))
         .orderBy("n_name")),
 
+    // Approximate distinct counting (HLL++ sketch): cardinality of
+    // l_partkey per return flag. No SQL oracle — sketch estimates are
+    // engine-specific (driver records the rows-only check; the
+    // 2%-error bound against exact counts is asserted in
+    // SketchesSpec).
+    QDef("q_approx_distinct", None,
+      (s, d) => t(s, d, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
+          count(lit(1)).as("n"))
+        .orderBy("l_returnflag")),
+
     // ─────────────────── §2.5 sorts / limits ──────────────────────
 
     // O1: global total-order timeline sort with explicit tiebreak
