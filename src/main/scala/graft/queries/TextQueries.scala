@@ -260,6 +260,30 @@ object TextQueries {
       FROM documents ORDER BY doc_id"""),
       (s, d) => graft.multimodal.Multimodal.extractMeta(
         graft.multimodal.Multimodal.mediaFromDocuments(s, d))
-        .toDF().orderBy("doc_id"))
+        .toDF().orderBy("doc_id")),
+
+    // Multimodal feature extraction: the stub decoder samples payload
+    // bytes at fixed strides (k/256 dyadic rationals — exact in both
+    // engines' DECIMAL), which DuckDB replays with ord(substr(...)) on
+    // the ASCII corpus. A real codec swaps in behind the same
+    // mapPartitions plumbing and schema.
+    QDef("q_multimodal_features", Some {
+      val dim = 4
+      // length(text) == byte count on the ASCII corpus; // is floor
+      // division matching the stub's integer stride arithmetic
+      val cols = (0 until dim).map(i =>
+        s"CAST(ord(substr(text, (($i * length(text)) // $dim) + 1, 1)) / 256.0 AS DECIMAL(12,8)) AS f$i")
+        .mkString(", ")
+      s"SELECT doc_id, $cols FROM documents ORDER BY doc_id"
+    },
+      (s, d) => {
+        val dim = 4
+        val feats = graft.multimodal.Multimodal.extractFeatures(
+          graft.multimodal.Multimodal.mediaFromDocuments(s, d), dim).toDF()
+        feats.select(col("doc_id") +:
+          (0 until dim).map(i =>
+            element_at(col("feature"), i + 1).cast("decimal(12,8)").as(s"f$i")): _*)
+          .orderBy("doc_id")
+      })
   )
 }
