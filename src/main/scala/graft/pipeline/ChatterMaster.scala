@@ -49,8 +49,13 @@ object ChatterMaster {
 
   /** Source 1: the `events` activity stream (ts/type/value/props —
     * props is a JSON string, exercising F5 get_json_object). */
-  def conformEvents(spark: SparkSession, sfDir: String): DataFrame = {
-    val e = t(spark, sfDir, "events")
+  def conformEvents(spark: SparkSession, sfDir: String): DataFrame =
+    conformEventsFrame(t(spark, sfDir, "events"))
+
+  /** Conform projection over any frame with the events schema —
+    * batch table or stream alike (narrow, no shuffle; used by
+    * graft.streaming.EventStream.enrichedEventStream). */
+  def conformEventsFrame(e: DataFrame): DataFrame = {
     e.select(
       concat_ws(":", lit("events"), col("event_id")).as("event_id"),
       col("user_id").cast("bigint").as("contact_id"),

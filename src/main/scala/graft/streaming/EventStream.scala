@@ -82,6 +82,26 @@ object EventStream {
       .select(col("w.start").as("window_start"), col("event_type"),
         col("n"), col("total_value"))
 
+  /** Stream-static enrichment: conform a live event stream to the
+    * unified schema (narrow projection, shared with the batch
+    * flagship), then broadcast-join the static contacts dim and
+    * derive display name + chatter line — E3's enrich stage running
+    * continuously. The static side is re-resolvable per micro-batch,
+    * which is the streaming analog of the reference's dim-cache TTL
+    * (SURVEY §2.9). */
+  def enrichedEventStream(events: DataFrame, contacts: DataFrame): DataFrame = {
+    import graft.functions.Functions._
+    val conformed = graft.pipeline.ChatterMaster.conformEventsFrame(events)
+    conformed
+      .join(broadcast(contacts), Seq("contact_id"), "left")
+      .withColumn("contact_display",
+        mkName(col("contact_name"), col("segment"),
+          concat_ws("", lit("contact#"), col("contact_id"))))
+      .withColumn("chatter_line",
+        chatterLine(col("event_ts"), col("title"), col("contact_display"),
+          col("detail"), col("url")))
+  }
+
   /** Session windows per key: a session closes after `gap` of event
     * silence; the watermark bounds open-session state (batch-analog
     * oracle: q_window_session). */

@@ -8,6 +8,8 @@ import org.scalatest.funsuite.AnyFunSuite
 import graft.SparkTesting
 
 case class Ev(event_id: Long, ts: Timestamp, event_type: String, value: Double)
+case class EvFull(event_id: Long, ts: Timestamp, user_id: Long,
+                  event_type: String, value: Double, props: String)
 
 class EventStreamSpec extends AnyFunSuite {
   lazy val spark = SparkTesting.spark
@@ -129,6 +131,31 @@ class EventStreamSpec extends AnyFunSuite {
     val c2 = spark.sql("SELECT n_events, recent_types FROM digests WHERE contact_id = 2")
       .as[(Long, String)].collect().toSeq
     assert(c2 == Seq((1L, "view")))
+  }
+
+  test("stream-static enrichment: conformed stream broadcast-joins the contacts dim") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[EvFull]
+    val contacts = Seq((7L, "Alice Retail", "RETAIL"))
+      .toDF("contact_id", "contact_name", "segment")
+    input.addData(
+      EvFull(1, ts("2024-01-01 00:00:00"), 7, "click", 1.0, """{"k":"v1"}"""),
+      EvFull(2, ts("2024-01-01 00:01:00"), 8, "view", 2.0, """{"k":"v2"}"""))
+    val enriched = EventStream.enrichedEventStream(input.toDF(), contacts)
+    val q = enriched.writeStream.format("memory").queryName("enriched_stream")
+      .outputMode(OutputMode.Append).start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.sql(
+      """SELECT contact_id, contact_display, chatter_line
+        |FROM enriched_stream ORDER BY contact_id""".stripMargin)
+      .as[(Long, String, String)].collect().toSeq
+    assert(got.size == 2)
+    assert(got(0) == ((7L,
+      "Alice Retail RETAIL",
+      "2024-01-01 00:00:00 — activity click — Alice Retail RETAIL — v1 — https://example.test/events/1")))
+    // unmatched contact falls back to contact#id; join stays left
+    assert(got(1)._2 == "contact#8")
   }
 
   test("foreachBatch delta sink writes batchId-keyed dirs") {
