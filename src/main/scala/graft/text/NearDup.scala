@@ -52,14 +52,25 @@ object NearDup {
       .select(col(id), col("_b.band").as("band"), col("_b.bh").as("bh"))
   }
 
-  /** Distinct candidate pairs (a<b) from band buckets. */
-  def lshCandidatePairs(bands: DataFrame, id: String): DataFrame = {
-    val a = bands.select(col(id).as("doc_a"), col("band"), col("bh"))
-    val b = bands.select(col(id).as("doc_b"), col("band"), col("bh"))
-    a.join(b, Seq("band", "bh"))
-      .filter(col("doc_a") < col("doc_b"))
-      .select("doc_a", "doc_b").distinct()
-  }
+  /** Distinct candidate pairs (a<b) from band buckets.
+    *
+    * Pairs are generated WITHIN each bucket (collect ids per
+    * (band, hash), emit the sorted combinations) rather than by a
+    * bucket self-join — a self-join would re-evaluate the whole
+    * upstream signature pipeline once per side. Bucket membership
+    * lists are small by LSH design; a production corpus would also
+    * cap pathological buckets (a mega-bucket is a near-useless
+    * candidate set anyway). */
+  def lshCandidatePairs(bands: DataFrame, id: String): DataFrame =
+    bands.groupBy("band", "bh")
+      .agg(array_sort(collect_list(col(id))).as("_ids"))
+      .filter(size(col("_ids")) > 1)
+      .select(explode(expr(
+        """flatten(transform(_ids, (x, i) ->
+          |  transform(slice(_ids, i + 2, size(_ids) - i - 1), y ->
+          |    struct(x AS doc_a, y AS doc_b))))""".stripMargin)).as("_p"))
+      .select(col("_p.doc_a").as("doc_a"), col("_p.doc_b").as("doc_b"))
+      .distinct()
 
   /** Word 3-gram shingles (distinct) per doc; docs with <3 tokens
     * yield none. */
