@@ -43,10 +43,12 @@ object Multimodal {
   /** STUB decode: a real build would decode the codec here (JPEG /
     * PCM / container demux). We emit deterministic pseudo-features:
     * `dim` byte samples at fixed strides, normalized to [0,1). */
-  private def stubDecode(data: Array[Byte], dim: Int): Array[Double] = {
-    val n = math.max(data.length, 1)
-    Array.tabulate(dim)(i => (data((i.toLong * n / dim).toInt % n) & 0xff) / 256.0)
-  }
+  private def stubDecode(data: Array[Byte], dim: Int): Array[Double] =
+    if (data.isEmpty) Array.fill(dim)(0.0) // empty payload → zero vector
+    else {
+      val n = data.length
+      Array.tabulate(dim)(i => (data((i.toLong * n / dim).toInt % n) & 0xff) / 256.0)
+    }
 
   /** Extract envelope metadata from a binary media column.
     * One digest instance per partition (the mapPartitions batch

@@ -134,14 +134,20 @@ object ChatterMaster {
       nations, col("_natkey"), "n_nationkey", "n_name", "nation_name")
       .drop("_natkey")
 
-    enriched
-      .withColumn("contact_display",
-        mkName(col("contact_name"), col("segment"), concat_ws("", lit("contact#"), col("contact_id"))))
-      .withColumn("chatter_line",
-        chatterLine(col("event_ts"), col("title"), col("contact_display"),
-                    col("detail"), col("url")))
+    withDisplayAndLine(enriched)
       .orderBy(col("contact_id").asc, col("event_ts").asc_nulls_last, col("event_id").asc)
   }
+
+  /** F1+F2 enrich derivation — display name with `contact#id`
+    * fallback plus the chatter line; shared by the batch mart and the
+    * streaming enrichment so the formats cannot drift. */
+  def withDisplayAndLine(df: DataFrame): DataFrame =
+    df.withColumn("contact_display",
+        mkName(col("contact_name"), col("segment"),
+          concat_ws("", lit("contact#"), col("contact_id"))))
+      .withColumn("chatter_line",
+        chatterLine(col("event_ts"), col("title"), col("contact_display"),
+          col("detail"), col("url")))
 
   /** S9 — per-contact digest TXT sink (run_ac_extraction.py:1684-1692):
     * one `<outDir>/contact_<id>.txt` per contact, written from the
@@ -150,6 +156,9 @@ object ChatterMaster {
     * partition's contacts; repartition by contact_id upstream if one
     * output dir per partition-worth of files matters. */
   def writeDigestTxt(digests: DataFrame, outDir: String): Unit = {
+    // driver-side too: a zero-partition frame runs no tasks, and
+    // consumers still expect the (empty) directory to exist
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(outDir))
     digests.select(col("contact_id").cast("string"), col("digest"))
       .foreachPartition { (rows: Iterator[org.apache.spark.sql.Row]) =>
         // mkdirs INSIDE the task: on a cluster each executor has its

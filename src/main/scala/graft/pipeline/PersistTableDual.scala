@@ -33,6 +33,28 @@ object PersistTableDual {
     val latest = s"$root/master/latest/$table"
   }
 
+  /** Read master/raw with hive partition columns forced back to their
+    * authoritative (delta-schema) types: partition-value inference
+    * would re-type string "07" as int 7 — the leading zero is already
+    * gone after inference, so only an explicit read schema preserves
+    * it. Case-insensitive name matching mirrors Spark's resolution. */
+  private def readRawTyped(spark: SparkSession,
+                           paths: Paths,
+                           authoritative: org.apache.spark.sql.types.StructType,
+                           partitionCols: Seq[String]): DataFrame = {
+    val probe = spark.read.parquet(paths.raw)
+    if (partitionCols.isEmpty) probe
+    else {
+      val desired = org.apache.spark.sql.types.StructType(probe.schema.map { f =>
+        if (partitionCols.exists(_.equalsIgnoreCase(f.name)))
+          authoritative.find(_.name.equalsIgnoreCase(f.name))
+            .map(d => f.copy(dataType = d.dataType)).getOrElse(f)
+        else f
+      })
+      spark.read.schema(desired).parquet(paths.raw)
+    }
+  }
+
   /** Lineage stamp (P1): constant run_id + extraction time. The
     * extractedAt literal is injected (not wall-clock) so runs are
     * replayable/deterministic. */
@@ -78,19 +100,7 @@ object PersistTableDual {
         // changing their canonicalForHash rendering and silently
         // breaking dedup idempotence. Supplying an explicit schema
         // makes partition values parse as the declared type verbatim.
-        val probe = spark.read.parquet(paths.raw)
-        val raw =
-          if (partitionCols.isEmpty) probe
-          else {
-            val desired = org.apache.spark.sql.types.StructType(probe.schema.map { f =>
-              if (partitionCols.contains(f.name))
-                stamped.schema.find(_.name == f.name)
-                  .map(d => f.copy(dataType = d.dataType)).getOrElse(f)
-              else f
-            })
-            spark.read.schema(desired).parquet(paths.raw)
-          }
-        Some(raw)
+        Some(readRawTyped(spark, paths, stamped.schema, partitionCols))
       } else None
 
     val unioned = existingRaw.fold(deltaOnDisk)(raw => alignUnion(raw, deltaOnDisk))
@@ -112,7 +122,10 @@ object PersistTableDual {
     if (!fs.rename(new org.apache.hadoop.fs.Path(stage), rawPath))
       throw new java.io.IOException(s"failed to move staged raw into $rawPath")
 
-    val raw = spark.read.parquet(paths.raw)
+    // same typed read here — an inferred re-read would feed
+    // latestSnapshot re-typed partition values and write a corrupted
+    // master/latest even though raw is correct
+    val raw = readRawTyped(spark, paths, stamped.schema, partitionCols)
     val latest = latestSnapshot(raw, keyCols,
       col(updatedAtCol), col("extracted_at"))
     partitioned(latest.write.mode("overwrite")).parquet(paths.latest)

@@ -272,7 +272,9 @@ object TextQueries {
       // length(text) == byte count on the ASCII corpus; // is floor
       // division matching the stub's integer stride arithmetic
       val cols = (0 until dim).map(i =>
-        s"CAST(ord(substr(text, (($i * length(text)) // $dim) + 1, 1)) / 256.0 AS DECIMAL(12,8)) AS f$i")
+        s"CAST(CASE WHEN length(text) = 0 THEN 0 ELSE " +
+          s"ord(substr(text, (($i * length(text)) // $dim) + 1, 1)) END / 256.0 " +
+          s"AS DECIMAL(12,8)) AS f$i")
         .mkString(", ")
       s"SELECT doc_id, $cols FROM documents ORDER BY doc_id"
     },

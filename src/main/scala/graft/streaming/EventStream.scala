@@ -89,18 +89,10 @@ object EventStream {
     * continuously. The static side is re-resolvable per micro-batch,
     * which is the streaming analog of the reference's dim-cache TTL
     * (SURVEY §2.9). */
-  def enrichedEventStream(events: DataFrame, contacts: DataFrame): DataFrame = {
-    import graft.functions.Functions._
-    val conformed = graft.pipeline.ChatterMaster.conformEventsFrame(events)
-    conformed
-      .join(broadcast(contacts), Seq("contact_id"), "left")
-      .withColumn("contact_display",
-        mkName(col("contact_name"), col("segment"),
-          concat_ws("", lit("contact#"), col("contact_id"))))
-      .withColumn("chatter_line",
-        chatterLine(col("event_ts"), col("title"), col("contact_display"),
-          col("detail"), col("url")))
-  }
+  def enrichedEventStream(events: DataFrame, contacts: DataFrame): DataFrame =
+    graft.pipeline.ChatterMaster.withDisplayAndLine(
+      graft.pipeline.ChatterMaster.conformEventsFrame(events)
+        .join(broadcast(contacts), Seq("contact_id"), "left"))
 
   /** Session windows per key: a session closes after `gap` of event
     * silence; the watermark bounds open-session state (batch-analog

@@ -70,6 +70,9 @@ object NearDup {
           |  transform(slice(_ids, i + 2, size(_ids) - i - 1), y ->
           |    struct(x AS doc_a, y AS doc_b))))""".stripMargin)).as("_p"))
       .select(col("_p.doc_a").as("doc_a"), col("_p.doc_b").as("doc_b"))
+      // strict: duplicate id rows in the input would otherwise emit
+      // (A, A) self-pairs from the sorted bucket list
+      .filter(col("doc_a") < col("doc_b"))
       .distinct()
 
   /** Word 3-gram shingles (distinct) per doc; docs with <3 tokens

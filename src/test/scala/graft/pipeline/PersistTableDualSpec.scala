@@ -85,6 +85,13 @@ class PersistTableDualSpec extends AnyFunSuite {
     val buckets = spark.read.schema(stringed).parquet(p.raw).select("bucket")
       .as[String].collect().sorted.toSeq
     assert(buckets == Seq("07", "11"), s"leading zero must survive: $buckets")
+    // master/latest is built from a re-read of raw — its on-disk dirs
+    // must keep the string value too (a bypassed typed read wrote
+    // bucket=7 here while raw stayed correct)
+    val latestDirs = new java.io.File(p.latest).listFiles()
+      .map(_.getName).filter(_.startsWith("bucket=")).sorted.toSeq
+    assert(latestDirs == Seq("bucket=07", "bucket=11"),
+      s"latest partition dirs re-typed: $latestDirs")
   }
 
   test("delta dirs are preserved per run") {
