@@ -71,6 +71,34 @@ object Multimodal {
     }
   }
 
+  /** One sampled "frame": a contiguous byte slice of the payload with
+    * envelope stats a real demuxer would emit. */
+  final case class MediaFrame(doc_id: Long, frame_id: Int, n_bytes: Long,
+                              first_b: Int, last_b: Int, frame_fp: String)
+
+  /** Frame sampling: split each payload into `frames` contiguous
+    * slices (video frame-sample / audio chunking stand-in) — a
+    * row-generating (UDTF-shaped) transform via mapPartitions
+    * flatMap; empty payloads and empty tail slices yield no rows. */
+  def frameSample(media: Dataset[MediaRow], frames: Int): Dataset[MediaFrame] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.flatMap { r =>
+        val n = r.data.length
+        (0 until frames).iterator.flatMap { f =>
+          val from = (f.toLong * n / frames).toInt
+          val until = ((f + 1).toLong * n / frames).toInt
+          if (until <= from) None
+          else {
+            val slice = java.util.Arrays.copyOfRange(r.data, from, until)
+            Some(MediaFrame(r.doc_id, f, slice.length.toLong,
+              slice.head & 0xff, slice.last & 0xff, md5hex(slice).substring(0, 8)))
+          }
+        }
+      }
+    }
+  }
+
   /** Documents table → MediaRow dataset (text bytes standing in for
     * a real media payload; schema/partitioning identical). */
   def mediaFromDocuments(spark: SparkSession, sfDir: String): Dataset[MediaRow] = {

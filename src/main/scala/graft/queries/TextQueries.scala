@@ -262,6 +262,30 @@ object TextQueries {
         graft.multimodal.Multimodal.mediaFromDocuments(s, d))
         .toDF().orderBy("doc_id")),
 
+    // Multimodal frame sampling: one row per contiguous payload slice
+    // (video frame-sample / audio chunk stand-in) — a row-generating
+    // transform whose oracle replays the slice arithmetic with
+    // substr on the ASCII corpus.
+    QDef("q_multimodal_frames", Some {
+      val frames = 3
+      s"""
+      WITH f AS (SELECT doc_id, text, unnest(range(0, $frames)) AS frame_id FROM documents),
+      s AS (SELECT doc_id, CAST(frame_id AS INTEGER) AS frame_id,
+                   (frame_id * length(text)) // $frames AS fr,
+                   ((frame_id + 1) * length(text)) // $frames AS un,
+                   text
+            FROM f)
+      SELECT doc_id, frame_id, CAST(un - fr AS BIGINT) AS n_bytes,
+             ord(substr(text, CAST(fr + 1 AS INTEGER), 1)) AS first_b,
+             ord(substr(text, CAST(un AS INTEGER), 1)) AS last_b,
+             substr(md5(substr(text, CAST(fr + 1 AS INTEGER), CAST(un - fr AS INTEGER))), 1, 8) AS frame_fp
+      FROM s WHERE un > fr
+      ORDER BY doc_id, frame_id"""
+    },
+      (s, d) => graft.multimodal.Multimodal.frameSample(
+        graft.multimodal.Multimodal.mediaFromDocuments(s, d), 3)
+        .toDF().orderBy("doc_id", "frame_id")),
+
     // Multimodal feature extraction: the stub decoder samples payload
     // bytes at fixed strides (k/256 dyadic rationals — exact in both
     // engines' DECIMAL), which DuckDB replays with ord(substr(...)) on

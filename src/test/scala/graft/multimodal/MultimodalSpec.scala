@@ -30,6 +30,23 @@ class MultimodalSpec extends AnyFunSuite {
     assert(f1.feature.toSeq == f2.feature.toSeq)
   }
 
+  test("frameSample: slices cover the payload; empty and short payloads behave") {
+    import spark.implicits._
+    val media = Seq(
+      MediaRow(1L, "video/fake", "abcdefghij".getBytes), // 10 bytes, 3 frames
+      MediaRow(2L, "video/fake", Array.emptyByteArray),  // no frames
+      MediaRow(3L, "video/fake", "xy".getBytes)          // 2 bytes < 3 frames
+    ).toDS()
+    val frames = frameSample(media, 3).collect().sortBy(f => (f.doc_id, f.frame_id))
+    val d1 = frames.filter(_.doc_id == 1L)
+    assert(d1.map(_.n_bytes).sum == 10, "slices must cover every byte exactly once")
+    assert(d1.map(_.frame_id).toSeq == Seq(0, 1, 2))
+    assert(d1.head.first_b == 'a'.toInt && d1.last.last_b == 'j'.toInt)
+    assert(frames.count(_.doc_id == 2L) == 0, "empty payload yields no frames")
+    val d3 = frames.filter(_.doc_id == 3L)
+    assert(d3.map(_.n_bytes).sum == 2 && d3.length == 2, "short payload: only non-empty slices")
+  }
+
   test("documents → media rows plumbing at sf0.001") {
     val media = mediaFromDocuments(spark, SparkTesting.sf)
     val metas = extractMeta(media)
