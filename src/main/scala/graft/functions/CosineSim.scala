@@ -121,6 +121,8 @@ object CosineSim {
 /** SparkSessionExtensions installer: `spark.sql.extensions=graft.functions.GraftExtensions`
   * (or `.withExtensions(new GraftExtensions)`). */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(CosineSim.registration)
+    ext.injectFunction(RollingMinHash.registration)
+  }
 }

@@ -147,6 +147,31 @@ object TextQueries {
           TA.bowFingerprint(col("toks")).as("fp_bow"))
         .orderBy("doc_id")),
 
+    // Rolling-hash document fingerprint (winnowing-lite): min of the
+    // 8-byte-window Rabin–Karp polynomial hashes, computed O(n) by
+    // the native codegen'd RollingMinHash expression; the oracle
+    // recomputes each window O(n·k) from the same canonical
+    // polynomial — identical values.
+    QDef("q_doc_fingerprint_rolling", Some {
+      val k = 8; val B = 257L; val M = 1000000007L
+      val pows = (0 until k).map { j => // B^(k-1-j) mod M
+        var r = 1L; (0 until (k - 1 - j)).foreach(_ => r = r * B % M); r
+      }
+      val terms = (0 until k).map(j =>
+        s"CAST(ord(substr(text, CAST(i + $j AS INTEGER), 1)) AS BIGINT) * ${pows(j)}")
+        .mkString(" + ")
+      s"""
+      WITH d AS (SELECT doc_id, text, length(text) AS n FROM documents WHERE length(text) >= $k),
+      w AS (SELECT doc_id, text, unnest(range(1, n - $k + 2)) AS i FROM d)
+      SELECT doc_id, min(($terms) % $M) AS fp_roll
+      FROM w GROUP BY doc_id ORDER BY doc_id"""
+    },
+      (s, d) => t(s, d, "documents")
+        .filter(length(col("text")) >= 8)
+        .select(col("doc_id"),
+          graft.functions.RollingMinHash(col("text"), 8).as("fp_roll"))
+        .orderBy("doc_id")),
+
     // Exact dedup by content hash; smallest doc_id survives.
     QDef("q_dedup_exact", Some("""
       SELECT md5(text) AS fp, min(doc_id) AS keep_id, count(*) AS n_dupes
