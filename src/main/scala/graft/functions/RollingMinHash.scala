@@ -98,10 +98,23 @@ object RollingMinHash {
   def apply(text: Column, k: Int): Column =
     GraftColumnBridge.column(RollingMinHash(GraftColumnBridge.expression(text), k))
 
-  /** SQL registration: `rolling_min_hash(text, k)` (k a foldable int). */
+  /** SQL registration: `rolling_min_hash(text, k)` (k a foldable
+    * integer literal) — malformed calls get clean analysis-time
+    * errors, not internal ClassCast/IndexOutOfBounds. */
   val registration: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
     FunctionIdentifier("rolling_min_hash"),
     new ExpressionInfo(classOf[RollingMinHash].getName, "rolling_min_hash"),
-    (children: Seq[Expression]) => RollingMinHash(children(0),
-      children(1).eval().asInstanceOf[Int]))
+    (children: Seq[Expression]) => {
+      def bad(msg: String) =
+        throw new IllegalArgumentException(s"rolling_min_hash(text, k): $msg")
+      if (children.size != 2) bad(s"expects 2 arguments, got ${children.size}")
+      if (!children(1).foldable) bad("k must be a literal")
+      children(1).eval() match {
+        case i: Int => RollingMinHash(children(0), i)
+        case l: Long => RollingMinHash(children(0), l.toInt)
+        case s: Short => RollingMinHash(children(0), s.toInt)
+        case null => bad("k must not be NULL"); null
+        case other => bad(s"k must be an integer, got $other"); null
+      }
+    })
 }

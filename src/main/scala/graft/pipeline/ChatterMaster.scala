@@ -156,9 +156,13 @@ object ChatterMaster {
     * partition's contacts; repartition by contact_id upstream if one
     * output dir per partition-worth of files matters. */
   def writeDigestTxt(digests: DataFrame, outDir: String): Unit = {
-    // driver-side too: a zero-partition frame runs no tasks, and
-    // consumers still expect the (empty) directory to exist
-    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(outDir))
+    // driver-side too (best-effort): a zero-partition frame runs no
+    // tasks, and consumers still expect the (empty) directory to
+    // exist. Best-effort because on a cluster the driver host may not
+    // share the executors' filesystem — the task-side mkdirs below is
+    // the authoritative one.
+    try java.nio.file.Files.createDirectories(java.nio.file.Paths.get(outDir))
+    catch { case _: Exception => () }
     digests.select(col("contact_id").cast("string"), col("digest"))
       .foreachPartition { (rows: Iterator[org.apache.spark.sql.Row]) =>
         // mkdirs INSIDE the task: on a cluster each executor has its

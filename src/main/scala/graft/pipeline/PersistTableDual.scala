@@ -41,11 +41,15 @@ object PersistTableDual {
   private def readRawTyped(spark: SparkSession,
                            paths: Paths,
                            authoritative: org.apache.spark.sql.types.StructType,
-                           partitionCols: Seq[String]): DataFrame = {
-    val probe = spark.read.parquet(paths.raw)
-    if (partitionCols.isEmpty) probe
+                           partitionCols: Seq[String],
+                           knownSchema: Option[org.apache.spark.sql.types.StructType] = None)
+      : DataFrame = {
+    if (partitionCols.isEmpty) spark.read.parquet(paths.raw)
     else {
-      val desired = org.apache.spark.sql.types.StructType(probe.schema.map { f =>
+      // base layout from the caller when it already has it (saves a
+      // probe read's file listing + footer scan), else probe once
+      val base = knownSchema.getOrElse(spark.read.parquet(paths.raw).schema)
+      val desired = org.apache.spark.sql.types.StructType(base.map { f =>
         if (partitionCols.exists(_.equalsIgnoreCase(f.name)))
           authoritative.find(_.name.equalsIgnoreCase(f.name))
             .map(d => f.copy(dataType = d.dataType)).getOrElse(f)
@@ -124,8 +128,10 @@ object PersistTableDual {
 
     // same typed read here — an inferred re-read would feed
     // latestSnapshot re-typed partition values and write a corrupted
-    // master/latest even though raw is correct
-    val raw = readRawTyped(spark, paths, stamped.schema, partitionCols)
+    // master/latest even though raw is correct; deduped.schema is the
+    // just-written layout, so no probe read is needed
+    val raw = readRawTyped(spark, paths, stamped.schema, partitionCols,
+      knownSchema = Some(deduped.schema))
     val latest = latestSnapshot(raw, keyCols,
       col(updatedAtCol), col("extracted_at"))
     partitioned(latest.write.mode("overwrite")).parquet(paths.latest)

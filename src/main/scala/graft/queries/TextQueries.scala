@@ -151,9 +151,13 @@ object TextQueries {
     // 8-byte-window Rabin–Karp polynomial hashes, computed O(n) by
     // the native codegen'd RollingMinHash expression; the oracle
     // recomputes each window O(n·k) from the same canonical
-    // polynomial — identical values.
+    // polynomial — identical values. NOTE: byte/char equivalence (the
+    // expression hashes UTF-8 bytes, the oracle indexes chars) holds
+    // because the corpus is ASCII — same assumption as
+    // q_multimodal_features.
     QDef("q_doc_fingerprint_rolling", Some {
-      val k = 8; val B = 257L; val M = 1000000007L
+      import graft.functions.RollingMinHash.{Base => B, Mod => M}
+      val k = 8
       val pows = (0 until k).map { j => // B^(k-1-j) mod M
         var r = 1L; (0 until (k - 1 - j)).foreach(_ => r = r * B % M); r
       }

@@ -11,7 +11,8 @@ class RollingMinHashSpec extends AnyFunSuite {
   /** Direct O(n·k) reference: min over windows of the canonical
     * polynomial — must equal the O(1)-update rolling form. */
   private def direct(s: String, k: Int): Option[Long] = {
-    val b = s.getBytes("UTF-8"); val B = 257L; val M = 1000000007L
+    val b = s.getBytes("UTF-8")
+    val B = RollingMinHash.Base; val M = RollingMinHash.Mod
     if (b.length < k) None
     else Some((0 to b.length - k).map { i =>
       (i until i + k).foldLeft(0L)((h, j) => (h * B + (b(j) & 0xff)) % M)
@@ -46,9 +47,29 @@ class RollingMinHashSpec extends AnyFunSuite {
     val prev = spark.conf.get("spark.sql.codegen.factoryMode", "FALLBACK")
     spark.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
     try {
-      val v = spark.sql("SELECT rolling_min_hash('abcdefghij', 8) AS fp")
+      // non-foldable input: a literal argument would be constant-folded
+      // through interpreted eval and never exercise doGenCode
+      val v = Seq("abcdefghij").toDF("t")
+        .selectExpr("rolling_min_hash(t, 8) AS fp")
         .head().getLong(0)
       assert(v == direct("abcdefghij", 8).get)
     } finally spark.conf.set("spark.sql.codegen.factoryMode", prev)
+  }
+
+  test("SQL misuse gets clean errors, not internal exceptions") {
+    val e1 = intercept[Exception] {
+      Seq("x").toDF("t").selectExpr("rolling_min_hash(t)").collect()
+    }
+    assert(e1.getMessage.contains("rolling_min_hash") ||
+      e1.getCause != null && e1.getCause.getMessage.contains("rolling_min_hash"))
+    val e2 = intercept[Exception] {
+      Seq("x").toDF("t").selectExpr("rolling_min_hash(t, t)").collect()
+    }
+    assert(e2.getMessage.contains("literal") ||
+      e2.getCause != null && e2.getCause.getMessage.contains("literal"))
+    // BIGINT literal k is accepted (widened), not a ClassCastException
+    val ok = Seq("abcdefghij").toDF("t")
+      .selectExpr("rolling_min_hash(t, CAST(8 AS BIGINT)) AS fp").head().getLong(0)
+    assert(ok == direct("abcdefghij", 8).get)
   }
 }
