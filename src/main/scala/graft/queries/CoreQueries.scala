@@ -99,16 +99,20 @@ object CoreQueries {
     // equi-join driving table × detail; run_ac_extraction.py:422-441).
     QDef("q_src_fanout", Some("""
       SELECT o.o_orderkey, l.l_linenumber, l.l_partkey,
-             CAST(l.l_quantity AS DECIMAL(12,2)) AS quantity
+             CAST(CAST(l.l_quantity AS DECIMAL(12,2)) AS VARCHAR) AS quantity
       FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
-      ORDER BY o.o_orderkey, l.l_linenumber, l.l_partkey, quantity"""),
+      ORDER BY o.o_orderkey, l.l_linenumber, l.l_partkey,
+               CAST(l.l_quantity AS DECIMAL(12,2))"""),
       // (o_orderkey, l_linenumber) is NOT unique in the synthetic
       // lineitem — l_partkey + quantity complete the total order.
+      // quantity rendered as string (decimal byte-widths hash
+      // differently across engines); ORDER BY stays numeric.
       (s, d) => t(s, d, "orders").select("o_orderkey")
         .join(t(s, d, "lineitem"), col("o_orderkey") === col("l_orderkey"))
         .select(col("o_orderkey"), col("l_linenumber"), col("l_partkey"),
-          col("l_quantity").cast("decimal(12,2)").as("quantity"))
-        .orderBy("o_orderkey", "l_linenumber", "l_partkey", "quantity")),
+          col("l_quantity").cast("decimal(12,2)").cast("string").as("quantity"))
+        .orderBy(col("o_orderkey"), col("l_linenumber"), col("l_partkey"),
+          col("quantity").cast("decimal(12,2)"))),
 
     // ──────────────── §2.2 projection / derivation ────────────────
 
@@ -306,19 +310,22 @@ object CoreQueries {
     // (run_deals_bundle, run_ac_extraction.py:836-861).
     QDef("q_join_nested_fanout", Some("""
       SELECT c.c_custkey, o.o_orderkey, l.l_linenumber,
-             CAST(l.l_extendedprice AS DECIMAL(12,2)) AS price
+             CAST(CAST(l.l_extendedprice AS DECIMAL(12,2)) AS VARCHAR) AS price
       FROM customer c
       JOIN orders o ON c.c_custkey = o.o_custkey
       JOIN lineitem l ON o.o_orderkey = l.l_orderkey
-      ORDER BY c.c_custkey, o.o_orderkey, l.l_linenumber, price"""),
+      ORDER BY c.c_custkey, o.o_orderkey, l.l_linenumber,
+               CAST(l.l_extendedprice AS DECIMAL(12,2))"""),
       (s, d) => broadcast(t(s, d, "customer").select("c_custkey"))
         .join(t(s, d, "orders"), col("c_custkey") === col("o_custkey"))
         .join(t(s, d, "lineitem"), col("o_orderkey") === col("l_orderkey"))
         .select(col("c_custkey"), col("o_orderkey"), col("l_linenumber"),
-          col("l_extendedprice").cast("decimal(12,2)").as("price"))
+          col("l_extendedprice").cast("decimal(12,2)").cast("string").as("price"))
         // (l_orderkey, l_linenumber) is NOT unique in the synthetic
-        // testdata — price completes the total order.
-        .orderBy("c_custkey", "o_orderkey", "l_linenumber", "price")),
+        // testdata — price completes the total order. price rendered
+        // as string (cross-engine decimal hashing); ORDER BY numeric.
+        .orderBy(col("c_custkey"), col("o_orderkey"), col("l_linenumber"),
+          col("price").cast("decimal(12,2)"))),
 
     // J6: email→contact_id resolution (run_ac_extraction.py:315-327).
     QDef("q_join_email_resolve", Some("""
@@ -440,14 +447,17 @@ object CoreQueries {
     // cross-engine arithmetic.
     QDef("q_agg_pricing_summary", Some("""
       SELECT l_returnflag, l_linestatus,
-             sum(CAST(l_quantity AS DECIMAL(12,2))) AS sum_qty,
-             sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS sum_price,
+             CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS VARCHAR) AS sum_qty,
+             CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS VARCHAR) AS sum_price,
              count(*) AS n
       FROM lineitem GROUP BY l_returnflag, l_linestatus
       ORDER BY l_returnflag, l_linestatus"""),
+      // sums rendered as strings: Spark widens sum(DECIMAL(12,2)) to
+      // DECIMAL(22,2), DuckDB to DECIMAL(38,2) — same value, different
+      // hash; the string render is identical (scale 2 both).
       (s, d) => t(s, d, "lineitem").groupBy("l_returnflag", "l_linestatus")
-        .agg(sum(col("l_quantity").cast("decimal(12,2)")).as("sum_qty"),
-          sum(col("l_extendedprice").cast("decimal(12,2)")).as("sum_price"),
+        .agg(sum(col("l_quantity").cast("decimal(12,2)")).cast("string").as("sum_qty"),
+          sum(col("l_extendedprice").cast("decimal(12,2)")).cast("string").as("sum_price"),
           count(lit(1)).as("n"))
         .orderBy("l_returnflag", "l_linestatus")),
 
@@ -456,15 +466,19 @@ object CoreQueries {
     // arithmetic; (revenue, orderkey) total-orders the limit boundary.
     QDef("q_agg_top_revenue", Some("""
       SELECT o.o_orderkey,
-             sum(CAST(l.l_extendedprice AS DECIMAL(12,2)) *
-                 (1 - CAST(l.l_discount AS DECIMAL(12,2)))) AS revenue,
+             CAST(sum(CAST(l.l_extendedprice AS DECIMAL(12,2)) *
+                 (1 - CAST(l.l_discount AS DECIMAL(12,2)))) AS VARCHAR) AS revenue,
              strftime(o.o_orderdate, '%Y-%m-%d') AS odate, o.o_orderpriority
       FROM customer c
       JOIN orders o ON c.c_custkey = o.o_custkey
       JOIN lineitem l ON l.l_orderkey = o.o_orderkey
       WHERE c.c_mktsegment = 'BUILDING' AND o.o_orderstatus = 'O'
       GROUP BY o.o_orderkey, odate, o.o_orderpriority
-      ORDER BY revenue DESC, o.o_orderkey LIMIT 20"""),
+      ORDER BY sum(CAST(l.l_extendedprice AS DECIMAL(12,2)) *
+                   (1 - CAST(l.l_discount AS DECIMAL(12,2)))) DESC,
+               o.o_orderkey LIMIT 20"""),
+      // revenue rendered as string for cross-engine hashing; the
+      // DESC ordering and the limit boundary stay on the numeric.
       (s, d) => t(s, d, "customer").filter(col("c_mktsegment") === "BUILDING")
         .select("c_custkey")
         .join(t(s, d, "orders").filter(col("o_orderstatus") === "O"),
@@ -474,17 +488,18 @@ object CoreQueries {
           date_format(col("o_orderdate"), "yyyy-MM-dd").as("odate"),
           col("o_orderpriority"))
         .agg(sum(col("l_extendedprice").cast("decimal(12,2)") *
-          (lit(1) - col("l_discount").cast("decimal(12,2)"))).as("revenue"))
-        .select("o_orderkey", "revenue", "odate", "o_orderpriority")
-        .orderBy(col("revenue").desc, col("o_orderkey")).limit(20)),
+          (lit(1) - col("l_discount").cast("decimal(12,2)"))).as("revenue_n"))
+        .orderBy(col("revenue_n").desc, col("o_orderkey")).limit(20)
+        .select(col("o_orderkey"), col("revenue_n").cast("string").as("revenue"),
+          col("odate"), col("o_orderpriority"))),
 
     // TPC-H Q5-shape: revenue by nation through a 4-way join chain
     // (region → nation → customer → orders → lineitem), broadcast
     // dims, group by nation name.
     QDef("q_agg_nation_revenue", Some("""
       SELECT n.n_name,
-             sum(CAST(l.l_extendedprice AS DECIMAL(12,2)) *
-                 (1 - CAST(l.l_discount AS DECIMAL(12,2)))) AS revenue,
+             CAST(sum(CAST(l.l_extendedprice AS DECIMAL(12,2)) *
+                 (1 - CAST(l.l_discount AS DECIMAL(12,2)))) AS VARCHAR) AS revenue,
              count(*) AS n_items
       FROM nation n
       JOIN customer c ON c.c_nationkey = n.n_nationkey
@@ -499,7 +514,7 @@ object CoreQueries {
           col("c_nationkey") === col("n_nationkey"))
         .groupBy("n_name")
         .agg(sum(col("l_extendedprice").cast("decimal(12,2)") *
-          (lit(1) - col("l_discount").cast("decimal(12,2)"))).as("revenue"),
+          (lit(1) - col("l_discount").cast("decimal(12,2)"))).cast("string").as("revenue"),
           count(lit(1)).as("n_items"))
         .orderBy("n_name")),
 
