@@ -18,7 +18,17 @@ object Bench {
     var failed = List.empty[String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() }
+      try {
+        // Force FULL evaluation of every output column: a bare
+        // .count() lets Catalyst collapse count-over-projection so
+        // casts/string-builds/regexes never run. Hashing all columns
+        // into one agg keeps the whole plan (and its exchanges) live
+        // while still returning a single row to the driver.
+        val out = fn(spark, sfDir)
+        out.select(org.apache.spark.sql.functions.xxhash64(
+            out.columns.map(org.apache.spark.sql.functions.col): _*).as("h"))
+          .agg(org.apache.spark.sql.functions.expr("bit_xor(h)")).collect()
+      }
       catch { case e: Throwable =>
         failed ::= name
         System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
@@ -30,7 +40,16 @@ object Bench {
     val total = results.map(_._2).sum
     if (failed.nonEmpty)
       System.err.println(s"[bench] ${failed.size} FAILED: ${failed.sorted.mkString(", ")}")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    println(line)
+    // Also persist the line so the driver can recover it even if
+    // stdout is truncated (BENCH_r01.json lost its head that way).
+    try java.nio.file.Files.write(
+      java.nio.file.Paths.get("bench_last.json"),
+      (line + "\n").getBytes("UTF-8"))
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] could not write bench_last.json: ${e.getMessage}") }
     spark.stop()
   }
 }

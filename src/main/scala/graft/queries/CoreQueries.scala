@@ -519,15 +519,24 @@ object CoreQueries {
         .orderBy("n_name")),
 
     // Approximate distinct counting (HLL++ sketch): cardinality of
-    // l_partkey per return flag. No SQL oracle — sketch estimates are
-    // engine-specific (driver records the rows-only check; the
-    // 2%-error bound against exact counts is asserted in
-    // SketchesSpec).
-    QDef("q_approx_distinct", None,
+    // l_partkey per return flag. The sketch estimate itself is
+    // engine-specific, so the oracle-checked surface is the exact
+    // distinct count plus a within_2pct flag: the oracle asserts 1,
+    // the engine asserts |approx-exact| <= 0.02*exact — hash-green
+    // exactly when the HLL++ bound actually holds. (The tighter
+    // per-row bound is also asserted in SketchesSpec.)
+    QDef("q_approx_distinct", Some("""
+      SELECT l_returnflag, count(DISTINCT l_partkey) AS exact_parts,
+             count(*) AS n, CAST(1 AS INTEGER) AS within_2pct
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""),
       (s, d) => t(s, d, "lineitem")
         .groupBy("l_returnflag")
-        .agg(approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
-          count(lit(1)).as("n"))
+        .agg(countDistinct(col("l_partkey")).as("exact_parts"),
+          count(lit(1)).as("n"),
+          approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"))
+        .select(col("l_returnflag"), col("exact_parts"), col("n"),
+          (abs(col("approx_parts") - col("exact_parts")) <=
+            lit(0.02) * col("exact_parts")).cast("int").as("within_2pct"))
         .orderBy("l_returnflag")),
 
     // ─────────────────── §2.5 sorts / limits ──────────────────────
@@ -773,15 +782,16 @@ object CoreQueries {
     // the deterministic batch analog the oracle can check.)
     QDef("q_window_tumbling", Some(s"""
       SELECT strftime(date_trunc('hour', ts), '$TSD') AS window_start, event_type,
-             count(*) AS n, sum(CAST(value AS DECIMAL(12,2))) AS total_value
-      FROM events GROUP BY window_start, event_type
+             count(*) AS n,
+             CAST(sum(CAST(value AS DECIMAL(12,2))) AS VARCHAR) AS total_value
+      FROM events GROUP BY 1, event_type
       ORDER BY window_start, event_type"""),
       (s, d) => t(s, d, "events")
         .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
         .agg(count(lit(1)).as("n"),
           sum(col("value").cast("decimal(12,2)")).as("total_value"))
         .select(date_format(col("w.start"), TS).as("window_start"),
-          col("event_type"), col("n"), col("total_value"))
+          col("event_type"), col("n"), col("total_value").cast("string").as("total_value"))
         .orderBy("window_start", "event_type")),
 
     // Sliding windows: 1-hour windows every 30 minutes — each event
@@ -793,7 +803,8 @@ object CoreQueries {
                 date_trunc('hour', ts - INTERVAL 30 MINUTE) + INTERVAL 30 MINUTE]) AS ws
         FROM events)
       SELECT strftime(ws, '$TSD') AS window_start, event_type,
-             count(*) AS n, sum(CAST(value AS DECIMAL(12,2))) AS total_value
+             count(*) AS n,
+             CAST(sum(CAST(value AS DECIMAL(12,2))) AS VARCHAR) AS total_value
       FROM w GROUP BY ws, event_type
       ORDER BY window_start, event_type"""),
       (s, d) => t(s, d, "events")
@@ -801,7 +812,7 @@ object CoreQueries {
         .agg(count(lit(1)).as("n"),
           sum(col("value").cast("decimal(12,2)")).as("total_value"))
         .select(date_format(col("w.start"), TS).as("window_start"),
-          col("event_type"), col("n"), col("total_value"))
+          col("event_type"), col("n"), col("total_value").cast("string").as("total_value"))
         .orderBy("window_start", "event_type")),
 
     // Session windows (batch analog; streaming form in
@@ -817,7 +828,8 @@ object CoreQueries {
       s AS (SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
                                        ROWS UNBOUNDED PRECEDING) AS sid FROM m)
       SELECT user_id, strftime(min(ts), '$TSD') AS session_start,
-             count(*) AS n, sum(CAST(value AS DECIMAL(12,2))) AS total_value
+             count(*) AS n,
+             CAST(sum(CAST(value AS DECIMAL(12,2))) AS VARCHAR) AS total_value
       FROM s GROUP BY user_id, sid
       ORDER BY user_id, session_start"""),
       (s, d) => t(s, d, "events")
@@ -825,7 +837,7 @@ object CoreQueries {
         .agg(count(lit(1)).as("n"),
           sum(col("value").cast("decimal(12,2)")).as("total_value"))
         .select(col("user_id"), date_format(col("w.start"), TS).as("session_start"),
-          col("n"), col("total_value"))
+          col("n"), col("total_value").cast("string").as("total_value"))
         .orderBy("user_id", "session_start")),
 
     // A9: per-contact digest rollup — sorted sets + last-k lines

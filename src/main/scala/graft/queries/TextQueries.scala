@@ -325,9 +325,9 @@ object TextQueries {
       // length(text) == byte count on the ASCII corpus; // is floor
       // division matching the stub's integer stride arithmetic
       val cols = (0 until dim).map(i =>
-        s"CAST(CASE WHEN length(text) = 0 THEN 0 ELSE " +
+        s"CAST(CAST(CASE WHEN length(text) = 0 THEN 0 ELSE " +
           s"ord(substr(text, (($i * length(text)) // $dim) + 1, 1)) END / 256.0 " +
-          s"AS DECIMAL(12,8)) AS f$i")
+          s"AS DECIMAL(12,8)) AS VARCHAR) AS f$i")
         .mkString(", ")
       s"SELECT doc_id, $cols FROM documents ORDER BY doc_id"
     },
@@ -337,7 +337,8 @@ object TextQueries {
           graft.multimodal.Multimodal.mediaFromDocuments(s, d), dim).toDF()
         feats.select(col("doc_id") +:
           (0 until dim).map(i =>
-            element_at(col("feature"), i + 1).cast("decimal(12,8)").as(s"f$i")): _*)
+            element_at(col("feature"), i + 1).cast("decimal(12,8)")
+              .cast("string").as(s"f$i")): _*)
           .orderBy("doc_id")
       })
   )

