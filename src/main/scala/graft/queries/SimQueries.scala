@@ -125,6 +125,47 @@ object SimQueries {
           // a near-dup bar, low enough to produce matches.
           .filter(col("sim3") >= 0.35)
           .orderBy("vec_a", "vec_b")
+      }),
+
+    // Scale-safe embedding near-dup: candidate pairs come from an
+    // IVF cell EQUI-join, not an all-pairs crossJoin. Every vector is
+    // assigned to its argmax-cosine centroid (a narrow per-row argmax
+    // over driver-inlined literals — see Similarity.ivfAssign), and
+    // pairs are generated only within a cell: the join shuffles on
+    // `cell` and the pair count is Σ n_cell² instead of n². At 100 TB
+    // the assigned corpus is written partitioned by cell, so this is
+    // a co-located self-join. Recall tradeoff (cross-cell near-dups
+    // are missed) is inherent to blocked dedup; q_dedup_embed_cosine
+    // above stays as the sampled exactness reference.
+    QDef("q_dedup_embed_ann", Some(s"""
+      WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      cent AS (SELECT vec_id AS cell, v AS centv FROM e WHERE vec_id < 8),
+      scored AS (SELECT e.vec_id AS cid, e.v AS cv, cent.cell,
+        round(${cosineSql("e.v", "cent.centv")}, 6) AS cs
+        FROM e CROSS JOIN cent),
+      assigned AS (SELECT cid, cv, cell FROM scored
+        QUALIFY row_number() OVER (PARTITION BY cid ORDER BY cs DESC, cell) = 1),
+      p AS (SELECT a.cid AS vec_a, b.cid AS vec_b,
+                   round(${cosineSql("a.cv", "b.cv")}, 3) AS sim3
+            FROM assigned a JOIN assigned b
+              ON a.cell = b.cell AND a.cid < b.cid)
+      SELECT vec_a, vec_b, sim3 FROM p WHERE sim3 >= 0.35 ORDER BY vec_a, vec_b"""),
+      (s, d) => {
+        val e = t(s, d, "embeddings")
+          .select(col("vec_id"), col("embedding").as("v"))
+        val corpus = e.select(col("vec_id").as("cid"), col("v").as("cv"))
+        val centroids = e.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("cell"), col("v").as("centv"))
+        val assigned = Similarity.ivfAssign(corpus, centroids)
+        val a = assigned.select(col("cell"), col("cid").as("vec_a"),
+          col("cv").as("va"))
+        val b = assigned.select(col("cell"), col("cid").as("vec_b"),
+          col("cv").as("vb"))
+        a.join(b, Seq("cell")).filter(col("vec_a") < col("vec_b"))
+          .select(col("vec_a"), col("vec_b"),
+            round(Similarity.cosine(col("va"), col("vb")), 3).as("sim3"))
+          .filter(col("sim3") >= 0.35)
+          .orderBy("vec_a", "vec_b")
       })
   )
 }

@@ -74,4 +74,42 @@ class ScalePlanSpec extends AnyFunSuite {
     // the top-N window applies its limit map-side before the shuffle
     assert(plan.contains("WindowGroupLimit"))
   }
+
+  test("embedding ANN dedup: celled equi-join, no cartesian product") {
+    val df = SparkEntry.queries("q_dedup_embed_ann")(spark, SparkTesting.sf)
+    val plan = executedPlan(df)
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"ANN dedup must not expand all-pairs:\n$plan")
+    // candidate generation is an equi-join on the cell key
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("SortMergeJoin") ||
+      plan.contains("ShuffledHashJoin"), s"expected a hash/merge equi-join:\n$plan")
+  }
+
+  test("embedding ANN dedup: within-cell pairs agree with brute force") {
+    import spark.implicits._
+    val ann = SparkEntry.queries("q_dedup_embed_ann")(spark, SparkTesting.sf)
+      .select("vec_a", "vec_b", "sim3").as[(Long, Long, Double)].collect().toSet
+    // brute-force reference restricted to the same cell assignment
+    val e = graft.pipeline.Tables.t(spark, SparkTesting.sf, "embeddings")
+      .select(col("vec_id").as("cid"), col("embedding").as("cv"))
+    val cents = graft.pipeline.Tables.t(spark, SparkTesting.sf, "embeddings")
+      .filter(col("vec_id") < 8)
+      .select(col("vec_id").as("cell"), col("embedding").as("centv"))
+    val assigned = graft.sim.Similarity.ivfAssign(e, cents)
+    val aa = assigned.select(col("cid").as("vec_a"), col("cv").as("va"),
+      col("cell").as("cell_a"))
+    val bb = assigned.select(col("cid").as("vec_b"), col("cv").as("vb"),
+      col("cell").as("cell_b"))
+    val brute = aa.crossJoin(bb)
+      .filter(col("vec_a") < col("vec_b") && col("cell_a") === col("cell_b"))
+      .select(col("vec_a"), col("vec_b"),
+        round(graft.sim.Similarity.cosine(col("va"), col("vb")), 3).as("sim3"))
+      .filter(col("sim3") >= 0.35)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(ann == brute,
+      s"celled join pairs diverge from brute-force same-cell pairs: " +
+        s"only-ann=${(ann -- brute).take(5)} only-brute=${(brute -- ann).take(5)}")
+    assert(ann.nonEmpty, "threshold produced no pairs — test is vacuous")
+  }
 }
