@@ -68,16 +68,65 @@ object PersistTableDual {
 
   private val lineageCols = Seq("run_id", "extracted_at")
 
+  /** Relative hive partition dirs (e.g. "ym=2024-01", "a=1/b=2")
+    * actually written under `root`, discovered by walking the layout
+    * rather than re-implementing Spark's partition-value escaping. */
+  private def partitionDirs(fs: org.apache.hadoop.fs.FileSystem,
+                            root: org.apache.hadoop.fs.Path,
+                            depth: Int): Seq[String] = {
+    def walk(p: org.apache.hadoop.fs.Path, d: Int): Seq[String] =
+      if (d == 0)
+        Seq(p.toUri.getPath.stripPrefix(root.toUri.getPath).stripPrefix("/"))
+      else fs.listStatus(p).toSeq.filter(_.isDirectory)
+        .filter(_.getPath.getName.contains("="))
+        .flatMap(s => walk(s.getPath, d - 1))
+    walk(root, depth)
+  }
+
+  /** Move every staged partition dir over its counterpart under
+    * `dst`, leaving all other partitions' files untouched on disk
+    * (same inodes — byte-identical, no rewrite). Failures are checked:
+    * Hadoop FileSystem signals most errors via `false` returns. */
+  private def swapPartitions(fs: org.apache.hadoop.fs.FileSystem,
+                             stage: org.apache.hadoop.fs.Path,
+                             dst: org.apache.hadoop.fs.Path,
+                             depth: Int): Unit = {
+    partitionDirs(fs, stage, depth).foreach { rel =>
+      val from = new org.apache.hadoop.fs.Path(stage, rel)
+      val to = new org.apache.hadoop.fs.Path(dst, rel)
+      if (fs.exists(to) && !fs.delete(to, true))
+        throw new java.io.IOException(s"failed to delete old partition $to")
+      fs.mkdirs(to.getParent)
+      if (!fs.rename(from, to))
+        throw new java.io.IOException(s"failed to move $from into $to")
+    }
+    fs.delete(stage, true) // leftover _SUCCESS / empty scaffolding
+  }
+
   /** Full merge: returns (rawCount, latestCount) after the rewrite.
     *
     * `partitionCols` gives raw/latest a hive-partitioned layout
     * (e.g. by ingest date or key-hash bucket) so a scaled deployment
     * rewrites/reads only affected partitions and downstream scans
-    * partition-prune; semantics are unchanged. */
+    * partition-prune; semantics are unchanged.
+    *
+    * `partitionScoped = true` makes the rewrite itself partition-
+    * scoped: only partitions present in the delta are read, merged
+    * and swapped — untouched partitions keep their exact files (no
+    * O(history) rewrite per run; THE requirement at 100 TB where a
+    * run's delta touches a sliver of the lake). Contract: every
+    * partition column must be a pure function of the business key
+    * (key-hash bucket, key range — NOT ingest date), otherwise a
+    * key's rows span partitions and the partition-local latest
+    * snapshot would be wrong; the unpartitioned/full-rewrite path
+    * stays for layouts without that property. */
   def persist(spark: SparkSession, paths: Paths, delta: DataFrame,
               runId: String, extractedAt: String,
               keyCols: Seq[String], updatedAtCol: String,
-              partitionCols: Seq[String] = Nil): (Long, Long) = {
+              partitionCols: Seq[String] = Nil,
+              partitionScoped: Boolean = false): (Long, Long) = {
+    require(!partitionScoped || partitionCols.nonEmpty,
+      "partitionScoped needs a partitioned layout")
     def partitioned(w: org.apache.spark.sql.DataFrameWriter[org.apache.spark.sql.Row]) =
       if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w
     val stamped = stampLineage(delta, runId, extractedAt)
@@ -96,8 +145,14 @@ object PersistTableDual {
     // Explicit existence check — a broad catch would misread a
     // transient read failure as "first run" and silently rebuild the
     // lake from just this delta.
+    val rawExists = fs.exists(rawPath)
+
+    if (partitionScoped && rawExists)
+      return persistScoped(spark, paths, deltaOnDisk, stamped.schema,
+        keyCols, updatedAtCol, partitionCols, fs, rawPath)
+
     val existingRaw =
-      if (fs.exists(rawPath)) {
+      if (rawExists) {
         // partition-value type inference re-types hive partition
         // columns on read-back (string "07" → int 7 — the leading
         // zero is already gone, so casting back cannot restore it),
@@ -137,5 +192,57 @@ object PersistTableDual {
     partitioned(latest.write.mode("overwrite")).parquet(paths.latest)
 
     (raw.count(), spark.read.parquet(paths.latest).count())
+  }
+
+  /** The partition-scoped rewrite: merge the delta with ONLY its own
+    * partitions of raw (a partition-pruned scan), swap those
+    * partition dirs, and recompute latest for the same partitions —
+    * every other partition's files are left physically untouched. */
+  private def persistScoped(spark: SparkSession, paths: Paths,
+                            deltaOnDisk: DataFrame,
+                            authoritative: org.apache.spark.sql.types.StructType,
+                            keyCols: Seq[String], updatedAtCol: String,
+                            partitionCols: Seq[String],
+                            fs: org.apache.hadoop.fs.FileSystem,
+                            rawPath: org.apache.hadoop.fs.Path): (Long, Long) = {
+    // the delta's partition tuples — few by design (a run touches a
+    // sliver of the lake), so the collect is O(partitions-in-delta)
+    val affected = deltaOnDisk.select(partitionCols.map(col): _*)
+      .distinct().collect()
+    require(affected.nonEmpty, "empty delta: nothing to persist")
+    // null-safe per-tuple predicate; reaches the scan as partition
+    // pruning, so unaffected partitions are never even read
+    val pred = affected.map { r =>
+      partitionCols.zipWithIndex
+        .map { case (c, i) => col(c) <=> lit(r.get(i)) }.reduce(_ && _)
+    }.reduce(_ || _)
+
+    val rawAffected =
+      readRawTyped(spark, paths, authoritative, partitionCols).filter(pred)
+    val deduped = contentHashDedup(alignUnion(rawAffected, deltaOnDisk),
+      lineageCols, struct(col("extracted_at"), col("run_id")))
+
+    // stage → swap only the affected partition dirs (the write reads
+    // raw lazily, so it must land in a staging dir first)
+    val stage = new org.apache.hadoop.fs.Path(paths.raw + "__stage")
+    deduped.write.mode("overwrite").partitionBy(partitionCols: _*)
+      .parquet(stage.toString)
+    swapPartitions(fs, stage, rawPath, partitionCols.length)
+
+    // latest over the POST-swap affected partitions (the pre-swap
+    // plan's input dirs no longer exist). Partition-local latest is
+    // correct because partitionScoped requires partition values to be
+    // a function of the business key — a key never spans partitions.
+    val latestAffected = latestSnapshot(
+      readRawTyped(spark, paths, authoritative, partitionCols).filter(pred),
+      keyCols, col(updatedAtCol), col("extracted_at"))
+    val lstage = new org.apache.hadoop.fs.Path(paths.latest + "__stage")
+    latestAffected.write.mode("overwrite").partitionBy(partitionCols: _*)
+      .parquet(lstage.toString)
+    swapPartitions(fs, lstage,
+      new org.apache.hadoop.fs.Path(paths.latest), partitionCols.length)
+
+    (readRawTyped(spark, paths, authoritative, partitionCols).count(),
+      spark.read.parquet(paths.latest).count())
   }
 }

@@ -94,6 +94,54 @@ class PersistTableDualSpec extends AnyFunSuite {
       s"latest partition dirs re-typed: $latestDirs")
   }
 
+  test("partition-scoped rewrite: untouched partitions byte-identical") {
+    import org.apache.spark.sql.functions.{col, when}
+    val p = freshPaths()
+    // bucket is a pure function of the key (the partitionScoped
+    // contract): contacts 1/2 → bucket a, contact 3 → bucket b
+    def bucketed(rows: (String, String, String)*) =
+      delta(rows: _*).withColumn("bucket",
+        when(col("contact_id") <= "2", "a").otherwise("b"))
+    persist(spark, p,
+      bucketed(("1", "a@x", "2024-01-01"), ("3", "c@x", "2024-01-01")),
+      "r1", "2026-01-01T00:00:00Z", Seq("contact_id"), "updated_at",
+      partitionCols = Seq("bucket"), partitionScoped = true)
+
+    def fileHashes(dir: String): Map[String, String] = {
+      val d = new java.io.File(dir)
+      d.listFiles().filter(_.isFile).filterNot(_.getName.startsWith("."))
+        .map { f =>
+          val md = java.security.MessageDigest.getInstance("MD5")
+          f.getName -> md.digest(java.nio.file.Files.readAllBytes(f.toPath))
+            .map("%02x".format(_)).mkString
+        }.toMap
+    }
+    val beforeA = fileHashes(s"${p.raw}/bucket=a")
+    val beforeLatestA = fileHashes(s"${p.latest}/bucket=a")
+    assert(beforeA.nonEmpty)
+
+    // second run touches ONLY bucket b
+    val (raw2, latest2) = persist(spark, p,
+      bucketed(("3", "c2@x", "2024-02-01")),
+      "r2", "2026-01-02T00:00:00Z", Seq("contact_id"), "updated_at",
+      partitionCols = Seq("bucket"), partitionScoped = true)
+    assert(raw2 == 3, "raw keeps history: contact 1 + both versions of 3")
+    assert(latest2 == 2, "latest: one row per contact")
+    assert(fileHashes(s"${p.raw}/bucket=a") == beforeA,
+      "bucket a raw files must be physically untouched")
+    assert(fileHashes(s"${p.latest}/bucket=a") == beforeLatestA,
+      "bucket a latest files must be physically untouched")
+    val email = spark.read.parquet(p.latest)
+      .filter(col("contact_id") === "3").select("email").as[String].head()
+    assert(email == "c2@x")
+
+    // scoped redelivery is still idempotent
+    val (raw3, _) = persist(spark, p, bucketed(("3", "c2@x", "2024-02-01")),
+      "r3", "2026-01-03T00:00:00Z", Seq("contact_id"), "updated_at",
+      partitionCols = Seq("bucket"), partitionScoped = true)
+    assert(raw3 == 3, "scoped redelivery must not grow raw")
+  }
+
   test("delta dirs are preserved per run") {
     val p = freshPaths()
     persist(spark, p, delta(("1", "a@x", "2024-01-01")), "r1",
