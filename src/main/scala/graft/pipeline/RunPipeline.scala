@@ -49,6 +49,153 @@ object RunPipeline {
     (sliceCount, rawN, latestN)
   }
 
+  /** What one full-lifecycle run did — counts per stage, for tests
+    * and operational logs. */
+  final case class FullRunReport(
+      runId: String, resolvedSeeds: Long, universeSize: Long,
+      persisted: Map[String, (Long, Long)], martRows: Long, digests: Long,
+      watermarkBefore: Long, watermarkAfter: Long)
+
+  /** The COMPLETE E1 lifecycle (run_ac_extraction.py:1537-1703),
+    * composed from the already-proven parts:
+    *
+    *   1. load keyset watermark state              (:1557-1559)
+    *   2. seed resolve: emails → contact ids (J6)  (:1563-1568)
+    *   3. incremental slice past the watermark(S5) (:1570-1573)
+    *   4. universe = seed ∪ new, distinct,
+    *      optional debug sample (U3/O2)            (:1576-1585)
+    *   5. dims via the TTL cache                   (:1593)
+    *   6. persist_table_dual per extracted table —
+    *      contacts + per-contact fact stages, one
+    *      of them dim-enriched pre-persist (E2)    (:1596-1662)
+    *   7. chatter mart + per-contact digest CSV/
+    *      TXT sink (E3/S9)                         (:1666-1692)
+    *   8. watermark advance — from the durably
+    *      WRITTEN contacts delta                   (:1696-1700)
+    *
+    * Fact stages read the testdata star schema (the reference's 18
+    * REST extracts ≙ events/orders fan-out, FIXTURES.md); the
+    * contacts collection is the DSv2 paged source, so the incremental
+    * scan is a planning-time page prune exactly like production
+    * keyset pagination. Re-running with unchanged upstream is a
+    * no-op on every master/raw (watermark + content-hash dedup — the
+    * reference's two idempotence mechanisms, composed).
+    */
+  def runFull(spark: SparkSession, outRoot: String, sfDir: String,
+              totalRows: Long, seedEmails: Seq[String] = Nil,
+              sampleSize: Option[Int] = None,
+              nowUtc: String = "2026-01-01T00:00:00Z",
+              dimTtlDays: Int = 7): FullRunReport = {
+    import graft.ops.Ops._
+    import spark.implicits._
+    val statePath = s"$outRoot/state.json"
+    val state = Watermark.load(statePath)
+    val runId = s"run_after_${state.maxId}"
+
+    // ── contacts collection (DSv2 paged source) ──
+    val contacts = spark.read.format("graft.sources.PagedSource")
+      .option("totalrows", totalRows.toString).option("pagelimit", "100").load()
+
+    // 2. seed resolve (J6): the seed list arrives as emails; the
+    // collection's derived email is the join key, unresolvable seeds
+    // drop (the reference keeps only rows that resolved an id)
+    val withEmail = contacts.withColumn("email",
+      concat(lower(col("name")), lit("@x.test")))
+    val seedResolved = broadcast(seedEmails.toDF("email"))
+      .join(withEmail, Seq("email"), "inner")
+    val nSeeds = seedResolved.count()
+
+    // 3. the incremental slice — pushed into the source as a keyset
+    // page prune, so pre-watermark pages are never fetched
+    val slice = Watermark.incrementalSlice(contacts, "id", state)
+
+    // 4. universe: seed ∪ new, one row per contact, ordered with an
+    // optional debug sample bound
+    val delta0 = alignUnion(seedResolved.drop("email"), slice)
+      .dropDuplicates("id")
+    val contactsDelta =
+      sampleSize.fold(delta0)(n => delta0.orderBy("id").limit(n))
+    val universe = contactsDelta.select(col("id").as("contact_id"))
+    val universeSize = universe.count()
+
+    // 5. dims through the TTL cache (load_all_dims :1593)
+    val dims = s"$outRoot/dims"
+    val nowInstant = java.time.Instant.parse(nowUtc)
+    val nation = DimCache.loadOrRefreshDim(spark, dims, "nation",
+      () => Tables.t(spark, sfDir, "nation"), dimTtlDays, nowInstant)
+
+    // 6. persist stages (each one is the proven E2 merge)
+    def stage(table: String, delta: org.apache.spark.sql.DataFrame,
+              keys: Seq[String], updatedAt: String): (String, (Long, Long)) =
+      table -> PersistTableDual.persist(spark,
+        PersistTableDual.Paths(outRoot, table), delta, runId, nowUtc,
+        keys, updatedAt)
+
+    val events = Tables.t(spark, sfDir, "events")
+      .join(universe, col("user_id") === col("contact_id"), "left_semi")
+    val orders = Tables.t(spark, sfDir, "orders")
+      .join(universe, col("o_custkey") === col("contact_id"), "left_semi")
+    // the dim-enriched stage (enrich_email_activities :1612): orders
+    // carry their customer's nation name via broadcast dim chain
+    val customerFk = Tables.t(spark, sfDir, "customer")
+      .select(col("c_custkey"), col("c_nationkey"))
+    val ordersEnriched = mapLookup(
+      orders.join(broadcast(customerFk),
+        col("o_custkey") === col("c_custkey"), "left").drop("c_custkey"),
+      nation, col("c_nationkey"), "n_nationkey", "n_name", "nation_name")
+      .drop("c_nationkey")
+
+    val persisted = Map(
+      stage("contacts",
+        contactsDelta.withColumn("contact_id", col("id").cast("string")),
+        Seq("contact_id"), "updated_at"),
+      stage("activities", events, Seq("event_id"), "ts"),
+      stage("orders", orders, Seq("o_orderkey"), "o_orderdate"),
+      stage("orders_enriched", ordersEnriched, Seq("o_orderkey"), "o_orderdate"))
+
+    // 7. mart + digest (E3): flagship chatter master bounded to this
+    // run's universe, written as the readable master file, plus the
+    // per-contact digest in CSV and one-TXT-per-contact form (S9)
+    val mart = ChatterMaster.chatterMaster(spark, sfDir)
+      .join(universe, Seq("contact_id"), "left_semi")
+    val martDir = s"$outRoot/master/mart"
+    mart.write.mode("overwrite").option("header", "true")
+      .csv(s"$martDir/chatter_master")
+    val martRows = spark.read.option("header", "true")
+      .csv(s"$martDir/chatter_master").count()
+
+    val digestCore = mart.select(col("contact_id"),
+      struct(col("event_ts").as("ets"), xxhash64(col("event_id")).as("event_id"),
+        col("event_type"), col("chatter_line").as("line")).as("ev"))
+      .as[(Long, graft.ops.DigestEvent)]
+      .groupByKey(_._1).mapValues(_._2)
+      .agg(new graft.ops.DigestAgg(5).toColumn)
+      .toDF("contact_id", "out")
+    val display = mart.select(col("contact_id"), col("contact_display")).distinct()
+    val digests = digestCore.join(broadcast(display), Seq("contact_id"))
+      .select(col("contact_id"),
+        concat(col("contact_display"), lit(" ["), col("out.types"),
+          lit("]\n"), col("out.tail")).as("digest"))
+    digests.write.mode("overwrite").option("header", "true")
+      .csv(s"$martDir/contact_digest")
+    ChatterMaster.writeDigestTxt(digests, s"$martDir/contact_digest_txt")
+    // multiLine: digest bodies embed newlines (CSV-quoted on write) —
+    // a plain line-splitting read would miscount records
+    val nDigests = spark.read.option("header", "true")
+      .option("multiLine", "true").csv(s"$martDir/contact_digest").count()
+
+    // 8. advance the watermark from the durably WRITTEN contacts
+    // delta (never from a re-scan of the live source — upstream may
+    // have grown since, and skipping unpersisted ids loses them)
+    val writtenDelta = spark.read.parquet(
+      PersistTableDual.Paths(outRoot, "contacts").delta(runId))
+    val advanced = Watermark.advance(writtenDelta, "id", state, nowUtc)
+    Watermark.save(statePath, advanced)
+
+    FullRunReport(runId, nSeeds, universeSize, persisted, martRows, nDigests,
+      state.maxId, advanced.maxId)
+  }
+
   def main(args: Array[String]): Unit = {
     val outRoot = args(0)
     val totalRows = if (args.length > 1) args(1).toLong else 300L

@@ -29,4 +29,48 @@ class RunPipelineSpec extends AnyFunSuite {
     // watermark survived all three runs on disk
     assert(Watermark.load(s"$root/state.json").maxId == 399L)
   }
+
+  test("full E1 lifecycle: seed → universe → stages → mart/digest → advance, idempotent") {
+    val root = Files.createTempDirectory("pipeline_full").toString
+    FixtureBackend.reset()
+    val sf = SparkTesting.sf
+    val seeds = Seq("row#3@x.test", "row#7@x.test", "nobody@x.test")
+
+    // ── run 1: everything new ──
+    val r1 = RunPipeline.runFull(spark, root, sf, totalRows = 300,
+      seedEmails = seeds)
+    assert(r1.resolvedSeeds == 2, "2 of 3 seed emails resolve to contacts")
+    assert(r1.universeSize == 300, "seeds are a subset of the full first slice")
+    assert(r1.watermarkBefore == -1 && r1.watermarkAfter == 299)
+    assert(r1.persisted("contacts") == ((300L, 300L)))
+    assert(r1.persisted.keySet ==
+      Set("contacts", "activities", "orders", "orders_enriched"))
+    r1.persisted.values.foreach { case (raw, latest) =>
+      assert(raw > 0 && latest > 0) }
+    assert(r1.martRows > 0 && r1.digests > 0)
+    // the enriched stage actually carries the dim column
+    assert(spark.read.parquet(s"$root/master/latest/orders_enriched")
+      .columns.contains("nation_name"))
+    // S9: one TXT per digested contact
+    val txts = new java.io.File(s"$root/master/mart/contact_digest_txt")
+      .listFiles().count(_.getName.endsWith(".txt"))
+    assert(txts.toLong == r1.digests)
+    // dim cache was populated
+    assert(DimCache.loadMeta(s"$root/dims", "nation").nonEmpty)
+
+    // ── run 2, unchanged upstream: idempotent on every raw ──
+    val r2 = RunPipeline.runFull(spark, root, sf, totalRows = 300,
+      seedEmails = seeds)
+    assert(r2.universeSize == 2, "only the re-sent seeds are in the universe")
+    assert(r2.persisted == r1.persisted,
+      "re-running with unchanged upstream must leave every lake unchanged")
+    assert(r2.watermarkAfter == 299)
+
+    // ── run 3, upstream grew: only the delta is merged ──
+    val r3 = RunPipeline.runFull(spark, root, sf, totalRows = 320,
+      seedEmails = seeds)
+    assert(r3.universeSize == 22, "2 seeds + 20 new contacts")
+    assert(r3.persisted("contacts") == ((320L, 320L)))
+    assert(r3.watermarkAfter == 319)
+  }
 }
