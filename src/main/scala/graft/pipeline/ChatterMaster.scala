@@ -40,12 +40,16 @@ object Tables {
 object ChatterMaster {
   import Tables.t
 
-  /** The conformed event schema (subset of the reference's 27-col
-    * ChatterEvent, run_ac_extraction.py:1199-1227, adapted to the
-    * testdata domain). */
+  /** The conformed event schema (the reference's 27-col ChatterEvent,
+    * run_ac_extraction.py:1199-1227, adapted to the testdata domain):
+    * core event fields plus id+name multiplex pairs — part/supplier
+    * ids are stamped per-source at conform time (blank where a source
+    * has none, like the reference's ""), names and the
+    * nation/region chain resolve in the mart via broadcast dims. */
   val eventCols: Seq[String] = Seq(
     "event_id", "contact_id", "source", "source_row_id",
-    "event_ts", "event_type", "title", "detail", "url")
+    "event_ts", "event_type", "title", "detail", "url",
+    "part_id", "supplier_id")
 
   /** Source 1: the `events` activity stream (ts/type/value/props —
     * props is a JSON string, exercising F5 get_json_object). */
@@ -65,7 +69,9 @@ object ChatterMaster {
       col("event_type").as("event_type"),
       concat_ws(" ", lit("activity"), col("event_type")).as("title"),
       get_json_object(col("props"), "$.k").as("detail"),
-      concat_ws("", lit("https://example.test/events/"), col("event_id")).as("url"))
+      concat_ws("", lit("https://example.test/events/"), col("event_id")).as("url"),
+      lit(null).cast("string").as("part_id"),
+      lit(null).cast("string").as("supplier_id"))
   }
 
   /** Source 2: orders as "order placed" events. */
@@ -82,7 +88,9 @@ object ChatterMaster {
         lit("order_other")).as("event_type"),
       col("o_orderpriority").as("title"),
       col("o_totalprice").cast("decimal(12,2)").cast("string").as("detail"),
-      lit(null).cast("string").as("url"))
+      lit(null).cast("string").as("url"),
+      lit(null).cast("string").as("part_id"),
+      lit(null).cast("string").as("supplier_id"))
   }
 
   /** Source 3: lineitem shipments, resolved to a contact through
@@ -100,7 +108,9 @@ object ChatterMaster {
         lit("shipment").as("event_type"),
         concat_ws(" ", lit("ship"), col("l_returnflag"), col("l_linestatus")).as("title"),
         col("l_quantity").cast("decimal(12,2)").cast("string").as("detail"),
-        lit(null).cast("string").as("url"))
+        lit(null).cast("string").as("url"),
+        col("l_partkey").cast("string").as("part_id"),
+        col("l_suppkey").cast("string").as("supplier_id"))
   }
 
   /** U2: the conformed all-sources union. */
@@ -111,9 +121,15 @@ object ChatterMaster {
       conformShipments(spark, sfDir)))
 
   /** The full mart: unified events ⟕ contacts (J1, broadcast) with
-    * name derivation (F1), chatter line (F2), per-contact recency
-    * bound (A4, keep most recent `maxEventsPerContact`), total-order
-    * timeline sort (O1). */
+    * name derivation (F1), chatter line (F2), the reference-width
+    * id→name multiplex (J3 broadcast lookups for part/supplier/
+    * nation, a J4-style two-level chain for nation→region), per-
+    * contact recency bound (A4, keep most recent
+    * `maxEventsPerContact`), total-order timeline sort (O1).
+    *
+    * Every dim join here is broadcast — adding enrichment pairs adds
+    * zero fact-side shuffles (the only wide stages remain the top-N
+    * window and the final sort; asserted in ScalePlanSpec). */
   def chatterMaster(spark: SparkSession, sfDir: String,
                     maxEventsPerContact: Int = 500): DataFrame = {
     val unified = unifiedEvents(spark, sfDir)
@@ -129,9 +145,24 @@ object ChatterMaster {
     val bounded = topNPerGroup(unified, Seq("contact_id"),
       Seq(col("event_ts").desc, col("event_id").desc), maxEventsPerContact)
 
-    val enriched = mapLookup(
-      bounded.join(broadcast(contacts), Seq("contact_id"), "left"),
-      nations, col("_natkey"), "n_nationkey", "n_name", "nation_name")
+    val withContacts = bounded.join(broadcast(contacts), Seq("contact_id"), "left")
+
+    // id→name multiplex pairs (the reference's campaign/message/
+    // automation/... dims ≙ part/supplier/nation/region stand-ins)
+    val withPart = mapLookup(withContacts, t(spark, sfDir, "part"),
+      col("part_id"), "p_partkey", "p_name", "part_name")
+    val withSupp = mapLookup(withPart, t(spark, sfDir, "supplier"),
+      col("supplier_id"), "s_suppkey", "s_name", "supplier_name")
+    // nation→region: resolve the region FK through the nation dim
+    // (two-level chain), then the region name — both broadcast
+    val withNation = mapLookup(withSupp, nations,
+      col("_natkey"), "n_nationkey", "n_name", "nation_name")
+      .withColumn("nation_id", col("_natkey").cast("string"))
+    val withRegionFk = mapLookup(withNation, nations,
+      col("_natkey"), "n_nationkey", "n_regionkey", "region_id")
+    val enriched = mapLookup(withRegionFk, t(spark, sfDir, "region"),
+      col("region_id"), "r_regionkey", "r_name", "region_name")
+      .withColumn("region_id", col("region_id").cast("string"))
       .drop("_natkey")
 
     withDisplayAndLine(enriched)

@@ -596,7 +596,8 @@ object CoreQueries {
                strftime(ts, '$TSD') AS event_ts, event_type,
                'activity ' || event_type AS title,
                json_extract_string(props, '$$.k') AS detail,
-               'https://example.test/events/' || event_id AS url
+               'https://example.test/events/' || event_id AS url,
+               CAST(NULL AS VARCHAR) AS part_id, CAST(NULL AS VARCHAR) AS supplier_id
         FROM events),
       od AS (
         SELECT 'orders:' || o_orderkey AS event_id, o_custkey AS contact_id,
@@ -606,7 +607,8 @@ object CoreQueries {
                     WHEN 'P' THEN 'order_pending' ELSE 'order_other' END AS event_type,
                o_orderpriority AS title,
                CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS VARCHAR) AS detail,
-               CAST(NULL AS VARCHAR) AS url
+               CAST(NULL AS VARCHAR) AS url,
+               CAST(NULL AS VARCHAR) AS part_id, CAST(NULL AS VARCHAR) AS supplier_id
         FROM orders),
       sh AS (
         SELECT 'lineitem:' || l_orderkey || ':' || l_linenumber AS event_id,
@@ -615,7 +617,9 @@ object CoreQueries {
                strftime(l_shipdate, '$TSD') AS event_ts, 'shipment' AS event_type,
                'ship ' || l_returnflag || ' ' || l_linestatus AS title,
                CAST(CAST(l_quantity AS DECIMAL(12,2)) AS VARCHAR) AS detail,
-               CAST(NULL AS VARCHAR) AS url
+               CAST(NULL AS VARCHAR) AS url,
+               CAST(l_partkey AS VARCHAR) AS part_id,
+               CAST(l_suppkey AS VARCHAR) AS supplier_id
         FROM lineitem JOIN orders ON l_orderkey = o_orderkey)
       SELECT * FROM (SELECT * FROM ev UNION ALL SELECT * FROM od UNION ALL SELECT * FROM sh)
       ORDER BY contact_id, event_ts, event_id, title, detail"""),

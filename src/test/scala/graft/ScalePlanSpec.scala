@@ -64,13 +64,24 @@ class ScalePlanSpec extends AnyFunSuite {
     // every dim join is a broadcast hash join
     assert(plan.contains("BroadcastHashJoin"))
     // wide stages in the FINAL adaptive plan (the AQE toString appends
-    // the initial plan after a marker — don't double count): the
-    // per-contact window exchange, the final sort's range exchange,
-    // and the dim-dedup's (dim-sized, tiny) hash exchange
+    // the initial plan after a marker — don't double count). The FACT
+    // stream must cross exactly two exchanges: the per-contact top-N
+    // window (hash on contact_id) and the final sort (range on
+    // contact_id). Dim-side exchanges (the mapLookup dedup's `_mk`
+    // hash, one per id→name pair) are dim-sized broadcast-build
+    // inputs — allowed, because they don't move fact data.
     val finalPlan = plan.split("== Initial Plan ==").head
-    val shuffles = finalPlan.linesIterator.count(l =>
+    val factShuffles = finalPlan.linesIterator.count(l =>
+      (l.contains("Exchange hashpartitioning") ||
+        l.contains("Exchange rangepartitioning")) && l.contains("contact_id"))
+    assert(factShuffles <= 2,
+      s"expected <=2 fact-side shuffle exchanges, got $factShuffles:\n$finalPlan")
+    val dimShuffles = finalPlan.linesIterator.count(l =>
+      l.contains("Exchange hashpartitioning") && l.contains("_mk"))
+    val allShuffles = finalPlan.linesIterator.count(l =>
       l.contains("Exchange hashpartitioning") || l.contains("Exchange rangepartitioning"))
-    assert(shuffles <= 3, s"expected <=3 shuffle exchanges, got $shuffles:\n$finalPlan")
+    assert(allShuffles <= factShuffles + dimShuffles,
+      s"unexpected non-fact non-dim exchange in:\n$finalPlan")
     // the top-N window applies its limit map-side before the shuffle
     assert(plan.contains("WindowGroupLimit"))
   }

@@ -23,7 +23,11 @@ class ChatterMasterGoldenSpec extends AnyFunSuite {
         count(lit(1)).as("n"))
       .head()
     assert(got.getLong(1) == 8500L)
-    assert(got.getString(0) == "15192be9f4545a5fdd0ab76bb0459bcb")
+    // re-pinned 2026-08-12 for the reference-width id→name multiplex
+    // (part/supplier/nation/region pairs added to the schema) —
+    // values spot-verified: shipment rows resolve part/supplier
+    // names, non-shipment rows blank, nation→region chain correct
+    assert(got.getString(0) == "57e2066c2cf9ebf911a806819e512171")
   }
 
   test("S9: per-contact digest TXT sink writes one file per contact") {
