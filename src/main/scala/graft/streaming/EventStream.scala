@@ -3,7 +3,7 @@ package graft.streaming
 import java.sql.Timestamp
 import org.apache.spark.sql.{DataFrame, Dataset, Encoders, Row}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{DataStreamWriter, GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, Trigger, ValueState}
+import org.apache.spark.sql.streaming.{DataStreamWriter, ExpiredTimerInfo, GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, StatefulProcessorWithInitialState, TTLConfig, TimeMode, TimerValues, Trigger, ValueState}
 
 /** Structured Streaming surface (SURVEY.md §2.9): the reference's
   * cron-micro-batch semantics mapped onto real streaming operators.
@@ -65,6 +65,74 @@ final class DigestProcessor(k: Int, ttl: TTLConfig = TTLConfig.NONE)
         new Timestamp(next.lastTsMillis.get),
         next.lastK.map(_._2).mkString(", ")))
     }
+  }
+}
+
+/** Emit-on-gap digest: nothing is emitted while a contact keeps
+  * producing; when `gapMs` of EVENT time passes with no new events
+  * (watermark crosses lastTs + gapMs), an event-time timer fires, the
+  * contact's digest is emitted once as a closed session, and its
+  * state is cleared — the next event starts a fresh session. This is
+  * the reference's "digest the contact once activity settles"
+  * cadence expressed as real event-time timers instead of cron.
+  *
+  * Also a [[StatefulProcessorWithInitialState]]: state can be
+  * bootstrapped from the batch lake (the digest history computed by
+  * [[EventStream.bootstrapDigestState]]), so a deployment switches
+  * from batch to streaming without emitting first-run digests that
+  * forget history. Bootstrapped contacts register a timer too —
+  * a contact that never speaks again still flushes its history.
+  *
+  * Scale: state is O(k) per contact, timers are one per contact,
+  * both RocksDB-backed and partitioned by the grouping key. */
+final class SessionDigestProcessor(k: Int, gapMs: Long)
+    extends StatefulProcessorWithInitialState[
+      Long, ContactEvent, ContactDigest, DigestState] {
+
+  @transient private var state: ValueState[DigestState] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    state = getHandle.getValueState[DigestState](
+      "session_digest", Encoders.product[DigestState], TTLConfig.NONE)
+
+  private def rearm(expiryMs: Long): Unit = {
+    // one live timer per contact: re-arming on new activity replaces
+    // the previous deadline
+    getHandle.listTimers().foreach(getHandle.deleteTimer)
+    getHandle.registerTimer(expiryMs)
+  }
+
+  override def handleInitialState(contactId: Long, initial: DigestState,
+                                  timers: TimerValues): Unit = {
+    state.update(initial)
+    initial.lastTsMillis.foreach(t => rearm(t + gapMs))
+  }
+
+  override def handleInputRows(contactId: Long, rows: Iterator[ContactEvent],
+                               timers: TimerValues): Iterator[ContactDigest] = {
+    val prev = if (state.exists()) state.get() else DigestState(0L, None, Vector.empty)
+    val inc = rows.toVector.sortBy(e => (e.event_ts.getTime, e.event_id))
+    if (inc.nonEmpty) {
+      val tail = (prev.lastK ++ inc.map(e => (e.event_ts.getTime, e.event_type)))
+        .sortBy(_._1).takeRight(k)
+      val lastTs = math.max(prev.lastTsMillis.getOrElse(Long.MinValue),
+        inc.map(_.event_ts.getTime).max)
+      state.update(DigestState(prev.count + inc.size, Some(lastTs), tail))
+      rearm(lastTs + gapMs)
+    }
+    Iterator.empty // emissions happen only when the gap closes
+  }
+
+  override def handleExpiredTimer(contactId: Long, timers: TimerValues,
+                                  expired: ExpiredTimerInfo): Iterator[ContactDigest] = {
+    val out =
+      if (state.exists()) {
+        val s = state.get()
+        s.lastTsMillis.map(ts => ContactDigest(contactId, s.count,
+          new Timestamp(ts), s.lastK.map(_._2).mkString(", ")))
+      } else None
+    state.clear() // session closed; the next event starts fresh
+    out.iterator
   }
 }
 
@@ -165,6 +233,49 @@ object EventStream {
     import events.sparkSession.implicits._
     events.groupByKey(_.contact_id)
       .transformWithState(new DigestProcessor(k), TimeMode.None(), OutputMode.Update())
+  }
+
+  /** Per-contact digest state folded from the batch lake — the
+    * initial-state input for [[sessionDigestStream]] when a
+    * deployment switches from batch runs to the stream. One pass,
+    * O(k) memory per contact (bounded fold, not collect+sort). */
+  def bootstrapDigestState(lake: Dataset[ContactEvent],
+                           k: Int): Dataset[(Long, DigestState)] = {
+    import lake.sparkSession.implicits._
+    lake.groupByKey(_.contact_id).mapGroups { (cid, it) =>
+      var count = 0L
+      var lastTs = Long.MinValue
+      var tail = Vector.empty[(Long, String)]
+      it.foreach { e =>
+        count += 1
+        val t = e.event_ts.getTime
+        lastTs = math.max(lastTs, t)
+        tail = (tail :+ (t, e.event_type)).sortBy(_._1).takeRight(k)
+      }
+      (cid, DigestState(count, if (count == 0) None else Some(lastTs), tail))
+    }
+  }
+
+  /** [[SessionDigestProcessor]] wired to a watermarked stream:
+    * event-time timers emit each contact's digest once `gapMs` of
+    * event time passes without activity, optionally seeded with
+    * [[bootstrapDigestState]] history from the batch lake. Requires
+    * the RocksDB state store provider. */
+  def sessionDigestStream(events: Dataset[ContactEvent], k: Int, gapMs: Long,
+                          watermarkDelay: String,
+                          initialState: Option[Dataset[(Long, DigestState)]] = None)
+      : Dataset[ContactDigest] = {
+    import events.sparkSession.implicits._
+    val grouped = events.withWatermark("event_ts", watermarkDelay)
+      .groupByKey(_.contact_id)
+    val proc = new SessionDigestProcessor(k, gapMs)
+    initialState match {
+      case Some(init) =>
+        grouped.transformWithState(proc, TimeMode.EventTime(),
+          OutputMode.Append(), init.groupByKey(_._1).mapValues(_._2))
+      case None =>
+        grouped.transformWithState(proc, TimeMode.EventTime(), OutputMode.Append())
+    }
   }
 
   /** Per-micro-batch delta sink: each batch writes its own

@@ -210,6 +210,62 @@ class EventStreamSpec extends AnyFunSuite {
     }
   }
 
+  test("emit-on-gap session digest: event-time timers flush, bootstrap counts history") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val prevProvider = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      // batch-lake history for contact 1: two events
+      val lake = Seq(
+        ContactEvent(1, 1, ts("2024-01-01 00:00:00"), "signup"),
+        ContactEvent(1, 2, ts("2024-01-01 00:01:00"), "click")).toDS()
+      val init = EventStream.bootstrapDigestState(lake, k = 3)
+
+      val input = MemoryStream[ContactEvent]
+      val digests = EventStream.sessionDigestStream(input.toDS(), k = 3,
+        gapMs = 5 * 60 * 1000L, watermarkDelay = "1 minute",
+        initialState = Some(init))
+      val q = digests.writeStream.format("memory").queryName("gap_digests")
+        .outputMode(OutputMode.Append).start()
+      try {
+        // batch 1: contact 1 resumes (history + 1), contact 2 is new.
+        // Nothing may be emitted yet — the gap is still open.
+        input.addData(
+          ContactEvent(1, 10, ts("2024-01-01 00:10:00"), "view"),
+          ContactEvent(2, 20, ts("2024-01-01 00:10:30"), "purchase"))
+        q.processAllAvailable()
+        assert(spark.sql("SELECT count(*) FROM gap_digests").head().getLong(0) == 0,
+          "no emission while the gap is open")
+
+        // batch 2: a far-future event for contact 9 advances the
+        // watermark past both contacts' gap deadlines → timers fire
+        input.addData(ContactEvent(9, 90, ts("2024-01-01 01:00:00"), "view"))
+        q.processAllAvailable()
+        // one more empty-ish cycle so the batch-2 watermark applies
+        input.addData(ContactEvent(9, 91, ts("2024-01-01 01:00:01"), "view"))
+        q.processAllAvailable()
+      } finally q.stop()
+
+      val got = spark.sql(
+        """SELECT contact_id, n_events, recent_types FROM gap_digests
+          |ORDER BY contact_id""".stripMargin)
+        .as[(Long, Long, String)].collect().toSeq
+      // contact 1: 2 bootstrapped + 1 streamed; tail merges history
+      assert(got.contains((1L, 3L, "signup, click, view")),
+        s"bootstrapped session digest wrong: $got")
+      assert(got.contains((2L, 1L, "purchase")), s"fresh contact digest wrong: $got")
+      // contact 9's gap never closed — no emission for it
+      assert(!got.exists(_._1 == 9L), s"open session must not emit: $got")
+    } finally {
+      prevProvider match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("streaming persist-dual: micro-batches merge idempotently into raw/latest") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
