@@ -94,6 +94,79 @@ object Ops {
   def fallbackChain(primary: Column, fallbacks: Column*): Column =
     coalesce((primary +: fallbacks).map(nullifBlank): _*)
 
+  /** As-of join: for each left row, attach the latest right `value`
+    * with right-ts ≤ left-ts under the same key (DuckDB/kdb ASOF
+    * semantics, equal timestamps match). Spark has no native as-of
+    * operator; the naive formulations — a range theta-join
+    * (nested-loop explosion) or per-row correlated max (re-scan per
+    * row) — both die at scale. This one is the scale-safe form: tag
+    * both sides, union (plan-level concat, narrow), ONE window pass
+    * with `last(value, ignoreNulls)` over (key, ts) — a single hash
+    * shuffle on the key and a sort within partitions, total cost
+    * O(n log n) per key group with no row expansion whatsoever.
+    *
+    * Right rows must be unique per (key, ts) — pre-aggregate the
+    * series first (e.g. max per instant), otherwise "the" value at a
+    * timestamp is undefined in any engine.
+    *
+    * @param left   probe side; all its columns survive
+    * @param right  value series: (key, rts, valueCol) — other
+    *               columns are dropped
+    * @param as     output column name for the as-of value
+    */
+  def asofLastValue(left: DataFrame, right: DataFrame, key: String,
+                    lts: String, rts: String, valueCol: String,
+                    as: String): DataFrame = {
+    val vType = right.schema(valueCol).dataType
+    // _side orders right (0) before left (1) at equal ts, so an
+    // exactly-simultaneous observation is visible to the probe row
+    val l = left
+      .withColumn("_t", col(lts))
+      .withColumn("_side", lit(1))
+      .withColumn("_v", lit(null).cast(vType))
+    val r = right.select(col(key), col(rts).as("_t"),
+      lit(0).as("_side"), col(valueCol).as("_v"))
+    val w = Window.partitionBy(col(key))
+      .orderBy(col("_t").asc, col("_side").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    l.unionByName(r, allowMissingColumns = true)
+      .withColumn(as, last(col("_v"), ignoreNulls = true).over(w))
+      .filter(col("_side") === 1)
+      .drop("_t", "_side", "_v")
+  }
+
+  /** Range join via time binning: pair left rows (point `lts`) with
+    * right rows (interval `[startCol, endCol)`) WITHOUT the
+    * nested-loop plan a pure inequality join degenerates to. Each
+    * left row lands in exactly one `binWidthUs`-wide bin; each right
+    * interval explodes into the bins it covers; the join is then a
+    * plain equi-join on the bin plus an exact range filter. Pair
+    * generation cost is O(intervals × bins-per-interval), the join
+    * is a keyed shuffle (broadcast when one side is small), and no
+    * pair is produced twice (a point has one bin).
+    *
+    * Pick `binWidthUs` near the typical interval length: much
+    * smaller multiplies the explode, much larger multiplies
+    * false-candidate filtering. Empty intervals (end ≤ start) are
+    * dropped — `sequence` would otherwise generate a DESCENDING bin
+    * range and fabricate candidates. */
+  def binnedRangeJoin(left: DataFrame, lts: String, right: DataFrame,
+                      startCol: String, endCol: String,
+                      binWidthUs: Long): DataFrame = {
+    require(binWidthUs > 0, "binWidthUs must be positive")
+    val lb = left.withColumn("_bin",
+      floor(unix_micros(col(lts)) / binWidthUs))
+    val rb = right
+      .filter(col(endCol) > col(startCol))
+      .withColumn("_bin", explode(sequence(
+        floor(unix_micros(col(startCol)) / binWidthUs),
+        // end is exclusive: the last covered instant is end − 1µs
+        floor((unix_micros(col(endCol)) - 1) / binWidthUs))))
+    lb.join(rb, "_bin")
+      .filter(col(lts) >= col(startCol) && col(lts) < col(endCol))
+      .drop("_bin")
+  }
+
   // ─────────────────────── per-group rollups ────────────────────────
 
   /** F10 — case-insensitive column resolution against candidate names:

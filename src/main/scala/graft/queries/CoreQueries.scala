@@ -345,6 +345,66 @@ object CoreQueries {
           .orderBy("email")
       }),
 
+    // J7 (extension): as-of join — every non-purchase event carries
+    // the user's most recent purchase value at-or-before the event.
+    // Spark-side: Ops.asofLastValue (union + ONE window pass, no row
+    // expansion); oracle: DuckDB's native ASOF LEFT JOIN. The
+    // purchase series is pre-aggregated per (user, instant) so "the"
+    // value at a timestamp is well-defined in both engines.
+    QDef("q_asof_join", Some(s"""
+      WITH p AS (SELECT user_id, ts, max(value) AS pv FROM events
+                 WHERE event_type = 'purchase' GROUP BY user_id, ts),
+      e AS (SELECT event_id, user_id, ts, event_type FROM events
+            WHERE event_type <> 'purchase')
+      SELECT e.event_id, e.user_id, strftime(e.ts, '$TSD') AS event_ts,
+             e.event_type,
+             CAST(CAST(p.pv AS DECIMAL(12,2)) AS VARCHAR) AS last_purchase
+      FROM e ASOF LEFT JOIN p ON e.user_id = p.user_id AND e.ts >= p.ts
+      ORDER BY e.event_id"""),
+      (s, d) => {
+        val ev = t(s, d, "events")
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .groupBy("user_id", "ts").agg(max(col("value")).as("pv"))
+        val probes = ev.filter(col("event_type") =!= "purchase")
+          .select("event_id", "user_id", "ts", "event_type")
+        asofLastValue(probes, purchases, "user_id", "ts", "ts", "pv",
+          "last_purchase")
+          .select(col("event_id"), col("user_id"),
+            date_format(col("ts"), TS).as("event_ts"), col("event_type"),
+            col("last_purchase").cast("decimal(12,2)").cast("string")
+              .as("last_purchase"))
+          .orderBy("event_id")
+      }),
+
+    // J8 (extension): range join via time binning — overlapping
+    // 3-day promo windows (one per nation, staggered daily) matched
+    // to the events inside them. Spark-side: Ops.binnedRangeJoin
+    // (bin equi-join + exact filter — NO nested-loop plan); oracle:
+    // DuckDB's plain inequality join.
+    QDef("q_range_join_binned", Some(s"""
+      WITH w AS (SELECT n_nationkey AS window_id,
+               TIMESTAMP '2024-01-01' + INTERVAL (n_nationkey) DAY AS ws,
+               TIMESTAMP '2024-01-01' + INTERVAL (n_nationkey + 3) DAY AS we
+             FROM nation),
+      j AS (SELECT w.window_id, e.value FROM w
+            JOIN events e ON e.ts >= w.ws AND e.ts < w.we)
+      SELECT window_id, count(*) AS n,
+             CAST(sum(CAST(value AS DECIMAL(12,2))) AS VARCHAR) AS total_value
+      FROM j GROUP BY window_id ORDER BY window_id"""),
+      (s, d) => {
+        val windows = t(s, d, "nation").select(
+          col("n_nationkey").as("window_id"),
+          expr("timestampadd(DAY, n_nationkey, TIMESTAMP'2024-01-01')").as("ws"),
+          expr("timestampadd(DAY, n_nationkey + 3, TIMESTAMP'2024-01-01')").as("we"))
+        binnedRangeJoin(t(s, d, "events"), "ts", windows, "ws", "we",
+          binWidthUs = 24L * 3600 * 1000000) // 1-day bins ≈ window scale
+          .groupBy("window_id")
+          .agg(count(lit(1)).as("n"),
+            sum(col("value").cast("decimal(12,2)")).cast("string")
+              .as("total_value"))
+          .orderBy("window_id")
+      }),
+
     // ─────────────────── §2.4 aggregations / dedup ─────────────────
 
     // A1: content-hash dedup over all non-lineage columns; among
