@@ -83,24 +83,61 @@ object PersistTableDual {
     walk(root, depth)
   }
 
+  private def backupRoot(dst: org.apache.hadoop.fs.Path) =
+    new org.apache.hadoop.fs.Path(dst, "__swap_backup")
+
   /** Move every staged partition dir over its counterpart under
     * `dst`, leaving all other partitions' files untouched on disk
-    * (same inodes — byte-identical, no rewrite). Failures are checked:
+    * (same inodes — byte-identical, no rewrite). Crash-safe: the old
+    * partition is RENAMED into a backup dir (not deleted) before the
+    * staged one moves in, so at every instant the data exists
+    * somewhere on disk; [[recoverInterruptedSwap]] heals a crash
+    * between the two renames on the next run. Failures are checked:
     * Hadoop FileSystem signals most errors via `false` returns. */
   private def swapPartitions(fs: org.apache.hadoop.fs.FileSystem,
                              stage: org.apache.hadoop.fs.Path,
                              dst: org.apache.hadoop.fs.Path,
                              depth: Int): Unit = {
+    val backup = backupRoot(dst)
     partitionDirs(fs, stage, depth).foreach { rel =>
       val from = new org.apache.hadoop.fs.Path(stage, rel)
       val to = new org.apache.hadoop.fs.Path(dst, rel)
-      if (fs.exists(to) && !fs.delete(to, true))
-        throw new java.io.IOException(s"failed to delete old partition $to")
+      val bak = new org.apache.hadoop.fs.Path(backup, rel)
+      if (fs.exists(to)) {
+        fs.mkdirs(bak.getParent)
+        if (!fs.rename(to, bak))
+          throw new java.io.IOException(s"failed to back up old partition $to")
+      }
       fs.mkdirs(to.getParent)
       if (!fs.rename(from, to))
         throw new java.io.IOException(s"failed to move $from into $to")
     }
+    // all partitions are in place — the old copies can go
+    fs.delete(backup, true)
     fs.delete(stage, true) // leftover _SUCCESS / empty scaffolding
+  }
+
+  /** Heal a swap interrupted between "old partition renamed to
+    * backup" and "staged partition renamed in": any backup partition
+    * whose destination is missing is restored verbatim. Partitions
+    * whose destination exists finished their swap — their backup is
+    * just the superseded copy and is dropped with the backup root.
+    * Idempotent; a no-op when no backup dir exists. */
+  private def recoverInterruptedSwap(fs: org.apache.hadoop.fs.FileSystem,
+                                     dst: org.apache.hadoop.fs.Path,
+                                     depth: Int): Unit = {
+    val backup = backupRoot(dst)
+    if (fs.exists(backup)) {
+      partitionDirs(fs, backup, depth).foreach { rel =>
+        val to = new org.apache.hadoop.fs.Path(dst, rel)
+        if (!fs.exists(to)) {
+          fs.mkdirs(to.getParent)
+          if (!fs.rename(new org.apache.hadoop.fs.Path(backup, rel), to))
+            throw new java.io.IOException(s"failed to restore $rel from backup")
+        }
+      }
+      fs.delete(backup, true)
+    }
   }
 
   /** Full merge: returns (rawCount, latestCount) after the rewrite.
@@ -197,7 +234,14 @@ object PersistTableDual {
   /** The partition-scoped rewrite: merge the delta with ONLY its own
     * partitions of raw (a partition-pruned scan), swap those
     * partition dirs, and recompute latest for the same partitions —
-    * every other partition's files are left physically untouched. */
+    * every other partition's files are left physically untouched.
+    *
+    * Returns (rawCount, latestCount) of the AFFECTED partitions, not
+    * lake totals — counting the whole lake would be the O(history)
+    * scan this path exists to avoid. Crash recovery: interrupted
+    * swaps heal from the on-disk backup at the next run's entry, and
+    * because delta dirs are preserved, re-running a failed merge is
+    * always safe (content-hash dedup absorbs the replay). */
   private def persistScoped(spark: SparkSession, paths: Paths,
                             deltaOnDisk: DataFrame,
                             authoritative: org.apache.spark.sql.types.StructType,
@@ -205,11 +249,18 @@ object PersistTableDual {
                             partitionCols: Seq[String],
                             fs: org.apache.hadoop.fs.FileSystem,
                             rawPath: org.apache.hadoop.fs.Path): (Long, Long) = {
+    val latestPath = new org.apache.hadoop.fs.Path(paths.latest)
+    // heal any swap a previous run left half-done BEFORE reading raw
+    recoverInterruptedSwap(fs, rawPath, partitionCols.length)
+    recoverInterruptedSwap(fs, latestPath, partitionCols.length)
+
     // the delta's partition tuples — few by design (a run touches a
     // sliver of the lake), so the collect is O(partitions-in-delta)
     val affected = deltaOnDisk.select(partitionCols.map(col): _*)
       .distinct().collect()
-    require(affected.nonEmpty, "empty delta: nothing to persist")
+    // empty delta = idempotent no-op (the non-scoped path's contract):
+    // nothing to merge, nothing to count cheaply — report zeros
+    if (affected.isEmpty) return (0L, 0L)
     // null-safe per-tuple predicate; reaches the scan as partition
     // pruning, so unaffected partitions are never even read
     val pred = affected.map { r =>
@@ -217,8 +268,9 @@ object PersistTableDual {
         .map { case (c, i) => col(c) <=> lit(r.get(i)) }.reduce(_ && _)
     }.reduce(_ || _)
 
-    val rawAffected =
-      readRawTyped(spark, paths, authoritative, partitionCols).filter(pred)
+    val rawSchema = spark.read.parquet(paths.raw).schema // one probe, reused
+    val rawAffected = readRawTyped(spark, paths, authoritative, partitionCols,
+      knownSchema = Some(rawSchema)).filter(pred)
     val deduped = contentHashDedup(alignUnion(rawAffected, deltaOnDisk),
       lineageCols, struct(col("extracted_at"), col("run_id")))
 
@@ -230,19 +282,21 @@ object PersistTableDual {
     swapPartitions(fs, stage, rawPath, partitionCols.length)
 
     // latest over the POST-swap affected partitions (the pre-swap
-    // plan's input dirs no longer exist). Partition-local latest is
+    // plan's input dirs no longer exist; the just-written layout has
+    // deduped's schema, so no re-probe). Partition-local latest is
     // correct because partitionScoped requires partition values to be
     // a function of the business key — a key never spans partitions.
-    val latestAffected = latestSnapshot(
-      readRawTyped(spark, paths, authoritative, partitionCols).filter(pred),
+    val rawAffectedNew = readRawTyped(spark, paths, authoritative, partitionCols,
+      knownSchema = Some(deduped.schema)).filter(pred)
+    val latestAffected = latestSnapshot(rawAffectedNew,
       keyCols, col(updatedAtCol), col("extracted_at"))
     val lstage = new org.apache.hadoop.fs.Path(paths.latest + "__stage")
     latestAffected.write.mode("overwrite").partitionBy(partitionCols: _*)
       .parquet(lstage.toString)
-    swapPartitions(fs, lstage,
-      new org.apache.hadoop.fs.Path(paths.latest), partitionCols.length)
+    swapPartitions(fs, lstage, latestPath, partitionCols.length)
 
-    (readRawTyped(spark, paths, authoritative, partitionCols).count(),
-      spark.read.parquet(paths.latest).count())
+    (rawAffectedNew.count(),
+      spark.read.schema(rawAffectedNew.schema).parquet(paths.latest)
+        .filter(pred).count())
   }
 }

@@ -21,9 +21,20 @@ import graft.Sessions
   */
 object RunPipeline {
 
+  /** Unique, replayable run id: the injected run stamp (the
+    * reference's wall-clock %Y%m%d_%H%M%S, :1553) plus the watermark
+    * position. The stamp alone would suffice; the watermark suffix
+    * keeps ids self-describing. Distinct runs must carry distinct
+    * stamps — a watermark-only id collides whenever the watermark
+    * doesn't advance (seed-only re-runs), and the colliding run would
+    * overwrite the previous run's preserved delta dir. */
+  private def mkRunId(runUtc: String, wm: Long): String =
+    s"run_${runUtc.replaceAll("[^0-9TZ]", "")}_after_$wm"
+
   /** One incremental run. Returns (sliceRows, rawRows, latestRows). */
   def runOnce(spark: SparkSession, outRoot: String,
-              totalRows: Long): (Long, Long, Long) = {
+              totalRows: Long,
+              runUtc: String = "2026-01-01T00:00:00Z"): (Long, Long, Long) = {
     val statePath = s"$outRoot/state.json"
     val state = Watermark.load(statePath)
 
@@ -31,12 +42,12 @@ object RunPipeline {
       .option("totalrows", totalRows.toString).option("pagelimit", "100").load()
     val slice = Watermark.incrementalSlice(contacts, "id", state)
 
-    val runId = s"run_after_${state.maxId}"
+    val runId = mkRunId(runUtc, state.maxId)
     val paths = PersistTableDual.Paths(outRoot, "contacts")
     val (rawN, latestN) = PersistTableDual.persist(
       spark, paths,
       slice.withColumn("contact_id", col("id").cast("string")),
-      runId, "2026-01-01T00:00:00Z", Seq("contact_id"), "updated_at")
+      runId, runUtc, Seq("contact_id"), "updated_at")
 
     // Advance from the delta that was durably WRITTEN, never from a
     // re-scan of the live source: upstream may have grown between the
@@ -44,7 +55,7 @@ object RunPipeline {
     // skip those rows forever.
     val deltaOnDisk = spark.read.parquet(paths.delta(runId))
     val sliceCount = deltaOnDisk.count()
-    val advanced = Watermark.advance(deltaOnDisk, "id", state, "2026-01-01T00:00:00Z")
+    val advanced = Watermark.advance(deltaOnDisk, "id", state, runUtc)
     Watermark.save(statePath, advanced)
     (sliceCount, rawN, latestN)
   }
@@ -90,7 +101,7 @@ object RunPipeline {
     import spark.implicits._
     val statePath = s"$outRoot/state.json"
     val state = Watermark.load(statePath)
-    val runId = s"run_after_${state.maxId}"
+    val runId = mkRunId(nowUtc, state.maxId)
 
     // ── contacts collection (DSv2 paged source) ──
     val contacts = spark.read.format("graft.sources.PagedSource")
@@ -110,11 +121,15 @@ object RunPipeline {
     val slice = Watermark.incrementalSlice(contacts, "id", state)
 
     // 4. universe: seed ∪ new, one row per contact, ordered with an
-    // optional debug sample bound
+    // optional debug sample bound. CACHED: the universe gates every
+    // downstream stage (4 persists + the mart semi-join) — without a
+    // cache each action re-resolves the seed join and re-fetches the
+    // paged source (the REST re-fetch trap PersistTableDual's delta
+    // read-back exists to avoid).
     val delta0 = alignUnion(seedResolved.drop("email"), slice)
       .dropDuplicates("id")
     val contactsDelta =
-      sampleSize.fold(delta0)(n => delta0.orderBy("id").limit(n))
+      sampleSize.fold(delta0)(n => delta0.orderBy("id").limit(n)).cache()
     val universe = contactsDelta.select(col("id").as("contact_id"))
     val universeSize = universe.count()
 
@@ -155,14 +170,16 @@ object RunPipeline {
 
     // 7. mart + digest (E3): flagship chatter master bounded to this
     // run's universe, written as the readable master file, plus the
-    // per-contact digest in CSV and one-TXT-per-contact form (S9)
+    // per-contact digest in CSV and one-TXT-per-contact form (S9).
+    // CACHED: the mart (the heaviest plan in the repo) feeds the CSV
+    // write, the digest aggregation, and the display lookup — three
+    // actions that would otherwise each recompute it from scratch.
     val mart = ChatterMaster.chatterMaster(spark, sfDir)
-      .join(universe, Seq("contact_id"), "left_semi")
+      .join(universe, Seq("contact_id"), "left_semi").cache()
     val martDir = s"$outRoot/master/mart"
     mart.write.mode("overwrite").option("header", "true")
       .csv(s"$martDir/chatter_master")
-    val martRows = spark.read.option("header", "true")
-      .csv(s"$martDir/chatter_master").count()
+    val martRows = mart.count()
 
     val digestCore = mart.select(col("contact_id"),
       struct(col("event_ts").as("ets"), xxhash64(col("event_id")).as("event_id"),
@@ -192,6 +209,8 @@ object RunPipeline {
     val advanced = Watermark.advance(writtenDelta, "id", state, nowUtc)
     Watermark.save(statePath, advanced)
 
+    mart.unpersist()
+    contactsDelta.unpersist()
     FullRunReport(runId, nSeeds, universeSize, persisted, martRows, nDigests,
       state.maxId, advanced.maxId)
   }

@@ -581,13 +581,14 @@ object CoreQueries {
     // Approximate distinct counting (HLL++ sketch): cardinality of
     // l_partkey per return flag. The sketch estimate itself is
     // engine-specific, so the oracle-checked surface is the exact
-    // distinct count plus a within_2pct flag: the oracle asserts 1,
-    // the engine asserts |approx-exact| <= 0.02*exact — hash-green
-    // exactly when the HLL++ bound actually holds. (The tighter
-    // per-row bound is also asserted in SketchesSpec.)
+    // distinct count plus a bound flag the oracle asserts as 1. The
+    // configured 0.02 is a relative STANDARD DEVIATION, not a max
+    // error — a 2% flag would flip ~32% of the time per group — so
+    // the checked bound is 3σ (6%), ~99.7% per group, making the
+    // hash deterministic in practice at any scale factor.
     QDef("q_approx_distinct", Some("""
       SELECT l_returnflag, count(DISTINCT l_partkey) AS exact_parts,
-             count(*) AS n, CAST(1 AS INTEGER) AS within_2pct
+             count(*) AS n, CAST(1 AS INTEGER) AS within_bound
       FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""),
       (s, d) => t(s, d, "lineitem")
         .groupBy("l_returnflag")
@@ -596,7 +597,7 @@ object CoreQueries {
           approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"))
         .select(col("l_returnflag"), col("exact_parts"), col("n"),
           (abs(col("approx_parts") - col("exact_parts")) <=
-            lit(0.02) * col("exact_parts")).cast("int").as("within_2pct"))
+            lit(0.06) * col("exact_parts")).cast("int").as("within_bound"))
         .orderBy("l_returnflag")),
 
     // ─────────────────── §2.5 sorts / limits ──────────────────────

@@ -12,11 +12,11 @@ class SketchesSpec extends AnyFunSuite {
   test("approx_count_distinct within 2% rsd of exact per group") {
     import spark.implicits._
     val li = graft.pipeline.Tables.t(spark, SparkTesting.sf, "lineitem")
-    // The registered query folds the bound into within_2pct (its
+    // The registered query folds the 3σ bound into within_bound (its
     // oracle-checked surface); assert it holds for every group, and
     // cross-check the exact counts against an independent aggregate.
     val rows = SparkEntry.queries("q_approx_distinct")(spark, SparkTesting.sf)
-      .select($"l_returnflag", $"exact_parts", $"within_2pct")
+      .select($"l_returnflag", $"exact_parts", $"within_bound")
       .as[(String, Long, Int)].collect()
     val exact = li.groupBy("l_returnflag")
       .agg(countDistinct("l_partkey").as("d"))
@@ -24,7 +24,7 @@ class SketchesSpec extends AnyFunSuite {
     assert(rows.map(_._1).toSet == exact.keySet)
     rows.foreach { case (k, e, ok) =>
       assert(e == exact(k), s"group $k: exact_parts $e != independent ${exact(k)}")
-      assert(ok == 1, s"group $k: approx_count_distinct outside 2% of exact $e")
+      assert(ok == 1, s"group $k: approx_count_distinct outside 3σ (6%) of exact $e")
     }
   }
 

@@ -120,13 +120,15 @@ class PersistTableDualSpec extends AnyFunSuite {
     val beforeLatestA = fileHashes(s"${p.latest}/bucket=a")
     assert(beforeA.nonEmpty)
 
-    // second run touches ONLY bucket b
+    // second run touches ONLY bucket b; counts are AFFECTED-partition
+    // scoped (a lake total would be the O(history) scan the path avoids)
     val (raw2, latest2) = persist(spark, p,
       bucketed(("3", "c2@x", "2024-02-01")),
       "r2", "2026-01-02T00:00:00Z", Seq("contact_id"), "updated_at",
       partitionCols = Seq("bucket"), partitionScoped = true)
-    assert(raw2 == 3, "raw keeps history: contact 1 + both versions of 3")
-    assert(latest2 == 2, "latest: one row per contact")
+    assert(raw2 == 2, "affected raw: both versions of contact 3")
+    assert(latest2 == 1, "affected latest: one row for contact 3")
+    assert(spark.read.parquet(p.raw).count() == 3, "lake total: 1 + 2 versions")
     assert(fileHashes(s"${p.raw}/bucket=a") == beforeA,
       "bucket a raw files must be physically untouched")
     assert(fileHashes(s"${p.latest}/bucket=a") == beforeLatestA,
@@ -139,7 +141,47 @@ class PersistTableDualSpec extends AnyFunSuite {
     val (raw3, _) = persist(spark, p, bucketed(("3", "c2@x", "2024-02-01")),
       "r3", "2026-01-03T00:00:00Z", Seq("contact_id"), "updated_at",
       partitionCols = Seq("bucket"), partitionScoped = true)
-    assert(raw3 == 3, "scoped redelivery must not grow raw")
+    assert(raw3 == 2, "scoped redelivery must not grow the affected partition")
+
+    // empty delta: idempotent no-op, not an error
+    val (raw4, latest4) = persist(spark, p,
+      bucketed().selectExpr("contact_id", "email", "updated_at", "bucket"),
+      "r4", "2026-01-04T00:00:00Z", Seq("contact_id"), "updated_at",
+      partitionCols = Seq("bucket"), partitionScoped = true)
+    assert(raw4 == 0 && latest4 == 0)
+    assert(spark.read.parquet(p.raw).count() == 3, "empty delta changes nothing")
+  }
+
+  test("partition-scoped swap heals a crash between backup and rename") {
+    import org.apache.spark.sql.functions.{col, when}
+    val p = freshPaths()
+    def bucketed(rows: (String, String, String)*) =
+      delta(rows: _*).withColumn("bucket",
+        when(col("contact_id") <= "2", "a").otherwise("b"))
+    persist(spark, p,
+      bucketed(("1", "a@x", "2024-01-01"), ("3", "c@x", "2024-01-01")),
+      "r1", "2026-01-01T00:00:00Z", Seq("contact_id"), "updated_at",
+      partitionCols = Seq("bucket"), partitionScoped = true)
+
+    // simulate a crash mid-swap: bucket a was renamed to the backup
+    // but its replacement never arrived — the partition is "missing"
+    val rawA = new java.io.File(s"${p.raw}/bucket=a")
+    val bak = new java.io.File(s"${p.raw}/__swap_backup/bucket=a")
+    bak.getParentFile.mkdirs()
+    assert(rawA.renameTo(bak), "test setup: move partition into backup")
+    assert(!rawA.exists())
+
+    // next scoped run (touching only bucket b) must first restore a
+    val (raw2, _) = persist(spark, p, bucketed(("3", "c2@x", "2024-02-01")),
+      "r2", "2026-01-02T00:00:00Z", Seq("contact_id"), "updated_at",
+      partitionCols = Seq("bucket"), partitionScoped = true)
+    assert(raw2 == 2)
+    assert(rawA.exists(), "crashed-out partition must be restored")
+    assert(!new java.io.File(s"${p.raw}/__swap_backup").exists(),
+      "backup root must be cleared after recovery")
+    val contact1 = spark.read.parquet(p.raw)
+      .filter(col("contact_id") === "1").count()
+    assert(contact1 == 1, "restored partition's history intact")
   }
 
   test("delta dirs are preserved per run") {

@@ -15,19 +15,29 @@ class RunPipelineSpec extends AnyFunSuite {
     FixtureBackend.reset()
 
     // run 1: everything is new
-    val (s1, raw1, latest1) = RunPipeline.runOnce(spark, root, 300)
+    val (s1, raw1, latest1) = RunPipeline.runOnce(spark, root, 300,
+      runUtc = "2026-01-01T00:00:00Z")
     assert((s1, raw1, latest1) == ((300L, 300L, 300L)))
 
     // run 2, no new upstream rows: slice empty, lake unchanged
-    val (s2, raw2, latest2) = RunPipeline.runOnce(spark, root, 300)
+    val (s2, raw2, latest2) = RunPipeline.runOnce(spark, root, 300,
+      runUtc = "2026-01-02T00:00:00Z")
     assert((s2, raw2, latest2) == ((0L, 300L, 300L)))
 
     // upstream grows: only the delta is scanned and merged
-    val (s3, raw3, latest3) = RunPipeline.runOnce(spark, root, 400)
+    val (s3, raw3, latest3) = RunPipeline.runOnce(spark, root, 400,
+      runUtc = "2026-01-03T00:00:00Z")
     assert((s3, raw3, latest3) == ((100L, 400L, 400L)))
 
     // watermark survived all three runs on disk
     assert(Watermark.load(s"$root/state.json").maxId == 399L)
+
+    // every run kept its own delta dir: runs 2 and 3 both started at
+    // watermark 299, so a watermark-only run id would have collided
+    // and run 3 would have overwritten run 2's (empty) delta
+    val deltaDirs = new java.io.File(s"$root/runs").listFiles()
+      .map(_.getName).sorted.toSeq
+    assert(deltaDirs.size == 3, s"one preserved delta dir per run: $deltaDirs")
   }
 
   test("full E1 lifecycle: seed → universe → stages → mart/digest → advance, idempotent") {
@@ -38,7 +48,7 @@ class RunPipelineSpec extends AnyFunSuite {
 
     // ── run 1: everything new ──
     val r1 = RunPipeline.runFull(spark, root, sf, totalRows = 300,
-      seedEmails = seeds)
+      seedEmails = seeds, nowUtc = "2026-01-01T00:00:00Z")
     assert(r1.resolvedSeeds == 2, "2 of 3 seed emails resolve to contacts")
     assert(r1.universeSize == 300, "seeds are a subset of the full first slice")
     assert(r1.watermarkBefore == -1 && r1.watermarkAfter == 299)
@@ -60,7 +70,7 @@ class RunPipelineSpec extends AnyFunSuite {
 
     // ── run 2, unchanged upstream: idempotent on every raw ──
     val r2 = RunPipeline.runFull(spark, root, sf, totalRows = 300,
-      seedEmails = seeds)
+      seedEmails = seeds, nowUtc = "2026-01-02T00:00:00Z")
     assert(r2.universeSize == 2, "only the re-sent seeds are in the universe")
     assert(r2.persisted == r1.persisted,
       "re-running with unchanged upstream must leave every lake unchanged")
@@ -68,9 +78,11 @@ class RunPipelineSpec extends AnyFunSuite {
 
     // ── run 3, upstream grew: only the delta is merged ──
     val r3 = RunPipeline.runFull(spark, root, sf, totalRows = 320,
-      seedEmails = seeds)
+      seedEmails = seeds, nowUtc = "2026-01-03T00:00:00Z")
     assert(r3.universeSize == 22, "2 seeds + 20 new contacts")
     assert(r3.persisted("contacts") == ((320L, 320L)))
     assert(r3.watermarkAfter == 319)
+    // distinct run ids → every run's contacts delta dir survives
+    assert(Set(r1.runId, r2.runId, r3.runId).size == 3)
   }
 }
