@@ -132,6 +132,49 @@ object TextQueries {
             .otherwise(0))
         .orderBy("doc_id")),
 
+    // Quality ratios (stopword / short-token / uniqueness / mean
+    // token length): the classic pretraining-corpus quality signals.
+    // Ratios are emitted as exact integer permille/centi values
+    // (floor division on both engines) — float division would make
+    // the cross-engine hash depend on rounding at exact boundaries.
+    QDef("q_doc_quality_ratios", Some("""
+      WITH d AS (SELECT doc_id,
+        list_filter(string_split(text, ' '), t -> t <> '') AS toks FROM documents),
+      m AS (SELECT doc_id,
+        CAST(len(toks) AS BIGINT) AS n_tokens,
+        CAST(len(list_filter(toks, t -> t IN ('the', 'a'))) AS BIGINT) AS n_stop,
+        CAST(len(list_filter(toks, t -> length(t) <= 2)) AS BIGINT) AS n_short,
+        CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct,
+        CAST(COALESCE(list_sum(list_transform(toks, t -> length(t))), 0) AS BIGINT) AS tok_chars
+        FROM d)
+      SELECT doc_id, n_tokens, n_stop,
+             CASE WHEN n_tokens = 0 THEN 0 ELSE (1000 * n_stop) // n_tokens END AS stop_permille,
+             CASE WHEN n_tokens = 0 THEN 0 ELSE (1000 * n_short) // n_tokens END AS short_permille,
+             CASE WHEN n_tokens = 0 THEN 0 ELSE (1000 * n_distinct) // n_tokens END AS uniq_permille,
+             CASE WHEN n_tokens = 0 THEN 0 ELSE (100 * tok_chars) // n_tokens END AS avg_tok_centi
+      FROM m ORDER BY doc_id"""),
+      (s, d) => {
+        // div = integral division, exact on both engines (DuckDB `//`)
+        def permille(num: String, den: String, scale: Int) =
+          when(col(den) === 0, lit(0L))
+            .otherwise(expr(s"div(${scale}L * $num, $den)"))
+        t(s, d, "documents")
+          .withColumn("toks", TA.tokens(col("text")))
+          .select(col("doc_id"),
+            size(col("toks")).cast(LongType).as("n_tokens"),
+            TA.langScore(col("toks"), Seq("the", "a")).as("n_stop"),
+            size(filter(col("toks"), t => length(t) <= 2)).cast(LongType).as("n_short"),
+            size(array_distinct(col("toks"))).cast(LongType).as("n_distinct"),
+            aggregate(transform(col("toks"), t => length(t)), lit(0),
+              (acc, x) => acc + x).cast(LongType).as("tok_chars"))
+          .select(col("doc_id"), col("n_tokens"), col("n_stop"),
+            permille("n_stop", "n_tokens", 1000).as("stop_permille"),
+            permille("n_short", "n_tokens", 1000).as("short_permille"),
+            permille("n_distinct", "n_tokens", 1000).as("uniq_permille"),
+            permille("tok_chars", "n_tokens", 100).as("avg_tok_centi"))
+          .orderBy("doc_id")
+      }),
+
     // Document fingerprinting: full-text md5, prefix md5, and an
     // order-invariant bag-of-words fingerprint.
     QDef("q_doc_fingerprint", Some("""
