@@ -167,6 +167,31 @@ object Ops {
       .drop("_bin")
   }
 
+  /** Skew-salted equi-join: for a fact side with pathological key
+    * skew joining a dim too large to broadcast, split each hot key
+    * across `salt` reducers by salting the fact side and replicating
+    * the dim side `salt`× (explode of a 0..salt-1 sequence). Same
+    * rows as a plain inner equi-join on `key` for ANY input; the
+    * shuffle key becomes (key, _salt), so one hot key occupies up to
+    * `salt` partitions instead of one.
+    *
+    * `saltBy` must be deterministic per fact row (a row id, or the
+    * full row struct) — a random salt would break retry/replay
+    * determinism, the same reason the reference pins extraction
+    * timestamps. Prefer AQE's skew-join splitting (on everywhere in
+    * `Sessions`) when it applies; this is the declarative form for
+    * joins AQE can't split (e.g. followed by a bucketed write, or
+    * under static planning). Dim replication cost is salt×|dim| —
+    * size `salt` to the worst key's partition overflow, not higher. */
+  def saltedJoin(fact: DataFrame, dim: DataFrame, key: String,
+                 salt: Int, saltBy: Column): DataFrame = {
+    require(salt > 0, "salt must be positive")
+    val f = fact.withColumn("_salt", pmod(hash(saltBy), lit(salt)))
+    val d = dim.withColumn("_salt",
+      explode(sequence(lit(0), lit(salt - 1))))
+    f.join(d, Seq(key, "_salt")).drop("_salt")
+  }
+
   // ─────────────────────── per-group rollups ────────────────────────
 
   /** F10 — case-insensitive column resolution against candidate names:

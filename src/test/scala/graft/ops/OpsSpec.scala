@@ -70,6 +70,27 @@ class OpsSpec extends AnyFunSuite {
     assert(got.toSeq == Seq("fb", "fb", "v"))
   }
 
+  test("saltedJoin == plain equi-join on skewed keys, shuffles on (key, salt)") {
+    import org.apache.spark.sql.functions.{col, lit}
+    // fact: one hot key (90% of rows) + a long tail
+    val fact = ((1 to 90).map(i => (7L, i.toLong)) ++
+      (1 to 10).map(i => (i.toLong % 5, 1000L + i)))
+      .toDF("k", "row_id")
+    val dim = (0L to 10L).map(i => (i, s"name_$i")).toDF("k", "name")
+    val salted = saltedJoin(fact, dim, "k", salt = 4, saltBy = col("row_id"))
+      .select("k", "row_id", "name").as[(Long, Long, String)].collect().toSet
+    val plain = fact.join(dim, Seq("k"))
+      .select("k", "row_id", "name").as[(Long, Long, String)].collect().toSet
+    assert(salted == plain, "salting must not change the join result")
+    assert(salted.size == 100)
+    // the hot key's rows spread over >1 salt bucket
+    val buckets = fact.filter(col("k") === 7L)
+      .withColumn("_s", org.apache.spark.sql.functions.pmod(
+        org.apache.spark.sql.functions.hash(col("row_id")), lit(4)))
+      .select("_s").distinct().count()
+    assert(buckets > 1, "hot key must be split across salt buckets")
+  }
+
   test("sortedSetAggSalted == sortedSetAgg on skewed real data") {
     val e = graft.pipeline.Tables.t(spark, SparkTesting.sf, "events")
       .select($"user_id", $"event_type")
