@@ -301,16 +301,23 @@ object EventStream {
   def persistDualSink(events: DataFrame, root: String, table: String,
                       checkpoint: String, keyCols: Seq[String],
                       updatedAtCol: String,
-                      extractedAt: String): DataStreamWriter[Row] = {
+                      extractedAt: String,
+                      partitionCols: Seq[String] = Nil,
+                      partitionScoped: Boolean = false): DataStreamWriter[Row] = {
     val paths = graft.pipeline.PersistTableDual.Paths(root, table)
     events.writeStream
       .outputMode(OutputMode.Append)
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // partitionScoped composes naturally with micro-batching:
+        // each batch merges and swaps ONLY its own partitions, so
+        // steady-state streaming cost is O(batch), not O(lake) —
+        // same key-functional partitioning contract as the batch path
         graft.pipeline.PersistTableDual.persist(
           batch.sparkSession, paths, batch, s"batch_$batchId",
-          extractedAt, keyCols, updatedAtCol)
+          extractedAt, keyCols, updatedAtCol,
+          partitionCols = partitionCols, partitionScoped = partitionScoped)
         ()
       }
   }

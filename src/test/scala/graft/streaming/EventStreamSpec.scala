@@ -293,4 +293,38 @@ class EventStreamSpec extends AnyFunSuite {
       .select("contact_id", "email").as[(String, String)].collect().sortBy(_._1)
     assert(latest.toSeq == Seq(("1", "a@x"), ("2", "b2@x")))
   }
+
+  test("streaming persist-dual, partition-scoped: a batch touches only its buckets") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(String, String, String)]
+    val root = Files.createTempDirectory("spd_scoped").toString
+    val cp = Files.createTempDirectory("spd_scoped_cp").toString
+    // bucket is a pure function of the key (the partitionScoped contract)
+    def sink() = EventStream.persistDualSink(
+      input.toDF().toDF("contact_id", "email", "updated_at")
+        .withColumn("bucket",
+          org.apache.spark.sql.functions.when($"contact_id" <= "2", "a").otherwise("b")),
+      root, "contacts", cp, Seq("contact_id"), "updated_at",
+      "2026-01-01T00:00:00Z", partitionCols = Seq("bucket"), partitionScoped = true)
+
+    input.addData(("1", "a@x", "2024-01-01"), ("3", "c@x", "2024-01-01"))
+    val q1 = sink().start(); try q1.processAllAvailable() finally q1.stop()
+    def hashes(dir: String) = new java.io.File(dir).listFiles()
+      .filter(f => f.isFile && !f.getName.startsWith(".")).map { f =>
+        f.getName -> java.util.Arrays.hashCode(
+          java.nio.file.Files.readAllBytes(f.toPath))
+      }.toMap
+    val beforeA = hashes(s"$root/master/raw/contacts/bucket=a")
+
+    // next micro-batch touches only bucket b
+    input.addData(("3", "c2@x", "2024-02-01"))
+    val q2 = sink().start(); try q2.processAllAvailable() finally q2.stop()
+    assert(hashes(s"$root/master/raw/contacts/bucket=a") == beforeA,
+      "bucket a untouched by a bucket-b micro-batch")
+    assert(spark.read.parquet(s"$root/master/raw/contacts").count() == 3)
+    val e3 = spark.read.parquet(s"$root/master/latest/contacts")
+      .filter($"contact_id" === "3").select("email").as[String].head()
+    assert(e3 == "c2@x")
+  }
 }
