@@ -31,11 +31,17 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    // restrict the oracle manifest to what was actually (re)dumped:
-    // a filtered run into a pre-existing outDir would otherwise hand
-    // the compare stale parquet for every unlisted query
+    // Manifest = every query whose dump EXISTS in outDir (always with
+    // current-code oracle SQL). A filtered run into a fresh dir lists
+    // only what it dumped; into a previously-full dir it keeps the
+    // other queries' coverage instead of silently collapsing the
+    // compare to the filtered subset — and because the SQL is always
+    // regenerated, a stale old dump can only fail loudly, never
+    // validate against an equally-old oracle.
     val json = SparkEntry.oracleSql
-      .filter { case (k, _) => only.isEmpty || only(k) }
+      .filter { case (k, _) =>
+        only.isEmpty || only(k) ||
+          java.nio.file.Files.exists(java.nio.file.Paths.get(outDir, k)) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()

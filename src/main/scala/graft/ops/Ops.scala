@@ -186,6 +186,10 @@ object Ops {
   def saltedJoin(fact: DataFrame, dim: DataFrame, key: String,
                  salt: Int, saltBy: Column): DataFrame = {
     require(salt > 0, "salt must be positive")
+    // fail fast instead of silently clobbering-and-dropping a user
+    // column that happens to share the internal name
+    require(!fact.columns.contains("_salt") && !dim.columns.contains("_salt"),
+      "saltedJoin reserves the column name _salt")
     val f = fact.withColumn("_salt", pmod(hash(saltBy), lit(salt)))
     val d = dim.withColumn("_salt",
       explode(sequence(lit(0), lit(salt - 1))))

@@ -38,6 +38,24 @@ object PersistTableDual {
     * would re-type string "07" as int 7 — the leading zero is already
     * gone after inference, so only an explicit read schema preserves
     * it. Case-insensitive name matching mirrors Spark's resolution. */
+  /** The on-disk layout schema with hive partition columns forced
+    * back to their authoritative (delta-schema) types. */
+  private def typedLayout(spark: SparkSession, paths: Paths,
+                          authoritative: org.apache.spark.sql.types.StructType,
+                          partitionCols: Seq[String],
+                          knownSchema: Option[org.apache.spark.sql.types.StructType])
+      : org.apache.spark.sql.types.StructType = {
+    // base layout from the caller when it already has it (saves a
+    // probe read's file listing + footer scan), else probe once
+    val base = knownSchema.getOrElse(spark.read.parquet(paths.raw).schema)
+    org.apache.spark.sql.types.StructType(base.map { f =>
+      if (partitionCols.exists(_.equalsIgnoreCase(f.name)))
+        authoritative.find(_.name.equalsIgnoreCase(f.name))
+          .map(d => f.copy(dataType = d.dataType)).getOrElse(f)
+      else f
+    })
+  }
+
   private def readRawTyped(spark: SparkSession,
                            paths: Paths,
                            authoritative: org.apache.spark.sql.types.StructType,
@@ -45,18 +63,9 @@ object PersistTableDual {
                            knownSchema: Option[org.apache.spark.sql.types.StructType] = None)
       : DataFrame = {
     if (partitionCols.isEmpty) spark.read.parquet(paths.raw)
-    else {
-      // base layout from the caller when it already has it (saves a
-      // probe read's file listing + footer scan), else probe once
-      val base = knownSchema.getOrElse(spark.read.parquet(paths.raw).schema)
-      val desired = org.apache.spark.sql.types.StructType(base.map { f =>
-        if (partitionCols.exists(_.equalsIgnoreCase(f.name)))
-          authoritative.find(_.name.equalsIgnoreCase(f.name))
-            .map(d => f.copy(dataType = d.dataType)).getOrElse(f)
-        else f
-      })
-      spark.read.schema(desired).parquet(paths.raw)
-    }
+    else spark.read
+      .schema(typedLayout(spark, paths, authoritative, partitionCols, knownSchema))
+      .parquet(paths.raw)
   }
 
   /** Lineage stamp (P1): constant run_id + extraction time. The
@@ -140,6 +149,52 @@ object PersistTableDual {
     }
   }
 
+  /** Marker recording which partitions' latest snapshots are owed a
+    * recompute — written BEFORE the raw swap starts, deleted after
+    * the latest swap completes. Any crash in between leaves raw and
+    * latest divergent for those partitions; the marker lets the next
+    * persist (scoped or not) rebuild exactly them from current raw. */
+  private def pendingLatestPath(paths: Paths) =
+    new org.apache.hadoop.fs.Path(paths.latest + "__pending")
+
+  private def writePendingLatest(fs: org.apache.hadoop.fs.FileSystem,
+                                 paths: Paths, rels: Seq[String]): Unit = {
+    val out = fs.create(pendingLatestPath(paths), true)
+    try out.write(rels.mkString("\n").getBytes("UTF-8")) finally out.close()
+  }
+
+  /** Rebuild the latest snapshot for the partitions a crashed run
+    * left pending. Reads ONLY those partition dirs of raw (basePath
+    * keeps the partition columns), so recovery cost is scoped like
+    * the merge itself. Idempotent; a no-op without a marker. */
+  private def recoverPendingLatest(spark: SparkSession, paths: Paths,
+                                   authoritative: org.apache.spark.sql.types.StructType,
+                                   keyCols: Seq[String], updatedAtCol: String,
+                                   partitionCols: Seq[String],
+                                   fs: org.apache.hadoop.fs.FileSystem): Unit = {
+    val marker = pendingLatestPath(paths)
+    if (!fs.exists(marker)) return
+    val in = fs.open(marker)
+    val rels = try scala.io.Source.fromInputStream(in, "UTF-8")
+      .getLines().filter(_.nonEmpty).toList finally in.close()
+    val existing = rels.filter(r =>
+      fs.exists(new org.apache.hadoop.fs.Path(paths.raw, r)))
+    if (existing.nonEmpty) {
+      val schema = typedLayout(spark, paths, authoritative, partitionCols, None)
+      val rawAffected = spark.read.schema(schema)
+        .option("basePath", paths.raw)
+        .parquet(existing.map(r => s"${paths.raw}/$r"): _*)
+      val latestAffected = latestSnapshot(rawAffected, keyCols,
+        col(updatedAtCol), col("extracted_at"))
+      val lstage = new org.apache.hadoop.fs.Path(paths.latest + "__stage")
+      latestAffected.write.mode("overwrite").partitionBy(partitionCols: _*)
+        .parquet(lstage.toString)
+      swapPartitions(fs, lstage,
+        new org.apache.hadoop.fs.Path(paths.latest), partitionCols.length)
+    }
+    fs.delete(marker, false)
+  }
+
   /** Full merge: returns (rawCount, latestCount) after the rewrite.
     *
     * `partitionCols` gives raw/latest a hive-partitioned layout
@@ -183,6 +238,19 @@ object PersistTableDual {
     // transient read failure as "first run" and silently rebuild the
     // lake from just this delta.
     val rawExists = fs.exists(rawPath)
+
+    // Heal any half-done scoped swap REGARDLESS of this call's mode:
+    // a crashed scoped run may have left a partition only in the
+    // backup dir (which Spark's reader skips, underscore prefix), and
+    // the full-rewrite path below would otherwise merge without that
+    // partition's history and then delete its only copy with raw.
+    if (partitionCols.nonEmpty && rawExists) {
+      recoverInterruptedSwap(fs, rawPath, partitionCols.length)
+      recoverInterruptedSwap(fs,
+        new org.apache.hadoop.fs.Path(paths.latest), partitionCols.length)
+      recoverPendingLatest(spark, paths, stamped.schema, keyCols,
+        updatedAtCol, partitionCols, fs)
+    }
 
     if (partitionScoped && rawExists)
       return persistScoped(spark, paths, deltaOnDisk, stamped.schema,
@@ -250,9 +318,8 @@ object PersistTableDual {
                             fs: org.apache.hadoop.fs.FileSystem,
                             rawPath: org.apache.hadoop.fs.Path): (Long, Long) = {
     val latestPath = new org.apache.hadoop.fs.Path(paths.latest)
-    // heal any swap a previous run left half-done BEFORE reading raw
-    recoverInterruptedSwap(fs, rawPath, partitionCols.length)
-    recoverInterruptedSwap(fs, latestPath, partitionCols.length)
+    // (interrupted-swap + pending-latest healing already ran in
+    // persist() before dispatching here)
 
     // the delta's partition tuples — few by design (a run touches a
     // sliver of the lake), so the collect is O(partitions-in-delta)
@@ -279,6 +346,11 @@ object PersistTableDual {
     val stage = new org.apache.hadoop.fs.Path(paths.raw + "__stage")
     deduped.write.mode("overwrite").partitionBy(partitionCols: _*)
       .parquet(stage.toString)
+    // record which latest partitions are owed a recompute BEFORE raw
+    // mutates: a crash anywhere between here and the latest swap
+    // would otherwise leave raw and latest silently divergent (the
+    // mid-raw-swap backup heals raw, but says nothing about latest)
+    writePendingLatest(fs, paths, partitionDirs(fs, stage, partitionCols.length))
     swapPartitions(fs, stage, rawPath, partitionCols.length)
 
     // latest over the POST-swap affected partitions (the pre-swap
@@ -294,6 +366,7 @@ object PersistTableDual {
     latestAffected.write.mode("overwrite").partitionBy(partitionCols: _*)
       .parquet(lstage.toString)
     swapPartitions(fs, lstage, latestPath, partitionCols.length)
+    fs.delete(pendingLatestPath(paths), false) // latest is consistent again
 
     (rawAffectedNew.count(),
       spark.read.schema(rawAffectedNew.schema).parquet(paths.latest)

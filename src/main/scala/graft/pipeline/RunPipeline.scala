@@ -31,10 +31,12 @@ object RunPipeline {
   private def mkRunId(runUtc: String, wm: Long): String =
     s"run_${runUtc.replaceAll("[^0-9TZ]", "")}_after_$wm"
 
-  /** One incremental run. Returns (sliceRows, rawRows, latestRows). */
+  /** One incremental run. Returns (sliceRows, rawRows, latestRows).
+    * `runUtc` is required and must be distinct per run (see
+    * [[mkRunId]]) — a constant default here was a delta-overwrite
+    * trap for any caller that omitted it. */
   def runOnce(spark: SparkSession, outRoot: String,
-              totalRows: Long,
-              runUtc: String = "2026-01-01T00:00:00Z"): (Long, Long, Long) = {
+              totalRows: Long, runUtc: String): (Long, Long, Long) = {
     val statePath = s"$outRoot/state.json"
     val state = Watermark.load(statePath)
 
@@ -93,9 +95,9 @@ object RunPipeline {
     * reference's two idempotence mechanisms, composed).
     */
   def runFull(spark: SparkSession, outRoot: String, sfDir: String,
-              totalRows: Long, seedEmails: Seq[String] = Nil,
+              totalRows: Long, nowUtc: String,
+              seedEmails: Seq[String] = Nil,
               sampleSize: Option[Int] = None,
-              nowUtc: String = "2026-01-01T00:00:00Z",
               dimTtlDays: Int = 7): FullRunReport = {
     import graft.ops.Ops._
     import spark.implicits._
@@ -130,6 +132,8 @@ object RunPipeline {
       .dropDuplicates("id")
     val contactsDelta =
       sampleSize.fold(delta0)(n => delta0.orderBy("id").limit(n)).cache()
+    var mart: org.apache.spark.sql.DataFrame = null
+    try {
     val universe = contactsDelta.select(col("id").as("contact_id"))
     val universeSize = universe.count()
 
@@ -174,7 +178,7 @@ object RunPipeline {
     // CACHED: the mart (the heaviest plan in the repo) feeds the CSV
     // write, the digest aggregation, and the display lookup — three
     // actions that would otherwise each recompute it from scratch.
-    val mart = ChatterMaster.chatterMaster(spark, sfDir)
+    mart = ChatterMaster.chatterMaster(spark, sfDir)
       .join(universe, Seq("contact_id"), "left_semi").cache()
     val martDir = s"$outRoot/master/mart"
     mart.write.mode("overwrite").option("header", "true")
@@ -209,10 +213,15 @@ object RunPipeline {
     val advanced = Watermark.advance(writtenDelta, "id", state, nowUtc)
     Watermark.save(statePath, advanced)
 
-    mart.unpersist()
-    contactsDelta.unpersist()
     FullRunReport(runId, nSeeds, universeSize, persisted, martRows, nDigests,
       state.maxId, advanced.maxId)
+    } finally {
+      // unpersist even on failure — a leaked cached mart (the
+      // heaviest plan here) would pin executor memory for the
+      // session's lifetime across retries
+      if (mart != null) mart.unpersist()
+      contactsDelta.unpersist()
+    }
   }
 
   def main(args: Array[String]): Unit = {
@@ -221,7 +230,13 @@ object RunPipeline {
     val spark = Sessions.local("graft-run-pipeline")
     spark.sparkContext.setLogLevel("WARN")
     val before = Watermark.load(s"$outRoot/state.json").maxId
-    val (sliceN, rawN, latestN) = runOnce(spark, outRoot, totalRows)
+    // CLI runs stamp from the wall clock (the reference's
+    // %Y%m%d_%H%M%S run id) — a constant default here would collide
+    // run ids whenever the watermark doesn't advance and overwrite
+    // the previous run's preserved delta dir. Tests inject fixed
+    // stamps for replayability; each run still gets a distinct one.
+    val runUtc = java.time.Instant.now().toString.replaceFirst("\\.\\d+", "")
+    val (sliceN, rawN, latestN) = runOnce(spark, outRoot, totalRows, runUtc)
     val after = Watermark.load(s"$outRoot/state.json").maxId
     println(s"[pipeline] watermark $before -> $after; slice=$sliceN " +
       s"master/raw=$rawN master/latest=$latestN")

@@ -184,6 +184,42 @@ class PersistTableDualSpec extends AnyFunSuite {
     assert(contact1 == 1, "restored partition's history intact")
   }
 
+  test("pending-latest marker heals raw/latest divergence from a crash between swaps") {
+    import org.apache.spark.sql.functions.{col, when}
+    val p = freshPaths()
+    def bucketed(rows: (String, String, String)*) =
+      delta(rows: _*).withColumn("bucket",
+        when(col("contact_id") <= "2", "a").otherwise("b"))
+    persist(spark, p,
+      bucketed(("1", "a@x", "2024-01-01"), ("3", "c@x", "2024-01-01")),
+      "r1", "2026-01-01T00:00:00Z", Seq("contact_id"), "updated_at",
+      partitionCols = Seq("bucket"), partitionScoped = true)
+
+    // simulate a crash AFTER the raw swap, BEFORE the latest swap:
+    // raw has bucket b's merged data, latest's copy is gone, and the
+    // pending marker (written before the raw swap) records the debt
+    val latestB = new java.io.File(s"${p.latest}/bucket=b")
+    latestB.listFiles().foreach(_.delete()); latestB.delete()
+    assert(!latestB.exists())
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(p.latest + "__pending"), "bucket=b")
+
+    // next run touches ONLY bucket a — recovery must still rebuild
+    // bucket b's latest from current raw before the merge proceeds
+    persist(spark, p, bucketed(("1", "a2@x", "2024-02-01")),
+      "r2", "2026-01-02T00:00:00Z", Seq("contact_id"), "updated_at",
+      partitionCols = Seq("bucket"), partitionScoped = true)
+    assert(latestB.exists(), "pending latest partition must be rebuilt")
+    assert(!new java.io.File(p.latest + "__pending").exists(),
+      "marker cleared once latest is consistent")
+    val e3 = spark.read.parquet(p.latest)
+      .filter(col("contact_id") === "3").select("email").as[String].head()
+    assert(e3 == "c@x", "rebuilt latest reflects raw's content")
+    val e1 = spark.read.parquet(p.latest)
+      .filter(col("contact_id") === "1").select("email").as[String].head()
+    assert(e1 == "a2@x", "the new merge still lands")
+  }
+
   test("delta dirs are preserved per run") {
     val p = freshPaths()
     persist(spark, p, delta(("1", "a@x", "2024-01-01")), "r1",
