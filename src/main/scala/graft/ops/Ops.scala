@@ -117,6 +117,12 @@ object Ops {
   def asofLastValue(left: DataFrame, right: DataFrame, key: String,
                     lts: String, rts: String, valueCol: String,
                     as: String): DataFrame = {
+    // fail fast instead of silently clobbering-and-dropping caller
+    // columns that happen to share the internal working names (the
+    // same guard saltedJoin applies to _salt)
+    val reserved = Seq("_t", "_side", "_v")
+    require(!left.columns.exists(reserved.contains),
+      s"asofLastValue reserves the column names ${reserved.mkString("/")}")
     val vType = right.schema(valueCol).dataType
     // _side orders right (0) before left (1) at equal ts, so an
     // exactly-simultaneous observation is visible to the probe row
@@ -154,6 +160,8 @@ object Ops {
                       startCol: String, endCol: String,
                       binWidthUs: Long): DataFrame = {
     require(binWidthUs > 0, "binWidthUs must be positive")
+    require(!left.columns.contains("_bin") && !right.columns.contains("_bin"),
+      "binnedRangeJoin reserves the column name _bin")
     val lb = left.withColumn("_bin",
       floor(unix_micros(col(lts)) / binWidthUs))
     val rb = right

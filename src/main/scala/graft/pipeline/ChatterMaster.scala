@@ -43,9 +43,11 @@ object ChatterMaster {
   /** The conformed event schema (the reference's 27-col ChatterEvent,
     * run_ac_extraction.py:1199-1227, adapted to the testdata domain):
     * core event fields plus id+name multiplex pairs — part/supplier
-    * ids are stamped per-source at conform time (blank where a source
-    * has none, like the reference's ""), names and the
-    * nation/region chain resolve in the mart via broadcast dims. */
+    * ids are stamped per-source at conform time (NULL where a source
+    * has none; the reference stamps "" there, but its all-string lake
+    * treats blank and missing alike, and the oracle SQL stamps NULL
+    * consistently), names and the nation/region chain resolve in the
+    * mart via broadcast dims. */
   val eventCols: Seq[String] = Seq(
     "event_id", "contact_id", "source", "source_row_id",
     "event_ts", "event_type", "title", "detail", "url",

@@ -79,17 +79,20 @@ object PersistTableDual {
 
   /** Relative hive partition dirs (e.g. "ym=2024-01", "a=1/b=2")
     * actually written under `root`, discovered by walking the layout
-    * rather than re-implementing Spark's partition-value escaping. */
+    * rather than re-implementing Spark's partition-value escaping.
+    * Relative paths are assembled from `Path.getName` segments — a
+    * URI round-trip (`toUri.getPath` + prefix-stripping) can
+    * decode/re-encode Hive-escaped `%XX` or space characters
+    * inconsistently, mis-addressing dirs during swap/recovery. */
   private def partitionDirs(fs: org.apache.hadoop.fs.FileSystem,
                             root: org.apache.hadoop.fs.Path,
                             depth: Int): Seq[String] = {
-    def walk(p: org.apache.hadoop.fs.Path, d: Int): Seq[String] =
-      if (d == 0)
-        Seq(p.toUri.getPath.stripPrefix(root.toUri.getPath).stripPrefix("/"))
+    def walk(p: org.apache.hadoop.fs.Path, d: Int, rel: List[String]): Seq[String] =
+      if (d == 0) Seq(rel.reverse.mkString("/"))
       else fs.listStatus(p).toSeq.filter(_.isDirectory)
         .filter(_.getPath.getName.contains("="))
-        .flatMap(s => walk(s.getPath, d - 1))
-    walk(root, depth)
+        .flatMap(s => walk(s.getPath, d - 1, s.getPath.getName :: rel))
+    walk(root, depth, Nil)
   }
 
   private def backupRoot(dst: org.apache.hadoop.fs.Path) =
@@ -206,12 +209,30 @@ object PersistTableDual {
     * scoped: only partitions present in the delta are read, merged
     * and swapped — untouched partitions keep their exact files (no
     * O(history) rewrite per run; THE requirement at 100 TB where a
-    * run's delta touches a sliver of the lake). Contract: every
-    * partition column must be a pure function of the business key
-    * (key-hash bucket, key range — NOT ingest date), otherwise a
-    * key's rows span partitions and the partition-local latest
-    * snapshot would be wrong; the unpartitioned/full-rewrite path
-    * stays for layouts without that property. */
+    * run's delta touches a sliver of the lake). Contract:
+    *
+    *  1. every partition column must be a pure function of the
+    *     business key (key-hash bucket, key range — NOT ingest date),
+    *     otherwise a key's rows span partitions and the
+    *     partition-local latest snapshot would be wrong; the
+    *     unpartitioned/full-rewrite path stays for layouts without
+    *     that property;
+    *  2. the delta schema must be stable across scoped runs: only
+    *     affected partitions are rewritten with the new schema, so a
+    *     schema-evolving delta would leave raw with heterogeneous
+    *     per-partition schemas, and later single-footer schema probes
+    *     would silently drop the added columns when reading untouched
+    *     partitions — evolve the schema through a full (non-scoped)
+    *     rewrite instead;
+    *  3. a scoped merge that throws or crashes mid-way MUST be
+    *     replayed by the caller: entry-time recovery restores
+    *     *consistency* (no partition is lost or half-swapped) but the
+    *     interrupted delta may be applied to some partitions and
+    *     rolled back on others — only the replay makes it fully
+    *     applied. Both callers do this by construction (the batch
+    *     watermark does not advance past a failed run; the streaming
+    *     checkpoint re-delivers the micro-batch), and content-hash
+    *     dedup makes the replay idempotent. */
   def persist(spark: SparkSession, paths: Paths, delta: DataFrame,
               runId: String, extractedAt: String,
               keyCols: Seq[String], updatedAtCol: String,

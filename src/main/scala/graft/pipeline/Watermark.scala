@@ -2,6 +2,7 @@ package graft.pipeline
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import com.fasterxml.jackson.databind.ObjectMapper
 import java.nio.file.{Files, Paths => JPaths}
 
 /** Keyset-watermark state (E1 steps 2/9: run_ac_extraction.py
@@ -17,8 +18,10 @@ object Watermark {
 
   final case class State(maxId: Long, lastRunUtc: String)
 
-  private val IdRe = """"max_id"\s*:\s*(-?\d+)""".r
-  private val TsRe = """"last_run_utc"\s*:\s*"([^"]*)"""".r
+  // Jackson ships with Spark — a real JSON parse survives field
+  // reordering, escapes and added fields, where the previous regex
+  // scrape only happened to.
+  private val mapper = new ObjectMapper()
 
   /** Absent file = fresh start (maxId -1). A present-but-unparseable
     * file is an ERROR, not a fresh start — silently treating garbage
@@ -29,21 +32,30 @@ object Watermark {
     if (!Files.exists(p)) State(-1L, "")
     else {
       val s = Files.readString(p)
-      val id = IdRe.findFirstMatchIn(s).map(_.group(1).toLong)
-        .getOrElse(throw new IllegalStateException(
-          s"watermark state at $path exists but is unparseable: $s"))
-      State(id, TsRe.findFirstMatchIn(s).map(_.group(1)).getOrElse(""))
+      val node = try mapper.readTree(s) catch {
+        case e: Exception => throw new IllegalStateException(
+          s"watermark state at $path exists but is unparseable: $s", e)
+      }
+      val idNode = node.get("max_id")
+      if (idNode == null || !idNode.canConvertToLong)
+        throw new IllegalStateException(
+          s"watermark state at $path exists but has no integral max_id: $s")
+      val tsNode = node.get("last_run_utc")
+      State(idNode.asLong(), if (tsNode == null) "" else tsNode.asText(""))
     }
   }
 
   /** Write via temp file + atomic move so a crash mid-write can never
-    * leave a truncated (silently-regressed) state file. */
+    * leave a truncated (silently-regressed) state file. Serialized by
+    * Jackson so a lastRunUtc containing quotes/backslashes round-trips. */
   def save(path: String, state: State): Unit = {
     val p = JPaths.get(path)
     if (p.getParent != null) Files.createDirectories(p.getParent)
     val tmp = p.resolveSibling(p.getFileName.toString + ".tmp")
-    Files.writeString(tmp,
-      s"""{"max_id": ${state.maxId}, "last_run_utc": "${state.lastRunUtc}"}""")
+    val root = mapper.createObjectNode()
+    root.put("max_id", state.maxId)
+    root.put("last_run_utc", state.lastRunUtc)
+    Files.writeString(tmp, mapper.writeValueAsString(root))
     Files.move(tmp, p,
       java.nio.file.StandardCopyOption.REPLACE_EXISTING,
       java.nio.file.StandardCopyOption.ATOMIC_MOVE)

@@ -1,0 +1,39 @@
+package graft.pipeline
+
+import java.nio.file.{Files, Paths}
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkTesting
+
+class CsvSinkSpec extends AnyFunSuite {
+  lazy val spark = SparkTesting.spark
+  import spark.implicits._
+
+  test("every part file starts with the UTF-8 BOM; payload bytes are plain CSV") {
+    val out = Files.createTempDirectory("bomcsv").resolve("t").toString
+    val df = Seq((1L, "álpha"), (2L, "beta")).toDF("id", "name")
+      .orderBy("id").coalesce(1)
+    CsvSink.writeCsvUtf8Sig(df, out)
+
+    val parts = Files.list(Paths.get(out)).toArray.map(_.toString)
+      .filter(p => p.split('/').last.startsWith("part-")).sorted
+    assert(parts.nonEmpty)
+    parts.foreach { p =>
+      val bytes = Files.readAllBytes(Paths.get(p))
+      // byte-level: EF BB BF signature, then the headered CSV payload
+      assert(bytes.take(3).sameElements(CsvSink.Bom), s"missing BOM in $p")
+      val body = new String(bytes.drop(3), java.nio.charset.StandardCharsets.UTF_8)
+      assert(body.startsWith("id,name\n"))
+      assert(body.contains("1,álpha"))
+    }
+  }
+
+  test("BOM roundtrip: readCsvUtf8Sig restores the exact pre-sink schema and rows") {
+    val out = Files.createTempDirectory("bomcsv").resolve("rt").toString
+    val df = Seq(("1", "a"), ("2", "b"), ("3", "c")).toDF("k", "v")
+    CsvSink.writeCsvUtf8Sig(df, out)
+    val back = CsvSink.readCsvUtf8Sig(spark, out)
+    assert(back.columns.toSeq == Seq("k", "v")) // no U+FEFF residue
+    assert(back.orderBy("k").collect().map(r => (r.getString(0), r.getString(1))).toSeq ==
+      Seq(("1", "a"), ("2", "b"), ("3", "c")))
+  }
+}
