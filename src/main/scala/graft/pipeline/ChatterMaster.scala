@@ -42,16 +42,39 @@ object ChatterMaster {
 
   /** The conformed event schema (the reference's 27-col ChatterEvent,
     * run_ac_extraction.py:1199-1227, adapted to the testdata domain):
-    * core event fields plus id+name multiplex pairs — part/supplier
-    * ids are stamped per-source at conform time (NULL where a source
-    * has none; the reference stamps "" there, but its all-string lake
-    * treats blank and missing alike, and the oracle SQL stamps NULL
-    * consistently), names and the nation/region chain resolve in the
-    * mart via broadcast dims. */
+    * 9 core event fields plus the id+name multiplex pairs, each
+    * populated only by the sources that carry it (the reference's
+    * per-source column subsets) and NULL elsewhere (the reference
+    * stamps "" there, but its all-string lake treats blank and
+    * missing alike, and the oracle SQL stamps NULL consistently).
+    *
+    * Pair mapping (reference pair ≙ testdata stand-in):
+    *  - campaign    ≙ part        (id stamped; name via broadcast dim)
+    *  - message     ≙ supplier    (id stamped; name via broadcast dim)
+    *  - automation  ≙ nation      (mart-resolved via the contact FK)
+    *  - pipeline    ≙ region      (two-level nation→region chain)
+    *  - deal        ≙ order       (order_id/order_title, stamped at
+    *    conform time — the parent-FK stamping of run_deals_bundle,
+    *    run_ac_extraction.py:836-861: lineitem children carry their
+    *    parent order's id/title)
+    *  - deal_stage  ≙ order status (stage_id/stage_name decode)
+    *  - tag         ≙ event_type  (tag_id/tag_name decode)
+    * With the mart's contact columns and the derived display/line this
+    * lands the flagship at the reference's 27-column width. */
   val eventCols: Seq[String] = Seq(
     "event_id", "contact_id", "source", "source_row_id",
     "event_ts", "event_type", "title", "detail", "url",
-    "part_id", "supplier_id")
+    "part_id", "supplier_id",
+    "order_id", "order_title", "stage_id", "stage_name",
+    "tag_id", "tag_name")
+
+  /** deal_stage-style id→name decode for order status — distinct from
+    * the event_type decode (order_open/…): stage names are display
+    * strings, event types are machine tags, exactly like the
+    * reference's separate type vs stage-name columns. */
+  private def stageName(status: org.apache.spark.sql.Column) =
+    decodeMap(status, Seq("O" -> "Open", "F" -> "Filled", "P" -> "Pending"),
+      lit("Other"))
 
   /** Source 1: the `events` activity stream (ts/type/value/props —
     * props is a JSON string, exercising F5 get_json_object). */
@@ -73,7 +96,16 @@ object ChatterMaster {
       get_json_object(col("props"), "$.k").as("detail"),
       concat_ws("", lit("https://example.test/events/"), col("event_id")).as("url"),
       lit(null).cast("string").as("part_id"),
-      lit(null).cast("string").as("supplier_id"))
+      lit(null).cast("string").as("supplier_id"),
+      lit(null).cast("string").as("order_id"),
+      lit(null).cast("string").as("order_title"),
+      lit(null).cast("string").as("stage_id"),
+      lit(null).cast("string").as("stage_name"),
+      col("event_type").as("tag_id"),
+      decodeMap(col("event_type"),
+        Seq("click" -> "Clicked", "view" -> "Viewed", "purchase" -> "Purchased",
+          "signup" -> "Signed up", "error" -> "Errored"),
+        lit("tag_other")).as("tag_name"))
   }
 
   /** Source 2: orders as "order placed" events. */
@@ -92,14 +124,24 @@ object ChatterMaster {
       col("o_totalprice").cast("decimal(12,2)").cast("string").as("detail"),
       lit(null).cast("string").as("url"),
       lit(null).cast("string").as("part_id"),
-      lit(null).cast("string").as("supplier_id"))
+      lit(null).cast("string").as("supplier_id"),
+      col("o_orderkey").cast("string").as("order_id"),
+      col("o_orderpriority").as("order_title"),
+      col("o_orderstatus").as("stage_id"),
+      stageName(col("o_orderstatus")).as("stage_name"),
+      lit(null).cast("string").as("tag_id"),
+      lit(null).cast("string").as("tag_name"))
   }
 
   /** Source 3: lineitem shipments, resolved to a contact through
     * orders (two-level fan-out J5: contact → order → lineitem). */
   def conformShipments(spark: SparkSession, sfDir: String): DataFrame = {
     val li = t(spark, sfDir, "lineitem")
-    val o = t(spark, sfDir, "orders").select(col("o_orderkey"), col("o_custkey"))
+    // the parent order's deal columns ride the contact-resolve join —
+    // two-level parent-FK stamping (run_deals_bundle :836-861) at
+    // zero extra cost
+    val o = t(spark, sfDir, "orders").select(col("o_orderkey"), col("o_custkey"),
+      col("o_orderpriority"), col("o_orderstatus"))
     li.join(o, col("l_orderkey") === col("o_orderkey"))
       .select(
         concat_ws(":", lit("lineitem"), col("l_orderkey"), col("l_linenumber")).as("event_id"),
@@ -112,7 +154,13 @@ object ChatterMaster {
         col("l_quantity").cast("decimal(12,2)").cast("string").as("detail"),
         lit(null).cast("string").as("url"),
         col("l_partkey").cast("string").as("part_id"),
-        col("l_suppkey").cast("string").as("supplier_id"))
+        col("l_suppkey").cast("string").as("supplier_id"),
+        col("l_orderkey").cast("string").as("order_id"),
+        col("o_orderpriority").as("order_title"),
+        col("o_orderstatus").as("stage_id"),
+        stageName(col("o_orderstatus")).as("stage_name"),
+        lit(null).cast("string").as("tag_id"),
+        lit(null).cast("string").as("tag_name"))
   }
 
   /** U2: the conformed all-sources union. */

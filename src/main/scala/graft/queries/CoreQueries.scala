@@ -658,7 +658,13 @@ object CoreQueries {
                'activity ' || event_type AS title,
                json_extract_string(props, '$$.k') AS detail,
                'https://example.test/events/' || event_id AS url,
-               CAST(NULL AS VARCHAR) AS part_id, CAST(NULL AS VARCHAR) AS supplier_id
+               CAST(NULL AS VARCHAR) AS part_id, CAST(NULL AS VARCHAR) AS supplier_id,
+               CAST(NULL AS VARCHAR) AS order_id, CAST(NULL AS VARCHAR) AS order_title,
+               CAST(NULL AS VARCHAR) AS stage_id, CAST(NULL AS VARCHAR) AS stage_name,
+               event_type AS tag_id,
+               CASE event_type WHEN 'click' THEN 'Clicked' WHEN 'view' THEN 'Viewed'
+                    WHEN 'purchase' THEN 'Purchased' WHEN 'signup' THEN 'Signed up'
+                    WHEN 'error' THEN 'Errored' ELSE 'tag_other' END AS tag_name
         FROM events),
       od AS (
         SELECT 'orders:' || o_orderkey AS event_id, o_custkey AS contact_id,
@@ -669,7 +675,12 @@ object CoreQueries {
                o_orderpriority AS title,
                CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS VARCHAR) AS detail,
                CAST(NULL AS VARCHAR) AS url,
-               CAST(NULL AS VARCHAR) AS part_id, CAST(NULL AS VARCHAR) AS supplier_id
+               CAST(NULL AS VARCHAR) AS part_id, CAST(NULL AS VARCHAR) AS supplier_id,
+               CAST(o_orderkey AS VARCHAR) AS order_id, o_orderpriority AS order_title,
+               o_orderstatus AS stage_id,
+               CASE o_orderstatus WHEN 'O' THEN 'Open' WHEN 'F' THEN 'Filled'
+                    WHEN 'P' THEN 'Pending' ELSE 'Other' END AS stage_name,
+               CAST(NULL AS VARCHAR) AS tag_id, CAST(NULL AS VARCHAR) AS tag_name
         FROM orders),
       sh AS (
         SELECT 'lineitem:' || l_orderkey || ':' || l_linenumber AS event_id,
@@ -680,7 +691,12 @@ object CoreQueries {
                CAST(CAST(l_quantity AS DECIMAL(12,2)) AS VARCHAR) AS detail,
                CAST(NULL AS VARCHAR) AS url,
                CAST(l_partkey AS VARCHAR) AS part_id,
-               CAST(l_suppkey AS VARCHAR) AS supplier_id
+               CAST(l_suppkey AS VARCHAR) AS supplier_id,
+               CAST(l_orderkey AS VARCHAR) AS order_id, o_orderpriority AS order_title,
+               o_orderstatus AS stage_id,
+               CASE o_orderstatus WHEN 'O' THEN 'Open' WHEN 'F' THEN 'Filled'
+                    WHEN 'P' THEN 'Pending' ELSE 'Other' END AS stage_name,
+               CAST(NULL AS VARCHAR) AS tag_id, CAST(NULL AS VARCHAR) AS tag_name
         FROM lineitem JOIN orders ON l_orderkey = o_orderkey)
       SELECT * FROM (SELECT * FROM ev UNION ALL SELECT * FROM od UNION ALL SELECT * FROM sh)
       ORDER BY contact_id, event_ts, event_id, title, detail"""),

@@ -17,17 +17,22 @@ class ChatterMasterGoldenSpec extends AnyFunSuite {
     // duplicate event_ids → ties the total order cannot break; row
     // ORDER is asserted separately by the invariant test below.
     val cm = ChatterMaster.chatterMaster(spark, SparkTesting.sf)
+    // width parity with the reference's 27-column ChatterEvent
+    // (run_ac_extraction.py:1199-1227): 17 conform columns + contact
+    // pair + segment + 4 mart-resolved names + display + line
+    assert(cm.columns.length == 27, cm.columns.mkString(", "))
     val cols = cm.columns.sorted.map(c => coalesce(col(c).cast("string"), lit(" NULL")))
     val got = cm.select(md5(concat_ws("", cols: _*)).as("h"))
       .agg(md5(concat_ws("", sort_array(collect_list("h")))).as("all"),
         count(lit(1)).as("n"))
       .head()
     assert(got.getLong(1) == 8500L)
-    // re-pinned 2026-08-12 for the reference-width id→name multiplex
-    // (part/supplier/nation/region pairs added to the schema) —
-    // values spot-verified: shipment rows resolve part/supplier
-    // names, non-shipment rows blank, nation→region chain correct
-    assert(got.getString(0) == "57e2066c2cf9ebf911a806819e512171")
+    // re-pinned 2026-08-12 for 27-column reference parity (deal/stage/
+    // tag pairs: order_id/order_title, stage_id/stage_name,
+    // tag_id/tag_name added to the conform schema) — the conform-level
+    // values of every new column are DuckDB-hash-verified through the
+    // q_conform_union oracle; the mart adds no logic over them
+    assert(got.getString(0) == "0b05ebee3644b1b502eff721fb8c62c7")
   }
 
   test("S9: per-contact digest TXT sink writes one file per contact") {
