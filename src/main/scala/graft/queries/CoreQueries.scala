@@ -1099,50 +1099,48 @@ object CoreQueries {
       SELECT * FROM u
       ORDER BY source, event_id, source_row_id, event_ts, title, detail"""),
       (s, d) => {
-        def ev(typ: String, src: String)(extra: (String, Column)*): DataFrame = {
-          val base = t(s, d, "events").filter(col("event_type") === typ).select(
-            Seq(concat_ws(":", lit("events"), col("event_id")).as("event_id"),
-              col("user_id").cast("bigint").as("contact_id"),
-              lit(src).as("source"),
-              col("event_id").cast(StringType).as("source_row_id"),
-              date_format(col("ts"), TS).as("event_ts"),
-              col("event_type")) ++ extra.map { case (n, c) => c.as(n) }: _*)
-          base
-        }
+        // The per-type event branches and per-status order branches
+        // are CASE-multiplexed over ONE scan each (the reference's
+        // _as_event_rows reads every source once): at 100 TB five
+        // filtered scans of the biggest fact are five full passes
+        // where a single CASE-projected pass does the same work.
+        // `when` without `otherwise` yields NULL — exactly the
+        // missing-column padding the per-branch unionByName produced.
+        // Asserted in ScalePlanSpec: one events scan, two orders scans
+        // (the multiplex + the lineitem-resolve join).
+        val et = col("event_type")
+        val ev = t(s, d, "events")
+          .filter(et.isin("click", "view", "purchase", "signup", "error"))
+          .select(
+            concat_ws(":", lit("events"), col("event_id")).as("event_id"),
+            col("user_id").cast("bigint").as("contact_id"),
+            concat(lit("events_"), et).as("source"),
+            col("event_id").cast(StringType).as("source_row_id"),
+            date_format(col("ts"), TS).as("event_ts"),
+            et,
+            when(et === "signup", lit("welcome")).as("title"),
+            when(et === "purchase", col("value").cast("decimal(12,2)").cast(StringType))
+              .when(et === "error", get_json_object(col("props"), "$.k")).as("detail"),
+            when(et === "click",
+              concat_ws("", lit("https://example.test/events/"), col("event_id"))).as("url"))
+        val st = col("o_orderstatus")
+        val od = t(s, d, "orders")
+          .filter(st.isin("O", "F", "P"))
+          .select(
+            concat_ws(":", lit("orders"), col("o_orderkey")).as("event_id"),
+            col("o_custkey").cast("bigint").as("contact_id"),
+            decodeMap(st, Seq("O" -> "orders_open", "F" -> "orders_filled",
+              "P" -> "orders_pending"), lit(null)).as("source"),
+            col("o_orderkey").cast(StringType).as("source_row_id"),
+            date_format(col("o_orderdate"), TS).as("event_ts"),
+            decodeMap(st, Seq("O" -> "order_open", "F" -> "order_filled",
+              "P" -> "order_pending"), lit(null)).as("event_type"),
+            when(st =!= "F", col("o_orderpriority")).as("title"),
+            when(st =!= "O",
+              col("o_totalprice").cast("decimal(12,2)").cast(StringType)).as("detail"))
         val branches = Seq(
-          ev("click", "events_click")(
-            "url" -> concat_ws("", lit("https://example.test/events/"), col("event_id"))),
-          ev("view", "events_view")(),
-          ev("purchase", "events_purchase")(
-            "detail" -> col("value").cast("decimal(12,2)").cast(StringType)),
-          ev("signup", "events_signup")("title" -> lit("welcome")),
-          ev("error", "events_error")(
-            "detail" -> get_json_object(col("props"), "$.k")),
-          t(s, d, "orders").filter(col("o_orderstatus") === "O").select(
-            concat_ws(":", lit("orders"), col("o_orderkey")).as("event_id"),
-            col("o_custkey").cast("bigint").as("contact_id"),
-            lit("orders_open").as("source"),
-            col("o_orderkey").cast(StringType).as("source_row_id"),
-            date_format(col("o_orderdate"), TS).as("event_ts"),
-            lit("order_open").as("event_type"),
-            col("o_orderpriority").as("title")),
-          t(s, d, "orders").filter(col("o_orderstatus") === "F").select(
-            concat_ws(":", lit("orders"), col("o_orderkey")).as("event_id"),
-            col("o_custkey").cast("bigint").as("contact_id"),
-            lit("orders_filled").as("source"),
-            col("o_orderkey").cast(StringType).as("source_row_id"),
-            date_format(col("o_orderdate"), TS).as("event_ts"),
-            lit("order_filled").as("event_type"),
-            col("o_totalprice").cast("decimal(12,2)").cast(StringType).as("detail")),
-          t(s, d, "orders").filter(col("o_orderstatus") === "P").select(
-            concat_ws(":", lit("orders"), col("o_orderkey")).as("event_id"),
-            col("o_custkey").cast("bigint").as("contact_id"),
-            lit("orders_pending").as("source"),
-            col("o_orderkey").cast(StringType).as("source_row_id"),
-            date_format(col("o_orderdate"), TS).as("event_ts"),
-            lit("order_pending").as("event_type"),
-            col("o_orderpriority").as("title"),
-            col("o_totalprice").cast("decimal(12,2)").cast(StringType).as("detail")),
+          ev,
+          od,
           t(s, d, "lineitem")
             .join(t(s, d, "orders").select("o_orderkey", "o_custkey"),
               col("l_orderkey") === col("o_orderkey"))

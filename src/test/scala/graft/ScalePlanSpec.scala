@@ -86,6 +86,20 @@ class ScalePlanSpec extends AnyFunSuite {
     assert(plan.contains("WindowGroupLimit"))
   }
 
+  test("13-way conform: one multiplexed scan per source, not one per branch") {
+    val df = SparkEntry.queries("q_union_conformed_13")(spark, SparkTesting.sf)
+    val plan = executedPlan(df)
+    val finalPlan = plan.split("== Initial Plan ==").head
+    def scans(tbl: String) = finalPlan.linesIterator.count(l =>
+      l.contains("FileScan parquet") && l.contains(s"$tbl.parquet"))
+    // five event-type branches → ONE CASE-multiplexed events pass
+    assert(scans("events") == 1, s"expected 1 events scan:\n$finalPlan")
+    // three order-status branches → ONE multiplexed pass, plus the
+    // separate 2-column scan feeding the lineitem contact resolve
+    assert(scans("orders") == 2, s"expected 2 orders scans:\n$finalPlan")
+    assert(scans("lineitem") == 1, s"expected 1 lineitem scan:\n$finalPlan")
+  }
+
   test("embedding ANN dedup: celled equi-join, no cartesian product") {
     val df = SparkEntry.queries("q_dedup_embed_ann")(spark, SparkTesting.sf)
     val plan = executedPlan(df)
