@@ -103,8 +103,14 @@ object SimQueries {
       }),
 
     // Embedding-cosine near-dup pairs: vector pairs above a high
-    // similarity bar (brute force on a 1-in-5 sample; the LSH/IVF
-    // variants above are the scale path).
+    // similarity bar — the EXACTNESS REFERENCE for the celled ANN
+    // path below, run on a declared 1-in-5 sample. The all-pairs
+    // expansion is structurally bounded: the right side is broadcast,
+    // so the plan is a BroadcastNestedLoopJoin over a bounded build
+    // side (zero shuffles, cost O(|left|·|sample|)), never a shuffled
+    // n²-partition CartesianProduct — and at scale the broadcast
+    // build cap makes an unbounded "sample" fail fast at build time
+    // instead of silently launching n². Asserted in ScalePlanSpec.
     QDef("q_dedup_embed_cosine", Some(s"""
       WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
                  WHERE vec_id % 5 = 0),
@@ -117,7 +123,7 @@ object SimQueries {
           .select(col("vec_id"), col("embedding").as("v"))
         val a = e.select(col("vec_id").as("vec_a"), col("v").as("va"))
         val b = e.select(col("vec_id").as("vec_b"), col("v").as("vb"))
-        a.crossJoin(b).filter(col("vec_a") < col("vec_b"))
+        a.join(broadcast(b), col("vec_a") < col("vec_b"))
           .select(col("vec_a"), col("vec_b"),
             round(Similarity.cosine(col("va"), col("vb")), 3).as("sim3"))
           // 0.35 sits in the upper tail of the synthetic corpus's

@@ -111,6 +111,27 @@ class ScalePlanSpec extends AnyFunSuite {
       plan.contains("ShuffledHashJoin"), s"expected a hash/merge equi-join:\n$plan")
   }
 
+  test("exact embed dedup: bounded broadcast build, and NO registered query plans a cartesian") {
+    // the exactness reference expands all pairs of a declared sample —
+    // the bound is structural: the sample side is a broadcast build
+    // (zero shuffles, fails fast at the broadcast cap if the sample
+    // isn't actually bounded), never a shuffled CartesianProduct
+    val df = SparkEntry.queries("q_dedup_embed_cosine")(spark, SparkTesting.sf)
+    val plan = executedPlan(df)
+    assert(plan.contains("BroadcastNestedLoopJoin"),
+      s"expected broadcast build for the bounded sample:\n$plan")
+    assert(!plan.contains("CartesianProduct"), plan)
+    // the declared 1-in-5 sample bound reaches both parquet scans
+    assert(plan.linesIterator.count(_.contains("PushedFilters: [IsNotNull(vec_id)")) >= 2, plan)
+    // repo-wide sweep (planning only, nothing executes): no registered
+    // query may fall back to a cartesian anywhere in its plan
+    val offenders = SparkEntry.queries.keys.toSeq.sorted.filter { name =>
+      SparkEntry.queries(name)(spark, SparkTesting.sf)
+        .queryExecution.executedPlan.toString.contains("CartesianProduct")
+    }
+    assert(offenders.isEmpty, s"cartesian plans in: $offenders")
+  }
+
   test("embedding ANN dedup: within-cell pairs agree with brute force") {
     import spark.implicits._
     val ann = SparkEntry.queries("q_dedup_embed_ann")(spark, SparkTesting.sf)
