@@ -80,7 +80,10 @@ object RunPipeline {
     *   5. dims via the TTL cache                   (:1593)
     *   6. persist_table_dual per extracted table —
     *      contacts + per-contact fact stages, one
-    *      of them dim-enriched pre-persist (E2)    (:1596-1662)
+    *      of them dim-enriched pre-persist (E2),
+    *      plus the two-level deal-bundle fan-out
+    *      (parent deals → child notes/tasks/
+    *      activities, parent-FK stamped)           (:1596-1662, :836-861)
     *   7. chatter mart + per-contact digest CSV/
     *      TXT sink (E3/S9)                         (:1666-1692)
     *   8. watermark advance — from the durably
@@ -133,6 +136,7 @@ object RunPipeline {
     val contactsDelta =
       sampleSize.fold(delta0)(n => delta0.orderBy("id").limit(n)).cache()
     var mart: org.apache.spark.sql.DataFrame = null
+    var dealChildren: org.apache.spark.sql.DataFrame = null
     try {
     val universe = contactsDelta.select(col("id").as("contact_id"))
     val universeSize = universe.count()
@@ -164,13 +168,35 @@ object RunPipeline {
       nation, col("c_nationkey"), "n_nationkey", "n_name", "nation_name")
       .drop("c_nationkey")
 
+    // deal-bundle stage (run_deals_bundle :836-861): two-level
+    // fan-out — the run's parent deal list (its universe-bounded
+    // orders) drives the child extract, and every child row is
+    // stamped with BOTH parent FKs (deal_id + contact_id) at extract
+    // time, exactly like the reference stamps deal_id/contact_id into
+    // each fetched note/task/activity. One lineitem pass (cached),
+    // split by row type — returnflag R/A/N ≙ notes/tasks/activities.
+    val dealKeys = orders.select(col("o_orderkey"), col("o_custkey"))
+    val dealLines = Tables.t(spark, sfDir, "lineitem")
+      .join(dealKeys, col("l_orderkey") === col("o_orderkey"))
+      .withColumn("deal_id", col("l_orderkey").cast("string"))
+      .withColumn("contact_id", col("o_custkey").cast("string"))
+      .drop("o_orderkey", "o_custkey")
+      .cache()
+    dealChildren = dealLines
+    def childStage(table: String, flag: String) =
+      stage(table, dealLines.filter(col("l_returnflag") === flag),
+        Seq("deal_id", "l_linenumber"), "l_shipdate")
+
     val persisted = Map(
       stage("contacts",
         contactsDelta.withColumn("contact_id", col("id").cast("string")),
         Seq("contact_id"), "updated_at"),
       stage("activities", events, Seq("event_id"), "ts"),
       stage("orders", orders, Seq("o_orderkey"), "o_orderdate"),
-      stage("orders_enriched", ordersEnriched, Seq("o_orderkey"), "o_orderdate"))
+      stage("orders_enriched", ordersEnriched, Seq("o_orderkey"), "o_orderdate"),
+      childStage("deal_notes", "R"),
+      childStage("deal_tasks", "A"),
+      childStage("deal_activities", "N"))
 
     // 7. mart + digest (E3): flagship chatter master bounded to this
     // run's universe, written as the readable master file, plus the
@@ -220,6 +246,7 @@ object RunPipeline {
       // heaviest plan here) would pin executor memory for the
       // session's lifetime across retries
       if (mart != null) mart.unpersist()
+      if (dealChildren != null) dealChildren.unpersist()
       contactsDelta.unpersist()
     }
   }

@@ -54,13 +54,25 @@ class RunPipelineSpec extends AnyFunSuite {
     assert(r1.watermarkBefore == -1 && r1.watermarkAfter == 299)
     assert(r1.persisted("contacts") == ((300L, 300L)))
     assert(r1.persisted.keySet ==
-      Set("contacts", "activities", "orders", "orders_enriched"))
+      Set("contacts", "activities", "orders", "orders_enriched",
+        "deal_notes", "deal_tasks", "deal_activities"))
     r1.persisted.values.foreach { case (raw, latest) =>
       assert(raw > 0 && latest > 0) }
     assert(r1.martRows > 0 && r1.digests > 0)
     // the enriched stage actually carries the dim column
     assert(spark.read.parquet(s"$root/master/latest/orders_enriched")
       .columns.contains("nation_name"))
+    // deal-bundle children: every row stamped with BOTH parent FKs,
+    // and each child's deals are a subset of the persisted parents
+    val notes = spark.read.parquet(s"$root/master/latest/deal_notes")
+    assert(notes.columns.contains("deal_id") && notes.columns.contains("contact_id"))
+    assert(notes.filter(org.apache.spark.sql.functions.col("deal_id").isNull ||
+      org.apache.spark.sql.functions.col("contact_id").isNull).count() == 0)
+    val parents = spark.read.parquet(s"$root/master/latest/orders")
+      .select(org.apache.spark.sql.functions.col("o_orderkey").cast("string"))
+    assert(notes.select("deal_id").distinct()
+      .join(parents, notes("deal_id") === parents("o_orderkey"), "left_anti")
+      .count() == 0, "every child deal_id must have a persisted parent order")
     // S9: one TXT per digested contact
     val txts = new java.io.File(s"$root/master/mart/contact_digest_txt")
       .listFiles().count(_.getName.endsWith(".txt"))
