@@ -251,6 +251,41 @@ object RunPipeline {
     }
   }
 
+  /** The streaming analog of the lifecycle's contacts stage
+    * (SURVEY.md §2.9): the DSv2 paged source consumed as a
+    * MICRO-BATCH STREAM — the checkpoint's committed keyset offsets
+    * replace `state.json` (same watermark semantics, engine-managed)
+    * — flowing through the PARTITION-SCOPED dual merge, so each
+    * trigger merges O(batch) rows and swaps only the partitions its
+    * rows land in, never the whole lake.
+    *
+    * `Trigger.AvailableNow` (set inside persistDualSink) makes one
+    * call ≙ one cron-style incremental run: it drains everything past
+    * the committed offset and stops. Re-running after upstream grew
+    * resumes from the checkpoint and ingests only the delta;
+    * re-running with unchanged upstream plans zero batches. Run ids
+    * are the engine's batchIds (monotonic across restarts via the
+    * checkpoint), so every micro-batch keeps its own replayable delta
+    * dir exactly like the batch lifecycle's runs/<run_id>/delta.
+    *
+    * `bucketSpan`: ids are bucketed by `floor(id / bucketSpan)` — a
+    * pure function of the key, satisfying the partitionScoped
+    * key-functional contract; a keyset-ordered source then touches
+    * only the tail bucket(s) per batch. */
+  def runStreamingOnce(spark: SparkSession, outRoot: String,
+                       sourceOpts: Map[String, String], extractedAt: String,
+                       bucketSpan: Long = 64L): Unit = {
+    val contacts = spark.readStream.format("graft.sources.PagedSource")
+      .options(sourceOpts).load()
+      .withColumn("contact_id", col("id").cast("string"))
+      .withColumn("bucket", (col("id") / bucketSpan).cast("long"))
+    val q = graft.streaming.EventStream.persistDualSink(
+      contacts, outRoot, "contacts", s"$outRoot/checkpoint",
+      Seq("contact_id"), "updated_at", extractedAt,
+      partitionCols = Seq("bucket"), partitionScoped = true).start()
+    try q.awaitTermination() finally if (q.isActive) q.stop()
+  }
+
   def main(args: Array[String]): Unit = {
     val outRoot = args(0)
     val totalRows = if (args.length > 1) args(1).toLong else 300L

@@ -6,6 +6,7 @@ import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.streaming.OutputMode
 import org.scalatest.funsuite.AnyFunSuite
 import graft.SparkTesting
+import graft.sources.FixtureBackend
 
 case class Ev(event_id: Long, ts: Timestamp, event_type: String, value: Double)
 case class EvFull(event_id: Long, ts: Timestamp, user_id: Long,
@@ -292,6 +293,46 @@ class EventStreamSpec extends AnyFunSuite {
     val latest = spark.read.parquet(s"$root/master/latest/contacts")
       .select("contact_id", "email").as[(String, String)].collect().sortBy(_._1)
     assert(latest.toSeq == Seq(("1", "a@x"), ("2", "b2@x")))
+  }
+
+  test("streaming lifecycle: checkpointed keyset offsets + partition-scoped O(batch) merges") {
+    import spark.implicits._
+    FixtureBackend.reset()
+    FixtureBackend.dynamicTotal.set(120)
+    val root = Files.createTempDirectory("stream_lc").toString
+    val opts = Map("dynamictotal" -> "true", "pagelimit" -> "50")
+
+    // run 1: everything is new (ids 0..119 → buckets 0 and 1)
+    graft.pipeline.RunPipeline.runStreamingOnce(spark, root, opts, "2026-01-01T00:00:00Z")
+    assert(spark.read.parquet(s"$root/master/raw/contacts").count() == 120)
+
+    def hashes(dir: String) = new java.io.File(dir).listFiles()
+      .filter(f => f.isFile && !f.getName.startsWith(".")).map { f =>
+        f.getName -> java.util.Arrays.hashCode(
+          java.nio.file.Files.readAllBytes(f.toPath))
+      }.toMap
+    val bucket0Before = hashes(s"$root/master/raw/contacts/bucket=0")
+
+    // run 2 after upstream grew by 30: the checkpoint's committed
+    // offset replaces state.json — only the delta is ingested
+    FixtureBackend.dynamicTotal.set(150)
+    graft.pipeline.RunPipeline.runStreamingOnce(spark, root, opts, "2026-01-02T00:00:00Z")
+    val delta1 = spark.read.parquet(s"$root/runs/batch_1/delta/contacts")
+    assert(delta1.count() == 30, "second micro-batch ingests ONLY past the offset")
+    assert(delta1.agg(org.apache.spark.sql.functions.min("id"),
+      org.apache.spark.sql.functions.max("id")).as[(Long, Long)].head() == ((120L, 149L)))
+    // O(batch) merge: the delta lands in buckets 1/2 — bucket 0's
+    // files must be byte-identical (untouched by the scoped swap)
+    assert(hashes(s"$root/master/raw/contacts/bucket=0") == bucket0Before,
+      "bucket 0 untouched by a tail-bucket micro-batch")
+    assert(spark.read.parquet(s"$root/master/raw/contacts").count() == 150)
+
+    // run 3, unchanged upstream: AvailableNow plans no batch — the
+    // raw lake and the run ledger are idempotent
+    graft.pipeline.RunPipeline.runStreamingOnce(spark, root, opts, "2026-01-03T00:00:00Z")
+    assert(!new java.io.File(s"$root/runs/batch_2").exists(),
+      "a no-op run must not write a delta dir")
+    assert(spark.read.parquet(s"$root/master/raw/contacts").count() == 150)
   }
 
   test("streaming persist-dual, partition-scoped: a batch touches only its buckets") {
