@@ -102,6 +102,108 @@ object FixtureBackend {
     props.getOrElse("dynamictotal", "false").toBoolean)
 }
 
+/** Backend selection: `baseurl` present → the real HTTP backend,
+  * otherwise the in-memory fixture. One switch point shared by the
+  * batch scan, the micro-batch stream, and the readers. */
+object PageBackends {
+  def fromProps(props: Map[String, String]): PageBackend =
+    props.get("baseurl") match {
+      case Some(url) =>
+        HttpPageBackend(url, props.getOrElse("collectionkey", "contacts"),
+          props.getOrElse("maxretries", "6").toInt,
+          props.getOrElse("backoffbasems", "500").toLong,
+          props.getOrElse("backoffcapms", "30000").toLong)
+      case None => FixtureBackend.fromProps(props)
+    }
+}
+
+/** `java.net.http`-backed [[PageBackend]] — the reference's
+  * `ACClient.get_paginated_offset` request contract
+  * (run_ac_extraction.py:195-247) against a real endpoint:
+  * `GET <baseUrl>?limit=<n>&offset=<page·n>` with an
+  * `accept: application/json` header, expecting
+  * `{"<collectionKey>": [{"id":…,"name":…,"updated_at":…}, …],
+  *   "meta": {"total": N}}`.
+  *
+  * Status mapping mirrors ACClient._request: 429/500/502/503/504 —
+  * and connection-level IO errors — raise the retryable
+  * [[TransientHttpError]] (the reader's capped-backoff loop handles
+  * them, :203-217); 404 raises [[NotFoundError]] (empty result, not a
+  * failed job); any other non-2xx fails hard. `total` probes
+  * `meta.total` once with a `limit=1` request; APIs that don't
+  * advertise it return -1, which drops the scan into the reference's
+  * sequential short-page-termination mode.
+  *
+  * Each reader (one per input partition, executor-side) builds its
+  * own client lazily — HttpClient is not serializable, only the URL
+  * and collection key ship in the task closure. */
+final case class HttpPageBackend(baseUrl: String, collectionKey: String,
+                                 probeRetries: Int = 6,
+                                 probeBackoffBaseMs: Long = 500,
+                                 probeBackoffCapMs: Long = 30000) extends PageBackend {
+  import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+
+  @transient private lazy val client = HttpClient.newHttpClient()
+  @transient private lazy val mapper =
+    new com.fasterxml.jackson.databind.ObjectMapper()
+
+  private def get(uri: String): HttpResponse[String] = {
+    val req = HttpRequest.newBuilder(java.net.URI.create(uri))
+      .header("accept", "application/json").GET().build()
+    val resp =
+      try client.send(req, HttpResponse.BodyHandlers.ofString())
+      catch {
+        // connection refused/reset are transient exactly like a 503 —
+        // 599 is the conventional network-connect-timeout pseudo-status
+        case _: java.io.IOException => throw new TransientHttpError(599)
+      }
+    resp.statusCode() match {
+      case 404 => throw new NotFoundError
+      case s if s == 429 || s == 500 || s == 502 || s == 503 || s == 504 =>
+        throw new TransientHttpError(s)
+      case _ => resp
+    }
+  }
+
+  private def parseItems(body: String): Seq[(Long, String, String)] = {
+    val items = mapper.readTree(body).path(collectionKey)
+    (0 until items.size()).map { i =>
+      val it = items.get(i)
+      (it.path("id").asLong(),
+        if (it.hasNonNull("name")) it.get("name").asText() else null,
+        if (it.hasNonNull("updated_at")) it.get("updated_at").asText() else null)
+    }
+  }
+
+  override def fetch(page: Int, pageLimit: Int): Seq[(Long, String, String)] = {
+    val resp = get(s"$baseUrl?limit=$pageLimit&offset=${page.toLong * pageLimit}")
+    if (resp.statusCode() >= 200 && resp.statusCode() < 300) parseItems(resp.body())
+    else throw new RuntimeException(s"HTTP ${resp.statusCode()} from $baseUrl")
+  }
+
+  /** One planning-time probe (driver-side) for `meta.total`;
+    * absent/unparseable → -1 (short-page termination, the reference's
+    * only mode). Transient errors retry with the same capped backoff
+    * the readers use — the reference's ACClient retries EVERY
+    * request, and without it one stray 503 at planning would silently
+    * degrade a parallel scan to a sequential walk. Retries exhausted
+    * also → -1 rather than failing the plan: the sequential reader
+    * still applies the full per-page retry discipline. */
+  @transient override lazy val total: Long = {
+    def probe(attempt: Int): Long =
+      try {
+        val resp = get(s"$baseUrl?limit=1&offset=0")
+        mapper.readTree(resp.body()).path("meta").path("total").asLong(-1L)
+      } catch {
+        case _: TransientHttpError if attempt < probeRetries =>
+          Thread.sleep(math.min(probeBackoffBaseMs << attempt, probeBackoffCapMs))
+          probe(attempt + 1)
+        case _: Exception => -1L
+      }
+    probe(0)
+  }
+}
+
 class PagedTable(props: Map[String, String]) extends Table with SupportsRead {
   override def name(): String = "graft_paged"
   override def schema(): StructType = PagedSource.schema
@@ -142,7 +244,7 @@ class PagedScan(props: Map[String, String], minIdExclusive: Long)
   // APIs that don't advertise a collection size force sequential
   // short-page-terminated scanning (the reference's only mode).
   private val advertiseTotal = props.getOrElse("advertisetotal", "true").toBoolean
-  private def backend: PageBackend = FixtureBackend.fromProps(props)
+  private def backend: PageBackend = PageBackends.fromProps(props)
 
   override def readSchema(): StructType = PagedSource.schema
   override def toBatch: Batch = this
@@ -198,7 +300,7 @@ class PagedMicroBatchStream(props: Map[String, String], pageLimit: Int,
     extends MicroBatchStream with SupportsAdmissionControl {
 
   private val pagesPerPartition = props.getOrElse("pagesperpartition", "4").toInt
-  private def backend: PageBackend = FixtureBackend.fromProps(props)
+  private def backend: PageBackend = PageBackends.fromProps(props)
 
   override def initialOffset(): Offset = IdOffset(math.max(0L, minIdExclusive + 1))
   override def deserializeOffset(json: String): Offset = IdOffset(json.toLong)
@@ -267,7 +369,7 @@ class PagedReader(part: PagedPartition, props: Map[String, String],
                   untilIdExclusive: Long = Long.MaxValue)
     extends PartitionReader[InternalRow] {
 
-  private val backend = FixtureBackend.fromProps(props)
+  private val backend = PageBackends.fromProps(props)
   private val maxRetries = props.getOrElse("maxretries", "6").toInt
   private val backoffBaseMs = props.getOrElse("backoffbasems", "500").toLong
   private val backoffCapMs = props.getOrElse("backoffcapms", "30000").toLong

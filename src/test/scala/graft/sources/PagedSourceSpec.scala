@@ -3,6 +3,50 @@ package graft.sources
 import org.scalatest.funsuite.AnyFunSuite
 import graft.SparkTesting
 
+/** Loopback stub serving the reference's offset/limit JSON contract
+  * (`{"contacts":[…],"meta":{"total":N}}`) so the REAL
+  * [[HttpPageBackend]] is exercised end-to-end without egress.
+  * Failure injection mirrors FixtureBackend: each distinct request's
+  * first `failAttempts` hits get a 503. */
+object StubApi {
+  import com.sun.net.httpserver.{HttpExchange, HttpServer}
+
+  private def respond(ex: HttpExchange, code: Int, body: String): Unit = {
+    val bytes = body.getBytes("UTF-8")
+    ex.getResponseHeaders.set("content-type", "application/json")
+    ex.sendResponseHeaders(code, bytes.length)
+    try ex.getResponseBody.write(bytes) finally ex.close()
+  }
+
+  /** Returns (server, baseUrl); caller must `server.stop(0)`. */
+  def start(total: Int, failAttempts: Int = 0,
+            advertiseTotal: Boolean = true): (HttpServer, String) = {
+    val server = HttpServer.create(new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    val attempts = new java.util.concurrent.ConcurrentHashMap[String, Long]()
+    server.createContext("/contacts", (ex: HttpExchange) => {
+      val q = Option(ex.getRequestURI.getQuery).getOrElse("")
+      val params = q.split("&").filter(_.contains("="))
+        .map(_.split("=", 2)).map(a => a(0) -> a(1)).toMap
+      val limit = params.getOrElse("limit", "100").toInt
+      val offset = params.getOrElse("offset", "0").toLong
+      // injection keyed by the full query so the driver's limit=1
+      // total probe and the readers' page fetches fail independently
+      if (attempts.merge(q, 1L, _ + _) <= failAttempts)
+        respond(ex, 503, """{"error":"busy"}""")
+      else {
+        val rows = (offset until math.min(offset + limit, total.toLong)).map(i =>
+          s"""{"id":$i,"name":"row#$i","updated_at":"2026-01-01T00:00:00Z"}""")
+        val meta = if (advertiseTotal) s""","meta":{"total":$total}""" else ""
+        respond(ex, 200, s"""{"contacts":[${rows.mkString(",")}]$meta}""")
+      }
+    })
+    server.createContext("/missing",
+      (ex: HttpExchange) => respond(ex, 404, """{"message":"No Result found"}"""))
+    server.start()
+    (server, s"http://127.0.0.1:${server.getAddress.getPort}")
+  }
+}
+
 class PagedSourceSpec extends AnyFunSuite {
   lazy val spark = SparkTesting.spark
 
@@ -64,6 +108,60 @@ class PagedSourceSpec extends AnyFunSuite {
     // not a re-walk of all 10 history pages
     assert(FixtureBackend.fetches.get() == 3,
       s"expected 3 page fetches, got ${FixtureBackend.fetches.get()}")
+  }
+
+  private def readHttp(baseUrl: String, opts: (String, String)*) =
+    spark.read.format("graft.sources.PagedSource")
+      .options(opts.toMap + ("baseurl" -> baseUrl, "backoffbasems" -> "1"))
+      .load()
+
+  test("HTTP backend: advertised total → parallel page ranges, 503s retried (S4+S6)") {
+    val (server, base) = StubApi.start(total = 250, failAttempts = 2)
+    try {
+      val df = readHttp(s"$base/contacts", "pagelimit" -> "100",
+        "pagesperpartition" -> "1", "maxretries" -> "6")
+      assert(df.rdd.getNumPartitions == 3, "meta.total plans parallel page ranges")
+      assert(df.count() == 250)
+      import spark.implicits._
+      assert(df.agg(org.apache.spark.sql.functions.max("id")).as[Long].head() == 249L)
+    } finally server.stop(0)
+  }
+
+  test("HTTP backend: retries exhausted fails the scan (S6)") {
+    val (server, base) = StubApi.start(total = 100, failAttempts = 99)
+    try {
+      val df = readHttp(s"$base/contacts", "pagelimit" -> "100", "maxretries" -> "2")
+      intercept[Exception] { df.count() }
+    } finally server.stop(0)
+  }
+
+  test("HTTP backend: 404 endpoint → empty result, not a failed job (S7)") {
+    val (server, base) = StubApi.start(total = 100)
+    try {
+      val df = readHttp(s"$base/missing")
+      assert(df.count() == 0)
+    } finally server.stop(0)
+  }
+
+  test("HTTP backend: no meta.total → sequential short-page termination (O3)") {
+    val (server, base) = StubApi.start(total = 250, advertiseTotal = false)
+    try {
+      val df = readHttp(s"$base/contacts", "pagelimit" -> "100")
+      assert(df.rdd.getNumPartitions == 1, "unknown total walks sequentially")
+      assert(df.count() == 250)
+    } finally server.stop(0)
+  }
+
+  test("HTTP backend: keyset watermark prunes pages before any request (S5)") {
+    val (server, base) = StubApi.start(total = 1000)
+    try {
+      val df = readHttp(s"$base/contacts", "pagelimit" -> "100",
+        "pagesperpartition" -> "1")
+      val filtered = df.filter(df("id") > 850L)
+      assert(filtered.count() == 149)
+      assert(filtered.rdd.getNumPartitions == 2,
+        "pages 0..7 pruned at planning — only pages 8 and 9 are fetched")
+    } finally server.stop(0)
   }
 
   test("streaming offset never regresses when upstream shrinks (throttled mode)") {
