@@ -323,6 +323,112 @@ object TextQueries {
           "doc_id", "text"),
         "doc_id", "sh", 2).orderBy("doc_a", "doc_b")),
 
+    // Dedup CLUSTERS: connected components over the token-Jaccard
+    // >= 0.6 near-dup graph (1-in-7 sample) — every doc labeled with
+    // its component's smallest doc id (cluster id = deterministic
+    // survivor). Spark side is iterative min-label propagation
+    // (NearDup.connectedComponents); the oracle walks the same graph
+    // with a recursive CTE. Pair generation reuses the exact
+    // integer-cross-multiplied Jaccard predicate.
+    QDef("q_dedup_cluster", Some(s"""
+      WITH RECURSIVE ${tokCte.format("WHERE doc_id % 7 = 0")},
+      sz AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id),
+      inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+                FROM tok a JOIN tok b ON a.tok = b.tok AND a.doc_id < b.doc_id
+                GROUP BY doc_a, doc_b),
+      pairs AS (SELECT doc_a, doc_b FROM inter
+                JOIN sz sa ON doc_a = sa.doc_id JOIN sz sb ON doc_b = sb.doc_id
+                WHERE i * 10 >= 6 * (sa.n + sb.n - i)),
+      nodes AS (SELECT doc_id FROM documents WHERE doc_id % 7 = 0),
+      edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+                UNION ALL SELECT doc_b, doc_a FROM pairs),
+      reach AS (
+        SELECT doc_id AS id, doc_id AS r FROM nodes
+        UNION
+        SELECT reach.id, e.dst FROM reach JOIN edges e ON e.src = reach.r)
+      SELECT id AS doc_id, min(r) AS cluster_id,
+             CASE WHEN min(r) = id THEN 1 ELSE 0 END AS is_survivor
+      FROM reach GROUP BY id ORDER BY doc_id"""),
+      (s, d) => {
+        val edges = NearDup.tokenJaccardPairs(tokDf(s, d, Some(7)), "doc_id", "tok", 6)
+          .filter(col("near_dup") === 1).select("doc_a", "doc_b")
+        val nodes = t(s, d, "documents").filter(col("doc_id") % 7 === 0)
+          .select("doc_id")
+        NearDup.connectedComponents(nodes, "doc_id", edges)
+          .withColumn("is_survivor",
+            when(col("cluster_id") === col("doc_id"), 1).otherwise(0))
+          .orderBy("doc_id")
+      }),
+
+    // Quality FILTER chain (Gopher/C4-style): ordered reject rules —
+    // token-count bounds, mean-token-length band, type/token
+    // diversity, stopword presence — with the FIRST failing rule
+    // recorded as the reject reason. All predicates are integer-exact
+    // (cross-multiplied, no float division), and the whole chain is
+    // one codegen'd projection over the documents scan.
+    QDef("q_doc_quality_filter", Some("""
+      WITH d AS (SELECT doc_id,
+        list_filter(string_split(text, ' '), t -> t <> '') AS toks FROM documents),
+      m AS (SELECT doc_id,
+        CAST(len(toks) AS BIGINT) AS n_tokens,
+        CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct,
+        CAST(len(list_filter(toks, t -> t IN ('the', 'a'))) AS BIGINT) AS n_stop,
+        CAST(COALESCE(list_sum(list_transform(toks, t -> length(t))), 0) AS BIGINT) AS tok_chars
+        FROM d)
+      SELECT doc_id, n_tokens,
+             CASE WHEN n_tokens < 20 THEN 'too_short'
+                  WHEN n_tokens > 90 THEN 'too_long'
+                  WHEN 100 * tok_chars < 420 * n_tokens
+                       OR 100 * tok_chars > 520 * n_tokens THEN 'word_length'
+                  WHEN 2 * n_distinct < n_tokens THEN 'low_diversity'
+                  WHEN n_stop = 0 THEN 'no_stopwords'
+                  ELSE NULL END AS reject_reason,
+             CASE WHEN n_tokens >= 20 AND n_tokens <= 90
+                       AND 100 * tok_chars >= 420 * n_tokens
+                       AND 100 * tok_chars <= 520 * n_tokens
+                       AND 2 * n_distinct >= n_tokens
+                       AND n_stop > 0 THEN 1 ELSE 0 END AS keep
+      FROM m ORDER BY doc_id"""),
+      (s, d) => {
+        val m = t(s, d, "documents")
+          .withColumn("toks", TA.tokens(col("text")))
+          .select(col("doc_id"),
+            size(col("toks")).cast(LongType).as("n_tokens"),
+            size(array_distinct(col("toks"))).cast(LongType).as("n_distinct"),
+            TA.langScore(col("toks"), Seq("the", "a")).as("n_stop"),
+            aggregate(transform(col("toks"), t => length(t)), lit(0),
+              (acc, x) => acc + x).cast(LongType).as("tok_chars"))
+        m.select(col("doc_id"), col("n_tokens"),
+          when(col("n_tokens") < 20, "too_short")
+            .when(col("n_tokens") > 90, "too_long")
+            .when(col("tok_chars") * 100 < col("n_tokens") * 420 ||
+              col("tok_chars") * 100 > col("n_tokens") * 520, "word_length")
+            .when(col("n_distinct") * 2 < col("n_tokens"), "low_diversity")
+            .when(col("n_stop") === 0, "no_stopwords")
+            .as("reject_reason"))
+          .withColumn("keep", when(col("reject_reason").isNull, 1).otherwise(0))
+          .orderBy("doc_id")
+      }),
+
+    // Deterministic hash-stratified sampling (training-data mixture
+    // balancing): downsample the over-represented stratum ('en' here)
+    // to a 4-in-16 hash rate, keep other strata whole. The keep
+    // decision is a pure seed-stamped function of the doc id — the
+    // same split reproduces on any engine, any run, any partitioning
+    // (the property that matters for train/eval splits), unlike
+    // rand()-based sampling.
+    QDef("q_sample_stratified", Some("""
+      SELECT doc_id, lang FROM documents
+      WHERE lang <> 'en'
+         OR CAST(('0x' || substr(md5('mix1|' || doc_id), 1, 1)) AS INTEGER) < 4
+      ORDER BY doc_id"""),
+      (s, d) => t(s, d, "documents")
+        .filter(col("lang") =!= "en" ||
+          conv(substring(md5(concat(lit("mix1|"), col("doc_id").cast(StringType))), 1, 1),
+            16, 10).cast(IntegerType) < 4)
+        .select("doc_id", "lang")
+        .orderBy("doc_id")),
+
     // Multimodal envelope metadata: binary payload column → typed
     // mapPartitions extraction (decode stubbed; plumbing real —
     // graft.multimodal.Multimodal).

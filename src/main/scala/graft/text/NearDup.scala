@@ -123,6 +123,57 @@ object NearDup {
       .select("doc_a", "doc_b", "hamming")
   }
 
+  /** Dedup CLUSTERS from candidate pairs: connected components over
+    * the near-dup graph by iterative min-label propagation. Every doc
+    * ends labeled with the smallest doc id reachable through the pair
+    * graph — that label is the cluster id AND the dedup group's
+    * deterministic survivor (the same smallest-id-survives rule as
+    * [[exactDedup]], lifted from equality groups to near-dup
+    * components).
+    *
+    * Each round is one edges⋈labels equi-join plus one min-aggregate,
+    * both hash-partitioned on the doc id; the edge list is computed
+    * once and cached, and each round's labels are materialized by the
+    * convergence count, which also cuts recompute lineage. Rounds
+    * needed = graph diameter — near-dup components are dense
+    * (LSH/Jaccard candidates form near-cliques), so this converges in
+    * a handful of rounds; `maxIters` guards pathological chain graphs
+    * by FAILING rather than returning a partial labeling. On a
+    * cluster, swap the per-round cache for localCheckpoint to also
+    * bound the plan size.
+    *
+    * `nodes` must carry every doc (docs in no pair become singleton
+    * clusters); `pairs` must carry (doc_a, doc_b). */
+  def connectedComponents(nodes: DataFrame, id: String, pairs: DataFrame,
+                          maxIters: Int = 25): DataFrame = {
+    val edges = pairs.select(col("doc_a").as("_src"), col("doc_b").as("_dst"))
+      .union(pairs.select(col("doc_b").as("_src"), col("doc_a").as("_dst")))
+      .cache()
+    var labels = nodes.select(col(id), col(id).as("cluster_id")).cache()
+    var changed = 1L
+    var it = 0
+    while (changed > 0) {
+      require(it < maxIters,
+        s"connectedComponents: no fixpoint after $maxIters rounds — " +
+          "pathological component diameter; raise maxIters deliberately")
+      val minNbr = edges
+        .join(labels.select(col(id).as("_dst"), col("cluster_id").as("_nl")), "_dst")
+        .groupBy(col("_src").as(id)).agg(min(col("_nl")).as("_mn"))
+      val next = labels.join(minNbr, Seq(id), "left")
+        .select(col(id),
+          least(col("cluster_id"), coalesce(col("_mn"), col("cluster_id"))).as("cluster_id"))
+        .cache()
+      changed = next
+        .join(labels.select(col(id), col("cluster_id").as("_prev")), Seq(id))
+        .filter(col("cluster_id") =!= col("_prev")).count()
+      labels.unpersist()
+      labels = next
+      it += 1
+    }
+    edges.unpersist()
+    labels
+  }
+
   /** Exact token-set Jaccard for all pairs within `docTokens`
     * (callers bound the input — sampled or LSH-filtered). The
     * near-dup predicate uses integer cross-multiplication so the

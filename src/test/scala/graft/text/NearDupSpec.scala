@@ -60,4 +60,24 @@ class NearDupSpec extends AnyFunSuite {
       .select("keep_id", "n_dupes").as[(Long, Long)].collect()
     assert(got.toSeq == Seq((2L, 2L), (9L, 1L)))
   }
+
+  test("connectedComponents: min-label propagation finds components, singletons survive") {
+    val nodes = Seq(1L, 2L, 3L, 4L, 5L, 6L, 7L).toDF("doc_id")
+    // component {1,2,3,4} is a CHAIN (needs >1 round to propagate),
+    // {5,6} a pair, 7 a singleton
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (5L, 6L)).toDF("doc_a", "doc_b")
+    val got = NearDup.connectedComponents(nodes, "doc_id", pairs)
+      .orderBy("doc_id").as[(Long, Long)].collect().toSeq
+    assert(got == Seq(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      5L -> 5L, 6L -> 5L, 7L -> 7L))
+  }
+
+  test("connectedComponents: maxIters too small for the diameter fails loudly") {
+    val nodes = Seq(1L, 2L, 3L, 4L, 5L).toDF("doc_id")
+    // a 5-node path has diameter 4 — one round cannot reach fixpoint
+    val chain = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("doc_a", "doc_b")
+    intercept[IllegalArgumentException] {
+      NearDup.connectedComponents(nodes, "doc_id", chain, maxIters = 1).collect()
+    }
+  }
 }
