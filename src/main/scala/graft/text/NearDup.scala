@@ -131,16 +131,19 @@ object NearDup {
     * [[exactDedup]], lifted from equality groups to near-dup
     * components).
     *
-    * Each round is one edges⋈labels equi-join plus one min-aggregate,
-    * both hash-partitioned on the doc id; the edge list is computed
-    * once and cached, and each round's labels are materialized by the
-    * convergence count, which also cuts recompute lineage. Rounds
-    * needed = graph diameter — near-dup components are dense
-    * (LSH/Jaccard candidates form near-cliques), so this converges in
-    * a handful of rounds; `maxIters` guards pathological chain graphs
-    * by FAILING rather than returning a partial labeling. On a
-    * cluster, swap the per-round cache for localCheckpoint to also
-    * bound the plan size.
+    * Each round combines neighbor-min propagation (one edges⋈labels
+    * equi-join + min-aggregate) with POINTER JUMPING (each node also
+    * adopts its current label's label — one labels⋈labels join), so
+    * convergence takes O(log diameter) rounds instead of O(diameter);
+    * all joins are hash-partitioned on the doc id. The edge list is
+    * computed once and cached; each round's labels are materialized
+    * by the convergence probe, which also cuts recompute lineage.
+    * Convergence is detected by an aggregate checksum: labels only
+    * ever DECREASE, so the decimal sum of labels strictly decreases
+    * until fixpoint — one cheap agg per round, no prev-vs-next join.
+    * `maxIters` guards non-convergence by FAILING rather than
+    * returning a partial labeling. On a cluster, swap the per-round
+    * cache for localCheckpoint to also bound the plan size.
     *
     * `nodes` must carry every doc (docs in no pair become singleton
     * clusters); `pairs` must carry (doc_a, doc_b). */
@@ -150,22 +153,34 @@ object NearDup {
       .union(pairs.select(col("doc_b").as("_src"), col("doc_a").as("_dst")))
       .cache()
     var labels = nodes.select(col(id), col(id).as("cluster_id")).cache()
-    var changed = 1L
+    // decimal sum: ids can be large and corpora huge — a long sum
+    // could overflow at scale and falsely report convergence
+    def checksum(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("cluster_id").cast(DecimalType(38, 0)))).head().getDecimal(0)
+    var prevSum = checksum(labels)
+    var converged = false
     var it = 0
-    while (changed > 0) {
+    while (!converged) {
       require(it < maxIters,
         s"connectedComponents: no fixpoint after $maxIters rounds — " +
-          "pathological component diameter; raise maxIters deliberately")
+          "raise maxIters deliberately")
       val minNbr = edges
         .join(labels.select(col(id).as("_dst"), col("cluster_id").as("_nl")), "_dst")
         .groupBy(col("_src").as(id)).agg(min(col("_nl")).as("_mn"))
-      val next = labels.join(minNbr, Seq(id), "left")
-        .select(col(id),
-          least(col("cluster_id"), coalesce(col("_mn"), col("cluster_id"))).as("cluster_id"))
+      // label-of-label (path doubling): label values are always node
+      // ids of the same component, so the self-join always resolves
+      val lofl = labels.select(col(id).as("_lid"), col("cluster_id").as("_ll"))
+      val next = labels
+        .join(minNbr, Seq(id), "left")
+        .join(lofl, col("cluster_id") === col("_lid"), "left")
+        .select(col(id), least(
+          col("cluster_id"),
+          coalesce(col("_mn"), col("cluster_id")),
+          coalesce(col("_ll"), col("cluster_id"))).as("cluster_id"))
         .cache()
-      changed = next
-        .join(labels.select(col(id), col("cluster_id").as("_prev")), Seq(id))
-        .filter(col("cluster_id") =!= col("_prev")).count()
+      val s = checksum(next)
+      converged = s.compareTo(prevSum) == 0
+      prevSum = s
       labels.unpersist()
       labels = next
       it += 1
