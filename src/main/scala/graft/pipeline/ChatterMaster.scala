@@ -233,29 +233,37 @@ object ChatterMaster {
   /** S9 — per-contact digest TXT sink (run_ac_extraction.py:1684-1692):
     * one `<outDir>/contact_<id>.txt` per contact, written from the
     * executors via `foreachPartition` (no driver collect). Input: any
-    * frame with (contact_id, digest). Scale: each task writes its own
-    * partition's contacts; repartition by contact_id upstream if one
-    * output dir per partition-worth of files matters. */
+    * frame with (contact_id, digest).
+    *
+    * Files go through the Hadoop FileSystem API resolved from the
+    * outDir's scheme, so the sink targets whatever the cluster's
+    * storage is (HDFS, object store, local) — NOT the executors'
+    * local disks. Idempotent: re-runs overwrite per-contact files in
+    * place. Scale: each task writes its own partition's contacts;
+    * repartition by contact_id upstream to control files-per-task. */
   def writeDigestTxt(digests: DataFrame, outDir: String): Unit = {
-    // driver-side too (best-effort): a zero-partition frame runs no
-    // tasks, and consumers still expect the (empty) directory to
-    // exist. Best-effort because on a cluster the driver host may not
-    // share the executors' filesystem — the task-side mkdirs below is
-    // the authoritative one.
-    try java.nio.file.Files.createDirectories(java.nio.file.Paths.get(outDir))
-    catch { case _: Exception => () }
+    def fsFor() = {
+      val base = new org.apache.hadoop.fs.Path(outDir)
+      val fs = base.getFileSystem(new org.apache.hadoop.conf.Configuration())
+      // plain TXT contract: no .crc sidecar files next to the digests
+      fs.setWriteChecksum(false)
+      (fs, base)
+    }
+    // driver-side too: a zero-partition frame runs no tasks, and
+    // consumers still expect the (empty) directory to exist
+    { val (fs, base) = fsFor(); fs.mkdirs(base) }
     digests.select(col("contact_id").cast("string"), col("digest"))
       .foreachPartition { (rows: Iterator[org.apache.spark.sql.Row]) =>
-        // mkdirs INSIDE the task: on a cluster each executor has its
-        // own filesystem — a driver-side mkdirs would not exist here
-        java.nio.file.Files.createDirectories(java.nio.file.Paths.get(outDir))
+        val (fs, base) = fsFor()
+        fs.mkdirs(base)
         rows.foreach { r =>
           // rows without an id or digest have nothing to write —
           // a shared contact_null.txt or an NPE helps no one
           if (!r.isNullAt(0) && !r.isNullAt(1)) {
-            val p = java.nio.file.Paths.get(outDir, s"contact_${r.getString(0)}.txt")
-            java.nio.file.Files.write(p,
-              r.getString(1).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+            val out = fs.create(
+              new org.apache.hadoop.fs.Path(base, s"contact_${r.getString(0)}.txt"), true)
+            try out.write(r.getString(1).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+            finally out.close()
           }
         }
       }
