@@ -242,30 +242,56 @@ object ChatterMaster {
     * place. Scale: each task writes its own partition's contacts;
     * repartition by contact_id upstream to control files-per-task. */
   def writeDigestTxt(digests: DataFrame, outDir: String): Unit = {
-    def fsFor() = {
+    // the SESSION's Hadoop conf (spark.hadoop.* settings, object-store
+    // credentials), shipped to tasks as plain entries (Configuration
+    // itself isn't serializable and Spark's wrapper is private) — a
+    // bare `new Configuration()` in the task would ignore
+    // SparkConf-supplied fs.defaultFS/credentials
+    val sessionConf = digests.sparkSession.sparkContext.hadoopConfiguration
+    val confEntries = {
+      val it = sessionConf.iterator()
+      val b = Seq.newBuilder[(String, String)]
+      while (it.hasNext) { val e = it.next(); b += e.getKey -> e.getValue }
+      b.result()
+    }
+    def rebuild(): org.apache.hadoop.conf.Configuration = {
+      val c = new org.apache.hadoop.conf.Configuration(false)
+      confEntries.foreach { case (k, v) => c.set(k, v) }
+      c
+    }
+    // a PRIVATE FileSystem instance (not the process-shared cache):
+    // we disable checksum sidecars for the plain-TXT contract, and
+    // flipping that on the cached instance would silently change
+    // every other writer in the JVM
+    def fsFor(conf: org.apache.hadoop.conf.Configuration) = {
       val base = new org.apache.hadoop.fs.Path(outDir)
-      val fs = base.getFileSystem(new org.apache.hadoop.conf.Configuration())
-      // plain TXT contract: no .crc sidecar files next to the digests
+      val fs = org.apache.hadoop.fs.FileSystem.newInstance(
+        base.toUri, conf)
       fs.setWriteChecksum(false)
       (fs, base)
     }
     // driver-side too: a zero-partition frame runs no tasks, and
     // consumers still expect the (empty) directory to exist
-    { val (fs, base) = fsFor(); fs.mkdirs(base) }
+    locally {
+      val (fs, base) = fsFor(sessionConf)
+      try fs.mkdirs(base) finally fs.close()
+    }
     digests.select(col("contact_id").cast("string"), col("digest"))
       .foreachPartition { (rows: Iterator[org.apache.spark.sql.Row]) =>
-        val (fs, base) = fsFor()
-        fs.mkdirs(base)
-        rows.foreach { r =>
-          // rows without an id or digest have nothing to write —
-          // a shared contact_null.txt or an NPE helps no one
-          if (!r.isNullAt(0) && !r.isNullAt(1)) {
-            val out = fs.create(
-              new org.apache.hadoop.fs.Path(base, s"contact_${r.getString(0)}.txt"), true)
-            try out.write(r.getString(1).getBytes(java.nio.charset.StandardCharsets.UTF_8))
-            finally out.close()
+        val (fs, base) = fsFor(rebuild())
+        try {
+          fs.mkdirs(base)
+          rows.foreach { r =>
+            // rows without an id or digest have nothing to write —
+            // a shared contact_null.txt or an NPE helps no one
+            if (!r.isNullAt(0) && !r.isNullAt(1)) {
+              val out = fs.create(
+                new org.apache.hadoop.fs.Path(base, s"contact_${r.getString(0)}.txt"), true)
+              try out.write(r.getString(1).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+              finally out.close()
+            }
           }
-        }
+        } finally fs.close()
       }
   }
 }

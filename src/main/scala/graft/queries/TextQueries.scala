@@ -376,7 +376,8 @@ object TextQueries {
         CAST(COALESCE(list_sum(list_transform(toks, t -> length(t))), 0) AS BIGINT) AS tok_chars
         FROM d)
       SELECT doc_id, n_tokens,
-             CASE WHEN n_tokens < 20 THEN 'too_short'
+             CASE WHEN n_tokens IS NULL THEN 'unscorable'
+                  WHEN n_tokens < 20 THEN 'too_short'
                   WHEN n_tokens > 90 THEN 'too_long'
                   WHEN 100 * tok_chars < 420 * n_tokens
                        OR 100 * tok_chars > 520 * n_tokens THEN 'word_length'
@@ -398,8 +399,12 @@ object TextQueries {
             TA.langScore(col("toks"), Seq("the", "a")).as("n_stop"),
             aggregate(transform(col("toks"), t => length(t)), lit(0),
               (acc, x) => acc + x).cast(LongType).as("tok_chars"))
+        // NULL text ⇒ NULL metrics: the leading unscorable rule keeps
+        // reason/keep aligned with the oracle (whose keep conjunction
+        // evaluates NULL → 0) instead of silently keeping the doc
         m.select(col("doc_id"), col("n_tokens"),
-          when(col("n_tokens") < 20, "too_short")
+          when(col("n_tokens").isNull, "unscorable")
+            .when(col("n_tokens") < 20, "too_short")
             .when(col("n_tokens") > 90, "too_long")
             .when(col("tok_chars") * 100 < col("n_tokens") * 420 ||
               col("tok_chars") * 100 > col("n_tokens") * 520, "word_length")

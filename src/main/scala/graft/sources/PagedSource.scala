@@ -112,7 +112,8 @@ object PageBackends {
         HttpPageBackend(url, props.getOrElse("collectionkey", "contacts"),
           props.getOrElse("maxretries", "6").toInt,
           props.getOrElse("backoffbasems", "500").toLong,
-          props.getOrElse("backoffcapms", "30000").toLong)
+          props.getOrElse("backoffcapms", "30000").toLong,
+          props.getOrElse("httptimeoutms", "60000").toLong)
       case None => FixtureBackend.fromProps(props)
     }
 }
@@ -140,21 +141,29 @@ object PageBackends {
 final case class HttpPageBackend(baseUrl: String, collectionKey: String,
                                  probeRetries: Int = 6,
                                  probeBackoffBaseMs: Long = 500,
-                                 probeBackoffCapMs: Long = 30000) extends PageBackend {
+                                 probeBackoffCapMs: Long = 30000,
+                                 timeoutMs: Long = 60000) extends PageBackend {
   import java.net.http.{HttpClient, HttpRequest, HttpResponse}
 
-  @transient private lazy val client = HttpClient.newHttpClient()
+  // connect + per-request deadlines (the reference's timeout=60,
+  // run_ac_extraction.py:209): a half-open connection or stalled
+  // endpoint must surface as a retryable timeout, not hang the task
+  // forever outside the retry discipline
+  @transient private lazy val client = HttpClient.newBuilder()
+    .connectTimeout(java.time.Duration.ofMillis(timeoutMs)).build()
   @transient private lazy val mapper =
     new com.fasterxml.jackson.databind.ObjectMapper()
 
   private def get(uri: String): HttpResponse[String] = {
     val req = HttpRequest.newBuilder(java.net.URI.create(uri))
+      .timeout(java.time.Duration.ofMillis(timeoutMs))
       .header("accept", "application/json").GET().build()
     val resp =
       try client.send(req, HttpResponse.BodyHandlers.ofString())
       catch {
-        // connection refused/reset are transient exactly like a 503 —
-        // 599 is the conventional network-connect-timeout pseudo-status
+        // connection refused/reset/timed out are transient exactly
+        // like a 503 (HttpTimeoutException is an IOException) — 599
+        // is the conventional network-timeout pseudo-status
         case _: java.io.IOException => throw new TransientHttpError(599)
       }
     resp.statusCode() match {
@@ -314,9 +323,17 @@ class PagedMicroBatchStream(props: Map[String, String], pageLimit: Int,
     throw new UnsupportedOperationException(
       "latestOffset(Offset, ReadLimit) should be called instead")
 
+  // upstream size observed by the trigger's latestOffset probe,
+  // reused by reportLatestOffset — with an HTTP backend each `total`
+  // is a real network probe (with its own retry/backoff), so probing
+  // once per trigger instead of twice halves both the traffic and
+  // the worst-case driver stall
+  @volatile private var lastKnownTotal = -1L
+
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val from = start.asInstanceOf[IdOffset].id
     val avail = backend.total
+    lastKnownTotal = avail
     // Never move backwards (math.max with `from`): if the upstream
     // collection shrinks below a committed offset, regressing would
     // re-emit already-processed ids as duplicates once it regrows.
@@ -326,7 +343,8 @@ class PagedMicroBatchStream(props: Map[String, String], pageLimit: Int,
     }
   }
 
-  override def reportLatestOffset(): Offset = IdOffset(backend.total)
+  override def reportLatestOffset(): Offset =
+    IdOffset(if (lastKnownTotal >= 0) lastKnownTotal else backend.total)
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val from = start.asInstanceOf[IdOffset].id

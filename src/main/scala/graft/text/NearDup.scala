@@ -154,11 +154,12 @@ object NearDup {
       .cache()
     var labels = nodes.select(col(id), col(id).as("cluster_id")).cache()
     // decimal sum: ids can be large and corpora huge — a long sum
-    // could overflow at scale and falsely report convergence
+    // could overflow at scale and falsely report convergence. NULL
+    // (sum over zero rows) ⇒ empty input ⇒ already converged.
     def checksum(df: DataFrame): java.math.BigDecimal =
       df.agg(sum(col("cluster_id").cast(DecimalType(38, 0)))).head().getDecimal(0)
     var prevSum = checksum(labels)
-    var converged = false
+    var converged = prevSum == null
     var it = 0
     while (!converged) {
       require(it < maxIters,
@@ -186,7 +187,15 @@ object NearDup {
       it += 1
     }
     edges.unpersist()
-    labels
+    // hand the result back WITHOUT leaving a CacheManager entry per
+    // invocation: localCheckpoint materializes the final labeling
+    // into RDD blocks (cleaned automatically once the result is
+    // GC'd), then the loop cache is released. On a cluster that
+    // needs executor-loss fault tolerance, use reliable checkpoint
+    // dirs instead.
+    val out = labels.localCheckpoint(true)
+    labels.unpersist()
+    out
   }
 
   /** Exact token-set Jaccard for all pairs within `docTokens`

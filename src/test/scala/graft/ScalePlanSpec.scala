@@ -123,8 +123,11 @@ class ScalePlanSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"), plan)
     // the declared 1-in-5 sample bound reaches both parquet scans
     assert(plan.linesIterator.count(_.contains("PushedFilters: [IsNotNull(vec_id)")) >= 2, plan)
-    // repo-wide sweep (planning only, nothing executes): no registered
-    // query may fall back to a cartesian anywhere in its plan
+    // repo-wide sweep: no registered query may fall back to a
+    // cartesian anywhere in its final plan. Mostly planning-only;
+    // iterative queries (q_dedup_cluster) do run their driver loop at
+    // DataFrame-construction time — the swept plan is the final
+    // assembled one, which is exactly what a caller would execute
     val offenders = SparkEntry.queries.keys.toSeq.sorted.filter { name =>
       SparkEntry.queries(name)(spark, SparkTesting.sf)
         .queryExecution.executedPlan.toString.contains("CartesianProduct")
