@@ -324,14 +324,14 @@ object TextQueries {
         "doc_id", "sh", 2).orderBy("doc_a", "doc_b")),
 
     // Dedup CLUSTERS: connected components over the token-Jaccard
-    // >= 0.6 near-dup graph (1-in-7 sample) — every doc labeled with
+    // >= 0.6 near-dup graph (1-in-13 sample) — every doc labeled with
     // its component's smallest doc id (cluster id = deterministic
     // survivor). Spark side is iterative min-label propagation
     // (NearDup.connectedComponents); the oracle walks the same graph
     // with a recursive CTE. Pair generation reuses the exact
     // integer-cross-multiplied Jaccard predicate.
     QDef("q_dedup_cluster", Some(s"""
-      WITH RECURSIVE ${tokCte.format("WHERE doc_id % 7 = 0")},
+      WITH RECURSIVE ${tokCte.format("WHERE doc_id % 13 = 0")},
       sz AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id),
       inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
                 FROM tok a JOIN tok b ON a.tok = b.tok AND a.doc_id < b.doc_id
@@ -339,7 +339,7 @@ object TextQueries {
       pairs AS (SELECT doc_a, doc_b FROM inter
                 JOIN sz sa ON doc_a = sa.doc_id JOIN sz sb ON doc_b = sb.doc_id
                 WHERE i * 10 >= 6 * (sa.n + sb.n - i)),
-      nodes AS (SELECT doc_id FROM documents WHERE doc_id % 7 = 0),
+      nodes AS (SELECT doc_id FROM documents WHERE doc_id % 13 = 0),
       edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
                 UNION ALL SELECT doc_b, doc_a FROM pairs),
       reach AS (
@@ -350,9 +350,9 @@ object TextQueries {
              CASE WHEN min(r) = id THEN 1 ELSE 0 END AS is_survivor
       FROM reach GROUP BY id ORDER BY doc_id"""),
       (s, d) => {
-        val edges = NearDup.tokenJaccardPairs(tokDf(s, d, Some(7)), "doc_id", "tok", 6)
+        val edges = NearDup.tokenJaccardPairs(tokDf(s, d, Some(13)), "doc_id", "tok", 6)
           .filter(col("near_dup") === 1).select("doc_a", "doc_b")
-        val nodes = t(s, d, "documents").filter(col("doc_id") % 7 === 0)
+        val nodes = t(s, d, "documents").filter(col("doc_id") % 13 === 0)
           .select("doc_id")
         NearDup.connectedComponents(nodes, "doc_id", edges)
           .withColumn("is_survivor",

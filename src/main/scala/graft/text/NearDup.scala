@@ -135,15 +135,25 @@ object NearDup {
     * equi-join + min-aggregate) with POINTER JUMPING (each node also
     * adopts its current label's label — one labels⋈labels join), so
     * convergence takes O(log diameter) rounds instead of O(diameter);
-    * all joins are hash-partitioned on the doc id. The edge list is
-    * computed once and cached; each round's labels are materialized
-    * by the convergence probe, which also cuts recompute lineage.
+    * all joins are hash-partitioned on the doc id.
+    *
+    * Each round's labels are materialized with an EAGER
+    * localCheckpoint, not cache(): the round references the previous
+    * labels three times (neighbor join, label-of-label join, carry),
+    * so the LOGICAL plan would otherwise grow 3^rounds — caching cuts
+    * physical recompute but Catalyst still re-optimizes the full
+    * exponential tree every round. Checkpointing truncates lineage to
+    * a LogicalRDD, keeping per-round planning O(1); the blocks are
+    * auto-released once unreferenced, so no CacheManager entries leak
+    * per invocation. (Trade-off: localCheckpoint is not
+    * executor-loss-tolerant — a production cluster run would set a
+    * reliable checkpoint dir and use checkpoint() instead.)
+    *
     * Convergence is detected by an aggregate checksum: labels only
     * ever DECREASE, so the decimal sum of labels strictly decreases
     * until fixpoint — one cheap agg per round, no prev-vs-next join.
     * `maxIters` guards non-convergence by FAILING rather than
-    * returning a partial labeling. On a cluster, swap the per-round
-    * cache for localCheckpoint to also bound the plan size.
+    * returning a partial labeling.
     *
     * `nodes` must carry every doc (docs in no pair become singleton
     * clusters); `pairs` must carry (doc_a, doc_b). */
@@ -152,7 +162,7 @@ object NearDup {
     val edges = pairs.select(col("doc_a").as("_src"), col("doc_b").as("_dst"))
       .union(pairs.select(col("doc_b").as("_src"), col("doc_a").as("_dst")))
       .cache()
-    var labels = nodes.select(col(id), col(id).as("cluster_id")).cache()
+    var labels = nodes.select(col(id), col(id).as("cluster_id")).localCheckpoint(true)
     // decimal sum: ids can be large and corpora huge — a long sum
     // could overflow at scale and falsely report convergence. NULL
     // (sum over zero rows) ⇒ empty input ⇒ already converged.
@@ -178,24 +188,15 @@ object NearDup {
           col("cluster_id"),
           coalesce(col("_mn"), col("cluster_id")),
           coalesce(col("_ll"), col("cluster_id"))).as("cluster_id"))
-        .cache()
+        .localCheckpoint(true)
       val s = checksum(next)
       converged = s.compareTo(prevSum) == 0
       prevSum = s
-      labels.unpersist()
       labels = next
       it += 1
     }
     edges.unpersist()
-    // hand the result back WITHOUT leaving a CacheManager entry per
-    // invocation: localCheckpoint materializes the final labeling
-    // into RDD blocks (cleaned automatically once the result is
-    // GC'd), then the loop cache is released. On a cluster that
-    // needs executor-loss fault tolerance, use reliable checkpoint
-    // dirs instead.
-    val out = labels.localCheckpoint(true)
-    labels.unpersist()
-    out
+    labels
   }
 
   /** Exact token-set Jaccard for all pairs within `docTokens`
