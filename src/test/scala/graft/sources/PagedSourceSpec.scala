@@ -20,7 +20,13 @@ object StubApi {
 
   /** Returns (server, baseUrl); caller must `server.stop(0)`. */
   def start(total: Int, failAttempts: Int = 0,
-            advertiseTotal: Boolean = true): (HttpServer, String) = {
+            advertiseTotal: Boolean = true): (HttpServer, String) =
+    startDynamic(() => total, failAttempts, advertiseTotal)
+
+  /** Like [[start]], but the collection size is re-read per request —
+    * tests grow it between micro-batches to simulate a live API. */
+  def startDynamic(total: () => Int, failAttempts: Int = 0,
+                   advertiseTotal: Boolean = true): (HttpServer, String) = {
     val server = HttpServer.create(new java.net.InetSocketAddress("127.0.0.1", 0), 0)
     val attempts = new java.util.concurrent.ConcurrentHashMap[String, Long]()
     server.createContext("/contacts", (ex: HttpExchange) => {
@@ -34,9 +40,10 @@ object StubApi {
       if (attempts.merge(q, 1L, _ + _) <= failAttempts)
         respond(ex, 503, """{"error":"busy"}""")
       else {
-        val rows = (offset until math.min(offset + limit, total.toLong)).map(i =>
+        val t = total()
+        val rows = (offset until math.min(offset + limit, t.toLong)).map(i =>
           s"""{"id":$i,"name":"row#$i","updated_at":"2026-01-01T00:00:00Z"}""")
-        val meta = if (advertiseTotal) s""","meta":{"total":$total}""" else ""
+        val meta = if (advertiseTotal) s""","meta":{"total":$t}""" else ""
         respond(ex, 200, s"""{"contacts":[${rows.mkString(",")}]$meta}""")
       }
     })
@@ -161,6 +168,31 @@ class PagedSourceSpec extends AnyFunSuite {
       assert(filtered.count() == 149)
       assert(filtered.rdd.getNumPartitions == 2,
         "pages 0..7 pruned at planning — only pages 8 and 9 are fetched")
+    } finally server.stop(0)
+  }
+
+  test("HTTP backend streams micro-batches: offsets advance as the endpoint grows (S5)") {
+    import spark.implicits._
+    val total = new java.util.concurrent.atomic.AtomicInteger(120)
+    val (server, base) = StubApi.startDynamic(() => total.get())
+    try {
+      val stream = spark.readStream.format("graft.sources.PagedSource")
+        .option("baseurl", s"$base/contacts").option("pagelimit", "50")
+        .option("backoffbasems", "1").load()
+      val q = stream.writeStream.format("memory").queryName("http_stream").start()
+      try {
+        q.processAllAvailable()
+        assert(spark.sql("SELECT count(*) FROM http_stream").head().getLong(0) == 120)
+        // the live API grows — the next trigger's latestOffset probe
+        // sees the new meta.total and reads ONLY [120, 150)
+        total.set(150)
+        q.processAllAvailable()
+        val (n, distinct) = spark.sql(
+          "SELECT count(*), count(DISTINCT id) FROM http_stream")
+          .as[(Long, Long)].head()
+        assert(n == 150)
+        assert(distinct == 150)
+      } finally q.stop()
     } finally server.stop(0)
   }
 
