@@ -24,6 +24,31 @@ object SimQueries {
 
   val all: Seq[QDef] = Seq(
 
+    // Embedding hygiene stats per label cell: vector counts and L2
+    // norm min/max/sum (norms rounded to 3 decimals, the sum carried
+    // in DECIMAL so it is exact and aggregation-order-independent —
+    // a raw double sum across rows would hash differently per
+    // partitioning). The scan→agg is one map-side-combined pass.
+    QDef("q_embed_norm_stats", Some("""
+      WITH e AS (SELECT label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      n AS (SELECT label,
+            round(sqrt(list_sum(list_transform(v, x -> x * x))), 3) AS norm3 FROM e)
+      SELECT label, count(*) AS n_vecs,
+             min(norm3) AS min_norm3, max(norm3) AS max_norm3,
+             CAST(sum(CAST(norm3 AS DECIMAL(18,3))) AS DECIMAL(18,3)) AS sum_norm3
+      FROM n GROUP BY label ORDER BY label"""),
+      (s, d) => {
+        val e = t(s, d, "embeddings").select(col("label"),
+          col("embedding").cast("array<double>").as("v"))
+        e.select(col("label"), round(Similarity.l2(col("v")), 3).as("norm3"))
+          .groupBy("label")
+          .agg(count(lit(1)).as("n_vecs"),
+            min(col("norm3")).as("min_norm3"),
+            max(col("norm3")).as("max_norm3"),
+            sum(col("norm3").cast("decimal(18,3)")).cast("decimal(18,3)").as("sum_norm3"))
+          .orderBy("label")
+      }),
+
     // Brute-force cosine top-k: 10 query vectors vs the full corpus.
     QDef("q_embed_cosine_topk", Some(s"""
       WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),

@@ -62,6 +62,23 @@ object TextQueries {
 
   val all: Seq[QDef] = Seq(
 
+    // Corpus vocabulary stats (the vocab-building pass of a training
+    // pipeline): per-token document frequency + total occurrences,
+    // top 20 by df with a deterministic token tie-break. One explode
+    // + one agg; at 100 TB this is the canonical map-side-combined
+    // wordcount shape (partial agg per partition before the shuffle).
+    QDef("q_vocab_df", Some("""
+      WITH occ AS (SELECT doc_id, tok FROM
+        (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+        WHERE tok <> '')
+      SELECT tok, count(DISTINCT doc_id) AS df, count(*) AS tf
+      FROM occ GROUP BY tok ORDER BY df DESC, tok LIMIT 20"""),
+      (s, d) => t(s, d, "documents")
+        .select(col("doc_id"), explode(TA.tokens(col("text"))).as("tok"))
+        .groupBy("tok")
+        .agg(countDistinct(col("doc_id")).as("df"), count(lit(1)).as("tf"))
+        .orderBy(col("df").desc, col("tok")).limit(20)),
+
     // Token counting: whitespace tokens + BPE-ish regex tokens.
     QDef("q_doc_token_stats", Some("""
       WITH d AS (SELECT doc_id, n_chars,
