@@ -11,14 +11,19 @@ import graft.sim.Similarity
   */
 object SimQueries {
 
+  /** Shared DuckDB L2-norm sub-expression — ONE formula so the
+    * cosine oracles and the norm-stats oracle stay in lockstep. */
+  private def normSql(v: String): String =
+    s"sqrt(list_sum(list_transform($v, x -> x * x)))"
+
   /** Shared DuckDB cosine expression over two named vector columns
     * (mirrors Similarity.cosine: dot / (||a||·||b||), each norm
     * sqrt'd separately) — ONE formula, parameterized, so every oracle
     * that scores cosine stays in lockstep. */
   private def cosineSql(a: String, b: String): String =
     s"""list_sum(list_transform(list_zip($a, $b), p -> p[1] * p[2])) /
-       |(sqrt(list_sum(list_transform($a, x -> x * x))) *
-       | sqrt(list_sum(list_transform($b, x -> x * x))))""".stripMargin
+       |(${normSql(a)} *
+       | ${normSql(b)})""".stripMargin
 
   private val cosSql = cosineSql("qv", "cv")
 
@@ -29,10 +34,14 @@ object SimQueries {
     // in DECIMAL so it is exact and aggregation-order-independent —
     // a raw double sum across rows would hash differently per
     // partitioning). The scan→agg is one map-side-combined pass.
-    QDef("q_embed_norm_stats", Some("""
+    // NOTE the engines differ on degenerate vectors (Spark's fold
+    // gives an empty array norm 0.0 and NULL-poisons on a NULL
+    // element; DuckDB's list_sum gives NULL and skips NULLs) — the
+    // testdata contract is fixed-width non-null embeddings, which
+    // both sides treat identically.
+    QDef("q_embed_norm_stats", Some(s"""
       WITH e AS (SELECT label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-      n AS (SELECT label,
-            round(sqrt(list_sum(list_transform(v, x -> x * x))), 3) AS norm3 FROM e)
+      n AS (SELECT label, round(${normSql("v")}, 3) AS norm3 FROM e)
       SELECT label, count(*) AS n_vecs,
              min(norm3) AS min_norm3, max(norm3) AS max_norm3,
              CAST(sum(CAST(norm3 AS DECIMAL(18,3))) AS DECIMAL(18,3)) AS sum_norm3

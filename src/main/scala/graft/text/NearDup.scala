@@ -137,17 +137,20 @@ object NearDup {
     * convergence takes O(log diameter) rounds instead of O(diameter);
     * all joins are hash-partitioned on the doc id.
     *
-    * Each round's labels are materialized with an EAGER
-    * localCheckpoint, not cache(): the round references the previous
-    * labels three times (neighbor join, label-of-label join, carry),
-    * so the LOGICAL plan would otherwise grow 3^rounds — caching cuts
-    * physical recompute but Catalyst still re-optimizes the full
-    * exponential tree every round. Checkpointing truncates lineage to
-    * a LogicalRDD, keeping per-round planning O(1); the blocks are
-    * auto-released once unreferenced, so no CacheManager entries leak
-    * per invocation. (Trade-off: localCheckpoint is not
-    * executor-loss-tolerant — a production cluster run would set a
-    * reliable checkpoint dir and use checkpoint() instead.)
+    * Each round's labels are materialized by persisting the row RDD
+    * and rebuilding the frame over it, not by cache(): the round
+    * references the previous labels three times (neighbor join,
+    * label-of-label join, carry), so the LOGICAL plan would otherwise
+    * grow 3^rounds — caching cuts physical recompute but Catalyst
+    * still re-optimizes the full exponential tree every round.
+    * Rebuilding from the materialized RDD truncates lineage, keeping
+    * per-round planning O(1), and the RDD handle gives DETERMINISTIC
+    * release: each round frees the previous round's blocks the moment
+    * its own labeling is materialized, so live storage is bounded at
+    * ~2 labelings regardless of round count; failure paths release
+    * everything. (Trade-off: RDD persistence is not
+    * executor-loss-tolerant — a production cluster run would
+    * checkpoint() rounds to a reliable dir instead.)
     *
     * Convergence is detected by an aggregate checksum: labels only
     * ever DECREASE, so the decimal sum of labels strictly decreases
@@ -162,41 +165,63 @@ object NearDup {
     val edges = pairs.select(col("doc_a").as("_src"), col("doc_b").as("_dst"))
       .union(pairs.select(col("doc_b").as("_src"), col("doc_a").as("_dst")))
       .cache()
-    var labels = nodes.select(col(id), col(id).as("cluster_id")).localCheckpoint(true)
+    var liveRdd: org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] = null
+    // materialize df into persisted blocks, rebuild the frame over
+    // them (lineage cut), and free the PREVIOUS round — safe because
+    // the count() below has fully computed the new blocks first
+    def materialize(df: DataFrame): DataFrame = {
+      val rdd = df.rdd
+      rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      rdd.count()
+      if (liveRdd != null) liveRdd.unpersist(blocking = false)
+      liveRdd = rdd
+      df.sparkSession.createDataFrame(rdd, df.schema)
+    }
     // decimal sum: ids can be large and corpora huge — a long sum
     // could overflow at scale and falsely report convergence. NULL
     // (sum over zero rows) ⇒ empty input ⇒ already converged.
     def checksum(df: DataFrame): java.math.BigDecimal =
       df.agg(sum(col("cluster_id").cast(DecimalType(38, 0)))).head().getDecimal(0)
-    var prevSum = checksum(labels)
-    var converged = prevSum == null
-    var it = 0
-    while (!converged) {
-      require(it < maxIters,
-        s"connectedComponents: no fixpoint after $maxIters rounds — " +
-          "raise maxIters deliberately")
-      val minNbr = edges
-        .join(labels.select(col(id).as("_dst"), col("cluster_id").as("_nl")), "_dst")
-        .groupBy(col("_src").as(id)).agg(min(col("_nl")).as("_mn"))
-      // label-of-label (path doubling): label values are always node
-      // ids of the same component, so the self-join always resolves
-      val lofl = labels.select(col(id).as("_lid"), col("cluster_id").as("_ll"))
-      val next = labels
-        .join(minNbr, Seq(id), "left")
-        .join(lofl, col("cluster_id") === col("_lid"), "left")
-        .select(col(id), least(
-          col("cluster_id"),
-          coalesce(col("_mn"), col("cluster_id")),
-          coalesce(col("_ll"), col("cluster_id"))).as("cluster_id"))
-        .localCheckpoint(true)
-      val s = checksum(next)
-      converged = s.compareTo(prevSum) == 0
-      prevSum = s
-      labels = next
-      it += 1
+    try {
+      var labels = materialize(nodes.select(col(id), col(id).as("cluster_id")))
+      var prevSum = checksum(labels)
+      var converged = prevSum == null
+      var it = 0
+      while (!converged) {
+        require(it < maxIters,
+          s"connectedComponents: no fixpoint after $maxIters rounds — " +
+            "raise maxIters deliberately")
+        val minNbr = edges
+          .join(labels.select(col(id).as("_dst"), col("cluster_id").as("_nl")), "_dst")
+          .groupBy(col("_src").as(id)).agg(min(col("_nl")).as("_mn"))
+        // label-of-label (path doubling): label values are always node
+        // ids of the same component, so the self-join always resolves
+        val lofl = labels.select(col(id).as("_lid"), col("cluster_id").as("_ll"))
+        val next = materialize(labels
+          .join(minNbr, Seq(id), "left")
+          .join(lofl, col("cluster_id") === col("_lid"), "left")
+          .select(col(id), least(
+            col("cluster_id"),
+            coalesce(col("_mn"), col("cluster_id")),
+            coalesce(col("_ll"), col("cluster_id"))).as("cluster_id")))
+        val s = checksum(next)
+        converged = s.compareTo(prevSum) == 0
+        prevSum = s
+        labels = next
+        it += 1
+      }
+      labels
+    } catch {
+      // failed invocations must not pin blocks for the session
+      case e: Throwable =>
+        if (liveRdd != null) liveRdd.unpersist(blocking = false)
+        throw e
+    } finally {
+      // the returned frame reads the final round's persisted RDD —
+      // that one stays live and is reclaimed by the ContextCleaner
+      // once the result is unreferenced
+      edges.unpersist()
     }
-    edges.unpersist()
-    labels
   }
 
   /** Exact token-set Jaccard for all pairs within `docTokens`
