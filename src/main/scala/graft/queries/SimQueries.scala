@@ -34,6 +34,12 @@ object SimQueries {
     // in DECIMAL so it is exact and aggregation-order-independent —
     // a raw double sum across rows would hash differently per
     // partitioning). The scan→agg is one map-side-combined pass.
+    // Rounding is floor(x*1000 + 0.5)/1000 — pure IEEE-double ops that
+    // are bit-identical across engines — NOT round(x, 3): Spark's
+    // round goes through Double.toString (shortest decimal repr) +
+    // HALF_UP while DuckDB rounds the binary value, so a norm just
+    // below an .xxx5 boundary whose shortest repr IS the tie rounds
+    // differently (the r4 hash mismatch).
     // NOTE the engines differ on degenerate vectors (Spark's fold
     // gives an empty array norm 0.0 and NULL-poisons on a NULL
     // element; DuckDB's list_sum gives NULL and skips NULLs) — the
@@ -41,7 +47,7 @@ object SimQueries {
     // both sides treat identically.
     QDef("q_embed_norm_stats", Some(s"""
       WITH e AS (SELECT label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-      n AS (SELECT label, round(${normSql("v")}, 3) AS norm3 FROM e)
+      n AS (SELECT label, floor(${normSql("v")} * 1000 + 0.5) / 1000 AS norm3 FROM e)
       SELECT label, count(*) AS n_vecs,
              min(norm3) AS min_norm3, max(norm3) AS max_norm3,
              CAST(sum(CAST(norm3 AS DECIMAL(18,3))) AS DECIMAL(18,3)) AS sum_norm3
@@ -49,7 +55,8 @@ object SimQueries {
       (s, d) => {
         val e = t(s, d, "embeddings").select(col("label"),
           col("embedding").cast("array<double>").as("v"))
-        e.select(col("label"), round(Similarity.l2(col("v")), 3).as("norm3"))
+        e.select(col("label"),
+            (floor(Similarity.l2(col("v")) * lit(1000.0) + lit(0.5)) / lit(1000.0)).as("norm3"))
           .groupBy("label")
           .agg(count(lit(1)).as("n_vecs"),
             min(col("norm3")).as("min_norm3"),
