@@ -135,24 +135,26 @@ object PageBackends {
   * advertise it return -1, which drops the scan into the reference's
   * sequential short-page-termination mode.
   *
-  * Each reader (one per input partition, executor-side) builds its
-  * own client lazily — HttpClient is not serializable, only the URL
-  * and collection key ship in the task closure. */
+  * HttpClient is not serializable — only the URL and collection key
+  * ship in the task closure; the client itself is a per-JVM singleton
+  * (see [[HttpPageBackend.clientFor]]): HttpClient has no close()
+  * before Java 21, so one instance per reader would leak selector
+  * threads until GC, and sharing also reuses keep-alive connections
+  * across the partitions an executor runs. */
 final case class HttpPageBackend(baseUrl: String, collectionKey: String,
                                  probeRetries: Int = 6,
                                  probeBackoffBaseMs: Long = 500,
                                  probeBackoffCapMs: Long = 30000,
                                  timeoutMs: Long = 60000) extends PageBackend {
-  import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+  import java.net.http.{HttpRequest, HttpResponse}
+  import HttpPageBackend.{clientFor, mapper}
 
-  // connect + per-request deadlines (the reference's timeout=60,
-  // run_ac_extraction.py:209): a half-open connection or stalled
-  // endpoint must surface as a retryable timeout, not hang the task
-  // forever outside the retry discipline
-  @transient private lazy val client = HttpClient.newBuilder()
-    .connectTimeout(java.time.Duration.ofMillis(timeoutMs)).build()
-  @transient private lazy val mapper =
-    new com.fasterxml.jackson.databind.ObjectMapper()
+  private def client = clientFor(timeoutMs)
+
+  /** Query-string-safe join: a baseUrl that already carries params
+    * (e.g. `…/contacts?apikey=x`) gets `&`, a bare path gets `?`. */
+  private def pageUri(params: String): String =
+    if (baseUrl.contains("?")) s"$baseUrl&$params" else s"$baseUrl?$params"
 
   private def get(uri: String): HttpResponse[String] = {
     val req = HttpRequest.newBuilder(java.net.URI.create(uri))
@@ -185,7 +187,7 @@ final case class HttpPageBackend(baseUrl: String, collectionKey: String,
   }
 
   override def fetch(page: Int, pageLimit: Int): Seq[(Long, String, String)] = {
-    val resp = get(s"$baseUrl?limit=$pageLimit&offset=${page.toLong * pageLimit}")
+    val resp = get(pageUri(s"limit=$pageLimit&offset=${page.toLong * pageLimit}"))
     if (resp.statusCode() >= 200 && resp.statusCode() < 300) parseItems(resp.body())
     else throw new RuntimeException(s"HTTP ${resp.statusCode()} from $baseUrl")
   }
@@ -201,7 +203,7 @@ final case class HttpPageBackend(baseUrl: String, collectionKey: String,
   @transient override lazy val total: Long = {
     def probe(attempt: Int): Long =
       try {
-        val resp = get(s"$baseUrl?limit=1&offset=0")
+        val resp = get(pageUri("limit=1&offset=0"))
         mapper.readTree(resp.body()).path("meta").path("total").asLong(-1L)
       } catch {
         case _: TransientHttpError if attempt < probeRetries =>
@@ -211,6 +213,26 @@ final case class HttpPageBackend(baseUrl: String, collectionKey: String,
       }
     probe(0)
   }
+}
+
+object HttpPageBackend {
+  import java.net.http.HttpClient
+
+  // connect + per-request deadlines (the reference's timeout=60,
+  // run_ac_extraction.py:209): a half-open connection or stalled
+  // endpoint must surface as a retryable timeout, not hang the task
+  // forever outside the retry discipline. One client per distinct
+  // timeout per JVM — never released (no close() before Java 21),
+  // which is exactly why it must not be per-reader.
+  private val clients =
+    new java.util.concurrent.ConcurrentHashMap[Long, HttpClient]()
+  private[sources] def clientFor(timeoutMs: Long): HttpClient =
+    clients.computeIfAbsent(timeoutMs, t => HttpClient.newBuilder()
+      .connectTimeout(java.time.Duration.ofMillis(t)).build())
+
+  // ObjectMapper is thread-safe after configuration; share one
+  private[sources] val mapper =
+    new com.fasterxml.jackson.databind.ObjectMapper()
 }
 
 class PagedTable(props: Map[String, String]) extends Table with SupportsRead {
@@ -309,6 +331,7 @@ class PagedMicroBatchStream(props: Map[String, String], pageLimit: Int,
     extends MicroBatchStream with SupportsAdmissionControl {
 
   private val pagesPerPartition = props.getOrElse("pagesperpartition", "4").toInt
+  private val advertiseTotal = props.getOrElse("advertisetotal", "true").toBoolean
   private def backend: PageBackend = PageBackends.fromProps(props)
 
   override def initialOffset(): Offset = IdOffset(math.max(0L, minIdExclusive + 1))
@@ -332,7 +355,19 @@ class PagedMicroBatchStream(props: Map[String, String], pageLimit: Int,
 
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val from = start.asInstanceOf[IdOffset].id
-    val avail = backend.total
+    val avail = if (!advertiseTotal) -1L else backend.total
+    // Unknown collection size must FAIL the trigger, not no-op it:
+    // max(from, -1) = from would plan zero batches, and an
+    // AvailableNow run would "complete" having silently ingested
+    // nothing — while the batch scan at least has the sequential
+    // short-page fallback, and the reference client raises after
+    // exhausted retries rather than degrading silently. A probe that
+    // burned all its retries lands here too (total = -1).
+    if (avail < 0) throw new IllegalStateException(
+      "paged micro-batch stream requires an advertised collection size " +
+        "(meta.total): the endpoint did not report one, or the planning-time " +
+        "probe exhausted its retries. Use a batch read (short-page " +
+        "termination) for APIs that do not advertise totals.")
     lastKnownTotal = avail
     // Never move backwards (math.max with `from`): if the upstream
     // collection shrinks below a committed offset, regressing would
@@ -344,7 +379,8 @@ class PagedMicroBatchStream(props: Map[String, String], pageLimit: Int,
   }
 
   override def reportLatestOffset(): Offset =
-    IdOffset(if (lastKnownTotal >= 0) lastKnownTotal else backend.total)
+    IdOffset(math.max(0L,
+      if (lastKnownTotal >= 0) lastKnownTotal else backend.total))
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val from = start.asInstanceOf[IdOffset].id

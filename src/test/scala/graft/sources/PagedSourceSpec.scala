@@ -242,6 +242,62 @@ class PagedSourceSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming with unknown total FAILS the trigger instead of planning nothing") {
+    // An endpoint with no meta.total (or a probe that burned its
+    // retries) must not let an AvailableNow run "complete" having
+    // silently ingested zero rows — batch mode has the sequential
+    // short-page fallback; streaming fails loudly.
+    val (server, base) = StubApi.start(total = 100, advertiseTotal = false)
+    try {
+      val stream = spark.readStream.format("graft.sources.PagedSource")
+        .option("baseurl", s"$base/contacts").option("pagelimit", "50")
+        .option("backoffbasems", "1").load()
+      val q = stream.writeStream.format("memory").queryName("http_nototal").start()
+      try {
+        val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+          q.processAllAvailable()
+          q.awaitTermination()
+        }
+        assert(e.getMessage.contains("advertised collection size") ||
+          Option(e.getCause).exists(_.getMessage.contains("advertised collection size")))
+      } finally q.stop()
+    } finally server.stop(0)
+  }
+
+  test("streaming advertisetotal=false fails loudly on the fixture backend too") {
+    FixtureBackend.reset()
+    FixtureBackend.dynamicTotal.set(100)
+    val stream = spark.readStream.format("graft.sources.PagedSource")
+      .option("dynamictotal", "true").option("pagelimit", "10")
+      .option("advertisetotal", "false").load()
+    val q = stream.writeStream.format("memory").queryName("fixture_nototal").start()
+    try {
+      intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q.processAllAvailable()
+        q.awaitTermination()
+      }
+    } finally q.stop()
+  }
+
+  test("HTTP backend: baseUrl with an existing query string joins params with '&'") {
+    val (server, base) = StubApi.start(total = 250)
+    try {
+      // `?apikey=x` must not produce `…?apikey=x?limit=…` — the stub
+      // would then miss limit/offset and serve page 0 for every fetch
+      val df = readHttp(s"$base/contacts?apikey=x", "pagelimit" -> "100",
+        "pagesperpartition" -> "1")
+      import spark.implicits._
+      assert(df.count() == 250)
+      assert(df.select(org.apache.spark.sql.functions.countDistinct("id"))
+        .as[Long].head() == 250L)
+    } finally server.stop(0)
+  }
+
+  test("HttpClient is a per-JVM singleton keyed by timeout (no per-reader leak)") {
+    assert(HttpPageBackend.clientFor(12345L) eq HttpPageBackend.clientFor(12345L))
+    assert(!(HttpPageBackend.clientFor(12345L) eq HttpPageBackend.clientFor(54321L)))
+  }
+
   test("admission control: maxrowspertrigger caps each micro-batch (backpressure)") {
     FixtureBackend.reset()
     FixtureBackend.dynamicTotal.set(100)
