@@ -35,11 +35,19 @@ object CsvSink {
           try org.apache.hadoop.io.IOUtils.copyBytes(in, out, 65536, false)
           finally in.close()
         } finally out.close()
-        // checked renames, same discipline as PersistTableDual's swaps
-        if (!fs.delete(src, false))
-          throw new java.io.IOException(s"failed to drop pre-BOM file $src")
+        // Backup-then-swap (same discipline as PersistTableDual):
+        // delete(src)+rename(tmp,src) would lose the part file's rows
+        // if the process dies between the two. Rename the original
+        // aside first so every intermediate state still holds the data
+        // under SOME name; a leftover .bom.bak/.bom.tmp from a crash
+        // is cleaned by the next run's mode("overwrite") write.
+        val bak = new org.apache.hadoop.fs.Path(src.getParent, src.getName + ".bom.bak")
+        if (!fs.rename(src, bak))
+          throw new java.io.IOException(s"failed to set aside pre-BOM file $src")
         if (!fs.rename(tmp, src))
           throw new java.io.IOException(s"failed to move BOM-stamped file over $src")
+        if (!fs.delete(bak, false))
+          throw new java.io.IOException(s"failed to drop pre-BOM backup $bak")
       }
   }
 

@@ -27,6 +27,22 @@ class CsvSinkSpec extends AnyFunSuite {
     }
   }
 
+  test("swap leaves no .bom.tmp/.bom.bak residue; a crash's leftovers are healed by re-run") {
+    val out = Files.createTempDirectory("bomcsv").resolve("swap").toString
+    val df = Seq((1L, "a"), (2L, "b")).toDF("id", "name").coalesce(1)
+    CsvSink.writeCsvUtf8Sig(df, out)
+    def names() = Files.list(Paths.get(out)).toArray.map(_.toString.split('/').last)
+    assert(!names().exists(n => n.endsWith(".bom.tmp") || n.endsWith(".bom.bak")),
+      "clean run must not leave swap intermediates")
+    // simulate a crash mid-swap from a previous run: stray bak+tmp on disk
+    Files.write(Paths.get(out, "part-junk.csv.bom.bak"), "id,name\n9,z\n".getBytes)
+    Files.write(Paths.get(out, "part-junk.csv.bom.tmp"), "id,name\n9,z\n".getBytes)
+    CsvSink.writeCsvUtf8Sig(df, out) // recovery = re-run (mode overwrite)
+    assert(!names().exists(n => n.endsWith(".bom.tmp") || n.endsWith(".bom.bak")))
+    val back = CsvSink.readCsvUtf8Sig(spark, out)
+    assert(back.count() == 2)
+  }
+
   test("BOM roundtrip: readCsvUtf8Sig restores the exact pre-sink schema and rows") {
     val out = Files.createTempDirectory("bomcsv").resolve("rt").toString
     val df = Seq(("1", "a"), ("2", "b"), ("3", "c")).toDF("k", "v")
