@@ -278,7 +278,10 @@ object RunPipeline {
     val contacts = spark.readStream.format("graft.sources.PagedSource")
       .options(sourceOpts).load()
       .withColumn("contact_id", col("id").cast("string"))
-      .withColumn("bucket", (col("id") / bucketSpan).cast("long"))
+      // integer `div`, not `/`: Spark's `/` on longs is DOUBLE
+      // division, so cast("long") would truncate a double and ids
+      // above 2^53 could land in the wrong bucket
+      .withColumn("bucket", expr(s"id div $bucketSpan"))
     val q = graft.streaming.EventStream.persistDualSink(
       contacts, outRoot, "contacts", s"$outRoot/checkpoint",
       Seq("contact_id"), "updated_at", extractedAt,
