@@ -1,0 +1,224 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.pipeline.Tables.t
+import graft.text.{NearDup, TextAnalysis => TA}
+
+/** Training-data preparation operators beyond the dedup/quality core
+  * (SURVEY.md §2.11): benchmark decontamination, repetition signals,
+  * JSONL sink roundtrip, context-window sequence packing, PII
+  * redaction, corpus length histograms. All built-in expression
+  * trees — no UDFs — so everything stays in whole-stage codegen.
+  */
+object TrainPrepQueries {
+
+  /** doc → token list CTE, shared DuckDB fragment. */
+  private val toksCte =
+    """d AS (SELECT doc_id,
+      |  list_filter(string_split(text, ' '), t -> t <> '') AS toks FROM documents)""".stripMargin
+
+  /** Distinct word n-gram CTE over `d` (mirrors NearDup.shinglesN). */
+  private def shCte(n: Int): String = {
+    val terms = (0 until n).map(j => s"toks[i+$j]").mkString(" || ' ' || ")
+    s"""sh AS (SELECT DISTINCT doc_id, sh FROM
+       |  (SELECT doc_id, unnest(list_transform(range(1, greatest(len(toks) - ${n - 2}, 1)),
+       |          i -> $terms)) AS sh FROM d))""".stripMargin
+  }
+
+  // PII patterns — plain character classes only (no \d, no shorthand)
+  // so Java regex (Spark) and RE2 (DuckDB) read them identically.
+  private val EmailPat = "[a-z0-9.#_-]+@[a-z0-9.-]+"
+  private val PhonePat = "[0-9]{2}-[0-9]{3}-[0-9]{3}-[0-9]{4}"
+
+  val all: Seq[QDef] = Seq(
+
+    // Benchmark DECONTAMINATION: train docs sharing any word-4-gram
+    // with the eval set (doc_id % 50 = 0 stands in for a held-out
+    // benchmark) are contaminated; report how many distinct shingles
+    // and eval docs each one hits. 100 TB shape: the eval set is
+    // bounded by construction (benchmark suites are small), so its
+    // shingle set BROADCASTS — the train-side scan joins without a
+    // fact shuffle, and the per-doc counts are one hash aggregate.
+    QDef("q_decontam_ngram", Some(s"""
+      WITH $toksCte, ${shCte(4)},
+      ev AS (SELECT doc_id AS eval_id, sh FROM sh WHERE doc_id % 50 = 0),
+      tr AS (SELECT doc_id, sh FROM sh WHERE doc_id % 50 <> 0)
+      SELECT tr.doc_id, count(DISTINCT tr.sh) AS n_shared,
+             count(DISTINCT ev.eval_id) AS n_eval_docs
+      FROM tr JOIN ev USING (sh) GROUP BY tr.doc_id ORDER BY tr.doc_id"""),
+      (s, d) => {
+        val sh = NearDup.shinglesN(t(s, d, "documents"), "doc_id", "text", 4)
+        val ev = sh.filter(col("doc_id") % 50 === 0)
+          .select(col("doc_id").as("eval_id"), col("sh"))
+        val tr = sh.filter(col("doc_id") % 50 =!= 0)
+        tr.join(broadcast(ev), Seq("sh"))
+          .groupBy("doc_id")
+          .agg(countDistinct(col("sh")).as("n_shared"),
+            countDistinct(col("eval_id")).as("n_eval_docs"))
+          .orderBy("doc_id")
+      }),
+
+    // REPETITION signal (Gopher-style): most frequent bigram's share
+    // of all bigrams, exact integer permille. Non-distinct bigram
+    // explode → two map-side-combined aggregates; the flag threshold
+    // (60‰) splits the synthetic corpus ~15/85.
+    QDef("q_doc_repetition", Some(s"""
+      WITH $toksCte,
+      bg AS (SELECT doc_id, unnest(list_transform(range(1, len(toks)),
+               i -> toks[i] || ' ' || toks[i+1])) AS bg
+             FROM d WHERE len(toks) >= 2),
+      c AS (SELECT doc_id, bg, count(*) AS n FROM bg GROUP BY doc_id, bg),
+      r AS (SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_bigrams,
+                   CAST(max(n) AS BIGINT) AS top_count
+            FROM c GROUP BY doc_id)
+      SELECT doc_id, n_bigrams, top_count,
+             (1000 * top_count) // n_bigrams AS rep_permille,
+             CASE WHEN (1000 * top_count) // n_bigrams >= 60 THEN 1 ELSE 0 END AS repetitive
+      FROM r ORDER BY doc_id"""),
+      (s, d) => {
+        val bg = t(s, d, "documents")
+          .withColumn("toks", TA.tokens(col("text")))
+          .filter(size(col("toks")) >= 2)
+          .select(col("doc_id"), explode(expr(
+            "transform(sequence(0, size(toks)-2), i -> concat_ws(' ', toks[i], toks[i+1]))"))
+            .as("bg"))
+        bg.groupBy("doc_id", "bg").agg(count(lit(1)).as("n"))
+          .groupBy("doc_id")
+          .agg(sum(col("n")).cast(LongType).as("n_bigrams"),
+            max(col("n")).cast(LongType).as("top_count"))
+          .select(col("doc_id"), col("n_bigrams"), col("top_count"),
+            expr("div(1000 * top_count, n_bigrams)").as("rep_permille"))
+          .withColumn("repetitive",
+            when(col("rep_permille") >= 60, 1).otherwise(0))
+          .orderBy("doc_id")
+      }),
+
+    // JSONL sink + readback roundtrip — the interchange format
+    // training pipelines actually emit. Distributed write (one .json
+    // part per partition), read back under an EXPLICIT schema (no
+    // inference pass over 100 TB), value-identical to the source.
+    QDef("q_sink_jsonl", Some("""
+      SELECT doc_id, text, lang, source, n_chars
+      FROM documents ORDER BY doc_id"""),
+      (s, d) => {
+        val out = s"${sys.props("java.io.tmpdir")}/graft_q_sink_jsonl_${d.hashCode.toHexString}"
+        t(s, d, "documents").select("doc_id", "text", "lang", "source", "n_chars")
+          .write.mode("overwrite").json(out)
+        s.read
+          .schema("doc_id LONG, text STRING, lang STRING, source STRING, n_chars LONG")
+          .json(out)
+          .select("doc_id", "text", "lang", "source", "n_chars")
+          .orderBy("doc_id")
+      }),
+
+    // Context-window SEQUENCE PACKING: concatenate each shard's docs
+    // in id order and chunk the token stream into budget-sized
+    // windows; a doc's seq_id is the window its first token lands in.
+    // The running total is a window sum PARTITIONED BY SHARD — packing
+    // parallelizes across shards instead of forcing one global sort
+    // (a total-order window would single-partition 100 TB).
+    QDef("q_pack_sequences", Some(s"""
+      WITH $toksCte,
+      n AS (SELECT doc_id, doc_id % 4 AS shard,
+                   CAST(len(toks) AS BIGINT) AS n_tokens FROM d),
+      w AS (SELECT doc_id, shard, n_tokens,
+                   CAST(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+            FROM n)
+      SELECT doc_id, shard, n_tokens, cum - n_tokens AS start_off,
+             (cum - n_tokens) // 256 AS seq_id
+      FROM w ORDER BY doc_id"""),
+      (s, d) => {
+        val w = Window.partitionBy("shard").orderBy("doc_id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        t(s, d, "documents")
+          .select(col("doc_id"), (col("doc_id") % 4).as("shard"),
+            TA.tokenCount(col("text")).as("n_tokens"))
+          .withColumn("cum", sum(col("n_tokens")).over(w).cast(LongType))
+          .select(col("doc_id"), col("shard"), col("n_tokens"),
+            (col("cum") - col("n_tokens")).as("start_off"),
+            expr("div(cum - n_tokens, 256)").as("seq_id"))
+          .orderBy("doc_id")
+      }),
+
+    // PII REDACTION: emails and dashed phone numbers replaced with
+    // typed placeholders, plus per-row match counts (the audit trail a
+    // compliance pass needs). The synthetic corpus carries no PII, so
+    // the note deterministically embeds id-derived email/phone spans
+    // into the free text (2 of 3 docs an email, 3 of 4 a phone) —
+    // what varies is exactly what a scrubber must find. One codegen'd
+    // projection over the scan; patterns are dialect-neutral
+    // character classes (no \\d shorthand).
+    QDef("q_pii_redact", Some(s"""
+      WITH n AS (SELECT doc_id, text ||
+        CASE WHEN doc_id % 3 <> 0
+             THEN ' contact ' || lower(source) || CAST(doc_id AS VARCHAR) || '@example.com'
+             ELSE '' END ||
+        CASE WHEN doc_id % 4 <> 0
+             THEN ' tel ' || lpad(CAST(10 + doc_id % 90 AS VARCHAR), 2, '0')
+                  || '-' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')
+                  || '-' || lpad(CAST((doc_id * 7) % 1000 AS VARCHAR), 3, '0')
+                  || '-' || lpad(CAST((doc_id * 13) % 10000 AS VARCHAR), 4, '0')
+             ELSE '' END AS note
+        FROM documents)
+      SELECT doc_id,
+             regexp_replace(regexp_replace(note, '$EmailPat', '[EMAIL]', 'g'),
+                            '$PhonePat', '[PHONE]', 'g') AS note_redacted,
+             CAST(len(regexp_extract_all(note, '$EmailPat')) AS BIGINT) AS n_email,
+             CAST(len(regexp_extract_all(note, '$PhonePat')) AS BIGINT) AS n_phone
+      FROM n ORDER BY doc_id"""),
+      (s, d) => {
+        val id = col("doc_id")
+        def pad(c: org.apache.spark.sql.Column, w: Int) =
+          lpad(c.cast(StringType), w, "0")
+        val note = concat(col("text"),
+          when(id % 3 =!= 0, concat(lit(" contact "), lower(col("source")),
+            id.cast(StringType), lit("@example.com"))).otherwise(""),
+          when(id % 4 =!= 0, concat(lit(" tel "),
+            pad(id % 90 + 10, 2), lit("-"), pad(id % 1000, 3), lit("-"),
+            pad((id * 7) % 1000, 3), lit("-"), pad((id * 13) % 10000, 4)))
+            .otherwise(""))
+        t(s, d, "documents")
+          .select(id, note.as("note"))
+          .select(id,
+            regexp_replace(regexp_replace(col("note"), EmailPat, "[EMAIL]"),
+              PhonePat, "[PHONE]").as("note_redacted"),
+            size(regexp_extract_all(col("note"), lit(EmailPat), lit(0)))
+              .cast(LongType).as("n_email"),
+            size(regexp_extract_all(col("note"), lit(PhonePat), lit(0)))
+              .cast(LongType).as("n_phone"))
+          .orderBy("doc_id")
+      }),
+
+    // Corpus LENGTH HISTOGRAM: fixed char-length bands with count /
+    // min / max / total — the "what am I about to train on" overview
+    // stat. One scan, one tiny hash aggregate.
+    QDef("q_doc_len_hist", Some("""
+      WITH b AS (SELECT n_chars,
+        CASE WHEN n_chars < 128 THEN 'a_lt128'
+             WHEN n_chars < 256 THEN 'b_lt256'
+             WHEN n_chars < 384 THEN 'c_lt384'
+             WHEN n_chars < 512 THEN 'd_lt512'
+             ELSE 'e_ge512' END AS bucket
+        FROM documents)
+      SELECT bucket, count(*) AS n_docs,
+             min(n_chars) AS min_chars, max(n_chars) AS max_chars,
+             CAST(sum(n_chars) AS BIGINT) AS sum_chars
+      FROM b GROUP BY bucket ORDER BY bucket"""),
+      (s, d) => t(s, d, "documents")
+        .withColumn("bucket",
+          when(col("n_chars") < 128, "a_lt128")
+            .when(col("n_chars") < 256, "b_lt256")
+            .when(col("n_chars") < 384, "c_lt384")
+            .when(col("n_chars") < 512, "d_lt512")
+            .otherwise("e_ge512"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n_docs"),
+          min(col("n_chars")).as("min_chars"),
+          max(col("n_chars")).as("max_chars"),
+          sum(col("n_chars")).cast(LongType).as("sum_chars"))
+        .orderBy("bucket"))
+  )
+}

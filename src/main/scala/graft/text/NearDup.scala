@@ -75,15 +75,23 @@ object NearDup {
       .filter(col("doc_a") < col("doc_b"))
       .distinct()
 
+  /** Word n-gram shingles (distinct) per doc; docs with <n tokens
+    * yield none. */
+  def shinglesN(docs: DataFrame, id: String, text: String, n: Int): DataFrame = {
+    require(n >= 2, s"shingle width $n must be >= 2 — width 1 is just tokens")
+    val terms = (0 until n).map(j => s"toks[i+$j]").mkString(", ")
+    docs.select(col(id), tokens(col(text)).as("toks"))
+      .select(col(id), explode(
+        when(size(col("toks")) >= n,
+          expr(s"transform(sequence(0, size(toks)-$n), i -> concat_ws(' ', $terms))"))
+          .otherwise(array().cast(ArrayType(StringType)))).as("sh"))
+      .distinct()
+  }
+
   /** Word 3-gram shingles (distinct) per doc; docs with <3 tokens
     * yield none. */
   def shingles3(docs: DataFrame, id: String, text: String): DataFrame =
-    docs.select(col(id), tokens(col(text)).as("toks"))
-      .select(col(id), explode(
-        when(size(col("toks")) >= 3,
-          expr("transform(sequence(0, size(toks)-3), i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))"))
-          .otherwise(array().cast(ArrayType(StringType)))).as("sh"))
-      .distinct()
+    shinglesN(docs, id, text, 3)
 
   /** 16-bit SimHash over the distinct token set. Per token the hash
     * value is the first 4 hex digits of md5 (16 bits); per bit the

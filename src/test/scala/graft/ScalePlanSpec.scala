@@ -135,6 +135,28 @@ class ScalePlanSpec extends AnyFunSuite {
     assert(offenders.isEmpty, s"cartesian plans in: $offenders")
   }
 
+  test("decontamination: the eval shingle set broadcasts — no train-side join shuffle") {
+    val df = SparkEntry.queries("q_decontam_ngram")(spark, SparkTesting.sf)
+    val plan = executedPlan(df)
+    assert(plan.contains("BroadcastHashJoin"),
+      s"bounded eval set must broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"),
+      s"train shingles must not shuffle for the contamination join:\n$plan")
+  }
+
+  test("sequence packing: the running-total window is shard-partitioned, not global") {
+    val df = SparkEntry.queries("q_pack_sequences")(spark, SparkTesting.sf)
+    val plan = executedPlan(df)
+    assert(plan.contains("Window"), plan)
+    // a total-order window would force Exchange SinglePartition before
+    // the Window — the scale-killer this operator is shaped to avoid
+    // (the final presentation orderBy AFTER the window may sort; the
+    // window input itself must be hash-partitioned by shard)
+    val windowInput = plan.substring(plan.indexOf("Window"))
+    assert(windowInput.contains("hashpartitioning(shard"),
+      s"window must partition by shard:\n$plan")
+  }
+
   test("embedding ANN dedup: within-cell pairs agree with brute force") {
     import spark.implicits._
     val ann = SparkEntry.queries("q_dedup_embed_ann")(spark, SparkTesting.sf)
