@@ -65,6 +65,55 @@ object SimQueries {
           .orderBy("label")
       }),
 
+    // INT8 scalar quantization (embedding compression for the vector
+    // lake): per-vector min/max affine map to 0..255 codes, plus the
+    // max reconstruction error in code-step units. Every arithmetic
+    // step is the same IEEE-double expression on both engines
+    // (floor-based rounding, no round()), so codes and error stats
+    // are bit-exact cross-engine. One narrow projection per row — at
+    // 100 TB this runs inside the scan with zero shuffles.
+    QDef("q_embed_quantize_i8", Some("""
+      WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      mm AS (SELECT vec_id, v, list_min(v) AS lo, list_max(v) AS hi FROM e),
+      c AS (SELECT vec_id, v, lo, hi,
+        CASE WHEN hi = lo THEN list_transform(v, x -> CAST(0 AS BIGINT))
+             ELSE list_transform(v, x -> CAST(floor((x - lo) / (hi - lo) * 255 + 0.5) AS BIGINT))
+        END AS codes FROM mm),
+      err AS (SELECT vec_id, codes, lo, hi,
+        CASE WHEN hi = lo THEN 0.0
+             ELSE list_max(list_transform(range(1, len(v) + 1),
+                    i -> abs(v[i] - (lo + (codes[i] / 255.0) * (hi - lo))))) * 255 / (hi - lo)
+        END AS rel_err FROM c)
+      SELECT vec_id, CAST(len(codes) AS BIGINT) AS n_dims,
+             CAST(list_sum(codes) AS BIGINT) AS code_sum,
+             md5(array_to_string(codes, ',')) AS code_fp,
+             CAST(floor(rel_err * 1000 + 0.5) AS BIGINT) AS max_err_milli_steps
+      FROM err ORDER BY vec_id"""),
+      (s, d) => {
+        val e = t(s, d, "embeddings").select(col("vec_id"),
+          col("embedding").cast("array<double>").as("v"))
+        val mm = e.select(col("vec_id"), col("v"),
+          array_min(col("v")).as("lo"), array_max(col("v")).as("hi"))
+        val c = mm.withColumn("codes",
+          when(col("hi") === col("lo"),
+            transform(col("v"), _ => lit(0L)))
+            .otherwise(transform(col("v"), x =>
+              floor((x - col("lo")) / (col("hi") - col("lo")) * lit(255) + lit(0.5)))))
+        val err = c.withColumn("rel_err",
+          when(col("hi") === col("lo"), lit(0.0))
+            .otherwise(array_max(zip_with(col("v"), col("codes"), (x, cd) =>
+              abs(x - (col("lo") + (cd / lit(255.0)) * (col("hi") - col("lo"))))))
+              * lit(255) / (col("hi") - col("lo"))))
+        err.select(col("vec_id"),
+          size(col("codes")).cast("long").as("n_dims"),
+          aggregate(col("codes"), lit(0L), (acc, x) => acc + x).as("code_sum"),
+          md5(array_join(transform(col("codes"), _.cast("string")), ","))
+            .as("code_fp"),
+          floor(col("rel_err") * lit(1000) + lit(0.5)).cast("long")
+            .as("max_err_milli_steps"))
+          .orderBy("vec_id")
+      }),
+
     // Brute-force cosine top-k: 10 query vectors vs the full corpus.
     QDef("q_embed_cosine_topk", Some(s"""
       WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),

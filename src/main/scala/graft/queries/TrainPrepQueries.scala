@@ -192,6 +192,38 @@ object TrainPrepQueries {
           .orderBy("doc_id")
       }),
 
+    // Corpus LENGTH PERCENTILES: exact discrete p50/p90/p99 of doc
+    // length per source, selected by INTEGER rank index
+    // (ceil(q·n) = (q·n + 99) div 100) — not percentile_approx and
+    // not interpolating quantiles, whose float semantics differ per
+    // engine. Per-source windows partition the rank computation; at
+    // scale each source's rows sort independently (same shape as the
+    // packing window, never a global sort).
+    QDef("q_doc_len_pctl", Some("""
+      WITH r AS (SELECT source, n_chars,
+        row_number() OVER (PARTITION BY source ORDER BY n_chars, doc_id) AS rn,
+        count(*) OVER (PARTITION BY source) AS n
+        FROM documents)
+      SELECT source, max(n) AS n_docs,
+        max(CASE WHEN rn = (50*n + 99) // 100 THEN n_chars END) AS p50_chars,
+        max(CASE WHEN rn = (90*n + 99) // 100 THEN n_chars END) AS p90_chars,
+        max(CASE WHEN rn = (99*n + 99) // 100 THEN n_chars END) AS p99_chars
+      FROM r GROUP BY source ORDER BY source"""),
+      (s, d) => {
+        val bySource = Window.partitionBy("source")
+        val ranked = t(s, d, "documents")
+          .select(col("source"), col("n_chars"), col("doc_id"))
+          .withColumn("rn", row_number().over(
+            bySource.orderBy(col("n_chars"), col("doc_id"))).cast(LongType))
+          .withColumn("n", count(lit(1)).over(bySource))
+        def pick(q: Int) = max(when(
+          col("rn") === expr(s"div($q * n + 99, 100)"), col("n_chars")))
+        ranked.groupBy("source")
+          .agg(max(col("n")).as("n_docs"), pick(50).as("p50_chars"),
+            pick(90).as("p90_chars"), pick(99).as("p99_chars"))
+          .orderBy("source")
+      }),
+
     // Corpus LENGTH HISTOGRAM: fixed char-length bands with count /
     // min / max / total — the "what am I about to train on" overview
     // stat. One scan, one tiny hash aggregate.
