@@ -49,10 +49,16 @@ object TrainPrepQueries {
              count(DISTINCT ev.eval_id) AS n_eval_docs
       FROM tr JOIN ev USING (sh) GROUP BY tr.doc_id ORDER BY tr.doc_id"""),
       (s, d) => {
-        val sh = NearDup.shinglesN(t(s, d, "documents"), "doc_id", "text", 4)
-        val ev = sh.filter(col("doc_id") % 50 === 0)
+        // eval side: distinct (shrinks the broadcast); train side: RAW
+        // shingles — no pre-join dedup shuffle, the broadcast join
+        // filters first and the countDistinct aggregate dedups after,
+        // over only the contaminated survivors
+        val docs = t(s, d, "documents")
+        val ev = NearDup.shinglesN(docs.filter(col("doc_id") % 50 === 0),
+          "doc_id", "text", 4)
           .select(col("doc_id").as("eval_id"), col("sh"))
-        val tr = sh.filter(col("doc_id") % 50 =!= 0)
+        val tr = NearDup.shinglesN(docs.filter(col("doc_id") % 50 =!= 0),
+          "doc_id", "text", 4, distinct = false)
         tr.join(broadcast(ev), Seq("sh"))
           .groupBy("doc_id")
           .agg(countDistinct(col("sh")).as("n_shared"),

@@ -75,17 +75,22 @@ object NearDup {
       .filter(col("doc_a") < col("doc_b"))
       .distinct()
 
-  /** Word n-gram shingles (distinct) per doc; docs with <n tokens
-    * yield none. */
-  def shinglesN(docs: DataFrame, id: String, text: String, n: Int): DataFrame = {
+  /** Word n-gram shingles per doc; docs with <n tokens yield none.
+    * `distinct = false` skips the per-doc dedup SHUFFLE — use it when
+    * a downstream aggregate already counts distinct (e.g. the
+    * decontamination join): shuffling every raw shingle of a 100 TB
+    * corpus just to dedup before a highly-selective join is the wrong
+    * order of operations. */
+  def shinglesN(docs: DataFrame, id: String, text: String, n: Int,
+                distinct: Boolean = true): DataFrame = {
     require(n >= 2, s"shingle width $n must be >= 2 — width 1 is just tokens")
     val terms = (0 until n).map(j => s"toks[i+$j]").mkString(", ")
-    docs.select(col(id), tokens(col(text)).as("toks"))
+    val sh = docs.select(col(id), tokens(col(text)).as("toks"))
       .select(col(id), explode(
         when(size(col("toks")) >= n,
           expr(s"transform(sequence(0, size(toks)-$n), i -> concat_ws(' ', $terms))"))
           .otherwise(array().cast(ArrayType(StringType)))).as("sh"))
-      .distinct()
+    if (distinct) sh.distinct() else sh
   }
 
   /** Word 3-gram shingles (distinct) per doc; docs with <3 tokens
