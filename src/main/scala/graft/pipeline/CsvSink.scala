@@ -27,7 +27,13 @@ object CsvSink {
       .filter(s => s.isFile && s.getPath.getName.startsWith("part-"))
       .foreach { s =>
         val src = s.getPath
-        val tmp = new org.apache.hadoop.fs.Path(src.getParent, src.getName + ".bom.tmp")
+        // intermediates are DOT-prefixed: Spark/Hadoop input globs
+        // skip files starting with '.' or '_', so no crash window can
+        // serve a reader BOTH the original and the stamped copy (the
+        // remaining exposure is the instant between the two renames,
+        // where this one part is briefly absent — healed, like all
+        // leftovers, by re-running the sink)
+        val tmp = new org.apache.hadoop.fs.Path(src.getParent, "." + src.getName + ".bom.tmp")
         val out = fs.create(tmp, true)
         try {
           out.write(Bom)
@@ -41,7 +47,7 @@ object CsvSink {
         // aside first so every intermediate state still holds the data
         // under SOME name; a leftover .bom.bak/.bom.tmp from a crash
         // is cleaned by the next run's mode("overwrite") write.
-        val bak = new org.apache.hadoop.fs.Path(src.getParent, src.getName + ".bom.bak")
+        val bak = new org.apache.hadoop.fs.Path(src.getParent, "." + src.getName + ".bom.bak")
         if (!fs.rename(src, bak))
           throw new java.io.IOException(s"failed to set aside pre-BOM file $src")
         if (!fs.rename(tmp, src))

@@ -71,9 +71,14 @@ object SimQueries {
     // step is the same IEEE-double expression on both engines
     // (floor-based rounding, no round()), so codes and error stats
     // are bit-exact cross-engine. One narrow projection per row — at
-    // 100 TB this runs inside the scan with zero shuffles.
+    // 100 TB this runs inside the scan with zero shuffles. Empty
+    // vectors are structurally excluded on BOTH sides (they're where
+    // the engines' empty-fold semantics diverge: DuckDB list_sum([])
+    // is NULL, Spark aggregate([], 0L, +) is 0) — a no-op under the
+    // fixed-width testdata contract, load-bearing beyond it.
     QDef("q_embed_quantize_i8", Some("""
-      WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                 FROM embeddings WHERE len(embedding) > 0),
       mm AS (SELECT vec_id, v, list_min(v) AS lo, list_max(v) AS hi FROM e),
       c AS (SELECT vec_id, v, lo, hi,
         CASE WHEN hi = lo THEN list_transform(v, x -> CAST(0 AS BIGINT))
@@ -90,8 +95,9 @@ object SimQueries {
              CAST(floor(rel_err * 1000 + 0.5) AS BIGINT) AS max_err_milli_steps
       FROM err ORDER BY vec_id"""),
       (s, d) => {
-        val e = t(s, d, "embeddings").select(col("vec_id"),
-          col("embedding").cast("array<double>").as("v"))
+        val e = t(s, d, "embeddings")
+          .filter(size(col("embedding")) > 0)
+          .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
         val mm = e.select(col("vec_id"), col("v"),
           array_min(col("v")).as("lo"), array_max(col("v")).as("hi"))
         val c = mm.withColumn("codes",

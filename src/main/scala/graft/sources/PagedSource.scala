@@ -193,13 +193,20 @@ final case class HttpPageBackend(baseUrl: String, collectionKey: String,
   }
 
   /** One planning-time probe (driver-side) for `meta.total`;
-    * absent/unparseable → -1 (short-page termination, the reference's
-    * only mode). Transient errors retry with the same capped backoff
-    * the readers use — the reference's ACClient retries EVERY
-    * request, and without it one stray 503 at planning would silently
-    * degrade a parallel scan to a sequential walk. Retries exhausted
-    * also → -1 rather than failing the plan: the sequential reader
-    * still applies the full per-page retry discipline. */
+    * absent/unparseable/404 → -1 (a STRUCTURAL "this API does not
+    * advertise totals" — short-page termination, the reference's only
+    * mode). Transient errors retry with the same capped backoff the
+    * readers use — the reference's ACClient retries EVERY request,
+    * and without it one stray 503 at planning would silently degrade
+    * a parallel scan to a sequential walk. Retries EXHAUSTED rethrows
+    * the TransientHttpError instead of returning -1: a 30s+ outage
+    * must not be conflated with "no totals ever" — the batch scan
+    * catches it and degrades to the sequential walk (whose per-page
+    * fetches carry their own retry budget), while the streaming
+    * trigger propagates it as the retryable failure it is rather
+    * than dying with a misleading switch-to-batch-mode diagnosis.
+    * (A throwing lazy val re-evaluates on next access, so a later
+    * trigger's fresh probe can still succeed.) */
   @transient override lazy val total: Long = {
     def probe(attempt: Int): Long =
       try {
@@ -209,6 +216,7 @@ final case class HttpPageBackend(baseUrl: String, collectionKey: String,
         case _: TransientHttpError if attempt < probeRetries =>
           Thread.sleep(math.min(probeBackoffBaseMs << attempt, probeBackoffCapMs))
           probe(attempt + 1)
+        case e: TransientHttpError => throw e
         case _: Exception => -1L
       }
     probe(0)
@@ -284,7 +292,12 @@ class PagedScan(props: Map[String, String], minIdExclusive: Long)
 
   override def planInputPartitions(): Array[InputPartition] = {
     val b = backend
-    if (!advertiseTotal || b.total < 0) {
+    // an exhausted planning-time probe degrades the BATCH scan to the
+    // sequential short-page walk (each page fetch has its own retry
+    // budget, so the walk can still succeed once the outage passes)
+    val knownTotal =
+      try b.total catch { case _: TransientHttpError => -1L }
+    if (!advertiseTotal || knownTotal < 0) {
       // Unknown total: a single sequential partition that walks pages
       // until a short page (the reference's termination rule). Ids are
       // ascending by the keyset contract, so the walk still starts
@@ -294,7 +307,7 @@ class PagedScan(props: Map[String, String], minIdExclusive: Long)
         else ((minIdExclusive + 1) / pageLimit).toInt
       Array(PagedPartition(firstPage, Int.MaxValue, sequential = true))
     } else {
-      val totalPages = ((b.total + pageLimit - 1) / pageLimit).toInt
+      val totalPages = ((knownTotal + pageLimit - 1) / pageLimit).toInt
       // Keyset pruning: ids are ascending, so pages entirely at or
       // below the watermark are skipped at planning time.
       val firstPage =
@@ -356,18 +369,17 @@ class PagedMicroBatchStream(props: Map[String, String], pageLimit: Int,
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val from = start.asInstanceOf[IdOffset].id
     val avail = if (!advertiseTotal) -1L else backend.total
-    // Unknown collection size must FAIL the trigger, not no-op it:
-    // max(from, -1) = from would plan zero batches, and an
-    // AvailableNow run would "complete" having silently ingested
+    // A STRUCTURALLY unknown collection size must FAIL the trigger,
+    // not no-op it: max(from, -1) = from would plan zero batches, and
+    // an AvailableNow run would "complete" having silently ingested
     // nothing — while the batch scan at least has the sequential
-    // short-page fallback, and the reference client raises after
-    // exhausted retries rather than degrading silently. A probe that
-    // burned all its retries lands here too (total = -1).
+    // short-page fallback. (A transient probe outage does NOT land
+    // here: backend.total rethrows TransientHttpError after exhausted
+    // retries, which propagates as the retryable failure it is.)
     if (avail < 0) throw new IllegalStateException(
       "paged micro-batch stream requires an advertised collection size " +
-        "(meta.total): the endpoint did not report one, or the planning-time " +
-        "probe exhausted its retries. Use a batch read (short-page " +
-        "termination) for APIs that do not advertise totals.")
+        "(meta.total), and this endpoint does not report one. Use a batch " +
+        "read (short-page termination) for APIs that do not advertise totals.")
     lastKnownTotal = avail
     // Never move backwards (math.max with `from`): if the upstream
     // collection shrinks below a committed offset, regressing would
@@ -380,7 +392,9 @@ class PagedMicroBatchStream(props: Map[String, String], pageLimit: Int,
 
   override def reportLatestOffset(): Offset =
     IdOffset(math.max(0L,
-      if (lastKnownTotal >= 0) lastKnownTotal else backend.total))
+      if (lastKnownTotal >= 0) lastKnownTotal
+      // progress reporting must not throw on a transient probe fail
+      else try backend.total catch { case _: TransientHttpError => 0L }))
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val from = start.asInstanceOf[IdOffset].id

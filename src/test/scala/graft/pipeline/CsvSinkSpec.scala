@@ -34,9 +34,14 @@ class CsvSinkSpec extends AnyFunSuite {
     def names() = Files.list(Paths.get(out)).toArray.map(_.toString.split('/').last)
     assert(!names().exists(n => n.endsWith(".bom.tmp") || n.endsWith(".bom.bak")),
       "clean run must not leave swap intermediates")
-    // simulate a crash mid-swap from a previous run: stray bak+tmp on disk
-    Files.write(Paths.get(out, "part-junk.csv.bom.bak"), "id,name\n9,z\n".getBytes)
-    Files.write(Paths.get(out, "part-junk.csv.bom.tmp"), "id,name\n9,z\n".getBytes)
+    // simulate a crash mid-swap from a previous run: stray bak+tmp on
+    // disk. They are DOT-prefixed, so a reader hitting the directory
+    // BEFORE the healing re-run must not see duplicated rows — Spark
+    // input globs skip '.'-prefixed files.
+    Files.write(Paths.get(out, ".part-junk.csv.bom.bak"), "id,name\n9,z\n".getBytes)
+    Files.write(Paths.get(out, ".part-junk.csv.bom.tmp"), "id,name\n9,z\n".getBytes)
+    assert(CsvSink.readCsvUtf8Sig(spark, out).count() == 2,
+      "crash leftovers must be invisible to readers")
     CsvSink.writeCsvUtf8Sig(df, out) // recovery = re-run (mode overwrite)
     assert(!names().exists(n => n.endsWith(".bom.tmp") || n.endsWith(".bom.bak")))
     val back = CsvSink.readCsvUtf8Sig(spark, out)

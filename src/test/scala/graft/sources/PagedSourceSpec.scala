@@ -24,9 +24,13 @@ object StubApi {
     startDynamic(() => total, failAttempts, advertiseTotal)
 
   /** Like [[start]], but the collection size is re-read per request —
-    * tests grow it between micro-batches to simulate a live API. */
+    * tests grow it between micro-batches to simulate a live API.
+    * `probeAlways503`: only the driver's `limit=1` total probe gets an
+    * endless 503 (an outage localized to planning time) while page
+    * fetches succeed. */
   def startDynamic(total: () => Int, failAttempts: Int = 0,
-                   advertiseTotal: Boolean = true): (HttpServer, String) = {
+                   advertiseTotal: Boolean = true,
+                   probeAlways503: Boolean = false): (HttpServer, String) = {
     val server = HttpServer.create(new java.net.InetSocketAddress("127.0.0.1", 0), 0)
     val attempts = new java.util.concurrent.ConcurrentHashMap[String, Long]()
     server.createContext("/contacts", (ex: HttpExchange) => {
@@ -37,7 +41,7 @@ object StubApi {
       val offset = params.getOrElse("offset", "0").toLong
       // injection keyed by the full query so the driver's limit=1
       // total probe and the readers' page fetches fail independently
-      if (attempts.merge(q, 1L, _ + _) <= failAttempts)
+      if ((probeAlways503 && limit == 1) || attempts.merge(q, 1L, _ + _) <= failAttempts)
         respond(ex, 503, """{"error":"busy"}""")
       else {
         val t = total()
@@ -240,6 +244,42 @@ class PagedSourceSpec extends AnyFunSuite {
       assert(spark.sql("SELECT min(id), max(id) FROM paged_stream")
         .as[(Long, Long)].head() == ((0L, 399L)))
     } finally q.stop()
+  }
+
+  test("probe outage: batch degrades to the sequential walk and still succeeds") {
+    // the planning-time total probe burns all its retries (503s), but
+    // page fetches work — a transient outage must NOT be conflated
+    // with "no totals ever": the batch scan falls back to the
+    // sequential short-page walk whose fetches carry their own budget
+    val (server, base) = StubApi.startDynamic(() => 250, probeAlways503 = true)
+    try {
+      val df = readHttp(s"$base/contacts", "pagelimit" -> "100",
+        "maxretries" -> "2")
+      assert(df.rdd.getNumPartitions == 1, "exhausted probe walks sequentially")
+      assert(df.count() == 250)
+    } finally server.stop(0)
+  }
+
+  test("probe outage: streaming fails with the RETRYABLE error, not the structural one") {
+    val (server, base) = StubApi.startDynamic(() => 100, probeAlways503 = true)
+    try {
+      val stream = spark.readStream.format("graft.sources.PagedSource")
+        .option("baseurl", s"$base/contacts").option("pagelimit", "50")
+        .option("backoffbasems", "1").option("maxretries", "1").load()
+      val q = stream.writeStream.format("memory").queryName("http_probe503").start()
+      try {
+        val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+          q.processAllAvailable()
+          q.awaitTermination()
+        }
+        def msgs(t: Throwable): Seq[String] =
+          if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+        assert(msgs(e).exists(_.contains("transient HTTP")),
+          s"expected the retryable transient error, got: ${msgs(e)}")
+        assert(!msgs(e).exists(_.contains("advertised collection size")),
+          "a transient outage must not be misdiagnosed as a structural no-totals API")
+      } finally q.stop()
+    } finally server.stop(0)
   }
 
   test("streaming with unknown total FAILS the trigger instead of planning nothing") {
