@@ -79,11 +79,18 @@ object RunPipeline {
     *      optional debug sample (U3/O2)            (:1576-1585)
     *   5. dims via the TTL cache                   (:1593)
     *   6. persist_table_dual per extracted table —
-    *      contacts + per-contact fact stages, one
-    *      of them dim-enriched pre-persist (E2),
-    *      plus the two-level deal-bundle fan-out
-    *      (parent deals → child notes/tasks/
-    *      activities, parent-FK stamped)           (:1596-1662, :836-861)
+    *      16 stages mirroring the reference's
+    *      per-endpoint extract→persist breadth
+    *      (:1605-1664): contacts; the combined
+    *      activities stage + FIVE per-endpoint
+    *      activity splits; orders (+ the
+    *      dim-enriched variant, E2); the two-level
+    *      deal-bundle fan-out (parent deals →
+    *      child notes/tasks/activities, parent-FK
+    *      stamped, :836-861); the per-contact
+    *      sorted TAG SET and latest SCORE rollups
+    *      (:1455-1474); and the dim_* stages the
+    *      reference persists each run
     *   7. chatter mart + per-contact digest CSV/
     *      TXT sink (E3/S9)                         (:1666-1692)
     *   8. watermark advance — from the durably
@@ -137,6 +144,7 @@ object RunPipeline {
       sampleSize.fold(delta0)(n => delta0.orderBy("id").limit(n)).cache()
     var mart: org.apache.spark.sql.DataFrame = null
     var dealChildren: org.apache.spark.sql.DataFrame = null
+    var eventsSlice: org.apache.spark.sql.DataFrame = null
     try {
     val universe = contactsDelta.select(col("id").as("contact_id"))
     val universeSize = universe.count()
@@ -146,6 +154,8 @@ object RunPipeline {
     val nowInstant = java.time.Instant.parse(nowUtc)
     val nation = DimCache.loadOrRefreshDim(spark, dims, "nation",
       () => Tables.t(spark, sfDir, "nation"), dimTtlDays, nowInstant)
+    val region = DimCache.loadOrRefreshDim(spark, dims, "region",
+      () => Tables.t(spark, sfDir, "region"), dimTtlDays, nowInstant)
 
     // 6. persist stages (each one is the proven E2 merge)
     def stage(table: String, delta: org.apache.spark.sql.DataFrame,
@@ -154,8 +164,13 @@ object RunPipeline {
         PersistTableDual.Paths(outRoot, table), delta, runId, nowUtc,
         keys, updatedAt)
 
+    // CACHED: the universe-bounded events slice feeds the combined
+    // activities stage, the five per-endpoint splits, and the
+    // tag-set/score rollups — eight actions over one semi-join
     val events = Tables.t(spark, sfDir, "events")
       .join(universe, col("user_id") === col("contact_id"), "left_semi")
+      .cache()
+    eventsSlice = events
     val orders = Tables.t(spark, sfDir, "orders")
       .join(universe, col("o_custkey") === col("contact_id"), "left_semi")
     // the dim-enriched stage (enrich_email_activities :1612): orders
@@ -187,7 +202,41 @@ object RunPipeline {
       stage(table, dealLines.filter(col("l_returnflag") === flag),
         Seq("deal_id", "l_linenumber"), "l_shipdate")
 
-    val persisted = Map(
+    // per-endpoint activity splits (the reference extracts ONE table
+    // per REST endpoint — email opens/clicks/site visits/logs/goals,
+    // run_ac_extraction.py:1605-1664): same cached slice, one filter
+    // + persist per type
+    val activityTypes = Seq("click", "view", "signup", "purchase", "error")
+    val typedStages = activityTypes.map(tpe =>
+      stage(s"activity_$tpe", events.filter(col("event_type") === tpe),
+        Seq("event_id"), "ts"))
+
+    // per-contact TAG SET (the reference's sorted tag/list/automation
+    // sets, :1455-1474): one map-side-combined collect_set rollup
+    val contactTags = events.groupBy(col("user_id"))
+      .agg(array_join(array_sort(collect_set(col("event_type"))), ",").as("tags"),
+        max(col("ts")).as("last_seen"))
+      .select(col("user_id").cast("string").as("contact_id"),
+        col("tags"), col("last_seen"))
+
+    // per-contact latest SCORE (the scores endpoint, A2 latest-
+    // snapshot semantics: newest event's value wins, id tiebreak)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("ts").desc, col("event_id").desc)
+    val contactScores = events
+      .withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1)
+      .select(col("user_id").cast("string").as("contact_id"),
+        col("value").as("score"), col("ts").as("scored_at"))
+
+    // dim persist stages (the reference persists every dim_* each
+    // run, README star schema): no natural timestamp — the stamped
+    // extracted_at drives latest-resolution, and unchanged re-extracts
+    // are absorbed by the content-hash dedup
+    def dimStage(table: String, df: org.apache.spark.sql.DataFrame,
+                 key: String) =
+      stage(table, df, Seq(key), "extracted_at")
+
+    val persisted = (Map(
       stage("contacts",
         contactsDelta.withColumn("contact_id", col("id").cast("string")),
         Seq("contact_id"), "updated_at"),
@@ -196,7 +245,12 @@ object RunPipeline {
       stage("orders_enriched", ordersEnriched, Seq("o_orderkey"), "o_orderdate"),
       childStage("deal_notes", "R"),
       childStage("deal_tasks", "A"),
-      childStage("deal_activities", "N"))
+      childStage("deal_activities", "N"),
+      stage("contact_tags", contactTags, Seq("contact_id"), "last_seen"),
+      stage("contact_scores", contactScores, Seq("contact_id"), "scored_at"),
+      dimStage("dim_nation", nation, "n_nationkey"),
+      dimStage("dim_region", region, "r_regionkey"))
+      ++ typedStages)
 
     // 7. mart + digest (E3): flagship chatter master bounded to this
     // run's universe, written as the readable master file, plus the
@@ -247,6 +301,7 @@ object RunPipeline {
       // session's lifetime across retries
       if (mart != null) mart.unpersist()
       if (dealChildren != null) dealChildren.unpersist()
+      if (eventsSlice != null) eventsSlice.unpersist()
       contactsDelta.unpersist()
     }
   }

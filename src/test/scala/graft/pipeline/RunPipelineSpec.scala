@@ -55,9 +55,25 @@ class RunPipelineSpec extends AnyFunSuite {
     assert(r1.persisted("contacts") == ((300L, 300L)))
     assert(r1.persisted.keySet ==
       Set("contacts", "activities", "orders", "orders_enriched",
-        "deal_notes", "deal_tasks", "deal_activities"))
+        "deal_notes", "deal_tasks", "deal_activities",
+        "activity_click", "activity_view", "activity_signup",
+        "activity_purchase", "activity_error",
+        "contact_tags", "contact_scores", "dim_nation", "dim_region"),
+      "the 16-stage per-endpoint breadth of the reference lifecycle")
     r1.persisted.values.foreach { case (raw, latest) =>
       assert(raw > 0 && latest > 0) }
+    // the per-endpoint splits partition the combined activities stage
+    assert(Seq("click", "view", "signup", "purchase", "error")
+      .map(t => r1.persisted(s"activity_$t")._1).sum ==
+      r1.persisted("activities")._1)
+    // tag sets: sorted, comma-joined, one row per active contact
+    val tags = spark.read.parquet(s"$root/master/latest/contact_tags")
+    assert(tags.count() == r1.persisted("contact_tags")._2)
+    val firstTags = tags.select("tags").head().getString(0).split(",")
+    assert(firstTags.sameElements(firstTags.sorted), "tag sets are sorted")
+    // scores: exactly one latest score per contact
+    val scores = spark.read.parquet(s"$root/master/latest/contact_scores")
+    assert(scores.select("contact_id").distinct().count() == scores.count())
     assert(r1.martRows > 0 && r1.digests > 0)
     // the enriched stage actually carries the dim column
     assert(spark.read.parquet(s"$root/master/latest/orders_enriched")
