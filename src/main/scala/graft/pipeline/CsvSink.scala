@@ -19,10 +19,21 @@ object CsvSink {
     * sequential pass is over export-grade output — this sink is for
     * marts/digests/dims handed to spreadsheet tools, not the fact
     * lake's parquet path. */
+  /** Present while part files are being BOM-swapped; a crash leaves
+    * it behind, and [[readCsvUtf8Sig]] fails fast on it instead of
+    * serving a silently-incomplete export ('_' prefix keeps it out of
+    * Spark's own input globs). */
+  val InProgressMarker = "_BOM_SWAP_IN_PROGRESS"
+
   def writeCsvUtf8Sig(df: DataFrame, path: String): Unit = {
     df.write.mode("overwrite").option("header", true).csv(path)
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
+    // marker up BEFORE the first swap, down after the last: any crash
+    // window (including the brief one part's-renamed-away instant)
+    // is detectable by readers rather than silently short
+    val marker = new org.apache.hadoop.fs.Path(p, InProgressMarker)
+    fs.create(marker, true).close()
     fs.listStatus(p).toSeq
       .filter(s => s.isFile && s.getPath.getName.startsWith("part-"))
       .foreach { s =>
@@ -55,6 +66,8 @@ object CsvSink {
         if (!fs.delete(bak, false))
           throw new java.io.IOException(s"failed to drop pre-BOM backup $bak")
       }
+    if (!fs.delete(marker, false))
+      throw new java.io.IOException(s"failed to clear swap marker $marker")
   }
 
   /** Read back a BOM-stamped CSV lake. Spark's CSV reader does not
@@ -64,6 +77,12 @@ object CsvSink {
     * (taken from whichever file supplied the schema). Stripping it
     * from the column name restores the exact pre-sink schema. */
   def readCsvUtf8Sig(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(path, InProgressMarker)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p))
+      throw new java.io.IOException(
+        s"$path: BOM stamping was interrupted mid-swap ($InProgressMarker " +
+          "present) — the export may be missing rows; re-run writeCsvUtf8Sig")
     val raw = spark.read.option("header", true).csv(path) // no inferSchema → all-string
     raw.columns.foldLeft(raw) { (df, c) =>
       if (c.startsWith("\uFEFF")) df.withColumnRenamed(c, c.stripPrefix("\uFEFF")) else df

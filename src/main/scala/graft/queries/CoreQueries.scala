@@ -982,10 +982,7 @@ object CoreQueries {
              c_mktsegment
       FROM customer ORDER BY CAST(c_custkey AS BIGINT)"""),
       (s, d) => {
-        // pid-suffixed: two JVMs on the same sf (Bench overlapping a
-        // Verify) must not overwrite each other's lazily-read output
-        val out = s"${sys.props("java.io.tmpdir")}/graft_q_sink_csv_" +
-          s"${d.hashCode.toHexString}_${ProcessHandle.current().pid()}"
+        val out = SinkScratch.dir("q_sink_csv", d)
         t(s, d, "customer").select(
           col("c_custkey").cast(StringType).as("c_custkey"),
           col("c_name"),

@@ -109,10 +109,7 @@ object TrainPrepQueries {
       SELECT doc_id, text, lang, source, n_chars
       FROM documents ORDER BY doc_id"""),
       (s, d) => {
-        // pid-suffixed: two JVMs on the same sf (Bench overlapping a
-        // Verify) must not overwrite each other's lazily-read output
-        val out = s"${sys.props("java.io.tmpdir")}/graft_q_sink_jsonl_" +
-          s"${d.hashCode.toHexString}_${ProcessHandle.current().pid()}"
+        val out = SinkScratch.dir("q_sink_jsonl", d)
         t(s, d, "documents").select("doc_id", "text", "lang", "source", "n_chars")
           .write.mode("overwrite").json(out)
         s.read

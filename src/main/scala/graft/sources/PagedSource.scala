@@ -292,12 +292,17 @@ class PagedScan(props: Map[String, String], minIdExclusive: Long)
 
   override def planInputPartitions(): Array[InputPartition] = {
     val b = backend
-    // an exhausted planning-time probe degrades the BATCH scan to the
-    // sequential short-page walk (each page fetch has its own retry
-    // budget, so the walk can still succeed once the outage passes)
+    // advertisetotal=false short-circuits BEFORE touching b.total —
+    // with an HTTP backend the probe is a real request plus a full
+    // retry budget, and the whole point of the flag is "never probe".
+    // An exhausted planning-time probe otherwise degrades the BATCH
+    // scan to the sequential short-page walk (each page fetch has its
+    // own retry budget, so the walk can still succeed once the outage
+    // passes).
     val knownTotal =
-      try b.total catch { case _: TransientHttpError => -1L }
-    if (!advertiseTotal || knownTotal < 0) {
+      if (!advertiseTotal) -1L
+      else try b.total catch { case _: TransientHttpError => -1L }
+    if (knownTotal < 0) {
       // Unknown total: a single sequential partition that walks pages
       // until a short page (the reference's termination rule). Ids are
       // ascending by the keyset contract, so the walk still starts

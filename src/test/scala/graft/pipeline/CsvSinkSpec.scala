@@ -44,8 +44,17 @@ class CsvSinkSpec extends AnyFunSuite {
       "crash leftovers must be invisible to readers")
     CsvSink.writeCsvUtf8Sig(df, out) // recovery = re-run (mode overwrite)
     assert(!names().exists(n => n.endsWith(".bom.tmp") || n.endsWith(".bom.bak")))
+    assert(!names().contains(CsvSink.InProgressMarker),
+      "completed sink must clear the in-progress marker")
     val back = CsvSink.readCsvUtf8Sig(spark, out)
     assert(back.count() == 2)
+    // a crash DURING the swap leaves the marker — readers must fail
+    // fast on a possibly-incomplete export, not serve it silently
+    Files.write(Paths.get(out, CsvSink.InProgressMarker), Array.empty[Byte])
+    val e = intercept[java.io.IOException] { CsvSink.readCsvUtf8Sig(spark, out) }
+    assert(e.getMessage.contains("interrupted mid-swap"))
+    CsvSink.writeCsvUtf8Sig(df, out) // re-run heals the marker too
+    assert(CsvSink.readCsvUtf8Sig(spark, out).count() == 2)
   }
 
   test("BOM roundtrip: readCsvUtf8Sig restores the exact pre-sink schema and rows") {
