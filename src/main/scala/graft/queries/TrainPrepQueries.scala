@@ -66,6 +66,35 @@ object TrainPrepQueries {
           .orderBy("doc_id")
       }),
 
+    // Decontamination REMOVAL: the clean train corpus — every train
+    // doc with NO word-4-gram in common with the eval set (the
+    // filter q_decontam_ngram's audit feeds). Same broadcast
+    // contamination join, then a broadcast ANTI-join of the (tiny)
+    // contaminated id set against the train scan: at 100 TB neither
+    // join shuffles the corpus.
+    QDef("q_decontam_filter", Some(s"""
+      WITH $toksCte, ${shCte(4)},
+      ev AS (SELECT sh FROM sh WHERE doc_id % 50 = 0),
+      tr AS (SELECT doc_id, sh FROM sh WHERE doc_id % 50 <> 0),
+      bad AS (SELECT DISTINCT tr.doc_id FROM tr JOIN ev USING (sh))
+      SELECT doc_id, lang, n_chars FROM documents
+      WHERE doc_id % 50 <> 0 AND doc_id NOT IN (SELECT doc_id FROM bad)
+      ORDER BY doc_id"""),
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val ev = NearDup.shinglesN(docs.filter(col("doc_id") % 50 === 0),
+          "doc_id", "text", 4).select("sh")
+        val contaminated = NearDup.shinglesN(
+          docs.filter(col("doc_id") % 50 =!= 0), "doc_id", "text", 4,
+          distinct = false)
+          .join(broadcast(ev), Seq("sh"))
+          .select("doc_id").distinct()
+        docs.filter(col("doc_id") % 50 =!= 0)
+          .join(broadcast(contaminated), Seq("doc_id"), "left_anti")
+          .select("doc_id", "lang", "n_chars")
+          .orderBy("doc_id")
+      }),
+
     // REPETITION signal (Gopher-style): most frequent bigram's share
     // of all bigrams, exact integer permille. Non-distinct bigram
     // explode → two map-side-combined aggregates; the flag threshold

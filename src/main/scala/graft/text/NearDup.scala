@@ -163,7 +163,19 @@ object NearDup {
     * ~2 labelings regardless of round count; failure paths release
     * everything. (Trade-off: RDD persistence is not
     * executor-loss-tolerant — a production cluster run would
-    * checkpoint() rounds to a reliable dir instead.)
+    * checkpoint() rounds to a reliable dir instead — pass
+    * `checkpointDir`.)
+    *
+    * `checkpointDir`: when set, every round's labeling is ALSO
+    * checkpointed to that (reliable, e.g. HDFS) directory, making the
+    * loop executor-loss-tolerant: a lost executor recomputes from the
+    * round's checkpoint files instead of replaying the whole loop
+    * from the source. Each round's files are deleted as soon as the
+    * next round has fully materialized (same discipline as the block
+    * release), so the dir holds at most two rounds at any instant;
+    * the final round's files back the returned frame and are left
+    * for the session/checkpoint-dir owner to reclaim. Note Spark's
+    * checkpoint dir is session-global (`setCheckpointDir`).
     *
     * Convergence is detected by an aggregate checksum: labels only
     * ever DECREASE, so the decimal sum of labels strictly decreases
@@ -174,19 +186,31 @@ object NearDup {
     * `nodes` must carry every doc (docs in no pair become singleton
     * clusters); `pairs` must carry (doc_a, doc_b). */
   def connectedComponents(nodes: DataFrame, id: String, pairs: DataFrame,
-                          maxIters: Int = 25): DataFrame = {
+                          maxIters: Int = 25,
+                          checkpointDir: Option[String] = None): DataFrame = {
+    val spark = nodes.sparkSession
+    checkpointDir.foreach(spark.sparkContext.setCheckpointDir)
     val edges = pairs.select(col("doc_a").as("_src"), col("doc_b").as("_dst"))
       .union(pairs.select(col("doc_b").as("_src"), col("doc_a").as("_dst")))
       .cache()
     var liveRdd: org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] = null
-    // materialize df into persisted blocks, rebuild the frame over
-    // them (lineage cut), and free the PREVIOUS round — safe because
-    // the count() below has fully computed the new blocks first
+    def dropCheckpointFiles(rdd: org.apache.spark.rdd.RDD[_]): Unit =
+      rdd.getCheckpointFile.foreach { f =>
+        val p = new org.apache.hadoop.fs.Path(f)
+        p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+      }
+    // materialize df into persisted blocks (+ reliable checkpoint
+    // when configured), rebuild the frame over them (lineage cut),
+    // and free the PREVIOUS round — safe because the count() below
+    // has fully computed the new blocks first
     def materialize(df: DataFrame): DataFrame = {
       val rdd = df.rdd
       rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // checkpoint() must be requested before the materializing job;
+      // the persisted blocks make the checkpoint write a cheap replay
+      if (checkpointDir.isDefined) rdd.checkpoint()
       rdd.count()
-      if (liveRdd != null) liveRdd.unpersist(blocking = false)
+      if (liveRdd != null) { liveRdd.unpersist(blocking = false); dropCheckpointFiles(liveRdd) }
       liveRdd = rdd
       df.sparkSession.createDataFrame(rdd, df.schema)
     }
@@ -225,9 +249,10 @@ object NearDup {
       }
       labels
     } catch {
-      // failed invocations must not pin blocks for the session
+      // failed invocations must not pin blocks (or checkpoint files)
+      // for the session
       case e: Throwable =>
-        if (liveRdd != null) liveRdd.unpersist(blocking = false)
+        if (liveRdd != null) { liveRdd.unpersist(blocking = false); dropCheckpointFiles(liveRdd) }
         throw e
     } finally {
       // the returned frame reads the final round's persisted RDD —

@@ -72,6 +72,24 @@ class NearDupSpec extends AnyFunSuite {
       5L -> 5L, 6L -> 5L, 7L -> 7L))
   }
 
+  test("connectedComponents: reliable checkpointing — same labels, bounded files") {
+    val dir = java.nio.file.Files.createTempDirectory("cc_ckpt").toString
+    val nodes = Seq(1L, 2L, 3L, 4L, 5L, 6L, 7L).toDF("doc_id")
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (5L, 6L)).toDF("doc_a", "doc_b")
+    val got = NearDup.connectedComponents(nodes, "doc_id", pairs,
+      checkpointDir = Some(dir))
+      .orderBy("doc_id").as[(Long, Long)].collect().toSeq
+    assert(got == Seq(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      5L -> 5L, 6L -> 5L, 7L -> 7L),
+      "checkpointed path must label identically to the in-memory path")
+    // per-round cleanup: only the FINAL round's rdd checkpoint dir
+    // survives (it backs the returned frame); earlier rounds deleted
+    def rddDirs = new java.io.File(dir).listFiles().toSeq
+      .flatMap(_.listFiles()).filter(_.getName.startsWith("rdd-"))
+    assert(rddDirs.size == 1,
+      s"expected only the final round's checkpoint files, got: $rddDirs")
+  }
+
   test("connectedComponents: maxIters too small for the diameter fails loudly") {
     val nodes = Seq(1L, 2L, 3L, 4L, 5L).toDF("doc_id")
     // a 5-node path has diameter 4 — one round cannot reach fixpoint
