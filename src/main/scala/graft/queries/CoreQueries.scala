@@ -345,6 +345,28 @@ object CoreQueries {
           .orderBy("email")
       }),
 
+    // J8 (extension): skew-salted equi-join — the fact side gets a
+    // deterministic salt from a high-cardinality column, the dim
+    // replicates once per salt, and the shuffle key becomes
+    // (key, salt) so one hot key spreads over `salt` reducers (for
+    // skew AQE's split can't reach, e.g. pre-agg hot keys). The
+    // oracle IS the plain equi-join: salting must be invisible in
+    // the result.
+    QDef("q_join_salted_skew", Some("""
+      SELECT e.event_id, e.user_id, c.c_mktsegment
+      FROM events e JOIN customer c ON e.user_id = c.c_custkey
+      ORDER BY e.event_id"""),
+      (s, d) => {
+        val fact = t(s, d, "events")
+          .select(col("event_id"), col("user_id"), col("user_id").as("k"))
+        val dim = t(s, d, "customer")
+          .select(col("c_custkey").as("k"), col("c_mktsegment"))
+        graft.ops.Ops.saltedJoin(fact, dim, "k", salt = 8,
+          saltBy = col("event_id"))
+          .select("event_id", "user_id", "c_mktsegment")
+          .orderBy("event_id")
+      }),
+
     // J7 (extension): as-of join — every non-purchase event carries
     // the user's most recent purchase value at-or-before the event.
     // Spark-side: Ops.asofLastValue (union + ONE window pass, no row
