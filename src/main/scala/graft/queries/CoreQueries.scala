@@ -345,7 +345,7 @@ object CoreQueries {
           .orderBy("email")
       }),
 
-    // J8 (extension): skew-salted equi-join — the fact side gets a
+    // J9 (extension): skew-salted equi-join — the fact side gets a
     // deterministic salt from a high-cardinality column, the dim
     // replicates once per salt, and the shuffle key becomes
     // (key, salt) so one hot key spreads over `salt` reducers (for
@@ -357,11 +357,10 @@ object CoreQueries {
       FROM events e JOIN customer c ON e.user_id = c.c_custkey
       ORDER BY e.event_id"""),
       (s, d) => {
-        val fact = t(s, d, "events")
-          .select(col("event_id"), col("user_id"), col("user_id").as("k"))
+        val fact = t(s, d, "events").select(col("event_id"), col("user_id"))
         val dim = t(s, d, "customer")
-          .select(col("c_custkey").as("k"), col("c_mktsegment"))
-        graft.ops.Ops.saltedJoin(fact, dim, "k", salt = 8,
+          .select(col("c_custkey").as("user_id"), col("c_mktsegment"))
+        graft.ops.Ops.saltedJoin(fact, dim, "user_id", salt = 8,
           saltBy = col("event_id"))
           .select("event_id", "user_id", "c_mktsegment")
           .orderBy("event_id")

@@ -189,16 +189,27 @@ object NearDup {
                           maxIters: Int = 25,
                           checkpointDir: Option[String] = None): DataFrame = {
     val spark = nodes.sparkSession
+    // session-global state: remember the caller's checkpoint dir so
+    // it can be RESTORED on the way out — hijacking it for the rest
+    // of the session would redirect (and later destroy, when this
+    // dir is reclaimed) every unrelated rdd.checkpoint()
+    val callerCkptDir = spark.sparkContext.getCheckpointDir
     checkpointDir.foreach(spark.sparkContext.setCheckpointDir)
     val edges = pairs.select(col("doc_a").as("_src"), col("doc_b").as("_dst"))
       .union(pairs.select(col("doc_b").as("_src"), col("doc_a").as("_dst")))
       .cache()
     var liveRdd: org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] = null
+    // BEST-EFFORT: losing an obsolete round's files to a transient FS
+    // error is harmless; failing the whole computation (or masking
+    // the original exception in the catch path) over cleanup is not
     def dropCheckpointFiles(rdd: org.apache.spark.rdd.RDD[_]): Unit =
-      rdd.getCheckpointFile.foreach { f =>
+      try rdd.getCheckpointFile.foreach { f =>
         val p = new org.apache.hadoop.fs.Path(f)
         p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
-      }
+      } catch { case _: java.io.IOException => }
+    def release(rdd: org.apache.spark.rdd.RDD[_]): Unit = {
+      rdd.unpersist(blocking = false); dropCheckpointFiles(rdd)
+    }
     // materialize df into persisted blocks (+ reliable checkpoint
     // when configured), rebuild the frame over them (lineage cut),
     // and free the PREVIOUS round — safe because the count() below
@@ -206,11 +217,18 @@ object NearDup {
     def materialize(df: DataFrame): DataFrame = {
       val rdd = df.rdd
       rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      // checkpoint() must be requested before the materializing job;
-      // the persisted blocks make the checkpoint write a cheap replay
-      if (checkpointDir.isDefined) rdd.checkpoint()
-      rdd.count()
-      if (liveRdd != null) { liveRdd.unpersist(blocking = false); dropCheckpointFiles(liveRdd) }
+      try {
+        // checkpoint() must be requested before the materializing job;
+        // the persisted blocks make the checkpoint write a cheap replay
+        if (checkpointDir.isDefined) rdd.checkpoint()
+        rdd.count()
+      } catch {
+        // the IN-FLIGHT round's blocks must not outlive its failure
+        // (partial checkpoint files of a failed write are not
+        // addressable — getCheckpointFile is None until success)
+        case e: Throwable => rdd.unpersist(blocking = false); throw e
+      }
+      if (liveRdd != null) release(liveRdd)
       liveRdd = rdd
       df.sparkSession.createDataFrame(rdd, df.schema)
     }
@@ -252,13 +270,14 @@ object NearDup {
       // failed invocations must not pin blocks (or checkpoint files)
       // for the session
       case e: Throwable =>
-        if (liveRdd != null) { liveRdd.unpersist(blocking = false); dropCheckpointFiles(liveRdd) }
+        if (liveRdd != null) release(liveRdd)
         throw e
     } finally {
       // the returned frame reads the final round's persisted RDD —
       // that one stays live and is reclaimed by the ContextCleaner
       // once the result is unreferenced
       edges.unpersist()
+      callerCkptDir.foreach(spark.sparkContext.setCheckpointDir)
     }
   }
 
