@@ -144,6 +144,14 @@ class ScalePlanSpec extends AnyFunSuite {
       s"train shingles must not shuffle for the contamination join:\n$plan")
   }
 
+  test("decontamination removal: both joins broadcast — the corpus never shuffles") {
+    val df = SparkEntry.queries("q_decontam_filter")(spark, SparkTesting.sf)
+    val plan = executedPlan(df)
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"),
+      s"contamination join and anti-join must both broadcast:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+
   test("sequence packing: the running-total window is shard-partitioned, not global") {
     val df = SparkEntry.queries("q_pack_sequences")(spark, SparkTesting.sf)
     val plan = executedPlan(df)
