@@ -407,30 +407,12 @@ object TextQueries {
                        AND 2 * n_distinct >= n_tokens
                        AND n_stop > 0 THEN 1 ELSE 0 END AS keep
       FROM m ORDER BY doc_id"""),
-      (s, d) => {
-        val m = t(s, d, "documents")
-          .withColumn("toks", TA.tokens(col("text")))
-          .select(col("doc_id"),
-            size(col("toks")).cast(LongType).as("n_tokens"),
-            size(array_distinct(col("toks"))).cast(LongType).as("n_distinct"),
-            TA.langScore(col("toks"), Seq("the", "a")).as("n_stop"),
-            aggregate(transform(col("toks"), t => length(t)), lit(0),
-              (acc, x) => acc + x).cast(LongType).as("tok_chars"))
-        // NULL text ⇒ NULL metrics: the leading unscorable rule keeps
-        // reason/keep aligned with the oracle (whose keep conjunction
-        // evaluates NULL → 0) instead of silently keeping the doc
-        m.select(col("doc_id"), col("n_tokens"),
-          when(col("n_tokens").isNull, "unscorable")
-            .when(col("n_tokens") < 20, "too_short")
-            .when(col("n_tokens") > 90, "too_long")
-            .when(col("tok_chars") * 100 < col("n_tokens") * 420 ||
-              col("tok_chars") * 100 > col("n_tokens") * 520, "word_length")
-            .when(col("n_distinct") * 2 < col("n_tokens"), "low_diversity")
-            .when(col("n_stop") === 0, "no_stopwords")
-            .as("reject_reason"))
-          .withColumn("keep", when(col("reject_reason").isNull, 1).otherwise(0))
-          .orderBy("doc_id")
-      }),
+      // the verdict tree lives in TA.withQualityVerdict — ONE
+      // definition shared with the streaming gate (DocStream), so
+      // this oracle check covers both
+      (s, d) => TA.withQualityVerdict(t(s, d, "documents"), "text")
+        .select("doc_id", "n_tokens", "reject_reason", "keep")
+        .orderBy("doc_id")),
 
     // Deterministic hash-stratified sampling (training-data mixture
     // balancing): downsample the over-represented stratum ('en' here)

@@ -1,0 +1,56 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.text.TextAnalysis
+
+/** Streaming ingestion for the training-data document surface
+  * (SURVEY.md §2.11 meets §2.9): the batch quality/dedup/stats
+  * operators applied to an UNBOUNDED feed. Every transform here
+  * reuses the batch expression trees — the plans are the same
+  * Catalyst trees the DuckDB oracles verify, just planned
+  * incrementally — so batch and stream verdicts cannot drift.
+  *
+  * The scale shape matches the batch path: the gate is a per-row
+  * projection (no state), dedup keeps one fingerprint per doc in the
+  * state store bounded by the watermark, and the intake stats are a
+  * watermarked windowed aggregate with map-side partial aggregation
+  * per micro-batch.
+  */
+object DocStream {
+
+  /** Quality gate: appends n_tokens / reject_reason / keep via the
+    * SHARED verdict tree (TextAnalysis.withQualityVerdict — the one
+    * q_doc_quality_filter oracle-checks). Stateless projection:
+    * safe at any stream rate. */
+  def qualityGated(docs: DataFrame, textCol: String = "text"): DataFrame =
+    TextAnalysis.withQualityVerdict(docs, textCol)
+
+  /** Streaming exact dedup: content fingerprint (md5 of the full
+    * text — the batch exactDedup key) deduplicated WITHIN the
+    * watermark, so re-delivered or re-crawled docs collapse while
+    * state stays bounded by `watermarkDelay` of event time (the
+    * unbounded-state trap of a plain dropDuplicates on an infinite
+    * corpus). */
+  def dedupExactStream(docs: DataFrame, tsCol: String,
+                       watermarkDelay: String,
+                       textCol: String = "text"): DataFrame =
+    docs.withColumn("fp", md5(col(textCol)))
+      .withWatermark(tsCol, watermarkDelay)
+      .dropDuplicatesWithinWatermark("fp")
+
+  /** Corpus intake dashboard: per event-time window — arrivals,
+    * docs surviving the quality gate, token volume. Composes the
+    * shared gate with a watermarked tumbling aggregate. */
+  def corpusStatsWindowed(docs: DataFrame, tsCol: String,
+                          windowLen: String, watermarkDelay: String,
+                          textCol: String = "text"): DataFrame =
+    qualityGated(docs, textCol)
+      .withWatermark(tsCol, watermarkDelay)
+      .groupBy(window(col(tsCol), windowLen))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("keep")).as("n_kept"),
+        sum(col("n_tokens")).as("n_tokens"))
+      .select(col("window.start").as("window_start"),
+        col("n_docs"), col("n_kept"), col("n_tokens"))
+}

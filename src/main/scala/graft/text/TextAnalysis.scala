@@ -39,4 +39,34 @@ object TextAnalysis {
     * collapses shuffled near-dupes). */
   def bowFingerprint(toks: Column): Column =
     md5(array_join(array_sort(array_distinct(toks)), " "))
+
+  /** Appends the Gopher/C4-style quality verdict — `n_tokens`,
+    * `reject_reason` (first failing rule, NULL = clean), `keep` —
+    * as ONE codegen'd expression tree. This is the SINGLE definition
+    * of the reject chain: the batch operator (q_doc_quality_filter,
+    * DuckDB-oracled) and the streaming gate (DocStream) both apply
+    * it, so batch/stream quality verdicts cannot drift. All
+    * predicates are integer-exact (cross-multiplied, no float
+    * division); NULL text ⇒ NULL metrics ⇒ the leading unscorable
+    * rule (matching SQL's NULL-conjunction semantics). */
+  def withQualityVerdict(df: org.apache.spark.sql.DataFrame,
+                         textCol: String): org.apache.spark.sql.DataFrame = {
+    val toks = tokens(col(textCol))
+    df.withColumn("n_tokens", size(toks).cast(LongType))
+      .withColumn("_n_distinct", size(array_distinct(toks)).cast(LongType))
+      .withColumn("_n_stop", langScore(toks, Seq("the", "a")))
+      .withColumn("_tok_chars",
+        aggregate(transform(toks, t => length(t)), lit(0),
+          (acc, x) => acc + x).cast(LongType))
+      .withColumn("reject_reason",
+        when(col("n_tokens").isNull, "unscorable")
+          .when(col("n_tokens") < 20, "too_short")
+          .when(col("n_tokens") > 90, "too_long")
+          .when(col("_tok_chars") * 100 < col("n_tokens") * 420 ||
+            col("_tok_chars") * 100 > col("n_tokens") * 520, "word_length")
+          .when(col("_n_distinct") * 2 < col("n_tokens"), "low_diversity")
+          .when(col("_n_stop") === 0, "no_stopwords"))
+      .withColumn("keep", when(col("reject_reason").isNull, 1).otherwise(0))
+      .drop("_n_distinct", "_n_stop", "_tok_chars")
+  }
 }

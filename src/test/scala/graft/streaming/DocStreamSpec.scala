@@ -1,0 +1,92 @@
+package graft.streaming
+
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkTesting
+
+case class Doc(doc_id: Long, ingest_ts: Timestamp, text: String)
+
+class DocStreamSpec extends AnyFunSuite {
+  lazy val spark = SparkTesting.spark
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  /** 20 tokens, all distinct, avg token length 4.4, contains 'the' —
+    * passes every gate rule. */
+  private val cleanText =
+    ((1 to 10).map(i => f"w$i%02da") ++ (1 to 9).map(i => f"w$i%02dab") :+ "the")
+      .mkString(" ")
+
+  test("streaming quality gate == batch verdict on the same rows") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val docs = Seq(
+      Doc(1, ts("2024-01-01 00:00:10"), cleanText),
+      Doc(2, ts("2024-01-01 00:00:20"), "tiny doc"),
+      Doc(3, ts("2024-01-01 00:00:30"), ("thing " * 30).trim))
+    val input = MemoryStream[Doc]
+    input.addData(docs: _*)
+    val q = DocStream.qualityGated(input.toDF())
+      .writeStream.format("memory").queryName("doc_gate").start()
+    try q.processAllAvailable() finally q.stop()
+
+    val streamed = spark.sql(
+      "SELECT doc_id, n_tokens, reject_reason, keep FROM doc_gate ORDER BY doc_id")
+      .as[(Long, Long, Option[String], Int)].collect().toSeq
+    val batch = DocStream.qualityGated(docs.toDF())
+      .selectExpr("doc_id", "n_tokens", "reject_reason", "keep")
+      .orderBy("doc_id")
+      .as[(Long, Long, Option[String], Int)].collect().toSeq
+    assert(streamed == batch, "stream and batch verdicts must be identical")
+    assert(streamed.map(r => r._1 -> (r._3, r._4)).toMap == Map(
+      1L -> (None, 1),                       // clean doc passes
+      2L -> (Some("too_short"), 0),          // 2 tokens
+      3L -> (Some("low_diversity"), 0)))     // 30× the same 5-char token
+  }
+
+  test("streaming exact dedup collapses re-delivered docs within the watermark") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Doc]
+    val q = DocStream.dedupExactStream(input.toDF(), "ingest_ts", "10 minutes")
+      .writeStream.format("memory").queryName("doc_dedup")
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData(
+        Doc(1, ts("2024-01-01 00:00:00"), "alpha beta"),
+        Doc(2, ts("2024-01-01 00:01:00"), "gamma delta"))
+      q.processAllAvailable()
+      // re-crawl of doc 1's content (new id, same text) + a new doc
+      input.addData(
+        Doc(3, ts("2024-01-01 00:02:00"), "alpha beta"),
+        Doc(4, ts("2024-01-01 00:03:00"), "epsilon zeta"))
+      q.processAllAvailable()
+      val got = spark.sql("SELECT doc_id FROM doc_dedup ORDER BY doc_id")
+        .as[Long].collect().toSeq
+      assert(got == Seq(1L, 2L, 4L),
+        "the re-delivered fingerprint must be dropped, new content kept")
+    } finally q.stop()
+  }
+
+  test("windowed corpus intake stats: arrivals, gate survivors, token volume") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Doc]
+    input.addData(
+      Doc(1, ts("2024-01-01 00:05:00"), cleanText),
+      Doc(2, ts("2024-01-01 00:10:00"), "tiny doc"),
+      Doc(3, ts("2024-01-01 01:05:00"), cleanText))
+    val q = DocStream.corpusStatsWindowed(input.toDF(), "ingest_ts",
+      "1 hour", "10 minutes")
+      .writeStream.format("memory").queryName("doc_stats")
+      .outputMode(OutputMode.Complete).start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.sql(
+      """SELECT date_format(window_start,'HH:mm') w, n_docs, n_kept, n_tokens
+        |FROM doc_stats ORDER BY w""".stripMargin)
+      .as[(String, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(("00:00", 2L, 1L, 22L), ("01:00", 1L, 1L, 20L)))
+  }
+}
