@@ -39,6 +39,37 @@ object DocStream {
       .withWatermark(tsCol, watermarkDelay)
       .dropDuplicatesWithinWatermark("fp")
 
+  /** Streaming DECONTAMINATION gate: incoming docs that share any
+    * word-n-gram with a STATIC eval/benchmark shingle set
+    * (`evalShingles`, one `sh` column — the batch q_decontam_ngram's
+    * eval side). Stream-static shape: the doc's shingles explode,
+    * semi-join the (bounded, broadcast) eval set, and the surviving
+    * doc ids dedup within the watermark — so each contaminated doc
+    * emits once and state stays bounded. The corpus side never
+    * shuffles, mirroring the batch plan assertion. */
+  def contaminatedStream(docs: DataFrame, evalShingles: DataFrame,
+                         n: Int, tsCol: String, watermarkDelay: String,
+                         textCol: String = "text",
+                         idCol: String = "doc_id"): DataFrame = {
+    // one linear pass, ONE stateful operator: explode keeps the event
+    // time alongside each shingle, the static join filters, and the
+    // watermarked dedup collapses a doc's multiple matching shingles
+    // to a single emission (a nested per-doc aggregation here would
+    // be a second stateful op / stream-stream join — unnecessary)
+    val terms = (0 until n).map(j => s"_toks[i+$j]").mkString(", ")
+    docs
+      .select(col(idCol), col(tsCol),
+        graft.text.TextAnalysis.tokens(col(textCol)).as("_toks"))
+      .filter(size(col("_toks")) >= n)
+      .select(col(idCol), col(tsCol), explode(expr(
+        s"transform(sequence(0, size(_toks)-$n), i -> concat_ws(' ', $terms))"))
+        .as("sh"))
+      .join(broadcast(evalShingles.select("sh")), Seq("sh"))
+      .select(col(idCol), col(tsCol))
+      .withWatermark(tsCol, watermarkDelay)
+      .dropDuplicatesWithinWatermark(idCol)
+  }
+
   /** Corpus intake dashboard: per event-time window — arrivals,
     * docs surviving the quality gate, token volume. Composes the
     * shared gate with a watermarked tumbling aggregate. */

@@ -70,6 +70,32 @@ class DocStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming decontamination gate: eval-overlapping docs flagged exactly once") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // static benchmark shingle set: one 3-gram
+    val evalShingles = Seq("alpha beta gamma").toDF("sh")
+    val input = MemoryStream[Doc]
+    val q = DocStream.contaminatedStream(input.toDF(), evalShingles,
+      n = 3, tsCol = "ingest_ts", watermarkDelay = "10 minutes")
+      .writeStream.format("memory").queryName("doc_contam")
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData(
+        // contains the eval 3-gram TWICE (two matching shingles must
+        // still emit the doc once)
+        Doc(1, ts("2024-01-01 00:00:00"),
+          "alpha beta gamma delta alpha beta gamma"),
+        Doc(2, ts("2024-01-01 00:01:00"), "clean words entirely here"),
+        Doc(3, ts("2024-01-01 00:02:00"), "ends with alpha beta gamma"))
+      q.processAllAvailable()
+      val got = spark.sql("SELECT doc_id FROM doc_contam ORDER BY doc_id")
+        .as[Long].collect().toSeq
+      assert(got == Seq(1L, 3L),
+        "overlapping docs flagged once each; clean doc passes")
+    } finally q.stop()
+  }
+
   test("windowed corpus intake stats: arrivals, gate survivors, token volume") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
