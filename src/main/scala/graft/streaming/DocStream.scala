@@ -55,15 +55,14 @@ object DocStream {
     // time alongside each shingle, the static join filters, and the
     // watermarked dedup collapses a doc's multiple matching shingles
     // to a single emission (a nested per-doc aggregation here would
-    // be a second stateful op / stream-stream join — unnecessary)
-    val terms = (0 until n).map(j => s"_toks[i+$j]").mkString(", ")
+    // be a second stateful op / stream-stream join — unnecessary).
+    // Shingling is NearDup.shingleExpr — the same tree the batch
+    // decontamination operators build on.
     docs
       .select(col(idCol), col(tsCol),
         graft.text.TextAnalysis.tokens(col(textCol)).as("_toks"))
-      .filter(size(col("_toks")) >= n)
-      .select(col(idCol), col(tsCol), explode(expr(
-        s"transform(sequence(0, size(_toks)-$n), i -> concat_ws(' ', $terms))"))
-        .as("sh"))
+      .select(col(idCol), col(tsCol),
+        explode(graft.text.NearDup.shingleExpr("_toks", n)).as("sh"))
       .join(broadcast(evalShingles.select("sh")), Seq("sh"))
       .select(col(idCol), col(tsCol))
       .withWatermark(tsCol, watermarkDelay)

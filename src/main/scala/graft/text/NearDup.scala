@@ -81,15 +81,23 @@ object NearDup {
     * decontamination join): shuffling every raw shingle of a 100 TB
     * corpus just to dedup before a highly-selective join is the wrong
     * order of operations. */
+  /** The word-n-gram array over a token-array column — the ONE
+    * definition of shingling, shared by the batch transforms below
+    * and the streaming gate (DocStream.contaminatedStream), so batch
+    * and stream shingle semantics cannot drift. Rows with <n tokens
+    * yield an empty array. */
+  def shingleExpr(toksCol: String, n: Int): Column = {
+    require(n >= 2, s"shingle width $n must be >= 2 — width 1 is just tokens")
+    val terms = (0 until n).map(j => s"$toksCol[i+$j]").mkString(", ")
+    when(size(col(toksCol)) >= n,
+      expr(s"transform(sequence(0, size($toksCol)-$n), i -> concat_ws(' ', $terms))"))
+      .otherwise(array().cast(ArrayType(StringType)))
+  }
+
   def shinglesN(docs: DataFrame, id: String, text: String, n: Int,
                 distinct: Boolean = true): DataFrame = {
-    require(n >= 2, s"shingle width $n must be >= 2 — width 1 is just tokens")
-    val terms = (0 until n).map(j => s"toks[i+$j]").mkString(", ")
     val sh = docs.select(col(id), tokens(col(text)).as("toks"))
-      .select(col(id), explode(
-        when(size(col("toks")) >= n,
-          expr(s"transform(sequence(0, size(toks)-$n), i -> concat_ws(' ', $terms))"))
-          .otherwise(array().cast(ArrayType(StringType)))).as("sh"))
+      .select(col(id), explode(shingleExpr("toks", n)).as("sh"))
     if (distinct) sh.distinct() else sh
   }
 

@@ -51,12 +51,23 @@ object TextAnalysis {
     * rule (matching SQL's NULL-conjunction semantics). */
   def withQualityVerdict(df: org.apache.spark.sql.DataFrame,
                          textCol: String): org.apache.spark.sql.DataFrame = {
-    val toks = tokens(col(textCol))
-    df.withColumn("n_tokens", size(toks).cast(LongType))
-      .withColumn("_n_distinct", size(array_distinct(toks)).cast(LongType))
-      .withColumn("_n_stop", langScore(toks, Seq("the", "a")))
+    // fail fast instead of silently clobbering-and-dropping user
+    // columns that share the scratch/output names (same discipline
+    // as Ops.saltedJoin's _salt guard)
+    val reserved =
+      Seq("_toks", "_n_distinct", "_n_stop", "_tok_chars",
+        "n_tokens", "reject_reason", "keep")
+    require(!df.columns.exists(reserved.contains),
+      s"withQualityVerdict reserves the column names ${reserved.mkString("/")}")
+    // tokenize ONCE into a scratch column — four independent
+    // tokens(text) subtrees would rely on subexpression elimination
+    // to avoid splitting every document up to 4 times per row
+    df.withColumn("_toks", tokens(col(textCol)))
+      .withColumn("n_tokens", size(col("_toks")).cast(LongType))
+      .withColumn("_n_distinct", size(array_distinct(col("_toks"))).cast(LongType))
+      .withColumn("_n_stop", langScore(col("_toks"), Seq("the", "a")))
       .withColumn("_tok_chars",
-        aggregate(transform(toks, t => length(t)), lit(0),
+        aggregate(transform(col("_toks"), t => length(t)), lit(0),
           (acc, x) => acc + x).cast(LongType))
       .withColumn("reject_reason",
         when(col("n_tokens").isNull, "unscorable")
@@ -67,6 +78,6 @@ object TextAnalysis {
           .when(col("_n_distinct") * 2 < col("n_tokens"), "low_diversity")
           .when(col("_n_stop") === 0, "no_stopwords"))
       .withColumn("keep", when(col("reject_reason").isNull, 1).otherwise(0))
-      .drop("_n_distinct", "_n_stop", "_tok_chars")
+      .drop("_toks", "_n_distinct", "_n_stop", "_tok_chars")
   }
 }
