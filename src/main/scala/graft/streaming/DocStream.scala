@@ -69,6 +69,24 @@ object DocStream {
       .dropDuplicatesWithinWatermark(idCol)
   }
 
+  /** The END-TO-END streaming training-data ingestion lifecycle:
+    * watermark-bounded exact dedup → shared quality verdict → the E2
+    * dual merge (delta / content-hash-deduped raw / latest-per-doc),
+    * one `AvailableNow` call ≙ one cron-style incremental run. The
+    * in-stream dedup collapses redeliveries WITHIN the watermark;
+    * the sink's content-hash dedup absorbs re-crawls ACROSS runs —
+    * the same two composed idempotence mechanisms as the contacts
+    * lifecycle. Rejected docs are persisted too (reject_reason is
+    * the audit trail); downstream trainers filter keep = 1. */
+  def ingestSink(docs: DataFrame, root: String, table: String,
+                 checkpoint: String, tsCol: String, watermarkDelay: String,
+                 extractedAt: String,
+                 textCol: String = "text",
+                 idCol: String = "doc_id"): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    EventStream.persistDualSink(
+      qualityGated(dedupExactStream(docs, tsCol, watermarkDelay, textCol), textCol),
+      root, table, checkpoint, Seq(idCol), tsCol, extractedAt)
+
   /** Corpus intake dashboard: per event-time window — arrivals,
     * docs surviving the quality gate, token volume. Composes the
     * shared gate with a watermarked tumbling aggregate. */

@@ -96,6 +96,39 @@ class DocStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("end-to-end ingestion lifecycle: dedup → gate → dual merge, idempotent across runs") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("doc_ingest").toString
+    val input = MemoryStream[Doc]
+    def runOnce(): Unit = {
+      val q = DocStream.ingestSink(input.toDF(), root, "docs",
+        s"$root/ckpt", "ingest_ts", "10 minutes",
+        extractedAt = "2026-01-01T00:00:00Z").start()
+      try q.awaitTermination() finally if (q.isActive) q.stop()
+    }
+    input.addData(
+      Doc(1, ts("2024-01-01 00:00:00"), cleanText),
+      Doc(2, ts("2024-01-01 00:01:00"), "tiny doc"),
+      Doc(3, ts("2024-01-01 00:02:00"), cleanText)) // in-batch re-crawl of 1
+    runOnce()
+    val latest = spark.read.parquet(s"$root/master/latest/docs")
+    // doc 3's text fingerprint collapsed in-stream; rejected doc 2 is
+    // PERSISTED with its audit verdict, filtered by trainers
+    assert(latest.select("doc_id").as[Long].collect().toSet == Set(1L, 2L))
+    assert(latest.filter($"keep" === 1).select("doc_id").as[Long]
+      .collect().toSeq == Seq(1L))
+    // run 2: new upstream rows only — AvailableNow drains the delta
+    input.addData(Doc(4, ts("2024-01-01 00:20:00"), "brand new doc content here"))
+    runOnce()
+    val after = spark.read.parquet(s"$root/master/latest/docs")
+    assert(after.select("doc_id").as[Long].collect().toSet == Set(1L, 2L, 4L))
+    // raw is content-hash-deduped: re-running with no new data is a no-op
+    val rawBefore = spark.read.parquet(s"$root/master/raw/docs").count()
+    runOnce()
+    assert(spark.read.parquet(s"$root/master/raw/docs").count() == rawBefore)
+  }
+
   test("windowed corpus intake stats: arrivals, gate survivors, token volume") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
