@@ -236,6 +236,42 @@ object TextQueries {
           graft.functions.RollingMinHash(col("text"), 8).as("fp_roll"))
         .orderBy("doc_id")),
 
+    // Winnowing-fingerprint candidate pairs: docs sharing the same
+    // rolling-min fingerprint (the O(n) native expression above) are
+    // near-dup candidates — the winnowing use of the fingerprint,
+    // closing the fingerprint→pairs loop. Pair generation reuses the
+    // LSH within-bucket combiner (collect ids per fingerprint, emit
+    // sorted combinations), never a self-join; 1-in-7 sample like the
+    // other pair queries (the shared 31-token vocabulary makes full-
+    // corpus minima collide into mega-buckets).
+    QDef("q_dedup_winnow_pairs", Some {
+      import graft.functions.RollingMinHash.{Base => B, Mod => M}
+      val k = 8
+      val pows = (0 until k).map { j =>
+        var r = 1L; (0 until (k - 1 - j)).foreach(_ => r = r * B % M); r
+      }
+      val terms = (0 until k).map(j =>
+        s"CAST(ord(substr(text, CAST(i + $j AS INTEGER), 1)) AS BIGINT) * ${pows(j)}")
+        .mkString(" + ")
+      s"""
+      WITH d AS (SELECT doc_id, text, length(text) AS n FROM documents
+                 WHERE length(text) >= $k AND doc_id % 7 = 0),
+      w AS (SELECT doc_id, text, unnest(range(1, n - $k + 2)) AS i FROM d),
+      fp AS (SELECT doc_id, min(($terms) % $M) AS fp_roll FROM w GROUP BY doc_id)
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM fp a JOIN fp b ON a.fp_roll = b.fp_roll AND a.doc_id < b.doc_id
+      ORDER BY doc_a, doc_b"""
+    },
+      (s, d) => {
+        val fp = t(s, d, "documents")
+          .filter(col("doc_id") % 7 === 0 && length(col("text")) >= 8)
+          .select(col("doc_id"),
+            graft.functions.RollingMinHash(col("text"), 8).as("fp_roll"))
+        NearDup.lshCandidatePairs(
+          fp.select(col("doc_id"), lit(0).as("band"), col("fp_roll").as("bh")),
+          "doc_id").orderBy("doc_a", "doc_b")
+      }),
+
     // Exact dedup by content hash; smallest doc_id survives.
     QDef("q_dedup_exact", Some("""
       SELECT md5(text) AS fp, min(doc_id) AS keep_id, count(*) AS n_dupes
