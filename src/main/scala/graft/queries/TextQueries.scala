@@ -257,9 +257,12 @@ object TextQueries {
       WITH d AS (SELECT doc_id, text, length(text) AS n FROM documents
                  WHERE length(text) >= $k AND doc_id % 7 = 0),
       w AS (SELECT doc_id, text, unnest(range(1, n - $k + 2)) AS i FROM d),
-      fp AS (SELECT doc_id, min(($terms) % $M) AS fp_roll FROM w GROUP BY doc_id)
+      fp AS (SELECT doc_id, min(($terms) % $M) AS fp_roll FROM w GROUP BY doc_id),
+      ok AS (SELECT fp_roll FROM fp GROUP BY fp_roll
+             HAVING count(*) BETWEEN 2 AND 64)
       SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
       FROM fp a JOIN fp b ON a.fp_roll = b.fp_roll AND a.doc_id < b.doc_id
+      WHERE a.fp_roll IN (SELECT fp_roll FROM ok)
       ORDER BY doc_a, doc_b"""
     },
       (s, d) => {
@@ -267,9 +270,12 @@ object TextQueries {
           .filter(col("doc_id") % 7 === 0 && length(col("text")) >= 8)
           .select(col("doc_id"),
             graft.functions.RollingMinHash(col("text"), 8).as("fp_roll"))
+        // maxBucket=64: a fingerprint shared by more docs is a
+        // universal substring, not a near-dup signal — dropping it
+        // bounds the quadratic pair term at any corpus size
         NearDup.lshCandidatePairs(
           fp.select(col("doc_id"), lit(0).as("band"), col("fp_roll").as("bh")),
-          "doc_id").orderBy("doc_a", "doc_b")
+          "doc_id", maxBucket = 64).orderBy("doc_a", "doc_b")
       }),
 
     // Exact dedup by content hash; smallest doc_id survives.

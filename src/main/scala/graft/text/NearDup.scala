@@ -58,13 +58,16 @@ object NearDup {
     * (band, hash), emit the sorted combinations) rather than by a
     * bucket self-join — a self-join would re-evaluate the whole
     * upstream signature pipeline once per side. Bucket membership
-    * lists are small by LSH design; a production corpus would also
-    * cap pathological buckets (a mega-bucket is a near-useless
-    * candidate set anyway). */
-  def lshCandidatePairs(bands: DataFrame, id: String): DataFrame =
+    * lists are small by LSH design; `maxBucket` additionally drops
+    * pathological buckets entirely (a mega-bucket — a hash shared by
+    * a large corpus fraction — is a near-useless candidate set whose
+    * quadratic pair expansion is pure cost; standard winnowing
+    * practice drops such universal fingerprints). */
+  def lshCandidatePairs(bands: DataFrame, id: String,
+                        maxBucket: Int = Int.MaxValue): DataFrame =
     bands.groupBy("band", "bh")
       .agg(array_sort(collect_list(col(id))).as("_ids"))
-      .filter(size(col("_ids")) > 1)
+      .filter(size(col("_ids")) > 1 && size(col("_ids")) <= maxBucket)
       .select(explode(expr(
         """flatten(transform(_ids, (x, i) ->
           |  transform(slice(_ids, i + 2, size(_ids) - i - 1), y ->
