@@ -48,6 +48,25 @@ object TextQueries {
       |FROM bands a JOIN bands b ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
       |ORDER BY doc_a, doc_b""".stripMargin
 
+  /** Rolling-min fingerprint CTEs (`d` → `w` → `fp(doc_id, fp_roll)`)
+    * — the ONE copy of the canonical Rabin–Karp polynomial oracle
+    * (same Base/Mod as the native RollingMinHash expression), shared
+    * by the fingerprint and winnow-pair oracles so the two cannot
+    * desync. `where` further restricts the documents scan. */
+  private def rollingFpCtes(k: Int, where: String): String = {
+    import graft.functions.RollingMinHash.{Base => B, Mod => M}
+    val pows = (0 until k).map { j => // B^(k-1-j) mod M
+      var r = 1L; (0 until (k - 1 - j)).foreach(_ => r = r * B % M); r
+    }
+    val terms = (0 until k).map(j =>
+      s"CAST(ord(substr(text, CAST(i + $j AS INTEGER), 1)) AS BIGINT) * ${pows(j)}")
+      .mkString(" + ")
+    s"""d AS (SELECT doc_id, text, length(text) AS n FROM documents
+       |           WHERE length(text) >= $k $where),
+       |w AS (SELECT doc_id, text, unnest(range(1, n - $k + 2)) AS i FROM d),
+       |fp AS (SELECT doc_id, min(($terms) % $M) AS fp_roll FROM w GROUP BY doc_id)""".stripMargin
+  }
+
   /** 16-bit SimHash CTEs (tok → votes → sig), shared by the signature
     * and candidate-pair oracles. */
   private def simhashSigCtes(where: String): String = {
@@ -215,21 +234,9 @@ object TextQueries {
     // expression hashes UTF-8 bytes, the oracle indexes chars) holds
     // because the corpus is ASCII — same assumption as
     // q_multimodal_features.
-    QDef("q_doc_fingerprint_rolling", Some {
-      import graft.functions.RollingMinHash.{Base => B, Mod => M}
-      val k = 8
-      val pows = (0 until k).map { j => // B^(k-1-j) mod M
-        var r = 1L; (0 until (k - 1 - j)).foreach(_ => r = r * B % M); r
-      }
-      val terms = (0 until k).map(j =>
-        s"CAST(ord(substr(text, CAST(i + $j AS INTEGER), 1)) AS BIGINT) * ${pows(j)}")
-        .mkString(" + ")
-      s"""
-      WITH d AS (SELECT doc_id, text, length(text) AS n FROM documents WHERE length(text) >= $k),
-      w AS (SELECT doc_id, text, unnest(range(1, n - $k + 2)) AS i FROM d)
-      SELECT doc_id, min(($terms) % $M) AS fp_roll
-      FROM w GROUP BY doc_id ORDER BY doc_id"""
-    },
+    QDef("q_doc_fingerprint_rolling", Some(s"""
+      WITH ${rollingFpCtes(8, "")}
+      SELECT doc_id, fp_roll FROM fp ORDER BY doc_id"""),
       (s, d) => t(s, d, "documents")
         .filter(length(col("text")) >= 8)
         .select(col("doc_id"),
@@ -244,27 +251,14 @@ object TextQueries {
     // sorted combinations), never a self-join; 1-in-7 sample like the
     // other pair queries (the shared 31-token vocabulary makes full-
     // corpus minima collide into mega-buckets).
-    QDef("q_dedup_winnow_pairs", Some {
-      import graft.functions.RollingMinHash.{Base => B, Mod => M}
-      val k = 8
-      val pows = (0 until k).map { j =>
-        var r = 1L; (0 until (k - 1 - j)).foreach(_ => r = r * B % M); r
-      }
-      val terms = (0 until k).map(j =>
-        s"CAST(ord(substr(text, CAST(i + $j AS INTEGER), 1)) AS BIGINT) * ${pows(j)}")
-        .mkString(" + ")
-      s"""
-      WITH d AS (SELECT doc_id, text, length(text) AS n FROM documents
-                 WHERE length(text) >= $k AND doc_id % 7 = 0),
-      w AS (SELECT doc_id, text, unnest(range(1, n - $k + 2)) AS i FROM d),
-      fp AS (SELECT doc_id, min(($terms) % $M) AS fp_roll FROM w GROUP BY doc_id),
+    QDef("q_dedup_winnow_pairs", Some(s"""
+      WITH ${rollingFpCtes(8, "AND doc_id % 7 = 0")},
       ok AS (SELECT fp_roll FROM fp GROUP BY fp_roll
              HAVING count(*) BETWEEN 2 AND 64)
       SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
       FROM fp a JOIN fp b ON a.fp_roll = b.fp_roll AND a.doc_id < b.doc_id
       WHERE a.fp_roll IN (SELECT fp_roll FROM ok)
-      ORDER BY doc_a, doc_b"""
-    },
+      ORDER BY doc_a, doc_b"""),
       (s, d) => {
         val fp = t(s, d, "documents")
           .filter(col("doc_id") % 7 === 0 && length(col("text")) >= 8)

@@ -64,8 +64,20 @@ object NearDup {
     * quadratic pair expansion is pure cost; standard winnowing
     * practice drops such universal fingerprints). */
   def lshCandidatePairs(bands: DataFrame, id: String,
-                        maxBucket: Int = Int.MaxValue): DataFrame =
-    bands.groupBy("band", "bh")
+                        maxBucket: Int = Int.MaxValue): DataFrame = {
+    // capped mode PRE-filters by a count aggregate (map-side-combined,
+    // O(1) state per bucket) before any collect_list: a mega-bucket
+    // must be dropped WITHOUT first materializing every member in one
+    // reducer's aggregation buffer — otherwise the cap bounds the
+    // pair count but not the skew/memory the bucket costs to build
+    val pruned =
+      if (maxBucket == Int.MaxValue) bands
+      else bands.join(
+        bands.groupBy("band", "bh").agg(count(lit(1)).as("_n"))
+          .filter(col("_n") > 1 && col("_n") <= maxBucket)
+          .select("band", "bh"),
+        Seq("band", "bh"), "left_semi")
+    pruned.groupBy("band", "bh")
       .agg(array_sort(collect_list(col(id))).as("_ids"))
       .filter(size(col("_ids")) > 1 && size(col("_ids")) <= maxBucket)
       .select(explode(expr(
@@ -77,13 +89,8 @@ object NearDup {
       // (A, A) self-pairs from the sorted bucket list
       .filter(col("doc_a") < col("doc_b"))
       .distinct()
+  }
 
-  /** Word n-gram shingles per doc; docs with <n tokens yield none.
-    * `distinct = false` skips the per-doc dedup SHUFFLE — use it when
-    * a downstream aggregate already counts distinct (e.g. the
-    * decontamination join): shuffling every raw shingle of a 100 TB
-    * corpus just to dedup before a highly-selective join is the wrong
-    * order of operations. */
   /** The word-n-gram array over a token-array column — the ONE
     * definition of shingling, shared by the batch transforms below
     * and the streaming gate (DocStream.contaminatedStream), so batch
@@ -97,6 +104,12 @@ object NearDup {
       .otherwise(array().cast(ArrayType(StringType)))
   }
 
+  /** Word n-gram shingles per doc; docs with <n tokens yield none.
+    * `distinct = false` skips the per-doc dedup SHUFFLE — use it when
+    * a downstream aggregate already counts distinct (e.g. the
+    * decontamination join): shuffling every raw shingle of a 100 TB
+    * corpus just to dedup before a highly-selective join is the wrong
+    * order of operations. */
   def shinglesN(docs: DataFrame, id: String, text: String, n: Int,
                 distinct: Boolean = true): DataFrame = {
     val sh = docs.select(col(id), tokens(col(text)).as("toks"))

@@ -61,6 +61,24 @@ class NearDupSpec extends AnyFunSuite {
     assert(got.toSeq == Seq((2L, 2L), (9L, 1L)))
   }
 
+  test("lshCandidatePairs maxBucket: inclusive bound, mega-buckets dropped whole") {
+    // bucket A: 64 ids (== cap, emits C(64,2)); bucket B: 65 ids
+    // (> cap, emits nothing); bucket C: 2 ids (pair survives)
+    val bands =
+      ((1L to 64L).map(i => (i, 0, "a")) ++
+        (100L to 164L).map(i => (i, 0, "b")) ++
+        Seq((200L, 0, "c"), (201L, 0, "c"))).toDF("doc_id", "band", "bh")
+    val got = NearDup.lshCandidatePairs(bands, "doc_id", maxBucket = 64)
+      .as[(Long, Long)].collect().toSet
+    assert(got.size == 64 * 63 / 2 + 1)
+    assert(got.contains((200L, 201L)))
+    assert(!got.exists { case (a, b) => a >= 100L && a < 200L },
+      "the 65-member bucket must emit zero pairs")
+    // uncapped default still emits everything
+    assert(NearDup.lshCandidatePairs(bands, "doc_id").count() ==
+      64L * 63 / 2 + 65L * 64 / 2 + 1)
+  }
+
   test("connectedComponents: min-label propagation finds components, singletons survive") {
     val nodes = Seq(1L, 2L, 3L, 4L, 5L, 6L, 7L).toDF("doc_id")
     // component {1,2,3,4} is a CHAIN (needs >1 round to propagate),
