@@ -113,12 +113,13 @@ object TrainPrepQueries {
              CASE WHEN (1000 * top_count) // n_bigrams >= 60 THEN 1 ELSE 0 END AS repetitive
       FROM r ORDER BY doc_id"""),
       (s, d) => {
+        // bigrams = 2-wide shingles: the ONE shingle tree
+        // (NearDup.shingleExpr), non-exploded-distinct because
+        // repetition needs multiplicities
         val bg = t(s, d, "documents")
           .withColumn("toks", TA.tokens(col("text")))
-          .filter(size(col("toks")) >= 2)
-          .select(col("doc_id"), explode(expr(
-            "transform(sequence(0, size(toks)-2), i -> concat_ws(' ', toks[i], toks[i+1]))"))
-            .as("bg"))
+          .select(col("doc_id"),
+            explode(NearDup.shingleExpr("toks", 2)).as("bg"))
         bg.groupBy("doc_id", "bg").agg(count(lit(1)).as("n"))
           .groupBy("doc_id")
           .agg(sum(col("n")).cast(LongType).as("n_bigrams"),
