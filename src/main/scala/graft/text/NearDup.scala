@@ -236,35 +236,40 @@ object NearDup {
     }
     // materialize df into persisted blocks (+ reliable checkpoint
     // when configured), rebuild the frame over them (lineage cut),
-    // and free the PREVIOUS round — safe because the count() below
-    // has fully computed the new blocks first
-    def materialize(df: DataFrame): DataFrame = {
+    // and free the PREVIOUS round — safe because the materializing
+    // job below has fully computed the new blocks first. The SAME job
+    // that materializes also returns the label checksum: a separate
+    // count() + checksum-aggregate would cost two scheduled jobs (and
+    // one extra tiny plan) per round, and on an iterative loop the
+    // per-round fixed overhead IS the runtime. Decimal sum: ids can
+    // be large and corpora huge — a long sum could overflow at scale
+    // and falsely report convergence; cluster_id sits at ordinal 1 of
+    // the (id, cluster_id) projection every round builds.
+    def materialize(df: DataFrame): (DataFrame, BigDecimal) = {
       val rdd = df.rdd
       rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      try {
-        // checkpoint() must be requested before the materializing job;
-        // the persisted blocks make the checkpoint write a cheap replay
-        if (checkpointDir.isDefined) rdd.checkpoint()
-        rdd.count()
-      } catch {
-        // the IN-FLIGHT round's blocks must not outlive its failure
-        // (partial checkpoint files of a failed write are not
-        // addressable — getCheckpointFile is None until success)
-        case e: Throwable => rdd.unpersist(blocking = false); throw e
-      }
+      val sum =
+        try {
+          // checkpoint() must be requested before the materializing job;
+          // the persisted blocks make the checkpoint write a cheap replay
+          if (checkpointDir.isDefined) rdd.checkpoint()
+          rdd.aggregate(BigDecimal(0))(
+            (acc, row) => acc + BigDecimal(row.getAs[Number](1).longValue()),
+            _ + _)
+        } catch {
+          // the IN-FLIGHT round's blocks must not outlive its failure
+          // (partial checkpoint files of a failed write are not
+          // addressable — getCheckpointFile is None until success)
+          case e: Throwable => rdd.unpersist(blocking = false); throw e
+        }
       if (liveRdd != null) release(liveRdd)
       liveRdd = rdd
-      df.sparkSession.createDataFrame(rdd, df.schema)
+      (df.sparkSession.createDataFrame(rdd, df.schema), sum)
     }
-    // decimal sum: ids can be large and corpora huge — a long sum
-    // could overflow at scale and falsely report convergence. NULL
-    // (sum over zero rows) ⇒ empty input ⇒ already converged.
-    def checksum(df: DataFrame): java.math.BigDecimal =
-      df.agg(sum(col("cluster_id").cast(DecimalType(38, 0)))).head().getDecimal(0)
     try {
-      var labels = materialize(nodes.select(col(id), col(id).as("cluster_id")))
-      var prevSum = checksum(labels)
-      var converged = prevSum == null
+      var (labels, prevSum) =
+        materialize(nodes.select(col(id), col(id).as("cluster_id")))
+      var converged = false
       var it = 0
       while (!converged) {
         require(it < maxIters,
@@ -276,15 +281,17 @@ object NearDup {
         // label-of-label (path doubling): label values are always node
         // ids of the same component, so the self-join always resolves
         val lofl = labels.select(col(id).as("_lid"), col("cluster_id").as("_ll"))
-        val next = materialize(labels
+        val (next, s) = materialize(labels
           .join(minNbr, Seq(id), "left")
           .join(lofl, col("cluster_id") === col("_lid"), "left")
           .select(col(id), least(
             col("cluster_id"),
             coalesce(col("_mn"), col("cluster_id")),
             coalesce(col("_ll"), col("cluster_id"))).as("cluster_id")))
-        val s = checksum(next)
-        converged = s.compareTo(prevSum) == 0
+        // labels only ever DECREASE, so the sum strictly decreases
+        // until fixpoint; equal sums ⇔ converged (an empty input
+        // converges on its first (empty, free) round: 0 == 0)
+        converged = s == prevSum
         prevSum = s
         labels = next
         it += 1
