@@ -371,8 +371,16 @@ class PagedMicroBatchStream(props: Map[String, String], pageLimit: Int,
   // the worst-case driver stall
   @volatile private var lastKnownTotal = -1L
 
+  // highest offset this stream has planned (≥ every committed offset):
+  // the degraded fallback for reportLatestOffset when the total probe
+  // is down AND no probe has succeeded yet this run — reporting 0
+  // there would show progress metrics regressing below offsets the
+  // log has already committed
+  @volatile private var lastPlannedOffset = 0L
+
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val from = start.asInstanceOf[IdOffset].id
+    lastPlannedOffset = math.max(lastPlannedOffset, from)
     val avail = if (!advertiseTotal) -1L else backend.total
     // A STRUCTURALLY unknown collection size must FAIL the trigger,
     // not no-op it: max(from, -1) = from would plan zero batches, and
@@ -396,10 +404,12 @@ class PagedMicroBatchStream(props: Map[String, String], pageLimit: Int,
   }
 
   override def reportLatestOffset(): Offset =
-    IdOffset(math.max(0L,
+    IdOffset(math.max(lastPlannedOffset,
       if (lastKnownTotal >= 0) lastKnownTotal
-      // progress reporting must not throw on a transient probe fail
-      else try backend.total catch { case _: TransientHttpError => 0L }))
+      // progress reporting must not throw on a transient probe fail;
+      // degrade to the highest offset already planned this run (never
+      // 0 — metrics must not report "latest" below a committed offset)
+      else try backend.total catch { case _: TransientHttpError => lastPlannedOffset }))
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val from = start.asInstanceOf[IdOffset].id

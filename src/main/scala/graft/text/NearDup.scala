@@ -65,21 +65,18 @@ object NearDup {
     * practice drops such universal fingerprints). */
   def lshCandidatePairs(bands: DataFrame, id: String,
                         maxBucket: Int = Int.MaxValue): DataFrame = {
-    // capped mode PRE-filters by a count aggregate (map-side-combined,
-    // O(1) state per bucket) before any collect_list: a mega-bucket
-    // must be dropped WITHOUT first materializing every member in one
-    // reducer's aggregation buffer — otherwise the cap bounds the
-    // pair count but not the skew/memory the bucket costs to build
-    val pruned =
-      if (maxBucket == Int.MaxValue) bands
-      else bands.join(
-        bands.groupBy("band", "bh").agg(count(lit(1)).as("_n"))
-          .filter(col("_n") > 1 && col("_n") <= maxBucket)
-          .select("band", "bh"),
-        Seq("band", "bh"), "left_semi")
-    pruned.groupBy("band", "bh")
-      .agg(array_sort(collect_list(col(id))).as("_ids"))
-      .filter(size(col("_ids")) > 1 && size(col("_ids")) <= maxBucket)
+    // ONE aggregate pass: CappedSortedIds keeps at most maxBucket + 1
+    // members per bucket anywhere (map-side partial, shuffle row,
+    // reduce merge) and yields NULL for overflowing buckets, so a
+    // mega-bucket is dropped without ever materializing it — and
+    // without the count-preaggregate + semi-join this used to do,
+    // which evaluated the whole upstream signature pipeline twice
+    val ids =
+      if (maxBucket == Int.MaxValue) array_sort(collect_list(col(id)))
+      else graft.ops.CappedSortedIds.collect(col(id), maxBucket)
+    bands.groupBy("band", "bh")
+      .agg(ids.as("_ids"))
+      .filter(col("_ids").isNotNull && size(col("_ids")) > 1)
       .select(explode(expr(
         """flatten(transform(_ids, (x, i) ->
           |  transform(slice(_ids, i + 2, size(_ids) - i - 1), y ->
@@ -199,7 +196,14 @@ object NearDup {
     * release), so the dir holds at most two rounds at any instant;
     * the final round's files back the returned frame and are left
     * for the session/checkpoint-dir owner to reclaim. Note Spark's
-    * checkpoint dir is session-global (`setCheckpointDir`).
+    * checkpoint dir is session-global (`setCheckpointDir`): a
+    * caller-set dir is restored on exit, but if the session had NO
+    * checkpoint dir before the call it stays pointed at
+    * `checkpointDir` afterwards — Spark has no public unset — so
+    * later unrelated `rdd.checkpoint()` calls will land there.
+    * Callers in that position must either set their own session dir
+    * first, or reclaim `checkpointDir` only once nothing else in the
+    * session checkpoints.
     *
     * Convergence is detected by an aggregate checksum: labels only
     * ever DECREASE, so the decimal sum of labels strictly decreases
