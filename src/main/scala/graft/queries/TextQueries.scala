@@ -98,6 +98,35 @@ object TextQueries {
         .agg(countDistinct(col("doc_id")).as("df"), count(lit(1)).as("tf"))
         .orderBy(col("df").desc, col("tok")).limit(20)),
 
+    // Per-source VOCABULARY health: token volume, distinct types,
+    // hapax legomena (frequency-1 types within the source) and the
+    // hapax share of the vocabulary — the classic "is this source
+    // natural text or templated sludge" diagnostic (natural corpora
+    // run ~40-60% hapax; templated ones near 0). Two map-side-
+    // combined aggregates — (source, tok) counts, then per-source
+    // rollup — no window, no distinct-explode shuffle beyond the
+    // first aggregate's own.
+    QDef("q_vocab_hapax", Some("""
+      WITH occ AS (SELECT source, tok FROM
+        (SELECT source, unnest(string_split(text, ' ')) AS tok FROM documents)
+        WHERE tok <> ''),
+      c AS (SELECT source, tok, count(*) AS n FROM occ GROUP BY source, tok)
+      SELECT source,
+             CAST(sum(n) AS BIGINT) AS n_tokens,
+             count(*) AS n_types,
+             CAST(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+             (1000 * sum(CASE WHEN n = 1 THEN 1 ELSE 0 END)) // count(*) AS hapax_permille
+      FROM c GROUP BY source ORDER BY source"""),
+      (s, d) => t(s, d, "documents")
+        .select(col("source"), explode(TA.tokens(col("text"))).as("tok"))
+        .groupBy("source", "tok").agg(count(lit(1)).as("n"))
+        .groupBy("source")
+        .agg(sum(col("n")).cast(LongType).as("n_tokens"),
+          count(lit(1)).as("n_types"),
+          sum(when(col("n") === 1, 1).otherwise(0)).cast(LongType).as("n_hapax"))
+        .withColumn("hapax_permille", expr("div(1000 * n_hapax, n_types)"))
+        .orderBy("source")),
+
     // Token counting: whitespace tokens + BPE-ish regex tokens.
     QDef("q_doc_token_stats", Some("""
       WITH d AS (SELECT doc_id, n_chars,
@@ -297,6 +326,49 @@ object TextQueries {
           "doc_id", 8, 2),
         "doc_id").orderBy("doc_a", "doc_b")),
 
+    // MinHash JACCARD ESTIMATE — the filter stage between LSH
+    // candidate generation and exact verification: for each candidate
+    // pair, the fraction of the k=8 signature components that agree
+    // estimates J(a,b), and only pairs clearing a threshold proceed
+    // to the expensive exact check. Integer permille (1000·agree/8)
+    // so the compare is exact cross-engine. 100 TB shape: the pair
+    // set is LSH-bounded and the signature table is one row per doc —
+    // the two sig probes are key-equi-joins on doc id; production
+    // callers persist `sigs` so the signature aggregation runs once.
+    QDef("q_dedup_minhash_est", Some(s"""
+      WITH ${tokCte.format("WHERE doc_id % 7 = 0")}, ${sigSelect(8, "tok")},
+      ${bandsSql(8, 2)},
+      cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+               FROM bands a JOIN bands b
+                 ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id)
+      SELECT doc_a, doc_b,
+             CAST(${(0 until 8).map(i =>
+               s"(CASE WHEN sa.s$i = sb.s$i THEN 1 ELSE 0 END)").mkString(" + ")}
+               AS BIGINT) AS n_agree,
+             (1000 * (${(0 until 8).map(i =>
+               s"(CASE WHEN sa.s$i = sb.s$i THEN 1 ELSE 0 END)").mkString(" + ")})) // 8
+               AS est_permille
+      FROM cand JOIN sig sa ON sa.doc_id = doc_a
+                JOIN sig sb ON sb.doc_id = doc_b
+      ORDER BY doc_a, doc_b"""),
+      (s, d) => {
+        val sigs = NearDup.minhashSignatures(
+          tokDf(s, d, Some(7)), "doc_id", "tok", 8)
+        val cand = NearDup.lshCandidatePairs(
+          NearDup.lshBands(sigs, "doc_id", 8, 2), "doc_id")
+        def side(p: String) = sigs.toDF(
+          "doc_id" +: (0 until 8).map(i => s"$p$i"): _*)
+        val agree = (0 until 8).map(i =>
+          when(col(s"a$i") === col(s"b$i"), 1).otherwise(0)).reduce(_ + _)
+        cand
+          .join(side("a").withColumnRenamed("doc_id", "doc_a"), Seq("doc_a"))
+          .join(side("b").withColumnRenamed("doc_id", "doc_b"), Seq("doc_b"))
+          .select(col("doc_a"), col("doc_b"),
+            agree.cast(LongType).as("n_agree"))
+          .withColumn("est_permille", expr("div(1000 * n_agree, 8)"))
+          .orderBy("doc_a", "doc_b")
+      }),
+
     // n-gram (word 3-gram shingle) MinHash LSH pairs: k=4, 2 bands.
     QDef("q_dedup_ngram_minhash_pairs", Some(s"""
       WITH d AS (SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS toks
@@ -410,6 +482,61 @@ object TextQueries {
         NearDup.connectedComponents(nodes, "doc_id", edges)
           .withColumn("is_survivor",
             when(col("cluster_id") === col("doc_id"), 1).otherwise(0))
+          .orderBy("doc_id")
+      }),
+
+    // Cluster REPRESENTATIVE selection: within each near-dup cluster
+    // keep the longest document (doc_id tiebreak) — the "keep best,
+    // drop rest" step that turns cluster labels into an actual
+    // deduplicated corpus (min-id survivorship in q_dedup_cluster is
+    // arbitrary; real pipelines keep by a quality signal). Same
+    // mod-13 Jaccard + connected-components machinery, then ONE
+    // cluster-partitioned window — clusters are near-dup groups,
+    // inherently small, so the window never sees a hot partition and
+    // there is no global sort.
+    QDef("q_dedup_cluster_rep", Some(s"""
+      WITH RECURSIVE ${tokCte.format("WHERE doc_id % 13 = 0")},
+      sz AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id),
+      inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+                FROM tok a JOIN tok b ON a.tok = b.tok AND a.doc_id < b.doc_id
+                GROUP BY doc_a, doc_b),
+      pairs AS (SELECT doc_a, doc_b FROM inter
+                JOIN sz sa ON doc_a = sa.doc_id JOIN sz sb ON doc_b = sb.doc_id
+                WHERE i * 10 >= 6 * (sa.n + sb.n - i)),
+      nodes AS (SELECT doc_id FROM documents WHERE doc_id % 13 = 0),
+      edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+                UNION ALL SELECT doc_b, doc_a FROM pairs),
+      reach AS (
+        SELECT doc_id AS id, doc_id AS r FROM nodes
+        UNION
+        SELECT reach.id, e.dst FROM reach JOIN edges e ON e.src = reach.r),
+      cc AS (SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id),
+      q AS (SELECT cc.doc_id, cc.cluster_id, d.n_chars,
+              row_number() OVER (PARTITION BY cc.cluster_id
+                ORDER BY d.n_chars DESC, cc.doc_id) AS rn
+            FROM cc JOIN documents d ON d.doc_id = cc.doc_id)
+      SELECT doc_id, cluster_id, n_chars,
+             max(CASE WHEN rn = 1 THEN doc_id END)
+               OVER (PARTITION BY cluster_id) AS rep_id,
+             CASE WHEN rn = 1 THEN 1 ELSE 0 END AS is_rep
+      FROM q ORDER BY doc_id"""),
+      (s, d) => {
+        val edges = NearDup.tokenJaccardPairs(tokDf(s, d, Some(13)), "doc_id", "tok", 6)
+          .filter(col("near_dup") === 1).select("doc_a", "doc_b")
+        val docs = t(s, d, "documents").filter(col("doc_id") % 13 === 0)
+        val byCluster = org.apache.spark.sql.expressions.Window
+          .partitionBy("cluster_id")
+        val ranked = NearDup
+          .connectedComponents(docs.select("doc_id"), "doc_id", edges)
+          .join(docs.select("doc_id", "n_chars"), Seq("doc_id"))
+          .withColumn("rn", row_number().over(
+            byCluster.orderBy(col("n_chars").desc, col("doc_id"))))
+        ranked
+          .withColumn("rep_id",
+            max(when(col("rn") === 1, col("doc_id"))).over(byCluster))
+          .select(col("doc_id"), col("cluster_id"), col("n_chars"),
+            col("rep_id"),
+            when(col("rn") === 1, 1).otherwise(0).as("is_rep"))
           .orderBy("doc_id")
       }),
 

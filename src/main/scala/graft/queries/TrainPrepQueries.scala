@@ -260,6 +260,108 @@ object TrainPrepQueries {
           .orderBy("source")
       }),
 
+    // BOILERPLATE MINING: the corpus's most document-frequent word
+    // 3-grams — the header/footer/license-text detector every web
+    // corpus needs. Non-distinct shingle explode → one hash aggregate
+    // (count + countDistinct, both partial-aggregated map-side) → a
+    // global top-20 by (df, tf, shingle), which Spark executes as
+    // TakeOrderedAndProject: each partition keeps 20 rows, the driver
+    // merges — no global sort of the n-gram space at any scale.
+    QDef("q_boilerplate_ngrams", Some(s"""
+      WITH $toksCte,
+      sh AS (SELECT doc_id, unnest(list_transform(range(1, greatest(len(toks) - 1, 1)),
+               i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
+             FROM d)
+      SELECT sh, count(DISTINCT doc_id) AS df, count(*) AS tf
+      FROM sh GROUP BY sh ORDER BY df DESC, tf DESC, sh LIMIT 20"""),
+      (s, d) => t(s, d, "documents")
+        .withColumn("toks", TA.tokens(col("text")))
+        .select(col("doc_id"), explode(NearDup.shingleExpr("toks", 3)).as("sh"))
+        .groupBy("sh")
+        .agg(countDistinct(col("doc_id")).as("df"), count(lit(1)).as("tf"))
+        .orderBy(col("df").desc, col("tf").desc, col("sh")).limit(20)),
+
+    // BOILERPLATE FRACTION per doc: the permille of a doc's distinct
+    // 3-grams that are corpus-common (document frequency >= 10% of
+    // the corpus, integer cross-multiplied so the threshold is
+    // scale-relative, not a magic absolute). 100 TB shape: the common
+    // set is small BY CONSTRUCTION (>= 10% df caps it at 10 shingles
+    // per corpus-sized unit of text) so it BROADCASTS; the per-doc
+    // side joins its distinct shingles against that broadcast and
+    // aggregates — the only corpus-wide shuffle is the one df
+    // aggregate that mines the set.
+    QDef("q_boilerplate_frac", Some(s"""
+      WITH $toksCte, ${shCte(3)},
+      n AS (SELECT count(*) AS n_docs FROM documents),
+      boiler AS (SELECT sh FROM sh CROSS JOIN n
+                 GROUP BY sh, n_docs HAVING count(*) * 10 >= n_docs),
+      j AS (SELECT s.doc_id, count(*) AS n_sh,
+                   count(b.sh) AS n_boiler
+            FROM sh s LEFT JOIN boiler b ON s.sh = b.sh
+            GROUP BY s.doc_id)
+      SELECT doc_id, CAST(n_sh AS BIGINT) AS n_sh,
+             CAST(n_boiler AS BIGINT) AS n_boiler,
+             (1000 * n_boiler) // n_sh AS boiler_permille,
+             CASE WHEN (1000 * n_boiler) // n_sh >= 500 THEN 1 ELSE 0 END AS mostly_boiler
+      FROM j ORDER BY doc_id"""),
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val sh = NearDup.shinglesN(docs, "doc_id", "text", 3)
+        val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+        val boiler = sh.groupBy("sh")
+          .agg(count(lit(1)).as("df"))
+          .crossJoin(broadcast(nDocs))
+          .filter(col("df") * 10 >= col("n_docs"))
+          .select("sh")
+        sh.join(broadcast(boiler.withColumn("_hit", lit(1))), Seq("sh"), "left")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).cast(LongType).as("n_sh"),
+            count(col("_hit")).cast(LongType).as("n_boiler"))
+          .select(col("doc_id"), col("n_sh"), col("n_boiler"),
+            expr("div(1000 * n_boiler, n_sh)").as("boiler_permille"))
+          .withColumn("mostly_boiler",
+            when(col("boiler_permille") >= 500, 1).otherwise(0))
+          .orderBy("doc_id")
+      }),
+
+    // Weighted EPOCH MIXING: replicate each source document per its
+    // language's mixture weight — en downsampled to 0.5 epochs, zh
+    // upsampled to 2.5, the rest at 1.0. Whole copies come from an
+    // integer explode; the fractional epoch keeps a doc iff a
+    // seed-stamped md5 nibble clears the fraction (the same
+    // deterministic-hash idiom as q_sample_stratified — reproducible
+    // on any engine, any partitioning, unlike rand()). 100 TB shape:
+    // a pure per-row projection + explode, ZERO shuffles, and the
+    // explode factor is the mixture weight itself (bounded, known).
+    QDef("q_mix_weighted", Some("""
+      WITH w AS (SELECT doc_id, lang,
+        CASE lang WHEN 'en' THEN 0 WHEN 'zh' THEN 2 ELSE 1 END
+          + CASE WHEN CASE lang WHEN 'en' THEN 8 WHEN 'zh' THEN 8 ELSE 0 END
+                      > CAST(('0x' || substr(md5('epoch1|' || doc_id), 1, 1)) AS INTEGER)
+                 THEN 1 ELSE 0 END AS n_copies
+        FROM documents)
+      SELECT doc_id, lang, CAST(unnest(range(1, n_copies + 1)) AS BIGINT) AS copy_n
+      FROM w ORDER BY doc_id, copy_n"""),
+      (s, d) => {
+        val nib = conv(substring(
+          md5(concat(lit("epoch1|"), col("doc_id").cast(StringType))), 1, 1),
+          16, 10).cast(IntegerType)
+        val whole =
+          when(col("lang") === "en", 0).when(col("lang") === "zh", 2).otherwise(1)
+        val fracNib = when(col("lang") === "en", 8)
+          .when(col("lang") === "zh", 8).otherwise(0)
+        t(s, d, "documents")
+          .select(col("doc_id"), col("lang"),
+            (whole + when(fracNib > nib, 1).otherwise(0)).as("n_copies"))
+          // guard: sequence(1, 0) would COUNT DOWN in Spark — dropped
+          // docs must yield an empty array, not [1, 0]
+          .select(col("doc_id"), col("lang"),
+            explode(when(col("n_copies") >= 1,
+              sequence(lit(1L), col("n_copies").cast(LongType)))
+              .otherwise(array().cast(ArrayType(LongType)))).as("copy_n"))
+          .orderBy("doc_id", "copy_n")
+      }),
+
     // Corpus LENGTH HISTOGRAM: fixed char-length bands with count /
     // min / max / total — the "what am I about to train on" overview
     // stat. One scan, one tiny hash aggregate.
