@@ -342,25 +342,15 @@ object TrainPrepQueries {
         FROM documents)
       SELECT doc_id, lang, CAST(unnest(range(1, n_copies + 1)) AS BIGINT) AS copy_n
       FROM w ORDER BY doc_id, copy_n"""),
-      (s, d) => {
-        val nib = conv(substring(
-          md5(concat(lit("epoch1|"), col("doc_id").cast(StringType))), 1, 1),
-          16, 10).cast(IntegerType)
-        val whole =
-          when(col("lang") === "en", 0).when(col("lang") === "zh", 2).otherwise(1)
-        val fracNib = when(col("lang") === "en", 8)
-          .when(col("lang") === "zh", 8).otherwise(0)
-        t(s, d, "documents")
-          .select(col("doc_id"), col("lang"),
-            (whole + when(fracNib > nib, 1).otherwise(0)).as("n_copies"))
-          // guard: sequence(1, 0) would COUNT DOWN in Spark — dropped
-          // docs must yield an empty array, not [1, 0]
-          .select(col("doc_id"), col("lang"),
-            explode(when(col("n_copies") >= 1,
-              sequence(lit(1L), col("n_copies").cast(LongType)))
-              .otherwise(array().cast(ArrayType(LongType)))).as("copy_n"))
-          .orderBy("doc_id", "copy_n")
-      }),
+      (s, d) =>
+        // the copy-count tree lives ONCE in graft.text.Mixing — shared
+        // with the streaming ingest variant (DocStream.mixedStream),
+        // so this oracle check covers both
+        graft.text.Mixing.explodeCopies(
+          t(s, d, "documents").select("doc_id", "lang"),
+          graft.text.Mixing.epochCopies(col("lang"), col("doc_id"), "epoch1",
+            Map("en" -> 500, "zh" -> 2500), 1000))
+          .orderBy("doc_id", "copy_n")),
 
     // Corpus LENGTH HISTOGRAM: fixed char-length bands with count /
     // min / max / total — the "what am I about to train on" overview

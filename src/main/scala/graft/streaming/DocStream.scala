@@ -87,6 +87,22 @@ object DocStream {
       qualityGated(dedupExactStream(docs, tsCol, watermarkDelay, textCol), textCol),
       root, table, checkpoint, Seq(idCol), tsCol, extractedAt)
 
+  /** Streaming weighted EPOCH MIXING: replicate/downsample incoming
+    * docs per their language's mixture weight, via the SHARED copy
+    * tree (graft.text.Mixing — the one q_mix_weighted oracle-checks).
+    * A pure projection + bounded explode: stateless, zero shuffles,
+    * safe at any stream rate — and because the keep/replicate
+    * decision is a seed-stamped hash of the doc id, a re-delivered
+    * doc mixes identically on every delivery. */
+  def mixedStream(docs: DataFrame, seed: String,
+                  weightsPermille: Map[String, Int],
+                  defaultPermille: Int,
+                  langCol: String = "lang",
+                  idCol: String = "doc_id"): DataFrame =
+    graft.text.Mixing.explodeCopies(docs,
+      graft.text.Mixing.epochCopies(col(langCol), col(idCol), seed,
+        weightsPermille, defaultPermille))
+
   /** Corpus intake dashboard: per event-time window — arrivals,
     * docs surviving the quality gate, token volume. Composes the
     * shared gate with a watermarked tumbling aggregate. */

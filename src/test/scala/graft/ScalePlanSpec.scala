@@ -191,4 +191,38 @@ class ScalePlanSpec extends AnyFunSuite {
         s"only-ann=${(ann -- brute).take(5)} only-brute=${(brute -- ann).take(5)}")
     assert(ann.nonEmpty, "threshold produced no pairs — test is vacuous")
   }
+
+  test("weighted mixing: projection + explode only — no shuffle before the presentation sort") {
+    val df = SparkEntry.queries("q_mix_weighted")(spark, SparkTesting.sf)
+    val plan = executedPlan(df)
+    assert(plan.contains("Generate"), plan)
+    assert(!plan.contains("Exchange hashpartitioning") &&
+      !plan.contains("Exchange SinglePartition"),
+      s"mixing must not shuffle (only the oracle orderBy may range-sort):\n$plan")
+  }
+
+  test("boilerplate fraction: the common set broadcasts — the doc side never shuffle-joins") {
+    val df = SparkEntry.queries("q_boilerplate_frac")(spark, SparkTesting.sf)
+    val plan = executedPlan(df)
+    assert(plan.contains("BroadcastHashJoin"),
+      s"the df>=10% set is small by construction and must broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"),
+      s"per-doc shingles must not shuffle for the membership join:\n$plan")
+  }
+
+  test("capped LSH buckets: one pass — capped aggregate, no semi-join, one scan") {
+    val df = SparkEntry.queries("q_dedup_winnow_pairs")(spark, SparkTesting.sf)
+    val plan = executedPlan(df)
+    assert(plan.contains("capped_sorted_ids"),
+      s"capped mode must collect through the bounded aggregate:\n$plan")
+    assert(!plan.contains("LeftSemi"),
+      s"the old count-preaggregate + semi-join shape evaluated the " +
+        s"fingerprint pipeline twice:\n$plan")
+    // AQE's toString repeats the plan under "== Initial Plan ==" —
+    // count scans in the final section only
+    val finalSection = plan.split("== Initial Plan ==")(0)
+    val scans = finalSection.linesIterator.count(_.contains("Scan parquet"))
+    assert(scans == 1,
+      s"expected exactly one documents scan, got $scans:\n$plan")
+  }
 }

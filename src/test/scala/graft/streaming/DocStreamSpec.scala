@@ -148,4 +148,36 @@ class DocStreamSpec extends AnyFunSuite {
       .as[(String, Long, Long, Long)].collect().toSeq
     assert(got == Seq(("00:00", 2L, 1L, 22L), ("01:00", 1L, 1L, 20L)))
   }
+
+  test("streaming weighted mixing == batch mixing; re-delivery mixes identically") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val weights = Map("en" -> 500, "zh" -> 2500)
+    val rows = (1L to 40L).map(i =>
+      (i, Seq("en", "zh", "fr")(i.toInt % 3)))
+    val input = MemoryStream[(Long, String)]
+    input.addData(rows: _*)
+    input.addData(rows.take(10): _*) // re-delivery of the first 10
+    val q = DocStream.mixedStream(
+      input.toDF().toDF("doc_id", "lang"), "mixspec", weights, 1000)
+      .writeStream.format("memory").queryName("doc_mix").start()
+    try q.processAllAvailable() finally q.stop()
+
+    val streamed = spark.sql(
+      "SELECT doc_id, lang, copy_n FROM doc_mix")
+      .as[(Long, String, Long)].collect().toSeq
+    val batch = DocStream.mixedStream(
+      rows.toDF("doc_id", "lang"), "mixspec", weights, 1000)
+      .as[(Long, String, Long)].collect().toSeq
+    // re-delivered docs produce exactly the same copies again —
+    // stream output = batch output + one duplicate set for docs 1-10
+    val redelivered = batch.filter(_._1 <= 10)
+    assert(streamed.sorted == (batch ++ redelivered).sorted)
+    // the mixture actually mixes: zh docs replicate, some en drop
+    assert(batch.exists(r => r._2 == "zh" && r._3 == 3L))
+    val enIds = rows.filter(_._2 == "en").map(_._1).toSet
+    assert(batch.count(r => r._2 == "en") < enIds.size,
+      "a 500-permille stratum must drop some docs")
+    assert(batch.filter(_._2 == "fr").groupBy(_._1).forall(_._2.size == 1))
+  }
 }
