@@ -1,8 +1,45 @@
 package graft.streaming
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
 import graft.text.TextAnalysis
+
+/** Streaming packer input: one doc routed to its packing shard. */
+final case class PackDoc(doc_id: Long, shard: Long, n_tokens: Long)
+
+/** A packed doc: its offset in the shard's token stream and the
+  * context window (`seq_id`) its first token lands in. */
+final case class PackedDoc(doc_id: Long, shard: Long, n_tokens: Long,
+                           start_off: Long, seq_id: Long)
+
+/** Streaming analog of q_pack_sequences: per shard, the running token
+  * total persists in a `ValueState[Long]` across micro-batches, so
+  * docs keep packing into consecutive context windows forever without
+  * replanning history. Within a micro-batch, docs pack in doc-id
+  * order (the batch operator's order); across batches, in arrival
+  * order — O(1) state per shard, RocksDB-backed. */
+final class PackProcessor(budget: Long)
+    extends StatefulProcessor[Long, PackDoc, PackedDoc] {
+
+  @transient private var cum: ValueState[Long] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    cum = getHandle.getValueState[Long](
+      "pack_cum", Encoders.scalaLong, TTLConfig.NONE)
+
+  override def handleInputRows(shard: Long, rows: Iterator[PackDoc],
+                               timers: TimerValues): Iterator[PackedDoc] = {
+    var c = if (cum.exists()) cum.get() else 0L
+    val out = rows.toVector.sortBy(_.doc_id).map { d =>
+      val off = c
+      c += d.n_tokens
+      PackedDoc(d.doc_id, d.shard, d.n_tokens, off, off / budget)
+    }
+    cum.update(c)
+    out.iterator
+  }
+}
 
 /** Streaming ingestion for the training-data document surface
   * (SURVEY.md §2.11 meets §2.9): the batch quality/dedup/stats
@@ -102,6 +139,28 @@ object DocStream {
     graft.text.Mixing.explodeCopies(docs,
       graft.text.Mixing.epochCopies(col(langCol), col(idCol), seed,
         weightsPermille, defaultPermille))
+
+  /** Streaming SEQUENCE PACKING: assign each incoming doc its offset
+    * and context window in its shard's token stream, with the running
+    * total carried across micro-batches in per-shard `ValueState`
+    * (O(1) per shard — see [[PackProcessor]]). Same shard routing and
+    * window arithmetic as the batch q_pack_sequences; requires the
+    * RocksDB state store provider like the other transformWithState
+    * surfaces. */
+  def packedStream(docs: DataFrame, budget: Long, shards: Int,
+                   textCol: String = "text",
+                   idCol: String = "doc_id"): Dataset[PackedDoc] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs
+      .select(col(idCol).as("doc_id"),
+        (col(idCol) % shards).as("shard"),
+        TextAnalysis.tokenCount(col(textCol)).as("n_tokens"))
+      .as[PackDoc]
+      .groupByKey(_.shard)
+      .transformWithState(new PackProcessor(budget),
+        TimeMode.None(), OutputMode.Update())
+  }
 
   /** Corpus intake dashboard: per event-time window — arrivals,
     * docs surviving the quality gate, token volume. Composes the

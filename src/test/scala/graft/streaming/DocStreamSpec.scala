@@ -180,4 +180,44 @@ class DocStreamSpec extends AnyFunSuite {
       "a 500-permille stratum must drop some docs")
     assert(batch.filter(_._2 == "fr").groupBy(_._1).forall(_._2.size == 1))
   }
+
+  test("streaming sequence packing: running totals persist across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val prevProvider = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      // doc i has i tokens; shards = doc_id % 2; budget 5 tokens
+      def doc(i: Long) = (i, (1L to i).map(j => s"t$j").mkString(" "))
+      val input = MemoryStream[(Long, String)]
+      val q = DocStream.packedStream(
+        input.toDF().toDF("doc_id", "text"), budget = 5, shards = 2)
+        .writeStream.format("memory").queryName("doc_pack")
+        .outputMode(OutputMode.Update).start()
+      try {
+        input.addData(doc(1), doc(2), doc(3), doc(4))
+        q.processAllAvailable()
+        input.addData(doc(5), doc(6))
+        q.processAllAvailable()
+      } finally q.stop()
+      val got = spark.sql(
+        "SELECT doc_id, shard, n_tokens, start_off, seq_id FROM doc_pack ORDER BY doc_id")
+        .as[(Long, Long, Long, Long, Long)].collect().toSeq
+      // shard 1 stream: doc1(1)+doc3(3) in batch 1, doc5(5) in batch 2
+      // shard 0 stream: doc2(2)+doc4(4) in batch 1, doc6(6) in batch 2
+      assert(got == Seq(
+        (1L, 1L, 1L, 0L, 0L),   // shard 1 offset 0
+        (2L, 0L, 2L, 0L, 0L),   // shard 0 offset 0
+        (3L, 1L, 3L, 1L, 0L),
+        (4L, 0L, 4L, 2L, 0L),
+        (5L, 1L, 5L, 4L, 0L),   // batch 2 continues shard 1 at 4
+        (6L, 0L, 6L, 6L, 1L)))  // batch 2 continues shard 0 at 6 → window 1
+    } finally {
+      prevProvider match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
 }
