@@ -99,6 +99,31 @@ object Multimodal {
     }
   }
 
+  /** A resized payload's envelope: sizes and output fingerprint. */
+  final case class MediaResized(doc_id: Long, n_bytes_in: Long,
+                                n_bytes_out: Long, out_fp: String)
+
+  /** Fixed-stride byte downsample — the image-resize / audio-
+    * downsample stand-in (a real build decodes, resamples, and
+    * re-encodes here; the stride keeps every `stride`-th byte so the
+    * transform is deterministic and oracle-checkable). Same
+    * mapPartitions batch shape as the other codec stages; empty
+    * payloads yield no rows. */
+  def downsample(media: Dataset[MediaRow], stride: Int): Dataset[MediaResized] = {
+    require(stride >= 1, s"stride must be >= 1, got $stride")
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.flatMap { r =>
+        if (r.data.isEmpty) None
+        else {
+          val out = Array.range(0, r.data.length, stride).map(r.data(_))
+          Some(MediaResized(r.doc_id, r.data.length.toLong,
+            out.length.toLong, md5hex(out).substring(0, 8)))
+        }
+      }
+    }
+  }
+
   /** Documents table → MediaRow dataset (text bytes standing in for
     * a real media payload; schema/partitioning identical). */
   def mediaFromDocuments(spark: SparkSession, sfDir: String): Dataset[MediaRow] = {

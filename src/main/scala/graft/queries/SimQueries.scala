@@ -240,7 +240,48 @@ object SimQueries {
     // are missed) is inherent to blocked dedup; q_dedup_embed_cosine
     // above stays as the sampled exactness reference.
     QDef("q_dedup_embed_ann", Some(s"""
-      WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      WITH $annPairCtes
+      SELECT vec_a, vec_b, sim3 FROM p WHERE sim3 >= 0.35 ORDER BY vec_a, vec_b"""),
+      (s, d) => annPairsDf(s, d).orderBy("vec_a", "vec_b")),
+
+    // SEMANTIC dedup clusters end-to-end: the IVF-celled near-dup
+    // pairs above feed connected components, so paraphrase chains
+    // (a~b, b~c) collapse into one cluster even when a and c are
+    // below the pair threshold themselves — the embedding-level
+    // analog of q_dedup_cluster, sharing BOTH machineries that are
+    // already plan-asserted (cartesian-free celled pair generation;
+    // the iterative min-label CC loop with block release). Smallest
+    // vec_id survives per cluster.
+    QDef("q_dedup_semantic_cluster", Some(s"""
+      WITH RECURSIVE $annPairCtes,
+      pairs AS (SELECT vec_a, vec_b FROM p WHERE sim3 >= 0.35),
+      nodes AS (SELECT vec_id FROM embeddings),
+      edges AS (SELECT vec_a AS src, vec_b AS dst FROM pairs
+                UNION ALL SELECT vec_b, vec_a FROM pairs),
+      reach AS (
+        SELECT vec_id AS id, vec_id AS r FROM nodes
+        UNION
+        SELECT reach.id, g.dst FROM reach JOIN edges g ON g.src = reach.r)
+      SELECT id AS vec_id, min(r) AS cluster_id,
+             CASE WHEN min(r) = id THEN 1 ELSE 0 END AS is_survivor
+      FROM reach GROUP BY id ORDER BY vec_id"""),
+      (s, d) => {
+        val nodes = t(s, d, "embeddings").select(col("vec_id"))
+        val pairs = annPairsDf(s, d)
+          .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"))
+        graft.text.NearDup.connectedComponents(nodes, "vec_id", pairs)
+          .withColumn("is_survivor",
+            when(col("cluster_id") === col("vec_id"), 1).otherwise(0))
+          .orderBy("vec_id")
+      })
+  )
+
+  /** IVF-celled embedding near-dup pair CTEs (`e` → `cent` → `scored`
+    * → `assigned` → `p(vec_a, vec_b, sim3)`) — ONE copy, shared by
+    * the pair query and the semantic-cluster oracle so the two
+    * cannot desync. */
+  private def annPairCtes: String = s"""
+      e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
       cent AS (SELECT vec_id AS cell, v AS centv FROM e WHERE vec_id < 8),
       scored AS (SELECT e.vec_id AS cid, e.v AS cv, cent.cell,
         round(${cosineSql("e.v", "cent.centv")}, 6) AS cs
@@ -250,24 +291,27 @@ object SimQueries {
       p AS (SELECT a.cid AS vec_a, b.cid AS vec_b,
                    round(${cosineSql("a.cv", "b.cv")}, 3) AS sim3
             FROM assigned a JOIN assigned b
-              ON a.cell = b.cell AND a.cid < b.cid)
-      SELECT vec_a, vec_b, sim3 FROM p WHERE sim3 >= 0.35 ORDER BY vec_a, vec_b"""),
-      (s, d) => {
-        val e = t(s, d, "embeddings")
-          .select(col("vec_id"), col("embedding").as("v"))
-        val corpus = e.select(col("vec_id").as("cid"), col("v").as("cv"))
-        val centroids = e.filter(col("vec_id") < 8)
-          .select(col("vec_id").as("cell"), col("v").as("centv"))
-        val assigned = Similarity.ivfAssign(corpus, centroids)
-        val a = assigned.select(col("cell"), col("cid").as("vec_a"),
-          col("cv").as("va"))
-        val b = assigned.select(col("cell"), col("cid").as("vec_b"),
-          col("cv").as("vb"))
-        a.join(b, Seq("cell")).filter(col("vec_a") < col("vec_b"))
-          .select(col("vec_a"), col("vec_b"),
-            round(Similarity.cosine(col("va"), col("vb")), 3).as("sim3"))
-          .filter(col("sim3") >= 0.35)
-          .orderBy("vec_a", "vec_b")
-      })
-  )
+              ON a.cell = b.cell AND a.cid < b.cid)""".stripMargin
+
+  /** The Spark side of `annPairCtes`: IVF cell assignment (narrow
+    * per-row argmax over the bounded centroid set) then within-cell
+    * candidate pairs ≥ 0.35 — cartesian-free by construction,
+    * plan-asserted in ScalePlanSpec. */
+  private def annPairsDf(s: org.apache.spark.sql.SparkSession,
+                         d: String): org.apache.spark.sql.DataFrame = {
+    val e = t(s, d, "embeddings")
+      .select(col("vec_id"), col("embedding").as("v"))
+    val corpus = e.select(col("vec_id").as("cid"), col("v").as("cv"))
+    val centroids = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("cell"), col("v").as("centv"))
+    val assigned = Similarity.ivfAssign(corpus, centroids)
+    val a = assigned.select(col("cell"), col("cid").as("vec_a"),
+      col("cv").as("va"))
+    val b = assigned.select(col("cell"), col("cid").as("vec_b"),
+      col("cv").as("vb"))
+    a.join(b, Seq("cell")).filter(col("vec_a") < col("vec_b"))
+      .select(col("vec_a"), col("vec_b"),
+        round(Similarity.cosine(col("va"), col("vb")), 3).as("sim3"))
+      .filter(col("sim3") >= 0.35)
+  }
 }

@@ -631,6 +631,28 @@ object TextQueries {
         graft.multimodal.Multimodal.mediaFromDocuments(s, d), 3)
         .toDF().orderBy("doc_id", "frame_id")),
 
+    // Multimodal RESIZE stand-in: fixed-stride byte downsample (every
+    // 4th byte) with input/output sizes and output fingerprint — the
+    // second codec stage variant (decode→resample→re-encode shape);
+    // the oracle replays the stride pick with substr on the ASCII
+    // corpus. Same typed mapPartitions plumbing as the other codec
+    // stages: blobs stay in their own pruned column, one codec init
+    // per partition.
+    QDef("q_multimodal_resize", Some("""
+      WITH i AS (SELECT doc_id, unnest(range(1, length(text) + 1, 4)) AS i
+                 FROM documents WHERE length(text) >= 1),
+      r AS (SELECT i.doc_id,
+                   string_agg(substr(d.text, CAST(i.i AS INTEGER), 1), '' ORDER BY i.i) AS ds
+            FROM i JOIN documents d ON d.doc_id = i.doc_id
+            GROUP BY i.doc_id)
+      SELECT r.doc_id, CAST(length(d.text) AS BIGINT) AS n_bytes_in,
+             CAST(length(r.ds) AS BIGINT) AS n_bytes_out,
+             substr(md5(r.ds), 1, 8) AS out_fp
+      FROM r JOIN documents d ON d.doc_id = r.doc_id ORDER BY r.doc_id"""),
+      (s, d) => graft.multimodal.Multimodal.downsample(
+        graft.multimodal.Multimodal.mediaFromDocuments(s, d), 4)
+        .toDF().orderBy("doc_id")),
+
     // Multimodal feature extraction: the stub decoder samples payload
     // bytes at fixed strides (k/256 dyadic rationals — exact in both
     // engines' DECIMAL), which DuckDB replays with ord(substr(...)) on
