@@ -98,6 +98,53 @@ object TextQueries {
         .agg(countDistinct(col("doc_id")).as("df"), count(lit(1)).as("tf"))
         .orderBy(col("df").desc, col("tok")).limit(20)),
 
+    // Cross-SOURCE OVERLAP matrix (dataset contamination audit):
+    // for every source pair, how many distinct word-3-grams they
+    // share, plus the Jaccard permille over their shingle
+    // vocabularies. One pass over distinct (source, shingle): the
+    // sources sharing a shingle collect into a bounded set (≤ the
+    // source count BY CONSTRUCTION — the cross-source analog of an
+    // LSH bucket), pairs expand within the row, and a hash aggregate
+    // counts per pair. No self-join: a shingle-keyed self-join would
+    // evaluate the whole shingle pipeline twice. Totals broadcast
+    // (one row per source).
+    QDef("q_source_overlap", Some("""
+      WITH d AS (SELECT source, doc_id,
+        list_filter(string_split(text, ' '), t -> t <> '') AS toks FROM documents),
+      sh AS (SELECT DISTINCT source, sh FROM
+        (SELECT source, unnest(list_transform(range(1, greatest(len(toks) - 1, 1)),
+                i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh FROM d)),
+      tot AS (SELECT source, count(*) AS n FROM sh GROUP BY source),
+      inter AS (SELECT a.source AS src_a, b.source AS src_b, count(*) AS i
+                FROM sh a JOIN sh b ON a.sh = b.sh AND a.source < b.source
+                GROUP BY src_a, src_b)
+      SELECT src_a, src_b, CAST(i AS BIGINT) AS n_shared,
+             (1000 * i) // (ta.n + tb.n - i) AS jac_permille
+      FROM inter JOIN tot ta ON ta.source = src_a
+                 JOIN tot tb ON tb.source = src_b
+      ORDER BY src_a, src_b"""),
+      (s, d) => {
+        val sh = NearDup.shinglesN(
+          t(s, d, "documents").withColumnRenamed("source", "src"),
+          "src", "text", 3)
+        val tot = sh.groupBy("src").agg(count(lit(1)).as("n"))
+        val pairs = sh.groupBy("sh")
+          .agg(array_sort(collect_set(col("src"))).as("_ss"))
+          .filter(size(col("_ss")) > 1)
+          .select(explode(expr(
+            """flatten(transform(_ss, (x, i) ->
+              |  transform(slice(_ss, i + 2, size(_ss) - i - 1), y ->
+              |    struct(x AS src_a, y AS src_b))))""".stripMargin)).as("_p"))
+          .groupBy(col("_p.src_a").as("src_a"), col("_p.src_b").as("src_b"))
+          .agg(count(lit(1)).cast(LongType).as("n_shared"))
+        pairs
+          .join(broadcast(tot.toDF("src_a", "na")), Seq("src_a"))
+          .join(broadcast(tot.toDF("src_b", "nb")), Seq("src_b"))
+          .select(col("src_a"), col("src_b"), col("n_shared"),
+            expr("div(1000 * n_shared, na + nb - n_shared)").as("jac_permille"))
+          .orderBy("src_a", "src_b")
+      }),
+
     // Per-source VOCABULARY health: token volume, distinct types,
     // hapax legomena (frequency-1 types within the source) and the
     // hapax share of the vocabulary — the classic "is this source

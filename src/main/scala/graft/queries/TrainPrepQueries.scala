@@ -228,6 +228,32 @@ object TrainPrepQueries {
           .orderBy("doc_id")
       }),
 
+    // TRAIN/VAL/TEST SPLIT assignment: a seed-stamped md5 byte of the
+    // doc id buckets each doc 80/10/10 — a pure function of
+    // (seed, id), so the split is stable across engines, runs, and
+    // repartitions, and a doc can never migrate between splits when
+    // the corpus grows (the leakage mode rand()- or position-based
+    // splits suffer). Zero shuffles: one codegen'd projection.
+    QDef("q_split_assign", Some("""
+      WITH h AS (SELECT doc_id, lang,
+        CAST(('0x' || substr(md5('split1|' || doc_id), 1, 2)) AS INTEGER) AS b
+        FROM documents)
+      SELECT doc_id, lang,
+             CASE WHEN b < 204 THEN 'train'
+                  WHEN b < 230 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM h ORDER BY doc_id"""),
+      (s, d) => {
+        val b = conv(substring(
+          md5(concat(lit("split1|"), col("doc_id").cast(StringType))), 1, 2),
+          16, 10).cast(IntegerType)
+        t(s, d, "documents")
+          .select(col("doc_id"), col("lang"),
+            when(b < 204, "train").when(b < 230, "val").otherwise("test")
+              .as("split"))
+          .orderBy("doc_id")
+      }),
+
     // Corpus LENGTH PERCENTILES: exact discrete p50/p90/p99 of doc
     // length per source, selected by INTEGER rank index
     // (ceil(q·n) = (q·n + 99) div 100) — not percentile_approx and
