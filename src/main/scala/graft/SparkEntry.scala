@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{CoreQueries, QDef, SimQueries, TextQueries, TrainPrepQueries}
+import graft.queries.{AnalyticsQueries, CoreQueries, QDef, SimQueries, TextQueries, TrainPrepQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -13,7 +13,8 @@ import graft.queries.{CoreQueries, QDef, SimQueries, TextQueries, TrainPrepQueri
 object SparkEntry {
 
   private def registry: Seq[QDef] =
-    CoreQueries.all ++ TextQueries.all ++ SimQueries.all ++ TrainPrepQueries.all
+    CoreQueries.all ++ TextQueries.all ++ SimQueries.all ++ TrainPrepQueries.all ++
+      AnalyticsQueries.all
 
   /** Flagship query (SURVEY.md §3 E3 build_chatter_master): unified,
     * enriched, chronologically sorted per-contact event timeline.

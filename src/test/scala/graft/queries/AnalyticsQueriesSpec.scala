@@ -1,0 +1,123 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkTesting
+
+/** Plan-shape + invariant checks for the analytics surface
+  * (AnalyticsQueries). Value-level correctness is the DuckDB oracle's
+  * job; these lock the SCALE properties — shuffle counts, broadcast
+  * choices, narrow chunking — and the semantic invariants the oracle
+  * can't see (frame coverage, outlier threshold).
+  */
+class AnalyticsQueriesSpec extends AnyFunSuite {
+  lazy val spark = SparkTesting.spark
+  private def q(name: String) =
+    graft.SparkEntry.queries(name)(spark, SparkTesting.sf)
+
+  private def executed(df: org.apache.spark.sql.DataFrame): String = {
+    df.collect()
+    // AQE's toString appends the pre-adaptive "Initial Plan" — slice it
+    // off so exchange counts refer to the FINAL executed plan only
+    df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+  }
+
+  private def hashExchanges(plan: String): Int =
+    plan.linesIterator.count(_.contains("Exchange hashpartitioning"))
+
+  test("pivot: two-phase aggregate, no join, fixed column set") {
+    val df = q("q_pivot_event_counts")
+    val plan = executed(df)
+    // Catalyst plans pivot as partial count on (user, type) then
+    // pivotfirst on user: 2 exchanges, the second over rows already
+    // reduced to ≤ |users|·|types| — the fact is shuffled only once
+    assert(hashExchanges(plan) == 2, s"pivot is a two-phase agg:\n$plan")
+    assert(!plan.contains("Join"), s"pivot must not join:\n$plan")
+    assert(df.columns.toSeq ==
+      Seq("user_id", "click", "error", "purchase", "signup", "view"))
+    // row invariant: pivot cells sum back to the per-user event count
+    val bad = df.withColumn("total",
+        col("click") + col("error") + col("purchase") + col("signup") + col("view"))
+      .join(graft.pipeline.Tables.t(spark, SparkTesting.sf, "events")
+        .groupBy("user_id").agg(count(lit(1)).as("n")), "user_id")
+      .filter(col("total") =!= col("n")).count()
+    assert(bad == 0)
+  }
+
+  test("window frames: running + moving sums share one shuffle") {
+    val plan = executed(q("q_running_total"))
+    assert(hashExchanges(plan) == 1,
+      s"both frames must ride one user_id exchange:\n$plan")
+  }
+
+  test("lag gap: one shuffle; gaps are non-negative and null-first") {
+    val df = q("q_event_gap_lag")
+    val plan = executed(df)
+    assert(hashExchanges(plan) == 1, s"lag should shuffle once:\n$plan")
+    assert(df.filter(col("gap_us") < 0).count() == 0,
+      "ordered-by-ts gaps can never be negative")
+    val users = df.select("user_id").distinct().count()
+    assert(df.filter(col("gap_us").isNull).count() == users,
+      "exactly one NULL gap (the first event) per user")
+  }
+
+  test("z-score: stats broadcast back onto the fact — no fact shuffle join") {
+    val df = q("q_zscore_outliers")
+    val plan = executed(df)
+    assert(plan.contains("BroadcastHashJoin"),
+      s"per-type stats must broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"the fact must never be shuffled for the stats join:\n$plan")
+    // every surviving row really is past the threshold
+    assert(df.filter(abs(col("z")) <= 2.5).count() == 0)
+  }
+
+  test("inverted index: posting lists capped before collection") {
+    val df = q("q_inverted_index")
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val postings = r.getAs[String]("postings").split(",").filter(_.nonEmpty)
+      assert(postings.length <= 10, s"capped at 10: ${r}")
+      assert(postings.length <= r.getAs[Long]("n_docs"))
+      assert(postings.map(_.toLong).toSeq == postings.map(_.toLong).toSeq.sorted)
+    }
+    // windows + final agg all key on term: distinct pays one shuffle on
+    // (doc_id, term), the term window one more — the groupBy reuses it
+    val plan = executed(df)
+    assert(hashExchanges(plan) <= 2,
+      s"expected ≤2 hash exchanges (distinct, term):\n$plan")
+  }
+
+  test("chunking is narrow (no hash shuffle) and covers every token") {
+    val df = q("q_chunk_stride")
+    val plan = executed(df)
+    assert(hashExchanges(plan) == 0,
+      s"per-row chunking must not shuffle:\n$plan")
+    // exact shape: chunk i holds min(W, n_tok - i·S) tokens (only
+    // the tail can be short), and the chunk count is ⌊(n-1)/S⌋+1 —
+    // together these mean every token is covered and none invented
+    import graft.text.{TextAnalysis => TA}
+    val docs = graft.pipeline.Tables.t(spark, SparkTesting.sf, "documents")
+      .select(col("doc_id"), size(TA.tokens(col("text"))).as("n_tok"))
+    val j = df.join(docs, "doc_id")
+    assert(j.filter(col("n_toks") =!=
+      least(lit(32), col("n_tok") - col("chunk_idx") * 24)).count() == 0,
+      "each chunk holds min(W, n - i*S) tokens")
+    val badCount = df.groupBy("doc_id").agg(count(lit(1)).as("n_chunks"))
+      .join(docs, "doc_id")
+      .filter(col("n_chunks") =!=
+        floor((greatest(col("n_tok"), lit(1)) - 1) / 24) + 1).count()
+    assert(badCount == 0, "chunk count is floor((n-1)/S)+1")
+  }
+
+  test("tf-idf ranks are integer-deterministic and bounded at 3") {
+    val df = q("q_tfidf_topk")
+    val perDoc = df.groupBy("doc_id").agg(count(lit(1)).as("k"),
+      max(col("rnk")).as("maxr")).collect()
+    perDoc.foreach { r =>
+      assert(r.getAs[Long]("k") <= 3)
+      assert(r.getAs[Int]("maxr") <= 3)
+    }
+  }
+}
