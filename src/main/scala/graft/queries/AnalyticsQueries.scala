@@ -282,6 +282,146 @@ object AnalyticsQueries {
         .select(col("doc_id"), col("e.chunk_idx").as("chunk_idx"),
           size(col("e.c")).as("n_toks"),
           concat_ws(" ", col("e.c")).as("chunk"))
-        .orderBy("doc_id", "chunk_idx"))
+        .orderBy("doc_id", "chunk_idx")),
+
+    // CDC snapshot diff: inserted / deleted / updated rows between
+    // two snapshots of the same table, compared by business key +
+    // content hash (the persist layer's row-hash idiom,
+    // run_ac_extraction.py:126-131, turned into a diff operator).
+    // Snapshots are simulated by key-range predicates + a price bump.
+    // 100 TB shape: one full-outer sort-merge join on the key — the
+    // honest minimum for CDC; with both snapshots bucketed on the key
+    // (ScalePlanSpec's bucketed-join property) it runs exchange-free.
+    // Unchanged rows are dropped BEFORE the sort, so the output is
+    // O(churn), not O(table).
+    QDef("q_snapshot_diff", Some("""
+      WITH old AS (SELECT o_orderkey AS k, md5(CAST(o_custkey AS VARCHAR) || '||' || o_orderstatus || '||' ||
+                     CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS VARCHAR)) AS h
+                   FROM orders WHERE o_orderkey % 10 <> 0),
+      novo AS (SELECT o_orderkey AS k, md5(CAST(o_custkey AS VARCHAR) || '||' || o_orderstatus || '||' ||
+                     CAST(CAST(o_totalprice AS DECIMAL(12,2)) + CASE WHEN o_orderkey % 5 = 0 THEN 1 ELSE 0 END AS VARCHAR)) AS h
+                   FROM orders WHERE o_orderkey % 7 <> 0)
+      SELECT coalesce(old.k, novo.k) AS o_orderkey,
+        CASE WHEN old.k IS NULL THEN 'inserted'
+             WHEN novo.k IS NULL THEN 'deleted'
+             ELSE 'updated' END AS status
+      FROM old FULL OUTER JOIN novo ON old.k = novo.k
+      WHERE old.k IS NULL OR novo.k IS NULL OR old.h <> novo.h
+      ORDER BY o_orderkey"""),
+      (s, d) => {
+        val o = t(s, d, "orders")
+        def snap(pred: org.apache.spark.sql.Column, bump: org.apache.spark.sql.Column) =
+          o.filter(pred).select(col("o_orderkey").as("k"),
+            md5(concat_ws("||", col("o_custkey").cast("string"), col("o_orderstatus"),
+              (col("o_totalprice").cast("decimal(12,2)") + bump).cast("string"))).as("h"))
+        val old = snap(col("o_orderkey") % 10 =!= 0, lit(0))
+        val nw = snap(col("o_orderkey") % 7 =!= 0,
+          when(col("o_orderkey") % 5 === 0, 1).otherwise(0))
+        old.as("o").join(nw.as("n"), col("o.k") === col("n.k"), "full_outer")
+          .filter(col("o.k").isNull || col("n.k").isNull || col("o.h") =!= col("n.h"))
+          .select(coalesce(col("o.k"), col("n.k")).as("o_orderkey"),
+            when(col("o.k").isNull, "inserted")
+              .when(col("n.k").isNull, "deleted")
+              .otherwise("updated").as("status"))
+          .orderBy("o_orderkey")
+      }),
+
+    // Gaps-and-islands + SCD-2 closure: consecutive same-type event
+    // runs per user (start, end, length) with the next run's start as
+    // valid_to. The ORACLE derives islands with the classic rn−rn
+    // trick (two different partition keys); the ENGINE uses
+    // lag-change-flag + running sum so EVERYTHING — both window
+    // passes, the run aggregate, the valid_to lead — rides one
+    // user_id exchange (island ids differ between the derivations,
+    // but the runs they induce are identical, and ids never reach
+    // the output). The aggregate reuses the window's partitioning:
+    // hash(user_id) clusters (user_id, type, island) for free.
+    QDef("q_runs_scd2", Some(s"""
+      WITH r AS (SELECT user_id, event_type, ts, event_id,
+          row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        - row_number() OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id) AS island
+        FROM events),
+      g AS (SELECT user_id, event_type, island,
+          strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS run_start,
+          strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS run_end,
+          count(*) AS n
+        FROM r GROUP BY user_id, event_type, island)
+      SELECT user_id, event_type, run_start, run_end, n,
+        lead(run_start) OVER (PARTITION BY user_id ORDER BY run_start, run_end, event_type) AS valid_to
+      FROM g ORDER BY user_id, run_start, event_type"""),
+      (s, d) => {
+        val TS = "yyyy-MM-dd HH:mm:ss"
+        val byU = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        val chg = when(lag(col("event_type"), 1).over(byU).isNull ||
+          lag(col("event_type"), 1).over(byU) =!= col("event_type"), 1).otherwise(0)
+        val island = sum(chg).over(
+          Window.partitionBy("user_id").orderBy("ts", "event_id")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        val g = t(s, d, "events")
+          .withColumn("island", island)
+          .groupBy("user_id", "event_type", "island")
+          .agg(date_format(min(col("ts")), TS).as("run_start"),
+            date_format(max(col("ts")), TS).as("run_end"),
+            count(lit(1)).as("n"))
+        g.withColumn("valid_to", lead(col("run_start"), 1).over(
+            Window.partitionBy("user_id").orderBy("run_start", "run_end", "event_type")))
+          .drop("island")
+          .orderBy("user_id", "run_start", "event_type")
+      }),
+
+    // Per-group MODE with a declared tiebreak (alphabetical) — the
+    // dominant event type per user. Built on the count aggregate +
+    // one row_number window rather than mode()/max_by(), whose tie
+    // behavior is engine-defined: determinism must come from keys.
+    // Both shuffles key on user_id-rooted tuples; the window reuses
+    // the aggregate's clustering.
+    QDef("q_mode_per_group", Some("""
+      WITH c AS (SELECT user_id, event_type, count(*) AS n FROM events GROUP BY 1, 2),
+      r AS (SELECT user_id, event_type, n,
+        row_number() OVER (PARTITION BY user_id ORDER BY n DESC, event_type) AS rn FROM c)
+      SELECT user_id, event_type AS mode_type, n FROM r WHERE rn = 1 ORDER BY user_id"""),
+      (s, d) => {
+        val byU = Window.partitionBy("user_id").orderBy(col("n").desc, col("event_type").asc)
+        t(s, d, "events").groupBy("user_id", "event_type")
+          .agg(count(lit(1)).as("n"))
+          .withColumn("rn", row_number().over(byU))
+          .filter(col("rn") === 1)
+          .select(col("user_id"), col("event_type").as("mode_type"), col("n"))
+          .orderBy("user_id")
+      }),
+
+    // Exact-decimal Pearson correlation per group: corr(quantity,
+    // extendedprice) assembled from exact DECIMAL power sums
+    // (n, Σx, Σy, Σxy, Σx², Σy²) so the result is the same IEEE
+    // double in any partition order — a double corr() aggregate is
+    // not reproducible across cluster layouts. One map-side-combined
+    // aggregate pass; the double math happens on 3 rows.
+    QDef("q_corr_exact", Some("""
+      WITH s AS (SELECT l_returnflag, count(*) AS n,
+        sum(CAST(l_quantity AS DECIMAL(12,2))) AS sx,
+        sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS sy,
+        sum(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(12,2))) AS sxy,
+        sum(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(12,2))) AS sxx,
+        sum(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(12,2))) AS syy
+        FROM lineitem GROUP BY l_returnflag)
+      SELECT l_returnflag, n,
+        CAST((n*CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE)) /
+          (sqrt(n*CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE)) *
+           sqrt(n*CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE)*CAST(sy AS DOUBLE))) AS DECIMAL(10,6)) AS r
+      FROM s ORDER BY l_returnflag"""),
+      (s, d) => {
+        val x = col("l_quantity").cast("decimal(12,2)")
+        val y = col("l_extendedprice").cast("decimal(12,2)")
+        val st = t(s, d, "lineitem").groupBy("l_returnflag").agg(
+          count(lit(1)).as("n"),
+          sum(x).as("sx"), sum(y).as("sy"),
+          sum(x * y).as("sxy"), sum(x * x).as("sxx"), sum(y * y).as("syy"))
+        st.select(col("l_returnflag"), col("n"),
+          ((col("n") * col("sxy").cast("double") - col("sx").cast("double") * col("sy").cast("double")) /
+            (sqrt(col("n") * col("sxx").cast("double") - col("sx").cast("double") * col("sx").cast("double")) *
+             sqrt(col("n") * col("syy").cast("double") - col("sy").cast("double") * col("sy").cast("double"))))
+            .cast("decimal(10,6)").as("r"))
+          .orderBy("l_returnflag")
+      })
   )
 }

@@ -111,6 +111,49 @@ class AnalyticsQueriesSpec extends AnyFunSuite {
     assert(badCount == 0, "chunk count is floor((n-1)/S)+1")
   }
 
+  test("snapshot diff: full-outer merge join, output is churn-only") {
+    val df = q("q_snapshot_diff")
+    val plan = executed(df)
+    assert(plan.contains("SortMergeJoin") && plan.contains("FullOuter"),
+      s"CDC diff is a full-outer sort-merge join:\n$plan")
+    val statuses = df.select("status").distinct().collect().map(_.getString(0)).toSet
+    assert(statuses.subsetOf(Set("inserted", "deleted", "updated")),
+      s"unchanged rows must be filtered out, got $statuses")
+  }
+
+  test("runs/SCD-2: lag+cumsum islands ride ONE user_id exchange") {
+    val df = q("q_runs_scd2")
+    val plan = executed(df)
+    // the headline: change-flag window, running-sum island, run
+    // aggregate AND valid_to lead all reuse hash(user_id) — the
+    // oracle's rn−rn derivation would need a second (user,type) one
+    assert(hashExchanges(plan) == 1,
+      s"islands must not add exchanges beyond hash(user_id):\n$plan")
+    val events = graft.pipeline.Tables.t(spark, SparkTesting.sf, "events").count()
+    val runTotal = df.agg(sum("n")).collect()(0).getLong(0)
+    assert(runTotal == events, "every event belongs to exactly one run")
+    val users = df.select("user_id").distinct().count()
+    assert(df.filter(col("valid_to").isNull).count() == users,
+      "exactly one open (current) run per user")
+  }
+
+  test("mode: one winner per user, threshold respected by tiebreak") {
+    val df = q("q_mode_per_group")
+    val users = graft.pipeline.Tables.t(spark, SparkTesting.sf, "events")
+      .select("user_id").distinct().count()
+    assert(df.count() == users)
+    assert(df.select("user_id").distinct().count() == users)
+  }
+
+  test("exact-decimal pearson r stays in [-1, 1]") {
+    val rows = q("q_corr_exact").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val v = r.getAs[java.math.BigDecimal]("r").doubleValue()
+      assert(v >= -1.0 && v <= 1.0, s"r out of range: $r")
+    }
+  }
+
   test("tf-idf ranks are integer-deterministic and bounded at 3") {
     val df = q("q_tfidf_topk")
     val perDoc = df.groupBy("doc_id").agg(count(lit(1)).as("k"),
