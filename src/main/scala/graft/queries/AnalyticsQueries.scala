@@ -422,6 +422,120 @@ object AnalyticsQueries {
              sqrt(col("n") * col("syy").cast("double") - col("sy").cast("double") * col("sy").cast("double"))))
             .cast("decimal(10,6)").as("r"))
           .orderBy("l_returnflag")
+      }),
+
+    // NTILE segmentation: users split into spend quartiles — the
+    // per-contact scoring band the reference's digest renders as
+    // text. ntile needs a GLOBAL order over one row per user: fine,
+    // because the ranked relation is already aggregated to |users|
+    // rows — never ntile a raw fact. Tiebreak (total DESC, user_id)
+    // declared so band boundaries are engine-independent.
+    QDef("q_ntile_quartiles", Some("""
+      WITH u AS (SELECT user_id, sum(CAST(value AS DECIMAL(12,2))) AS tot
+                 FROM events GROUP BY user_id)
+      SELECT user_id, CAST(tot AS VARCHAR) AS total,
+             ntile(4) OVER (ORDER BY tot DESC, user_id) AS quartile
+      FROM u ORDER BY user_id"""),
+      (s, d) => t(s, d, "events")
+        .groupBy("user_id")
+        .agg(sum(col("value").cast("decimal(12,2)")).as("tot"))
+        .withColumn("quartile", ntile(4).over(
+          Window.orderBy(col("tot").desc, col("user_id").asc)))
+        .select(col("user_id"), col("tot").cast("string").as("total"), col("quartile"))
+        .orderBy("user_id")),
+
+    // Time-series RESAMPLE + LOCF gap fill: per-user daily grid from
+    // first to last active day, observed daily totals carried
+    // forward over silent days (`last` with ignoreNulls — the
+    // forward-fill every feature pipeline needs before a model sees
+    // regular time steps). Grid generation is a narrow per-user
+    // sequence+explode (O(days) fan-out, no driver loop); the join
+    // back to observed days and the fill window both key on user_id.
+    QDef("q_resample_locf", Some("""
+      WITH b AS (SELECT user_id, date_trunc('day', min(ts)) AS d0, date_trunc('day', max(ts)) AS d1
+                 FROM events GROUP BY user_id),
+      grid AS (SELECT user_id, unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS day FROM b),
+      daily AS (SELECT user_id, date_trunc('day', ts) AS day, sum(CAST(value AS DECIMAL(12,2))) AS v
+                FROM events GROUP BY 1, 2),
+      j AS (SELECT g.user_id, g.day, d.v,
+              CASE WHEN d.v IS NULL THEN 0 ELSE 1 END AS observed,
+              last_value(d.v IGNORE NULLS) OVER (PARTITION BY g.user_id ORDER BY g.day
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled
+            FROM grid g LEFT JOIN daily d ON g.user_id = d.user_id AND g.day = d.day)
+      SELECT user_id, strftime(day, '%Y-%m-%d') AS day, observed, CAST(filled AS VARCHAR) AS filled
+      FROM j ORDER BY user_id, day"""),
+      (s, d) => {
+        val ev = t(s, d, "events")
+        val grid = ev.groupBy("user_id")
+          .agg(date_trunc("day", min(col("ts"))).as("d0"),
+            date_trunc("day", max(col("ts"))).as("d1"))
+          .select(col("user_id"),
+            explode(expr("sequence(d0, d1, interval 1 day)")).as("day"))
+        val daily = ev.groupBy(col("user_id"), date_trunc("day", col("ts")).as("day"))
+          .agg(sum(col("value").cast("decimal(12,2)")).as("v"))
+        val fill = Window.partitionBy("user_id").orderBy("day")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        grid.join(daily, Seq("user_id", "day"), "left")
+          .select(col("user_id"),
+            date_format(col("day"), "yyyy-MM-dd").as("day"),
+            when(col("v").isNull, 0).otherwise(1).as("observed"),
+            last(col("v"), ignoreNulls = true).over(fill).cast("string").as("filled"))
+          .orderBy("user_id", "day")
+      }),
+
+    // Fuzzy entity resolution (record linkage): resolve a probe set
+    // of typo'd names (deterministic substitution + deletion
+    // corruptions) back to the customer corpus within edit distance
+    // 1 — WITHOUT an n×m cross join. Candidate generation is
+    // SymSpell-style deletion-neighborhood banding: each side emits
+    // its name plus every single-deletion variant as band keys, and
+    // any distance-1 pair provably shares a key; the equi-join on
+    // keys bounds work by bucket density (O(len) keys per name),
+    // then exact levenshtein verifies. The same pigeonhole shape as
+    // the simhash/winnow pair generators, applied to edit distance.
+    QDef("q_fuzzy_resolve", Some("""
+      WITH probes AS (
+        SELECT c_custkey AS probe_key, 'X' || substr(c_name, 2) AS probe_name
+        FROM customer WHERE c_custkey % 11 = 0
+        UNION ALL
+        SELECT c_custkey, substr(c_name, 1, 8) || substr(c_name, 10)
+        FROM customer WHERE c_custkey % 13 = 0),
+      ck AS (SELECT c_custkey, c_name, unnest(list_prepend(c_name,
+               list_transform(range(1, len(c_name)+1),
+                 i -> substr(c_name, 1, i-1) || substr(c_name, i+1, len(c_name))))) AS key
+             FROM customer),
+      pk AS (SELECT probe_key, probe_name, unnest(list_prepend(probe_name,
+               list_transform(range(1, len(probe_name)+1),
+                 i -> substr(probe_name, 1, i-1) || substr(probe_name, i+1, len(probe_name))))) AS key
+             FROM probes),
+      cand AS (SELECT DISTINCT probe_key, probe_name, c_custkey, c_name FROM pk JOIN ck USING (key))
+      SELECT probe_key, probe_name, c_custkey, levenshtein(probe_name, c_name) AS dist
+      FROM cand WHERE levenshtein(probe_name, c_name) <= 1
+      ORDER BY probe_key, probe_name, c_custkey"""),
+      (s, d) => {
+        val cust = t(s, d, "customer")
+        // the name itself + every single-deletion variant, one SQL
+        // fragment shared by both sides so banding cannot drift
+        def keyed(df: org.apache.spark.sql.DataFrame, nameCol: String) =
+          df.withColumn("key", explode(expr(
+            s"""array_union(array($nameCol), transform(
+               |  sequence(1, length($nameCol)),
+               |  i -> concat(substr($nameCol, 1, i-1), substr($nameCol, i+1))))""".stripMargin)))
+        val probes = cust.filter(col("c_custkey") % 11 === 0)
+          .select(col("c_custkey").as("probe_key"),
+            concat(lit("X"), expr("substr(c_name, 2)")).as("probe_name"))
+          .unionAll(cust.filter(col("c_custkey") % 13 === 0)
+            .select(col("c_custkey").as("probe_key"),
+              concat(expr("substr(c_name, 1, 8)"), expr("substr(c_name, 10)")).as("probe_name")))
+        val ck = keyed(cust.select(col("c_custkey"), col("c_name")), "c_name")
+        val pk = keyed(probes, "probe_name")
+        pk.join(ck, "key")
+          .select(col("probe_key"), col("probe_name"), col("c_custkey"), col("c_name"))
+          .distinct()
+          .withColumn("dist", levenshtein(col("probe_name"), col("c_name")))
+          .filter(col("dist") <= 1)
+          .drop("c_name")
+          .orderBy("probe_key", "probe_name", "c_custkey")
       })
   )
 }

@@ -154,6 +154,45 @@ class AnalyticsQueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("ntile quartiles are balanced and complete") {
+    val sizes = q("q_ntile_quartiles").groupBy("quartile").count()
+      .collect().map(r => r.getAs[Int]("quartile") -> r.getAs[Long]("count")).toMap
+    assert(sizes.keySet == Set(1, 2, 3, 4))
+    assert(sizes.values.max - sizes.values.min <= 1,
+      s"ntile must balance band sizes within 1: $sizes")
+  }
+
+  test("resample/LOCF: contiguous daily grid, no null after first day") {
+    val df = q("q_resample_locf")
+    assert(df.filter(col("filled").isNull).count() == 0,
+      "grid starts at each user's first ACTIVE day, so LOCF never lacks a seed")
+    val ev = graft.pipeline.Tables.t(spark, SparkTesting.sf, "events")
+    val observedDays = ev.select(col("user_id"), to_date(col("ts")).as("d")).distinct().count()
+    assert(df.filter(col("observed") === 1).count() == observedDays,
+      "observed flags reproduce the distinct active (user, day) set")
+    // contiguity: rows per user == span between first and last day
+    val bad = df.groupBy("user_id")
+      .agg(count(lit(1)).as("rows"), min("day").as("d0"), max("day").as("d1"))
+      .filter(col("rows") =!= datediff(col("d1"), col("d0")) + 1).count()
+    assert(bad == 0, "every day in the span appears exactly once")
+  }
+
+  test("fuzzy resolve: banding finds every planted typo, no nested loop") {
+    val df = q("q_fuzzy_resolve")
+    val plan = executed(df)
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"),
+      s"deletion-neighborhood banding must stay an equi-join:\n$plan")
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    // every planted corruption is distance 1 from exactly its source
+    assert(rows.forall(r => r.getAs[Long]("probe_key") == r.getAs[Long]("c_custkey")),
+      "each typo'd probe must resolve to its own source row")
+    val probes = graft.pipeline.Tables.t(spark, SparkTesting.sf, "customer")
+      .filter(col("c_custkey") % 11 === 0 || col("c_custkey") % 13 === 0).count()
+    assert(rows.map(_.getAs[Long]("probe_key")).distinct.length == probes,
+      "no probe goes unresolved")
+  }
+
   test("tf-idf ranks are integer-deterministic and bounded at 3") {
     val df = q("q_tfidf_topk")
     val perDoc = df.groupBy("doc_id").agg(count(lit(1)).as("k"),
