@@ -536,6 +536,134 @@ object AnalyticsQueries {
           .filter(col("dist") <= 1)
           .drop("c_name")
           .orderBy("probe_key", "probe_name", "c_custkey")
+      }),
+
+    // WINSORIZE: clamp values to the per-type [p05, p95] band — the
+    // outlier-taming cousin of q_zscore_outliers (flagging) used
+    // before training on heavy-tailed features. Percentile bounds by
+    // integer RANK SELECTION over DECIMAL values (the
+    // q_doc_len_pctl discipline) — no interpolating quantiles, so
+    // the band edges are actual data values and cross-engine exact.
+    // One rank window + a tiny bounds table broadcast back: the fact
+    // is shuffled once (the window) and never for the clamp join.
+    QDef("q_winsorize", Some("""
+      WITH v AS (SELECT event_id, event_type, CAST(value AS DECIMAL(12,2)) AS dv FROM events),
+      r AS (SELECT event_type, dv, event_id,
+              row_number() OVER (PARTITION BY event_type ORDER BY dv, event_id) AS rn,
+              count(*) OVER (PARTITION BY event_type) AS n
+            FROM v),
+      b AS (SELECT event_type,
+              min(CASE WHEN rn = greatest(1, CAST(ceil(0.05 * n) AS BIGINT)) THEN dv END) AS lo,
+              min(CASE WHEN rn = CAST(ceil(0.95 * n) AS BIGINT) THEN dv END) AS hi
+            FROM r GROUP BY event_type)
+      SELECT v.event_id, v.event_type,
+        CAST(CASE WHEN v.dv < b.lo THEN b.lo WHEN v.dv > b.hi THEN b.hi ELSE v.dv END AS VARCHAR) AS clamped,
+        CASE WHEN v.dv < b.lo OR v.dv > b.hi THEN 1 ELSE 0 END AS was_clamped
+      FROM v JOIN b USING (event_type) ORDER BY v.event_id"""),
+      (s, d) => {
+        val v = t(s, d, "events").select(col("event_id"), col("event_type"),
+          col("value").cast("decimal(12,2)").as("dv"))
+        val byType = Window.partitionBy("event_type")
+        val ranked = v
+          .withColumn("rn", row_number().over(byType.orderBy("dv", "event_id")))
+          .withColumn("n", count(lit(1)).over(byType))
+        val bounds = ranked.groupBy("event_type").agg(
+          min(when(col("rn") === greatest(lit(1L), ceil(lit(0.05) * col("n")).cast("long")),
+            col("dv"))).as("lo"),
+          min(when(col("rn") === ceil(lit(0.95) * col("n")).cast("long"), col("dv"))).as("hi"))
+        v.join(broadcast(bounds), "event_type")
+          .select(col("event_id"), col("event_type"),
+            when(col("dv") < col("lo"), col("lo"))
+              .when(col("dv") > col("hi"), col("hi"))
+              .otherwise(col("dv")).cast("string").as("clamped"),
+            when(col("dv") < col("lo") || col("dv") > col("hi"), 1).otherwise(0)
+              .as("was_clamped"))
+          .orderBy("event_id")
+      }),
+
+    // GRAPH: per-node triangle support over the near-dup graph (the
+    // mod-13 Jaccard≥0.6 edge set shared with q_dedup_cluster) —
+    // triangle density distinguishes genuine duplicate CLIQUES from
+    // chains of pairwise-similar docs before survivor selection.
+    // Edges are oriented a<b so each triangle is enumerated exactly
+    // once by the e(a,b)⋈e(b,c)⋈e(a,c) two-join plan; the edge set
+    // is persisted — three scans of one materialization, not three
+    // runs of the whole Jaccard pipeline. At web scale the standard
+    // extra step is degeneracy (low-degree-first) orientation, which
+    // bounds the join fan-out per node by core number, not degree.
+    QDef("q_triangle_support", Some(s"""
+      WITH d AS (SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS toks
+                 FROM documents WHERE doc_id % 13 = 0),
+      tok AS (SELECT DISTINCT doc_id, unnest(toks) AS tok FROM d),
+      sz AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id),
+      inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+                FROM tok a JOIN tok b ON a.tok = b.tok AND a.doc_id < b.doc_id GROUP BY 1, 2),
+      e AS (SELECT doc_a, doc_b FROM inter
+            JOIN sz sa ON doc_a = sa.doc_id JOIN sz sb ON doc_b = sb.doc_id
+            WHERE i * 10 >= 6 * (sa.n + sb.n - i)),
+      tri AS (SELECT e1.doc_a AS a, e1.doc_b AS b, e2.doc_b AS c
+              FROM e e1 JOIN e e2 ON e2.doc_a = e1.doc_b
+              JOIN e e3 ON e3.doc_a = e1.doc_a AND e3.doc_b = e2.doc_b),
+      m AS (SELECT a AS doc_id FROM tri UNION ALL SELECT b FROM tri UNION ALL SELECT c FROM tri)
+      SELECT doc_id, count(*) AS n_triangles FROM m GROUP BY doc_id ORDER BY doc_id"""),
+      (s, d) => {
+        val tok = t(s, d, "documents").filter(col("doc_id") % 13 === 0)
+          .select(col("doc_id"), explode(TA.tokens(col("text"))).as("tok")).distinct()
+        val e = NearDup.tokenJaccardPairs(tok, "doc_id", "tok", 6)
+          .filter(col("near_dup") === 1).select("doc_a", "doc_b")
+          .persist()
+        val tri = e.select(col("doc_a").as("a"), col("doc_b").as("b"))
+          .join(e.select(col("doc_a").as("b"), col("doc_b").as("c")), "b")
+          .join(e.select(col("doc_a").as("a"), col("doc_b").as("c")), Seq("a", "c"))
+        tri.select(col("a").as("doc_id"))
+          .unionAll(tri.select(col("b").as("doc_id")))
+          .unionAll(tri.select(col("c").as("doc_id")))
+          .groupBy("doc_id").agg(count(lit(1)).as("n_triangles"))
+          .orderBy("doc_id")
+      }),
+
+    // Sketch-based QUANTILES: per-type approximate median with a
+    // VERIFIED rank bound (the q_approx_distinct discipline for
+    // quantiles). The sketch value itself is engine-specific, so the
+    // oracle-checked surface is the exact rank-selected median plus
+    // a within_bound flag: the sketch's value must sit within ±1% of
+    // the target rank — generous against percentile_approx's HARD
+    // deterministic n/accuracy=0.1% guarantee (not probabilistic, so
+    // the flag can never flip). 100 TB: the sketch is one
+    // map-combined pass; the rank check joins a 5-row broadcast.
+    QDef("q_approx_pctl", Some("""
+      WITH v AS (SELECT event_id, event_type, CAST(value AS DECIMAL(12,2)) AS dv FROM events),
+      r AS (SELECT event_type, dv,
+              row_number() OVER (PARTITION BY event_type ORDER BY dv, event_id) AS rn,
+              count(*) OVER (PARTITION BY event_type) AS n
+            FROM v)
+      SELECT event_type, n, CAST(dv AS VARCHAR) AS exact_p50,
+             CAST(1 AS INTEGER) AS within_bound
+      FROM r WHERE rn = greatest(1, CAST(floor(0.5 * n) AS BIGINT))
+      ORDER BY event_type"""),
+      (s, d) => {
+        val v = t(s, d, "events").select(col("event_id"), col("event_type"),
+          col("value").cast("decimal(12,2)").as("dv"))
+        val byType = Window.partitionBy("event_type")
+        val exact = v
+          .withColumn("rn", row_number().over(byType.orderBy("dv", "event_id")))
+          .withColumn("n", count(lit(1)).over(byType))
+          .filter(col("rn") === greatest(lit(1L), floor(lit(0.5) * col("n")).cast("long")))
+          .select(col("event_type"), col("n"), col("dv").as("exact_p50"))
+        val sketch = v.groupBy("event_type")
+          .agg(expr("approx_percentile(dv, 0.5, 1000)").as("ap"))
+        val rankCheck = v.join(broadcast(sketch), "event_type")
+          .groupBy("event_type").agg(
+            sum(when(col("dv") < col("ap"), 1L).otherwise(0L)).as("cnt_lt"),
+            sum(when(col("dv") <= col("ap"), 1L).otherwise(0L)).as("cnt_le"))
+        val target = floor(lit(0.5) * col("n")).cast("long")
+        val tol = greatest(ceil(col("n") * lit(0.01)).cast("long"), lit(3L))
+        exact.join(broadcast(rankCheck), "event_type")
+          .select(col("event_type"), col("n"),
+            col("exact_p50").cast("string").as("exact_p50"),
+            (col("cnt_lt") + 1 <= target + tol && col("cnt_le") >= target - tol)
+              .cast("int").as("within_bound"))
+          .orderBy("event_type")
       })
   )
 }

@@ -193,6 +193,40 @@ class AnalyticsQueriesSpec extends AnyFunSuite {
       "no probe goes unresolved")
   }
 
+  test("winsorize: ~10% clamped, bounds broadcast, one fact shuffle") {
+    val df = q("q_winsorize")
+    val plan = executed(df)
+    assert(plan.contains("BroadcastHashJoin"), s"bounds must broadcast:\n$plan")
+    assert(hashExchanges(plan) == 1,
+      s"rank window is the only fact shuffle; the clamp join adds none:\n$plan")
+    val n = df.count().toDouble
+    val clamped = df.filter(col("was_clamped") === 1).count().toDouble
+    assert(clamped / n > 0.06 && clamped / n < 0.14,
+      s"p05/p95 clamping should touch ~10% of rows, got ${clamped / n}")
+  }
+
+  test("triangle support: equi-join plan, nodes from the sampled subgraph") {
+    val df = q("q_triangle_support")
+    val plan = executed(df)
+    assert(!plan.contains("CartesianProduct"),
+      s"triangle enumeration must stay equi-joins:\n$plan")
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("doc_id") % 13 == 0, "nodes come from the mod-13 sample")
+      assert(r.getAs[Long]("n_triangles") >= 1)
+    }
+  }
+
+  test("approx percentile: sketch rank check rides broadcasts only") {
+    val df = q("q_approx_pctl")
+    val plan = executed(df)
+    assert(plan.contains("BroadcastHashJoin") && !plan.contains("SortMergeJoin"),
+      s"sketch + rank-check tables broadcast; the fact is never join-shuffled:\n$plan")
+    assert(df.filter(col("within_bound") =!= 1).count() == 0,
+      "percentile_approx's deterministic rank guarantee must hold")
+  }
+
   test("tf-idf ranks are integer-deterministic and bounded at 3") {
     val df = q("q_tfidf_topk")
     val perDoc = df.groupBy("doc_id").agg(count(lit(1)).as("k"),
