@@ -664,6 +664,73 @@ object AnalyticsQueries {
             (col("cnt_lt") + 1 <= target + tol && col("cnt_le") >= target - tol)
               .cast("int").as("within_bound"))
           .orderBy("event_type")
+      }),
+
+    // Conversion FUNNEL: signup → view → purchase with a 1-day
+    // deadline per step, each step's clock starting at the previous
+    // step's completion (strictly ordered, not bag-of-events). Each
+    // step is a selective type-filtered scan (filter reaches the
+    // parquet reader) min-joined to the previous step's per-user
+    // completion times — equi-joins on user_id, a uniform key; AQE
+    // broadcasts the step table while it fits, and the shuffle form
+    // stays correct when a 100 TB user base outgrows that.
+    QDef("q_funnel_steps", Some("""
+      WITH s AS (SELECT user_id, min(ts) AS t1 FROM events WHERE event_type = 'signup' GROUP BY user_id),
+      v AS (SELECT e.user_id, min(ts) AS t2 FROM events e JOIN s ON e.user_id = s.user_id
+            WHERE event_type = 'view' AND ts > t1 AND ts <= t1 + INTERVAL 1 DAY GROUP BY e.user_id),
+      p AS (SELECT e.user_id, min(ts) AS t3 FROM events e JOIN v ON e.user_id = v.user_id
+            WHERE event_type = 'purchase' AND ts > t2 AND ts <= t2 + INTERVAL 1 DAY GROUP BY e.user_id)
+      SELECT 'step1_signup' AS step, count(*) AS users FROM s
+      UNION ALL SELECT 'step2_view', count(*) FROM v
+      UNION ALL SELECT 'step3_purchase', count(*) FROM p
+      ORDER BY step"""),
+      (s, d) => {
+        val ev = t(s, d, "events")
+        def step(evType: String, prev: org.apache.spark.sql.DataFrame,
+                 prevT: String, outT: String) =
+          ev.filter(col("event_type") === evType)
+            .join(prev, "user_id")
+            .filter(col("ts") > col(prevT) &&
+              col("ts") <= col(prevT) + expr("INTERVAL 1 DAY"))
+            .groupBy("user_id").agg(min(col("ts")).as(outT))
+        val s1 = ev.filter(col("event_type") === "signup")
+          .groupBy("user_id").agg(min(col("ts")).as("t1"))
+        val s2 = step("view", s1, "t1", "t2")
+        val s3 = step("purchase", s2, "t2", "t3")
+        def counted(df: org.apache.spark.sql.DataFrame, name: String) =
+          df.agg(count(lit(1)).as("users")).select(lit(name).as("step"), col("users"))
+        counted(s1, "step1_signup")
+          .unionAll(counted(s2, "step2_view"))
+          .unionAll(counted(s3, "step3_purchase"))
+          .orderBy("step")
+      }),
+
+    // COHORT RETENTION: users grouped by first-touch week, counted
+    // as active per week offset — the activation/retention matrix.
+    // First-touch is one agg on user_id; the offset derivation joins
+    // it back and dedups (user, week) activity before counting, so
+    // the final matrix aggregate sees |users|·|weeks| rows, never
+    // raw events. Week math stays integral: both engines truncate to
+    // ISO weeks and difference whole days / 7.
+    QDef("q_cohort_retention", Some("""
+      WITH f AS (SELECT user_id, date_trunc('week', min(ts)) AS cohort FROM events GROUP BY user_id),
+      a AS (SELECT DISTINCT e.user_id, f.cohort,
+              CAST(date_diff('week', f.cohort, date_trunc('week', e.ts)) AS BIGINT) AS wk
+            FROM events e JOIN f ON e.user_id = f.user_id)
+      SELECT strftime(cohort, '%Y-%m-%d') AS cohort_week, wk, count(*) AS active_users
+      FROM a GROUP BY cohort, wk ORDER BY cohort_week, wk"""),
+      (s, d) => {
+        val ev = t(s, d, "events")
+        val f = ev.groupBy("user_id").agg(date_trunc("week", min(col("ts"))).as("cohort"))
+        ev.join(f, "user_id")
+          .select(col("user_id"), col("cohort"),
+            (datediff(date_trunc("week", col("ts")), col("cohort")) / 7)
+              .cast("long").as("wk"))
+          .distinct()
+          .groupBy("cohort", "wk").agg(count(lit(1)).as("active_users"))
+          .select(date_format(col("cohort"), "yyyy-MM-dd").as("cohort_week"),
+            col("wk"), col("active_users"))
+          .orderBy("cohort_week", "wk")
       })
   )
 }

@@ -227,6 +227,30 @@ class AnalyticsQueriesSpec extends AnyFunSuite {
       "percentile_approx's deterministic rank guarantee must hold")
   }
 
+  test("funnel steps are monotone non-increasing") {
+    val counts = q("q_funnel_steps").collect()
+      .map(r => r.getAs[String]("step") -> r.getAs[Long]("users")).sortBy(_._1).map(_._2)
+    assert(counts.length == 3)
+    assert(counts(0) >= counts(1) && counts(1) >= counts(2),
+      s"ordered deadlines can only lose users: ${counts.toSeq}")
+  }
+
+  test("cohort retention: offsets non-negative, week 0 covers the cohort") {
+    val df = q("q_cohort_retention")
+    assert(df.filter(col("wk") < 0).count() == 0,
+      "no activity precedes a user's first-touch week")
+    // every user is active in their own first-touch week, so the
+    // wk=0 cell of each cohort equals the cohort's size
+    val ev = graft.pipeline.Tables.t(spark, SparkTesting.sf, "events")
+    val cohortSizes = ev.groupBy("user_id")
+      .agg(date_format(date_trunc("week", min(col("ts"))), "yyyy-MM-dd").as("cohort_week"))
+      .groupBy("cohort_week").agg(count(lit(1)).as("size"))
+    val bad = df.filter(col("wk") === 0)
+      .join(cohortSizes, "cohort_week")
+      .filter(col("active_users") =!= col("size")).count()
+    assert(bad == 0)
+  }
+
   test("tf-idf ranks are integer-deterministic and bounded at 3") {
     val df = q("q_tfidf_topk")
     val perDoc = df.groupBy("doc_id").agg(count(lit(1)).as("k"),
