@@ -243,16 +243,10 @@ object TrainPrepQueries {
                   WHEN b < 230 THEN 'val'
                   ELSE 'test' END AS split
       FROM h ORDER BY doc_id"""),
-      (s, d) => {
-        val b = conv(substring(
-          md5(concat(lit("split1|"), col("doc_id").cast(StringType))), 1, 2),
-          16, 10).cast(IntegerType)
-        t(s, d, "documents")
-          .select(col("doc_id"), col("lang"),
-            when(b < 204, "train").when(b < 230, "val").otherwise("test")
-              .as("split"))
-          .orderBy("doc_id")
-      }),
+      (s, d) => t(s, d, "documents")
+        .select(col("doc_id"), col("lang"),
+          graft.text.Mixing.splitAssign("split1", col("doc_id")).as("split"))
+        .orderBy("doc_id")),
 
     // Corpus LENGTH PERCENTILES: exact discrete p50/p90/p99 of doc
     // length per source, selected by INTEGER rank index
@@ -405,6 +399,89 @@ object TrainPrepQueries {
           min(col("n_chars")).as("min_chars"),
           max(col("n_chars")).as("max_chars"),
           sum(col("n_chars")).cast(LongType).as("sum_chars"))
-        .orderBy("bucket"))
+        .orderBy("bucket")),
+
+    // The composed CURATION LIFECYCLE (pipeline.Curation — the
+    // training-data runFull): quality gate → exact dedup → near-dup
+    // cluster reps → benchmark decontamination → split assignment,
+    // audited as per-stage survivor counts and verified end-to-end
+    // against one oracle statement that replays the WHOLE chain.
+    // Runs on the mod-13 sample (the cluster queries' bound) with
+    // exact-Jaccard edges so the oracle's recursive-CTE components
+    // stay cheap; the scale path swaps in LSH candidate pairs
+    // (CurationSpec proves the swap preserves the lifecycle's
+    // invariants).
+    QDef("q_curate_audit", Some("""
+      WITH RECURSIVE
+      s0 AS (SELECT * FROM documents WHERE doc_id % 13 = 0),
+      dd AS (SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS toks FROM s0),
+      m AS (SELECT doc_id,
+        CAST(len(toks) AS BIGINT) AS n_tokens,
+        CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct,
+        CAST(len(list_filter(toks, t -> t IN ('the', 'a'))) AS BIGINT) AS n_stop,
+        CAST(COALESCE(list_sum(list_transform(toks, t -> length(t))), 0) AS BIGINT) AS tok_chars
+        FROM dd),
+      q AS (SELECT s0.* FROM s0 JOIN m USING (doc_id)
+            WHERE n_tokens >= 20 AND n_tokens <= 90
+              AND 100 * tok_chars >= 420 * n_tokens AND 100 * tok_chars <= 520 * n_tokens
+              AND 2 * n_distinct >= n_tokens AND n_stop > 0),
+      ex AS (SELECT min(doc_id) AS doc_id FROM q GROUP BY md5(text)),
+      q2 AS (SELECT q.* FROM q JOIN ex USING (doc_id)),
+      tok AS (SELECT DISTINCT doc_id, unnest(toks) AS tok
+              FROM (SELECT dd.doc_id, dd.toks FROM dd JOIN q2 USING (doc_id))),
+      sz AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id),
+      inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+                FROM tok a JOIN tok b ON a.tok = b.tok AND a.doc_id < b.doc_id
+                GROUP BY doc_a, doc_b),
+      pairs AS (SELECT doc_a, doc_b FROM inter
+                JOIN sz sa ON doc_a = sa.doc_id JOIN sz sb ON doc_b = sb.doc_id
+                WHERE i * 10 >= 6 * (sa.n + sb.n - i)),
+      edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+                UNION ALL SELECT doc_b, doc_a FROM pairs),
+      reach AS (
+        SELECT doc_id AS id, doc_id AS r FROM q2
+        UNION
+        SELECT reach.id, e.dst FROM reach JOIN edges e ON e.src = reach.r),
+      cc AS (SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id),
+      rp AS (SELECT cc.doc_id, row_number() OVER (PARTITION BY cluster_id
+               ORDER BY s0.n_chars DESC, cc.doc_id) AS rn
+             FROM cc JOIN s0 ON s0.doc_id = cc.doc_id),
+      q3 AS (SELECT q2.* FROM q2 JOIN rp ON rp.doc_id = q2.doc_id AND rp.rn = 1),
+      fd AS (SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS toks
+             FROM documents),
+      evsh AS (SELECT DISTINCT sh FROM
+        (SELECT unnest(list_transform(range(1, greatest(len(toks) - 2, 1)),
+           i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3])) AS sh
+         FROM fd WHERE doc_id % 50 = 0)),
+      trsh AS (SELECT doc_id, unnest(list_transform(range(1, greatest(len(toks) - 2, 1)),
+                 i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3])) AS sh
+               FROM (SELECT fd.doc_id, fd.toks FROM fd JOIN q3 USING (doc_id))
+               WHERE doc_id % 50 <> 0),
+      bad AS (SELECT DISTINCT trsh.doc_id FROM trsh JOIN evsh USING (sh)),
+      q4 AS (SELECT * FROM q3 WHERE doc_id % 50 <> 0
+             AND doc_id NOT IN (SELECT doc_id FROM bad)),
+      sp AS (SELECT CASE WHEN b < 204 THEN 'f_train' WHEN b < 230 THEN 'g_val'
+                         ELSE 'h_test' END AS stage
+             FROM (SELECT CAST(('0x' || substr(md5('split1|' || doc_id), 1, 2)) AS INTEGER) AS b
+                   FROM q4))
+      SELECT * FROM (
+        SELECT 'a_raw' AS stage, count(*) AS n_docs FROM s0
+        UNION ALL SELECT 'b_quality', count(*) FROM q
+        UNION ALL SELECT 'c_exact_dedup', count(*) FROM q2
+        UNION ALL SELECT 'd_neardup_rep', count(*) FROM q3
+        UNION ALL SELECT 'e_decontam', count(*) FROM q4
+        UNION ALL SELECT stage, count(*) FROM sp GROUP BY stage
+      ) ORDER BY stage"""),
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val st = graft.pipeline.Curation.curate(
+          docs.filter(col("doc_id") % 13 === 0),
+          docs.filter(col("doc_id") % 50 === 0),
+          ex => NearDup.tokenJaccardPairs(
+            ex.select(col("doc_id"), explode(TA.tokens(col("text"))).as("tok")).distinct(),
+            "doc_id", "tok", 6)
+            .filter(col("near_dup") === 1).select("doc_a", "doc_b"))
+        graft.pipeline.Curation.audit(st)
+      })
   )
 }

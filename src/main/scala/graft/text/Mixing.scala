@@ -21,6 +21,19 @@ import org.apache.spark.sql.types.{ArrayType, IntegerType, LongType, StringType}
   */
 object Mixing {
 
+  /** Stable train/val/test assignment (80/10/10) from a seed-stamped
+    * md5 byte of the id — the ONE split rule, shared by the
+    * registered operator (q_split_assign) and the curation lifecycle
+    * (pipeline.Curation) so corpus splits cannot drift between the
+    * standalone operator and the composed pipeline. Byte thresholds:
+    * 204/256 ≈ 80%, 230/256 ≈ 10%/10%. Pure per-row projection. */
+  def splitAssign(seed: String, id: Column): Column = {
+    val b = conv(substring(
+      md5(concat(lit(s"$seed|"), id.cast(StringType))), 1, 2), 16, 10)
+      .cast(IntegerType)
+    when(b < 204, "train").when(b < 230, "val").otherwise("test")
+  }
+
   /** Copy count for one row: whole epochs + the hash-decided
     * fractional epoch. Fractions must be expressible in nibble
     * sixteenths (0, 62.5‰, 125‰, …) so the hash decision is exact. */
