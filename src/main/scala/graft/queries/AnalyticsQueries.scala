@@ -731,6 +731,53 @@ object AnalyticsQueries {
           .select(date_format(col("cohort"), "yyyy-MM-dd").as("cohort_week"),
             col("wk"), col("active_users"))
           .orderBy("cohort_week", "wk")
+      }),
+
+    // A/B EXPERIMENT READOUT: two-proportion z-test on a per-user
+    // conversion metric (≥14 purchases), variants split by
+    // user_id % 2. The statistic is assembled from exact integer
+    // counts only — the double math happens on ONE row — so the
+    // readout is identical on any cluster layout, and the oracle
+    // hash-checks the z value to 4 decimals. 100 TB shape: one
+    // per-user aggregate, one 2-row variant aggregate, then a 1-row
+    // pivot; the fact is shuffled once on user_id. A zero pooled
+    // variance (all users converted) yields NULL z, not a crash.
+    QDef("q_ab_readout", Some("""
+      WITH u AS (SELECT user_id,
+          CASE WHEN sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) >= 14
+               THEN 1 ELSE 0 END AS conv
+        FROM events GROUP BY user_id),
+      v AS (SELECT user_id % 2 AS variant, count(*) AS n, sum(conv) AS c FROM u GROUP BY 1),
+      w AS (SELECT max(CASE WHEN variant = 0 THEN n END) AS n_a,
+                   max(CASE WHEN variant = 0 THEN c END) AS c_a,
+                   max(CASE WHEN variant = 1 THEN n END) AS n_b,
+                   max(CASE WHEN variant = 1 THEN c END) AS c_b FROM v),
+      z AS (SELECT n_a, c_a, n_b, c_b,
+              (CAST(c_a AS DOUBLE)/n_a - CAST(c_b AS DOUBLE)/n_b) /
+              nullif(sqrt((CAST(c_a + c_b AS DOUBLE)/(n_a + n_b))
+                     * (1.0 - CAST(c_a + c_b AS DOUBLE)/(n_a + n_b))
+                     * (1.0/n_a + 1.0/n_b)), 0.0) AS zs
+            FROM w)
+      SELECT n_a, c_a, n_b, c_b, CAST(zs AS DECIMAL(10,4)) AS z,
+             CASE WHEN abs(zs) > 1.96 THEN 1 ELSE 0 END AS significant FROM z"""),
+      (s, d) => {
+        val u = t(s, d, "events").groupBy("user_id").agg(
+          when(sum(when(col("event_type") === "purchase", 1).otherwise(0)) >= 14, 1)
+            .otherwise(0).as("conv"))
+        val v = u.groupBy((col("user_id") % 2).as("variant"))
+          .agg(count(lit(1)).as("n"), sum(col("conv")).as("c"))
+        val w = v.agg(
+          max(when(col("variant") === 0, col("n"))).as("n_a"),
+          max(when(col("variant") === 0, col("c"))).as("c_a"),
+          max(when(col("variant") === 1, col("n"))).as("n_b"),
+          max(when(col("variant") === 1, col("c"))).as("c_b"))
+        val pp = col("c_a").cast("double").plus(col("c_b")) / (col("n_a") + col("n_b"))
+        val zs = (col("c_a").cast("double") / col("n_a") - col("c_b").cast("double") / col("n_b")) /
+          nullif(sqrt(pp * (lit(1.0) - pp) * (lit(1.0) / col("n_a") + lit(1.0) / col("n_b"))),
+            lit(0.0))
+        w.select(col("n_a"), col("c_a"), col("n_b"), col("c_b"),
+          zs.cast("decimal(10,4)").as("z"),
+          when(abs(zs) > 1.96, 1).otherwise(0).as("significant"))
       })
   )
 }

@@ -2,7 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
+import org.apache.spark.sql.streaming.{OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, Trigger, ValueState}
 import graft.text.TextAnalysis
 
 /** Streaming packer input: one doc routed to its packing shard. */
@@ -160,6 +160,46 @@ object DocStream {
       .groupByKey(_.shard)
       .transformWithState(new PackProcessor(budget),
         TimeMode.None(), OutputMode.Update())
+  }
+
+  /** Streaming CURATION sink — the streaming face of
+    * `pipeline.Curation`. In-stream (unbounded-safe): watermark-
+    * bounded exact dedup + the shared quality verdict, rejects
+    * dropped. Per micro-batch, where `foreachBatch` restores batch
+    * semantics at the sink boundary: benchmark decontamination
+    * REMOVAL (the same broadcast 4-gram join as the batch stage —
+    * an in-stream anti would need a stateful per-doc aggregate) and
+    * stable split assignment via Mixing.splitAssign (a pure hash of
+    * doc_id, so a doc's split never changes across redeliveries or
+    * runs), then the E2 dual merge. Near-dup cluster representative
+    * selection intentionally stays a batch-side compaction:
+    * connected components need the whole graph, not a watermark
+    * window of it. */
+  def curatedIngestSink(docs: DataFrame, evalShingles: DataFrame,
+                        root: String, table: String, checkpoint: String,
+                        tsCol: String, watermarkDelay: String,
+                        extractedAt: String,
+                        textCol: String = "text",
+                        idCol: String = "doc_id"): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    val paths = graft.pipeline.PersistTableDual.Paths(root, table)
+    qualityGated(dedupExactStream(docs, tsCol, watermarkDelay, textCol), textCol)
+      .filter(col("keep") === 1)
+      .writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val bad = graft.text.NearDup
+          .shinglesN(batch, idCol, textCol, 4, distinct = false)
+          .join(broadcast(evalShingles.select("sh")), Seq("sh"))
+          .select(idCol).distinct()
+        val clean = batch.join(bad, Seq(idCol), "left_anti")
+          .withColumn("split", graft.text.Mixing.splitAssign("split1", col(idCol)))
+        graft.pipeline.PersistTableDual.persist(
+          batch.sparkSession, paths, clean, s"batch_$batchId",
+          extractedAt, Seq(idCol), tsCol)
+        ()
+      }
   }
 
   /** Corpus intake dashboard: per event-time window — arrivals,

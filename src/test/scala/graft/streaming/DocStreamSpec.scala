@@ -129,6 +129,50 @@ class DocStreamSpec extends AnyFunSuite {
     assert(spark.read.parquet(s"$root/master/raw/docs").count() == rawBefore)
   }
 
+  test("streaming curation sink: gate + decontam removal + stable splits") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("doc_curate").toString
+    // a second gate-passing text with a disjoint vocabulary
+    val cleanText2 =
+      ((1 to 10).map(i => f"v$i%02da") ++ (1 to 9).map(i => f"v$i%02dab") :+ "the")
+        .mkString(" ")
+    // shares every 4-gram suffix of cleanText ⇒ contaminated
+    val contaminated = cleanText.split(" ").drop(1).mkString("zzz ", " ", "")
+    val evalShingles = graft.text.NearDup.shinglesN(
+      Seq((999L, cleanText)).toDF("doc_id", "text"), "doc_id", "text", 4)
+      .select("sh")
+    val input = MemoryStream[Doc]
+    def runOnce(): Unit = {
+      val q = DocStream.curatedIngestSink(input.toDF(), evalShingles,
+        root, "docs", s"$root/ckpt", "ingest_ts", "10 minutes",
+        extractedAt = "2026-01-01T00:00:00Z").start()
+      try q.awaitTermination() finally if (q.isActive) q.stop()
+    }
+    input.addData(
+      Doc(1, ts("2024-01-01 00:00:00"), cleanText2),
+      Doc(2, ts("2024-01-01 00:01:00"), "tiny doc"), // gate reject
+      Doc(3, ts("2024-01-01 00:02:00"), contaminated)) // decontam removal
+    runOnce()
+    val latest = spark.read.parquet(s"$root/master/latest/docs")
+    assert(latest.select("doc_id").as[Long].collect().toSet == Set(1L),
+      "gate rejects and contaminated docs never reach the curated lake")
+    val split1 = latest.select("split").as[String].collect().head
+    // run 2: redeliver doc 1 (new ts ⇒ new content row? same text ⇒
+    // same content hash after lineage strip) + one new clean doc
+    input.addData(
+      Doc(1, ts("2024-01-01 00:20:00"), cleanText2),
+      Doc(4, ts("2024-01-01 00:21:00"),
+        ((1 to 10).map(i => f"u$i%02da") ++ (1 to 9).map(i => f"u$i%02dab") :+ "a")
+          .mkString(" ")))
+    runOnce()
+    val after = spark.read.parquet(s"$root/master/latest/docs")
+    assert(after.select("doc_id").as[Long].collect().toSet == Set(1L, 4L))
+    assert(after.filter($"doc_id" === 1L).select("split").as[String]
+      .collect().head == split1,
+      "split assignment is a pure hash of doc_id — stable across runs")
+  }
+
   test("windowed corpus intake stats: arrivals, gate survivors, token volume") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
