@@ -33,7 +33,13 @@ object Bench {
         failed ::= name
         System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
       }
-      name -> (System.nanoTime() - t0) / 1e9
+      val elapsed = (System.nanoTime() - t0) / 1e9
+      // A few operators persist() intermediates (triangle edges,
+      // curation stage boundaries). Drop them so later queries are
+      // timed from the same cold state as earlier ones — leaked
+      // cache memory was inflating whichever queries ran next.
+      spark.catalog.clearCache()
+      name -> elapsed
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

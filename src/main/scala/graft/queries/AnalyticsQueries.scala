@@ -778,6 +778,31 @@ object AnalyticsQueries {
         w.select(col("n_a"), col("c_a"), col("n_b"), col("c_b"),
           zs.cast("decimal(10,4)").as("z"),
           when(abs(zs) > 1.96, 1).otherwise(0).as("significant"))
+      }),
+
+    // Per-source CAP: keep at most 40 docs per source, chosen by a
+    // seed-stamped hash priority (md5, doc_id tiebreak) — the
+    // domain-balancing cap a corpus needs so one crawl source can't
+    // dominate the mixture. Hash priority (not "first N by id")
+    // means the kept set is a stable pseudo-random sample: adding
+    // NEW docs only displaces the highest hashes, it never reshuffles
+    // the whole selection. One rank window per source — bounded
+    // output, uniform key, no global sort.
+    QDef("q_cap_per_source", Some("""
+      WITH r AS (SELECT doc_id, source,
+          row_number() OVER (PARTITION BY source
+            ORDER BY md5('cap1|' || doc_id), doc_id) AS rn
+        FROM documents)
+      SELECT doc_id, source, rn FROM r WHERE rn <= 40
+      ORDER BY source, rn"""),
+      (s, d) => {
+        val bySource = Window.partitionBy("source")
+          .orderBy(md5(concat(lit("cap1|"), col("doc_id").cast("string"))), col("doc_id"))
+        t(s, d, "documents")
+          .select(col("doc_id"), col("source"),
+            row_number().over(bySource).as("rn"))
+          .filter(col("rn") <= 40)
+          .orderBy("source", "rn")
       })
   )
 }
