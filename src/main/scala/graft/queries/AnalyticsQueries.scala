@@ -546,6 +546,12 @@ object AnalyticsQueries {
     // the band edges are actual data values and cross-engine exact.
     // One rank window + a tiny bounds table broadcast back: the fact
     // is shuffled once (the window) and never for the clamp join.
+    // Scale ceiling, stated honestly: the rank window partitions by
+    // event_type — low cardinality, so each partition is a per-type
+    // total sort. Exact at 100 TB needs a distributed selection; the
+    // drop-in fix is the q_approx_pctl sketch bounds (clamping
+    // tolerates percentile_approx's 0.1% deterministic rank error),
+    // keeping this exact form for bounded inputs and the oracle.
     QDef("q_winsorize", Some("""
       WITH v AS (SELECT event_id, event_type, CAST(value AS DECIMAL(12,2)) AS dv FROM events),
       r AS (SELECT event_type, dv, event_id,
@@ -629,8 +635,12 @@ object AnalyticsQueries {
     // a within_bound flag: the sketch's value must sit within ±1% of
     // the target rank — generous against percentile_approx's HARD
     // deterministic n/accuracy=0.1% guarantee (not probabilistic, so
-    // the flag can never flip). 100 TB: the sketch is one
-    // map-combined pass; the rank check joins a 5-row broadcast.
+    // the flag can never flip). 100 TB: the OPERATOR (the sketch) is
+    // one map-combined pass and the rank check joins a 5-row
+    // broadcast; the exact rank-selected median is the ORACLE
+    // HARNESS (like q_approx_distinct's countDistinct), not the
+    // scale path — its per-type sort window is the cost of making
+    // the sketch checkable.
     QDef("q_approx_pctl", Some("""
       WITH v AS (SELECT event_id, event_type, CAST(value AS DECIMAL(12,2)) AS dv FROM events),
       r AS (SELECT event_type, dv,
