@@ -29,6 +29,61 @@ final case class ContactEvent(contact_id: Long, event_id: Long,
 final case class DigestState(count: Long, lastTsMillis: Option[Long],
                              lastK: Vector[(Long, String)])
 
+/** Funnel state: millis of each completed step (None = not yet). */
+final case class FunnelState(t1: Option[Long], t2: Option[Long], t3: Option[Long])
+
+/** Emitted once per user per newly-completed funnel step. */
+final case class FunnelStep(contact_id: Long, step: Int, step_ts: Timestamp)
+
+/** Streaming CONVERSION FUNNEL: the stateful face of the batch
+  * q_funnel_steps operator — signup → view → purchase, each step
+  * within `deadlineMs` of the previous step's completion, emitting
+  * one row per user per newly-completed step. State is O(1) per
+  * user: three optional step timestamps in `ValueState`.
+  *
+  * Contract, stated honestly: steps resolve EXACTLY as the batch
+  * operator when each user's events are processed in event-time
+  * order (the watermarked-replay / in-order-ingest case — rows
+  * WITHIN a micro-batch are sorted here, so only cross-batch
+  * regressions break order). An out-of-order-tolerant streaming
+  * funnel must retain candidate events until the watermark passes
+  * the funnel horizon — unbounded-state territory the batch
+  * operator covers instead. */
+final class FunnelProcessor(deadlineMs: Long)
+    extends StatefulProcessor[Long, ContactEvent, FunnelStep] {
+
+  @transient private var state: ValueState[FunnelState] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    state = getHandle.getValueState[FunnelState](
+      "funnel", Encoders.product[FunnelState], TTLConfig.NONE)
+
+  override def handleInputRows(contactId: Long, rows: Iterator[ContactEvent],
+                               timers: TimerValues): Iterator[FunnelStep] = {
+    var st = if (state.exists()) state.get() else FunnelState(None, None, None)
+    val out = Vector.newBuilder[FunnelStep]
+    rows.toVector.sortBy(e => (e.event_ts.getTime, e.event_id)).foreach { e =>
+      val t = e.event_ts.getTime
+      e.event_type match {
+        case "signup" if st.t1.isEmpty =>
+          st = st.copy(t1 = Some(t))
+          out += FunnelStep(contactId, 1, e.event_ts)
+        case "view" if st.t1.nonEmpty && st.t2.isEmpty &&
+            t > st.t1.get && t <= st.t1.get + deadlineMs =>
+          st = st.copy(t2 = Some(t))
+          out += FunnelStep(contactId, 2, e.event_ts)
+        case "purchase" if st.t2.nonEmpty && st.t3.isEmpty &&
+            t > st.t2.get && t <= st.t2.get + deadlineMs =>
+          st = st.copy(t3 = Some(t))
+          out += FunnelStep(contactId, 3, e.event_ts)
+        case _ => ()
+      }
+    }
+    state.update(st)
+    out.result().iterator
+  }
+}
+
 /** Emitted digest row (one per contact per micro-batch with news). */
 final case class ContactDigest(contact_id: Long, n_events: Long,
                                last_event_ts: Timestamp, recent_types: String)
@@ -233,6 +288,17 @@ object EventStream {
     import events.sparkSession.implicits._
     events.groupByKey(_.contact_id)
       .transformWithState(new DigestProcessor(k), TimeMode.None(), OutputMode.Update())
+  }
+
+  /** [[FunnelProcessor]] wired to a grouped stream — requires the
+    * RocksDB state store provider, like the other transformWithState
+    * surfaces. `deadlineMs` defaults to the batch operator's 1 day. */
+  def funnelStream(events: Dataset[ContactEvent],
+                   deadlineMs: Long = 86400000L): Dataset[FunnelStep] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.contact_id)
+      .transformWithState(new FunnelProcessor(deadlineMs),
+        TimeMode.None(), OutputMode.Update())
   }
 
   /** Per-contact digest state folded from the batch lake — the

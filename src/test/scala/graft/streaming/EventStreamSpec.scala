@@ -171,6 +171,52 @@ class EventStreamSpec extends AnyFunSuite {
     assert(spark.read.parquet(s"$root/batch_0").count() == 1)
   }
 
+  test("streaming funnel == batch funnel semantics across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val prevProvider = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val input = MemoryStream[ContactEvent]
+      val q = EventStream.funnelStream(input.toDS())
+        .writeStream.format("memory").queryName("funnel_steps")
+        .outputMode(OutputMode.Update).start()
+      try {
+        // batch 1: u1 signs up and views in time; u2 signs up; u3
+        // views with NO signup (must not start a funnel)
+        input.addData(
+          ContactEvent(1, 10, ts("2024-01-01 00:00:00"), "signup"),
+          ContactEvent(1, 11, ts("2024-01-01 05:00:00"), "view"),
+          ContactEvent(2, 20, ts("2024-01-01 00:00:00"), "signup"),
+          ContactEvent(3, 30, ts("2024-01-01 00:00:00"), "view"))
+        q.processAllAvailable()
+        // batch 2: u1 purchases within a day of the view (step 3,
+        // state carried across batches); u2 views AFTER the 1-day
+        // deadline (no step 2, so the later purchase can't count);
+        // u3 finally signs up (step 1 only — its old view is gone,
+        // exactly like the batch operator, which requires view AFTER
+        // signup)
+        input.addData(
+          ContactEvent(1, 12, ts("2024-01-01 20:00:00"), "purchase"),
+          ContactEvent(2, 21, ts("2024-01-02 01:00:00"), "view"),
+          ContactEvent(2, 22, ts("2024-01-02 02:00:00"), "purchase"),
+          ContactEvent(3, 31, ts("2024-01-02 00:00:00"), "signup"))
+        q.processAllAvailable()
+      } finally q.stop()
+      val steps = spark.sql("SELECT contact_id, step FROM funnel_steps")
+        .as[(Long, Int)].collect().toSet
+      // the batch q_funnel_steps definition on these 8 rows yields
+      // exactly: u1 completes all 3, u2 and u3 stop at step 1
+      assert(steps == Set((1L, 1), (1L, 2), (1L, 3), (2L, 1), (3L, 1)))
+    } finally {
+      prevProvider match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("transformWithState digest == flatMapGroupsWithState digest (RocksDB state)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
