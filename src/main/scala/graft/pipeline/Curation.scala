@@ -31,10 +31,16 @@ import graft.text.{Mixing, NearDup, TextAnalysis => TA}
   */
 object Curation {
 
-  /** Every intermediate stage, so callers can persist/audit each. */
+  /** Every intermediate stage, so callers can persist/audit each.
+    * Call [[Stages.unpersist]] when done — curate() caches the reps
+    * and clean boundaries, and leaked cache in a shared session can
+    * silently substitute into OTHER queries' plans (the cross-query
+    * interference the bench harness had to clear). */
   final case class Stages(
       raw: DataFrame, quality: DataFrame, exactDeduped: DataFrame,
-      reps: DataFrame, clean: DataFrame, split: DataFrame)
+      reps: DataFrame, clean: DataFrame, split: DataFrame) {
+    def unpersist(): Unit = { reps.unpersist(); clean.unpersist(); () }
+  }
 
   /** Run the lifecycle. `edgePairs` turns the exact-deduped corpus
     * into near-dup candidate (doc_a, doc_b) pairs — exact Jaccard for
@@ -79,19 +85,28 @@ object Curation {
   }
 
   /** Per-stage row counts, one row per lifecycle stage (stage-letter
-    * prefixes give the lifecycle order under a plain string sort). */
+    * prefixes give the lifecycle order under a plain string sort).
+    * EAGER by design: the counts are 8 scalars, so they are taken as
+    * actions and the stage caches released before returning — a lazy
+    * union of count-aggregates would pin the persisted boundaries
+    * for as long as the consumer holds the plan. */
   def audit(st: Stages): DataFrame = {
-    def c(name: String, df: DataFrame) =
-      df.agg(count(lit(1)).as("n_docs")).select(lit(name).as("stage"), col("n_docs"))
-    c("a_raw", st.raw)
-      .unionAll(c("b_quality", st.quality))
-      .unionAll(c("c_exact_dedup", st.exactDeduped))
-      .unionAll(c("d_neardup_rep", st.reps))
-      .unionAll(c("e_decontam", st.clean))
-      .unionAll(st.split.groupBy("split").agg(count(lit(1)).as("n_docs"))
-        .select(when(col("split") === "train", "f_train")
-          .when(col("split") === "val", "g_val")
-          .otherwise("h_test").as("stage"), col("n_docs")))
-      .orderBy("stage")
+    val spark = st.raw.sparkSession
+    import spark.implicits._
+    val base = Seq(
+      "a_raw" -> st.raw.count(),
+      "b_quality" -> st.quality.count(),
+      "c_exact_dedup" -> st.exactDeduped.count(),
+      "d_neardup_rep" -> st.reps.count(),
+      "e_decontam" -> st.clean.count())
+    val splits = st.split.groupBy("split").count().collect().map { r =>
+      (r.getString(0) match {
+        case "train" => "f_train"
+        case "val"   => "g_val"
+        case _       => "h_test"
+      }) -> r.getLong(1)
+    }.toSeq
+    st.unpersist()
+    (base ++ splits).sortBy(_._1).toDF("stage", "n_docs")
   }
 }

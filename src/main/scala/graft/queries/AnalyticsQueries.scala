@@ -703,9 +703,14 @@ object AnalyticsQueries {
             .filter(col("ts") > col(prevT) &&
               col("ts") <= col(prevT) + expr("INTERVAL 1 DAY"))
             .groupBy("user_id").agg(min(col("ts")).as(outT))
+        // the three counted branches are independent union subtrees,
+        // and Catalyst does not share subplans across branches — so
+        // the tiny per-user step tables persist, or the s3 branch
+        // would re-run the s1 and s2 scans/aggregates (3 events
+        // scans instead of 1 at the 100 TB shape)
         val s1 = ev.filter(col("event_type") === "signup")
-          .groupBy("user_id").agg(min(col("ts")).as("t1"))
-        val s2 = step("view", s1, "t1", "t2")
+          .groupBy("user_id").agg(min(col("ts")).as("t1")).persist()
+        val s2 = step("view", s1, "t1", "t2").persist()
         val s3 = step("purchase", s2, "t2", "t3")
         def counted(df: org.apache.spark.sql.DataFrame, name: String) =
           df.agg(count(lit(1)).as("users")).select(lit(name).as("step"), col("users"))

@@ -182,8 +182,15 @@ object DocStream {
                         textCol: String = "text",
                         idCol: String = "doc_id"): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
     val paths = graft.pipeline.PersistTableDual.Paths(root, table)
+    // the curated lake keeps the CALLER's schema (+ split): the gate
+    // verdict (n_tokens/reject_reason/keep — constant for survivors)
+    // and the dedup fingerprint are in-flight scratch, and persisting
+    // them would make the lake unreadable by the batch compaction
+    // path (withQualityVerdict reserves those names)
+    val inCols = docs.columns.map(col)
     qualityGated(dedupExactStream(docs, tsCol, watermarkDelay, textCol), textCol)
       .filter(col("keep") === 1)
+      .select(inCols: _*)
       .writeStream
       .outputMode(OutputMode.Append)
       .option("checkpointLocation", checkpoint)

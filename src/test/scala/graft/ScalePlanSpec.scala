@@ -70,7 +70,7 @@ class ScalePlanSpec extends AnyFunSuite {
     // contact_id). Dim-side exchanges (the mapLookup dedup's `_mk`
     // hash, one per id→name pair) are dim-sized broadcast-build
     // inputs — allowed, because they don't move fact data.
-    val finalPlan = plan.split("== Initial Plan ==").head
+    val finalPlan = SparkTesting.finalSection(plan)
     val factShuffles = finalPlan.linesIterator.count(l =>
       (l.contains("Exchange hashpartitioning") ||
         l.contains("Exchange rangepartitioning")) && l.contains("contact_id"))
@@ -89,7 +89,7 @@ class ScalePlanSpec extends AnyFunSuite {
   test("13-way conform: one multiplexed scan per source, not one per branch") {
     val df = SparkEntry.queries("q_union_conformed_13")(spark, SparkTesting.sf)
     val plan = executedPlan(df)
-    val finalPlan = plan.split("== Initial Plan ==").head
+    val finalPlan = SparkTesting.finalSection(plan)
     def scans(tbl: String) = finalPlan.linesIterator.count(l =>
       l.contains("FileScan parquet") && l.contains(s"$tbl.parquet"))
     // five event-type branches → ONE CASE-multiplexed events pass
@@ -220,7 +220,7 @@ class ScalePlanSpec extends AnyFunSuite {
         s"fingerprint pipeline twice:\n$plan")
     // AQE's toString repeats the plan under "== Initial Plan ==" —
     // count scans in the final section only
-    val finalSection = plan.split("== Initial Plan ==")(0)
+    val finalSection = SparkTesting.finalSection(plan)
     val scans = finalSection.linesIterator.count(_.contains("Scan parquet"))
     assert(scans == 1,
       s"expected exactly one documents scan, got $scans:\n$plan")

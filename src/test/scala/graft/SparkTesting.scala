@@ -11,4 +11,13 @@ object SparkTesting {
     s
   }
   val sf = "/root/testdata/sf0.001"
+
+  /** AQE's executedPlan.toString echoes the pre-adaptive plan under
+    * "== Initial Plan ==" — slice it off before counting exchanges
+    * or asserting operator absence (the ONE copy of this idiom). */
+  def finalSection(plan: String): String =
+    plan.split("== Initial Plan ==").head
+
+  def hashExchanges(plan: String): Int =
+    finalSection(plan).linesIterator.count(_.contains("Exchange hashpartitioning"))
 }

@@ -42,7 +42,7 @@ class RangeAsofSpec extends AnyFunSuite {
     df.collect()
     val plan = df.queryExecution.executedPlan.toString
     assert(!plan.contains("Join"), s"as-of must not contain any join:\n$plan")
-    val finalPlan = plan.split("== Initial Plan ==").head
+    val finalPlan = SparkTesting.finalSection(plan)
     val shuffles = finalPlan.linesIterator.count(_.contains("Exchange hashpartitioning"))
     assert(shuffles == 1, s"expected exactly 1 key shuffle, got $shuffles:\n$finalPlan")
   }

@@ -37,42 +37,53 @@ class CurationSpec extends AnyFunSuite {
 
   test("stage counts are monotone non-increasing through the lifecycle") {
     val st = curated()
-    val counts = Seq(st.raw, st.quality, st.exactDeduped, st.reps, st.clean)
-      .map(_.count())
-    assert(counts.zip(counts.tail).forall { case (a, b) => a >= b },
-      s"each stage only removes docs: $counts")
-    assert(counts.last > 0, "the lifecycle must not empty the corpus")
-    assert(st.split.count() == st.clean.count(),
-      "split assignment is a projection, not a filter")
+    try {
+      val counts = Seq(st.raw, st.quality, st.exactDeduped, st.reps, st.clean)
+        .map(_.count())
+      assert(counts.zip(counts.tail).forall { case (a, b) => a >= b },
+        s"each stage only removes docs: $counts")
+      assert(counts.last > 0, "the lifecycle must not empty the corpus")
+      assert(st.split.count() == st.clean.count(),
+        "split assignment is a projection, not a filter")
+    } finally st.unpersist()
   }
 
   test("curation is idempotent: re-curating the clean corpus changes nothing") {
     val first = curated()
     val again = Curation.curate(first.clean,
       docs.filter(col("doc_id") % 50 === 0), exactEdges)
-    val n = first.clean.count()
-    assert(again.quality.count() == n, "survivors still pass the quality gate")
-    assert(again.exactDeduped.count() == n, "no exact dupes remain")
-    assert(again.reps.count() == n,
-      "cluster reps are pairwise non-near-dup, so they re-cluster as singletons")
-    assert(again.clean.count() == n, "nothing left to decontaminate")
+    try {
+      val n = first.clean.count()
+      assert(again.quality.count() == n, "survivors still pass the quality gate")
+      assert(again.exactDeduped.count() == n, "no exact dupes remain")
+      assert(again.reps.count() == n,
+        "cluster reps are pairwise non-near-dup, so they re-cluster as singletons")
+      assert(again.clean.count() == n, "nothing left to decontaminate")
+    } finally { again.unpersist(); first.unpersist() }
   }
 
-  test("the LSH scale path preserves the lifecycle's guarantees") {
+  test("the LSH scale path preserves the lifecycle's structural guarantees") {
     val ex = curated()
     val lsh = curated(lshEdges)
-    // identical up to the pair generator
-    assert(lsh.exactDeduped.count() == ex.exactDeduped.count())
-    // LSH candidates without a Jaccard verify merge a superset of
-    // pairs (everything banded together), so clusters can only be
-    // coarser → at most as many representatives survive
-    assert(lsh.reps.count() <= ex.reps.count())
-    assert(lsh.clean.count() > 0)
-    // split labels for common survivors agree (the split rule is a
-    // pure function of doc_id, independent of the edge strategy)
-    val disagree = lsh.split.select(col("doc_id"), col("split").as("s1"))
-      .join(ex.split.select(col("doc_id"), col("split").as("s2")), "doc_id")
-      .filter(col("s1") =!= col("s2")).count()
-    assert(disagree == 0)
+    try {
+      // identical up to the pair generator
+      assert(lsh.exactDeduped.count() == ex.exactDeduped.count())
+      // NOT asserted: reps(lsh) <= reps(exact). Banding is
+      // probabilistic in BOTH directions — it merges false-positive
+      // band collisions AND misses true near-dup pairs (a J=0.6 pair
+      // shares one of 4 two-row bands w.p. ≈0.83) — so neither count
+      // bounds the other. The structural guarantees that DO hold:
+      val repIds = lsh.reps.select("doc_id")
+      assert(repIds.count() > 0)
+      assert(repIds.join(lsh.exactDeduped.select("doc_id"), "doc_id").count()
+        == repIds.count(), "reps are drawn from the exact-deduped corpus")
+      assert(lsh.clean.count() > 0)
+      // split labels for common survivors agree (the split rule is a
+      // pure function of doc_id, independent of the edge strategy)
+      val disagree = lsh.split.select(col("doc_id"), col("split").as("s1"))
+        .join(ex.split.select(col("doc_id"), col("split").as("s2")), "doc_id")
+        .filter(col("s1") =!= col("s2")).count()
+      assert(disagree == 0)
+    } finally { lsh.unpersist(); ex.unpersist() }
   }
 }

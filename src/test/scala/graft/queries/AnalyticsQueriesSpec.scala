@@ -17,13 +17,11 @@ class AnalyticsQueriesSpec extends AnyFunSuite {
 
   private def executed(df: org.apache.spark.sql.DataFrame): String = {
     df.collect()
-    // AQE's toString appends the pre-adaptive "Initial Plan" — slice it
-    // off so exchange counts refer to the FINAL executed plan only
-    df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    SparkTesting.finalSection(df.queryExecution.executedPlan.toString)
   }
 
   private def hashExchanges(plan: String): Int =
-    plan.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    SparkTesting.hashExchanges(plan)
 
   test("pivot: two-phase aggregate, no join, fixed column set") {
     val df = q("q_pivot_event_counts")
@@ -68,8 +66,10 @@ class AnalyticsQueriesSpec extends AnyFunSuite {
       s"per-type stats must broadcast:\n$plan")
     assert(!plan.contains("SortMergeJoin"),
       s"the fact must never be shuffled for the stats join:\n$plan")
-    // every surviving row really is past the threshold
-    assert(df.filter(abs(col("z")) <= 2.5).count() == 0)
+    // every surviving row really is past the threshold — compared
+    // against 2.4995, not 2.5: the emitted z is HALF_UP-rounded to 3
+    // decimals, so a true z of 2.5004 legitimately renders as 2.500
+    assert(df.filter(abs(col("z")) < 2.4995).count() == 0)
   }
 
   test("inverted index: posting lists capped before collection") {

@@ -171,6 +171,15 @@ class DocStreamSpec extends AnyFunSuite {
     assert(after.filter($"doc_id" === 1L).select("split").as[String]
       .collect().head == split1,
       "split assignment is a pure hash of doc_id — stable across runs")
+    // the curated lake carries the CALLER's schema + split, not the
+    // in-flight gate/dedup scratch — so it round-trips through the
+    // batch compaction path (withQualityVerdict would refuse a frame
+    // already carrying its reserved columns)
+    assert(!after.columns.exists(Set("fp", "n_tokens", "reject_reason", "keep")),
+      s"scratch columns must not reach the lake: ${after.columns.toSeq}")
+    assert(graft.text.TextAnalysis.withQualityVerdict(after, "text")
+      .filter($"keep" === 1).count() == 2,
+      "batch re-curation accepts the streamed lake")
   }
 
   test("windowed corpus intake stats: arrivals, gate survivors, token volume") {
