@@ -818,6 +818,96 @@ object AnalyticsQueries {
             row_number().over(bySource).as("rn"))
           .filter(col("rn") <= 40)
           .orderBy("source", "rn")
+      }),
+
+    // LAST-TOUCH ATTRIBUTION: each purchase credited to the user's
+    // latest click at-or-before it — the as-of machinery
+    // (Ops.asofLastValue's union + ONE window, zero joins) inlined
+    // with an explicit event_id tiebreak for simultaneous clicks
+    // (asofLastValue leaves equal-ts series ties unspecified; an
+    // attribution ledger cannot). Purchases with no prior click
+    // attribute to NULL. One shuffle on user_id, no join — the
+    // oracle's correlated subquery would be a per-row rescan.
+    QDef("q_attribution_last_touch", Some("""
+      WITH p AS (SELECT user_id, event_id, ts FROM events WHERE event_type = 'purchase'),
+      c AS (SELECT user_id, ts, event_id FROM events WHERE event_type = 'click')
+      SELECT p.user_id, p.event_id,
+        (SELECT c.event_id FROM c WHERE c.user_id = p.user_id AND c.ts <= p.ts
+         ORDER BY c.ts DESC, c.event_id DESC LIMIT 1) AS click_id
+      FROM p ORDER BY p.user_id, p.event_id"""),
+      (s, d) => {
+        val ev = t(s, d, "events")
+        val probes = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("event_id"), col("ts").as("_t"),
+            lit(1).as("_side"), lit(null).cast("long").as("_v"))
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("user_id"), col("ts").as("_t"),
+            lit(0).as("_side"), col("event_id").as("_v"))
+        // _v ascending makes the LAST of several same-ts clicks the
+        // max event_id — matching the oracle's ts DESC, id DESC pick
+        val w = Window.partitionBy("user_id")
+          .orderBy(col("_t").asc, col("_side").asc, col("_v").asc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        probes.unionByName(clicks, allowMissingColumns = true)
+          .withColumn("click_id", last(col("_v"), ignoreNulls = true).over(w))
+          .filter(col("_side") === 1)
+          .select(col("user_id"), col("event_id"), col("click_id"))
+          .orderBy("user_id", "event_id")
+      }),
+
+    // WEEK-OVER-WEEK growth: weekly revenue per type with percent
+    // change — the reporting cadence the reference's digest renders.
+    // Revenue stays DECIMAL through the lag; the percent change is
+    // the only double and both engines build it from the same exact
+    // inputs with the same expression, then round to 2 decimals.
+    // Tiny aggregate (types × weeks rows) after one fact shuffle.
+    QDef("q_wow_growth", Some("""
+      WITH m AS (SELECT event_type, date_trunc('week', ts) AS wk,
+                   sum(CAST(value AS DECIMAL(12,2))) AS rev FROM events GROUP BY 1, 2),
+      g AS (SELECT event_type, wk, rev,
+              lag(rev) OVER (PARTITION BY event_type ORDER BY wk) AS prev FROM m)
+      SELECT event_type, strftime(wk, '%Y-%m-%d') AS week, CAST(rev AS VARCHAR) AS revenue,
+        CAST(CASE WHEN prev IS NULL OR prev = 0 THEN NULL
+             ELSE (CAST(rev AS DOUBLE) - CAST(prev AS DOUBLE)) / CAST(prev AS DOUBLE) * 100.0 END
+             AS DECIMAL(10,2)) AS wow_pct
+      FROM g ORDER BY event_type, week"""),
+      (s, d) => {
+        val m = t(s, d, "events")
+          .groupBy(col("event_type"), date_trunc("week", col("ts")).as("wk"))
+          .agg(sum(col("value").cast("decimal(12,2)")).as("rev"))
+        val byType = Window.partitionBy("event_type").orderBy("wk")
+        val prev = lag(col("rev"), 1).over(byType)
+        m.withColumn("prev", prev)
+          .select(col("event_type"),
+            date_format(col("wk"), "yyyy-MM-dd").as("week"),
+            col("rev").cast("string").as("revenue"),
+            when(col("prev").isNull || col("prev") === 0, lit(null))
+              .otherwise((col("rev").cast("double") - col("prev").cast("double"))
+                / col("prev").cast("double") * 100.0)
+              .cast("decimal(10,2)").as("wow_pct"))
+          .orderBy("event_type", "week")
+      }),
+
+    // MARKET BASKET: top-20 part pairs co-purchased in the same
+    // order, by support. Pair generation is a within-order self-join
+    // — bounded by BASKET size (≤7 lines/order), the same
+    // within-bucket expansion argument as the LSH pair generators,
+    // NOT an n² over parts. Top-k by (support, pair) total order via
+    // TakeOrderedAndProject, no global sort.
+    QDef("q_basket_pairs", Some("""
+      WITH lp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+      SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, count(*) AS n_orders
+      FROM lp a JOIN lp b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2 ORDER BY n_orders DESC, part_a, part_b LIMIT 20"""),
+      (s, d) => {
+        val lp = t(s, d, "lineitem")
+          .select(col("l_orderkey"), col("l_partkey")).distinct()
+        lp.select(col("l_orderkey"), col("l_partkey").as("part_a"))
+          .join(lp.select(col("l_orderkey"), col("l_partkey").as("part_b")), "l_orderkey")
+          .filter(col("part_a") < col("part_b"))
+          .groupBy("part_a", "part_b").agg(count(lit(1)).as("n_orders"))
+          .orderBy(col("n_orders").desc, col("part_a"), col("part_b"))
+          .limit(20)
       })
   )
 }

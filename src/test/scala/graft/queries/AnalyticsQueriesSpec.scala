@@ -251,6 +251,47 @@ class AnalyticsQueriesSpec extends AnyFunSuite {
     assert(bad == 0)
   }
 
+  test("attribution: zero joins, one user_id shuffle (as-of shape)") {
+    val df = q("q_attribution_last_touch")
+    val plan = executed(df)
+    assert(!plan.contains("Join"), s"as-of attribution must not join:\n$plan")
+    assert(hashExchanges(plan) == 1, s"one user_id exchange:\n$plan")
+    // a credited click can never postdate its purchase
+    val ev = graft.pipeline.Tables.t(spark, SparkTesting.sf, "events")
+      .select(col("event_id").as("click_id"), col("ts").as("click_ts"))
+    val p = graft.pipeline.Tables.t(spark, SparkTesting.sf, "events")
+      .select(col("event_id"), col("ts").as("purchase_ts"))
+    val bad = df.filter(col("click_id").isNotNull)
+      .join(ev, "click_id").join(p, "event_id")
+      .filter(col("click_ts") > col("purchase_ts")).count()
+    assert(bad == 0)
+  }
+
+  test("wow growth: first week NULL, later weeks computed") {
+    val df = q("q_wow_growth").collect()
+    val byType = df.groupBy(_.getAs[String]("event_type"))
+    byType.foreach { case (_, rows) =>
+      val sorted = rows.sortBy(_.getAs[String]("week"))
+      assert(sorted.head.isNullAt(sorted.head.fieldIndex("wow_pct")),
+        "no previous week for the first row")
+      assert(sorted.tail.forall(!_.isNullAt(sorted.head.fieldIndex("wow_pct"))),
+        "every later week has a growth figure")
+    }
+  }
+
+  test("basket pairs: within-order equi-join, ordered pairs, bounded k") {
+    val df = q("q_basket_pairs")
+    val plan = executed(df)
+    assert(!plan.contains("CartesianProduct"),
+      s"pair generation must stay a within-order equi-join:\n$plan")
+    val rows = df.collect()
+    assert(rows.length <= 20)
+    assert(rows.forall(r => r.getAs[Long]("part_a") < r.getAs[Long]("part_b")))
+    val supports = rows.map(_.getAs[Long]("n_orders"))
+    assert(supports.zip(supports.tail).forall { case (a, b) => a >= b },
+      "ranked by support descending")
+  }
+
   test("tf-idf ranks are integer-deterministic and bounded at 3") {
     val df = q("q_tfidf_topk")
     val perDoc = df.groupBy("doc_id").agg(count(lit(1)).as("k"),
