@@ -908,6 +908,55 @@ object AnalyticsQueries {
           .groupBy("part_a", "part_b").agg(count(lit(1)).as("n_orders"))
           .orderBy(col("n_orders").desc, col("part_a"), col("part_b"))
           .limit(20)
+      }),
+
+    // ROLLING ANOMALY detection: each day's revenue per type scored
+    // against its OWN trailing 7-day baseline (frame excludes the
+    // current row — a spike must not raise the bar it is judged
+    // against). The frame statistics are exact DECIMAL sums — the
+    // q_zscore_outliers discipline applied to window frames, where a
+    // double stddev over a frame would be row-order-dependent. Days
+    // with under 4 baseline days score NULL, not garbage. One
+    // fact shuffle → tiny per-day aggregate → one frame window.
+    QDef("q_rolling_anomaly", Some("""
+      WITH d AS (SELECT event_type, date_trunc('day', ts) AS day,
+                   sum(CAST(value AS DECIMAL(12,2))) AS rev FROM events GROUP BY 1, 2),
+      f AS (SELECT event_type, day, rev,
+              count(*) OVER w AS n,
+              sum(rev) OVER w AS sv,
+              sum(rev * rev) OVER w AS svv
+            FROM d WINDOW w AS (PARTITION BY event_type ORDER BY day
+              ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)),
+      z AS (SELECT event_type, day, rev,
+              CASE WHEN n >= 4 THEN
+                (CAST(rev AS DOUBLE) - CAST(sv AS DOUBLE)/n) /
+                sqrt(greatest(CAST(svv AS DOUBLE)/n - (CAST(sv AS DOUBLE)/n)*(CAST(sv AS DOUBLE)/n), 0.000001))
+              END AS zs
+            FROM f)
+      SELECT event_type, strftime(day, '%Y-%m-%d') AS day, CAST(rev AS VARCHAR) AS revenue,
+        CAST(zs AS DECIMAL(10,3)) AS z,
+        CASE WHEN abs(zs) > 2.0 THEN 1 ELSE 0 END AS anomaly
+      FROM z ORDER BY event_type, day"""),
+      (s, d) => {
+        val daily = t(s, d, "events")
+          .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+          .agg(sum(col("value").cast("decimal(12,2)")).as("rev"))
+        val w = Window.partitionBy("event_type").orderBy("day").rowsBetween(-7, -1)
+        val mean = col("sv").cast("double") / col("n")
+        val zs = when(col("n") >= 4,
+          (col("rev").cast("double") - mean) /
+            sqrt(greatest(col("svv").cast("double") / col("n") - mean * mean,
+              lit(0.000001))))
+        daily
+          .withColumn("n", count(lit(1)).over(w))
+          .withColumn("sv", sum(col("rev")).over(w))
+          .withColumn("svv", sum(col("rev") * col("rev")).over(w))
+          .select(col("event_type"),
+            date_format(col("day"), "yyyy-MM-dd").as("day"),
+            col("rev").cast("string").as("revenue"),
+            zs.cast("decimal(10,3)").as("z"),
+            when(abs(zs) > 2.0, 1).otherwise(0).as("anomaly"))
+          .orderBy("event_type", "day")
       })
   )
 }

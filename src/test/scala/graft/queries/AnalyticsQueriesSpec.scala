@@ -292,6 +292,20 @@ class AnalyticsQueriesSpec extends AnyFunSuite {
       "ranked by support descending")
   }
 
+  test("rolling anomaly: warm-up days score NULL, baseline excludes self") {
+    val df = q("q_rolling_anomaly")
+    // first 4 days per type have <4 baseline days → NULL z, flag 0
+    val warm = df.filter(col("z").isNull)
+    assert(warm.filter(col("anomaly") =!= 0).count() == 0)
+    val perType = warm.groupBy("event_type").count().collect()
+    perType.foreach(r => assert(r.getLong(1) == 4,
+      s"exactly the 4 warm-up days are unscored: $r"))
+    // one window pass: daily agg shuffle + frame window share the
+    // event_type-rooted exchanges; no join anywhere
+    val plan = executed(df)
+    assert(!plan.contains("Join"), s"self-baseline needs no join:\n$plan")
+  }
+
   test("tf-idf ranks are integer-deterministic and bounded at 3") {
     val df = q("q_tfidf_topk")
     val perDoc = df.groupBy("doc_id").agg(count(lit(1)).as("k"),
