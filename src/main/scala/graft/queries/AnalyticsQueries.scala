@@ -957,6 +957,64 @@ object AnalyticsQueries {
             zs.cast("decimal(10,3)").as("z"),
             when(abs(zs) > 2.0, 1).otherwise(0).as("anomaly"))
           .orderBy("event_type", "day")
+      }),
+
+    // DATA-QUALITY AUDIT: the dbt-style check suite as one operator —
+    // FK orphans (anti joins), null keys, duplicate business keys,
+    // domain violations — reported as rule → violation count (the
+    // lake's release gate before a mart build). Per-table scalar
+    // checks share ONE scan via stack() (two conditional sums, then
+    // unpivot); the FK checks are anti joins that prune to the key
+    // column before shuffling. d_lineitem_dup_key legitimately fires
+    // on the synthetic lake: (l_orderkey, l_linenumber) is NOT
+    // unique there — the audit reports it rather than assuming it.
+    QDef("q_dq_audit", Some("""
+      SELECT * FROM (
+        SELECT 'a_lineitem_fk_orders' AS rule, count(*) AS n_violations
+        FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+        WHERE o.o_orderkey IS NULL
+        UNION ALL
+        SELECT 'b_orders_fk_customer', count(*)
+        FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+        WHERE c.c_custkey IS NULL
+        UNION ALL
+        SELECT 'c_orders_null_key', count(*) FROM orders WHERE o_orderkey IS NULL
+        UNION ALL
+        SELECT 'd_lineitem_dup_key', count(*) FROM (
+          SELECT l_orderkey, l_linenumber FROM lineitem
+          GROUP BY 1, 2 HAVING count(*) > 1)
+        UNION ALL
+        SELECT 'e_lineitem_nonpositive_price', count(*)
+        FROM lineitem WHERE l_extendedprice <= 0
+        UNION ALL
+        SELECT 'f_orders_status_domain', count(*)
+        FROM orders WHERE o_orderstatus NOT IN ('F', 'O', 'P')
+      ) ORDER BY rule"""),
+      (s, d) => {
+        val li = t(s, d, "lineitem")
+        val o = t(s, d, "orders")
+        val cust = t(s, d, "customer")
+        def counted(name: String, df: org.apache.spark.sql.DataFrame) =
+          df.agg(count(lit(1)).as("n_violations"))
+            .select(lit(name).as("rule"), col("n_violations"))
+        val fkLine = counted("a_lineitem_fk_orders",
+          li.select("l_orderkey").join(o.select("o_orderkey"),
+            col("l_orderkey") === col("o_orderkey"), "left_anti"))
+        val fkOrd = counted("b_orders_fk_customer",
+          o.select("o_custkey").join(cust.select("c_custkey"),
+            col("o_custkey") === col("c_custkey"), "left_anti"))
+        val ordScalar = o.agg(
+          sum(when(col("o_orderkey").isNull, 1).otherwise(0)).as("c1"),
+          sum(when(!col("o_orderstatus").isin("F", "O", "P"), 1).otherwise(0)).as("c2"))
+          .select(expr("stack(2, 'c_orders_null_key', c1, 'f_orders_status_domain', c2)")
+            .as(Seq("rule", "n_violations")))
+        val dupKey = counted("d_lineitem_dup_key",
+          li.groupBy("l_orderkey", "l_linenumber")
+            .agg(count(lit(1)).as("n")).filter(col("n") > 1))
+        val price = counted("e_lineitem_nonpositive_price",
+          li.filter(col("l_extendedprice") <= 0))
+        fkLine.unionAll(fkOrd).unionAll(ordScalar).unionAll(dupKey).unionAll(price)
+          .orderBy("rule")
       })
   )
 }
