@@ -132,8 +132,11 @@ object Ops {
       .withColumn("_v", lit(null).cast(vType))
     val r = right.select(col(key), col(rts).as("_t"),
       lit(0).as("_side"), col(valueCol).as("_v"))
+    // _v ascending last: several series rows at the SAME ts resolve
+    // deterministically to the greatest value (a ledger can't accept
+    // "whichever row the sort happened to emit last")
     val w = Window.partitionBy(col(key))
-      .orderBy(col("_t").asc, col("_side").asc)
+      .orderBy(col("_t").asc, col("_side").asc, col("_v").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     l.unionByName(r, allowMissingColumns = true)
       .withColumn(as, last(col("_v"), ignoreNulls = true).over(w))

@@ -821,13 +821,12 @@ object AnalyticsQueries {
       }),
 
     // LAST-TOUCH ATTRIBUTION: each purchase credited to the user's
-    // latest click at-or-before it — the as-of machinery
-    // (Ops.asofLastValue's union + ONE window, zero joins) inlined
-    // with an explicit event_id tiebreak for simultaneous clicks
-    // (asofLastValue leaves equal-ts series ties unspecified; an
-    // attribution ledger cannot). Purchases with no prior click
-    // attribute to NULL. One shuffle on user_id, no join — the
-    // oracle's correlated subquery would be a per-row rescan.
+    // latest click at-or-before it — Ops.asofLastValue (union + ONE
+    // window, zero joins), whose equal-ts tiebreak resolves to the
+    // greatest click id, matching the oracle's ts DESC, id DESC
+    // pick. Purchases with no prior click attribute to NULL. One
+    // shuffle on user_id, no join — the oracle's correlated
+    // subquery would be a per-row rescan.
     QDef("q_attribution_last_touch", Some("""
       WITH p AS (SELECT user_id, event_id, ts FROM events WHERE event_type = 'purchase'),
       c AS (SELECT user_id, ts, event_id FROM events WHERE event_type = 'click')
@@ -838,19 +837,11 @@ object AnalyticsQueries {
       (s, d) => {
         val ev = t(s, d, "events")
         val probes = ev.filter(col("event_type") === "purchase")
-          .select(col("user_id"), col("event_id"), col("ts").as("_t"),
-            lit(1).as("_side"), lit(null).cast("long").as("_v"))
+          .select(col("user_id"), col("event_id"), col("ts"))
         val clicks = ev.filter(col("event_type") === "click")
-          .select(col("user_id"), col("ts").as("_t"),
-            lit(0).as("_side"), col("event_id").as("_v"))
-        // _v ascending makes the LAST of several same-ts clicks the
-        // max event_id — matching the oracle's ts DESC, id DESC pick
-        val w = Window.partitionBy("user_id")
-          .orderBy(col("_t").asc, col("_side").asc, col("_v").asc)
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        probes.unionByName(clicks, allowMissingColumns = true)
-          .withColumn("click_id", last(col("_v"), ignoreNulls = true).over(w))
-          .filter(col("_side") === 1)
+          .select(col("user_id"), col("ts"), col("event_id"))
+        graft.ops.Ops.asofLastValue(probes, clicks,
+            "user_id", "ts", "ts", "event_id", "click_id")
           .select(col("user_id"), col("event_id"), col("click_id"))
           .orderBy("user_id", "event_id")
       }),
@@ -890,10 +881,11 @@ object AnalyticsQueries {
 
     // MARKET BASKET: top-20 part pairs co-purchased in the same
     // order, by support. Pair generation is a within-order self-join
-    // — bounded by BASKET size (≤7 lines/order), the same
-    // within-bucket expansion argument as the LSH pair generators,
-    // NOT an n² over parts. Top-k by (support, pair) total order via
-    // TakeOrderedAndProject, no global sort.
+    // — bounded by BASKET size (this synthetic lake runs to ~13
+    // distinct lines/order ⇒ ≤ C(13,2)=78 pairs/order; expansion is
+    // O(Σ basket²), the within-bucket argument of the LSH pair
+    // generators), NOT an n² over parts. Top-k by (support, pair)
+    // total order via TakeOrderedAndProject, no global sort.
     QDef("q_basket_pairs", Some("""
       WITH lp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
       SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, count(*) AS n_orders
@@ -911,22 +903,25 @@ object AnalyticsQueries {
       }),
 
     // ROLLING ANOMALY detection: each day's revenue per type scored
-    // against its OWN trailing 7-day baseline (frame excludes the
-    // current row — a spike must not raise the bar it is judged
-    // against). The frame statistics are exact DECIMAL sums — the
-    // q_zscore_outliers discipline applied to window frames, where a
-    // double stddev over a frame would be row-order-dependent. Days
-    // with under 4 baseline days score NULL, not garbage. One
-    // fact shuffle → tiny per-day aggregate → one frame window.
+    // against its OWN trailing 7-CALENDAR-DAY baseline (a RANGE
+    // frame over the integer day number, excluding the current day —
+    // a spike must not raise the bar it is judged against, and a
+    // gap in the series must not silently stretch the baseline the
+    // way a 7-ROW frame would). Frame statistics are exact DECIMAL
+    // sums — the q_zscore_outliers discipline applied to frames,
+    // where a double stddev would be row-order-dependent. Days with
+    // under 4 OBSERVED baseline days in the window score NULL, not
+    // garbage. One fact shuffle → tiny per-day agg → one window.
     QDef("q_rolling_anomaly", Some("""
       WITH d AS (SELECT event_type, date_trunc('day', ts) AS day,
-                   sum(CAST(value AS DECIMAL(12,2))) AS rev FROM events GROUP BY 1, 2),
+                   date_diff('day', DATE '1970-01-01', date_trunc('day', ts)) AS dn,
+                   sum(CAST(value AS DECIMAL(12,2))) AS rev FROM events GROUP BY 1, 2, 3),
       f AS (SELECT event_type, day, rev,
               count(*) OVER w AS n,
               sum(rev) OVER w AS sv,
               sum(rev * rev) OVER w AS svv
-            FROM d WINDOW w AS (PARTITION BY event_type ORDER BY day
-              ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)),
+            FROM d WINDOW w AS (PARTITION BY event_type ORDER BY dn
+              RANGE BETWEEN 7 PRECEDING AND 1 PRECEDING)),
       z AS (SELECT event_type, day, rev,
               CASE WHEN n >= 4 THEN
                 (CAST(rev AS DOUBLE) - CAST(sv AS DOUBLE)/n) /
@@ -939,9 +934,10 @@ object AnalyticsQueries {
       FROM z ORDER BY event_type, day"""),
       (s, d) => {
         val daily = t(s, d, "events")
-          .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+          .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"),
+            datediff(date_trunc("day", col("ts")), to_date(lit("1970-01-01"))).as("dn"))
           .agg(sum(col("value").cast("decimal(12,2)")).as("rev"))
-        val w = Window.partitionBy("event_type").orderBy("day").rowsBetween(-7, -1)
+        val w = Window.partitionBy("event_type").orderBy("dn").rangeBetween(-7, -1)
         val mean = col("sv").cast("double") / col("n")
         val zs = when(col("n") >= 4,
           (col("rev").cast("double") - mean) /

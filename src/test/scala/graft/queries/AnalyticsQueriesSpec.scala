@@ -306,6 +306,25 @@ class AnalyticsQueriesSpec extends AnyFunSuite {
     assert(!plan.contains("Join"), s"self-baseline needs no join:\n$plan")
   }
 
+  test("dq audit: anti joins prune to key columns, scalar checks share scans") {
+    val df = q("q_dq_audit")
+    val plan = executed(df)
+    assert(plan.contains("LeftAnti"), s"FK orphan checks are anti joins:\n$plan")
+    // every fact scan in the audit reads at most 2 columns — the FK
+    // checks must not drag full rows through the anti-join shuffle
+    val wideScans = plan.linesIterator
+      .filter(_.contains("ReadSchema: struct<"))
+      .filter(l => l.substring(l.indexOf("ReadSchema")).count(_ == ',') > 1)
+      .toList
+    assert(wideScans.isEmpty, s"audit scans must stay key-pruned:\n$wideScans")
+    val rows = df.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rows.size == 6)
+    assert(rows("a_lineitem_fk_orders") == 0 && rows("b_orders_fk_customer") == 0,
+      "the synthetic lake is referentially intact")
+    assert(rows("d_lineitem_dup_key") > 0,
+      "the known duplicate business keys must be reported, not assumed away")
+  }
+
   test("tf-idf ranks are integer-deterministic and bounded at 3") {
     val df = q("q_tfidf_topk")
     val perDoc = df.groupBy("doc_id").agg(count(lit(1)).as("k"),
