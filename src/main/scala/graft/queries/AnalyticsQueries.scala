@@ -109,60 +109,69 @@ object AnalyticsQueries {
 
     // Z-SCORE outliers, two-pass: per-type (n, Σv, Σv²) in exact
     // DECIMAL, broadcast the tiny stats table back onto the stream,
-    // flag |z| > 2.5. The sums are exact ⇒ mean/var/z are the same
-    // IEEE doubles in any aggregation order on any cluster — a
-    // double stddev_pop would be partition-order-dependent. 100 TB
-    // shape: one map-side-combined aggregate over the fact + one
-    // broadcast join; the fact is never shuffled.
-    QDef("q_zscore_outliers", Some("""
+    // flag |z| > 2.5. The statistic is the centered form
+    // z = (n·v − Σv) / sqrt(n·Σv² − (Σv)²) — algebraically identical
+    // to (v−mean)/stddev but assembled from exact DECIMAL differences
+    // so the only doubles are two Exact.detDouble conversions plus
+    // IEEE sqrt/divide: bit-identical on any cluster layout AND any
+    // engine (the old CAST(sum AS DOUBLE) path double-rounds in
+    // DuckDB once scaled sums pass 2^53). Zero spread ⇒ NULL z via
+    // nullif, not ±Inf (Spark x/0.0=Inf, DuckDB errors — neither is
+    // wanted). 100 TB shape unchanged: one map-side-combined
+    // aggregate + one broadcast join; the fact is never shuffled.
+    QDef("q_zscore_outliers", Some(s"""
       WITH st AS (SELECT event_type, count(*) AS n,
           sum(CAST(value AS DECIMAL(12,2))) AS sv,
           sum(CAST(value AS DECIMAL(12,2)) * CAST(value AS DECIMAL(12,2))) AS svv
         FROM events GROUP BY event_type),
-      j AS (SELECT e.event_id, e.event_type, e.value,
-          CAST(sv AS DOUBLE)/n AS mean,
-          CAST(svv AS DOUBLE)/n - (CAST(sv AS DOUBLE)/n)*(CAST(sv AS DOUBLE)/n) AS variance
-        FROM events e JOIN st USING (event_type))
-      SELECT event_id, event_type,
-        CAST((value-mean)/sqrt(greatest(variance, 0.0)) AS DECIMAL(10,3)) AS z
-      FROM j WHERE abs((value-mean)/sqrt(greatest(variance, 0.0))) > 2.5
-      ORDER BY event_id"""),
+      j AS (SELECT e.event_id, e.event_type,
+          ${Exact.detDoubleSql("st.n * CAST(e.value AS DECIMAL(12,2)) - st.sv", 2)} AS num,
+          ${Exact.detDoubleSql("st.n * st.svv - st.sv * st.sv", 2)} AS den
+        FROM events e JOIN st USING (event_type)),
+      z AS (SELECT event_id, event_type, num / nullif(sqrt(den), 0.0) AS zs FROM j)
+      SELECT event_id, event_type, ${Exact.renderSql("zs", 10, 3)} AS z
+      FROM z WHERE abs(zs) > 2.5 ORDER BY event_id"""),
       (s, d) => {
         val dec = col("value").cast("decimal(12,2)")
-        val ev = t(s, d, "events").select(col("event_id"), col("event_type"), col("value"))
+        val ev = t(s, d, "events")
+          .select(col("event_id"), col("event_type"), dec.as("v"))
         val stats = ev.groupBy("event_type").agg(
-          count(lit(1)).as("n"), sum(dec).as("sv"), sum(dec * dec).as("svv"))
-        val mean = col("sv").cast("double") / col("n")
-        val z = (col("value") - col("mean")) / sqrt(greatest(col("variance"), lit(0.0)))
+          count(lit(1)).as("n"), sum(col("v")).as("sv"), sum(col("v") * col("v")).as("svv"))
+        val num = Exact.detDouble(col("n") * col("v") - col("sv"), 2)
+        val den = Exact.detDouble(col("n") * col("svv") - col("sv") * col("sv"), 2)
         ev.join(broadcast(stats), "event_type")
-          .withColumn("mean", mean)
-          .withColumn("variance",
-            col("svv").cast("double") / col("n") - col("mean") * col("mean"))
-          .filter(abs(z) > 2.5)
-          .select(col("event_id"), col("event_type"), z.cast("decimal(10,3)").as("z"))
+          .withColumn("zs", num / nullif(sqrt(den), lit(0.0)))
+          .filter(abs(col("zs")) > 2.5)
+          .select(col("event_id"), col("event_type"),
+            Exact.render(col("zs"), 10, 3).as("z"))
           .orderBy("event_id")
       }),
 
     // TF-IDF keywords: top-3 terms per doc. Ranking key is
     // (tf DESC, df ASC, term) — integer-deterministic and
     // order-equivalent to tf·idf at fixed tf (higher idf = lower df)
-    // — so the float score never decides a rank; it is reported,
-    // rounded to DECIMAL(12,4). Corpus size N arrives as a broadcast
-    // 1-row cross join, NOT a driver collect. 100 TB: tf is one
-    // shuffle on (doc, term); df one on term; the rank window
-    // re-shuffles on doc_id — all uniform keys (stop-word skew lives
-    // in df's TERM key only, where the combiner flattens it).
+    // — so no float ever decides a rank. The reported score is the
+    // LINEARIZED tf-idf, tf·(N/df), as an exact half-up integer
+    // ratio (Exact.ratioDecimal): ln() is banned from hashed outputs
+    // because libm log differs between the JVM and DuckDB in the
+    // last ulp, and ln is monotone in N/df so the linear form
+    // carries the same per-term ordering information. Corpus size N
+    // arrives as a broadcast 1-row cross join, NOT a driver collect.
+    // 100 TB: tf is one shuffle on (doc, term); df one on term; the
+    // rank window re-shuffles on doc_id — all uniform keys
+    // (stop-word skew lives in df's TERM key only, where the
+    // combiner flattens it).
     QDef("q_tfidf_topk", Some(s"""
       WITH $toksCte,
       tk AS (SELECT doc_id, unnest(toks) AS term FROM d),
       tf AS (SELECT doc_id, term, count(*) AS tf FROM tk GROUP BY doc_id, term),
       dfr AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
       nd AS (SELECT count(*) AS n_docs FROM documents),
-      sc AS (SELECT tf.doc_id, tf.term, tf.tf, dfr.df,
-        CAST(tf.tf AS DOUBLE) * ln(CAST(n_docs AS DOUBLE)/dfr.df) AS score,
+      sc AS (SELECT tf.doc_id, tf.term, tf.tf, dfr.df, nd.n_docs,
         row_number() OVER (PARTITION BY tf.doc_id ORDER BY tf.tf DESC, dfr.df ASC, tf.term) AS rnk
         FROM tf JOIN dfr USING (term) CROSS JOIN nd)
-      SELECT doc_id, rnk, term, tf, df, CAST(score AS DECIMAL(12,4)) AS tfidf
+      SELECT doc_id, rnk, term, tf, df,
+        ${Exact.ratioDecimalSql("tf * n_docs", "df", 12, 4)} AS tfidf_lin
       FROM sc WHERE rnk <= 3 ORDER BY doc_id, rnk"""),
       (s, d) => {
         val docs = t(s, d, "documents")
@@ -174,24 +183,26 @@ object AnalyticsQueries {
           .orderBy(col("tf").desc, col("df").asc, col("term").asc)
         tf.join(dfr, "term")
           .crossJoin(broadcast(nd))
-          .withColumn("score",
-            col("tf").cast("double") * log(col("n_docs").cast("double") / col("df")))
           .withColumn("rnk", row_number().over(byDoc))
           .filter(col("rnk") <= 3)
           .select(col("doc_id"), col("rnk"), col("term"), col("tf"), col("df"),
-            col("score").cast("decimal(12,4)").as("tfidf"))
+            Exact.ratioDecimal(col("tf") * col("n_docs"), col("df"), 12, 4)
+              .as("tfidf_lin"))
           .orderBy("doc_id", "rnk")
       }),
 
-    // Bigram PMI collocations: top-50 adjacent pairs by count with
-    // pointwise mutual information. Bigrams come from the ONE
-    // shingle definition (NearDup.shingleExpr, n=2, non-distinct —
-    // PMI needs occurrence counts, not doc membership). Unigram
-    // counts join back by word — a shuffle join, NOT a broadcast:
-    // a web-scale vocabulary (typos, numbers) does not reliably fit
-    // an executor. PMI numerator/denominator are built left-to-right
-    // identically on both engines so the doubles agree bitwise
-    // before the DECIMAL round.
+    // Bigram collocations: top-50 adjacent pairs by count with the
+    // association LIFT, P(xy)/(P(x)P(y)) = c_xy·t_uni²/(t_bi·c_x·c_y)
+    // — exp(PMI), reported instead of PMI itself because ln() is not
+    // bitwise-portable across libm implementations while the lift is
+    // a pure ratio of exact integer counts (Exact.ratioDecimal —
+    // HUGEINT/DECIMAL(38) intermediates, so t_uni² never overflows
+    // BIGINT; lift ranks pairs identically to PMI, ln being
+    // monotone). Bigrams come from the ONE shingle definition
+    // (NearDup.shingleExpr, n=2, non-distinct — occurrence counts,
+    // not doc membership). Unigram counts join back by word — a
+    // shuffle join, NOT a broadcast: a web-scale vocabulary (typos,
+    // numbers) does not reliably fit an executor.
     QDef("q_bigram_pmi", Some(s"""
       WITH $toksCte,
       bi AS (SELECT unnest(list_transform(range(1, greatest(len(toks), 1)),
@@ -202,8 +213,8 @@ object AnalyticsQueries {
       tt AS (SELECT sum(c_xy) AS t_bi FROM bc),
       t1 AS (SELECT sum(c_w) AS t_uni FROM uc)
       SELECT bg, c_xy,
-        CAST(ln((CAST(c_xy AS DOUBLE) * CAST(t_uni AS DOUBLE) * CAST(t_uni AS DOUBLE)) /
-                (CAST(t_bi AS DOUBLE) * CAST(cx.c_w AS DOUBLE) * CAST(cy.c_w AS DOUBLE))) AS DECIMAL(12,4)) AS pmi
+        ${Exact.ratioDecimalSql("CAST(c_xy AS HUGEINT) * t_uni * t_uni",
+                                "CAST(t_bi AS HUGEINT) * cx.c_w * cy.c_w", 12, 4)} AS lift
       FROM bc CROSS JOIN tt CROSS JOIN t1
       JOIN uc cx ON cx.w = split_part(bg, ' ', 1)
       JOIN uc cy ON cy.w = split_part(bg, ' ', 2)
@@ -217,12 +228,13 @@ object AnalyticsQueries {
           .groupBy("w").agg(count(lit(1)).as("c_w"))
         val tBi = bc.agg(sum(col("c_xy")).as("t_bi"))
         val tUni = uc.agg(sum(col("c_w")).as("t_uni"))
-        val num = col("c_xy").cast("double") * col("t_uni").cast("double") * col("t_uni").cast("double")
-        val den = col("t_bi").cast("double") * col("cx.c_w").cast("double") * col("cy.c_w").cast("double")
+        val num = col("c_xy").cast("decimal(38,0)") * col("t_uni") * col("t_uni")
+        val den = col("t_bi").cast("decimal(38,0)") * col("cx.c_w") * col("cy.c_w")
         bc.crossJoin(broadcast(tBi)).crossJoin(broadcast(tUni))
           .join(uc.as("cx"), col("cx.w") === split_part(col("bg"), lit(" "), lit(1)))
           .join(uc.as("cy"), col("cy.w") === split_part(col("bg"), lit(" "), lit(2)))
-          .select(col("bg"), col("c_xy"), log(num / den).cast("decimal(12,4)").as("pmi"))
+          .select(col("bg"), col("c_xy"),
+            Exact.ratioDecimal(num, den, 12, 4).as("lift"))
           .orderBy(col("c_xy").desc, col("bg").asc)
           .limit(50)
       }),
@@ -344,11 +356,13 @@ object AnalyticsQueries {
       g AS (SELECT user_id, event_type, island,
           strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS run_start,
           strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS run_end,
-          count(*) AS n
+          count(*) AS n,
+          min(event_id) AS first_eid
         FROM r GROUP BY user_id, event_type, island)
       SELECT user_id, event_type, run_start, run_end, n,
-        lead(run_start) OVER (PARTITION BY user_id ORDER BY run_start, run_end, event_type) AS valid_to
-      FROM g ORDER BY user_id, run_start, event_type"""),
+        lead(run_start) OVER (PARTITION BY user_id
+          ORDER BY run_start, run_end, event_type, first_eid) AS valid_to
+      FROM g ORDER BY user_id, run_start, event_type, first_eid"""),
       (s, d) => {
         val TS = "yyyy-MM-dd HH:mm:ss"
         val byU = Window.partitionBy("user_id").orderBy("ts", "event_id")
@@ -357,16 +371,25 @@ object AnalyticsQueries {
         val island = sum(chg).over(
           Window.partitionBy("user_id").orderBy("ts", "event_id")
             .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        // first_eid (the run's min event id) is an ALWAYS-distinct
+        // tiebreak: run boundaries render at second resolution, so two
+        // same-type runs interleaved with another type inside one
+        // second tie on (run_start, run_end, event_type) — without a
+        // distinct key both the lead() and the output order would be
+        // engine/partition-order-dependent. Internal only: dropped
+        // after ordering.
         val g = t(s, d, "events")
           .withColumn("island", island)
           .groupBy("user_id", "event_type", "island")
           .agg(date_format(min(col("ts")), TS).as("run_start"),
             date_format(max(col("ts")), TS).as("run_end"),
-            count(lit(1)).as("n"))
+            count(lit(1)).as("n"),
+            min(col("event_id")).as("first_eid"))
         g.withColumn("valid_to", lead(col("run_start"), 1).over(
-            Window.partitionBy("user_id").orderBy("run_start", "run_end", "event_type")))
-          .drop("island")
-          .orderBy("user_id", "run_start", "event_type")
+            Window.partitionBy("user_id")
+              .orderBy("run_start", "run_end", "event_type", "first_eid")))
+          .orderBy("user_id", "run_start", "event_type", "first_eid")
+          .drop("island", "first_eid")
       }),
 
     // Per-group MODE with a declared tiebreak (alphabetical) — the
@@ -394,21 +417,31 @@ object AnalyticsQueries {
     // extendedprice) assembled from exact DECIMAL power sums
     // (n, Σx, Σy, Σxy, Σx², Σy²) so the result is the same IEEE
     // double in any partition order — a double corr() aggregate is
-    // not reproducible across cluster layouts. One map-side-combined
-    // aggregate pass; the double math happens on 3 rows.
-    QDef("q_corr_exact", Some("""
+    // not reproducible across cluster layouts. The centered
+    // differences n·Σxy−ΣxΣy etc. are computed fully in DECIMAL
+    // (exact), then converted ONCE each via Exact.detDouble shift −4
+    // (their integer parts run ~10¹⁹ at sf0.1 — far past 2^53 and
+    // past 2^63 as scaled ints, where
+    // the engines' own decimal→double casts diverge; truncating the
+    // sub-ulp fraction and converting through BIGINT is
+    // bit-identical in both). One map-side-combined aggregate pass;
+    // the double math happens on 3 rows.
+    QDef("q_corr_exact", Some(s"""
       WITH s AS (SELECT l_returnflag, count(*) AS n,
         sum(CAST(l_quantity AS DECIMAL(12,2))) AS sx,
         sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS sy,
         sum(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(12,2))) AS sxy,
         sum(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(12,2))) AS sxx,
         sum(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(12,2))) AS syy
-        FROM lineitem GROUP BY l_returnflag)
+        FROM lineitem GROUP BY l_returnflag),
+      c AS (SELECT l_returnflag, n,
+        ${Exact.detDoubleSql("n * sxy - sx * sy", -4)} AS cnum,
+        ${Exact.detDoubleSql("n * sxx - sx * sx", -4)} AS dx,
+        ${Exact.detDoubleSql("n * syy - sy * sy", -4)} AS dy
+        FROM s)
       SELECT l_returnflag, n,
-        CAST((n*CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE)) /
-          (sqrt(n*CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE)) *
-           sqrt(n*CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE)*CAST(sy AS DOUBLE))) AS DECIMAL(10,6)) AS r
-      FROM s ORDER BY l_returnflag"""),
+        ${Exact.renderSql("cnum / nullif(sqrt(dx) * sqrt(dy), 0.0)", 10, 6)} AS r
+      FROM c ORDER BY l_returnflag"""),
       (s, d) => {
         val x = col("l_quantity").cast("decimal(12,2)")
         val y = col("l_extendedprice").cast("decimal(12,2)")
@@ -416,11 +449,11 @@ object AnalyticsQueries {
           count(lit(1)).as("n"),
           sum(x).as("sx"), sum(y).as("sy"),
           sum(x * y).as("sxy"), sum(x * x).as("sxx"), sum(y * y).as("syy"))
+        val cnum = Exact.detDouble(col("n") * col("sxy") - col("sx") * col("sy"), -4)
+        val dx = Exact.detDouble(col("n") * col("sxx") - col("sx") * col("sx"), -4)
+        val dy = Exact.detDouble(col("n") * col("syy") - col("sy") * col("sy"), -4)
         st.select(col("l_returnflag"), col("n"),
-          ((col("n") * col("sxy").cast("double") - col("sx").cast("double") * col("sy").cast("double")) /
-            (sqrt(col("n") * col("sxx").cast("double") - col("sx").cast("double") * col("sx").cast("double")) *
-             sqrt(col("n") * col("syy").cast("double") - col("sy").cast("double") * col("sy").cast("double"))))
-            .cast("decimal(10,6)").as("r"))
+          Exact.render(cnum / nullif(sqrt(dx) * sqrt(dy), lit(0.0)), 10, 6).as("r"))
           .orderBy("l_returnflag")
       }),
 
@@ -594,7 +627,8 @@ object AnalyticsQueries {
     // Edges are oriented a<b so each triangle is enumerated exactly
     // once by the e(a,b)⋈e(b,c)⋈e(a,c) two-join plan; the edge set
     // is persisted — three scans of one materialization, not three
-    // runs of the whole Jaccard pipeline. At web scale the standard
+    // runs of the whole Jaccard pipeline (released post-action by
+    // QDef.withCacheRelease). At web scale the standard
     // extra step is degeneracy (low-degree-first) orientation, which
     // bounds the join fan-out per node by core number, not degree.
     QDef("q_triangle_support", Some(s"""
@@ -707,7 +741,9 @@ object AnalyticsQueries {
         // and Catalyst does not share subplans across branches — so
         // the tiny per-user step tables persist, or the s3 branch
         // would re-run the s1 and s2 scans/aggregates (3 events
-        // scans instead of 1 at the 100 TB shape)
+        // scans instead of 1 at the 100 TB shape). Released after the
+        // action by QDef.withCacheRelease (all harness mains route
+        // through it) — never left in the shared session.
         val s1 = ev.filter(col("event_type") === "signup")
           .groupBy("user_id").agg(min(col("ts")).as("t1")).persist()
         val s2 = step("view", s1, "t1", "t2").persist()
@@ -757,7 +793,7 @@ object AnalyticsQueries {
     // per-user aggregate, one 2-row variant aggregate, then a 1-row
     // pivot; the fact is shuffled once on user_id. A zero pooled
     // variance (all users converted) yields NULL z, not a crash.
-    QDef("q_ab_readout", Some("""
+    QDef("q_ab_readout", Some(s"""
       WITH u AS (SELECT user_id,
           CASE WHEN sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) >= 14
                THEN 1 ELSE 0 END AS conv
@@ -773,7 +809,7 @@ object AnalyticsQueries {
                      * (1.0 - CAST(c_a + c_b AS DOUBLE)/(n_a + n_b))
                      * (1.0/n_a + 1.0/n_b)), 0.0) AS zs
             FROM w)
-      SELECT n_a, c_a, n_b, c_b, CAST(zs AS DECIMAL(10,4)) AS z,
+      SELECT n_a, c_a, n_b, c_b, ${Exact.renderSql("zs", 10, 4)} AS z,
              CASE WHEN abs(zs) > 1.96 THEN 1 ELSE 0 END AS significant FROM z"""),
       (s, d) => {
         val u = t(s, d, "events").groupBy("user_id").agg(
@@ -791,7 +827,7 @@ object AnalyticsQueries {
           nullif(sqrt(pp * (lit(1.0) - pp) * (lit(1.0) / col("n_a") + lit(1.0) / col("n_b"))),
             lit(0.0))
         w.select(col("n_a"), col("c_a"), col("n_b"), col("c_b"),
-          zs.cast("decimal(10,4)").as("z"),
+          Exact.render(zs, 10, 4).as("z"),
           when(abs(zs) > 1.96, 1).otherwise(0).as("significant"))
       }),
 
@@ -848,19 +884,22 @@ object AnalyticsQueries {
 
     // WEEK-OVER-WEEK growth: weekly revenue per type with percent
     // change — the reporting cadence the reference's digest renders.
-    // Revenue stays DECIMAL through the lag; the percent change is
-    // the only double and both engines build it from the same exact
-    // inputs with the same expression, then round to 2 decimals.
-    // Tiny aggregate (types × weeks rows) after one fact shuffle.
-    QDef("q_wow_growth", Some("""
+    // Revenue stays DECIMAL through the lag AND the difference
+    // (rev−prev is exact DECIMAL, converted via Exact.detDouble);
+    // the percent is one IEEE divide+multiply, rendered with
+    // Exact.render so neither engine's double→DECIMAL cast ever
+    // runs. Tiny aggregate (types × weeks rows) after one fact
+    // shuffle.
+    QDef("q_wow_growth", Some(s"""
       WITH m AS (SELECT event_type, date_trunc('week', ts) AS wk,
                    sum(CAST(value AS DECIMAL(12,2))) AS rev FROM events GROUP BY 1, 2),
       g AS (SELECT event_type, wk, rev,
               lag(rev) OVER (PARTITION BY event_type ORDER BY wk) AS prev FROM m)
       SELECT event_type, strftime(wk, '%Y-%m-%d') AS week, CAST(rev AS VARCHAR) AS revenue,
-        CAST(CASE WHEN prev IS NULL OR prev = 0 THEN NULL
-             ELSE (CAST(rev AS DOUBLE) - CAST(prev AS DOUBLE)) / CAST(prev AS DOUBLE) * 100.0 END
-             AS DECIMAL(10,2)) AS wow_pct
+        CASE WHEN prev IS NULL OR prev = 0 THEN NULL
+             ELSE ${Exact.renderSql(
+                     s"${Exact.detDoubleSql("rev - prev", 2)} / ${Exact.detDoubleSql("prev", 2)} * 100.0",
+                     10, 2)} END AS wow_pct
       FROM g ORDER BY event_type, week"""),
       (s, d) => {
         val m = t(s, d, "events")
@@ -868,14 +907,14 @@ object AnalyticsQueries {
           .agg(sum(col("value").cast("decimal(12,2)")).as("rev"))
         val byType = Window.partitionBy("event_type").orderBy("wk")
         val prev = lag(col("rev"), 1).over(byType)
+        val pct = Exact.detDouble(col("rev") - col("prev"), 2) /
+          Exact.detDouble(col("prev"), 2) * 100.0
         m.withColumn("prev", prev)
           .select(col("event_type"),
             date_format(col("wk"), "yyyy-MM-dd").as("week"),
             col("rev").cast("string").as("revenue"),
             when(col("prev").isNull || col("prev") === 0, lit(null))
-              .otherwise((col("rev").cast("double") - col("prev").cast("double"))
-                / col("prev").cast("double") * 100.0)
-              .cast("decimal(10,2)").as("wow_pct"))
+              .otherwise(Exact.render(pct, 10, 2)).as("wow_pct"))
           .orderBy("event_type", "week")
       }),
 
@@ -912,7 +951,7 @@ object AnalyticsQueries {
     // where a double stddev would be row-order-dependent. Days with
     // under 4 OBSERVED baseline days in the window score NULL, not
     // garbage. One fact shuffle → tiny per-day agg → one window.
-    QDef("q_rolling_anomaly", Some("""
+    QDef("q_rolling_anomaly", Some(s"""
       WITH d AS (SELECT event_type, date_trunc('day', ts) AS day,
                    date_diff('day', DATE '1970-01-01', date_trunc('day', ts)) AS dn,
                    sum(CAST(value AS DECIMAL(12,2))) AS rev FROM events GROUP BY 1, 2, 3),
@@ -924,12 +963,12 @@ object AnalyticsQueries {
               RANGE BETWEEN 7 PRECEDING AND 1 PRECEDING)),
       z AS (SELECT event_type, day, rev,
               CASE WHEN n >= 4 THEN
-                (CAST(rev AS DOUBLE) - CAST(sv AS DOUBLE)/n) /
-                sqrt(greatest(CAST(svv AS DOUBLE)/n - (CAST(sv AS DOUBLE)/n)*(CAST(sv AS DOUBLE)/n), 0.000001))
+                ${Exact.detDoubleSql("n * rev - sv", 2)} /
+                sqrt(greatest(${Exact.detDoubleSql("n * svv - sv * sv", 4)}, 0.000001 * n * n))
               END AS zs
             FROM f)
       SELECT event_type, strftime(day, '%Y-%m-%d') AS day, CAST(rev AS VARCHAR) AS revenue,
-        CAST(zs AS DECIMAL(10,3)) AS z,
+        ${Exact.renderSql("zs", 10, 3)} AS z,
         CASE WHEN abs(zs) > 2.0 THEN 1 ELSE 0 END AS anomaly
       FROM z ORDER BY event_type, day"""),
       (s, d) => {
@@ -938,11 +977,14 @@ object AnalyticsQueries {
             datediff(date_trunc("day", col("ts")), to_date(lit("1970-01-01"))).as("dn"))
           .agg(sum(col("value").cast("decimal(12,2)")).as("rev"))
         val w = Window.partitionBy("event_type").orderBy("dn").rangeBetween(-7, -1)
-        val mean = col("sv").cast("double") / col("n")
+        // Centered form: z = (n·rev − Σ)/sqrt(n·Σv² − Σ², floored at
+        // n²·1e-6 — same floor as var ≥ 1e-6 pre-centering). Exact
+        // DECIMAL differences, detDouble conversions, IEEE sqrt/div.
         val zs = when(col("n") >= 4,
-          (col("rev").cast("double") - mean) /
-            sqrt(greatest(col("svv").cast("double") / col("n") - mean * mean,
-              lit(0.000001))))
+          Exact.detDouble(col("n") * col("rev") - col("sv"), 2) /
+            sqrt(greatest(
+              Exact.detDouble(col("n") * col("svv") - col("sv") * col("sv"), 4),
+              lit(0.000001) * col("n") * col("n"))))
         daily
           .withColumn("n", count(lit(1)).over(w))
           .withColumn("sv", sum(col("rev")).over(w))
@@ -950,7 +992,7 @@ object AnalyticsQueries {
           .select(col("event_type"),
             date_format(col("day"), "yyyy-MM-dd").as("day"),
             col("rev").cast("string").as("revenue"),
-            zs.cast("decimal(10,3)").as("z"),
+            Exact.render(zs, 10, 3).as("z"),
             when(abs(zs) > 2.0, 1).otherwise(0).as("anomaly"))
           .orderBy("event_type", "day")
       }),
