@@ -1,8 +1,45 @@
 package graft
 import java.nio.file.{Files, Paths}
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
-  * plus oracle_sql.json, for the driver's DuckDB compare. */
+  * plus oracle_sql.json, for the driver's DuckDB compare.
+  *
+  * Every dump is stamped with `verify_meta.json` — the working-tree git
+  * SHA/dirty flag plus a content hash of the compiled classes — so a
+  * stale build can never produce an artifact that silently claims to be
+  * HEAD (the r5/r6 contested-correctness failure mode: review commits
+  * landed after the driver's jar was built, and the artifact's 9 "hash
+  * fails" were the OLD code's output). `tools/selfcheck.py` refuses the
+  * compare when the stamp does not match the tree it runs against. */
 object Verify {
+
+  private def execOut(cmd: String*): String =
+    try {
+      val p = new ProcessBuilder(cmd: _*).redirectErrorStream(true).start()
+      val out = new String(p.getInputStream.readAllBytes(), "UTF-8").trim
+      if (p.waitFor() == 0) out else s"<exit ${p.exitValue()}>"
+    } catch { case e: Exception => s"<error: ${e.getMessage}>" }
+
+  /** sha256 over (sorted relative path, size, bytes) of every .class
+    * under the compiled-classes root — the build fingerprint. Content
+    * (not mtime) based: an identical rebuild keeps the same
+    * fingerprint, because its dumps would be identical too. */
+  private def classesFingerprint(root: java.nio.file.Path): String = {
+    if (!Files.isDirectory(root)) return "<no-classes-dir>"
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    val stream = Files.walk(root)
+    try {
+      import scala.jdk.CollectionConverters._
+      stream.iterator().asScala
+        .filter(p => Files.isRegularFile(p) && p.toString.endsWith(".class"))
+        .toSeq.sortBy(root.relativize(_).toString)
+        .foreach { p =>
+          md.update(root.relativize(p).toString.getBytes("UTF-8"))
+          md.update(Files.readAllBytes(p))
+        }
+    } finally stream.close()
+    md.digest().map("%02x".format(_)).mkString
+  }
+
   def main(args: Array[String]): Unit = {
     val (sfDir, outDir) = (args(0), args(1))
     // Optional extra args: run only the named queries (local iteration).
@@ -13,8 +50,9 @@ object Verify {
     SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only(name) }
       .foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
+      try graft.queries.QDef.withCacheRelease(spark, fn(spark, sfDir)) {
+        _.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+      }
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
@@ -44,6 +82,30 @@ object Verify {
           java.nio.file.Files.exists(java.nio.file.Paths.get(outDir, k)) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // Build/tree provenance stamp — see object scaladoc. stale_build
+    // is the direct symptom check: a source file newer than every
+    // compiled class means this JVM is NOT running the working tree.
+    val classesRoot = Paths.get("target/scala-2.13/classes")
+    val newestUnder = (p: java.nio.file.Path) => {
+      if (!Files.isDirectory(p)) 0L
+      else {
+        val st = Files.walk(p)
+        try {
+          import scala.jdk.CollectionConverters._
+          st.iterator().asScala.filter(Files.isRegularFile(_))
+            .map(Files.getLastModifiedTime(_).toMillis).foldLeft(0L)(math.max)
+        } finally st.close()
+      }
+    }
+    val meta = Map(
+      "git_sha" -> q(execOut("git", "rev-parse", "HEAD")),
+      "git_dirty" -> execOut("git", "status", "--porcelain").nonEmpty.toString,
+      "classes_sha256" -> q(classesFingerprint(classesRoot)),
+      "stale_build" ->
+        (newestUnder(Paths.get("src/main/scala")) > newestUnder(classesRoot)).toString,
+      "spark_version" -> q(spark.version)
+    ).map { case (k, v) => s"${q(k)}: $v" }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/verify_meta.json"), meta)
     spark.stop()
   }
 }

@@ -4,11 +4,65 @@ output against SparkEntry.oracleSql in DuckDB and hash-compare.
 
 Usage: python3 tools/selfcheck.py <sfDir> <verifyOutDir> [query ...]
 """
-import sys, os, json, glob, hashlib
+import sys, os, json, glob, hashlib, subprocess
 import duckdb
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
+
+CLASSES_ROOT = "target/scala-2.13/classes"
+
+
+def classes_fingerprint(root=CLASSES_ROOT):
+    """Mirror of graft.Verify.classesFingerprint: sha256 over sorted
+    (relative path, bytes) of every .class file."""
+    if not os.path.isdir(root):
+        return "<no-classes-dir>"
+    h = hashlib.sha256()
+    paths = []
+    for dirpath, _, files in os.walk(root):
+        for f in files:
+            if f.endswith(".class"):
+                p = os.path.join(dirpath, f)
+                paths.append((os.path.relpath(p, root), p))
+    for rel, p in sorted(paths):
+        h.update(rel.encode())
+        h.update(open(p, "rb").read())
+    return h.hexdigest()
+
+
+def check_provenance(out_dir):
+    """Refuse a stale verify artifact: the dump must have been produced
+    by the compiled classes currently on disk, which must themselves be
+    newer than every source file (VERDICT r6 item 1 — a stale jar must
+    never produce an artifact that claims to be HEAD)."""
+    meta_path = f"{out_dir}/verify_meta.json"
+    if not os.path.exists(meta_path):
+        print("WARN no verify_meta.json in dump (pre-r7 artifact?) — provenance unchecked")
+        return []
+    meta = json.load(open(meta_path))
+    problems = []
+    if meta.get("stale_build") is True:
+        problems.append("verify ran on classes OLDER than src/main/scala (stale build)")
+    now_fp = classes_fingerprint()
+    if meta.get("classes_sha256") not in (now_fp, "<no-classes-dir>"):
+        problems.append(
+            f"dump built from classes {meta.get('classes_sha256','?')[:12]}… but "
+            f"on-disk classes are {now_fp[:12]}… (rebuild happened after the dump — regenerate)")
+    try:
+        head = subprocess.run(["git", "rev-parse", "HEAD"], capture_output=True,
+                              text=True, timeout=10).stdout.strip()
+        if head and not meta.get("git_sha", "").startswith("<") and meta["git_sha"] != head:
+            # classes fingerprint is the hard gate; a moved HEAD with
+            # identical classes (commit without source change) is benign
+            print(f"WARN dump stamped {meta['git_sha'][:12]} but HEAD is {head[:12]} "
+                  "(ok iff classes fingerprint matched)")
+    except Exception:
+        pass
+    if meta.get("git_dirty") is True:
+        print("WARN working tree was dirty when the dump was produced "
+              f"(sha {meta.get('git_sha','?')[:12]}) — fine mid-iteration, not for a round close")
+    return problems
 
 
 def norm(v):
@@ -31,6 +85,12 @@ def table_hash(rows, cols):
 def main():
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
     only = set(sys.argv[3:])
+    provenance = check_provenance(out_dir)
+    for p in provenance:
+        print(f"FAIL <provenance>: {p}")
+    if provenance:
+        print("\nartifact is STALE — rerun: sbt -batch compile && runMain graft.Verify …")
+        sys.exit(1)
     con = duckdb.connect()
     for t in TABLES:
         p = f"{sf_dir}/{t}.parquet"
