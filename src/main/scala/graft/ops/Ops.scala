@@ -105,9 +105,13 @@ object Ops {
     * shuffle on the key and a sort within partitions, total cost
     * O(n log n) per key group with no row expansion whatsoever.
     *
-    * Right rows must be unique per (key, ts) — pre-aggregate the
-    * series first (e.g. max per instant), otherwise "the" value at a
-    * timestamp is undefined in any engine.
+    * Duplicate right rows per (key, ts) are DEFINED behavior: the
+    * greatest `value` at that instant wins (the window orders `_v`
+    * ascending within a timestamp, so `last` lands on the max — the
+    * tiebreak q_attribution_last_touch relies on to pick the highest
+    * click id among simultaneous clicks). Callers wanting a different
+    * resolution rule (first value, sum, …) should pre-aggregate the
+    * series to one row per (key, ts) before calling.
     *
     * @param left   probe side; all its columns survive
     * @param right  value series: (key, rts, valueCol) — other

@@ -198,6 +198,46 @@ object SimQueries {
         Similarity.ivfTopK(c, q, 5).orderBy("qid", "rank")
       }),
 
+    // IVF with multi-cell probe (nprobe=2): corpus vectors keep their
+    // single argmax cell, but each QUERY searches its 2 nearest cells
+    // — the standard IVF recall lever (a query sitting near a Voronoi
+    // face also probes the neighbor, so near-boundary neighbors stop
+    // vanishing; closes the acknowledged nprobe=1 gap in r6's
+    // ivfTopK). Probe-cell selection is the same narrow driver-inlined
+    // argmax structure as assignment (sort the in-row scored array,
+    // keep 2, explode) — no extra join or shuffle; candidate volume is
+    // nprobe·avg-cell, still Σ n_cell², never n². The per-qid rank
+    // window spans both probed cells, so the top-5 is global.
+    QDef("q_embed_ann_ivf_nprobe", Some(s"""
+      WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      cent AS (SELECT vec_id AS cell, v AS centv FROM e WHERE vec_id < 8),
+      scored AS (SELECT e.vec_id AS cid, e.v AS cv, cent.cell,
+        round(${cosineSql("e.v", "cent.centv")}, 6) AS cs
+        FROM e CROSS JOIN cent),
+      assigned AS (SELECT cid, cv, cell FROM scored
+        QUALIFY row_number() OVER (PARTITION BY cid ORDER BY cs DESC, cell) = 1),
+      qprobe AS (SELECT cid AS qid, cv AS qv, cell FROM scored WHERE cid < 10
+        QUALIFY row_number() OVER (PARTITION BY cid ORDER BY cs DESC, cell) <= 2),
+      s AS (SELECT qid, cid, round($cosSql, 3) AS sim3
+            FROM qprobe q JOIN assigned c USING (cell) WHERE qid <> cid),
+      r AS (SELECT qid, cid, sim3,
+            CAST(row_number() OVER (PARTITION BY qid ORDER BY sim3 DESC, cid) AS BIGINT) AS rank
+            FROM s)
+      SELECT qid, cid, sim3, rank FROM r WHERE rank <= 5 ORDER BY qid, rank"""),
+      (s, d) => {
+        val e = t(s, d, "embeddings")
+          .select(col("vec_id"), col("embedding").as("v"))
+        val corpus = e.select(col("vec_id").as("cid"), col("v").as("cv"))
+        val centroids = e.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("cell"), col("v").as("centv"))
+        val assigned = Similarity.ivfAssign(corpus, centroids)
+        val q = e.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("qid"), col("v").as("qv"))
+        val probes = Similarity.ivfProbeCells(q, centroids, nprobe = 2)
+        Similarity.ivfTopK(assigned.select(col("cid"), col("cell"), col("cv")),
+          probes, 5).orderBy("qid", "rank")
+      }),
+
     // Embedding-cosine near-dup pairs: vector pairs above a high
     // similarity bar — the EXACTNESS REFERENCE for the celled ANN
     // path below, run on a declared 1-in-5 sample. The all-pairs

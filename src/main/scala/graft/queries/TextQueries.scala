@@ -416,21 +416,30 @@ object TextQueries {
           .orderBy("doc_a", "doc_b")
       }),
 
-    // n-gram (word 3-gram shingle) MinHash LSH pairs: k=4, 2 bands.
+    // n-gram (word 3-gram shingle) MinHash LSH pairs: k=4 signature,
+    // 4 bands × 1 row — r=1 makes a band collide with probability J
+    // itself, the loosest (highest-recall) LSH operating point. The
+    // r6 configuration (2 bands × 2 rows, P=1-(1-J²)² ≈ 2J² at small
+    // J) matched on ZERO rows at sf0.01/sf0.1 — a vacuous oracle:
+    // 3-gram shingle Jaccard between distinct synthetic docs is low
+    // enough that no pair ever agreed on two adjacent components.
+    // With r=1 the query proves the banding machinery on real
+    // collisions at every SF while staying LSH-bounded (the capped
+    // bucket join still applies).
     QDef("q_dedup_ngram_minhash_pairs", Some(s"""
       WITH d AS (SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS toks
                  FROM documents WHERE doc_id % 7 = 0),
       sh AS (SELECT DISTINCT doc_id, sh FROM
         (SELECT doc_id, unnest(list_transform(range(1, greatest(len(toks) - 1, 1)),
                 i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh FROM d)),
-      ${sigSelect(4, "sh")}, ${bandsSql(4, 2)} $pairsSql"""),
+      ${sigSelect(4, "sh")}, ${bandsSql(4, 1)} $pairsSql"""),
       (s, d) => NearDup.lshCandidatePairs(
         NearDup.lshBands(
           NearDup.minhashSignatures(
             NearDup.shingles3(t(s, d, "documents").filter(col("doc_id") % 7 === 0),
               "doc_id", "text"),
             "doc_id", "sh", 4),
-          "doc_id", 4, 2),
+          "doc_id", 4, 1),
         "doc_id").orderBy("doc_a", "doc_b")),
 
     // 16-bit SimHash per doc (votes over md5-derived bits).

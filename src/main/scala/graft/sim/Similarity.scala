@@ -94,9 +94,49 @@ object Similarity {
       .drop("_best")
   }
 
+  /** Query-side multi-cell probe: emit each query row once per probed
+    * cell — its `nprobe` highest-cosine centroids (deterministic
+    * smaller-cell tiebreak on the 6-decimal-rounded score, matching
+    * [[ivfAssign]]). Like assignment, this is a NARROW per-row
+    * projection over driver-inlined centroid literals: score all
+    * centroids into one in-row struct array, sort it descending, keep
+    * the first nprobe, explode — no join, no shuffle, no window. Feed
+    * the result to [[ivfTopK]]: its per-qid rank window then picks the
+    * global top-k across the probed cells, closing the recall cliff a
+    * single-cell probe has at cell boundaries (a query near a Voronoi
+    * face also searches the neighboring cell).
+    *
+    * @param queries   (qid, qv) — small
+    * @param centroids (cell, centv) — small, collected to the driver
+    * @return (qid, qv, cell) with ≤ nprobe rows per qid
+    */
+  def ivfProbeCells(queries: DataFrame, centroids: DataFrame, nprobe: Int): DataFrame = {
+    import org.apache.spark.sql.types.{ArrayType, FloatType}
+    require(nprobe >= 1, s"nprobe=$nprobe must be >= 1")
+    val rows = centroids.select(col("cell").cast("long"), col("centv")).collect()
+    require(rows.nonEmpty, "ivfProbeCells needs at least one centroid")
+    val elemIsFloat = centroids.schema("centv").dataType
+      .asInstanceOf[ArrayType].elementType == FloatType
+    val scored = rows.map { r =>
+      val vec =
+        if (elemIsFloat) typedLit(r.getSeq[Float](1))
+        else typedLit(r.getSeq[Double](1))
+      struct(round(cosine(col("qv"), vec), 6).as("cs"),
+        lit(-r.getLong(0)).as("negCell"))
+    }
+    queries
+      .withColumn("_probe",
+        slice(sort_array(array(scored.toIndexedSeq: _*), asc = false), 1, nprobe))
+      .select(col("qid"), col("qv"), explode(col("_probe")).as("_p"))
+      .select(col("qid"), col("qv"), (-col("_p.negCell")).as("cell"))
+  }
+
   /** IVF-style pruned top-k: candidates restricted to the query's
-    * cell (either a precomputed partition column or [[ivfAssign]]'s
-    * output; a full build would probe n>1 cells). */
+    * cell(s) — either a precomputed partition column, [[ivfAssign]]'s
+    * single cell, or [[ivfProbeCells]]'s nprobe-expanded rows (the
+    * per-qid rank window spans all probed cells, so multi-probe needs
+    * no extra merge step; corpus rows live in exactly one cell, so no
+    * pair is scored twice). */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
     val scored = broadcast(queries).join(corpus, Seq("cell"))
       .filter(col("qid") =!= col("cid"))

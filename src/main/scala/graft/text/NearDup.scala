@@ -196,14 +196,14 @@ object NearDup {
     * release), so the dir holds at most two rounds at any instant;
     * the final round's files back the returned frame and are left
     * for the session/checkpoint-dir owner to reclaim. Note Spark's
-    * checkpoint dir is session-global (`setCheckpointDir`): a
-    * caller-set dir is restored on exit, but if the session had NO
-    * checkpoint dir before the call it stays pointed at
-    * `checkpointDir` afterwards — Spark has no public unset — so
-    * later unrelated `rdd.checkpoint()` calls will land there.
-    * Callers in that position must either set their own session dir
-    * first, or reclaim `checkpointDir` only once nothing else in the
-    * session checkpoints.
+    * checkpoint dir is session-global (`setCheckpointDir`) and has no
+    * public unset, so passing `checkpointDir` REQUIRES the session to
+    * already own a checkpoint dir (fail-fast `require`): the caller's
+    * dir is swapped in for the loop and restored on exit. Without
+    * that precondition the per-call dir would silently remain the
+    * session's dir, and later unrelated `rdd.checkpoint()` calls
+    * would land in — and be reclaimed with — a directory they never
+    * chose.
     *
     * Convergence is detected by an aggregate checksum: labels only
     * ever DECREASE, so the decimal sum of labels strictly decreases
@@ -222,7 +222,18 @@ object NearDup {
     // of the session would redirect (and later destroy, when this
     // dir is reclaimed) every unrelated rdd.checkpoint()
     val callerCkptDir = spark.sparkContext.getCheckpointDir
-    checkpointDir.foreach(spark.sparkContext.setCheckpointDir)
+    // fail fast instead of hijacking session-global state: Spark has
+    // no public way to UNSET a checkpoint dir, so if the session had
+    // none, the per-call dir would silently become the session's dir
+    // for every later unrelated rdd.checkpoint() — and be reclaimed
+    // out from under them when this dir is cleaned up
+    checkpointDir.foreach { d =>
+      require(callerCkptDir.isDefined,
+        "connectedComponents(checkpointDir = Some(…)) requires the " +
+          "session to already own a checkpoint dir (spark.sparkContext" +
+          ".setCheckpointDir) so the caller's dir can be restored on exit")
+      spark.sparkContext.setCheckpointDir(d)
+    }
     val edges = pairs.select(col("doc_a").as("_src"), col("doc_b").as("_dst"))
       .union(pairs.select(col("doc_b").as("_src"), col("doc_a").as("_dst")))
       .cache()

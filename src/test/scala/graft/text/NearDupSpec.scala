@@ -94,6 +94,10 @@ class NearDupSpec extends AnyFunSuite {
     val dir = java.nio.file.Files.createTempDirectory("cc_ckpt").toString
     val nodes = Seq(1L, 2L, 3L, 4L, 5L, 6L, 7L).toDF("doc_id")
     val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (5L, 6L)).toDF("doc_a", "doc_b")
+    // a checkpointing call REQUIRES the session to own a dir already
+    // (fail-fast; checked below) — set one, as a production caller must
+    val sessionDir = java.nio.file.Files.createTempDirectory("cc_sess").toString
+    spark.sparkContext.setCheckpointDir(sessionDir)
     val got = NearDup.connectedComponents(nodes, "doc_id", pairs,
       checkpointDir = Some(dir))
       .orderBy("doc_id").as[(Long, Long)].collect().toSeq
@@ -106,6 +110,9 @@ class NearDupSpec extends AnyFunSuite {
       .flatMap(_.listFiles()).filter(_.getName.startsWith("rdd-"))
     assert(rddDirs.size == 1,
       s"expected only the final round's checkpoint files, got: $rddDirs")
+    // the caller's session dir was restored after the loop
+    assert(spark.sparkContext.getCheckpointDir.exists(_.contains("cc_sess")),
+      "caller's session checkpoint dir must be restored on exit")
   }
 
   test("connectedComponents: maxIters too small for the diameter fails loudly") {
