@@ -46,8 +46,35 @@ object Bench {
     val total = results.map(_._2).sum
     if (failed.nonEmpty)
       System.err.println(s"[bench] ${failed.size} FAILED: ${failed.sorted.mkString(", ")}")
+    // Per-query budgets (tools/bench_budgets.txt: "name seconds",
+    // 2× an idle-machine baseline): queries past budget are listed
+    // with their ratio so load noise (everything uniformly inflated)
+    // and real regressions (specific queries blown) separate
+    // mechanically instead of by per-round archaeology.
+    val budgets: Map[String, Double] =
+      try java.nio.file.Files.readAllLines(
+          java.nio.file.Paths.get("tools/bench_budgets.txt"))
+        .toArray(Array.empty[String]).toSeq
+        .map(_.trim).filter(l => l.nonEmpty && !l.startsWith("#"))
+        .flatMap { l =>
+          l.split("\\s+") match {
+            case Array(n, b) => Some(n -> b.toDouble)
+            case _ => None
+          }
+        }.toMap
+      catch { case _: Throwable => Map.empty }
+    val exceeded = results
+      .flatMap { case (k, v) =>
+        budgets.get(k).filter(v > _).map(b => (k, v / b)) }
+      .sortBy(-_._2)
+    if (exceeded.nonEmpty)
+      System.err.println(s"[bench] ${exceeded.size} over budget: " +
+        exceeded.map { case (k, r) => f"$k ${r}%.2fx" }.mkString(", "))
+    val exceededJson = exceeded
+      .map { case (k, r) => "\"" + k + "\":" + f"$r%.3f" }.mkString("{", ",", "}")
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+        s""""budget_exceeded":$exceededJson,"budget_n":${budgets.size},"sf":"$sfDir"}"""
     println(line)
     // Also persist the line so the driver can recover it even if
     // stdout is truncated (BENCH_r01.json lost its head that way).

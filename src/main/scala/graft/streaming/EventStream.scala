@@ -29,26 +29,46 @@ final case class ContactEvent(contact_id: Long, event_id: Long,
 final case class DigestState(count: Long, lastTsMillis: Option[Long],
                              lastK: Vector[(Long, String)])
 
-/** Funnel state: millis of each completed step (None = not yet). */
-final case class FunnelState(t1: Option[Long], t2: Option[Long], t3: Option[Long])
+/** Funnel state: the resolved step times plus the bounded per-step
+  * candidate retention that makes late arrival safe — min signup time
+  * ever seen, and the earliest still-relevant view/purchase
+  * timestamps (see [[FunnelProcessor]] for the pruning rules). */
+final case class FunnelState(t1: Option[Long], t2: Option[Long], t3: Option[Long],
+                             viewCands: Vector[Long], purchCands: Vector[Long])
 
-/** Emitted once per user per newly-completed funnel step. */
+/** Emitted once per user per newly-completed funnel step (re-emitted
+  * with the earlier timestamp if a late event improves a step). */
 final case class FunnelStep(contact_id: Long, step: Int, step_ts: Timestamp)
 
 /** Streaming CONVERSION FUNNEL: the stateful face of the batch
   * q_funnel_steps operator — signup → view → purchase, each step
-  * within `deadlineMs` of the previous step's completion, emitting
-  * one row per user per newly-completed step. State is O(1) per
-  * user: three optional step timestamps in `ValueState`.
+  * within `deadlineMs` of the previous step's completion.
   *
-  * Contract, stated honestly: steps resolve EXACTLY as the batch
-  * operator when each user's events are processed in event-time
-  * order (the watermarked-replay / in-order-ingest case — rows
-  * WITHIN a micro-batch are sorted here, so only cross-batch
-  * regressions break order). An out-of-order-tolerant streaming
-  * funnel must retain candidate events until the watermark passes
-  * the funnel horizon — unbounded-state territory the batch
-  * operator covers instead. */
+  * OUT-OF-ORDER TOLERANT: arrival order (within and across
+  * micro-batches) does not change the resolved funnel. The batch
+  * definition is order-free — t1 = min signup, t2 = min view in
+  * (t1, t1+d], t3 = min purchase in (t2, t2+d] — so the processor
+  * keeps exactly the inputs that formula needs and recomputes the
+  * chain each batch: the min signup time, plus BOUNDED candidate
+  * sets for views/purchases (r6's first-seen-in-arrival-order
+  * resolution silently diverged from batch whenever a step-opening
+  * event arrived after its dependents).
+  *
+  * State stays O(1) per user. Candidates are pruned to the funnel
+  * horizon — a view can only ever qualify if v ≤ t1+d, and t1 (a
+  * min) only decreases, so the bound only tightens; purchases
+  * likewise against t2+d (t2 also only improves downward while
+  * defined) — and capped at the [[FunnelProcessor.MaxCands]]
+  * EARLIEST candidates (the chain wants minima, so the earliest
+  * retained are the decisive ones; an adversarial stream overflowing
+  * the cap trades exactness for the bound, documented).
+  *
+  * Residual honesty: completion rows already emitted cannot be
+  * RETRACTED in update mode — a late signup that shifts the window
+  * enough to undo a previously-satisfied step leaves the old row in
+  * the sink (true retraction needs close-on-watermark emission).
+  * Improvements re-emit the step with its earlier timestamp. */
+object FunnelProcessor { val MaxCands = 64 }
 final class FunnelProcessor(deadlineMs: Long)
     extends StatefulProcessor[Long, ContactEvent, FunnelStep] {
 
@@ -60,27 +80,40 @@ final class FunnelProcessor(deadlineMs: Long)
 
   override def handleInputRows(contactId: Long, rows: Iterator[ContactEvent],
                                timers: TimerValues): Iterator[FunnelStep] = {
-    var st = if (state.exists()) state.get() else FunnelState(None, None, None)
-    val out = Vector.newBuilder[FunnelStep]
-    rows.toVector.sortBy(e => (e.event_ts.getTime, e.event_id)).foreach { e =>
+    val st = if (state.exists()) state.get()
+             else FunnelState(None, None, None, Vector.empty, Vector.empty)
+    var minSignup = st.t1
+    var views = st.viewCands
+    var purchases = st.purchCands
+    rows.foreach { e =>
       val t = e.event_ts.getTime
       e.event_type match {
-        case "signup" if st.t1.isEmpty =>
-          st = st.copy(t1 = Some(t))
-          out += FunnelStep(contactId, 1, e.event_ts)
-        case "view" if st.t1.nonEmpty && st.t2.isEmpty &&
-            t > st.t1.get && t <= st.t1.get + deadlineMs =>
-          st = st.copy(t2 = Some(t))
-          out += FunnelStep(contactId, 2, e.event_ts)
-        case "purchase" if st.t2.nonEmpty && st.t3.isEmpty &&
-            t > st.t2.get && t <= st.t2.get + deadlineMs =>
-          st = st.copy(t3 = Some(t))
-          out += FunnelStep(contactId, 3, e.event_ts)
+        case "signup" => minSignup = Some(minSignup.fold(t)(math.min(_, t)))
+        case "view" => views = views :+ t
+        case "purchase" => purchases = purchases :+ t
         case _ => ()
       }
     }
-    state.update(st)
-    out.result().iterator
+    // resolve the chain exactly as the batch operator does
+    val t1 = minSignup
+    val t2 = t1.flatMap(s =>
+      views.filter(v => v > s && v <= s + deadlineMs).minOption)
+    val t3 = t2.flatMap(v =>
+      purchases.filter(p => p > v && p <= v + deadlineMs).minOption)
+    // prune to the horizon, keep the earliest MaxCands
+    val cap = FunnelProcessor.MaxCands
+    views = t1.fold(views)(s => views.filter(_ <= s + deadlineMs))
+      .sorted.distinct.take(cap)
+    purchases = t2.fold(purchases)(v => purchases.filter(_ <= v + deadlineMs))
+      .sorted.distinct.take(cap)
+    state.update(FunnelState(t1, t2, t3, views, purchases))
+    // emit steps that are newly completed or improved to an earlier ts
+    def changed(prev: Option[Long], now: Option[Long]): Boolean =
+      now.isDefined && now != prev
+    Seq((1, st.t1, t1), (2, st.t2, t2), (3, st.t3, t3)).collect {
+      case (step, prev, now) if changed(prev, now) =>
+        FunnelStep(contactId, step, new Timestamp(now.get))
+    }.iterator
   }
 }
 

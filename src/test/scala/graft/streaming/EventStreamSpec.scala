@@ -217,6 +217,55 @@ class EventStreamSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming funnel: shuffled micro-batch order resolves batch-identically") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val prevProvider = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val input = MemoryStream[ContactEvent]
+      val q = EventStream.funnelStream(input.toDS())
+        .writeStream.format("memory").queryName("funnel_steps_ooo")
+        .outputMode(OutputMode.Update).start()
+      try {
+        // SAME 8 events as the in-order test, but every dependent
+        // arrives BEFORE its opener: all views/purchases first, all
+        // signups a batch later — the arrival order that silently
+        // diverged from batch under first-seen resolution
+        input.addData(
+          ContactEvent(1, 11, ts("2024-01-01 05:00:00"), "view"),
+          ContactEvent(1, 12, ts("2024-01-01 20:00:00"), "purchase"),
+          ContactEvent(2, 21, ts("2024-01-02 01:00:00"), "view"),
+          ContactEvent(2, 22, ts("2024-01-02 02:00:00"), "purchase"),
+          ContactEvent(3, 30, ts("2024-01-01 00:00:00"), "view"))
+        q.processAllAvailable()
+        input.addData(
+          ContactEvent(1, 10, ts("2024-01-01 00:00:00"), "signup"),
+          ContactEvent(2, 20, ts("2024-01-01 00:00:00"), "signup"),
+          ContactEvent(3, 31, ts("2024-01-02 00:00:00"), "signup"))
+        q.processAllAvailable()
+      } finally q.stop()
+      val steps = spark.sql(
+        "SELECT contact_id, step, CAST(step_ts AS STRING) FROM funnel_steps_ooo")
+        .as[(Long, Int, String)].collect().toSet
+      // identical to the batch operator on these 8 rows — including
+      // the step TIMES, which first-seen arrival-order resolution
+      // could never reconstruct from this delivery order
+      assert(steps == Set(
+        (1L, 1, "2024-01-01 00:00:00"),
+        (1L, 2, "2024-01-01 05:00:00"),
+        (1L, 3, "2024-01-01 20:00:00"),
+        (2L, 1, "2024-01-01 00:00:00"),
+        (3L, 1, "2024-01-02 00:00:00")))
+    } finally {
+      prevProvider match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("transformWithState digest == flatMapGroupsWithState digest (RocksDB state)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
