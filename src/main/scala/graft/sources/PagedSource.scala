@@ -48,13 +48,19 @@ object PagedSource {
   val schema: StructType = StructType(Seq(
     StructField("id", LongType, nullable = false),
     StructField("name", StringType),
-    StructField("updated_at", StringType)))
+    StructField("updated_at", StringType),
+    StructField("email", StringType)))
 }
+
+/** One collection row (the connector's canonical projection of an
+  * endpoint item; fields absent upstream are null). */
+final case class PageRow(id: Long, name: String, updatedAt: String,
+                         email: String)
 
 /** One logical "endpoint": rows with sequential ids 0..total-1. */
 trait PageBackend extends Serializable {
   /** Fetch one page; throws TransientHttpError / NotFoundError. */
-  def fetch(page: Int, pageLimit: Int): Seq[(Long, String, String)]
+  def fetch(page: Int, pageLimit: Int): Seq[PageRow]
   /** Total row count if the API advertises it; -1 = unknown
     * (short-page termination applies). */
   def total: Long
@@ -71,10 +77,11 @@ final class NotFoundError extends RuntimeException("HTTP 404")
   * can grow the collection between micro-batches. */
 final case class FixtureBackend(totalRows: Long, failAttempts: Int,
                                 notFound: Boolean,
-                                dynamic: Boolean = false) extends PageBackend {
+                                dynamic: Boolean = false,
+                                emailEq: Option[String] = None) extends PageBackend {
   override def total: Long =
     if (dynamic) FixtureBackend.dynamicTotal.get() else totalRows
-  override def fetch(page: Int, pageLimit: Int): Seq[(Long, String, String)] = {
+  override def fetch(page: Int, pageLimit: Int): Seq[PageRow] = {
     FixtureBackend.fetches.incrementAndGet()
     if (notFound) throw new NotFoundError
     val key = page.toLong
@@ -82,8 +89,11 @@ final case class FixtureBackend(totalRows: Long, failAttempts: Int,
     if (prev <= failAttempts) throw new TransientHttpError(503)
     val start = page.toLong * pageLimit
     (start until math.min(start + pageLimit, total)).map { i =>
-      (i, s"row#$i", f"2026-01-${(i % 28) + 1}%02dT00:00:00Z")
-    }
+      PageRow(i, s"row#$i", f"2026-01-${(i % 28) + 1}%02dT00:00:00Z",
+        s"user$i@example.com")
+    // server-side equality filter — the fixture's stand-in for the
+    // API honoring filters[email] (the pushed predicate)
+    }.filter(r => emailEq.forall(_ == r.email))
   }
 }
 object FixtureBackend {
@@ -99,21 +109,43 @@ object FixtureBackend {
     props.getOrElse("totalrows", "1000").toLong,
     props.getOrElse("failattempts", "0").toInt,
     props.getOrElse("notfound", "false").toBoolean,
-    props.getOrElse("dynamictotal", "false").toBoolean)
+    props.getOrElse("dynamictotal", "false").toBoolean,
+    props.get("emaileq"))
 }
 
 /** Backend selection: `baseurl` present → the real HTTP backend,
   * otherwise the in-memory fixture. One switch point shared by the
-  * batch scan, the micro-batch stream, and the readers. */
+  * batch scan, the micro-batch stream, and the readers.
+  *
+  * Query-parameter composition (both backends see the same props):
+  *  - `extraparams`: a pre-encoded query fragment appended to EVERY
+  *    request — the endpoint catalog's fixed params and per-contact
+  *    filters (e.g. `filters[reltype]=Subscriber&filters[relid]=42`,
+  *    run_ac_extraction.py:719-727) travel here;
+  *  - `emaileq` (internal, set by the scan builder when an
+  *    `email = 'x'` predicate is pushed): rendered as
+  *    `<emailparam>=<urlencoded>` — `filters[email]` by default
+  *    (run_ac_extraction.py:320-322) — so the API filters
+  *    server-side instead of the cluster scanning the collection. */
 object PageBackends {
   def fromProps(props: Map[String, String]): PageBackend =
     props.get("baseurl") match {
       case Some(url) =>
+        // both name and value are percent-encoded: a raw '[' in a
+        // query string is rejected by java.net.URI (reserved), and
+        // the reference's HTTP client encodes them the same way
+        val emailFilter = props.get("emaileq").map { v =>
+          java.net.URLEncoder.encode(
+            props.getOrElse("emailparam", "filters[email]"), "UTF-8") + "=" +
+            java.net.URLEncoder.encode(v, "UTF-8")
+        }
+        val extras = (props.get("extraparams").toSeq ++ emailFilter).mkString("&")
         HttpPageBackend(url, props.getOrElse("collectionkey", "contacts"),
           props.getOrElse("maxretries", "6").toInt,
           props.getOrElse("backoffbasems", "500").toLong,
           props.getOrElse("backoffcapms", "30000").toLong,
-          props.getOrElse("httptimeoutms", "60000").toLong)
+          props.getOrElse("httptimeoutms", "60000").toLong,
+          extras)
       case None => FixtureBackend.fromProps(props)
     }
 }
@@ -145,16 +177,24 @@ final case class HttpPageBackend(baseUrl: String, collectionKey: String,
                                  probeRetries: Int = 6,
                                  probeBackoffBaseMs: Long = 500,
                                  probeBackoffCapMs: Long = 30000,
-                                 timeoutMs: Long = 60000) extends PageBackend {
+                                 timeoutMs: Long = 60000,
+                                 extraParams: String = "") extends PageBackend {
   import java.net.http.{HttpRequest, HttpResponse}
   import HttpPageBackend.{clientFor, mapper}
 
   private def client = clientFor(timeoutMs)
 
   /** Query-string-safe join: a baseUrl that already carries params
-    * (e.g. `…/contacts?apikey=x`) gets `&`, a bare path gets `?`. */
-  private def pageUri(params: String): String =
-    if (baseUrl.contains("?")) s"$baseUrl&$params" else s"$baseUrl?$params"
+    * (e.g. `…/contacts?apikey=x`) gets `&`, a bare path gets `?`.
+    * `extraParams` (endpoint-catalog fixed params, per-contact
+    * filters, pushed email predicate — pre-encoded) ride on EVERY
+    * request, the total probe included: `meta.total` must count the
+    * FILTERED collection, or planning would fan out pages the API
+    * will never fill. */
+  private def pageUri(params: String): String = {
+    val all = if (extraParams.isEmpty) params else s"$extraParams&$params"
+    if (baseUrl.contains("?")) s"$baseUrl&$all" else s"$baseUrl?$all"
+  }
 
   private def get(uri: String): HttpResponse[String] = {
     val req = HttpRequest.newBuilder(java.net.URI.create(uri))
@@ -176,17 +216,17 @@ final case class HttpPageBackend(baseUrl: String, collectionKey: String,
     }
   }
 
-  private def parseItems(body: String): Seq[(Long, String, String)] = {
+  private def parseItems(body: String): Seq[PageRow] = {
     val items = mapper.readTree(body).path(collectionKey)
     (0 until items.size()).map { i =>
       val it = items.get(i)
-      (it.path("id").asLong(),
-        if (it.hasNonNull("name")) it.get("name").asText() else null,
-        if (it.hasNonNull("updated_at")) it.get("updated_at").asText() else null)
+      def str(k: String) = if (it.hasNonNull(k)) it.get(k).asText() else null
+      PageRow(it.path("id").asLong(), str("name"), str("updated_at"),
+        str("email"))
     }
   }
 
-  override def fetch(page: Int, pageLimit: Int): Seq[(Long, String, String)] = {
+  override def fetch(page: Int, pageLimit: Int): Seq[PageRow] = {
     val resp = get(pageUri(s"limit=$pageLimit&offset=${page.toLong * pageLimit}"))
     if (resp.statusCode() >= 200 && resp.statusCode() < 300) parseItems(resp.body())
     else throw new RuntimeException(s"HTTP ${resp.statusCode()} from $baseUrl")
@@ -255,25 +295,38 @@ class PagedTable(props: Map[String, String]) extends Table with SupportsRead {
 class PagedScanBuilder(props: Map[String, String])
     extends ScanBuilder with SupportsPushDownFilters {
 
+  import org.apache.spark.sql.sources.EqualTo
+
   private var minIdExclusive: Long = -1L
+  private var emailEq: Option[String] = None
   private var pushed: Array[Filter] = Array.empty
 
-  /** Keyset pushdown: accept `id > v` (the watermark shape); leave
-    * everything else to Spark. */
+  /** Pushdown surface:
+    *  - `id > v` (the keyset watermark shape) prunes pages at
+    *    planning time — exact, so it is NOT left in the residual;
+    *  - `email = 'x'` becomes the API-side `filters[email]` query
+    *    param (run_ac_extraction.py:320-322) — the request returns
+    *    only matching rows instead of the cluster scanning the
+    *    collection. It STAYS in the residual too: the API is an
+    *    external system, so Spark re-applies the equality after the
+    *    scan rather than trusting the server's filter semantics. */
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
-    val (accepted, rest) = filters.partition {
+    val (keyset, rest) = filters.partition {
       case GreaterThan("id", _: Long) => true
       case _ => false
     }
-    accepted.foreach { case GreaterThan(_, v: Long) =>
+    keyset.foreach { case GreaterThan(_, v: Long) =>
       minIdExclusive = math.max(minIdExclusive, v)
     }
-    pushed = accepted
-    rest // Spark re-applies nothing for accepted filters
+    val emailFilters = rest.collect { case f @ EqualTo("email", v: String) => (f, v) }
+    emailFilters.headOption.foreach { case (_, v) => emailEq = Some(v) }
+    pushed = keyset ++ emailFilters.headOption.map(_._1)
+    rest // email equality re-applied by Spark (partial pushdown)
   }
   override def pushedFilters(): Array[Filter] = pushed
 
-  override def build(): Scan = new PagedScan(props, minIdExclusive)
+  override def build(): Scan =
+    new PagedScan(props ++ emailEq.map("emaileq" -> _), minIdExclusive)
 }
 
 class PagedScan(props: Map[String, String], minIdExclusive: Long)
@@ -460,12 +513,12 @@ class PagedReader(part: PagedPartition, props: Map[String, String],
 
   private var page = part.fromPage
   private var done = false
-  private var buf: Iterator[(Long, String, String)] = Iterator.empty
-  private var current: (Long, String, String) = _
+  private var buf: Iterator[PageRow] = Iterator.empty
+  private var current: PageRow = _
 
   /** S6: resilient request — retry transient errors with capped
     * exponential backoff; S7: 404 ⇒ empty result. */
-  private def fetchResilient(p: Int): Seq[(Long, String, String)] = {
+  private def fetchResilient(p: Int): Seq[PageRow] = {
     var attempt = 0
     while (true) {
       try {
@@ -488,7 +541,7 @@ class PagedReader(part: PagedPartition, props: Map[String, String],
       page += 1
       if (part.sequential && rows.size < pageLimit) done = true // short page
       val filtered = rows.filter(r =>
-        r._1 > minIdExclusive && r._1 < untilIdExclusive)
+        r.id > minIdExclusive && r.id < untilIdExclusive)
       if (filtered.nonEmpty) { buf = filtered.iterator; return true }
       if (part.sequential && done) return false
     }
@@ -501,8 +554,9 @@ class PagedReader(part: PagedPartition, props: Map[String, String],
   }
 
   override def get(): InternalRow =
-    InternalRow(current._1, UTF8String.fromString(current._2),
-      UTF8String.fromString(current._3))
+    InternalRow(current.id, UTF8String.fromString(current.name),
+      UTF8String.fromString(current.updatedAt),
+      UTF8String.fromString(current.email))
 
   override def close(): Unit = ()
 }

@@ -56,6 +56,57 @@ object StubApi {
     server.start()
     (server, s"http://127.0.0.1:${server.getAddress.getPort}")
   }
+
+  /** AC-shaped stub for the endpoint CATALOG tests: the two
+    * production request shapes the reference uses beyond plain
+    * offset/limit — `/contacts` honoring `filters[email]`
+    * (run_ac_extraction.py:320-322) and `/emailActivities` honoring
+    * `filters[subscriberid]` (:452-455). Records every raw query
+    * string so tests can assert the filters actually reached the
+    * wire. Returns (server, apiBase, receivedQueries). */
+  def startAc(): (HttpServer, String,
+                  java.util.concurrent.ConcurrentLinkedQueue[String]) = {
+    val server = HttpServer.create(new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    val seen = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    def params(ex: HttpExchange): Map[String, String] = {
+      val q = Option(ex.getRequestURI.getRawQuery).getOrElse("")
+      seen.add(ex.getRequestURI.getPath + "?" + q)
+      q.split("&").filter(_.contains("=")).map(_.split("=", 2)).map(a =>
+        java.net.URLDecoder.decode(a(0), "UTF-8") ->
+          java.net.URLDecoder.decode(a(1), "UTF-8")).toMap
+    }
+    def page(p: Map[String, String], rows: Seq[String]): String = {
+      val limit = p.getOrElse("limit", "100").toInt
+      val offset = p.getOrElse("offset", "0").toInt
+      val pageRows = rows.slice(offset, offset + limit)
+      s"""{"${p("key")}":[${pageRows.mkString(",")}],"meta":{"total":${rows.size}}}"""
+    }
+    // 20 contacts with deterministic emails
+    server.createContext("/api/3/contacts", (ex: HttpExchange) => {
+      val p = params(ex)
+      val all = (0 until 20).map(i =>
+        s"""{"id":$i,"name":"contact#$i","updated_at":"2026-01-01T00:00:00Z","email":"user$i@example.com"}""")
+      val filtered = p.get("filters[email]") match {
+        case Some(e) => all.filter(_.contains(s""""email":"$e"""))
+        case None => all
+      }
+      respond(ex, 200, page(p + ("key" -> "contacts"), filtered))
+    })
+    // 5 email activities per subscriber, ids subscriber*100+j
+    server.createContext("/api/3/emailActivities", (ex: HttpExchange) => {
+      val p = params(ex)
+      p.get("filters[subscriberid]") match {
+        case None => respond(ex, 422, """{"message":"subscriberid required"}""")
+        case Some(sid) =>
+          val k = sid.toLong
+          val rows = (0 until 5).map(j =>
+            s"""{"id":${k * 100 + j},"name":"open#$j","updated_at":"2026-01-0${j + 1}T00:00:00Z"}""")
+          respond(ex, 200, page(p + ("key" -> "emailActivities"), rows))
+      }
+    })
+    server.start()
+    (server, s"http://127.0.0.1:${server.getAddress.getPort}/api/3", seen)
+  }
 }
 
 class PagedSourceSpec extends AnyFunSuite {
@@ -352,5 +403,87 @@ class PagedSourceSpec extends AnyFunSuite {
       val batches = q.recentProgress.count(_.numInputRows > 0)
       assert(batches >= 4, s"expected >=4 throttled batches, got $batches")
     } finally q.stop()
+  }
+
+  // ───────────── endpoint catalog (AcEndpoints) ─────────────
+
+  test("catalog: option rendering — fixed params, id bindings, single-shot") {
+    val tasks = AcEndpoints.byName("contact_tasks")
+    assert(tasks.extraParams(Some("42")) ==
+      "filters%5Breltype%5D=Subscriber&filters%5Brelid%5D=42",
+      "reference :719-727 param shape, percent-encoded")
+    assert(AcEndpoints.byName("contact_notes").resolvedPath(Some("9")) ==
+      "/contacts/9/notes")
+    val single = AcEndpoints.byName("automation_entry_counts")
+      .readOptions("http://api.test/api/3", Some("7"))
+    assert(single("advertisetotal") == "false",
+      "single-shot resources must not probe meta.total")
+    assert(single("baseurl") == "http://api.test/api/3/contacts/7/automationEntryCounts")
+    intercept[IllegalArgumentException] {
+      AcEndpoints.byName("activities").extraParams(None)
+    }
+  }
+
+  test("catalog: emailActivities fan-out drives persist_table_dual end-to-end " +
+      "(filters[subscriberid] on the wire)") {
+    import org.apache.spark.sql.functions.{col, lit}
+    val (server, apiBase, seen) = StubApi.startAc()
+    try {
+      val ep = AcEndpoints.byName("email_activities")
+      def forContact(cid: String) =
+        spark.read.format("graft.sources.PagedSource")
+          .options(ep.readOptions(apiBase, Some(cid)))
+          .load().withColumn("contact_id", lit(cid))
+      val delta = forContact("3").unionByName(forContact("7"))
+      val root = java.nio.file.Files.createTempDirectory("ac_cat").toString
+      val paths = graft.pipeline.PersistTableDual.Paths(root, "email_activities")
+      val (rawN, latestN) = graft.pipeline.PersistTableDual.persist(
+        spark, paths, delta, "r1", "2026-01-01T00:00:00Z",
+        Seq("contact_id", "id"), "updated_at")
+      assert((rawN, latestN) == (10L, 10L), "5 activities per contact, both persisted")
+      val latest = spark.read.parquet(paths.latest)
+      import spark.implicits._
+      assert(latest.select("id").as[Long].collect().sorted.toSeq ==
+        Seq(300L, 301L, 302L, 303L, 304L, 700L, 701L, 702L, 703L, 704L))
+      // the per-contact filter reached the wire on every request
+      val qs = seen.toArray(Array.empty[String]).toSeq
+        .filter(_.startsWith("/api/3/emailActivities"))
+      assert(qs.nonEmpty)
+      assert(qs.forall(_.contains("filters%5Bsubscriberid%5D=")),
+        s"every emailActivities request must carry the subscriber filter: $qs")
+      assert(qs.exists(_.contains("filters%5Bsubscriberid%5D=3")) &&
+        qs.exists(_.contains("filters%5Bsubscriberid%5D=7")))
+    } finally server.stop(0)
+  }
+
+  test("catalog: filters[email] predicate pushdown reaches the API and " +
+      "persists through persist_table_dual") {
+    import org.apache.spark.sql.functions.col
+    val (server, apiBase, seen) = StubApi.startAc()
+    try {
+      val ep = AcEndpoints.byName("contacts")
+      val df = spark.read.format("graft.sources.PagedSource")
+        .options(ep.readOptions(apiBase))
+        .load()
+        .filter(col("email") === "user5@example.com")
+      val rows = df.collect()
+      assert(rows.map(_.getAs[Long]("id")).toSeq == Seq(5L))
+      // the equality was pushed: every request (total probe included)
+      // carried filters[email], so the API returned ONE row — the
+      // cluster never scanned the collection
+      val qs = seen.toArray(Array.empty[String]).toSeq
+        .filter(_.startsWith("/api/3/contacts"))
+      assert(qs.nonEmpty)
+      assert(qs.forall(_.contains("filters%5Bemail%5D=user5%40example.com")),
+        s"every contacts request must carry the pushed email filter: $qs")
+      // and the resolved seed persists through the same lake layer
+      val root = java.nio.file.Files.createTempDirectory("ac_seed").toString
+      val paths = graft.pipeline.PersistTableDual.Paths(root, "contacts")
+      val (rawN, latestN) = graft.pipeline.PersistTableDual.persist(
+        spark, paths, df, "r1", "2026-01-01T00:00:00Z", Seq("id"), "updated_at")
+      assert((rawN, latestN) == (1L, 1L))
+      assert(spark.read.parquet(paths.latest)
+        .select("email").head().getString(0) == "user5@example.com")
+    } finally server.stop(0)
   }
 }
