@@ -1,0 +1,118 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.types._
+
+/** Distributed per-entity endpoint fan-out — the reference's N+1
+  * extraction pattern (`for cid in contact_ids: GET /…/{cid}/…`,
+  * run_ac_extraction.py:422-441 and the other ~15 chatter loops)
+  * re-expressed for a cluster.
+  *
+  * The reference walks the contact universe in ONE driver loop: 50k
+  * contacts × ~0.3 s/page is a four-hour sequential crawl. Here the
+  * id universe is a Dataset partitioned across executors and each
+  * task pages its ids' endpoint with the connector's own resilience
+  * rules (retry/backoff on 429/5xx, 404→empty, short-page
+  * termination), so wall-clock divides by the executor count and the
+  * per-task `sleepMs` throttle keeps cluster-wide request rate =
+  * partitions / sleep — the same knob the single-reader scan exposes.
+  *
+  * This complements the [[PagedSource]] DSv2 scan: the scan
+  * parallelizes WITHIN one big collection (page ranges); fanout
+  * parallelizes ACROSS many small per-entity collections, where one
+  * scan per entity would explode the plan (a union of 50k DSv2
+  * relations) and pay 50k planning probes. Output carries the driving
+  * id alongside the connector row schema, exactly like the
+  * reference's `row["contact_id"] = cid` stamp (:434).
+  *
+  * HTTP client reuse: [[HttpPageBackend]] instances are cheap value
+  * objects; the underlying JVM-singleton HttpClient (keep-alive
+  * pool) is shared by every task in the executor. */
+object FanoutExtract {
+
+  val schema: StructType = StructType(
+    StructField("driving_id", StringType, nullable = false) +:
+      PagedSource.schema.fields.toSeq)
+
+  /** Fan `endpoint` out over `ids` (one sequential short-page walk
+    * per id, ids parallel across partitions).
+    *
+    * @param ids       driving-id universe; repartition upstream to
+    *                  set the request parallelism
+    * @param endpoint  catalog entry (PathId or QueryId binding)
+    * @param apiBase   e.g. `https://<account>.api-us1.com/api/3`
+    * @param pageLimit rows per request
+    * @param sleepMs   per-task inter-request throttle (reference's
+    *                  rate_sleep)
+    * @param maxRetries / backoffBaseMs / backoffCapMs: the S6 retry
+    *                  discipline, identical to the DSv2 reader's
+    */
+  def fanout(ids: Dataset[String], endpoint: AcEndpoint, apiBase: String,
+             pageLimit: Int = 100, sleepMs: Long = 0,
+             maxRetries: Int = 6, backoffBaseMs: Long = 500,
+             backoffCapMs: Long = 30000): DataFrame = {
+    require(endpoint.idBinding != NoId,
+      s"endpoint ${endpoint.name} is a global collection — read it " +
+        "through PagedSource directly; fanout is for per-entity endpoints")
+    val spark = ids.sparkSession
+    // capture plain values, not `this`/session state, in the closure
+    val (ep, base, limit) = (endpoint, apiBase, pageLimit)
+    val (retries, backBase, backCap, sleep) =
+      (maxRetries, backoffBaseMs, backoffCapMs, sleepMs)
+    val rows = ids.mapPartitions { part =>
+      part.flatMap { id =>
+        val opts = ep.readOptions(base, Some(id), limit)
+        val backend = PageBackends.fromProps(opts)
+        walk(backend, limit, retries, backBase, backCap, sleep)
+          .map(r => (id, r.id, r.name, r.updatedAt, r.email))
+      }
+    }(org.apache.spark.sql.Encoders.tuple(
+      org.apache.spark.sql.Encoders.STRING,
+      org.apache.spark.sql.Encoders.scalaLong,
+      org.apache.spark.sql.Encoders.STRING,
+      org.apache.spark.sql.Encoders.STRING,
+      org.apache.spark.sql.Encoders.STRING))
+    rows.toDF("driving_id", "id", "name", "updated_at", "email")
+  }
+
+  /** One entity's full collection: sequential offset/limit walk with
+    * short-page termination (the reference's only mode, :243-244) and
+    * the S6/S7 resilience rules. Never probes `meta.total` — a
+    * per-entity collection is small by construction, and 50k probe
+    * requests before any data would double the crawl. */
+  private[sources] def walk(backend: PageBackend, pageLimit: Int,
+                            maxRetries: Int, backoffBaseMs: Long,
+                            backoffCapMs: Long, sleepMs: Long): Seq[PageRow] = {
+    val out = Seq.newBuilder[PageRow]
+    var page = 0
+    var done = false
+    while (!done) {
+      val rows =
+        try fetchResilient(backend, page, pageLimit,
+          maxRetries, backoffBaseMs, backoffCapMs, sleepMs)
+        catch { case _: NotFoundError => done = true; Seq.empty }
+      out ++= rows
+      if (rows.size < pageLimit) done = true // short page terminates
+      page += 1
+    }
+    out.result()
+  }
+
+  private def fetchResilient(backend: PageBackend, page: Int, pageLimit: Int,
+                             maxRetries: Int, backoffBaseMs: Long,
+                             backoffCapMs: Long, sleepMs: Long): Seq[PageRow] = {
+    var attempt = 0
+    while (true) {
+      try {
+        if (sleepMs > 0) Thread.sleep(sleepMs)
+        return backend.fetch(page, pageLimit)
+      } catch {
+        case e: TransientHttpError =>
+          attempt += 1
+          if (attempt > maxRetries) throw e
+          Thread.sleep(math.min(backoffBaseMs << (attempt - 1), backoffCapMs))
+      }
+    }
+    Nil // unreachable
+  }
+}

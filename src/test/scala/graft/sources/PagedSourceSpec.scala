@@ -456,6 +456,36 @@ class PagedSourceSpec extends AnyFunSuite {
     } finally server.stop(0)
   }
 
+  test("catalog: distributed fan-out — ids parallel across partitions, " +
+      "404 entities empty, driving id stamped") {
+    val (server, apiBase, seen) = StubApi.startAc()
+    try {
+      import spark.implicits._
+      val ids = spark.createDataset(Seq("3", "7", "11")).repartition(3)
+      val ep = AcEndpoints.byName("email_activities")
+      val df = FanoutExtract.fanout(ids, ep, apiBase,
+        pageLimit = 2, backoffBaseMs = 1)
+      assert(df.rdd.getNumPartitions == 3,
+        "request parallelism = the id dataset's partitioning")
+      val rows = df.collect()
+      assert(rows.length == 15, "5 activities per subscriber, 3 subscribers")
+      assert(rows.forall(r => r.getAs[Long]("id") / 100 ==
+        r.getAs[String]("driving_id").toLong),
+        "every row stamped with its driving contact id")
+      // pageLimit=2 over 5 rows → 3 requests per contact (2+2+1 short)
+      val qs = seen.toArray(Array.empty[String]).toSeq
+        .filter(_.contains("filters%5Bsubscriberid%5D=11"))
+      assert(qs.size == 3, s"short-page termination per entity: $qs")
+
+      // a 404 per-entity endpoint yields zero rows, not a failed job
+      val missing = AcEndpoints.byName("contact_notes")
+        .copy(path = "/missing/{id}/notes")
+      val base404 = apiBase.stripSuffix("/api/3")
+      assert(FanoutExtract.fanout(ids, missing, base404,
+        backoffBaseMs = 1).count() == 0)
+    } finally server.stop(0)
+  }
+
   test("catalog: filters[email] predicate pushdown reaches the API and " +
       "persists through persist_table_dual") {
     import org.apache.spark.sql.functions.col
