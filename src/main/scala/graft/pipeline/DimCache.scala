@@ -74,4 +74,20 @@ object DimCache {
     }
     spark.read.parquet(data.toString)
   }
+
+  /** The reference's `load_all_dims` (run_ac_extraction.py:390-407):
+    * every dimension collection in the endpoint catalog through the
+    * TTL cache, each fetch one [[graft.sources.PagedSource]] read
+    * rendered from its catalog row. A dim the account lacks (404,
+    * e.g. `/scores`) caches as an EMPTY frame instead of breaking the
+    * pipeline — the connector's 404→empty rule composing with the
+    * cache exactly mirrors :375-382. */
+  def loadAcDims(spark: SparkSession, dimsRoot: String, apiBase: String,
+                 ttlDays: Int, now: Instant): Map[String, DataFrame] =
+    graft.sources.AcEndpoints.dims.map { ep =>
+      ep.name -> loadOrRefreshDim(spark, dimsRoot, ep.name,
+        () => spark.read.format("graft.sources.PagedSource")
+          .options(ep.readOptions(apiBase)).load(),
+        ttlDays, now)
+    }.toMap
 }

@@ -155,5 +155,11 @@ object AcEndpoints {
 
   val byName: Map[String, AcEndpoint] = catalog.map(e => e.name -> e).toMap
 
+  /** The cacheable global dimension collections (:390-407) — every
+    * NoId entry except the contacts collection itself (contacts are
+    * the fact universe, not a broadcast dim). */
+  val dims: Seq[AcEndpoint] =
+    catalog.filter(e => e.idBinding == NoId && e.name != "contacts")
+
   require(catalog.size == byName.size, "duplicate endpoint names in catalog")
 }

@@ -92,6 +92,14 @@ object StubApi {
       }
       respond(ex, 200, page(p + ("key" -> "contacts"), filtered))
     })
+    // one populated dim (campaigns); every other dim path 404s like
+    // an account lacking the resource (run_ac_extraction.py:375-382)
+    server.createContext("/api/3/campaigns", (ex: HttpExchange) => {
+      val p = params(ex)
+      val all = (0 until 3).map(i =>
+        s"""{"id":$i,"name":"camp#$i","updated_at":"2026-01-01T00:00:00Z"}""")
+      respond(ex, 200, page(p + ("key" -> "campaigns"), all))
+    })
     // 5 email activities per subscriber, ids subscriber*100+j
     server.createContext("/api/3/emailActivities", (ex: HttpExchange) => {
       val p = params(ex)
@@ -483,6 +491,28 @@ class PagedSourceSpec extends AnyFunSuite {
       val base404 = apiBase.stripSuffix("/api/3")
       assert(FanoutExtract.fanout(ids, missing, base404,
         backoffBaseMs = 1).count() == 0)
+    } finally server.stop(0)
+  }
+
+  test("catalog: load_all_dims through the TTL cache — present dims load, " +
+      "missing dims cache empty, fresh cache fires zero requests") {
+    val (server, apiBase, seen) = StubApi.startAc()
+    try {
+      val root = java.nio.file.Files.createTempDirectory("ac_dims").toString
+      val t0 = java.time.Instant.parse("2026-01-01T00:00:00Z")
+      val dims = graft.pipeline.DimCache.loadAcDims(
+        spark, root, apiBase, ttlDays = 7, now = t0)
+      assert(dims.keySet == graft.sources.AcEndpoints.dims.map(_.name).toSet)
+      assert(dims("campaigns").count() == 3)
+      // a resource this account lacks caches as EMPTY, pipeline intact
+      assert(dims("scores").count() == 0)
+      val requestsAfterFirst = seen.size()
+      // within TTL: everything serves from the parquet cache
+      val again = graft.pipeline.DimCache.loadAcDims(
+        spark, root, apiBase, ttlDays = 7, now = t0.plusSeconds(3600))
+      assert(again("campaigns").count() == 3)
+      assert(seen.size() == requestsAfterFirst,
+        "fresh cache must not touch the API")
     } finally server.stop(0)
   }
 
