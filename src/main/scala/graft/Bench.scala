@@ -51,18 +51,26 @@ object Bench {
     // with their ratio so load noise (everything uniformly inflated)
     // and real regressions (specific queries blown) separate
     // mechanically instead of by per-round archaeology.
+    // Per-line parse tolerance: one malformed line must cost ONE
+    // budget (warned), never silently collapse the whole gate to
+    // "nothing exceeded" — same for a missing file (warned).
+    val budgetPath = java.nio.file.Paths.get("tools/bench_budgets.txt")
     val budgets: Map[String, Double] =
-      try java.nio.file.Files.readAllLines(
-          java.nio.file.Paths.get("tools/bench_budgets.txt"))
+      if (!java.nio.file.Files.isRegularFile(budgetPath)) {
+        System.err.println(s"[bench] WARN no $budgetPath — budget gate OFF")
+        Map.empty
+      } else java.nio.file.Files.readAllLines(budgetPath)
         .toArray(Array.empty[String]).toSeq
         .map(_.trim).filter(l => l.nonEmpty && !l.startsWith("#"))
         .flatMap { l =>
           l.split("\\s+") match {
-            case Array(n, b) => Some(n -> b.toDouble)
-            case _ => None
+            case Array(n, b) => b.toDoubleOption.map(n -> _).orElse {
+              System.err.println(s"[bench] WARN bad budget line dropped: $l"); None
+            }
+            case _ =>
+              System.err.println(s"[bench] WARN bad budget line dropped: $l"); None
           }
         }.toMap
-      catch { case _: Throwable => Map.empty }
     val exceeded = results
       .flatMap { case (k, v) =>
         budgets.get(k).filter(v > _).map(b => (k, v / b)) }

@@ -97,12 +97,17 @@ object Verify {
         } finally st.close()
       }
     }
+    // `filtered` records whether this run refreshed only a subset: a
+    // filtered run into a warm dir must NOT re-stamp the other
+    // queries' dumps (possibly from an older build) as current —
+    // selfcheck refuses to full-compare a subset-stamped dump.
     val meta = Map(
       "git_sha" -> q(execOut("git", "rev-parse", "HEAD")),
       "git_dirty" -> execOut("git", "status", "--porcelain").nonEmpty.toString,
       "classes_sha256" -> q(classesFingerprint(classesRoot)),
       "stale_build" ->
         (newestUnder(Paths.get("src/main/scala")) > newestUnder(classesRoot)).toString,
+      "filtered" -> only.toSeq.sorted.map(q).mkString("[", ",", "]"),
       "spark_version" -> q(spark.version)
     ).map { case (k, v) => s"${q(k)}: $v" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/verify_meta.json"), meta)

@@ -964,7 +964,8 @@ object AnalyticsQueries {
       z AS (SELECT event_type, day, rev,
               CASE WHEN n >= 4 THEN
                 ${Exact.detDoubleSql("n * rev - sv", 2)} /
-                sqrt(greatest(${Exact.detDoubleSql("n * svv - sv * sv", 4)}, 0.000001 * n * n))
+                sqrt(greatest(${Exact.detDoubleSql("n * svv - sv * sv", 4)},
+                  CAST(0.000001 AS DOUBLE) * n * n))
               END AS zs
             FROM f)
       SELECT event_type, strftime(day, '%Y-%m-%d') AS day, CAST(rev AS VARCHAR) AS revenue,
@@ -980,6 +981,10 @@ object AnalyticsQueries {
         // Centered form: z = (n·rev − Σ)/sqrt(n·Σv² − Σ², floored at
         // n²·1e-6 — same floor as var ≥ 1e-6 pre-centering). Exact
         // DECIMAL differences, detDouble conversions, IEEE sqrt/div.
+        // The floor literal is CAST(… AS DOUBLE) in the oracle:
+        // DuckDB otherwise parses 0.000001 as DECIMAL(7,6) and
+        // computes the floor EXACTLY while Spark's double chain
+        // rounds twice — a real bitwise divergence (~1/3 of n).
         val zs = when(col("n") >= 4,
           Exact.detDouble(col("n") * col("rev") - col("sv"), 2) /
             sqrt(greatest(

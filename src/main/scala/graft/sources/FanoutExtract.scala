@@ -1,7 +1,6 @@
 package graft.sources
 
 import org.apache.spark.sql.{DataFrame, Dataset}
-import org.apache.spark.sql.types._
 
 /** Distributed per-entity endpoint fan-out — the reference's N+1
   * extraction pattern (`for cid in contact_ids: GET /…/{cid}/…`,
@@ -29,10 +28,6 @@ import org.apache.spark.sql.types._
   * objects; the underlying JVM-singleton HttpClient (keep-alive
   * pool) is shared by every task in the executor. */
 object FanoutExtract {
-
-  val schema: StructType = StructType(
-    StructField("driving_id", StringType, nullable = false) +:
-      PagedSource.schema.fields.toSeq)
 
   /** Fan `endpoint` out over `ids` (one sequential short-page walk
     * per id, ids parallel across partitions).
@@ -88,7 +83,7 @@ object FanoutExtract {
     var done = false
     while (!done) {
       val rows =
-        try fetchResilient(backend, page, pageLimit,
+        try Paging.fetchResilient(backend, page, pageLimit,
           maxRetries, backoffBaseMs, backoffCapMs, sleepMs)
         catch { case _: NotFoundError => done = true; Seq.empty }
       out ++= rows
@@ -96,23 +91,5 @@ object FanoutExtract {
       page += 1
     }
     out.result()
-  }
-
-  private def fetchResilient(backend: PageBackend, page: Int, pageLimit: Int,
-                             maxRetries: Int, backoffBaseMs: Long,
-                             backoffCapMs: Long, sleepMs: Long): Seq[PageRow] = {
-    var attempt = 0
-    while (true) {
-      try {
-        if (sleepMs > 0) Thread.sleep(sleepMs)
-        return backend.fetch(page, pageLimit)
-      } catch {
-        case e: TransientHttpError =>
-          attempt += 1
-          if (attempt > maxRetries) throw e
-          Thread.sleep(math.min(backoffBaseMs << (attempt - 1), backoffCapMs))
-      }
-    }
-    Nil // unreachable
   }
 }

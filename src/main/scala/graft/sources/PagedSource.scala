@@ -79,21 +79,36 @@ final case class FixtureBackend(totalRows: Long, failAttempts: Int,
                                 notFound: Boolean,
                                 dynamic: Boolean = false,
                                 emailEq: Option[String] = None) extends PageBackend {
-  override def total: Long =
-    if (dynamic) FixtureBackend.dynamicTotal.get() else totalRows
+  // like the HTTP probe, the advertised total counts the FILTERED
+  // collection — planning over the unfiltered count would fan out
+  // page ranges the filter can never fill
+  override def total: Long = {
+    val t = if (dynamic) FixtureBackend.dynamicTotal.get() else totalRows
+    emailEq.fold(t)(e => (0L until t).map(mkRow).count(_.email == e).toLong)
+  }
+  private def mkRow(i: Long) =
+    PageRow(i, s"row#$i", f"2026-01-${(i % 28) + 1}%02dT00:00:00Z",
+      s"user$i@example.com")
+
   override def fetch(page: Int, pageLimit: Int): Seq[PageRow] = {
     FixtureBackend.fetches.incrementAndGet()
     if (notFound) throw new NotFoundError
     val key = page.toLong
     val prev = FixtureBackend.attempts.merge(key, 1L, _ + _)
     if (prev <= failAttempts) throw new TransientHttpError(503)
-    val start = page.toLong * pageLimit
-    (start until math.min(start + pageLimit, total)).map { i =>
-      PageRow(i, s"row#$i", f"2026-01-${(i % 28) + 1}%02dT00:00:00Z",
-        s"user$i@example.com")
-    // server-side equality filter — the fixture's stand-in for the
-    // API honoring filters[email] (the pushed predicate)
-    }.filter(r => emailEq.forall(_ == r.email))
+    emailEq match {
+      // server-side equality filter, applied like a real API would:
+      // over the WHOLE collection, BEFORE pagination — filtering a
+      // page slice instead would make an unknown-total sequential
+      // scan short-page-terminate on the first page whose matches
+      // were filtered out, silently dropping later matches
+      case Some(e) =>
+        val matches = (0L until total).map(mkRow).filter(_.email == e)
+        matches.slice(page * pageLimit, page * pageLimit + pageLimit)
+      case None =>
+        val start = page.toLong * pageLimit
+        (start until math.min(start + pageLimit, total)).map(mkRow)
+    }
   }
 }
 object FixtureBackend {
@@ -500,6 +515,32 @@ class PagedReaderFactory(props: Map[String, String], pageLimit: Int,
     }
 }
 
+/** The ONE copy of the S6 request-retry discipline — transient
+  * errors (429/5xx/IO) retried with capped exponential backoff
+  * 0.5·2ⁿ — shared by the DSv2 readers and [[FanoutExtract]]'s
+  * per-entity walks so the retry policy cannot drift between the
+  * two parallelization shapes. NotFoundError propagates: its
+  * meaning is caller-specific (S7 empty page vs empty entity). */
+private[sources] object Paging {
+  def fetchResilient(backend: PageBackend, page: Int, pageLimit: Int,
+                     maxRetries: Int, backoffBaseMs: Long,
+                     backoffCapMs: Long, sleepMs: Long): Seq[PageRow] = {
+    var attempt = 0
+    while (true) {
+      try {
+        if (sleepMs > 0) Thread.sleep(sleepMs) // rate throttle
+        return backend.fetch(page, pageLimit)
+      } catch {
+        case e: TransientHttpError =>
+          attempt += 1
+          if (attempt > maxRetries) throw e
+          Thread.sleep(math.min(backoffBaseMs << (attempt - 1), backoffCapMs))
+      }
+    }
+    Nil // unreachable
+  }
+}
+
 class PagedReader(part: PagedPartition, props: Map[String, String],
                   pageLimit: Int, minIdExclusive: Long,
                   untilIdExclusive: Long = Long.MaxValue)
@@ -516,24 +557,11 @@ class PagedReader(part: PagedPartition, props: Map[String, String],
   private var buf: Iterator[PageRow] = Iterator.empty
   private var current: PageRow = _
 
-  /** S6: resilient request — retry transient errors with capped
-    * exponential backoff; S7: 404 ⇒ empty result. */
-  private def fetchResilient(p: Int): Seq[PageRow] = {
-    var attempt = 0
-    while (true) {
-      try {
-        if (sleepMs > 0) Thread.sleep(sleepMs) // rate throttle
-        return backend.fetch(p, pageLimit)
-      } catch {
-        case _: NotFoundError => return Seq.empty
-        case e: TransientHttpError =>
-          attempt += 1
-          if (attempt > maxRetries) throw e
-          Thread.sleep(math.min(backoffBaseMs << (attempt - 1), backoffCapMs))
-      }
-    }
-    Nil // unreachable
-  }
+  /** S6 via [[Paging.fetchResilient]]; S7: 404 ⇒ empty result. */
+  private def fetchResilient(p: Int): Seq[PageRow] =
+    try Paging.fetchResilient(backend, p, pageLimit,
+      maxRetries, backoffBaseMs, backoffCapMs, sleepMs)
+    catch { case _: NotFoundError => Seq.empty }
 
   private def advancePage(): Boolean = {
     while (page < part.untilPage && !done) {

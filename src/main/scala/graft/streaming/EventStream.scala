@@ -57,17 +57,25 @@ final case class FunnelStep(contact_id: Long, step: Int, step_ts: Timestamp)
   * State stays O(1) per user. Candidates are pruned to the funnel
   * horizon — a view can only ever qualify if v ≤ t1+d, and t1 (a
   * min) only decreases, so the bound only tightens; purchases
-  * likewise against t2+d (t2 also only improves downward while
-  * defined) — and capped at the [[FunnelProcessor.MaxCands]]
-  * EARLIEST candidates (the chain wants minima, so the earliest
-  * retained are the decisive ones; an adversarial stream overflowing
-  * the cap trades exactness for the bound, documented).
+  * likewise against t2+d — and capped at
+  * [[FunnelProcessor.MaxCands]], retaining currently-QUALIFYING
+  * candidates (sorted, so the resolved min always survives) ahead of
+  * earliest non-qualifying ones (relevant only if a later-arriving
+  * EARLIER signup re-opens an earlier window). A stream overflowing
+  * the cap with >MaxCands non-qualifying events trades that
+  * late-reopen exactness for the state bound — the resolved chain
+  * itself never regresses from capping.
   *
   * Residual honesty: completion rows already emitted cannot be
   * RETRACTED in update mode — a late signup that shifts the window
   * enough to undo a previously-satisfied step leaves the old row in
   * the sink (true retraction needs close-on-watermark emission).
-  * Improvements re-emit the step with its earlier timestamp. */
+  * Improvements re-emit the step with its earlier timestamp.
+  *
+  * NOTE (state schema): round 7 widened [[FunnelState]] with the two
+  * candidate vectors — funnel checkpoints written by the previous
+  * 3-field state do not restore into this processor; restart the
+  * funnel query from a fresh checkpoint. */
 object FunnelProcessor { val MaxCands = 64 }
 final class FunnelProcessor(deadlineMs: Long)
     extends StatefulProcessor[Long, ContactEvent, FunnelStep] {
@@ -100,12 +108,24 @@ final class FunnelProcessor(deadlineMs: Long)
       views.filter(v => v > s && v <= s + deadlineMs).minOption)
     val t3 = t2.flatMap(v =>
       purchases.filter(p => p > v && p <= v + deadlineMs).minOption)
-    // prune to the horizon, keep the earliest MaxCands
+    // Prune to the horizon, then cap with QUALIFYING candidates
+    // first: the resolved min (t2/t3) must never be evicted by a
+    // backlog of earlier never-qualifying events (64 pre-signup
+    // views would otherwise push out the one qualifying view and
+    // silently regress the resolved step). Non-qualifying earliest
+    // candidates fill the remaining slots — they only matter if a
+    // later, earlier signup re-opens an earlier window.
     val cap = FunnelProcessor.MaxCands
-    views = t1.fold(views)(s => views.filter(_ <= s + deadlineMs))
-      .sorted.distinct.take(cap)
-    purchases = t2.fold(purchases)(v => purchases.filter(_ <= v + deadlineMs))
-      .sorted.distinct.take(cap)
+    def retain(cands: Vector[Long], bound: Option[Long],
+               qualifies: Long => Boolean): Vector[Long] = {
+      val inHorizon = bound.fold(cands)(b => cands.filter(_ <= b)).distinct
+      val (qual, rest) = inHorizon.partition(qualifies)
+      (qual.sorted ++ rest.sorted).take(cap)
+    }
+    views = retain(views, t1.map(_ + deadlineMs),
+      v => t1.exists(s => v > s && v <= s + deadlineMs))
+    purchases = retain(purchases, t2.map(_ + deadlineMs),
+      p => t2.exists(v => p > v && p <= v + deadlineMs))
     state.update(FunnelState(t1, t2, t3, views, purchases))
     // emit steps that are newly completed or improved to an earlier ts
     def changed(prev: Option[Long], now: Option[Long]): Boolean =

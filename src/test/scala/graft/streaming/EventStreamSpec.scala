@@ -266,6 +266,48 @@ class EventStreamSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming funnel: a late pre-signup view backlog cannot evict the resolved step") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val prevProvider = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val input = MemoryStream[ContactEvent]
+      val q = EventStream.funnelStream(input.toDS())
+        .writeStream.format("memory").queryName("funnel_steps_evict")
+        .outputMode(OutputMode.Update).start()
+      try {
+        // batch 1: the funnel resolves completely
+        input.addData(
+          ContactEvent(9, 90, ts("2024-01-03 10:00:00"), "signup"),
+          ContactEvent(9, 91, ts("2024-01-03 12:00:00"), "view"),
+          ContactEvent(9, 92, ts("2024-01-03 13:00:00"), "view"),
+          ContactEvent(9, 93, ts("2024-01-03 20:00:00"), "purchase"))
+        q.processAllAvailable()
+        // batch 2: 70 late never-qualifying pre-signup views — more
+        // than MaxCands(64); qualifying-first retention must keep the
+        // resolved 12:00 view, so the chain does not regress or
+        // re-emit with a later timestamp
+        input.addData((0 until 70).map(i =>
+          ContactEvent(9, 200 + i, ts(f"2024-01-01 00:${i % 60}%02d:${i / 60}%02d"), "view")): _*)
+        q.processAllAvailable()
+      } finally q.stop()
+      val steps = spark.sql(
+        "SELECT contact_id, step, CAST(step_ts AS STRING) FROM funnel_steps_evict")
+        .as[(Long, Int, String)].collect().toSet
+      assert(steps == Set(
+        (9L, 1, "2024-01-03 10:00:00"),
+        (9L, 2, "2024-01-03 12:00:00"),
+        (9L, 3, "2024-01-03 20:00:00")))
+    } finally {
+      prevProvider match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("transformWithState digest == flatMapGroupsWithState digest (RocksDB state)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

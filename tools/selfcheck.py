@@ -31,7 +31,7 @@ def classes_fingerprint(root=CLASSES_ROOT):
     return h.hexdigest()
 
 
-def check_provenance(out_dir):
+def check_provenance(out_dir, only):
     """Refuse a stale verify artifact: the dump must have been produced
     by the compiled classes currently on disk, which must themselves be
     newer than every source file (VERDICT r6 item 1 — a stale jar must
@@ -45,10 +45,29 @@ def check_provenance(out_dir):
     if meta.get("stale_build") is True:
         problems.append("verify ran on classes OLDER than src/main/scala (stale build)")
     now_fp = classes_fingerprint()
-    if meta.get("classes_sha256") not in (now_fp, "<no-classes-dir>"):
+    if now_fp == "<no-classes-dir>":
+        problems.append(
+            "no target/scala-2.13/classes under the current directory — run "
+            "selfcheck from the repo root (provenance cannot be checked elsewhere)")
+    elif meta.get("classes_sha256") == "<no-classes-dir>":
+        # Verify ran where it couldn't see the compiled classes (e.g. a
+        # deployed stale jar) — exactly the scenario the gate exists
+        # for; an unprovable artifact is not an acceptable artifact
+        problems.append(
+            "dump carries no classes fingerprint (Verify ran outside the repo "
+            "root / from a jar) — regenerate from an sbt build at the repo root")
+    elif meta.get("classes_sha256") != now_fp:
         problems.append(
             f"dump built from classes {meta.get('classes_sha256','?')[:12]}… but "
             f"on-disk classes are {now_fp[:12]}… (rebuild happened after the dump — regenerate)")
+    # a filtered run only refreshed a subset: comparing anything beyond
+    # that subset would grade other (possibly older-build) dumps as
+    # current — the mixed-artifact failure mode
+    stamped = set(meta.get("filtered") or [])
+    if stamped and (not only or not only.issubset(stamped)):
+        problems.append(
+            f"dump meta comes from a FILTERED Verify run ({sorted(stamped)}); "
+            "full compares (or queries outside the subset) need a full regenerate")
     try:
         head = subprocess.run(["git", "rev-parse", "HEAD"], capture_output=True,
                               text=True, timeout=10).stdout.strip()
@@ -85,7 +104,7 @@ def table_hash(rows, cols):
 def main():
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
     only = set(sys.argv[3:])
-    provenance = check_provenance(out_dir)
+    provenance = check_provenance(out_dir, only)
     for p in provenance:
         print(f"FAIL <provenance>: {p}")
     if provenance:
