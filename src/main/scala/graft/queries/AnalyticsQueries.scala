@@ -107,43 +107,54 @@ object AnalyticsQueries {
           .orderBy("user_id", "event_id")
       }),
 
-    // Z-SCORE outliers, two-pass: per-type (n, Σv, Σv²) in exact
-    // DECIMAL, broadcast the tiny stats table back onto the stream,
-    // flag |z| > 2.5. The statistic is the centered form
-    // z = (n·v − Σv) / sqrt(n·Σv² − (Σv)²) — algebraically identical
-    // to (v−mean)/stddev but assembled from exact DECIMAL differences
-    // so the only doubles are two Exact.detDouble conversions plus
-    // IEEE sqrt/divide: bit-identical on any cluster layout AND any
-    // engine (the old CAST(sum AS DOUBLE) path double-rounds in
-    // DuckDB once scaled sums pass 2^53). Zero spread ⇒ NULL z via
-    // nullif, not ±Inf (Spark x/0.0=Inf, DuckDB errors — neither is
-    // wanted). 100 TB shape unchanged: one map-side-combined
-    // aggregate + one broadcast join; the fact is never shuffled.
-    QDef("q_zscore_outliers", Some(s"""
-      WITH st AS (SELECT event_type, count(*) AS n,
-          sum(CAST(value AS DECIMAL(12,2))) AS sv,
-          sum(CAST(value AS DECIMAL(12,2)) * CAST(value AS DECIMAL(12,2))) AS svv
-        FROM events GROUP BY event_type),
+    // Z-SCORE outliers, two-pass: per-type (n, Σc, Σc²) over integer
+    // CENTS (c = floor(value·100 + 0.5): one IEEE multiply+add+floor
+    // per row — bit-identical in any engine — then pure integers),
+    // broadcast the tiny stats table back onto the stream, flag
+    // |z| > 2.5 via the EXACT integer predicate 4·num² > 25·den where
+    // num = n·c − Σc, den = n·Σc² − (Σc)² (z = num/√den, so
+    // |z| > 2.5 ⇔ num² > 6.25·den; den = 0 forces num = 0 — never an
+    // outlier, matching the old NULL-z exclusion). The output IS the
+    // exact rational (num, den): no sqrt, no double division, no
+    // decimal rescale, no HUGEINT — identical under ANY oracle engine
+    // or dataframe conversion, not just one DuckDB version (the
+    // r5–r7 hard-signal divergence: HUGEINT/DECIMAL outputs convert
+    // to float64 in pandas readers while Spark's stay int64).
+    // Spark-side moments run in DECIMAL(38,0) so the arithmetic stays
+    // exact far past sf0.1 (n·Σc² ≈ 1.3e18 at sf0.1; BIGINT would
+    // overflow near sf1 — the emitted num/den themselves still fit
+    // BIGINT: |num| ≤ n·max(c) ≈ 1.1e9, den ≤ n·Σc² at sf0.1).
+    // 100 TB shape unchanged: one map-side-combined aggregate + one
+    // broadcast join; the fact is never shuffled.
+    QDef("q_zscore_outliers", Some("""
+      WITH e AS (SELECT event_id, event_type,
+          CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS c FROM events),
+      st AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+          CAST(sum(c) AS BIGINT) AS sc,
+          CAST(sum(c * c) AS BIGINT) AS scc
+        FROM e GROUP BY event_type),
       j AS (SELECT e.event_id, e.event_type,
-          ${Exact.detDoubleSql("st.n * CAST(e.value AS DECIMAL(12,2)) - st.sv", 2)} AS num,
-          ${Exact.detDoubleSql("st.n * st.svv - st.sv * st.sv", 2)} AS den
-        FROM events e JOIN st USING (event_type)),
-      z AS (SELECT event_id, event_type, num / nullif(sqrt(den), 0.0) AS zs FROM j)
-      SELECT event_id, event_type, ${Exact.renderSql("zs", 10, 3)} AS z
-      FROM z WHERE abs(zs) > 2.5 ORDER BY event_id"""),
+          st.n * e.c - st.sc AS num,
+          st.n * st.scc - st.sc * st.sc AS den
+        FROM e JOIN st USING (event_type))
+      SELECT event_id, event_type, num AS znum_cents, den AS zden_cents2
+      FROM j WHERE 4 * num * num > 25 * den ORDER BY event_id"""),
       (s, d) => {
-        val dec = col("value").cast("decimal(12,2)")
+        val cents = floor(col("value") * lit(100.0) + lit(0.5)).cast("long")
         val ev = t(s, d, "events")
-          .select(col("event_id"), col("event_type"), dec.as("v"))
+          .select(col("event_id"), col("event_type"), cents.as("c"))
+        val c38 = col("c").cast("decimal(38,0)")
         val stats = ev.groupBy("event_type").agg(
-          count(lit(1)).as("n"), sum(col("v")).as("sv"), sum(col("v") * col("v")).as("svv"))
-        val num = Exact.detDouble(col("n") * col("v") - col("sv"), 2)
-        val den = Exact.detDouble(col("n") * col("svv") - col("sv") * col("sv"), 2)
+          count(lit(1)).cast("decimal(38,0)").as("n"),
+          sum(c38).cast("decimal(38,0)").as("sc"),
+          sum(c38 * c38).cast("decimal(38,0)").as("scc"))
         ev.join(broadcast(stats), "event_type")
-          .withColumn("zs", num / nullif(sqrt(den), lit(0.0)))
-          .filter(abs(col("zs")) > 2.5)
+          .withColumn("num", col("n") * c38 - col("sc"))
+          .withColumn("den", col("n") * col("scc") - col("sc") * col("sc"))
+          .filter(lit(4) * col("num") * col("num") > lit(25) * col("den"))
           .select(col("event_id"), col("event_type"),
-            Exact.render(col("zs"), 10, 3).as("z"))
+            col("num").cast("long").as("znum_cents"),
+            col("den").cast("long").as("zden_cents2"))
           .orderBy("event_id")
       }),
 
@@ -151,27 +162,32 @@ object AnalyticsQueries {
     // (tf DESC, df ASC, term) — integer-deterministic and
     // order-equivalent to tf·idf at fixed tf (higher idf = lower df)
     // — so no float ever decides a rank. The reported score is the
-    // LINEARIZED tf-idf, tf·(N/df), as an exact half-up integer
-    // ratio (Exact.ratioDecimal): ln() is banned from hashed outputs
-    // because libm log differs between the JVM and DuckDB in the
-    // last ulp, and ln is monotone in N/df so the linear form
-    // carries the same per-term ordering information. Corpus size N
-    // arrives as a broadcast 1-row cross join, NOT a driver collect.
-    // 100 TB: tf is one shuffle on (doc, term); df one on term; the
-    // rank window re-shuffles on doc_id — all uniform keys
-    // (stop-word skew lives in df's TERM key only, where the
-    // combiner flattens it).
+    // LINEARIZED tf-idf, tf·(N/df), as an integer PERMILLE:
+    // (1000·tf·N) div df, plain BIGINT multiply + truncating integer
+    // division (Spark `div` truncates toward zero, DuckDB `//`
+    // floors — identical on these non-negative counts). ln() is
+    // banned from hashed outputs (libm differs per engine in the
+    // last ulp) and ln is monotone in N/df so the linear form
+    // carries the same per-term ordering information; the permille
+    // form additionally avoids DECIMAL/HUGEINT output types that
+    // pandas-side readers convert to float64 (the r5–r7 driver
+    // divergence). 1000·tf·N ≤ ~2.5e9 at sf0.1 — far inside BIGINT.
+    // Corpus size N arrives as a broadcast 1-row cross join, NOT a
+    // driver collect. 100 TB: tf is one shuffle on (doc, term); df
+    // one on term; the rank window re-shuffles on doc_id — all
+    // uniform keys (stop-word skew lives in df's TERM key only,
+    // where the combiner flattens it).
     QDef("q_tfidf_topk", Some(s"""
       WITH $toksCte,
       tk AS (SELECT doc_id, unnest(toks) AS term FROM d),
-      tf AS (SELECT doc_id, term, count(*) AS tf FROM tk GROUP BY doc_id, term),
-      dfr AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
-      nd AS (SELECT count(*) AS n_docs FROM documents),
+      tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM tk GROUP BY doc_id, term),
+      dfr AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
+      nd AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
       sc AS (SELECT tf.doc_id, tf.term, tf.tf, dfr.df, nd.n_docs,
         row_number() OVER (PARTITION BY tf.doc_id ORDER BY tf.tf DESC, dfr.df ASC, tf.term) AS rnk
         FROM tf JOIN dfr USING (term) CROSS JOIN nd)
       SELECT doc_id, rnk, term, tf, df,
-        ${Exact.ratioDecimalSql("tf * n_docs", "df", 12, 4)} AS tfidf_lin
+        (1000 * tf * n_docs) // df AS tfidf_permille
       FROM sc WHERE rnk <= 3 ORDER BY doc_id, rnk"""),
       (s, d) => {
         val docs = t(s, d, "documents")
@@ -186,19 +202,23 @@ object AnalyticsQueries {
           .withColumn("rnk", row_number().over(byDoc))
           .filter(col("rnk") <= 3)
           .select(col("doc_id"), col("rnk"), col("term"), col("tf"), col("df"),
-            Exact.ratioDecimal(col("tf") * col("n_docs"), col("df"), 12, 4)
-              .as("tfidf_lin"))
+            expr("div(1000 * tf * n_docs, df)").as("tfidf_permille"))
           .orderBy("doc_id", "rnk")
       }),
 
     // Bigram collocations: top-50 adjacent pairs by count with the
     // association LIFT, P(xy)/(P(x)P(y)) = c_xy·t_uni²/(t_bi·c_x·c_y)
     // — exp(PMI), reported instead of PMI itself because ln() is not
-    // bitwise-portable across libm implementations while the lift is
-    // a pure ratio of exact integer counts (Exact.ratioDecimal —
-    // HUGEINT/DECIMAL(38) intermediates, so t_uni² never overflows
-    // BIGINT; lift ranks pairs identically to PMI, ln being
-    // monotone). Bigrams come from the ONE shingle definition
+    // bitwise-portable across libm implementations, and reported as
+    // an integer PERMILLE: (1000·c_xy·t_uni²) div (t_bi·c_x·c_y),
+    // plain BIGINT products and one truncating division on
+    // non-negative counts — no HUGEINT, no DECIMAL, so the output
+    // column is int64 under any oracle engine and any dataframe
+    // conversion (lift ranks pairs identically to PMI, ln being
+    // monotone). Magnitude: 1000·c_xy·t_uni² ≤ ~1.5e18 at sf0.1
+    // (t_uni ≈ 2.7e5) — inside BIGINT; a 100 TB corpus would move
+    // the numerator to DECIMAL(38,0) internally and emit the same
+    // permille. Bigrams come from the ONE shingle definition
     // (NearDup.shingleExpr, n=2, non-distinct — occurrence counts,
     // not doc membership). Unigram counts join back by word — a
     // shuffle join, NOT a broadcast: a web-scale vocabulary (typos,
@@ -207,14 +227,13 @@ object AnalyticsQueries {
       WITH $toksCte,
       bi AS (SELECT unnest(list_transform(range(1, greatest(len(toks), 1)),
               i -> toks[i] || ' ' || toks[i+1])) AS bg FROM d),
-      bc AS (SELECT bg, count(*) AS c_xy FROM bi GROUP BY bg),
+      bc AS (SELECT bg, CAST(count(*) AS BIGINT) AS c_xy FROM bi GROUP BY bg),
       un AS (SELECT unnest(toks) AS w FROM d),
-      uc AS (SELECT w, count(*) AS c_w FROM un GROUP BY w),
-      tt AS (SELECT sum(c_xy) AS t_bi FROM bc),
-      t1 AS (SELECT sum(c_w) AS t_uni FROM uc)
+      uc AS (SELECT w, CAST(count(*) AS BIGINT) AS c_w FROM un GROUP BY w),
+      tt AS (SELECT CAST(sum(c_xy) AS BIGINT) AS t_bi FROM bc),
+      t1 AS (SELECT CAST(sum(c_w) AS BIGINT) AS t_uni FROM uc)
       SELECT bg, c_xy,
-        ${Exact.ratioDecimalSql("CAST(c_xy AS HUGEINT) * t_uni * t_uni",
-                                "CAST(t_bi AS HUGEINT) * cx.c_w * cy.c_w", 12, 4)} AS lift
+        (1000 * c_xy * t_uni * t_uni) // (t_bi * cx.c_w * cy.c_w) AS lift_permille
       FROM bc CROSS JOIN tt CROSS JOIN t1
       JOIN uc cx ON cx.w = split_part(bg, ' ', 1)
       JOIN uc cy ON cy.w = split_part(bg, ' ', 2)
@@ -228,13 +247,12 @@ object AnalyticsQueries {
           .groupBy("w").agg(count(lit(1)).as("c_w"))
         val tBi = bc.agg(sum(col("c_xy")).as("t_bi"))
         val tUni = uc.agg(sum(col("c_w")).as("t_uni"))
-        val num = col("c_xy").cast("decimal(38,0)") * col("t_uni") * col("t_uni")
-        val den = col("t_bi").cast("decimal(38,0)") * col("cx.c_w") * col("cy.c_w")
         bc.crossJoin(broadcast(tBi)).crossJoin(broadcast(tUni))
           .join(uc.as("cx"), col("cx.w") === split_part(col("bg"), lit(" "), lit(1)))
           .join(uc.as("cy"), col("cy.w") === split_part(col("bg"), lit(" "), lit(2)))
           .select(col("bg"), col("c_xy"),
-            Exact.ratioDecimal(num, den, 12, 4).as("lift"))
+            expr("div(1000 * c_xy * t_uni * t_uni, t_bi * cx.c_w * cy.c_w)")
+              .as("lift_permille"))
           .orderBy(col("c_xy").desc, col("bg").asc)
           .limit(50)
       }),
@@ -413,47 +431,60 @@ object AnalyticsQueries {
           .orderBy("user_id")
       }),
 
-    // Exact-decimal Pearson correlation per group: corr(quantity,
-    // extendedprice) assembled from exact DECIMAL power sums
-    // (n, Σx, Σy, Σxy, Σx², Σy²) so the result is the same IEEE
-    // double in any partition order — a double corr() aggregate is
-    // not reproducible across cluster layouts. The centered
-    // differences n·Σxy−ΣxΣy etc. are computed fully in DECIMAL
-    // (exact), then converted ONCE each via Exact.detDouble shift −4
-    // (their integer parts run ~10¹⁹ at sf0.1 — far past 2^53 and
-    // past 2^63 as scaled ints, where
-    // the engines' own decimal→double casts diverge; truncating the
-    // sub-ulp fraction and converting through BIGINT is
-    // bit-identical in both). One map-side-combined aggregate pass;
-    // the double math happens on 3 rows.
-    QDef("q_corr_exact", Some(s"""
-      WITH s AS (SELECT l_returnflag, count(*) AS n,
-        sum(CAST(l_quantity AS DECIMAL(12,2))) AS sx,
-        sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS sy,
-        sum(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(12,2))) AS sxy,
-        sum(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(12,2))) AS sxx,
-        sum(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(12,2))) AS syy
-        FROM lineitem GROUP BY l_returnflag),
-      c AS (SELECT l_returnflag, n,
-        ${Exact.detDoubleSql("n * sxy - sx * sy", -4)} AS cnum,
-        ${Exact.detDoubleSql("n * sxx - sx * sx", -4)} AS dx,
-        ${Exact.detDoubleSql("n * syy - sy * sy", -4)} AS dy
-        FROM s)
-      SELECT l_returnflag, n,
-        ${Exact.renderSql("cnum / nullif(sqrt(dx) * sqrt(dy), 0.0)", 10, 6)} AS r
-      FROM c ORDER BY l_returnflag"""),
+    // Exact-integer Pearson correlation moments per group:
+    // corr(quantity, extendedprice) carried as the EXACT RATIONAL
+    // representation of signed r² — the centered moments
+    // cnum = n·Σxy−ΣxΣy, dx = n·Σx²−(Σx)², dy = n·Σy²−(Σy)², where
+    // r = cnum/√(dx·dy) and signed r² = sign(cnum)·cnum²/(dx·dy).
+    // Inputs are born integers (quantity is integer-valued; price in
+    // CENTS via floor(p·100+0.5), one IEEE step per row), power sums
+    // accumulate in tight-precision DECIMALs so every product stays
+    // ≤ 38 digits — EXACT integer arithmetic in both engines, never
+    // the >38-wide multiply where DuckDB falls back to DOUBLE and
+    // Spark rounds scale. The moments (up to ~10²⁵ at sf0.1) are
+    // emitted as integer VARCHAR — exceeding int64, a string is the
+    // one representation every engine and dataframe reader agrees
+    // on; a consumer derives r in its own float env. No sqrt, no
+    // double, no render: nothing for an oracle environment to
+    // disagree about. One map-side-combined aggregate pass; 3 rows.
+    QDef("q_corr_exact", Some("""
+      WITH b AS (SELECT l_returnflag,
+        CAST(l_quantity AS BIGINT) AS x,
+        CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT) AS y FROM lineitem),
+      s AS (SELECT l_returnflag, CAST(count(*) AS DECIMAL(12,0)) AS n,
+        CAST(sum(x) AS DECIMAL(12,0)) AS sx,
+        CAST(sum(y) AS DECIMAL(15,0)) AS sy,
+        CAST(sum(x * y) AS DECIMAL(16,0)) AS sxy,
+        CAST(sum(x * x) AS DECIMAL(12,0)) AS sxx,
+        CAST(sum(CAST(y AS DECIMAL(15,0)) * y) AS DECIMAL(22,0)) AS syy
+        FROM b GROUP BY l_returnflag)
+      SELECT l_returnflag, CAST(n AS BIGINT) AS n,
+        CAST(CAST(n * sxy - sx * sy AS DECIMAL(38,0)) AS VARCHAR) AS cnum,
+        CAST(CAST(n * sxx - sx * sx AS DECIMAL(38,0)) AS VARCHAR) AS dx,
+        -- sy is widened past 18 digits so DuckDB stores the operand as
+        -- int128: two <=18-digit decimals multiply in int64 physical
+        -- and sy² ≈ 1.1e22 overflows it (the result stays exact, width
+        -- 19+15=34 <= 38)
+        CAST(CAST(n * syy - CAST(sy AS DECIMAL(19,0)) * sy AS DECIMAL(38,0)) AS VARCHAR) AS dy
+      FROM s ORDER BY l_returnflag"""),
       (s, d) => {
-        val x = col("l_quantity").cast("decimal(12,2)")
-        val y = col("l_extendedprice").cast("decimal(12,2)")
-        val st = t(s, d, "lineitem").groupBy("l_returnflag").agg(
-          count(lit(1)).as("n"),
-          sum(x).as("sx"), sum(y).as("sy"),
-          sum(x * y).as("sxy"), sum(x * x).as("sxx"), sum(y * y).as("syy"))
-        val cnum = Exact.detDouble(col("n") * col("sxy") - col("sx") * col("sy"), -4)
-        val dx = Exact.detDouble(col("n") * col("sxx") - col("sx") * col("sx"), -4)
-        val dy = Exact.detDouble(col("n") * col("syy") - col("sy") * col("sy"), -4)
-        st.select(col("l_returnflag"), col("n"),
-          Exact.render(cnum / nullif(sqrt(dx) * sqrt(dy), lit(0.0)), 10, 6).as("r"))
+        val x = col("l_quantity").cast("long")
+        val y = floor(col("l_extendedprice") * lit(100.0) + lit(0.5)).cast("long")
+        val b = t(s, d, "lineitem").select(col("l_returnflag"), x.as("x"), y.as("y"))
+        val st = b.groupBy("l_returnflag").agg(
+          count(lit(1)).cast("decimal(12,0)").as("n"),
+          sum(col("x")).cast("decimal(12,0)").as("sx"),
+          sum(col("y")).cast("decimal(15,0)").as("sy"),
+          sum(col("x") * col("y")).cast("decimal(16,0)").as("sxy"),
+          sum(col("x") * col("x")).cast("decimal(12,0)").as("sxx"),
+          sum(col("y").cast("decimal(15,0)") * col("y")).cast("decimal(22,0)").as("syy"))
+        st.select(col("l_returnflag"), col("n").cast("long").as("n"),
+          (col("n") * col("sxy") - col("sx") * col("sy"))
+            .cast("decimal(38,0)").cast("string").as("cnum"),
+          (col("n") * col("sxx") - col("sx") * col("sx"))
+            .cast("decimal(38,0)").cast("string").as("dx"),
+          (col("n") * col("syy") - col("sy") * col("sy"))
+            .cast("decimal(38,0)").cast("string").as("dy"))
           .orderBy("l_returnflag")
       }),
 
@@ -786,49 +817,62 @@ object AnalyticsQueries {
 
     // A/B EXPERIMENT READOUT: two-proportion z-test on a per-user
     // conversion metric (≥14 purchases), variants split by
-    // user_id % 2. The statistic is assembled from exact integer
-    // counts only — the double math happens on ONE row — so the
-    // readout is identical on any cluster layout, and the oracle
-    // hash-checks the z value to 4 decimals. 100 TB shape: one
+    // user_id % 2, reported entirely in BORN-INTEGER form. With
+    // D = c_a·n_b − c_b·n_a, N = n_a+n_b, C = c_a+c_b the pooled
+    // z satisfies z² = D²·N/(n_a·n_b·C·(N−C)), so:
+    //   z_sign   = sign(D)
+    //   z2_milli = (1000·D²·N) div (n_a·n_b·C·(N−C))  [⌊1000·z²⌋]
+    //   significant ⇔ |z| > 1.96 ⇔ 10⁴·D²·N > 38416·n_a·n_b·C·(N−C)
+    // — exact BIGINT predicates and one truncating division on
+    // non-negative operands: no sqrt, no double, no DECIMAL render,
+    // so the readout is identical under any oracle engine (the z
+    // itself is √(z2_milli/1000) with D's sign — derivable).
+    // Degenerate pools (C=0 or C=N) force D=0 → z2 NULL via nullif,
+    // significant=0, matching the old NULL-z semantics. Magnitudes:
+    // 10⁴·D²·N ≈ 4.7e18 at sf0.1 — inside BIGINT. 100 TB shape: one
     // per-user aggregate, one 2-row variant aggregate, then a 1-row
-    // pivot; the fact is shuffled once on user_id. A zero pooled
-    // variance (all users converted) yields NULL z, not a crash.
-    QDef("q_ab_readout", Some(s"""
+    // pivot; the fact is shuffled once on user_id.
+    QDef("q_ab_readout", Some("""
       WITH u AS (SELECT user_id,
           CASE WHEN sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) >= 14
                THEN 1 ELSE 0 END AS conv
         FROM events GROUP BY user_id),
-      v AS (SELECT user_id % 2 AS variant, count(*) AS n, sum(conv) AS c FROM u GROUP BY 1),
+      v AS (SELECT user_id % 2 AS variant, CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(conv) AS BIGINT) AS c FROM u GROUP BY 1),
       w AS (SELECT max(CASE WHEN variant = 0 THEN n END) AS n_a,
                    max(CASE WHEN variant = 0 THEN c END) AS c_a,
                    max(CASE WHEN variant = 1 THEN n END) AS n_b,
                    max(CASE WHEN variant = 1 THEN c END) AS c_b FROM v),
-      z AS (SELECT n_a, c_a, n_b, c_b,
-              (CAST(c_a AS DOUBLE)/n_a - CAST(c_b AS DOUBLE)/n_b) /
-              nullif(sqrt((CAST(c_a + c_b AS DOUBLE)/(n_a + n_b))
-                     * (1.0 - CAST(c_a + c_b AS DOUBLE)/(n_a + n_b))
-                     * (1.0/n_a + 1.0/n_b)), 0.0) AS zs
+      m AS (SELECT n_a, c_a, n_b, c_b,
+              c_a * n_b - c_b * n_a AS dd,
+              n_a * n_b * (c_a + c_b) * (n_a + n_b - c_a - c_b) AS den
             FROM w)
-      SELECT n_a, c_a, n_b, c_b, ${Exact.renderSql("zs", 10, 4)} AS z,
-             CASE WHEN abs(zs) > 1.96 THEN 1 ELSE 0 END AS significant FROM z"""),
+      SELECT n_a, c_a, n_b, c_b,
+        CAST(CASE WHEN dd > 0 THEN 1 WHEN dd < 0 THEN -1 ELSE 0 END AS BIGINT) AS z_sign,
+        (1000 * dd * dd * (n_a + n_b)) // nullif(den, 0) AS z2_milli,
+        CAST(CASE WHEN 10000 * dd * dd * (n_a + n_b) > 38416 * den
+             THEN 1 ELSE 0 END AS BIGINT) AS significant
+      FROM m"""),
       (s, d) => {
         val u = t(s, d, "events").groupBy("user_id").agg(
           when(sum(when(col("event_type") === "purchase", 1).otherwise(0)) >= 14, 1)
             .otherwise(0).as("conv"))
         val v = u.groupBy((col("user_id") % 2).as("variant"))
-          .agg(count(lit(1)).as("n"), sum(col("conv")).as("c"))
+          .agg(count(lit(1)).as("n"), sum(col("conv")).cast("long").as("c"))
         val w = v.agg(
           max(when(col("variant") === 0, col("n"))).as("n_a"),
           max(when(col("variant") === 0, col("c"))).as("c_a"),
           max(when(col("variant") === 1, col("n"))).as("n_b"),
           max(when(col("variant") === 1, col("c"))).as("c_b"))
-        val pp = col("c_a").cast("double").plus(col("c_b")) / (col("n_a") + col("n_b"))
-        val zs = (col("c_a").cast("double") / col("n_a") - col("c_b").cast("double") / col("n_b")) /
-          nullif(sqrt(pp * (lit(1.0) - pp) * (lit(1.0) / col("n_a") + lit(1.0) / col("n_b"))),
-            lit(0.0))
-        w.select(col("n_a"), col("c_a"), col("n_b"), col("c_b"),
-          Exact.render(zs, 10, 4).as("z"),
-          when(abs(zs) > 1.96, 1).otherwise(0).as("significant"))
+        w.withColumn("dd", col("c_a") * col("n_b") - col("c_b") * col("n_a"))
+          .withColumn("den",
+            col("n_a") * col("n_b") * (col("c_a") + col("c_b")) *
+              (col("n_a") + col("n_b") - col("c_a") - col("c_b")))
+          .select(col("n_a"), col("c_a"), col("n_b"), col("c_b"),
+            when(col("dd") > 0, 1L).when(col("dd") < 0, -1L).otherwise(0L).as("z_sign"),
+            expr("div(1000 * dd * dd * (n_a + n_b), nullif(den, 0))").as("z2_milli"),
+            when(lit(10000) * col("dd") * col("dd") * (col("n_a") + col("n_b")) >
+                   lit(38416) * col("den"), 1L).otherwise(0L).as("significant"))
       }),
 
     // Per-source CAP: keep at most 40 docs per source, chosen by a
@@ -882,39 +926,45 @@ object AnalyticsQueries {
           .orderBy("user_id", "event_id")
       }),
 
-    // WEEK-OVER-WEEK growth: weekly revenue per type with percent
-    // change — the reporting cadence the reference's digest renders.
-    // Revenue stays DECIMAL through the lag AND the difference
-    // (rev−prev is exact DECIMAL, converted via Exact.detDouble);
-    // the percent is one IEEE divide+multiply, rendered with
-    // Exact.render so neither engine's double→DECIMAL cast ever
-    // runs. Tiny aggregate (types × weeks rows) after one fact
+    // WEEK-OVER-WEEK growth: weekly revenue per type with the change
+    // ratio — the reporting cadence the reference's digest renders —
+    // in BORN-INTEGER form: revenue as CENTS (per-row
+    // floor(value·100+0.5), then a pure integer sum — exact and
+    // aggregation-order-independent without any DECIMAL), and growth
+    // as a PERMILLE, sign(Δ)·(1000·|Δ|) div prev. The sign is split
+    // out of the division because Spark's `div` truncates toward
+    // zero while DuckDB's `//` floors — identical on non-negative
+    // operands only, so the division only ever sees |Δ|. No double,
+    // no DECIMAL, no render: int64 end to end under any oracle
+    // engine. Tiny aggregate (types × weeks rows) after one fact
     // shuffle.
-    QDef("q_wow_growth", Some(s"""
-      WITH m AS (SELECT event_type, date_trunc('week', ts) AS wk,
-                   sum(CAST(value AS DECIMAL(12,2))) AS rev FROM events GROUP BY 1, 2),
-      g AS (SELECT event_type, wk, rev,
-              lag(rev) OVER (PARTITION BY event_type ORDER BY wk) AS prev FROM m)
-      SELECT event_type, strftime(wk, '%Y-%m-%d') AS week, CAST(rev AS VARCHAR) AS revenue,
+    QDef("q_wow_growth", Some("""
+      WITH e AS (SELECT event_type, date_trunc('week', ts) AS wk,
+                   CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS c FROM events),
+      m AS (SELECT event_type, wk, CAST(sum(c) AS BIGINT) AS rc FROM e GROUP BY 1, 2),
+      g AS (SELECT event_type, wk, rc,
+              lag(rc) OVER (PARTITION BY event_type ORDER BY wk) AS prev FROM m)
+      SELECT event_type, strftime(wk, '%Y-%m-%d') AS week, rc AS revenue_cents,
         CASE WHEN prev IS NULL OR prev = 0 THEN NULL
-             ELSE ${Exact.renderSql(
-                     s"${Exact.detDoubleSql("rev - prev", 2)} / ${Exact.detDoubleSql("prev", 2)} * 100.0",
-                     10, 2)} END AS wow_pct
+             ELSE (CASE WHEN rc >= prev THEN 1 ELSE -1 END) *
+                  ((1000 * abs(rc - prev)) // prev)
+        END AS wow_permille
       FROM g ORDER BY event_type, week"""),
       (s, d) => {
+        val cents = floor(col("value") * lit(100.0) + lit(0.5)).cast("long")
         val m = t(s, d, "events")
-          .groupBy(col("event_type"), date_trunc("week", col("ts")).as("wk"))
-          .agg(sum(col("value").cast("decimal(12,2)")).as("rev"))
+          .select(col("event_type"), date_trunc("week", col("ts")).as("wk"), cents.as("c"))
+          .groupBy("event_type", "wk")
+          .agg(sum(col("c")).cast("long").as("rc"))
         val byType = Window.partitionBy("event_type").orderBy("wk")
-        val prev = lag(col("rev"), 1).over(byType)
-        val pct = Exact.detDouble(col("rev") - col("prev"), 2) /
-          Exact.detDouble(col("prev"), 2) * 100.0
-        m.withColumn("prev", prev)
+        m.withColumn("prev", lag(col("rc"), 1).over(byType))
           .select(col("event_type"),
             date_format(col("wk"), "yyyy-MM-dd").as("week"),
-            col("rev").cast("string").as("revenue"),
+            col("rc").as("revenue_cents"),
             when(col("prev").isNull || col("prev") === 0, lit(null))
-              .otherwise(Exact.render(pct, 10, 2)).as("wow_pct"))
+              .otherwise(
+                when(col("rc") >= col("prev"), 1L).otherwise(-1L) *
+                  expr("div(1000 * abs(rc - prev), prev)")).as("wow_permille"))
           .orderBy("event_type", "week")
       }),
 
@@ -946,59 +996,59 @@ object AnalyticsQueries {
     // frame over the integer day number, excluding the current day —
     // a spike must not raise the bar it is judged against, and a
     // gap in the series must not silently stretch the baseline the
-    // way a 7-ROW frame would). Frame statistics are exact DECIMAL
-    // sums — the q_zscore_outliers discipline applied to frames,
-    // where a double stddev would be row-order-dependent. Days with
-    // under 4 OBSERVED baseline days in the window score NULL, not
-    // garbage. One fact shuffle → tiny per-day agg → one window.
-    QDef("q_rolling_anomaly", Some(s"""
-      WITH d AS (SELECT event_type, date_trunc('day', ts) AS day,
+    // way a 7-ROW frame would). BORN-INTEGER throughout: daily
+    // revenue in CENTS (per-row floor(value·100+0.5), integer sums —
+    // exact in any aggregation order), frame moments
+    // num = n·rc − Σ, den = n·Σrc² − Σ² as plain BIGINT (z = num/√den
+    // — derivable; emitted as the exact rational instead of a
+    // rendered double), and the flag via the exact predicate
+    // |z| > 2 ⇔ num² > 4·den. No sqrt, no double division, no
+    // DECIMAL, no variance floor — a zero-spread window (den = 0)
+    // flags only when num ≠ 0, i.e. the day itself deviates. Days
+    // with under 4 OBSERVED baseline days score NULL moments, flag 0.
+    // One fact shuffle → tiny per-day agg → one window.
+    QDef("q_rolling_anomaly", Some("""
+      WITH e AS (SELECT event_type, date_trunc('day', ts) AS day,
                    date_diff('day', DATE '1970-01-01', date_trunc('day', ts)) AS dn,
-                   sum(CAST(value AS DECIMAL(12,2))) AS rev FROM events GROUP BY 1, 2, 3),
-      f AS (SELECT event_type, day, rev,
-              count(*) OVER w AS n,
-              sum(rev) OVER w AS sv,
-              sum(rev * rev) OVER w AS svv
+                   CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS c FROM events),
+      d AS (SELECT event_type, day, dn, CAST(sum(c) AS BIGINT) AS rc
+            FROM e GROUP BY 1, 2, 3),
+      f AS (SELECT event_type, day, rc,
+              CAST(count(*) OVER w AS BIGINT) AS n,
+              CAST(sum(rc) OVER w AS BIGINT) AS sv,
+              CAST(sum(rc * rc) OVER w AS BIGINT) AS svv
             FROM d WINDOW w AS (PARTITION BY event_type ORDER BY dn
-              RANGE BETWEEN 7 PRECEDING AND 1 PRECEDING)),
-      z AS (SELECT event_type, day, rev,
-              CASE WHEN n >= 4 THEN
-                ${Exact.detDoubleSql("n * rev - sv", 2)} /
-                sqrt(greatest(${Exact.detDoubleSql("n * svv - sv * sv", 4)},
-                  CAST(0.000001 AS DOUBLE) * n * n))
-              END AS zs
-            FROM f)
-      SELECT event_type, strftime(day, '%Y-%m-%d') AS day, CAST(rev AS VARCHAR) AS revenue,
-        ${Exact.renderSql("zs", 10, 3)} AS z,
-        CASE WHEN abs(zs) > 2.0 THEN 1 ELSE 0 END AS anomaly
-      FROM z ORDER BY event_type, day"""),
+              RANGE BETWEEN 7 PRECEDING AND 1 PRECEDING))
+      SELECT event_type, strftime(day, '%Y-%m-%d') AS day, rc AS revenue_cents,
+        CASE WHEN n >= 4 THEN n * rc - sv END AS znum_cents,
+        CASE WHEN n >= 4 THEN n * svv - sv * sv END AS zden_cents2,
+        CAST(CASE WHEN n >= 4 AND (n * rc - sv) * (n * rc - sv) >
+                       4 * (n * svv - sv * sv)
+             THEN 1 ELSE 0 END AS BIGINT) AS anomaly
+      FROM f ORDER BY event_type, day"""),
       (s, d) => {
+        val cents = floor(col("value") * lit(100.0) + lit(0.5)).cast("long")
         val daily = t(s, d, "events")
-          .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"),
-            datediff(date_trunc("day", col("ts")), to_date(lit("1970-01-01"))).as("dn"))
-          .agg(sum(col("value").cast("decimal(12,2)")).as("rev"))
+          .select(col("event_type"), date_trunc("day", col("ts")).as("day"),
+            datediff(date_trunc("day", col("ts")), to_date(lit("1970-01-01"))).as("dn"),
+            cents.as("c"))
+          .groupBy("event_type", "day", "dn")
+          .agg(sum(col("c")).cast("long").as("rc"))
         val w = Window.partitionBy("event_type").orderBy("dn").rangeBetween(-7, -1)
-        // Centered form: z = (n·rev − Σ)/sqrt(n·Σv² − Σ², floored at
-        // n²·1e-6 — same floor as var ≥ 1e-6 pre-centering). Exact
-        // DECIMAL differences, detDouble conversions, IEEE sqrt/div.
-        // The floor literal is CAST(… AS DOUBLE) in the oracle:
-        // DuckDB otherwise parses 0.000001 as DECIMAL(7,6) and
-        // computes the floor EXACTLY while Spark's double chain
-        // rounds twice — a real bitwise divergence (~1/3 of n).
-        val zs = when(col("n") >= 4,
-          Exact.detDouble(col("n") * col("rev") - col("sv"), 2) /
-            sqrt(greatest(
-              Exact.detDouble(col("n") * col("svv") - col("sv") * col("sv"), 4),
-              lit(0.000001) * col("n") * col("n"))))
         daily
           .withColumn("n", count(lit(1)).over(w))
-          .withColumn("sv", sum(col("rev")).over(w))
-          .withColumn("svv", sum(col("rev") * col("rev")).over(w))
+          .withColumn("sv", sum(col("rc")).over(w))
+          .withColumn("svv", sum(col("rc") * col("rc")).over(w))
+          .withColumn("num", col("n") * col("rc") - col("sv"))
+          .withColumn("den", col("n") * col("svv") - col("sv") * col("sv"))
           .select(col("event_type"),
             date_format(col("day"), "yyyy-MM-dd").as("day"),
-            col("rev").cast("string").as("revenue"),
-            Exact.render(zs, 10, 3).as("z"),
-            when(abs(zs) > 2.0, 1).otherwise(0).as("anomaly"))
+            col("rc").as("revenue_cents"),
+            when(col("n") >= 4, col("num")).as("znum_cents"),
+            when(col("n") >= 4, col("den")).as("zden_cents2"),
+            when(col("n") >= 4 &&
+                   col("num") * col("num") > lit(4) * col("den"), 1L)
+              .otherwise(0L).as("anomaly"))
           .orderBy("event_type", "day")
       }),
 

@@ -29,39 +29,44 @@ object SimQueries {
 
   val all: Seq[QDef] = Seq(
 
-    // Embedding hygiene stats per label cell: vector counts and L2
-    // norm min/max/sum (norms rounded to 3 decimals, the sum carried
-    // in DECIMAL so it is exact and aggregation-order-independent —
-    // a raw double sum across rows would hash differently per
-    // partitioning). The scan→agg is one map-side-combined pass.
-    // Rounding is floor(x*1000 + 0.5)/1000 — pure IEEE-double ops that
-    // are bit-identical across engines — NOT round(x, 3): Spark's
-    // round goes through Double.toString (shortest decimal repr) +
-    // HALF_UP while DuckDB rounds the binary value, so a norm just
-    // below an .xxx5 boundary whose shortest repr IS the tie rounds
-    // differently (the r4 hash mismatch).
-    // NOTE the engines differ on degenerate vectors (Spark's fold
-    // gives an empty array norm 0.0 and NULL-poisons on a NULL
-    // element; DuckDB's list_sum gives NULL and skips NULLs) — the
-    // testdata contract is fixed-width non-null embeddings, which
-    // both sides treat identically.
-    QDef("q_embed_norm_stats", Some(s"""
+    // Embedding hygiene stats per label cell: vector counts and
+    // SQUARED-L2-norm min/max/sum, BORN-INTEGER. Each element is
+    // quantized FIRST — qᵢ = floor(xᵢ·10⁶ + 0.5), one IEEE
+    // multiply+add+floor per lane, bit-identical in any engine — and
+    // the norm² is then Σqᵢ², a pure integer sum: no accumulation-
+    // order dependence, no engine-version dependence in list_sum's
+    // float reduction, no sqrt, no DECIMAL output (the r5–r7 driver
+    // divergence: float/DECIMAL outputs convert differently per
+    // reader). Units are picos of the squared norm (10⁻¹² — the
+    // product of two 10⁻⁶ quantizations); the true norm is
+    // √(norm2_pico·10⁻¹²), derivable by any consumer. Magnitudes:
+    // |x| < 0.6 ⇒ q² ≤ 3.6e11, ×64 dims ≤ 2.3e13 per vector — per-
+    // label sums stay inside BIGINT past sf100. The scan→agg is one
+    // map-side-combined pass.
+    QDef("q_embed_norm_stats", Some("""
       WITH e AS (SELECT label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-      n AS (SELECT label, floor(${normSql("v")} * 1000 + 0.5) / 1000 AS norm3 FROM e)
+      n AS (SELECT label,
+              CAST(list_sum(list_transform(v,
+                x -> CAST(floor(x * 1000000.0 + 0.5) AS BIGINT) *
+                     CAST(floor(x * 1000000.0 + 0.5) AS BIGINT))) AS BIGINT) AS norm2_pico
+            FROM e)
       SELECT label, count(*) AS n_vecs,
-             min(norm3) AS min_norm3, max(norm3) AS max_norm3,
-             CAST(sum(CAST(norm3 AS DECIMAL(18,3))) AS DECIMAL(18,3)) AS sum_norm3
+             min(norm2_pico) AS min_norm2_pico,
+             max(norm2_pico) AS max_norm2_pico,
+             CAST(sum(norm2_pico) AS BIGINT) AS sum_norm2_pico
       FROM n GROUP BY label ORDER BY label"""),
       (s, d) => {
         val e = t(s, d, "embeddings").select(col("label"),
           col("embedding").cast("array<double>").as("v"))
+        val q = (x: org.apache.spark.sql.Column) =>
+          floor(x * lit(1000000.0) + lit(0.5)).cast("long")
         e.select(col("label"),
-            (floor(Similarity.l2(col("v")) * lit(1000.0) + lit(0.5)) / lit(1000.0)).as("norm3"))
+            aggregate(col("v"), lit(0L), (acc, x) => acc + q(x) * q(x)).as("norm2_pico"))
           .groupBy("label")
           .agg(count(lit(1)).as("n_vecs"),
-            min(col("norm3")).as("min_norm3"),
-            max(col("norm3")).as("max_norm3"),
-            sum(col("norm3").cast("decimal(18,3)")).cast("decimal(18,3)").as("sum_norm3"))
+            min(col("norm2_pico")).as("min_norm2_pico"),
+            max(col("norm2_pico")).as("max_norm2_pico"),
+            sum(col("norm2_pico")).cast("long").as("sum_norm2_pico"))
           .orderBy("label")
       }),
 

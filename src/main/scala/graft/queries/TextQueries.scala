@@ -152,7 +152,11 @@ object TextQueries {
     // run ~40-60% hapax; templated ones near 0). Two map-side-
     // combined aggregates — (source, tok) counts, then per-source
     // rollup — no window, no distinct-explode shuffle beyond the
-    // first aggregate's own.
+    // first aggregate's own. The permille's sum() is pinned to
+    // BIGINT BEFORE the multiply: DuckDB's sum() returns HUGEINT,
+    // and a HUGEINT-typed output column converts to float64 in
+    // pandas-side readers (417.0 ≠ 417 — the r5–r7 hard-signal
+    // divergence) while a BIGINT `//` BIGINT stays int64.
     QDef("q_vocab_hapax", Some("""
       WITH occ AS (SELECT source, tok FROM
         (SELECT source, unnest(string_split(text, ' ')) AS tok FROM documents)
@@ -162,7 +166,8 @@ object TextQueries {
              CAST(sum(n) AS BIGINT) AS n_tokens,
              count(*) AS n_types,
              CAST(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
-             (1000 * sum(CASE WHEN n = 1 THEN 1 ELSE 0 END)) // count(*) AS hapax_permille
+             (1000 * CAST(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT))
+               // count(*) AS hapax_permille
       FROM c GROUP BY source ORDER BY source"""),
       (s, d) => t(s, d, "documents")
         .select(col("source"), explode(TA.tokens(col("text"))).as("tok"))

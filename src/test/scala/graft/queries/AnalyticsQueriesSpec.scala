@@ -66,10 +66,13 @@ class AnalyticsQueriesSpec extends AnyFunSuite {
       s"per-type stats must broadcast:\n$plan")
     assert(!plan.contains("SortMergeJoin"),
       s"the fact must never be shuffled for the stats join:\n$plan")
-    // every surviving row really is past the threshold — compared
-    // against 2.4995, not 2.5: the emitted z is HALF_UP-rounded to 3
-    // decimals, so a true z of 2.5004 legitimately renders as 2.500
-    assert(df.filter(abs(col("z")) < 2.4995).count() == 0)
+    // every surviving row satisfies the exact-integer outlier
+    // predicate |z| > 2.5 ⇔ 4·num² > 25·den on the emitted rational
+    assert(df.filter(
+      lit(4) * col("znum_cents") * col("znum_cents") <=
+        lit(25) * col("zden_cents2")).count() == 0)
+    // and den is a true centered second moment: non-negative
+    assert(df.filter(col("zden_cents2") < 0).count() == 0)
   }
 
   test("inverted index: posting lists capped before collection") {
@@ -145,12 +148,16 @@ class AnalyticsQueriesSpec extends AnyFunSuite {
     assert(df.select("user_id").distinct().count() == users)
   }
 
-  test("exact-decimal pearson r stays in [-1, 1]") {
+  test("exact-integer pearson moments satisfy Cauchy-Schwarz (|r| <= 1)") {
     val rows = q("q_corr_exact").collect()
     assert(rows.nonEmpty)
     rows.foreach { r =>
-      val v = r.getAs[java.math.BigDecimal]("r").doubleValue()
-      assert(v >= -1.0 && v <= 1.0, s"r out of range: $r")
+      val cnum = BigInt(r.getAs[String]("cnum"))
+      val dx = BigInt(r.getAs[String]("dx"))
+      val dy = BigInt(r.getAs[String]("dy"))
+      assert(dx >= 0 && dy >= 0, s"second moments are non-negative: $r")
+      // r = cnum/sqrt(dx·dy) ∈ [-1,1] ⇔ cnum² ≤ dx·dy — exact BigInt
+      assert(cnum * cnum <= dx * dy, s"|r| out of range: $r")
     }
   }
 
@@ -272,9 +279,9 @@ class AnalyticsQueriesSpec extends AnyFunSuite {
     val byType = df.groupBy(_.getAs[String]("event_type"))
     byType.foreach { case (_, rows) =>
       val sorted = rows.sortBy(_.getAs[String]("week"))
-      assert(sorted.head.isNullAt(sorted.head.fieldIndex("wow_pct")),
+      assert(sorted.head.isNullAt(sorted.head.fieldIndex("wow_permille")),
         "no previous week for the first row")
-      assert(sorted.tail.forall(!_.isNullAt(sorted.head.fieldIndex("wow_pct"))),
+      assert(sorted.tail.forall(!_.isNullAt(sorted.head.fieldIndex("wow_permille"))),
         "every later week has a growth figure")
     }
   }
@@ -294,8 +301,8 @@ class AnalyticsQueriesSpec extends AnyFunSuite {
 
   test("rolling anomaly: warm-up days score NULL, baseline excludes self") {
     val df = q("q_rolling_anomaly")
-    // first 4 days per type have <4 baseline days → NULL z, flag 0
-    val warm = df.filter(col("z").isNull)
+    // first 4 days per type have <4 baseline days → NULL moments, flag 0
+    val warm = df.filter(col("znum_cents").isNull)
     assert(warm.filter(col("anomaly") =!= 0).count() == 0)
     val perType = warm.groupBy("event_type").count().collect()
     perType.foreach(r => assert(r.getLong(1) == 4,
