@@ -75,11 +75,15 @@ object Bench {
       .flatMap { case (k, v) =>
         budgets.get(k).filter(v > _).map(b => (k, v / b)) }
       .sortBy(-_._2)
+    // Locale.ROOT: the f-interpolator uses the default locale, and a
+    // comma decimal separator would emit malformed JSON ("1,234")
+    def fmt(r: Double, digits: Int): String =
+      String.format(java.util.Locale.ROOT, s"%.${digits}f", Double.box(r))
     if (exceeded.nonEmpty)
       System.err.println(s"[bench] ${exceeded.size} over budget: " +
-        exceeded.map { case (k, r) => f"$k ${r}%.2fx" }.mkString(", "))
+        exceeded.map { case (k, r) => s"$k ${fmt(r, 2)}x" }.mkString(", "))
     val exceededJson = exceeded
-      .map { case (k, r) => "\"" + k + "\":" + f"$r%.3f" }.mkString("{", ",", "}")
+      .map { case (k, r) => "\"" + k + "\":" + fmt(r, 3) }.mkString("{", ",", "}")
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
         s""""budget_exceeded":$exceededJson,"budget_n":${budgets.size},"sf":"$sfDir"}"""

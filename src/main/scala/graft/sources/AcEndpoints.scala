@@ -38,12 +38,18 @@ final case class AcEndpoint(name: String, path: String, collectionKey: String,
 
   private def enc(s: String) = URLEncoder.encode(s, "UTF-8")
 
+  /** Path-SEGMENT encoding: URLEncoder produces
+    * application/x-www-form-urlencoded, where a space becomes '+' —
+    * but '+' in a URI path is a literal plus, not an escaped space,
+    * so a non-numeric id would resolve to the wrong resource. */
+  private def encPathSegment(s: String) = enc(s).replace("+", "%20")
+
   /** The concrete path for one driving id (PathId substitution). */
   def resolvedPath(id: Option[String]): String = idBinding match {
     case PathId =>
       val v = id.getOrElse(throw new IllegalArgumentException(
         s"endpoint $name binds the id into the path — an id is required"))
-      path.replace("{id}", enc(v))
+      path.replace("{id}", encPathSegment(v))
     case _ => path
   }
 

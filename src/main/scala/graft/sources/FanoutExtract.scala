@@ -58,7 +58,7 @@ object FanoutExtract {
       part.flatMap { id =>
         val opts = ep.readOptions(base, Some(id), limit)
         val backend = PageBackends.fromProps(opts)
-        walk(backend, limit, retries, backBase, backCap, sleep)
+        walk(backend, limit, retries, backBase, backCap, sleep, paged = ep.paged)
           .map(r => (id, r.id, r.name, r.updatedAt, r.email))
       }
     }(org.apache.spark.sql.Encoders.tuple(
@@ -74,10 +74,17 @@ object FanoutExtract {
     * short-page termination (the reference's only mode, :243-244) and
     * the S6/S7 resilience rules. Never probes `meta.total` — a
     * per-entity collection is small by construction, and 50k probe
-    * requests before any data would double the crawl. */
+    * requests before any data would double the crawl.
+    *
+    * `paged = false` (single-shot resources: contact_data,
+    * automation_entry_counts) issues exactly ONE request — such an
+    * API ignores limit/offset, so a full-size response would never
+    * short-page and the offset loop would spin forever re-fetching
+    * the same resource as duplicates. */
   private[sources] def walk(backend: PageBackend, pageLimit: Int,
                             maxRetries: Int, backoffBaseMs: Long,
-                            backoffCapMs: Long, sleepMs: Long): Seq[PageRow] = {
+                            backoffCapMs: Long, sleepMs: Long,
+                            paged: Boolean = true): Seq[PageRow] = {
     val out = Seq.newBuilder[PageRow]
     var page = 0
     var done = false
@@ -87,7 +94,8 @@ object FanoutExtract {
           maxRetries, backoffBaseMs, backoffCapMs, sleepMs)
         catch { case _: NotFoundError => done = true; Seq.empty }
       out ++= rows
-      if (rows.size < pageLimit) done = true // short page terminates
+      if (!paged) done = true // single-shot: one request, no loop
+      else if (rows.size < pageLimit) done = true // short page terminates
       page += 1
     }
     out.result()

@@ -79,13 +79,20 @@ final case class FixtureBackend(totalRows: Long, failAttempts: Int,
                                 notFound: Boolean,
                                 dynamic: Boolean = false,
                                 emailEq: Option[String] = None) extends PageBackend {
+  /** The UNFILTERED collection size — the candidate universe every
+    * fetch filters from. Generating from the filtered `total` would
+    * hollow the fixture out: for any email not at index 0 the
+    * advertised total is 1 but rows 0..0 don't match, so every fetch
+    * returns empty — diverging from the HTTP semantics this stands
+    * in for. */
+  private def rawTotal: Long =
+    if (dynamic) FixtureBackend.dynamicTotal.get() else totalRows
   // like the HTTP probe, the advertised total counts the FILTERED
   // collection — planning over the unfiltered count would fan out
   // page ranges the filter can never fill
-  override def total: Long = {
-    val t = if (dynamic) FixtureBackend.dynamicTotal.get() else totalRows
-    emailEq.fold(t)(e => (0L until t).map(mkRow).count(_.email == e).toLong)
-  }
+  override def total: Long =
+    emailEq.fold(rawTotal)(e =>
+      (0L until rawTotal).map(mkRow).count(_.email == e).toLong)
   private def mkRow(i: Long) =
     PageRow(i, s"row#$i", f"2026-01-${(i % 28) + 1}%02dT00:00:00Z",
       s"user$i@example.com")
@@ -103,7 +110,7 @@ final case class FixtureBackend(totalRows: Long, failAttempts: Int,
       // scan short-page-terminate on the first page whose matches
       // were filtered out, silently dropping later matches
       case Some(e) =>
-        val matches = (0L until total).map(mkRow).filter(_.email == e)
+        val matches = (0L until rawTotal).map(mkRow).filter(_.email == e)
         matches.slice(page * pageLimit, page * pageLimit + pageLimit)
       case None =>
         val start = page.toLong * pageLimit
@@ -353,10 +360,25 @@ class PagedScan(props: Map[String, String], minIdExclusive: Long)
   private val advertiseTotal = props.getOrElse("advertisetotal", "true").toBoolean
   private def backend: PageBackend = PageBackends.fromProps(props)
 
+  // With a pushed email filter, PAGES index the server-side FILTERED
+  // collection while minIdExclusive is id-space: page-level keyset
+  // pruning would skip pages that hold matching rows with id > v
+  // (they land below firstPage in filtered page space). The page walk
+  // must start at 0; the reader's per-row id filter still enforces
+  // the keyset predicate exactly.
+  private val emailPushed = props.contains("emaileq")
+
   override def readSchema(): StructType = PagedSource.schema
   override def toBatch: Batch = this
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-    new PagedMicroBatchStream(props, pageLimit, minIdExclusive)
+    // The micro-batch stream's offsets are id-space positions over
+    // the UNFILTERED collection; a server-side email filter would
+    // both shift page indexing and shrink the advertised total those
+    // offsets advance to. Drop the pushed filter here — the email
+    // equality stays in Spark's residual (pushFilters returns it),
+    // so the stream stays correct, just without the server-side
+    // narrowing the batch scan gets.
+    new PagedMicroBatchStream(props - "emaileq", pageLimit, minIdExclusive)
 
   override def planInputPartitions(): Array[InputPartition] = {
     val b = backend
@@ -374,17 +396,20 @@ class PagedScan(props: Map[String, String], minIdExclusive: Long)
       // Unknown total: a single sequential partition that walks pages
       // until a short page (the reference's termination rule). Ids are
       // ascending by the keyset contract, so the walk still starts
-      // past the watermark instead of re-fetching all history.
+      // past the watermark instead of re-fetching all history —
+      // UNLESS the email filter is pushed (see emailPushed).
       val firstPage =
-        if (minIdExclusive < 0) 0
+        if (minIdExclusive < 0 || emailPushed) 0
         else ((minIdExclusive + 1) / pageLimit).toInt
       Array(PagedPartition(firstPage, Int.MaxValue, sequential = true))
     } else {
       val totalPages = ((knownTotal + pageLimit - 1) / pageLimit).toInt
       // Keyset pruning: ids are ascending, so pages entirely at or
-      // below the watermark are skipped at planning time.
+      // below the watermark are skipped at planning time — id-space
+      // math that only holds over the unfiltered collection, hence
+      // disabled when the email filter is pushed (see emailPushed).
       val firstPage =
-        if (minIdExclusive < 0) 0
+        if (minIdExclusive < 0 || emailPushed) 0
         else ((minIdExclusive + 1) / pageLimit).toInt
       (firstPage until totalPages by pagesPerPartition).map { p =>
         PagedPartition(p, math.min(p + pagesPerPartition, totalPages),

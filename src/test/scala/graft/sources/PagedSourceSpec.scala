@@ -422,6 +422,10 @@ class PagedSourceSpec extends AnyFunSuite {
       "reference :719-727 param shape, percent-encoded")
     assert(AcEndpoints.byName("contact_notes").resolvedPath(Some("9")) ==
       "/contacts/9/notes")
+    // path-SEGMENT encoding: a space must become %20, never the
+    // form-encoded '+' (a literal plus in a URI path)
+    assert(AcEndpoints.byName("contact_notes").resolvedPath(Some("a b+c")) ==
+      "/contacts/a%20b%2Bc/notes")
     val single = AcEndpoints.byName("automation_entry_counts")
       .readOptions("http://api.test/api/3", Some("7"))
     assert(single("advertisetotal") == "false",
@@ -545,5 +549,58 @@ class PagedSourceSpec extends AnyFunSuite {
       assert(spark.read.parquet(paths.latest)
         .select("email").head().getString(0) == "user5@example.com")
     } finally server.stop(0)
+  }
+
+  test("email pushdown composes with keyset: page pruning disabled so a " +
+      "match past the watermark on a low FILTERED page survives") {
+    // With filters[email] pushed, pages index the server-side FILTERED
+    // collection: user505 is row 0 of the filtered view, i.e. page 0 —
+    // id-space pruning (firstPage = 501/10 = 50) would skip it and the
+    // keyset predicate is NOT in Spark's residual to catch the loss.
+    val df = read("totalrows" -> "1000", "pagelimit" -> "10")
+    val hit = df.filter(df("email") === "user505@example.com" && df("id") > 500L)
+    assert(hit.collect().map(_.getAs[Long]("id")).toSeq == Seq(505L))
+    // and the per-row id filter still enforces the keyset side: the
+    // same email BELOW the watermark yields nothing
+    val miss = df.filter(df("email") === "user505@example.com" && df("id") > 505L)
+    assert(miss.count() == 0)
+  }
+
+  test("micro-batch stream ignores a pushed email filter: id-space offsets " +
+      "stay correct and the residual equality still applies") {
+    FixtureBackend.reset()
+    FixtureBackend.dynamicTotal.set(30)
+    val stream = spark.readStream.format("graft.sources.PagedSource")
+      .option("dynamictotal", "true").option("pagelimit", "10").load()
+    val filtered = stream.filter(stream("email") === "user7@example.com")
+    val q = filtered.writeStream.format("memory").queryName("paged_email_stream").start()
+    try {
+      q.processAllAvailable()
+      // offsets ran over the UNFILTERED collection (0..30) — a
+      // filtered total of 1 would have planned pages that miss id 7 —
+      // and Spark's residual equality kept exactly the matching row
+      val ids = spark.sql("SELECT id FROM paged_email_stream")
+        .collect().map(_.getLong(0)).toSeq
+      assert(ids == Seq(7L))
+    } finally q.stop()
+  }
+
+  test("fanout walk: paged=false issues exactly one request even when the " +
+      "API ignores limit/offset and always returns a full page") {
+    val calls = new java.util.concurrent.atomic.AtomicInteger(0)
+    val alwaysFull = new PageBackend {
+      override def total: Long = -1L
+      override def fetch(page: Int, pageLimit: Int): Seq[PageRow] = {
+        calls.incrementAndGet()
+        // a single-shot resource: same full-size payload for ANY page
+        (0L until pageLimit.toLong).map(i =>
+          PageRow(i, s"r$i", "2026-01-01T00:00:00Z", s"u$i@example.com"))
+      }
+    }
+    val rows = FanoutExtract.walk(alwaysFull, pageLimit = 10,
+      maxRetries = 0, backoffBaseMs = 1, backoffCapMs = 1, sleepMs = 0,
+      paged = false)
+    assert(calls.get() == 1, "single-shot endpoints must never loop")
+    assert(rows.size == 10)
   }
 }
