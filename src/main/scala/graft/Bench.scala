@@ -24,21 +24,22 @@ object Bench {
         // casts/string-builds/regexes never run. Hashing all columns
         // into one agg keeps the whole plan (and its exchanges) live
         // while still returning a single row to the driver.
-        val out = fn(spark, sfDir)
-        out.select(org.apache.spark.sql.functions.xxhash64(
-            out.columns.map(org.apache.spark.sql.functions.col): _*).as("h"))
-          .agg(org.apache.spark.sql.functions.expr("bit_xor(h)")).collect()
+        // QDef.withCacheRelease (the one execution path all harness
+        // mains share) drops the intermediates a few operators
+        // persist(), so later queries are timed from the same cold
+        // state as earlier ones — leaked cache memory was inflating
+        // whichever queries ran next.
+        graft.queries.QDef.withCacheRelease(spark, fn(spark, sfDir)) { out =>
+          out.select(org.apache.spark.sql.functions.xxhash64(
+              out.columns.map(org.apache.spark.sql.functions.col): _*).as("h"))
+            .agg(org.apache.spark.sql.functions.expr("bit_xor(h)")).collect()
+        }
       }
       catch { case e: Throwable =>
         failed ::= name
         System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
       }
       val elapsed = (System.nanoTime() - t0) / 1e9
-      // A few operators persist() intermediates (triangle edges,
-      // curation stage boundaries). Drop them so later queries are
-      // timed from the same cold state as earlier ones — leaked
-      // cache memory was inflating whichever queries ran next.
-      spark.catalog.clearCache()
       name -> elapsed
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }

@@ -108,7 +108,15 @@ object Verify {
       "stale_build" ->
         (newestUnder(Paths.get("src/main/scala")) > newestUnder(classesRoot)).toString,
       "filtered" -> only.toSeq.sorted.map(q).mkString("[", ",", "]"),
-      "spark_version" -> q(spark.version)
+      "spark_version" -> q(spark.version),
+      // Oracle-environment stamp (best-effort): the DuckDB the local
+      // replica would compare with. When a driver-side compare
+      // diverges from the replica, the artifact itself now says which
+      // oracle build the dump was verified against — diagnosed from
+      // the artifact instead of re-litigated per round (the r5–r7
+      // float-query adjudication).
+      "duckdb_version" ->
+        q(execOut("python3", "-c", "import duckdb; print(duckdb.__version__)"))
     ).map { case (k, v) => s"${q(k)}: $v" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/verify_meta.json"), meta)
     spark.stop()

@@ -135,6 +135,25 @@ class ScalePlanSpec extends AnyFunSuite {
     assert(offenders.isEmpty, s"cartesian plans in: $offenders")
   }
 
+  test("no registered query leaks cached relations past the execution path") {
+    // A few operators persist() bounded intermediates at plan-BUILD
+    // time (q_funnel_steps' step tables, q_triangle_support's edge
+    // set) — correct inside the query, but a leak into the shared
+    // session once the action finishes: Spark substitutes cached
+    // plans into any later query with a matching subtree. The QDef
+    // execution path (all harness mains route through it) must
+    // release them; this sweep proves no registered query escapes it.
+    spark.catalog.clearCache()
+    val leakers = SparkEntry.queries.keys.toSeq.sorted.filter { name =>
+      graft.queries.QDef.withCacheRelease(
+        spark, SparkEntry.queries(name)(spark, SparkTesting.sf)) { df =>
+        df.queryExecution.executedPlan // plan only — persists happen at build
+      }
+      !spark.sharedState.cacheManager.isEmpty
+    }
+    assert(leakers.isEmpty, s"cached relations survive QDef execution in: $leakers")
+  }
+
   test("decontamination: the eval shingle set broadcasts — no train-side join shuffle") {
     val df = SparkEntry.queries("q_decontam_ngram")(spark, SparkTesting.sf)
     val plan = executedPlan(df)

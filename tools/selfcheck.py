@@ -41,6 +41,11 @@ def check_provenance(out_dir, only):
         print("WARN no verify_meta.json in dump (pre-r7 artifact?) — provenance unchecked")
         return []
     meta = json.load(open(meta_path))
+    stamped_duck = meta.get("duckdb_version")
+    if stamped_duck and stamped_duck != duckdb.__version__:
+        print(f"WARN dump stamped against duckdb {stamped_duck} but this compare "
+              f"runs duckdb {duckdb.__version__} — a hash divergence may be "
+              "environmental, not a code bug")
     problems = []
     if meta.get("stale_build") is True:
         problems.append("verify ran on classes OLDER than src/main/scala (stale build)")
