@@ -163,6 +163,44 @@ object ChatterMaster {
         lit(null).cast("string").as("tag_name"))
   }
 
+  /** Source 4 (catalog-driven): the contact seed roster read through
+    * the paged connector with the ENDPOINT CATALOG's contacts column
+    * set (graft.sources.AcEndpoints) — the per-endpoint dynamic
+    * schema flowing into the conform union, exactly the reference's
+    * seed-roster branch of the chatter master (the roster rows are
+    * `dict(it)` payloads too). Backend is the deterministic fixture
+    * (ids 0..n-1, email user{i}@example.com), so the DuckDB oracle
+    * mirrors it with a range() generator. Roster rows are SNAPSHOT
+    * facts, not timeline events: a constant extraction-stamp
+    * event_ts (never NULL — NULL sort position differs per engine)
+    * and the contact's email as title. */
+  def conformContactSeed(spark: SparkSession, nContacts: Int = 200): DataFrame = {
+    val ep = graft.sources.AcEndpoints.byName("contacts")
+    val roster = spark.read.format("graft.sources.PagedSource")
+      .options(Map(
+        "totalrows" -> nContacts.toString, "pagelimit" -> "100",
+        "columns" -> ep.columns.mkString(",")))
+      .load()
+    roster.select(
+      concat_ws(":", lit("contacts"), col("id")).as("event_id"),
+      col("id").cast("bigint").as("contact_id"),
+      lit("contacts").as("source"),
+      col("id").cast("string").as("source_row_id"),
+      lit("2026-01-01 00:00:00").as("event_ts"),
+      lit("contact_seed").as("event_type"),
+      col("email").as("title"),
+      lit("seed").as("detail"),
+      lit(null).cast("string").as("url"),
+      lit(null).cast("string").as("part_id"),
+      lit(null).cast("string").as("supplier_id"),
+      lit(null).cast("string").as("order_id"),
+      lit(null).cast("string").as("order_title"),
+      lit(null).cast("string").as("stage_id"),
+      lit(null).cast("string").as("stage_name"),
+      lit(null).cast("string").as("tag_id"),
+      lit(null).cast("string").as("tag_name"))
+  }
+
   /** U2: the conformed all-sources union. */
   def unifiedEvents(spark: SparkSession, sfDir: String): DataFrame =
     conformedUnion(Seq(

@@ -668,9 +668,13 @@ object CoreQueries {
         .union(t(s, d, "events").select(col("user_id").as("id")))
         .distinct().orderBy("id")),
 
-    // U2 / §2.8: the 13-way conform-union, 3 heterogeneous testdata
-    // sources conformed to the unified event schema
-    // (run_ac_extraction.py:1171-1384).
+    // U2 / §2.8: the conform-union — 3 heterogeneous testdata sources
+    // plus the CATALOG-DRIVEN contact seed roster (the paged
+    // connector under the endpoint catalog's per-endpoint column set,
+    // deterministic fixture backend mirrored by the oracle's range()
+    // generator) conformed to the unified event schema
+    // (run_ac_extraction.py:1171-1384; roster rows are the same
+    // `dict(it)` dynamic payloads as every other source).
     QDef("q_conform_union", Some(s"""
       WITH ev AS (
         SELECT 'events:' || event_id AS event_id, user_id AS contact_id,
@@ -718,13 +722,26 @@ object CoreQueries {
                CASE o_orderstatus WHEN 'O' THEN 'Open' WHEN 'F' THEN 'Filled'
                     WHEN 'P' THEN 'Pending' ELSE 'Other' END AS stage_name,
                CAST(NULL AS VARCHAR) AS tag_id, CAST(NULL AS VARCHAR) AS tag_name
-        FROM lineitem JOIN orders ON l_orderkey = o_orderkey)
-      SELECT * FROM (SELECT * FROM ev UNION ALL SELECT * FROM od UNION ALL SELECT * FROM sh)
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+      sd AS (
+        SELECT 'contacts:' || i AS event_id, i AS contact_id,
+               'contacts' AS source, CAST(i AS VARCHAR) AS source_row_id,
+               '2026-01-01 00:00:00' AS event_ts, 'contact_seed' AS event_type,
+               'user' || i || '@example.com' AS title, 'seed' AS detail,
+               CAST(NULL AS VARCHAR) AS url,
+               CAST(NULL AS VARCHAR) AS part_id, CAST(NULL AS VARCHAR) AS supplier_id,
+               CAST(NULL AS VARCHAR) AS order_id, CAST(NULL AS VARCHAR) AS order_title,
+               CAST(NULL AS VARCHAR) AS stage_id, CAST(NULL AS VARCHAR) AS stage_name,
+               CAST(NULL AS VARCHAR) AS tag_id, CAST(NULL AS VARCHAR) AS tag_name
+        FROM range(0, 200) t(i))
+      SELECT * FROM (SELECT * FROM ev UNION ALL SELECT * FROM od
+                     UNION ALL SELECT * FROM sh UNION ALL SELECT * FROM sd)
       ORDER BY contact_id, event_ts, event_id, title, detail"""),
       // event_id is not unique for lineitem-derived events (duplicate
       // (l_orderkey, l_linenumber) pairs exist in the synthetic data),
       // so title+detail complete the total order.
       (s, d) => ChatterMaster.unifiedEvents(s, d)
+        .unionByName(ChatterMaster.conformContactSeed(s))
         .orderBy("contact_id", "event_ts", "event_id", "title", "detail")),
 
     // ─────────────────── §2.7 scalar functions ────────────────────

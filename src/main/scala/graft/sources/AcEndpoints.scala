@@ -30,11 +30,22 @@ final case class QueryId(param: String) extends IdBinding
   * @param paged         false = single-shot resource (no limit/offset
   *                      loop in the reference; read with short-page
   *                      termination and no total probe)
+  * @param columns       the collection's OWN column set (beyond the
+  *                      `id` spine; all strings under the dtype=str
+  *                      discipline, SURVEY §1). The reference's rows
+  *                      are `dict(it)` — whatever the API returns
+  *                      (run_ac_extraction.py:424-441) — which a
+  *                      planned Spark schema can't be, so the catalog
+  *                      declares each payload's v3 field set and the
+  *                      connector conform-projects responses onto it
+  *                      (absent → null, undeclared → dropped). Empty
+  *                      = the connector's canonical legacy trio.
   */
 final case class AcEndpoint(name: String, path: String, collectionKey: String,
                             fixedParams: Map[String, String] = Map.empty,
                             idBinding: IdBinding = NoId,
-                            paged: Boolean = true) {
+                            paged: Boolean = true,
+                            columns: Seq[String] = Seq.empty) {
 
   private def enc(s: String) = URLEncoder.encode(s, "UTF-8")
 
@@ -74,11 +85,25 @@ final case class AcEndpoint(name: String, path: String, collectionKey: String,
     val base = Map(
       "baseurl" -> (apiBase.stripSuffix("/") + resolvedPath(id)),
       "collectionkey" -> collectionKey,
-      "pagelimit" -> pageLimit.toString)
+      "pagelimit" -> pageLimit.toString) ++
+      (if (columns.nonEmpty) Map("columns" -> columns.mkString(",")) else Map.empty)
     val extras = extraParams(id)
     val withExtras =
       if (extras.isEmpty) base else base + ("extraparams" -> extras)
     if (paged) withExtras else withExtras + ("advertisetotal" -> "false")
+  }
+
+  /** Conform ANY frame to this endpoint's declared shape: `id` BIGINT
+    * plus the declared columns as strings — present columns cast,
+    * absent columns null (the same projection the connector applies
+    * to live responses, reusable for persisted re-reads and fixture
+    * frames). */
+  def conformTo(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val present = df.columns.toSet
+    val cols = if (columns.nonEmpty) columns else Seq("name", "updated_at", "email")
+    df.select(col("id").cast("long").as("id") +: cols.map(c =>
+      (if (present(c)) col(c).cast("string") else lit(null).cast("string")).as(c)): _*)
   }
 }
 
@@ -94,70 +119,114 @@ final case class AcEndpoint(name: String, path: String, collectionKey: String,
   * universe instead of the reference's sequential driver loop. */
 object AcEndpoints {
 
+  // Per-collection column sets: the v3 API's documented payload
+  // fields (public API reference), conform-projected — the Spark-side
+  // declaration of the reference's `row = dict(it)` dynamic rows. An
+  // account with custom fields extends the set via `.copy(columns=…)`.
   val catalog: Seq[AcEndpoint] = Seq(
     // ── seed resolution + contact-chatter extractors (:316-790) ──
     // /contacts also serves seed resolution by email: the connector
     // pushes an `email = 'x'` predicate as filters[email] (:320-322)
-    AcEndpoint("contacts", "/contacts", "contacts"),
+    AcEndpoint("contacts", "/contacts", "contacts",
+      columns = Seq("email", "phone", "firstName", "lastName", "cdate", "udate")),
     AcEndpoint("activities", "/activities", "activities",
-      idBinding = QueryId("contact")),                              // :428
+      idBinding = QueryId("contact"),                               // :428
+      columns = Seq("subscriberid", "reference_action", "reference_type",
+        "reference_id", "tstamp")),
     AcEndpoint("email_activities", "/emailActivities", "emailActivities",
-      idBinding = QueryId("filters[subscriberid]")),                // :452-455
+      idBinding = QueryId("filters[subscriberid]"),                 // :452-455
+      columns = Seq("subscriberid", "userid", "reference_action",
+        "reference_type", "tstamp")),
     AcEndpoint("contact_notes", "/contacts/{id}/notes", "notes",
-      idBinding = PathId),                                          // :477
+      idBinding = PathId,                                           // :477
+      columns = Seq("relid", "reltype", "note", "cdate", "mdate")),
     AcEndpoint("contact_lists", "/contacts/{id}/contactLists", "contactLists",
-      idBinding = PathId),                                          // :498
+      idBinding = PathId,                                           // :498
+      columns = Seq("list", "contact", "status", "sdate", "udate")),
     AcEndpoint("contact_tags", "/contacts/{id}/contactTags", "contactTags",
-      idBinding = PathId),                                          // :519
+      idBinding = PathId,                                           // :519
+      columns = Seq("contact", "tag", "cdate")),
     AcEndpoint("contact_logs", "/contacts/{id}/contactLogs", "contactLogs",
-      idBinding = PathId),                                          // :540
+      idBinding = PathId,                                           // :540
+      columns = Seq("contact", "tstamp", "value")),
     AcEndpoint("tracking_logs", "/contacts/{id}/trackingLogs", "trackingLogs",
-      idBinding = PathId),                                          // :561
+      idBinding = PathId,                                           // :561
+      columns = Seq("subscriberid", "type", "value", "tstamp")),
     AcEndpoint("bounce_logs", "/contacts/{id}/bounceLogs", "bounceLogs",
-      idBinding = PathId),                                          // :589
+      idBinding = PathId,                                           // :589
+      columns = Seq("contact", "email", "type", "code", "text", "tstamp")),
     AcEndpoint("geo_ips", "/contacts/{id}/geoIps", "geoIps",
-      idBinding = PathId),                                          // :617
+      idBinding = PathId,                                           // :617
+      columns = Seq("contact", "campaignid", "messageid", "geoaddrid",
+        "ip4", "tstamp")),
     AcEndpoint("contact_goals", "/contacts/{id}/contactGoals", "contactGoals",
-      idBinding = PathId),                                          // :638
+      idBinding = PathId,                                           // :638
+      columns = Seq("goalid", "seriesid", "subscriberid", "timespan")),
     AcEndpoint("contact_data", "/contacts/{id}/contactData", "contactData",
-      idBinding = PathId, paged = false),                           // :659 (single-shot)
+      idBinding = PathId, paged = false,                            // :659 (single-shot)
+      columns = Seq("contact", "tstamp", "geoTstamp", "geoIp4", "geoCountry2")),
     AcEndpoint("score_values", "/contacts/{id}/scoreValues", "scoreValues",
-      idBinding = PathId),                                          // :675
+      idBinding = PathId,                                           // :675
+      columns = Seq("score", "subscriberid", "dealid", "scoreValue", "cdate")),
     AcEndpoint("account_contacts", "/contacts/{id}/accountContacts",
-      "accountContacts", idBinding = PathId),                       // :696
+      "accountContacts", idBinding = PathId,                        // :696
+      columns = Seq("account", "contact", "jobTitle",
+        "createdTimestamp", "updatedTimestamp")),
     AcEndpoint("contact_tasks", "/dealTasks", "dealTasks",
       fixedParams = Map("filters[reltype]" -> "Subscriber"),
-      idBinding = QueryId("filters[relid]")),                       // :717-727
+      idBinding = QueryId("filters[relid]"),                        // :717-727
+      columns = Seq("title", "relid", "reltype", "status", "note",
+        "duedate", "donedate", "cdate", "udate")),
     AcEndpoint("contact_automations", "/contacts/{id}/contactAutomations",
-      "contactAutomations", idBinding = PathId),                    // :749
+      "contactAutomations", idBinding = PathId,                     // :749
+      columns = Seq("contact", "seriesid", "startid", "status",
+        "adddate", "lastdate")),
     AcEndpoint("automation_entry_counts",
       "/contacts/{id}/automationEntryCounts", "automationEntryCounts",
-      idBinding = PathId, paged = false),                           // :775 (single-shot)
+      idBinding = PathId, paged = false,                            // :775 (single-shot)
+      columns = Seq("name", "contacts")),
 
     // ── deals bundle (:793-861): deals fan out per contact, the
     //    three children fan out per DEAL id ──
     AcEndpoint("deals", "/deals", "deals",
-      idBinding = QueryId("filters[contact]")),                     // :795
+      idBinding = QueryId("filters[contact]"),                      // :795
+      columns = Seq("title", "value", "currency", "contact", "stage",
+        "status", "owner", "cdate", "mdate")),
     AcEndpoint("deal_notes", "/deals/{id}/notes", "notes",
-      idBinding = PathId),                                          // :805
+      idBinding = PathId,                                           // :805
+      columns = Seq("relid", "reltype", "note", "cdate", "mdate")),
     AcEndpoint("deal_tasks", "/deals/{id}/dealTasks", "dealTasks",
-      idBinding = PathId),                                          // :816
+      idBinding = PathId,                                           // :816
+      columns = Seq("title", "relid", "reltype", "status", "note",
+        "duedate", "donedate", "cdate", "udate")),
     AcEndpoint("deal_activities", "/deals/{id}/dealActivities", "dealActivities",
-      idBinding = PathId),                                          // :827
+      idBinding = PathId,                                           // :827
+      columns = Seq("d_id", "userid", "dataAction", "dataOldval", "cdate")),
 
     // ── cacheable dims (:390-407) — global collections the
     //    enrichment lookups broadcast (DimCache handles the TTL) ──
-    AcEndpoint("campaigns", "/campaigns", "campaigns"),             // :392
-    AcEndpoint("messages", "/messages", "messages"),                // :393
-    AcEndpoint("automations", "/automations", "automations"),       // :394
-    AcEndpoint("users", "/users", "users"),                         // :395
-    AcEndpoint("lists", "/lists", "lists"),                         // :396
-    AcEndpoint("tags", "/tags", "tags"),                            // :397
-    AcEndpoint("fields", "/fields", "fields"),                      // :398
-    AcEndpoint("deal_groups", "/dealGroups", "dealGroups"),         // :401
-    AcEndpoint("deal_stages", "/dealStages", "dealStages"),         // :402
-    AcEndpoint("accounts", "/accounts", "accounts"),                // :405
-    AcEndpoint("scores", "/scores", "scores"))                      // :406
+    AcEndpoint("campaigns", "/campaigns", "campaigns",              // :392
+      columns = Seq("name", "type", "status", "sdate", "ldate", "send_amt")),
+    AcEndpoint("messages", "/messages", "messages",                 // :393
+      columns = Seq("name", "subject", "fromname", "fromemail", "cdate")),
+    AcEndpoint("automations", "/automations", "automations",        // :394
+      columns = Seq("name", "status", "entered", "exited", "cdate", "mdate")),
+    AcEndpoint("users", "/users", "users",                          // :395
+      columns = Seq("username", "email", "firstName", "lastName")),
+    AcEndpoint("lists", "/lists", "lists",                          // :396
+      columns = Seq("name", "stringid", "cdate")),
+    AcEndpoint("tags", "/tags", "tags",                             // :397
+      columns = Seq("tag", "tagType", "description", "cdate")),
+    AcEndpoint("fields", "/fields", "fields",                       // :398
+      columns = Seq("title", "type", "perstag", "created_timestamp")),
+    AcEndpoint("deal_groups", "/dealGroups", "dealGroups",          // :401
+      columns = Seq("title", "currency", "cdate", "udate")),
+    AcEndpoint("deal_stages", "/dealStages", "dealStages",          // :402
+      columns = Seq("title", "group", "order", "cdate", "udate")),
+    AcEndpoint("accounts", "/accounts", "accounts",                 // :405
+      columns = Seq("name", "accountUrl", "createdTimestamp", "updatedTimestamp")),
+    AcEndpoint("scores", "/scores", "scores",                       // :406
+      columns = Seq("name", "type", "status", "cdate", "mdate")))
 
   val byName: Map[String, AcEndpoint] = catalog.map(e => e.name -> e).toMap
 

@@ -49,25 +49,34 @@ object FanoutExtract {
     require(endpoint.idBinding != NoId,
       s"endpoint ${endpoint.name} is a global collection — read it " +
         "through PagedSource directly; fanout is for per-entity endpoints")
-    val spark = ids.sparkSession
+    // the endpoint's OWN column set (per-endpoint dynamic schema,
+    // identical to the DSv2 scan's conform projection) — the
+    // reference stamps `row["contact_id"] = cid` onto `dict(it)`
+    // rows (:424-441); driving_id + id + declared payload here
+    val cols =
+      if (endpoint.columns.nonEmpty) endpoint.columns
+      else Seq("name", "updated_at", "email")
+    val schema = org.apache.spark.sql.types.StructType(
+      org.apache.spark.sql.types.StructField("driving_id",
+        org.apache.spark.sql.types.StringType, nullable = false) +:
+      org.apache.spark.sql.types.StructField("id",
+        org.apache.spark.sql.types.LongType, nullable = false) +:
+      cols.map(org.apache.spark.sql.types.StructField(_,
+        org.apache.spark.sql.types.StringType)))
     // capture plain values, not `this`/session state, in the closure
     val (ep, base, limit) = (endpoint, apiBase, pageLimit)
     val (retries, backBase, backCap, sleep) =
       (maxRetries, backoffBaseMs, backoffCapMs, sleepMs)
-    val rows = ids.mapPartitions { part =>
+    val outCols = cols
+    ids.mapPartitions { part =>
       part.flatMap { id =>
         val opts = ep.readOptions(base, Some(id), limit)
         val backend = PageBackends.fromProps(opts)
         walk(backend, limit, retries, backBase, backCap, sleep, paged = ep.paged)
-          .map(r => (id, r.id, r.name, r.updatedAt, r.email))
+          .map(r => org.apache.spark.sql.Row.fromSeq(
+            id +: r.id +: outCols.map(r.field)))
       }
-    }(org.apache.spark.sql.Encoders.tuple(
-      org.apache.spark.sql.Encoders.STRING,
-      org.apache.spark.sql.Encoders.scalaLong,
-      org.apache.spark.sql.Encoders.STRING,
-      org.apache.spark.sql.Encoders.STRING,
-      org.apache.spark.sql.Encoders.STRING))
-    rows.toDF("driving_id", "id", "name", "updated_at", "email")
+    }(org.apache.spark.sql.Encoders.row(schema))
   }
 
   /** One entity's full collection: sequential offset/limit walk with

@@ -37,7 +37,7 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 class PagedSource extends TableProvider {
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
-    PagedSource.schema
+    PagedSource.schemaFor(options.asScala.toMap)
   override def getTable(schema: StructType, partitioning: Array[Transform],
                         properties: util.Map[String, String]): Table =
     new PagedTable(properties.asScala.toMap)
@@ -45,17 +45,52 @@ class PagedSource extends TableProvider {
 }
 
 object PagedSource {
+  /** Canonical legacy projection (no `columns` option). */
   val schema: StructType = StructType(Seq(
     StructField("id", LongType, nullable = false),
     StructField("name", StringType),
     StructField("updated_at", StringType),
     StructField("email", StringType)))
+
+  /** The connector's row schema is PER-ENDPOINT: `id` (the keyset /
+    * offset spine — always BIGINT, always present) plus the
+    * collection's own column set, every payload column a STRING —
+    * the reference's dynamic row dicts (`row = dict(it)`,
+    * run_ac_extraction.py:424-441) under its `dtype=str` persistence
+    * discipline (SURVEY §1). The `columns` option (comma-separated,
+    * rendered from the endpoint catalog) declares the set; absent
+    * columns read as NULL and undeclared payload fields are dropped —
+    * a conform projection, because a DSv2 scan must plan a schema
+    * while the API may return anything. No option = the canonical
+    * 4-field projection (back-compat). */
+  def columnsOf(props: Map[String, String]): Seq[String] =
+    props.get("columns") match {
+      case Some(cs) => cs.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+      case None => Seq("name", "updated_at", "email")
+    }
+
+  def schemaFor(props: Map[String, String]): StructType =
+    StructType(StructField("id", LongType, nullable = false) +:
+      columnsOf(props).map(StructField(_, StringType)))
 }
 
-/** One collection row (the connector's canonical projection of an
-  * endpoint item; fields absent upstream are null). */
+/** One collection row: the canonical trio the legacy projection and
+  * the keyset/email machinery use, plus the FULL string-typed payload
+  * (`extra`) for per-endpoint dynamic schemas. Fields absent upstream
+  * are null. */
 final case class PageRow(id: Long, name: String, updatedAt: String,
-                         email: String)
+                         email: String,
+                         extra: Map[String, String] = Map.empty) {
+  /** Column lookup for a declared schema: canonical names first (the
+    * fixture and legacy payloads carry them as fields), then the
+    * dynamic payload map; unknown columns conform to null. */
+  def field(c: String): String = c match {
+    case "name" => if (name != null) name else extra.getOrElse(c, null)
+    case "updated_at" => if (updatedAt != null) updatedAt else extra.getOrElse(c, null)
+    case "email" => if (email != null) email else extra.getOrElse(c, null)
+    case other => extra.getOrElse(other, null)
+  }
+}
 
 /** One logical "endpoint": rows with sequential ids 0..total-1. */
 trait PageBackend extends Serializable {
@@ -243,8 +278,19 @@ final case class HttpPageBackend(baseUrl: String, collectionKey: String,
     (0 until items.size()).map { i =>
       val it = items.get(i)
       def str(k: String) = if (it.hasNonNull(k)) it.get(k).asText() else null
+      // The FULL payload, every field stringified (`row = dict(it)`
+      // under dtype=str, run_ac_extraction.py:424-441): scalars via
+      // their text form, nested objects/arrays as compact JSON — so a
+      // declared per-endpoint schema can project ANY field the API
+      // returned, not just the canonical trio.
+      val extra = it.fields().asScala.map { e =>
+        val v = e.getValue
+        e.getKey -> (if (v.isNull) null
+                     else if (v.isValueNode) v.asText()
+                     else v.toString)
+      }.toMap
       PageRow(it.path("id").asLong(), str("name"), str("updated_at"),
-        str("email"))
+        str("email"), extra)
     }
   }
 
@@ -307,7 +353,7 @@ object HttpPageBackend {
 
 class PagedTable(props: Map[String, String]) extends Table with SupportsRead {
   override def name(): String = "graft_paged"
-  override def schema(): StructType = PagedSource.schema
+  override def schema(): StructType = PagedSource.schemaFor(props)
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
@@ -368,7 +414,7 @@ class PagedScan(props: Map[String, String], minIdExclusive: Long)
   // the keyset predicate exactly.
   private val emailPushed = props.contains("emaileq")
 
-  override def readSchema(): StructType = PagedSource.schema
+  override def readSchema(): StructType = PagedSource.schemaFor(props)
   override def toBatch: Batch = this
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
     // The micro-batch stream's offsets are id-space positions over
@@ -606,10 +652,13 @@ class PagedReader(part: PagedPartition, props: Map[String, String],
     else false
   }
 
+  // the declared per-endpoint projection (legacy trio when absent) —
+  // must mirror PagedSource.schemaFor exactly, column for column
+  private val outCols = PagedSource.columnsOf(props)
+
   override def get(): InternalRow =
-    InternalRow(current.id, UTF8String.fromString(current.name),
-      UTF8String.fromString(current.updatedAt),
-      UTF8String.fromString(current.email))
+    InternalRow.fromSeq(current.id +:
+      outCols.map(c => UTF8String.fromString(current.field(c))))
 
   override def close(): Unit = ()
 }

@@ -81,11 +81,16 @@ object StubApi {
       val pageRows = rows.slice(offset, offset + limit)
       s"""{"${p("key")}":[${pageRows.mkString(",")}],"meta":{"total":${rows.size}}}"""
     }
-    // 20 contacts with deterministic emails
+    // 20 contacts with deterministic emails, serving the v3 payload
+    // shape the catalog declares (plus an UNDECLARED field the
+    // conform projection must drop, and a nested object stringified)
     server.createContext("/api/3/contacts", (ex: HttpExchange) => {
       val p = params(ex)
       val all = (0 until 20).map(i =>
-        s"""{"id":$i,"name":"contact#$i","updated_at":"2026-01-01T00:00:00Z","email":"user$i@example.com"}""")
+        s"""{"id":$i,"email":"user$i@example.com","phone":"555-0$i",""" +
+          s""""firstName":"First$i","lastName":"Last$i",""" +
+          s""""cdate":"2026-01-01T00:00:00Z","udate":"2026-01-02T00:00:00Z",""" +
+          s""""undeclared_junk":"drop-me","links":{"self":"/contacts/$i"}}""")
       val filtered = p.get("filters[email]") match {
         case Some(e) => all.filter(_.contains(s""""email":"$e"""))
         case None => all
@@ -100,7 +105,8 @@ object StubApi {
         s"""{"id":$i,"name":"camp#$i","updated_at":"2026-01-01T00:00:00Z"}""")
       respond(ex, 200, page(p + ("key" -> "campaigns"), all))
     })
-    // 5 email activities per subscriber, ids subscriber*100+j
+    // 5 email activities per subscriber, ids subscriber*100+j —
+    // the emailActivities payload shape (:452-455)
     server.createContext("/api/3/emailActivities", (ex: HttpExchange) => {
       val p = params(ex)
       p.get("filters[subscriberid]") match {
@@ -108,7 +114,8 @@ object StubApi {
         case Some(sid) =>
           val k = sid.toLong
           val rows = (0 until 5).map(j =>
-            s"""{"id":${k * 100 + j},"name":"open#$j","updated_at":"2026-01-0${j + 1}T00:00:00Z"}""")
+            s"""{"id":${k * 100 + j},"subscriberid":$k,"reference_action":"open",""" +
+              s""""reference_type":"campaign","tstamp":"2026-01-0${j + 1}T00:00:00Z"}""")
           respond(ex, 200, page(p + ("key" -> "emailActivities"), rows))
       }
     })
@@ -451,7 +458,7 @@ class PagedSourceSpec extends AnyFunSuite {
       val paths = graft.pipeline.PersistTableDual.Paths(root, "email_activities")
       val (rawN, latestN) = graft.pipeline.PersistTableDual.persist(
         spark, paths, delta, "r1", "2026-01-01T00:00:00Z",
-        Seq("contact_id", "id"), "updated_at")
+        Seq("contact_id", "id"), "tstamp")
       assert((rawN, latestN) == (10L, 10L), "5 activities per contact, both persisted")
       val latest = spark.read.parquet(paths.latest)
       import spark.implicits._
@@ -544,7 +551,7 @@ class PagedSourceSpec extends AnyFunSuite {
       val root = java.nio.file.Files.createTempDirectory("ac_seed").toString
       val paths = graft.pipeline.PersistTableDual.Paths(root, "contacts")
       val (rawN, latestN) = graft.pipeline.PersistTableDual.persist(
-        spark, paths, df, "r1", "2026-01-01T00:00:00Z", Seq("id"), "updated_at")
+        spark, paths, df, "r1", "2026-01-01T00:00:00Z", Seq("id"), "udate")
       assert((rawN, latestN) == (1L, 1L))
       assert(spark.read.parquet(paths.latest)
         .select("email").head().getString(0) == "user5@example.com")
@@ -583,6 +590,54 @@ class PagedSourceSpec extends AnyFunSuite {
         .collect().map(_.getLong(0)).toSeq
       assert(ids == Seq(7L))
     } finally q.stop()
+  }
+
+  test("per-endpoint dynamic schemas: two different-shaped collections " +
+      "through the ONE connector — conform projection end to end") {
+    val (server, apiBase, _) = StubApi.startAc()
+    try {
+      // contacts: the catalog's 6-column v3 contact shape
+      val contacts = spark.read.format("graft.sources.PagedSource")
+        .options(AcEndpoints.byName("contacts").readOptions(apiBase))
+        .load()
+      assert(contacts.columns.toSeq ==
+        Seq("id", "email", "phone", "firstName", "lastName", "cdate", "udate"))
+      val c3 = contacts.filter(contacts("id") === 3L).head()
+      assert(c3.getAs[String]("email") == "user3@example.com")
+      assert(c3.getAs[String]("firstName") == "First3")
+      // undeclared payload fields are conform-DROPPED, not smuggled
+      assert(!contacts.columns.contains("undeclared_junk"))
+      assert(!contacts.columns.contains("links"))
+
+      // emailActivities: a completely different shape from the SAME
+      // connector class, schema rendered from its own catalog row
+      val acts = spark.read.format("graft.sources.PagedSource")
+        .options(AcEndpoints.byName("email_activities")
+          .readOptions(apiBase, Some("3")))
+        .load()
+      assert(acts.columns.toSeq == Seq("id", "subscriberid", "userid",
+        "reference_action", "reference_type", "tstamp"))
+      val a0 = acts.orderBy("id").head()
+      assert(a0.getAs[String]("subscriberid") == "3")
+      assert(a0.getAs[String]("reference_action") == "open")
+      // a declared column the API did not return conforms to NULL
+      assert(a0.isNullAt(a0.fieldIndex("userid")))
+    } finally server.stop(0)
+  }
+
+  test("dynamic schema: nested payload objects stringify as JSON under " +
+      "the dtype=str discipline") {
+    val (server, apiBase, _) = StubApi.startAc()
+    try {
+      // declare the nested `links` object as a column: the connector
+      // must deliver it as its compact-JSON string form
+      val withLinks = AcEndpoints.byName("contacts")
+        .copy(columns = Seq("email", "links"))
+      val df = spark.read.format("graft.sources.PagedSource")
+        .options(withLinks.readOptions(apiBase)).load()
+      val r = df.filter(df("id") === 4L).head()
+      assert(r.getAs[String]("links") == """{"self":"/contacts/4"}""")
+    } finally server.stop(0)
   }
 
   test("fanout walk: paged=false issues exactly one request even when the " +
