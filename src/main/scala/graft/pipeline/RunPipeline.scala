@@ -108,7 +108,9 @@ object RunPipeline {
               totalRows: Long, nowUtc: String,
               seedEmails: Seq[String] = Nil,
               sampleSize: Option[Int] = None,
-              dimTtlDays: Int = 7): FullRunReport = {
+              dimTtlDays: Int = 7,
+              acApiBase: Option[String] = None,
+              acFanouts: Seq[String] = Seq("email_activities", "contact_notes")): FullRunReport = {
     import graft.ops.Ops._
     import spark.implicits._
     val statePath = s"$outRoot/state.json"
@@ -236,7 +238,41 @@ object RunPipeline {
                  key: String) =
       stage(table, df, Seq(key), "extracted_at")
 
-    val persisted = (Map(
+    // ── catalog-driven REST extract stages (the production path:
+    // sources/AcEndpoints × FanoutExtract × DimCache, feeding the
+    // SAME E2 merge as every star-schema stage). `acApiBase` points
+    // at a live v3 API (tests: the loopback stub):
+    //   • every cacheable dim collection loads through the TTL cache
+    //     from its catalog row (load_all_dims :390-407); a dim the
+    //     account lacks caches EMPTY (404→empty, S7) and simply
+    //     produces no persist stage — nothing to merge;
+    //   • each `acFanouts` endpoint (PathId or QueryId) fans out
+    //     across this run's universe as a distributed per-entity walk
+    //     (FanoutExtract), every row stamped with its driving id —
+    //     run_ac_extraction.py:422-441's N+1 loops, cluster-shaped.
+    // Catalog rows are all-string `dict(it)` payloads with no
+    // uniform update-time column, so latest-resolution rides the
+    // stamped extracted_at (newest run wins) and unchanged
+    // re-extracts are absorbed by the content-hash dedup — the same
+    // discipline as the dim_* stages.
+    val acStages: Map[String, (Long, Long)] = acApiBase match {
+      case None => Map.empty
+      case Some(base) =>
+        val acDims = DimCache.loadAcDims(spark, dims, base, dimTtlDays, nowInstant)
+        val dimStages = acDims.toSeq.collect {
+          case (name, df) if !df.isEmpty => dimStage(s"dim_$name", df, "id")
+        }
+        val idsDs = universe.select(col("contact_id").cast("string")).as[String]
+        val fanStages = acFanouts.map { epName =>
+          val ep = graft.sources.AcEndpoints.byName(epName)
+          stage(epName,
+            graft.sources.FanoutExtract.fanout(idsDs, ep, base),
+            Seq("driving_id", "id"), "extracted_at")
+        }
+        (dimStages ++ fanStages).toMap
+    }
+
+    val persisted = acStages ++ (Map(
       stage("contacts",
         contactsDelta.withColumn("contact_id", col("id").cast("string")),
         Seq("contact_id"), "updated_at"),

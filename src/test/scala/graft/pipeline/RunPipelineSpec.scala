@@ -113,4 +113,63 @@ class RunPipelineSpec extends AnyFunSuite {
     // distinct run ids → every run's contacts delta dir survives
     assert(Set(r1.runId, r2.runId, r3.runId).size == 3)
   }
+
+  test("catalog-driven extract stages: dims + PathId/QueryId fan-outs " +
+      "run through the full lifecycle against the loopback API") {
+    val root = Files.createTempDirectory("pipeline_ac").toString
+    FixtureBackend.reset()
+    val sf = SparkTesting.sf
+    val (server, apiBase, seen) = graft.sources.StubApi.startAc()
+    try {
+      // a 10-contact collection → the fan-out drives exactly 10
+      // per-entity walks per endpoint, and run 2's slice (and thus
+      // its fan-out universe) is genuinely empty
+      val r1 = RunPipeline.runFull(spark, root, sf, totalRows = 10,
+        nowUtc = "2026-01-01T00:00:00Z", acApiBase = Some(apiBase))
+
+      // QueryId fan-out (email_activities): 5 rows per driven contact
+      assert(r1.persisted("email_activities") == ((50L, 50L)))
+      // PathId fan-out (contact_notes): 2 rows per driven contact
+      assert(r1.persisted("contact_notes") == ((20L, 20L)))
+      // the populated dim came through the TTL cache + persist merge
+      assert(r1.persisted("dim_campaigns") == ((3L, 3L)))
+      // dims the account lacks (404) cache EMPTY and produce no stage
+      assert(!r1.persisted.contains("dim_tags"))
+      assert(DimCache.loadMeta(s"$root/dims", "tags").nonEmpty,
+        "an absent dim is still TTL-cached (as empty) — no refetch storm")
+      assert(spark.read.parquet(s"$root/dims/tags").isEmpty)
+
+      // the driving id is stamped on every fan-out row, and the rows
+      // carry the endpoint's OWN columns (dynamic schema end-to-end)
+      val notes = spark.read.parquet(s"$root/master/latest/contact_notes")
+      assert(notes.columns.toSet.intersect(
+        Set("driving_id", "relid", "reltype", "note", "mdate")).size == 5)
+      assert(notes.filter(org.apache.spark.sql.functions.col("driving_id")
+        .isNull).count() == 0)
+      val acts = spark.read.parquet(s"$root/master/latest/email_activities")
+      assert(acts.select("driving_id").distinct().count() == 10)
+      assert(acts.columns.contains("reference_action"))
+
+      // the binding reached the wire: a query param for QueryId, a
+      // path segment for PathId
+      val wires = seen.toArray.map(_.toString)
+      assert(wires.exists(_.contains("filters%5Bsubscriberid%5D=3")),
+        s"QueryId binding must travel as a query param: ${wires.take(5).mkString(", ")}")
+      assert(wires.exists(_.startsWith("/api/3/contacts/3/notes")),
+        "PathId binding must travel as a path segment")
+
+      // idempotent re-run: empty slice → empty fan-out universe →
+      // every lake unchanged; TTL-fresh dims don't refetch
+      val before = seen.size
+      val r2 = RunPipeline.runFull(spark, root, sf, totalRows = 10,
+        nowUtc = "2026-01-02T00:00:00Z", acApiBase = Some(apiBase))
+      assert(r2.persisted("email_activities") == ((50L, 50L)))
+      assert(r2.persisted("contact_notes") == ((20L, 20L)))
+      assert(r2.persisted("dim_campaigns") == ((3L, 3L)))
+      val dimHits = seen.toArray.map(_.toString).drop(before)
+        .count(q => graft.sources.AcEndpoints.dims.exists(d =>
+          q.startsWith("/api/3" + d.path + "?")))
+      assert(dimHits == 0, "TTL-fresh dims must not refetch")
+    } finally server.stop(0)
+  }
 }

@@ -83,19 +83,33 @@ object StubApi {
     }
     // 20 contacts with deterministic emails, serving the v3 payload
     // shape the catalog declares (plus an UNDECLARED field the
-    // conform projection must drop, and a nested object stringified)
+    // conform projection must drop, and a nested object stringified).
+    // Sub-paths dispatch the PathId children (HttpServer routes by
+    // longest prefix, so /contacts/{id}/notes lands here too):
+    // 2 notes per contact, ids cid*10+j — the contact_notes shape.
+    val NotesRe = "/api/3/contacts/([^/]+)/notes".r
     server.createContext("/api/3/contacts", (ex: HttpExchange) => {
       val p = params(ex)
-      val all = (0 until 20).map(i =>
-        s"""{"id":$i,"email":"user$i@example.com","phone":"555-0$i",""" +
-          s""""firstName":"First$i","lastName":"Last$i",""" +
-          s""""cdate":"2026-01-01T00:00:00Z","udate":"2026-01-02T00:00:00Z",""" +
-          s""""undeclared_junk":"drop-me","links":{"self":"/contacts/$i"}}""")
-      val filtered = p.get("filters[email]") match {
-        case Some(e) => all.filter(_.contains(s""""email":"$e"""))
-        case None => all
+      ex.getRequestURI.getPath match {
+        case NotesRe(cid) =>
+          val k = cid.toLong
+          val rows = (0 until 2).map(j =>
+            s"""{"id":${k * 10 + j},"relid":$cid,"reltype":"Subscriber",""" +
+              s""""note":"note $j for contact $cid",""" +
+              s""""cdate":"2026-01-01T00:00:00Z","mdate":"2026-01-0${j + 1}T00:00:00Z"}""")
+          respond(ex, 200, page(p + ("key" -> "notes"), rows))
+        case _ =>
+          val all = (0 until 20).map(i =>
+            s"""{"id":$i,"email":"user$i@example.com","phone":"555-0$i",""" +
+              s""""firstName":"First$i","lastName":"Last$i",""" +
+              s""""cdate":"2026-01-01T00:00:00Z","udate":"2026-01-02T00:00:00Z",""" +
+              s""""undeclared_junk":"drop-me","links":{"self":"/contacts/$i"}}""")
+          val filtered = p.get("filters[email]") match {
+            case Some(e) => all.filter(_.contains(s""""email":"$e"""))
+            case None => all
+          }
+          respond(ex, 200, page(p + ("key" -> "contacts"), filtered))
       }
-      respond(ex, 200, page(p + ("key" -> "contacts"), filtered))
     })
     // one populated dim (campaigns); every other dim path 404s like
     // an account lacking the resource (run_ac_extraction.py:375-382)
