@@ -58,41 +58,80 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
+  /** Above this many centroids, the per-centroid-literal expression
+    * tree stops being viable: k struct literals are k expression
+    * nodes, and whole-stage codegen hits JVM method-size /
+    * constant-pool limits in the thousands (plan pretty-printing and
+    * analysis also go quadratic). Past the cutover the SAME driver
+    * data ships as ONE constant array literal instead — O(1)
+    * expression nodes regardless of k — scored via a higher-order
+    * `transform` + `array_max` fold. That path evaluates interpreted
+    * (HOFs are CodegenFallback), so below the threshold the inlined,
+    * codegen'd form stays the default; both are narrow zero-shuffle
+    * projections, and the constant ships to executors once inside the
+    * broadcast task binary — the same transport a broadcast-join
+    * relation uses, without the |corpus|×k row expansion and
+    * re-aggregation shuffle a join + argmax formulation would pay. */
+  val CentroidInlineThreshold = 256
+
+  /** The per-row argmax column over the centroid set: an
+    * array<struct<cs, negCell>> whose max is (best cosine, smallest
+    * cell on ties) — inlined per-centroid structs below
+    * [[CentroidInlineThreshold]], one constant-array `transform`
+    * above it. */
+  private def centroidArgmax(vecCol: Column, centroids: DataFrame,
+                             inlineThreshold: Int): Column = {
+    import org.apache.spark.sql.types.{ArrayType, FloatType}
+    val rows = centroids.select(col("cell").cast("long"), col("centv")).collect()
+    require(rows.nonEmpty, "centroid argmax needs at least one centroid")
+    val elemIsFloat = centroids.schema("centv").dataType
+      .asInstanceOf[ArrayType].elementType == FloatType
+    if (rows.length <= inlineThreshold) {
+      val scored = rows.map { r =>
+        val vec =
+          if (elemIsFloat) typedLit(r.getSeq[Float](1))
+          else typedLit(r.getSeq[Double](1))
+        struct(round(cosine(vecCol, vec), 6).as("cs"),
+          lit(-r.getLong(0)).as("negCell"))
+      }
+      array(scored.toIndexedSeq: _*)
+    } else {
+      // one literal for the whole centroid matrix (negCell precomputed
+      // so the lambda body stays two expressions)
+      val centLit =
+        if (elemIsFloat)
+          typedLit(rows.map(r => (-r.getLong(0), r.getSeq[Float](1))).toSeq)
+        else
+          typedLit(rows.map(r => (-r.getLong(0), r.getSeq[Double](1))).toSeq)
+      transform(centLit, c =>
+        struct(round(cosine(vecCol, c.getField("_2")), 6).as("cs"),
+          c.getField("_1").as("negCell")))
+    }
+  }
+
   /** IVF coarse quantization: assign every vector to its
     * highest-cosine centroid (deterministic smaller-cell tiebreak).
     *
-    * The centroid set is coarse-quantizer-sized (hundreds, by
-    * definition), so it is collected to the driver and inlined as
-    * literals: assignment is then a genuinely NARROW per-row argmax —
-    * no crossJoin row expansion, no shuffle, no window. (A
-    * crossJoin + window formulation would hash-shuffle the
-    * |corpus|×|centroids| expansion just to pick each row's max.) At
-    * scale the assigned corpus is written partitioned by cell so
-    * probes prune at the scan.
+    * The centroid set is coarse-quantizer-sized, so it is collected
+    * to the driver and embedded in the plan: assignment is then a
+    * genuinely NARROW per-row argmax — no crossJoin row expansion, no
+    * shuffle, no window. (A crossJoin + window formulation would
+    * hash-shuffle the |corpus|×|centroids| expansion just to pick
+    * each row's max.) How the centroids embed depends on k — see
+    * [[CentroidInlineThreshold]] for the inline-literals vs
+    * constant-array cutover. At scale the assigned corpus is written
+    * partitioned by cell so probes prune at the scan.
     *
     * @param corpus    (cid, cv) full collection
     * @param centroids (cell, centv) small — collected to the driver
     */
-  def ivfAssign(corpus: DataFrame, centroids: DataFrame): DataFrame = {
-    import org.apache.spark.sql.types.{ArrayType, FloatType}
-    val rows = centroids.select(col("cell").cast("long"), col("centv")).collect()
-    require(rows.nonEmpty, "ivfAssign needs at least one centroid")
-    val elemIsFloat = centroids.schema("centv").dataType
-      .asInstanceOf[ArrayType].elementType == FloatType
-    // per-centroid scored struct; array_max picks (max cs, then max
-    // -cell) = highest cosine with the SMALLEST cell on ties
-    val scored = rows.map { r =>
-      val vec =
-        if (elemIsFloat) typedLit(r.getSeq[Float](1))
-        else typedLit(r.getSeq[Double](1))
-      struct(round(cosine(col("cv"), vec), 6).as("cs"),
-        lit(-r.getLong(0)).as("negCell"))
-    }
+  def ivfAssign(corpus: DataFrame, centroids: DataFrame,
+                inlineThreshold: Int = CentroidInlineThreshold): DataFrame =
     corpus
-      .withColumn("_best", array_max(array(scored.toIndexedSeq: _*)))
+      .withColumn("_best",
+        array_max(centroidArgmax(col("cv"), centroids, inlineThreshold)))
       .withColumn("cell", -col("_best.negCell"))
       .drop("_best")
-  }
 
   /** Query-side multi-cell probe: emit each query row once per probed
     * cell — its `nprobe` highest-cosine centroids (deterministic
@@ -110,23 +149,13 @@ object Similarity {
     * @param centroids (cell, centv) — small, collected to the driver
     * @return (qid, qv, cell) with ≤ nprobe rows per qid
     */
-  def ivfProbeCells(queries: DataFrame, centroids: DataFrame, nprobe: Int): DataFrame = {
-    import org.apache.spark.sql.types.{ArrayType, FloatType}
+  def ivfProbeCells(queries: DataFrame, centroids: DataFrame, nprobe: Int,
+                    inlineThreshold: Int = CentroidInlineThreshold): DataFrame = {
     require(nprobe >= 1, s"nprobe=$nprobe must be >= 1")
-    val rows = centroids.select(col("cell").cast("long"), col("centv")).collect()
-    require(rows.nonEmpty, "ivfProbeCells needs at least one centroid")
-    val elemIsFloat = centroids.schema("centv").dataType
-      .asInstanceOf[ArrayType].elementType == FloatType
-    val scored = rows.map { r =>
-      val vec =
-        if (elemIsFloat) typedLit(r.getSeq[Float](1))
-        else typedLit(r.getSeq[Double](1))
-      struct(round(cosine(col("qv"), vec), 6).as("cs"),
-        lit(-r.getLong(0)).as("negCell"))
-    }
     queries
       .withColumn("_probe",
-        slice(sort_array(array(scored.toIndexedSeq: _*), asc = false), 1, nprobe))
+        slice(sort_array(centroidArgmax(col("qv"), centroids, inlineThreshold),
+          asc = false), 1, nprobe))
       .select(col("qid"), col("qv"), explode(col("_probe")).as("_p"))
       .select(col("qid"), col("qv"), (-col("_p.negCell")).as("cell"))
   }

@@ -211,6 +211,34 @@ class ScalePlanSpec extends AnyFunSuite {
     assert(ann.nonEmpty, "threshold produced no pairs — test is vacuous")
   }
 
+  test("IVF centroid cutover: the constant-array formulation (large k) " +
+      "matches the inlined-literal one and stays a zero-shuffle projection") {
+    import spark.implicits._
+    val e = graft.pipeline.Tables.t(spark, SparkTesting.sf, "embeddings")
+      .select(col("vec_id").as("cid"), col("embedding").as("cv"))
+    val cents = graft.pipeline.Tables.t(spark, SparkTesting.sf, "embeddings")
+      .filter(col("vec_id") < 8)
+      .select(col("vec_id").as("cell"), col("embedding").as("centv"))
+    // same centroids through both paths: inlineThreshold=0 forces the
+    // past-cutover constant-array transform
+    val inlined = graft.sim.Similarity.ivfAssign(e, cents)
+      .select("cid", "cell").as[(Long, Long)].collect().toSet
+    val constArr = graft.sim.Similarity.ivfAssign(e, cents, inlineThreshold = 0)
+    val constSet = constArr.select("cid", "cell").as[(Long, Long)].collect().toSet
+    assert(inlined == constSet,
+      s"formulations diverge: only-inline=${(inlined -- constSet).take(5)} " +
+        s"only-const=${(constSet -- inlined).take(5)}")
+    assert(!executedPlan(constArr).contains("Exchange"),
+      "large-k assignment must stay a narrow zero-shuffle projection")
+    // probe side: same equivalence for the nprobe expansion
+    val q = e.limit(20).select(col("cid").as("qid"), col("cv").as("qv"))
+    val p1 = graft.sim.Similarity.ivfProbeCells(q, cents, nprobe = 3)
+      .select("qid", "cell").as[(Long, Long)].collect().toSet
+    val p2 = graft.sim.Similarity.ivfProbeCells(q, cents, nprobe = 3,
+      inlineThreshold = 0).select("qid", "cell").as[(Long, Long)].collect().toSet
+    assert(p1 == p2, s"probe formulations diverge: ${(p1 diff p2).take(5)}")
+  }
+
   test("weighted mixing: projection + explode only — no shuffle before the presentation sort") {
     val df = SparkEntry.queries("q_mix_weighted")(spark, SparkTesting.sf)
     val plan = executedPlan(df)
