@@ -28,6 +28,12 @@ object Bench {
     val sweeps: Seq[Seq[(String, Double, Boolean)]] = (1 to nRuns).map { run =>
       ordered.map { case (name, fn) =>
         val t0 = System.nanoTime()
+        // measured window ends when the action returns — the
+        // cache-release in withCacheRelease's finally is session
+        // hygiene, not query work, and charging it to the query would
+        // bias exactly the persist()-heavy operators the budgets
+        // (calibrated pre-release-path) watch most closely
+        var tEnd = 0L
         val ok =
           try {
             // Force FULL evaluation of every output column: a bare
@@ -44,6 +50,7 @@ object Bench {
               out.select(org.apache.spark.sql.functions.xxhash64(
                   out.columns.map(org.apache.spark.sql.functions.col): _*).as("h"))
                 .agg(org.apache.spark.sql.functions.expr("bit_xor(h)")).collect()
+              tEnd = System.nanoTime()
             }
             true
           }
@@ -51,7 +58,8 @@ object Bench {
             System.err.println(s"[bench] $name FAILED (run $run): ${e.getMessage}")
             false
           }
-        (name, (System.nanoTime() - t0) / 1e9, ok)
+        if (tEnd == 0L) tEnd = System.nanoTime()
+        (name, (tEnd - t0) / 1e9, ok)
       }
     }
     // a query that failed every sweep is FAILED; one that succeeded at

@@ -459,13 +459,17 @@ object AnalyticsQueries {
         CAST(sum(CAST(y AS DECIMAL(15,0)) * y) AS DECIMAL(22,0)) AS syy
         FROM b GROUP BY l_returnflag)
       SELECT l_returnflag, CAST(n AS BIGINT) AS n,
-        CAST(CAST(n * sxy - sx * sy AS DECIMAL(38,0)) AS VARCHAR) AS cnum,
-        CAST(CAST(n * sxx - sx * sx AS DECIMAL(38,0)) AS VARCHAR) AS dx,
-        -- sy is widened past 18 digits so DuckDB stores the operand as
-        -- int128: two <=18-digit decimals multiply in int64 physical
-        -- and sy² ≈ 1.1e22 overflows it (the result stays exact, width
-        -- 19+15=34 <= 38)
-        CAST(CAST(n * syy - CAST(sy AS DECIMAL(19,0)) * sy AS DECIMAL(38,0)) AS VARCHAR) AS dy
+        -- EVERY product widens one operand past 18 digits so DuckDB
+        -- stores it as int128: two <=18-digit decimals multiply in an
+        -- 18-digit physical and overflow the moment the PRODUCT
+        -- reaches 19 digits (n·sxy and sx·sy ≈ 5.4e18 at sf0.1; sy²
+        -- ≈ 1.1e22). The results stay exact — widths <= 38.
+        CAST(CAST(CAST(n AS DECIMAL(19,0)) * sxy
+                  - CAST(sx AS DECIMAL(19,0)) * sy AS DECIMAL(38,0)) AS VARCHAR) AS cnum,
+        CAST(CAST(CAST(n AS DECIMAL(19,0)) * sxx
+                  - CAST(sx AS DECIMAL(19,0)) * sx AS DECIMAL(38,0)) AS VARCHAR) AS dx,
+        CAST(CAST(CAST(n AS DECIMAL(19,0)) * syy
+                  - CAST(sy AS DECIMAL(19,0)) * sy AS DECIMAL(38,0)) AS VARCHAR) AS dy
       FROM s ORDER BY l_returnflag"""),
       (s, d) => {
         val x = col("l_quantity").cast("long")

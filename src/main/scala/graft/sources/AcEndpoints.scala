@@ -93,18 +93,6 @@ final case class AcEndpoint(name: String, path: String, collectionKey: String,
     if (paged) withExtras else withExtras + ("advertisetotal" -> "false")
   }
 
-  /** Conform ANY frame to this endpoint's declared shape: `id` BIGINT
-    * plus the declared columns as strings — present columns cast,
-    * absent columns null (the same projection the connector applies
-    * to live responses, reusable for persisted re-reads and fixture
-    * frames). */
-  def conformTo(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
-    import org.apache.spark.sql.functions.{col, lit}
-    val present = df.columns.toSet
-    val cols = if (columns.nonEmpty) columns else Seq("name", "updated_at", "email")
-    df.select(col("id").cast("long").as("id") +: cols.map(c =>
-      (if (present(c)) col(c).cast("string") else lit(null).cast("string")).as(c)): _*)
-  }
 }
 
 /** The production endpoint catalog — the reference's complete

@@ -42,7 +42,12 @@ def check_provenance(out_dir, only):
         return []
     meta = json.load(open(meta_path))
     stamped_duck = meta.get("duckdb_version")
-    if stamped_duck and stamped_duck != duckdb.__version__:
+    # '<exit 1>'/'<error: …>' sentinels mean the verify host simply
+    # lacked python3+duckdb — that is NOT an environmental version
+    # divergence, and warning as if it were would re-create the
+    # adjudication noise this stamp exists to eliminate
+    if stamped_duck and not stamped_duck.startswith("<") \
+            and stamped_duck != duckdb.__version__:
         print(f"WARN dump stamped against duckdb {stamped_duck} but this compare "
               f"runs duckdb {duckdb.__version__} — a hash divergence may be "
               "environmental, not a code bug")
