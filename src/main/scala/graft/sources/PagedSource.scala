@@ -65,7 +65,12 @@ object PagedSource {
     * 4-field projection (back-compat). */
   def columnsOf(props: Map[String, String]): Seq[String] =
     props.get("columns") match {
-      case Some(cs) => cs.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+      // `id` is always the spine (a declared "id" would duplicate the
+      // field and break InternalRow arity); duplicates keep first
+      // position (a duplicate column name is almost always a catalog
+      // typo, and two same-named fields are unusable downstream)
+      case Some(cs) => cs.split(",").map(_.trim)
+        .filter(c => c.nonEmpty && c != "id").distinct.toSeq
       case None => Seq("name", "updated_at", "email")
     }
 

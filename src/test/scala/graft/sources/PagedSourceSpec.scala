@@ -639,6 +639,37 @@ class PagedSourceSpec extends AnyFunSuite {
     } finally server.stop(0)
   }
 
+  test("dynamic schema: a declared 'id' or duplicate column collapses into " +
+      "the spine instead of corrupting row arity") {
+    val df = read("totalrows" -> "5", "pagelimit" -> "5",
+      "columns" -> "id,email,email,name")
+    assert(df.columns.toSeq == Seq("id", "email", "name"))
+    assert(df.count() == 5)
+  }
+
+  test("dynamic schema flows through the micro-batch stream: catalog " +
+      "columns, keyset offsets intact") {
+    import spark.implicits._
+    FixtureBackend.reset()
+    FixtureBackend.dynamicTotal.set(40)
+    val stream = spark.readStream.format("graft.sources.PagedSource")
+      .option("dynamictotal", "true").option("pagelimit", "20")
+      .option("columns", "email,phone").load()
+    assert(stream.schema.fieldNames.toSeq == Seq("id", "email", "phone"))
+    val q = stream.writeStream.format("memory").queryName("dyn_stream").start()
+    try {
+      q.processAllAvailable()
+      FixtureBackend.dynamicTotal.set(60)
+      q.processAllAvailable()
+      val (n, emails, phones) = spark.sql(
+        "SELECT count(*), count(email), count(phone) FROM dyn_stream")
+        .as[(Long, Long, Long)].head()
+      assert(n == 60, s"expected 60 rows, got $n")
+      assert(emails == 60, "declared fixture-backed column must be populated")
+      assert(phones == 0, "column the backend never returns conforms to NULL")
+    } finally q.stop()
+  }
+
   test("dynamic schema: nested payload objects stringify as JSON under " +
       "the dtype=str discipline") {
     val (server, apiBase, _) = StubApi.startAc()
