@@ -239,6 +239,18 @@ class ScalePlanSpec extends AnyFunSuite {
     assert(p1 == p2, s"probe formulations diverge: ${(p1 diff p2).take(5)}")
   }
 
+  test("token-budget selection: budget + running-fill windows share ONE " +
+      "source hash exchange (text tokenized before the shuffle)") {
+    val df = SparkEntry.queries("q_select_token_budget")(spark, SparkTesting.sf)
+    // count in the FINAL plan only — AQE's toString appends the
+    // "Initial Plan" section, which would double every exchange
+    val plan = executedPlan(df).split("== Initial Plan ==")(0)
+    val hashExchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(hashExchanges == 1,
+      s"expected exactly one hash exchange (source), got $hashExchanges:\n$plan")
+    assert(df.count() > 0, "budget selection produced no rows — test is vacuous")
+  }
+
   test("weighted mixing: projection + explode only — no shuffle before the presentation sort") {
     val df = SparkEntry.queries("q_mix_weighted")(spark, SparkTesting.sf)
     val plan = executedPlan(df)
