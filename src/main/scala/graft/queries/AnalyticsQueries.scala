@@ -904,6 +904,32 @@ object AnalyticsQueries {
           .orderBy("source", "rn")
       }),
 
+    // KEY-SKEW AUDIT: the measurement you run BEFORE choosing a join
+    // strategy — per-key row counts for events.user_id, each key's
+    // permille share of the table, and a hot flag (count > 2× the
+    // mean, i.e. n·n_keys > 2·total in born-integer form). At 100 TB
+    // this one map-side-combined aggregate tells you whether the key
+    // is uniform (plain shuffle join), has a few hot keys
+    // (Ops.saltedJoin / AQE skew splitting), or is degenerate
+    // (rethink the key). Totals ride a 1-row broadcast back onto the
+    // per-key rows — the fact aggregates once and never re-shuffles.
+    QDef("q_key_skew_audit", Some("""
+      WITH k AS (SELECT user_id, count(*) AS n FROM events GROUP BY user_id),
+      t AS (SELECT count(*) AS n_keys, CAST(sum(n) AS BIGINT) AS total FROM k)
+      SELECT user_id, n, (1000 * n) // total AS share_permille,
+             CASE WHEN n * n_keys > 2 * total THEN 1 ELSE 0 END AS hot
+      FROM k, t ORDER BY n DESC, user_id LIMIT 10"""),
+      (s, d) => {
+        val k = t(s, d, "events").groupBy("user_id").agg(count(lit(1)).as("n"))
+        val tot = k.agg(count(lit(1)).as("n_keys"), sum(col("n")).as("total"))
+        k.crossJoin(broadcast(tot))
+          .select(col("user_id"), col("n"),
+            expr("div(1000 * n, total)").as("share_permille"),
+            when(col("n") * col("n_keys") > col("total") * 2, 1L)
+              .otherwise(0L).as("hot"))
+          .orderBy(col("n").desc, col("user_id")).limit(10)
+      }),
+
     // TOKEN-BUDGET selection: greedy per-source corpus fill — docs in
     // seed-stamped hash-priority order (the q_cap_per_source
     // discipline: stable pseudo-random, growth displaces but never

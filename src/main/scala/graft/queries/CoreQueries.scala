@@ -599,6 +599,52 @@ object CoreQueries {
           count(lit(1)).as("n_items"))
         .orderBy("n_name")),
 
+    // TPC-H Q21-shape: suppliers who were the SOLE returned-line
+    // supplier in a finished multi-supplier order — the classic
+    // semi-join + anti-join pair on the same fact table. Both
+    // existence probes are key-equi joins on l_orderkey with a
+    // suppkey-inequality residual (never a correlated per-row
+    // subquery): at 100 TB all three lineitem branches shuffle on the
+    // SAME key, so AQE plans them as co-partitioned sort-merge
+    // semi/anti joins with no extra exchange; orders' status filter
+    // prunes before the join. Total-ordered limit (numwait DESC,
+    // name) keeps the top-10 deterministic.
+    QDef("q_agg_suppliers_waiting", Some("""
+      SELECT s.s_name, count(*) AS numwait
+      FROM supplier s
+      JOIN lineitem l1 ON l1.l_suppkey = s.s_suppkey
+      JOIN orders o ON o.o_orderkey = l1.l_orderkey
+      WHERE o.o_orderstatus = 'F' AND l1.l_returnflag = 'R'
+        AND EXISTS (SELECT 1 FROM lineitem l2
+                    WHERE l2.l_orderkey = l1.l_orderkey
+                      AND l2.l_suppkey <> l1.l_suppkey)
+        AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                        WHERE l3.l_orderkey = l1.l_orderkey
+                          AND l3.l_suppkey <> l1.l_suppkey
+                          AND l3.l_returnflag = 'R')
+      GROUP BY s.s_name ORDER BY numwait DESC, s.s_name LIMIT 10"""),
+      (s, d) => {
+        val li = t(s, d, "lineitem")
+        val l1 = li.filter(col("l_returnflag") === "R")
+          .select("l_orderkey", "l_suppkey")
+        val others = li.select(col("l_orderkey").as("o2_orderkey"),
+          col("l_suppkey").as("o2_suppkey"))
+        val othersR = li.filter(col("l_returnflag") === "R")
+          .select(col("l_orderkey").as("o3_orderkey"),
+            col("l_suppkey").as("o3_suppkey"))
+        l1.join(t(s, d, "orders").filter(col("o_orderstatus") === "F")
+            .select("o_orderkey"),
+            col("l_orderkey") === col("o_orderkey"))
+          .join(others, col("o2_orderkey") === col("l_orderkey") &&
+            col("o2_suppkey") =!= col("l_suppkey"), "left_semi")
+          .join(othersR, col("o3_orderkey") === col("l_orderkey") &&
+            col("o3_suppkey") =!= col("l_suppkey"), "left_anti")
+          .join(broadcast(t(s, d, "supplier").select("s_suppkey", "s_name")),
+            col("l_suppkey") === col("s_suppkey"))
+          .groupBy("s_name").agg(count(lit(1)).as("numwait"))
+          .orderBy(col("numwait").desc, col("s_name")).limit(10)
+      }),
+
     // Approximate distinct counting (HLL++ sketch): cardinality of
     // l_partkey per return flag. The sketch estimate itself is
     // engine-specific, so the oracle-checked surface is the exact

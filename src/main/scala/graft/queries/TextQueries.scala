@@ -509,6 +509,147 @@ object TextQueries {
           "doc_id", "text"),
         "doc_id", "sh", 2).orderBy("doc_a", "doc_b")),
 
+    // LSH EVALUATION harness: confusion counts of the minhash-LSH
+    // candidate generator (k=8, 4 bands × 2 rows — the
+    // q_dedup_minhash_pairs operating point) against exact token-set
+    // Jaccard >= 0.4 ground truth, on the same 1-in-7 sample. THE
+    // tuning loop of a production dedup pipeline: before spending a
+    // cluster-day LSH-joining 100 TB, you measure band geometry
+    // recall/precision on a bounded sample exactly like this — the
+    // truth pass is all-pairs (quadratic) and lives ONLY here, never
+    // on the full corpus. One summary row, born-integer counts +
+    // permille ratios (BIGINT div; -1 sentinel when a denominator is
+    // empty, so the output is total and exact on any corpus).
+    QDef("q_dedup_eval", Some(s"""
+      WITH ${tokCte.format("WHERE doc_id % 7 = 0")}, ${sigSelect(8, "tok")},
+      ${bandsSql(8, 2)},
+      cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+               FROM bands a JOIN bands b
+                 ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
+      sz AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id),
+      inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+                FROM tok a JOIN tok b ON a.tok = b.tok AND a.doc_id < b.doc_id
+                GROUP BY doc_a, doc_b),
+      truth AS (SELECT doc_a, doc_b FROM inter
+                JOIN sz sa ON doc_a = sa.doc_id JOIN sz sb ON doc_b = sb.doc_id
+                WHERE i * 10 >= 4 * (sa.n + sb.n - i)),
+      m AS (SELECT (SELECT count(*) FROM truth) AS n_truth,
+                   (SELECT count(*) FROM cand) AS n_cand,
+                   (SELECT count(*) FROM truth x JOIN cand c
+                      ON x.doc_a = c.doc_a AND x.doc_b = c.doc_b) AS tp)
+      SELECT n_truth, n_cand, tp, n_cand - tp AS fp, n_truth - tp AS fn,
+             CASE WHEN n_cand = 0 THEN -1 ELSE (1000 * tp) // n_cand END
+               AS precision_permille,
+             CASE WHEN n_truth = 0 THEN -1 ELSE (1000 * tp) // n_truth END
+               AS recall_permille
+      FROM m"""),
+      (s, d) => {
+        val toks = tokDf(s, d, Some(7))
+        val truth = NearDup.tokenJaccardPairs(toks, "doc_id", "tok", 4)
+          .filter(col("near_dup") === 1).select("doc_a", "doc_b")
+        val cand = NearDup.lshCandidatePairs(
+          NearDup.lshBands(
+            NearDup.minhashSignatures(toks, "doc_id", "tok", 8),
+            "doc_id", 8, 2),
+          "doc_id")
+        truth.withColumn("t", lit(1))
+          .join(cand.withColumn("c", lit(1)), Seq("doc_a", "doc_b"), "full_outer")
+          .agg(count(col("t")).as("n_truth"), count(col("c")).as("n_cand"),
+            count(when(col("t").isNotNull && col("c").isNotNull, 1)).as("tp"))
+          .select(col("n_truth"), col("n_cand"), col("tp"),
+            (col("n_cand") - col("tp")).as("fp"),
+            (col("n_truth") - col("tp")).as("fn"),
+            when(col("n_cand") === 0, lit(-1L))
+              .otherwise(expr("div(1000 * tp, n_cand)")).as("precision_permille"),
+            when(col("n_truth") === 0, lit(-1L))
+              .otherwise(expr("div(1000 * tp, n_truth)")).as("recall_permille"))
+      }),
+
+    // LSH BUCKET SKEW audit: per-band bucket census — bucket count,
+    // member rows, largest bucket, singleton count (buckets that can
+    // never produce a candidate), and pair mass Σ s·(s−1)/2, the
+    // EXACT number of candidate pairs the band would expand to. This
+    // is the pre-flight you run before the LSH join at scale: a
+    // degenerate band (one mega-bucket holding half the corpus) shows
+    // up here as pair_mass exploding, and sets maxBucket for
+    // CappedSortedIds. Cost: two hash aggregates, the second over
+    // |buckets| rows — no pair is ever materialized.
+    QDef("q_lsh_bucket_skew", Some(s"""
+      WITH ${tokCte.format("WHERE doc_id % 7 = 0")}, ${sigSelect(8, "tok")},
+      ${bandsSql(8, 2)},
+      b AS (SELECT band, bh, count(*) AS sz FROM bands GROUP BY band, bh)
+      SELECT band, count(*) AS n_buckets, CAST(sum(sz) AS BIGINT) AS n_rows,
+             max(sz) AS max_bucket,
+             count(*) FILTER (WHERE sz = 1) AS n_singletons,
+             CAST(sum(sz * (sz - 1) // 2) AS BIGINT) AS pair_mass
+      FROM b GROUP BY band ORDER BY band"""),
+      (s, d) => NearDup.lshBands(
+          NearDup.minhashSignatures(tokDf(s, d, Some(7)), "doc_id", "tok", 8),
+          "doc_id", 8, 2)
+        .groupBy("band", "bh").agg(count(lit(1)).as("sz"))
+        .groupBy("band").agg(
+          count(lit(1)).as("n_buckets"),
+          sum(col("sz")).as("n_rows"),
+          max(col("sz")).as("max_bucket"),
+          count(when(col("sz") === 1, 1)).as("n_singletons"),
+          sum(expr("div(sz * (sz - 1), 2)")).as("pair_mass"))
+        .orderBy("band")),
+
+    // INCREMENTAL DEDUP — the 100 TB dedup path: a new delta batch
+    // (1-in-5 of the corpus by id, standing in for "docs past the
+    // watermark") is deduped AGAINST the existing corpus without ever
+    // recomputing corpus-internal pairs. Exact duplicates resolve by
+    // content-hash equi-join (keep = smallest matching corpus id);
+    // near-duplicates by full-signature minhash match (k=8 as ONE
+    // 8-row band — the conservative gate; production tunes band
+    // geometry per recall target, same lshBands machinery) as a
+    // LEFT SEMI probe into the corpus band table, so no delta×corpus
+    // pair set is ever expanded. In production the corpus fp/band
+    // tables are the persisted dedup state, appended per batch — the
+    // cost per run is O(|delta| + probed buckets), independent of
+    // corpus-internal pair counts.
+    QDef("q_dedup_incremental", Some(s"""
+      WITH ${tokCte.format("")}, ${sigSelect(8, "tok")}, ${bandsSql(8, 8)},
+      dl AS (SELECT doc_id, md5(text) AS fp FROM documents WHERE doc_id % 5 = 4),
+      cp AS (SELECT md5(text) AS fp, doc_id AS c_id FROM documents
+             WHERE doc_id % 5 <> 4),
+      ex AS (SELECT dl.doc_id, min(c_id) AS exact_keep
+             FROM dl LEFT JOIN cp ON dl.fp = cp.fp GROUP BY dl.doc_id),
+      nr AS (SELECT DISTINCT a.doc_id FROM bands a
+             WHERE a.doc_id % 5 = 4 AND EXISTS (
+               SELECT 1 FROM bands b
+               WHERE b.band = a.band AND b.bh = a.bh AND b.doc_id % 5 <> 4))
+      SELECT e.doc_id,
+             CASE WHEN e.exact_keep IS NOT NULL THEN 'exact_dup'
+                  WHEN nr.doc_id IS NOT NULL THEN 'near_dup'
+                  ELSE 'novel' END AS verdict,
+             coalesce(e.exact_keep, -1) AS exact_keep
+      FROM ex e LEFT JOIN nr ON e.doc_id = nr.doc_id ORDER BY e.doc_id"""),
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val isDelta = col("doc_id") % 5 === 4
+        val exact = docs.filter(isDelta)
+          .select(col("doc_id"), md5(col("text")).as("fp"))
+          .join(docs.filter(!isDelta)
+            .select(md5(col("text")).as("fp"), col("doc_id").as("c_id")),
+            Seq("fp"), "left")
+          .groupBy("doc_id").agg(min(col("c_id")).as("exact_keep"))
+        val bands = NearDup.lshBands(
+          NearDup.minhashSignatures(tokDf(s, d), "doc_id", "tok", 8),
+          "doc_id", 8, 8)
+        val near = bands.filter(isDelta)
+          .join(bands.filter(!isDelta).select("band", "bh"),
+            Seq("band", "bh"), "left_semi")
+          .select("doc_id").distinct().withColumn("is_near", lit(1))
+        exact.join(near, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            when(col("exact_keep").isNotNull, "exact_dup")
+              .when(col("is_near") === 1, "near_dup")
+              .otherwise("novel").as("verdict"),
+            coalesce(col("exact_keep"), lit(-1L)).as("exact_keep"))
+          .orderBy("doc_id")
+      }),
+
     // Dedup CLUSTERS: connected components over the token-Jaccard
     // >= 0.6 near-dup graph (1-in-13 sample) — every doc labeled with
     // its component's smallest doc id (cluster id = deterministic
