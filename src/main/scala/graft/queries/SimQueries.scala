@@ -243,6 +243,61 @@ object SimQueries {
           probes, 5).orderBy("qid", "rank")
       }),
 
+    // ANN RECALL EVALUATION: recall@5 of the IVF cell-restricted
+    // search against the brute-force truth, per query — the
+    // embedding-side analog of q_dedup_eval. THE acceptance gate for
+    // an index config: before standing up an IVF index over 10⁹
+    // vectors you measure recall on a bounded query sample exactly
+    // like this (the brute-force truth pass is linear-in-corpus per
+    // query and lives ONLY in the harness). Both rankings reuse the
+    // production operators (bruteForceTopK / ivfTopK: rounded sims +
+    // id tiebreak, so both sets are engine-reproducible); the compare
+    // is a pair-key left join + per-qid counts — born-integer hits
+    // and permille recall. Non-vacuous by observation: the synthetic
+    // `label` cells score 0–400 permille recall@5 (they are weak
+    // cosine neighborhoods), exactly the config-rejection signal this
+    // gate exists to produce.
+    QDef("q_embed_recall_eval", Some(s"""
+      WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      q AS (SELECT vec_id AS qid, label AS cell, v AS qv FROM e WHERE vec_id < 10),
+      c AS (SELECT vec_id AS cid, label AS cell, v AS cv FROM e),
+      ts AS (SELECT qid, cid, round($cosSql, 3) AS sim3
+             FROM q CROSS JOIN c WHERE qid <> cid),
+      tr AS (SELECT qid, cid FROM ts
+             QUALIFY row_number() OVER (PARTITION BY qid ORDER BY sim3 DESC, cid) <= 5),
+      sv AS (SELECT qid, cid, round($cosSql, 3) AS sim3
+             FROM q JOIN c USING (cell) WHERE qid <> cid),
+      ar AS (SELECT qid, cid FROM sv
+             QUALIFY row_number() OVER (PARTITION BY qid ORDER BY sim3 DESC, cid) <= 5),
+      ta AS (SELECT qid, count(*) AS n_truth FROM tr GROUP BY qid),
+      aa AS (SELECT qid, count(*) AS n_ann FROM ar GROUP BY qid),
+      h AS (SELECT t.qid, count(a.cid) AS hits FROM tr t
+            LEFT JOIN ar a ON t.qid = a.qid AND t.cid = a.cid GROUP BY t.qid)
+      SELECT ta.qid AS qid, n_truth, coalesce(n_ann, 0) AS n_ann, hits,
+             (1000 * hits) // n_truth AS recall_permille
+      FROM ta JOIN h ON ta.qid = h.qid LEFT JOIN aa ON ta.qid = aa.qid
+      ORDER BY ta.qid"""),
+      (s, d) => {
+        val e = t(s, d, "embeddings")
+          .select(col("vec_id"), col("label").as("cell"),
+            col("embedding").as("v"))
+        val q = e.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("qid"), col("cell"), col("v").as("qv"))
+        val c = e.select(col("vec_id").as("cid"), col("cell"), col("v").as("cv"))
+        val truth = Similarity.bruteForceTopK(
+          c.select("cid", "cv"), q.select("qid", "qv"), 5).select("qid", "cid")
+        val ann = Similarity.ivfTopK(c, q, 5).select("qid", "cid")
+        val ta = truth.groupBy("qid").agg(count(lit(1)).as("n_truth"))
+        val aa = ann.groupBy("qid").agg(count(lit(1)).as("n_ann"))
+        val h = truth.join(ann.withColumn("a", lit(1)), Seq("qid", "cid"), "left")
+          .groupBy("qid").agg(count(col("a")).as("hits"))
+        ta.join(h, Seq("qid")).join(aa, Seq("qid"), "left")
+          .select(col("qid"), col("n_truth"),
+            coalesce(col("n_ann"), lit(0L)).as("n_ann"), col("hits"),
+            expr("div(1000 * hits, n_truth)").as("recall_permille"))
+          .orderBy("qid")
+      }),
+
     // Embedding-cosine near-dup pairs: vector pairs above a high
     // similarity bar — the EXACTNESS REFERENCE for the celled ANN
     // path below, run on a declared 1-in-5 sample. The all-pairs

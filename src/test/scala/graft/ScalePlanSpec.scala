@@ -239,6 +239,27 @@ class ScalePlanSpec extends AnyFunSuite {
     assert(p1 == p2, s"probe formulations diverge: ${(p1 diff p2).take(5)}")
   }
 
+  test("ANN recall eval: hits bounded by both rankings, permille exact, " +
+      "and the gate is non-vacuous (some cell config scores < 1000)") {
+    import spark.implicits._
+    val df = SparkEntry.queries("q_embed_recall_eval")(spark, SparkTesting.sf)
+    val rows = df.select("qid", "n_truth", "n_ann", "hits", "recall_permille")
+      .as[(Long, Long, Long, Long, Long)].collect()
+    assert(rows.nonEmpty, "recall eval produced no query rows — vacuous")
+    rows.foreach { case (qid, nTruth, nAnn, hits, rp) =>
+      assert(hits <= nTruth && hits <= nAnn,
+        s"qid=$qid: hits=$hits exceeds a ranking (truth=$nTruth ann=$nAnn)")
+      assert(nTruth > 0 && nTruth <= 5 && nAnn <= 5,
+        s"qid=$qid: top-5 rankings out of bounds (truth=$nTruth ann=$nAnn)")
+      assert(rp == 1000 * hits / nTruth && rp >= 0 && rp <= 1000,
+        s"qid=$qid: recall_permille=$rp != 1000*$hits/$nTruth")
+    }
+    // the label cells are weak cosine neighborhoods — if every query
+    // scored perfect recall the gate could never reject a config
+    assert(rows.exists(_._5 < 1000),
+      "every query at 1000 permille — the acceptance gate is vacuous")
+  }
+
   test("token-budget selection: budget + running-fill windows share ONE " +
       "source hash exchange (text tokenized before the shuffle)") {
     val df = SparkEntry.queries("q_select_token_budget")(spark, SparkTesting.sf)
