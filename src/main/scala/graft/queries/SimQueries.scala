@@ -298,6 +298,55 @@ object SimQueries {
           .orderBy("qid")
       }),
 
+    // K-MEANS CENTROID RECOMPUTE (one Lloyd iteration): assign every
+    // vector to its nearest centroid, then recompute each cell's mean
+    // — the "train" step that closes the IVF loop (build → assign →
+    // probe → recall-gate → RETRAIN). The scale shape is exactly how
+    // distributed k-means runs: assignment is the narrow zero-shuffle
+    // per-row argmax (ivfAssign — no join, no crossJoin expansion),
+    // and the recompute is ONE map-side-combined hash aggregate on
+    // (cell, dim) — per iteration the cluster shuffles only
+    // |cells|×|dims| partial sums per partition, never vectors.
+    // Exactness: each component is quantized FIRST (qᵢ =
+    // floor(xᵢ·10⁶+0.5), bit-identical in any engine — the
+    // q_embed_norm_stats discipline), sums are pure BIGINT, and the
+    // mean is a truncating integer division (Spark's `div` truncates
+    // toward zero; the oracle's sign-aware CASE makes DuckDB's floor
+    // `//` match on the negative sums, which are ~half of them).
+    QDef("q_kmeans_recompute", Some(s"""
+      WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      cent AS (SELECT vec_id AS cell, v AS centv FROM e WHERE vec_id < 8),
+      scored AS (SELECT e.vec_id AS cid, e.v AS cv, cent.cell,
+        round(${cosineSql("e.v", "cent.centv")}, 6) AS cs
+        FROM e CROSS JOIN cent),
+      assigned AS (SELECT cid, cv, cell FROM scored
+        QUALIFY row_number() OVER (PARTITION BY cid ORDER BY cs DESC, cell) = 1),
+      ps AS (SELECT cell, unnest(range(1, len(cv) + 1)) AS i, cv FROM assigned),
+      qc AS (SELECT cell, CAST(i AS BIGINT) AS pos,
+             CAST(floor(cv[i] * 1000000.0 + 0.5) AS BIGINT) AS q FROM ps),
+      g AS (SELECT cell, pos, count(*) AS n, CAST(sum(q) AS BIGINT) AS sum_micro
+            FROM qc GROUP BY cell, pos)
+      SELECT cell, pos, n, sum_micro,
+             CASE WHEN sum_micro >= 0 THEN sum_micro // n
+                  ELSE -((-sum_micro) // n) END AS centroid_micro
+      FROM g ORDER BY cell, pos"""),
+      (s, d) => {
+        val e = t(s, d, "embeddings")
+          .select(col("vec_id").as("cid"), col("embedding").as("cv"))
+        val cents = e.filter(col("cid") < 8)
+          .select(col("cid").as("cell"), col("cv").as("centv"))
+        val assigned = Similarity.ivfAssign(e, cents)
+        assigned
+          .select(col("cell"), posexplode(col("cv").cast("array<double>")))
+          .select(col("cell"), (col("pos") + 1).cast("long").as("pos"),
+            floor(col("col") * lit(1000000.0) + lit(0.5)).cast("long").as("q"))
+          .groupBy("cell", "pos")
+          .agg(count(lit(1)).as("n"), sum(col("q")).as("sum_micro"))
+          .select(col("cell"), col("pos"), col("n"), col("sum_micro"),
+            expr("div(sum_micro, n)").as("centroid_micro"))
+          .orderBy("cell", "pos")
+      }),
+
     // Embedding-cosine near-dup pairs: vector pairs above a high
     // similarity bar — the EXACTNESS REFERENCE for the celled ANN
     // path below, run on a declared 1-in-5 sample. The all-pairs

@@ -98,6 +98,46 @@ object TextQueries {
         .agg(countDistinct(col("doc_id")).as("df"), count(lit(1)).as("tf"))
         .orderBy(col("df").desc, col("tok")).limit(20)),
 
+    // TEXTRANK keyword extraction: 3 PageRank power iterations over
+    // the weighted token-adjacency graph (Mihalcea & Tarau 2004) —
+    // the engine's iterative-graph-algorithm-as-declarative-joins
+    // shape, the same loop a link-graph quality score runs over a
+    // web-crawl corpus before curation. All arithmetic is integer
+    // micro-units with truncating division over non-negative operands
+    // (truncation == floor there, so Spark `div` and DuckDB `//`
+    // agree) — see graft.text.TextRank for the update rule and the
+    // ReusedExchange scale notes (corpus tokenized ONCE per
+    // execution, not once per iteration; pinned in ScalePlanSpec).
+    // Oracle: the same three rounds unrolled as CTEs.
+    QDef("q_textrank_keywords", Some {
+      def c(k: Int, prev: String) = s"""
+        c$k AS (SELECT dst, CAST(sum((w * pr) // s) AS BIGINT) AS m
+               FROM ew JOIN st USING (src) JOIN $prev ON $prev.tok = ew.src GROUP BY dst),
+        p$k AS (SELECT tok, CAST(150000 + (850 * COALESCE(m, 0)) // 1000 AS BIGINT) AS pr
+               FROM n LEFT JOIN c$k ON c$k.dst = n.tok)"""
+      s"""
+      WITH d AS (SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS toks FROM documents),
+      bg AS (SELECT unnest(list_transform(range(1, len(toks)),
+               i -> {'u': toks[i], 'v': toks[i+1]})) AS p FROM d),
+      e0 AS (SELECT p.u AS u, p.v AS v FROM bg WHERE p.u <> p.v),
+      ed AS (SELECT u AS src, v AS dst FROM e0 UNION ALL SELECT v, u FROM e0),
+      ew AS (SELECT src, dst, count(*) AS w FROM ed GROUP BY src, dst),
+      st AS (SELECT src, CAST(sum(w) AS BIGINT) AS s FROM ew GROUP BY src),
+      n AS (SELECT DISTINCT src AS tok FROM ew),
+      p0 AS (SELECT tok, CAST(1000000 AS BIGINT) AS pr FROM n),
+      ${c(1, "p0")},
+      ${c(2, "p1")},
+      ${c(3, "p2")}
+      SELECT tok, pr AS pr_micro FROM p3 ORDER BY pr DESC, tok LIMIT 20"""
+    },
+      (s, d) => {
+        val edges = graft.text.TextRank.adjacency(
+          t(s, d, "documents"), col("text"))
+        graft.text.TextRank.ranks(edges, iters = 3)
+          .select(col("tok"), col("pr").as("pr_micro"))
+          .orderBy(col("pr_micro").desc, col("tok")).limit(20)
+      }),
+
     // Cross-SOURCE OVERLAP matrix (dataset contamination audit):
     // for every source pair, how many distinct word-3-grams they
     // share, plus the Jaccard permille over their shingle

@@ -260,6 +260,49 @@ class ScalePlanSpec extends AnyFunSuite {
       "every query at 1000 permille — the acceptance gate is vacuous")
   }
 
+  test("k-means recompute: narrow argmax assignment — ONE hash exchange, " +
+      "zero joins, and the truncated mean is exact") {
+    import spark.implicits._
+    val df = SparkEntry.queries("q_kmeans_recompute")(spark, SparkTesting.sf)
+    val plan = executedPlan(df).split("== Initial Plan ==")(0)
+    assert("Exchange hashpartitioning".r.findAllIn(plan).length == 1,
+      s"recompute is one map-side-combined agg — one hash exchange:\n$plan")
+    assert(!plan.contains("Join"),
+      s"assignment is a narrow per-row argmax, never a join:\n$plan")
+    val rows = df.select("cell", "pos", "n", "sum_micro", "centroid_micro")
+      .as[(Long, Long, Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (cell, pos, n, sum, c) =>
+      assert(n > 0 && c == sum / n, // JVM Long division truncates like div
+        s"cell=$cell pos=$pos: centroid_micro=$c != $sum/$n")
+    }
+    // Σn over (cell,pos) = Σ per-vector dims — nothing dropped by the explode
+    val totalN = rows.map(_._3).sum
+    val dims = graft.pipeline.Tables.t(spark, SparkTesting.sf, "embeddings")
+      .select(sum(size(col("embedding")).cast("long"))).as[Long].head()
+    assert(totalN == dims, s"explode lost components: $totalN != $dims")
+  }
+
+  test("textrank: adjacency + node subtrees reuse their exchanges across " +
+      "iterations (tokenize once per execution), ranks floor at the teleport term") {
+    import spark.implicits._
+    val df = SparkEntry.queries("q_textrank_keywords")(spark, SparkTesting.sf)
+    val plan = executedPlan(df).split("== Initial Plan ==")(0)
+    // 3 unrolled iterations reference the edge/strength/node subtrees
+    // repeatedly — without ReusedExchange the corpus would tokenize
+    // and aggregate once PER REFERENCE instead of once per execution
+    assert("ReusedExchange".r.findAllIn(plan).length >= 3,
+      s"iteration subtrees must reuse exchanges, not recompute the corpus:\n$plan")
+    val rows = df.select("tok", "pr_micro").as[(String, Long)].collect()
+    assert(rows.length == 20, s"top-20 keywords expected, got ${rows.length}")
+    // every node keeps the (1−d)·Scale teleport term, and damping
+    // bounds any node below Scale + its in-strength share
+    assert(rows.forall(_._2 >= graft.text.TextRank.BaseMicro),
+      s"rank below the teleport floor: ${rows.filter(_._2 < 150000L).take(3).toSeq}")
+    assert(rows.map(_._2).max > graft.text.TextRank.BaseMicro,
+      "all ranks at the floor — the graph contributed nothing, test is vacuous")
+  }
+
   test("token-budget selection: budget + running-fill windows share ONE " +
       "source hash exchange (text tokenized before the shuffle)") {
     val df = SparkEntry.queries("q_select_token_budget")(spark, SparkTesting.sf)
