@@ -347,6 +347,96 @@ object SimQueries {
           .orderBy("cell", "pos")
       }),
 
+    // SRP (signed-random-projection / hyperplane) LSH signatures: the
+    // DATA-INDEPENDENT coarse quantizer complementing the trained IVF
+    // path — no centroid state, no training pass, reproducible from
+    // the shared integer LCG hyperplane table alone (Similarity
+    // .srpSignature). Components quantize to micro FIRST, so every
+    // per-plane dot is pure BIGINT — no float enters the signature.
+    // One narrow zero-shuffle projection; at 100 TB the signature is
+    // one BIGINT column persisted next to the vector.
+    QDef("q_embed_srp_sig", Some("""
+      WITH e AS (SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]),
+                   x -> CAST(floor(x * 1000000.0 + 0.5) AS BIGINT)) AS q FROM embeddings),
+      s AS (SELECT vec_id,
+        CAST(list_sum(list_transform(range(0, 32), p ->
+          CASE WHEN list_sum(list_transform(range(1, len(q) + 1), i ->
+                 ((CAST(1103515245 AS BIGINT) * (p * 64 + i - 1) + 12345) % 2048 - 1024) * q[i])) >= 0
+               THEN CAST(1 AS BIGINT) << p ELSE 0 END)) AS BIGINT) AS sig
+        FROM e)
+      SELECT vec_id, sig,
+             (sig // 1) % 256 AS band0, (sig // 256) % 256 AS band1,
+             (sig // 65536) % 256 AS band2, (sig // 16777216) % 256 AS band3,
+             CAST(bit_count(sig) AS BIGINT) AS popcnt
+      FROM s ORDER BY vec_id"""),
+      (s, d) => {
+        val e = t(s, d, "embeddings").select(col("vec_id"),
+          Similarity.srpQuantize(col("embedding")).as("q"))
+        e.select(col("vec_id"), Similarity.srpSignature(col("q")).as("sig"))
+          .select(col("vec_id"), col("sig"),
+            shiftright(col("sig"), 0).bitwiseAND(lit(255L)).as("band0"),
+            shiftright(col("sig"), 8).bitwiseAND(lit(255L)).as("band1"),
+            shiftright(col("sig"), 16).bitwiseAND(lit(255L)).as("band2"),
+            shiftright(col("sig"), 24).bitwiseAND(lit(255L)).as("band3"),
+            bit_count(col("sig")).cast("long").as("popcnt"))
+          .orderBy("vec_id")
+      }),
+
+    // SRP-LSH candidate pairs, ranked: band collisions (≥1 shared
+    // 8-bit band of the 32-bit signature) scored by full-signature
+    // hamming distance and the EXACT quantized dot product (pure
+    // BIGINT, pico units — no float compare anywhere). The banded
+    // equi-join is the scale path: candidates ∝ Σ per-bucket C(n,2),
+    // ~6% of all-pairs on the test corpus, NEVER the full cross
+    // product (cartesian-free, plan-asserted); dedup across bands is
+    // a (ida, idb) groupBy of identical values. Spark dedups the two
+    // identical band-explode subtrees under the self-join via
+    // ReusedExchange — signatures compute once per execution.
+    QDef("q_embed_srp_pairs", Some("""
+      WITH e AS (SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]),
+                   x -> CAST(floor(x * 1000000.0 + 0.5) AS BIGINT)) AS q FROM embeddings),
+      s AS (SELECT vec_id, q,
+        CAST(list_sum(list_transform(range(0, 32), p ->
+          CASE WHEN list_sum(list_transform(range(1, len(q) + 1), i ->
+                 ((CAST(1103515245 AS BIGINT) * (p * 64 + i - 1) + 12345) % 2048 - 1024) * q[i])) >= 0
+               THEN CAST(1 AS BIGINT) << p ELSE 0 END)) AS BIGINT) AS sig
+        FROM e),
+      bands AS (
+        SELECT vec_id, sig, q, CAST(0 AS BIGINT) AS bi, (sig // 1) % 256 AS bv FROM s
+        UNION ALL SELECT vec_id, sig, q, 1, (sig // 256) % 256 FROM s
+        UNION ALL SELECT vec_id, sig, q, 2, (sig // 65536) % 256 FROM s
+        UNION ALL SELECT vec_id, sig, q, 3, (sig // 16777216) % 256 FROM s),
+      hit AS (SELECT a.vec_id AS ida, b.vec_id AS idb,
+                CAST(bit_count(xor(a.sig, b.sig)) AS BIGINT) AS hamming,
+                CAST(list_sum(list_transform(list_zip(a.q, b.q), z -> z[1] * z[2])) AS BIGINT) AS dot_pico
+              FROM bands a JOIN bands b USING (bi, bv)
+              WHERE a.vec_id < b.vec_id),
+      pairs AS (SELECT ida, idb, min(hamming) AS hamming, min(dot_pico) AS dot_pico
+                FROM hit GROUP BY ida, idb)
+      SELECT ida, idb, hamming, dot_pico FROM pairs
+      ORDER BY hamming, dot_pico DESC, ida, idb LIMIT 50"""),
+      (s, d) => {
+        val e = t(s, d, "embeddings").select(col("vec_id"),
+          Similarity.srpQuantize(col("embedding")).as("q"))
+        val sg = e.select(col("vec_id"), col("q"),
+          Similarity.srpSignature(col("q")).as("sig"))
+        val bands = Similarity.srpBands(sg)
+        val a = bands.select(col("bi"), col("bv"), col("vec_id").as("ida"),
+          col("sig").as("siga"), col("q").as("qa"))
+        val b = bands.select(col("bi"), col("bv"), col("vec_id").as("idb"),
+          col("sig").as("sigb"), col("q").as("qb"))
+        a.join(b, Seq("bi", "bv"))
+          .filter(col("ida") < col("idb"))
+          .select(col("ida"), col("idb"),
+            bit_count(col("siga").bitwiseXOR(col("sigb"))).cast("long").as("hamming"),
+            aggregate(zip_with(col("qa"), col("qb"), (x, y) => x * y),
+              lit(0L), (acc, x) => acc + x).as("dot_pico"))
+          .groupBy("ida", "idb")
+          .agg(min(col("hamming")).as("hamming"), min(col("dot_pico")).as("dot_pico"))
+          .orderBy(col("hamming"), col("dot_pico").desc, col("ida"), col("idb"))
+          .limit(50)
+      }),
+
     // Embedding-cosine near-dup pairs: vector pairs above a high
     // similarity bar — the EXACTNESS REFERENCE for the celled ANN
     // path below, run on a declared 1-in-5 sample. The all-pairs

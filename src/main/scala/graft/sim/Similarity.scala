@@ -160,6 +160,62 @@ object Similarity {
       .select(col("qid"), col("qv"), (-col("_p.negCell")).as("cell"))
   }
 
+  /** Number of SRP hyperplanes (signature bits). 32 bits = 4 bands of
+    * 8: coarse enough that true near-neighbors share a band, wide
+    * enough that full-signature collisions are meaningful (16 bits
+    * left hamming-0 pairs with NEGATIVE dots on the test corpus). */
+  val SrpPlanes = 32
+
+  /** SRP band layout: [[SrpBands]] consecutive [[SrpBandBits]]-bit
+    * slices of the signature; a pair is a candidate iff it collides
+    * in at least one band (classic LSH banding). */
+  val SrpBands = 4
+  val SrpBandBits = 8
+
+  /** The coefficient table strides at 64 lanes per plane (the
+    * testdata embedding width); correct for any len(vec) ≤ 64. */
+  val SrpStride = 64L
+
+  /** Quantize an embedding to integer micro-units: qᵢ =
+    * floor(xᵢ·10⁶ + 0.5) — one IEEE multiply+add+floor per lane,
+    * bit-identical in any engine (the q_embed_norm_stats discipline).
+    * Every SRP dot product downstream is then PURE BIGINT. */
+  def srpQuantize(vec: Column): Column =
+    transform(vec.cast("array<double>"),
+      x => floor(x * lit(1000000.0) + lit(0.5)).cast("long"))
+
+  /** Signed-random-projection (hyperplane) LSH signature over a
+    * quantized vector (Charikar 2002): bit p = sign of the dot
+    * product against pseudo-random hyperplane p. Hyperplane
+    * coefficients come from a shared integer LCG —
+    * c(p,i) = (1103515245·(p·64+i−1) + 12345) mod 2048 − 1024, all
+    * operands non-negative before the mod so Spark `%` and DuckDB `%`
+    * agree — giving a DATA-INDEPENDENT quantizer (no training pass,
+    * no centroid state) that any engine reproduces bit-for-bit.
+    * Magnitudes: |c| ≤ 1024, |q| ≤ 6·10⁵, 64 lanes ⇒ |dot| ≤ 4·10¹⁰,
+    * comfortably BIGINT. A narrow per-row projection: at 100 TB this
+    * runs inside the scan with zero shuffles, and signatures persist
+    * as one BIGINT column per vector. */
+  def srpSignature(q: Column, planes: Int = SrpPlanes): Column = {
+    require(planes >= 1 && planes <= 62, s"planes=$planes must fit a BIGINT")
+    aggregate(sequence(lit(0L), lit(planes - 1L)), lit(0L), (acc, p) =>
+      acc + when(
+        aggregate(sequence(lit(1), size(q)), lit(0L), (a2, i) =>
+          a2 + ((lit(1103515245L) * (p * lit(SrpStride) + i.cast("long") - lit(1L))
+            + lit(12345L)) % lit(2048L) - lit(1024L)) * element_at(q, i)) >= 0,
+        call_function("shiftleft", lit(1L), p)).otherwise(lit(0L)))
+  }
+
+  /** Explode a signature column into its LSH bands: (bi, bv) rows,
+    * one per band — band j is bits [8j, 8j+8). Non-negative sig, so
+    * shift+mask equals the oracle's `(sig // 256^j) % 256`. */
+  def srpBands(df: DataFrame): DataFrame =
+    (0 until SrpBands).map { j =>
+      df.withColumn("bi", lit(j.toLong))
+        .withColumn("bv",
+          shiftright(col("sig"), j * SrpBandBits).bitwiseAND(lit(255L)))
+    }.reduce(_ union _)
+
   /** IVF-style pruned top-k: candidates restricted to the query's
     * cell(s) — either a precomputed partition column, [[ivfAssign]]'s
     * single cell, or [[ivfProbeCells]]'s nprobe-expanded rows (the

@@ -303,6 +303,60 @@ class ScalePlanSpec extends AnyFunSuite {
       "all ranks at the floor — the graph contributed nothing, test is vacuous")
   }
 
+  test("SRP signatures: narrow zero-shuffle projection — no join, no hash " +
+      "exchange, and every signature fits the 32-plane space") {
+    import spark.implicits._
+    val df = SparkEntry.queries("q_embed_srp_sig")(spark, SparkTesting.sf)
+    val plan = executedPlan(df).split("== Initial Plan ==")(0)
+    assert(!plan.contains("Exchange hashpartitioning") && !plan.contains("Join"),
+      s"signature computation is a per-row projection:\n$plan")
+    val rows = df.select("vec_id", "sig", "band0", "band1", "band2", "band3", "popcnt")
+      .as[(Long, Long, Long, Long, Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (id, sig, b0, b1, b2, b3, pc) =>
+      assert(sig >= 0 && sig < (1L << 32), s"vec $id: sig=$sig outside 32 bits")
+      assert(b0 == (sig & 255) && b1 == ((sig >> 8) & 255) &&
+        b2 == ((sig >> 16) & 255) && b3 == ((sig >> 24) & 255),
+        s"vec $id: bands don't slice sig=$sig")
+      assert(pc == java.lang.Long.bitCount(sig), s"vec $id: popcnt mismatch")
+    }
+  }
+
+  test("SRP pairs: banded equi-join (cartesian-free), band subtrees reuse " +
+      "one exchange, and every pair genuinely collides in a band") {
+    import spark.implicits._
+    // at test size the band join broadcasts; the at-scale claim is the
+    // shuffle-join form, where the two identical band-explode sides
+    // must dedup into ONE exchange — force it to assert that shape
+    val plan = try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      executedPlan(SparkEntry.queries("q_embed_srp_pairs")(spark, SparkTesting.sf))
+        .split("== Initial Plan ==")(0)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10MB")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"band collision join must be an equi-join:\n$plan")
+    assert(plan.contains("ReusedExchange"),
+      s"the two identical band-explode sides must share one exchange:\n$plan")
+    val df = SparkEntry.queries("q_embed_srp_pairs")(spark, SparkTesting.sf)
+    val pairs = df.select("ida", "idb", "hamming", "dot_pico")
+      .as[(Long, Long, Long, Long)].collect()
+    assert(pairs.length == 50, s"top-50 expected, got ${pairs.length}")
+    // output is ranked: hamming non-decreasing
+    assert(pairs.map(_._3).sliding(2).forall(w => w.length < 2 || w(0) <= w(1)),
+      "pairs not ranked by hamming")
+    // recompute signatures independently and check the LSH contract:
+    // reported hamming is the true signature distance, and the pair
+    // shares at least one 8-bit band (else it could never be a candidate)
+    val sigs = SparkEntry.queries("q_embed_srp_sig")(spark, SparkTesting.sf)
+      .select("vec_id", "sig").as[(Long, Long)].collect().toMap
+    pairs.foreach { case (a, b, h, _) =>
+      val (sa, sb) = (sigs(a), sigs(b))
+      assert(h == java.lang.Long.bitCount(sa ^ sb), s"pair ($a,$b): hamming wrong")
+      assert((0 until 4).exists(j => ((sa >> (8 * j)) & 255) == ((sb >> (8 * j)) & 255)),
+        s"pair ($a,$b): no shared band — not a legal LSH candidate")
+    }
+  }
+
   test("token-budget selection: budget + running-fill windows share ONE " +
       "source hash exchange (text tokenized before the shuffle)") {
     val df = SparkEntry.queries("q_select_token_budget")(spark, SparkTesting.sf)
