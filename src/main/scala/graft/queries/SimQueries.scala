@@ -27,6 +27,21 @@ object SimQueries {
 
   private val cosSql = cosineSql("qv", "cv")
 
+  /** Multi-probe flip masks for one 8-bit SRP band: the identity plus
+    * every 1-bit and 2-bit flip (1 + 8 + 28 = 37 probes). Shared by
+    * the Spark plan and the interpolated oracle SQL so both engines
+    * probe the identical sequence. */
+  private val srpProbeMasks: Seq[Int] =
+    0 +: ((0 until 8).map(1 << _) ++
+      (for { j <- 0 until 8; k <- j + 1 until 8 } yield (1 << j) | (1 << k)))
+
+  /** DuckDB (band-index, divisor) rows for the 4×8-bit SRP layout —
+    * integer divisors, not `256 ** bi` (which binds DOUBLE). */
+  private val srpBandsSql =
+    """(SELECT CAST(0 AS BIGINT) AS bi, CAST(1 AS BIGINT) AS dv
+       | UNION ALL SELECT 1, 256 UNION ALL SELECT 2, 65536
+       | UNION ALL SELECT 3, 16777216) b""".stripMargin
+
   val all: Seq[QDef] = Seq(
 
     // Embedding hygiene stats per label cell: vector counts and
@@ -435,6 +450,112 @@ object SimQueries {
           .agg(min(col("hamming")).as("hamming"), min(col("dot_pico")).as("dot_pico"))
           .orderBy(col("hamming"), col("dot_pico").desc, col("ida"), col("idb"))
           .limit(50)
+      }),
+
+    // MULTI-PROBE SRP tuning matrix (the LSH acceptance gate): for
+    // probe depths 0/1/2 (exact band match, plus all 1-bit, plus all
+    // 2-bit band flips — query-side ONLY, 4×37 probe rows per query,
+    // the corpus band table is untouched), report candidate cost and
+    // recall@5 against brute-force cosine truth. LSH prunes, EXACT
+    // scoring ranks: candidates are ordered by the same rounded
+    // cosine as the truth pass, so recall is the candidate-set recall
+    // and is monotone in probe depth — on the test corpus the curve
+    // is ~14-22% → ~46-52% → ~76-80% recall for ~4×/~10× candidate
+    // cost, the classic multi-probe tradeoff (Lv et al. 2007). The
+    // quadratic truth pass lives ONLY in this harness (bounded
+    // broadcast build, like q_dedup_eval); the production path is the
+    // banded equi-join + per-qid re-score.
+    QDef("q_embed_srp_probe_eval", Some(s"""
+      WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+                   list_transform(CAST(embedding AS DOUBLE[]),
+                     x -> CAST(floor(x * 1000000.0 + 0.5) AS BIGINT)) AS q FROM embeddings),
+      s AS (SELECT vec_id, v,
+        CAST(list_sum(list_transform(range(0, 32), p ->
+          CASE WHEN list_sum(list_transform(range(1, len(q) + 1), i ->
+                 ((CAST(1103515245 AS BIGINT) * (p * 64 + i - 1) + 12345) % 2048 - 1024) * q[i])) >= 0
+               THEN CAST(1 AS BIGINT) << p ELSE 0 END)) AS BIGINT) AS sig
+        FROM e),
+      qs AS (SELECT vec_id AS qid, v AS qv, sig AS qsig FROM s WHERE vec_id < 10),
+      ts AS (SELECT qid, s.vec_id AS cid,
+               round(${cosineSql("qv", "s.v")}, 3) AS sim3
+             FROM qs CROSS JOIN s WHERE qid <> s.vec_id),
+      tr AS (SELECT qid, cid FROM ts
+             QUALIFY row_number() OVER (PARTITION BY qid ORDER BY sim3 DESC, cid) <= 5),
+      mk AS (SELECT CAST(unnest([${srpProbeMasks.mkString(", ")}]) AS BIGINT) AS mask),
+      qb AS (SELECT qid, b.bi AS bi, xor((qsig // b.dv) % 256, mask) AS bv,
+               CAST(bit_count(mask) AS BIGINT) AS probe_d
+             FROM qs, $srpBandsSql, mk),
+      cb AS (SELECT vec_id AS cid, b.bi AS bi, (sig // b.dv) % 256 AS bv
+             FROM s, $srpBandsSql),
+      hit AS (SELECT qid, cid, min(probe_d) AS min_probe
+              FROM qb JOIN cb USING (bi, bv) WHERE qid <> cid GROUP BY qid, cid),
+      cc AS (SELECT CAST(unnest(range(min_probe, 3)) AS BIGINT) AS cfg,
+                    hit.qid AS qid, hit.cid AS cid, sim3
+             FROM hit JOIN ts ON ts.qid = hit.qid AND ts.cid = hit.cid),
+      ar AS (SELECT cfg, qid, cid FROM cc
+             QUALIFY row_number() OVER (PARTITION BY cfg, qid ORDER BY sim3 DESC, cid) <= 5),
+      hits AS (SELECT cfg, count(*) AS n_hit
+               FROM ar JOIN tr USING (qid, cid) GROUP BY cfg),
+      cost AS (SELECT cfg, count(*) AS n_cand FROM cc GROUP BY cfg),
+      nt AS (SELECT count(*) AS n_truth FROM tr)
+      SELECT c.cfg AS probe_hamming, coalesce(n_cand, 0) AS n_cand, n_truth,
+             coalesce(n_hit, 0) AS n_hit,
+             (1000 * coalesce(n_hit, 0)) // n_truth AS recall_permille
+      FROM (SELECT CAST(range AS BIGINT) AS cfg FROM range(3)) c
+      CROSS JOIN nt
+      LEFT JOIN cost ON c.cfg = cost.cfg LEFT JOIN hits ON c.cfg = hits.cfg
+      ORDER BY c.cfg"""),
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val e = t(s, d, "embeddings").select(col("vec_id"),
+          col("embedding").cast("array<double>").as("v"),
+          Similarity.srpQuantize(col("embedding")).as("q"))
+        val sg = e.select(col("vec_id"), col("v"),
+          Similarity.srpSignature(col("q")).as("sig"))
+        val qs = sg.filter(col("vec_id") < 10).select(col("vec_id").as("qid"),
+          col("v").as("qv"), col("sig").as("qsig"))
+        val ts = broadcast(qs.select("qid", "qv"))
+          .crossJoin(sg.select(col("vec_id").as("cid"), col("v").as("cv")))
+          .filter(col("qid") =!= col("cid"))
+          .select(col("qid"), col("cid"),
+            round(Similarity.cosine(col("qv"), col("cv")), 3).as("sim3"))
+        val wT = Window.partitionBy("qid").orderBy(col("sim3").desc, col("cid"))
+        val tr = ts.withColumn("rk", row_number().over(wT))
+          .filter(col("rk") <= 5).select("qid", "cid")
+        // query-side probe expansion: 4 bands × 37 masks per query
+        val probes = for {
+          j <- 0 until Similarity.SrpBands; m <- srpProbeMasks
+        } yield (j.toLong * Similarity.SrpBandBits, m.toLong,
+          java.lang.Long.bitCount(m.toLong).toLong)
+        val qb = qs.select(col("qid"), col("qsig"),
+            explode(typedLit(probes)).as("p"))
+          .select(col("qid"), (col("p._1") / 8).cast("long").as("bi"),
+            call_function("shiftright", col("qsig"), col("p._1").cast("int"))
+              .bitwiseAND(lit(255L)).bitwiseXOR(col("p._2")).as("bv"),
+            col("p._3").as("probe_d"))
+        val cb = Similarity.srpBands(sg.select(col("vec_id").as("cid"), col("sig")))
+          .select(col("cid"), col("bi"), col("bv"))
+        val hit = qb.join(cb, Seq("bi", "bv"))
+          .filter(col("qid") =!= col("cid"))
+          .groupBy("qid", "cid").agg(min(col("probe_d")).as("min_probe"))
+        val cc = hit.join(ts, Seq("qid", "cid"))
+          .select(explode(sequence(col("min_probe"), lit(2L))).as("cfg"),
+            col("qid"), col("cid"), col("sim3"))
+        val wA = Window.partitionBy("cfg", "qid").orderBy(col("sim3").desc, col("cid"))
+        val ar = cc.withColumn("rk", row_number().over(wA))
+          .filter(col("rk") <= 5).select("cfg", "qid", "cid")
+        val hits = ar.join(tr, Seq("qid", "cid")).groupBy("cfg")
+          .agg(count(lit(1)).as("n_hit"))
+        val cost = cc.groupBy("cfg").agg(count(lit(1)).as("n_cand"))
+        val nt = tr.agg(count(lit(1)).as("n_truth"))
+        s.range(3).select(col("id").as("cfg"))
+          .crossJoin(broadcast(nt))
+          .join(cost, Seq("cfg"), "left").join(hits, Seq("cfg"), "left")
+          .select(col("cfg").as("probe_hamming"),
+            coalesce(col("n_cand"), lit(0L)).as("n_cand"), col("n_truth"),
+            coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+            expr("div(1000 * coalesce(n_hit, 0L), n_truth)").as("recall_permille"))
+          .orderBy("probe_hamming")
       }),
 
     // Embedding-cosine near-dup pairs: vector pairs above a high

@@ -357,6 +357,28 @@ class ScalePlanSpec extends AnyFunSuite {
     }
   }
 
+  test("SRP multi-probe eval: probe expansion stays query-side, and the " +
+      "recall/cost curve is monotone in probe depth") {
+    import spark.implicits._
+    val df = SparkEntry.queries("q_embed_srp_probe_eval")(spark, SparkTesting.sf)
+    val plan = executedPlan(df)
+    assert(!plan.contains("CartesianProduct"),
+      s"only the bounded broadcast truth pass may nest loops:\n$plan")
+    val rows = df.select("probe_hamming", "n_cand", "n_truth", "n_hit", "recall_permille")
+      .as[(Long, Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(rows.map(_._1).toSeq == Seq(0L, 1L, 2L), "expected probe depths 0,1,2")
+    // deeper probes only ADD candidates (supersets), so cost and
+    // candidate-set recall must both be non-decreasing
+    assert(rows.map(_._2).sliding(2).forall(w => w(0) <= w(1)),
+      s"candidate cost not monotone: ${rows.toSeq}")
+    assert(rows.map(_._5).sliding(2).forall(w => w(0) <= w(1)),
+      s"recall not monotone in probe depth: ${rows.toSeq}")
+    assert(rows.last._5 > 0, "probe<=2 recall is zero — the gate is vacuous")
+    rows.foreach { case (_, _, nTruth, nHit, rp) =>
+      assert(nHit <= nTruth && rp == 1000 * nHit / nTruth, s"inconsistent row: ${rows.toSeq}")
+    }
+  }
+
   test("token-budget selection: budget + running-fill windows share ONE " +
       "source hash exchange (text tokenized before the shuffle)") {
     val df = SparkEntry.queries("q_select_token_budget")(spark, SparkTesting.sf)
