@@ -138,6 +138,48 @@ object TextQueries {
           .orderBy(col("pr_micro").desc, col("tok")).limit(20)
       }),
 
+    // Bigram-LM quality proxy (the KenLM-perplexity stand-in a
+    // curation pipeline runs when no external LM is allowed): score
+    // each doc by the MEAN CORPUS FREQUENCY of its bigrams, in milli
+    // units — high = in-distribution phrasing, low = rare/garbled
+    // sequences. Self-supervised (the corpus is its own LM), and
+    // integer-exact end to end: counts are BIGINTs, the mean is one
+    // truncating div over non-negative operands. Scale shape: the
+    // bigram count table keys on the bigram (vocab² can't broadcast
+    // at 100 TB) — instances shuffle-join counts on the bigram key,
+    // then re-aggregate per doc: explode → map-side-combined count →
+    // key join → doc agg, the same shape as tf-idf. Docs with <2
+    // tokens keep score 0 via the left join (never a div-by-zero).
+    QDef("q_doc_lm_score", Some("""
+      WITH d AS (SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS toks FROM documents),
+      bi AS (SELECT doc_id, unnest(list_transform(range(1, greatest(len(toks), 1)),
+               i -> toks[i] || ' ' || toks[i+1])) AS bg FROM d),
+      bc AS (SELECT bg, CAST(count(*) AS BIGINT) AS cnt FROM bi GROUP BY bg),
+      ds AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+                    CAST(sum(cnt) AS BIGINT) AS sum_cnt
+             FROM bi JOIN bc USING (bg) GROUP BY doc_id)
+      SELECT d.doc_id, coalesce(n_bigrams, 0) AS n_bigrams,
+             coalesce(sum_cnt, 0) AS sum_cnt,
+             CASE WHEN coalesce(n_bigrams, 0) = 0 THEN 0
+                  ELSE (1000 * sum_cnt) // n_bigrams END AS lm_score_milli
+      FROM d LEFT JOIN ds USING (doc_id) ORDER BY doc_id"""),
+      (s, d) => {
+        val docs = t(s, d, "documents")
+          .select(col("doc_id"), TA.tokens(col("text")).as("toks"))
+        val bi = docs.select(col("doc_id"),
+          explode(NearDup.shingleExpr("toks", 2)).as("bg"))
+        val bc = bi.groupBy("bg").agg(count(lit(1)).as("cnt"))
+        val ds = bi.join(bc, "bg").groupBy("doc_id")
+          .agg(count(lit(1)).as("n_bigrams"), sum(col("cnt")).as("sum_cnt"))
+        docs.select("doc_id").join(ds, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+            coalesce(col("sum_cnt"), lit(0L)).cast("long").as("sum_cnt"),
+            when(coalesce(col("n_bigrams"), lit(0L)) === 0, lit(0L))
+              .otherwise(expr("div(1000 * sum_cnt, n_bigrams)")).as("lm_score_milli"))
+          .orderBy("doc_id")
+      }),
+
     // Cross-SOURCE OVERLAP matrix (dataset contamination audit):
     // for every source pair, how many distinct word-3-grams they
     // share, plus the Jaccard permille over their shingle

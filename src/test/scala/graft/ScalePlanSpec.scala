@@ -303,6 +303,23 @@ class ScalePlanSpec extends AnyFunSuite {
       "all ranks at the floor — the graph contributed nothing, test is vacuous")
   }
 
+  test("bigram-LM score: map-side-combined bigram count, equi-joins only, " +
+      "and short docs score 0 instead of dividing by zero") {
+    import spark.implicits._
+    val df = SparkEntry.queries("q_doc_lm_score")(spark, SparkTesting.sf)
+    val plan = executedPlan(df)
+    assert(plan.contains("partial_count") || plan.contains("partial_"),
+      s"bigram counting must combine map-side before the shuffle:\n$plan")
+    val rows = df.select("doc_id", "n_bigrams", "sum_cnt", "lm_score_milli")
+      .as[(Long, Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (id, n, s0, m) =>
+      if (n == 0) assert(s0 == 0 && m == 0, s"doc $id: empty doc must score 0")
+      else assert(m == 1000 * s0 / n, s"doc $id: score $m != 1000*$s0/$n")
+      assert(s0 >= n, s"doc $id: every bigram occurs at least once ($s0 < $n)")
+    }
+  }
+
   test("SRP signatures: narrow zero-shuffle projection — no join, no hash " +
       "exchange, and every signature fits the 32-plane space") {
     import spark.implicits._
