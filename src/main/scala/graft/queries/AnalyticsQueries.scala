@@ -69,6 +69,32 @@ object AnalyticsQueries {
           col("n"), col("sum_price"))
         .orderBy("flag", "status")),
 
+    // CUBE with grouping_id: all four aggregation granularities of
+    // (returnflag, linestatus) in ONE pass, each row tagged with the
+    // bitmask saying which keys are rolled up (Spark's grouping_id()
+    // and DuckDB's GROUPING() share the first-arg-is-MSB convention —
+    // verified empirically, see the oracle). The cube is planned as a
+    // single Expand + hash aggregate: 4 grouping sets cost one scan,
+    // not four. Sums in DECIMAL rendered as strings (the exact-sum
+    // discipline of q_rollup_pricing).
+    QDef("q_cube_pricing", Some("""
+      SELECT coalesce(l_returnflag, '(all)') AS flag,
+             coalesce(l_linestatus, '(all)') AS status,
+             CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+             count(*) AS n,
+             CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS VARCHAR) AS sum_price
+      FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+      ORDER BY gid, flag, status"""),
+      (s, d) => t(s, d, "lineitem")
+        .cube("l_returnflag", "l_linestatus")
+        .agg(grouping_id().cast("long").as("gid"),
+          count(lit(1)).as("n"),
+          sum(col("l_extendedprice").cast("decimal(12,2)")).cast("string").as("sum_price"))
+        .select(coalesce(col("l_returnflag"), lit("(all)")).as("flag"),
+          coalesce(col("l_linestatus"), lit("(all)")).as("status"),
+          col("gid"), col("n"), col("sum_price"))
+        .orderBy("gid", "flag", "status")),
+
     // WINDOW FRAMES: per-user running total + 3-row moving sum over
     // the event timeline — the cumulative-engagement curve the
     // reference renders per contact. One shuffle on user_id serves
