@@ -138,6 +138,48 @@ object TextQueries {
           .orderBy(col("pr_micro").desc, col("tok")).limit(20)
       }),
 
+    // VOCABULARY GROWTH curve (Heaps'-law corpus diversity audit):
+    // per 100-doc bucket of the ingest order, how many tokens appear
+    // for the FIRST time, plus the cumulative vocabulary — the
+    // saturation signal that tells a crawl-curation pipeline when a
+    // source stops contributing novelty. First-occurrence is a
+    // map-side-combined min(doc_id) per token (never a sort of the
+    // corpus); the only single-partition step is the running sum over
+    // the BUCKET table, whose cardinality is |corpus|/100 — at 100 TB
+    // that's still thousands of rows, not data-scale. Integer-exact.
+    QDef("q_vocab_growth", Some("""
+      WITH d AS (SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS toks FROM documents),
+      occ AS (SELECT doc_id, unnest(toks) AS tok FROM d),
+      ft AS (SELECT tok, min(doc_id) AS first_doc FROM occ GROUP BY tok),
+      nb AS (SELECT first_doc // 100 AS bucket, CAST(count(*) AS BIGINT) AS new_tokens
+             FROM ft GROUP BY 1),
+      db AS (SELECT doc_id // 100 AS bucket, CAST(count(*) AS BIGINT) AS n_docs,
+                    CAST(sum(len(toks)) AS BIGINT) AS n_occ FROM d GROUP BY 1)
+      SELECT db.bucket, n_docs, n_occ, coalesce(new_tokens, 0) AS new_tokens,
+             CAST(sum(coalesce(new_tokens, 0)) OVER (ORDER BY db.bucket) AS BIGINT) AS cum_vocab
+      FROM db LEFT JOIN nb ON db.bucket = nb.bucket
+      ORDER BY db.bucket"""),
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val docs = t(s, d, "documents")
+          .select(col("doc_id"), TA.tokens(col("text")).as("toks"))
+        val ft = docs.select(col("doc_id"), explode(col("toks")).as("tok"))
+          .groupBy("tok").agg(min(col("doc_id")).as("first_doc"))
+        val nb = ft.select(expr("div(first_doc, 100)").as("bucket"))
+          .groupBy("bucket").agg(count(lit(1)).as("new_tokens"))
+        val db = docs.select(expr("div(doc_id, 100)").as("bucket"),
+            size(col("toks")).cast("long").as("nt"))
+          .groupBy("bucket")
+          .agg(count(lit(1)).as("n_docs"), sum(col("nt")).cast("long").as("n_occ"))
+        val w = Window.orderBy("bucket")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        db.join(nb, Seq("bucket"), "left")
+          .select(col("bucket"), col("n_docs"), col("n_occ"),
+            coalesce(col("new_tokens"), lit(0L)).as("new_tokens"))
+          .withColumn("cum_vocab", sum(col("new_tokens")).over(w).cast("long"))
+          .orderBy("bucket")
+      }),
+
     // Bigram-LM quality proxy (the KenLM-perplexity stand-in a
     // curation pipeline runs when no external LM is allowed): score
     // each doc by the MEAN CORPUS FREQUENCY of its bigrams, in milli
