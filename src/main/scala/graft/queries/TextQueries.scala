@@ -612,6 +612,29 @@ object TextQueries {
       (s, d) => NearDup.tokenJaccardPairs(tokDf(s, d, Some(13)), "doc_id", "tok", 4)
         .orderBy("doc_a", "doc_b")),
 
+    // PREFIX-FILTERED Jaccard join (AllPairs/PPJoin): same truth as
+    // q_dedup_token_jaccard's J≥0.4 pairs, but candidates come ONLY
+    // from each doc's rarest n−⌈0.4n⌉+1 tokens under the global
+    // frequency order. THE ORACLE IS THE FULL-JOIN TRUTH — the hash
+    // compare therefore PROVES the prefix candidate scheme is
+    // complete (a dropped true pair would mismatch). See
+    // NearDup.prefixJaccardPairs for the theorem and the 100 TB
+    // rationale (prefixes hold rare tokens, so candidate buckets are
+    // the frequency tail; no pruning is visible on this 31-token-
+    // vocabulary corpus, by construction).
+    QDef("q_dedup_prefix_jaccard", Some(s"""
+      WITH ${tokCte.format("WHERE doc_id % 13 = 0")},
+      sz AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id),
+      inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+                FROM tok a JOIN tok b ON a.tok = b.tok AND a.doc_id < b.doc_id
+                GROUP BY doc_a, doc_b)
+      SELECT doc_a, doc_b, i, sa.n AS na, sb.n AS nb
+      FROM inter JOIN sz sa ON doc_a = sa.doc_id JOIN sz sb ON doc_b = sb.doc_id
+      WHERE i * 10 >= 4 * (sa.n + sb.n - i)
+      ORDER BY doc_a, doc_b"""),
+      (s, d) => NearDup.prefixJaccardPairs(tokDf(s, d, Some(13)), "doc_id", "tok", 4)
+        .orderBy("doc_a", "doc_b")),
+
     // n-gram Jaccard near-dup pairs: word-3-gram shingle sets, exact
     // Jaccard >= 0.2 via integer cross-multiplication, 1-in-13 sample.
     QDef("q_dedup_ngram_jaccard", Some(s"""

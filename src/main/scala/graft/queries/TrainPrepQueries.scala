@@ -149,6 +149,26 @@ object TrainPrepQueries {
           .orderBy("doc_id")
       }),
 
+    // PARTITIONED parquet sink + partition-PRUNED readback: the lake
+    // layout every 100 TB corpus lands in — written partitioned by
+    // language, read back through a partition filter that prunes at
+    // the directory listing (PartitionFilters in the scan, pinned in
+    // ScalePlanSpec — the 'en' probe lists one directory, it does not
+    // scan four languages and filter rows). The partition column is
+    // dropped from the output (it lives in the path, and its read
+    // type is the sink's business, not the consumer's).
+    QDef("q_sink_parquet_partitioned", Some("""
+      SELECT doc_id, text, source, n_chars FROM documents
+      WHERE lang = 'en' ORDER BY doc_id"""),
+      (s, d) => {
+        val out = SinkScratch.dir("q_sink_parquet_partitioned", d)
+        t(s, d, "documents")
+          .write.mode("overwrite").partitionBy("lang").parquet(out)
+        s.read.parquet(out).filter(col("lang") === "en")
+          .select("doc_id", "text", "source", "n_chars")
+          .orderBy("doc_id")
+      }),
+
     // Context-window SEQUENCE PACKING: concatenate each shard's docs
     // in id order and chunk the token stream into budget-sized
     // windows; a doc's seq_id is the window its first token lands in.

@@ -346,4 +346,54 @@ object NearDup {
         when(col("i") * 10 >= (col("na") + col("nb") - col("i")) * thresholdTenths, 1)
           .otherwise(0).as("near_dup"))
   }
+
+  /** PREFIX-FILTERED Jaccard similarity join (AllPairs/PPJoin
+    * candidate scheme — Bayardo et al. 2007, Xiao et al. 2008):
+    * order each doc's distinct tokens by ascending GLOBAL frequency
+    * (rarest first, token tiebreak) and join only the first
+    * n − ⌈t·n⌉ + 1 tokens of each doc. Completeness theorem: any
+    * pair with J ≥ t shares at least one token inside both prefixes
+    * under a common total order — so the verified output EQUALS the
+    * full-join result filtered to J ≥ t (the oracle pins exactly
+    * that). Returns only the verified near-dup pairs
+    * (doc_a, doc_b, i, na, nb).
+    *
+    * Scale: the candidate join touches only prefix tokens — and
+    * because prefixes hold each doc's RAREST tokens, bucket sizes are
+    * the small tail of the token-frequency distribution, not the
+    * stop-word head (the frequency ordering is what makes this
+    * tractable at 100 TB; a random ordering would put 'the' in
+    * prefixes). On the synthetic 31-token-vocabulary corpus the
+    * filter cannot prune (every subset of a tiny vocab collides);
+    * on a real heavy-tailed vocabulary it prunes most pairs. The
+    * global frequency table is a map-side-combined count, the
+    * per-doc ordering one window over the doc's own tokens.
+    */
+  def prefixJaccardPairs(docTokens: DataFrame, id: String, tok: String,
+                         thresholdTenths: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tf = docTokens.groupBy(col(tok)).agg(count(lit(1)).as("f"))
+    val w = Window.partitionBy(col(id)).orderBy(col("f"), col(tok))
+    val sizes = docTokens.groupBy(col(id)).agg(count(lit(1)).as("n"))
+    // prefix length n − ⌈t·n⌉ + 1 with ⌈t·n⌉ = div(tenths·n + 9, 10)
+    val pre = docTokens.join(tf, tok)
+      .withColumn("pos", row_number().over(w))
+      .join(sizes, id)
+      .filter(col("pos") <=
+        col("n") - expr(s"div($thresholdTenths * n + 9, 10)") + lit(1))
+      .select(col(id), col(tok))
+    val cand = pre.select(col(id).as("doc_a"), col(tok))
+      .join(pre.select(col(id).as("doc_b"), col(tok)), Seq(tok))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+    val inter = cand
+      .join(docTokens.select(col(id).as("doc_a"), col(tok)), "doc_a")
+      .join(docTokens.select(col(id).as("doc_b"), col(tok)), Seq("doc_b", tok))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("i"))
+    inter
+      .join(sizes.withColumnRenamed("n", "na").withColumnRenamed(id, "doc_a"), "doc_a")
+      .join(sizes.withColumnRenamed("n", "nb").withColumnRenamed(id, "doc_b"), "doc_b")
+      .filter(col("i") * 10 >= (col("na") + col("nb") - col("i")) * thresholdTenths)
+      .select(col("doc_a"), col("doc_b"), col("i"), col("na"), col("nb"))
+  }
 }

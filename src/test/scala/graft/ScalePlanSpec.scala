@@ -303,6 +303,33 @@ class ScalePlanSpec extends AnyFunSuite {
       "all ranks at the floor — the graph contributed nothing, test is vacuous")
   }
 
+  test("prefix-filtered Jaccard join: differentially equal to the " +
+      "full-join truth (candidate completeness)") {
+    import spark.implicits._
+    val tok = SparkEntry.queries("q_dedup_token_jaccard")(spark, SparkTesting.sf)
+    // full-join truth restricted to verified near-dups
+    val full = tok.filter(col("near_dup") === 1)
+      .select("doc_a", "doc_b", "i", "na", "nb")
+      .as[(Long, Long, Long, Long, Long)].collect().sortBy(r => (r._1, r._2))
+    val pref = SparkEntry.queries("q_dedup_prefix_jaccard")(spark, SparkTesting.sf)
+      .select("doc_a", "doc_b", "i", "na", "nb")
+      .as[(Long, Long, Long, Long, Long)].collect().sortBy(r => (r._1, r._2))
+    assert(pref.toSeq == full.toSeq,
+      s"prefix candidate scheme dropped or invented pairs: ${pref.length} vs ${full.length}")
+    assert(pref.nonEmpty, "no near-dup pairs — the differential test is vacuous")
+  }
+
+  test("partitioned parquet sink: the language probe prunes at the " +
+      "partition listing, not by scanning all languages") {
+    val df = SparkEntry.queries("q_sink_parquet_partitioned")(spark, SparkTesting.sf)
+    val plan = executedPlan(df)
+    assert(plan.contains("PartitionFilters"),
+      s"readback must carry a partition filter:\n$plan")
+    val pf = plan.linesIterator.filter(_.contains("PartitionFilters")).mkString("\n")
+    assert(pf.contains("lang"), s"partition filter must bind lang:\n$pf")
+    assert(df.count() > 0)
+  }
+
   test("bigram-LM score: map-side-combined bigram count, equi-joins only, " +
       "and short docs score 0 instead of dividing by zero") {
     import spark.implicits._
