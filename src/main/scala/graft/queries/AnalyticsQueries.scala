@@ -69,6 +69,44 @@ object AnalyticsQueries {
           col("n"), col("sum_price"))
         .orderBy("flag", "status")),
 
+    // INCREMENTAL AGGREGATE MERGE (materialized-view maintenance):
+    // per-key algebraic states (count / decimal sum / min / max)
+    // computed separately on the historical slice (event_id%10<8) and
+    // the delta slice, then merged with coalesce/least/greatest over
+    // a full outer join — the oracle is the FULL RECOMPUTE over all
+    // events, so the hash compare proves merge(state(old), state(Δ))
+    // == state(old ∪ Δ). This is the 100 TB refresh pattern: the
+    // historical state is a materialized table that is NEVER
+    // rescanned; each refresh aggregates only the delta and merges
+    // key-to-key (both sides hash-partitioned on the same keys).
+    // Decimal sums render as strings (exact, order-independent).
+    QDef("q_agg_incremental_merge", Some("""
+      SELECT user_id, event_type, count(*) AS n,
+             CAST(sum(CAST(value AS DECIMAL(12,2))) AS VARCHAR) AS sum_v,
+             min(event_id) AS min_id, max(event_id) AS max_id
+      FROM events GROUP BY user_id, event_type
+      ORDER BY user_id, event_type"""),
+      (s, d) => {
+        val ev = t(s, d, "events").select(col("user_id"), col("event_type"),
+          col("event_id"), col("value").cast("decimal(12,2)").as("v"))
+        def state(df: org.apache.spark.sql.DataFrame) =
+          df.groupBy("user_id", "event_type").agg(count(lit(1)).as("n"),
+            sum(col("v")).as("s"), min(col("event_id")).as("mn"),
+            max(col("event_id")).as("mx"))
+        val hist = state(ev.filter(col("event_id") % 10 < 8))
+          .withColumnsRenamed(Map("n" -> "n_o", "s" -> "s_o", "mn" -> "mn_o", "mx" -> "mx_o"))
+        val delta = state(ev.filter(col("event_id") % 10 >= 8))
+        hist.join(delta, Seq("user_id", "event_type"), "full_outer")
+          .select(col("user_id"), col("event_type"),
+            (coalesce(col("n_o"), lit(0L)) + coalesce(col("n"), lit(0L))).as("n"),
+            (coalesce(col("s_o"), lit(java.math.BigDecimal.ZERO).cast("decimal(22,2)")) +
+              coalesce(col("s"), lit(java.math.BigDecimal.ZERO).cast("decimal(22,2)")))
+              .cast("string").as("sum_v"),
+            least(col("mn_o"), col("mn")).as("min_id"),
+            greatest(col("mx_o"), col("mx")).as("max_id"))
+          .orderBy("user_id", "event_type")
+      }),
+
     // CUBE with grouping_id: all four aggregation granularities of
     // (returnflag, linestatus) in ONE pass, each row tagged with the
     // bitmask saying which keys are rolled up (Spark's grouping_id()
