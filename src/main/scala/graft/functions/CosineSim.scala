@@ -124,5 +124,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(CosineSim.registration)
     ext.injectFunction(RollingMinHash.registration)
+    ext.injectFunction(SrpSignature.registration)
   }
 }

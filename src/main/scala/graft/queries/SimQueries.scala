@@ -385,9 +385,8 @@ object SimQueries {
              CAST(bit_count(sig) AS BIGINT) AS popcnt
       FROM s ORDER BY vec_id"""),
       (s, d) => {
-        val e = t(s, d, "embeddings").select(col("vec_id"),
-          Similarity.srpQuantize(col("embedding")).as("q"))
-        e.select(col("vec_id"), Similarity.srpSignature(col("q")).as("sig"))
+        t(s, d, "embeddings")
+          .select(col("vec_id"), Similarity.srpSignature(col("embedding")).as("sig"))
           .select(col("vec_id"), col("sig"),
             shiftright(col("sig"), 0).bitwiseAND(lit(255L)).as("band0"),
             shiftright(col("sig"), 8).bitwiseAND(lit(255L)).as("band1"),
@@ -431,10 +430,9 @@ object SimQueries {
       SELECT ida, idb, hamming, dot_pico FROM pairs
       ORDER BY hamming, dot_pico DESC, ida, idb LIMIT 50"""),
       (s, d) => {
-        val e = t(s, d, "embeddings").select(col("vec_id"),
-          Similarity.srpQuantize(col("embedding")).as("q"))
-        val sg = e.select(col("vec_id"), col("q"),
-          Similarity.srpSignature(col("q")).as("sig"))
+        val sg = t(s, d, "embeddings").select(col("vec_id"),
+          Similarity.srpQuantize(col("embedding")).as("q"),
+          Similarity.srpSignature(col("embedding")).as("sig"))
         val bands = Similarity.srpBands(sg)
         val a = bands.select(col("bi"), col("bv"), col("vec_id").as("ida"),
           col("sig").as("siga"), col("q").as("qa"))
@@ -507,11 +505,9 @@ object SimQueries {
       ORDER BY c.cfg"""),
       (s, d) => {
         import org.apache.spark.sql.expressions.Window
-        val e = t(s, d, "embeddings").select(col("vec_id"),
+        val sg = t(s, d, "embeddings").select(col("vec_id"),
           col("embedding").cast("array<double>").as("v"),
-          Similarity.srpQuantize(col("embedding")).as("q"))
-        val sg = e.select(col("vec_id"), col("v"),
-          Similarity.srpSignature(col("q")).as("sig"))
+          Similarity.srpSignature(col("embedding")).as("sig"))
         val qs = sg.filter(col("vec_id") < 10).select(col("vec_id").as("qid"),
           col("v").as("qv"), col("sig").as("qsig"))
         val ts = broadcast(qs.select("qid", "qv"))

@@ -184,19 +184,24 @@ object Similarity {
     transform(vec.cast("array<double>"),
       x => floor(x * lit(1000000.0) + lit(0.5)).cast("long"))
 
-  /** Signed-random-projection (hyperplane) LSH signature over a
-    * quantized vector (Charikar 2002): bit p = sign of the dot
-    * product against pseudo-random hyperplane p. Hyperplane
-    * coefficients come from a shared integer LCG —
-    * c(p,i) = (1103515245·(p·64+i−1) + 12345) mod 2048 − 1024, all
-    * operands non-negative before the mod so Spark `%` and DuckDB `%`
-    * agree — giving a DATA-INDEPENDENT quantizer (no training pass,
-    * no centroid state) that any engine reproduces bit-for-bit.
-    * Magnitudes: |c| ≤ 1024, |q| ≤ 6·10⁵, 64 lanes ⇒ |dot| ≤ 4·10¹⁰,
-    * comfortably BIGINT. A narrow per-row projection: at 100 TB this
-    * runs inside the scan with zero shuffles, and signatures persist
-    * as one BIGINT column per vector. */
-  def srpSignature(q: Column, planes: Int = SrpPlanes): Column = {
+  /** Signed-random-projection (hyperplane) LSH signature (Charikar
+    * 2002): bit p = sign of the quantized vector's dot product
+    * against pseudo-random hyperplane p, coefficients from a shared
+    * integer LCG any engine reproduces bit-for-bit. Fused native
+    * Catalyst expression with whole-stage codegen — quantization +
+    * 32 plane dots + sign pack in one primitive loop (see
+    * [[graft.functions.SrpSignature]] for why the compositional HOF
+    * form is the wrong hot path). A narrow per-row projection: at
+    * 100 TB this runs inside the scan with zero shuffles, and
+    * signatures persist as one BIGINT column per vector. */
+  def srpSignature(vec: Column): Column = graft.functions.SrpSignature(vec)
+
+  /** Compositional HOF form of [[srpSignature]] over an
+    * ALREADY-QUANTIZED long array — nested aggregate/sequence folds,
+    * CodegenFallback (planes×dims boxed lambda calls per row); kept
+    * as the differential-test reference for the native expression
+    * (the [[cosineComposed]] pattern). */
+  def srpSignatureComposed(q: Column, planes: Int = SrpPlanes): Column = {
     require(planes >= 1 && planes <= 62, s"planes=$planes must fit a BIGINT")
     aggregate(sequence(lit(0L), lit(planes - 1L)), lit(0L), (acc, p) =>
       acc + when(
