@@ -41,6 +41,43 @@ final class PackProcessor(budget: Long)
   }
 }
 
+/** Streaming quota input: one doc with its source key. */
+final case class QuotaDoc(doc_id: Long, source: String)
+
+/** An admitted doc: `rank_in_source` is its 1-based admission index
+  * within the source's lifetime quota. */
+final case class AdmittedDoc(doc_id: Long, source: String, rank_in_source: Long)
+
+/** Streaming analog of q_cap_per_source: admit at most `cap` docs per
+  * source over the stream's LIFETIME, carrying the admitted count in
+  * one `ValueState[Long]` per source — O(1) state regardless of
+  * stream length (the dedup store keeps a fingerprint per doc; a
+  * quota needs only a counter). Within a micro-batch docs are
+  * admitted in doc-id order (the batch operator's order), across
+  * batches in arrival order; once the counter hits the cap, later
+  * rows drop forever — redelivery of an ADMITTED doc is not
+  * re-admitted by id (that is the dedup store's job upstream), this
+  * is a pure budget gate. */
+final class QuotaProcessor(cap: Long)
+    extends StatefulProcessor[String, QuotaDoc, AdmittedDoc] {
+
+  @transient private var admitted: ValueState[Long] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    admitted = getHandle.getValueState[Long](
+      "quota_admitted", Encoders.scalaLong, TTLConfig.NONE)
+
+  override def handleInputRows(source: String, rows: Iterator[QuotaDoc],
+                               timers: TimerValues): Iterator[AdmittedDoc] = {
+    var c = if (admitted.exists()) admitted.get() else 0L
+    val out = rows.toVector.sortBy(_.doc_id).flatMap { d =>
+      if (c < cap) { c += 1; Some(AdmittedDoc(d.doc_id, source, c)) } else None
+    }
+    admitted.update(c)
+    out.iterator
+  }
+}
+
 /** Streaming ingestion for the training-data document surface
   * (SURVEY.md §2.11 meets §2.9): the batch quality/dedup/stats
   * operators applied to an UNBOUNDED feed. Every transform here
@@ -159,6 +196,25 @@ object DocStream {
       .as[PackDoc]
       .groupByKey(_.shard)
       .transformWithState(new PackProcessor(budget),
+        TimeMode.None(), OutputMode.Update())
+  }
+
+  /** Streaming PER-SOURCE QUOTA: admit at most `cap` docs per source
+    * over the stream lifetime ([[QuotaProcessor]] — one counter per
+    * source in `ValueState`, O(1) state). The streaming face of
+    * q_cap_per_source's corpus balancing: a hot source stops
+    * contributing once its budget is spent, quiet sources keep their
+    * headroom forever. */
+  def quotaStream(docs: DataFrame, cap: Long,
+                  sourceCol: String = "source",
+                  idCol: String = "doc_id"): Dataset[AdmittedDoc] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs
+      .select(col(idCol).as("doc_id"), col(sourceCol).as("source"))
+      .as[QuotaDoc]
+      .groupByKey(_.source)
+      .transformWithState(new QuotaProcessor(cap),
         TimeMode.None(), OutputMode.Update())
   }
 

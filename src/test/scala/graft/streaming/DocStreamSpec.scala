@@ -234,6 +234,45 @@ class DocStreamSpec extends AnyFunSuite {
     assert(batch.filter(_._2 == "fr").groupBy(_._1).forall(_._2.size == 1))
   }
 
+  test("streaming per-source quota: lifetime cap enforced across micro-batches, " +
+      "quiet sources keep headroom") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val prevProvider = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val input = MemoryStream[(Long, String)]
+      val q = DocStream.quotaStream(
+        input.toDF().toDF("doc_id", "source"), cap = 3)
+        .writeStream.format("memory").queryName("doc_quota")
+        .outputMode(OutputMode.Update).start()
+      try {
+        // batch 1: hot source "a" sends 2, "b" sends 1
+        input.addData((1L, "a"), (2L, "a"), (10L, "b"))
+        q.processAllAvailable()
+        // batch 2: "a" sends 3 more (only 1 admitted — budget spent),
+        // "b" sends 2 (both admitted — headroom persisted)
+        input.addData((3L, "a"), (4L, "a"), (5L, "a"), (11L, "b"), (12L, "b"))
+        q.processAllAvailable()
+        // batch 3: "a" fully exhausted, nothing admitted
+        input.addData((6L, "a"))
+        q.processAllAvailable()
+      } finally q.stop()
+      val got = spark.sql(
+        "SELECT doc_id, source, rank_in_source FROM doc_quota ORDER BY source, rank_in_source")
+        .as[(Long, String, Long)].collect().toSeq
+      assert(got == Seq(
+        (1L, "a", 1L), (2L, "a", 2L), (3L, "a", 3L), // doc 3 wins batch-2 id order
+        (10L, "b", 1L), (11L, "b", 2L), (12L, "b", 3L)))
+    } finally {
+      prevProvider match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("streaming sequence packing: running totals persist across micro-batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
