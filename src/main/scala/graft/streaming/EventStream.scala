@@ -282,6 +282,35 @@ object EventStream {
       .select(col(key), col("w.start").as("session_start"),
         col("w.end").as("session_end"), col("n"))
 
+  /** STREAM-STREAM interval join: attribute each conversion to every
+    * view by the same user within `attributionWindow` BEFORE it —
+    * the canonical watermarked two-stream join (last-touch selection
+    * is then the batch q_attribution_last_touch rank over this
+    * output, or a downstream stateful min). Both sides carry
+    * watermarks and the join condition bounds event-time distance,
+    * which is exactly what lets Spark expire buffered rows: a view
+    * older than watermark − attributionWindow can never match a
+    * future conversion and is evicted, so state is O(rate × window),
+    * not O(stream). Inner join: unmatched rows simply age out. */
+  def attributionJoinStream(views: DataFrame, conversions: DataFrame,
+                            attributionWindow: String,
+                            watermarkDelay: String): DataFrame = {
+    val v = views.select(col("user_id").as("v_user"),
+      col("event_id").as("view_id"), col("ts").as("view_ts"))
+      .withWatermark("view_ts", watermarkDelay)
+    val c = conversions.select(col("user_id").as("c_user"),
+      col("event_id").as("conv_id"), col("ts").as("conv_ts"))
+      .withWatermark("conv_ts", watermarkDelay)
+    v.join(c, expr(
+        s"""v_user = c_user AND
+           |conv_ts >= view_ts AND
+           |conv_ts <= view_ts + interval $attributionWindow""".stripMargin))
+      .select(col("v_user").as("user_id"), col("view_id"), col("conv_id"),
+        col("view_ts"), col("conv_ts"),
+        (unix_timestamp(col("conv_ts")) - unix_timestamp(col("view_ts")))
+          .as("lag_sec"))
+  }
+
   /** At-least-once input → exactly-once effect: drop redelivered
     * rows by id, state bounded by the watermark (the streaming form
     * of the reference's content-hash merge dedup). */

@@ -17,6 +17,40 @@ class EventStreamSpec extends AnyFunSuite {
 
   private def ts(s: String) = Timestamp.valueOf(s)
 
+  test("stream-stream attribution join: conversions match in-window views " +
+      "across micro-batches, out-of-window never match") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    case class E(event_id: Long, ts: Timestamp, user_id: Long)
+    val views = MemoryStream[(Long, Timestamp, Long)]
+    val convs = MemoryStream[(Long, Timestamp, Long)]
+    val joined = EventStream.attributionJoinStream(
+      views.toDF().toDF("event_id", "ts", "user_id"),
+      convs.toDF().toDF("event_id", "ts", "user_id"),
+      attributionWindow = "10 minutes", watermarkDelay = "5 minutes")
+    val q = joined.writeStream.format("memory").queryName("attrib")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // batch 1: user 1 views at 00:00 and 00:08; user 2 views at 00:00
+      views.addData((101L, ts("2024-01-01 00:00:00"), 1L),
+        (102L, ts("2024-01-01 00:08:00"), 1L),
+        (201L, ts("2024-01-01 00:00:00"), 2L))
+      q.processAllAvailable()
+      // batch 2 (other stream): user 1 converts at 00:09 (both views
+      // in window), user 2 converts at 00:30 (view out of window)
+      convs.addData((901L, ts("2024-01-01 00:09:00"), 1L),
+        (902L, ts("2024-01-01 00:30:00"), 2L))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.sql(
+      "SELECT user_id, view_id, conv_id, lag_sec FROM attrib ORDER BY view_id")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      (1L, 101L, 901L, 540L),  // 00:00 view → 00:09 conv, 9 min lag
+      (1L, 102L, 901L, 60L)))  // 00:08 view → 00:09 conv, 1 min lag
+    // user 2's conversion 30 min after the view matched nothing
+  }
+
   test("tumbling-window counts over a stream match the batch analog") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
