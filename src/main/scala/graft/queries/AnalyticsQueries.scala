@@ -576,6 +576,40 @@ object AnalyticsQueries {
         .select(col("user_id"), col("tot").cast("string").as("total"), col("quartile"))
         .orderBy("user_id")),
 
+    // INTEGER PERCENT-RANK (position permille): each user's spend
+    // position within their event_type cohort as
+    // div(1000·(rk−1), n−1) over a row_number rank — born-integer
+    // (the float percent_rank() would reopen the r5-r7 oracle-
+    // environment wound), deterministic under ties via the user_id
+    // tiebreak. ONE hash exchange on event_type serves both window
+    // functions (same partition spec) — and unlike a global ntile,
+    // the partitioned window never funnels the corpus through a
+    // single task at scale.
+    QDef("q_percent_rank_milli", Some("""
+      WITH u AS (SELECT event_type, user_id, sum(CAST(value AS DECIMAL(12,2))) AS tot
+                 FROM events GROUP BY event_type, user_id),
+      r AS (SELECT event_type, user_id, tot,
+              CAST(row_number() OVER (PARTITION BY event_type ORDER BY tot DESC, user_id) AS BIGINT) AS rk,
+              CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS n
+            FROM u)
+      SELECT event_type, user_id, CAST(tot AS VARCHAR) AS total, rk,
+             CASE WHEN n = 1 THEN 0 ELSE (1000 * (rk - 1)) // (n - 1) END AS pr_milli
+      FROM r ORDER BY event_type, rk"""),
+      (s, d) => {
+        val u = t(s, d, "events").groupBy("event_type", "user_id")
+          .agg(sum(col("value").cast("decimal(12,2)")).as("tot"))
+        val byType = Window.partitionBy("event_type")
+        val r = u
+          .withColumn("rk", row_number().over(
+            byType.orderBy(col("tot").desc, col("user_id").asc)).cast("long"))
+          .withColumn("n", count(lit(1)).over(byType).cast("long"))
+        r.select(col("event_type"), col("user_id"),
+            col("tot").cast("string").as("total"), col("rk"),
+            when(col("n") === 1, lit(0L))
+              .otherwise(expr("div(1000 * (rk - 1), n - 1)")).as("pr_milli"))
+          .orderBy("event_type", "rk")
+      }),
+
     // Time-series RESAMPLE + LOCF gap fill: per-user daily grid from
     // first to last active day, observed daily totals carried
     // forward over silent days (`last` with ignoreNulls — the
