@@ -362,6 +362,37 @@ object SimQueries {
           .orderBy("cell", "pos")
       }),
 
+    // PRODUCT QUANTIZATION codes (Jégou et al. 2011) — the third leg
+    // of the vector-compression story (int8 scalar → PQ → IVF/SRP
+    // coarse): each micro-quantized vector splits into 8 subvectors
+    // of 8 lanes, each assigned its nearest codebook entry by pure-
+    // BIGINT squared L2 (codebook = the first 16 vectors' subvectors,
+    // a deterministic "training" pick like q_embed_ann_ivf_kmeans).
+    // 64 f32 dims compress to 8 codes; dist_pico2 is the per-subspace
+    // reconstruction error. Encoding is a narrow zero-shuffle
+    // projection over driver-inlined codebook literals (plan-pinned;
+    // see Similarity.pqCodes for the 100 TB asymmetric-search story).
+    QDef("q_embed_pq_codes", Some("""
+      WITH e AS (SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]),
+                   x -> CAST(floor(x * 1000000.0 + 0.5) AS BIGINT)) AS q FROM embeddings),
+      cent AS (SELECT vec_id AS code, q AS cq FROM e WHERE vec_id < 16),
+      sub AS (SELECT vec_id, q, unnest(range(0, 8)) AS j FROM e),
+      sc AS (SELECT vec_id, j, code,
+               CAST(list_sum(list_transform(range(1, 9), i ->
+                 (q[j*8 + i] - cq[j*8 + i]) * (q[j*8 + i] - cq[j*8 + i]))) AS BIGINT) AS dist
+             FROM sub CROSS JOIN cent),
+      best AS (SELECT vec_id, CAST(j AS BIGINT) AS sub_j, CAST(code AS BIGINT) AS code, dist
+               FROM sc QUALIFY row_number() OVER (PARTITION BY vec_id, j ORDER BY dist, code) = 1)
+      SELECT vec_id, sub_j, code, dist AS dist_pico2 FROM best
+      ORDER BY vec_id, sub_j"""),
+      (s, d) => {
+        val e = t(s, d, "embeddings").select(col("vec_id"),
+          Similarity.srpQuantize(col("embedding")).as("q"))
+        val cb = e.filter(col("vec_id") < 16)
+          .select(col("vec_id").as("code"), col("q").as("cq"))
+        Similarity.pqCodes(e, cb, m = 8, dsub = 8).orderBy("vec_id", "sub_j")
+      }),
+
     // SRP (signed-random-projection / hyperplane) LSH signatures: the
     // DATA-INDEPENDENT coarse quantizer complementing the trained IVF
     // path — no centroid state, no training pass, reproducible from

@@ -221,6 +221,52 @@ object Similarity {
           shiftright(col("sig"), j * SrpBandBits).bitwiseAND(lit(255L)))
     }.reduce(_ union _)
 
+  /** PRODUCT QUANTIZATION encode (Jégou et al. 2011): split each
+    * MICRO-QUANTIZED vector into `m` subvectors of `dsub` lanes and
+    * assign every subvector its nearest codebook entry by INTEGER
+    * squared L2 distance (pure BIGINT — micro-quantization happens
+    * before any distance, so codes are bit-identical in any engine;
+    * deterministic smaller-code tiebreak). Returns one row per
+    * (vector, subspace): (vec_id, sub_j, code, dist_pico2) — dist is
+    * the subspace's squared reconstruction error in pico² units.
+    *
+    * The codebook (k entries × m·dsub lanes) is coarse-quantizer-
+    * sized, so like [[ivfAssign]] it is collected to the driver and
+    * embedded as literals: encoding is a genuinely NARROW per-row
+    * projection — no join, no shuffle; at 100 TB the m small codes
+    * replace the full vector in the lake (64 dims × f32 → 8 bytes)
+    * and asymmetric-distance search scans codes, not vectors. The
+    * k·m·dsub inline expression tree obeys the same size regime as
+    * the IVF inline path ([[CentroidInlineThreshold]] rationale);
+    * k=16 here is far inside it.
+    *
+    * @param corpus   (vec_id, q: array<long>) micro-quantized vectors
+    * @param codebook (code, cq: array<long>) small — collected
+    */
+  def pqCodes(corpus: DataFrame, codebook: DataFrame,
+              m: Int, dsub: Int): DataFrame = {
+    val cents = codebook.select(col("code").cast("long"), col("cq")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1).toArray)).sortBy(_._1)
+    require(cents.nonEmpty, "PQ encode needs a non-empty codebook")
+    require(cents.forall(_._2.length == m * dsub),
+      s"codebook entries must have m*dsub = ${m * dsub} lanes")
+    val subs = (0 until m).map { j =>
+      val scored = cents.map { case (code, cv) =>
+        val dist = (1 to dsub).map { i =>
+          val d = element_at(col("q"), j * dsub + i) - lit(cv(j * dsub + i - 1))
+          d * d
+        }.reduce(_ + _)
+        struct(dist.as("d"), lit(code).as("code"))
+      }
+      val best = array_min(array(scored.toIndexedSeq: _*))
+      struct(lit(j.toLong).as("sub_j"), best.getField("code").as("code"),
+        best.getField("d").as("dist_pico2"))
+    }
+    corpus.select(col("vec_id"), explode(array(subs.toIndexedSeq: _*)).as("s"))
+      .select(col("vec_id"), col("s.sub_j").as("sub_j"),
+        col("s.code").as("code"), col("s.dist_pico2").as("dist_pico2"))
+  }
+
   /** IVF-style pruned top-k: candidates restricted to the query's
     * cell(s) — either a precomputed partition column, [[ivfAssign]]'s
     * single cell, or [[ivfProbeCells]]'s nprobe-expanded rows (the

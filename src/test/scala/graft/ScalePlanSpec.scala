@@ -347,6 +347,25 @@ class ScalePlanSpec extends AnyFunSuite {
     }
   }
 
+  test("PQ encode: narrow zero-shuffle projection over inlined codebook " +
+      "literals, training vectors self-encode at distance zero") {
+    import spark.implicits._
+    val df = SparkEntry.queries("q_embed_pq_codes")(spark, SparkTesting.sf)
+    val plan = executedPlan(df).split("== Initial Plan ==")(0)
+    assert(!plan.contains("Exchange hashpartitioning") && !plan.contains("Join"),
+      s"PQ encoding is a per-row projection, never a join:\n$plan")
+    val rows = df.select("vec_id", "sub_j", "code", "dist_pico2")
+      .as[(Long, Long, Long, Long)].collect()
+    assert(rows.nonEmpty && rows.length % 8 == 0, "8 subspace rows per vector")
+    rows.foreach { case (id, j, c, dist) =>
+      assert(j >= 0 && j < 8 && c >= 0 && c < 16 && dist >= 0,
+        s"vec $id: out-of-range subspace/code/dist ($j, $c, $dist)")
+      // a codebook entry's own subvector is its nearest codeword
+      if (id < 16) assert(c == id && dist == 0,
+        s"training vec $id must self-encode: got code $c dist $dist")
+    }
+  }
+
   test("SRP signatures: narrow zero-shuffle projection — no join, no hash " +
       "exchange, and every signature fits the 32-plane space") {
     import spark.implicits._
