@@ -393,6 +393,61 @@ object SimQueries {
         Similarity.pqCodes(e, cb, m = 8, dsub = 8).orderBy("vec_id", "sub_j")
       }),
 
+    // PQ ASYMMETRIC-DISTANCE SEARCH (ADC — the reason PQ exists):
+    // each query precomputes a tiny lookup table (8 subspaces × 16
+    // codewords = 128 integer distances) against the SHARED codebook;
+    // a candidate's distance is then Σⱼ LUT[j][codeⱼ] — the corpus
+    // side contributes ONLY its codes, never raw vectors. Top-5 per
+    // query by exact-integer ADC distance (cid tiebreak). Scale
+    // shape: the LUT (|queries|×128 rows) broadcasts into an
+    // equi-join on (sub_j, code) against the 8-rows-per-vector code
+    // table, one (qid, cid) re-agg, and the rank window rewrites to a
+    // map-side WindowGroupLimit — at 100 TB the scan reads an
+    // 8-byte-per-vector code column, which is the entire point.
+    QDef("q_embed_pq_adc", Some("""
+      WITH e AS (SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]),
+                   x -> CAST(floor(x * 1000000.0 + 0.5) AS BIGINT)) AS q FROM embeddings),
+      cent AS (SELECT vec_id AS code, q AS cq FROM e WHERE vec_id < 16),
+      sub AS (SELECT vec_id, q, unnest(range(0, 8)) AS j FROM e),
+      sc AS (SELECT vec_id, j, code,
+               CAST(list_sum(list_transform(range(1, 9), i ->
+                 (q[j*8 + i] - cq[j*8 + i]) * (q[j*8 + i] - cq[j*8 + i]))) AS BIGINT) AS dist
+             FROM sub CROSS JOIN cent),
+      codes AS (SELECT vec_id, CAST(j AS BIGINT) AS sub_j, CAST(code AS BIGINT) AS code
+                FROM sc QUALIFY row_number() OVER (PARTITION BY vec_id, j ORDER BY dist, code) = 1),
+      lut AS (SELECT vec_id AS qid, CAST(j AS BIGINT) AS sub_j,
+                     CAST(code AS BIGINT) AS code, dist AS d
+              FROM sc WHERE vec_id < 10),
+      adc AS (SELECT qid, codes.vec_id AS cid, CAST(sum(d) AS BIGINT) AS adc_dist
+              FROM lut JOIN codes USING (sub_j, code)
+              WHERE qid <> codes.vec_id GROUP BY qid, cid),
+      r AS (SELECT qid, cid, adc_dist,
+              CAST(row_number() OVER (PARTITION BY qid ORDER BY adc_dist, cid) AS BIGINT) AS rank
+            FROM adc)
+      SELECT qid, cid, adc_dist, rank FROM r WHERE rank <= 5
+      ORDER BY qid, rank"""),
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val e = t(s, d, "embeddings").select(col("vec_id"),
+          Similarity.srpQuantize(col("embedding")).as("q"))
+        val cb = e.filter(col("vec_id") < 16)
+          .select(col("vec_id").as("code"), col("q").as("cq"))
+        val codes = Similarity.pqCodes(e, cb, m = 8, dsub = 8)
+          .select(col("vec_id"), col("sub_j"), col("code"))
+        // per-query LUT: distance of the query's subvector to EVERY
+        // codeword — pqCodes with an un-argmin'd variant would hide
+        // the join, so compute it directly against the same codebook
+        val lut = Similarity.pqLut(e.filter(col("vec_id") < 10), cb, m = 8, dsub = 8)
+        val adc = broadcast(lut).join(codes, Seq("sub_j", "code"))
+          .filter(col("qid") =!= col("vec_id"))
+          .groupBy(col("qid"), col("vec_id").as("cid"))
+          .agg(sum(col("d")).cast("long").as("adc_dist"))
+        val w = Window.partitionBy("qid").orderBy(col("adc_dist"), col("cid"))
+        adc.withColumn("rank", row_number().over(w).cast("long"))
+          .filter(col("rank") <= 5)
+          .orderBy("qid", "rank")
+      }),
+
     // SRP (signed-random-projection / hyperplane) LSH signatures: the
     // DATA-INDEPENDENT coarse quantizer complementing the trained IVF
     // path — no centroid state, no training pass, reproducible from

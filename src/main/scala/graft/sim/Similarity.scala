@@ -243,20 +243,30 @@ object Similarity {
     * @param corpus   (vec_id, q: array<long>) micro-quantized vectors
     * @param codebook (code, cq: array<long>) small — collected
     */
-  def pqCodes(corpus: DataFrame, codebook: DataFrame,
-              m: Int, dsub: Int): DataFrame = {
+  /** Collect + validate a PQ codebook for driver inlining. */
+  private def pqCollect(codebook: DataFrame, m: Int, dsub: Int): Array[(Long, Array[Long])] = {
     val cents = codebook.select(col("code").cast("long"), col("cq")).collect()
       .map(r => (r.getLong(0), r.getSeq[Long](1).toArray)).sortBy(_._1)
-    require(cents.nonEmpty, "PQ encode needs a non-empty codebook")
+    require(cents.nonEmpty, "PQ needs a non-empty codebook")
     require(cents.forall(_._2.length == m * dsub),
       s"codebook entries must have m*dsub = ${m * dsub} lanes")
+    cents
+  }
+
+  /** The integer squared-L2 distance of subspace `j` of the row's
+    * `q` column to one inlined codeword. */
+  private def pqSubDist(j: Int, dsub: Int, cv: Array[Long]) =
+    (1 to dsub).map { i =>
+      val d = element_at(col("q"), j * dsub + i) - lit(cv(j * dsub + i - 1))
+      d * d
+    }.reduce(_ + _)
+
+  def pqCodes(corpus: DataFrame, codebook: DataFrame,
+              m: Int, dsub: Int): DataFrame = {
+    val cents = pqCollect(codebook, m, dsub)
     val subs = (0 until m).map { j =>
       val scored = cents.map { case (code, cv) =>
-        val dist = (1 to dsub).map { i =>
-          val d = element_at(col("q"), j * dsub + i) - lit(cv(j * dsub + i - 1))
-          d * d
-        }.reduce(_ + _)
-        struct(dist.as("d"), lit(code).as("code"))
+        struct(pqSubDist(j, dsub, cv).as("d"), lit(code).as("code"))
       }
       val best = array_min(array(scored.toIndexedSeq: _*))
       struct(lit(j.toLong).as("sub_j"), best.getField("code").as("code"),
@@ -265,6 +275,29 @@ object Similarity {
     corpus.select(col("vec_id"), explode(array(subs.toIndexedSeq: _*)).as("s"))
       .select(col("vec_id"), col("s.sub_j").as("sub_j"),
         col("s.code").as("code"), col("s.dist_pico2").as("dist_pico2"))
+  }
+
+  /** PQ ASYMMETRIC-DISTANCE lookup table: for each query row, the
+    * integer squared-L2 distance of every (subspace, codeword) pair —
+    * m·k rows per query, built as one narrow explode over inlined
+    * codebook literals. ADC search is then
+    * `broadcast(lut) ⨝ codes on (sub_j, code)` + a per-(qid, cid)
+    * sum: the corpus contributes only its codes (8 BIGINTs per
+    * vector), never raw vectors — the scan-side payoff product
+    * quantization exists for.
+    *
+    * @param queries  (vec_id, q: array<long>) — small
+    * @param codebook (code, cq: array<long>) — small, collected
+    */
+  def pqLut(queries: DataFrame, codebook: DataFrame,
+            m: Int, dsub: Int): DataFrame = {
+    val cents = pqCollect(codebook, m, dsub)
+    val cells = for { j <- 0 until m; (code, cv) <- cents } yield
+      struct(lit(j.toLong).as("sub_j"), lit(code).as("code"),
+        pqSubDist(j, dsub, cv).as("d"))
+    queries.select(col("vec_id").as("qid"), explode(array(cells.toIndexedSeq: _*)).as("c"))
+      .select(col("qid"), col("c.sub_j").as("sub_j"),
+        col("c.code").as("code"), col("c.d").as("d"))
   }
 
   /** IVF-style pruned top-k: candidates restricted to the query's

@@ -366,6 +366,41 @@ class ScalePlanSpec extends AnyFunSuite {
     }
   }
 
+  test("PQ asymmetric search: broadcast LUT equi-join over the code table, " +
+      "ADC distance reconstructs from codes alone") {
+    import spark.implicits._
+    val df = SparkEntry.queries("q_embed_pq_adc")(spark, SparkTesting.sf)
+    val plan = executedPlan(df)
+    assert(plan.contains("BroadcastHashJoin"),
+      s"the per-query LUT must broadcast into the code join:\n$plan")
+    assert(!plan.contains("CartesianProduct"), plan)
+    val got = df.select("qid", "cid", "adc_dist", "rank")
+      .as[(Long, Long, Long, Long)].collect()
+    assert(got.nonEmpty)
+    // recompute one query's ADC distances from codes + LUT directly
+    val codes = SparkEntry.queries("q_embed_pq_codes")(spark, SparkTesting.sf)
+      .select("vec_id", "sub_j", "code", "dist_pico2")
+      .as[(Long, Long, Long, Long)].collect()
+    val qid = got.head._1
+    // LUT rows for qid are the per-subspace distances of q's subvectors
+    // to every codeword — for the check, ADC(q, c) where c is a TRAINING
+    // vector (vec_id < 16) must equal Σ_j lut[j][its own code], and the
+    // training vector's codes self-encode, so ADC(q, c) = Σ_j d(q_j, c_j)
+    // = the plain integer squared L2 distance between q and c
+    val emb = graft.pipeline.Tables.t(spark, SparkTesting.sf, "embeddings")
+      .select($"vec_id", $"embedding").as[(Long, Seq[Float])].collect().toMap
+    def quant(v: Seq[Float]): Array[Long] =
+      v.map(x => math.floor(x.toDouble * 1000000.0 + 0.5).toLong).toArray
+    val q = quant(emb(qid))
+    got.filter(r => r._1 == qid && r._2 < 16).foreach { case (_, cid, adc, _) =>
+      val c = quant(emb(cid))
+      val exact = q.indices.map(i => (q(i) - c(i)) * (q(i) - c(i))).sum
+      assert(adc == exact,
+        s"ADC($qid,$cid)=$adc != exact integer L2 $exact for a self-encoded target")
+    }
+    codes.foreach { case (_, j, c, _) => assert(j < 8 && c < 16) }
+  }
+
   test("SRP signatures: narrow zero-shuffle projection — no join, no hash " +
       "exchange, and every signature fits the 32-plane space") {
     import spark.implicits._
