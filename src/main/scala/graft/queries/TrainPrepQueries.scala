@@ -131,6 +131,66 @@ object TrainPrepQueries {
           .orderBy("doc_id")
       }),
 
+    // DUPLICATED n-GRAM MASS (the other Gopher repetition axis):
+    // fraction of each doc's bigram/trigram OCCURRENCES that belong
+    // to an n-gram appearing more than once in that doc — catches
+    // looped boilerplate that top-share (q_doc_repetition) misses
+    // when the repetition spreads over many different n-grams.
+    // Integer permille; docs too short for a trigram keep 0 via the
+    // left join. Two explode→count chains re-aggregated per doc and
+    // joined on doc_id — each chain is the map-side-combined
+    // wordcount shape.
+    QDef("q_doc_dup_ngram_mass", Some(s"""
+      WITH $toksCte,
+      b AS (SELECT doc_id, unnest(list_transform(range(1, len(toks)),
+              i -> toks[i] || ' ' || toks[i+1])) AS g
+            FROM d WHERE len(toks) >= 2),
+      bc AS (SELECT doc_id, g, count(*) AS n FROM b GROUP BY doc_id, g),
+      br AS (SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_bi,
+                    CAST(sum(CASE WHEN n > 1 THEN n ELSE 0 END) AS BIGINT) AS dup_bi
+             FROM bc GROUP BY doc_id),
+      t3 AS (SELECT doc_id, unnest(list_transform(range(1, greatest(len(toks) - 1, 1)),
+               i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS g
+             FROM d WHERE len(toks) >= 3),
+      tc AS (SELECT doc_id, g, count(*) AS n FROM t3 GROUP BY doc_id, g),
+      tr AS (SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_tri,
+                    CAST(sum(CASE WHEN n > 1 THEN n ELSE 0 END) AS BIGINT) AS dup_tri
+             FROM tc GROUP BY doc_id)
+      SELECT d.doc_id,
+             coalesce(n_bi, 0) AS n_bi, coalesce(dup_bi, 0) AS dup_bi,
+             CASE WHEN coalesce(n_bi, 0) = 0 THEN 0
+                  ELSE (1000 * dup_bi) // n_bi END AS dup2_permille,
+             coalesce(n_tri, 0) AS n_tri, coalesce(dup_tri, 0) AS dup_tri,
+             CASE WHEN coalesce(n_tri, 0) = 0 THEN 0
+                  ELSE (1000 * dup_tri) // n_tri END AS dup3_permille
+      FROM d LEFT JOIN br ON d.doc_id = br.doc_id
+             LEFT JOIN tr ON d.doc_id = tr.doc_id
+      ORDER BY d.doc_id"""),
+      (s, d) => {
+        val docs = t(s, d, "documents")
+          .select(col("doc_id"), TA.tokens(col("text")).as("toks"))
+        def mass(k: Int, nCol: String, dupCol: String) = docs
+          .select(col("doc_id"), explode(NearDup.shingleExpr("toks", k)).as("g"))
+          .groupBy("doc_id", "g").agg(count(lit(1)).as("n"))
+          .groupBy("doc_id")
+          .agg(sum(col("n")).cast(LongType).as(nCol),
+            sum(when(col("n") > 1, col("n")).otherwise(0L)).cast(LongType).as(dupCol))
+        def permille(dup: String, n: String) =
+          when(coalesce(col(n), lit(0L)) === 0, lit(0L))
+            .otherwise(expr(s"div(1000 * $dup, $n)"))
+        docs.select("doc_id")
+          .join(mass(2, "n_bi", "dup_bi"), Seq("doc_id"), "left")
+          .join(mass(3, "n_tri", "dup_tri"), Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("n_bi"), lit(0L)).as("n_bi"),
+            coalesce(col("dup_bi"), lit(0L)).as("dup_bi"),
+            permille("dup_bi", "n_bi").as("dup2_permille"),
+            coalesce(col("n_tri"), lit(0L)).as("n_tri"),
+            coalesce(col("dup_tri"), lit(0L)).as("dup_tri"),
+            permille("dup_tri", "n_tri").as("dup3_permille"))
+          .orderBy("doc_id")
+      }),
+
     // JSONL sink + readback roundtrip — the interchange format
     // training pipelines actually emit. Distributed write (one .json
     // part per partition), read back under an EXPLICIT schema (no
