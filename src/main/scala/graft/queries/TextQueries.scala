@@ -19,13 +19,13 @@ import graft.text.{NearDup, TextAnalysis => TA}
 object TextQueries {
 
   /** doc → distinct tokens, shared CTE body (DuckDB side). */
-  private val tokCte =
+  private[queries] val tokCte =
     """tok AS (SELECT DISTINCT doc_id, tok FROM
       |  (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents %s)
       |  WHERE tok <> '')""".stripMargin
 
-  private def tokDf(s: org.apache.spark.sql.SparkSession, d: String,
-                    sampleMod: Option[Int] = None) = {
+  private[queries] def tokDf(s: org.apache.spark.sql.SparkSession, d: String,
+                             sampleMod: Option[Int] = None) = {
     val docs = sampleMod.fold(t(s, d, "documents"))(m =>
       t(s, d, "documents").filter(col("doc_id") % m === 0))
     docs.select(col("doc_id"), explode(TA.tokens(col("text"))).as("tok")).distinct()

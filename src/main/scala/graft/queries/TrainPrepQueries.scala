@@ -328,6 +328,53 @@ object TrainPrepQueries {
           graft.text.Mixing.splitAssign("split1", col("doc_id")).as("split"))
         .orderBy("doc_id")),
 
+    // SPLIT-LEAKAGE AUDIT: near-dup pairs that CROSS train/val/test
+    // boundaries — the eval-integrity number a split assignment must
+    // be judged by (random per-doc splits leak near-duplicates into
+    // eval; the fix is splitting by dedup CLUSTER, and this audit is
+    // what tells you whether you must). Composes the prefix-filtered
+    // Jaccard join (the scale path) with the production hash-split
+    // assignment on the same sample; output is the per-(split,split)
+    // pair census with a leak flag. Canonical pair order via
+    // least/greatest so (train,val) and (val,train) collapse.
+    QDef("q_split_leakage_audit", Some(s"""
+      WITH ${TextQueries.tokCte.format("WHERE doc_id % 13 = 0")},
+      sz AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id),
+      inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+                FROM tok a JOIN tok b ON a.tok = b.tok AND a.doc_id < b.doc_id
+                GROUP BY doc_a, doc_b),
+      nd AS (SELECT doc_a, doc_b
+             FROM inter JOIN sz sa ON doc_a = sa.doc_id JOIN sz sb ON doc_b = sb.doc_id
+             WHERE i * 10 >= 4 * (sa.n + sb.n - i)),
+      sp AS (SELECT doc_id,
+               CASE WHEN CAST(('0x' || substr(md5('split1|' || doc_id), 1, 2)) AS INTEGER) < 204 THEN 'train'
+                    WHEN CAST(('0x' || substr(md5('split1|' || doc_id), 1, 2)) AS INTEGER) < 230 THEN 'val'
+                    ELSE 'test' END AS split
+             FROM documents WHERE doc_id % 13 = 0),
+      cl AS (SELECT least(a.split, b.split) AS split_lo,
+                    greatest(a.split, b.split) AS split_hi
+             FROM nd JOIN sp a ON a.doc_id = nd.doc_a JOIN sp b ON b.doc_id = nd.doc_b)
+      SELECT split_lo, split_hi, count(*) AS n_pairs,
+             CASE WHEN split_lo <> split_hi THEN 1 ELSE 0 END AS is_leak
+      FROM cl GROUP BY split_lo, split_hi ORDER BY split_lo, split_hi"""),
+      (s, d) => {
+        val pairs = graft.text.NearDup.prefixJaccardPairs(
+          TextQueries.tokDf(s, d, Some(13)), "doc_id", "tok", 4)
+          .select("doc_a", "doc_b")
+        val sp = t(s, d, "documents").filter(col("doc_id") % 13 === 0)
+          .select(col("doc_id"),
+            graft.text.Mixing.splitAssign("split1", col("doc_id")).as("split"))
+        pairs
+          .join(sp.select(col("doc_id").as("doc_a"), col("split").as("sa")), "doc_a")
+          .join(sp.select(col("doc_id").as("doc_b"), col("split").as("sb")), "doc_b")
+          .select(least(col("sa"), col("sb")).as("split_lo"),
+            greatest(col("sa"), col("sb")).as("split_hi"))
+          .groupBy("split_lo", "split_hi").agg(count(lit(1)).as("n_pairs"))
+          .withColumn("is_leak",
+            when(col("split_lo") =!= col("split_hi"), 1).otherwise(0))
+          .orderBy("split_lo", "split_hi")
+      }),
+
     // Corpus LENGTH PERCENTILES: exact discrete p50/p90/p99 of doc
     // length per source, selected by INTEGER rank index
     // (ceil(q·n) = (q·n + 99) div 100) — not percentile_approx and
