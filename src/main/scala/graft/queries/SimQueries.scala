@@ -448,6 +448,89 @@ object SimQueries {
           .orderBy("qid", "rank")
       }),
 
+    // PQ ACCEPTANCE GATE (closing the eval trilogy: IVF recall, SRP
+    // probe matrix, and now PQ): per-query recall@5 of (a) the raw
+    // ADC top-5 and (b) the PRODUCTION pattern — ADC shortlist-50
+    // re-ranked by exact integer L2 — against exact-integer-L2 truth.
+    // On this corpus the curve is ~16% raw vs ~72% reranked: the
+    // number that says "never serve raw ADC ranks; rerank a
+    // shortlist" (a truth member inside the shortlist is always
+    // recovered by the exact rerank, so shortlist hit-count IS the
+    // reranked recall). The quadratic truth pass is harness-only;
+    // production scans codes, reranks |shortlist| vectors per query.
+    QDef("q_embed_pq_rerank_eval", Some("""
+      WITH e AS (SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]),
+                   x -> CAST(floor(x * 1000000.0 + 0.5) AS BIGINT)) AS q FROM embeddings),
+      cent AS (SELECT vec_id AS code, q AS cq FROM e WHERE vec_id < 16),
+      sub AS (SELECT vec_id, q, unnest(range(0, 8)) AS j FROM e),
+      sc AS (SELECT vec_id, j, code,
+               CAST(list_sum(list_transform(range(1, 9), i ->
+                 (q[j*8 + i] - cq[j*8 + i]) * (q[j*8 + i] - cq[j*8 + i]))) AS BIGINT) AS dist
+             FROM sub CROSS JOIN cent),
+      codes AS (SELECT vec_id, CAST(j AS BIGINT) AS sub_j, CAST(code AS BIGINT) AS code
+                FROM sc QUALIFY row_number() OVER (PARTITION BY vec_id, j ORDER BY dist, code) = 1),
+      lut AS (SELECT vec_id AS qid, CAST(j AS BIGINT) AS sub_j,
+                     CAST(code AS BIGINT) AS code, dist AS d
+              FROM sc WHERE vec_id < 10),
+      adc AS (SELECT qid, codes.vec_id AS cid, CAST(sum(d) AS BIGINT) AS adc_dist
+              FROM lut JOIN codes USING (sub_j, code)
+              WHERE qid <> codes.vec_id GROUP BY qid, cid),
+      sl AS (SELECT qid, cid,
+               row_number() OVER (PARTITION BY qid ORDER BY adc_dist, cid) AS rk
+             FROM adc),
+      ts AS (SELECT qs.qid, e2.vec_id AS cid,
+               CAST(list_sum(list_transform(range(1, len(qs.q) + 1), i ->
+                 (qs.q[i] - e2.q[i]) * (qs.q[i] - e2.q[i]))) AS BIGINT) AS d
+             FROM (SELECT vec_id AS qid, q FROM e WHERE vec_id < 10) qs
+             CROSS JOIN e e2 WHERE qid <> e2.vec_id),
+      tr AS (SELECT qid, cid FROM ts
+             QUALIFY row_number() OVER (PARTITION BY qid ORDER BY d, cid) <= 5)
+      SELECT t.qid AS qid, count(*) AS n_truth,
+             CAST(count(CASE WHEN s.rk <= 5 THEN 1 END) AS BIGINT) AS hits_adc5,
+             (1000 * count(CASE WHEN s.rk <= 5 THEN 1 END)) // count(*) AS recall_adc5_permille,
+             CAST(count(CASE WHEN s.rk <= 50 THEN 1 END) AS BIGINT) AS hits_rerank50,
+             (1000 * count(CASE WHEN s.rk <= 50 THEN 1 END)) // count(*) AS recall_rerank50_permille
+      FROM tr t LEFT JOIN sl s ON t.qid = s.qid AND t.cid = s.cid
+      GROUP BY t.qid ORDER BY t.qid"""),
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val e = t(s, d, "embeddings").select(col("vec_id"),
+          Similarity.srpQuantize(col("embedding")).as("q"))
+        val cb = e.filter(col("vec_id") < 16)
+          .select(col("vec_id").as("code"), col("q").as("cq"))
+        val codes = Similarity.pqCodes(e, cb, m = 8, dsub = 8)
+          .select(col("vec_id"), col("sub_j"), col("code"))
+        val lut = Similarity.pqLut(e.filter(col("vec_id") < 10), cb, m = 8, dsub = 8)
+        val adc = broadcast(lut).join(codes, Seq("sub_j", "code"))
+          .filter(col("qid") =!= col("vec_id"))
+          .groupBy(col("qid"), col("vec_id").as("cid"))
+          .agg(sum(col("d")).cast("long").as("adc_dist"))
+        val sl = adc.withColumn("rk", row_number().over(
+          Window.partitionBy("qid").orderBy(col("adc_dist"), col("cid"))))
+        val qs = e.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("qid"), col("q").as("qq"))
+        val ts = broadcast(qs)
+          .crossJoin(e.select(col("vec_id").as("cid"), col("q").as("cq2")))
+          .filter(col("qid") =!= col("cid"))
+          .select(col("qid"), col("cid"),
+            aggregate(zip_with(col("qq"), col("cq2"), (x, y) => (x - y) * (x - y)),
+              lit(0L), (acc, x) => acc + x).as("d"))
+        val tr = ts.withColumn("trk", row_number().over(
+            Window.partitionBy("qid").orderBy(col("d"), col("cid"))))
+          .filter(col("trk") <= 5).select("qid", "cid")
+        tr.join(sl.select("qid", "cid", "rk"), Seq("qid", "cid"), "left")
+          .groupBy("qid")
+          .agg(count(lit(1)).as("n_truth"),
+            count(when(col("rk") <= 5, 1)).as("hits_adc5"),
+            count(when(col("rk") <= 50, 1)).as("hits_rerank50"))
+          .select(col("qid"), col("n_truth"),
+            col("hits_adc5"),
+            expr("div(1000 * hits_adc5, n_truth)").as("recall_adc5_permille"),
+            col("hits_rerank50"),
+            expr("div(1000 * hits_rerank50, n_truth)").as("recall_rerank50_permille"))
+          .orderBy("qid")
+      }),
+
     // SRP (signed-random-projection / hyperplane) LSH signatures: the
     // DATA-INDEPENDENT coarse quantizer complementing the trained IVF
     // path — no centroid state, no training pass, reproducible from
