@@ -531,6 +531,61 @@ object SimQueries {
           .orderBy("qid")
       }),
 
+    // IVF+ADC (the composed FAISS-style index): coarse IVF restricts
+    // candidates to the query's cell (here the precomputed label
+    // cell, as in q_embed_ann_ivf), then PQ asymmetric distance
+    // ranks WITHIN the cell — top-5 per query by integer ADC, cid
+    // tiebreak. The scale story is multiplicative: the cell prunes
+    // the corpus ~|cells|-fold AND each surviving candidate costs 8
+    // code lookups instead of a 64-lane float scan; with the corpus
+    // written partitioned by cell, the probe prunes at the directory
+    // and reads an 8-byte code column. One broadcast LUT equi-join
+    // on (cell, sub_j, code) + per-(qid,cid) re-agg + rank window.
+    QDef("q_embed_ivfadc", Some("""
+      WITH e AS (SELECT vec_id, label, list_transform(CAST(embedding AS DOUBLE[]),
+                   x -> CAST(floor(x * 1000000.0 + 0.5) AS BIGINT)) AS q FROM embeddings),
+      cent AS (SELECT vec_id AS code, q AS cq FROM e WHERE vec_id < 16),
+      sub AS (SELECT vec_id, label, q, unnest(range(0, 8)) AS j FROM e),
+      sc AS (SELECT vec_id, label, j, code,
+               CAST(list_sum(list_transform(range(1, 9), i ->
+                 (q[j*8 + i] - cq[j*8 + i]) * (q[j*8 + i] - cq[j*8 + i]))) AS BIGINT) AS dist
+             FROM sub CROSS JOIN cent),
+      codes AS (SELECT vec_id, label AS cell, CAST(j AS BIGINT) AS sub_j,
+                       CAST(code AS BIGINT) AS code
+                FROM sc QUALIFY row_number() OVER (PARTITION BY vec_id, j ORDER BY dist, code) = 1),
+      lut AS (SELECT vec_id AS qid, label AS cell, CAST(j AS BIGINT) AS sub_j,
+                     CAST(code AS BIGINT) AS code, dist AS d
+              FROM sc WHERE vec_id < 10),
+      adc AS (SELECT qid, codes.vec_id AS cid, CAST(sum(d) AS BIGINT) AS adc_dist
+              FROM lut JOIN codes USING (cell, sub_j, code)
+              WHERE qid <> codes.vec_id GROUP BY qid, cid),
+      r AS (SELECT qid, cid, adc_dist,
+              CAST(row_number() OVER (PARTITION BY qid ORDER BY adc_dist, cid) AS BIGINT) AS rank
+            FROM adc)
+      SELECT qid, cid, adc_dist, rank FROM r WHERE rank <= 5
+      ORDER BY qid, rank"""),
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val e = t(s, d, "embeddings").select(col("vec_id"),
+          col("label").cast("long").as("cell"),
+          Similarity.srpQuantize(col("embedding")).as("q"))
+        val cb = e.filter(col("vec_id") < 16)
+          .select(col("vec_id").as("code"), col("q").as("cq"))
+        val codes = Similarity.pqCodes(e, cb, m = 8, dsub = 8)
+          .join(e.select(col("vec_id"), col("cell")), "vec_id")
+          .select(col("vec_id"), col("cell"), col("sub_j"), col("code"))
+        val lut = Similarity.pqLut(e.filter(col("vec_id") < 10), cb, m = 8, dsub = 8)
+          .join(e.select(col("vec_id").as("qid"), col("cell")), "qid")
+        val adc = broadcast(lut).join(codes, Seq("cell", "sub_j", "code"))
+          .filter(col("qid") =!= col("vec_id"))
+          .groupBy(col("qid"), col("vec_id").as("cid"))
+          .agg(sum(col("d")).cast("long").as("adc_dist"))
+        val w = Window.partitionBy("qid").orderBy(col("adc_dist"), col("cid"))
+        adc.withColumn("rank", row_number().over(w).cast("long"))
+          .filter(col("rank") <= 5)
+          .orderBy("qid", "rank")
+      }),
+
     // SRP (signed-random-projection / hyperplane) LSH signatures: the
     // DATA-INDEPENDENT coarse quantizer complementing the trained IVF
     // path — no centroid state, no training pass, reproducible from
