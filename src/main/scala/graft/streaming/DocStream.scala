@@ -199,6 +199,26 @@ object DocStream {
         TimeMode.None(), OutputMode.Update())
   }
 
+  /** Streaming NEAR-dup dedup (coarse): drop any doc whose 16-bit
+    * SimHash signature matches an already-seen doc inside the
+    * watermark — the streaming counterpart of the batch SimHash
+    * near-dup family, trading the banded pair join (which needs the
+    * whole corpus) for signature-equality dedup (O(1) per doc,
+    * state = one row per distinct signature in the watermark
+    * window). The signature is the PER-ROW fold
+    * ([[graft.text.NearDup.rowSimhash16]]) because Spark cannot
+    * chain a stateful aggregation into a stateful dedup — a
+    * stateless projection chains fine. Equality-of-simhash is the
+    * coarsest near-dup verdict (hamming 0); hamming>0 matching
+    * stays a batch compaction, like cluster representatives. */
+  def nearDupStream(docs: DataFrame, tsCol: String, watermarkDelay: String,
+                    textCol: String = "text"): DataFrame =
+    docs
+      .withColumn("simhash16", graft.text.NearDup.rowSimhash16(
+        array_distinct(TextAnalysis.tokens(col(textCol)))))
+      .withWatermark(tsCol, watermarkDelay)
+      .dropDuplicatesWithinWatermark("simhash16")
+
   /** Streaming PER-SOURCE QUOTA: admit at most `cap` docs per source
     * over the stream lifetime ([[QuotaProcessor]] — one counter per
     * source in `ValueState`, O(1) state). The streaming face of

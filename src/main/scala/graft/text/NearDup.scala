@@ -135,6 +135,24 @@ object NearDup {
           .reduce(_ + _).as("simhash16"))
   }
 
+  /** Per-ROW 16-bit SimHash over a token ARRAY column — the same
+    * md5-nibble votes as [[simhash16]] but folded inside the row
+    * (16 `aggregate` passes over the array), so it needs no groupBy:
+    * a STATELESS projection usable where an aggregation cannot go —
+    * notably before a streaming `dropDuplicatesWithinWatermark`
+    * (chaining a stateful agg into a stateful dedup is what Spark
+    * disallows; a projection chains fine). Pass the DISTINCT token
+    * set for exact parity with the batch signature (spec-pinned). */
+  def rowSimhash16(tokens: Column): Column = {
+    val v = (t: Column) => conv(substring(md5(t), 1, 4), 16, 10).cast(LongType)
+    (0 until 16).map { j =>
+      val vote = aggregate(tokens, lit(0L), (acc, t) =>
+        acc + when(shiftright(v(t), j).bitwiseAND(lit(1L)) === 1L, 1L)
+          .otherwise(-1L))
+      when(vote > 0, lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+  }
+
   /** SimHash near-dup candidate pairs: band the 16-bit hash into 4
     * nibbles — any pair within hamming distance ≤ 3 must agree on at
     * least one band (pigeonhole), so candidates come from a

@@ -234,6 +234,41 @@ class DocStreamSpec extends AnyFunSuite {
     assert(batch.filter(_._2 == "fr").groupBy(_._1).forall(_._2.size == 1))
   }
 
+  test("streaming simhash near-dup dedup: one survivor per signature, " +
+      "row-fold signature equals the batch aggregate signature") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val docs = Seq(
+      (1L, ts("2024-01-01 00:00:01"), "alpha beta gamma delta"),
+      (2L, ts("2024-01-01 00:00:02"), "alpha beta gamma delta"),   // exact dup of 1
+      (3L, ts("2024-01-01 00:00:03"), "omega psi chi phi"),
+      (4L, ts("2024-01-01 00:00:04"), "delta gamma beta alpha"))   // same SET as 1
+    // batch truth: the aggregate signature per doc
+    val batchSig = graft.text.NearDup.simhash16(
+      docs.toDF("doc_id", "ts", "text")
+        .select(org.apache.spark.sql.functions.col("doc_id"),
+          org.apache.spark.sql.functions.explode(graft.text.TextAnalysis.tokens(
+            org.apache.spark.sql.functions.col("text"))).as("tok"))
+        .distinct(), "doc_id", "tok")
+      .as[(Long, Long)].collect().toMap
+    assert(batchSig(1L) == batchSig(4L), "order-insensitive token-set signature")
+    val expectedSurvivors = docs.map(_._1)
+      .groupBy(batchSig).map(_._2.min).toSet // first arrival per signature
+    val input = MemoryStream[(Long, Timestamp, String)]
+    input.addData(docs: _*)
+    val q = DocStream.nearDupStream(
+      input.toDF().toDF("doc_id", "ts", "text"), "ts", "10 minutes")
+      .writeStream.format("memory").queryName("doc_neardup").start()
+    try q.processAllAvailable() finally q.stop()
+    val kept = spark.sql("SELECT doc_id, simhash16 FROM doc_neardup")
+      .as[(Long, Long)].collect().toSeq
+    assert(kept.map(_._1).toSet == expectedSurvivors,
+      s"stream kept ${kept.map(_._1).sorted}, batch truth $expectedSurvivors")
+    // the streamed row-fold signature matches the batch aggregate one
+    kept.foreach { case (id, sig) => assert(sig == batchSig(id),
+      s"doc $id: row-fold sig $sig != batch sig ${batchSig(id)}") }
+  }
+
   test("streaming per-source quota: lifetime cap enforced across micro-batches, " +
       "quiet sources keep headroom") {
     import spark.implicits._
