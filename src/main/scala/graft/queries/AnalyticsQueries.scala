@@ -69,6 +69,45 @@ object AnalyticsQueries {
           col("n"), col("sum_price"))
         .orderBy("flag", "status")),
 
+    // Z-ORDER LAYOUT AUDIT (multi-dimensional data skipping): compute
+    // the 24-bit Morton/z-value interleaving (o_custkey, order-day)
+    // bit by bit, split the curve into 16 equal z-ranges, and report
+    // each range's bounding box over BOTH dimensions — the property
+    // files sorted by z give you: every file carries tight min/max on
+    // customer AND date simultaneously, so a predicate on EITHER
+    // column prunes files (a single-column sort bounds only itself).
+    // This is the layout decision a 100 TB lake makes before writing;
+    // the audit is how you justify it. Pure integer bit arithmetic,
+    // identical in any engine; the Spark interleave is unrolled into
+    // 24 shift/mask terms (no HOFs — stays in whole-stage codegen).
+    QDef("q_zorder_layout", Some("""
+      WITH b AS (SELECT o_orderkey, o_custkey AS x,
+                   CAST(datediff('day', TIMESTAMP '1995-01-01', o_orderdate) AS BIGINT) AS y
+                 FROM orders),
+      z AS (SELECT x, y,
+              CAST(list_sum(list_transform(range(0, 12), i ->
+                (((x >> i) & 1) << (2*i)) + (((y >> i) & 1) << (2*i + 1)))) AS BIGINT) AS zv
+            FROM b)
+      SELECT zv // 1048576 AS z_bucket, count(*) AS n,
+             min(x) AS min_cust, max(x) AS max_cust,
+             min(y) AS min_day, max(y) AS max_day
+      FROM z GROUP BY z_bucket ORDER BY z_bucket"""),
+      (s, d) => {
+        val b = t(s, d, "orders").select(
+          col("o_custkey").as("x"),
+          datediff(col("o_orderdate"), lit("1995-01-01")).cast("long").as("y"))
+        val zv = (0 until 12).map { i =>
+          shiftleft(shiftright(col("x"), i).bitwiseAND(lit(1L)), 2 * i) +
+            shiftleft(shiftright(col("y"), i).bitwiseAND(lit(1L)), 2 * i + 1)
+        }.reduce(_ + _)
+        b.withColumn("zv", zv)
+          .groupBy(expr("div(zv, 1048576)").as("z_bucket"))
+          .agg(count(lit(1)).as("n"),
+            min(col("x")).as("min_cust"), max(col("x")).as("max_cust"),
+            min(col("y")).as("min_day"), max(col("y")).as("max_day"))
+          .orderBy("z_bucket")
+      }),
+
     // INCREMENTAL AGGREGATE MERGE (materialized-view maintenance):
     // per-key algebraic states (count / decimal sum / min / max)
     // computed separately on the historical slice (event_id%10<8) and
