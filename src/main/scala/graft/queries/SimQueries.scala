@@ -586,6 +586,103 @@ object SimQueries {
           .orderBy("qid", "rank")
       }),
 
+    // VECTOR-LAKE LIFECYCLE AUDIT (the embeddings-side q_curate_audit):
+    // ingest → component-spike hygiene gate (max |qᵢ| ≤ 0.42 in micro
+    // units — the corrupted-embedding heuristic; drops ~4% here) →
+    // IVF cell census → PQ encode → end-to-end IVF+ADC recall@5
+    // against exact integer-L2 truth ON THE GATED SET, one metrics
+    // row per stage. This is the whole-chain statement for the vector
+    // surface: any stage regression (gate drift, missing cells, code
+    // rows, recall collapse) flips ONE oracle-checked number. All
+    // counts and the recall are born-integer.
+    QDef("q_vector_lake_audit", Some("""
+      WITH e AS (SELECT vec_id, label, list_transform(CAST(embedding AS DOUBLE[]),
+                   x -> CAST(floor(x * 1000000.0 + 0.5) AS BIGINT)) AS q FROM embeddings),
+      k AS (SELECT * FROM e
+            WHERE list_max(list_transform(q, x -> abs(x))) <= 420000),
+      cent AS (SELECT vec_id AS code, q AS cq FROM k WHERE vec_id < 16),
+      sub AS (SELECT vec_id, label, q, unnest(range(0, 8)) AS j FROM k),
+      sc AS (SELECT vec_id, label, j, code,
+               CAST(list_sum(list_transform(range(1, 9), i ->
+                 (q[j*8 + i] - cq[j*8 + i]) * (q[j*8 + i] - cq[j*8 + i]))) AS BIGINT) AS dist
+             FROM sub CROSS JOIN cent),
+      codes AS (SELECT vec_id, label AS cell, CAST(j AS BIGINT) AS sub_j,
+                       CAST(code AS BIGINT) AS code
+                FROM sc QUALIFY row_number() OVER (PARTITION BY vec_id, j ORDER BY dist, code) = 1),
+      lut AS (SELECT vec_id AS qid, label AS cell, CAST(j AS BIGINT) AS sub_j,
+                     CAST(code AS BIGINT) AS code, dist AS d
+              FROM sc WHERE vec_id < 10),
+      adc AS (SELECT qid, codes.vec_id AS cid, CAST(sum(d) AS BIGINT) AS adc_dist
+              FROM lut JOIN codes USING (cell, sub_j, code)
+              WHERE qid <> codes.vec_id GROUP BY qid, cid),
+      ar AS (SELECT qid, cid FROM adc
+             QUALIFY row_number() OVER (PARTITION BY qid ORDER BY adc_dist, cid) <= 5),
+      ts AS (SELECT qs.qid, k2.vec_id AS cid,
+               CAST(list_sum(list_transform(range(1, len(qs.q) + 1), i ->
+                 (qs.q[i] - k2.q[i]) * (qs.q[i] - k2.q[i]))) AS BIGINT) AS d
+             FROM (SELECT vec_id AS qid, q FROM k WHERE vec_id < 10) qs
+             CROSS JOIN k k2 WHERE qid <> k2.vec_id),
+      tr AS (SELECT qid, cid FROM ts
+             QUALIFY row_number() OVER (PARTITION BY qid ORDER BY d, cid) <= 5),
+      h AS (SELECT count(*) AS hits FROM ar JOIN tr USING (qid, cid))
+      SELECT '1_ingest' AS stage, count(*) AS value FROM e
+      UNION ALL SELECT '2_spike_gate', count(*) FROM k
+      UNION ALL SELECT '3_cells', count(DISTINCT label) FROM k
+      UNION ALL SELECT '4_pq_code_rows', count(*) FROM codes
+      UNION ALL SELECT '5_truth_pairs', count(*) FROM tr
+      UNION ALL SELECT '6_adc_hits5', (SELECT hits FROM h)
+      UNION ALL SELECT '7_recall_permille',
+        (1000 * (SELECT hits FROM h)) // greatest((SELECT count(*) FROM tr), 1)
+      ORDER BY stage"""),
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val e = t(s, d, "embeddings").select(col("vec_id"),
+          col("label").cast("long").as("cell"),
+          Similarity.srpQuantize(col("embedding")).as("q"))
+        val k = e.filter(array_max(transform(col("q"), abs(_))) <= 420000L)
+        val cb = k.filter(col("vec_id") < 16)
+          .select(col("vec_id").as("code"), col("q").as("cq"))
+        val codes = Similarity.pqCodes(k, cb, m = 8, dsub = 8)
+          .join(k.select(col("vec_id"), col("cell")), "vec_id")
+        val lut = Similarity.pqLut(k.filter(col("vec_id") < 10), cb, m = 8, dsub = 8)
+          .join(k.select(col("vec_id").as("qid"), col("cell")), "qid")
+        val adc = broadcast(lut)
+          .join(codes.select(col("vec_id"), col("cell"), col("sub_j"), col("code")),
+            Seq("cell", "sub_j", "code"))
+          .filter(col("qid") =!= col("vec_id"))
+          .groupBy(col("qid"), col("vec_id").as("cid"))
+          .agg(sum(col("d")).cast("long").as("adc_dist"))
+        val ar = adc.withColumn("rk", row_number().over(
+            Window.partitionBy("qid").orderBy(col("adc_dist"), col("cid"))))
+          .filter(col("rk") <= 5).select("qid", "cid")
+        val qs = k.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("qid"), col("q").as("qq"))
+        val tr = broadcast(qs)
+          .crossJoin(k.select(col("vec_id").as("cid"), col("q").as("cq2")))
+          .filter(col("qid") =!= col("cid"))
+          .select(col("qid"), col("cid"),
+            aggregate(zip_with(col("qq"), col("cq2"), (x, y) => (x - y) * (x - y)),
+              lit(0L), (acc, x) => acc + x).as("d"))
+          .withColumn("trk", row_number().over(
+            Window.partitionBy("qid").orderBy(col("d"), col("cid"))))
+          .filter(col("trk") <= 5).select("qid", "cid")
+        def metric(stage: String, v: org.apache.spark.sql.DataFrame) =
+          v.select(lit(stage).as("stage"), col("value"))
+        val hits = ar.join(tr, Seq("qid", "cid"))
+          .agg(count(lit(1)).as("hits"))
+        val nTruth = tr.agg(count(lit(1)).as("nt"))
+        metric("1_ingest", e.agg(count(lit(1)).cast("long").as("value")))
+          .union(metric("2_spike_gate", k.agg(count(lit(1)).cast("long").as("value"))))
+          .union(metric("3_cells", k.agg(countDistinct(col("cell")).cast("long").as("value"))))
+          .union(metric("4_pq_code_rows", codes.agg(count(lit(1)).cast("long").as("value"))))
+          .union(metric("5_truth_pairs", tr.agg(count(lit(1)).cast("long").as("value"))))
+          .union(metric("6_adc_hits5", hits.select(col("hits").cast("long").as("value"))))
+          .union(metric("7_recall_permille",
+            hits.crossJoin(nTruth)
+              .select(expr("div(1000 * hits, greatest(nt, 1L))").cast("long").as("value"))))
+          .orderBy("stage")
+      }),
+
     // SRP (signed-random-projection / hyperplane) LSH signatures: the
     // DATA-INDEPENDENT coarse quantizer complementing the trained IVF
     // path — no centroid state, no training pass, reproducible from
