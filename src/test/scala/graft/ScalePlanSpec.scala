@@ -330,6 +330,27 @@ class ScalePlanSpec extends AnyFunSuite {
     assert(df.count() > 0)
   }
 
+  test("incremental aggregate merge: the full-outer merge join reuses the " +
+      "two state aggregations' partitioning — exactly two hash exchanges") {
+    val df = SparkEntry.queries("q_agg_incremental_merge")(spark, SparkTesting.sf)
+    val plan = executedPlan(df).split("== Initial Plan ==")(0)
+    assert("Exchange hashpartitioning".r.findAllIn(plan).length == 2,
+      s"history agg + delta agg shuffle once each; the key-to-key merge join " +
+        s"must add NO exchange:\n$plan")
+    assert(plan.contains("FullOuter") || plan.contains("full_outer"),
+      s"merge must be a full outer join (keys may exist on one side only):\n$plan")
+  }
+
+  test("cube pricing: four grouping sets cost ONE scan through a single Expand") {
+    val df = SparkEntry.queries("q_cube_pricing")(spark, SparkTesting.sf)
+    val plan = executedPlan(df).split("== Initial Plan ==")(0)
+    assert("Expand".r.findAllIn(plan).length == 1,
+      s"cube must plan one Expand node:\n$plan")
+    assert(plan.linesIterator.count(l =>
+      l.contains("Scan parquet") && l.contains("lineitem")) == 1,
+      s"all four granularities must share one lineitem scan:\n$plan")
+  }
+
   test("bigram-LM score: map-side-combined bigram count, equi-joins only, " +
       "and short docs score 0 instead of dividing by zero") {
     import spark.implicits._
