@@ -1,0 +1,125 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkTesting
+import graft.ops.{MGBuf, MisraGriesAgg}
+
+/** Plan-shape + invariant checks for GraphStatQueries. Value-level
+  * correctness is the DuckDB oracle's job; these lock the SCALE
+  * properties (shuffle counts, broadcast choices, bounded sketch
+  * state) and the semantic guarantees the oracle can't see (skyline
+  * dominance, Misra-Gries one-sidedness).
+  */
+class GraphStatSpec extends AnyFunSuite {
+  lazy val spark = SparkTesting.spark
+  private def q(name: String) =
+    graft.SparkEntry.queries(name)(spark, SparkTesting.sf)
+
+  private def executed(df: org.apache.spark.sql.DataFrame): String = {
+    df.collect()
+    SparkTesting.finalSection(df.queryExecution.executedPlan.toString)
+  }
+
+  test("skyline: one window shuffle on brand; no join; dominance holds") {
+    val df = q("q_skyline_pareto")
+    val plan = executed(df)
+    assert(!plan.contains("Join"), s"skyline is window-only, no self-join:\n$plan")
+    // brute-force dominance check: no kept point is dominated by any
+    // other KEPT point (transitivity extends this to all points)
+    val rows = df.collect().toSeq.map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    for (Seq(a, b) <- rows.combinations(2); if a._1 == b._1) {
+      val dominated =
+        (a._2 <= b._2 && a._3 >= b._3 && (a._2 < b._2 || a._3 > b._3)) ||
+          (b._2 <= a._2 && b._3 >= a._3 && (b._2 < a._2 || b._3 > a._3))
+      assert(!dominated, s"skyline points dominate each other: $a vs $b")
+    }
+  }
+
+  test("markov: permilles row-sum to ≤1000 and >1000-|types| floor loss") {
+    val df = q("q_markov_transition")
+    val sums = df.groupBy("prev")
+      .agg(sum("permille").as("s"), count(lit(1)).as("k"))
+      .collect()
+    sums.foreach { r =>
+      val s = r.getLong(1); val k = r.getLong(2)
+      assert(s <= 1000 && s > 1000 - k,
+        s"floor-permille row must sum into (1000-k, 1000]: $r")
+    }
+  }
+
+  test("concurrency sweep: one event_type shuffle; peaks ≥ 1") {
+    val df = q("q_concurrency_sweep")
+    val plan = executed(df)
+    assert(SparkTesting.hashExchanges(plan) == 1,
+      s"union is narrow; sweep rides ONE event_type exchange:\n$plan")
+    assert(df.filter(col("peak") < 1).count() == 0)
+  }
+
+  test("pctl: p25 ≤ p50 ≤ p75, all values present in the data") {
+    val df = q("q_pctl_disc_group").collect()
+    df.foreach { r =>
+      assert(r.getLong(1) <= r.getLong(2) && r.getLong(2) <= r.getLong(3))
+    }
+  }
+
+  test("heavy hitters: candidate pass broadcasts; result = exact filter") {
+    val df = q("q_heavy_hitters_gate")
+    val plan = executed(df)
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
+      s"candidate + total joins must broadcast:\n$plan")
+    // independent exact recompute with plain DataFrame ops
+    val docs = graft.pipeline.Tables.t(spark, SparkTesting.sf, "documents")
+    val w = docs.select(col("source"),
+        explode(graft.text.TextAnalysis.tokens(col("text"))).as("tok"))
+      .groupBy("source", "tok").agg(count(lit(1)).as("n"))
+    val tot = w.groupBy("source").agg(sum("n").as("total"))
+    val expect = w.join(tot, "source").filter(col("n") * 32 > col("total"))
+      .select("source", "tok", "n")
+    assert(df.exceptAll(expect).count() == 0 && expect.exceptAll(df).count() == 0,
+      "sketch-gated result must equal the exact heavy-hitter set")
+  }
+
+  test("pagerank: rank conservation and bounds") {
+    val df = q("q_pagerank_iter").collect()
+    // every rank ∈ [150, 150 + 850·indegScale]; total mass stays near
+    // 1000·|nodes| (floor losses only shrink it)
+    val n = df.length.toLong
+    val total = df.map(_.getLong(1)).sum
+    assert(df.forall(_.getLong(1) >= 150))
+    assert(total <= 1000 * n,
+      s"floor-division PageRank can only lose mass: total=$total nodes=$n")
+    assert(total > 900 * n, s"mass loss should be small: total=$total nodes=$n")
+  }
+
+  test("misra-gries: one-sided guarantee on adversarial + merged streams") {
+    val k = 9
+    val agg = new MisraGriesAgg(k)
+    val rnd = new scala.util.Random(7)
+    // zipf-ish stream: token i appears ~N/(i+1) times, shuffled
+    val stream = rnd.shuffle(
+      (0 until 40).flatMap(i => Seq.fill(1200 / (i + 1))(s"t$i")).toVector)
+    val nTot = stream.size.toLong
+    // split into 7 chunks, reduce each, merge pairwise in random order
+    val parts = stream.grouped(stream.size / 7 + 1).map(ch =>
+      ch.foldLeft(agg.zero)(agg.reduce)).toVector
+    val merged = rnd.shuffle(parts).reduce(agg.merge)
+    val out = agg.finish(merged).toSet
+    assert(merged.toks.size <= k, "state must stay bounded by k")
+    val exact = stream.groupBy(identity).map { case (t, xs) => t -> xs.size.toLong }
+    exact.foreach { case (t, c) =>
+      if (c > nTot / (k + 1))
+        assert(out.contains(t), s"token $t freq=$c > N/(k+1)=${nTot / (k + 1)} must survive")
+    }
+  }
+
+  test("class weights: inverse monotone — rarer label never weighs less") {
+    val rows = q("q_class_weights").collect()
+      .map(r => (r.getLong(1), r.getLong(2))).sortBy(_._1)
+    rows.sliding(2).foreach {
+      case Array((n1, w1), (n2, w2)) =>
+        assert(n1 > n2 || w1 >= w2, s"weight must not increase with count: ($n1,$w1) ($n2,$w2)")
+      case _ =>
+    }
+  }
+}
