@@ -267,6 +267,160 @@ object GraphStatQueries {
           .filter(col("n") * 32 > col("total"))
           .select(col("source"), col("tok"), col("n"))
           .orderBy("source", "tok")
+      }),
+
+    // RFM (recency / frequency / monetary) customer scoring with
+    // exact ntile(5) quintiles. Monetary sums pre-floored integer
+    // cents (a float sum's addition order would leak into the floor
+    // boundary — the round-5..7 lesson). Ties inside each ntile sort
+    // carry a custkey tiebreak so the quintile assignment is a total
+    // order both engines agree on. SCALE NOTE: exact global ntile is
+    // a single-partition window by construction; a 100 TB deployment
+    // would swap it for approx-quantile cutpoints (one pass, no
+    // global sort) at the cost of boundary exactness — kept exact
+    // here because the oracle contract is exact quintiles.
+    QDef("q_rfm_scores", Some("""
+      WITH maxd AS (SELECT CAST(max(o_orderdate) AS DATE) AS mx FROM orders),
+      a AS (SELECT o_custkey AS custkey,
+          date_diff('day', CAST(max(o_orderdate) AS DATE), (SELECT mx FROM maxd)) AS recency_days,
+          count(*) AS frequency,
+          CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS monetary_c
+        FROM orders GROUP BY 1)
+      SELECT custkey, CAST(recency_days AS BIGINT) AS recency_days, frequency, monetary_c,
+        CAST(ntile(5) OVER (ORDER BY recency_days, custkey) AS BIGINT) AS r_score,
+        CAST(ntile(5) OVER (ORDER BY frequency DESC, custkey) AS BIGINT) AS f_score,
+        CAST(ntile(5) OVER (ORDER BY monetary_c DESC, custkey) AS BIGINT) AS m_score
+      FROM a ORDER BY custkey"""),
+      (s, d) => {
+        val o = t(s, d, "orders")
+        val mx = o.agg(max(col("o_orderdate").cast("date")).as("mx"))
+        val a = o.groupBy(col("o_custkey").as("custkey"))
+          .agg(max(col("o_orderdate").cast("date")).as("lastd"),
+            count(lit(1)).as("frequency"),
+            sum(floor(col("o_totalprice") * 100).cast("long")).as("monetary_c"))
+          .crossJoin(broadcast(mx))
+          .withColumn("recency_days", datediff(col("mx"), col("lastd")).cast("long"))
+        a.withColumn("r_score",
+            ntile(5).over(Window.orderBy(col("recency_days"), col("custkey"))).cast("long"))
+          .withColumn("f_score",
+            ntile(5).over(Window.orderBy(col("frequency").desc, col("custkey"))).cast("long"))
+          .withColumn("m_score",
+            ntile(5).over(Window.orderBy(col("monetary_c").desc, col("custkey"))).cast("long"))
+          .select("custkey", "recency_days", "frequency", "monetary_c",
+            "r_score", "f_score", "m_score")
+          .orderBy("custkey")
+      }),
+
+    // ROBUST outlier detection via MAD (median absolute deviation):
+    // per event type, flag events whose |v − median| exceeds 3×MAD.
+    // Both medians are exact DISCRETE order statistics (row_number at
+    // ceil(n/2)) in milli fixed point, so the whole chain is integer
+    // and the flag threshold can't wobble across engines — unlike
+    // the mean/stddev z-score (q_zscore_outliers), a 1% corrupted
+    // tail can't drag the threshold. Two type-keyed window passes +
+    // two dim-sized broadcast joins.
+    QDef("q_anomaly_mad", Some("""
+      WITH v AS (SELECT event_id, event_type, CAST(floor(value * 1000) AS BIGINT) AS v FROM events),
+      r AS (SELECT *, row_number() OVER (PARTITION BY event_type ORDER BY v) AS rn,
+              count(*) OVER (PARTITION BY event_type) AS n FROM v),
+      med AS (SELECT event_type, max(CASE WHEN rn = (n+1)//2 THEN v END) AS med FROM r GROUP BY 1),
+      dev AS (SELECT v.event_type, v.event_id, v.v, abs(v.v - med.med) AS dev
+              FROM v JOIN med USING (event_type)),
+      r2 AS (SELECT *, row_number() OVER (PARTITION BY event_type ORDER BY dev) AS rn,
+              count(*) OVER (PARTITION BY event_type) AS n FROM dev),
+      mad AS (SELECT event_type, max(CASE WHEN rn = (n+1)//2 THEN dev END) AS mad FROM r2 GROUP BY 1)
+      SELECT d.event_id, d.event_type, d.v, d.dev, m.mad
+      FROM dev d JOIN mad m USING (event_type)
+      WHERE d.dev > 3 * m.mad ORDER BY d.event_id"""),
+      (s, d) => {
+        val v = t(s, d, "events")
+          .select(col("event_id"), col("event_type"),
+            floor(col("value") * 1000).cast("long").as("v"))
+        def discMedian(df: org.apache.spark.sql.DataFrame, valueCol: String) = {
+          val w = Window.partitionBy("event_type").orderBy(valueCol)
+          val wn = Window.partitionBy("event_type")
+          df.withColumn("rn", row_number().over(w))
+            .withColumn("n", count(lit(1)).over(wn))
+            .groupBy("event_type")
+            .agg(max(when(col("rn") === expr("(n+1) div 2"), col(valueCol))).as(s"med_$valueCol"))
+        }
+        val dev = v.join(broadcast(discMedian(v, "v")), "event_type")
+          .withColumn("dev", abs(col("v") - col("med_v")))
+        dev.join(broadcast(discMedian(dev, "dev").withColumnRenamed("med_dev", "mad")),
+            "event_type")
+          .filter(col("dev") > lit(3) * col("mad"))
+          .select("event_id", "event_type", "v", "dev", "mad")
+          .orderBy("event_id")
+      }),
+
+    // 2-HOP graph neighborhood: co-supplier degree — for each
+    // supplier, how many OTHER suppliers share at least one part
+    // with it. The bipartite edge list self-joins on partkey
+    // (co-partitioned, one shuffle) and the distinct-count aggregate
+    // dedups the multi-part pairs. Hub parts quadratically inflate
+    // the join (the LSH bucket-skew story, q_lsh_bucket_skew) — at
+    // 100 TB the mitigation is capping/salting hub parts; the
+    // synthetic graph's max part degree is small enough to skip it.
+    QDef("q_cosupplier_degree", Some("""
+      WITH e AS (SELECT DISTINCT l_partkey AS p, l_suppkey AS s FROM lineitem)
+      SELECT a.s AS suppkey, count(DISTINCT b.s) AS n_cosuppliers
+      FROM e a JOIN e b ON a.p = b.p AND a.s <> b.s
+      GROUP BY a.s ORDER BY suppkey"""),
+      (s, d) => {
+        val e = t(s, d, "lineitem")
+          .select(col("l_partkey").as("p"), col("l_suppkey").as("s")).distinct()
+        val b = e.select(col("p"), col("s").as("s2"))
+        e.join(b, Seq("p")).filter(col("s") =!= col("s2"))
+          .groupBy(col("s").as("suppkey"))
+          .agg(countDistinct(col("s2")).as("n_cosuppliers"))
+          .orderBy("suppkey")
+      }),
+
+    // LABEL PROPAGATION, two synchronous rounds over the
+    // part↔supplier graph: parts adopt the plurality nation of their
+    // suppliers, then suppliers adopt the plurality label of their
+    // parts; report propagated vs native label. Plurality = mode
+    // with deterministic (count desc, label asc) tie-break, the same
+    // total-order trick as q_mode_per_group. Each round is one
+    // join + one keyed window — the iterative-propagation plan shape
+    // (like q_pagerank_iter, unrolled, no driver loop).
+    QDef("q_label_propagation", Some("""
+      WITH e AS (SELECT DISTINCT l_partkey AS p, l_suppkey AS s FROM lineitem),
+      pl AS (
+        SELECT p, lab FROM (
+          SELECT e.p, CAST(sup.s_nationkey AS BIGINT) AS lab, count(*) AS n
+          FROM e JOIN supplier sup ON e.s = sup.s_suppkey GROUP BY 1, 2)
+        QUALIFY row_number() OVER (PARTITION BY p ORDER BY n DESC, lab) = 1),
+      sl AS (
+        SELECT s, lab FROM (
+          SELECT e.s, pl.lab, count(*) AS n
+          FROM e JOIN pl USING (p) GROUP BY 1, 2)
+        QUALIFY row_number() OVER (PARTITION BY s ORDER BY n DESC, lab) = 1)
+      SELECT sl.s AS suppkey, CAST(sup.s_nationkey AS BIGINT) AS native_label,
+             sl.lab AS propagated_label,
+             CASE WHEN sl.lab = CAST(sup.s_nationkey AS BIGINT) THEN 1 ELSE 0 END AS agrees
+      FROM sl JOIN supplier sup ON sl.s = sup.s_suppkey
+      ORDER BY suppkey"""),
+      (s, d) => {
+        val e = t(s, d, "lineitem")
+          .select(col("l_partkey").as("p"), col("l_suppkey").as("s")).distinct()
+        val sup = t(s, d, "supplier")
+          .select(col("s_suppkey"), col("s_nationkey").cast("long").as("native_label"))
+        def plurality(df: org.apache.spark.sql.DataFrame, key: String) = {
+          val w = Window.partitionBy(key).orderBy(col("n").desc, col("lab"))
+          df.groupBy(col(key), col("lab")).agg(count(lit(1)).as("n"))
+            .withColumn("rn", row_number().over(w))
+            .filter(col("rn") === 1).select(col(key), col("lab"))
+        }
+        val pl = plurality(
+          e.join(broadcast(sup), col("s") === col("s_suppkey"))
+            .select(col("p"), col("native_label").as("lab")), "p")
+        val sl = plurality(e.join(pl, "p").select(col("s"), col("lab")), "s")
+        sl.join(broadcast(sup), col("s") === col("s_suppkey"))
+          .select(col("s").as("suppkey"), col("native_label"),
+            col("lab").as("propagated_label"),
+            when(col("lab") === col("native_label"), 1).otherwise(0).as("agrees"))
+          .orderBy("suppkey")
       })
   )
 }

@@ -113,6 +113,45 @@ class GraphStatSpec extends AnyFunSuite {
     }
   }
 
+  test("rfm: quintile sizes balanced within 1; scores span 1..5") {
+    val df = q("q_rfm_scores")
+    for (c <- Seq("r_score", "f_score", "m_score")) {
+      val sizes = df.groupBy(c).count().collect().map(r => (r.getLong(0), r.getLong(1)))
+      assert(sizes.map(_._1).sorted.sameElements(1L to 5L), s"$c must hit all 5 quintiles")
+      assert(sizes.map(_._2).max - sizes.map(_._2).min <= 1,
+        s"ntile quintiles differ by at most 1: ${sizes.mkString(",")}")
+    }
+  }
+
+  test("anomaly mad: every flagged row clears 3×MAD; medians broadcast") {
+    val df = q("q_anomaly_mad")
+    val plan = executed(df)
+    assert(plan.contains("BroadcastHashJoin"),
+      s"dim-sized median/MAD tables must broadcast-join the stream:\n$plan")
+    assert(df.filter(col("dev") <= lit(3) * col("mad")).count() == 0)
+  }
+
+  test("cosupplier degree: symmetric relation, no cartesian product") {
+    val df = q("q_cosupplier_degree")
+    val plan = executed(df)
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"self-join must stay keyed on partkey:\n$plan")
+    // degree bound: a supplier can't co-occur with more suppliers
+    // than exist (minus itself)
+    val nSup = graft.pipeline.Tables.t(spark, SparkTesting.sf, "supplier").count()
+    assert(df.filter(col("n_cosuppliers") >= nSup).count() == 0)
+  }
+
+  test("label propagation: labels stay inside the native domain") {
+    val df = q("q_label_propagation")
+    val native = df.select("native_label").distinct().collect().map(_.getLong(0)).toSet
+    val prop = df.select("propagated_label").distinct().collect().map(_.getLong(0)).toSet
+    assert(prop.subsetOf(native),
+      s"propagation can only redistribute existing labels: ${prop -- native}")
+    assert(df.filter((col("agrees") === 1) =!=
+      (col("native_label") === col("propagated_label"))).count() == 0)
+  }
+
   test("class weights: inverse monotone — rarer label never weighs less") {
     val rows = q("q_class_weights").collect()
       .map(r => (r.getLong(1), r.getLong(2))).sortBy(_._1)
