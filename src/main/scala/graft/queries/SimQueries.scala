@@ -950,6 +950,57 @@ object SimQueries {
           .withColumn("is_survivor",
             when(col("cluster_id") === col("vec_id"), 1).otherwise(0))
           .orderBy("vec_id")
+      }),
+
+    // kNN CLASSIFICATION eval: 5-NN majority vote over the labeled
+    // embedding corpus for a held-out probe set (vec_id % 100 = 0),
+    // plurality with (votes desc, label asc) tie-break, scored
+    // against the probe's true label. The probe set broadcasts
+    // against one corpus scan (bruteForceTopK's WindowGroupLimit
+    // keeps the shuffle at O(k) rows per probe); the vote and the
+    // label joins are probe-sized. The eval-gate shape every
+    // embedding-model regression suite needs at 100 TB: the expensive
+    // part is a single corpus pass regardless of k or probe count.
+    QDef("q_knn_classify", Some(s"""
+      WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      q AS (SELECT vec_id AS qid, CAST(label AS BIGINT) AS true_label, v AS qv
+            FROM e WHERE vec_id % 100 = 0),
+      c AS (SELECT vec_id AS cid, CAST(label AS BIGINT) AS clabel, v AS cv
+            FROM e WHERE vec_id % 100 <> 0),
+      s AS (SELECT qid, cid, clabel, round($cosSql, 3) AS sim3 FROM q CROSS JOIN c),
+      r AS (SELECT qid, clabel, sim3, cid,
+            row_number() OVER (PARTITION BY qid ORDER BY sim3 DESC, cid) AS rank
+            FROM s),
+      votes AS (SELECT qid, clabel, count(*) AS n, min(rank) AS best
+                FROM r WHERE rank <= 5 GROUP BY 1, 2),
+      pred AS (SELECT qid, clabel AS pred_label FROM votes
+               QUALIFY row_number() OVER (PARTITION BY qid ORDER BY n DESC, clabel) = 1)
+      SELECT q.qid, q.true_label, p.pred_label,
+             CASE WHEN q.true_label = p.pred_label THEN 1 ELSE 0 END AS correct
+      FROM q JOIN pred p USING (qid) ORDER BY qid"""),
+      (s, d) => {
+        val e = t(s, d, "embeddings")
+          .select(col("vec_id"), col("label").cast("long").as("lab"),
+            col("embedding").as("v"))
+        val q = e.filter(col("vec_id") % 100 === 0)
+          .select(col("vec_id").as("qid"), col("lab").as("true_label"),
+            col("v").as("qv"))
+        val c = e.filter(col("vec_id") % 100 =!= 0)
+          .select(col("vec_id").as("cid"), col("lab").as("clabel"),
+            col("v").as("cv"))
+        val top = Similarity.bruteForceTopK(c.drop("clabel"), q.drop("true_label"), 5)
+          .join(broadcast(c.select(col("cid"), col("clabel"))), "cid")
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("qid").orderBy(col("n").desc, col("clabel"))
+        val pred = top.groupBy("qid", "clabel").agg(count(lit(1)).as("n"))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select(col("qid"), col("clabel").as("pred_label"))
+        q.select(col("qid"), col("true_label"))
+          .join(pred, "qid")
+          .withColumn("correct",
+            when(col("true_label") === col("pred_label"), 1).otherwise(0))
+          .orderBy("qid")
       })
   )
 

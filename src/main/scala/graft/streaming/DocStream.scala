@@ -41,6 +41,43 @@ final class PackProcessor(budget: Long)
   }
 }
 
+/** One token observation routed to its source's frequency sketch. */
+final case class TokObs(source: String, tok: String)
+
+/** A current heavy-hitter candidate: `est` is the Misra-Gries
+  * residual count — an UNDER-estimate of the true frequency by at
+  * most N/(k+1) (see [[graft.ops.MisraGriesAgg]]). */
+final case class HeavyHitter(source: String, tok: String, est: Long)
+
+/** Streaming analog of q_heavy_hitters_gate's sketch pass: one
+  * Misra-Gries(k) summary per source lives in a `ValueState[MGBuf]`
+  * — O(k) state per source FOREVER, no matter how many distinct
+  * tokens the stream carries (an exact streaming count would grow
+  * with the vocabulary). After each micro-batch the source's current
+  * candidate set is re-emitted (Update mode); the one-sided
+  * guarantee means a token above the N/(k+1) frequency floor is
+  * never absent from the latest emission. The exact-gate second pass
+  * stays batch-side, where the corpus can be re-scanned. */
+final class HeavyHitterProcessor(k: Int)
+    extends StatefulProcessor[String, TokObs, HeavyHitter] {
+
+  @transient private var sketch: ValueState[graft.ops.MGBuf] = _
+  private val mg = new graft.ops.MisraGriesAgg(k)
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    sketch = getHandle.getValueState[graft.ops.MGBuf](
+      "mg_sketch", Encoders.product[graft.ops.MGBuf], TTLConfig.NONE)
+
+  override def handleInputRows(source: String, rows: Iterator[TokObs],
+                               timers: TimerValues): Iterator[HeavyHitter] = {
+    var b = if (sketch.exists()) sketch.get() else mg.zero
+    rows.foreach(r => b = mg.reduce(b, r.tok))
+    sketch.update(b)
+    b.toks.toSeq.sortBy(_._1)
+      .map { case (t, c) => HeavyHitter(source, t, c) }.iterator
+  }
+}
+
 /** Streaming quota input: one doc with its source key. */
 final case class QuotaDoc(doc_id: Long, source: String)
 
@@ -235,6 +272,25 @@ object DocStream {
       .as[QuotaDoc]
       .groupByKey(_.source)
       .transformWithState(new QuotaProcessor(cap),
+        TimeMode.None(), OutputMode.Update())
+  }
+
+  /** Per-source streaming heavy hitters: tokenize (the SHARED
+    * TextAnalysis.tokens tree), route every token to its source's
+    * Misra-Gries(k) sketch, re-emit the source's candidate set each
+    * micro-batch. See [[HeavyHitterProcessor]] for the state bound
+    * and guarantee. */
+  def heavyHittersStream(docs: DataFrame, k: Int,
+                         sourceCol: String = "source",
+                         textCol: String = "text"): Dataset[HeavyHitter] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs
+      .select(col(sourceCol).as("source"),
+        explode(TextAnalysis.tokens(col(textCol))).as("tok"))
+      .as[TokObs]
+      .groupByKey(_.source)
+      .transformWithState(new HeavyHitterProcessor(k),
         TimeMode.None(), OutputMode.Update())
   }
 

@@ -92,6 +92,18 @@ class GraphStatSpec extends AnyFunSuite {
     assert(total > 900 * n, s"mass loss should be small: total=$total nodes=$n")
   }
 
+  test("knn classify: probe set broadcasts, top-k limited map-side, " +
+      "prediction among the 5 voted labels") {
+    val df = q("q_knn_classify")
+    val plan = executed(df)
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"),
+      s"probes must broadcast against one corpus scan:\n$plan")
+    assert(plan.contains("WindowGroupLimit"),
+      s"top-k must reduce map-side before the qid shuffle:\n$plan")
+    assert(df.filter(col("correct") =!=
+      when(col("true_label") === col("pred_label"), 1).otherwise(0)).count() == 0)
+  }
+
   test("misra-gries: one-sided guarantee on adversarial + merged streams") {
     val k = 9
     val agg = new MisraGriesAgg(k)

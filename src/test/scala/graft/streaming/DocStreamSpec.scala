@@ -308,6 +308,58 @@ class DocStreamSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming heavy hitters: O(k) sketch state persists across batches, " +
+      "no frequent token is ever lost") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val prevProvider = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val k = 4
+      // skewed vocabulary: "hot" ~ half the stream, "warm" ~ a
+      // quarter, 12 rare singletons churn the sketch
+      val b1 = Seq((1L, "s", "hot hot hot warm r1 r2"),
+        (2L, "s", "hot hot warm r3 r4 r5"))
+      val b2 = Seq((3L, "s", "hot hot hot warm warm r6 r7"),
+        (4L, "s", "hot r8 r9 r10 r11 r12"))
+      val input = MemoryStream[(Long, String, String)]
+      val q = DocStream.heavyHittersStream(
+        input.toDF().toDF("doc_id", "source", "text"), k)
+        .writeStream.format("memory").queryName("doc_hh")
+        .outputMode(OutputMode.Update).start()
+      val afterB1 = try {
+        input.addData(b1: _*); q.processAllAvailable()
+        val rows = spark.sql("SELECT tok, est FROM doc_hh")
+          .as[(String, Long)].collect().toSeq
+        assert(rows.size <= k, s"state must stay ≤ k: $rows")
+        assert(rows.toMap.contains("hot"))
+        input.addData(b2: _*); q.processAllAvailable()
+        rows
+      } finally q.stop()
+      // memory sink accumulates Update-mode emissions; the batch-2
+      // re-emission is the accumulated multiset minus batch 1's
+      val fin = spark.sql("SELECT tok, est FROM doc_hh")
+        .as[(String, Long)].collect().toSeq.diff(afterB1).toMap
+      assert(fin.size <= k, s"state must stay ≤ k: $fin")
+      val all = (b1 ++ b2).flatMap(_._3.split(" "))
+      val n = all.size.toLong
+      val exact = all.groupBy(identity).view.mapValues(_.size.toLong)
+      // one-sided guarantee over the WHOLE stream: anything above
+      // N/(k+1) frequency must be in the final sketch, with its
+      // residual within N/(k+1) of the true count
+      exact.toSeq.filter(_._2 > n / (k + 1)).foreach { case (t, c) =>
+        assert(fin.contains(t), s"frequent token $t lost: $fin")
+        assert(c - fin(t) <= n / (k + 1), s"estimate for $t too low: ${fin(t)} vs $c")
+      }
+    } finally {
+      prevProvider match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("streaming sequence packing: running totals persist across micro-batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
