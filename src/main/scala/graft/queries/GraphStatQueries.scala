@@ -421,6 +421,49 @@ object GraphStatQueries {
             col("lab").as("propagated_label"),
             when(col("lab") === col("native_label"), 1).otherwise(0).as("agrees"))
           .orderBy("suppkey")
+      }),
+
+    // BEHAVIORAL near-dup: sessionize each user's stream (24 h gap
+    // rule — break flag via lag, session id via running sum, the
+    // q_window_session machinery), render each session's ordered
+    // event-type sequence as a '>' -joined pattern string, and
+    // report every pattern more than one session exhibits. The
+    // "dedup by behavior, not content" operator a bot-detection /
+    // synthetic-data-contamination pipeline needs. Spark renders the
+    // ordered string_agg as array_sort(collect_list(struct)) —
+    // deterministic because (ts, event_id) totally orders the
+    // struct. BOTH windows and the session aggregate ride the one
+    // user_id shuffle; only pattern-sized rows reach the final
+    // pattern-keyed exchange.
+    QDef("q_session_pattern_dup", Some("""
+      WITH o AS (SELECT user_id, event_id, ts, event_type,
+          CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+               OR epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                  > 86400000000 THEN 1 ELSE 0 END AS brk
+        FROM events),
+      s AS (SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS sess FROM o),
+      p AS (SELECT user_id, sess,
+              string_agg(event_type, '>' ORDER BY ts, event_id) AS pattern
+            FROM s GROUP BY 1, 2)
+      SELECT pattern, count(*) AS n_sessions, count(DISTINCT user_id) AS n_users
+      FROM p GROUP BY pattern HAVING count(*) > 1 ORDER BY pattern"""),
+      (s, d) => {
+        val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        val o = t(s, d, "events")
+          .withColumn("gap_us",
+            unix_micros(col("ts")) - lag(unix_micros(col("ts")), 1).over(byUser))
+          .withColumn("brk",
+            when(col("gap_us").isNull || col("gap_us") > 86400000000L, 1).otherwise(0))
+          .withColumn("sess", sum("brk").over(byUser))
+        o.groupBy("user_id", "sess")
+          .agg(array_join(
+            transform(
+              array_sort(collect_list(struct(col("ts"), col("event_id"), col("event_type")))),
+              x => x.getField("event_type")), ">").as("pattern"))
+          .groupBy("pattern")
+          .agg(count(lit(1)).as("n_sessions"), countDistinct("user_id").as("n_users"))
+          .filter(col("n_sessions") > 1)
+          .orderBy("pattern")
       })
   )
 }

@@ -164,6 +164,19 @@ class GraphStatSpec extends AnyFunSuite {
       (col("native_label") === col("propagated_label"))).count() == 0)
   }
 
+  test("session pattern dup: windows and session agg share the user shuffle; " +
+      "every reported pattern has ≥2 sessions") {
+    val df = q("q_session_pattern_dup")
+    val plan = executed(df)
+    // 1 user_id exchange (both windows + session agg) + 1 pattern
+    // exchange (final agg) — anything more means a window replanned
+    assert(SparkTesting.hashExchanges(plan) <= 2,
+      s"expected ≤2 exchanges (user_id, pattern):\n$plan")
+    assert(df.filter(col("n_sessions") < 2).count() == 0)
+    assert(df.filter(col("n_users") > col("n_sessions")).count() == 0,
+      "a user contributes at least one session per counted pattern")
+  }
+
   test("class weights: inverse monotone — rarer label never weighs less") {
     val rows = q("q_class_weights").collect()
       .map(r => (r.getLong(1), r.getLong(2))).sortBy(_._1)
