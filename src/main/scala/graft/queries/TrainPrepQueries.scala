@@ -609,6 +609,80 @@ object TrainPrepQueries {
             "doc_id", "tok", 6)
             .filter(col("near_dup") === 1).select("doc_a", "doc_b"))
         graft.pipeline.Curation.audit(st)
+      }),
+
+    // QUALITY-WEIGHTED importance resampling: docs keep with a rate
+    // tied to their lexical-diversity bucket (TTR ≥600‰ keep-all,
+    // ≥400‰ half, else quarter), decided by a seed-stamped md5 byte
+    // of doc_id — the Mixing.splitAssign determinism trick, so the
+    // SAME docs survive on any engine, run, or partitioning (what
+    // rand()-based sampling can't promise, and what makes the sample
+    // reproducible for a training run). Pure per-row projection +
+    // filter: zero shuffles at any corpus size.
+    QDef("q_quality_resample", Some(s"""
+      WITH $toksCte,
+      q AS (SELECT doc_id,
+              (1000 * CAST(len(list_distinct(toks)) AS BIGINT))
+                // CAST(len(toks) AS BIGINT) AS ttr
+            FROM d WHERE len(toks) > 0),
+      h AS (SELECT doc_id, ttr,
+              CASE WHEN ttr >= 600 THEN 'hi' WHEN ttr >= 400 THEN 'mid' ELSE 'lo' END AS bucket,
+              CAST(('0x' || substr(md5('qrs1|' || doc_id), 1, 2)) AS INTEGER) AS b
+            FROM q)
+      SELECT doc_id, bucket, ttr, CAST(b AS BIGINT) AS b FROM h
+      WHERE b < CASE bucket WHEN 'hi' THEN 256 WHEN 'mid' THEN 128 ELSE 64 END
+      ORDER BY doc_id"""),
+      (s, d) => {
+        val q = t(s, d, "documents")
+          .withColumn("toks", TA.tokens(col("text")))
+          .filter(size(col("toks")) > 0)
+          .select(col("doc_id"),
+            expr("(1000 * cast(size(array_distinct(toks)) AS BIGINT)) div size(toks)")
+              .as("ttr"))
+        q.withColumn("bucket",
+            when(col("ttr") >= 600, "hi").when(col("ttr") >= 400, "mid")
+              .otherwise("lo"))
+          .withColumn("b", conv(substring(
+            md5(concat(lit("qrs1|"), col("doc_id").cast(StringType))), 1, 2),
+            16, 10).cast(LongType))
+          .filter(col("b") < when(col("bucket") === "hi", 256)
+            .when(col("bucket") === "mid", 128).otherwise(64))
+          .select("doc_id", "bucket", "ttr", "b")
+          .orderBy("doc_id")
+      }),
+
+    // PACKING-EFFICIENCY readout for q_pack_sequences: per context
+    // window (shard, seq_id), how many docs landed, their token
+    // mass, and the fill permille against the 256-token budget
+    // (>1000 = the window's last doc overflows into the next — the
+    // waste/overflow signal a packing strategy is tuned by). Same
+    // one-shuffle window as the packer, then a dim-sized aggregate.
+    QDef("q_pack_fill_eval", Some(s"""
+      WITH $toksCte,
+      n AS (SELECT doc_id, doc_id % 4 AS shard,
+                   CAST(len(toks) AS BIGINT) AS n_tokens FROM d),
+      w AS (SELECT doc_id, shard, n_tokens,
+                   CAST(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+            FROM n),
+      p AS (SELECT shard, (cum - n_tokens) // 256 AS seq_id, n_tokens FROM w)
+      SELECT shard, seq_id, count(*) AS n_docs,
+             CAST(sum(n_tokens) AS BIGINT) AS seq_tokens,
+             (1000 * CAST(sum(n_tokens) AS BIGINT)) // 256 AS fill_permille
+      FROM p GROUP BY 1, 2 ORDER BY shard, seq_id"""),
+      (s, d) => {
+        val w = Window.partitionBy("shard").orderBy("doc_id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        t(s, d, "documents")
+          .select(col("doc_id"), (col("doc_id") % 4).as("shard"),
+            TA.tokenCount(col("text")).as("n_tokens"))
+          .withColumn("cum", sum(col("n_tokens")).over(w).cast(LongType))
+          .select(col("shard"), expr("div(cum - n_tokens, 256)").as("seq_id"),
+            col("n_tokens"))
+          .groupBy("shard", "seq_id")
+          .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("seq_tokens"))
+          .withColumn("fill_permille", expr("(1000 * seq_tokens) div 256"))
+          .orderBy("shard", "seq_id")
       })
   )
 }

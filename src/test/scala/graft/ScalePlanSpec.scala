@@ -184,6 +184,32 @@ class ScalePlanSpec extends AnyFunSuite {
       s"window must partition by shard:\n$plan")
   }
 
+  test("quality resample: zero-shuffle projection; rates honored per bucket") {
+    val df = SparkEntry.queries("q_quality_resample")(spark, SparkTesting.sf)
+    val plan = executedPlan(df)
+    df.collect()
+    val finalPlan = SparkTesting.finalSection(plan)
+    assert(!finalPlan.contains("Exchange hashpartitioning"),
+      s"per-row hash sampling must not shuffle (sort excepted):\n$finalPlan")
+    // every kept row's hash byte clears its bucket's rate
+    import org.apache.spark.sql.functions._
+    val bad = df.filter(col("b") >= when(col("bucket") === "hi", 256)
+      .when(col("bucket") === "mid", 128).otherwise(64)).count()
+    assert(bad == 0, "kept rows must clear their bucket rate")
+  }
+
+  test("pack fill eval: per-seq token mass reconciles with the packer") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val fill = SparkEntry.queries("q_pack_fill_eval")(spark, SparkTesting.sf)
+    val pack = SparkEntry.queries("q_pack_sequences")(spark, SparkTesting.sf)
+      .groupBy("shard", "seq_id").agg(sum("n_tokens").as("expect"))
+    val bad = fill.join(pack, Seq("shard", "seq_id"), "full")
+      .filter(col("seq_tokens").isNull || col("expect").isNull ||
+        col("seq_tokens") =!= col("expect")).count()
+    assert(bad == 0, "fill eval must partition exactly the packed token mass")
+  }
+
   test("embedding ANN dedup: within-cell pairs agree with brute force") {
     import spark.implicits._
     val ann = SparkEntry.queries("q_dedup_embed_ann")(spark, SparkTesting.sf)
