@@ -464,6 +464,71 @@ object GraphStatQueries {
           .agg(count(lit(1)).as("n_sessions"), countDistinct("user_id").as("n_users"))
           .filter(col("n_sessions") > 1)
           .orderBy("pattern")
+      }),
+
+    // WINDOWED DISTINCT COUNT — rolling 7-day distinct event types
+    // per user, an operator Spark's window functions lack natively
+    // (no COUNT(DISTINCT) OVER): expressed as
+    // size(array_distinct(collect_list() over RANGE frame)). The
+    // RANGE frame is keyed on epoch micros so peers (equal
+    // timestamps) share one frame — value-determined, order-proof in
+    // both engines. State bound: the collected list holds ≤ the
+    // 7-day event fan of one user — bounded by time, not stream
+    // length. One user_id shuffle.
+    QDef("q_window_distinct_count", Some("""
+      SELECT user_id, event_id, CAST(count(DISTINCT event_type) OVER (
+          PARTITION BY user_id ORDER BY epoch_us(ts)
+          RANGE BETWEEN 604800000000 PRECEDING AND CURRENT ROW) AS BIGINT) AS n_types_7d
+      FROM events ORDER BY user_id, event_id"""),
+      (s, d) => {
+        val w = Window.partitionBy("user_id").orderBy(col("us"))
+          .rangeBetween(-604800000000L, 0L)
+        t(s, d, "events")
+          .withColumn("us", unix_micros(col("ts")))
+          .withColumn("n_types_7d",
+            size(array_distinct(collect_list(col("event_type")).over(w))).cast("long"))
+          .select("user_id", "event_id", "n_types_7d")
+          .orderBy("user_id", "event_id")
+      }),
+
+    // ROBUST feature SCALER: (v − median) / IQR per event type in
+    // milli fixed point — the outlier-insensitive standardization
+    // (sklearn RobustScaler) for ML feature prep. Quartiles are
+    // exact discrete order statistics (q_pctl_disc_group's
+    // construction); the scale step is floor(a/b) via IEEE double
+    // division, bit-identical across engines for |a| < 2^53 (integer
+    // `div`/`//` semantics on NEGATIVE numerators are the portable
+    // trap: truncation vs floor differs across engines/versions).
+    // One type-keyed window + a broadcast stats join.
+    QDef("q_robust_scaler", Some("""
+      WITH v AS (SELECT event_id, event_type, CAST(floor(value * 1000) AS BIGINT) AS v FROM events),
+      r AS (SELECT *, row_number() OVER (PARTITION BY event_type ORDER BY v) AS rn,
+              count(*) OVER (PARTITION BY event_type) AS n FROM v),
+      st AS (SELECT event_type,
+              max(CASE WHEN rn = (n+3)//4 THEN v END) AS q1,
+              max(CASE WHEN rn = (n+1)//2 THEN v END) AS med,
+              max(CASE WHEN rn = (3*n+3)//4 THEN v END) AS q3
+             FROM r GROUP BY 1)
+      SELECT event_id, v.event_type, v.v,
+             CAST(floor(((v.v - st.med) * 1000) / (st.q3 - st.q1)) AS BIGINT) AS scaled_milli
+      FROM v JOIN st USING (event_type) ORDER BY event_id"""),
+      (s, d) => {
+        val v = t(s, d, "events")
+          .select(col("event_id"), col("event_type"),
+            floor(col("value") * 1000).cast("long").as("v"))
+        val w = Window.partitionBy("event_type").orderBy("v")
+        val wn = Window.partitionBy("event_type")
+        val st = v.withColumn("rn", row_number().over(w))
+          .withColumn("n", count(lit(1)).over(wn))
+          .groupBy("event_type")
+          .agg(max(when(col("rn") === expr("(n+3) div 4"), col("v"))).as("q1"),
+            max(when(col("rn") === expr("(n+1) div 2"), col("v"))).as("med"),
+            max(when(col("rn") === expr("(3*n+3) div 4"), col("v"))).as("q3"))
+        v.join(broadcast(st), "event_type")
+          .withColumn("scaled_milli",
+            floor((col("v") - col("med")) * 1000 / (col("q3") - col("q1"))).cast("long"))
+          .select("event_id", "event_type", "v", "scaled_milli")
+          .orderBy("event_id")
       })
   )
 }

@@ -104,6 +104,26 @@ class GraphStatSpec extends AnyFunSuite {
       when(col("true_label") === col("pred_label"), 1).otherwise(0)).count() == 0)
   }
 
+  test("window distinct count: one user shuffle; monotone within a day burst") {
+    val df = q("q_window_distinct_count")
+    val plan = executed(df)
+    assert(SparkTesting.hashExchanges(plan) == 1,
+      s"rolling distinct rides ONE user_id exchange:\n$plan")
+    assert(df.filter(col("n_types_7d") < 1 || col("n_types_7d") > 5).count() == 0,
+      "distinct count bounded by the event-type domain")
+  }
+
+  test("robust scaler: median maps to ~0, quartiles to ±1000 milli") {
+    val df = q("q_robust_scaler")
+    // rows at the median scale to 0 (or −1 from floor of −ε); the
+    // scaled IQR spans ~[−1000, 1000] for the inner half of the data
+    val n = df.count()
+    val inner = df.filter(col("scaled_milli") >= -1000 && col("scaled_milli") <= 1000).count()
+    assert(inner >= n / 2, s"inner half of data must land within ±IQR: $inner of $n")
+    assert(df.filter(col("v") === col("scaled_milli")).count() != n,
+      "scaling must actually transform")
+  }
+
   test("misra-gries: one-sided guarantee on adversarial + merged streams") {
     val k = 9
     val agg = new MisraGriesAgg(k)
