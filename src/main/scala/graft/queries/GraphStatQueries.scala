@@ -529,6 +529,138 @@ object GraphStatQueries {
             floor((col("v") - col("med")) * 1000 / (col("q3") - col("q1"))).cast("long"))
           .select("event_id", "event_type", "v", "scaled_milli")
           .orderBy("event_id")
+      }),
+
+
+    // LEAVE-ONE-OUT target encoding: event_type → mean of value
+    // (milli) over all OTHER rows of the type — the leakage-safe
+    // categorical encoder (plain mean encoding leaks each row's own
+    // target into its feature). Exact integer sums; the per-row mean
+    // is floor of an IEEE double division (identical everywhere for
+    // |num| < 2^53). One map-side-combined aggregate + a broadcast
+    // join: two passes, zero wide shuffles of the fact.
+    QDef("q_target_encode_loo", Some("""
+      WITH v AS (SELECT event_id, event_type, CAST(floor(value * 1000) AS BIGINT) AS v FROM events),
+      st AS (SELECT event_type, CAST(sum(v) AS BIGINT) AS s, count(*) AS n
+             FROM v GROUP BY 1)
+      SELECT event_id, v.event_type, v.v,
+             CAST(floor(CAST(st.s - v.v AS DOUBLE) / (st.n - 1)) AS BIGINT) AS loo_mean_milli
+      FROM v JOIN st USING (event_type) WHERE st.n > 1 ORDER BY event_id"""),
+      (s, d) => {
+        val v = t(s, d, "events")
+          .select(col("event_id"), col("event_type"),
+            floor(col("value") * 1000).cast("long").as("v"))
+        val st = v.groupBy("event_type")
+          .agg(sum("v").as("s"), count(lit(1)).as("n"))
+        v.join(broadcast(st), "event_type").filter(col("n") > 1)
+          .withColumn("loo_mean_milli",
+            floor((col("s") - col("v")).cast("double") / (col("n") - 1)).cast("long"))
+          .select("event_id", "event_type", "v", "loo_mean_milli")
+          .orderBy("event_id")
+      }),
+
+    // REVENUE CONCENTRATION audit: each nation's top-3 suppliers'
+    // share of its lineitem revenue, permille — the skew/dependency
+    // readout (who dominates a partition) that decides salting and
+    // risk reviews alike. Per-supplier rollup (one keyed shuffle),
+    // broadcast nation join, top-3 via the WindowGroupLimit-rewritten
+    // row_number, dim-sized final aggregate.
+    QDef("q_supplier_concentration", Some("""
+      WITH rev AS (SELECT s.s_nationkey AS nationkey, l.l_suppkey AS suppkey,
+          CAST(sum(CAST(floor(l.l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS r
+        FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey GROUP BY 1, 2),
+      rk AS (SELECT *, row_number() OVER (PARTITION BY nationkey ORDER BY r DESC, suppkey) AS rn
+             FROM rev)
+      SELECT nationkey, CAST(sum(CASE WHEN rn <= 3 THEN r ELSE 0 END) AS BIGINT) AS top3_rev,
+             CAST(sum(r) AS BIGINT) AS total_rev,
+             (1000 * CAST(sum(CASE WHEN rn <= 3 THEN r ELSE 0 END) AS BIGINT))
+               // CAST(sum(r) AS BIGINT) AS top3_permille
+      FROM rk GROUP BY nationkey ORDER BY nationkey"""),
+      (s, d) => {
+        val sup = t(s, d, "supplier")
+          .select(col("s_suppkey"), col("s_nationkey").as("nationkey"))
+        val rev = t(s, d, "lineitem")
+          .groupBy(col("l_suppkey").as("suppkey"))
+          .agg(sum(floor(col("l_extendedprice") * 100).cast("long")).as("r"))
+          .join(broadcast(sup), col("suppkey") === col("s_suppkey"))
+        val w = Window.partitionBy("nationkey").orderBy(col("r").desc, col("suppkey"))
+        rev.withColumn("rn", row_number().over(w))
+          .groupBy("nationkey")
+          .agg(sum(when(col("rn") <= 3, col("r")).otherwise(0L)).as("top3_rev"),
+            sum("r").as("total_rev"))
+          .withColumn("top3_permille", expr("(1000 * top3_rev) div total_rev"))
+          .orderBy("nationkey")
+      }),
+
+    // GINI inequality of each source's token-frequency distribution,
+    // exact milli: gini = (2·Σi·x_i − (n+1)·Σx)/(n·Σx) with ranks
+    // assigned ascending — tied frequencies contribute x·Σi over the
+    // tie run regardless of intra-tie order, so the statistic is
+    // order-proof. The corpus-balance number a mixture planner reads
+    // (high gini = a few boilerplate tokens carry the source). One
+    // token-count aggregate + one source-keyed window pass.
+    QDef("q_gini_source", Some("""
+      WITH tk AS (SELECT source,
+          unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS tok FROM documents),
+      w AS (SELECT source, tok, count(*) AS x FROM tk GROUP BY 1, 2),
+      rk AS (SELECT source, x,
+          row_number() OVER (PARTITION BY source ORDER BY x, tok) AS i,
+          count(*) OVER (PARTITION BY source) AS n,
+          CAST(sum(x) OVER (PARTITION BY source) AS BIGINT) AS sx FROM w)
+      SELECT source,
+        CAST(floor(1000.0 * (2.0 * CAST(sum(i * x) AS BIGINT) - (n + 1) * sx)
+          / (CAST(n AS DOUBLE) * sx)) AS BIGINT) AS gini_milli
+      FROM rk GROUP BY source, n, sx ORDER BY source"""),
+      (s, d) => {
+        val w = t(s, d, "documents")
+          .select(col("source"), explode(TA.tokens(col("text"))).as("tok"))
+          .groupBy("source", "tok").agg(count(lit(1)).as("x"))
+        val wr = Window.partitionBy("source").orderBy(col("x"), col("tok"))
+        val wn = Window.partitionBy("source")
+        w.withColumn("i", row_number().over(wr))
+          .withColumn("n", count(lit(1)).over(wn))
+          .withColumn("sx", sum("x").over(wn))
+          .groupBy("source", "n", "sx")
+          .agg(sum(col("i") * col("x")).as("six"))
+          .withColumn("gini_milli",
+            floor((lit(1000.0) * (lit(2.0) * col("six") - (col("n") + 1) * col("sx")))
+              / (col("n").cast("double") * col("sx"))).cast("long"))
+          .select("source", "gini_milli")
+          .orderBy("source")
+      }),
+
+    // DISTRIBUTION DRIFT audit between the stream's first and second
+    // half-month: per event type, each half's share in permille and
+    // the signed drift — the PSI-style production-monitoring readout
+    // in pure integer arithmetic (no logs, no floats: a drift gate
+    // must mean the same thing on every engine that evaluates it).
+    // One aggregate over the fact + a 1-row broadcast of the totals.
+    QDef("q_drift_shares", Some("""
+      WITH b AS (SELECT event_type,
+          CASE WHEN ts < TIMESTAMP '2024-01-16' THEN 0 ELSE 1 END AS half FROM events),
+      c AS (SELECT event_type,
+          count(*) FILTER (half = 0) AS o1, count(*) FILTER (half = 1) AS o2
+        FROM b GROUP BY 1),
+      t AS (SELECT CAST(sum(o1) AS BIGINT) AS t1, CAST(sum(o2) AS BIGINT) AS t2 FROM c)
+      SELECT event_type, o1, o2,
+             (1000 * o1) // t1 AS share1_permille,
+             (1000 * o2) // t2 AS share2_permille,
+             (1000 * o2) // t2 - (1000 * o1) // t1 AS drift_permille
+      FROM c, t ORDER BY event_type"""),
+      (s, d) => {
+        val c = t(s, d, "events")
+          .withColumn("half",
+            when(col("ts") < lit("2024-01-16").cast("timestamp"), 0).otherwise(1))
+          .groupBy("event_type")
+          .agg(sum(when(col("half") === 0, 1L).otherwise(0L)).as("o1"),
+            sum(when(col("half") === 1, 1L).otherwise(0L)).as("o2"))
+        val tot = c.agg(sum("o1").as("t1"), sum("o2").as("t2"))
+        c.crossJoin(broadcast(tot))
+          .select(col("event_type"), col("o1"), col("o2"),
+            expr("(1000 * o1) div t1").as("share1_permille"),
+            expr("(1000 * o2) div t2").as("share2_permille"),
+            expr("(1000 * o2) div t2 - (1000 * o1) div t1").as("drift_permille"))
+          .orderBy("event_type")
       })
   )
 }

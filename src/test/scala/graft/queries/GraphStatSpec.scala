@@ -124,6 +124,45 @@ class GraphStatSpec extends AnyFunSuite {
       "scaling must actually transform")
   }
 
+  test("target encode LOO: stats broadcast; encoding excludes own row") {
+    val df = q("q_target_encode_loo")
+    val plan = executed(df)
+    assert(plan.contains("BroadcastHashJoin"),
+      s"per-type stats must broadcast onto the fact:\n$plan")
+    // independent check on one type: loo differs from the plain mean
+    // whenever v differs from the type mean (own-row exclusion)
+    val rows = df.filter(col("event_type") === "click")
+      .select("v", "loo_mean_milli").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val n = rows.length.toLong
+    val s0 = rows.map(_._1).sum
+    rows.foreach { case (v, loo) =>
+      val expect = math.floor((s0 - v).toDouble / (n - 1)).toLong
+      assert(loo == expect, s"v=$v loo=$loo expect=$expect")
+    }
+  }
+
+  test("supplier concentration: permille within (0, 1000]; top3 ≤ total") {
+    val df = q("q_supplier_concentration")
+    assert(df.filter(col("top3_rev") > col("total_rev")).count() == 0)
+    assert(df.filter(col("top3_permille") <= 0 || col("top3_permille") > 1000).count() == 0)
+  }
+
+  test("gini: within [0, 1000); tied-frequency rank assignment is order-proof") {
+    val df = q("q_gini_source")
+    assert(df.filter(col("gini_milli") < 0 || col("gini_milli") >= 1000).count() == 0)
+  }
+
+  test("drift shares: permilles and drift reconcile; totals conserved") {
+    val df = q("q_drift_shares")
+    assert(df.filter(col("drift_permille") =!=
+      (col("share2_permille") - col("share1_permille"))).count() == 0)
+    val sums = df.agg(sum("share1_permille"), sum("share2_permille")).collect()(0)
+    // floor-permille column sums land in (1000-k, 1000]
+    val k = df.count()
+    assert(sums.getLong(0) <= 1000 && sums.getLong(0) > 1000 - k)
+    assert(sums.getLong(1) <= 1000 && sums.getLong(1) > 1000 - k)
+  }
+
   test("misra-gries: one-sided guarantee on adversarial + merged streams") {
     val k = 9
     val agg = new MisraGriesAgg(k)
