@@ -1001,6 +1001,54 @@ object SimQueries {
           .withColumn("correct",
             when(col("true_label") === col("pred_label"), 1).otherwise(0))
           .orderBy("qid")
+      }),
+
+    // HARD-PAIR MINING for metric learning: per probe, the hardest
+    // positive (most-similar same-label) and hardest negative
+    // (most-similar other-label) corpus vectors, plus the milli
+    // margin between them — negative margin = the probe's neighbor-
+    // hood is dominated by another class, exactly the pairs a
+    // contrastive/triplet trainer wants. ONE broadcast-probe corpus
+    // scan scores everything; both argmaxes are rank-1 windows
+    // (WindowGroupLimit: map-side reduction before the qid shuffle).
+    QDef("q_hard_negative_mining", Some(s"""
+      WITH e AS (SELECT vec_id, CAST(label AS BIGINT) AS lab, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      q AS (SELECT vec_id AS qid, lab AS qlab, v AS qv FROM e WHERE vec_id % 100 = 0),
+      c AS (SELECT vec_id AS cid, lab AS clab, v AS cv FROM e WHERE vec_id % 100 <> 0),
+      s AS (SELECT qid, qlab, cid, clab, round($cosSql, 3) AS sim3 FROM q CROSS JOIN c),
+      hp AS (SELECT qid, cid, sim3 FROM s WHERE clab = qlab
+             QUALIFY row_number() OVER (PARTITION BY qid ORDER BY sim3 DESC, cid) = 1),
+      hn AS (SELECT qid, cid, sim3 FROM s WHERE clab <> qlab
+             QUALIFY row_number() OVER (PARTITION BY qid ORDER BY sim3 DESC, cid) = 1)
+      SELECT q.qid, q.qlab, hp.cid AS pos_id, hn.cid AS neg_id,
+             CAST(round(1000 * hp.sim3) AS BIGINT)
+               - CAST(round(1000 * hn.sim3) AS BIGINT) AS margin_milli
+      FROM q JOIN hp ON q.qid = hp.qid JOIN hn ON q.qid = hn.qid
+      ORDER BY q.qid"""),
+      (s, d) => {
+        val e = t(s, d, "embeddings")
+          .select(col("vec_id"), col("label").cast("long").as("lab"),
+            col("embedding").as("v"))
+        val q = e.filter(col("vec_id") % 100 === 0)
+          .select(col("vec_id").as("qid"), col("lab").as("qlab"), col("v").as("qv"))
+        val c = e.filter(col("vec_id") % 100 =!= 0)
+          .select(col("vec_id").as("cid"), col("lab").as("clab"), col("v").as("cv"))
+        val scored = broadcast(q).crossJoin(c)
+          .select(col("qid"), col("qlab"), col("cid"), col("clab"),
+            round(Similarity.cosine(col("qv"), col("cv")), 3).as("sim3"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("qid").orderBy(col("sim3").desc, col("cid").asc)
+        def rank1(df: org.apache.spark.sql.DataFrame) =
+          df.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        val hp = rank1(scored.filter(col("clab") === col("qlab")))
+          .select(col("qid"), col("cid").as("pos_id"), col("sim3").as("ps"))
+        val hn = rank1(scored.filter(col("clab") =!= col("qlab")))
+          .select(col("qid"), col("cid").as("neg_id"), col("sim3").as("ns"))
+        q.select(col("qid"), col("qlab")).join(hp, "qid").join(hn, "qid")
+          .select(col("qid"), col("qlab"), col("pos_id"), col("neg_id"),
+            (round(col("ps") * 1000).cast("long")
+              - round(col("ns") * 1000).cast("long")).as("margin_milli"))
+          .orderBy("qid")
       })
   )
 

@@ -163,6 +163,15 @@ class GraphStatSpec extends AnyFunSuite {
     assert(sums.getLong(1) <= 1000 && sums.getLong(1) > 1000 - k)
   }
 
+  test("hard-pair mining: pos/neg distinct, WindowGroupLimit reduces map-side") {
+    val df = q("q_hard_negative_mining")
+    val plan = executed(df)
+    assert(plan.contains("WindowGroupLimit"),
+      s"rank-1 argmax must reduce before the qid shuffle:\n$plan")
+    assert(df.filter(col("pos_id") === col("neg_id")).count() == 0,
+      "hardest positive and negative are different rows by label disjointness")
+  }
+
   test("misra-gries: one-sided guarantee on adversarial + merged streams") {
     val k = 9
     val agg = new MisraGriesAgg(k)
