@@ -349,6 +349,49 @@ object TextQueries {
           .orderBy("doc_id")
       }),
 
+    // Language-ID CONFUSION MATRIX: the q_doc_lang_id classifier
+    // scored against the true lang column — per (actual, predicted)
+    // cell counts and per-actual recall permille, the acceptance
+    // gate a language filter runs before it decides a corpus's
+    // language mix. Same narrow scoring projection, then one
+    // dim-sized aggregate + a broadcast row-total join.
+    QDef("q_lang_id_confusion", Some("""
+      WITH d AS (SELECT doc_id, lang,
+        list_filter(string_split(text, ' '), t -> t <> '') AS toks FROM documents),
+      s AS (SELECT doc_id, lang,
+        CAST(len(list_filter(toks, t -> t IN ('the', 'a', 'data'))) AS BIGINT) AS s_en,
+        CAST(len(list_filter(toks, t -> t IN ('agg', 'merge', 'vector'))) AS BIGINT) AS s_es,
+        CAST(len(list_filter(toks, t -> t IN ('scan', 'query', 'batch'))) AS BIGINT) AS s_fr
+        FROM d),
+      p AS (SELECT lang AS actual_lang,
+             CASE WHEN s_en >= s_es AND s_en >= s_fr THEN 'en'
+                  WHEN s_es >= s_fr THEN 'es' ELSE 'fr' END AS predicted_lang
+            FROM s),
+      c AS (SELECT actual_lang, predicted_lang, count(*) AS n FROM p GROUP BY 1, 2),
+      tot AS (SELECT actual_lang, CAST(sum(n) AS BIGINT) AS t FROM c GROUP BY 1)
+      SELECT c.actual_lang, c.predicted_lang, c.n,
+             (1000 * c.n) // tot.t AS cell_permille
+      FROM c JOIN tot USING (actual_lang)
+      ORDER BY actual_lang, predicted_lang"""),
+      (s, d) => {
+        val base = t(s, d, "documents")
+          .withColumn("toks", TA.tokens(col("text")))
+          .select(col("lang").as("actual_lang"),
+            TA.langScore(col("toks"), Seq("the", "a", "data")).as("s_en"),
+            TA.langScore(col("toks"), Seq("agg", "merge", "vector")).as("s_es"),
+            TA.langScore(col("toks"), Seq("scan", "query", "batch")).as("s_fr"))
+        val c = base.withColumn("predicted_lang",
+            when(col("s_en") >= col("s_es") && col("s_en") >= col("s_fr"), "en")
+              .when(col("s_es") >= col("s_fr"), "es").otherwise("fr"))
+          .groupBy("actual_lang", "predicted_lang")
+          .agg(count(lit(1)).as("n"))
+        val tot = c.groupBy("actual_lang").agg(sum("n").as("t"))
+        c.join(broadcast(tot), "actual_lang")
+          .select(col("actual_lang"), col("predicted_lang"), col("n"),
+            expr("(1000 * n) div t").as("cell_permille"))
+          .orderBy("actual_lang", "predicted_lang")
+      }),
+
     // Quality scoring: integer-exact length/diversity metrics + flag.
     QDef("q_doc_quality", Some("""
       WITH d AS (SELECT doc_id, n_chars,
