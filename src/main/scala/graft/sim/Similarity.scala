@@ -235,10 +235,16 @@ object Similarity {
     * embedded as literals: encoding is a genuinely NARROW per-row
     * projection — no join, no shuffle; at 100 TB the m small codes
     * replace the full vector in the lake (64 dims × f32 → 8 bytes)
-    * and asymmetric-distance search scans codes, not vectors. The
-    * k·m·dsub inline expression tree obeys the same size regime as
-    * the IVF inline path ([[CentroidInlineThreshold]] rationale);
-    * k=16 here is far inside it.
+    * and asymmetric-distance search scans codes, not vectors.
+    *
+    * The hot path is the native [[graft.functions.PqEncode]]
+    * expression: the composed k·m·dsub literal tree (kept below as
+    * [[pqCodesComposed]], differential-pinned) exceeds Janino's
+    * 64 KB method limit even at k=16 — codegen fails and the encode
+    * runs interpreted at ~5000 nodes/row, the round-8 bench
+    * regression. The native form is three primitive loops over a
+    * reference-object codebook: constant generated-code size at any
+    * k·m·dsub.
     *
     * @param corpus   (vec_id, q: array<long>) micro-quantized vectors
     * @param codebook (code, cq: array<long>) small — collected
@@ -263,6 +269,22 @@ object Similarity {
 
   def pqCodes(corpus: DataFrame, codebook: DataFrame,
               m: Int, dsub: Int): DataFrame = {
+    val cents = pqCollect(codebook, m, dsub)
+    corpus.select(col("vec_id"),
+        explode(graft.functions.PqEncode(col("q"),
+          cents.map(_._1), cents.map(_._2), m, dsub)).as("s"))
+      .select(col("vec_id"), col("s.sub_j").as("sub_j"),
+        col("s.code").as("code"), col("s.dist_pico2").as("dist_pico2"))
+  }
+
+  /** The pre-native composed encode — k struct literals × m
+    * subspaces of inlined element_at arithmetic. Kept ONLY as the
+    * differential-test reference for [[graft.functions.PqEncode]]
+    * (PqEncodeSpec pins row-for-row equality): at k·m·dsub = 1024
+    * its single projection breaks whole-stage codegen (Janino 64 KB)
+    * and falls back to a ~5000-node interpreted walk per row. */
+  def pqCodesComposed(corpus: DataFrame, codebook: DataFrame,
+                      m: Int, dsub: Int): DataFrame = {
     val cents = pqCollect(codebook, m, dsub)
     val subs = (0 until m).map { j =>
       val scored = cents.map { case (code, cv) =>
