@@ -661,6 +661,37 @@ object GraphStatQueries {
             expr("(1000 * o2) div t2").as("share2_permille"),
             expr("(1000 * o2) div t2 - (1000 * o1) div t1").as("drift_permille"))
           .orderBy("event_type")
+      }),
+
+    // BACKLOG AGING report: orders bucketed by age (days from order
+    // date to the lake's max-date snapshot) × status, with counts
+    // and pre-floored integer-cent value — the operational aging
+    // table every pipeline backfill/retention review reads. The
+    // snapshot date is a 1-row broadcast; bucketing is a per-row
+    // when-chain; one dim-sized aggregate.
+    QDef("q_order_aging", Some("""
+      WITH mx AS (SELECT CAST(max(o_orderdate) AS DATE) AS m FROM orders),
+      a AS (SELECT o_orderstatus AS status,
+              date_diff('day', CAST(o_orderdate AS DATE), (SELECT m FROM mx)) AS age,
+              CAST(floor(o_totalprice * 100) AS BIGINT) AS v FROM orders),
+      b AS (SELECT status,
+              CASE WHEN age < 30 THEN '00-29' WHEN age < 90 THEN '30-89'
+                   WHEN age < 365 THEN '90-364' ELSE '365+' END AS bucket, v FROM a)
+      SELECT status, bucket, count(*) AS n, CAST(sum(v) AS BIGINT) AS value_c
+      FROM b GROUP BY 1, 2 ORDER BY status, bucket"""),
+      (s, d) => {
+        val o = t(s, d, "orders")
+        val mx = o.agg(max(col("o_orderdate").cast("date")).as("m"))
+        o.crossJoin(broadcast(mx))
+          .select(col("o_orderstatus").as("status"),
+            datediff(col("m"), col("o_orderdate").cast("date")).as("age"),
+            floor(col("o_totalprice") * 100).cast("long").as("v"))
+          .withColumn("bucket",
+            when(col("age") < 30, "00-29").when(col("age") < 90, "30-89")
+              .when(col("age") < 365, "90-364").otherwise("365+"))
+          .groupBy("status", "bucket")
+          .agg(count(lit(1)).as("n"), sum("v").as("value_c"))
+          .orderBy("status", "bucket")
       })
   )
 }
