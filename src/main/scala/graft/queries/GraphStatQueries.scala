@@ -692,6 +692,77 @@ object GraphStatQueries {
           .groupBy("status", "bucket")
           .agg(count(lit(1)).as("n"), sum("v").as("value_c"))
           .orderBy("status", "bucket")
+      }),
+
+    // STICKINESS (DAU/WAU): per day, distinct active users, the
+    // trailing-7-day distinct-user count, and their permille ratio —
+    // the engagement metric product analytics runs daily. The
+    // (day, user) dedup bounds everything downstream: WAU re-counts
+    // distinct users over a 7-day day-join whose build side is the
+    // DAY LIST (calendar-sized, broadcast) — the fact never joins
+    // the fact.
+    QDef("q_stickiness_dau_wau", Some("""
+      WITH du AS (SELECT DISTINCT CAST(date_trunc('day', ts) AS DATE) AS day, user_id FROM events),
+      d AS (SELECT day, count(*) AS dau FROM du GROUP BY day),
+      w AS (SELECT a.day, count(DISTINCT b.user_id) AS wau
+            FROM d a JOIN du b ON b.day BETWEEN a.day - INTERVAL 6 DAY AND a.day
+            GROUP BY a.day)
+      SELECT strftime(d.day, '%Y-%m-%d') AS day, dau, wau,
+             (1000 * dau) // wau AS stickiness_permille
+      FROM d JOIN w USING (day) ORDER BY day"""),
+      (s, d) => {
+        val du = t(s, d, "events")
+          .select(date_trunc("day", col("ts")).cast("date").as("day"), col("user_id"))
+          .distinct()
+        val days = du.groupBy("day").agg(count(lit(1)).as("dau"))
+        val w = broadcast(days.select(col("day").as("d0")))
+          .join(du, col("day").between(col("d0") - expr("INTERVAL 6 DAYS"), col("d0")))
+          .groupBy(col("d0").as("day"))
+          .agg(countDistinct("user_id").as("wau"))
+        days.join(w, "day")
+          .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+            col("dau"), col("wau"),
+            expr("(1000 * dau) div wau").as("stickiness_permille"))
+          .orderBy("day")
+      }),
+
+    // STRATIFIED EXEMPLARS: three deterministic sample documents per
+    // (lang × TTR-quality bucket) cell — the "show me examples from
+    // every stratum" inspection query a corpus review starts with.
+    // The pick order is a seed-stamped md5 of doc_id (stable across
+    // engines/runs/partitions, like q_quality_resample), so the
+    // exemplars never churn between reviews. One window pass;
+    // WindowGroupLimit caps each cell map-side.
+    QDef("q_stratified_exemplars", Some("""
+      WITH d AS (SELECT doc_id, lang,
+          list_filter(string_split(text, ' '), t -> t <> '') AS toks FROM documents),
+      q AS (SELECT doc_id, lang, CAST(len(toks) AS BIGINT) AS n_tokens,
+              (1000 * CAST(len(list_distinct(toks)) AS BIGINT))
+                // CAST(len(toks) AS BIGINT) AS ttr
+            FROM d WHERE len(toks) > 0),
+      b AS (SELECT doc_id, lang, n_tokens,
+              CASE WHEN ttr >= 600 THEN 'hi' WHEN ttr >= 400 THEN 'mid' ELSE 'lo' END AS bucket
+            FROM q),
+      r AS (SELECT *, CAST(row_number() OVER (PARTITION BY lang, bucket
+              ORDER BY md5('ex1|' || doc_id), doc_id) AS BIGINT) AS rn FROM b)
+      SELECT lang, bucket, rn, doc_id, n_tokens FROM r WHERE rn <= 3
+      ORDER BY lang, bucket, rn"""),
+      (s, d) => {
+        val q = t(s, d, "documents")
+          .withColumn("toks", TA.tokens(col("text")))
+          .filter(size(col("toks")) > 0)
+          .select(col("doc_id"), col("lang"),
+            size(col("toks")).cast("long").as("n_tokens"),
+            expr("(1000 * cast(size(array_distinct(toks)) AS BIGINT)) div size(toks)")
+              .as("ttr"))
+        val b = q.withColumn("bucket",
+          when(col("ttr") >= 600, "hi").when(col("ttr") >= 400, "mid").otherwise("lo"))
+        val w = Window.partitionBy("lang", "bucket")
+          .orderBy(md5(concat(lit("ex1|"), col("doc_id").cast("string"))), col("doc_id"))
+        b.withColumn("rn", row_number().over(w).cast("long"))
+          .filter(col("rn") <= 3)
+          .select("lang", "bucket", "rn", "doc_id", "n_tokens")
+          .orderBy("lang", "bucket", "rn")
       })
   )
 }

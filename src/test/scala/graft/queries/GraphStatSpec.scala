@@ -172,6 +172,29 @@ class GraphStatSpec extends AnyFunSuite {
       "hardest positive and negative are different rows by label disjointness")
   }
 
+  test("stickiness: wau ≥ dau; ratio in (0, 1000]; fact never joins fact") {
+    val df = q("q_stickiness_dau_wau")
+    val plan = executed(df)
+    assert(df.filter(col("wau") < col("dau")).count() == 0)
+    assert(df.filter(col("stickiness_permille") <= 0 ||
+      col("stickiness_permille") > 1000).count() == 0)
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoopJoin"),
+      s"the day list must broadcast against the (day,user) dedup:\n$plan")
+  }
+
+  test("stratified exemplars: ≤3 per cell, map-side group limit, stable picks") {
+    val df = q("q_stratified_exemplars")
+    val plan = executed(df)
+    assert(plan.contains("WindowGroupLimit"),
+      s"per-cell cap must reduce before the shuffle:\n$plan")
+    val over = df.groupBy("lang", "bucket").count().filter(col("count") > 3).count()
+    assert(over == 0)
+    // determinism: a second run picks the same doc_ids
+    val a = df.select("doc_id").collect().map(_.getLong(0)).toSeq
+    val b = q("q_stratified_exemplars").select("doc_id").collect().map(_.getLong(0)).toSeq
+    assert(a == b, "hash-ordered exemplars must not churn")
+  }
+
   test("misra-gries: one-sided guarantee on adversarial + merged streams") {
     val k = 9
     val agg = new MisraGriesAgg(k)
