@@ -511,7 +511,8 @@ object GraphStatQueries {
              FROM r GROUP BY 1)
       SELECT event_id, v.event_type, v.v,
              CAST(floor(((v.v - st.med) * 1000) / (st.q3 - st.q1)) AS BIGINT) AS scaled_milli
-      FROM v JOIN st USING (event_type) ORDER BY event_id"""),
+      FROM v JOIN st USING (event_type)
+      WHERE st.q3 > st.q1 ORDER BY event_id"""),
       (s, d) => {
         val v = t(s, d, "events")
           .select(col("event_id"), col("event_type"),
@@ -524,7 +525,12 @@ object GraphStatQueries {
           .agg(max(when(col("rn") === expr("(n+3) div 4"), col("v"))).as("q1"),
             max(when(col("rn") === expr("(n+1) div 2"), col("v"))).as("med"),
             max(when(col("rn") === expr("(3*n+3) div 4"), col("v"))).as("q3"))
+        // q3 = q1 (a degenerate constant-valued group) would divide
+        // by zero, where floor(±Inf) semantics diverge across
+        // engines — such groups are unscalable by definition, so
+        // both sides drop them explicitly
         v.join(broadcast(st), "event_type")
+          .filter(col("q3") > col("q1"))
           .withColumn("scaled_milli",
             floor((col("v") - col("med")) * 1000 / (col("q3") - col("q1"))).cast("long"))
           .select("event_id", "event_type", "v", "scaled_milli")
