@@ -769,6 +769,51 @@ object GraphStatQueries {
           .filter(col("rn") <= 3)
           .select("lang", "bucket", "rn", "doc_id", "n_tokens")
           .orderBy("lang", "bucket", "rn")
+      }),
+
+    // ASSOCIATION RULES over co-purchase pairs: for every pair with
+    // support ≥ 2 orders, both directed rules with integer permille
+    // confidence (n_ab/n_antecedent) and milli lift
+    // (n_ab·|orders| / (n_a·n_b)) — the market-basket completion of
+    // q_basket_pairs' raw counts. The support threshold bounds the
+    // rule set BEFORE the direction fan-out; item counts and the
+    // 1-row order total broadcast onto it.
+    QDef("q_assoc_rules", Some("""
+      WITH lp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+      ic AS (SELECT l_partkey, count(*) AS n FROM lp GROUP BY 1),
+      tot AS (SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) AS t FROM lp),
+      pc AS (SELECT a.l_partkey AS pa, b.l_partkey AS pb, count(*) AS nab
+             FROM lp a JOIN lp b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+             GROUP BY 1, 2 HAVING count(*) >= 2),
+      r AS (SELECT pa AS antecedent, pb AS consequent, nab FROM pc
+            UNION ALL SELECT pb, pa, nab FROM pc)
+      SELECT r.antecedent, r.consequent, r.nab AS support_n,
+             (1000 * r.nab) // ia.n AS conf_permille,
+             (1000 * r.nab * tot.t) // (ia.n * ib.n) AS lift_milli
+      FROM r JOIN ic ia ON r.antecedent = ia.l_partkey
+             JOIN ic ib ON r.consequent = ib.l_partkey, tot
+      ORDER BY antecedent, consequent"""),
+      (s, d) => {
+        val lp = t(s, d, "lineitem")
+          .select(col("l_orderkey"), col("l_partkey")).distinct()
+        val ic = lp.groupBy("l_partkey").agg(count(lit(1)).as("n"))
+        val tot = lp.agg(countDistinct("l_orderkey").as("t"))
+        val pc = lp.select(col("l_orderkey"), col("l_partkey").as("pa"))
+          .join(lp.select(col("l_orderkey"), col("l_partkey").as("pb")), "l_orderkey")
+          .filter(col("pa") < col("pb"))
+          .groupBy("pa", "pb").agg(count(lit(1)).as("nab"))
+          .filter(col("nab") >= 2)
+        val r = pc.select(col("pa").as("antecedent"), col("pb").as("consequent"), col("nab"))
+          .union(pc.select(col("pb"), col("pa"), col("nab")))
+        r.join(broadcast(ic.select(col("l_partkey").as("antecedent"), col("n").as("na"))),
+            "antecedent")
+          .join(broadcast(ic.select(col("l_partkey").as("consequent"), col("n").as("nb"))),
+            "consequent")
+          .crossJoin(broadcast(tot))
+          .select(col("antecedent"), col("consequent"), col("nab").as("support_n"),
+            expr("(1000 * nab) div na").as("conf_permille"),
+            expr("(1000 * nab * t) div (na * nb)").as("lift_milli"))
+          .orderBy("antecedent", "consequent")
       })
   )
 }
