@@ -814,6 +814,46 @@ object GraphStatQueries {
             expr("(1000 * nab) div na").as("conf_permille"),
             expr("(1000 * nab * t) div (na * nb)").as("lift_milli"))
           .orderBy("antecedent", "consequent")
+      }),
+
+    // ITEM-ITEM similarity (collaborative-filtering primitive): for
+    // each supplier, the 3 most-similar others by exact Jaccard over
+    // shared part sets, permille. The pair counts come from one
+    // partkey-keyed self-join of the deduped edge list (the
+    // q_dedup_token_jaccard shape on the graph domain); per-item
+    // set sizes broadcast on, and the top-3 is a WindowGroupLimit
+    // window — pairs with no shared part never materialize.
+    QDef("q_supplier_similarity", Some("""
+      WITH e AS (SELECT DISTINCT l_suppkey AS s, l_partkey AS p FROM lineitem),
+      sz AS (SELECT s, count(*) AS n FROM e GROUP BY s),
+      ab AS (SELECT a.s AS sa, b.s AS sb, count(*) AS nab
+             FROM e a JOIN e b ON a.p = b.p AND a.s <> b.s GROUP BY 1, 2),
+      j AS (SELECT sa, sb, nab,
+              (1000 * nab) // (za.n + zb.n - nab) AS jac_permille
+            FROM ab JOIN sz za ON ab.sa = za.s JOIN sz zb ON ab.sb = zb.s),
+      r AS (SELECT *, CAST(row_number() OVER (PARTITION BY sa
+              ORDER BY jac_permille DESC, sb) AS BIGINT) AS rank FROM j)
+      SELECT sa AS suppkey, sb AS similar_suppkey, nab AS shared_parts,
+             jac_permille, rank
+      FROM r WHERE rank <= 3 ORDER BY suppkey, rank"""),
+      (s, d) => {
+        val e = t(s, d, "lineitem")
+          .select(col("l_suppkey").as("s"), col("l_partkey").as("p")).distinct()
+        val sz = e.groupBy("s").agg(count(lit(1)).as("n"))
+        val ab = e.select(col("p"), col("s").as("sa"))
+          .join(e.select(col("p"), col("s").as("sb")), "p")
+          .filter(col("sa") =!= col("sb"))
+          .groupBy("sa", "sb").agg(count(lit(1)).as("nab"))
+        val j = ab
+          .join(broadcast(sz.select(col("s").as("sa"), col("n").as("na"))), "sa")
+          .join(broadcast(sz.select(col("s").as("sb"), col("n").as("nb"))), "sb")
+          .withColumn("jac_permille", expr("(1000 * nab) div (na + nb - nab)"))
+        val w = Window.partitionBy("sa").orderBy(col("jac_permille").desc, col("sb"))
+        j.withColumn("rank", row_number().over(w).cast("long"))
+          .filter(col("rank") <= 3)
+          .select(col("sa").as("suppkey"), col("sb").as("similar_suppkey"),
+            col("nab").as("shared_parts"), col("jac_permille"), col("rank"))
+          .orderBy("suppkey", "rank")
       })
   )
 }

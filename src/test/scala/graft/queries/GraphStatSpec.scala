@@ -195,6 +195,23 @@ class GraphStatSpec extends AnyFunSuite {
     assert(a == b, "hash-ordered exemplars must not churn")
   }
 
+  test("supplier similarity: jaccard in (0,1000]; ≤3 per supplier; symmetric pairs") {
+    val df = q("q_supplier_similarity")
+    assert(df.filter(col("jac_permille") <= 0 || col("jac_permille") > 1000).count() == 0)
+    assert(df.groupBy("suppkey").count().filter(col("count") > 3).count() == 0)
+    val plan = executed(df)
+    assert(plan.contains("WindowGroupLimit"), s"top-3 must cap map-side:\n$plan")
+  }
+
+  test("assoc rules: confidence ≤ 1000; rules come in directed pairs") {
+    val df = q("q_assoc_rules")
+    assert(df.filter(col("conf_permille") > 1000 || col("conf_permille") <= 0).count() == 0)
+    val fwd = df.select(col("antecedent"), col("consequent")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(fwd.forall { case (a, b) => fwd.contains((b, a)) },
+      "every A→B rule must have its B→A sibling")
+  }
+
   test("misra-gries: one-sided guarantee on adversarial + merged streams") {
     val k = 9
     val agg = new MisraGriesAgg(k)
