@@ -854,6 +854,75 @@ object GraphStatQueries {
           .select(col("sa").as("suppkey"), col("sb").as("similar_suppkey"),
             col("nab").as("shared_parts"), col("jac_permille"), col("rank"))
           .orderBy("suppkey", "rank")
+      }),
+
+    // CUSUM CHANGEPOINT detection: per event type, the day where the
+    // cumulative deviation of daily counts from the type's mean rate
+    // peaks — the classic level-shift locator, in EXACT integers
+    // (cusum_k = Σ_{d≤k}(c_d·D − T) is the mean-centered cusum
+    // scaled by D days, so no division ever happens). One dim-sized
+    // daily aggregate + a broadcast totals join + one tiny window.
+    QDef("q_changepoint_cusum", Some("""
+      WITH d AS (SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day, count(*) AS c
+                 FROM events GROUP BY 1, 2),
+      t AS (SELECT event_type, CAST(count(*) AS BIGINT) AS nd, CAST(sum(c) AS BIGINT) AS tot
+            FROM d GROUP BY 1),
+      cu AS (SELECT d.event_type, d.day,
+              CAST(sum(d.c * t.nd - t.tot) OVER (PARTITION BY d.event_type ORDER BY d.day) AS BIGINT) AS cusum
+             FROM d JOIN t USING (event_type))
+      SELECT event_type, strftime(day, '%Y-%m-%d') AS change_day, cusum
+      FROM cu
+      QUALIFY row_number() OVER (PARTITION BY event_type ORDER BY abs(cusum) DESC, day) = 1
+      ORDER BY event_type"""),
+      (s, d) => {
+        val daily = t(s, d, "events")
+          .groupBy(col("event_type"), date_trunc("day", col("ts")).cast("date").as("day"))
+          .agg(count(lit(1)).as("c"))
+        val tot = daily.groupBy("event_type")
+          .agg(count(lit(1)).as("nd"), sum("c").as("tot"))
+        val wc = Window.partitionBy("event_type").orderBy("day")
+        val wr = Window.partitionBy("event_type")
+          .orderBy(abs(col("cusum")).desc, col("day"))
+        daily.join(broadcast(tot), "event_type")
+          .withColumn("cusum", sum(col("c") * col("nd") - col("tot")).over(wc).cast("long"))
+          .withColumn("rn", row_number().over(wr))
+          .filter(col("rn") === 1)
+          .select(col("event_type"),
+            date_format(col("day"), "yyyy-MM-dd").as("change_day"), col("cusum"))
+          .orderBy("event_type")
+      }),
+
+    // LINEAR TREND per event type over daily counts, as the EXACT
+    // OLS-slope rational (num, den) — the q_zscore_outliers
+    // discipline: slope = num/den is derivable, but emitting the
+    // rational means no float/rounding semantics can diverge across
+    // oracle environments. Integer moments over dim-sized daily
+    // aggregates; magnitudes ≤ nd·Σxy ≈ 10⁹ at sf0.1, far inside
+    // BIGINT at any plausible day count.
+    QDef("q_trend_slope", Some("""
+      WITH d AS (SELECT event_type,
+              date_diff('day', DATE '2024-01-01', CAST(date_trunc('day', ts) AS DATE)) AS x,
+              count(*) AS y
+            FROM events GROUP BY 1, 2),
+      s AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n, CAST(sum(x) AS BIGINT) AS sx,
+              CAST(sum(y) AS BIGINT) AS sy, CAST(sum(x * y) AS BIGINT) AS sxy,
+              CAST(sum(x * x) AS BIGINT) AS sxx
+            FROM d GROUP BY 1)
+      SELECT event_type, n, n * sxy - sx * sy AS slope_num, n * sxx - sx * sx AS slope_den
+      FROM s ORDER BY event_type"""),
+      (s, d) => {
+        val daily = t(s, d, "events")
+          .groupBy(col("event_type"),
+            datediff(date_trunc("day", col("ts")).cast("date"),
+              lit("2024-01-01").cast("date")).cast("long").as("x"))
+          .agg(count(lit(1)).as("y"))
+        daily.groupBy("event_type")
+          .agg(count(lit(1)).as("n"), sum("x").as("sx"), sum("y").as("sy"),
+            sum(col("x") * col("y")).as("sxy"), sum(col("x") * col("x")).as("sxx"))
+          .select(col("event_type"), col("n"),
+            (col("n") * col("sxy") - col("sx") * col("sy")).as("slope_num"),
+            (col("n") * col("sxx") - col("sx") * col("sx")).as("slope_den"))
+          .orderBy("event_type")
       })
   )
 }

@@ -212,6 +212,32 @@ class GraphStatSpec extends AnyFunSuite {
       "every A→B rule must have its B→A sibling")
   }
 
+  test("cusum: one row per type; last cumulative deviation sums to zero check") {
+    val df = q("q_changepoint_cusum")
+    val types = graft.pipeline.Tables.t(spark, SparkTesting.sf, "events")
+      .select("event_type").distinct().count()
+    assert(df.count() == types, "exactly one changepoint per type")
+    assert(df.filter(col("cusum") === 0).count() == 0 || df.count() == 0,
+      "a peak deviation of zero would mean a perfectly flat series")
+  }
+
+  test("trend slope: den > 0; rational reproduces independently") {
+    val rows = q("q_trend_slope").collect()
+    rows.foreach { r => assert(r.getLong(3) > 0, s"slope_den must be positive: $r") }
+    // independent recompute for one type
+    val daily = graft.pipeline.Tables.t(spark, SparkTesting.sf, "events")
+      .filter(col("event_type") === "view")
+      .groupBy(date_trunc("day", col("ts")).cast("date").as("day"))
+      .agg(count(lit(1)).as("y")).collect()
+      .map(r => (r.getDate(0).toLocalDate.toEpochDay - java.time.LocalDate.parse("2024-01-01").toEpochDay,
+        r.getLong(1)))
+    val n = daily.length.toLong
+    val sx = daily.map(_._1).sum; val sy = daily.map(_._2).sum
+    val sxy = daily.map(p => p._1 * p._2).sum; val sxx = daily.map(p => p._1 * p._1).sum
+    val viewRow = rows.find(_.getString(0) == "view").get
+    assert(viewRow.getLong(2) == n * sxy - sx * sy && viewRow.getLong(3) == n * sxx - sx * sx)
+  }
+
   test("misra-gries: one-sided guarantee on adversarial + merged streams") {
     val k = 9
     val agg = new MisraGriesAgg(k)
