@@ -3,8 +3,8 @@ package graft
 /** Per-round benchmark main: times every registered query on
   * SPARK_GRAFT_SF_DIR and prints ONE JSON line for the driver
   * (BENCH_r{N}.json). Uses the shared Sessions.local config (AQE,
-  * UTC, nanosAsLong) — the same session the correctness gate runs
-  * under, so a bench timing is always a timing of the *correct* plan. */
+  * UTC) — the same session the correctness gate runs under, so a
+  * bench timing is always a timing of the *correct* plan. */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -62,14 +62,16 @@ object Bench {
         (name, (tEnd - t0) / 1e9, ok)
       }
     }
-    // a query that failed every sweep is FAILED; one that succeeded at
-    // least once reports the min over its SUCCESSFUL attempts
+    // a query that failed every sweep is FAILED and reports NO timing
+    // at all (a time-to-exception number masquerading as a result is
+    // how round 8's 61 broken queries benched at a flattering ~0.05 s);
+    // one that succeeded at least once reports the min over its
+    // SUCCESSFUL attempts
     val byName = sweeps.flatten.groupBy(_._1)
     val failed = ordered.map(_._1).filter(n => byName(n).forall(!_._3))
-    val results = ordered.map { case (name, _) =>
-      val attempts = byName(name)
-      val good = attempts.filter(_._3)
-      name -> (if (good.nonEmpty) good.map(_._2).min else attempts.map(_._2).min)
+    val results = ordered.flatMap { case (name, _) =>
+      val good = byName(name).filter(_._3)
+      if (good.isEmpty) None else Some(name -> good.map(_._2).min)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
@@ -115,8 +117,10 @@ object Bench {
         exceeded.map { case (k, r) => s"$k ${fmt(r, 2)}x" }.mkString(", "))
     val exceededJson = exceeded
       .map { case (k, r) => "\"" + k + "\":" + fmt(r, 3) }.mkString("{", ",", "}")
+    val failedJson = failed.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+        s""""failed":$failedJson,""" +
         s""""budget_exceeded":$exceededJson,"budget_n":${budgets.size},""" +
         s""""runs":${runTotals.mkString("[", ",", "]")},"sf":"$sfDir"}"""
     println(line)

@@ -7,9 +7,10 @@ import org.apache.spark.sql.SparkSession
   * Scale posture (SURVEY.md §7): AQE on (runtime shuffle coalescing +
   * skew-join splitting), shuffle partitions sized to the local core
   * count (the driver exports SPARK_GRAFT_CPUS; a real cluster would
-  * size this to executor cores × executors), UTC session timezone for
-  * oracle parity, and the legacy nanos flag so the testdata's
-  * TIMESTAMP(NANOS) events column is readable (see graft.pipeline.Tables).
+  * size this to executor cores × executors), and UTC session timezone
+  * for oracle parity (graft.pipeline.Tables reinterprets the events
+  * TIMESTAMP_NTZ column as UTC instants against it — the zone is
+  * correctness-bearing, not cosmetic).
   */
 object Sessions {
   def local(appName: String): SparkSession = {
@@ -20,7 +21,6 @@ object Sessions {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.extensions", "graft.functions.GraftExtensions")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

@@ -47,6 +47,12 @@ object Verify {
     val spark = Sessions.local("graft-verify")
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // A query that throws must leave a LOUD artifact, not just a
+    // stderr line: round 8 closed with 61 analysis-broken queries
+    // reading as "not sampled" because a failed query produced no
+    // dump at all (VERDICT r8 item 2). Failures are collected and
+    // written to errors.json; selfcheck.py grades those rows as ERR.
+    val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only(name) }
       .foreach { case (name, fn) =>
@@ -55,6 +61,18 @@ object Verify {
       }
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        errors(name) = s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(500)}"
+        // a stale dump from an earlier run must not mask this failure
+        def rm(p: java.nio.file.Path): Unit = {
+          if (Files.isDirectory(p)) {
+            val st = Files.list(p)
+            try { import scala.jdk.CollectionConverters._
+              st.iterator().asScala.foreach(rm) } finally st.close()
+          }
+          Files.deleteIfExists(p)
+        }
+        try rm(Paths.get(outDir, name))
+        catch { case _: Throwable => () }
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
@@ -82,6 +100,12 @@ object Verify {
           java.nio.file.Files.exists(java.nio.file.Paths.get(outDir, k)) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // errors.json always written (empty {} on a clean run) so "no
+    // errors file" is distinguishable from "errors never recorded".
+    Files.writeString(Paths.get(s"$outDir/errors.json"),
+      errors.map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}"))
+    if (errors.nonEmpty)
+      System.err.println(s"[verify] ${errors.size} FAILED: ${errors.keys.mkString(", ")}")
     // Build/tree provenance stamp — see object scaladoc. stale_build
     // is the direct symptom check: a source file newer than every
     // compiled class means this JVM is NOT running the working tree.

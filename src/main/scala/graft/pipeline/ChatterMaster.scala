@@ -7,15 +7,29 @@ import graft.ops.Ops._
 
 /** Table access for the driver testdata lake (TESTDATA.md).
   *
-  * `events.ts` is stored as parquet TIMESTAMP(NANOS), which Spark only
-  * reads as INT64 under `spark.sql.legacy.parquet.nanosAsLong=true`
-  * (set by [[graft.Sessions]]); we convert to a micros TimestampType
-  * here with integer division (no double round-trip — ns since epoch
-  * exceed double's 53-bit mantissa). */
+  * `events.ts` has shifted physical type across testdata/runtime
+  * generations — parquet TIMESTAMP(NANOS) read as INT64 under the
+  * (since-removed) `nanosAsLong` legacy conf, then TIMESTAMP(MICROS)
+  * arriving as TIMESTAMP_NTZ under Spark 4.1.2's NTZ inference — so
+  * every downstream query sees ONE canonical shape regardless: a
+  * session-zone (UTC) micros TimestampType. Dispatch is on the dtype
+  * actually read, never on an assumed runtime:
+  *  - INT64 nanos → `timestamp_micros(ts div 1000)` (integer division;
+  *    no double round-trip — ns since epoch exceed double's 53-bit
+  *    mantissa)
+  *  - TIMESTAMP_NTZ → cast to TimestampType; with the session zone
+  *    pinned to UTC ([[graft.Sessions]]) the wall-clock is reinterpreted
+  *    as the same UTC instant DuckDB's naive read renders
+  *  - TimestampType → already canonical. */
 object Tables {
+  import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
   def t(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     val df = spark.read.parquet(s"$sfDir/$name.parquet")
-    if (name == "events") df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    if (name == "events") df.schema("ts").dataType match {
+      case LongType => df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => df
+    }
     else df
   }
 }

@@ -1068,15 +1068,21 @@ object AnalyticsQueries {
       }),
 
     // TOKEN-BUDGET selection: greedy per-source corpus fill — docs in
-    // seed-stamped hash-priority order (the q_cap_per_source
-    // discipline: stable pseudo-random, growth displaces but never
-    // reshuffles) are taken while the running token total is still
-    // under the source's budget (25% of its total tokens — scale-free,
-    // so the query is non-vacuous at every sf). The mixture-
-    // construction primitive: "give me ~N tokens per domain", which a
-    // COUNT cap can't express when doc lengths vary. The boundary doc
-    // may overshoot (greedy fill takes the doc that crosses the line)
-    // — deterministic, and how real token-budget samplers behave.
+    // pseudo-random priority order (the q_cap_per_source discipline:
+    // stable, growth displaces but never reshuffles) are taken while
+    // the running token total is still under the source's budget (25%
+    // of its total tokens — scale-free, so the query is non-vacuous at
+    // every sf). The mixture-construction primitive: "give me ~N
+    // tokens per domain", which a COUNT cap can't express when doc
+    // lengths vary. The boundary doc may overshoot (greedy fill takes
+    // the doc that crosses the line) — deterministic, and how real
+    // token-budget samplers behave. Priority is a BORN-INTEGER LCG of
+    // doc_id ((a·id+c) mod p — pure BIGINT arithmetic both engines
+    // reproduce bit-for-bit, emitted as an output column), NOT an
+    // md5-hex string: the r8 driver hash-fail on this query was
+    // cross-engine collation of the hex priority deciding cum_tokens
+    // values — the same oracle-sensitivity class the round-8
+    // born-integer rewrite purged from the nine statistics queries.
     // Shape: tokens are counted in a narrow projection (text never
     // shuffles); budget + running total are TWO windows over ONE
     // source exchange (same partition key ⇒ one hash exchange, one
@@ -1084,33 +1090,35 @@ object AnalyticsQueries {
     // non-negative integer div.
     QDef("q_select_token_budget", Some("""
       WITH tok AS (SELECT doc_id, source,
+          (doc_id * 1103515245 + 12345) % 1000000007 AS prio,
           CAST(len(list_filter(string_split(text, ' '), t -> t <> '')) AS BIGINT)
             AS n_tokens
         FROM documents),
-      w AS (SELECT doc_id, source, n_tokens,
+      w AS (SELECT doc_id, source, prio, n_tokens,
           sum(n_tokens) OVER (PARTITION BY source) AS total_tokens,
           sum(n_tokens) OVER (PARTITION BY source
-            ORDER BY md5('tb1|' || doc_id), doc_id
+            ORDER BY prio, doc_id
             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
         FROM tok)
-      SELECT doc_id, source, n_tokens, cum_tokens, total_tokens // 4 AS budget
+      SELECT doc_id, source, prio, n_tokens, cum_tokens, total_tokens // 4 AS budget
       FROM w WHERE cum_tokens - n_tokens < total_tokens // 4
-      ORDER BY source, cum_tokens, doc_id"""),
+      ORDER BY source, prio, doc_id"""),
       (s, d) => {
         val tok = t(s, d, "documents").select(col("doc_id"), col("source"),
+          ((col("doc_id") * lit(1103515245L) + lit(12345L)) % lit(1000000007L)).as("prio"),
           size(graft.text.TextAnalysis.tokens(col("text"))).cast("long").as("n_tokens"))
         val bySource = Window.partitionBy("source")
         val fill = Window.partitionBy("source")
-          .orderBy(md5(concat(lit("tb1|"), col("doc_id").cast("string"))), col("doc_id"))
+          .orderBy(col("prio"), col("doc_id"))
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         tok
           .withColumn("cum_tokens", sum(col("n_tokens")).over(fill))
           .withColumn("total_tokens", sum(col("n_tokens")).over(bySource))
           .withColumn("budget", expr("div(total_tokens, 4)"))
           .filter(col("cum_tokens") - col("n_tokens") < col("budget"))
-          .select(col("doc_id"), col("source"), col("n_tokens"),
+          .select(col("doc_id"), col("source"), col("prio"), col("n_tokens"),
             col("cum_tokens"), col("budget"))
-          .orderBy("source", "cum_tokens", "doc_id")
+          .orderBy("source", "prio", "doc_id")
       }),
 
     // LAST-TOUCH ATTRIBUTION: each purchase credited to the user's

@@ -15,6 +15,17 @@ import graft.text.{TextAnalysis => TA}
   */
 object GraphStatQueries {
 
+  /** Hub cap for pair-expansion plans (q_cosupplier_degree,
+    * q_assoc_rules): per-group sorted item sets are sliced to this
+    * length before the pair-generating double explode, bounding the
+    * per-group fan-out at HubCap² rows no matter how skewed the
+    * graph. 256 is identity at every tested SF (measured maxima:
+    * part degree 52, basket 17 at sf0.1) so the uncapped oracle SQL
+    * still matches — the cap exists for the 100 TB hub, where an
+    * unbounded group would otherwise quadratically dominate the
+    * stage (the q_lsh_bucket_skew failure mode). */
+  val HubCap = 256
+
   val all: Seq[QDef] = Seq(
 
     // Iterative PAGERANK, two unrolled power iterations over the
@@ -355,24 +366,41 @@ object GraphStatQueries {
 
     // 2-HOP graph neighborhood: co-supplier degree — for each
     // supplier, how many OTHER suppliers share at least one part
-    // with it. The bipartite edge list self-joins on partkey
-    // (co-partitioned, one shuffle) and the distinct-count aggregate
-    // dedups the multi-part pairs. Hub parts quadratically inflate
-    // the join (the LSH bucket-skew story, q_lsh_bucket_skew) — at
-    // 100 TB the mitigation is capping/salting hub parts; the
-    // synthetic graph's max part degree is small enough to skip it.
+    // with it. NOT an edge-list self-join (the r7/r8 shape that blew
+    // its budget 1.7× under load materializing ~17M multi-counted
+    // (part, s, s2) rows through a shuffle join): per-part supplier
+    // sets are collected ONCE (one shuffle on p, map-side combined),
+    // pairs are generated NARROWLY by a double explode of each set
+    // with s < s2 (half the pair volume; no join anywhere in the
+    // plan — ScalePlanSpec pins this), deduped with map-side partial
+    // aggregation, then mirrored cheaply for the per-supplier count.
+    // Hub parts quadratically inflate pair generation (the LSH
+    // bucket-skew story, q_lsh_bucket_skew) — the 100 TB mitigation
+    // is IN the plan now, not a comment: each part's sorted supplier
+    // set is sliced to HubCap (256) before exploding, bounding the
+    // per-part fan-out at HubCap² rows regardless of skew. Synthetic
+    // max part degree is 52 at sf0.1 (measured), so the cap is
+    // exactly the identity at every tested SF and the uncapped
+    // oracle still matches; at a 100 TB hub part it degrades to the
+    // 256 lowest-keyed co-suppliers — the standard drop-hub-items
+    // discipline of co-occurrence mining.
     QDef("q_cosupplier_degree", Some("""
       WITH e AS (SELECT DISTINCT l_partkey AS p, l_suppkey AS s FROM lineitem)
       SELECT a.s AS suppkey, count(DISTINCT b.s) AS n_cosuppliers
       FROM e a JOIN e b ON a.p = b.p AND a.s <> b.s
       GROUP BY a.s ORDER BY suppkey"""),
       (s, d) => {
-        val e = t(s, d, "lineitem")
-          .select(col("l_partkey").as("p"), col("l_suppkey").as("s")).distinct()
-        val b = e.select(col("p"), col("s").as("s2"))
-        e.join(b, Seq("p")).filter(col("s") =!= col("s2"))
+        val sets = t(s, d, "lineitem")
+          .groupBy(col("l_partkey"))
+          .agg(slice(sort_array(collect_set(col("l_suppkey"))), 1, HubCap).as("ss"))
+        val pairs = sets
+          .select(explode(col("ss")).as("s"), col("ss"))
+          .select(col("s"), explode(col("ss")).as("s2"))
+          .filter(col("s") < col("s2"))
+          .distinct()
+        pairs.union(pairs.select(col("s2"), col("s")))
           .groupBy(col("s").as("suppkey"))
-          .agg(countDistinct(col("s2")).as("n_cosuppliers"))
+          .agg(count(lit(1)).as("n_cosuppliers"))
           .orderBy("suppkey")
       }),
 
@@ -775,9 +803,17 @@ object GraphStatQueries {
     // support ≥ 2 orders, both directed rules with integer permille
     // confidence (n_ab/n_antecedent) and milli lift
     // (n_ab·|orders| / (n_a·n_b)) — the market-basket completion of
-    // q_basket_pairs' raw counts. The support threshold bounds the
-    // rule set BEFORE the direction fan-out; item counts and the
-    // 1-row order total broadcast onto it.
+    // q_basket_pairs' raw counts. NOT an orderkey self-join (the
+    // r7/r8 shape, 1.29× over budget under load): baskets are built
+    // with ONE collect_set shuffle on orderkey, and everything else
+    // derives from the basket arrays — item counts and the order
+    // total by a narrow explode + re-agg, within-basket pairs by the
+    // capped double explode (HubCap slice = identity at tested
+    // basket sizes ≤ 17; at a 100 TB mega-basket it bounds the
+    // quadratic fan-out). The deduped edge list never shuffles
+    // twice, and the only joins left are the broadcast enrichments.
+    // The support threshold bounds the rule set BEFORE the direction
+    // fan-out.
     QDef("q_assoc_rules", Some("""
       WITH lp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
       ic AS (SELECT l_partkey, count(*) AS n FROM lp GROUP BY 1),
@@ -794,12 +830,15 @@ object GraphStatQueries {
              JOIN ic ib ON r.consequent = ib.l_partkey, tot
       ORDER BY antecedent, consequent"""),
       (s, d) => {
-        val lp = t(s, d, "lineitem")
-          .select(col("l_orderkey"), col("l_partkey")).distinct()
-        val ic = lp.groupBy("l_partkey").agg(count(lit(1)).as("n"))
-        val tot = lp.agg(countDistinct("l_orderkey").as("t"))
-        val pc = lp.select(col("l_orderkey"), col("l_partkey").as("pa"))
-          .join(lp.select(col("l_orderkey"), col("l_partkey").as("pb")), "l_orderkey")
+        val baskets = t(s, d, "lineitem")
+          .groupBy(col("l_orderkey"))
+          .agg(slice(sort_array(collect_set(col("l_partkey"))), 1, HubCap).as("ps"))
+        val items = baskets.select(explode(col("ps")).as("l_partkey"))
+        val ic = items.groupBy("l_partkey").agg(count(lit(1)).as("n"))
+        val tot = baskets.agg(count(lit(1)).as("t"))
+        val pc = baskets
+          .select(explode(col("ps")).as("pa"), col("ps"))
+          .select(col("pa"), explode(col("ps")).as("pb"))
           .filter(col("pa") < col("pb"))
           .groupBy("pa", "pb").agg(count(lit(1)).as("nab"))
           .filter(col("nab") >= 2)

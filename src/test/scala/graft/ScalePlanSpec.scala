@@ -135,6 +135,31 @@ class ScalePlanSpec extends AnyFunSuite {
     assert(offenders.isEmpty, s"cartesian plans in: $offenders")
   }
 
+  test("pair-expansion queries: bounded explode, no edge-list self-join") {
+    // q_cosupplier_degree / q_assoc_rules (VERDICT r8 item 6): pair
+    // generation must come from the HubCap-sliced per-group arrays
+    // (fan-out ≤ HubCap² per group by construction), never from a
+    // shuffled self-join of the full edge list — the shape that blew
+    // its budget 1.7× under driver load. Structural proof: the
+    // cosupplier plan has NO join at all; assoc_rules keeps only
+    // broadcast enrichment joins (never a shuffled equi-join).
+    val co = executedPlan(
+      SparkEntry.queries("q_cosupplier_degree")(spark, SparkTesting.sf))
+    for (j <- Seq("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin",
+        "CartesianProduct", "BroadcastNestedLoopJoin"))
+      assert(!SparkTesting.finalSection(co).contains(j),
+        s"q_cosupplier_degree must be join-free (pairs via capped explode), found $j:\n$co")
+    assert(SparkTesting.finalSection(co).contains("Generate explode"),
+      s"expected explode-based pair generation:\n$co")
+    val ar = executedPlan(
+      SparkEntry.queries("q_assoc_rules")(spark, SparkTesting.sf))
+    for (j <- Seq("SortMergeJoin", "ShuffledHashJoin", "CartesianProduct"))
+      assert(!SparkTesting.finalSection(ar).contains(j),
+        s"q_assoc_rules may only broadcast-join its enrichments, found $j:\n$ar")
+    assert(SparkTesting.finalSection(ar).contains("Generate explode"),
+      s"expected explode-based pair generation:\n$ar")
+  }
+
   test("no registered query leaks cached relations past the execution path") {
     // A few operators persist() bounded intermediates at plan-BUILD
     // time (q_funnel_steps' step tables, q_triangle_support's edge

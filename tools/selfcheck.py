@@ -126,9 +126,16 @@ def main():
         if os.path.exists(p):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    # Verify records thrown queries in errors.json (r8 item 2: a query
+    # that fails analysis must read as ERR, never as "not sampled")
+    err_path = f"{out_dir}/errors.json"
+    errors = json.load(open(err_path)) if os.path.exists(err_path) else {}
     fails, passes, skips = [], [], []
-    for name in sorted(oracle):
+    for name in sorted(set(oracle) | set(errors)):
         if only and name not in only:
+            continue
+        if name in errors:
+            fails.append((name, f"ERR in Verify: {errors[name][:300]}"))
             continue
         sql = oracle[name]
         pdir = f"{out_dir}/{name}"
