@@ -1190,22 +1190,27 @@ object AnalyticsQueries {
       }),
 
     // MARKET BASKET: top-20 part pairs co-purchased in the same
-    // order, by support. Pair generation is a within-order self-join
-    // — bounded by BASKET size (this synthetic lake runs to ~13
-    // distinct lines/order ⇒ ≤ C(13,2)=78 pairs/order; expansion is
-    // O(Σ basket²), the within-bucket argument of the LSH pair
-    // generators), NOT an n² over parts. Top-k by (support, pair)
-    // total order via TakeOrderedAndProject, no global sort.
+    // order, by support. Pair generation is a capped double explode
+    // of per-order part sets (ONE collect_set shuffle on orderkey,
+    // then narrow fan-out ≤ min(basket, cap)² — the
+    // q_cosupplier_degree discipline; the cap is identity at the
+    // synthetic max basket of 17 and bounds a 100 TB mega-basket),
+    // NOT an orderkey self-join and NOT n² over parts. Top-k by
+    // (support, pair) total order via TakeOrderedAndProject, no
+    // global sort.
     QDef("q_basket_pairs", Some("""
       WITH lp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
       SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, count(*) AS n_orders
       FROM lp a JOIN lp b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
       GROUP BY 1, 2 ORDER BY n_orders DESC, part_a, part_b LIMIT 20"""),
       (s, d) => {
-        val lp = t(s, d, "lineitem")
-          .select(col("l_orderkey"), col("l_partkey")).distinct()
-        lp.select(col("l_orderkey"), col("l_partkey").as("part_a"))
-          .join(lp.select(col("l_orderkey"), col("l_partkey").as("part_b")), "l_orderkey")
+        val baskets = t(s, d, "lineitem")
+          .groupBy(col("l_orderkey"))
+          .agg(slice(sort_array(collect_set(col("l_partkey"))), 1,
+            GraphStatQueries.HubCap).as("ps"))
+        baskets
+          .select(explode(col("ps")).as("part_a"), col("ps"))
+          .select(col("part_a"), explode(col("ps")).as("part_b"))
           .filter(col("part_a") < col("part_b"))
           .groupBy("part_a", "part_b").agg(count(lit(1)).as("n_orders"))
           .orderBy(col("n_orders").desc, col("part_a"), col("part_b"))

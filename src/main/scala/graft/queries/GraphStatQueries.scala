@@ -879,10 +879,17 @@ object GraphStatQueries {
         val e = t(s, d, "lineitem")
           .select(col("l_suppkey").as("s"), col("l_partkey").as("p")).distinct()
         val sz = e.groupBy("s").agg(count(lit(1)).as("n"))
-        val ab = e.select(col("p"), col("s").as("sa"))
-          .join(e.select(col("p"), col("s").as("sb")), "p")
-          .filter(col("sa") =!= col("sb"))
+        // pair counts via HubCap-sliced per-part sets + double explode
+        // (the q_cosupplier_degree discipline — no edge self-join);
+        // nab is symmetric, so count the sa<sb half and mirror.
+        val sets = e.groupBy(col("p"))
+          .agg(slice(sort_array(collect_set(col("s"))), 1, HubCap).as("ss"))
+        val half = sets
+          .select(explode(col("ss")).as("sa"), col("ss"))
+          .select(col("sa"), explode(col("ss")).as("sb"))
+          .filter(col("sa") < col("sb"))
           .groupBy("sa", "sb").agg(count(lit(1)).as("nab"))
+        val ab = half.union(half.select(col("sb"), col("sa"), col("nab")))
         val j = ab
           .join(broadcast(sz.select(col("s").as("sa"), col("n").as("na"))), "sa")
           .join(broadcast(sz.select(col("s").as("sb"), col("n").as("nb"))), "sb")

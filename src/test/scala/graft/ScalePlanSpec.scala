@@ -158,6 +158,22 @@ class ScalePlanSpec extends AnyFunSuite {
         s"q_assoc_rules may only broadcast-join its enrichments, found $j:\n$ar")
     assert(SparkTesting.finalSection(ar).contains("Generate explode"),
       s"expected explode-based pair generation:\n$ar")
+    // q_basket_pairs: pure capped-explode aggregation — join-free
+    val bp = executedPlan(
+      SparkEntry.queries("q_basket_pairs")(spark, SparkTesting.sf))
+    for (j <- Seq("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin",
+        "CartesianProduct", "BroadcastNestedLoopJoin"))
+      assert(!SparkTesting.finalSection(bp).contains(j),
+        s"q_basket_pairs must be join-free, found $j:\n$bp")
+    assert(SparkTesting.finalSection(bp).contains("Generate explode"), bp)
+    // q_supplier_similarity: pair counts from capped explode; only
+    // the size-table broadcast enrichments may join
+    val ss = executedPlan(
+      SparkEntry.queries("q_supplier_similarity")(spark, SparkTesting.sf))
+    for (j <- Seq("SortMergeJoin", "ShuffledHashJoin", "CartesianProduct"))
+      assert(!SparkTesting.finalSection(ss).contains(j),
+        s"q_supplier_similarity may only broadcast-join its enrichments, found $j:\n$ss")
+    assert(SparkTesting.finalSection(ss).contains("Generate explode"), ss)
   }
 
   test("no registered query leaks cached relations past the execution path") {
