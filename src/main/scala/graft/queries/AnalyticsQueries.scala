@@ -1278,6 +1278,60 @@ object AnalyticsQueries {
           .orderBy("event_type", "day")
       }),
 
+    // Trailing EWMA (7-day, half-life 1 day) of daily event counts —
+    // the smoothing primitive for rate dashboards and drift gates,
+    // in EXACT integers: weight 2^(6−lag) for lags 0..6, numerator
+    // Σ c·w and denominator Σ w over the OBSERVED days in the
+    // window (a gap day contributes neither — the denominator
+    // re-normalizes, the LOCF-vs-gap policy stated in the plan, not
+    // an accident of a ROWS frame), ewma_milli = 1000·num div den.
+    // Lag-dependent weights are why this is NOT one window frame
+    // (a frame sum can't weight by distance-to-current-row):
+    // instead each day DONATES to its next 7 day-numbers through a
+    // 7-row explode and one re-aggregation — fan-out 7 on a
+    // day-level aggregate (already tiny), exact under any row
+    // order, no self-join of the fact table. At 100 TB the fact
+    // pass is the one daily groupBy; everything after is dim-sized.
+    QDef("q_ewma_trailing", Some("""
+      WITH e AS (SELECT event_type,
+                   date_diff('day', DATE '1970-01-01', date_trunc('day', ts)) AS dn,
+                   date_trunc('day', ts) AS day FROM events),
+      d AS (SELECT event_type, day, dn, CAST(count(*) AS BIGINT) AS c
+            FROM e GROUP BY 1, 2, 3),
+      don AS (SELECT event_type, dn + lag AS dnr,
+                c * (1 << (6 - lag)) AS wc, CAST(1 << (6 - lag) AS BIGINT) AS w
+              FROM d CROSS JOIN (SELECT unnest(range(0, 7)) AS lag)),
+      a AS (SELECT event_type, dnr, CAST(sum(wc) AS BIGINT) AS ewma_num,
+                   CAST(sum(w) AS BIGINT) AS ewma_den
+            FROM don GROUP BY 1, 2)
+      SELECT d.event_type, strftime(d.day, '%Y-%m-%d') AS day, d.c AS n_events,
+             a.ewma_num, a.ewma_den, (1000 * a.ewma_num) // a.ewma_den AS ewma_milli
+      FROM d JOIN a ON d.event_type = a.event_type AND d.dn = a.dnr
+      ORDER BY d.event_type, day"""),
+      (s, d) => {
+        val daily = t(s, d, "events")
+          .select(col("event_type"), date_trunc("day", col("ts")).as("day"),
+            datediff(date_trunc("day", col("ts")), to_date(lit("1970-01-01"))).as("dn"))
+          .groupBy("event_type", "day", "dn")
+          .agg(count(lit(1)).as("c"))
+        val don = daily
+          .select(col("event_type"), col("dn"), col("c"),
+            explode(sequence(lit(0), lit(6))).as("lag"))
+          .select(col("event_type"), (col("dn") + col("lag")).as("dnr"),
+            (col("c") * expr("shiftleft(1, 6 - lag)")).as("wc"),
+            expr("cast(shiftleft(1, 6 - lag) as bigint)").as("w"))
+        val agg = don.groupBy(col("event_type").as("et_r"), col("dnr"))
+          .agg(sum(col("wc")).cast("long").as("ewma_num"),
+            sum(col("w")).cast("long").as("ewma_den"))
+        daily.join(agg, col("dn") === col("dnr") && col("event_type") === col("et_r"))
+          .select(col("event_type"),
+            date_format(col("day"), "yyyy-MM-dd").as("day"),
+            col("c").as("n_events"),
+            col("ewma_num"), col("ewma_den"),
+            expr("div(1000 * ewma_num, ewma_den)").as("ewma_milli"))
+          .orderBy("event_type", "day")
+      }),
+
     // DATA-QUALITY AUDIT: the dbt-style check suite as one operator —
     // FK orphans (anti joins), null keys, duplicate business keys,
     // domain violations — reported as rule → violation count (the

@@ -218,6 +218,49 @@ object SimQueries {
         Similarity.ivfTopK(c, q, 5).orderBy("qid", "rank")
       }),
 
+    // EMBEDDING OUTLIERS by centroid distance: the 5 vectors in each
+    // IVF cell FARTHEST from their own centroid (lowest cosine) —
+    // the curation read on the vector lake: far-from-every-centroid
+    // rows are mislabeled/degenerate/junk embedding candidates, the
+    // vector-space analogue of q_doc_quality_filter's text gates.
+    // Reuses the kmeans assignment (driver-inlined argmax, no join,
+    // no shuffle for scoring); the per-cell rank is ONE window over
+    // the cell partition with the map-side WindowGroupLimit, and the
+    // centroid re-score joins an 8-row broadcast. Ascending sim3
+    // with cid tiebreak — the same rounded-rank discipline as every
+    // ANN query here.
+    QDef("q_embed_outlier_dist", Some(s"""
+      WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      cent AS (SELECT vec_id AS cell, v AS centv FROM e WHERE vec_id < 8),
+      scored AS (SELECT e.vec_id AS cid, e.v AS cv, cent.cell,
+        round(${cosineSql("e.v", "cent.centv")}, 6) AS cs
+        FROM e CROSS JOIN cent),
+      assigned AS (SELECT cid, cv, cell FROM scored
+        QUALIFY row_number() OVER (PARTITION BY cid ORDER BY cs DESC, cell) = 1),
+      s AS (SELECT a.cell, a.cid, round(${cosineSql("a.cv", "cent.centv")}, 3) AS sim3
+            FROM assigned a JOIN cent USING (cell)),
+      r AS (SELECT cell, cid, sim3,
+            CAST(row_number() OVER (PARTITION BY cell ORDER BY sim3 ASC, cid) AS BIGINT) AS rank
+            FROM s)
+      SELECT cell, rank, cid, sim3 FROM r WHERE rank <= 5 ORDER BY cell, rank"""),
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val e = t(s, d, "embeddings")
+          .select(col("vec_id"), col("embedding").as("v"))
+        val corpus = e.select(col("vec_id").as("cid"), col("v").as("cv"))
+        val centroids = e.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("cell"), col("v").as("centv"))
+        val scored = Similarity.ivfAssign(corpus, centroids)
+          .join(broadcast(centroids), "cell")
+          .select(col("cell"), col("cid"),
+            round(Similarity.cosine(col("cv"), col("centv")), 3).as("sim3"))
+        val w = Window.partitionBy("cell").orderBy(col("sim3").asc, col("cid"))
+        scored.withColumn("rank", row_number().over(w).cast("long"))
+          .filter(col("rank") <= 5)
+          .select("cell", "rank", "cid", "sim3")
+          .orderBy("cell", "rank")
+      }),
+
     // IVF with multi-cell probe (nprobe=2): corpus vectors keep their
     // single argmax cell, but each QUERY searches its 2 nearest cells
     // — the standard IVF recall lever (a query sitting near a Voronoi

@@ -699,6 +699,120 @@ object TextQueries {
           "doc_id", "text"),
         "doc_id", "sh", 2).orderBy("doc_a", "doc_b")),
 
+    // CONTAINMENT pairs (Broder's resemblance-vs-containment split):
+    // exact asymmetric C(a→b)=|A∩B|/|A| both ways as permille, plus
+    // the quote_like flag — ≥80% of one side inside the other while
+    // Jaccard < 0.6. This is the relation symmetric near-dup dedup
+    // structurally MISSES (a quoted/subset doc has high containment
+    // but low Jaccard because the union is dominated by the long
+    // side); curation wants these surfaced separately: the contained
+    // doc is a removal candidate, the containing one is not. Same
+    // bounded-pair shape as q_dedup_token_jaccard (1-in-13 sample;
+    // at scale the input would be LSH candidates).
+    QDef("q_dedup_containment", Some(s"""
+      WITH ${tokCte.format("WHERE doc_id % 13 = 0")},
+      sz AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id),
+      inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+                FROM tok a JOIN tok b ON a.tok = b.tok AND a.doc_id < b.doc_id
+                GROUP BY doc_a, doc_b)
+      SELECT doc_a, doc_b, i, sa.n AS na, sb.n AS nb,
+             (1000 * i) // sa.n AS cont_a_permille,
+             (1000 * i) // sb.n AS cont_b_permille,
+             CASE WHEN (i * 5 >= sa.n * 4 OR i * 5 >= sb.n * 4)
+                   AND i * 10 < 6 * (sa.n + sb.n - i) THEN 1 ELSE 0 END AS quote_like
+      FROM inter JOIN sz sa ON doc_a = sa.doc_id JOIN sz sb ON doc_b = sb.doc_id
+      ORDER BY doc_a, doc_b"""),
+      (s, d) => NearDup.containmentPairs(tokDf(s, d, Some(13)), "doc_id", "tok")
+        .orderBy("doc_a", "doc_b")),
+
+    // NOVELTY scoring: per doc, the fraction of its distinct word
+    // 3-grams FIRST seen in this doc under the doc_id total order —
+    // the corpus-construction dual of dedup: instead of removing
+    // repeats, score what each doc ADDS (dedup asks "is this a
+    // copy", novelty asks "does this doc contribute anything"). A
+    // low-novelty tail is boilerplate/templates even when no single
+    // pair crosses a dup threshold. Full corpus, NO sample: the plan
+    // is linear in total shingles — explode → min-by-shingle
+    // (map-side combined) → one co-partitioned equi-join back on the
+    // shingle, the inverted-index shape, no pair expansion anywhere.
+    // Permille by floor division; docs under 3 tokens (no shingles)
+    // are structurally absent on both sides.
+    QDef("q_ngram_novelty", Some(s"""
+      WITH d AS (SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS toks
+                 FROM documents),
+      sh AS (SELECT DISTINCT doc_id, sh FROM
+        (SELECT doc_id, unnest(list_transform(range(1, greatest(len(toks) - 1, 1)),
+                i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh FROM d)),
+      f AS (SELECT sh, min(doc_id) AS first_doc FROM sh GROUP BY sh)
+      SELECT s.doc_id, CAST(count(*) AS BIGINT) AS n_shingles,
+             CAST(sum(CASE WHEN f.first_doc = s.doc_id THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_new,
+             (1000 * sum(CASE WHEN f.first_doc = s.doc_id THEN 1 ELSE 0 END)) // count(*)
+               AS novelty_permille
+      FROM sh s JOIN f USING (sh) GROUP BY s.doc_id ORDER BY doc_id"""),
+      (s, d) => {
+        val sh = NearDup.shingles3(t(s, d, "documents"), "doc_id", "text")
+        val first = sh.groupBy("sh").agg(min(col("doc_id")).as("first_doc"))
+        sh.join(first, "sh")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_shingles"),
+            sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L)).as("n_new"))
+          .select(col("doc_id"), col("n_shingles"), col("n_new"),
+            expr("div(1000 * n_new, n_shingles)").as("novelty_permille"))
+          .orderBy("doc_id")
+      }),
+
+    // NEAR-EXACT dedup by EDIT DISTANCE (the similarity modality the
+    // token/shingle family can't see: transpositions and small edits
+    // inside tokens change every shingle but few characters).
+    // Candidates come from length-band blocking — edit distance ≤ K
+    // forces |len(a)−len(b)| ≤ K, so each doc posts into its
+    // ⌊len/K⌋ and ⌊len/K⌋+1 buckets and every qualifying pair
+    // collides in at least one bucket (complete by construction,
+    // like the LSH band argument but metric-exact). The Spark side
+    // computes BANDED Levenshtein with the threshold argument —
+    // O(K·n) per pair instead of O(n²), the 100 TB difference — and
+    // caps the emitted distance at K+1 ("beyond K"), which the
+    // oracle mirrors with least(full_distance, K+1). 1-in-13 sample
+    // bounds the within-band quadratic on this synthetic corpus.
+    QDef("q_dedup_edit_distance", Some(s"""
+      WITH d AS (SELECT doc_id, text, length(text) AS ln FROM documents
+                 WHERE doc_id % 13 = 0),
+      blk AS (SELECT doc_id, unnest([ln // 20, ln // 20 + 1]) AS b FROM d),
+      cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+               FROM blk a JOIN blk b ON a.b = b.b AND a.doc_id < b.doc_id),
+      p AS (SELECT doc_a, doc_b, da.ln AS len_a, db.ln AS len_b,
+              CAST(least(levenshtein(da.text, db.text), 21) AS BIGINT) AS edit_dist_capped
+            FROM cand JOIN d da ON doc_a = da.doc_id JOIN d db ON doc_b = db.doc_id
+            WHERE abs(da.ln - db.ln) <= 20)
+      SELECT doc_a, doc_b, len_a, len_b, edit_dist_capped,
+             CASE WHEN edit_dist_capped <= 20 THEN 1 ELSE 0 END AS near_exact
+      FROM p ORDER BY doc_a, doc_b"""),
+      (s, d) => {
+        val k = 20
+        val docs = t(s, d, "documents").filter(col("doc_id") % 13 === 0)
+          .select(col("doc_id"), col("text"), length(col("text")).as("ln"))
+        val blk = docs.select(col("doc_id"),
+          explode(array(expr(s"ln div $k"), expr(s"ln div $k + 1"))).as("b"))
+        val cand = blk.select(col("doc_id").as("doc_a"), col("b"))
+          .join(blk.select(col("doc_id").as("doc_b"), col("b")), "b")
+          .filter(col("doc_a") < col("doc_b"))
+          .select("doc_a", "doc_b").distinct()
+        cand
+          .join(docs.select(col("doc_id").as("doc_a"), col("text").as("ta"),
+            col("ln").as("len_a")), "doc_a")
+          .join(docs.select(col("doc_id").as("doc_b"), col("text").as("tb"),
+            col("ln").as("len_b")), "doc_b")
+          .filter(abs(col("len_a") - col("len_b")) <= k)
+          // banded levenshtein: -1 = "beyond k" → cap at k+1
+          .withColumn("lv", levenshtein(col("ta"), col("tb"), k))
+          .select(col("doc_a"), col("doc_b"), col("len_a"), col("len_b"),
+            when(col("lv") === -1, lit(k + 1)).otherwise(col("lv")).cast("long")
+              .as("edit_dist_capped"),
+            when(col("lv") === -1, 0).otherwise(1).as("near_exact"))
+          .orderBy("doc_a", "doc_b")
+      }),
+
     // LSH EVALUATION harness: confusion counts of the minhash-LSH
     // candidate generator (k=8, 4 bands × 2 rows — the
     // q_dedup_minhash_pairs operating point) against exact token-set

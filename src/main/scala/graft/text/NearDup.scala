@@ -365,6 +365,37 @@ object NearDup {
           .otherwise(0).as("near_dup"))
   }
 
+  /** Exact asymmetric CONTAINMENT for all pairs within `docTokens`
+    * (callers bound the input — sampled or LSH-filtered):
+    * C(a→b) = |A∩B| / |A|, both directions as permille. Flags the
+    * QUOTE-LIKE relation Jaccard-symmetric dedup structurally misses:
+    * one side ≥80% contained in the other (5·i ≥ 4·min(na,nb) side)
+    * while the pair is NOT a near-duplicate by Jaccard < 0.6
+    * (10·i < 6·(na+nb−i)) — a short doc quoted inside a long one has
+    * high containment but low Jaccard because the union is dominated
+    * by the long doc (Broder's containment vs resemblance
+    * distinction). Integer cross-multiplication and floor-division
+    * permilles only — nothing engine-sensitive crosses the oracle.
+    * Same plan shape as [[tokenJaccardPairs]]: token equi-join,
+    * map-combined pair counts, size joins. */
+  def containmentPairs(docTokens: DataFrame, id: String, tok: String): DataFrame = {
+    val sizes = docTokens.groupBy(col(id)).agg(count(lit(1)).as("n"))
+    val a = docTokens.select(col(id).as("doc_a"), col(tok))
+    val b = docTokens.select(col(id).as("doc_b"), col(tok))
+    val inter = a.join(b, Seq(tok))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("i"))
+    inter
+      .join(sizes.withColumnRenamed("n", "na").withColumnRenamed(id, "doc_a"), "doc_a")
+      .join(sizes.withColumnRenamed("n", "nb").withColumnRenamed(id, "doc_b"), "doc_b")
+      .select(col("doc_a"), col("doc_b"), col("i"), col("na"), col("nb"),
+        expr("div(1000 * i, na)").as("cont_a_permille"),
+        expr("div(1000 * i, nb)").as("cont_b_permille"),
+        when((col("i") * 5 >= col("na") * 4 || col("i") * 5 >= col("nb") * 4) &&
+            col("i") * 10 < (col("na") + col("nb") - col("i")) * 6, 1)
+          .otherwise(0).as("quote_like"))
+  }
+
   /** PREFIX-FILTERED Jaccard similarity join (AllPairs/PPJoin
     * candidate scheme — Bayardo et al. 2007, Xiao et al. 2008):
     * order each doc's distinct tokens by ascending GLOBAL frequency

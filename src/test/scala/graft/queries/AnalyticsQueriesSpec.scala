@@ -23,6 +23,38 @@ class AnalyticsQueriesSpec extends AnyFunSuite {
   private def hashExchanges(plan: String): Int =
     SparkTesting.hashExchanges(plan)
 
+  test("ewma_trailing: window invariants — den bounds, lone-day identity") {
+    import spark.implicits._
+    val rows = q("q_ewma_trailing")
+      .select("event_type", "n_events", "ewma_num", "ewma_den", "ewma_milli")
+      .as[(String, Long, Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (et, c, num, den, milli) =>
+      // den = Σ 2^(6-lag) over 1..7 observed days ⇒ within [1, 127];
+      // the current day always contributes weight 64
+      assert(den >= 64 && den <= 127, s"$et den=$den")
+      // num is a convex-ish combination bound: den·min ≤ num ≤ den·max
+      // can't check per-window here, but milli must equal the floor div
+      assert(milli == Math.floorDiv(1000 * num, den))
+      // a fully-isolated day (den == 64) smooths to exactly its own count
+      if (den == 64) assert(milli == Math.floorDiv(1000 * c * 64, 64L))
+    }
+  }
+
+  test("ewma_trailing: one fact shuffle, donation fan-out on the daily dim only") {
+    val plan = executed(q("q_ewma_trailing"))
+    // explode(sequence(0,6)) runs AFTER the daily aggregate — the
+    // fact table is never fanned out 7× (the Generate sits above the
+    // first HashAggregate pair, below only dim-sized exchanges)
+    assert(plan.contains("Generate explode"), plan)
+    // daily-agg side + join-back side: 2 scans, or 1 when AQE reuses
+    // the daily exchange — never more (the fact is not in the fan-out)
+    val factScans = plan.linesIterator.count(l =>
+      l.contains("FileScan parquet") && l.contains("events.parquet"))
+    assert(factScans >= 1 && factScans <= 2,
+      s"expected 1-2 events scans (daily + join-back), got $factScans:\n$plan")
+  }
+
   test("pivot: two-phase aggregate, no join, fixed column set") {
     val df = q("q_pivot_event_counts")
     val plan = executed(df)

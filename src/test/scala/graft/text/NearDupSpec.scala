@@ -47,6 +47,28 @@ class NearDupSpec extends AnyFunSuite {
     assert(got.toSeq == Seq((1L, 2L, 1)))
   }
 
+  test("containment pairs: asymmetric permilles, quote_like only on subset-not-dup") {
+    // A = {a,b,c,d,e,f,g,h,i,j} (10), B = {a..h} (8): i=8,
+    // C(b→a side) = 8/8 = 1000‰, J = 8/10 = 0.8 ≥ 0.6 → near-dup,
+    // NOT quote_like (it's a straight duplicate candidate).
+    // A vs C = {a,b,c,d} (4): i=4, cont_c = 1000‰, J = 4/10 < 0.6
+    // → quote_like = 1 (the subset relation Jaccard misses).
+    // A vs D = {x,y}: i=0 → pair never materializes (no shared token).
+    val d = toks(
+      (1L, "a b c d e f g h i j"),
+      (2L, "a b c d e f g h"),
+      (3L, "a b c d"),
+      (4L, "x y"))
+    val got = containmentPairs(d, "doc_id", "tok")
+      .orderBy("doc_a", "doc_b")
+      .select("doc_a", "doc_b", "i", "cont_a_permille", "cont_b_permille", "quote_like")
+      .as[(Long, Long, Long, Long, Long, Int)].collect().toSeq
+    assert(got == Seq(
+      (1L, 2L, 8L, 800L, 1000L, 0),   // J=0.8: dup, not quote
+      (1L, 3L, 4L, 400L, 1000L, 1),   // subset: quote_like
+      (2L, 3L, 4L, 500L, 1000L, 1)))
+  }
+
   test("3-gram shingles: sliding windows, short docs yield none") {
     val sh = shingles3(Seq((1L, "a b c d"), (2L, "a b")).toDF("doc_id", "text"),
       "doc_id", "text").orderBy("sh").select("sh").as[String].collect()

@@ -19,6 +19,42 @@ class TextPropertiesSpec extends AnyFunSuite {
     assert(r.passed, r.status.toString)
   }
 
+  test("ngram_novelty invariants: first doc fully novel, n_new sums to vocab") {
+    val nov = graft.SparkEntry.queries("q_ngram_novelty")(spark, SparkTesting.sf)
+      .select("doc_id", "n_shingles", "n_new", "novelty_permille")
+      .as[(Long, Long, Long, Long)].collect()
+    assert(nov.nonEmpty)
+    // the smallest doc_id with shingles can only contain first-seen
+    // shingles — novelty is exactly 1000‰
+    val first = nov.minBy(_._1)
+    assert(first._3 == first._2 && first._4 == 1000L, s"first doc: $first")
+    // every distinct shingle is first-seen in exactly one doc
+    val totalNew = nov.map(_._3).sum
+    val vocab = NearDup.shingles3(
+      graft.pipeline.Tables.t(spark, SparkTesting.sf, "documents"),
+      "doc_id", "text").select("sh").distinct().count()
+    assert(totalNew == vocab, s"sum(n_new)=$totalNew != |shingle vocab|=$vocab")
+    nov.foreach { case (id, n, nn, p) =>
+      assert(nn >= 0 && nn <= n && p == Math.floorDiv(1000 * nn, n), s"doc $id")
+    }
+  }
+
+  test("edit-distance dedup invariants: banded cap, length bound, identity pairs") {
+    val rows = graft.SparkEntry.queries("q_dedup_edit_distance")(spark, SparkTesting.sf)
+      .select("doc_a", "doc_b", "len_a", "len_b", "edit_dist_capped", "near_exact")
+      .as[(Long, Long, Long, Long, Long, Int)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (a, b, la, lb, d, ne) =>
+      assert(a < b)
+      assert(math.abs(la - lb) <= 20, "blocking admits only |Δlen| ≤ K")
+      assert(d >= 0 && d <= 21)
+      // edit distance lower bound: d ≥ |Δlen| whenever the true
+      // distance was computed (capped rows only promise > 20)
+      if (d <= 20) assert(d >= math.abs(la - lb))
+      assert((ne == 1) == (d <= 20), "flag must mirror the cap")
+    }
+  }
+
   /** Reference union-find: smallest member labels its component. */
   private def unionFind(n: Int, edges: Seq[(Long, Long)]): Map[Long, Long] = {
     val parent = Array.tabulate(n)(identity)
