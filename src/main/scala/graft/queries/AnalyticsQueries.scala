@@ -1332,6 +1332,47 @@ object AnalyticsQueries {
           .orderBy("event_type", "day")
       }),
 
+    // CALIBRATION / reliability bins: treating `value` as a model
+    // score and purchase as the positive label, bucket scores into
+    // 10 equal-WIDTH bins and report per-bin volume, positives and
+    // positive rate — the reliability-diagram aggregate every
+    // model-quality dashboard needs. Equal-width (not ntile) is the
+    // scale decision: bin id is a pure projection off a 1-row
+    // broadcast (min,max) — no global rank, no single-partition
+    // window (the total-order trap q_quantile_normalize documents;
+    // ntile-style equal-count bins are exactly what its histogram
+    // technique would provide if wanted). Cents-integer arithmetic
+    // end to end; the +1 divisor pins max into bin 9 without a
+    // float edge.
+    QDef("q_calibration_bins", Some("""
+      WITH e AS (SELECT event_id, event_type,
+                   CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS cents FROM events),
+      mm AS (SELECT min(cents) AS lo, max(cents) AS hi FROM e),
+      b AS (SELECT CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS pos,
+              CASE WHEN mm.hi = mm.lo THEN 0
+                   ELSE ((cents - mm.lo) * 10) // (mm.hi - mm.lo + 1) END AS bin,
+              cents FROM e, mm)
+      SELECT bin, CAST(count(*) AS BIGINT) AS n, CAST(sum(pos) AS BIGINT) AS positives,
+             (1000 * sum(pos)) // count(*) AS pos_permille,
+             min(cents) AS lo_cents, max(cents) AS hi_cents
+      FROM b GROUP BY bin ORDER BY bin"""),
+      (s, d) => {
+        val e = t(s, d, "events").select(col("event_id"), col("event_type"),
+          floor(col("value") * lit(100.0) + lit(0.5)).cast("long").as("cents"))
+        val mm = e.agg(min(col("cents")).as("lo"), max(col("cents")).as("hi"))
+        e.crossJoin(broadcast(mm))
+          .select(
+            when(col("event_type") === "purchase", 1L).otherwise(0L).as("pos"),
+            when(col("hi") === col("lo"), 0L)
+              .otherwise(expr("div((cents - lo) * 10, hi - lo + 1)")).as("bin"),
+            col("cents"))
+          .groupBy("bin")
+          .agg(count(lit(1)).as("n"), sum(col("pos")).as("positives"),
+            expr("div(1000 * sum(pos), count(1))").as("pos_permille"),
+            min(col("cents")).as("lo_cents"), max(col("cents")).as("hi_cents"))
+          .orderBy("bin")
+      }),
+
     // DATA-QUALITY AUDIT: the dbt-style check suite as one operator —
     // FK orphans (anti joins), null keys, duplicate business keys,
     // domain violations — reported as rule → violation count (the

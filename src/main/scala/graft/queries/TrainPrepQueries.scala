@@ -308,6 +308,59 @@ object TrainPrepQueries {
           .orderBy("doc_id")
       }),
 
+    // QUANTILE NORMALIZATION of a per-source feature to the GLOBAL
+    // distribution (the cross-source comparability transform: a doc
+    // at its source's p-th length quantile maps to the corpus-wide
+    // value at that quantile — batch-effect removal for mixture
+    // construction when sources have systematically different length
+    // profiles). All-integer: source rank rn/n_s lifts to the target
+    // global rank g = ⌈rn·N/n_s⌉ by ceiling division, and the
+    // norm value is the v whose cumulative-count span covers g.
+    // 100 TB shape: NO global row_number anywhere (a global window
+    // collapses to one partition — the classic total-order trap);
+    // the global distribution enters ONLY as the value histogram
+    // (distinct feature values + counts + cumulative base), which is
+    // value-cardinality-sized, broadcast, and range-joined. The
+    // fact-scale work is one per-source window.
+    QDef("q_quantile_normalize", Some("""
+      WITH d AS (SELECT doc_id, source, n_chars FROM documents),
+      tot AS (SELECT CAST(count(*) AS BIGINT) AS n_g FROM d),
+      sr AS (SELECT doc_id, source, n_chars,
+              CAST(row_number() OVER (PARTITION BY source
+                ORDER BY n_chars, doc_id) AS BIGINT) AS rn,
+              CAST(count(*) OVER (PARTITION BY source) AS BIGINT) AS n_s
+             FROM d),
+      vc AS (SELECT n_chars AS v, CAST(count(*) AS BIGINT) AS cnt FROM d GROUP BY 1),
+      vb AS (SELECT v, cnt, CAST(coalesce(sum(cnt) OVER (ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS base
+             FROM vc),
+      g AS (SELECT doc_id, source, n_chars,
+              (rn * n_g + n_s - 1) // n_s AS grank FROM sr, tot)
+      SELECT g.doc_id, g.source, g.n_chars, g.grank, vb.v AS norm_chars
+      FROM g JOIN vb ON g.grank > vb.base AND g.grank <= vb.base + vb.cnt
+      ORDER BY doc_id"""),
+      (s, d) => {
+        val docs = t(s, d, "documents").select(col("doc_id"), col("source"), col("n_chars"))
+        val tot = docs.agg(count(lit(1)).as("n_g"))
+        val ws = Window.partitionBy("source").orderBy("n_chars", "doc_id")
+        val sr = docs
+          .withColumn("rn", row_number().over(ws).cast("long"))
+          .withColumn("n_s", count(lit(1)).over(Window.partitionBy("source")))
+          .crossJoin(broadcast(tot))
+          .withColumn("grank", expr("div(rn * n_g + n_s - 1, n_s)"))
+        val vc = docs.groupBy(col("n_chars").as("v")).agg(count(lit(1)).as("cnt"))
+        // single-partition window is SAFE here: vc is the distinct
+        // feature-value histogram (value-cardinality-sized), not the fact
+        val vb = vc.withColumn("base",
+          coalesce(sum(col("cnt")).over(Window.orderBy("v")
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        sr.join(broadcast(vb),
+            col("grank") > col("base") && col("grank") <= col("base") + col("cnt"))
+          .select(col("doc_id"), col("source"), col("n_chars"), col("grank"),
+            col("v").as("norm_chars"))
+          .orderBy("doc_id")
+      }),
+
     // TRAIN/VAL/TEST SPLIT assignment: a seed-stamped md5 byte of the
     // doc id buckets each doc 80/10/10 — a pure function of
     // (seed, id), so the split is stable across engines, runs, and

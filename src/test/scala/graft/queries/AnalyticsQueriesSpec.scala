@@ -55,6 +55,52 @@ class AnalyticsQueriesSpec extends AnyFunSuite {
       s"expected 1-2 events scans (daily + join-back), got $factScans:\n$plan")
   }
 
+  test("calibration bins: partition of all events, rates exact, bins ordered") {
+    import spark.implicits._
+    val rows = q("q_calibration_bins")
+      .select("bin", "n", "positives", "pos_permille", "lo_cents", "hi_cents")
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(rows.nonEmpty && rows.forall(r => r._1 >= 0 && r._1 <= 9))
+    val total = graft.pipeline.Tables.t(spark, SparkTesting.sf, "events").count()
+    assert(rows.map(_._2).sum == total, "bins must partition the event set")
+    rows.foreach { case (bin, n, pos, pm, lo, hi) =>
+      assert(pos >= 0 && pos <= n)
+      assert(pm == Math.floorDiv(1000 * pos, n))
+      assert(lo <= hi)
+    }
+    // observed per-bin cent ranges never overlap across ordered bins
+    rows.sortBy(_._1).sliding(2).foreach {
+      case Seq(a, b) => assert(a._6 < b._5, s"bins ${a._1}/${b._1} overlap")
+      case _ =>
+    }
+  }
+
+  test("quantile normalize: grank in [1,N], within-source monotone, global identity") {
+    import spark.implicits._
+    val rows = q("q_quantile_normalize")
+      .select("doc_id", "source", "n_chars", "grank", "norm_chars")
+      .as[(Long, String, Long, Long, Long)].collect().toSeq
+    val n = rows.size
+    assert(n > 0)
+    rows.foreach { case (_, _, _, g, _) => assert(g >= 1 && g <= n) }
+    // within a source, a longer doc can never normalize below a shorter one
+    rows.groupBy(_._2).values.foreach { docs =>
+      docs.sortBy(d => (d._3, d._1)).map(_._5).sliding(2).foreach {
+        case Seq(a, b) => assert(a <= b, "normalization must be monotone")
+        case _ =>
+      }
+    }
+    // the top-ranked doc of every source maps to the global maximum
+    // (grank = ⌈n_s·N/n_s⌉ = N exactly), and every norm value is a
+    // value that actually occurs in the corpus
+    val globalMax = rows.map(_._3).max
+    val occurring = rows.map(_._3).toSet
+    rows.groupBy(_._2).values.foreach { docs =>
+      assert(docs.maxBy(d => (d._3, d._1))._5 == globalMax)
+    }
+    assert(rows.forall(r => occurring.contains(r._5)))
+  }
+
   test("pivot: two-phase aggregate, no join, fixed column set") {
     val df = q("q_pivot_event_counts")
     val plan = executed(df)
