@@ -45,6 +45,46 @@ object AnalyticsQueries {
         .select(col("user_id") +: eventTypes.map(ty => coalesce(col(ty), lit(0L)).as(ty)): _*)
         .orderBy("user_id")),
 
+    // UNPIVOT / MELT (the inverse of q_pivot_event_counts): the four
+    // lineitem measures tidy into long (key, measure, cents) form —
+    // the wide→long reshape feeding generic per-measure pipelines
+    // (one quality rule over N columns, per-measure histograms)
+    // without N separate scans. Cents-integer values; the reshape is
+    // Spark's native unpivot (an Expand node: 4 output rows per
+    // input INSIDE the scan stage, zero shuffle before the output
+    // sort — at 100 TB the fan-out is narrow and pipelined, never a
+    // union of 4 re-scans, which is exactly how the oracle has to
+    // spell it).
+    QDef("q_unpivot_melt", Some("""
+      WITH m AS (SELECT l_orderkey, l_linenumber,
+          CAST(floor(l_quantity      * 100.0 + 0.5) AS BIGINT) AS quantity,
+          CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT) AS extendedprice,
+          CAST(floor(l_discount      * 100.0 + 0.5) AS BIGINT) AS discount,
+          CAST(floor(l_tax           * 100.0 + 0.5) AS BIGINT) AS tax
+        FROM lineitem)
+      SELECT l_orderkey, l_linenumber, measure, cents FROM (
+        SELECT l_orderkey, l_linenumber, 'quantity' AS measure, quantity AS cents FROM m
+        UNION ALL
+        SELECT l_orderkey, l_linenumber, 'extendedprice', extendedprice FROM m
+        UNION ALL
+        SELECT l_orderkey, l_linenumber, 'discount', discount FROM m
+        UNION ALL
+        SELECT l_orderkey, l_linenumber, 'tax', tax FROM m)
+      ORDER BY l_orderkey, l_linenumber, measure, cents"""),
+      (s, d) => {
+        val cents = (c: String) => floor(col(c) * lit(100.0) + lit(0.5)).cast("long")
+        t(s, d, "lineitem")
+          .select(col("l_orderkey"), col("l_linenumber"),
+            cents("l_quantity").as("quantity"),
+            cents("l_extendedprice").as("extendedprice"),
+            cents("l_discount").as("discount"),
+            cents("l_tax").as("tax"))
+          .unpivot(Array(col("l_orderkey"), col("l_linenumber")),
+            Array(col("quantity"), col("extendedprice"), col("discount"), col("tax")),
+            "measure", "cents")
+          .orderBy("l_orderkey", "l_linenumber", "measure", "cents")
+      }),
+
     // ROLLUP subtotals: revenue by (returnflag, linestatus) with
     // per-flag subtotals and a grand total in ONE pass — the
     // hand-written "totals row" loops a report builder writes around

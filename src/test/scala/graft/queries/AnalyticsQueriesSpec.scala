@@ -101,6 +101,22 @@ class AnalyticsQueriesSpec extends AnyFunSuite {
     assert(rows.forall(r => occurring.contains(r._5)))
   }
 
+  test("unpivot: ONE lineitem scan through an Expand — never 4 re-scans") {
+    val plan = executed(q("q_unpivot_melt"))
+    val scans = plan.linesIterator.count(l =>
+      l.contains("FileScan parquet") && l.contains("lineitem.parquet"))
+    assert(scans == 1, s"expected 1 lineitem scan, got $scans:\n$plan")
+    assert(plan.contains("Expand"), s"unpivot should plan as Expand:\n$plan")
+    // 4 measures × rows, partitioned into the 4 measure names
+    import spark.implicits._
+    val n = graft.pipeline.Tables.t(spark, SparkTesting.sf, "lineitem").count()
+    val byMeasure = q("q_unpivot_melt").groupBy("measure").count()
+      .as[(String, Long)].collect().toMap
+    assert(byMeasure.keySet ==
+      Set("quantity", "extendedprice", "discount", "tax"))
+    assert(byMeasure.values.forall(_ == n))
+  }
+
   test("pivot: two-phase aggregate, no join, fixed column set") {
     val df = q("q_pivot_event_counts")
     val plan = executed(df)
