@@ -667,6 +667,37 @@ object CoreQueries {
             lit(0.06) * col("exact_parts")).cast("int").as("within_bound"))
         .orderBy("l_returnflag")),
 
+    // MERGEABLE sketches (the property that makes sketches the
+    // 100 TB answer, which q_approx_distinct alone doesn't show):
+    // one Datasketches-HLL sketch of user ids per event type, then
+    // ONE union-merge producing the global distinct estimate — no
+    // second pass over the fact. That's the distributed-aggregation
+    // contract in miniature: partial sketches per group/partition,
+    // lossless binary merge, estimate at the end; per-type sketches
+    // persist as bytes for incremental refresh (merge tomorrow's
+    // sketch, never recount history). The estimate is
+    // engine-specific, so the oracle-checked surface is the exact
+    // global distinct + a 5% bound flag asserted 1 (lgK=12 → 1.6%
+    // rel. std err; 3σ ≈ 5%), the q_approx_distinct discipline.
+    QDef("q_hll_merge", Some("""
+      SELECT CAST(count(DISTINCT event_type) AS BIGINT) AS n_types,
+             CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+             CAST(1 AS INTEGER) AS within_bound
+      FROM events"""),
+      (s, d) => {
+        val perType = t(s, d, "events")
+          .groupBy("event_type")
+          .agg(hll_sketch_agg(col("user_id"), 12).as("sk"))
+        perType.agg(
+            count(lit(1)).as("n_types"),
+            hll_sketch_estimate(hll_union_agg(col("sk"))).as("est"))
+          .crossJoin(broadcast(t(s, d, "events")
+            .agg(countDistinct(col("user_id")).as("exact_users"))))
+          .select(col("n_types"), col("exact_users"),
+            (abs(col("est") - col("exact_users")) <=
+              lit(0.05) * col("exact_users")).cast("int").as("within_bound"))
+      }),
+
     // ─────────────────── §2.5 sorts / limits ──────────────────────
 
     // O1: global total-order timeline sort with explicit tiebreak
@@ -713,6 +744,36 @@ object CoreQueries {
       (s, d) => t(s, d, "customer").select(col("c_custkey").as("id"))
         .union(t(s, d, "events").select(col("user_id").as("id")))
         .distinct().orderBy("id")),
+
+    // SET OPERATIONS (INTERSECT / EXCEPT — the two relational set ops
+    // the union family doesn't exercise): behavioral cohorts as id-set
+    // algebra — users who both purchased AND signed up, and users who
+    // viewed but NEVER purchased. Catalyst rewrites INTERSECT/EXCEPT
+    // to left-semi/left-anti joins over the deduped key sets, so the
+    // plan is two narrow key-only scans per cohort and the shuffles
+    // carry distinct user ids, never events. The multiplexed
+    // event_type filters come from ONE events pass per branch pair
+    // (the scan is key+type only — column pruning does the rest).
+    QDef("q_set_ops_users", Some("""
+      WITH pur AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'),
+      sig AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'signup'),
+      vie AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'view')
+      SELECT cohort, user_id FROM (
+        SELECT 'purchase_and_signup' AS cohort, user_id
+        FROM (SELECT user_id FROM pur INTERSECT SELECT user_id FROM sig)
+        UNION ALL
+        SELECT 'view_never_bought', user_id
+        FROM (SELECT user_id FROM vie EXCEPT SELECT user_id FROM pur))
+      ORDER BY cohort, user_id"""),
+      (s, d) => {
+        def ids(ty: String) = t(s, d, "events")
+          .filter(col("event_type") === ty).select(col("user_id")).distinct()
+        ids("purchase").intersect(ids("signup"))
+          .select(lit("purchase_and_signup").as("cohort"), col("user_id"))
+          .union(ids("view").except(ids("purchase"))
+            .select(lit("view_never_bought").as("cohort"), col("user_id")))
+          .orderBy("cohort", "user_id")
+      }),
 
     // U2 / §2.8: the conform-union — 3 heterogeneous testdata sources
     // plus the CATALOG-DRIVEN contact seed roster (the paged
