@@ -101,6 +101,26 @@ class AnalyticsQueriesSpec extends AnyFunSuite {
     assert(rows.forall(r => occurring.contains(r._5)))
   }
 
+  test("quantile normalize: single-partition exchange only under the value histogram") {
+    // the global distribution may enter ONLY as the dim-sized value
+    // histogram — a SinglePartition exchange is fine there, but the
+    // fact side must never collapse to one partition (the global
+    // row_number trap). Structural check: every SinglePartition
+    // exchange in the final plan sits above an aggregate (the vc
+    // histogram path), never directly above a documents scan.
+    val plan = executed(q("q_quantile_normalize"))
+    val lines = plan.linesIterator.toSeq
+    val spIdx = lines.zipWithIndex.filter(_._1.contains("Exchange SinglePartition"))
+    spIdx.foreach { case (_, i) =>
+      val below = lines.drop(i).take(8).mkString("\n")
+      assert(below.contains("HashAggregate") || below.contains("Window"),
+        s"SinglePartition exchange not over the histogram path:\n$below")
+    }
+    // and the fact-side per-source window partitions by source
+    assert(plan.contains("Exchange hashpartitioning(source"),
+      s"per-source window must hash-partition on source:\n$plan")
+  }
+
   test("unpivot: ONE lineitem scan through an Expand — never 4 re-scans") {
     val plan = executed(q("q_unpivot_melt"))
     val scans = plan.linesIterator.count(l =>
