@@ -229,6 +229,34 @@ object TrainPrepQueries {
           .orderBy("doc_id")
       }),
 
+    // SCHEMA EVOLUTION on read: two parquet batches written with
+    // DIFFERENT schemas (a later batch adds c_mktsegment) read back
+    // through ONE mergeSchema scan — the additive-column lake
+    // contract: old files never rewrite, the union schema resolves
+    // at read time, absent columns surface as NULL (exactly the
+    // align-by-name union semantic, §2.6, pushed down to the
+    // STORAGE layer). The oracle recomputes the merged view
+    // logically from the base table. At 100 TB this is the nightly
+    // reality of a long-lived lake — footer-only schema merge, no
+    // data rewrite, partition pruning intact.
+    QDef("q_schema_evolution", Some("""
+      SELECT c_custkey, c_name,
+             CASE WHEN c_custkey % 2 = 1 THEN c_mktsegment END AS c_mktsegment
+      FROM customer ORDER BY c_custkey"""),
+      (s, d) => {
+        val out = SinkScratch.dir("q_schema_evolution", d)
+        val base = t(s, d, "customer")
+        base.filter(col("c_custkey") % 2 === 0)
+          .select("c_custkey", "c_name")
+          .write.mode("overwrite").parquet(s"$out/batch1")
+        base.filter(col("c_custkey") % 2 === 1)
+          .select("c_custkey", "c_name", "c_mktsegment")
+          .write.mode("overwrite").parquet(s"$out/batch2")
+        s.read.option("mergeSchema", "true").parquet(s"$out/batch1", s"$out/batch2")
+          .select("c_custkey", "c_name", "c_mktsegment")
+          .orderBy("c_custkey")
+      }),
+
     // Context-window SEQUENCE PACKING: concatenate each shard's docs
     // in id order and chunk the token stream into budget-sized
     // windows; a doc's seq_id is the window its first token lands in.
@@ -359,6 +387,66 @@ object TrainPrepQueries {
           .select(col("doc_id"), col("source"), col("n_chars"), col("grank"),
             col("v").as("norm_chars"))
           .orderBy("doc_id")
+      }),
+
+    // FEATURE HASHING (the hashing-trick vectorizer): token
+    // OCCURRENCES bucketed into a fixed 64-dim space by a seeded
+    // md5 byte — the fixed-width featurization that needs NO
+    // vocabulary build, no fit step, and no growing dimension when
+    // the corpus grows (the property that makes it the streaming/
+    // distributed default over count-vectorizers; collisions are the
+    // accepted lossy trade, Weinberger et al. 2009). Same seeded
+    // md5-byte discipline as q_split_assign, so buckets are
+    // engine-reproducible. Sparse output rows (doc, bucket, cnt):
+    // explode → ONE map-side-combined aggregate; at 100 TB output
+    // is ≤ 64 rows per doc regardless of vocabulary.
+    QDef("q_feature_hashing", Some("""
+      WITH tk AS (SELECT doc_id,
+              unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS tok
+            FROM documents),
+      b AS (SELECT doc_id,
+              CAST(('0x' || substr(md5('fh1|' || tok), 1, 2)) AS INTEGER) % 64 AS bucket
+            FROM tk)
+      SELECT doc_id, bucket, CAST(count(*) AS BIGINT) AS cnt
+      FROM b GROUP BY doc_id, bucket ORDER BY doc_id, bucket"""),
+      (s, d) => {
+        val tk = t(s, d, "documents")
+          .select(col("doc_id"), explode(TA.tokens(col("text"))).as("tok"))
+        tk.select(col("doc_id"),
+            (conv(substring(md5(concat(lit("fh1|"), col("tok"))), 1, 2), 16, 10)
+              .cast(IntegerType) % 64).as("bucket"))
+          .groupBy("doc_id", "bucket").agg(count(lit(1)).as("cnt"))
+          .orderBy("doc_id", "bucket")
+      }),
+
+    // SMALL-FILE COMPACTION planner (the lakehouse maintenance op):
+    // greedy bin-packing of per-source docs (stand-ins for data
+    // files, sized by n_chars) into ≥4 KB output files — each doc
+    // joins the bin its PRECEDING bytes fill, bin = (cum−size) div
+    // target, so bins are contiguous in the (source, doc_id) order
+    // and every bin except the last crosses the target (the
+    // q_select_token_budget greedy-fill shape applied to file
+    // layout). Deterministic, integer, no data movement planned
+    // twice: ONE per-source window over a metadata-sized projection
+    // — at 100 TB this plans compaction for billions of files with
+    // one shuffle of (path, size) tuples, never touching file bytes.
+    QDef("q_compaction_plan", Some("""
+      WITH f AS (SELECT source, doc_id, CAST(n_chars AS BIGINT) AS bytes FROM documents),
+      c AS (SELECT source, doc_id, bytes,
+              CAST(sum(bytes) OVER (PARTITION BY source ORDER BY doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_bytes
+            FROM f)
+      SELECT source, doc_id, bytes, cum_bytes,
+             (cum_bytes - bytes) // 4096 AS file_bin
+      FROM c ORDER BY source, doc_id"""),
+      (s, d) => {
+        val w = Window.partitionBy("source").orderBy("doc_id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        t(s, d, "documents")
+          .select(col("source"), col("doc_id"), col("n_chars").cast(LongType).as("bytes"))
+          .withColumn("cum_bytes", sum(col("bytes")).over(w).cast(LongType))
+          .withColumn("file_bin", expr("div(cum_bytes - bytes, 4096)"))
+          .orderBy("source", "doc_id")
       }),
 
     // TRAIN/VAL/TEST SPLIT assignment: a seed-stamped md5 byte of the

@@ -121,6 +121,46 @@ class AnalyticsQueriesSpec extends AnyFunSuite {
       s"per-source window must hash-partition on source:\n$plan")
   }
 
+  test("feature hashing: bucket mass conserves token count, buckets in range") {
+    import spark.implicits._
+    val rows = q("q_feature_hashing")
+      .select("doc_id", "bucket", "cnt").as[(Long, Int, Long)].collect()
+    assert(rows.forall(r => r._2 >= 0 && r._2 < 64 && r._3 > 0))
+    val massByDoc = rows.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+    val tokByDoc = graft.pipeline.Tables.t(spark, SparkTesting.sf, "documents")
+      .select(col("doc_id"),
+        graft.text.TextAnalysis.tokenCount(col("text")).as("n"))
+      .as[(Long, Long)].collect().toMap
+    tokByDoc.filter(_._2 > 0).foreach { case (id, n) =>
+      assert(massByDoc.getOrElse(id, 0L) == n,
+        s"doc $id: hashed mass ${massByDoc.get(id)} != token count $n")
+    }
+  }
+
+  test("compaction plan: bins contiguous, every bin but the last crosses target") {
+    import spark.implicits._
+    val rows = q("q_compaction_plan")
+      .select("source", "doc_id", "bytes", "cum_bytes", "file_bin")
+      .as[(String, Long, Long, Long, Long)].collect()
+    rows.groupBy(_._1).values.foreach { fs =>
+      val ordered = fs.sortBy(_._2)
+      // cumsum consistency + bins non-decreasing in doc order
+      ordered.foldLeft((0L, 0L)) { case ((cum, lastBin), (_, _, b, c, bin)) =>
+        assert(c == cum + b)
+        assert(bin >= lastBin)
+        (c, bin)
+      }
+      // greedy fill: a bin only closes once its cumulative stream
+      // crosses the next 4096 boundary — so each non-final bin's
+      // last doc has cum ≥ (bin+1)·4096
+      ordered.groupBy(_._5).toSeq.sortBy(_._1).dropRight(1).foreach {
+        case (bin, files) =>
+          assert(files.map(_._4).max >= (bin + 1) * 4096,
+            s"bin $bin closed before filling its 4096 target")
+      }
+    }
+  }
+
   test("unpivot: ONE lineitem scan through an Expand — never 4 re-scans") {
     val plan = executed(q("q_unpivot_melt"))
     val scans = plan.linesIterator.count(l =>
