@@ -1372,6 +1372,90 @@ object AnalyticsQueries {
           .orderBy("event_type", "day")
       }),
 
+    // DAY-OF-WEEK seasonality profile: per (event_type, weekday)
+    // mean daily event count in exact milli (1000·Σcounts div
+    // n_days-of-that-weekday) plus its share of the type's weekly
+    // mass — the seasonal fingerprint a forecast/anomaly layer
+    // conditions on (q_rolling_anomaly judges days against a
+    // trailing window; this is the calendar-position complement).
+    // ISO weekday via DuckDB isodow / Spark dayofweek remapped —
+    // both engines agree on the Monday=1 numbering explicitly, no
+    // locale dependence. Dim-sized throughout after one fact pass.
+    QDef("q_dow_profile", Some("""
+      WITH d AS (SELECT event_type, date_trunc('day', ts) AS day,
+                   CAST(isodow(ts) AS BIGINT) AS dow,
+                   CAST(count(*) AS BIGINT) AS c
+                 FROM events GROUP BY 1, 2, 3),
+      p AS (SELECT event_type, dow, CAST(sum(c) AS BIGINT) AS total,
+                   CAST(count(*) AS BIGINT) AS n_days
+            FROM d GROUP BY 1, 2),
+      w AS (SELECT event_type, CAST(sum(total) AS BIGINT) AS week_mass FROM p GROUP BY 1)
+      SELECT p.event_type, p.dow, p.total, p.n_days,
+             (1000 * p.total) // p.n_days AS mean_milli,
+             (1000 * p.total) // w.week_mass AS share_permille
+      FROM p JOIN w ON p.event_type = w.event_type
+      ORDER BY p.event_type, dow"""),
+      (s, d) => {
+        // Spark dayofweek: Sunday=1..Saturday=7 → ISO Monday=1..Sunday=7
+        val iso = expr("cast((dayofweek(ts) + 5) % 7 + 1 as bigint)")
+        val daily = t(s, d, "events")
+          .select(col("event_type"), date_trunc("day", col("ts")).as("day"),
+            iso.as("dow"))
+          .groupBy("event_type", "day", "dow").agg(count(lit(1)).as("c"))
+        val p = daily.groupBy("event_type", "dow")
+          .agg(sum(col("c")).cast("long").as("total"),
+            count(lit(1)).as("n_days"))
+        val w = p.groupBy(col("event_type").as("et_w"))
+          .agg(sum(col("total")).cast("long").as("week_mass"))
+        p.join(broadcast(w), col("event_type") === col("et_w"))
+          .select(col("event_type"), col("dow"), col("total"), col("n_days"),
+            expr("div(1000 * total, n_days)").as("mean_milli"),
+            expr("div(1000 * total, week_mass)").as("share_permille"))
+          .orderBy("event_type", "dow")
+      }),
+
+    // COLUMN PROFILING (the DQ discovery pass a lake runs before
+    // writing rules like q_dq_audit's): per column — row count,
+    // null/blank count, distinct count, min/max rendered as strings
+    // — over a declared column set, computed in ONE scan via a
+    // single multi-aggregate projection and unpivoted to tidy
+    // (column, metric) rows with stack (the q_unpivot_melt reshape
+    // on aggregate outputs; the oracle spells per-column UNION ALL).
+    // At 100 TB: one pass, map-side combined, output is
+    // 4-rows-per-column metadata.
+    QDef("q_column_profile", Some("""
+      SELECT col_name, n, n_null, n_distinct, min_str, max_str FROM (
+        SELECT 'c_custkey' AS col_name, count(*) AS n,
+               count(*) - count(c_custkey) AS n_null,
+               CAST(count(DISTINCT c_custkey) AS BIGINT) AS n_distinct,
+               CAST(min(c_custkey) AS VARCHAR) AS min_str,
+               CAST(max(c_custkey) AS VARCHAR) AS max_str FROM customer
+        UNION ALL
+        SELECT 'c_mktsegment', count(*), count(*) - count(c_mktsegment),
+               CAST(count(DISTINCT c_mktsegment) AS BIGINT),
+               min(c_mktsegment), max(c_mktsegment) FROM customer
+        UNION ALL
+        SELECT 'c_name', count(*), count(*) - count(c_name),
+               CAST(count(DISTINCT c_name) AS BIGINT),
+               min(c_name), max(c_name) FROM customer)
+      ORDER BY col_name"""),
+      (s, d) => {
+        val cols = Seq("c_custkey", "c_mktsegment", "c_name")
+        val aggs = cols.flatMap { c =>
+          Seq(count(lit(1)).as(s"${c}__n"),
+            (count(lit(1)) - count(col(c))).as(s"${c}__nn"),
+            countDistinct(col(c)).as(s"${c}__nd"),
+            min(col(c)).cast("string").as(s"${c}__mn"),
+            max(col(c)).cast("string").as(s"${c}__mx"))
+        }
+        val one = t(s, d, "customer").agg(aggs.head, aggs.tail: _*)
+        val stackArgs = cols.map(c =>
+          s"'$c', ${c}__n, ${c}__nn, ${c}__nd, ${c}__mn, ${c}__mx").mkString(", ")
+        one.select(expr(
+            s"stack(${cols.size}, $stackArgs) AS (col_name, n, n_null, n_distinct, min_str, max_str)"))
+          .orderBy("col_name")
+      }),
+
     // CALIBRATION / reliability bins: treating `value` as a model
     // score and purchase as the positive label, bucket scores into
     // 10 equal-WIDTH bins and report per-bin volume, positives and
