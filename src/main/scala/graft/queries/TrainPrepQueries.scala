@@ -419,6 +419,45 @@ object TrainPrepQueries {
           .orderBy("doc_id", "bucket")
       }),
 
+    // OOV / VOCABULARY COVERAGE: per-doc out-of-vocabulary token
+    // rate against the corpus's top-16 tokens by frequency
+    // (deterministic count-desc, token-asc cut) — the tokenizer-
+    // coverage readout that decides whether a fixed vocab serves a
+    // corpus (rising OOV under a frozen vocab = domain drift; the
+    // 31-token synthetic vocabulary makes a top-16 cut genuinely
+    // discriminative). The vocab is top-K-BOUNDED so it BROADCASTS
+    // at any corpus size; membership is a broadcast left-semi-style
+    // join flag aggregated per doc, occurrences (not distinct) so
+    // the rate weights by token mass. All-integer permille.
+    QDef("q_oov_rate", Some("""
+      WITH tk AS (SELECT doc_id,
+              unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS tok
+            FROM documents),
+      v AS (SELECT tok FROM (
+              SELECT tok, count(*) AS f FROM tk GROUP BY tok
+              ORDER BY f DESC, tok LIMIT 16)),
+      m AS (SELECT tk.doc_id, CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END AS oov
+            FROM tk LEFT JOIN v ON tk.tok = v.tok)
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+             CAST(sum(oov) AS BIGINT) AS n_oov,
+             (1000 * sum(oov)) // count(*) AS oov_permille
+      FROM m GROUP BY doc_id ORDER BY doc_id"""),
+      (s, d) => {
+        val tk = t(s, d, "documents")
+          .select(col("doc_id"), explode(TA.tokens(col("text"))).as("tok"))
+        val vocab = tk.groupBy("tok").agg(count(lit(1)).as("f"))
+          .orderBy(col("f").desc, col("tok")).limit(16)
+          .select(col("tok"), lit(1).as("in_vocab"))
+        tk.join(broadcast(vocab), Seq("tok"), "left")
+          .select(col("doc_id"),
+            when(col("in_vocab").isNull, 1L).otherwise(0L).as("oov"))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_tokens"), sum(col("oov")).as("n_oov"))
+          .select(col("doc_id"), col("n_tokens"), col("n_oov"),
+            expr("div(1000 * n_oov, n_tokens)").as("oov_permille"))
+          .orderBy("doc_id")
+      }),
+
     // SMALL-FILE COMPACTION planner (the lakehouse maintenance op):
     // greedy bin-packing of per-source docs (stand-ins for data
     // files, sized by n_chars) into ≥4 KB output files — each doc
