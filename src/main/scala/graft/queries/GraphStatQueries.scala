@@ -876,14 +876,19 @@ object GraphStatQueries {
              jac_permille, rank
       FROM r WHERE rank <= 3 ORDER BY suppkey, rank"""),
       (s, d) => {
-        val e = t(s, d, "lineitem")
-          .select(col("l_suppkey").as("s"), col("l_partkey").as("p")).distinct()
-        val sz = e.groupBy("s").agg(count(lit(1)).as("n"))
-        // pair counts via HubCap-sliced per-part sets + double explode
-        // (the q_cosupplier_degree discipline — no edge self-join);
+        // ONE shuffle builds the per-part sets straight off the fact
+        // (collect_set dedups — no separate edge-distinct pass); the
+        // per-supplier set sizes re-derive from the sets by a narrow
+        // explode + small re-agg, so the full edge list never
+        // shuffles twice.
+        val sets = t(s, d, "lineitem")
+          .groupBy(col("l_partkey").as("p"))
+          .agg(slice(sort_array(collect_set(col("l_suppkey"))), 1, HubCap).as("ss"))
+        val sz = sets.select(explode(col("ss")).as("s"))
+          .groupBy("s").agg(count(lit(1)).as("n"))
+        // pair counts via the HubCap-sliced double explode (the
+        // q_cosupplier_degree discipline — no edge self-join);
         // nab is symmetric, so count the sa<sb half and mirror.
-        val sets = e.groupBy(col("p"))
-          .agg(slice(sort_array(collect_set(col("s"))), 1, HubCap).as("ss"))
         val half = sets
           .select(explode(col("ss")).as("sa"), col("ss"))
           .select(col("sa"), explode(col("ss")).as("sb"))
