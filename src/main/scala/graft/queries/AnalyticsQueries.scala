@@ -1372,6 +1372,68 @@ object AnalyticsQueries {
           .orderBy("event_type", "day")
       }),
 
+    // TIME-TO-CONVERT: per converting user, exact seconds from first
+    // signup to first subsequent purchase — the latency companion to
+    // q_funnel_steps' reach counts (funnels say HOW MANY convert;
+    // this says HOW FAST, the input to payback/activation curves).
+    // Two filtered aggregates off the multiplexed fact scan and one
+    // user-keyed join; the ts >= t0 guard makes the purchase pick
+    // order-correct, not just global-min (a purchase BEFORE first
+    // signup never counts). Integer epoch-second difference.
+    QDef("q_time_to_convert", Some("""
+      WITH su AS (SELECT user_id, min(ts) AS t0 FROM events
+                  WHERE event_type = 'signup' GROUP BY 1),
+      pu AS (SELECT e.user_id, min(e.ts) AS t1
+             FROM events e JOIN su ON e.user_id = su.user_id
+             WHERE e.event_type = 'purchase' AND e.ts >= su.t0 GROUP BY 1)
+      SELECT su.user_id, CAST(date_diff('second', su.t0, pu.t1) AS BIGINT) AS tts_sec
+      FROM su JOIN pu ON su.user_id = pu.user_id ORDER BY su.user_id"""),
+      (s, d) => {
+        val ev = t(s, d, "events")
+        val su = ev.filter(col("event_type") === "signup")
+          .groupBy("user_id").agg(min(col("ts")).as("t0"))
+        val pu = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id").as("pu_user"), col("ts").as("pts"))
+          .join(su, col("pu_user") === col("user_id") && col("pts") >= col("t0"))
+          .groupBy(col("pu_user")).agg(min(col("pts")).as("t1"))
+        su.join(pu, col("user_id") === col("pu_user"))
+          .select(col("user_id"),
+            (unix_timestamp(col("t1")) - unix_timestamp(col("t0"))).as("tts_sec"))
+          .orderBy("user_id")
+      }),
+
+    // BENFORD first-digit profile of transaction values (the
+    // fraud/DQ screen: organically-scaled magnitudes follow
+    // log-uniform leading digits; flat or spiked profiles flag
+    // synthetic or constrained data). Observed counts + permille
+    // share per digit 1-9 over positive cents — pure integers (the
+    // Benford EXPECTATION is log10 and stays out of the oracle
+    // surface by design; consumers compare against their own
+    // rendering of log10(1+1/d)). One narrow projection + dim-sized
+    // aggregate + 1-row broadcast total.
+    QDef("q_benford_profile", Some("""
+      WITH v AS (SELECT CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS cents
+                 FROM events WHERE value > 0),
+      d AS (SELECT CAST(substr(CAST(cents AS VARCHAR), 1, 1) AS BIGINT) AS digit
+            FROM v WHERE cents > 0),
+      t AS (SELECT CAST(count(*) AS BIGINT) AS n FROM d)
+      SELECT digit, CAST(count(*) AS BIGINT) AS cnt,
+             (1000 * count(*)) // t.n AS share_permille
+      FROM d, t GROUP BY digit, t.n ORDER BY digit"""),
+      (s, d) => {
+        val cents = t(s, d, "events").filter(col("value") > 0)
+          .select(floor(col("value") * lit(100.0) + lit(0.5)).cast("long").as("cents"))
+          .filter(col("cents") > 0)
+        val digits = cents.select(
+          substring(col("cents").cast("string"), 1, 1).cast("long").as("digit"))
+        val tot = digits.agg(count(lit(1)).as("n"))
+        digits.groupBy("digit").agg(count(lit(1)).as("cnt"))
+          .crossJoin(broadcast(tot))
+          .select(col("digit"), col("cnt"),
+            expr("div(1000 * cnt, n)").as("share_permille"))
+          .orderBy("digit")
+      }),
+
     // DAY-OF-WEEK seasonality profile: per (event_type, weekday)
     // mean daily event count in exact milli (1000·Σcounts div
     // n_days-of-that-weekday) plus its share of the type's weekly
