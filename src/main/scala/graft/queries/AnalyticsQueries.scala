@@ -1615,6 +1615,158 @@ object AnalyticsQueries {
           li.filter(col("l_extendedprice") <= 0))
         fkLine.unionAll(fkOrd).unionAll(ordScalar).unionAll(dupKey).unionAll(price)
           .orderBy("rule")
+      }),
+
+    // RANK-BASED AUC (Mann-Whitney U) per event type: does the
+    // transaction value separate weekend from weekday traffic? The
+    // model-eval primitive a training pipeline runs on every scored
+    // candidate feature — computed exactly from rank sums, never a
+    // sampled ROC sweep. Tie handling is the textbook average-rank
+    // correction, done on GROUPED (type, cents) counts so the window
+    // walks distinct values (dim-sized), not raw events: one fact
+    // pass → per-value counts, one cumulative window, one final
+    // dim-sized aggregate. 2·R1 stays integral under ties because
+    // 2·avgrank = 2·below + n + 1. auc_micro = ⌊1e6·U1/(n1·n0)⌋.
+    // Overflow bound: two_r1 ≤ 2N² per type — exact to N≈2e6 per
+    // group at the 1e6 scaling; beyond that drop to permille.
+    QDef("q_auc_rank", Some("""
+      WITH e AS (SELECT event_type,
+          CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS cents,
+          CASE WHEN isodow(ts) >= 6 THEN 1 ELSE 0 END AS pos
+        FROM events),
+      g AS (SELECT event_type, cents, CAST(count(*) AS BIGINT) AS n,
+              CAST(sum(pos) AS BIGINT) AS npos
+            FROM e GROUP BY 1, 2),
+      w AS (SELECT event_type, n, npos,
+              CAST(coalesce(sum(n) OVER (PARTITION BY event_type ORDER BY cents
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS below
+            FROM g),
+      a AS (SELECT event_type,
+              CAST(sum(npos * (2 * below + n + 1)) AS BIGINT) AS two_r1,
+              CAST(sum(npos) AS BIGINT) AS n1,
+              CAST(sum(n - npos) AS BIGINT) AS n0
+            FROM w GROUP BY 1)
+      SELECT event_type, n1, n0,
+             (1000000 * (two_r1 - n1 * (n1 + 1))) // (2 * n1 * n0) AS auc_micro
+      FROM a WHERE n1 > 0 AND n0 > 0 ORDER BY event_type"""),
+      (s, d) => {
+        // Spark dayofweek: Sunday=1..Saturday=7 → ISO Monday=1..Sunday=7
+        val iso = expr("cast((dayofweek(ts) + 5) % 7 + 1 as bigint)")
+        val g = t(s, d, "events")
+          .select(col("event_type"),
+            floor(col("value") * lit(100.0) + lit(0.5)).cast("long").as("cents"),
+            when(iso >= 6, 1L).otherwise(0L).as("pos"))
+          .groupBy("event_type", "cents")
+          .agg(count(lit(1)).as("n"), sum("pos").cast("long").as("npos"))
+        val wBelow = Window.partitionBy("event_type").orderBy("cents")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        g.withColumn("below", coalesce(sum(col("n")).over(wBelow), lit(0L)))
+          .groupBy("event_type")
+          .agg(sum(col("npos") * (lit(2L) * col("below") + col("n") + lit(1L)))
+              .cast("long").as("two_r1"),
+            sum("npos").cast("long").as("n1"),
+            sum(col("n") - col("npos")).cast("long").as("n0"))
+          .filter(col("n1") > 0 && col("n0") > 0)
+          .select(col("event_type"), col("n1"), col("n0"),
+            expr("div(1000000 * (two_r1 - n1 * (n1 + 1)), 2 * n1 * n0)").as("auc_micro"))
+          .orderBy("event_type")
+      }),
+
+    // FUTURE-WINDOW LABEL GENERATION: per active (user, day), did the
+    // user purchase in the NEXT 7 days — the supervised-label join
+    // every churn/propensity trainer needs, with the leakage rule
+    // (frame starts at day+1, never the label day itself) encoded in
+    // the frame bounds rather than left to the feature store. One
+    // fact pass → per-user-day aggregate, then a RANGE window over
+    // integer day numbers — no self-join, no per-row rescan; at
+    // 100 TB this is one shuffle on user_id and a linear walk.
+    QDef("q_label_future_window", Some("""
+      WITH daily AS (SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
+          CAST(count(*) AS BIGINT) AS n_events,
+          max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS buys
+        FROM events GROUP BY 1, 2),
+      n AS (SELECT user_id, day, n_events, buys,
+          date_diff('day', DATE '1970-01-01', day) AS dnum FROM daily)
+      SELECT user_id, strftime(day, '%Y-%m-%d') AS day, n_events,
+          CAST(coalesce(max(buys) OVER (PARTITION BY user_id ORDER BY dnum
+            RANGE BETWEEN 1 FOLLOWING AND 7 FOLLOWING), 0) AS BIGINT) AS label_buy_7d
+      FROM n ORDER BY user_id, day"""),
+      (s, d) => {
+        val daily = t(s, d, "events")
+          .groupBy(col("user_id"), date_trunc("day", col("ts")).as("day"))
+          .agg(count(lit(1)).as("n_events"),
+            max(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("buys"))
+          .withColumn("dnum",
+            datediff(col("day"), lit("1970-01-01").cast("date")).cast("long"))
+        val future = Window.partitionBy("user_id").orderBy("dnum").rangeBetween(1, 7)
+        daily
+          .withColumn("label_buy_7d",
+            coalesce(max(col("buys")).over(future), lit(0L)).cast("long"))
+          .select(col("user_id"), date_format(col("day"), "yyyy-MM-dd").as("day"),
+            col("n_events"), col("label_buy_7d"))
+          .orderBy("user_id", "day")
+      }),
+
+    // BEHAVIORAL TRIGRAM MINING: global top-25 event-type trigrams
+    // over per-user time-ordered streams (the sequence-pattern
+    // statistic feeding next-action models and funnel design;
+    // q_markov_transition is the 1-step version, this is the 3-gram).
+    // lead()×2 over one user-keyed window — the sequence NEVER
+    // materializes as an array (collect_list per user would cap at
+    // executor memory on a power user); counts partial-aggregate
+    // map-side and the top-25 is a TakeOrdered, not a full sort.
+    QDef("q_seq_trigrams", Some("""
+      WITH s AS (SELECT event_type AS e0,
+          lead(event_type, 1) OVER w AS e1,
+          lead(event_type, 2) OVER w AS e2
+        FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+      SELECT e0 || '>' || e1 || '>' || e2 AS trigram, CAST(count(*) AS BIGINT) AS cnt
+      FROM s WHERE e2 IS NOT NULL GROUP BY 1 ORDER BY cnt DESC, trigram LIMIT 25"""),
+      (s, d) => {
+        val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+        t(s, d, "events")
+          .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+          .withColumn("e1", lead(col("event_type"), 1).over(w))
+          .withColumn("e2", lead(col("event_type"), 2).over(w))
+          .filter(col("e2").isNotNull)
+          .select(concat_ws(">", col("event_type"), col("e1"), col("e2")).as("trigram"))
+          .groupBy("trigram").agg(count(lit(1)).as("cnt"))
+          .orderBy(col("cnt").desc, col("trigram")).limit(25)
+      }),
+
+    // SAX-style symbolic discretization of the per-type daily series:
+    // each day's count quartile-coded a–d (ntile over the type's own
+    // distribution — the integer-exact stand-in for z-score
+    // breakpoints) and run together chronologically into one symbol
+    // string per type, the compact shape fingerprint driving motif
+    // search and cheap series clustering. Daily aggregate is the only
+    // fact-sized stage; ntile + the ordered string-assembly run on
+    // the dim-sized (type, day) table. Ordered assembly is
+    // array_sort(struct(day, sym)) — Spark's collect_list is
+    // order-free by contract, sorting AFTER collection is the only
+    // deterministic spelling (same trick as q_collect_sorted_set).
+    QDef("q_sax_quartile", Some("""
+      WITH daily AS (SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+          CAST(count(*) AS BIGINT) AS c FROM events GROUP BY 1, 2),
+      q AS (SELECT event_type, day, c,
+          ntile(4) OVER (PARTITION BY event_type ORDER BY c, day) AS qt FROM daily)
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n_days,
+          string_agg(chr(CAST(96 + qt AS INTEGER)), '' ORDER BY day) AS sax
+      FROM q GROUP BY event_type ORDER BY event_type"""),
+      (s, d) => {
+        val daily = t(s, d, "events")
+          .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+          .agg(count(lit(1)).as("c"))
+        val qt = ntile(4).over(
+          Window.partitionBy("event_type").orderBy(col("c"), col("day")))
+        daily.withColumn("s",
+            element_at(array(lit("a"), lit("b"), lit("c"), lit("d")), qt))
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n_days"),
+            array_join(
+              transform(array_sort(collect_list(struct(col("day"), col("s")))),
+                x => x.getField("s")), "").as("sax"))
+          .orderBy("event_type")
       })
   )
 }

@@ -1184,6 +1184,92 @@ object TextQueries {
             element_at(col("feature"), i + 1).cast("decimal(12,8)")
               .cast("string").as(s"f$i")): _*)
           .orderBy("doc_id")
-      })
+      }),
+
+    // BM25 RETRIEVAL SCORING, log-free integer form: top-20 docs for
+    // a declared query-term set, with the classic k1=1.2 / b=0.75
+    // saturation + length normalization carried through EXACT integer
+    // arithmetic — multiply the tf fraction by 10·L so the k1/b
+    // rationals clear, and swap the usual log-idf for the
+    // probability-ratio core (N−df+1)/(df+1) at permille scale
+    // (monotone in the same direction; the log is a display
+    // transform this engine leaves to consumers, keeping the oracle
+    // surface engine-exact — the discipline that fixed the round-7
+    // statistics reds). Per-term contribution:
+    //   ⌊ ⌊1000(N−df+1)/(df+1)⌋ · 22·tf·L / (10·L·tf + 3·L + 9·dl·N) ⌋.
+    // Shape: dl rides the exploded tokens as a grouping key so tf
+    // needs NO join back to a per-doc table; df is a term-count dim
+    // (≤ |query|) joined broadcast; (N, L) is a 1-row broadcast
+    // scalar; top-20 is a TakeOrdered. One corpus pass + one narrow
+    // stats pass — no all-docs shuffle beyond the tf aggregate.
+    QDef("q_bm25_topk", Some("""
+      WITH d AS (SELECT doc_id,
+          list_filter(string_split(text, ' '), t -> t <> '') AS toks FROM documents),
+      c AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(len(toks)) AS BIGINT) AS l
+            FROM d WHERE len(toks) > 0),
+      tf AS (SELECT doc_id, dl, term, CAST(count(*) AS BIGINT) AS tf FROM
+               (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl, unnest(toks) AS term
+                FROM d WHERE len(toks) > 0)
+             WHERE term IN ('spark', 'join', 'window') GROUP BY 1, 2, 3),
+      df AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+      sc AS (SELECT tf.doc_id,
+               (((1000 * (c.n - df.df + 1)) // (df.df + 1)) * (22 * tf.tf * c.l))
+                 // (10 * c.l * tf.tf + 3 * c.l + 9 * tf.dl * c.n) AS contrib
+             FROM tf JOIN df ON tf.term = df.term, c)
+      SELECT doc_id, CAST(sum(contrib) AS BIGINT) AS bm25_milli
+      FROM sc GROUP BY 1 ORDER BY bm25_milli DESC, doc_id LIMIT 20"""),
+      (s, d) => {
+        val terms = Seq("spark", "join", "window")
+        val docs = t(s, d, "documents")
+          .select(col("doc_id"), TA.tokens(col("text")).as("toks"))
+          .filter(size(col("toks")) > 0)
+        val c = docs.agg(count(lit(1)).as("n"),
+          sum(size(col("toks"))).cast("long").as("l"))
+        val tf = docs
+          .select(col("doc_id"), size(col("toks")).cast("long").as("dl"),
+            explode(col("toks")).as("term"))
+          .filter(col("term").isin(terms: _*))
+          .groupBy("doc_id", "dl", "term").agg(count(lit(1)).as("tf"))
+        val df = tf.groupBy(col("term").as("df_term")).agg(count(lit(1)).as("df"))
+        tf.join(broadcast(df), col("term") === col("df_term"))
+          .crossJoin(broadcast(c))
+          .select(col("doc_id"),
+            expr("div(div(1000 * (n - df + 1), df + 1) * (22 * tf * l), " +
+              "10 * l * tf + 3 * l + 9 * dl * n)").as("contrib"))
+          .groupBy("doc_id").agg(sum("contrib").cast("long").as("bm25_milli"))
+          .orderBy(col("bm25_milli").desc, col("doc_id"))
+          .limit(20)
+      }),
+
+    // BPE MERGE STATISTIC: global top-20 adjacent character pairs
+    // inside tokens — the count a byte-pair-encoding trainer
+    // maximizes at every merge step (one full iteration of the BPE
+    // inner loop, expressed as a plan instead of a driver loop).
+    // Pair generation is transform(sequence) INSIDE the scan stage —
+    // a narrow ≤(len−1)-way fan-out, never a per-char shuffle; the
+    // single shuffle is the final pair aggregate (alphabet²-bounded
+    // key space, so map-side combine collapses it to KBs per task at
+    // any corpus size). Tokens shorter than 2 chars are filtered on
+    // BOTH sides before fan-out (Spark's sequence(1,0) would run
+    // DESCENDING — [1,0] — where DuckDB's range(1,1) is empty: the
+    // guard is correctness, not just economy).
+    QDef("q_bpe_pair_count", Some("""
+      WITH d AS (SELECT doc_id,
+          list_filter(string_split(text, ' '), t -> t <> '') AS toks FROM documents),
+      tok AS (SELECT unnest(toks) AS tok FROM d),
+      pr AS (SELECT unnest(list_transform(range(1, length(tok)),
+               i -> substr(tok, CAST(i AS INTEGER), 2))) AS pair
+             FROM tok WHERE length(tok) >= 2)
+      SELECT pair, CAST(count(*) AS BIGINT) AS cnt
+      FROM pr GROUP BY 1 ORDER BY cnt DESC, pair LIMIT 20"""),
+      (s, d) =>
+        t(s, d, "documents")
+          .select(explode(TA.tokens(col("text"))).as("tok"))
+          .filter(length(col("tok")) >= 2)
+          .select(explode(expr(
+            "transform(sequence(1, length(tok) - 1), i -> substring(tok, i, 2))"))
+            .as("pair"))
+          .groupBy("pair").agg(count(lit(1)).as("cnt"))
+          .orderBy(col("cnt").desc, col("pair")).limit(20))
   )
 }

@@ -863,6 +863,30 @@ object TrainPrepQueries {
           .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("seq_tokens"))
           .withColumn("fill_permille", expr("(1000 * seq_tokens) div 256"))
           .orderBy("shard", "seq_id")
-      })
+      }),
+
+    // K-ANONYMITY AUDIT (k=5) over the quasi-identifier tuple
+    // (lang, source, length-centile-bucket): every equivalence class
+    // with its population and a risky flag for classes smaller than
+    // k — the release-gate a privacy review runs BEFORE a corpus
+    // ships (q_pii_redact scrubs direct identifiers; this catches
+    // re-identification by rare attribute combination, which
+    // redaction can't). One hash aggregate on the QI tuple with
+    // map-side partials; class count is bounded by the QI domain,
+    // not the corpus, so the output stays dim-sized at 100 TB.
+    QDef("q_k_anonymity", Some("""
+      WITH g AS (SELECT lang, source, n_chars // 100 AS len_bucket,
+          CAST(count(*) AS BIGINT) AS cnt FROM documents GROUP BY 1, 2, 3)
+      SELECT lang, source, len_bucket, cnt,
+          CAST(CASE WHEN cnt < 5 THEN 1 ELSE 0 END AS BIGINT) AS risky
+      FROM g ORDER BY lang, source, len_bucket"""),
+      (s, d) =>
+        t(s, d, "documents")
+          .groupBy(col("lang"), col("source"),
+            expr("div(n_chars, 100)").as("len_bucket"))
+          .agg(count(lit(1)).as("cnt"))
+          .select(col("lang"), col("source"), col("len_bucket"), col("cnt"),
+            when(col("cnt") < 5, 1L).otherwise(0L).as("risky"))
+          .orderBy("lang", "source", "len_bucket"))
   )
 }
