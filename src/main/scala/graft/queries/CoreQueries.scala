@@ -1329,6 +1329,48 @@ object CoreQueries {
           .select("event_id", "contact_id", "source", "source_row_id",
             "event_ts", "event_type", "title", "detail", "url")
           .orderBy("source", "event_id", "source_row_id", "event_ts", "title", "detail")
+      }),
+
+    // BLOOM-FILTER SEMI-JOIN (runtime-filter pattern): lineitem rows
+    // of URGENT orders, aggregated per returnflag — but the fact side
+    // is prefiltered by a Bloom bitset built over the dim keys BEFORE
+    // the exact join, so at 100 TB the (1 − sel − fp) non-matching
+    // majority dies in the scan stage instead of crossing the shuffle
+    // to be dropped by the join. The bitset build is a declarative
+    // dim aggregate (map-side-combined bit_or per 64-bit block,
+    // graft.functions.Bloom.buildBits) collected as a config-bounded
+    // driver literal; the probe is the native codegen'd
+    // bloom_might_contain expression. The EXACT semi-join still runs
+    // after the prefilter, so false positives never reach the output
+    // — the Bloom changes traffic, never the answer, which is why the
+    // oracle is the plain semi-join. 16 bits/key, k=6 ⇒ ~0.5% FP.
+    QDef("q_bloom_semijoin", Some("""
+      SELECT l.l_returnflag,
+             CAST(count(*) AS BIGINT) AS n_items,
+             CAST(sum(CAST(floor(l.l_extendedprice * 100.0 + 0.5) AS BIGINT)) AS BIGINT)
+               AS revenue_cents
+      FROM lineitem l
+      WHERE l.l_orderkey IN (SELECT o_orderkey FROM orders
+                             WHERE o_orderpriority = '1-URGENT')
+      GROUP BY 1 ORDER BY l.l_returnflag"""),
+      (s, d) => {
+        val dim = t(s, d, "orders")
+          .filter(col("o_orderpriority") === "1-URGENT")
+          .select(col("o_orderkey"))
+        // build: one narrow dim pass; nbits = 16·keys (the second
+        // dim pass is dim-sized — at scale, piggyback the count on
+        // an earlier stat or size from table metadata)
+        val nKeys = dim.count()
+        val bits = graft.functions.Bloom.buildBits(
+          dim, col("o_orderkey"), math.max(1024L, 16L * nKeys))
+        t(s, d, "lineitem")
+          .filter(graft.functions.Bloom.mightContain(bits, col("l_orderkey")))
+          .join(dim, col("l_orderkey") === col("o_orderkey"), "left_semi")
+          .groupBy("l_returnflag")
+          .agg(count(lit(1)).as("n_items"),
+            sum(floor(col("l_extendedprice") * lit(100.0) + lit(0.5)).cast("long"))
+              .cast("long").as("revenue_cents"))
+          .orderBy("l_returnflag")
       })
   )
 }
