@@ -1767,6 +1767,99 @@ object AnalyticsQueries {
               transform(array_sort(collect_list(struct(col("day"), col("s")))),
                 x => x.getField("s")), "").as("sax"))
           .orderBy("event_type")
+      }),
+
+    // COHORT LTV CURVE: per signup-month cohort and months-since,
+    // purchase revenue, active buyers, and the cumulative per-user
+    // lifetime value in milli-cents — the revenue companion to
+    // q_cohort_retention's activity counts (retention says who came
+    // back; this says what they were worth, the payback input next
+    // to q_time_to_convert). Cohort = month of FIRST event of any
+    // type. Shape: one fact aggregate for cohorts, one user-keyed
+    // join of the purchase slice, dim-sized (cohort, age) aggregates
+    // + window after — the window walks months, never events.
+    QDef("q_cohort_ltv", Some("""
+      WITH f AS (SELECT user_id, min(date_trunc('month', ts)) AS cohort_m
+                 FROM events GROUP BY 1),
+      r AS (SELECT e.user_id, strftime(f.cohort_m, '%Y-%m') AS cohort,
+              CAST((year(e.ts) - year(f.cohort_m)) * 12
+                   + (month(e.ts) - month(f.cohort_m)) AS BIGINT) AS age,
+              CAST(floor(e.value * 100.0 + 0.5) AS BIGINT) AS cents
+            FROM events e JOIN f ON e.user_id = f.user_id
+            WHERE e.event_type = 'purchase'),
+      m AS (SELECT cohort, age, CAST(sum(cents) AS BIGINT) AS rev_cents,
+              CAST(count(DISTINCT user_id) AS BIGINT) AS buyers
+            FROM r GROUP BY 1, 2),
+      c AS (SELECT strftime(cohort_m, '%Y-%m') AS cohort,
+              CAST(count(*) AS BIGINT) AS cohort_users FROM f GROUP BY 1),
+      w AS (SELECT m.cohort, m.age, m.rev_cents, m.buyers, c.cohort_users,
+              CAST(sum(m.rev_cents) OVER (PARTITION BY m.cohort ORDER BY m.age)
+                AS BIGINT) AS cum_rev_cents
+            FROM m JOIN c ON m.cohort = c.cohort)
+      SELECT cohort, age, rev_cents, buyers, cohort_users, cum_rev_cents,
+             (1000 * cum_rev_cents) // cohort_users AS ltv_milli_cents
+      FROM w ORDER BY cohort, age"""),
+      (s, d) => {
+        val ev = t(s, d, "events")
+        val f = ev.groupBy("user_id")
+          .agg(min(date_trunc("month", col("ts"))).as("cohort_m"))
+        val r = ev.filter(col("event_type") === "purchase")
+          .join(f, "user_id")
+          .select(col("user_id"),
+            date_format(col("cohort_m"), "yyyy-MM").as("cohort"),
+            ((year(col("ts")) - year(col("cohort_m"))) * 12
+              + (month(col("ts")) - month(col("cohort_m")))).cast("long").as("age"),
+            floor(col("value") * lit(100.0) + lit(0.5)).cast("long").as("cents"))
+        val m = r.groupBy("cohort", "age")
+          .agg(sum("cents").cast("long").as("rev_cents"),
+            countDistinct("user_id").as("buyers"))
+        val c = f.groupBy(date_format(col("cohort_m"), "yyyy-MM").as("cohort_c"))
+          .agg(count(lit(1)).as("cohort_users"))
+        val w = Window.partitionBy("cohort").orderBy("age")
+        m.join(broadcast(c), col("cohort") === col("cohort_c"))
+          .withColumn("cum_rev_cents", sum("rev_cents").over(w).cast("long"))
+          .select(col("cohort"), col("age"), col("rev_cents"), col("buyers"),
+            col("cohort_users"), col("cum_rev_cents"),
+            expr("div(1000 * cum_rev_cents, cohort_users)").as("ltv_milli_cents"))
+          .orderBy("cohort", "age")
+      }),
+
+    // DAILY BOUNCE RATE: share (permille) of 30-minute-gap sessions
+    // that contain exactly one event, by session-start day — the
+    // engagement-quality headline a product funnel is judged by.
+    // Spark side is native session_window (state-store-ready shape,
+    // shared with EventStream.sessionCounts); the oracle spells the
+    // SAME session semantics via lag + cumulative-sum (gap >= 30 min
+    // opens a session — session_window's [start, start+gap) merge
+    // rule, parity-pinned the same way as q_window_session). One
+    // user-keyed shuffle for sessionization, then day-sized output.
+    QDef("q_bounce_rate", Some(s"""
+      WITH m AS (SELECT user_id, ts, event_id,
+        CASE WHEN lag(ts) OVER w IS NULL
+                  OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_s
+        FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      s AS (SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                       ROWS UNBOUNDED PRECEDING) AS sid FROM m),
+      g AS (SELECT user_id, sid, min(ts) AS t0, CAST(count(*) AS BIGINT) AS n
+            FROM s GROUP BY 1, 2),
+      dday AS (SELECT strftime(date_trunc('day', t0), '%Y-%m-%d') AS day,
+              CAST(count(*) AS BIGINT) AS sessions,
+              CAST(count(*) FILTER (WHERE n = 1) AS BIGINT) AS bounces
+            FROM g GROUP BY 1)
+      SELECT day, sessions, bounces, (1000 * bounces) // sessions AS bounce_permille
+      FROM dday ORDER BY day"""),
+      (s, d) => {
+        val g = t(s, d, "events")
+          .groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user_id"))
+          .agg(count(lit(1)).as("n"))
+        g.select(date_format(date_trunc("day", col("w.start")), "yyyy-MM-dd").as("day"),
+            col("n"))
+          .groupBy("day")
+          .agg(count(lit(1)).as("sessions"),
+            sum(when(col("n") === 1, 1L).otherwise(0L)).cast("long").as("bounces"))
+          .select(col("day"), col("sessions"), col("bounces"),
+            expr("div(1000 * bounces, sessions)").as("bounce_permille"))
+          .orderBy("day")
       })
   )
 }

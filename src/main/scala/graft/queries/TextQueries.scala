@@ -1270,6 +1270,36 @@ object TextQueries {
             "transform(sequence(1, length(tok) - 1), i -> substring(tok, i, 2))"))
             .as("pair"))
           .groupBy("pair").agg(count(lit(1)).as("cnt"))
-          .orderBy(col("cnt").desc, col("pair")).limit(20))
+          .orderBy(col("cnt").desc, col("pair")).limit(20)),
+
+    // CHARACTER GINI IMPURITY per doc: 1000·(1 − Σᵢ cᵢ²/n²) over
+    // non-space characters — the log-free diversity twin of character
+    // entropy (low impurity ⇒ repeated-character junk, keyboard
+    // mashing, padding; a standard cheap quality screen next to
+    // q_doc_quality_ratios' token-level ratios). Exactly integral:
+    // impurity_permille = 1000 − ⌊1000·Σc²/n²⌋. Shape: explode to
+    // (doc, char) → map-side-combined count (keys bounded by
+    // |alphabet|·docs) → per-doc aggregate; n ≤ doc length keeps
+    // 1000·Σc² ≤ 1000·n² well inside a long for any real doc.
+    QDef("q_char_gini", Some("""
+      WITH ch AS (SELECT doc_id, c, CAST(count(*) AS BIGINT) AS cnt FROM
+          (SELECT doc_id, unnest(string_split_regex(text, '')) AS c FROM documents)
+        WHERE c <> ' ' AND c <> '' GROUP BY 1, 2),
+      a AS (SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n,
+              CAST(sum(cnt * cnt) AS BIGINT) AS s2 FROM ch GROUP BY 1)
+      SELECT doc_id, n, 1000 - (1000 * s2) // (n * n) AS gini_permille
+      FROM a WHERE n > 0 ORDER BY doc_id"""),
+      (s, d) =>
+        t(s, d, "documents")
+          .select(col("doc_id"), explode(split(col("text"), "")).as("c"))
+          .filter(col("c") =!= " " && col("c") =!= "")
+          .groupBy("doc_id", "c").agg(count(lit(1)).as("cnt"))
+          .groupBy("doc_id")
+          .agg(sum("cnt").cast("long").as("n"),
+            sum(col("cnt") * col("cnt")).cast("long").as("s2"))
+          .filter(col("n") > 0)
+          .select(col("doc_id"), col("n"),
+            (lit(1000L) - expr("div(1000 * s2, n * n)")).as("gini_permille"))
+          .orderBy("doc_id"))
   )
 }

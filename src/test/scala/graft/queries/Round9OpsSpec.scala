@@ -114,6 +114,47 @@ class Round9OpsSpec extends AnyFunSuite {
       a._2 > b._2 || (a._2 == b._2 && a._1 < b._1) })
   }
 
+  test("char_gini: permille bounds, single-char docs hit zero impurity") {
+    import spark.implicits._
+    val rows = q("q_char_gini").as[(Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (id, n, g) =>
+      assert(n > 0)
+      assert(g >= 0 && g < 1000, s"doc $id gini=$g")
+      // a doc whose non-space chars are all identical must score 0
+      if (n == 1) assert(g == 0)
+    }
+  }
+
+  test("cohort_ltv: cumulative revenue monotone, buyers within cohort size") {
+    import spark.implicits._
+    val rows = q("q_cohort_ltv")
+      .as[(String, Long, Long, Long, Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (cohort, rs) =>
+      val byAge = rs.sortBy(_._2)
+      byAge.foreach { case (_, age, rev, buyers, users, cum, ltv) =>
+        assert(age >= 0, s"$cohort age=$age")
+        assert(buyers <= users, s"$cohort: buyers $buyers > cohort $users")
+        assert(ltv == Math.floorDiv(1000 * cum, users))
+      }
+      // cum_rev_cents strictly accumulates rev_cents in age order
+      val cums = byAge.map(_._6)
+      val expect = byAge.map(_._3).scanLeft(0L)(_ + _).drop(1)
+      assert(cums.sameElements(expect), s"$cohort: $cums vs $expect")
+    }
+  }
+
+  test("bounce_rate: permille bounds, bounces never exceed sessions") {
+    import spark.implicits._
+    val rows = q("q_bounce_rate").as[(String, Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (day, sessions, bounces, p) =>
+      assert(sessions > 0 && bounces >= 0 && bounces <= sessions, s"$day")
+      assert(p == Math.floorDiv(1000 * bounces, sessions))
+    }
+  }
+
   test("k_anonymity: classes partition the corpus, risky flag exact") {
     import spark.implicits._
     val rows = q("q_k_anonymity")
