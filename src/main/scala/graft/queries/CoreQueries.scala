@@ -1371,6 +1371,36 @@ object CoreQueries {
             sum(floor(col("l_extendedprice") * lit(100.0) + lit(0.5)).cast("long"))
               .cast("long").as("revenue_cents"))
           .orderBy("l_returnflag")
+      }),
+
+    // ORC SINK/SCAN ROUNDTRIP: orders exported to ORC (the OTHER
+    // columnar interchange format a lake speaks besides parquet —
+    // Spark-native, zlib by default) and read back through a
+    // predicate that must reach the ORC reader as a pushed filter,
+    // proving the roundtrip preserves both VALUES (cents as BIGINT —
+    // lossless) and SCAN ECONOMICS (OrcSinkSpec pins PushedFilters;
+    // a format you can write but not selectively re-read is a dead
+    // end at 100 TB). Oracle computes the same aggregate straight
+    // off parquet: format conversion must be invisible to results.
+    QDef("q_sink_orc", Some("""
+      SELECT o_orderpriority,
+             CAST(count(*) AS BIGINT) AS n_orders,
+             CAST(sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)) AS BIGINT)
+               AS total_cents
+      FROM orders WHERE o_orderstatus = 'O'
+      GROUP BY 1 ORDER BY o_orderpriority"""),
+      (s, d) => {
+        val out = SinkScratch.dir("q_sink_orc", d)
+        t(s, d, "orders")
+          .select(col("o_orderkey"), col("o_orderstatus"), col("o_orderpriority"),
+            floor(col("o_totalprice") * lit(100.0) + lit(0.5)).cast("long").as("cents"))
+          .write.mode("overwrite").orc(out)
+        s.read.orc(out)
+          .filter(col("o_orderstatus") === "O")
+          .groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("n_orders"),
+            sum("cents").cast("long").as("total_cents"))
+          .orderBy("o_orderpriority")
       })
   )
 }
