@@ -1092,6 +1092,69 @@ object SimQueries {
             (round(col("ps") * 1000).cast("long")
               - round(col("ns") * 1000).cast("long")).as("margin_milli"))
           .orderBy("qid")
+      }),
+
+    // CLASS-MARGIN separability readout: per vector, squared L2 to
+    // its OWN label centroid vs the NEAREST other-label centroid —
+    // the per-example Fisher-style margin that tells an embedding
+    // trainer which classes bleed into which (negative margin =
+    // the vector sits closer to a foreign centroid; aggregate these
+    // and you have the confusion structure before any classifier).
+    // Exact integer end-to-end: lanes micro-quantized then SHIFTED
+    // +1e6 so every value is non-negative (offsets cancel inside
+    // distances, and DuckDB's floor-`//` equals Spark's truncating
+    // `div` only on non-negatives — same trap class as the round-7
+    // statistics reds, dodged by construction); centroids are
+    // round-half-up exact-integer means, (2s+n) div (2n). Shape:
+    // one lane-exploded aggregate builds the |labels|-sized centroid
+    // table (bounded dim → broadcast), then a narrow per-row
+    // zip_with distance against each centroid — never a
+    // vector-vector join.
+    QDef("q_embed_class_margin", Some("""
+      WITH e AS (SELECT vec_id, CAST(label AS BIGINT) AS label,
+          list_transform(CAST(embedding AS DOUBLE[]),
+            x -> CAST(floor(x * 1000000 + 0.5) AS BIGINT) + 1000000) AS q
+        FROM embeddings WHERE len(embedding) = 64),
+      l AS (SELECT label, i, CAST(sum(q[CAST(i AS INTEGER)]) AS BIGINT) AS s,
+              CAST(count(*) AS BIGINT) AS n
+            FROM e, range(1, 65) r(i) GROUP BY 1, 2),
+      c AS (SELECT label AS clabel, i, (2 * s + n) // (2 * n) AS cv FROM l),
+      d AS (SELECT e.vec_id, e.label, c.clabel,
+              CAST(sum((e.q[CAST(c.i AS INTEGER)] - c.cv)
+                     * (e.q[CAST(c.i AS INTEGER)] - c.cv)) AS BIGINT) AS d2
+            FROM e, c GROUP BY 1, 2, 3),
+      m AS (SELECT vec_id, label,
+              min(CASE WHEN clabel = label THEN d2 END) AS d2_own,
+              min(CASE WHEN clabel <> label THEN d2 END) AS d2_other
+            FROM d GROUP BY 1, 2)
+      SELECT vec_id, label, d2_own, d2_other, d2_other - d2_own AS margin,
+             CAST(CASE WHEN d2_other > d2_own THEN 1 ELSE 0 END AS BIGINT) AS separable
+      FROM m ORDER BY vec_id"""),
+      (s, d) => {
+        val e = t(s, d, "embeddings")
+          .filter(size(col("embedding")) === 64)
+          .select(col("vec_id"), col("label").cast("long").as("label"),
+            transform(col("embedding").cast("array<double>"),
+              x => floor(x * lit(1000000.0) + lit(0.5)).cast("long") + lit(1000000L))
+              .as("q"))
+        val cent = e.select(col("label"), posexplode(col("q")).as(Seq("i", "v")))
+          .groupBy("label", "i")
+          .agg(sum("v").cast("long").as("s"), count(lit(1)).as("n"))
+          .select(col("label"), col("i"), expr("div(2 * s + n, 2 * n)").as("cv"))
+          .groupBy(col("label").as("clabel"))
+          .agg(transform(array_sort(collect_list(struct(col("i"), col("cv")))),
+            x => x.getField("cv")).as("cvec"))
+        e.crossJoin(broadcast(cent))
+          .select(col("vec_id"), col("label"), col("clabel"),
+            aggregate(zip_with(col("q"), col("cvec"), (a, b) => (a - b) * (a - b)),
+              lit(0L), (acc, x) => acc + x).as("d2"))
+          .groupBy("vec_id", "label")
+          .agg(min(when(col("clabel") === col("label"), col("d2"))).as("d2_own"),
+            min(when(col("clabel") =!= col("label"), col("d2"))).as("d2_other"))
+          .select(col("vec_id"), col("label"), col("d2_own"), col("d2_other"),
+            (col("d2_other") - col("d2_own")).as("margin"),
+            when(col("d2_other") > col("d2_own"), 1L).otherwise(0L).as("separable"))
+          .orderBy("vec_id")
       })
   )
 

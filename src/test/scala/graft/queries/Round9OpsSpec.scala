@@ -155,6 +155,27 @@ class Round9OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("embed_class_margin: flag exact, centroid table broadcast, own-dist sane") {
+    import spark.implicits._
+    val df = q("q_embed_class_margin")
+    val rows = df.as[(Long, Long, Long, Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (id, _, own, other, margin, sep) =>
+      assert(own >= 0 && other >= 0, s"vec $id")
+      assert(margin == other - own)
+      assert(sep == (if (other > own) 1L else 0L))
+    }
+    // the synthetic labels are weakly clustered (~37% separable at
+    // sf0.01) — assert non-degeneracy, not majority: a constant flag
+    // (all-0 or all-1) means the margin computation collapsed
+    val sep = rows.count(_._6 == 1L)
+    assert(sep > 0 && sep < rows.length, s"degenerate separable flag: $sep/${rows.length}")
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastExchange"), plan)
+    assert(!plan.contains("SortMergeJoin"), s"centroids must broadcast:\n$plan")
+  }
+
   test("k_anonymity: classes partition the corpus, risky flag exact") {
     import spark.implicits._
     val rows = q("q_k_anonymity")
