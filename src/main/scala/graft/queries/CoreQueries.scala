@@ -1401,6 +1401,93 @@ object CoreQueries {
           .agg(count(lit(1)).as("n_orders"),
             sum("cents").cast("long").as("total_cents"))
           .orderBy("o_orderpriority")
+      }),
+
+    // TPC-H Q7-shape: cross-nation trade volume — the fact joins TWO
+    // different dimension paths (supplier→nation and
+    // customer←orders←nation) and groups by the nation PAIR × ship
+    // year. The shape that matters at 100 TB: every dim chain
+    // (supplier, customer, nation×2) broadcasts, so the only
+    // shuffle the fact pays is lineitem⋈orders on the order key and
+    // the final pair-keyed aggregate. Revenue exactly integral:
+    // cents × (1000 − discount‰) = milli-cents, no float product
+    // crosses the oracle surface.
+    QDef("q_nation_trade_pairs", Some("""
+      SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation,
+             CAST(year(l.l_shipdate) AS BIGINT) AS ship_year,
+             CAST(count(*) AS BIGINT) AS n_items,
+             CAST(sum(CAST(floor(l.l_extendedprice * 100.0 + 0.5) AS BIGINT)
+                      * (1000 - CAST(floor(l.l_discount * 1000.0 + 0.5) AS BIGINT)))
+               AS BIGINT) AS revenue_milli_cents
+      FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation nc ON c.c_nationkey = nc.n_nationkey
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      JOIN nation ns ON s.s_nationkey = ns.n_nationkey
+      WHERE ns.n_name <> nc.n_name
+      GROUP BY 1, 2, 3 ORDER BY supp_nation, cust_nation, ship_year"""),
+      (s, d) => {
+        val rev = (floor(col("l_extendedprice") * lit(100.0) + lit(0.5)).cast("long")
+          * (lit(1000L) - floor(col("l_discount") * lit(1000.0) + lit(0.5)).cast("long")))
+        t(s, d, "lineitem")
+          .join(t(s, d, "orders").select("o_orderkey", "o_custkey"),
+            col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(t(s, d, "customer").select("c_custkey", "c_nationkey")),
+            col("o_custkey") === col("c_custkey"))
+          .join(broadcast(t(s, d, "nation")
+            .select(col("n_nationkey").as("nck"), col("n_name").as("cust_nation"))),
+            col("c_nationkey") === col("nck"))
+          .join(broadcast(t(s, d, "supplier").select("s_suppkey", "s_nationkey")),
+            col("l_suppkey") === col("s_suppkey"))
+          .join(broadcast(t(s, d, "nation")
+            .select(col("n_nationkey").as("nsk"), col("n_name").as("supp_nation"))),
+            col("s_nationkey") === col("nsk"))
+          .filter(col("supp_nation") =!= col("cust_nation"))
+          .groupBy(col("supp_nation"), col("cust_nation"),
+            year(col("l_shipdate")).cast("long").as("ship_year"))
+          .agg(count(lit(1)).as("n_items"),
+            sum(rev).cast("long").as("revenue_milli_cents"))
+          .orderBy("supp_nation", "cust_nation", "ship_year")
+      }),
+
+    // TPC-H Q14-shape: promo revenue share by ship month — the
+    // conditional-aggregate-over-a-join pattern (one pass computes
+    // both the filtered and total mass; a naive consumer would scan
+    // twice). part is a broadcast dim; the month aggregate is the
+    // only shuffle. Share in permille off exact milli-cents.
+    QDef("q_promo_share", Some("""
+      SELECT strftime(date_trunc('month', l.l_shipdate), '%Y-%m') AS ship_month,
+             CAST(sum(CASE WHEN p.p_type = 'PROMO'
+                 THEN CAST(floor(l.l_extendedprice * 100.0 + 0.5) AS BIGINT)
+                      * (1000 - CAST(floor(l.l_discount * 1000.0 + 0.5) AS BIGINT))
+                 ELSE 0 END) AS BIGINT) AS promo_milli_cents,
+             CAST(sum(CAST(floor(l.l_extendedprice * 100.0 + 0.5) AS BIGINT)
+                      * (1000 - CAST(floor(l.l_discount * 1000.0 + 0.5) AS BIGINT)))
+               AS BIGINT) AS total_milli_cents,
+             (1000 * CAST(sum(CASE WHEN p.p_type = 'PROMO'
+                 THEN CAST(floor(l.l_extendedprice * 100.0 + 0.5) AS BIGINT)
+                      * (1000 - CAST(floor(l.l_discount * 1000.0 + 0.5) AS BIGINT))
+                 ELSE 0 END) AS BIGINT))
+               // CAST(sum(CAST(floor(l.l_extendedprice * 100.0 + 0.5) AS BIGINT)
+                      * (1000 - CAST(floor(l.l_discount * 1000.0 + 0.5) AS BIGINT)))
+                   AS BIGINT) AS promo_permille
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+      GROUP BY 1 ORDER BY ship_month"""),
+      (s, d) => {
+        val rev = (floor(col("l_extendedprice") * lit(100.0) + lit(0.5)).cast("long")
+          * (lit(1000L) - floor(col("l_discount") * lit(1000.0) + lit(0.5)).cast("long")))
+        t(s, d, "lineitem")
+          .join(broadcast(t(s, d, "part").select("p_partkey", "p_type")),
+            col("l_partkey") === col("p_partkey"))
+          .groupBy(date_format(date_trunc("month", col("l_shipdate")), "yyyy-MM")
+            .as("ship_month"))
+          .agg(sum(when(col("p_type") === "PROMO", rev).otherwise(0L))
+              .cast("long").as("promo_milli_cents"),
+            sum(rev).cast("long").as("total_milli_cents"))
+          .select(col("ship_month"), col("promo_milli_cents"), col("total_milli_cents"),
+            expr("div(1000 * promo_milli_cents, total_milli_cents)").as("promo_permille"))
+          .orderBy("ship_month")
       })
   )
 }
