@@ -1860,6 +1860,61 @@ object AnalyticsQueries {
           .select(col("day"), col("sessions"), col("bounces"),
             expr("div(1000 * bounces, sessions)").as("bounce_permille"))
           .orderBy("day")
+      }),
+
+    // CHI-SQUARE INDEPENDENCE TEST, event_type × ISO weekday: is the
+    // traffic mix independent of the calendar? Per-cell observed
+    // counts, expected mass, and the χ² contribution — the log-free
+    // member of the dependence-test family (next to q_auc_rank's
+    // rank test and q_ab_readout's proportions), and exactly
+    // integral in two mirrored steps: d_milli = ⌊1000·|O·T − R·C|/T⌋
+    // (= 1000·|O−E|), expected_milli = ⌊1000·R·C/T⌋, contrib_milli =
+    // ⌊d_milli²/expected_milli⌋ (= 1000·(O−E)²/E up to the declared
+    // rounding — the ORACLE computes the identical steps, so the
+    // contract is the rounded formula, never engine luck; abs() keeps
+    // every div on non-negatives, dodging the floor-vs-truncate trap
+    // documented at q_embed_class_margin). The staging is also the
+    // overflow guard: squaring the RAW O·T − R·C would blow a long
+    // past T≈6·10⁴; d_milli² stays exact to T≈3·10⁹ events. The
+    // global statistic is the cell sum a consumer compares to the
+    // χ²₍df₎ table — kept per-cell here so the WHERE of dependence
+    // is visible, not just the whether. Shape: one fact pass →
+    // |types|×7 contingency cells + three broadcast margins —
+    // dim-sized everywhere after the scan.
+    QDef("q_chi2_independence", Some("""
+      WITH o AS (SELECT event_type, CAST(isodow(ts) AS BIGINT) AS dow,
+              CAST(count(*) AS BIGINT) AS obs
+            FROM events GROUP BY 1, 2),
+      r AS (SELECT event_type, CAST(sum(obs) AS BIGINT) AS rtot FROM o GROUP BY 1),
+      c AS (SELECT dow, CAST(sum(obs) AS BIGINT) AS ctot FROM o GROUP BY 1),
+      tt AS (SELECT CAST(sum(obs) AS BIGINT) AS t FROM o),
+      j AS (SELECT o.event_type, o.dow, o.obs,
+              (1000 * r.rtot * c.ctot) // tt.t AS expected_milli,
+              (1000 * abs(o.obs * tt.t - r.rtot * c.ctot)) // tt.t AS d_milli
+            FROM o JOIN r ON o.event_type = r.event_type
+                   JOIN c ON o.dow = c.dow, tt)
+      SELECT event_type, dow, obs, expected_milli,
+             (d_milli * d_milli) // expected_milli AS contrib_milli
+      FROM j ORDER BY event_type, dow"""),
+      (s, d) => {
+        val iso = expr("cast((dayofweek(ts) + 5) % 7 + 1 as bigint)")
+        val o = t(s, d, "events")
+          .select(col("event_type"), iso.as("dow"))
+          .groupBy("event_type", "dow").agg(count(lit(1)).as("obs"))
+        val r = o.groupBy(col("event_type").as("r_et"))
+          .agg(sum("obs").cast("long").as("rtot"))
+        val c = o.groupBy(col("dow").as("c_dow"))
+          .agg(sum("obs").cast("long").as("ctot"))
+        val tt = o.agg(sum("obs").cast("long").as("t"))
+        o.join(broadcast(r), col("event_type") === col("r_et"))
+          .join(broadcast(c), col("dow") === col("c_dow"))
+          .crossJoin(broadcast(tt))
+          .select(col("event_type"), col("dow"), col("obs"),
+            expr("div(1000 * rtot * ctot, t)").as("expected_milli"),
+            expr("div(1000 * abs(obs * t - rtot * ctot), t)").as("d_milli"))
+          .select(col("event_type"), col("dow"), col("obs"), col("expected_milli"),
+            expr("div(d_milli * d_milli, expected_milli)").as("contrib_milli"))
+          .orderBy("event_type", "dow")
       })
   )
 }
