@@ -974,6 +974,52 @@ object GraphStatQueries {
             (col("n") * col("sxy") - col("sx") * col("sy")).as("slope_num"),
             (col("n") * col("sxx") - col("sx") * col("sx")).as("slope_den"))
           .orderBy("event_type")
+      }),
+
+    // SHIPPING-DELAY PROFILE per order priority: mean (exact milli)
+    // plus exact discrete p50/p90 of order-date→ship-date days — the
+    // SLA distribution readout (q_order_aging counts the open
+    // backlog; this profiles fulfillment latency on shipped lines).
+    // Percentiles are q_pctl_disc_group's selection-not-interpolation
+    // order statistics (rank = ceil(q·n) via row_number — values the
+    // data contains). Synthetic delays go NEGATIVE, so the mean runs
+    // over +3000-shifted days and un-shifts after: every div stays on
+    // non-negatives, where DuckDB's floor-`//` equals Spark's
+    // truncating `div` (the cross-engine trap class documented at
+    // q_embed_class_margin). One orders-broadcast join, one
+    // priority-keyed window shuffle, dim-sized output.
+    QDef("q_ship_delay_profile", Some("""
+      WITH dly AS (SELECT o.o_orderpriority AS priority,
+          CAST(date_diff('day', o.o_orderdate, l.l_shipdate) AS BIGINT) AS delay_days
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+      r AS (SELECT priority, delay_days,
+          row_number() OVER (PARTITION BY priority ORDER BY delay_days) AS rn,
+          count(*) OVER (PARTITION BY priority) AS n FROM dly)
+      SELECT priority, CAST(max(n) AS BIGINT) AS n,
+        (1000 * CAST(sum(delay_days + 3000) AS BIGINT)) // max(n) - 3000000 AS mean_milli,
+        max(CASE WHEN rn = (n+1)//2 THEN delay_days END) AS p50,
+        max(CASE WHEN rn = (9*n+9)//10 THEN delay_days END) AS p90
+      FROM r GROUP BY priority ORDER BY priority"""),
+      (s, d) => {
+        val dly = t(s, d, "lineitem").select(col("l_orderkey"), col("l_shipdate"))
+          .join(t(s, d, "orders").select("o_orderkey", "o_orderdate", "o_orderpriority"),
+            col("l_orderkey") === col("o_orderkey"))
+          .select(col("o_orderpriority").as("priority"),
+            datediff(col("l_shipdate"), col("o_orderdate")).cast("long").as("delay_days"))
+        val w = Window.partitionBy("priority").orderBy("delay_days")
+        val wn = Window.partitionBy("priority")
+        dly
+          .withColumn("rn", row_number().over(w))
+          .withColumn("n", count(lit(1)).over(wn))
+          .groupBy("priority")
+          .agg(max("n").cast("long").as("n_out"),
+            sum(col("delay_days") + lit(3000L)).cast("long").as("sum_sh"),
+            max(when(col("rn") === expr("(n+1) div 2"), col("delay_days"))).as("p50"),
+            max(when(col("rn") === expr("(9*n+9) div 10"), col("delay_days"))).as("p90"))
+          .select(col("priority"), col("n_out").as("n"),
+            (expr("div(1000 * sum_sh, n_out)") - lit(3000000L)).as("mean_milli"),
+            col("p50"), col("p90"))
+          .orderBy("priority")
       })
   )
 }
