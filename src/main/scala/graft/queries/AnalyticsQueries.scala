@@ -1915,6 +1915,62 @@ object AnalyticsQueries {
           .select(col("event_type"), col("dow"), col("obs"), col("expected_milli"),
             expr("div(d_milli * d_milli, expected_milli)").as("contrib_milli"))
           .orderBy("event_type", "dow")
+      }),
+
+    // ROLLING 14-DAY CORRELATION between the click and purchase
+    // daily series — does engagement still track conversion, day by
+    // day? (q_corr_exact is the global answer; a drift in the
+    // ROLLING value is the leading indicator funnels get re-audited
+    // on.) Emitted sqrt-free as the three exact integer components
+    // (n·Σxy−ΣxΣy, n·Σx²−(Σx)², n·Σy²−(Σy)²) — corr = cov/√(vx·vy)
+    // is the consumer's one irrational step, kept off the oracle
+    // surface (q_trend_slope's exact-rational discipline). The RANGE
+    // frame over integer day numbers makes the window CALENDAR-true
+    // under gaps. The day series is the time dimension — dim-sized
+    // at any fact scale — so the unpartitioned window is a
+    // single-task stage over thousands of rows, downstream of the
+    // map-side-combined daily aggregate (the only fact-sized stage).
+    // Components exact while daily counts < ~2e8 (196·C² in a long).
+    QDef("q_moving_corr", Some("""
+      WITH cd AS (SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+          CAST(count(*) FILTER (WHERE event_type = 'click') AS BIGINT) AS x,
+          CAST(count(*) FILTER (WHERE event_type = 'purchase') AS BIGINT) AS y
+        FROM events GROUP BY 1),
+      nn AS (SELECT day, x, y, date_diff('day', DATE '1970-01-01', day) AS dnum FROM cd),
+      w AS (SELECT day,
+          CAST(count(*) OVER fr AS BIGINT) AS n,
+          CAST(sum(x) OVER fr AS BIGINT) AS sx, CAST(sum(y) OVER fr AS BIGINT) AS sy,
+          CAST(sum(x * y) OVER fr AS BIGINT) AS sxy,
+          CAST(sum(x * x) OVER fr AS BIGINT) AS sxx,
+          CAST(sum(y * y) OVER fr AS BIGINT) AS syy
+        FROM nn WINDOW fr AS (ORDER BY dnum RANGE BETWEEN 13 PRECEDING AND CURRENT ROW))
+      SELECT strftime(day, '%Y-%m-%d') AS day, n,
+             n * sxy - sx * sy AS cov_num,
+             n * sxx - sx * sx AS var_x_num,
+             n * syy - sy * sy AS var_y_num
+      FROM w ORDER BY day"""),
+      (s, d) => {
+        val cd = t(s, d, "events")
+          .groupBy(date_trunc("day", col("ts")).as("day"))
+          .agg(sum(when(col("event_type") === "click", 1L).otherwise(0L))
+              .cast("long").as("x"),
+            sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+              .cast("long").as("y"))
+          .withColumn("dnum",
+            datediff(col("day"), lit("1970-01-01").cast("date")).cast("long"))
+        val fr = Window.orderBy("dnum").rangeBetween(-13, 0)
+        cd
+          .withColumn("n", count(lit(1)).over(fr).cast("long"))
+          .withColumn("sx", sum("x").over(fr).cast("long"))
+          .withColumn("sy", sum("y").over(fr).cast("long"))
+          .withColumn("sxy", sum(col("x") * col("y")).over(fr).cast("long"))
+          .withColumn("sxx", sum(col("x") * col("x")).over(fr).cast("long"))
+          .withColumn("syy", sum(col("y") * col("y")).over(fr).cast("long"))
+          .select(date_format(col("day"), "yyyy-MM-dd").as("day"), col("n"),
+            (col("n") * col("sxy") - col("sx") * col("sy")).as("cov_num"),
+            (col("n") * col("sxx") - col("sx") * col("sx")).as("var_x_num"),
+            (col("n") * col("syy") - col("sy") * col("sy")).as("var_y_num"))
+          .orderBy("day")
       })
   )
 }
