@@ -1971,6 +1971,87 @@ object AnalyticsQueries {
             (col("n") * col("sxx") - col("sx") * col("sx")).as("var_x_num"),
             (col("n") * col("syy") - col("sy") * col("sy")).as("var_y_num"))
           .orderBy("day")
+      }),
+
+    // FIRST-TOUCH ATTRIBUTION: each purchase credited to the user's
+    // chronologically FIRST click, provided it precedes the purchase
+    // — the acquisition-side complement of q_attribution_last_touch
+    // (which channel STARTED the journey vs which channel CLOSED it;
+    // marketing reads both). The first click per user is one
+    // min(struct(ts, id)) aggregate — the arg-min trick that needs
+    // no window and no self-join — then a user-keyed join onto the
+    // purchase slice; purchases before any click attribute to NULL
+    // via the left join + time guard. Two filtered slices off one
+    // fact scan, one user shuffle.
+    QDef("q_attribution_first_touch", Some(s"""
+      WITH fc AS (SELECT user_id, first_ts, first_click_id FROM (
+              SELECT user_id, ts AS first_ts, event_id AS first_click_id,
+                row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+              FROM events WHERE event_type = 'click') WHERE rn = 1),
+      p AS (SELECT user_id, event_id, ts FROM events WHERE event_type = 'purchase')
+      SELECT p.event_id AS purchase_id,
+             CASE WHEN fc.first_ts <= p.ts THEN fc.first_click_id END AS click_id,
+             CASE WHEN fc.first_ts <= p.ts
+                  THEN strftime(fc.first_ts, '%Y-%m-%d %H:%M:%S') END AS click_ts
+      FROM p LEFT JOIN fc ON p.user_id = fc.user_id
+      ORDER BY purchase_id"""),
+      (s, d) => {
+        val ev = t(s, d, "events")
+        val fc = ev.filter(col("event_type") === "click")
+          .groupBy(col("user_id").as("fu"))
+          .agg(min(struct(col("ts"), col("event_id"))).as("first"))
+          .select(col("fu"), col("first.ts").as("first_ts"),
+            col("first.event_id").as("first_click_id"))
+        ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("event_id").as("purchase_id"), col("ts"))
+          .join(fc, col("user_id") === col("fu"), "left")
+          .select(col("purchase_id"),
+            when(col("first_ts") <= col("ts"), col("first_click_id")).as("click_id"),
+            when(col("first_ts") <= col("ts"),
+              date_format(col("first_ts"), "yyyy-MM-dd HH:mm:ss")).as("click_ts"))
+          .orderBy("purchase_id")
+      }),
+
+    // SESSION-DEPTH DISTRIBUTION: 30-min-gap sessions bucketed by
+    // event count (1 / 2 / 3-5 / 6-10 / 11+) with permille shares —
+    // the engagement histogram behind q_bounce_rate's headline (the
+    // bounce bucket is depth=1; this shows where the REST of the
+    // mass sits). Same parity-pinned sessionization; the bucket
+    // aggregate and 1-row total are dim-sized.
+    QDef("q_session_depth_dist", Some(s"""
+      WITH m AS (SELECT user_id, ts, event_id,
+        CASE WHEN lag(ts) OVER w IS NULL
+                  OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_s
+        FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      s AS (SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                       ROWS UNBOUNDED PRECEDING) AS sid FROM m),
+      g AS (SELECT user_id, sid, CAST(count(*) AS BIGINT) AS n FROM s GROUP BY 1, 2),
+      b AS (SELECT CASE WHEN n = 1 THEN 'a_1' WHEN n = 2 THEN 'b_2'
+                        WHEN n <= 5 THEN 'c_3_5' WHEN n <= 10 THEN 'd_6_10'
+                        ELSE 'e_11_plus' END AS depth_bucket,
+                   n FROM g),
+      c AS (SELECT depth_bucket, CAST(count(*) AS BIGINT) AS sessions,
+                   CAST(sum(n) AS BIGINT) AS events FROM b GROUP BY 1),
+      tt AS (SELECT CAST(sum(sessions) AS BIGINT) AS total FROM c)
+      SELECT depth_bucket, sessions, events,
+             (1000 * sessions) // tt.total AS share_permille
+      FROM c, tt ORDER BY depth_bucket"""),
+      (s, d) => {
+        val g = t(s, d, "events")
+          .groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user_id"))
+          .agg(count(lit(1)).as("n"))
+        val b = g.select(
+          when(col("n") === 1, "a_1").when(col("n") === 2, "b_2")
+            .when(col("n") <= 5, "c_3_5").when(col("n") <= 10, "d_6_10")
+            .otherwise("e_11_plus").as("depth_bucket"),
+          col("n"))
+        val c = b.groupBy("depth_bucket")
+          .agg(count(lit(1)).as("sessions"), sum("n").cast("long").as("events"))
+        val tot = c.agg(sum("sessions").cast("long").as("total"))
+        c.crossJoin(broadcast(tot))
+          .select(col("depth_bucket"), col("sessions"), col("events"),
+            expr("div(1000 * sessions, total)").as("share_permille"))
+          .orderBy("depth_bucket")
       })
   )
 }

@@ -1300,6 +1300,27 @@ object TextQueries {
           .filter(col("n") > 0)
           .select(col("doc_id"), col("n"),
             (lit(1000L) - expr("div(1000 * s2, n * n)")).as("gini_permille"))
-          .orderBy("doc_id"))
+          .orderBy("doc_id")),
+
+    // EXACT-DUP RATE BY SOURCE: per ingestion source, docs vs
+    // distinct content hashes and the dup share in permille — the
+    // per-feed DQ scoreboard that decides WHERE dedup spend goes
+    // (q_dedup_exact lists the dup rows; this is the management
+    // view). count(DISTINCT md5) is one map-side-combined aggregate
+    // per source; at 100 TB swap the exact distinct for the HLL
+    // sketch (q_hll_merge's contract) — the query shape is identical.
+    QDef("q_dup_rate_by_source", Some("""
+      SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_distinct,
+             (1000 * (count(*) - count(DISTINCT md5(text)))) // count(*) AS dup_permille
+      FROM documents GROUP BY 1 ORDER BY source"""),
+      (s, d) =>
+        t(s, d, "documents")
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            countDistinct(md5(col("text"))).as("n_distinct"))
+          .select(col("source"), col("n_docs"), col("n_distinct"),
+            expr("div(1000 * (n_docs - n_distinct), n_docs)").as("dup_permille"))
+          .orderBy("source"))
   )
 }
