@@ -2052,6 +2052,60 @@ object AnalyticsQueries {
           .select(col("depth_bucket"), col("sessions"), col("events"),
             expr("div(1000 * sessions, total)").as("share_permille"))
           .orderBy("depth_bucket")
+      }),
+
+    // ML FEATURE FRAME: per active (user, day) — declared-pivot type
+    // counts, calendar-true trailing-7d activity, and purchase
+    // recency (days since last purchase, same-day inclusive, NULL if
+    // never) — the feature matrix q_label_future_window's label
+    // joins onto (features may see the current day; only the LABEL
+    // carries the leakage rule). One fact pass → per-(user, day)
+    // aggregate, one re-key to user for the windows — and BOTH
+    // windows share a single Sort+Window chain (same partitioning,
+    // same ordering: Spark plans them back-to-back with no exchange
+    // between). RANGE frames over integer day numbers stay
+    // calendar-true under gaps.
+    QDef("q_feature_frame", Some("""
+      WITH daily AS (SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
+          CAST(count(*) FILTER (WHERE event_type = 'click') AS BIGINT) AS n_click,
+          CAST(count(*) FILTER (WHERE event_type = 'view') AS BIGINT) AS n_view,
+          CAST(count(*) FILTER (WHERE event_type = 'purchase') AS BIGINT) AS n_purchase,
+          CAST(count(*) AS BIGINT) AS n_total
+        FROM events GROUP BY 1, 2),
+      n AS (SELECT *, date_diff('day', DATE '1970-01-01', day) AS dnum FROM daily)
+      SELECT user_id, strftime(day, '%Y-%m-%d') AS day,
+             n_click, n_view, n_purchase,
+             CAST(sum(n_total) OVER (PARTITION BY user_id ORDER BY dnum
+                  RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT) AS n_7d,
+             dnum - max(CASE WHEN n_purchase > 0 THEN dnum END)
+               OVER (PARTITION BY user_id ORDER BY dnum
+                     RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS days_since_purchase
+      FROM n ORDER BY user_id, day"""),
+      (s, d) => {
+        val daily = t(s, d, "events")
+          .groupBy(col("user_id"), date_trunc("day", col("ts")).as("day"))
+          .agg(
+            sum(when(col("event_type") === "click", 1L).otherwise(0L))
+              .cast("long").as("n_click"),
+            sum(when(col("event_type") === "view", 1L).otherwise(0L))
+              .cast("long").as("n_view"),
+            sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+              .cast("long").as("n_purchase"),
+            count(lit(1)).as("n_total"))
+          .withColumn("dnum",
+            datediff(col("day"), lit("1970-01-01").cast("date")).cast("long"))
+        val trail7 = Window.partitionBy("user_id").orderBy("dnum").rangeBetween(-6, 0)
+        val sofar = Window.partitionBy("user_id").orderBy("dnum")
+          .rangeBetween(Window.unboundedPreceding, 0)
+        daily
+          .withColumn("n_7d", sum("n_total").over(trail7).cast("long"))
+          .withColumn("days_since_purchase",
+            col("dnum") - max(when(col("n_purchase") > 0, col("dnum"))).over(sofar))
+          .select(col("user_id"), date_format(col("day"), "yyyy-MM-dd").as("day"),
+            col("n_click"), col("n_view"), col("n_purchase"), col("n_7d"),
+            col("days_since_purchase"))
+          .orderBy("user_id", "day")
       })
   )
 }
