@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{AnalyticsQueries, CoreQueries, GraphStatQueries, QDef, SimQueries, TextQueries, TrainPrepQueries}
+import graft.queries.{AnalyticsQueries, CoreQueries, GraphStatQueries, QDef, RelQueries, SimQueries, TextQueries, TrainPrepQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -14,7 +14,7 @@ object SparkEntry {
 
   private def registry: Seq[QDef] =
     CoreQueries.all ++ TextQueries.all ++ SimQueries.all ++ TrainPrepQueries.all ++
-      AnalyticsQueries.all ++ GraphStatQueries.all
+      AnalyticsQueries.all ++ GraphStatQueries.all ++ RelQueries.all
 
   /** Flagship query (SURVEY.md §3 E3 build_chatter_master): unified,
     * enriched, chronologically sorted per-contact event timeline.

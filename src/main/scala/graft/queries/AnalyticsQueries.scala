@@ -2106,6 +2106,147 @@ object AnalyticsQueries {
             col("n_click"), col("n_view"), col("n_purchase"), col("n_7d"),
             col("days_since_purchase"))
           .orderBy("user_id", "day")
+      }),
+
+    // INTERVAL-UNION COVERAGE: each event claims a half-open 300 s
+    // span [ts, ts+300s); per user, merge overlapping spans into
+    // islands and report island count, covered seconds, and longest
+    // island — the "when was this user's session lamp actually on"
+    // union that q_concurrency_sweep's sweep-line counts and
+    // q_runs_scd2's gaps-and-islands both circle around, here in its
+    // canonical interval-merge form (Allen-interval union). Plan: ONE
+    // user_id exchange serves both window passes (new-island flag via
+    // running max of prior span ends, island id via running flag sum
+    // — same Sort order, same partitioning) and the island aggregate;
+    // all arithmetic in integer epoch µs (unix_micros), seconds only
+    // at render via integer div. At 100 TB state is one row per
+    // event in flight per user partition — no self-join, no explode.
+    QDef("q_interval_coverage", Some("""
+      WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS s,
+                        epoch_us(ts) + 300000000 AS e FROM events),
+      x AS (SELECT user_id, s, e, event_id,
+              CASE WHEN max(e) OVER (PARTITION BY user_id ORDER BY s, event_id
+                                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+                     OR s > max(e) OVER (PARTITION BY user_id ORDER BY s, event_id
+                                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                   THEN 1 ELSE 0 END AS flag
+            FROM e),
+      y AS (SELECT user_id, s, e,
+              sum(flag) OVER (PARTITION BY user_id ORDER BY s, event_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+            FROM x),
+      isl AS (SELECT user_id, island, min(s) AS st, max(e) AS en FROM y GROUP BY 1, 2)
+      SELECT user_id, CAST(count(*) AS BIGINT) AS n_islands,
+             CAST(sum((en - st) // 1000000) AS BIGINT) AS covered_sec,
+             CAST(max((en - st) // 1000000) AS BIGINT) AS max_island_sec
+      FROM isl GROUP BY 1 ORDER BY user_id"""),
+      (s, d) => {
+        val w = Window.partitionBy("user_id").orderBy("s", "event_id")
+        val prior = w.rowsBetween(Window.unboundedPreceding, -1)
+        val run = w.rowsBetween(Window.unboundedPreceding, 0)
+        t(s, d, "events")
+          .select(col("user_id"), col("event_id"),
+            unix_micros(col("ts")).as("s"),
+            (unix_micros(col("ts")) + lit(300000000L)).as("e"))
+          .withColumn("pmax", max("e").over(prior))
+          .withColumn("flag",
+            when(col("pmax").isNull || col("s") > col("pmax"), 1L).otherwise(0L))
+          .withColumn("island", sum("flag").over(run))
+          .groupBy("user_id", "island")
+          .agg(min("s").as("st"), max("e").as("en"))
+          .groupBy("user_id")
+          .agg(count(lit(1)).as("n_islands"),
+            sum(expr("div(en - st, 1000000)")).cast("long").as("covered_sec"),
+            max(expr("div(en - st, 1000000)")).cast("long").as("max_island_sec"))
+          .orderBy("user_id")
+      }),
+
+    // EQUI-DEPTH HISTOGRAM: 8 equal-population buckets over
+    // per-customer lifetime spend — the boundary statistics an
+    // optimizer (or a data-skipping layout) collects before choosing
+    // ranges. Exact by RANK SELECTION, not interpolation: bucket of
+    // rank rn is (rn−1)·8 div n + 1 with a (cents, custkey) total
+    // order, so both engines place every tie identically. The global
+    // row_number runs on the AGGREGATED |customers|-sized relation
+    // (the fact pays one shuffle into the rollup), the same
+    // discipline as q_ntile_quartiles/q_rfm_scores — never a global
+    // sort of raw orders; at 100 TB swap in approx_percentile
+    // boundaries, same output contract.
+    QDef("q_histogram_equidepth", Some("""
+      WITH cs AS (SELECT o_custkey,
+                    sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)) AS cents
+                  FROM orders GROUP BY 1),
+      n AS (SELECT count(*) AS n FROM cs),
+      rk AS (SELECT cs.cents, n.n,
+               row_number() OVER (ORDER BY cs.cents, cs.o_custkey) AS rn
+             FROM cs, n)
+      SELECT CAST((rn - 1) * 8 // n + 1 AS BIGINT) AS bucket,
+             CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(min(cents) AS BIGINT) AS lo_cents,
+             CAST(max(cents) AS BIGINT) AS hi_cents
+      FROM rk GROUP BY 1 ORDER BY bucket"""),
+      (s, d) => {
+        val cs = t(s, d, "orders")
+          .groupBy("o_custkey")
+          .agg(sum(floor(col("o_totalprice") * lit(100.0) + lit(0.5)).cast("long"))
+            .cast("long").as("cents"))
+        cs.crossJoin(broadcast(cs.agg(count(lit(1)).as("n"))))
+          .withColumn("rn",
+            row_number().over(Window.orderBy(col("cents"), col("o_custkey"))))
+          .select((expr("div((rn - 1) * 8, n)") + lit(1L)).as("bucket"), col("cents"))
+          .groupBy("bucket")
+          .agg(count(lit(1)).as("n_rows"),
+            min("cents").cast("long").as("lo_cents"),
+            max("cents").cast("long").as("hi_cents"))
+          .orderBy("bucket")
+      }),
+
+    // LINEAR MULTI-TOUCH ATTRIBUTION: each purchase splits 1000
+    // milli-credits EQUALLY across the user's clicks in the trailing
+    // 7 days (the equal-weight model between q_attribution_first_touch
+    // and q_attribution_last_touch — the three standard positions);
+    // per user: credited clicks + total credit mass. Plan: the
+    // purchase×click pair stream is a user-keyed equi-join with the
+    // time window as a residual predicate — both sides hash once on
+    // user_id, and fan-out is bounded by per-user activity (5.3k
+    // pairs from 60k events here; at 100 TB a hot user is the skew
+    // risk and Ops.saltedJoin is the drop-in). The per-purchase
+    // click count re-aggregates the pair stream on the SAME user
+    // partitioning; credit = 1000 div n stays born-integer (floor
+    // division both engines).
+    QDef("q_attribution_linear", Some("""
+      WITH p AS (SELECT event_id AS pid, user_id, epoch_us(ts) AS pts
+                 FROM events WHERE event_type = 'purchase'),
+      c AS (SELECT event_id AS cid, user_id, epoch_us(ts) AS cts
+            FROM events WHERE event_type = 'click'),
+      pairs AS (SELECT p.pid, p.user_id, c.cid
+                FROM p JOIN c ON p.user_id = c.user_id
+                 AND c.cts <= p.pts AND c.cts > p.pts - 604800000000),
+      nn AS (SELECT pid, count(*) AS n FROM pairs GROUP BY 1),
+      credit AS (SELECT pr.user_id, pr.cid, 1000 // nn.n AS milli
+                 FROM pairs pr JOIN nn ON pr.pid = nn.pid)
+      SELECT user_id, CAST(count(*) AS BIGINT) AS n_credits,
+             CAST(sum(milli) AS BIGINT) AS credit_milli
+      FROM credit GROUP BY 1 ORDER BY user_id"""),
+      (s, d) => {
+        val ev = t(s, d, "events")
+        val p = ev.filter(col("event_type") === "purchase")
+          .select(col("event_id").as("pid"), col("user_id"),
+            unix_micros(col("ts")).as("pts"))
+        val c = ev.filter(col("event_type") === "click")
+          .select(col("event_id").as("cid"), col("user_id").as("cuid"),
+            unix_micros(col("ts")).as("cts"))
+        val pairs = p.join(c,
+          col("user_id") === col("cuid") &&
+            col("cts") <= col("pts") && col("cts") > col("pts") - lit(604800000000L))
+          .select("pid", "user_id", "cid")
+        val nn = pairs.groupBy("pid").agg(count(lit(1)).as("n"))
+        pairs.join(nn, "pid")
+          .select(col("user_id"), col("cid"), expr("div(1000, n)").as("milli"))
+          .groupBy("user_id")
+          .agg(count(lit(1)).as("n_credits"),
+            sum("milli").cast("long").as("credit_milli"))
+          .orderBy("user_id")
       })
   )
 }

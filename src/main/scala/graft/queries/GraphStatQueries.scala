@@ -1020,6 +1020,54 @@ object GraphStatQueries {
             (expr("div(1000 * sum_sh, n_out)") - lit(3000000L)).as("mean_milli"),
             col("p50"), col("p90"))
           .orderBy("priority")
+      }),
+
+    // DEGREE DISTRIBUTION: log2-banded degree histogram of BOTH
+    // sides of the part↔supplier bipartite graph (the power-law
+    // fingerprint that decides whether the pair-expansion operators
+    // need their HubCap at all — a heavy tail here is the early
+    // warning). Born-integer banding: no float log2 crosses the
+    // oracle — band b covers [2^b, 2^(b+1)) via a STATIC 41-row
+    // shift table that broadcasts into a range join (41-row BNLJ,
+    // each degree hits exactly one band). Degrees are one
+    // countDistinct per side off the same fact scan; everything
+    // after is |nodes|-sized.
+    QDef("q_degree_distribution", Some("""
+      WITH deg AS (
+        SELECT 'part' AS side, l_partkey AS node,
+               count(DISTINCT l_suppkey) AS deg
+        FROM lineitem GROUP BY 1, 2
+        UNION ALL
+        SELECT 'supplier' AS side, l_suppkey AS node,
+               count(DISTINCT l_partkey) AS deg
+        FROM lineitem GROUP BY 1, 2),
+      bands AS (SELECT b, (CAST(1 AS BIGINT) << b) AS lo,
+                       (CAST(1 AS BIGINT) << (b + 1)) AS hi
+                FROM range(0, 41) t(b))
+      SELECT d.side, CAST(bd.b AS BIGINT) AS band,
+             CAST(count(*) AS BIGINT) AS n_nodes,
+             CAST(min(d.deg) AS BIGINT) AS min_deg,
+             CAST(max(d.deg) AS BIGINT) AS max_deg
+      FROM deg d JOIN bands bd ON d.deg >= bd.lo AND d.deg < bd.hi
+      GROUP BY 1, 2 ORDER BY side, band"""),
+      (s, d) => {
+        val li = t(s, d, "lineitem").select("l_partkey", "l_suppkey")
+        val deg = li.groupBy(col("l_partkey").as("node"))
+          .agg(countDistinct("l_suppkey").as("deg"))
+          .select(lit("part").as("side"), col("node"), col("deg"))
+          .unionByName(
+            li.groupBy(col("l_suppkey").as("node"))
+              .agg(countDistinct("l_partkey").as("deg"))
+              .select(lit("supplier").as("side"), col("node"), col("deg")))
+        val bands = s.range(0, 41).select(col("id").as("b"),
+          expr("shiftleft(cast(1 as bigint), cast(id as int))").as("lo"),
+          expr("shiftleft(cast(1 as bigint), cast(id + 1 as int))").as("hi"))
+        deg.join(broadcast(bands), col("deg") >= col("lo") && col("deg") < col("hi"))
+          .groupBy(col("side"), col("b").as("band"))
+          .agg(count(lit(1)).as("n_nodes"),
+            min("deg").cast("long").as("min_deg"),
+            max("deg").cast("long").as("max_deg"))
+          .orderBy("side", "band")
       })
   )
 }

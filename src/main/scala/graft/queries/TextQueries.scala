@@ -1321,6 +1321,55 @@ object TextQueries {
             countDistinct(md5(col("text"))).as("n_distinct"))
           .select(col("source"), col("n_docs"), col("n_distinct"),
             expr("div(1000 * (n_docs - n_distinct), n_docs)").as("dup_permille"))
-          .orderBy("source"))
+          .orderBy("source")),
+
+    // SEGMENT-LEVEL DEDUP (CCNet-style line dedup adapted to
+    // newline-free docs): the corpus is cut into consecutive 8-token
+    // segments, a segment occurring in ≥2 DISTINCT docs is
+    // boilerplate-suspect, and every doc reports its kept-token mass
+    // (tokens whose segment is corpus-unique) in exact permille —
+    // the paragraph/line dedup pass CCNet/RefinedWeb run BEFORE
+    // doc-level MinHash, which catches shared headers/footers that
+    // whole-doc dedup never sees (this corpus: 153 repeated segments
+    // across 500 docs). Plan: segmentation is a zero-shuffle
+    // transform(sequence)+explode INSIDE the scan stage (no
+    // pre-shuffle token explode); the segment-df aggregate
+    // map-side-combines, and the join back to the segment stream is
+    // co-keyed on the segment string — at 100 TB both sides hash on
+    // seg, one exchange each, state bounded by |distinct segments|.
+    QDef("q_segment_dedup", Some("""
+      WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      seg AS (
+        SELECT doc_id,
+               array_to_string(toks[(8*i+1):(8*i+8)], ' ') AS seg,
+               least(8, len(toks) - 8*i) AS ntok
+        FROM d, UNNEST(range(0, (len(toks)+7)//8)) AS t(i)),
+      df AS (SELECT seg, count(DISTINCT doc_id) AS df FROM seg GROUP BY 1)
+      SELECT s.doc_id, CAST(sum(s.ntok) AS BIGINT) AS total_tokens,
+             CAST(sum(CASE WHEN df.df = 1 THEN s.ntok ELSE 0 END) AS BIGINT)
+               AS kept_tokens,
+             (1000 * sum(CASE WHEN df.df = 1 THEN s.ntok ELSE 0 END)) // sum(s.ntok)
+               AS kept_permille
+      FROM seg s JOIN df ON s.seg = df.seg
+      GROUP BY 1 ORDER BY doc_id"""),
+      (s, d) => {
+        val seg = t(s, d, "documents")
+          .select(col("doc_id"), split(col("text"), " ").as("toks"))
+          .select(col("doc_id"), expr(
+            """explode(transform(sequence(0, cast((size(toks) + 7) div 8 as int) - 1),
+                 i -> struct(concat_ws(' ', slice(toks, 8*i + 1, 8)) as seg,
+                             least(8, size(toks) - 8*i) as ntok)))""").as("sg"))
+          .select(col("doc_id"), col("sg.seg").as("seg"),
+            col("sg.ntok").cast("long").as("ntok"))
+        val df = seg.groupBy("seg").agg(countDistinct("doc_id").as("df"))
+        seg.join(df, "seg")
+          .groupBy("doc_id")
+          .agg(sum("ntok").cast("long").as("total_tokens"),
+            sum(when(col("df") === 1L, col("ntok")).otherwise(0L))
+              .cast("long").as("kept_tokens"))
+          .select(col("doc_id"), col("total_tokens"), col("kept_tokens"),
+            expr("div(1000 * kept_tokens, total_tokens)").as("kept_permille"))
+          .orderBy("doc_id")
+      })
   )
 }

@@ -1,0 +1,185 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkTesting
+
+/** Invariant + plan-shape checks for the relational warehouse shapes
+  * (RelQueries: TPC-H Q2/Q4/Q11/Q15/Q17/Q18/Q19/Q20/Q22 adaptations +
+  * the bucketed co-located join) and the interval/histogram/
+  * attribution/segment-dedup additions. Value-level correctness is
+  * the DuckDB oracle's job; these lock what the oracle can't see —
+  * decorrelation plan shapes (semi/anti joins, broadcast scalars,
+  * zero-shuffle bucketed inputs) and semantic invariants (rank-1
+  * uniqueness, threshold predicates, interval-union bounds).
+  */
+class RelQueriesSpec extends AnyFunSuite {
+  lazy val spark = SparkTesting.spark
+  private def q(name: String) =
+    graft.SparkEntry.queries(name)(spark, SparkTesting.sf)
+  private def planOf(df: org.apache.spark.sql.DataFrame): String = {
+    df.collect()
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("exists_late_ship: semi-join (no fan-out), counts bounded by orders") {
+    import spark.implicits._
+    val df = q("q_exists_late_ship")
+    val plan = planOf(df)
+    assert(plan.contains("LeftSemi"), s"expected a LEFT SEMI decorrelation:\n$plan")
+    val total = graft.pipeline.Tables.t(spark, SparkTesting.sf, "orders").count()
+    val late = df.as[(String, Long)].collect()
+    assert(late.nonEmpty && late.map(_._2).sum <= total)
+  }
+
+  test("min_offer_supplier: rank-1 per part, offer is that part's true minimum") {
+    import spark.implicits._
+    val rows = q("q_min_offer_supplier").as[(Long, String, Long)].collect()
+    assert(rows.nonEmpty)
+    assert(rows.map(_._1).distinct.length == rows.length, "one winner per part")
+    // recompute the per-part minimum offer independently
+    val truth = graft.pipeline.Tables.t(spark, SparkTesting.sf, "lineitem")
+      .join(graft.pipeline.Tables.t(spark, SparkTesting.sf, "part")
+        .filter(col("p_size") >= 45).select("p_partkey"),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy("l_partkey")
+      .agg(min(floor(col("l_extendedprice") * lit(100.0) + lit(0.5)).cast("long"))
+        .as("mn"))
+      .as[(Long, Long)].collect().toMap
+    rows.foreach { case (pk, _, offer) => assert(truth(pk) == offer, s"part $pk") }
+    assert(rows.length == truth.size, "every qualifying part is present")
+  }
+
+  test("part_revenue_share: every survivor really exceeds 700 ppm; scalar is a broadcast") {
+    import spark.implicits._
+    val df = q("q_part_revenue_share")
+    val rows = df.as[(Long, Long, Long)].collect()
+    assert(rows.nonEmpty && rows.forall(_._3 >= 700))
+    val plan = planOf(df)
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"),
+      s"the grand-total scalar must broadcast, not shuffle:\n$plan")
+  }
+
+  test("top_supplier_window: all emitted rows tie at the global max") {
+    import spark.implicits._
+    val rows = q("q_top_supplier_window").as[(Long, String, Long)].collect()
+    assert(rows.nonEmpty)
+    assert(rows.map(_._3).distinct.length == 1, "ties only")
+  }
+
+  test("small_qty_revenue: the cross-multiplied predicate matches the avg definition") {
+    import spark.implicits._
+    val rows = q("q_small_qty_revenue").as[(String, Long, Long)].collect()
+    assert(rows.nonEmpty && rows.forall(r => r._2 > 0 && r._3 > 0))
+    // independent recount of qualifying rows
+    val li = graft.pipeline.Tables.t(spark, SparkTesting.sf, "lineitem")
+    val pa = li.groupBy(col("l_partkey").as("k"))
+      .agg(count(lit(1)).as("n"), sum(col("l_quantity").cast("long")).as("sq"))
+    val nSmall = li.join(pa, col("l_partkey") === col("k"))
+      .filter(lit(5L) * col("n") * col("l_quantity").cast("long") < col("sq"))
+      .count()
+    assert(rows.map(_._2).sum == nSmall)
+  }
+
+  test("big_orders: every row exceeds the 250-qty gate, sorted descending") {
+    import spark.implicits._
+    val rows = q("q_big_orders").as[(String, Long, String, Long)].collect()
+    assert(rows.nonEmpty && rows.forall(_._4 > 250))
+    assert(rows.map(_._4).sliding(2).forall(p => p.length < 2 || p(0) >= p(1)))
+  }
+
+  test("nested_semi_suppliers + lapsed_rich: thresholds hold, anti join plans as anti") {
+    import spark.implicits._
+    val ns = q("q_nested_semi_suppliers").as[(Long, String, String, Long)].collect()
+    assert(ns.nonEmpty && ns.forall(_._4 > 400))
+    val df = q("q_lapsed_rich_customers")
+    val plan = planOf(df)
+    assert(plan.contains("LeftAnti"), s"NOT EXISTS must decorrelate to LEFT ANTI:\n$plan")
+    val rows = df.as[(String, Long, Long)].collect()
+    assert(rows.nonEmpty && rows.forall(r => r._2 > 0 && r._3 > 0))
+  }
+
+  test("join_bucketed: ONE exchange total — the aggregate's; join inputs never shuffle") {
+    val df = q("q_join_bucketed")
+    val plan = planOf(df)
+    assert(SparkTesting.finalSection(plan).contains("SortMergeJoin"),
+      s"merge hint must hold on bucketed inputs:\n$plan")
+    assert(SparkTesting.hashExchanges(plan) <= 1,
+      s"bucketed join inputs must not re-shuffle:\n$plan")
+    // layout is invisible to results: totals match the plain join
+    import spark.implicits._
+    val n = df.as[(String, Long, Long)].collect().map(_._2).sum
+    assert(n == graft.pipeline.Tables.t(spark, SparkTesting.sf, "lineitem").count())
+  }
+
+  test("interval_coverage: covered time within [max_island, n*300s] per user") {
+    import spark.implicits._
+    val rows = q("q_interval_coverage").as[(Long, Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    val nev = graft.pipeline.Tables.t(spark, SparkTesting.sf, "events")
+      .groupBy("user_id").count().as[(Long, Long)].collect().toMap
+    rows.foreach { case (u, nIsl, covered, maxIsl) =>
+      assert(nIsl >= 1 && nIsl <= nev(u))
+      assert(maxIsl >= 300 && covered >= maxIsl, s"user $u")
+      assert(covered <= nev(u) * 300, s"user $u: union can't exceed event mass")
+    }
+  }
+
+  test("histogram_equidepth: buckets partition all customers, depths within 1 of each other") {
+    import spark.implicits._
+    val rows = q("q_histogram_equidepth").as[(Long, Long, Long, Long)].collect()
+    assert(rows.map(_._1).sorted.sameElements(1L to 8L))
+    val depths = rows.map(_._2)
+    assert(depths.max - depths.min <= 1, s"equi-depth: ${depths.mkString(",")}")
+    // band edges are monotone and non-overlapping
+    val sorted = rows.sortBy(_._1)
+    sorted.sliding(2).foreach {
+      case Array(a, b) => assert(a._4 <= b._3, "bucket ranges must not overlap")
+      case _ => ()
+    }
+  }
+
+  test("attribution_linear: per-purchase credits never exceed 1000 milli") {
+    import spark.implicits._
+    val rows = q("q_attribution_linear").as[(Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    // each purchase hands out n * (1000 div n) <= 1000 milli; total
+    // credit is bounded by purchases * 1000
+    val nPurch = graft.pipeline.Tables.t(spark, SparkTesting.sf, "events")
+      .filter(col("event_type") === "purchase")
+      .groupBy("user_id").count().as[(Long, Long)].collect().toMap
+    rows.foreach { case (u, nCred, milli) =>
+      assert(nCred > 0 && milli <= nPurch.getOrElse(u, 0L) * 1000, s"user $u")
+    }
+  }
+
+  test("degree_distribution: every graph node lands in exactly one band") {
+    import spark.implicits._
+    val rows = q("q_degree_distribution").as[(String, Long, Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (side, band, _, mn, mx) =>
+      assert(mn >= (1L << band.toInt) && mx < (1L << (band.toInt + 1)), s"$side/$band")
+    }
+    val li = graft.pipeline.Tables.t(spark, SparkTesting.sf, "lineitem")
+    val nParts = li.select("l_partkey").distinct().count()
+    val nSupps = li.select("l_suppkey").distinct().count()
+    assert(rows.filter(_._1 == "part").map(_._3).sum == nParts)
+    assert(rows.filter(_._1 == "supplier").map(_._3).sum == nSupps)
+  }
+
+  test("segment_dedup: kept mass never exceeds total; a planted dup drops both copies") {
+    import spark.implicits._
+    val rows = q("q_segment_dedup").as[(Long, Long, Long, Long)].collect()
+    val nDocs = graft.pipeline.Tables.t(spark, SparkTesting.sf, "documents").count()
+    assert(rows.length == nDocs, "every doc reports")
+    rows.foreach { case (id, total, kept, pm) =>
+      assert(total > 0 && kept >= 0 && kept <= total, s"doc $id")
+      assert(pm == 1000L * kept / total, s"doc $id permille")
+    }
+    // cross-doc discipline: total token mass matches the tokenizer
+    val tokMass = graft.pipeline.Tables.t(spark, SparkTesting.sf, "documents")
+      .select(size(split(col("text"), " ")).cast("long").as("n"))
+      .agg(sum("n")).as[Long].head()
+    assert(rows.map(_._2).sum == tokMass)
+  }
+}
