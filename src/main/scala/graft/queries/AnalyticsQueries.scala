@@ -2247,6 +2247,163 @@ object AnalyticsQueries {
           .agg(count(lit(1)).as("n_credits"),
             sum("milli").cast("long").as("credit_milli"))
           .orderBy("user_id")
+      }),
+
+    // DAILY OHLC DOWNSAMPLE: per (event_type, day) candlestick —
+    // open/high/low/close in exact cents + volume, the canonical
+    // time-series compaction (a metrics lake keeps candles, not raw
+    // ticks). Open/close are ORDER STATISTICS, not arbitrary
+    // first()/last(): row_number over (ts, event_id) from both ends
+    // picks them deterministically on any partitioning, and both
+    // rankers plus the aggregate ride ONE (type, day) exchange.
+    QDef("q_ohlc_daily", Some("""
+      WITH e AS (SELECT event_type, strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+                        epoch_us(ts) AS s, event_id,
+                        CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS cents
+                 FROM events),
+      w AS (SELECT *,
+              row_number() OVER (PARTITION BY event_type, day
+                                 ORDER BY s, event_id) AS rf,
+              row_number() OVER (PARTITION BY event_type, day
+                                 ORDER BY s DESC, event_id DESC) AS rl
+            FROM e)
+      SELECT event_type, day,
+             max(CASE WHEN rf = 1 THEN cents END) AS open_cents,
+             CAST(max(cents) AS BIGINT) AS high_cents,
+             CAST(min(cents) AS BIGINT) AS low_cents,
+             max(CASE WHEN rl = 1 THEN cents END) AS close_cents,
+             CAST(count(*) AS BIGINT) AS volume
+      FROM w GROUP BY 1, 2 ORDER BY event_type, day"""),
+      (s, d) => {
+        val e = t(s, d, "events").select(
+          col("event_type"),
+          date_format(date_trunc("day", col("ts")), "yyyy-MM-dd").as("day"),
+          unix_micros(col("ts")).as("s"), col("event_id"),
+          floor(col("value") * lit(100.0) + lit(0.5)).cast("long").as("cents"))
+        val p = Window.partitionBy("event_type", "day")
+        e.withColumn("rf", row_number().over(p.orderBy(col("s"), col("event_id"))))
+          .withColumn("rl",
+            row_number().over(p.orderBy(col("s").desc, col("event_id").desc)))
+          .groupBy("event_type", "day")
+          .agg(max(when(col("rf") === 1, col("cents"))).as("open_cents"),
+            max("cents").cast("long").as("high_cents"),
+            min("cents").cast("long").as("low_cents"),
+            max(when(col("rl") === 1, col("cents"))).as("close_cents"),
+            count(lit(1)).as("volume"))
+          .orderBy("event_type", "day")
+      }),
+
+    // LINEAR GAP-FILL: per-user daily signup-value series resampled
+    // to a dense day grid, silent days LINEARLY interpolated between
+    // the neighboring active days (the interpolation twin of
+    // q_resample_locf's hold-last). Born-integer throughout: the
+    // interpolant is the weighted average (pv·(nd−d) + nv·(d−pd))
+    // div (nd−pd) in milli-cents — both weights and both values are
+    // non-negative, so floor division ≡ truncation and no engine
+    // sign convention can bite (the q_robust_scaler lesson). Plan:
+    // grid explode off the per-user [lo,hi] span, LEFT JOIN back
+    // co-keyed on (user, day), then prev/next via last/first
+    // IGNORE NULLS over two frames of the SAME user-keyed Sort.
+    QDef("q_gap_fill_linear", Some("""
+      WITH daily AS (
+        SELECT user_id, epoch_us(date_trunc('day', ts)) // 86400000000 AS dnum,
+               sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS cents
+        FROM events WHERE event_type = 'signup' GROUP BY 1, 2),
+      grid AS (
+        SELECT d.user_id, g.dnum
+        FROM (SELECT user_id, min(dnum) AS lo, max(dnum) AS hi
+              FROM daily GROUP BY 1) d,
+             UNNEST(range(d.lo, d.hi + 1)) AS g(dnum)),
+      j AS (SELECT g.user_id, g.dnum, daily.cents,
+              CASE WHEN daily.cents IS NOT NULL THEN g.dnum END AS aday
+            FROM grid g LEFT JOIN daily
+              ON g.user_id = daily.user_id AND g.dnum = daily.dnum),
+      f AS (SELECT user_id, dnum, cents,
+              last_value(cents IGNORE NULLS) OVER w AS pv,
+              last_value(aday IGNORE NULLS) OVER w AS pd,
+              first_value(cents IGNORE NULLS) OVER w2 AS nv,
+              first_value(aday IGNORE NULLS) OVER w2 AS nd
+            FROM j
+            WINDOW w AS (PARTITION BY user_id ORDER BY dnum
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                   w2 AS (PARTITION BY user_id ORDER BY dnum
+                          ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+      SELECT user_id, CAST(dnum AS BIGINT) AS dnum,
+             CASE WHEN cents IS NOT NULL THEN 1000 * cents
+                  ELSE (1000 * pv * (nd - dnum) + 1000 * nv * (dnum - pd))
+                       // (nd - pd) END AS milli,
+             CASE WHEN cents IS NOT NULL THEN 0 ELSE 1 END AS interpolated
+      FROM f ORDER BY user_id, dnum"""),
+      (s, d) => {
+        val daily = t(s, d, "events").filter(col("event_type") === "signup")
+          .groupBy(col("user_id"),
+            expr("div(unix_micros(date_trunc('day', ts)), 86400000000)").as("dnum"))
+          .agg(sum(floor(col("value") * lit(100.0) + lit(0.5)).cast("long"))
+            .as("cents"))
+        val grid = daily.groupBy(col("user_id").as("gu"))
+          .agg(min("dnum").as("lo"), max("dnum").as("hi"))
+          .select(col("gu"), explode(expr("sequence(lo, hi)")).as("dnum"))
+        val j = grid.join(daily,
+          col("gu") === col("user_id") && grid("dnum") === daily("dnum"), "left")
+          .select(col("gu").as("user_id"), grid("dnum").as("dnum"), col("cents"),
+            when(col("cents").isNotNull, grid("dnum")).as("aday"))
+        val w = Window.partitionBy("user_id").orderBy("dnum")
+          .rowsBetween(Window.unboundedPreceding, 0)
+        val w2 = Window.partitionBy("user_id").orderBy("dnum")
+          .rowsBetween(0, Window.unboundedFollowing)
+        j.withColumn("pv", last("cents", ignoreNulls = true).over(w))
+          .withColumn("pd", last("aday", ignoreNulls = true).over(w))
+          .withColumn("nv", first("cents", ignoreNulls = true).over(w2))
+          .withColumn("nd", first("aday", ignoreNulls = true).over(w2))
+          .select(col("user_id"), col("dnum"),
+            when(col("cents").isNotNull, lit(1000L) * col("cents"))
+              .otherwise(expr(
+                "div(1000 * pv * (nd - dnum) + 1000 * nv * (dnum - pd), nd - pd)"))
+              .as("milli"),
+            when(col("cents").isNotNull, 0L).otherwise(1L).as("interpolated"))
+          .orderBy("user_id", "dnum")
+      }),
+
+    // ACTIVITY BITMAP: each user's presence over the corpus time
+    // range packed into ONE 64-bit bitmap (the roaring-bitmap-lite
+    // index an engagement warehouse keeps per entity) — day mapped to
+    // bucket ((dnum−lo)·64) div span, membership OR-ed with bit_or,
+    // activity read back with bit_count. The whole index is one
+    // map-side-combined aggregate producing 8 bytes per user — the
+    // set-of-days never materializes; at 100 TB this is the shape
+    // that replaces count(DISTINCT day) retention scans with bitwise
+    // AND/OR across snapshots.
+    QDef("q_activity_bitmap", Some("""
+      WITH e AS (SELECT user_id,
+                        epoch_us(date_trunc('day', ts)) // 86400000000 AS dnum
+                 FROM events),
+      b AS (SELECT min(dnum) AS lo, max(dnum) - min(dnum) + 1 AS span FROM e),
+      m AS (SELECT user_id,
+                   CAST(((dnum - b.lo) * 64) // b.span AS INT) AS bkt
+            FROM e, b)
+      SELECT user_id,
+             CAST(bit_or(CAST(1 AS BIGINT) << bkt) AS BIGINT) AS bitmap,
+             CAST(bit_count(bit_or(CAST(1 AS BIGINT) << bkt)) AS BIGINT)
+               AS n_active,
+             CAST(min(bkt) AS BIGINT) AS first_bkt,
+             CAST(max(bkt) AS BIGINT) AS last_bkt
+      FROM m GROUP BY 1 ORDER BY user_id"""),
+      (s, d) => {
+        val e = t(s, d, "events").select(col("user_id"),
+          expr("div(unix_micros(date_trunc('day', ts)), 86400000000)").as("dnum"))
+        val b = e.agg(min("dnum").as("lo"),
+          (max("dnum") - min("dnum") + lit(1L)).as("span"))
+        e.crossJoin(broadcast(b))
+          .select(col("user_id"),
+            expr("cast(div((dnum - lo) * 64, span) as int)").as("bkt"))
+          .groupBy("user_id")
+          .agg(bit_or(expr("shiftleft(cast(1 as bigint), bkt)")).as("bitmap"),
+            min("bkt").cast("long").as("first_bkt"),
+            max("bkt").cast("long").as("last_bkt"))
+          .select(col("user_id"), col("bitmap"),
+            bit_count(col("bitmap")).cast("long").as("n_active"),
+            col("first_bkt"), col("last_bkt"))
+          .orderBy("user_id")
       })
   )
 }

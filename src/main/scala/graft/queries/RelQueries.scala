@@ -367,6 +367,52 @@ object RelQueries {
           .agg(count(lit(1)).as("n_items"),
             sum("cents").cast("long").as("rev_cents"))
           .orderBy("o_orderpriority")
+      }),
+
+    // DATE DIMENSION BUILD: the calendar spine every star schema
+    // joins through, generated from the fact's own [min, max] order
+    // date — one row per day with year/quarter/month plus
+    // BORN-INTEGER week attributes: dow = ((dnum+3) mod 7)+1
+    // (Monday=1 — 1970-01-01 anchors Thursday, no locale, no engine
+    // dayofweek convention) and week_num = (dnum+3) div 7 (weeks
+    // since the 1969-12-29 Monday — an ISO-week stand-in that never
+    // hits the cross-engine YEAROFWEEK boundary trap). Plan: a 1-row
+    // span aggregate explodes into the |days| grid — the fact is
+    // scanned once for its bounds and never again.
+    QDef("q_date_dim", Some("""
+      WITH b AS (SELECT epoch_us(min(date_trunc('day', o_orderdate))) // 86400000000 AS lo,
+                        epoch_us(max(date_trunc('day', o_orderdate))) // 86400000000 AS hi
+                 FROM orders),
+      d AS (SELECT g.dnum FROM b, UNNEST(range(b.lo, b.hi + 1)) AS g(dnum)),
+      e AS (SELECT dnum, DATE '1970-01-01' + CAST(dnum AS INT) AS day FROM d)
+      SELECT strftime(day, '%Y-%m-%d') AS day,
+             CAST(dnum AS BIGINT) AS dnum,
+             CAST(year(day) AS BIGINT) AS y,
+             CAST(quarter(day) AS BIGINT) AS q,
+             CAST(month(day) AS BIGINT) AS m,
+             CAST((dnum + 3) % 7 + 1 AS BIGINT) AS dow,
+             CAST((dnum + 3) // 7 AS BIGINT) AS week_num,
+             CASE WHEN (dnum + 3) % 7 + 1 >= 6 THEN 1 ELSE 0 END AS is_weekend
+      FROM e ORDER BY dnum"""),
+      (s, d) => {
+        val b = t(s, d, "orders").agg(
+          expr("div(unix_micros(min(date_trunc('day', o_orderdate))), 86400000000)")
+            .as("lo"),
+          expr("div(unix_micros(max(date_trunc('day', o_orderdate))), 86400000000)")
+            .as("hi"))
+        b.select(explode(expr("sequence(lo, hi)")).as("dnum"))
+          .withColumn("day", expr("date_add(date '1970-01-01', cast(dnum as int))"))
+          .select(
+            date_format(col("day"), "yyyy-MM-dd").as("day"),
+            col("dnum"),
+            year(col("day")).cast("long").as("y"),
+            quarter(col("day")).cast("long").as("q"),
+            month(col("day")).cast("long").as("m"),
+            (expr("(dnum + 3) % 7") + lit(1L)).as("dow"),
+            expr("div(dnum + 3, 7)").as("week_num"),
+            when(expr("(dnum + 3) % 7") + lit(1L) >= 6, 1L).otherwise(0L)
+              .as("is_weekend"))
+          .orderBy("dnum")
       })
   )
 }

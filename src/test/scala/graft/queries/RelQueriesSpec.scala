@@ -182,4 +182,63 @@ class RelQueriesSpec extends AnyFunSuite {
       .agg(sum("n")).as[Long].head()
     assert(rows.map(_._2).sum == tokMass)
   }
+
+  test("ohlc_daily: low <= open/close <= high, volume partitions the events") {
+    import spark.implicits._
+    val rows = q("q_ohlc_daily")
+      .as[(String, String, Long, Long, Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (et, day, o, h, l, c, v) =>
+      assert(l <= o && o <= h && l <= c && c <= h && v > 0, s"$et/$day")
+    }
+    val total = graft.pipeline.Tables.t(spark, SparkTesting.sf, "events").count()
+    assert(rows.map(_._7).sum == total)
+  }
+
+  test("gap_fill_linear: actives are exact, interpolants bounded by their endpoints") {
+    import spark.implicits._
+    val rows = q("q_gap_fill_linear").as[(Long, Long, Long, Long)].collect()
+    assert(rows.nonEmpty && rows.exists(_._4 == 1L), "gaps must exist to fill")
+    // per user the grid is dense and every interpolated value lies
+    // within that user's active-day value envelope (linearity)
+    rows.groupBy(_._1).foreach { case (u, rs) =>
+      val days = rs.map(_._2).sorted
+      assert(days.last - days.head + 1 == days.length, s"user $u grid has holes")
+      val active = rs.filter(_._4 == 0L).map(_._3)
+      val (lo, hi) = (active.min, active.max)
+      rs.filter(_._4 == 1L).foreach { r =>
+        assert(r._3 >= lo && r._3 <= hi, s"user $u day ${r._2} out of envelope")
+      }
+    }
+  }
+
+  test("activity_bitmap: popcount consistent, first/last bits really set") {
+    import spark.implicits._
+    val rows = q("q_activity_bitmap").as[(Long, Long, Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (u, bm, n, fb, lb) =>
+      assert(java.lang.Long.bitCount(bm) == n, s"user $u popcount")
+      assert((bm & (1L << fb.toInt)) != 0 && (bm & (1L << lb.toInt)) != 0, s"user $u")
+      assert(fb <= lb && fb >= 0 && lb < 64, s"user $u bounds")
+    }
+  }
+
+  test("date_dim: dense spine, dow cycles 1..7, weekend iff dow in {6,7}") {
+    import spark.implicits._
+    val rows = q("q_date_dim")
+      .as[(String, Long, Long, Long, Long, Long, Long, Long)].collect()
+      .sortBy(_._2)
+    assert(rows.nonEmpty)
+    assert(rows.last._2 - rows.head._2 + 1 == rows.length, "spine must be dense")
+    rows.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(b._2 == a._2 + 1)
+        assert(b._6 == (if (a._6 == 7) 1 else a._6 + 1), "dow must cycle")
+      case _ => ()
+    }
+    rows.foreach { r =>
+      assert((r._8 == 1) == (r._6 >= 6), s"day ${r._1}")
+      assert(r._1 == java.time.LocalDate.ofEpochDay(r._2).toString, s"dnum render ${r._1}")
+    }
+  }
 }
