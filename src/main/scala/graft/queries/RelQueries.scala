@@ -413,6 +413,60 @@ object RelQueries {
             when(expr("(dnum + 3) % 7") + lit(1L) >= 6, 1L).otherwise(0L)
               .as("is_weekend"))
           .orderBy("dnum")
+      }),
+
+    // CDC MERGE APPLY (the lakehouse MERGE INTO, as a plan): a
+    // change feed of upserts + deletes applied to a snapshot in ONE
+    // key-to-key FULL OUTER join — update where both sides match,
+    // insert where only the delta has the key, delete drops the row,
+    // untouched rows pass through tagged 'kept'. The feed is derived
+    // deterministically from the snapshot itself (key residues:
+    // %10∈{0,1,2}→update +500, 3→delete, 4→insert under a shifted
+    // key), so every action path is exercised (9000/4500/1500/1500
+    // at sf0.01). Scale shape is q_agg_incremental_merge's: both
+    // sides hash-partition on the SAME key, history is never
+    // rescanned beyond the one join, and the anti-delete is a filter
+    // on the join result, not a second pass. Three-valued-logic trap
+    // spelled explicitly: the delete filter is `op IS NULL OR op <>
+    // 'D'` — a bare NOT(op='D' AND …) silently drops every kept row.
+    QDef("q_merge_upsert", Some("""
+      WITH snap AS (SELECT o_orderkey AS k,
+                           CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS cents
+                    FROM orders),
+      delta AS (
+        SELECT CASE WHEN o_orderkey % 10 = 4 THEN o_orderkey + 10000000
+                    ELSE o_orderkey END AS k,
+               CASE WHEN o_orderkey % 10 = 3 THEN 'D' ELSE 'U' END AS op,
+               CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) + 500 AS cents
+        FROM orders WHERE o_orderkey % 10 IN (0, 1, 2, 3, 4)),
+      m AS (SELECT coalesce(s.k, d.k) AS k, s.cents AS sc, d.op, d.cents AS dc
+            FROM snap s FULL OUTER JOIN delta d ON s.k = d.k)
+      SELECT k AS okey,
+             CASE WHEN op = 'U' THEN dc ELSE sc END AS cents,
+             CASE WHEN op IS NULL THEN 'kept'
+                  WHEN op = 'U' AND sc IS NOT NULL THEN 'updated'
+                  ELSE 'inserted' END AS action
+      FROM m WHERE op IS NULL OR op <> 'D'
+      ORDER BY okey"""),
+      (s, d) => {
+        val cents = floor(col("o_totalprice") * lit(100.0) + lit(0.5)).cast("long")
+        val snap = t(s, d, "orders").select(col("o_orderkey").as("k"),
+          cents.as("sc"))
+        val delta = t(s, d, "orders")
+          .filter(col("o_orderkey") % 10 <= 4)
+          .select(
+            when(col("o_orderkey") % 10 === 4, col("o_orderkey") + 10000000L)
+              .otherwise(col("o_orderkey")).as("dk"),
+            when(col("o_orderkey") % 10 === 3, "D").otherwise("U").as("op"),
+            (cents + lit(500L)).as("dc"))
+        snap.join(delta, col("k") === col("dk"), "full_outer")
+          .filter(col("op").isNull || col("op") =!= "D")
+          .select(coalesce(col("k"), col("dk")).as("okey"),
+            when(col("op") === "U", col("dc")).otherwise(col("sc")).as("cents"),
+            when(col("op").isNull, "kept")
+              .when(col("op") === "U" && col("sc").isNotNull, "updated")
+              .otherwise("inserted").as("action"))
+          .orderBy("okey")
       })
   )
 }

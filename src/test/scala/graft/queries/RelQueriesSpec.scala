@@ -241,4 +241,31 @@ class RelQueriesSpec extends AnyFunSuite {
       assert(r._1 == java.time.LocalDate.ofEpochDay(r._2).toString, s"dnum render ${r._1}")
     }
   }
+
+  test("merge_upsert: actions partition by key residue, deletes really gone") {
+    import spark.implicits._
+    val rows = q("q_merge_upsert").as[(Long, Long, String)].collect()
+    val snap = graft.pipeline.Tables.t(spark, SparkTesting.sf, "orders")
+      .select(col("o_orderkey"),
+        floor(col("o_totalprice") * lit(100.0) + lit(0.5)).cast("long").as("cents"))
+      .as[(Long, Long)].collect().toMap
+    val byAction = rows.groupBy(_._3)
+    // row accounting: |result| = |snap| − deletes + inserts
+    val nDel = snap.keys.count(_ % 10 == 3)
+    val nIns = snap.keys.count(_ % 10 == 4)
+    assert(rows.length == snap.size - nDel + nIns)
+    // residue 4's ORIGINAL row is untouched (the insert is its
+    // shifted copy), so kept covers residues 4-9
+    byAction("kept").foreach { case (k, c, _) =>
+      assert(k % 10 >= 4 && snap(k) == c, s"kept $k")
+    }
+    byAction("updated").foreach { case (k, c, _) =>
+      assert(k % 10 <= 2 && snap(k) + 500 == c, s"updated $k")
+    }
+    byAction("inserted").foreach { case (k, c, _) =>
+      assert(k > 10000000L && (k - 10000000L) % 10 == 4 &&
+        snap(k - 10000000L) + 500 == c, s"inserted $k")
+    }
+    assert(rows.forall(r => r._1 % 10 != 3), "deleted keys must not survive")
+  }
 }
