@@ -1155,6 +1155,59 @@ object SimQueries {
             (col("d2_other") - col("d2_own")).as("margin"),
             when(col("d2_other") > col("d2_own"), 1L).otherwise(0L).as("separable"))
           .orderBy("vec_id")
+      }),
+
+    // MATRYOSHKA PREFIX-DIM RECALL (Kusupati 2022): how much of the
+    // full-64-dim cosine top-5 does a 16-dim PREFIX ranking recover?
+    // MRL-trained embeddings put the signal mass in the leading
+    // dims, so serving can score d/4 lanes and rerank a shortlist —
+    // this is the acceptance gate for that cutover, the prefix-slice
+    // sibling of q_embed_pq_rerank_eval's code-space gate. Both
+    // rankings are production operators (bruteForceTopK: rounded
+    // sim3 + cid tiebreak, WindowGroupLimit before the exchange);
+    // the prefix side scores slice(v, 1, 16) — the slice happens in
+    // the projection, so the shuffled candidate rows carry 16 lanes,
+    // not 64. Same bounded-query discipline as q_embed_recall_eval
+    // (10 probes × corpus, broadcast).
+    QDef("q_embed_prefix_recall", Some(s"""
+      WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 10),
+      c AS (SELECT vec_id AS cid, v AS cv FROM e),
+      ts AS (SELECT qid, cid, round($cosSql, 3) AS sim3
+             FROM q CROSS JOIN c WHERE qid <> cid),
+      tr AS (SELECT qid, cid FROM ts
+             QUALIFY row_number() OVER (PARTITION BY qid ORDER BY sim3 DESC, cid) <= 5),
+      qp AS (SELECT qid, qv[1:16] AS qv FROM q),
+      cp AS (SELECT cid, cv[1:16] AS cv FROM c),
+      ps AS (SELECT qid, cid, round($cosSql, 3) AS sim3
+             FROM qp CROSS JOIN cp WHERE qid <> cid),
+      pr AS (SELECT qid, cid FROM ps
+             QUALIFY row_number() OVER (PARTITION BY qid ORDER BY sim3 DESC, cid) <= 5),
+      ta AS (SELECT qid, count(*) AS n_truth FROM tr GROUP BY qid),
+      h AS (SELECT t.qid, count(p.cid) AS hits FROM tr t
+            LEFT JOIN pr p ON t.qid = p.qid AND t.cid = p.cid GROUP BY t.qid)
+      SELECT ta.qid AS qid, n_truth, hits,
+             (1000 * hits) // n_truth AS recall_permille
+      FROM ta JOIN h ON ta.qid = h.qid
+      ORDER BY ta.qid"""),
+      (s, d) => {
+        val e = t(s, d, "embeddings")
+          .select(col("vec_id"), col("embedding").as("v"))
+        val q = e.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("qid"), col("v").as("qv"))
+        val c = e.select(col("vec_id").as("cid"), col("v").as("cv"))
+        val truth = Similarity.bruteForceTopK(c, q, 5).select("qid", "cid")
+        val prefix = Similarity.bruteForceTopK(
+          c.select(col("cid"), slice(col("cv"), 1, 16).as("cv")),
+          q.select(col("qid"), slice(col("qv"), 1, 16).as("qv")), 5)
+          .select("qid", "cid")
+        val ta = truth.groupBy("qid").agg(count(lit(1)).as("n_truth"))
+        val h = truth.join(prefix.withColumn("a", lit(1)), Seq("qid", "cid"), "left")
+          .groupBy("qid").agg(count(col("a")).as("hits"))
+        ta.join(h, Seq("qid"))
+          .select(col("qid"), col("n_truth"), col("hits"),
+            expr("div(1000 * hits, n_truth)").as("recall_permille"))
+          .orderBy("qid")
       })
   )
 
