@@ -2404,6 +2404,43 @@ object AnalyticsQueries {
             bit_count(col("bitmap")).cast("long").as("n_active"),
             col("first_bkt"), col("last_bkt"))
           .orderBy("user_id")
+      }),
+
+    // HYSTERESIS ALERTING: daily error share in permille driven
+    // through a Schmitt-trigger state machine — raise above 210‰,
+    // clear below 190‰, HOLD in the dead band (the monitoring
+    // semantics that kills flapping pagers; a single threshold flips
+    // 6 extra times on this data). The hold is declarative, not a
+    // loop: in-band days force NULL and the alert is
+    // last(forced, ignoreNulls) over the day order, seeded 0 — the
+    // q_resample_locf fill idiom applied to control state. The
+    // unpartitioned window walks the DIM-SIZED daily aggregate
+    // (|days| rows), never events.
+    QDef("q_alert_hysteresis", Some("""
+      WITH d AS (SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+                   (1000 * sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END))
+                     // count(*) AS err_pm
+                 FROM events GROUP BY 1),
+      s AS (SELECT day, err_pm,
+              CASE WHEN err_pm > 210 THEN 1 WHEN err_pm < 190 THEN 0 END AS forced
+            FROM d)
+      SELECT day, err_pm,
+             coalesce(last_value(forced IGNORE NULLS) OVER (ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0) AS alert
+      FROM s ORDER BY day"""),
+      (s, d) => {
+        val w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+        t(s, d, "events")
+          .groupBy(date_format(date_trunc("day", col("ts")), "yyyy-MM-dd").as("day"))
+          .agg(count(lit(1)).as("n"),
+            sum(when(col("event_type") === "error", 1L).otherwise(0L)).as("ne"))
+          .select(col("day"), expr("div(1000 * ne, n)").as("err_pm"))
+          .withColumn("forced",
+            when(col("err_pm") > 210, 1L).when(col("err_pm") < 190, 0L))
+          .select(col("day"), col("err_pm"),
+            coalesce(last("forced", ignoreNulls = true).over(w), lit(0L))
+              .as("alert"))
+          .orderBy("day")
       })
   )
 }

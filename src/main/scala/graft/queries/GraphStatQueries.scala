@@ -1068,6 +1068,48 @@ object GraphStatQueries {
             min("deg").cast("long").as("min_deg"),
             max("deg").cast("long").as("max_deg"))
           .orderBy("side", "band")
+      }),
+
+    // HITS HUB/AUTHORITY (Kleinberg): two unrolled power iterations
+    // over the part↔supplier bipartite graph — authorities (parts)
+    // accumulate hub mass, hubs (suppliers) accumulate authority
+    // mass, each step max-normalized to milli fixed point so every
+    // score is an exact BIGINT (the q_pagerank_iter discipline: no
+    // driver loop, no float). The per-step max is a 1-row broadcast;
+    // every spread joins the edge list co-partitioned on its key, so
+    // an iteration costs two hash exchanges regardless of graph
+    // size. Directionality is what PageRank on the undirected
+    // mirror can't express: a supplier serving many strong parts
+    // ranks high as a HUB even if no part "links back".
+    QDef("q_hits_scores", Some("""
+      WITH edges AS (SELECT DISTINCT l_partkey AS p, l_suppkey AS s FROM lineitem),
+      a1 AS (SELECT p, 1000 * count(*) AS a FROM edges GROUP BY 1),
+      a1n AS (SELECT p, (1000 * a) // (SELECT max(a) FROM a1) AS a FROM a1),
+      h1 AS (SELECT e.s, sum(a1n.a) AS h FROM edges e JOIN a1n ON e.p = a1n.p GROUP BY 1),
+      h1n AS (SELECT s, (1000 * h) // (SELECT max(h) FROM h1) AS h FROM h1),
+      a2 AS (SELECT e.p, sum(h1n.h) AS a FROM edges e JOIN h1n ON e.s = h1n.s GROUP BY 1),
+      a2n AS (SELECT p, (1000 * a) // (SELECT max(a) FROM a2) AS a FROM a2)
+      SELECT 'part' AS side, p AS node, a AS score_milli FROM a2n
+      UNION ALL SELECT 'supplier', s, h FROM h1n
+      ORDER BY side, node"""),
+      (s, d) => {
+        val edges = t(s, d, "lineitem")
+          .select(col("l_partkey").as("p"), col("l_suppkey").as("sk")).distinct()
+        def normed(df: org.apache.spark.sql.DataFrame, v: String) =
+          df.crossJoin(broadcast(df.agg(max(v).as("mx"))))
+            .select(df.columns.filter(_ != v).map(col) :+
+              expr(s"div(1000 * $v, mx)").as(v): _*)
+        val a1 = edges.groupBy("p").agg((count(lit(1)) * 1000L).as("a"))
+        val a1n = normed(a1, "a")
+        val h1 = edges.join(a1n, "p").groupBy("sk").agg(sum("a").as("h"))
+        val h1n = normed(h1, "h")
+        val a2 = edges.join(h1n, "sk").groupBy("p").agg(sum("h").as("a"))
+        val a2n = normed(a2, "a")
+        a2n.select(lit("part").as("side"), col("p").as("node"),
+            col("a").as("score_milli"))
+          .unionByName(h1n.select(lit("supplier").as("side"),
+            col("sk").as("node"), col("h").as("score_milli")))
+          .orderBy("side", "node")
       })
   )
 }

@@ -268,4 +268,26 @@ class RelQueriesSpec extends AnyFunSuite {
     }
     assert(rows.forall(r => r._1 % 10 != 3), "deleted keys must not survive")
   }
+
+  test("hits_scores: milli normalization peaks at exactly 1000 per side") {
+    import spark.implicits._
+    val rows = q("q_hits_scores").as[(String, Long, Long)].collect()
+    Seq("part", "supplier").foreach { side =>
+      val scores = rows.filter(_._1 == side).map(_._3)
+      assert(scores.nonEmpty && scores.max == 1000L, s"$side max")
+      assert(scores.forall(x => x >= 0 && x <= 1000), s"$side bounds")
+    }
+  }
+
+  test("alert_hysteresis: dead-band days HOLD the previous alert state") {
+    import spark.implicits._
+    val rows = q("q_alert_hysteresis").as[(String, Long, Long)].collect().sortBy(_._1)
+    assert(rows.nonEmpty && rows.forall(r => r._3 == 0L || r._3 == 1L))
+    var prev = 0L
+    rows.foreach { case (day, pm, alert) =>
+      val expected = if (pm > 210) 1L else if (pm < 190) 0L else prev
+      assert(alert == expected, s"$day pm=$pm")
+      prev = alert
+    }
+  }
 }
