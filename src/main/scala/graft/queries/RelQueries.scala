@@ -467,6 +467,210 @@ object RelQueries {
               .when(col("op") === "U" && col("sc").isNotNull, "updated")
               .otherwise("inserted").as("action"))
           .orderBy("okey")
+      }),
+
+    // TPC-H Q6-shape: the pure scan-side aggregate — a conjunctive
+    // date/discount/quantity predicate and ONE summary row, no join
+    // anywhere. The poster child for pushdown economics: every
+    // predicate lands in the parquet scan's PushedFilters and the
+    // whole query is scan→filter→partial-agg→1-row exchange; at
+    // 100 TB this query's cost is IO after row-group pruning,
+    // nothing else.
+    QDef("q_filtered_scan_revenue", Some("""
+      SELECT CAST(count(*) AS BIGINT) AS n_items,
+             CAST(sum(CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT)) AS BIGINT)
+               AS rev_cents
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        AND l_shipdate <  TIMESTAMP '1998-01-01'
+        AND l_discount BETWEEN 0.05 AND 0.07
+        AND l_quantity < 24.0"""),
+      (s, d) =>
+        t(s, d, "lineitem")
+          .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+            col("l_shipdate") < lit("1998-01-01").cast("timestamp") &&
+            col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24.0)
+          .agg(count(lit(1)).as("n_items"),
+            sum(floor(col("l_extendedprice") * lit(100.0) + lit(0.5)).cast("long"))
+              .cast("long").as("rev_cents"))),
+
+    // TPC-H Q10-shape: returned-revenue customer ranking — the
+    // "who's returning merchandise" churn screen. The returnflag
+    // filter pushes into the fact scan BEFORE the joins (~⅓ of
+    // rows), orders joins on the order key, customer + nation
+    // broadcast, and the top-20 is TakeOrderedAndProject (no global
+    // sort materializes).
+    QDef("q_returned_top_customers", Some("""
+      SELECT c.c_custkey, c.c_name, n.n_name,
+             CAST(count(*) AS BIGINT) AS n_items,
+             CAST(sum(CAST(floor(l.l_extendedprice * 100.0 + 0.5) AS BIGINT)
+                      * (1000 - CAST(floor(l.l_discount * 1000.0 + 0.5) AS BIGINT)))
+               AS BIGINT) AS lost_milli_cents
+      FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+      WHERE l.l_returnflag = 'R'
+      GROUP BY 1, 2, 3
+      ORDER BY lost_milli_cents DESC, c_custkey LIMIT 20"""),
+      (s, d) => {
+        val rev = (floor(col("l_extendedprice") * lit(100.0) + lit(0.5)).cast("long")
+          * (lit(1000L) - floor(col("l_discount") * lit(1000.0) + lit(0.5)).cast("long")))
+        t(s, d, "lineitem").filter(col("l_returnflag") === "R")
+          .join(t(s, d, "orders").select("o_orderkey", "o_custkey"),
+            col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(t(s, d, "customer")
+            .select("c_custkey", "c_name", "c_nationkey")),
+            col("o_custkey") === col("c_custkey"))
+          .join(broadcast(t(s, d, "nation").select("n_nationkey", "n_name")),
+            col("c_nationkey") === col("n_nationkey"))
+          .groupBy("c_custkey", "c_name", "n_name")
+          .agg(count(lit(1)).as("n_items"),
+            sum(rev).cast("long").as("lost_milli_cents"))
+          .orderBy(col("lost_milli_cents").desc, col("c_custkey"))
+          .limit(20)
+      }),
+
+    // TPC-H Q12-shape: the two-way conditional aggregate over a
+    // join — per return flag, line counts split by order-priority
+    // class (critical vs not) in ONE pass. No second scan, no
+    // pivot machinery: two sum(CASE)s share the row stream.
+    QDef("q_priority_class_lines", Some("""
+      SELECT l.l_returnflag,
+             CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                           THEN 1 ELSE 0 END) AS BIGINT) AS high_lines,
+             CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                           THEN 0 ELSE 1 END) AS BIGINT) AS low_lines
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      GROUP BY 1 ORDER BY l_returnflag"""),
+      (s, d) => {
+        val isHigh = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+        t(s, d, "lineitem").select("l_orderkey", "l_returnflag")
+          .join(t(s, d, "orders").select("o_orderkey", "o_orderpriority"),
+            col("l_orderkey") === col("o_orderkey"))
+          .groupBy("l_returnflag")
+          .agg(sum(when(isHigh, 1L).otherwise(0L)).cast("long").as("high_lines"),
+            sum(when(isHigh, 0L).otherwise(1L)).cast("long").as("low_lines"))
+          .orderBy("l_returnflag")
+      }),
+
+    // TPC-H Q13-shape: the distribution-of-counts double aggregate —
+    // orders per customer, then customers per order-count (the
+    // engagement histogram whose mode says what a "normal" customer
+    // looks like). LEFT OUTER keeps zero-order customers honest (the
+    // count(order_key) vs count(*) distinction matters: NULL fan-in
+    // counts 0, not 1). First agg shuffles on customer, second on
+    // the count — both partial-aggregated map-side.
+    QDef("q_cust_order_histogram", Some("""
+      WITH co AS (SELECT c.c_custkey, count(o.o_orderkey) AS n_orders
+                  FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+                  GROUP BY 1)
+      SELECT n_orders, CAST(count(*) AS BIGINT) AS n_customers
+      FROM co GROUP BY 1 ORDER BY n_orders"""),
+      (s, d) =>
+        t(s, d, "customer").select("c_custkey")
+          .join(t(s, d, "orders").select("o_orderkey", "o_custkey"),
+            col("c_custkey") === col("o_custkey"), "left")
+          .groupBy("c_custkey")
+          .agg(count(col("o_orderkey")).as("n_orders"))
+          .groupBy("n_orders")
+          .agg(count(lit(1)).as("n_customers"))
+          .orderBy("n_orders")),
+
+    // SKETCH-ALGEBRA INTERSECTION: |A ∩ B| for two customer cohorts
+    // estimated by inclusion–exclusion over MERGEABLE HLL sketches
+    // (est_A + est_B − est_A∪B) — the q_hll_merge contract extended
+    // from union to intersection, which is how sketch stores answer
+    // overlap questions without ever co-scanning the cohorts. The
+    // estimate is engine-specific, so the oracle-checked surface is
+    // the exact counts plus a bound flag asserted 1 (I-E compounds
+    // three 3σ≈5% terms → gate at 15% of the union). Each cohort is
+    // one filtered sketch aggregate; the exact side is the
+    // verification harness, not the production path.
+    QDef("q_sketch_intersection", Some("""
+      WITH a AS (SELECT DISTINCT o_custkey FROM orders
+                 WHERE o_orderpriority = '1-URGENT'),
+      b AS (SELECT DISTINCT o_custkey FROM orders
+            WHERE o_orderpriority = '5-LOW')
+      SELECT (SELECT count(*) FROM a) AS exact_a,
+             (SELECT count(*) FROM b) AS exact_b,
+             (SELECT count(*) FROM a JOIN b USING (o_custkey)) AS exact_int,
+             (SELECT count(*) FROM (SELECT * FROM a UNION SELECT * FROM b))
+               AS exact_union,
+             CAST(1 AS INTEGER) AS within_bound"""),
+      (s, d) => {
+        val o = t(s, d, "orders")
+        def cohort(p: String) = o.filter(col("o_orderpriority") === p)
+          .select("o_custkey")
+        val skA = cohort("1-URGENT")
+          .agg(hll_sketch_agg(col("o_custkey"), 12).as("sk"),
+            countDistinct("o_custkey").as("exact_a"))
+        val skB = cohort("5-LOW")
+          .agg(hll_sketch_agg(col("o_custkey"), 12).as("skb"),
+            countDistinct("o_custkey").as("exact_b"))
+        val exact = cohort("1-URGENT").distinct()
+          .join(cohort("5-LOW").distinct(), "o_custkey")
+          .agg(count(lit(1)).as("exact_int"))
+          .crossJoin(cohort("1-URGENT").union(cohort("5-LOW")).distinct()
+            .agg(count(lit(1)).as("exact_union")))
+        skA.crossJoin(skB).crossJoin(broadcast(exact))
+          .select(col("exact_a"), col("exact_b"), col("exact_int"),
+            col("exact_union"),
+            (abs(hll_sketch_estimate(col("sk")) +
+              hll_sketch_estimate(col("skb")) -
+              hll_sketch_estimate(hll_union(col("sk"), col("skb"))) -
+              col("exact_int")) <= lit(0.15) * col("exact_union"))
+              .cast("int").as("within_bound"))
+      }),
+
+    // MALFORMED-ROW QUARANTINE AT INGEST: a CSV feed with a known
+    // corruption pattern (every 50th key's numeric field garbled)
+    // read under PERMISSIVE mode with a corrupt-record column — bad
+    // rows are QUARANTINED and counted, never dropped silently and
+    // never allowed to poison the aggregate (the batch face of the
+    // reference's tolerate-and-continue source posture,
+    // run_ac_extraction.py:374-382). The corruption is deterministic,
+    // so the oracle reconstructs both populations logically from
+    // orders — the CSV is scratch transport. Scale: the parse +
+    // quarantine split is a projection inside the scan; no
+    // second pass over the file.
+    QDef("q_csv_quarantine", Some("""
+      SELECT CAST(count(CASE WHEN o_orderkey % 50 <> 0 THEN 1 END) AS BIGINT)
+               AS n_clean,
+             CAST(count(CASE WHEN o_orderkey % 50 = 0 THEN 1 END) AS BIGINT)
+               AS n_quarantined,
+             CAST(sum(CASE WHEN o_orderkey % 50 <> 0
+                      THEN CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)
+                      END) AS BIGINT) AS clean_cents
+      FROM orders"""),
+      (s, d) => {
+        import org.apache.spark.sql.types._
+        val out = SinkScratch.dir("q_csv_quarantine", d)
+        t(s, d, "orders")
+          .select(concat_ws(",",
+            col("o_orderkey").cast("string"),
+            col("o_orderstatus"),
+            // the garbled field must be one the consumer actually
+            // reads: Spark's CSV parser prunes unreferenced columns,
+            // and an unparsed field can't be detected as corrupt
+            when(col("o_orderkey") % 50 === 0,
+              concat(lit("BAD"),
+                floor(col("o_totalprice") * lit(100.0) + lit(0.5)).cast("long")))
+              .otherwise(floor(col("o_totalprice") * lit(100.0) + lit(0.5))
+                .cast("long").cast("string"))).as("value"))
+          .write.mode("overwrite").text(out)
+        val schema = StructType(Seq(
+          StructField("okey", LongType), StructField("status", StringType),
+          StructField("cents", LongType),
+          StructField("_bad", StringType)))
+        s.read.schema(schema)
+          .option("mode", "PERMISSIVE")
+          .option("columnNameOfCorruptRecord", "_bad")
+          .csv(out)
+          .agg(count(when(col("_bad").isNull, 1)).as("n_clean"),
+            count(when(col("_bad").isNotNull, 1)).as("n_quarantined"),
+            sum(when(col("_bad").isNull, col("cents"))).cast("long")
+              .as("clean_cents"))
       })
   )
 }

@@ -269,6 +269,59 @@ class RelQueriesSpec extends AnyFunSuite {
     assert(rows.forall(r => r._1 % 10 != 3), "deleted keys must not survive")
   }
 
+  test("filtered_scan_revenue: all three predicates reach the parquet scan, no join") {
+    val df = q("q_filtered_scan_revenue")
+    val plan = planOf(df)
+    assert(!plan.contains("Join"), s"Q6 shape must be join-free:\n$plan")
+    val pushed = plan.linesIterator.filter(_.contains("PushedFilters")).mkString
+    Seq("l_shipdate", "l_discount", "l_quantity").foreach { c =>
+      assert(pushed.contains(c), s"$c must push down:\n$pushed")
+    }
+  }
+
+  test("returned_top_customers: top-20 via TakeOrdered, monotone revenue") {
+    import spark.implicits._
+    val df = q("q_returned_top_customers")
+    val plan = planOf(df)
+    assert(SparkTesting.finalSection(plan).contains("TakeOrderedAndProject"),
+      s"ordered limit must not global-sort:\n$plan")
+    val rows = df.as[(Long, String, String, Long, Long)].collect()
+    assert(rows.length <= 20 && rows.nonEmpty)
+    assert(rows.map(_._5).sliding(2).forall(p => p.length < 2 || p(0) >= p(1)))
+  }
+
+  test("priority_class_lines + cust_order_histogram: totals partition their facts") {
+    import spark.implicits._
+    val li = graft.pipeline.Tables.t(spark, SparkTesting.sf, "lineitem").count()
+    val pc = q("q_priority_class_lines").as[(String, Long, Long)].collect()
+    assert(pc.map(r => r._2 + r._3).sum == li)
+    val cust = graft.pipeline.Tables.t(spark, SparkTesting.sf, "customer").count()
+    val ord = graft.pipeline.Tables.t(spark, SparkTesting.sf, "orders").count()
+    val h = q("q_cust_order_histogram").as[(Long, Long)].collect()
+    assert(h.map(_._2).sum == cust, "histogram must cover every customer")
+    assert(h.map(r => r._1 * r._2).sum == ord, "order mass must reconcile")
+  }
+
+  test("sketch_intersection: inclusion-exclusion exact side reconciles, bound holds") {
+    import spark.implicits._
+    val Array((a, b, i, u, ok)) =
+      q("q_sketch_intersection").as[(Long, Long, Long, Long, Int)].collect()
+    assert(a + b - i == u, "exact inclusion-exclusion must reconcile")
+    assert(i > 0 && i < u, "cohorts must genuinely partially overlap")
+    assert(ok == 1, "HLL I-E estimate outside the 15% gate")
+  }
+
+  test("csv_quarantine: corrupt rows quarantined exactly, never silently dropped") {
+    import spark.implicits._
+    val Array((clean, quar, cents)) =
+      q("q_csv_quarantine").as[(Long, Long, Long)].collect()
+    val keys = graft.pipeline.Tables.t(spark, SparkTesting.sf, "orders")
+      .select("o_orderkey").as[Long].collect()
+    assert(quar == keys.count(_ % 50 == 0), "quarantine count")
+    assert(clean + quar == keys.length, "no silent drops")
+    assert(cents > 0)
+  }
+
   test("hits_scores: milli normalization peaks at exactly 1000 per side") {
     import spark.implicits._
     val rows = q("q_hits_scores").as[(String, Long, Long)].collect()
