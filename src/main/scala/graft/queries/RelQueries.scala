@@ -671,6 +671,83 @@ object RelQueries {
             count(when(col("_bad").isNotNull, 1)).as("n_quarantined"),
             sum(when(col("_bad").isNull, col("cents"))).cast("long")
               .as("clean_cents"))
+      }),
+
+    // TPC-H Q8-shape: market share — one nation's slice of a
+    // region's revenue per ship year, numerator and denominator from
+    // the SAME single pass (conditional aggregate; a naive consumer
+    // runs the region query twice). The region membership filter
+    // broadcasts into the fact via the supplier→nation→region chain;
+    // share is exact integer permille of milli-cents.
+    QDef("q_market_share", Some("""
+      SELECT CAST(year(l.l_shipdate) AS BIGINT) AS ship_year,
+             CAST(sum(CASE WHEN n.n_name = 'NATION_2'
+                 THEN CAST(floor(l.l_extendedprice * 100.0 + 0.5) AS BIGINT)
+                      * (1000 - CAST(floor(l.l_discount * 1000.0 + 0.5) AS BIGINT))
+                 ELSE 0 END) AS BIGINT) AS nation_milli_cents,
+             CAST(sum(CAST(floor(l.l_extendedprice * 100.0 + 0.5) AS BIGINT)
+                      * (1000 - CAST(floor(l.l_discount * 1000.0 + 0.5) AS BIGINT)))
+               AS BIGINT) AS region_milli_cents,
+             (1000 * sum(CASE WHEN n.n_name = 'NATION_2'
+                 THEN CAST(floor(l.l_extendedprice * 100.0 + 0.5) AS BIGINT)
+                      * (1000 - CAST(floor(l.l_discount * 1000.0 + 0.5) AS BIGINT))
+                 ELSE 0 END))
+               // sum(CAST(floor(l.l_extendedprice * 100.0 + 0.5) AS BIGINT)
+                   * (1000 - CAST(floor(l.l_discount * 1000.0 + 0.5) AS BIGINT)))
+               AS share_permille
+      FROM lineitem l
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      JOIN nation n ON s.s_nationkey = n.n_nationkey
+      JOIN region r ON n.n_regionkey = r.r_regionkey
+      WHERE r.r_name = 'ASIA'
+      GROUP BY 1 ORDER BY ship_year"""),
+      (s, d) => {
+        val rev = (floor(col("l_extendedprice") * lit(100.0) + lit(0.5)).cast("long")
+          * (lit(1000L) - floor(col("l_discount") * lit(1000.0) + lit(0.5)).cast("long")))
+        t(s, d, "lineitem")
+          .join(broadcast(t(s, d, "supplier").select("s_suppkey", "s_nationkey")),
+            col("l_suppkey") === col("s_suppkey"))
+          .join(broadcast(t(s, d, "nation")),
+            col("s_nationkey") === col("n_nationkey"))
+          .join(broadcast(t(s, d, "region").filter(col("r_name") === "ASIA")
+            .select("r_regionkey")), col("n_regionkey") === col("r_regionkey"))
+          .groupBy(year(col("l_shipdate")).cast("long").as("ship_year"))
+          .agg(sum(when(col("n_name") === "NATION_2", rev).otherwise(0L))
+              .cast("long").as("nation_milli_cents"),
+            sum(rev).cast("long").as("region_milli_cents"))
+          .select(col("ship_year"), col("nation_milli_cents"),
+            col("region_milli_cents"),
+            expr("div(1000 * nation_milli_cents, region_milli_cents)")
+              .as("share_permille"))
+          .orderBy("ship_year")
+      }),
+
+    // TPC-H Q16-shape: supplier diversity census — DISTINCT supplier
+    // counts per (brand, type), excluding blacklisted suppliers
+    // (negative account balance) via NOT IN → LEFT ANTI against the
+    // tiny blacklist key set. The anti join prunes the fact BEFORE
+    // the expensive distinct aggregate; part broadcasts; the
+    // countDistinct shuffles (brand, type, suppkey) partials, never
+    // raw rows.
+    QDef("q_supplier_census", Some("""
+      SELECT p.p_brand, p.p_type,
+             CAST(count(DISTINCT l.l_suppkey) AS BIGINT) AS n_suppliers,
+             CAST(count(*) AS BIGINT) AS n_items
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+      WHERE l.l_suppkey NOT IN
+        (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0.0)
+      GROUP BY 1, 2 ORDER BY p_brand, p_type"""),
+      (s, d) => {
+        val blacklist = t(s, d, "supplier").filter(col("s_acctbal") < 0.0)
+          .select("s_suppkey")
+        t(s, d, "lineitem").select("l_partkey", "l_suppkey")
+          .join(blacklist, col("l_suppkey") === col("s_suppkey"), "left_anti")
+          .join(broadcast(t(s, d, "part").select("p_partkey", "p_brand", "p_type")),
+            col("l_partkey") === col("p_partkey"))
+          .groupBy("p_brand", "p_type")
+          .agg(countDistinct("l_suppkey").as("n_suppliers"),
+            count(lit(1)).as("n_items"))
+          .orderBy("p_brand", "p_type")
       })
   )
 }
