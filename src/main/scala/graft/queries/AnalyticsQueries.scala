@@ -2441,6 +2441,60 @@ object AnalyticsQueries {
             coalesce(last("forced", ignoreNulls = true).over(w), lit(0L))
               .as("alert"))
           .orderBy("day")
+      }),
+
+    // SEASONAL DECOMPOSITION (STL-lite): daily event counts per type
+    // split into trend + weekday seasonal + residual, all exact
+    // milli integers. Trend = centered 7-day mean (NULL at the
+    // edges, where the window isn't full — no silent short-window
+    // bias); seasonal = per-(type, weekday) mean of the detrended
+    // series (sign-aware truncating div, the q_kmeans_recompute
+    // convention); residual = detrended − seasonal, and Σresidual ≈ 0
+    // by construction. Everything after the one fact aggregate is
+    // dim-sized (|types|×|days|); the weekday uses the engine-neutral
+    // (dnum+3) mod 7 formula, not dayofweek.
+    QDef("q_seasonal_decompose", Some("""
+      WITH d AS (SELECT event_type, epoch_us(date_trunc('day', ts)) // 86400000000 AS dnum,
+                        count(*) AS c
+                 FROM events GROUP BY 1, 2),
+      tr AS (SELECT event_type, dnum, c,
+               CASE WHEN count(*) OVER w7 = 7
+                    THEN (1000 * sum(c) OVER w7) // 7 END AS trend_milli
+             FROM d WINDOW w7 AS (PARTITION BY event_type ORDER BY dnum
+                                  ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+      de AS (SELECT event_type AS et, dnum, c, trend_milli,
+                    1000 * c - trend_milli AS det FROM tr),
+      se AS (SELECT et AS set2, (dnum + 3) % 7 + 1 AS dow,
+               CASE WHEN sum(det) >= 0 THEN sum(det) // count(det)
+                    ELSE -((-sum(det)) // count(det)) END AS seasonal_milli
+             FROM de WHERE det IS NOT NULL GROUP BY 1, 2)
+      SELECT et AS event_type, CAST(dnum AS BIGINT) AS dnum,
+             CAST(c AS BIGINT) AS n_events, trend_milli, seasonal_milli,
+             det - seasonal_milli AS resid_milli
+      FROM de JOIN se ON et = set2 AND (dnum + 3) % 7 + 1 = dow
+      ORDER BY event_type, dnum"""),
+      (s, d) => {
+        val w7 = Window.partitionBy("event_type").orderBy("dnum").rowsBetween(-3, 3)
+        val de = t(s, d, "events")
+          .groupBy(col("event_type"),
+            expr("div(unix_micros(date_trunc('day', ts)), 86400000000)").as("dnum"))
+          .agg(count(lit(1)).as("c"))
+          .withColumn("trend_milli",
+            when(count(lit(1)).over(w7) === 7,
+              expr("div(1000 * sum(c) over (partition by event_type order by dnum " +
+                "rows between 3 preceding and 3 following), 7)")))
+          .withColumn("det", lit(1000L) * col("c") - col("trend_milli"))
+        val se = de.filter(col("det").isNotNull)
+          .groupBy(col("event_type").as("set2"),
+            (expr("(dnum + 3) % 7") + lit(1L)).as("dow"))
+          .agg(expr("div(sum(det), count(det))").as("seasonal_milli"))
+        de.join(broadcast(se),
+          col("event_type") === col("set2") &&
+            (expr("(dnum + 3) % 7") + lit(1L)) === col("dow"))
+          .select(col("event_type"), col("dnum"), col("c").as("n_events"),
+            col("trend_milli"), col("seasonal_milli"),
+            (col("det") - col("seasonal_milli")).as("resid_milli"))
+          .orderBy("event_type", "dnum")
       })
   )
 }

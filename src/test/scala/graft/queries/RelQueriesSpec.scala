@@ -332,6 +332,28 @@ class RelQueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("seasonal_decompose: edges NULL-trended, decomposition reconciles exactly") {
+    import spark.implicits._
+    val rows = q("q_seasonal_decompose")
+      .as[(String, Long, Long, Option[Long], Long, Option[Long])].collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (et, rs) =>
+      val sorted = rs.sortBy(_._2)
+      // first/last 3 days can't have a full centered window
+      assert(sorted.take(3).forall(_._4.isEmpty), s"$et leading edge")
+      assert(sorted.takeRight(3).forall(_._4.isEmpty), s"$et trailing edge")
+      sorted.foreach { r =>
+        (r._4, r._6) match {
+          case (Some(tr), Some(res)) =>
+            // exact reconstruction: 1000·c = trend + seasonal + residual
+            assert(1000L * r._3 == tr + r._5 + res, s"$et day ${r._2}")
+          case (None, None) => ()
+          case other => fail(s"$et day ${r._2}: trend/resid must be NULL together $other")
+        }
+      }
+    }
+  }
+
   test("alert_hysteresis: dead-band days HOLD the previous alert state") {
     import spark.implicits._
     val rows = q("q_alert_hysteresis").as[(String, Long, Long)].collect().sortBy(_._1)
