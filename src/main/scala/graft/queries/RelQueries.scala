@@ -152,8 +152,11 @@ object RelQueries {
     // TPC-H Q17-shape: the correlated-average subquery ("rows with
     // quantity below 20% of their part's average") decorrelated to a
     // per-part (n, Σqty) aggregate joined BACK to the fact on the
-    // same key — both sides hash-partition on l_partkey, so the join
-    // adds no third shuffle. The average itself never materializes:
+    // same key. The aggregate is |parts|-bounded, so at this SF
+    // Catalyst broadcasts it (the fact never shuffles for the join);
+    // past the broadcast cap both sides hash-partition on l_partkey
+    // and the join still adds no third shuffle — either regime is
+    // the plan you'd want. The average itself never materializes:
     // the predicate cross-multiplies (5·n·qty < Σqty ⟺ qty < Σ/(5n))
     // so the comparison is pure BIGINT. Quantities are integral by
     // data contract (1..50); CAST, not floor-round.
