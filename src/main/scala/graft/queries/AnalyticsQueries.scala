@@ -2495,6 +2495,79 @@ object AnalyticsQueries {
             col("trend_milli"), col("seasonal_milli"),
             (col("det") - col("seasonal_milli")).as("resid_milli"))
           .orderBy("event_type", "dnum")
+      }),
+
+    // VELOCITY CAP (rate-limit / fraud screen): each user's PEAK
+    // event count inside any trailing 1-hour window, flagged at ≥3 —
+    // the sliding-rate primitive behind "N requests per hour"
+    // enforcement, computed exactly (a tumbling approximation
+    // undercounts straddling bursts; the RANGE frame doesn't). One
+    // user-keyed Sort serves the frame count, the per-user max is
+    // the following aggregate on the same partitioning; frame bound
+    // in integer µs (3599999999 ≡ strictly-within-one-hour with
+    // CURRENT ROW inclusive).
+    QDef("q_velocity_cap", Some("""
+      WITH e AS (SELECT user_id, epoch_us(ts) AS s FROM events),
+      w AS (SELECT user_id,
+              count(*) OVER (PARTITION BY user_id ORDER BY s
+                             RANGE BETWEEN 3599999999 PRECEDING AND CURRENT ROW)
+                AS cnt
+            FROM e)
+      SELECT user_id, CAST(max(cnt) AS BIGINT) AS peak_per_hour,
+             CASE WHEN max(cnt) >= 3 THEN 1 ELSE 0 END AS velocity_flag
+      FROM w GROUP BY 1 ORDER BY user_id"""),
+      (s, d) => {
+        val w = Window.partitionBy("user_id").orderBy("s")
+          .rangeBetween(-3599999999L, 0)
+        t(s, d, "events")
+          .select(col("user_id"), unix_micros(col("ts")).as("s"))
+          .withColumn("cnt", count(lit(1)).over(w))
+          .groupBy("user_id")
+          .agg(max("cnt").cast("long").as("peak_per_hour"))
+          .select(col("user_id"), col("peak_per_hour"),
+            when(col("peak_per_hour") >= 3, 1L).otherwise(0L).as("velocity_flag"))
+          .orderBy("user_id")
+      }),
+
+    // WEIGHTED MEDIAN: the smallest price whose cumulative QUANTITY
+    // mass reaches half the flag's total — the volume-weighted
+    // central price a plain median (one row, one vote) misstates.
+    // Exact by cumulative-weight rank selection. Tie-independence
+    // argument (why no unique tiebreak is needed): cumulative sums
+    // only vary WITHIN a group of identical cents, and whether the
+    // half-mass crossing lands on the group's first or last row,
+    // min(cents) over the qualifying set is that same group's value
+    // — so engines may order tied rows differently and still agree.
+    // One flag-keyed Sort serves both window passes and the final
+    // aggregate.
+    QDef("q_weighted_median", Some("""
+      WITH x AS (SELECT l_returnflag AS f,
+                   CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT) AS cents,
+                   CAST(l_quantity AS BIGINT) AS w FROM lineitem),
+      c AS (SELECT f, cents, w,
+              sum(w) OVER (PARTITION BY f ORDER BY cents, w
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw,
+              sum(w) OVER (PARTITION BY f) AS tw
+            FROM x)
+      SELECT f AS l_returnflag, CAST(min(cents) AS BIGINT) AS wmedian_cents,
+             CAST(max(tw) AS BIGINT) AS total_weight
+      FROM c WHERE 2 * cw >= tw GROUP BY 1 ORDER BY l_returnflag"""),
+      (s, d) => {
+        val wc = Window.partitionBy("f").orderBy("cents", "w")
+          .rowsBetween(Window.unboundedPreceding, 0)
+        val wt = Window.partitionBy("f")
+        t(s, d, "lineitem")
+          .select(col("l_returnflag").as("f"),
+            floor(col("l_extendedprice") * lit(100.0) + lit(0.5)).cast("long")
+              .as("cents"),
+            col("l_quantity").cast("long").as("w"))
+          .withColumn("cw", sum("w").over(wc))
+          .withColumn("tw", sum("w").over(wt))
+          .filter(lit(2L) * col("cw") >= col("tw"))
+          .groupBy(col("f").as("l_returnflag"))
+          .agg(min("cents").cast("long").as("wmedian_cents"),
+            max("tw").cast("long").as("total_weight"))
+          .orderBy("l_returnflag")
       })
   )
 }

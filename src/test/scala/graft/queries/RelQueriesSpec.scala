@@ -354,6 +354,32 @@ class RelQueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("velocity_cap + weighted_median: bounds and half-mass property hold") {
+    import spark.implicits._
+    val vc = q("q_velocity_cap").as[(Long, Long, Long)].collect()
+    val perUser = graft.pipeline.Tables.t(spark, SparkTesting.sf, "events")
+      .groupBy("user_id").count().as[(Long, Long)].collect().toMap
+    vc.foreach { case (u, peak, flag) =>
+      assert(peak >= 1 && peak <= perUser(u), s"user $u peak")
+      assert(flag == (if (peak >= 3) 1L else 0L))
+    }
+    val wm = q("q_weighted_median").as[(String, Long, Long)].collect()
+    val li = graft.pipeline.Tables.t(spark, SparkTesting.sf, "lineitem")
+      .select(col("l_returnflag"),
+        floor(col("l_extendedprice") * lit(100.0) + lit(0.5)).cast("long").as("cents"),
+        col("l_quantity").cast("long").as("w"))
+      .as[(String, Long, Long)].collect()
+    wm.foreach { case (f, med, tw) =>
+      val grp = li.filter(_._1 == f)
+      assert(grp.map(_._3).sum == tw, s"$f total weight")
+      // half-mass property: weight at-or-below the weighted median
+      // reaches half; weight strictly below does not
+      val below = grp.filter(_._2 < med).map(_._3).sum
+      val atOrBelow = grp.filter(_._2 <= med).map(_._3).sum
+      assert(2 * atOrBelow >= tw && 2 * below < tw, s"$f half-mass")
+    }
+  }
+
   test("alert_hysteresis: dead-band days HOLD the previous alert state") {
     import spark.implicits._
     val rows = q("q_alert_hysteresis").as[(String, Long, Long)].collect().sortBy(_._1)
