@@ -2568,6 +2568,45 @@ object AnalyticsQueries {
           .agg(min("cents").cast("long").as("wmedian_cents"),
             max("tw").cast("long").as("total_weight"))
           .orderBy("l_returnflag")
+      }),
+
+    // ENGAGEMENT SURVIVAL CURVE (Kaplan-Meier-lite, no censoring):
+    // for each day-offset k, how many users' activity span (last
+    // active day − first active day) reaches k, in exact permille of
+    // the cohort — the retention duration curve behind "median
+    // engaged lifetime". The oracle states it as the naive k×users
+    // band join; the Spark plan computes the IDENTICAL quantity the
+    // scale-safe way: span histogram (|users| → |spans| rows) +
+    // REVERSE running sum over the dim-sized offset grid — at 100 TB
+    // the curve costs one fact aggregate and a |days|-row window,
+    // never a non-equi join against users.
+    QDef("q_survival_curve", Some("""
+      WITH u AS (SELECT user_id,
+                   max(epoch_us(date_trunc('day', ts)) // 86400000000)
+                   - min(epoch_us(date_trunc('day', ts)) // 86400000000) AS span
+                 FROM events GROUP BY 1),
+      n AS (SELECT count(*) AS nu FROM u),
+      k AS (SELECT unnest(range(0, (SELECT max(span) FROM u) + 1)) AS k),
+      j AS (SELECT k.k, u.user_id FROM k LEFT JOIN u ON u.span >= k.k)
+      SELECT j.k, CAST(count(j.user_id) AS BIGINT) AS n_surviving,
+             (1000 * count(j.user_id)) // max(n.nu) AS survival_permille
+      FROM j, n GROUP BY j.k ORDER BY j.k"""),
+      (s, d) => {
+        val dn = expr("div(unix_micros(date_trunc('day', ts)), 86400000000)")
+        val u = t(s, d, "events")
+          .groupBy("user_id")
+          .agg((max(dn) - min(dn)).as("span"))
+        val h = u.groupBy("span").agg(count(lit(1)).as("cnt"))
+        val grid = u.agg(max("span").as("mx"))
+          .select(explode(expr("sequence(0, mx)")).as("k"))
+        val rev = Window.orderBy("k").rowsBetween(0, Window.unboundedFollowing)
+        grid.join(h, col("k") === col("span"), "left")
+          .withColumn("n_surviving",
+            sum(coalesce(col("cnt"), lit(0L))).over(rev).cast("long"))
+          .crossJoin(broadcast(u.agg(count(lit(1)).as("nu"))))
+          .select(col("k"), col("n_surviving"),
+            expr("div(1000 * n_surviving, nu)").as("survival_permille"))
+          .orderBy("k")
       })
   )
 }

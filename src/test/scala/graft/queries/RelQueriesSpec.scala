@@ -380,6 +380,20 @@ class RelQueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("survival_curve: monotone non-increasing, anchored at the full cohort") {
+    import spark.implicits._
+    val rows = q("q_survival_curve").as[(Long, Long, Long)].collect().sortBy(_._1)
+    assert(rows.nonEmpty && rows.head._1 == 0L)
+    val cohort = graft.pipeline.Tables.t(spark, SparkTesting.sf, "events")
+      .select("user_id").distinct().count()
+    assert(rows.head._2 == cohort, "k=0 must cover every user")
+    rows.sliding(2).foreach {
+      case Array(a, b) => assert(b._2 <= a._2, s"survival must not rise at k=${b._1}")
+      case _ => ()
+    }
+    assert(rows.last._2 >= 1, "max-span user defines the last offset")
+  }
+
   test("alert_hysteresis: dead-band days HOLD the previous alert state") {
     import spark.implicits._
     val rows = q("q_alert_hysteresis").as[(String, Long, Long)].collect().sortBy(_._1)
