@@ -2607,6 +2607,123 @@ object AnalyticsQueries {
           .select(col("k"), col("n_surviving"),
             expr("div(1000 * n_surviving, nu)").as("survival_permille"))
           .orderBy("k")
+      }),
+
+    // NEAREST AS-OF JOIN: each purchase matched to its user's
+    // temporally CLOSEST click — before or after, min |Δt|, ties to
+    // the earlier side — the sensor-alignment variant of
+    // q_asof_join's backward-only pick. Same zero-join machinery:
+    // union the two streams, ONE user-keyed Sort, the previous click
+    // via last(IGNORE NULLS) over the preceding frame and the next
+    // via first(IGNORE NULLS) over the following frame, then a pure
+    // projection arbitrates. Clicks order before purchases at equal
+    // timestamps (is_p in the sort key), so a same-instant click is
+    // "previous" with Δt = 0 — deterministic on any engine.
+    QDef("q_asof_nearest", Some("""
+      WITH p AS (SELECT event_id AS pid, user_id, epoch_us(ts) AS pts
+                 FROM events WHERE event_type = 'purchase'),
+      c AS (SELECT event_id AS cid, user_id AS cu, epoch_us(ts) AS cts
+            FROM events WHERE event_type = 'click'),
+      u AS (SELECT pid, user_id, pts, NULL::BIGINT AS cid, NULL::BIGINT AS cts,
+                   1 AS is_p FROM p
+            UNION ALL SELECT NULL, cu, cts, cid, cts, 0 FROM c),
+      f AS (SELECT *,
+              last_value(CASE WHEN is_p = 0 THEN cid END IGNORE NULLS)
+                OVER w1 AS prev_cid,
+              last_value(CASE WHEN is_p = 0 THEN cts END IGNORE NULLS)
+                OVER w1 AS prev_cts,
+              first_value(CASE WHEN is_p = 0 THEN cid END IGNORE NULLS)
+                OVER w2 AS next_cid,
+              first_value(CASE WHEN is_p = 0 THEN cts END IGNORE NULLS)
+                OVER w2 AS next_cts
+            FROM u
+            WINDOW w1 AS (PARTITION BY user_id
+                          ORDER BY pts, is_p, coalesce(cid, pid)
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                   w2 AS (PARTITION BY user_id
+                          ORDER BY pts, is_p, coalesce(cid, pid)
+                          ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING))
+      SELECT pid, user_id,
+        CASE WHEN prev_cid IS NULL THEN next_cid
+             WHEN next_cid IS NULL THEN prev_cid
+             WHEN pts - prev_cts <= next_cts - pts THEN prev_cid
+             ELSE next_cid END AS nearest_click,
+        CASE WHEN prev_cid IS NULL THEN next_cts - pts
+             WHEN next_cid IS NULL THEN pts - prev_cts
+             WHEN pts - prev_cts <= next_cts - pts THEN pts - prev_cts
+             ELSE next_cts - pts END AS dt_us
+      FROM f WHERE is_p = 1 ORDER BY pid"""),
+      (s, d) => {
+        val ev = t(s, d, "events")
+        val p = ev.filter(col("event_type") === "purchase")
+          .select(col("event_id").as("pid"), col("user_id"),
+            unix_micros(col("ts")).as("pts"),
+            lit(null).cast("long").as("cid"), lit(null).cast("long").as("cts"),
+            lit(1).as("is_p"))
+        val c = ev.filter(col("event_type") === "click")
+          .select(lit(null).cast("long").as("pid"), col("user_id"),
+            unix_micros(col("ts")).as("pts"),
+            col("event_id").as("cid"), unix_micros(col("ts")).as("cts"),
+            lit(0).as("is_p"))
+        val ord = Window.partitionBy("user_id")
+          .orderBy(col("pts"), col("is_p"), coalesce(col("cid"), col("pid")))
+        val w1 = ord.rowsBetween(Window.unboundedPreceding, -1)
+        val w2 = ord.rowsBetween(1, Window.unboundedFollowing)
+        val clickId = when(col("is_p") === 0, col("cid"))
+        val clickTs = when(col("is_p") === 0, col("cts"))
+        p.unionByName(c)
+          .withColumn("prev_cid", last(clickId, ignoreNulls = true).over(w1))
+          .withColumn("prev_cts", last(clickTs, ignoreNulls = true).over(w1))
+          .withColumn("next_cid", first(clickId, ignoreNulls = true).over(w2))
+          .withColumn("next_cts", first(clickTs, ignoreNulls = true).over(w2))
+          .filter(col("is_p") === 1)
+          .select(col("pid"), col("user_id"),
+            when(col("prev_cid").isNull, col("next_cid"))
+              .when(col("next_cid").isNull, col("prev_cid"))
+              .when(col("pts") - col("prev_cts") <= col("next_cts") - col("pts"),
+                col("prev_cid"))
+              .otherwise(col("next_cid")).as("nearest_click"),
+            when(col("prev_cid").isNull, col("next_cts") - col("pts"))
+              .when(col("next_cid").isNull, col("pts") - col("prev_cts"))
+              .when(col("pts") - col("prev_cts") <= col("next_cts") - col("pts"),
+                col("pts") - col("prev_cts"))
+              .otherwise(col("next_cts") - col("pts")).as("dt_us"))
+          .orderBy("pid")
+      }),
+
+    // NEW vs RETURNING SPLIT: per day, users seen for the first time
+    // vs users coming back — the daily acquisition/retention
+    // headline. First-touch day is one per-user aggregate; the
+    // (day, user) presence set dedups BEFORE the join, so both sides
+    // of the user-keyed join are ≤ |users|·|days| and the fact is
+    // scanned once per side (Catalyst reuses the scan).
+    QDef("q_new_vs_returning", Some("""
+      WITH f AS (SELECT user_id,
+                   min(epoch_us(date_trunc('day', ts)) // 86400000000) AS d0
+                 FROM events GROUP BY 1),
+      d AS (SELECT DISTINCT user_id,
+                   epoch_us(date_trunc('day', ts)) // 86400000000 AS dnum
+            FROM events)
+      SELECT d.dnum,
+             CAST(sum(CASE WHEN d.dnum = f.d0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS new_users,
+             CAST(sum(CASE WHEN d.dnum > f.d0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS returning_users
+      FROM d JOIN f ON d.user_id = f.user_id
+      GROUP BY 1 ORDER BY dnum"""),
+      (s, d) => {
+        val dn = expr("div(unix_micros(date_trunc('day', ts)), 86400000000)")
+        val f = t(s, d, "events").groupBy(col("user_id").as("fu"))
+          .agg(min(dn).as("d0"))
+        t(s, d, "events")
+          .select(col("user_id"), dn.as("dnum")).distinct()
+          .join(f, col("user_id") === col("fu"))
+          .groupBy("dnum")
+          .agg(sum(when(col("dnum") === col("d0"), 1L).otherwise(0L))
+              .cast("long").as("new_users"),
+            sum(when(col("dnum") > col("d0"), 1L).otherwise(0L))
+              .cast("long").as("returning_users"))
+          .orderBy("dnum")
       })
   )
 }

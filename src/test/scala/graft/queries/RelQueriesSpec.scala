@@ -394,6 +394,42 @@ class RelQueriesSpec extends AnyFunSuite {
     assert(rows.last._2 >= 1, "max-span user defines the last offset")
   }
 
+  test("asof_nearest: every purchase matched, distance beats or ties the backward pick") {
+    import spark.implicits._
+    val rows = q("q_asof_nearest").as[(Long, Long, Long, Long)].collect()
+    val nPurch = graft.pipeline.Tables.t(spark, SparkTesting.sf, "events")
+      .filter(col("event_type") === "purchase").count()
+    assert(rows.length == nPurch, "every purchase must emit one match")
+    assert(rows.forall(_._4 >= 0), "distance must be non-negative")
+    // nearest can never be FARTHER than the backward-only as-of pick
+    val ev = graft.pipeline.Tables.t(spark, SparkTesting.sf, "events")
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("s"))
+      .as[(Long, Long, String, Long)].collect()
+    val clicksByUser = ev.filter(_._3 == "click").groupBy(_._2)
+    val purch = ev.filter(_._3 == "purchase").map(e => (e._1, (e._2, e._4))).toMap
+    rows.foreach { case (pid, u, _, dt) =>
+      val (_, pts) = purch(pid)
+      val backward = clicksByUser.get(u).toSeq.flatten
+        .filter(_._4 <= pts).map(c => pts - c._4)
+      if (backward.nonEmpty) assert(dt <= backward.min, s"purchase $pid")
+    }
+  }
+
+  test("new_vs_returning: day-1 all new, per-day split sums to that day's actives") {
+    import spark.implicits._
+    val rows = q("q_new_vs_returning").as[(Long, Long, Long)].collect().sortBy(_._1)
+    assert(rows.nonEmpty && rows.head._3 == 0L, "first day can only be new users")
+    val cohort = graft.pipeline.Tables.t(spark, SparkTesting.sf, "events")
+      .select("user_id").distinct().count()
+    assert(rows.map(_._2).sum == cohort, "each user is new exactly once")
+    val daily = graft.pipeline.Tables.t(spark, SparkTesting.sf, "events")
+      .select(col("user_id"),
+        expr("div(unix_micros(date_trunc('day', ts)), 86400000000)").as("d"))
+      .distinct().groupBy("d").count().as[(Long, Long)].collect().toMap
+    rows.foreach { case (d, nw, ret) => assert(nw + ret == daily(d), s"day $d") }
+  }
+
   test("alert_hysteresis: dead-band days HOLD the previous alert state") {
     import spark.implicits._
     val rows = q("q_alert_hysteresis").as[(String, Long, Long)].collect().sortBy(_._1)
