@@ -751,6 +751,76 @@ object RelQueries {
           .agg(countDistinct("l_suppkey").as("n_suppliers"),
             count(lit(1)).as("n_items"))
           .orderBy("p_brand", "p_type")
-      })
+      }),
+
+    // MULTI-MEASURE PIVOT: the two-aggregate crosstab (count AND
+    // cents per pivoted event type) in ONE two-phase pivot pass —
+    // q_pivot_event_counts carries one measure; real reporting
+    // pivots carry several, and the declared-values contract (never
+    // an inference scan) matters just as much here. Spark names the
+    // output {value}_{aggAlias}, which the oracle mirrors; absent
+    // combinations coalesce to 0 so the crosstab is dense.
+    QDef("q_pivot_multi_agg", Some("""
+      SELECT user_id,
+        CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT)
+          AS click_n,
+        CAST(sum(CASE WHEN event_type = 'click'
+                 THEN CAST(floor(value * 100.0 + 0.5) AS BIGINT) ELSE 0 END)
+          AS BIGINT) AS click_cents,
+        CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT)
+          AS purchase_n,
+        CAST(sum(CASE WHEN event_type = 'purchase'
+                 THEN CAST(floor(value * 100.0 + 0.5) AS BIGINT) ELSE 0 END)
+          AS BIGINT) AS purchase_cents
+      FROM events GROUP BY 1 ORDER BY user_id"""),
+      (s, d) =>
+        t(s, d, "events")
+          .groupBy("user_id")
+          .pivot("event_type", Seq("click", "purchase"))
+          .agg(count(lit(1)).as("n"),
+            sum(floor(col("value") * lit(100.0) + lit(0.5)).cast("long"))
+              .as("cents"))
+          .select(col("user_id"),
+            coalesce(col("click_n"), lit(0L)).cast("long").as("click_n"),
+            coalesce(col("click_cents"), lit(0L)).cast("long").as("click_cents"),
+            coalesce(col("purchase_n"), lit(0L)).cast("long").as("purchase_n"),
+            coalesce(col("purchase_cents"), lit(0L)).cast("long")
+              .as("purchase_cents"))
+          .orderBy("user_id")),
+
+    // MIXED GROUPING SETS: the two one-dimension marginals PLUS the
+    // full cross — ((flag, status), (flag), (status)) — in one
+    // Expand pass, each row tagged with its grouping_id bitmask.
+    // Distinct from rollup (which would add the grand total and
+    // drop the (status) marginal) and cube (which pays all four
+    // sets); GROUPING SETS buys exactly the marginals a report
+    // needs. Spark and DuckDB share the MSB-first grouping()
+    // convention (pinned by q_cube_pricing), so gid transfers.
+    QDef("q_grouping_sets_mixed", Some("""
+      SELECT coalesce(l_returnflag, '(all)') AS flag,
+             coalesce(l_linestatus, '(all)') AS status,
+             CAST(grouping(l_returnflag) * 2 + grouping(l_linestatus) AS BIGINT)
+               AS gid,
+             CAST(count(*) AS BIGINT) AS n
+      FROM lineitem
+      GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+                              (l_returnflag), (l_linestatus))
+      ORDER BY gid, flag, status"""),
+      (s, d) =>
+        t(s, d, "lineitem")
+          .groupingSets(
+            Seq(Seq(col("l_returnflag"), col("l_linestatus")),
+              Seq(col("l_returnflag")), Seq(col("l_linestatus"))),
+            col("l_returnflag"), col("l_linestatus"))
+          // grouping() is only legal INSIDE the aggregate list — a
+          // post-agg projection can't see the grouping bitmask
+          .agg((grouping(col("l_returnflag")).cast("long") * 2 +
+              grouping(col("l_linestatus")).cast("long")).as("gid"),
+            count(lit(1)).as("n"))
+          .select(
+            coalesce(col("l_returnflag"), lit("(all)")).as("flag"),
+            coalesce(col("l_linestatus"), lit("(all)")).as("status"),
+            col("gid"), col("n"))
+          .orderBy("gid", "flag", "status"))
   )
 }

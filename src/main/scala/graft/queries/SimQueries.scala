@@ -1208,7 +1208,38 @@ object SimQueries {
           .select(col("qid"), col("n_truth"), col("hits"),
             expr("div(1000 * hits, n_truth)").as("recall_permille"))
           .orderBy("qid")
-      })
+      }),
+
+    // PER-DIMENSION MOMENT PROFILE: exact integer (n, Σq, Σq²) per
+    // embedding lane after micro-quantization — the feature-selection
+    // / PCA-precursor statistic (a dead lane has near-zero spread; a
+    // dominant lane drowns cosine). Variance stays OFF the oracle
+    // surface: both engines agree on the raw BIGINT moments, and any
+    // consumer derives var = (nΣq²−(Σq)²)/n² in their own float
+    // space — the q_corr_exact discipline applied lane-wise. One
+    // posexplode + ONE map-side-combined aggregate keyed by the
+    // 64-value dim id; Σq² of micro-quantized unit-ish lanes peaks
+    // ~10¹³, far inside BIGINT.
+    QDef("q_embed_dim_variance", Some("""
+      WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      q AS (SELECT vec_id, i,
+              CAST(floor(v[i] * 1000000.0 + 0.5) AS BIGINT) AS qv
+            FROM e, UNNEST(generate_series(1, len(v))) AS g(i))
+      SELECT CAST(i AS BIGINT) AS dim, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(qv) AS BIGINT) AS sum_micro,
+             CAST(sum(qv * qv) AS BIGINT) AS sumsq
+      FROM q GROUP BY 1 ORDER BY dim"""),
+      (s, d) =>
+        t(s, d, "embeddings")
+          .select(posexplode(col("embedding").cast("array<double>"))
+            .as(Seq("p0", "x")))
+          .select((col("p0") + 1).cast("long").as("dim"),
+            floor(col("x") * lit(1000000.0) + lit(0.5)).cast("long").as("qv"))
+          .groupBy("dim")
+          .agg(count(lit(1)).as("n"),
+            sum("qv").cast("long").as("sum_micro"),
+            sum(col("qv") * col("qv")).cast("long").as("sumsq"))
+          .orderBy("dim"))
   )
 
   /** IVF-celled embedding near-dup pair CTEs (`e` → `cent` → `scored`

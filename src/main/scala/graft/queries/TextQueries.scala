@@ -1370,6 +1370,39 @@ object TextQueries {
           .select(col("doc_id"), col("total_tokens"), col("kept_tokens"),
             expr("div(1000 * kept_tokens, total_tokens)").as("kept_permille"))
           .orderBy("doc_id")
-      })
+      }),
+
+    // KEYWORD IN CONTEXT (KWIC): every occurrence of a declared term
+    // with its ±3-token window — the concordance view a corpus
+    // inspector (or a contamination analyst) reads before deciding a
+    // filter rule. Zero joins: posexplode CARRIES the token array
+    // alongside each position, so both context slices are pure
+    // projections off the same row (the self-join a naive
+    // position-table formulation would pay never exists). Positions
+    // are 1-based on the oracle surface; Spark's 0-based posexplode
+    // is shifted at the boundary.
+    QDef("q_kwic", Some("""
+      WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      p AS (SELECT doc_id, i FROM d,
+            UNNEST(generate_series(1, len(toks))) AS g(i)
+            WHERE toks[i] = 'spark')
+      SELECT p.doc_id, CAST(p.i AS BIGINT) AS pos,
+             coalesce(array_to_string(d.toks[greatest(1, p.i - 3):(p.i - 1)], ' '),
+                      '') AS left_ctx,
+             coalesce(array_to_string(d.toks[(p.i + 1):(p.i + 3)], ' '), '')
+               AS right_ctx
+      FROM p JOIN d ON p.doc_id = d.doc_id ORDER BY p.doc_id, pos"""),
+      (s, d) =>
+        t(s, d, "documents")
+          .select(col("doc_id"), split(col("text"), " ").as("toks"))
+          .select(col("doc_id"), col("toks"),
+            posexplode(col("toks")).as(Seq("p0", "tok")))
+          .filter(col("tok") === "spark")
+          .select(col("doc_id"), (col("p0") + 1).cast("long").as("pos"),
+            expr("""concat_ws(' ',
+              slice(toks, greatest(1, p0 + 1 - 3),
+                    (p0 + 1) - greatest(1, p0 + 1 - 3)))""").as("left_ctx"),
+            expr("concat_ws(' ', slice(toks, p0 + 2, 3))").as("right_ctx"))
+          .orderBy("doc_id", "pos"))
   )
 }

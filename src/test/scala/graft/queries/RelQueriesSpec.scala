@@ -430,6 +430,51 @@ class RelQueriesSpec extends AnyFunSuite {
     rows.foreach { case (d, nw, ret) => assert(nw + ret == daily(d), s"day $d") }
   }
 
+  test("pivot_multi_agg + grouping_sets_mixed: crosstabs reconcile with their facts") {
+    import spark.implicits._
+    val pv = q("q_pivot_multi_agg").as[(Long, Long, Long, Long, Long)].collect()
+    val byType = graft.pipeline.Tables.t(spark, SparkTesting.sf, "events")
+      .groupBy("event_type").count().as[(String, Long)].collect().toMap
+    assert(pv.map(_._2).sum == byType("click"))
+    assert(pv.map(_._4).sum == byType("purchase"))
+    val li = graft.pipeline.Tables.t(spark, SparkTesting.sf, "lineitem").count()
+    val gs = q("q_grouping_sets_mixed").as[(String, String, Long, Long)].collect()
+    // each declared grouping set partitions the fact independently
+    Seq(0L, 1L, 2L).foreach { gid =>
+      assert(gs.filter(_._3 == gid).map(_._4).sum == li, s"gid $gid")
+    }
+    assert(gs.map(_._3).distinct.sorted.sameElements(Seq(0L, 1L, 2L)),
+      "exactly the three declared sets — no grand total, no extra marginal")
+  }
+
+  test("kwic: windows hold at most 3 tokens and the hit is really the term") {
+    import spark.implicits._
+    val rows = q("q_kwic").as[(Long, Long, String, String)].collect()
+    assert(rows.nonEmpty)
+    val toks = graft.pipeline.Tables.t(spark, SparkTesting.sf, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+      .as[(Long, Seq[String])].collect().toMap
+    rows.foreach { case (doc, pos, l, r) =>
+      assert(toks(doc)(pos.toInt - 1) == "spark", s"doc $doc pos $pos")
+      assert(l.split(" ").count(_.nonEmpty) <= 3 && r.split(" ").count(_.nonEmpty) <= 3)
+      if (pos > 3) assert(l == toks(doc).slice(pos.toInt - 4, pos.toInt - 1).mkString(" "))
+    }
+    val expected = toks.values.map(_.count(_ == "spark")).sum
+    assert(rows.length == expected, "every occurrence emits exactly one row")
+  }
+
+  test("embed_dim_variance: every lane profiled, moments satisfy Cauchy-Schwarz") {
+    import spark.implicits._
+    val rows = q("q_embed_dim_variance").as[(Long, Long, Long, Long)].collect()
+    val nVec = graft.pipeline.Tables.t(spark, SparkTesting.sf, "embeddings").count()
+    assert(rows.map(_._1).sorted.sameElements(1L to 64L))
+    rows.foreach { case (dim, n, s1, s2) =>
+      assert(n == nVec, s"dim $dim count")
+      // n·Σq² ≥ (Σq)² ⟺ variance ≥ 0 (use BigInt — (Σq)² can pass Long)
+      assert(BigInt(n) * BigInt(s2) >= BigInt(s1) * BigInt(s1), s"dim $dim moments")
+    }
+  }
+
   test("alert_hysteresis: dead-band days HOLD the previous alert state") {
     import spark.implicits._
     val rows = q("q_alert_hysteresis").as[(String, Long, Long)].collect().sortBy(_._1)
