@@ -2724,6 +2724,150 @@ object AnalyticsQueries {
             sum(when(col("dnum") > col("d0"), 1L).otherwise(0L))
               .cast("long").as("returning_users"))
           .orderBy("dnum")
+      }),
+
+    // Maximum drawdown per customer — the classic peak-to-trough
+    // risk statistic over each customer's cumulative spend curve
+    // (orders ordered by date, orderkey tiebreak; o_orderkey is
+    // unique so RANGE peers are single rows, but both sides pin an
+    // explicit ROWS frame anyway). One window partition per
+    // customer, one shuffle on custkey, output is customer-grain —
+    // the state per key is two running BIGINTs, so at 100 TB this is
+    // a single well-distributed window pass with no driver state.
+    // All money is born-integer cents before the windows.
+    QDef("q_max_drawdown", Some("""
+      WITH c AS (
+        SELECT o_custkey,
+               sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT))
+                 OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS cum_cents
+        FROM orders),
+      r AS (
+        SELECT o_custkey, cum_cents,
+               max(cum_cents) OVER (PARTITION BY o_custkey ORDER BY cum_cents
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS peak_cents
+        FROM c)
+      SELECT o_custkey, CAST(max(peak_cents - cum_cents) AS BIGINT)
+               AS max_drawdown_cents,
+             CAST(count(*) AS BIGINT) AS n_orders
+      FROM r GROUP BY 1 ORDER BY o_custkey"""),
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("o_custkey")
+          .orderBy(col("o_orderdate"), col("o_orderkey"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        t(s, d, "orders")
+          .withColumn("cum_cents",
+            sum(floor(col("o_totalprice") * lit(100.0) + lit(0.5)).cast("long"))
+              .over(w))
+          .withColumn("peak_cents", max(col("cum_cents")).over(
+            Window.partitionBy("o_custkey").orderBy(col("cum_cents"))
+              .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .groupBy("o_custkey")
+          .agg(max(col("peak_cents") - col("cum_cents")).cast("long")
+            .as("max_drawdown_cents"),
+            count(lit(1)).as("n_orders"))
+          .orderBy("o_custkey")
+      }),
+
+    // Longest consecutive-day activity streak per user — the
+    // canonical gaps-and-islands: distinct (user, day) grid, island
+    // id = day_number − row_number (constant within a consecutive
+    // run), streak = island size, keep each user's max. Two window
+    // passes over the SAME user partitioning (Catalyst reuses the
+    // exchange), then a user-grain aggregate — day-grain state only,
+    // so the pass is insensitive to raw event volume beyond the
+    // first dedup.
+    QDef("q_streak_longest", Some("""
+      WITH days AS (
+        SELECT DISTINCT user_id,
+               epoch_us(date_trunc('day', ts)) // 86400000000 AS dnum
+        FROM events),
+      isl AS (
+        SELECT user_id, dnum,
+               dnum - row_number() OVER (PARTITION BY user_id ORDER BY dnum)
+                 AS grp
+        FROM days),
+      runs AS (
+        SELECT user_id, grp, count(*) AS len FROM isl GROUP BY 1, 2)
+      SELECT user_id, CAST(max(len) AS BIGINT) AS best_streak,
+             CAST(sum(len) AS BIGINT) AS n_active_days
+      FROM runs GROUP BY 1 ORDER BY user_id"""),
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val days = t(s, d, "events")
+          .select(col("user_id"),
+            expr("div(unix_micros(date_trunc('day', ts)), 86400000000)")
+              .as("dnum"))
+          .distinct()
+        days
+          .withColumn("grp", col("dnum") -
+            row_number().over(Window.partitionBy("user_id").orderBy("dnum")))
+          .groupBy("user_id", "grp")
+          .agg(count(lit(1)).as("len"))
+          .groupBy("user_id")
+          .agg(max("len").cast("long").as("best_streak"),
+            sum("len").cast("long").as("n_active_days"))
+          .orderBy("user_id")
+      }),
+
+    // Theil–Sen robust trend slope per event type: the median of all
+    // pairwise slopes over the daily count series. The pair stage is
+    // a self-join of the DAILY aggregate with itself — bounded by
+    // calendar days squared per type (435 pairs for a 30-day month),
+    // NOT by raw event volume, so the expansion is fixed-size at any
+    // SF. Median selection sorts by the IEEE slope (identical
+    // exactly-rounded double in both engines) with (dy, dx)
+    // tiebreaks; equal-key rows are output-identical, so the pick is
+    // hash-stable. Only integers cross the oracle surface — the
+    // milli-slope is floor(1000·dy/dx) of that same shared double.
+    QDef("q_theil_sen", Some("""
+      WITH daily AS (
+        SELECT event_type,
+               epoch_us(date_trunc('day', ts)) // 86400000000 AS dnum,
+               count(*) AS c
+        FROM events GROUP BY 1, 2),
+      pairs AS (
+        SELECT a.event_type, b.c - a.c AS dy, b.dnum - a.dnum AS dx
+        FROM daily a JOIN daily b
+          ON a.event_type = b.event_type AND b.dnum > a.dnum),
+      ranked AS (
+        SELECT event_type, dy, dx,
+               row_number() OVER (PARTITION BY event_type
+                 ORDER BY CAST(dy AS DOUBLE) / dx, dy, dx) AS rn,
+               count(*) OVER (PARTITION BY event_type) AS cnt
+        FROM pairs)
+      SELECT event_type, CAST(dy AS BIGINT) AS med_dy,
+             CAST(dx AS BIGINT) AS med_dx,
+             CAST(floor(1000.0 * dy / dx) AS BIGINT) AS slope_milli
+      FROM ranked WHERE rn = (cnt + 1) // 2
+      ORDER BY event_type"""),
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val daily = t(s, d, "events")
+          .groupBy(col("event_type"),
+            expr("div(unix_micros(date_trunc('day', ts)), 86400000000)")
+              .as("dnum"))
+          .agg(count(lit(1)).as("c"))
+        val a = daily.select(col("event_type"), col("dnum").as("d1"),
+          col("c").as("c1"))
+        val b = daily.select(col("event_type").as("et2"), col("dnum").as("d2"),
+          col("c").as("c2"))
+        val w = Window.partitionBy("event_type")
+        a.join(b, col("event_type") === col("et2") && col("d2") > col("d1"))
+          .select(col("event_type"), (col("c2") - col("c1")).as("dy"),
+            (col("d2") - col("d1")).as("dx"))
+          .withColumn("rn", row_number().over(
+            w.orderBy(col("dy").cast("double") / col("dx"), col("dy"), col("dx"))))
+          .withColumn("cnt", count(lit(1)).over(w))
+          .filter(col("rn") === expr("div(cnt + 1, 2)"))
+          .select(col("event_type"), col("dy").cast("long").as("med_dy"),
+            col("dx").cast("long").as("med_dx"),
+            floor(lit(1000.0) * col("dy") / col("dx")).cast("long")
+              .as("slope_milli"))
+          .orderBy("event_type")
       })
   )
 }

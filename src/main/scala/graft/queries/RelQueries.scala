@@ -821,6 +821,53 @@ object RelQueries {
             coalesce(col("l_returnflag"), lit("(all)")).as("flag"),
             coalesce(col("l_linestatus"), lit("(all)")).as("status"),
             col("gid"), col("n"))
-          .orderBy("gid", "flag", "status"))
+          .orderBy("gid", "flag", "status")),
+
+    // TPC-H Q9-shape: profit by nation and order-year through the
+    // full fact→part/supplier/nation/orders join fan. The testdata
+    // lake has no partsupp, so unit cost is the part's retail price
+    // (the only cost-like column) — the SHAPE is what matters: two
+    // broadcast dims prune the fact before its single shuffle join
+    // with orders on the order key, then a dim×year-sized aggregate.
+    // At 100 TB the part filter (p_type='STANDARD', ~1/6 of parts)
+    // rides the broadcast hash join as a semi-filter so ~5/6 of fact
+    // rows never reach the orders shuffle. Money stays DECIMAL end
+    // to end (both products forced to scale 4 so the difference and
+    // the sum carry one exact scale) and renders as VARCHAR — the
+    // q_agg_top_revenue cross-engine discipline.
+    QDef("q_profit_nation_year", Some("""
+      SELECT n.n_name, CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+             CAST(sum(CAST(l.l_extendedprice AS DECIMAL(12,2)) *
+                        (1 - CAST(l.l_discount AS DECIMAL(12,2))) -
+                      CAST(p.p_retailprice AS DECIMAL(12,2)) *
+                        CAST(l.l_quantity AS DECIMAL(12,2))) AS VARCHAR)
+               AS profit,
+             CAST(count(*) AS BIGINT) AS n_lines
+      FROM lineitem l
+      JOIN part p ON p.p_partkey = l.l_partkey
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN nation n ON n.n_nationkey = s.s_nationkey
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+      WHERE p.p_type = 'STANDARD'
+      GROUP BY 1, 2 ORDER BY n_name, o_year"""),
+      (s, d) =>
+        t(s, d, "lineitem")
+          .join(broadcast(t(s, d, "part").filter(col("p_type") === "STANDARD")
+            .select("p_partkey", "p_retailprice")),
+            col("l_partkey") === col("p_partkey"))
+          .join(broadcast(t(s, d, "supplier").select("s_suppkey", "s_nationkey")),
+            col("l_suppkey") === col("s_suppkey"))
+          .join(broadcast(t(s, d, "nation").select("n_nationkey", "n_name")),
+            col("s_nationkey") === col("n_nationkey"))
+          .join(t(s, d, "orders").select("o_orderkey", "o_orderdate"),
+            col("l_orderkey") === col("o_orderkey"))
+          .groupBy(col("n_name"), year(col("o_orderdate")).cast("long").as("o_year"))
+          .agg(sum(col("l_extendedprice").cast("decimal(12,2)") *
+                     (lit(1) - col("l_discount").cast("decimal(12,2)")) -
+                   col("p_retailprice").cast("decimal(12,2)") *
+                     col("l_quantity").cast("decimal(12,2)")).cast("string")
+            .as("profit"),
+            count(lit(1)).as("n_lines"))
+          .orderBy("n_name", "o_year"))
   )
 }
