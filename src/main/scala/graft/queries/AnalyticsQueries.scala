@@ -2868,6 +2868,77 @@ object AnalyticsQueries {
             floor(lit(1000.0) * col("dy") / col("dx")).cast("long")
               .as("slope_milli"))
           .orderBy("event_type")
+      }),
+
+    // Autocorrelation profile (ACF at lags 1..7) per event type over
+    // the daily count series — the seasonality probe behind every
+    // forecasting pipeline. The lag alignment is an equi-join of the
+    // DAILY aggregate against itself on (type, day+lag) after a
+    // 7-way lag explode — bounded by calendar days × 7 per type, not
+    // raw volume, so the expansion is fixed-size at any SF. The
+    // oracle surface carries the EXACT integer moment sums (n, Σx,
+    // Σy, Σxy, Σx², Σy²) so a consumer can reconstruct the ACF at
+    // full precision; acf_milli is floor(1000·r) of the shared
+    // exactly-rounded IEEE value (variance products go through
+    // DOUBLE because n·Σx² − (Σx)² squared-products would overflow
+    // BIGINT at high SF; sqrt/division are identically rounded in
+    // both engines).
+    QDef("q_acf_lags", Some("""
+      WITH daily AS (
+        SELECT event_type,
+               epoch_us(date_trunc('day', ts)) // 86400000000 AS dnum,
+               CAST(count(*) AS BIGINT) AS c
+        FROM events GROUP BY 1, 2),
+      lags AS (SELECT unnest(range(1, 8)) AS lg),
+      p AS (SELECT a.event_type, l.lg, a.c AS x, b.c AS y
+            FROM daily a CROSS JOIN lags l
+            JOIN daily b ON b.event_type = a.event_type
+                        AND b.dnum = a.dnum + l.lg),
+      agg AS (SELECT event_type, lg, CAST(count(*) AS BIGINT) AS n,
+                CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+                CAST(sum(x * y) AS BIGINT) AS sxy,
+                CAST(sum(x * x) AS BIGINT) AS sxx,
+                CAST(sum(y * y) AS BIGINT) AS syy
+              FROM p GROUP BY 1, 2)
+      SELECT event_type, CAST(lg AS BIGINT) AS lg, n, sx, sy, sxy, sxx, syy,
+             CAST(CASE WHEN n * sxx - sx * sx <= 0 OR n * syy - sy * sy <= 0
+                       THEN 0
+                  ELSE floor(1000.0 * (n * sxy - sx * sy) /
+                        sqrt(CAST(n * sxx - sx * sx AS DOUBLE) *
+                             CAST(n * syy - sy * sy AS DOUBLE)))
+                  END AS BIGINT) AS acf_milli
+      FROM agg ORDER BY event_type, lg"""),
+      (s, d) => {
+        val daily = t(s, d, "events")
+          .groupBy(col("event_type"),
+            expr("div(unix_micros(date_trunc('day', ts)), 86400000000)")
+              .as("dnum"))
+          .agg(count(lit(1)).as("c"))
+        val a = daily
+          .withColumn("lg", explode(expr("sequence(1L, 7L)")))
+          .select(col("event_type"), col("lg"),
+            (col("dnum") + col("lg")).as("dtarget"), col("c").as("x"))
+        val b = daily.select(col("event_type").as("et2"),
+          col("dnum").as("d2"), col("c").as("y"))
+        a.join(b, col("event_type") === col("et2") && col("d2") === col("dtarget"))
+          .groupBy("event_type", "lg")
+          .agg(count(lit(1)).as("n"),
+            sum("x").cast("long").as("sx"), sum("y").cast("long").as("sy"),
+            sum(col("x") * col("y")).cast("long").as("sxy"),
+            sum(col("x") * col("x")).cast("long").as("sxx"),
+            sum(col("y") * col("y")).cast("long").as("syy"))
+          .withColumn("acf_milli",
+            when(col("n") * col("sxx") - col("sx") * col("sx") <= 0 ||
+                 col("n") * col("syy") - col("sy") * col("sy") <= 0, 0L)
+              .otherwise(floor(lit(1000.0) *
+                (col("n") * col("sxy") - col("sx") * col("sy")) /
+                sqrt((col("n") * col("sxx") - col("sx") * col("sx")).cast("double") *
+                     (col("n") * col("syy") - col("sy") * col("sy")).cast("double"))))
+              .cast("long"))
+          .select(col("event_type"), col("lg").cast("long").as("lg"),
+            col("n"), col("sx"), col("sy"), col("sxy"), col("sxx"), col("syy"),
+            col("acf_milli"))
+          .orderBy("event_type", "lg")
       })
   )
 }

@@ -1110,6 +1110,79 @@ object GraphStatQueries {
           .unionByName(h1n.select(lit("supplier").as("side"),
             col("sk").as("node"), col("h").as("score_milli")))
           .orderBy("side", "node")
+      }),
+
+    // Bipartite (kc,ks)-core peeling — two unrolled rounds of the
+    // classic k-core refinement on the customer×part purchase graph
+    // (sparse on both sides, unlike customer×supplier which is
+    // near-complete and peels all-or-nothing):
+    // drop nodes below their side's degree threshold, recompute
+    // degrees on the surviving subgraph, drop again, report the
+    // surviving degree histogram. Thresholds are the P25 degree of
+    // each side (two 1-row broadcast scalars), so the query is
+    // scale-adaptive — no constant tuned to one SF. Round 2 exists
+    // because peeling CASCADES across sides: removing weak customers
+    // lowers supplier degrees, which removes suppliers, which lowers
+    // customer degrees. Every stage is a keyed agg or an equi-join
+    // against a degree table (dim-sized → broadcast); the edge list
+    // is the distinct projection of one fact scan. Matches the
+    // unrolled-iteration discipline of q_pagerank_iter/q_hits_scores
+    // (fixed rounds, oracle mirrors the same unrolling).
+    QDef("q_kcore_peel", Some("""
+      WITH e AS (SELECT DISTINCT o.o_custkey AS c, l.l_partkey AS s
+                 FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey),
+      kc AS (SELECT CAST(percentile_disc(0.25) WITHIN GROUP (ORDER BY dc)
+                      AS BIGINT) AS kcv
+             FROM (SELECT count(*) AS dc FROM e GROUP BY c)),
+      ks AS (SELECT CAST(percentile_disc(0.25) WITHIN GROUP (ORDER BY ds)
+                      AS BIGINT) AS ksv
+             FROM (SELECT count(*) AS ds FROM e GROUP BY s)),
+      d1c AS (SELECT c, count(*) AS dc FROM e GROUP BY c),
+      d1s AS (SELECT s, count(*) AS ds FROM e GROUP BY s),
+      e1 AS (SELECT e.c, e.s FROM e
+             JOIN d1c USING (c) JOIN d1s USING (s) CROSS JOIN kc CROSS JOIN ks
+             WHERE dc >= kcv AND ds >= ksv),
+      d2c AS (SELECT c, count(*) AS dc FROM e1 GROUP BY c),
+      d2s AS (SELECT s, count(*) AS ds FROM e1 GROUP BY s),
+      e2 AS (SELECT e1.c, e1.s FROM e1
+             JOIN d2c USING (c) JOIN d2s USING (s) CROSS JOIN kc CROSS JOIN ks
+             WHERE dc >= kcv AND ds >= ksv)
+      SELECT side, degree, CAST(count(*) AS BIGINT) AS n_nodes FROM (
+        SELECT 'customer' AS side, CAST(count(*) AS BIGINT) AS degree
+        FROM e2 GROUP BY c
+        UNION ALL
+        SELECT 'part' AS side, CAST(count(*) AS BIGINT) AS degree
+        FROM e2 GROUP BY s)
+      GROUP BY 1, 2 ORDER BY side, degree"""),
+      (s, d) => {
+        val e = t(s, d, "orders").select("o_orderkey", "o_custkey")
+          .join(t(s, d, "lineitem").select("l_orderkey", "l_partkey"),
+            col("l_orderkey") === col("o_orderkey"))
+          .select(col("o_custkey").as("c"), col("l_partkey").as("ss"))
+          .distinct()
+        def deg(edges: org.apache.spark.sql.DataFrame, key: String, as: String) =
+          edges.groupBy(key).agg(count(lit(1)).as(as))
+        val kc = deg(e, "c", "dc")
+          .agg(expr("percentile_disc(0.25) WITHIN GROUP (ORDER BY dc)")).toDF("m")
+          .select(col("m").cast("long").as("kcv"))
+        val ks = deg(e, "ss", "ds")
+          .agg(expr("percentile_disc(0.25) WITHIN GROUP (ORDER BY ds)")).toDF("m")
+          .select(col("m").cast("long").as("ksv"))
+        def peel(edges: org.apache.spark.sql.DataFrame) =
+          edges
+            .join(broadcast(deg(edges, "c", "dc")), Seq("c"))
+            .join(broadcast(deg(edges, "ss", "ds")), Seq("ss"))
+            .crossJoin(broadcast(kc)).crossJoin(broadcast(ks))
+            .filter(col("dc") >= col("kcv") && col("ds") >= col("ksv"))
+            .select("c", "ss")
+        val e2 = peel(peel(e))
+        deg(e2, "c", "degc")
+          .select(lit("customer").as("side"), col("degc").cast("long").as("degree"))
+          .unionByName(deg(e2, "ss", "degs")
+            .select(lit("part").as("side"), col("degs").cast("long").as("degree")))
+          .groupBy("side", "degree")
+          .agg(count(lit(1)).as("n_nodes"))
+          .orderBy("side", "degree")
       })
   )
 }

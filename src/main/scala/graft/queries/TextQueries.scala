@@ -1404,5 +1404,64 @@ object TextQueries {
                     (p0 + 1) - greatest(1, p0 + 1 - 3)))""").as("left_ctx"),
             expr("concat_ws(' ', slice(toks, p0 + 2, 3))").as("right_ctx"))
           .orderBy("doc_id", "pos"))
+  ) ++ Seq(
+
+    // RAKE keyphrase extraction (Rapid Automatic Keyword Extraction):
+    // candidate phrases are the maximal stopword-free token runs
+    // (gaps-and-islands over token positions, stopset = the corpus'
+    // {'the','a'}); each word scores deg/freq where freq counts its
+    // occurrences and deg sums the lengths of the phrases those
+    // occurrences sit in; a phrase scores the sum of its words'
+    // scores. Everything is keyed narrow aggregation: the phrase
+    // split is per-doc windowing, word stats are one map-side-combined
+    // vocab-sized agg (broadcast back), and identical phrase strings
+    // share one global score, so the final rollup is phrase-keyed —
+    // no pair expansion anywhere, corpus scans stay linear at 100 TB.
+    // Word scores are born-integer milli-units (1000·deg // freq).
+    QDef("q_rake_keyphrases", Some("""
+      WITH d AS (SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS toks FROM documents),
+      pt AS (SELECT doc_id, unnest(list_transform(range(1, len(toks) + 1),
+               i -> {'pos': i, 'tok': toks[i]})) AS s FROM d),
+      occ AS (SELECT doc_id, s.pos AS pos, s.tok AS tok,
+                s.pos - row_number() OVER (PARTITION BY doc_id ORDER BY s.pos)
+                  AS grp
+              FROM pt WHERE s.tok NOT IN ('the', 'a')),
+      ph AS (SELECT doc_id, grp, count(*) AS plen,
+                string_agg(tok, ' ' ORDER BY pos) AS phrase
+             FROM occ GROUP BY 1, 2),
+      oc2 AS (SELECT o.tok, o.doc_id, o.grp, p.plen
+              FROM occ o JOIN ph p USING (doc_id, grp)),
+      ws AS (SELECT tok, CAST((1000 * sum(plen)) // count(*) AS BIGINT)
+                      AS wscore_milli
+             FROM oc2 GROUP BY tok),
+      ps AS (SELECT o.doc_id, o.grp, CAST(sum(w.wscore_milli) AS BIGINT)
+                      AS score_milli
+             FROM oc2 o JOIN ws w USING (tok) GROUP BY 1, 2)
+      SELECT p.phrase, ps.score_milli, CAST(count(*) AS BIGINT) AS n_occ
+      FROM ph p JOIN ps USING (doc_id, grp)
+      GROUP BY 1, 2 ORDER BY score_milli DESC, phrase LIMIT 25"""),
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val occ = t(s, d, "documents")
+          .select(col("doc_id"), posexplode(TA.tokens(col("text"))))
+          .select(col("doc_id"), (col("pos") + 1).as("pos"), col("col").as("tok"))
+          .filter(!col("tok").isin("the", "a"))
+          .withColumn("grp", col("pos") -
+            row_number().over(Window.partitionBy("doc_id").orderBy("pos")))
+        val ph = occ.groupBy("doc_id", "grp")
+          .agg(count(lit(1)).as("plen"),
+            expr("concat_ws(' ', transform(array_sort(collect_list(struct(pos, tok))), x -> x.tok))")
+              .as("phrase"))
+        val oc2 = occ.join(ph.select("doc_id", "grp", "plen"), Seq("doc_id", "grp"))
+        val ws = oc2.groupBy("tok")
+          .agg(expr("div(1000 * sum(plen), count(1))").cast("long").as("wscore_milli"))
+        val ps = oc2.join(broadcast(ws), Seq("tok"))
+          .groupBy("doc_id", "grp")
+          .agg(sum("wscore_milli").cast("long").as("score_milli"))
+        ph.join(ps, Seq("doc_id", "grp"))
+          .groupBy("phrase", "score_milli")
+          .agg(count(lit(1)).as("n_occ"))
+          .orderBy(col("score_milli").desc, col("phrase")).limit(25)
+      })
   )
 }

@@ -887,6 +887,86 @@ object TrainPrepQueries {
           .agg(count(lit(1)).as("cnt"))
           .select(col("lang"), col("source"), col("len_bucket"), col("cnt"),
             when(col("cnt") < 5, 1L).otherwise(0L).as("risky"))
-          .orderBy("lang", "source", "len_bucket"))
+          .orderBy("lang", "source", "len_bucket")),
+
+    // Decision-stump split search — the 1-D CART building block: for
+    // every candidate threshold on an integral feature (l_quantity,
+    // label = returned line), the left/right class counts and the
+    // Gini-purity score of the split. One fact-scan aggregate to
+    // per-value counts (feature-cardinality rows, ≤50 here), then a
+    // prefix-sum window over that TINY table gives every threshold's
+    // left side in one pass — the classic histogram-based split
+    // finder (the single-partition window is over feature values,
+    // never data rows, so it is scale-free; the grand total rides a
+    // 1-row broadcast). Purity is computed from milli-unit class
+    // shares so every intermediate stays a small BIGINT at ANY row
+    // count — no count-squared term that would overflow at 100 TB.
+    // The max-quantity row is the degenerate empty-right split and is
+    // excluded. score_micro ≤ 1e6; is_best tags the argmax
+    // (score desc, threshold asc tiebreak).
+    QDef("q_decision_stump", Some("""
+      WITH b AS (SELECT CAST(l_quantity AS BIGINT) AS q,
+                        CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS lab
+                 FROM lineitem),
+      per AS (SELECT q, CAST(sum(lab) AS BIGINT) AS pos,
+                     CAST(count(*) AS BIGINT) AS n
+              FROM b GROUP BY q),
+      cum AS (SELECT q,
+                sum(pos) OVER (ORDER BY q
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cpos,
+                sum(n) OVER (ORDER BY q
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cn
+              FROM per),
+      tot AS (SELECT sum(pos) AS tpos, sum(n) AS tn FROM per),
+      sc AS (SELECT q, cpos, cn, tpos, tn,
+               (1000 * cpos) // cn AS pl,
+               (1000 * (tpos - cpos)) // (tn - cn) AS pr
+             FROM cum, tot WHERE tn - cn > 0)
+      SELECT q AS threshold,
+             CAST(cpos AS BIGINT) AS n_pos_left, CAST(cn AS BIGINT) AS n_left,
+             CAST(tpos - cpos AS BIGINT) AS n_pos_right,
+             CAST(tn - cn AS BIGINT) AS n_right,
+             CAST((pl * pl + (1000 - pl) * (1000 - pl)) * cn // tn +
+                  (pr * pr + (1000 - pr) * (1000 - pr)) * (tn - cn) // tn
+               AS BIGINT) AS score_micro,
+             CASE WHEN row_number() OVER (
+                    ORDER BY (pl * pl + (1000 - pl) * (1000 - pl)) * cn // tn +
+                             (pr * pr + (1000 - pr) * (1000 - pr)) * (tn - cn) // tn
+                               DESC, q) = 1
+                  THEN 1 ELSE 0 END AS is_best
+      FROM sc ORDER BY threshold"""),
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val per = t(s, d, "lineitem")
+          .select(col("l_quantity").cast("long").as("q"),
+            when(col("l_returnflag") === "R", 1L).otherwise(0L).as("lab"))
+          .groupBy("q")
+          .agg(sum("lab").cast("long").as("pos"), count(lit(1)).as("n"))
+        // feature-cardinality windows (≤50 rows) — single partition is fine
+        val w = Window.orderBy("q")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val cum = per.select(col("q"),
+          sum("pos").over(w).as("cpos"), sum("n").over(w).as("cn"))
+        val tot = per.agg(sum("pos").cast("long").as("tpos"),
+          sum("n").cast("long").as("tn"))
+        cum.crossJoin(broadcast(tot))
+          .filter(col("tn") - col("cn") > 0)
+          .withColumn("pl", expr("div(1000 * cpos, cn)"))
+          .withColumn("pr", expr("div(1000 * (tpos - cpos), (tn - cn))"))
+          .withColumn("score_micro",
+            expr("""div((pl * pl + (1000 - pl) * (1000 - pl)) * cn, tn) +
+                    div((pr * pr + (1000 - pr) * (1000 - pr)) * (tn - cn), tn)""")
+              .cast("long"))
+          .select(col("q").as("threshold"),
+            col("cpos").cast("long").as("n_pos_left"),
+            col("cn").cast("long").as("n_left"),
+            (col("tpos") - col("cpos")).cast("long").as("n_pos_right"),
+            (col("tn") - col("cn")).cast("long").as("n_right"),
+            col("score_micro"),
+            when(row_number().over(
+              Window.orderBy(col("score_micro").desc, col("q"))) === 1,
+              1L).otherwise(0L).as("is_best"))
+          .orderBy("threshold")
+      })
   )
 }
