@@ -2939,6 +2939,72 @@ object AnalyticsQueries {
             col("n"), col("sx"), col("sy"), col("sxy"), col("sxx"), col("syy"),
             col("acf_milli"))
           .orderBy("event_type", "lg")
+      }),
+
+    // Two-sample Kolmogorov–Smirnov distance between the click and
+    // purchase VALUE distributions — the nonparametric drift test
+    // that complements q_chi2_independence (categorical) and
+    // q_drift_shares (share deltas): D = max over the merged support
+    // of |F_click − F_purchase|, with the ECDFs held as exact
+    // integer ppm fractions (cum_count·1e6 // n, all positive, so
+    // truncating and flooring division agree). The only ordered pass
+    // is the cumulative sum over the DISTINCT cents support — value
+    // is bounded in [0, ~560], so the support is ≤56k rows at ANY
+    // fact size: domain-bounded, not data-bounded, which is what
+    // makes single-pass exact KS viable at 100 TB. Output is the
+    // 1-row statistic plus the location where the gap peaks
+    // (smallest such cents value — the row_number pick is total).
+    QDef("q_ks_two_sample", Some("""
+      WITH pts AS (
+        SELECT CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS x,
+               CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS ca,
+               CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS cb
+        FROM events WHERE event_type IN ('click', 'purchase')),
+      per AS (SELECT x, CAST(sum(ca) AS BIGINT) AS a, CAST(sum(cb) AS BIGINT) AS b
+              FROM pts GROUP BY x),
+      tot AS (SELECT sum(a) AS na, sum(b) AS nb FROM per),
+      cum AS (SELECT x,
+                sum(a) OVER (ORDER BY x
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cuma,
+                sum(b) OVER (ORDER BY x
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumb
+              FROM per),
+      gap AS (SELECT x,
+                abs((1000000 * cuma) // na - (1000000 * cumb) // nb) AS d_ppm,
+                na, nb
+              FROM cum, tot)
+      SELECT CAST(d_ppm AS BIGINT) AS ks_ppm, CAST(x AS BIGINT) AS at_cents,
+             CAST(na AS BIGINT) AS n_click, CAST(nb AS BIGINT) AS n_purchase
+      FROM (SELECT *, row_number() OVER (ORDER BY d_ppm DESC, x) AS rn FROM gap)
+      WHERE rn = 1"""),
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val per = t(s, d, "events")
+          .filter(col("event_type").isin("click", "purchase"))
+          .select(floor(col("value") * lit(100.0) + lit(0.5)).cast("long").as("x"),
+            when(col("event_type") === "click", 1L).otherwise(0L).as("ca"),
+            when(col("event_type") === "purchase", 1L).otherwise(0L).as("cb"))
+          .groupBy("x")
+          .agg(sum("ca").cast("long").as("a"), sum("cb").cast("long").as("b"))
+        val tot = per.agg(sum("a").cast("long").as("na"),
+          sum("b").cast("long").as("nb"))
+        // domain-bounded support (≤56k distinct cents) — the single
+        // partition here is over the value domain, never the fact
+        val w = Window.orderBy("x")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        per
+          .select(col("x"), sum("a").over(w).as("cuma"), sum("b").over(w).as("cumb"))
+          .crossJoin(broadcast(tot))
+          .select(col("x"),
+            abs(expr("div(1000000 * cuma, na)") - expr("div(1000000 * cumb, nb)"))
+              .as("d_ppm"),
+            col("na"), col("nb"))
+          .withColumn("rn", row_number().over(
+            Window.orderBy(col("d_ppm").desc, col("x"))))
+          .filter(col("rn") === 1)
+          .select(col("d_ppm").cast("long").as("ks_ppm"),
+            col("x").cast("long").as("at_cents"),
+            col("na").as("n_click"), col("nb").as("n_purchase"))
       })
   )
 }

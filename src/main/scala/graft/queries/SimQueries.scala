@@ -1239,7 +1239,91 @@ object SimQueries {
           .agg(count(lit(1)).as("n"),
             sum("qv").cast("long").as("sum_micro"),
             sum(col("qv") * col("qv")).cast("long").as("sumsq"))
-          .orderBy("dim"))
+          .orderBy("dim")),
+
+    // Dominant principal direction by FIXED-POINT POWER ITERATION
+    // over symmetrically int8-quantized embeddings: two unrolled
+    // rounds of v ← AᵀA·v from the all-ones start, renormalizing to
+    // milli-units (÷ max|w|) between rounds so every intermediate is
+    // a small exact BIGINT — the whole iteration is integer matrix
+    // arithmetic expressed as keyed aggregates (posexplode →
+    // per-vector row-sum → per-dim column-sum), with the 64-row v
+    // vector broadcast back for round 2. No centering (it's the top
+    // right-singular direction of the quantized matrix — the usual
+    // scale shortcut) and no floats cross the oracle surface: the
+    // only doubles are the shared exactly-rounded quantization and
+    // renormalization, floored identically in both engines. Overflow
+    // headroom: |w₂| ≤ N·127·64·127·1000 ≈ 1e9·N, safe in BIGINT to
+    // N ≈ 1e9 vectors.
+    QDef("q_embed_power_pca", Some("""
+      WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                 FROM embeddings WHERE len(embedding) > 0),
+      mm AS (SELECT vec_id, v,
+               greatest(abs(list_min(v)), abs(list_max(v))) AS am FROM e),
+      q AS (SELECT vec_id,
+              CASE WHEN am = 0 THEN list_transform(v, x -> CAST(0 AS BIGINT))
+                   ELSE list_transform(v,
+                     x -> CAST(floor(x * 127 / am + 0.5) AS BIGINT))
+              END AS c
+            FROM mm),
+      p AS (SELECT vec_id, s.j AS j, s.cv AS cv FROM
+              (SELECT vec_id, unnest(list_transform(range(1, len(c) + 1),
+                 i -> {'j': i, 'cv': c[i]})) AS s FROM q)),
+      s1 AS (SELECT vec_id, CAST(sum(cv) AS BIGINT) AS sv FROM p GROUP BY 1),
+      w1 AS (SELECT j, CAST(sum(cv * sv) AS BIGINT) AS w
+             FROM p JOIN s1 USING (vec_id) GROUP BY j),
+      m1 AS (SELECT max(abs(w)) AS m FROM w1),
+      v1 AS (SELECT j, w AS wr1, CASE WHEN m = 0 THEN 0
+               ELSE CAST(floor(1000.0 * w / m) AS BIGINT) END AS v1m
+             FROM w1, m1),
+      s2 AS (SELECT vec_id, CAST(sum(cv * v1m) AS BIGINT) AS sv
+             FROM p JOIN v1 USING (j) GROUP BY vec_id),
+      w2 AS (SELECT j, CAST(sum(cv * sv) AS BIGINT) AS w
+             FROM p JOIN s2 USING (vec_id) GROUP BY j),
+      m2 AS (SELECT max(abs(w)) AS m FROM w2),
+      v2 AS (SELECT j, CASE WHEN m = 0 THEN 0
+               ELSE CAST(floor(1000.0 * w / m) AS BIGINT) END AS v2m
+             FROM w2, m2)
+      SELECT CAST(v1.j AS BIGINT) AS dim, v1.wr1 AS w1_raw,
+             v1.v1m AS v1_milli, v2.v2m AS v2_milli
+      FROM v1 JOIN v2 USING (j) ORDER BY dim"""),
+      (s, d) => {
+        val e = t(s, d, "embeddings")
+          .filter(size(col("embedding")) > 0)
+          .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+          .withColumn("am",
+            greatest(abs(array_min(col("v"))), abs(array_max(col("v")))))
+        val q = e.select(col("vec_id"),
+          when(col("am") === 0, transform(col("v"), _ => lit(0L)))
+            .otherwise(transform(col("v"),
+              x => floor(x * lit(127) / col("am") + lit(0.5)).cast("long")))
+            .as("c"))
+        val p = q.select(col("vec_id"), posexplode(col("c")).as(Seq("p0", "cv")))
+          .select(col("vec_id"), (col("p0") + 1).as("j"), col("cv"))
+        val s1 = p.groupBy("vec_id").agg(sum("cv").cast("long").as("sv"))
+        val w1 = p.join(s1, Seq("vec_id")).groupBy("j")
+          .agg(sum(col("cv") * col("sv")).cast("long").as("w"))
+        val m1 = w1.agg(max(abs(col("w"))).as("m"))
+        val v1 = w1.crossJoin(broadcast(m1))
+          .select(col("j"), col("w").as("wr1"),
+            when(col("m") === 0, 0L)
+              .otherwise(floor(lit(1000.0) * col("w") / col("m")).cast("long"))
+              .as("v1m"))
+        val s2 = p.join(broadcast(v1.select("j", "v1m")), Seq("j"))
+          .groupBy("vec_id").agg(sum(col("cv") * col("v1m")).cast("long").as("sv"))
+        val w2 = p.join(s2, Seq("vec_id")).groupBy("j")
+          .agg(sum(col("cv") * col("sv")).cast("long").as("w"))
+        val m2 = w2.agg(max(abs(col("w"))).as("m"))
+        val v2 = w2.crossJoin(broadcast(m2))
+          .select(col("j"),
+            when(col("m") === 0, 0L)
+              .otherwise(floor(lit(1000.0) * col("w") / col("m")).cast("long"))
+              .as("v2m"))
+        v1.join(v2, Seq("j"))
+          .select(col("j").cast("long").as("dim"), col("wr1").as("w1_raw"),
+            col("v1m").as("v1_milli"), col("v2m").as("v2_milli"))
+          .orderBy("dim")
+      })
   )
 
   /** IVF-celled embedding near-dup pair CTEs (`e` → `cent` → `scored`

@@ -967,6 +967,56 @@ object TrainPrepQueries {
               Window.orderBy(col("score_micro").desc, col("q"))) === 1,
               1L).otherwise(0L).as("is_best"))
           .orderBy("threshold")
+      }),
+
+    // Neyman-optimal stratified sampling allocation — the survey-
+    // sampling answer to "which strata deserve the sample budget":
+    // allocate ∝ N_h·S_h (stratum size × stratum std-dev of
+    // n_chars), so high-variance strata get proportionally more
+    // draws than proportional allocation would give. One
+    // map-side-combined pass computes each stratum's exact integer
+    // moments; S_h comes out as a FLOORED MILLI-UNIT integer (the
+    // sqrt argument is the same exactly-rounded IEEE double in both
+    // engines), and every ratio after that is integer arithmetic on
+    // positive values — the share denominator is an exact integer
+    // sum, never a float accumulation whose ordering could differ
+    // between engines. Singleton strata (n<2) have undefined S and
+    // get weight 0. Budget = 1000 draws.
+    QDef("q_sample_neyman", Some("""
+      WITH m AS (SELECT lang, source, CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(n_chars) AS BIGINT) AS sy,
+                   CAST(sum(n_chars * n_chars) AS BIGINT) AS syy
+                 FROM documents GROUP BY 1, 2),
+      s AS (SELECT lang, source, n,
+              CASE WHEN n < 2 THEN 0
+                ELSE CAST(floor(1000.0 * sqrt(
+                  CAST(n * syy - sy * sy AS DOUBLE) / (n * (n - 1)))) AS BIGINT)
+              END AS s_milli
+            FROM m),
+      w AS (SELECT lang, source, n, s_milli, n * s_milli AS wgt FROM s),
+      tw AS (SELECT sum(wgt) AS tot FROM w)
+      SELECT lang, source, n, s_milli,
+             CAST((1000000 * wgt) // tot AS BIGINT) AS share_ppm,
+             CAST((1000 * wgt) // tot AS BIGINT) AS alloc_n
+      FROM w, tw ORDER BY lang, source"""),
+      (s, d) => {
+        val m = t(s, d, "documents")
+          .groupBy("lang", "source")
+          .agg(count(lit(1)).as("n"),
+            sum("n_chars").cast("long").as("sy"),
+            sum(col("n_chars") * col("n_chars")).cast("long").as("syy"))
+        val w = m.select(col("lang"), col("source"), col("n"),
+          when(col("n") < 2, 0L)
+            .otherwise(floor(lit(1000.0) * sqrt(
+              (col("n") * col("syy") - col("sy") * col("sy")).cast("double") /
+                (col("n") * (col("n") - 1)))).cast("long"))
+            .as("s_milli"))
+          .withColumn("wgt", col("n") * col("s_milli"))
+        w.crossJoin(broadcast(w.agg(sum("wgt").cast("long").as("tot"))))
+          .select(col("lang"), col("source"), col("n"), col("s_milli"),
+            expr("div(1000000 * wgt, tot)").cast("long").as("share_ppm"),
+            expr("div(1000 * wgt, tot)").cast("long").as("alloc_n"))
+          .orderBy("lang", "source")
       })
   )
 }
