@@ -3005,6 +3005,146 @@ object AnalyticsQueries {
           .select(col("d_ppm").cast("long").as("ks_ppm"),
             col("x").cast("long").as("at_cents"),
             col("na").as("n_click"), col("nb").as("n_purchase"))
+      }),
+
+    // Lorenz concentration curve over customer spend — the
+    // decile-grain cumulative-share readout behind every "top X% of
+    // customers hold Y% of revenue" statement (the curve whose area
+    // doubles into the Gini). ntile(10) over the TOTAL order
+    // (cents, custkey) is engine-portable: SQL ntile deals
+    // ceil-then-floor bucket sizes deterministically given a total
+    // order. The unpartitioned window runs over the CUSTOMER
+    // aggregate, one row per customer — at 100 TB that's dim-sized,
+    // and the decile rollup + running share are 10-row operations.
+    // Shares are exact integer ppm (positive // on both engines).
+    QDef("q_lorenz_deciles", Some("""
+      WITH spend AS (SELECT o_custkey,
+              CAST(sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT))
+                AS BIGINT) AS cents
+            FROM orders GROUP BY 1),
+      dec AS (SELECT cents, ntile(10) OVER (ORDER BY cents, o_custkey) AS decile
+              FROM spend),
+      agg AS (SELECT decile, CAST(count(*) AS BIGINT) AS n_customers,
+                CAST(sum(cents) AS BIGINT) AS decile_cents
+              FROM dec GROUP BY 1),
+      tot AS (SELECT sum(decile_cents) AS tc FROM agg)
+      SELECT CAST(decile AS BIGINT) AS decile, n_customers, decile_cents,
+             CAST((1000000 * sum(decile_cents) OVER (ORDER BY decile
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) // tc
+               AS BIGINT) AS cum_share_ppm
+      FROM agg, tot ORDER BY decile"""),
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val spend = t(s, d, "orders")
+          .groupBy("o_custkey")
+          .agg(sum(floor(col("o_totalprice") * lit(100.0) + lit(0.5)).cast("long"))
+            .cast("long").as("cents"))
+        val agg = spend
+          .withColumn("decile",
+            ntile(10).over(Window.orderBy(col("cents"), col("o_custkey"))))
+          .groupBy("decile")
+          .agg(count(lit(1)).as("n_customers"),
+            sum("cents").cast("long").as("decile_cents"))
+        agg
+          .crossJoin(broadcast(agg.agg(sum("decile_cents").cast("long").as("tc"))))
+          .withColumn("cum", sum("decile_cents").over(Window.orderBy("decile")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .select(col("decile").cast("long").as("decile"), col("n_customers"),
+            col("decile_cents"),
+            expr("div(1000000 * cum, tc)").cast("long").as("cum_share_ppm"))
+          .orderBy("decile")
+      }),
+
+    // Out-of-orderness (lateness) profile — the measurement that
+    // SIZES a streaming watermark: replay events in arrival order
+    // (event_id is the synthetic arrival sequence), track each
+    // user's high-water-mark timestamp, and histogram how far behind
+    // the HWM each event's own timestamp lands. Buckets are decimal
+    // decades of seconds via the DIGIT COUNT of the integer lateness
+    // (length of its string form — portable, no float log whose
+    // rounding could flip a boundary). One window pass partitioned
+    // by user (fact-scale but perfectly keyed), then a ≤10-row
+    // histogram. Feeds withWatermark() choices in the streaming
+    // faces (EventStream): pick the decade that covers the tail you
+    // can afford to wait for.
+    QDef("q_lateness_profile", Some("""
+      WITH o AS (SELECT user_id, ts,
+               max(ts) OVER (PARTITION BY user_id ORDER BY event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS hwm
+             FROM events),
+      l AS (SELECT (epoch_us(hwm) - epoch_us(ts)) // 1000000 AS late_sec FROM o),
+      b AS (SELECT CASE WHEN late_sec = 0 THEN 0
+                        ELSE length(CAST(late_sec AS VARCHAR)) END AS decade,
+                   late_sec FROM l)
+      SELECT CAST(decade AS BIGINT) AS decade, CAST(count(*) AS BIGINT) AS n,
+             CAST(min(late_sec) AS BIGINT) AS min_sec,
+             CAST(max(late_sec) AS BIGINT) AS max_sec
+      FROM b GROUP BY 1 ORDER BY decade"""),
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("user_id").orderBy("event_id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        t(s, d, "events")
+          .select(col("user_id"), col("event_id"), col("ts"))
+          .withColumn("hwm", max("ts").over(w))
+          .select(expr("div(unix_micros(hwm) - unix_micros(ts), 1000000)")
+            .as("late_sec"))
+          .select(when(col("late_sec") === 0, 0L)
+            .otherwise(length(col("late_sec").cast("string")).cast("long"))
+            .as("decade"), col("late_sec"))
+          .groupBy("decade")
+          .agg(count(lit(1)).as("n"), min("late_sec").cast("long").as("min_sec"),
+            max("late_sec").cast("long").as("max_sec"))
+          .orderBy("decade")
+      }),
+
+    // Price-elasticity regression per brand: the OLS slope of units
+    // sold against part retail price, fitted from EXACT integer
+    // moment sums over the (part, price, quantity) points — the same
+    // moments-not-residuals discipline as q_trend_slope/q_moving_corr
+    // but over a price axis, which is what a pricing team actually
+    // regresses. The fact aggregates once per part (map-side
+    // combined), the regression inputs are part-grain — dim-sized at
+    // any SF. slope_micro is floor of the shared IEEE ratio; the raw
+    // sums ship alongside so the consumer can rebuild intercept/R²
+    // exactly. Components stay in BIGINT while Σxy < 1e18 — at
+    // larger scales pre-scale y to thousands.
+    QDef("q_price_elasticity", Some("""
+      WITH pp AS (SELECT p.p_brand, p.p_partkey,
+              CAST(floor(p.p_retailprice * 100.0 + 0.5) AS BIGINT) AS x,
+              CAST(sum(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS y
+            FROM part p JOIN lineitem l ON l.l_partkey = p.p_partkey
+            GROUP BY 1, 2, 3),
+      m AS (SELECT p_brand, CAST(count(*) AS BIGINT) AS n,
+              CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+              CAST(sum(x * y) AS BIGINT) AS sxy, CAST(sum(x * x) AS BIGINT) AS sxx
+            FROM pp GROUP BY 1)
+      SELECT p_brand, n, sx, sy, sxy, sxx,
+             CAST(CASE WHEN n * sxx - sx * sx = 0 THEN 0
+                  ELSE floor(1000000.0 * (n * sxy - sx * sy) /
+                             (n * sxx - sx * sx)) END AS BIGINT) AS slope_micro
+      FROM m ORDER BY p_brand"""),
+      (s, d) => {
+        val pp = t(s, d, "lineitem").select("l_partkey", "l_quantity")
+          .join(broadcast(t(s, d, "part")
+            .select(col("p_partkey"), col("p_brand"),
+              floor(col("p_retailprice") * lit(100.0) + lit(0.5)).cast("long")
+                .as("x"))),
+            col("l_partkey") === col("p_partkey"))
+          .groupBy("p_brand", "p_partkey", "x")
+          .agg(sum(col("l_quantity").cast("long")).cast("long").as("y"))
+        pp.groupBy("p_brand")
+          .agg(count(lit(1)).as("n"), sum("x").cast("long").as("sx"),
+            sum("y").cast("long").as("sy"),
+            sum(col("x") * col("y")).cast("long").as("sxy"),
+            sum(col("x") * col("x")).cast("long").as("sxx"))
+          .withColumn("slope_micro",
+            when(col("n") * col("sxx") - col("sx") * col("sx") === 0, 0L)
+              .otherwise(floor(lit(1000000.0) *
+                (col("n") * col("sxy") - col("sx") * col("sy")) /
+                (col("n") * col("sxx") - col("sx") * col("sx"))))
+              .cast("long"))
+          .orderBy("p_brand")
       })
   )
 }

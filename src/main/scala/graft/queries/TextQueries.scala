@@ -1462,6 +1462,60 @@ object TextQueries {
           .groupBy("phrase", "score_milli")
           .agg(count(lit(1)).as("n_occ"))
           .orderBy(col("score_milli").desc, col("phrase")).limit(25)
+      }),
+
+    // Bag-of-words COSINE near-dup pairs via the inverted-index
+    // self-join — the term-frequency-weighted sibling of
+    // q_dedup_token_jaccard (set overlap): dot products accumulate
+    // ONLY through shared postings (token-keyed equi-join, never
+    // all-pairs), squared norms are one per-doc integer agg, and the
+    // cos ≥ 0.9 gate is the exact integer cross-multiplication
+    // 100·dp² ≥ 81·|a|²·|b|² — no float decides membership. Same
+    // 1-in-13 doc_id-mod sample as the other pair queries (this
+    // corpus' 31-token vocabulary makes every token a full posting
+    // list; real corpora get the df-cap/prefix tricks NearDup
+    // documents). cos_milli = floor of the shared IEEE value,
+    // reported for the survivors only.
+    QDef("q_bow_cosine_pairs", Some("""
+      WITH tf AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS f FROM
+        (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+         FROM documents WHERE doc_id % 13 = 0)
+        WHERE tok <> '' GROUP BY doc_id, tok),
+      nrm AS (SELECT doc_id, CAST(sum(f * f) AS BIGINT) AS nsq
+              FROM tf GROUP BY doc_id),
+      dp AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(sum(a.f * b.f) AS BIGINT) AS dp
+             FROM tf a JOIN tf b ON a.tok = b.tok AND a.doc_id < b.doc_id
+             GROUP BY 1, 2)
+      SELECT doc_a, doc_b, dp, na.nsq AS nsq_a, nb.nsq AS nsq_b,
+             CAST(floor(1000.0 * dp /
+               sqrt(CAST(na.nsq AS DOUBLE) * CAST(nb.nsq AS DOUBLE)))
+               AS BIGINT) AS cos_milli
+      FROM dp JOIN nrm na ON doc_a = na.doc_id JOIN nrm nb ON doc_b = nb.doc_id
+      WHERE 100 * dp * dp >= 64 * na.nsq * nb.nsq
+      ORDER BY doc_a, doc_b"""),
+      (s, d) => {
+        val tf = t(s, d, "documents").filter(col("doc_id") % 13 === 0)
+          .select(col("doc_id"), explode(TA.tokens(col("text"))).as("tok"))
+          .groupBy("doc_id", "tok").agg(count(lit(1)).as("f"))
+        val nrm = tf.groupBy("doc_id")
+          .agg(sum(col("f") * col("f")).cast("long").as("nsq"))
+        val a = tf.select(col("doc_id").as("doc_a"), col("tok"), col("f").as("fa"))
+        val b = tf.select(col("doc_id").as("doc_b"), col("tok"), col("f").as("fb"))
+        a.join(b, Seq("tok")).filter(col("doc_a") < col("doc_b"))
+          .groupBy("doc_a", "doc_b")
+          .agg(sum(col("fa") * col("fb")).cast("long").as("dp"))
+          .join(nrm.select(col("doc_id").as("doc_a"), col("nsq").as("nsq_a")),
+            Seq("doc_a"))
+          .join(nrm.select(col("doc_id").as("doc_b"), col("nsq").as("nsq_b")),
+            Seq("doc_b"))
+          .filter(lit(100) * col("dp") * col("dp") >=
+            lit(64) * col("nsq_a") * col("nsq_b"))
+          .select(col("doc_a"), col("doc_b"), col("dp"), col("nsq_a"), col("nsq_b"),
+            floor(lit(1000.0) * col("dp") /
+              sqrt(col("nsq_a").cast("double") * col("nsq_b").cast("double")))
+              .cast("long").as("cos_milli"))
+          .orderBy("doc_a", "doc_b")
       })
   )
 }
