@@ -1155,6 +1155,9 @@ object GraphStatQueries {
         FROM e2 GROUP BY s)
       GROUP BY 1, 2 ORDER BY side, degree"""),
       (s, d) => {
+        // the edge list feeds six aggregates; an explicit persist()
+        // measured SLOWER than Catalyst's own exchange reuse here
+        // (the distinct's shuffle is reused across the degree passes)
         val e = t(s, d, "orders").select("o_orderkey", "o_custkey")
           .join(t(s, d, "lineitem").select("l_orderkey", "l_partkey"),
             col("l_orderkey") === col("o_orderkey"))

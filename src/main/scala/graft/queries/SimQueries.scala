@@ -1298,8 +1298,11 @@ object SimQueries {
             .otherwise(transform(col("v"),
               x => floor(x * lit(127) / col("am") + lit(0.5)).cast("long")))
             .as("c"))
+        // the code matrix feeds four matvec aggregates — persist the
+        // N×64 exploded postings once (QDef.withCacheRelease frees it)
         val p = q.select(col("vec_id"), posexplode(col("c")).as(Seq("p0", "cv")))
           .select(col("vec_id"), (col("p0") + 1).as("j"), col("cv"))
+          .persist()
         val s1 = p.groupBy("vec_id").agg(sum("cv").cast("long").as("sv"))
         val w1 = p.join(s1, Seq("vec_id")).groupBy("j")
           .agg(sum(col("cv") * col("sv")).cast("long").as("w"))
