@@ -3145,6 +3145,67 @@ object AnalyticsQueries {
                 (col("n") * col("sxx") - col("sx") * col("sx"))))
               .cast("long"))
           .orderBy("p_brand")
+      }),
+
+    // POSITION-BASED (U-shaped) attribution — completes the model
+    // family next to first/last/linear: 40% of each conversion's
+    // credit to the first touch, 40% to the last, 20% split evenly
+    // across the middles. Same 7-day click→purchase journey as
+    // q_attribution_linear (user-keyed interval join, bounded by the
+    // window), positions from ONE row_number per journey (total
+    // order (cts, cid)). Credit is integer ppm: the middle share
+    // floors (200000 // (n−2)) and the flooring REMAINDER rides the
+    // first touch, so every journey's credits sum to exactly
+    // 1,000,000 — conservation is arithmetic, not approximate.
+    QDef("q_attribution_position", Some("""
+      WITH p AS (SELECT event_id AS pid, user_id, epoch_us(ts) AS pts
+                 FROM events WHERE event_type = 'purchase'),
+      c AS (SELECT event_id AS cid, user_id, epoch_us(ts) AS cts
+            FROM events WHERE event_type = 'click'),
+      pairs AS (SELECT p.pid, p.user_id, c.cid, c.cts
+                FROM p JOIN c ON p.user_id = c.user_id
+                 AND c.cts <= p.pts AND c.cts > p.pts - 604800000000),
+      rk AS (SELECT pid, user_id, cid,
+               row_number() OVER (PARTITION BY pid ORDER BY cts, cid) AS rn,
+               count(*) OVER (PARTITION BY pid) AS n
+             FROM pairs),
+      credit AS (SELECT user_id, cid,
+          CASE WHEN n = 1 THEN 1000000
+               WHEN n = 2 THEN 500000
+               WHEN rn = 1 THEN 400000 + (200000 - (n - 2) * (200000 // (n - 2)))
+               WHEN rn = n THEN 400000
+               ELSE 200000 // (n - 2) END AS ppm
+        FROM rk)
+      SELECT user_id, CAST(count(*) AS BIGINT) AS n_credits,
+             CAST(sum(ppm) AS BIGINT) AS credit_ppm
+      FROM credit GROUP BY 1 ORDER BY user_id"""),
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val ev = t(s, d, "events")
+        val p = ev.filter(col("event_type") === "purchase")
+          .select(col("event_id").as("pid"), col("user_id"),
+            unix_micros(col("ts")).as("pts"))
+        val c = ev.filter(col("event_type") === "click")
+          .select(col("event_id").as("cid"), col("user_id").as("cuid"),
+            unix_micros(col("ts")).as("cts"))
+        val w = Window.partitionBy("pid")
+        p.join(c,
+          col("user_id") === col("cuid") &&
+            col("cts") <= col("pts") && col("cts") > col("pts") - lit(604800000000L))
+          .select(col("pid"), col("user_id"), col("cid"), col("cts"))
+          .withColumn("rn", row_number().over(w.orderBy(col("cts"), col("cid"))))
+          .withColumn("n", count(lit(1)).over(w))
+          .select(col("user_id"), col("cid"),
+            when(col("n") === 1, 1000000L)
+              .when(col("n") === 2, 500000L)
+              .when(col("rn") === 1, lit(400000L) +
+                (lit(200000L) - (col("n") - 2) * expr("div(200000, n - 2)")))
+              .when(col("rn") === col("n"), 400000L)
+              .otherwise(expr("div(200000, n - 2)")).as("ppm"))
+          .groupBy("user_id")
+          .agg(count(lit(1)).as("n_credits"),
+            sum("ppm").cast("long").as("credit_ppm"))
+          .orderBy("user_id")
       })
   )
 }

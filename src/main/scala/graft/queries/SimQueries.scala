@@ -1326,6 +1326,65 @@ object SimQueries {
           .select(col("j").cast("long").as("dim"), col("wr1").as("w1_raw"),
             col("v1m").as("v1_milli"), col("v2m").as("v2_milli"))
           .orderBy("dim")
+      }),
+
+    // Embedding CENTROID DRIFT monitor per label — the vector-lake
+    // health check that catches a re-embedding or upstream model
+    // change: split each label's vectors into two deterministic
+    // cohorts (vec_id parity — a scale-free stand-in for
+    // before/after batches), compare per-dim centroid means, report
+    // the Euclidean shift. The per-dim means are ratios of EXACT
+    // integer micro-sums; their difference is floored to an integer
+    // micro-diff per dim so the 64-term sum of squares is exact
+    // BIGINT arithmetic (≤64·4e12) — no float accumulation whose
+    // ordering could differ between engines. One explode + one
+    // grouped aggregate: linear in vectors at any SF.
+    QDef("q_embed_centroid_shift", Some("""
+      WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+                 FROM embeddings WHERE len(embedding) > 0),
+      p AS (SELECT vec_id % 2 AS cohort, label, s.j AS j, s.qv AS qv FROM
+              (SELECT vec_id, label, unnest(list_transform(range(1, len(v) + 1),
+                 i -> {'j': i, 'qv': CAST(floor(v[i] * 1000000.0 + 0.5)
+                                          AS BIGINT)})) AS s
+               FROM e)),
+      m AS (SELECT label, j,
+              CAST(sum(CASE WHEN cohort = 0 THEN qv ELSE 0 END) AS BIGINT) AS sa,
+              CAST(sum(CASE WHEN cohort = 0 THEN 1 ELSE 0 END) AS BIGINT) AS na,
+              CAST(sum(CASE WHEN cohort = 1 THEN qv ELSE 0 END) AS BIGINT) AS sb,
+              CAST(sum(CASE WHEN cohort = 1 THEN 1 ELSE 0 END) AS BIGINT) AS nb
+            FROM p GROUP BY 1, 2),
+      d AS (SELECT label, j, na, nb,
+              CAST(floor(1.0 * sa / na - 1.0 * sb / nb) AS BIGINT) AS dj
+            FROM m WHERE na > 0 AND nb > 0)
+      SELECT label,
+             CAST(max(na) AS BIGINT) AS n_a, CAST(max(nb) AS BIGINT) AS n_b,
+             CAST(floor(sqrt(CAST(sum(dj * dj) AS DOUBLE))) AS BIGINT)
+               AS shift_micro
+      FROM d GROUP BY label ORDER BY label"""),
+      (s, d) => {
+        val p = t(s, d, "embeddings")
+          .filter(size(col("embedding")) > 0)
+          .select((col("vec_id") % 2).as("cohort"), col("label"),
+            posexplode(transform(col("embedding").cast("array<double>"),
+              x => floor(x * lit(1000000.0) + lit(0.5)).cast("long")))
+              .as(Seq("p0", "qv")))
+          .select(col("cohort"), col("label"), (col("p0") + 1).as("j"), col("qv"))
+        p.groupBy("label", "j")
+          .agg(sum(when(col("cohort") === 0, col("qv")).otherwise(0L))
+            .cast("long").as("sa"),
+            sum(when(col("cohort") === 0, 1L).otherwise(0L)).cast("long").as("na"),
+            sum(when(col("cohort") === 1, col("qv")).otherwise(0L))
+              .cast("long").as("sb"),
+            sum(when(col("cohort") === 1, 1L).otherwise(0L)).cast("long").as("nb"))
+          .filter(col("na") > 0 && col("nb") > 0)
+          .withColumn("dj",
+            floor(lit(1.0) * col("sa") / col("na") -
+                  lit(1.0) * col("sb") / col("nb")).cast("long"))
+          .groupBy("label")
+          .agg(max("na").cast("long").as("n_a"), max("nb").cast("long").as("n_b"),
+            floor(sqrt(sum(col("dj") * col("dj")).cast("double"))).cast("long")
+              .as("shift_micro"))
+          .orderBy("label")
       })
   )
 

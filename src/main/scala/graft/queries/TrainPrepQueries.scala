@@ -1017,6 +1017,98 @@ object TrainPrepQueries {
             expr("div(1000000 * wgt, tot)").cast("long").as("share_ppm"),
             expr("div(1000 * wgt, tot)").cast("long").as("alloc_n"))
           .orderBy("lang", "source")
+      }),
+
+    // Empirical-Bayes (beta-binomial) smoothed return rate per part —
+    // the shrinkage every per-item rate table needs before anyone
+    // ranks by it: raw pos/n swings wildly for thin parts, so shrink
+    // toward the global mean with prior strength α=20 pseudo-counts:
+    // smoothed = (pos + α·μ)/(n + α). The global mean enters as its
+    // FLOORED ppm (one broadcast row) so the whole formula stays
+    // small-integer arithmetic — no pos·D product that would
+    // overflow when the corpus denominator D hits trillions. Raw and
+    // smoothed ship side by side; thin parts visibly pull toward
+    // mu_ppm, fat parts barely move.
+    QDef("q_eb_smoothed_rate", Some("""
+      WITH per AS (SELECT l_partkey,
+              CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+                AS BIGINT) AS pos,
+              CAST(count(*) AS BIGINT) AS n
+            FROM lineitem GROUP BY 1),
+      g AS (SELECT (1000000 * sum(pos)) // sum(n) AS mu_ppm FROM per)
+      SELECT l_partkey, n, pos,
+             CAST((1000000 * pos) // n AS BIGINT) AS raw_ppm,
+             CAST((1000000 * pos + 20 * mu_ppm) // (n + 20) AS BIGINT)
+               AS smoothed_ppm
+      FROM per, g ORDER BY l_partkey"""),
+      (s, d) => {
+        val per = t(s, d, "lineitem")
+          .groupBy("l_partkey")
+          .agg(sum(when(col("l_returnflag") === "R", 1L).otherwise(0L))
+            .cast("long").as("pos"),
+            count(lit(1)).as("n"))
+        per.crossJoin(broadcast(
+          per.agg(expr("div(1000000 * sum(pos), sum(n))").cast("long")
+            .as("mu_ppm"))))
+          .select(col("l_partkey"), col("n"), col("pos"),
+            expr("div(1000000 * pos, n)").cast("long").as("raw_ppm"),
+            expr("div(1000000 * pos + 20 * mu_ppm, n + 20)").cast("long")
+              .as("smoothed_ppm"))
+          .orderBy("l_partkey")
+      }),
+
+    // Sample-Ratio-Mismatch audit over q_split_assign's hash arms —
+    // the experimentation-ops check that a deterministic splitter
+    // actually lands on its designed 204/26/26-of-256 proportions:
+    // exact integer χ² in milli-units, Σ 1000·(256·O − num·N)² /
+    // (256·num·N) over the three arms, alarm at the df=2 95%
+    // critical value (5.991). The observed counts are one dim-sized
+    // aggregate over the same md5-byte assignment the splitter uses;
+    // everything downstream is 3-row arithmetic against a broadcast
+    // total. Squared deviations stay in BIGINT while N < ~1e8 docs;
+    // beyond that, audit per-shard and sum the χ² components.
+    QDef("q_srm_check", Some("""
+      WITH h AS (SELECT CAST(('0x' || substr(md5('split1|' || doc_id), 1, 2))
+                   AS INTEGER) AS b
+                 FROM documents),
+      o AS (SELECT CASE WHEN b < 204 THEN 'train'
+                        WHEN b < 230 THEN 'val' ELSE 'test' END AS split,
+                   CASE WHEN b < 204 THEN 204
+                        WHEN b < 230 THEN 26 ELSE 26 END AS num
+            FROM h),
+      cnt AS (SELECT split, num, CAST(count(*) AS BIGINT) AS obs
+              FROM o GROUP BY 1, 2),
+      tot AS (SELECT sum(obs) AS nn FROM cnt)
+      SELECT split, obs, CAST(num AS BIGINT) AS expected_num_256,
+             CAST((num * nn) // 256 AS BIGINT) AS expected_n,
+             CAST((1000 * (256 * obs - num * nn) * (256 * obs - num * nn)) //
+                  (256 * num * nn) AS BIGINT) AS chi2_part_milli,
+             CASE WHEN sum((1000 * (256 * obs - num * nn) *
+                            (256 * obs - num * nn)) // (256 * num * nn))
+                    OVER () > 5991 THEN 1 ELSE 0 END AS srm_alarm
+      FROM cnt, tot ORDER BY split"""),
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val cnt = t(s, d, "documents")
+          .select((conv(substring(md5(concat(lit("split1|"), col("doc_id"))), 1, 2),
+            16, 10).cast(IntegerType)).as("b"))
+          .select(
+            when(col("b") < 204, "train").when(col("b") < 230, "val")
+              .otherwise("test").as("split"),
+            when(col("b") < 204, 204L).otherwise(26L).as("num"))
+          .groupBy("split", "num").agg(count(lit(1)).as("obs"))
+        cnt.crossJoin(broadcast(cnt.agg(sum("obs").cast("long").as("nn"))))
+          .withColumn("chi2_part_milli",
+            expr("""div(1000 * (256 * obs - num * nn) * (256 * obs - num * nn),
+                        256 * num * nn)""").cast("long"))
+          .select(col("split"), col("obs"),
+            col("num").cast("long").as("expected_num_256"),
+            expr("div(num * nn, 256)").cast("long").as("expected_n"),
+            col("chi2_part_milli"),
+            when(sum("chi2_part_milli")
+              .over(Window.partitionBy()) > 5991, 1L).otherwise(0L)
+              .as("srm_alarm"))
+          .orderBy("split")
       })
   )
 }
