@@ -3206,6 +3206,159 @@ object AnalyticsQueries {
           .agg(count(lit(1)).as("n_credits"),
             sum("ppm").cast("long").as("credit_ppm"))
           .orderBy("user_id")
+      }),
+
+    // TIME-WEIGHTED average value per (user, day) — TWAP: each
+    // event's value holds until the next event (lead() within the
+    // user-day), weighted by that holding duration in micros; the
+    // day's last event holds to midnight. Duration×cents products
+    // stay exact BIGINT (≤86400e6 µs × cents), the final ratio is
+    // positive integer division. One lead window and one aggregate,
+    // both on the same (user, day) keying — a single exchange.
+    // Distinct from OHLC (order statistics) and the volume-weighted
+    // median (mass quantile): this is the time-in-state mean a
+    // billing/metering pipeline computes.
+    QDef("q_time_weighted_avg", Some("""
+      WITH e AS (SELECT user_id,
+               strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+               epoch_us(ts) AS s,
+               epoch_us(date_trunc('day', ts)) + 86400000000 AS day_end,
+               event_id,
+               CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS cents
+             FROM events),
+      d AS (SELECT user_id, day, cents,
+              coalesce(lead(s) OVER (PARTITION BY user_id, day
+                ORDER BY s, event_id), day_end) - s AS dur_us
+            FROM e)
+      SELECT user_id, day,
+             CAST(count(*) AS BIGINT) AS n_events,
+             CAST(sum(dur_us) AS BIGINT) AS held_us,
+             CAST(sum(cents * dur_us) // sum(dur_us) AS BIGINT) AS twap_cents
+      FROM d GROUP BY 1, 2 ORDER BY user_id, day"""),
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val e = t(s, d, "events")
+          .select(col("user_id"),
+            date_format(col("ts"), "yyyy-MM-dd").as("day"),
+            unix_micros(col("ts")).as("s"),
+            (unix_micros(date_trunc("day", col("ts"))) + lit(86400000000L))
+              .as("day_end"),
+            col("event_id"),
+            floor(col("value") * lit(100.0) + lit(0.5)).cast("long").as("cents"))
+        e.withColumn("dur_us",
+          coalesce(lead("s", 1).over(Window.partitionBy("user_id", "day")
+            .orderBy(col("s"), col("event_id"))), col("day_end")) - col("s"))
+          .groupBy("user_id", "day")
+          .agg(count(lit(1)).as("n_events"),
+            sum("dur_us").cast("long").as("held_us"),
+            expr("div(sum(cents * dur_us), sum(dur_us))").cast("long")
+              .as("twap_cents"))
+          .orderBy("user_id", "day")
+      }),
+
+    // Mann–Whitney U rank test, click vs purchase values — the
+    // LOCATION-shift complement to q_ks_two_sample's shape test,
+    // computed WITHOUT ranking individual rows: collapse both
+    // samples to per-cents counts first, then every tie group's
+    // average rank falls out of the cumulative counts
+    // (doubled-rank 2·cum_before + tie + 1 keeps ties integral).
+    // The rank pass therefore runs over the DOMAIN-bounded support
+    // (≤56k cents values), never the fact — the same trick that
+    // makes the exact KS viable at 100 TB. U in half-units (u2),
+    // rank-biserial effect size as floor of the shared IEEE ratio.
+    QDef("q_mann_whitney", Some("""
+      WITH pts AS (SELECT CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS x,
+               CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS ca,
+               CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS cb
+             FROM events WHERE event_type IN ('click', 'purchase')),
+      per AS (SELECT x, CAST(sum(ca) AS BIGINT) AS a, CAST(sum(cb) AS BIGINT) AS b
+              FROM pts GROUP BY x),
+      cum AS (SELECT x, a, b,
+                sum(a + b) OVER (ORDER BY x
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - (a + b)
+                  AS before_all
+              FROM per),
+      tot AS (SELECT sum(a) AS na, sum(b) AS nb FROM per),
+      u AS (SELECT sum(a * (2 * before_all + (a + b) + 1)) AS r2a, na, nb
+            FROM cum, tot GROUP BY na, nb)
+      SELECT CAST(na AS BIGINT) AS n_click, CAST(nb AS BIGINT) AS n_purchase,
+             CAST(r2a - na * (na + 1) AS BIGINT) AS u2_click,
+             CAST(2 * na * nb - (r2a - na * (na + 1)) AS BIGINT) AS u2_purchase,
+             CAST(floor(1000.0 * (r2a - na * (na + 1)) / (na * nb) - 1000.0)
+               AS BIGINT) AS rank_biserial_milli
+      FROM u"""),
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val per = t(s, d, "events")
+          .filter(col("event_type").isin("click", "purchase"))
+          .select(floor(col("value") * lit(100.0) + lit(0.5)).cast("long").as("x"),
+            when(col("event_type") === "click", 1L).otherwise(0L).as("ca"),
+            when(col("event_type") === "purchase", 1L).otherwise(0L).as("cb"))
+          .groupBy("x")
+          .agg(sum("ca").cast("long").as("a"), sum("cb").cast("long").as("b"))
+        val w = Window.orderBy("x")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val cum = per.withColumn("before_all",
+          sum(col("a") + col("b")).over(w) - (col("a") + col("b")))
+        val tot = per.agg(sum("a").cast("long").as("na"),
+          sum("b").cast("long").as("nb"))
+        cum.crossJoin(broadcast(tot))
+          .groupBy("na", "nb")
+          .agg(sum(col("a") * (lit(2) * col("before_all") + col("a") + col("b")
+            + 1)).cast("long").as("r2a"))
+          .select(col("na").as("n_click"), col("nb").as("n_purchase"),
+            (col("r2a") - col("na") * (col("na") + 1)).cast("long").as("u2_click"),
+            (lit(2) * col("na") * col("nb") -
+              (col("r2a") - col("na") * (col("na") + 1))).cast("long")
+              .as("u2_purchase"),
+            floor(lit(1000.0) * (col("r2a") - col("na") * (col("na") + 1)) /
+              (col("na") * col("nb")) - lit(1000.0)).cast("long")
+              .as("rank_biserial_milli"))
+      }),
+
+    // Burstiness (Fano factor) of the per-minute arrival process per
+    // event type — variance-to-mean of the minute-bucket counts,
+    // the dispersion diagnostic that separates Poisson-ish traffic
+    // (Fano≈1) from bursty or regularized streams. ZERO-count
+    // minutes matter: n is the full calendar minute span (max−min+1
+    // over the whole table, one broadcast row), not just occupied
+    // minutes — Σx and Σx² are unaffected by zeros, so the exact
+    // moments come from the occupied buckets alone and no dense
+    // spine is materialized. fano_milli floors the shared IEEE
+    // ratio; moment sums ship for exact downstream use.
+    QDef("q_burstiness_fano", Some("""
+      WITH m AS (SELECT event_type,
+               epoch_us(date_trunc('minute', ts)) // 60000000 AS mnum
+             FROM events),
+      span AS (SELECT max(mnum) - min(mnum) + 1 AS n FROM m),
+      c AS (SELECT event_type, mnum, CAST(count(*) AS BIGINT) AS x
+            FROM m GROUP BY 1, 2),
+      agg AS (SELECT event_type, CAST(sum(x) AS BIGINT) AS sx,
+                CAST(sum(x * x) AS BIGINT) AS sxx,
+                CAST(count(*) AS BIGINT) AS occupied
+              FROM c GROUP BY 1)
+      SELECT event_type, CAST(n AS BIGINT) AS n_minutes, occupied, sx, sxx,
+             CAST(floor(1000.0 * (n * sxx - sx * sx) / ((n - 1) * sx))
+               AS BIGINT) AS fano_milli
+      FROM agg, span ORDER BY event_type"""),
+      (s, d) => {
+        val m = t(s, d, "events")
+          .select(col("event_type"),
+            expr("div(unix_micros(date_trunc('minute', ts)), 60000000)")
+              .as("mnum"))
+        val span = m.agg((max("mnum") - min("mnum") + 1).cast("long").as("n"))
+        m.groupBy("event_type", "mnum")
+          .agg(count(lit(1)).as("x"))
+          .groupBy("event_type")
+          .agg(sum("x").cast("long").as("sx"),
+            sum(col("x") * col("x")).cast("long").as("sxx"),
+            count(lit(1)).as("occupied"))
+          .crossJoin(broadcast(span))
+          .select(col("event_type"), col("n").as("n_minutes"), col("occupied"),
+            col("sx"), col("sxx"),
+            floor(lit(1000.0) * (col("n") * col("sxx") - col("sx") * col("sx")) /
+              ((col("n") - 1) * col("sx"))).cast("long").as("fano_milli"))
+          .orderBy("event_type")
       })
   )
 }
