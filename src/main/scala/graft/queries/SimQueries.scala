@@ -1385,6 +1385,72 @@ object SimQueries {
             floor(sqrt(sum(col("dj") * col("dj")).cast("double"))).cast("long")
               .as("shift_micro"))
           .orderBy("label")
+      }),
+
+    // RECIPROCAL-RANK FUSION of two production rankers — the
+    // standard way hybrid retrieval merges rank lists without score
+    // calibration: rrf(c) = Σ_r 1/(60 + rank_r(c)), here in exact
+    // integer milli-units (1000 // (60+rank), floor division on
+    // positive ints both engines). Ranker A is the brute-force
+    // cosine top-20 (the recall ceiling), ranker B the IVF
+    // cell-restricted top-20 (the scale path); candidates missing
+    // from one list contribute zero from it. The fuse is a
+    // (qid,cid)-keyed FULL OUTER join of two top-k tables — ~20
+    // rows per query each — so fusion cost is rank-list-sized, not
+    // corpus-sized, exactly as in a serving tier.
+    QDef("q_rrf_fusion", Some(s"""
+      WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+                 FROM embeddings),
+      q AS (SELECT vec_id AS qid, label AS cell, v AS qv FROM e WHERE vec_id < 10),
+      c AS (SELECT vec_id AS cid, label AS cell, v AS cv FROM e),
+      sa AS (SELECT qid, cid, round($cosSql, 3) AS sim3
+             FROM q CROSS JOIN c WHERE qid <> cid),
+      ra AS (SELECT qid, cid, CAST(row_number() OVER (PARTITION BY qid
+               ORDER BY sim3 DESC, cid) AS BIGINT) AS rnk FROM sa),
+      ral AS (SELECT * FROM ra WHERE rnk <= 20),
+      sb AS (SELECT qid, cid, round($cosSql, 3) AS sim3
+             FROM q JOIN c USING (cell) WHERE qid <> cid),
+      rb AS (SELECT qid, cid, CAST(row_number() OVER (PARTITION BY qid
+               ORDER BY sim3 DESC, cid) AS BIGINT) AS rnk FROM sb),
+      rbl AS (SELECT * FROM rb WHERE rnk <= 20),
+      f AS (SELECT coalesce(ral.qid, rbl.qid) AS qid,
+              coalesce(ral.cid, rbl.cid) AS cid,
+              coalesce(1000 // (60 + ral.rnk), 0) +
+                coalesce(1000 // (60 + rbl.rnk), 0) AS rrf_milli,
+              coalesce(ral.rnk, 0) AS rank_brute,
+              coalesce(rbl.rnk, 0) AS rank_ivf
+            FROM ral FULL JOIN rbl
+              ON ral.qid = rbl.qid AND ral.cid = rbl.cid)
+      SELECT qid, cid, CAST(rrf_milli AS BIGINT) AS rrf_milli,
+             rank_brute, rank_ivf,
+             CAST(row_number() OVER (PARTITION BY qid
+               ORDER BY rrf_milli DESC, cid) AS BIGINT) AS fused_rank
+      FROM f QUALIFY fused_rank <= 5 ORDER BY qid, fused_rank"""),
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val e = t(s, d, "embeddings")
+          .select(col("vec_id"), col("label").as("cell"), col("embedding").as("v"))
+        val q = e.select(col("vec_id").as("qid"), col("cell"), col("v").as("qv"))
+          .filter(col("qid") < 10)
+        val c = e.select(col("vec_id").as("cid"), col("cell"), col("v").as("cv"))
+        val ra = Similarity.bruteForceTopK(c.drop("cell"), q.drop("cell"), 20)
+          .select(col("qid"), col("cid"), col("rank").as("ra"))
+        val rb = Similarity.ivfTopK(c, q, 20)
+          .select(col("qid").as("qb"), col("cid").as("cb"), col("rank").as("rb"))
+        ra.join(rb, col("qid") === col("qb") && col("cid") === col("cb"),
+          "full_outer")
+          .select(coalesce(col("qid"), col("qb")).as("qid"),
+            coalesce(col("cid"), col("cb")).as("cid"),
+            (coalesce(expr("div(1000, 60 + ra)"), lit(0L)) +
+              coalesce(expr("div(1000, 60 + rb)"), lit(0L))).cast("long")
+              .as("rrf_milli"),
+            coalesce(col("ra"), lit(0L)).as("rank_brute"),
+            coalesce(col("rb"), lit(0L)).as("rank_ivf"))
+          .withColumn("fused_rank", row_number().over(
+            Window.partitionBy("qid").orderBy(col("rrf_milli").desc, col("cid")))
+            .cast("long"))
+          .filter(col("fused_rank") <= 5)
+          .orderBy("qid", "fused_rank")
       })
   )
 

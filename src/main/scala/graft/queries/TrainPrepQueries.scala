@@ -1109,6 +1109,107 @@ object TrainPrepQueries {
               .over(Window.partitionBy()) > 5991, 1L).otherwise(0L)
               .as("srm_alarm"))
           .orderBy("split")
+      }),
+
+    // Reproducible EPOCH SHUFFLE plan — deterministic per-epoch
+    // training order without any RNG state: priority = integer prefix
+    // of md5(epoch|doc_id) (the q_feature_hashing byte discipline,
+    // widened to 8 hex chars so a BIGINT carries it), ranked within
+    // each epoch. Every epoch is an independent permutation, every
+    // run reproduces it bit-for-bit — the property a training-data
+    // lake must guarantee for loss-curve debugging. The plan ships
+    // as each epoch's first five docs plus an ORDER CHECKSUM
+    // (Σ rank·doc_id over the whole epoch) so a consumer can verify
+    // the full permutation without materializing it twice. Ranking
+    // is one window per epoch partition; the checksum reuses the
+    // same ranked pass.
+    QDef("q_epoch_shuffle_plan", Some("""
+      WITH ep AS (SELECT unnest(range(0, 3)) AS epoch),
+      h AS (SELECT ep.epoch, d.doc_id,
+              CAST(('0x' || substr(md5('ep|' || ep.epoch || '|' || d.doc_id),
+                1, 8)) AS BIGINT) AS pri
+            FROM documents d CROSS JOIN ep),
+      r AS (SELECT epoch, doc_id, pri,
+              row_number() OVER (PARTITION BY epoch ORDER BY pri, doc_id)
+                AS rnk
+            FROM h),
+      chk AS (SELECT epoch, CAST(sum(rnk * doc_id) AS BIGINT)
+                       AS order_checksum
+              FROM r GROUP BY 1)
+      SELECT CAST(r.epoch AS BIGINT) AS epoch, CAST(r.rnk AS BIGINT) AS rnk,
+             r.doc_id, r.pri, c.order_checksum
+      FROM r JOIN chk c USING (epoch) WHERE r.rnk <= 5
+      ORDER BY epoch, rnk"""),
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val h = t(s, d, "documents").select(col("doc_id"))
+          .withColumn("epoch", explode(expr("sequence(0L, 2L)")))
+          .withColumn("pri",
+            conv(substring(md5(concat(lit("ep|"), col("epoch").cast("string"),
+              lit("|"), col("doc_id").cast("string"))), 1, 8), 16, 10)
+              .cast("long"))
+        val r = h.withColumn("rnk", row_number().over(
+          Window.partitionBy("epoch").orderBy(col("pri"), col("doc_id"))))
+        val chk = r.groupBy("epoch")
+          .agg(sum(col("rnk") * col("doc_id")).cast("long").as("order_checksum"))
+        r.filter(col("rnk") <= 5)
+          .join(broadcast(chk), Seq("epoch"))
+          .select(col("epoch").cast("long").as("epoch"),
+            col("rnk").cast("long").as("rnk"), col("doc_id"), col("pri"),
+            col("order_checksum"))
+          .orderBy("epoch", "rnk")
+      }),
+
+    // CURRICULUM schedule — band the corpus easy→hard on a
+    // difficulty proxy (mean token length in milli-chars, integer
+    // division) and report each band's population and difficulty
+    // range. Banding uses broadcast QUARTILE THRESHOLD scalars
+    // (percentile_disc), NOT an ntile over doc-grain — an ntile
+    // would drag every doc through one ordered partition, while
+    // three 1-row scalars keep the pass embarrassingly parallel at
+    // 100 TB (band = 1 + Σ threshold exceedances; quantile ties
+    // cluster into the lower band on both engines identically).
+    QDef("q_curriculum_schedule", Some("""
+      WITH d AS (SELECT doc_id, n_chars,
+              len(list_filter(string_split(text, ' '), t -> t <> '')) AS n_toks
+            FROM documents),
+      diff AS (SELECT doc_id, (1000 * n_chars) // n_toks AS dm
+               FROM d WHERE n_toks > 0),
+      qs AS (SELECT
+               percentile_disc(0.25) WITHIN GROUP (ORDER BY dm) AS q1,
+               percentile_disc(0.5) WITHIN GROUP (ORDER BY dm) AS q2,
+               percentile_disc(0.75) WITHIN GROUP (ORDER BY dm) AS q3
+             FROM diff),
+      b AS (SELECT doc_id, dm,
+              1 + CASE WHEN dm > q1 THEN 1 ELSE 0 END
+                + CASE WHEN dm > q2 THEN 1 ELSE 0 END
+                + CASE WHEN dm > q3 THEN 1 ELSE 0 END AS band
+            FROM diff, qs)
+      SELECT CAST(band AS BIGINT) AS band, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(min(dm) AS BIGINT) AS d_min, CAST(max(dm) AS BIGINT) AS d_max
+      FROM b GROUP BY 1 ORDER BY band"""),
+      (s, d) => {
+        val diff = t(s, d, "documents")
+          .select(col("doc_id"), col("n_chars"),
+            size(TA.tokens(col("text"))).as("n_toks"))
+          .filter(col("n_toks") > 0)
+          .select(col("doc_id"), expr("div(1000 * n_chars, n_toks)").as("dm"))
+        val qs = diff.agg(
+          expr("percentile_disc(0.25) WITHIN GROUP (ORDER BY dm)").as("q1"),
+          expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY dm)").as("q2"),
+          expr("percentile_disc(0.75) WITHIN GROUP (ORDER BY dm)").as("q3"))
+        diff.crossJoin(broadcast(qs))
+          .select(col("dm"),
+            (lit(1) + when(col("dm") > col("q1"), 1).otherwise(0)
+              + when(col("dm") > col("q2"), 1).otherwise(0)
+              + when(col("dm") > col("q3"), 1).otherwise(0)).as("band"))
+          .groupBy("band")
+          .agg(count(lit(1)).as("n_docs"),
+            min("dm").cast("long").as("d_min"),
+            max("dm").cast("long").as("d_max"))
+          .select(col("band").cast("long").as("band"), col("n_docs"),
+            col("d_min"), col("d_max"))
+          .orderBy("band")
       })
   )
 }
