@@ -3359,6 +3359,126 @@ object AnalyticsQueries {
             floor(lit(1000.0) * (col("n") * col("sxx") - col("sx") * col("sx")) /
               ((col("n") - 1) * col("sx"))).cast("long").as("fano_milli"))
           .orderBy("event_type")
+      }),
+
+    // Difference-in-differences lift readout — the causal-inference
+    // workhorse for "did the change move the metric beyond the
+    // trend": purchase-share ppm for each (cohort × period) cell
+    // (cohorts = user parity, periods split at day 15 of the
+    // observed calendar via a broadcast min-day scalar), DiD =
+    // (treat_post − treat_pre) − (ctrl_post − ctrl_pre). One
+    // map-side-combined 4-cell aggregate over the fact, then 1-row
+    // arithmetic on exact integer ppm rates — no float, no per-user
+    // state.
+    QDef("q_did_lift", Some("""
+      WITH d0 AS (SELECT min(epoch_us(date_trunc('day', ts)) // 86400000000)
+                    AS m FROM events),
+      e AS (SELECT user_id % 2 AS grp,
+              CASE WHEN epoch_us(date_trunc('day', ts)) // 86400000000 - d0.m
+                   < 15 THEN 0 ELSE 1 END AS period,
+              CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS conv
+            FROM events, d0),
+      c AS (SELECT grp, period, CAST(sum(conv) AS BIGINT) AS pos,
+              CAST(count(*) AS BIGINT) AS n
+            FROM e GROUP BY 1, 2),
+      r AS (SELECT grp, period, (1000000 * pos) // n AS rate_ppm FROM c)
+      SELECT
+        CAST(max(CASE WHEN grp = 0 AND period = 0 THEN rate_ppm END) AS BIGINT)
+          AS ctrl_pre_ppm,
+        CAST(max(CASE WHEN grp = 0 AND period = 1 THEN rate_ppm END) AS BIGINT)
+          AS ctrl_post_ppm,
+        CAST(max(CASE WHEN grp = 1 AND period = 0 THEN rate_ppm END) AS BIGINT)
+          AS treat_pre_ppm,
+        CAST(max(CASE WHEN grp = 1 AND period = 1 THEN rate_ppm END) AS BIGINT)
+          AS treat_post_ppm,
+        CAST((max(CASE WHEN grp = 1 AND period = 1 THEN rate_ppm END) -
+              max(CASE WHEN grp = 1 AND period = 0 THEN rate_ppm END)) -
+             (max(CASE WHEN grp = 0 AND period = 1 THEN rate_ppm END) -
+              max(CASE WHEN grp = 0 AND period = 0 THEN rate_ppm END))
+          AS BIGINT) AS did_ppm
+      FROM r"""),
+      (s, d) => {
+        val dn = expr("div(unix_micros(date_trunc('day', ts)), 86400000000)")
+        val ev = t(s, d, "events")
+        val d0 = ev.agg(min(dn).as("m"))
+        val r = ev.select((col("user_id") % 2).as("grp"), dn.as("dnum"),
+            when(col("event_type") === "purchase", 1L).otherwise(0L).as("conv"))
+          .crossJoin(broadcast(d0))
+          .select(col("grp"),
+            when(col("dnum") - col("m") < 15, 0).otherwise(1).as("period"),
+            col("conv"))
+          .groupBy("grp", "period")
+          .agg(sum("conv").cast("long").as("pos"), count(lit(1)).as("n"))
+          .select(col("grp"), col("period"),
+            expr("div(1000000 * pos, n)").as("rate_ppm"))
+        def cell(g: Int, p: Int) =
+          max(when(col("grp") === g && col("period") === p, col("rate_ppm")))
+        r.agg(cell(0, 0).cast("long").as("ctrl_pre_ppm"),
+          cell(0, 1).cast("long").as("ctrl_post_ppm"),
+          cell(1, 0).cast("long").as("treat_pre_ppm"),
+          cell(1, 1).cast("long").as("treat_post_ppm"),
+          ((cell(1, 1) - cell(1, 0)) - (cell(0, 1) - cell(0, 0))).cast("long")
+            .as("did_ppm"))
+      }),
+
+    // LTOB downsampling (largest-triangle-one-bucket, the parallel
+    // sibling of LTTB): keep, per fixed 5-day bucket, the daily
+    // point spanning the LARGEST triangle against the neighbor
+    // buckets' mean points — the standard way a metrics store thins
+    // a series for plotting while preserving visual extremes. Unlike
+    // sequential LTTB (each pick depends on the previous), anchoring
+    // to bucket means makes every bucket independent: one daily
+    // aggregate, one bucket-mean aggregate (floored integer means),
+    // two broadcast-sized neighbor joins, one argmax window per
+    // bucket. Areas are exact integer cross products — twice the
+    // triangle area, no halving, no floats. Edge buckets (missing a
+    // neighbor) are not emitted.
+    QDef("q_lttb_downsample", Some("""
+      WITH daily AS (SELECT epoch_us(date_trunc('day', ts)) // 86400000000 AS x,
+               CAST(count(*) AS BIGINT) AS y
+             FROM events GROUP BY 1),
+      bk AS (SELECT x, y, x // 5 AS b FROM daily),
+      nb AS (SELECT b, sum(x) // count(*) AS mx, sum(y) // count(*) AS my
+             FROM bk GROUP BY b),
+      cand AS (SELECT k.b, k.x, k.y,
+                 p.mx AS mxp, p.my AS myp, n.mx AS mxn, n.my AS myn
+               FROM bk k JOIN nb p ON p.b = k.b - 1
+                         JOIN nb n ON n.b = k.b + 1),
+      area AS (SELECT b, x, y,
+                 abs((mxp - x) * (myn - y) - (mxn - x) * (myp - y)) AS area2
+               FROM cand),
+      pick AS (SELECT b, x, y, area2,
+                 row_number() OVER (PARTITION BY b ORDER BY area2 DESC, x)
+                   AS rn
+               FROM area)
+      SELECT CAST(b AS BIGINT) AS bucket, CAST(x AS BIGINT) AS dnum,
+             y AS n_events, CAST(area2 AS BIGINT) AS area2
+      FROM pick WHERE rn = 1 ORDER BY bucket"""),
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val daily = t(s, d, "events")
+          .groupBy(expr("div(unix_micros(date_trunc('day', ts)), 86400000000)")
+            .as("x"))
+          .agg(count(lit(1)).as("y"))
+        val bk = daily.withColumn("b", expr("div(x, 5)"))
+        val nb = bk.groupBy("b")
+          .agg(expr("div(sum(x), count(1))").as("mx"),
+            expr("div(sum(y), count(1))").as("my"))
+        bk
+          .join(broadcast(nb.select((col("b") + 1).as("b"),
+            col("mx").as("mxp"), col("my").as("myp"))), Seq("b"))
+          .join(broadcast(nb.select((col("b") - 1).as("b"),
+            col("mx").as("mxn"), col("my").as("myn"))), Seq("b"))
+          .withColumn("area2",
+            abs((col("mxp") - col("x")) * (col("myn") - col("y")) -
+                (col("mxn") - col("x")) * (col("myp") - col("y"))))
+          .withColumn("rn", row_number().over(
+            Window.partitionBy("b").orderBy(col("area2").desc, col("x"))))
+          .filter(col("rn") === 1)
+          .select(col("b").cast("long").as("bucket"),
+            col("x").cast("long").as("dnum"), col("y").as("n_events"),
+            col("area2").cast("long").as("area2"))
+          .orderBy("bucket")
       })
   )
 }

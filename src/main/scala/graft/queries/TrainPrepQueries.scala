@@ -1210,6 +1210,38 @@ object TrainPrepQueries {
           .select(col("band").cast("long").as("band"), col("n_docs"),
             col("d_min"), col("d_max"))
           .orderBy("band")
+      }),
+
+    // RARE-LABEL COLLAPSE — the categorical-cardinality guard every
+    // feature pipeline runs before one-hot/target encoding: labels
+    // whose share falls under the threshold (20% here; lang='en'
+    // survives, the tail folds into OTHER) collapse to a single
+    // bucket, and the distribution is re-reported with provenance
+    // (how many source labels each surviving bucket absorbed). Two
+    // dim-sized aggregates and one broadcast total — the fact is
+    // scanned once; shares are exact integer ppm.
+    QDef("q_rare_label_collapse", Some("""
+      WITH c AS (SELECT lang, CAST(count(*) AS BIGINT) AS n
+                 FROM documents GROUP BY 1),
+      tot AS (SELECT sum(n) AS tn FROM c),
+      m AS (SELECT CASE WHEN 1000000 * n >= 200000 * tn THEN lang
+                        ELSE 'OTHER' END AS label, n
+            FROM c, tot)
+      SELECT label, CAST(sum(n) AS BIGINT) AS n_docs,
+             CAST((1000000 * sum(n)) // max(tn) AS BIGINT) AS share_ppm,
+             CAST(count(*) AS BIGINT) AS n_source_labels
+      FROM m, tot GROUP BY label ORDER BY label"""),
+      (s, d) => {
+        val c = t(s, d, "documents").groupBy("lang").agg(count(lit(1)).as("n"))
+        val tot = c.agg(sum("n").cast("long").as("tn"))
+        c.crossJoin(broadcast(tot))
+          .select(when(lit(1000000L) * col("n") >= lit(200000L) * col("tn"),
+            col("lang")).otherwise("OTHER").as("label"), col("n"), col("tn"))
+          .groupBy("label")
+          .agg(sum("n").cast("long").as("n_docs"),
+            expr("div(1000000 * sum(n), max(tn))").cast("long").as("share_ppm"),
+            count(lit(1)).as("n_source_labels"))
+          .orderBy("label")
       })
   )
 }
