@@ -3479,6 +3479,72 @@ object AnalyticsQueries {
             col("x").cast("long").as("dnum"), col("y").as("n_events"),
             col("area2").cast("long").as("area2"))
           .orderBy("bucket")
+      }),
+
+    // HOLT'S LINEAR-TREND smoothing (double exponential, α=0.3
+    // β=0.1) over the daily series per event type, as a FIXED-POINT
+    // INTEGER recurrence in milli-units: every level/trend update is
+    // integer arithmetic floored through an integer-valued double
+    // (exact below 2^53, floor identical in both engines) — no
+    // drifting float state, and the deliberate floor(x/1000.0) form
+    // sidesteps the truncate-vs-floor divergence of integer division
+    // on negatives. The sequential dependency lives INSIDE one
+    // calendar-bounded array per type: Spark folds a ≤31-element
+    // sorted array with the higher-order aggregate() (scale-free —
+    // series length is calendar, not data), the oracle unrolls the
+    // same recurrence as a recursive CTE. Ships the terminal state
+    // plus the 1/2/3-day linear forecasts.
+    QDef("q_holt_linear", Some("""
+      WITH RECURSIVE daily AS (
+        SELECT event_type,
+               epoch_us(date_trunc('day', ts)) // 86400000000 AS dnum,
+               CAST(count(*) AS BIGINT) AS y
+        FROM events GROUP BY 1, 2),
+      idx AS (SELECT event_type, y,
+                row_number() OVER (PARTITION BY event_type ORDER BY dnum) AS i,
+                count(*) OVER (PARTITION BY event_type) AS n
+              FROM daily),
+      rec AS (
+        SELECT event_type, i, n, 1000 * y AS l, CAST(0 AS BIGINT) AS b
+        FROM idx WHERE i = 1
+        UNION ALL
+        SELECT x.event_type, x.i, x.n,
+          CAST(floor((300 * 1000 * x.y + 700 * (r.l + r.b)) / 1000.0)
+            AS BIGINT),
+          CAST(floor((100 * (CAST(floor((300 * 1000 * x.y + 700 * (r.l + r.b))
+                       / 1000.0) AS BIGINT) - r.l) + 900 * r.b) / 1000.0)
+            AS BIGINT)
+        FROM rec r JOIN idx x
+          ON x.event_type = r.event_type AND x.i = r.i + 1)
+      SELECT event_type, CAST(n AS BIGINT) AS n_days,
+             l AS level_milli, b AS trend_milli,
+             CAST(l + b AS BIGINT) AS f1_milli,
+             CAST(l + 2 * b AS BIGINT) AS f2_milli,
+             CAST(l + 3 * b AS BIGINT) AS f3_milli
+      FROM rec WHERE i = n ORDER BY event_type"""),
+      (s, d) => {
+        val daily = t(s, d, "events")
+          .groupBy(col("event_type"),
+            expr("div(unix_micros(date_trunc('day', ts)), 86400000000)")
+              .as("dnum"))
+          .agg(count(lit(1)).as("y"))
+        daily.groupBy("event_type")
+          .agg(expr("array_sort(collect_list(struct(dnum, y)))").as("s"))
+          .select(col("event_type"), size(col("s")).cast("long").as("n_days"),
+            expr("""aggregate(slice(s, 2, size(s) - 1),
+              struct(1000L * element_at(s, 1).y AS l, 0L AS b),
+              (acc, p) -> struct(
+                CAST(floor((300 * 1000 * p.y + 700 * (acc.l + acc.b)) / 1000.0)
+                  AS BIGINT) AS l,
+                CAST(floor((100 * (CAST(floor((300 * 1000 * p.y +
+                       700 * (acc.l + acc.b)) / 1000.0) AS BIGINT) - acc.l) +
+                       900 * acc.b) / 1000.0) AS BIGINT) AS b))""").as("st"))
+          .select(col("event_type"), col("n_days"),
+            col("st.l").as("level_milli"), col("st.b").as("trend_milli"),
+            (col("st.l") + col("st.b")).cast("long").as("f1_milli"),
+            (col("st.l") + lit(2) * col("st.b")).cast("long").as("f2_milli"),
+            (col("st.l") + lit(3) * col("st.b")).cast("long").as("f3_milli"))
+          .orderBy("event_type")
       })
   )
 }
