@@ -3545,6 +3545,82 @@ object AnalyticsQueries {
             (col("st.l") + lit(2) * col("st.b")).cast("long").as("f2_milli"),
             (col("st.l") + lit(3) * col("st.b")).cast("long").as("f3_milli"))
           .orderBy("event_type")
+      }),
+
+    // PINBALL (quantile) LOSS evaluation with a temporal split — the
+    // standard scorecard for quantile forecasts: fit p10/p50/p90 of
+    // value-cents per event type on the FIRST half of the calendar
+    // (percentile_disc on the train slice), score the SECOND half
+    // with pinball loss in integer permille·cents: q·(y−ŷ) above
+    // the prediction, (1000−q)·(ŷ−y) below. The quantile table is 3
+    // rows per type (broadcast); the test scan streams once through
+    // the codegen'd loss expression and one map-side-combined
+    // aggregate. The asymmetric-loss law (p10 under-predicts cheap,
+    // over-predicts dear) is what the spec pins.
+    QDef("q_pinball_eval", Some("""
+      WITH d0 AS (SELECT min(epoch_us(date_trunc('day', ts)) // 86400000000)
+                    AS m FROM events),
+      e AS (SELECT event_type,
+              epoch_us(date_trunc('day', ts)) // 86400000000 - d0.m AS rd,
+              CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS cents
+            FROM events, d0),
+      tr AS (SELECT * FROM e WHERE rd < 15),
+      qt AS (
+        SELECT event_type, 100 AS qp,
+               CAST(percentile_disc(0.1) WITHIN GROUP (ORDER BY cents)
+                 AS BIGINT) AS yhat
+        FROM tr GROUP BY 1
+        UNION ALL
+        SELECT event_type, 500,
+               CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY cents)
+                 AS BIGINT)
+        FROM tr GROUP BY 1
+        UNION ALL
+        SELECT event_type, 900,
+               CAST(percentile_disc(0.9) WITHIN GROUP (ORDER BY cents)
+                 AS BIGINT)
+        FROM tr GROUP BY 1),
+      te AS (SELECT event_type, cents FROM e WHERE rd >= 15),
+      l AS (SELECT t.event_type, q.qp, q.yhat,
+              CASE WHEN t.cents >= q.yhat THEN q.qp * (t.cents - q.yhat)
+                   ELSE (1000 - q.qp) * (q.yhat - t.cents) END AS loss
+            FROM te t JOIN qt q ON q.event_type = t.event_type)
+      SELECT event_type, CAST(qp AS BIGINT) AS q_permille,
+             CAST(yhat AS BIGINT) AS yhat_cents,
+             CAST(count(*) AS BIGINT) AS n_test,
+             CAST(sum(loss) AS BIGINT) AS total_loss,
+             CAST(sum(loss) // count(*) AS BIGINT) AS mean_loss_milli
+      FROM l GROUP BY 1, 2, 3 ORDER BY event_type, q_permille"""),
+      (s, d) => {
+        val dn = expr("div(unix_micros(date_trunc('day', ts)), 86400000000)")
+        val ev = t(s, d, "events")
+        val d0 = ev.agg(min(dn).as("m"))
+        val e = ev.select(col("event_type"), dn.as("dnum"),
+            floor(col("value") * lit(100.0) + lit(0.5)).cast("long").as("cents"))
+          .crossJoin(broadcast(d0))
+          .select(col("event_type"), (col("dnum") - col("m")).as("rd"),
+            col("cents"))
+        val tr = e.filter(col("rd") < 15)
+        def qrow(p: Double, qp: Long) = tr.groupBy("event_type")
+          .agg(expr(s"percentile_disc($p) WITHIN GROUP (ORDER BY cents)")
+            .cast("long").as("yhat"))
+          .withColumn("qp", lit(qp))
+        val qt = qrow(0.1, 100L)
+          .unionByName(qrow(0.5, 500L)).unionByName(qrow(0.9, 900L))
+          .select(col("event_type").as("qet"), col("qp"), col("yhat"))
+        e.filter(col("rd") >= 15)
+          .join(broadcast(qt), col("event_type") === col("qet"))
+          .select(col("event_type"), col("qp"), col("yhat"),
+            when(col("cents") >= col("yhat"),
+              col("qp") * (col("cents") - col("yhat")))
+              .otherwise((lit(1000L) - col("qp")) * (col("yhat") - col("cents")))
+              .as("loss"))
+          .groupBy("event_type", "qp", "yhat")
+          .agg(count(lit(1)).as("n_test"), sum("loss").cast("long").as("total_loss"))
+          .select(col("event_type"), col("qp").as("q_permille"),
+            col("yhat").as("yhat_cents"), col("n_test"), col("total_loss"),
+            expr("div(total_loss, n_test)").cast("long").as("mean_loss_milli"))
+          .orderBy("event_type", "q_permille")
       })
   )
 }
