@@ -868,6 +868,167 @@ object RelQueries {
                      col("l_quantity").cast("decimal(12,2)")).cast("string")
             .as("profit"),
             count(lit(1)).as("n_lines"))
-          .orderBy("n_name", "o_year"))
+          .orderBy("n_name", "o_year")),
+
+    // REVENUE BRIDGE (price/volume decomposition waterfall) — the
+    // finance-review walk from 1995 revenue to 1996 revenue per
+    // brand: price effect (Δprice·old volume), volume effect
+    // (old price·Δvolume), and the joint mix term (Δprice·Δvolume),
+    // which sum EXACTLY to ΔRevenue because avg-price is held as the
+    // exact rational rev/qty — effects are computed as
+    // cross-multiplied integer cents·units divided once at the end
+    // (floored shared doubles for the report columns, with the exact
+    // Δrev shipped alongside so the bridge is auditable). Two
+    // year-slice aggregates of one fact scan, joined brand-to-brand
+    // — dim-sized everywhere after the scan.
+    QDef("q_revenue_bridge", Some("""
+      WITH y AS (SELECT p.p_brand, year(o.o_orderdate) AS yr,
+              CAST(sum(CAST(floor(l.l_extendedprice * 100.0 + 0.5) AS BIGINT))
+                AS BIGINT) AS rev,
+              CAST(sum(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS qty
+            FROM lineitem l
+            JOIN orders o ON o.o_orderkey = l.l_orderkey
+            JOIN part p ON p.p_partkey = l.l_partkey
+            WHERE year(o.o_orderdate) IN (1995, 1996)
+            GROUP BY 1, 2),
+      a AS (SELECT p_brand, rev AS rev1, qty AS qty1 FROM y WHERE yr = 1995),
+      b AS (SELECT p_brand, rev AS rev2, qty AS qty2 FROM y WHERE yr = 1996)
+      SELECT a.p_brand, rev1, rev2, qty1, qty2,
+             CAST(rev2 - rev1 AS BIGINT) AS delta_rev_cents,
+             CAST(floor((1.0 * rev2 / qty2 - 1.0 * rev1 / qty1) * qty1)
+               AS BIGINT) AS price_effect_cents,
+             CAST(floor(1.0 * rev1 / qty1 * (qty2 - qty1)) AS BIGINT)
+               AS volume_effect_cents,
+             CAST(floor((1.0 * rev2 / qty2 - 1.0 * rev1 / qty1) *
+                        (qty2 - qty1)) AS BIGINT) AS mix_effect_cents
+      FROM a JOIN b USING (p_brand) ORDER BY p_brand"""),
+      (s, d) => {
+        val y = t(s, d, "lineitem")
+          .join(t(s, d, "orders").select("o_orderkey", "o_orderdate"),
+            col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(t(s, d, "part").select("p_partkey", "p_brand")),
+            col("l_partkey") === col("p_partkey"))
+          .filter(year(col("o_orderdate")).isin(1995, 1996))
+          .groupBy(col("p_brand"), year(col("o_orderdate")).as("yr"))
+          .agg(sum(floor(col("l_extendedprice") * lit(100.0) + lit(0.5))
+            .cast("long")).cast("long").as("rev"),
+            sum(col("l_quantity").cast("long")).cast("long").as("qty"))
+        val a = y.filter(col("yr") === 1995)
+          .select(col("p_brand"), col("rev").as("rev1"), col("qty").as("qty1"))
+        val b = y.filter(col("yr") === 1996)
+          .select(col("p_brand").as("pb2"), col("rev").as("rev2"),
+            col("qty").as("qty2"))
+        val p1 = lit(1.0) * col("rev1") / col("qty1")
+        val p2 = lit(1.0) * col("rev2") / col("qty2")
+        a.join(b, col("p_brand") === col("pb2"))
+          .select(col("p_brand"), col("rev1"), col("rev2"), col("qty1"),
+            col("qty2"),
+            (col("rev2") - col("rev1")).cast("long").as("delta_rev_cents"),
+            floor((p2 - p1) * col("qty1")).cast("long").as("price_effect_cents"),
+            floor(p1 * (col("qty2") - col("qty1"))).cast("long")
+              .as("volume_effect_cents"),
+            floor((p2 - p1) * (col("qty2") - col("qty1"))).cast("long")
+              .as("mix_effect_cents"))
+          .orderBy("p_brand")
+      }),
+
+    // SHARE-OF-PARENT hierarchy readout — revenue rolled to
+    // region → nation with each level's share of its PARENT in exact
+    // ppm: the drill-down table every OLAP front-end renders. One
+    // fact aggregate at nation grain (dims broadcast), the region
+    // and grand totals re-aggregate the NATION-sized table, and both
+    // ride back as broadcast joins — the fact shuffles once.
+    QDef("q_share_of_parent", Some("""
+      WITH nat AS (SELECT r.r_name, n.n_name,
+              CAST(sum(CAST(floor(l.l_extendedprice * 100.0 + 0.5) AS BIGINT))
+                AS BIGINT) AS rev
+            FROM lineitem l
+            JOIN supplier s ON s.s_suppkey = l.l_suppkey
+            JOIN nation n ON n.n_nationkey = s.s_nationkey
+            JOIN region r ON r.r_regionkey = n.n_regionkey
+            GROUP BY 1, 2),
+      reg AS (SELECT r_name, CAST(sum(rev) AS BIGINT) AS reg_rev
+              FROM nat GROUP BY 1),
+      tot AS (SELECT sum(rev) AS tot_rev FROM nat)
+      SELECT nat.r_name, nat.n_name, nat.rev AS rev_cents,
+             CAST((1000000 * nat.rev) // reg.reg_rev AS BIGINT)
+               AS share_of_region_ppm,
+             CAST((1000000 * reg.reg_rev) // tot.tot_rev AS BIGINT)
+               AS region_share_ppm
+      FROM nat JOIN reg USING (r_name), tot
+      ORDER BY r_name, n_name"""),
+      (s, d) => {
+        val nat = t(s, d, "lineitem").select("l_suppkey", "l_extendedprice")
+          .join(broadcast(t(s, d, "supplier").select("s_suppkey", "s_nationkey")),
+            col("l_suppkey") === col("s_suppkey"))
+          .join(broadcast(t(s, d, "nation")),
+            col("s_nationkey") === col("n_nationkey"))
+          .join(broadcast(t(s, d, "region")),
+            col("n_regionkey") === col("r_regionkey"))
+          .groupBy("r_name", "n_name")
+          .agg(sum(floor(col("l_extendedprice") * lit(100.0) + lit(0.5))
+            .cast("long")).cast("long").as("rev"))
+        val reg = nat.groupBy("r_name")
+          .agg(sum("rev").cast("long").as("reg_rev"))
+        val tot = nat.agg(sum("rev").cast("long").as("tot_rev"))
+        nat.join(broadcast(reg), Seq("r_name")).crossJoin(broadcast(tot))
+          .select(col("r_name"), col("n_name"), col("rev").as("rev_cents"),
+            expr("div(1000000 * rev, reg_rev)").cast("long")
+              .as("share_of_region_ppm"),
+            expr("div(1000000 * reg_rev, tot_rev)").cast("long")
+              .as("region_share_ppm"))
+          .orderBy("r_name", "n_name")
+      }),
+
+    // ABC INVENTORY CLASSIFICATION — parts ranked by revenue, class
+    // A = the head covering 80% of cumulative revenue, B = the next
+    // 15%, C = the tail: the warehouse-ops sibling of the Lorenz
+    // curve that outputs a CLASSIFICATION, not a curve. The ordered
+    // pass runs over the PART aggregate (dim-sized); boundaries are
+    // exact integer cross-multiplications on the running sum
+    // (cum·1e6 vs threshold·total), so class membership never
+    // touches a float. Output is the per-class rollup with exact
+    // revenue shares.
+    QDef("q_abc_classification", Some("""
+      WITH pr AS (SELECT l_partkey,
+              CAST(sum(CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT))
+                AS BIGINT) AS rev
+            FROM lineitem GROUP BY 1),
+      tot AS (SELECT sum(rev) AS tr FROM pr),
+      c AS (SELECT l_partkey, rev,
+              sum(rev) OVER (ORDER BY rev DESC, l_partkey
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+            FROM pr),
+      k AS (SELECT l_partkey, rev,
+              CASE WHEN 1000000 * cum <= 800000 * tr THEN 'A'
+                   WHEN 1000000 * cum <= 950000 * tr THEN 'B'
+                   ELSE 'C' END AS abc
+            FROM c, tot)
+      SELECT abc, CAST(count(*) AS BIGINT) AS n_parts,
+             CAST(sum(rev) AS BIGINT) AS class_rev_cents,
+             CAST((1000000 * sum(rev)) // max(tr) AS BIGINT) AS rev_share_ppm
+      FROM k, tot GROUP BY abc ORDER BY abc"""),
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val pr = t(s, d, "lineitem")
+          .groupBy("l_partkey")
+          .agg(sum(floor(col("l_extendedprice") * lit(100.0) + lit(0.5))
+            .cast("long")).cast("long").as("rev"))
+        val tot = pr.agg(sum("rev").cast("long").as("tr"))
+        pr.withColumn("cum", sum("rev").over(
+          Window.orderBy(col("rev").desc, col("l_partkey"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .crossJoin(broadcast(tot))
+          .select(col("rev"), col("tr"),
+            when(lit(1000000L) * col("cum") <= lit(800000L) * col("tr"), "A")
+              .when(lit(1000000L) * col("cum") <= lit(950000L) * col("tr"), "B")
+              .otherwise("C").as("abc"))
+          .groupBy("abc")
+          .agg(count(lit(1)).as("n_parts"),
+            sum("rev").cast("long").as("class_rev_cents"),
+            expr("div(1000000 * sum(rev), max(tr))").cast("long")
+              .as("rev_share_ppm"))
+          .orderBy("abc")
+      })
   )
 }

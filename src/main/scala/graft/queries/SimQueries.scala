@@ -1451,6 +1451,68 @@ object SimQueries {
             .cast("long"))
           .filter(col("fused_rank") <= 5)
           .orderBy("qid", "fused_rank")
+      }),
+
+    // CLUSTER RADIUS PROFILE — per label, the histogram of member
+    // distances to the label centroid in decimal-decade buckets
+    // (digit count of the integer micro-distance — the
+    // q_lateness_profile bucketing, no float log): the vector-lake
+    // compactness readout that flags a label whose members scatter
+    // (mislabeled or multi-modal). Centroid means are floored
+    // integer micros per (label, dim) — a labels×64 table that
+    // broadcasts back onto one exploded pass; each member's squared
+    // distance is exact BIGINT, one sqrt at the end. Linear in
+    // vectors, keyed everywhere.
+    QDef("q_embed_radius_hist", Some("""
+      WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+                 FROM embeddings WHERE len(embedding) > 0),
+      p AS (SELECT vec_id, label, s.j AS j, s.qv AS qv FROM
+              (SELECT vec_id, label, unnest(list_transform(range(1, len(v) + 1),
+                 i -> {'j': i, 'qv': CAST(floor(v[i] * 1000000.0 + 0.5)
+                                          AS BIGINT)})) AS s
+               FROM e)),
+      m AS (SELECT label, j,
+              CAST(floor(1.0 * sum(qv) / count(*)) AS BIGINT) AS mj
+            FROM p GROUP BY 1, 2),
+      dist AS (SELECT p.vec_id, p.label,
+                 CAST(floor(sqrt(CAST(sum((p.qv - m.mj) * (p.qv - m.mj))
+                   AS DOUBLE))) AS BIGINT) AS d_micro
+               FROM p JOIN m ON m.label = p.label AND m.j = p.j
+               GROUP BY 1, 2),
+      b AS (SELECT label,
+              CASE WHEN d_micro = 0 THEN 0
+                   ELSE length(CAST(d_micro AS VARCHAR)) END AS decade,
+              d_micro
+            FROM dist)
+      SELECT CAST(label AS BIGINT) AS label, CAST(decade AS BIGINT) AS decade,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(min(d_micro) AS BIGINT) AS d_min,
+             CAST(max(d_micro) AS BIGINT) AS d_max
+      FROM b GROUP BY 1, 2 ORDER BY label, decade"""),
+      (s, d) => {
+        val p = t(s, d, "embeddings")
+          .filter(size(col("embedding")) > 0)
+          .select(col("vec_id"), col("label"),
+            posexplode(transform(col("embedding").cast("array<double>"),
+              x => floor(x * lit(1000000.0) + lit(0.5)).cast("long")))
+              .as(Seq("p0", "qv")))
+          .select(col("vec_id"), col("label"), (col("p0") + 1).as("j"), col("qv"))
+        val m = p.groupBy("label", "j")
+          .agg(floor(lit(1.0) * sum("qv") / count(lit(1))).cast("long").as("mj"))
+        p.join(broadcast(m), Seq("label", "j"))
+          .groupBy("vec_id", "label")
+          .agg(floor(sqrt(sum((col("qv") - col("mj")) * (col("qv") - col("mj")))
+            .cast("double"))).cast("long").as("d_micro"))
+          .select(col("label"),
+            when(col("d_micro") === 0, 0L)
+              .otherwise(length(col("d_micro").cast("string")).cast("long"))
+              .as("decade"), col("d_micro"))
+          .groupBy("label", "decade")
+          .agg(count(lit(1)).as("n"), min("d_micro").cast("long").as("d_min"),
+            max("d_micro").cast("long").as("d_max"))
+          .select(col("label").cast("long").as("label"), col("decade"), col("n"),
+            col("d_min"), col("d_max"))
+          .orderBy("label", "decade")
       })
   )
 
