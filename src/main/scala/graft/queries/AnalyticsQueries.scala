@@ -3621,6 +3621,73 @@ object AnalyticsQueries {
             col("yhat").as("yhat_cents"), col("n_test"), col("total_loss"),
             expr("div(total_loss, n_test)").cast("long").as("mean_loss_milli"))
           .orderBy("event_type", "q_permille")
+      }),
+
+    // BOOTSTRAP confidence interval for the median daily event count
+    // — with a DETERMINISTIC resampler: draw b-th resample's i-th
+    // element by an md5-integer hash of (b,i) mod n (the
+    // q_sample_stratified no-rand() discipline), so the CI is
+    // bit-reproducible on any engine and any partitioning. The
+    // series is calendar-bounded (≤31 rows), so the B×n draw table
+    // (20×31) is trivially small — the PATTERN is what scales: the
+    // expensive statistic being resampled would be an aggregate
+    // whose per-resample recompute stays keyed. Reports the
+    // resample-median spread as p10/p50/p90 (percentile_disc over
+    // the 20 medians, discrete so integer-exact).
+    QDef("q_bootstrap_ci_median", Some("""
+      WITH daily AS (SELECT epoch_us(date_trunc('day', ts)) // 86400000000
+                       AS dnum, CAST(count(*) AS BIGINT) AS y
+                     FROM events GROUP BY 1),
+      idx AS (SELECT y, row_number() OVER (ORDER BY dnum) AS i FROM daily),
+      nn AS (SELECT count(*) AS n FROM idx),
+      draws AS (SELECT b.b, g.i,
+                  1 + CAST(('0x' || substr(md5('bs|' || b.b || '|' || g.i),
+                    1, 8)) AS BIGINT) % nn.n AS pick
+                FROM (SELECT unnest(range(1, 21)) AS b) b
+                CROSS JOIN (SELECT i FROM idx) g, nn),
+      res AS (SELECT d.b,
+                CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY x.y)
+                  AS BIGINT) AS med
+              FROM draws d JOIN idx x ON x.i = d.pick GROUP BY d.b)
+      SELECT CAST(max(nn.n) AS BIGINT) AS n_days,
+             CAST(count(*) AS BIGINT) AS n_resamples,
+             CAST(percentile_disc(0.1) WITHIN GROUP (ORDER BY med) AS BIGINT)
+               AS ci_lo,
+             CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY med) AS BIGINT)
+               AS ci_med,
+             CAST(percentile_disc(0.9) WITHIN GROUP (ORDER BY med) AS BIGINT)
+               AS ci_hi
+      FROM res, nn"""),
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val idx = t(s, d, "events")
+          .groupBy(expr("div(unix_micros(date_trunc('day', ts)), 86400000000)")
+            .as("dnum"))
+          .agg(count(lit(1)).as("y"))
+          .withColumn("i", row_number().over(Window.orderBy("dnum")).cast("long"))
+          .select("i", "y")
+        val nn = idx.agg(count(lit(1)).as("n"))
+        val draws = s.range(1, 21).toDF("b")
+          .crossJoin(idx.select("i"))
+          .crossJoin(broadcast(nn))
+          .select(col("b"),
+            (lit(1) + conv(substring(md5(concat(lit("bs|"),
+              col("b").cast("string"), lit("|"), col("i").cast("string"))),
+              1, 8), 16, 10).cast("long") % col("n")).as("pick"))
+        val res = draws
+          .join(idx.select(col("i").as("pick"), col("y")), Seq("pick"))
+          .groupBy("b")
+          .agg(expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY y)")
+            .cast("long").as("med"))
+        res.crossJoin(broadcast(nn))
+          .agg(max("n").cast("long").as("n_days"),
+            count(lit(1)).as("n_resamples"),
+            expr("percentile_disc(0.1) WITHIN GROUP (ORDER BY med)")
+              .cast("long").as("ci_lo"),
+            expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY med)")
+              .cast("long").as("ci_med"),
+            expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY med)")
+              .cast("long").as("ci_hi"))
       })
   )
 }

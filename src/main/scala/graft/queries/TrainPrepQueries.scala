@@ -1242,6 +1242,134 @@ object TrainPrepQueries {
             expr("div(1000000 * sum(n), max(tn))").cast("long").as("share_ppm"),
             count(lit(1)).as("n_source_labels"))
           .orderBy("label")
+      }),
+
+    // DEPTH-2 DECISION TREE on the q_decision_stump histogram: find
+    // the root split, then the best split WITHIN each branch — the
+    // induction step of CART, still entirely histogram-based. The
+    // root threshold is a 1-row broadcast scalar (QUALIFY argmax),
+    // the children re-run the same prefix-sum-over-feature-values
+    // scoring PARTITIONED by branch — so depth-2 costs one more
+    // ≤50-row window pass, not another fact scan (the per-value
+    // histogram is shared; Catalyst reuses its aggregation subtree).
+    // Same milli-share purity arithmetic (overflow-free at any row
+    // count). Output: the root row plus each branch's best split.
+    QDef("q_tree_depth2", Some("""
+      WITH b AS (SELECT CAST(l_quantity AS BIGINT) AS q,
+                        CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS lab
+                 FROM lineitem),
+      per AS (SELECT q, CAST(sum(lab) AS BIGINT) AS pos,
+                     CAST(count(*) AS BIGINT) AS n
+              FROM b GROUP BY q),
+      cum AS (SELECT q,
+                sum(pos) OVER (ORDER BY q
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cpos,
+                sum(n) OVER (ORDER BY q
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cn
+              FROM per),
+      tot AS (SELECT sum(pos) AS tpos, sum(n) AS tn FROM per),
+      sc AS (SELECT q, cpos, cn, tpos, tn,
+               (1000 * cpos) // cn AS pl,
+               (1000 * (tpos - cpos)) // (tn - cn) AS pr
+             FROM cum, tot WHERE tn - cn > 0),
+      scored AS (SELECT q, tpos, tn,
+               (pl * pl + (1000 - pl) * (1000 - pl)) * cn // tn +
+               (pr * pr + (1000 - pr) * (1000 - pr)) * (tn - cn) // tn
+                 AS score
+             FROM sc),
+      root AS (SELECT q AS t0, tpos AS rpos, tn AS rn2, score AS rscore
+               FROM scored QUALIFY row_number()
+                 OVER (ORDER BY score DESC, q) = 1),
+      side AS (SELECT CASE WHEN per.q <= root.t0 THEN 'left' ELSE 'right' END
+                 AS node, per.q, per.pos, per.n
+               FROM per, root),
+      scum AS (SELECT node, q,
+                 sum(pos) OVER (PARTITION BY node ORDER BY q
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cpos,
+                 sum(n) OVER (PARTITION BY node ORDER BY q
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cn
+               FROM side),
+      stot AS (SELECT node, CAST(sum(pos) AS BIGINT) AS tpos,
+                 CAST(sum(n) AS BIGINT) AS tn
+               FROM side GROUP BY node),
+      ssc AS (SELECT s.node, s.q, s.cpos, s.cn, st.tpos, st.tn,
+                (1000 * s.cpos) // s.cn AS pl,
+                (1000 * (st.tpos - s.cpos)) // (st.tn - s.cn) AS pr
+              FROM scum s JOIN stot st USING (node) WHERE st.tn - s.cn > 0),
+      child AS (SELECT node, q, tpos, tn,
+                  (pl * pl + (1000 - pl) * (1000 - pl)) * cn // tn +
+                  (pr * pr + (1000 - pr) * (1000 - pr)) * (tn - cn) // tn
+                    AS score
+                FROM ssc
+                QUALIFY row_number() OVER (PARTITION BY node
+                  ORDER BY (pl * pl + (1000 - pl) * (1000 - pl)) * cn // tn +
+                           (pr * pr + (1000 - pr) * (1000 - pr)) *
+                             (tn - cn) // tn DESC, q) = 1)
+      SELECT 'root' AS node, CAST(t0 AS BIGINT) AS threshold,
+             CAST(rn2 AS BIGINT) AS n_node, CAST(rpos AS BIGINT) AS pos_node,
+             CAST(rscore AS BIGINT) AS score_micro
+      FROM root
+      UNION ALL
+      SELECT node, CAST(q AS BIGINT), CAST(tn AS BIGINT),
+             CAST(tpos AS BIGINT), CAST(score AS BIGINT)
+      FROM child
+      ORDER BY node"""),
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val frame = Window.orderBy("q")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val per = t(s, d, "lineitem")
+          .select(col("l_quantity").cast("long").as("q"),
+            when(col("l_returnflag") === "R", 1L).otherwise(0L).as("lab"))
+          .groupBy("q")
+          .agg(sum("lab").cast("long").as("pos"), count(lit(1)).as("n"))
+        val tot = per.agg(sum("pos").cast("long").as("tpos"),
+          sum("n").cast("long").as("tn"))
+        val scoreExpr =
+          """div((pl * pl + (1000 - pl) * (1000 - pl)) * cn, tn) +
+             div((pr * pr + (1000 - pr) * (1000 - pr)) * (tn - cn), tn)"""
+        val scored = per
+          .select(col("q"), sum("pos").over(frame).as("cpos"),
+            sum("n").over(frame).as("cn"))
+          .crossJoin(broadcast(tot))
+          .filter(col("tn") - col("cn") > 0)
+          .withColumn("pl", expr("div(1000 * cpos, cn)"))
+          .withColumn("pr", expr("div(1000 * (tpos - cpos), (tn - cn))"))
+          .withColumn("score", expr(scoreExpr))
+        val root = scored
+          .withColumn("rk", row_number().over(
+            Window.orderBy(col("score").desc, col("q"))))
+          .filter(col("rk") === 1)
+          .select(col("q").as("t0"), col("tpos").as("rpos"),
+            col("tn").as("rn2"), col("score").as("rscore"))
+        val side = per.crossJoin(broadcast(root))
+          .select(when(col("q") <= col("t0"), "left").otherwise("right")
+            .as("node"), col("q"), col("pos"), col("n"))
+        val sframe = Window.partitionBy("node").orderBy("q")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val stot = side.groupBy("node")
+          .agg(sum("pos").cast("long").as("tpos"), sum("n").cast("long").as("tn"))
+        val child = side
+          .select(col("node"), col("q"),
+            sum("pos").over(sframe).as("cpos"), sum("n").over(sframe).as("cn"))
+          .join(broadcast(stot), Seq("node"))
+          .filter(col("tn") - col("cn") > 0)
+          .withColumn("pl", expr("div(1000 * cpos, cn)"))
+          .withColumn("pr", expr("div(1000 * (tpos - cpos), (tn - cn))"))
+          .withColumn("score", expr(scoreExpr))
+          .withColumn("rk", row_number().over(Window.partitionBy("node")
+            .orderBy(col("score").desc, col("q"))))
+          .filter(col("rk") === 1)
+        root.select(lit("root").as("node"), col("t0").cast("long").as("threshold"),
+          col("rn2").cast("long").as("n_node"),
+          col("rpos").cast("long").as("pos_node"),
+          col("rscore").cast("long").as("score_micro"))
+          .unionByName(child.select(col("node"),
+            col("q").cast("long").as("threshold"),
+            col("tn").cast("long").as("n_node"),
+            col("tpos").cast("long").as("pos_node"),
+            col("score").cast("long").as("score_micro")))
+          .orderBy("node")
       })
   )
 }
