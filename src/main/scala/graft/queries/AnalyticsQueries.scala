@@ -3688,6 +3688,127 @@ object AnalyticsQueries {
               .cast("long").as("ci_med"),
             expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY med)")
               .cast("long").as("ci_hi"))
+      }),
+
+    // LOCAL-DP frequency estimation (randomized response) with a
+    // DETERMINISTIC coin: each event reports its true type unless
+    // its md5-bit says flip (p=1/4), in which case it reports a
+    // hash-uniform type — then the collector debiases with the
+    // standard unbiased estimator est = (obs − p·n/k)/(1−p). The
+    // hash coin makes the whole privacy channel reproducible
+    // (test/audit mode of an LDP pipeline — production would use
+    // real randomness; the PLUMBING — report, collect, debias — is
+    // identical). Everything is one projection + one 5-row
+    // aggregate; the estimator is a floored shared double (it can
+    // go negative on rare types). Error column shows the debias
+    // quality vs the true counts.
+    QDef("q_ldp_counts", Some("""
+      WITH types AS (SELECT ['click','error','purchase','signup','view']
+                       AS tarr),
+      rep AS (SELECT CASE
+                WHEN CAST(('0x' || substr(md5('flip|' || event_id), 1, 4))
+                     AS INTEGER) % 4 = 0
+                THEN tarr[1 + CAST(('0x' || substr(md5('pick|' || event_id),
+                            1, 4)) AS INTEGER) % 5]
+                ELSE event_type END AS rt,
+              event_type AS tt
+            FROM events, types),
+      obs AS (SELECT rt AS event_type, CAST(count(*) AS BIGINT) AS reported
+              FROM rep GROUP BY 1),
+      tru AS (SELECT tt AS event_type, CAST(count(*) AS BIGINT) AS true_n
+              FROM rep GROUP BY 1),
+      nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM rep)
+      SELECT o.event_type, t.true_n, o.reported,
+             CAST(floor((o.reported - n / 20.0) * 4.0 / 3.0) AS BIGINT)
+               AS est_n,
+             CAST(floor(1000000.0 *
+               (CAST(floor((o.reported - n / 20.0) * 4.0 / 3.0) AS BIGINT)
+                - t.true_n) / t.true_n) AS BIGINT) AS err_ppm
+      FROM obs o JOIN tru t USING (event_type), nn
+      ORDER BY event_type"""),
+      (s, d) => {
+        val types = Seq("click", "error", "purchase", "signup", "view")
+        val rep = t(s, d, "events")
+          .select(col("event_type").as("tt"),
+            when(conv(substring(md5(concat(lit("flip|"),
+              col("event_id").cast("string"))), 1, 4), 16, 10)
+              .cast("int") % 4 === 0,
+              element_at(
+                array(types.map(lit): _*),
+                (conv(substring(md5(concat(lit("pick|"),
+                  col("event_id").cast("string"))), 1, 4), 16, 10)
+                  .cast("int") % 5 + 1).cast("int")))
+              .otherwise(col("event_type")).as("rt"))
+        val obs = rep.groupBy(col("rt").as("event_type"))
+          .agg(count(lit(1)).as("reported"))
+        val tru = rep.groupBy(col("tt").as("tet"))
+          .agg(count(lit(1)).as("true_n"))
+        val nn = rep.agg(count(lit(1)).as("n"))
+        obs.join(tru, col("event_type") === col("tet")).crossJoin(broadcast(nn))
+          .withColumn("est_n",
+            floor((col("reported") - col("n") / lit(20.0)) * lit(4.0) / lit(3.0))
+              .cast("long"))
+          .select(col("event_type"), col("true_n"), col("reported"), col("est_n"),
+            floor(lit(1000000.0) * (col("est_n") - col("true_n")) /
+              col("true_n")).cast("long").as("err_ppm"))
+          .orderBy("event_type")
+      }),
+
+    // TOTAL-VARIATION drift between the first and second half-month
+    // event-type mixes — the bounded [0,1] drift metric that needs
+    // no logs (unlike KL) and no support alignment care (unlike
+    // PSI): TV = ½·Σ|p₁−p₂|, here as the exact integer ppm
+    // cross-multiplication Σ|c₁·n₂ − c₂·n₁|·1e6 // (2·n₁·n₂).
+    // Per-type |share delta| rows ship alongside the scalar so the
+    // drift is attributable. One 2×k-cell aggregate, 1-row
+    // arithmetic; components stay under BIGINT while n₁·n₂ < 4e12
+    // (per-period counts to ~2e6 — shard periods beyond that).
+    QDef("q_tv_drift", Some("""
+      WITH d0 AS (SELECT min(epoch_us(date_trunc('day', ts)) // 86400000000)
+                    AS m FROM events),
+      e AS (SELECT event_type,
+              CASE WHEN epoch_us(date_trunc('day', ts)) // 86400000000 - d0.m
+                   < 15 THEN 0 ELSE 1 END AS period
+            FROM events, d0),
+      c AS (SELECT event_type,
+              CAST(sum(CASE WHEN period = 0 THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+              CAST(sum(CASE WHEN period = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c2
+            FROM e GROUP BY 1),
+      nn AS (SELECT sum(c1) AS n1, sum(c2) AS n2 FROM c)
+      SELECT c.event_type, c.c1, c.c2,
+             CAST((1000000 * c.c1) // nn.n1 AS BIGINT) AS share1_ppm,
+             CAST((1000000 * c.c2) // nn.n2 AS BIGINT) AS share2_ppm,
+             CAST((1000000 * abs(c.c1 * nn.n2 - c.c2 * nn.n1)) //
+                  (nn.n1 * nn.n2) AS BIGINT) AS abs_delta_ppm,
+             CAST(sum((1000000 * abs(c.c1 * nn.n2 - c.c2 * nn.n1)) //
+                  (nn.n1 * nn.n2)) OVER () // 2 AS BIGINT) AS tv_ppm
+      FROM c, nn ORDER BY event_type"""),
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val dn = expr("div(unix_micros(date_trunc('day', ts)), 86400000000)")
+        val ev = t(s, d, "events")
+        val d0 = ev.agg(min(dn).as("m"))
+        val c = ev.select(col("event_type"), dn.as("dnum"))
+          .crossJoin(broadcast(d0))
+          .select(col("event_type"),
+            when(col("dnum") - col("m") < 15, 0).otherwise(1).as("period"))
+          .groupBy("event_type")
+          .agg(sum(when(col("period") === 0, 1L).otherwise(0L)).cast("long")
+            .as("c1"),
+            sum(when(col("period") === 1, 1L).otherwise(0L)).cast("long")
+              .as("c2"))
+        val nn = c.agg(sum("c1").cast("long").as("n1"),
+          sum("c2").cast("long").as("n2"))
+        c.crossJoin(broadcast(nn))
+          .withColumn("abs_delta_ppm",
+            expr("div(1000000 * abs(c1 * n2 - c2 * n1), n1 * n2)").cast("long"))
+          .select(col("event_type"), col("c1"), col("c2"),
+            expr("div(1000000 * c1, n1)").cast("long").as("share1_ppm"),
+            expr("div(1000000 * c2, n2)").cast("long").as("share2_ppm"),
+            col("abs_delta_ppm"))
+          .withColumn("tv_ppm",
+            expr("div(sum(abs_delta_ppm) OVER (), 2)").cast("long"))
+          .orderBy("event_type")
       })
   )
 }

@@ -1186,6 +1186,60 @@ object GraphStatQueries {
           .groupBy("side", "degree")
           .agg(count(lit(1)).as("n_nodes"))
           .orderBy("side", "degree")
+      }),
+
+    // Degree ASSORTATIVITY of the customer×part purchase graph —
+    // Pearson correlation of endpoint degrees over the EDGE list
+    // (negative = hubs attach to leaves, the usual retail shape):
+    // the exact integer moment sums (n, Σ, Σ², Σxy over edges) ship
+    // with corr_milli floored from the shared IEEE value —
+    // q_corr_exact's discipline on a graph statistic. Degrees join
+    // back as two dim-sized broadcasts onto one pass of the edge
+    // list; n·Σxy stays in BIGINT while edges·deg² < 1e18 (shard
+    // the moment pass beyond that).
+    QDef("q_assortativity", Some("""
+      WITH e AS (SELECT DISTINCT o.o_custkey AS c, l.l_partkey AS p
+                 FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey),
+      dc AS (SELECT c, CAST(count(*) AS BIGINT) AS x FROM e GROUP BY c),
+      dp AS (SELECT p, CAST(count(*) AS BIGINT) AS y FROM e GROUP BY p),
+      m AS (SELECT CAST(count(*) AS BIGINT) AS n,
+              CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+              CAST(sum(x * y) AS BIGINT) AS sxy,
+              CAST(sum(x * x) AS BIGINT) AS sxx,
+              CAST(sum(y * y) AS BIGINT) AS syy
+            FROM e JOIN dc USING (c) JOIN dp USING (p))
+      SELECT n, sx, sy, sxy, sxx, syy,
+             CAST(CASE WHEN n * sxx - sx * sx <= 0 OR n * syy - sy * sy <= 0
+                       THEN 0
+                  ELSE floor(1000.0 * (n * sxy - sx * sy) /
+                        sqrt(CAST(n * sxx - sx * sx AS DOUBLE) *
+                             CAST(n * syy - sy * sy AS DOUBLE)))
+                  END AS BIGINT) AS assortativity_milli
+      FROM m"""),
+      (s, d) => {
+        val e = t(s, d, "orders").select("o_orderkey", "o_custkey")
+          .join(t(s, d, "lineitem").select("l_orderkey", "l_partkey"),
+            col("l_orderkey") === col("o_orderkey"))
+          .select(col("o_custkey").as("c"), col("l_partkey").as("p"))
+          .distinct()
+        val dc = e.groupBy("c").agg(count(lit(1)).as("x"))
+        val dp = e.groupBy("p").agg(count(lit(1)).as("y"))
+        e.join(broadcast(dc), Seq("c")).join(broadcast(dp), Seq("p"))
+          .agg(count(lit(1)).as("n"), sum("x").cast("long").as("sx"),
+            sum("y").cast("long").as("sy"),
+            sum(col("x") * col("y")).cast("long").as("sxy"),
+            sum(col("x") * col("x")).cast("long").as("sxx"),
+            sum(col("y") * col("y")).cast("long").as("syy"))
+          .withColumn("assortativity_milli",
+            when(col("n") * col("sxx") - col("sx") * col("sx") <= 0 ||
+                 col("n") * col("syy") - col("sy") * col("sy") <= 0, 0L)
+              .otherwise(floor(lit(1000.0) *
+                (col("n") * col("sxy") - col("sx") * col("sy")) /
+                sqrt((col("n") * col("sxx") - col("sx") * col("sx"))
+                  .cast("double") *
+                  (col("n") * col("syy") - col("sy") * col("sy"))
+                    .cast("double"))))
+              .cast("long"))
       })
   )
 }
