@@ -3809,6 +3809,107 @@ object AnalyticsQueries {
           .withColumn("tv_ppm",
             expr("div(sum(abs_delta_ppm) OVER (), 2)").cast("long"))
           .orderBy("event_type")
+      }),
+
+    // SPEARMAN rank correlation between the daily click and purchase
+    // series — the monotone-association complement to q_moving_corr's
+    // Pearson: rank both series (dense day grid, ties broken by the
+    // day number so ranks are a permutation and the classic
+    // ρ = 1 − 6Σd²/(n(n²−1)) closed form applies EXACTLY in integer
+    // ppm). The ranked pass runs over the calendar-bounded day table;
+    // everything else is one scalar row.
+    QDef("q_spearman_daily", Some("""
+      WITH cd AS (SELECT epoch_us(date_trunc('day', ts)) // 86400000000 AS d,
+              CAST(count(*) FILTER (WHERE event_type = 'click') AS BIGINT) AS x,
+              CAST(count(*) FILTER (WHERE event_type = 'purchase') AS BIGINT)
+                AS y
+            FROM events GROUP BY 1),
+      r AS (SELECT d,
+              row_number() OVER (ORDER BY x, d) AS rx,
+              row_number() OVER (ORDER BY y, d) AS ry
+            FROM cd),
+      m AS (SELECT CAST(count(*) AS BIGINT) AS n,
+              CAST(sum((rx - ry) * (rx - ry)) AS BIGINT) AS sd2
+            FROM r)
+      SELECT n, sd2,
+             CAST(1000000 - (6000000 * sd2) // (n * (n * n - 1)) AS BIGINT)
+               AS spearman_ppm
+      FROM m"""),
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val cd = t(s, d, "events")
+          .groupBy(expr("div(unix_micros(date_trunc('day', ts)), 86400000000)")
+            .as("d"))
+          .agg(sum(when(col("event_type") === "click", 1L).otherwise(0L))
+            .cast("long").as("x"),
+            sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+              .cast("long").as("y"))
+        cd
+          .withColumn("rx",
+            row_number().over(Window.orderBy(col("x"), col("d"))).cast("long"))
+          .withColumn("ry",
+            row_number().over(Window.orderBy(col("y"), col("d"))).cast("long"))
+          .agg(count(lit(1)).as("n"),
+            sum((col("rx") - col("ry")) * (col("rx") - col("ry")))
+              .cast("long").as("sd2"))
+          .select(col("n"), col("sd2"),
+            (lit(1000000L) - expr("div(6000000 * sd2, n * (n * n - 1))"))
+              .cast("long").as("spearman_ppm"))
+      }),
+
+    // One-way ANOVA F-statistic: does mean value differ across event
+    // types? Values quantized to integer DOLLARS (cents-squared
+    // group sums would pass 1e19 at sf0.1 — dollars keep every s²
+    // term in BIGINT to ~1e12 rows); each group's s²/n term is
+    // FLOORED to an integer before the k-row sum, so no float
+    // accumulation whose ordering could differ between engines
+    // touches the statistic (error ≤ k dollars², deterministic).
+    // The parametric sibling of q_chi2_independence (counts) and
+    // q_mann_whitney (two-sample ranks), completing the
+    // hypothesis-test family; one map-side-combined k-cell
+    // aggregate, then k-row arithmetic. f_milli floors the shared
+    // IEEE ratio of exact integers.
+    QDef("q_anova_oneway", Some("""
+      WITH g AS (SELECT event_type,
+              CAST(count(*) AS BIGINT) AS n,
+              CAST(sum(CAST(floor(value + 0.5) AS BIGINT)) AS BIGINT) AS s,
+              CAST(sum(CAST(floor(value + 0.5) AS BIGINT) *
+                       CAST(floor(value + 0.5) AS BIGINT)) AS BIGINT) AS ss
+            FROM events GROUP BY 1),
+      tot AS (SELECT CAST(sum(n) AS BIGINT) AS nn,
+                CAST(sum(s) AS BIGINT) AS ts2,
+                CAST(sum(ss) AS BIGINT) AS tss,
+                CAST(count(*) AS BIGINT) AS k,
+                CAST(sum((s * s) // n) AS BIGINT) AS sq
+              FROM g)
+      SELECT nn AS n_total, k AS k_groups,
+             CAST(sq - (ts2 * ts2) // nn AS BIGINT) AS ssb_int,
+             CAST(tss - sq AS BIGINT) AS ssw_int,
+             CAST(k - 1 AS BIGINT) AS df_between,
+             CAST(nn - k AS BIGINT) AS df_within,
+             CAST(floor(1000.0 * ((sq - (ts2 * ts2) // nn) * (nn - k)) /
+                        (1.0 * (tss - sq) * (k - 1))) AS BIGINT) AS f_milli
+      FROM tot"""),
+      (s, d) => {
+        val dollars = floor(col("value") + lit(0.5)).cast("long")
+        val g = t(s, d, "events")
+          .select(col("event_type"), dollars.as("c"))
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n"), sum("c").cast("long").as("sc"),
+            sum(col("c") * col("c")).cast("long").as("ss"))
+        g.agg(sum("n").cast("long").as("nn"),
+          sum("sc").cast("long").as("ts2"), sum("ss").cast("long").as("tss"),
+          count(lit(1)).as("k"),
+          sum(expr("div(sc * sc, n)")).cast("long").as("sq"))
+          .select(col("nn").as("n_total"), col("k").as("k_groups"),
+            (col("sq") - expr("div(ts2 * ts2, nn)")).cast("long").as("ssb_int"),
+            (col("tss") - col("sq")).cast("long").as("ssw_int"),
+            (col("k") - 1).cast("long").as("df_between"),
+            (col("nn") - col("k")).cast("long").as("df_within"),
+            floor(lit(1000.0) *
+              ((col("sq") - expr("div(ts2 * ts2, nn)")) * (col("nn") - col("k"))) /
+              (lit(1.0) * (col("tss") - col("sq")) * (col("k") - 1)))
+              .cast("long").as("f_milli"))
       })
   )
 }

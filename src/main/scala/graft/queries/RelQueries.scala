@@ -1029,6 +1029,48 @@ object RelQueries {
             expr("div(1000000 * sum(rev), max(tr))").cast("long")
               .as("rev_share_ppm"))
           .orderBy("abc")
+      }),
+
+    // SHUFFLE-PARTITION ADVISOR — the sizing arithmetic behind
+    // `spark.sql.shuffle.partitions`: estimate each join input's
+    // bytes from row counts × the SCHEMA-DERIVED row width (fixed
+    // per-type constants: 8B numerics/timestamps, 16B short
+    // strings — deterministic, no sampling), then recommend
+    // ceil(bytes / 128 MiB) tasks for each scan and for the
+    // orderkey shuffle join of both. This is the q_compaction_plan /
+    // q_key_skew_audit infra family extended to the SHUFFLE stage:
+    // two count(*) aggregates, 3-row arithmetic, and exactly the
+    // calculation the 100 TB tuning notes in SURVEY §4 prescribe.
+    QDef("q_shuffle_advisor", Some("""
+      WITH l AS (SELECT CAST(count(*) AS BIGINT) AS r FROM lineitem),
+      o AS (SELECT CAST(count(*) AS BIGINT) AS r FROM orders),
+      st AS (
+        SELECT 'scan_lineitem' AS stage, l.r AS n_rows,
+               CAST(l.r * 100 AS BIGINT) AS est_bytes FROM l
+        UNION ALL
+        SELECT 'scan_orders', o.r, CAST(o.r * 64 AS BIGINT) FROM o
+        UNION ALL
+        SELECT 'shuffle_join_orderkey', l.r + o.r,
+               CAST(l.r * 100 + o.r * 64 AS BIGINT) FROM l, o)
+      SELECT stage, n_rows, est_bytes,
+             CAST((est_bytes + 134217727) // 134217728 AS BIGINT)
+               AS rec_partitions
+      FROM st ORDER BY stage"""),
+      (s, d) => {
+        val l = t(s, d, "lineitem").agg(count(lit(1)).as("r"))
+        val o = t(s, d, "orders").agg(count(lit(1)).as("r"))
+        val stages = l.select(lit("scan_lineitem").as("stage"),
+            col("r").as("n_rows"), (col("r") * 100).cast("long").as("est_bytes"))
+          .unionByName(o.select(lit("scan_orders").as("stage"),
+            col("r").as("n_rows"), (col("r") * 64).cast("long").as("est_bytes")))
+          .unionByName(l.crossJoin(o.select(col("r").as("r2")))
+            .select(lit("shuffle_join_orderkey").as("stage"),
+              (col("r") + col("r2")).as("n_rows"),
+              (col("r") * 100 + col("r2") * 64).cast("long").as("est_bytes")))
+        stages.select(col("stage"), col("n_rows"), col("est_bytes"),
+          expr("div(est_bytes + 134217727, 134217728)").cast("long")
+            .as("rec_partitions"))
+          .orderBy("stage")
       })
   )
 }
