@@ -3910,6 +3910,95 @@ object AnalyticsQueries {
               ((col("sq") - expr("div(ts2 * ts2, nn)")) * (col("nn") - col("k"))) /
               (lit(1.0) * (col("tss") - col("sq")) * (col("k") - 1)))
               .cast("long").as("f_milli"))
+      }),
+
+    // SIMPSON'S-PARADOX AUDIT — does the price→quantity slope flip
+    // sign when you stratify by supplier nation? The aggregated
+    // regression (pooled (nation, part) points) rides next to each
+    // stratum's own slope with a per-stratum FLIP flag; any flip=1
+    // row is the classic aggregation trap a metrics review must
+    // catch before trusting the pooled number. Slopes come from the
+    // q_price_elasticity exact-moment machinery (integer sums,
+    // floored shared-double ratio); the overall moments re-aggregate
+    // the stratum moment table (k rows) and broadcast back.
+    QDef("q_simpson_audit", Some("""
+      WITH pp AS (SELECT n.n_nationkey AS nk, p.p_partkey,
+              CAST(floor(p.p_retailprice * 100.0 + 0.5) AS BIGINT) AS x,
+              CAST(sum(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS y
+            FROM lineitem l
+            JOIN part p ON p.p_partkey = l.l_partkey
+            JOIN supplier s ON s.s_suppkey = l.l_suppkey
+            JOIN nation n ON n.n_nationkey = s.s_nationkey
+            GROUP BY 1, 2, 3),
+      ms AS (SELECT nk, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+               CAST(sum(x * y) AS BIGINT) AS sxy,
+               CAST(sum(x * x) AS BIGINT) AS sxx
+             FROM pp GROUP BY 1),
+      ma AS (SELECT CAST(sum(n) AS BIGINT) AS n, CAST(sum(sx) AS BIGINT) AS sx,
+               CAST(sum(sy) AS BIGINT) AS sy, CAST(sum(sxy) AS BIGINT) AS sxy,
+               CAST(sum(sxx) AS BIGINT) AS sxx
+             FROM ms),
+      sl AS (SELECT nk, n,
+               CASE WHEN 1.0 * n * sxx - 1.0 * sx * sx = 0 THEN 0
+                 ELSE floor(1000000.0 * (1.0 * n * sxy - 1.0 * sx * sy) /
+                            (1.0 * n * sxx - 1.0 * sx * sx)) END AS slope_micro
+             FROM ms),
+      oa AS (SELECT CASE WHEN 1.0 * n * sxx - 1.0 * sx * sx = 0 THEN 0
+               ELSE floor(1000000.0 * (1.0 * n * sxy - 1.0 * sx * sy) /
+                          (1.0 * n * sxx - 1.0 * sx * sx)) END AS overall_micro
+             FROM ma)
+      SELECT CAST(nk AS BIGINT) AS nationkey, CAST(n AS BIGINT) AS n_points,
+             CAST(slope_micro AS BIGINT) AS slope_micro,
+             CAST(overall_micro AS BIGINT) AS overall_micro,
+             CASE WHEN sign(slope_micro) <> 0
+                   AND sign(overall_micro) <> 0
+                   AND sign(slope_micro) <> sign(overall_micro)
+                  THEN 1 ELSE 0 END AS flip
+      FROM sl, oa ORDER BY nationkey"""),
+      (s, d) => {
+        val pp = t(s, d, "lineitem")
+          .select("l_partkey", "l_suppkey", "l_quantity")
+          .join(broadcast(t(s, d, "part")
+            .select(col("p_partkey"),
+              floor(col("p_retailprice") * lit(100.0) + lit(0.5)).cast("long")
+                .as("x"))), col("l_partkey") === col("p_partkey"))
+          .join(broadcast(t(s, d, "supplier").select("s_suppkey", "s_nationkey")),
+            col("l_suppkey") === col("s_suppkey"))
+          .groupBy(col("s_nationkey").as("nk"), col("l_partkey"), col("x"))
+          .agg(sum(col("l_quantity").cast("long")).cast("long").as("y"))
+        val ms = pp.groupBy("nk")
+          .agg(count(lit(1)).as("n"), sum("x").cast("long").as("sx"),
+            sum("y").cast("long").as("sy"),
+            sum(col("x") * col("y")).cast("long").as("sxy"),
+            sum(col("x") * col("x")).cast("long").as("sxx"))
+        // moment products go through DOUBLE: pooled n·Σx² passes 1e19
+        // at sf0.01 (BIGINT overflow); each single multiplication is
+        // exactly rounded, so both engines floor the SAME value
+        def slope(n: org.apache.spark.sql.Column, sx: org.apache.spark.sql.Column,
+                  sy: org.apache.spark.sql.Column, sxy: org.apache.spark.sql.Column,
+                  sxx: org.apache.spark.sql.Column) =
+          when(lit(1.0) * n * sxx - lit(1.0) * sx * sx === 0, 0L)
+            .otherwise(floor(lit(1000000.0) *
+              (lit(1.0) * n * sxy - lit(1.0) * sx * sy) /
+              (lit(1.0) * n * sxx - lit(1.0) * sx * sx)))
+        val ma = ms.agg(sum("n").cast("long").as("n"),
+          sum("sx").cast("long").as("sx"), sum("sy").cast("long").as("sy"),
+          sum("sxy").cast("long").as("sxy"), sum("sxx").cast("long").as("sxx"))
+          .select(slope(col("n"), col("sx"), col("sy"), col("sxy"), col("sxx"))
+            .cast("long").as("overall_micro"))
+        ms.crossJoin(broadcast(ma))
+          .select(col("nk").cast("long").as("nationkey"),
+            col("n").cast("long").as("n_points"),
+            slope(col("n"), col("sx"), col("sy"), col("sxy"), col("sxx"))
+              .cast("long").as("slope_micro"),
+            col("overall_micro"))
+          .withColumn("flip",
+            when(signum(col("slope_micro")) =!= 0 &&
+                 signum(col("overall_micro")) =!= 0 &&
+                 signum(col("slope_micro")) =!= signum(col("overall_micro")), 1L)
+              .otherwise(0L))
+          .orderBy("nationkey")
       })
   )
 }

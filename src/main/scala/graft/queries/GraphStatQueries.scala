@@ -1240,6 +1240,48 @@ object GraphStatQueries {
                   (col("n") * col("syy") - col("sy") * col("sy"))
                     .cast("double"))))
               .cast("long"))
+      }),
+
+    // HERFINDAHL–HIRSCHMAN concentration index of supplier revenue
+    // within each nation — the canonical market-concentration
+    // scalar (q_supplier_concentration reports top-3 share; HHI
+    // weights EVERY share quadratically): hhi_ppm = Σ share_ppm² /
+    // 1e6 on floored integer shares, plus the equivalent-competitor
+    // count 1e6 // hhi. Supplier-grain aggregate → nation-grain
+    // rollup — dim-sized after the one fact scan.
+    QDef("q_hhi_concentration", Some("""
+      WITH rev AS (SELECT s.s_nationkey AS nk, l.l_suppkey AS sk,
+              CAST(sum(CAST(floor(l.l_extendedprice * 100.0 + 0.5) AS BIGINT))
+                AS BIGINT) AS r
+            FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+            GROUP BY 1, 2),
+      tot AS (SELECT nk, CAST(sum(r) AS BIGINT) AS tr FROM rev GROUP BY 1),
+      sh AS (SELECT rev.nk, (1000000 * rev.r) // tot.tr AS share_ppm
+             FROM rev JOIN tot USING (nk))
+      SELECT CAST(nk AS BIGINT) AS nationkey,
+             CAST(count(*) AS BIGINT) AS n_suppliers,
+             CAST(sum(share_ppm * share_ppm) // 1000000 AS BIGINT) AS hhi_ppm,
+             CAST(1000000 // (sum(share_ppm * share_ppm) // 1000000) AS BIGINT)
+               AS equivalent_n
+      FROM sh GROUP BY 1 ORDER BY nationkey"""),
+      (s, d) => {
+        val rev = t(s, d, "lineitem").select("l_suppkey", "l_extendedprice")
+          .join(broadcast(t(s, d, "supplier").select("s_suppkey", "s_nationkey")),
+            col("l_suppkey") === col("s_suppkey"))
+          .groupBy(col("s_nationkey").as("nk"), col("l_suppkey").as("sk"))
+          .agg(sum(floor(col("l_extendedprice") * lit(100.0) + lit(0.5))
+            .cast("long")).cast("long").as("r"))
+        val tot = rev.groupBy("nk").agg(sum("r").cast("long").as("tr"))
+        rev.join(broadcast(tot), Seq("nk"))
+          .select(col("nk"), expr("div(1000000 * r, tr)").as("share_ppm"))
+          .groupBy("nk")
+          .agg(count(lit(1)).as("n_suppliers"),
+            expr("div(sum(share_ppm * share_ppm), 1000000)").cast("long")
+              .as("hhi_ppm"))
+          .select(col("nk").cast("long").as("nationkey"), col("n_suppliers"),
+            col("hhi_ppm"),
+            expr("div(1000000, hhi_ppm)").cast("long").as("equivalent_n"))
+          .orderBy("nationkey")
       })
   )
 }

@@ -1516,6 +1516,78 @@ object TextQueries {
               sqrt(col("nsq_a").cast("double") * col("nsq_b").cast("double")))
               .cast("long").as("cos_milli"))
           .orderBy("doc_a", "doc_b")
+      }),
+
+    // COHEN'S KAPPA for the lang-id classifier — chance-corrected
+    // agreement over the same stopword-score predictor
+    // q_lang_id_confusion reports raw cells for: κ = (pₒ−pₑ)/(1−pₑ)
+    // held EXACT as the integer rational (N·D − S)/(N² − S) with
+    // D = diagonal agreements and S = Σ row-marginal·col-marginal
+    // (the chance term), floored once to ppm (κ can be negative —
+    // floored shared double, not integer division). The marginal
+    // product is a label-set-sized join — everything after the one
+    // doc-grain scoring pass is k-row arithmetic.
+    QDef("q_lang_id_kappa", Some("""
+      WITH d AS (SELECT doc_id, lang,
+        list_filter(string_split(text, ' '), t -> t <> '') AS toks
+        FROM documents),
+      s AS (SELECT lang,
+        CAST(len(list_filter(toks, t -> t IN ('the', 'a', 'data'))) AS BIGINT)
+          AS s_en,
+        CAST(len(list_filter(toks, t -> t IN ('agg', 'merge', 'vector')))
+          AS BIGINT) AS s_es,
+        CAST(len(list_filter(toks, t -> t IN ('scan', 'query', 'batch')))
+          AS BIGINT) AS s_fr
+        FROM d),
+      p AS (SELECT lang AS a,
+             CASE WHEN s_en >= s_es AND s_en >= s_fr THEN 'en'
+                  WHEN s_es >= s_fr THEN 'es' ELSE 'fr' END AS pr
+            FROM s),
+      cells AS (SELECT a, pr, CAST(count(*) AS BIGINT) AS n FROM p GROUP BY 1, 2),
+      nn AS (SELECT CAST(sum(n) AS BIGINT) AS total,
+               CAST(sum(CASE WHEN a = pr THEN n ELSE 0 END) AS BIGINT) AS diag
+             FROM cells),
+      rt AS (SELECT a AS lab, CAST(sum(n) AS BIGINT) AS r FROM cells GROUP BY 1),
+      ct AS (SELECT pr AS lab, CAST(sum(n) AS BIGINT) AS c FROM cells GROUP BY 1),
+      ch AS (SELECT CAST(sum(rt.r * ct.c) AS BIGINT) AS s_chance
+             FROM rt JOIN ct USING (lab))
+      SELECT nn.total AS n, nn.diag AS n_agree, ch.s_chance,
+             CAST((1000000 * nn.diag) // nn.total AS BIGINT) AS po_ppm,
+             CAST((1000000 * ch.s_chance) // (nn.total * nn.total) AS BIGINT)
+               AS pe_ppm,
+             CAST(floor(1000000.0 * (nn.total * nn.diag - ch.s_chance) /
+                        (nn.total * nn.total - ch.s_chance)) AS BIGINT)
+               AS kappa_ppm
+      FROM nn, ch"""),
+      (s, d) => {
+        val base = t(s, d, "documents")
+          .withColumn("toks", TA.tokens(col("text")))
+          .select(col("lang").as("a"),
+            TA.langScore(col("toks"), Seq("the", "a", "data")).as("s_en"),
+            TA.langScore(col("toks"), Seq("agg", "merge", "vector")).as("s_es"),
+            TA.langScore(col("toks"), Seq("scan", "query", "batch")).as("s_fr"))
+        val cells = base.withColumn("pr",
+            when(col("s_en") >= col("s_es") && col("s_en") >= col("s_fr"), "en")
+              .when(col("s_es") >= col("s_fr"), "es").otherwise("fr"))
+          .groupBy("a", "pr").agg(count(lit(1)).as("n"))
+        val nn = cells.agg(sum("n").cast("long").as("total"),
+          sum(when(col("a") === col("pr"), col("n")).otherwise(0L))
+            .cast("long").as("diag"))
+        val rt = cells.groupBy(col("a").as("lab"))
+          .agg(sum("n").cast("long").as("r"))
+        val ct = cells.groupBy(col("pr").as("lab"))
+          .agg(sum("n").cast("long").as("c"))
+        val ch = rt.join(ct, Seq("lab"))
+          .agg(sum(col("r") * col("c")).cast("long").as("s_chance"))
+        nn.crossJoin(broadcast(ch))
+          .select(col("total").as("n"), col("diag").as("n_agree"),
+            col("s_chance"),
+            expr("div(1000000 * diag, total)").cast("long").as("po_ppm"),
+            expr("div(1000000 * s_chance, total * total)").cast("long")
+              .as("pe_ppm"),
+            floor(lit(1000000.0) * (col("total") * col("diag") - col("s_chance")) /
+              (col("total") * col("total") - col("s_chance"))).cast("long")
+              .as("kappa_ppm"))
       })
   )
 }
