@@ -3999,6 +3999,184 @@ object AnalyticsQueries {
                  signum(col("slope_micro")) =!= signum(col("overall_micro")), 1L)
               .otherwise(0L))
           .orderBy("nationkey")
+      }),
+
+    // KENDALL τ-a monotone-trend test per event type over the daily
+    // series — the pair-counting sibling of q_spearman_daily
+    // (Spearman squares rank gaps; Kendall counts concordances, so
+    // it is robust to single outlier days): C − D over all day
+    // pairs, τ·1e6 = 1e6·(C−D) // pairs with the sign kept exact
+    // (C−D integer, pairs positive). The pair stage is the
+    // calendar-bounded self-join q_theil_sen established (435
+    // pairs/month/type) — fixed-size at any SF.
+    QDef("q_kendall_tau", Some("""
+      WITH daily AS (SELECT event_type,
+               epoch_us(date_trunc('day', ts)) // 86400000000 AS dnum,
+               CAST(count(*) AS BIGINT) AS y
+             FROM events GROUP BY 1, 2),
+      pr AS (SELECT a.event_type,
+               CASE WHEN b.y > a.y THEN 1 ELSE 0 END AS conc,
+               CASE WHEN b.y < a.y THEN 1 ELSE 0 END AS disc
+             FROM daily a JOIN daily b
+               ON a.event_type = b.event_type AND b.dnum > a.dnum)
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n_pairs,
+             CAST(sum(conc) AS BIGINT) AS concordant,
+             CAST(sum(disc) AS BIGINT) AS discordant,
+             CAST(CASE WHEN sum(conc) >= sum(disc)
+                  THEN (1000000 * (sum(conc) - sum(disc))) // count(*)
+                  ELSE -((1000000 * (sum(disc) - sum(conc))) // count(*))
+                  END AS BIGINT) AS tau_ppm
+      FROM pr GROUP BY 1 ORDER BY event_type"""),
+      (s, d) => {
+        val daily = t(s, d, "events")
+          .groupBy(col("event_type"),
+            expr("div(unix_micros(date_trunc('day', ts)), 86400000000)")
+              .as("dnum"))
+          .agg(count(lit(1)).as("y"))
+        val a = daily.select(col("event_type"), col("dnum").as("d1"),
+          col("y").as("y1"))
+        val b = daily.select(col("event_type").as("et2"), col("dnum").as("d2"),
+          col("y").as("y2"))
+        a.join(b, col("event_type") === col("et2") && col("d2") > col("d1"))
+          .select(col("event_type"),
+            when(col("y2") > col("y1"), 1L).otherwise(0L).as("conc"),
+            when(col("y2") < col("y1"), 1L).otherwise(0L).as("disc"))
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n_pairs"),
+            sum("conc").cast("long").as("concordant"),
+            sum("disc").cast("long").as("discordant"))
+          .withColumn("tau_ppm",
+            when(col("concordant") >= col("discordant"),
+              expr("div(1000000 * (concordant - discordant), n_pairs)"))
+              .otherwise(-expr("div(1000000 * (discordant - concordant), n_pairs)"))
+              .cast("long"))
+          .orderBy("event_type")
+      }),
+
+    // WALD–WOLFOWITZ RUNS TEST for randomness of the daily up/down
+    // moves per event type: count sign runs in the differenced
+    // series (zeros dropped), compare against the exact expected
+    // run count 1 + 2·n₊·n₋/n under exchangeability, z floored from
+    // the shared-double variance formula. A low |z| says the daily
+    // deltas look exchangeable; a big negative z says trends
+    // (fewer, longer runs). Differencing is one lag window per
+    // type; runs counting is a second lag over the sign stream —
+    // both calendar-bounded.
+    QDef("q_runs_test", Some("""
+      WITH daily AS (SELECT event_type,
+               epoch_us(date_trunc('day', ts)) // 86400000000 AS dnum,
+               CAST(count(*) AS BIGINT) AS y
+             FROM events GROUP BY 1, 2),
+      df AS (SELECT event_type, dnum,
+               y - lag(y) OVER (PARTITION BY event_type ORDER BY dnum) AS dy
+             FROM daily),
+      sg AS (SELECT event_type, dnum,
+               CASE WHEN dy > 0 THEN 1 ELSE -1 END AS sgn
+             FROM df WHERE dy IS NOT NULL AND dy <> 0),
+      rn AS (SELECT event_type, sgn,
+               lag(sgn) OVER (PARTITION BY event_type ORDER BY dnum) AS prev
+             FROM sg),
+      agg AS (SELECT event_type,
+                CAST(sum(CASE WHEN sgn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS np,
+                CAST(sum(CASE WHEN sgn = -1 THEN 1 ELSE 0 END) AS BIGINT) AS nm,
+                CAST(sum(CASE WHEN prev IS NULL OR sgn <> prev THEN 1 ELSE 0 END)
+                  AS BIGINT) AS runs
+              FROM rn GROUP BY 1)
+      SELECT event_type, np AS n_up, nm AS n_down, runs,
+             CAST(1000 + (2000 * np * nm) // (np + nm) AS BIGINT)
+               AS expected_runs_milli,
+             CAST(CASE WHEN np = 0 OR nm = 0 THEN 0
+               ELSE floor(1000.0 * (runs - (1.0 + 2.0 * np * nm / (np + nm))) /
+                 sqrt(2.0 * np * nm * (2.0 * np * nm - np - nm) /
+                      ((np + nm) * (np + nm) * (np + nm - 1.0))))
+               END AS BIGINT) AS z_milli
+      FROM agg ORDER BY event_type"""),
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("event_type").orderBy("dnum")
+        val daily = t(s, d, "events")
+          .groupBy(col("event_type"),
+            expr("div(unix_micros(date_trunc('day', ts)), 86400000000)")
+              .as("dnum"))
+          .agg(count(lit(1)).as("y"))
+        val sg = daily
+          .withColumn("dy", col("y") - lag("y", 1).over(w))
+          .filter(col("dy").isNotNull && col("dy") =!= 0)
+          .select(col("event_type"), col("dnum"),
+            when(col("dy") > 0, 1L).otherwise(-1L).as("sgn"))
+        sg.withColumn("prev", lag("sgn", 1).over(w))
+          .groupBy("event_type")
+          .agg(sum(when(col("sgn") === 1, 1L).otherwise(0L)).cast("long").as("np"),
+            sum(when(col("sgn") === -1, 1L).otherwise(0L)).cast("long").as("nm"),
+            sum(when(col("prev").isNull || col("sgn") =!= col("prev"), 1L)
+              .otherwise(0L)).cast("long").as("runs"))
+          .select(col("event_type"), col("np").as("n_up"), col("nm").as("n_down"),
+            col("runs"),
+            (lit(1000L) + expr("div(2000 * np * nm, np + nm)")).cast("long")
+              .as("expected_runs_milli"),
+            when(col("np") === 0 || col("nm") === 0, 0L)
+              .otherwise(floor(lit(1000.0) *
+                (col("runs") - (lit(1.0) + lit(2.0) * col("np") * col("nm") /
+                  (col("np") + col("nm")))) /
+                sqrt(lit(2.0) * col("np") * col("nm") *
+                  (lit(2.0) * col("np") * col("nm") - col("np") - col("nm")) /
+                  ((col("np") + col("nm")) * (col("np") + col("nm")) *
+                    (col("np") + col("nm") - lit(1.0))))))
+              .cast("long").as("z_milli"))
+          .orderBy("event_type")
+      }),
+
+    // DURBIN–WATSON autocorrelation diagnostic per event type on the
+    // mean-centered daily series, held EXACT end to end: residuals
+    // are pre-scaled to e'ₜ = n·yₜ − Σy (integers — no rational
+    // mean ever materializes), and DW = Σ(e'ₜ−e'ₜ₋₁)² / Σe'ₜ²
+    // is scale-invariant so the pre-scaling cancels. DW≈2 means no
+    // lag-1 autocorrelation; <2 positive; >2 negative — the quick
+    // screen before trusting q_trend_slope's OLS standard errors.
+    // One broadcast (n, Σy) scalar per type, one lag window.
+    QDef("q_durbin_watson", Some("""
+      WITH daily AS (SELECT event_type,
+               epoch_us(date_trunc('day', ts)) // 86400000000 AS dnum,
+               CAST(count(*) AS BIGINT) AS y
+             FROM events GROUP BY 1, 2),
+      m AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+              CAST(sum(y) AS BIGINT) AS sy
+            FROM daily GROUP BY 1),
+      e AS (SELECT d.event_type, d.dnum, d.y * m.n - m.sy AS ep
+            FROM daily d JOIN m ON m.event_type = d.event_type),
+      l AS (SELECT event_type, ep,
+              lag(ep) OVER (PARTITION BY event_type ORDER BY dnum) AS prev
+            FROM e)
+      SELECT event_type,
+             CAST(sum(CASE WHEN prev IS NULL THEN 0
+                      ELSE (ep - prev) * (ep - prev) END) AS BIGINT) AS num,
+             CAST(sum(ep * ep) AS BIGINT) AS den,
+             CAST((1000 * sum(CASE WHEN prev IS NULL THEN 0
+                      ELSE (ep - prev) * (ep - prev) END)) // sum(ep * ep)
+               AS BIGINT) AS dw_milli
+      FROM l GROUP BY 1 ORDER BY event_type"""),
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val daily = t(s, d, "events")
+          .groupBy(col("event_type"),
+            expr("div(unix_micros(date_trunc('day', ts)), 86400000000)")
+              .as("dnum"))
+          .agg(count(lit(1)).as("y"))
+        val m = daily.groupBy(col("event_type").as("met"))
+          .agg(count(lit(1)).as("n"), sum("y").cast("long").as("sy"))
+        val w = Window.partitionBy("event_type").orderBy("dnum")
+        daily.join(broadcast(m), col("event_type") === col("met"))
+          .select(col("event_type"), col("dnum"),
+            (col("y") * col("n") - col("sy")).as("ep"))
+          .withColumn("prev", lag("ep", 1).over(w))
+          .groupBy("event_type")
+          .agg(sum(when(col("prev").isNull, 0L)
+            .otherwise((col("ep") - col("prev")) * (col("ep") - col("prev"))))
+            .cast("long").as("num"),
+            sum(col("ep") * col("ep")).cast("long").as("den"))
+          .select(col("event_type"), col("num"), col("den"),
+            expr("div(1000 * num, den)").cast("long").as("dw_milli"))
+          .orderBy("event_type")
       })
   )
 }
