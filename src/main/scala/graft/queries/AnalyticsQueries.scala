@@ -4177,6 +4177,83 @@ object AnalyticsQueries {
           .select(col("event_type"), col("num"), col("den"),
             expr("div(1000 * num, den)").cast("long").as("dw_milli"))
           .orderBy("event_type")
+      }),
+
+    // INTERRUPTED TIME SERIES (segmented regression) per event type
+    // — the single-series causal design that q_did_lift's two-cohort
+    // version can't run when there is no control: fit y = a + b·t by
+    // OLS on each side of the day-15 break (exact integer moments,
+    // shared-double coefficient ratios), then report the LEVEL jump
+    // at the break (post intercept+slope·15 minus the pre fit's
+    // projection) and the SLOPE change. One daily aggregate + a
+    // broadcast min-day scalar; the per-segment moments are 2×k
+    // rows.
+    QDef("q_its_segmented", Some("""
+      WITH d0 AS (SELECT min(epoch_us(date_trunc('day', ts)) // 86400000000)
+                    AS m FROM events),
+      daily AS (SELECT event_type,
+              epoch_us(date_trunc('day', ts)) // 86400000000 - d0.m AS rd,
+              CAST(count(*) AS BIGINT) AS y
+            FROM events, d0 GROUP BY event_type,
+              epoch_us(date_trunc('day', ts)) // 86400000000 - d0.m),
+      seg AS (SELECT event_type, CASE WHEN rd < 15 THEN 0 ELSE 1 END AS sgm,
+                rd, y
+              FROM daily),
+      m AS (SELECT event_type, sgm, CAST(count(*) AS BIGINT) AS n,
+              CAST(sum(rd) AS BIGINT) AS st, CAST(sum(y) AS BIGINT) AS sy,
+              CAST(sum(rd * y) AS BIGINT) AS sty,
+              CAST(sum(rd * rd) AS BIGINT) AS stt
+            FROM seg GROUP BY 1, 2),
+      c AS (SELECT event_type, sgm, n,
+              1.0 * (n * sty - st * sy) / (n * stt - st * st) AS b,
+              (sy - 1.0 * (n * sty - st * sy) / (n * stt - st * st) * st) / n
+                AS a
+            FROM m),
+      w AS (SELECT p.event_type,
+              CAST(p.n AS BIGINT) AS n_pre, CAST(q.n AS BIGINT) AS n_post,
+              CAST(floor(1000000.0 * p.b) AS BIGINT) AS slope_pre_micro,
+              CAST(floor(1000000.0 * q.b) AS BIGINT) AS slope_post_micro,
+              CAST(floor(1000000.0 * ((q.a + q.b * 15) - (p.a + p.b * 15)))
+                AS BIGINT) AS level_change_micro
+            FROM c p JOIN c q ON p.event_type = q.event_type
+            WHERE p.sgm = 0 AND q.sgm = 1)
+      SELECT * FROM w ORDER BY event_type"""),
+      (s, d) => {
+        val dn = expr("div(unix_micros(date_trunc('day', ts)), 86400000000)")
+        val ev = t(s, d, "events")
+        val d0 = ev.agg(min(dn).as("m"))
+        val m = ev.select(col("event_type"), dn.as("dnum"))
+          .crossJoin(broadcast(d0))
+          .select(col("event_type"), (col("dnum") - col("m")).as("rd"))
+          .groupBy("event_type", "rd").agg(count(lit(1)).as("y"))
+          .select(col("event_type"),
+            when(col("rd") < 15, 0).otherwise(1).as("sgm"), col("rd"), col("y"))
+          .groupBy("event_type", "sgm")
+          .agg(count(lit(1)).as("n"), sum("rd").cast("long").as("st"),
+            sum("y").cast("long").as("sy"),
+            sum(col("rd") * col("y")).cast("long").as("sty"),
+            sum(col("rd") * col("rd")).cast("long").as("stt"))
+        val b = lit(1.0) * (col("n") * col("sty") - col("st") * col("sy")) /
+          (col("n") * col("stt") - col("st") * col("st"))
+        val c = m.select(col("event_type"), col("sgm"), col("n"), b.as("b"),
+          ((col("sy") - b * col("st")) / col("n")).as("a"))
+        val p = c.filter(col("sgm") === 0)
+          .select(col("event_type"), col("n").as("n_pre"), col("b").as("bp"),
+            col("a").as("ap"))
+        val q = c.filter(col("sgm") === 1)
+          .select(col("event_type").as("et2"), col("n").as("n_post"),
+            col("b").as("bq"), col("a").as("aq"))
+        p.join(q, col("event_type") === col("et2"))
+          .select(col("event_type"), col("n_pre").cast("long").as("n_pre"),
+            col("n_post").cast("long").as("n_post"),
+            floor(lit(1000000.0) * col("bp")).cast("long")
+              .as("slope_pre_micro"),
+            floor(lit(1000000.0) * col("bq")).cast("long")
+              .as("slope_post_micro"),
+            floor(lit(1000000.0) * ((col("aq") + col("bq") * 15) -
+              (col("ap") + col("bp") * 15))).cast("long")
+              .as("level_change_micro"))
+          .orderBy("event_type")
       })
   )
 }

@@ -1071,6 +1071,62 @@ object RelQueries {
           expr("div(est_bytes + 134217727, 134217728)").cast("long")
             .as("rec_partitions"))
           .orderBy("stage")
+      }),
+
+    // INVENTORY POLICY per part — the operations-research trio a
+    // replenishment system derives from the same demand history:
+    // EOQ = √(2·D·S/H) (S = 10000 cents order cost, H = 20% of unit
+    // retail), reorder point = daily demand × 7-day lead time, and
+    // safety stock = z₀.₉₅·σ_daily·√7 with σ from EXACT integer
+    // demand moments over the part's active days. All irrational
+    // steps are single floored shared-double sqrt's of exact
+    // integers; everything before them is one (part, day) aggregate
+    // rolled to part grain — dim-sized outputs at any SF.
+    QDef("q_inventory_policy", Some("""
+      WITH dd AS (SELECT l_partkey,
+               epoch_us(date_trunc('day', l_shipdate)) // 86400000000 AS d,
+               CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS q
+             FROM lineitem GROUP BY 1, 2),
+      m AS (SELECT l_partkey, CAST(count(*) AS BIGINT) AS nd,
+              CAST(sum(q) AS BIGINT) AS sq, CAST(sum(q * q) AS BIGINT) AS sqq
+            FROM dd GROUP BY 1),
+      p AS (SELECT m.*, CAST(floor(pt.p_retailprice * 100.0 + 0.5) AS BIGINT)
+                    AS price_cents
+            FROM m JOIN part pt ON pt.p_partkey = m.l_partkey)
+      SELECT l_partkey, nd AS n_active_days, sq AS total_qty,
+             CAST(floor(sqrt(2.0 * sq * 10000 / (0.2 * price_cents)))
+               AS BIGINT) AS eoq_units,
+             CAST((7 * sq) // nd AS BIGINT) AS reorder_point_units,
+             CAST(CASE WHEN nd < 2 THEN 0
+               ELSE floor(1.645 * sqrt(7.0) *
+                 sqrt((1.0 * nd * sqq - 1.0 * sq * sq) / (nd * (nd - 1.0))))
+               END AS BIGINT) AS safety_stock_units
+      FROM p ORDER BY l_partkey"""),
+      (s, d) => {
+        val dd = t(s, d, "lineitem")
+          .groupBy(col("l_partkey"),
+            expr("div(unix_micros(date_trunc('day', l_shipdate)), 86400000000)")
+              .as("d"))
+          .agg(sum(col("l_quantity").cast("long")).cast("long").as("q"))
+        val m = dd.groupBy("l_partkey")
+          .agg(count(lit(1)).as("nd"), sum("q").cast("long").as("sq"),
+            sum(col("q") * col("q")).cast("long").as("sqq"))
+        m.join(broadcast(t(s, d, "part").select(col("p_partkey"),
+          floor(col("p_retailprice") * lit(100.0) + lit(0.5)).cast("long")
+            .as("price_cents"))),
+          col("l_partkey") === col("p_partkey"))
+          .select(col("l_partkey"), col("nd").as("n_active_days"),
+            col("sq").as("total_qty"),
+            floor(sqrt(lit(2.0) * col("sq") * lit(10000) /
+              (lit(0.2) * col("price_cents")))).cast("long").as("eoq_units"),
+            expr("div(7 * sq, nd)").cast("long").as("reorder_point_units"),
+            when(col("nd") < 2, 0L)
+              .otherwise(floor(lit(1.645) * sqrt(lit(7.0)) *
+                sqrt((lit(1.0) * col("nd") * col("sqq") -
+                  lit(1.0) * col("sq") * col("sq")) /
+                  (col("nd") * (col("nd") - lit(1.0))))))
+              .cast("long").as("safety_stock_units"))
+          .orderBy("l_partkey")
       })
   )
 }
