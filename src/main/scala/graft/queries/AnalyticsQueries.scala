@@ -4254,6 +4254,100 @@ object AnalyticsQueries {
               (col("ap") + col("bp") * 15))).cast("long")
               .as("level_change_micro"))
           .orderBy("event_type")
+      }),
+
+    // COHEN'S d effect sizes vs the 'click' baseline — the post-hoc
+    // companion q_anova_oneway needs before anyone acts on a
+    // significant F: for each other event type, the standardized
+    // mean difference of value-dollars against clicks, with the
+    // pooled SD from exact integer moments (dollar quantization for
+    // the same s² overflow headroom as the ANOVA). d_milli floors
+    // the shared-double ratio; the exact moment columns ship
+    // alongside. k-row arithmetic after one k-cell aggregate.
+    QDef("q_effect_sizes", Some("""
+      WITH g AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+              CAST(sum(CAST(floor(value + 0.5) AS BIGINT)) AS BIGINT) AS s,
+              CAST(sum(CAST(floor(value + 0.5) AS BIGINT) *
+                       CAST(floor(value + 0.5) AS BIGINT)) AS BIGINT) AS ss
+            FROM events GROUP BY 1),
+      b AS (SELECT n AS nb, s AS sb, ss AS ssb FROM g
+            WHERE event_type = 'click')
+      SELECT g.event_type, g.n, b.nb AS n_click,
+             CAST(floor(1000.0 *
+               (1.0 * g.s / g.n - 1.0 * b.sb / b.nb) /
+               sqrt(((1.0 * g.n * g.ss - 1.0 * g.s * g.s) / g.n +
+                     (1.0 * b.nb * b.ssb - 1.0 * b.sb * b.sb) / b.nb) /
+                    (g.n + b.nb - 2))) AS BIGINT) AS cohens_d_milli
+      FROM g, b WHERE g.event_type <> 'click'
+      ORDER BY g.event_type"""),
+      (s, d) => {
+        val dollars = floor(col("value") + lit(0.5)).cast("long")
+        val g = t(s, d, "events")
+          .select(col("event_type"), dollars.as("c"))
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n"), sum("c").cast("long").as("sc"),
+            sum(col("c") * col("c")).cast("long").as("ss"))
+        val b = g.filter(col("event_type") === "click")
+          .select(col("n").as("nb"), col("sc").as("sb"), col("ss").as("ssb"))
+        g.filter(col("event_type") =!= "click").crossJoin(broadcast(b))
+          .select(col("event_type"), col("n"), col("nb").as("n_click"),
+            floor(lit(1000.0) *
+              (lit(1.0) * col("sc") / col("n") - lit(1.0) * col("sb") / col("nb")) /
+              sqrt(((lit(1.0) * col("n") * col("ss") -
+                lit(1.0) * col("sc") * col("sc")) / col("n") +
+                (lit(1.0) * col("nb") * col("ssb") -
+                  lit(1.0) * col("sb") * col("sb")) / col("nb")) /
+                (col("n") + col("nb") - 2))).cast("long")
+              .as("cohens_d_milli"))
+          .orderBy("event_type")
+      }),
+
+    // A/B POWER: minimum detectable effect for the purchase-rate
+    // metric at the current sample sizes — the pre-registration
+    // arithmetic an experimentation platform runs before any test
+    // ships: MDE = (z_{α/2}+z_β)·√(2·p(1−p)/n) with the standard
+    // 1.96/0.84 constants (80% power, 5% two-sided), p the pooled
+    // purchase share and n the per-arm event count under the
+    // user-parity split. Everything from two integer counts; the
+    // MDE floors one shared double. Also reports the n needed to
+    // detect a 10% relative lift — the inverse question.
+    QDef("q_ab_power_mde", Some("""
+      WITH arms AS (SELECT user_id % 2 AS grp,
+              CAST(count(*) AS BIGINT) AS n,
+              CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                AS BIGINT) AS pos
+            FROM events GROUP BY 1),
+      tot AS (SELECT CAST(sum(n) AS BIGINT) AS nn,
+                CAST(sum(pos) AS BIGINT) AS pp,
+                CAST(min(n) AS BIGINT) AS n_arm
+              FROM arms)
+      SELECT nn AS n_total, n_arm, pp AS n_purchase,
+             CAST((1000000 * pp) // nn AS BIGINT) AS p_ppm,
+             CAST(floor(1000000.0 * 2.8 *
+               sqrt(2.0 * (1.0 * pp / nn) * (1 - 1.0 * pp / nn) / n_arm))
+               AS BIGINT) AS mde_ppm,
+             CAST(ceil(2.0 * 2.8 * 2.8 * (1.0 * pp / nn) * (1 - 1.0 * pp / nn) /
+               ((0.1 * (1.0 * pp / nn)) * (0.1 * (1.0 * pp / nn)))) AS BIGINT)
+               AS n_per_arm_for_10pct
+      FROM tot"""),
+      (s, d) => {
+        val arms = t(s, d, "events")
+          .groupBy((col("user_id") % 2).as("grp"))
+          .agg(count(lit(1)).as("n"),
+            sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+              .cast("long").as("pos"))
+        val p = lit(1.0) * col("pp") / col("nn")
+        arms.agg(sum("n").cast("long").as("nn"),
+          sum("pos").cast("long").as("pp"), min("n").cast("long").as("n_arm"))
+          .select(col("nn").as("n_total"), col("n_arm"),
+            col("pp").as("n_purchase"),
+            expr("div(1000000 * pp, nn)").cast("long").as("p_ppm"),
+            floor(lit(1000000.0) * lit(2.8) *
+              sqrt(lit(2.0) * p * (lit(1) - p) / col("n_arm"))).cast("long")
+              .as("mde_ppm"),
+            ceil(lit(2.0) * lit(2.8) * lit(2.8) * p * (lit(1) - p) /
+              ((lit(0.1) * p) * (lit(0.1) * p))).cast("long")
+              .as("n_per_arm_for_10pct"))
       })
   )
 }

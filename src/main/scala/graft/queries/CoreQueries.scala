@@ -1403,6 +1403,37 @@ object CoreQueries {
           .orderBy("o_orderpriority")
       }),
 
+    // GZIP-compressed CSV sink → re-scan roundtrip: the
+    // interchange-format path (landing zones and partner feeds ship
+    // gzip CSV, not parquet) exercised end to end — write with
+    // codec=gzip, read back WITH an explicit schema (no inference
+    // scan), aggregate. Compression must be invisible to results
+    // (oracle computes the same aggregate off parquet); the explicit
+    // read schema is the 100 TB discipline — schema inference costs
+    // a full extra pass. NB gzip is non-splittable: fine for
+    // partner-feed file sizes, the parquet/orc sinks are the
+    // scale-out path.
+    QDef("q_sink_csv_gzip", Some("""
+      SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_cust,
+             CAST(sum(CAST(floor(c_acctbal * 100.0 + 0.5) AS BIGINT)) AS BIGINT)
+               AS bal_cents
+      FROM customer GROUP BY 1 ORDER BY c_mktsegment"""),
+      (s, d) => {
+        val out = SinkScratch.dir("q_sink_csv_gzip", d)
+        t(s, d, "customer")
+          .select(col("c_custkey"), col("c_mktsegment"),
+            floor(col("c_acctbal") * lit(100.0) + lit(0.5)).cast("long")
+              .as("bal_cents"))
+          .write.mode("overwrite")
+          .option("compression", "gzip").option("header", "true").csv(out)
+        s.read.schema("c_custkey LONG, c_mktsegment STRING, bal_cents LONG")
+          .option("header", "true").csv(out)
+          .groupBy("c_mktsegment")
+          .agg(count(lit(1)).as("n_cust"),
+            sum("bal_cents").cast("long").as("bal_cents"))
+          .orderBy("c_mktsegment")
+      }),
+
     // TPC-H Q7-shape: cross-nation trade volume — the fact joins TWO
     // different dimension paths (supplier→nation and
     // customer←orders←nation) and groups by the nation PAIR × ship
