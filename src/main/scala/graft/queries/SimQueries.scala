@@ -1513,6 +1513,53 @@ object SimQueries {
           .select(col("label").cast("long").as("label"), col("decade"), col("n"),
             col("d_min"), col("d_max"))
           .orderBy("label", "decade")
+      }),
+
+    // kNN-GRAPH RECIPROCITY — the neighborhood-quality diagnostic
+    // behind HNSW/UMAP health checks: on a 1-in-10 vec_id sample,
+    // build the directed k=5 cosine kNN graph and measure how many
+    // edges are MUTUAL (u∈knn(v) ∧ v∈knn(u)). Low reciprocity flags
+    // hubness or disconnected manifolds before an ANN index is
+    // built on the lake. The sample-restricted graph keeps the
+    // scoring quadratic term sample²-bounded (the declared-sample
+    // discipline of the pair queries); the mutuality check is one
+    // self-join of the 5·n edge list on the reversed key.
+    QDef("q_knn_reciprocity", Some(s"""
+      WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                 FROM embeddings WHERE vec_id % 10 = 0),
+      q AS (SELECT vec_id AS qid, v AS qv FROM e),
+      c AS (SELECT vec_id AS cid, v AS cv FROM e),
+      sc AS (SELECT qid, cid, round($cosSql, 3) AS sim3
+             FROM q CROSS JOIN c WHERE qid <> cid),
+      kn AS (SELECT qid, cid FROM (
+               SELECT qid, cid, row_number() OVER (PARTITION BY qid
+                 ORDER BY sim3 DESC, cid) AS rnk FROM sc)
+             WHERE rnk <= 5),
+      mu AS (SELECT a.qid, a.cid,
+               CASE WHEN b.qid IS NOT NULL THEN 1 ELSE 0 END AS mutual
+             FROM kn a LEFT JOIN kn b ON b.qid = a.cid AND b.cid = a.qid)
+      SELECT CAST(count(DISTINCT qid) AS BIGINT) AS n_nodes,
+             CAST(count(*) AS BIGINT) AS n_edges,
+             CAST(sum(mutual) AS BIGINT) AS n_mutual,
+             CAST((1000000 * sum(mutual)) // count(*) AS BIGINT)
+               AS reciprocity_ppm
+      FROM mu"""),
+      (s, d) => {
+        val e = t(s, d, "embeddings").filter(col("vec_id") % 10 === 0)
+          .select(col("vec_id"), col("embedding").as("v"))
+        val q = e.select(col("vec_id").as("qid"), col("v").as("qv"))
+        val c = e.select(col("vec_id").as("cid"), col("v").as("cv"))
+        val kn = Similarity.bruteForceTopK(c, q, 5).select("qid", "cid")
+        val rev = kn.select(col("qid").as("rq"), col("cid").as("rc"))
+        kn.join(rev, col("rq") === col("cid") && col("rc") === col("qid"),
+          "left_outer")
+          .select(col("qid"), col("cid"),
+            when(col("rq").isNotNull, 1L).otherwise(0L).as("mutual"))
+          .agg(countDistinct("qid").as("n_nodes"), count(lit(1)).as("n_edges"),
+            sum("mutual").cast("long").as("n_mutual"))
+          .select(col("n_nodes"), col("n_edges"), col("n_mutual"),
+            expr("div(1000000 * n_mutual, n_edges)").cast("long")
+              .as("reciprocity_ppm"))
       })
   )
 

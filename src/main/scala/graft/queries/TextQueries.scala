@@ -1588,6 +1588,43 @@ object TextQueries {
             floor(lit(1000000.0) * (col("total") * col("diag") - col("s_chance")) /
               (col("total") * col("total") - col("s_chance"))).cast("long")
               .as("kappa_ppm"))
+      }),
+
+    // SKIP-GRAM co-occurrence pairs (±3-token window) — the
+    // word2vec/GloVe pretraining statistic that q_bigram_pmi's
+    // adjacent-only counts can't see: for every token occurrence,
+    // its unordered co-occurrents within 3 positions, counted
+    // corpus-wide, top-30 pairs. The window pairing rides the
+    // position self-join per doc with |Δpos| ≤ 3 — each token emits
+    // ≤6 pairs, so the expansion is 6·corpus-linear, never
+    // quadratic; counts are one map-side-combined aggregate. Pairs
+    // are canonicalized (u < v) so both directions collapse.
+    QDef("q_skipgram_pairs", Some("""
+      WITH d AS (SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS toks FROM documents),
+      pt AS (SELECT doc_id, unnest(list_transform(range(1, len(toks) + 1),
+               i -> {'pos': i, 'tok': toks[i]})) AS s FROM d),
+      p AS (SELECT doc_id, s.pos AS pos, s.tok AS tok FROM pt),
+      pr AS (SELECT CASE WHEN a.tok <= b.tok THEN a.tok ELSE b.tok END AS u,
+               CASE WHEN a.tok <= b.tok THEN b.tok ELSE a.tok END AS v
+             FROM p a JOIN p b
+               ON a.doc_id = b.doc_id AND b.pos > a.pos AND b.pos <= a.pos + 3)
+      SELECT u, v, CAST(count(*) AS BIGINT) AS n_cooc
+      FROM pr GROUP BY 1, 2 ORDER BY n_cooc DESC, u, v LIMIT 30"""),
+      (s, d) => {
+        val p = t(s, d, "documents")
+          .select(col("doc_id"), posexplode(TA.tokens(col("text"))))
+          .select(col("doc_id"), col("pos"), col("col").as("tok"))
+        val a = p.select(col("doc_id"), col("pos").as("pa"), col("tok").as("ta"))
+        val b = p.select(col("doc_id").as("doc2"), col("pos").as("pb"),
+          col("tok").as("tb"))
+        a.join(b, col("doc_id") === col("doc2") && col("pb") > col("pa") &&
+            col("pb") <= col("pa") + 3)
+          .select(when(col("ta") <= col("tb"), col("ta")).otherwise(col("tb"))
+            .as("u"),
+            when(col("ta") <= col("tb"), col("tb")).otherwise(col("ta")).as("v"))
+          .groupBy("u", "v")
+          .agg(count(lit(1)).as("n_cooc"))
+          .orderBy(col("n_cooc").desc, col("u"), col("v")).limit(30)
       })
   )
 }
