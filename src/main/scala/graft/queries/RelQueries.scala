@@ -1127,6 +1127,69 @@ object RelQueries {
                   (col("nd") * (col("nd") - lit(1.0))))))
               .cast("long").as("safety_stock_units"))
           .orderBy("l_partkey")
+      }),
+
+    // PRICE INDICES 1995→1996 — Laspeyres (base-period basket),
+    // Paasche (current basket), Fisher (geometric mean of both):
+    // the macro-level companion to q_revenue_bridge's per-brand
+    // walk. Per-part unit prices are the exact rationals rev/qty;
+    // each basket term floors ONCE to integer cents
+    // (div(rev_y·qty_base, qty_y)) so the basket sums are exact
+    // integers with ≤|parts| cents of flooring slack — no float
+    // accumulation. Only parts traded in BOTH years enter (the
+    // matched-sample convention). Indices in ppm of the base;
+    // Fisher takes one shared-double sqrt.
+    QDef("q_price_index", Some("""
+      WITH y AS (SELECT l.l_partkey, year(o.o_orderdate) AS yr,
+              CAST(sum(CAST(floor(l.l_extendedprice * 100.0 + 0.5) AS BIGINT))
+                AS BIGINT) AS rev,
+              CAST(sum(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS qty
+            FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+            WHERE year(o.o_orderdate) IN (1995, 1996)
+            GROUP BY 1, 2),
+      a AS (SELECT l_partkey, rev AS r0, qty AS q0 FROM y WHERE yr = 1995),
+      b AS (SELECT l_partkey, rev AS r1, qty AS q1 FROM y WHERE yr = 1996),
+      j AS (SELECT a.l_partkey, r0, q0, r1, q1 FROM a JOIN b USING (l_partkey)),
+      s AS (SELECT CAST(count(*) AS BIGINT) AS n_parts,
+              CAST(sum(r0) AS BIGINT) AS p0q0,
+              CAST(sum((r1 * q0) // q1) AS BIGINT) AS p1q0,
+              CAST(sum((r0 * q1) // q0) AS BIGINT) AS p0q1,
+              CAST(sum(r1) AS BIGINT) AS p1q1
+            FROM j)
+      SELECT n_parts, p0q0, p1q0, p0q1, p1q1,
+             CAST((1000000 * p1q0) // p0q0 AS BIGINT) AS laspeyres_ppm,
+             CAST((1000000 * p1q1) // p0q1 AS BIGINT) AS paasche_ppm,
+             CAST(floor(sqrt((1.0 * (1000000 * p1q0) // p0q0) *
+                             (1.0 * (1000000 * p1q1) // p0q1))) AS BIGINT)
+               AS fisher_ppm
+      FROM s"""),
+      (s, d) => {
+        val y = t(s, d, "lineitem")
+          .join(t(s, d, "orders").select("o_orderkey", "o_orderdate"),
+            col("l_orderkey") === col("o_orderkey"))
+          .filter(year(col("o_orderdate")).isin(1995, 1996))
+          .groupBy(col("l_partkey"), year(col("o_orderdate")).as("yr"))
+          .agg(sum(floor(col("l_extendedprice") * lit(100.0) + lit(0.5))
+            .cast("long")).cast("long").as("rev"),
+            sum(col("l_quantity").cast("long")).cast("long").as("qty"))
+        val a = y.filter(col("yr") === 1995)
+          .select(col("l_partkey"), col("rev").as("r0"), col("qty").as("q0"))
+        val b = y.filter(col("yr") === 1996)
+          .select(col("l_partkey").as("pk2"), col("rev").as("r1"),
+            col("qty").as("q1"))
+        a.join(b, col("l_partkey") === col("pk2"))
+          .agg(count(lit(1)).as("n_parts"),
+            sum("r0").cast("long").as("p0q0"),
+            sum(expr("div(r1 * q0, q1)")).cast("long").as("p1q0"),
+            sum(expr("div(r0 * q1, q0)")).cast("long").as("p0q1"),
+            sum("r1").cast("long").as("p1q1"))
+          .select(col("n_parts"), col("p0q0"), col("p1q0"), col("p0q1"),
+            col("p1q1"),
+            expr("div(1000000 * p1q0, p0q0)").cast("long").as("laspeyres_ppm"),
+            expr("div(1000000 * p1q1, p0q1)").cast("long").as("paasche_ppm"),
+            floor(sqrt((lit(1.0) * expr("div(1000000 * p1q0, p0q0)")) *
+              (lit(1.0) * expr("div(1000000 * p1q1, p0q1)")))).cast("long")
+              .as("fisher_ppm"))
       })
   )
 }

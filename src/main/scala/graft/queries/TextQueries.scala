@@ -1625,6 +1625,46 @@ object TextQueries {
           .groupBy("u", "v")
           .agg(count(lit(1)).as("n_cooc"))
           .orderBy(col("n_cooc").desc, col("u"), col("v")).limit(30)
+      }),
+
+    // WORD BURSTINESS (Church–Gale): per token, the variance-to-mean
+    // ratio of its per-document counts — a bursty token (≫1000
+    // milli) clumps into few documents (topical), a Poisson-ish one
+    // spreads evenly (functional). The per-token dispersion drives
+    // stopword discovery and tf saturation choices in retrieval.
+    // Exact integer per-doc-count moments (df, Σc, Σc²) with the
+    // ZERO-docs correction applied via the corpus doc count N (one
+    // broadcast scalar): mean and variance are over ALL docs, not
+    // just containing ones — no dense doc×token grid materializes.
+    // Top-20 by occurrences; ratio floors the shared double.
+    QDef("q_word_burstiness", Some("""
+      WITH d AS (SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS toks FROM documents),
+      nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM d),
+      tc AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS c FROM
+               (SELECT doc_id, unnest(toks) AS tok FROM d) GROUP BY 1, 2),
+      m AS (SELECT tok, CAST(count(*) AS BIGINT) AS df,
+              CAST(sum(c) AS BIGINT) AS occ, CAST(sum(c * c) AS BIGINT) AS ss
+            FROM tc GROUP BY 1)
+      SELECT tok, df, occ,
+             CAST(floor(1000.0 * (1.0 * nn.n * ss - 1.0 * occ * occ) /
+                        ((nn.n - 1.0) * occ)) AS BIGINT) AS burstiness_milli
+      FROM m, nn ORDER BY occ DESC, tok LIMIT 20"""),
+      (s, d) => {
+        val docs = t(s, d, "documents")
+          .select(col("doc_id"), TA.tokens(col("text")).as("toks"))
+        val nn = docs.agg(count(lit(1)).as("n"))
+        docs.select(col("doc_id"), explode(col("toks")).as("tok"))
+          .groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
+          .groupBy("tok")
+          .agg(count(lit(1)).as("df"), sum("c").cast("long").as("occ"),
+            sum(col("c") * col("c")).cast("long").as("ss"))
+          .crossJoin(broadcast(nn))
+          .select(col("tok"), col("df"), col("occ"),
+            floor(lit(1000.0) *
+              (lit(1.0) * col("n") * col("ss") - lit(1.0) * col("occ") * col("occ")) /
+              ((col("n") - lit(1.0)) * col("occ"))).cast("long")
+              .as("burstiness_milli"))
+          .orderBy(col("occ").desc, col("tok")).limit(20)
       })
   )
 }
