@@ -4348,6 +4348,115 @@ object AnalyticsQueries {
             ceil(lit(2.0) * lit(2.8) * lit(2.8) * p * (lit(1) - p) /
               ((lit(0.1) * p) * (lit(0.1) * p))).cast("long")
               .as("n_per_arm_for_10pct"))
+      }),
+
+    // MASE-style forecast scorecard: the seasonal-naive model
+    // (predict last week's same weekday) scored against the naive
+    // baseline (predict yesterday) on mean absolute error — the
+    // scale-free forecast-eval ratio that says whether weekly
+    // seasonality actually helps. Both error sums are exact
+    // integers over the lag-joined daily series (two lag windows on
+    // one exchange); the ratio is exact ppm via cross-multiplied
+    // counts (mase < 1e6 ⇒ seasonal wins). Feeds model selection
+    // next to q_holt_linear/q_seasonal_decompose.
+    QDef("q_mase_seasonal_naive", Some("""
+      WITH daily AS (SELECT event_type,
+               epoch_us(date_trunc('day', ts)) // 86400000000 AS dnum,
+               CAST(count(*) AS BIGINT) AS y
+             FROM events GROUP BY 1, 2),
+      lg AS (SELECT event_type, y,
+               lag(y, 1) OVER (PARTITION BY event_type ORDER BY dnum) AS y1,
+               lag(y, 7) OVER (PARTITION BY event_type ORDER BY dnum) AS y7
+             FROM daily),
+      m AS (SELECT event_type,
+              CAST(count(y1) AS BIGINT) AS n1,
+              CAST(sum(abs(y - y1)) AS BIGINT) AS e1,
+              CAST(count(y7) AS BIGINT) AS n7,
+              CAST(sum(abs(y - y7)) AS BIGINT) AS e7
+            FROM lg GROUP BY 1)
+      SELECT event_type, n1, e1 AS naive_abs_err, n7, e7 AS seasonal_abs_err,
+             CAST((1000000 * e7 * n1) // (e1 * n7) AS BIGINT) AS mase_ppm
+      FROM m ORDER BY event_type"""),
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("event_type").orderBy("dnum")
+        t(s, d, "events")
+          .groupBy(col("event_type"),
+            expr("div(unix_micros(date_trunc('day', ts)), 86400000000)")
+              .as("dnum"))
+          .agg(count(lit(1)).as("y"))
+          .withColumn("y1", lag("y", 1).over(w))
+          .withColumn("y7", lag("y", 7).over(w))
+          .groupBy("event_type")
+          .agg(count("y1").as("n1"),
+            sum(abs(col("y") - col("y1"))).cast("long").as("e1"),
+            count("y7").as("n7"),
+            sum(abs(col("y") - col("y7"))).cast("long").as("e7"))
+          .select(col("event_type"), col("n1"), col("e1").as("naive_abs_err"),
+            col("n7"), col("e7").as("seasonal_abs_err"),
+            expr("div(1000000 * e7 * n1, e1 * n7)").cast("long").as("mase_ppm"))
+          .orderBy("event_type")
+      }),
+
+    // PEAK-WINDOW detection (maximum-sum subarray, Kadane) on the
+    // mean-centered daily series — "which contiguous stretch of
+    // days was hottest relative to trend" — expressed ENTIRELY in
+    // windows, no sequential fold: with exact integer residuals
+    // e'ₜ = n·yₜ − Σy (the q_durbin_watson pre-scaling), the best
+    // window ending at t is prefixₜ − min(0, min prefix before t),
+    // so one prefix-sum window + one running-min window + one
+    // argmax pick solve it. Output: each type's peak end-day and
+    // the peak sum in n-scaled units (divide by n for mean units).
+    QDef("q_peak_window", Some("""
+      WITH daily AS (SELECT event_type,
+               epoch_us(date_trunc('day', ts)) // 86400000000 AS dnum,
+               CAST(count(*) AS BIGINT) AS y
+             FROM events GROUP BY 1, 2),
+      m AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+              CAST(sum(y) AS BIGINT) AS sy FROM daily GROUP BY 1),
+      e AS (SELECT d.event_type, d.dnum, d.y * m.n - m.sy AS ep, m.n
+            FROM daily d JOIN m ON m.event_type = d.event_type),
+      pf AS (SELECT event_type, dnum, n,
+               sum(ep) OVER (PARTITION BY event_type ORDER BY dnum
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pfx
+             FROM e),
+      sc AS (SELECT event_type, dnum, n, pfx,
+               pfx - least(CAST(0 AS BIGINT),
+                 coalesce(min(pfx) OVER (PARTITION BY event_type ORDER BY dnum
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                   CAST(0 AS BIGINT))) AS score
+             FROM pf)
+      SELECT event_type, CAST(dnum AS BIGINT) AS end_dnum,
+             CAST(score AS BIGINT) AS peak_scaled, CAST(n AS BIGINT) AS n_days
+      FROM (SELECT *, row_number() OVER (PARTITION BY event_type
+              ORDER BY score DESC, dnum) AS rn FROM sc)
+      WHERE rn = 1 ORDER BY event_type"""),
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val daily = t(s, d, "events")
+          .groupBy(col("event_type"),
+            expr("div(unix_micros(date_trunc('day', ts)), 86400000000)")
+              .as("dnum"))
+          .agg(count(lit(1)).as("y"))
+        val m = daily.groupBy(col("event_type").as("met"))
+          .agg(count(lit(1)).as("n"), sum("y").cast("long").as("sy"))
+        val wOrd = Window.partitionBy("event_type").orderBy("dnum")
+        daily.join(broadcast(m), col("event_type") === col("met"))
+          .select(col("event_type"), col("dnum"), col("n"),
+            (col("y") * col("n") - col("sy")).as("ep"))
+          .withColumn("pfx", sum("ep").over(
+            wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .withColumn("score", col("pfx") -
+            least(lit(0L), coalesce(min("pfx").over(
+              wOrd.rowsBetween(Window.unboundedPreceding, -1)), lit(0L))))
+          .withColumn("rn", row_number().over(
+            Window.partitionBy("event_type").orderBy(col("score").desc,
+              col("dnum"))))
+          .filter(col("rn") === 1)
+          .select(col("event_type"), col("dnum").cast("long").as("end_dnum"),
+            col("score").cast("long").as("peak_scaled"),
+            col("n").cast("long").as("n_days"))
+          .orderBy("event_type")
       })
   )
 }
