@@ -4457,6 +4457,123 @@ object AnalyticsQueries {
             col("score").cast("long").as("peak_scaled"),
             col("n").cast("long").as("n_days"))
           .orderBy("event_type")
+      }),
+
+    // RESURRECTION rate per day — the growth-accounting bucket
+    // q_new_vs_returning can't split out: a user counts as
+    // RESURRECTED when active today after ≥7 silent days (lag over
+    // the deduped (user, day) grid), vs merely RETURNING (gap 2-6)
+    // vs RETAINED (consecutive). Day-grain state only; one lag
+    // window on the user partitioning, one day-grain rollup —
+    // insensitive to raw event volume past the dedup.
+    QDef("q_resurrection_daily", Some("""
+      WITH days AS (SELECT DISTINCT user_id,
+               epoch_us(date_trunc('day', ts)) // 86400000000 AS dnum
+             FROM events),
+      g AS (SELECT user_id, dnum,
+              dnum - lag(dnum) OVER (PARTITION BY user_id ORDER BY dnum) AS gap
+            FROM days)
+      SELECT dnum,
+             CAST(sum(CASE WHEN gap = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS retained,
+             CAST(sum(CASE WHEN gap BETWEEN 2 AND 6 THEN 1 ELSE 0 END)
+               AS BIGINT) AS returning,
+             CAST(sum(CASE WHEN gap >= 7 THEN 1 ELSE 0 END) AS BIGINT)
+               AS resurrected,
+             CAST(sum(CASE WHEN gap IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS first_seen
+      FROM g GROUP BY 1 ORDER BY dnum"""),
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val days = t(s, d, "events")
+          .select(col("user_id"),
+            expr("div(unix_micros(date_trunc('day', ts)), 86400000000)")
+              .as("dnum"))
+          .distinct()
+        days
+          .withColumn("gap", col("dnum") -
+            lag("dnum", 1).over(Window.partitionBy("user_id").orderBy("dnum")))
+          .groupBy("dnum")
+          .agg(sum(when(col("gap") === 1, 1L).otherwise(0L)).cast("long")
+            .as("retained"),
+            sum(when(col("gap").between(2, 6), 1L).otherwise(0L)).cast("long")
+              .as("returning"),
+            sum(when(col("gap") >= 7, 1L).otherwise(0L)).cast("long")
+              .as("resurrected"),
+            sum(when(col("gap").isNull, 1L).otherwise(0L)).cast("long")
+              .as("first_seen"))
+          .orderBy("dnum")
+      }),
+
+    // ENGAGEMENT-QUARTILE MIGRATION matrix — where did each user's
+    // activity band move between the two half-months? Quartile
+    // assignment uses broadcast percentile-threshold scalars per
+    // period (the q_curriculum_schedule discipline — never an ntile
+    // over user grain), the matrix is a 4×4 count rollup of the
+    // user-keyed join of both periods, with users absent from a
+    // period in band 0. The churn-diagnosis companion to
+    // q_stickiness_dau_wau.
+    QDef("q_engagement_migration", Some("""
+      WITH d0 AS (SELECT min(epoch_us(date_trunc('day', ts)) // 86400000000)
+                    AS m FROM events),
+      pc AS (SELECT user_id,
+               CASE WHEN epoch_us(date_trunc('day', ts)) // 86400000000 - d0.m
+                    < 15 THEN 0 ELSE 1 END AS period
+             FROM events, d0),
+      uc AS (SELECT user_id, period, CAST(count(*) AS BIGINT) AS n
+             FROM pc GROUP BY 1, 2),
+      q1 AS (SELECT
+               percentile_disc(0.25) WITHIN GROUP (ORDER BY n) AS a,
+               percentile_disc(0.5) WITHIN GROUP (ORDER BY n) AS b,
+               percentile_disc(0.75) WITHIN GROUP (ORDER BY n) AS c
+             FROM uc WHERE period = 0),
+      q2 AS (SELECT
+               percentile_disc(0.25) WITHIN GROUP (ORDER BY n) AS a,
+               percentile_disc(0.5) WITHIN GROUP (ORDER BY n) AS b,
+               percentile_disc(0.75) WITHIN GROUP (ORDER BY n) AS c
+             FROM uc WHERE period = 1),
+      b1 AS (SELECT user_id, 1 + CASE WHEN n > q1.a THEN 1 ELSE 0 END
+                 + CASE WHEN n > q1.b THEN 1 ELSE 0 END
+                 + CASE WHEN n > q1.c THEN 1 ELSE 0 END AS band
+             FROM uc, q1 WHERE period = 0),
+      b2 AS (SELECT user_id, 1 + CASE WHEN n > q2.a THEN 1 ELSE 0 END
+                 + CASE WHEN n > q2.b THEN 1 ELSE 0 END
+                 + CASE WHEN n > q2.c THEN 1 ELSE 0 END AS band
+             FROM uc, q2 WHERE period = 1)
+      SELECT CAST(coalesce(b1.band, 0) AS BIGINT) AS band_pre,
+             CAST(coalesce(b2.band, 0) AS BIGINT) AS band_post,
+             CAST(count(*) AS BIGINT) AS n_users
+      FROM b1 FULL JOIN b2 USING (user_id)
+      GROUP BY 1, 2 ORDER BY band_pre, band_post"""),
+      (s, d) => {
+        val dn = expr("div(unix_micros(date_trunc('day', ts)), 86400000000)")
+        val ev = t(s, d, "events")
+        val d0 = ev.agg(min(dn).as("m"))
+        val uc = ev.select(col("user_id"), dn.as("dnum"))
+          .crossJoin(broadcast(d0))
+          .select(col("user_id"),
+            when(col("dnum") - col("m") < 15, 0).otherwise(1).as("period"))
+          .groupBy("user_id", "period").agg(count(lit(1)).as("n"))
+        def bands(p: Int, idCol: String, bandCol: String) = {
+          val qs = uc.filter(col("period") === p)
+            .agg(expr("percentile_disc(0.25) WITHIN GROUP (ORDER BY n)").as("a"),
+              expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY n)").as("b"),
+              expr("percentile_disc(0.75) WITHIN GROUP (ORDER BY n)").as("c"))
+          uc.filter(col("period") === p).crossJoin(broadcast(qs))
+            .select(col("user_id").as(idCol),
+              (lit(1) + when(col("n") > col("a"), 1).otherwise(0)
+                + when(col("n") > col("b"), 1).otherwise(0)
+                + when(col("n") > col("c"), 1).otherwise(0)).as(bandCol))
+        }
+        bands(0, "u1", "band_pre_raw")
+          .join(bands(1, "u2", "band_post_raw"),
+            col("u1") === col("u2"), "full_outer")
+          .select(coalesce(col("band_pre_raw"), lit(0)).cast("long")
+            .as("band_pre"),
+            coalesce(col("band_post_raw"), lit(0)).cast("long").as("band_post"))
+          .groupBy("band_pre", "band_post")
+          .agg(count(lit(1)).as("n_users"))
+          .orderBy("band_pre", "band_post")
       })
   )
 }

@@ -1560,6 +1560,53 @@ object SimQueries {
           .select(col("n_nodes"), col("n_edges"), col("n_mutual"),
             expr("div(1000000 * n_mutual, n_edges)").cast("long")
               .as("reciprocity_ppm"))
+      }),
+
+    // NEAREST-NEIGHBOR MARGIN — the ambiguity screen per query: the
+    // gap between the best and second-best cosine (milli). A thin
+    // margin means the "nearest" label is a coin flip and the ANN
+    // recall targets for that query are misleading; serving tiers
+    // route such queries to exact re-rank. One top-2 ranking from
+    // the production brute ranker; output per query with the
+    // thin-margin flag (< 10 milli).
+    QDef("q_knn_margin", Some(s"""
+      WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                 FROM embeddings),
+      q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 10),
+      c AS (SELECT vec_id AS cid, v AS cv FROM e),
+      sc AS (SELECT qid, cid, round($cosSql, 3) AS sim3
+             FROM q CROSS JOIN c WHERE qid <> cid),
+      r AS (SELECT qid, cid, sim3, row_number() OVER (PARTITION BY qid
+              ORDER BY sim3 DESC, cid) AS rnk FROM sc),
+      t1 AS (SELECT qid, cid AS top1, sim3 AS s1 FROM r WHERE rnk = 1),
+      t2 AS (SELECT qid, sim3 AS s2 FROM r WHERE rnk = 2)
+      SELECT t1.qid, t1.top1,
+             CAST(floor(1000 * t1.s1 + 0.5) AS BIGINT) AS s1_milli,
+             CAST(floor(1000 * t2.s2 + 0.5) AS BIGINT) AS s2_milli,
+             CAST(floor(1000 * t1.s1 + 0.5) - floor(1000 * t2.s2 + 0.5)
+               AS BIGINT) AS margin_milli,
+             CASE WHEN floor(1000 * t1.s1 + 0.5) - floor(1000 * t2.s2 + 0.5)
+                  < 10 THEN 1 ELSE 0 END AS thin_margin
+      FROM t1 JOIN t2 USING (qid) ORDER BY qid"""),
+      (s, d) => {
+        val e = t(s, d, "embeddings")
+          .select(col("vec_id"), col("embedding").as("v"))
+        val q = e.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("qid"), col("v").as("qv"))
+        val c = e.select(col("vec_id").as("cid"), col("v").as("cv"))
+        val top2 = Similarity.bruteForceTopK(c, q, 2)
+        val t1 = top2.filter(col("rank") === 1)
+          .select(col("qid"), col("cid").as("top1"),
+            floor(lit(1000) * col("sim3") + lit(0.5)).cast("long").as("s1_milli"))
+        val t2 = top2.filter(col("rank") === 2)
+          .select(col("qid").as("q2"),
+            floor(lit(1000) * col("sim3") + lit(0.5)).cast("long").as("s2_milli"))
+        t1.join(t2, col("qid") === col("q2"))
+          .select(col("qid"), col("top1"), col("s1_milli"), col("s2_milli"),
+            (col("s1_milli") - col("s2_milli")).as("margin_milli"),
+            when(col("s1_milli") - col("s2_milli") < 10, 1L).otherwise(0L)
+              .as("thin_margin"))
+          .orderBy("qid")
       })
   )
 
