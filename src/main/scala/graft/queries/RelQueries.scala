@@ -1190,6 +1190,92 @@ object RelQueries {
             floor(sqrt((lit(1.0) * expr("div(1000000 * p1q0, p0q0)")) *
               (lit(1.0) * expr("div(1000000 * p1q1, p0q1)")))).cast("long")
               .as("fisher_ppm"))
+      }),
+
+    // SHIFT-SHARE decomposition of each nation's 1995→1996 revenue
+    // growth into the three classic components: NATIONAL (what
+    // global growth alone would give), INDUSTRY MIX (the nation's
+    // p_type portfolio growing at industry rates vs global), and
+    // COMPETITIVE (local industry growth vs the industry at large).
+    // Growth rates are exact ppm integers; each component term
+    // floors ONCE per (nation, industry) cell, so the decomposition
+    // reconciles to the exact delta within |industries| cents (the
+    // spec pins this). Three aggregates of one two-year fact slice,
+    // all joins dim-sized.
+    QDef("q_shift_share", Some("""
+      WITH cell AS (SELECT n.n_nationkey AS nk, p.p_type AS ind,
+              year(o.o_orderdate) AS yr,
+              CAST(sum(CAST(floor(l.l_extendedprice * 100.0 + 0.5) AS BIGINT))
+                AS BIGINT) AS rev
+            FROM lineitem l
+            JOIN orders o ON o.o_orderkey = l.l_orderkey
+            JOIN part p ON p.p_partkey = l.l_partkey
+            JOIN supplier s ON s.s_suppkey = l.l_suppkey
+            JOIN nation n ON n.n_nationkey = s.s_nationkey
+            WHERE year(o.o_orderdate) IN (1995, 1996)
+            GROUP BY 1, 2, 3),
+      w AS (SELECT nk, ind,
+              CAST(sum(CASE WHEN yr = 1995 THEN rev ELSE 0 END) AS BIGINT) AS b,
+              CAST(sum(CASE WHEN yr = 1996 THEN rev ELSE 0 END) AS BIGINT) AS c
+            FROM cell GROUP BY 1, 2),
+      gi AS (SELECT ind, CAST(floor((1000000.0 * (sum(c) - sum(b))) / sum(b))
+                      AS BIGINT) AS g_ind
+             FROM w GROUP BY 1),
+      gg AS (SELECT CAST(floor((1000000.0 * (sum(c) - sum(b))) / sum(b))
+                      AS BIGINT) AS g_glob FROM w),
+      comp AS (SELECT w.nk,
+                 CAST(sum(w.c - w.b) AS BIGINT) AS delta_cents,
+                 CAST(sum(CAST(floor((1.0 * w.b * gg.g_glob) / 1000000.0)
+                   AS BIGINT)) AS BIGINT) AS national,
+                 CAST(sum(CAST(floor((1.0 * w.b * (gi.g_ind - gg.g_glob)) /
+                   1000000.0) AS BIGINT)) AS BIGINT) AS industry_mix,
+                 CAST(sum(w.c - w.b - CAST(floor((1.0 * w.b * gi.g_ind) /
+                   1000000.0) AS BIGINT)) AS BIGINT) AS competitive
+               FROM w JOIN gi USING (ind) CROSS JOIN gg
+               WHERE w.b > 0 GROUP BY 1)
+      SELECT CAST(nk AS BIGINT) AS nationkey, delta_cents, national,
+             industry_mix, competitive
+      FROM comp ORDER BY nationkey"""),
+      (s, d) => {
+        val cell = t(s, d, "lineitem")
+          .join(t(s, d, "orders").select("o_orderkey", "o_orderdate"),
+            col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(t(s, d, "part").select("p_partkey", "p_type")),
+            col("l_partkey") === col("p_partkey"))
+          .join(broadcast(t(s, d, "supplier").select("s_suppkey", "s_nationkey")),
+            col("l_suppkey") === col("s_suppkey"))
+          .filter(year(col("o_orderdate")).isin(1995, 1996))
+          .groupBy(col("s_nationkey").as("nk"), col("p_type").as("ind"),
+            year(col("o_orderdate")).as("yr"))
+          .agg(sum(floor(col("l_extendedprice") * lit(100.0) + lit(0.5))
+            .cast("long")).cast("long").as("rev"))
+        val w = cell.groupBy("nk", "ind")
+          .agg(sum(when(col("yr") === 1995, col("rev")).otherwise(0L))
+            .cast("long").as("b"),
+            sum(when(col("yr") === 1996, col("rev")).otherwise(0L))
+              .cast("long").as("c"))
+          .filter(col("b") > 0)
+        // growth rates and component terms can be NEGATIVE — floor
+        // through an exact integer-valued double on BOTH engines
+        // (integer // would floor in DuckDB but truncate in Spark)
+        val gi = w.groupBy("ind")
+          .agg(floor(lit(1000000.0) * (sum("c") - sum("b")) / sum("b"))
+            .cast("long").as("g_ind"))
+        val gg = w.agg(floor(lit(1000000.0) * (sum("c") - sum("b")) / sum("b"))
+          .cast("long").as("g_glob"))
+        w.join(broadcast(gi), Seq("ind")).crossJoin(broadcast(gg))
+          .groupBy("nk")
+          .agg(sum(col("c") - col("b")).cast("long").as("delta_cents"),
+            sum(floor(lit(1.0) * col("b") * col("g_glob") / lit(1000000.0))
+              .cast("long")).cast("long").as("national"),
+            sum(floor(lit(1.0) * col("b") * (col("g_ind") - col("g_glob")) /
+              lit(1000000.0)).cast("long")).cast("long").as("industry_mix"),
+            sum(col("c") - col("b") -
+              floor(lit(1.0) * col("b") * col("g_ind") / lit(1000000.0))
+                .cast("long")).cast("long").as("competitive"))
+          .select(col("nk").cast("long").as("nationkey"), col("delta_cents"),
+            col("national"), col("industry_mix"), col("competitive"))
+          .orderBy("nationkey")
       })
   )
 }

@@ -1370,6 +1370,42 @@ object TrainPrepQueries {
             col("tpos").cast("long").as("pos_node"),
             col("score").cast("long").as("score_micro")))
           .orderBy("node")
-      })
+      }),
+
+    // DEDUP ROI audit — what exact-dedup actually buys: cluster the
+    // corpus by content hash (the q_dedup_exact grouping), keep the
+    // smallest doc_id as representative, and account the characters
+    // the dropped members would have cost in storage/training
+    // tokens. The one-row scorecard a curation review opens with.
+    // One hash aggregate carrying both count and char sums —
+    // map-side combined, no second scan.
+    QDef("q_dedup_savings", Some("""
+      WITH cl AS (SELECT md5(text) AS h, CAST(count(*) AS BIGINT) AS n,
+              CAST(sum(n_chars) AS BIGINT) AS chars,
+              CAST(min(n_chars) AS BIGINT) AS rep_chars
+            FROM documents GROUP BY 1)
+      SELECT CAST(sum(n) AS BIGINT) AS n_docs,
+             CAST(count(*) AS BIGINT) AS n_clusters,
+             CAST(sum(n - 1) AS BIGINT) AS n_dups,
+             CAST(sum(chars) AS BIGINT) AS total_chars,
+             CAST(sum(chars - rep_chars) AS BIGINT) AS dropped_chars,
+             CAST((1000000 * sum(chars - rep_chars)) // sum(chars) AS BIGINT)
+               AS savings_ppm
+      FROM cl"""),
+      (s, d) =>
+        t(s, d, "documents")
+          .groupBy(md5(col("text")).as("h"))
+          .agg(count(lit(1)).as("n"), sum("n_chars").cast("long").as("chars"),
+            min("n_chars").cast("long").as("rep_chars"))
+          .agg(sum("n").cast("long").as("n_docs"),
+            count(lit(1)).as("n_clusters"),
+            sum(col("n") - 1).cast("long").as("n_dups"),
+            sum("chars").cast("long").as("total_chars"),
+            sum(col("chars") - col("rep_chars")).cast("long")
+              .as("dropped_chars"))
+          .select(col("n_docs"), col("n_clusters"), col("n_dups"),
+            col("total_chars"), col("dropped_chars"),
+            expr("div(1000000 * dropped_chars, total_chars)").cast("long")
+              .as("savings_ppm")))
   )
 }
