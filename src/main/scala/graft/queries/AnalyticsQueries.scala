@@ -4574,6 +4574,128 @@ object AnalyticsQueries {
           .groupBy("band_pre", "band_post")
           .agg(count(lit(1)).as("n_users"))
           .orderBy("band_pre", "band_post")
+      }),
+
+    // SURVIVORSHIP-BIAS quantifier — how much does conditioning on
+    // "still a customer next year" inflate the 1995 spend metric?
+    // Mean 1995 order value over ALL 1995 customers vs over the
+    // SURVIVORS (those who also ordered in 1996), with the bias in
+    // ppm of the unconditional mean. The survivor set is a LEFT
+    // SEMI join of customer-grain aggregates; means floor once from
+    // exact cents sums. The one-row audit that belongs next to any
+    // retention-conditioned metric.
+    QDef("q_survivorship_bias", Some("""
+      WITH o95 AS (SELECT o_custkey,
+              CAST(count(*) AS BIGINT) AS n,
+              CAST(sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT))
+                AS BIGINT) AS cents
+            FROM orders WHERE year(o_orderdate) = 1995 GROUP BY 1),
+      s96 AS (SELECT DISTINCT o_custkey FROM orders
+              WHERE year(o_orderdate) = 1996),
+      surv AS (SELECT o95.* FROM o95 SEMI JOIN s96 USING (o_custkey)),
+      a AS (SELECT CAST(count(*) AS BIGINT) AS n_cust,
+              CAST(sum(n) AS BIGINT) AS n_ord, CAST(sum(cents) AS BIGINT) AS c
+            FROM o95),
+      b AS (SELECT CAST(count(*) AS BIGINT) AS n_cust,
+              CAST(sum(n) AS BIGINT) AS n_ord, CAST(sum(cents) AS BIGINT) AS c
+            FROM surv)
+      SELECT a.n_cust AS n_all, b.n_cust AS n_survivors,
+             CAST(a.c // a.n_ord AS BIGINT) AS mean_all_cents,
+             CAST(b.c // b.n_ord AS BIGINT) AS mean_surv_cents,
+             CAST(floor(1000000.0 * (1.0 * b.c / b.n_ord - 1.0 * a.c / a.n_ord) /
+                        (1.0 * a.c / a.n_ord)) AS BIGINT) AS bias_ppm
+      FROM a, b"""),
+      (s, d) => {
+        val o95 = t(s, d, "orders")
+          .filter(year(col("o_orderdate")) === 1995)
+          .groupBy("o_custkey")
+          .agg(count(lit(1)).as("n"),
+            sum(floor(col("o_totalprice") * lit(100.0) + lit(0.5)).cast("long"))
+              .cast("long").as("cents"))
+        val s96 = t(s, d, "orders")
+          .filter(year(col("o_orderdate")) === 1996)
+          .select(col("o_custkey").as("ck96")).distinct()
+        val surv = o95.join(s96, col("o_custkey") === col("ck96"), "left_semi")
+        def agg3(df: org.apache.spark.sql.DataFrame) =
+          df.agg(count(lit(1)).as("n_cust"), sum("n").cast("long").as("n_ord"),
+            sum("cents").cast("long").as("c"))
+        val a = agg3(o95).select(col("n_cust").as("na"), col("n_ord").as("noa"),
+          col("c").as("ca"))
+        val b = agg3(surv).select(col("n_cust").as("nb"), col("n_ord").as("nob"),
+          col("c").as("cb"))
+        a.crossJoin(b)
+          .select(col("na").as("n_all"), col("nb").as("n_survivors"),
+            expr("div(ca, noa)").cast("long").as("mean_all_cents"),
+            expr("div(cb, nob)").cast("long").as("mean_surv_cents"),
+            floor(lit(1000000.0) *
+              (lit(1.0) * col("cb") / col("nob") - lit(1.0) * col("ca") / col("noa")) /
+              (lit(1.0) * col("ca") / col("noa"))).cast("long").as("bias_ppm"))
+      }),
+
+    // DELTA-METHOD CI for a RATIO metric (revenue per purchase) —
+    // the experimentation-platform arithmetic for metrics that are
+    // ratios of sums, where naive per-event variance is wrong
+    // because users are the i.i.d. unit: per-user (x=purchase
+    // dollars, y=purchase count) moment sums, R = Σx/Σy, and
+    // Var(R) ≈ (σx² − 2Rσxy + R²σy²)/(n·ȳ²). All moments are exact
+    // integers (dollar quantization keeps Σx² in BIGINT at any SF);
+    // R/SE/CI floor shared doubles. One user-grain aggregate →
+    // 1-row statistics.
+    QDef("q_ratio_delta_ci", Some("""
+      WITH u AS (SELECT user_id,
+              CAST(sum(CAST(floor(value + 0.5) AS BIGINT)) AS BIGINT) AS x,
+              CAST(count(*) AS BIGINT) AS y
+            FROM events WHERE event_type = 'purchase' GROUP BY 1),
+      m AS (SELECT CAST(count(*) AS BIGINT) AS n,
+              CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+              CAST(sum(x * x) AS BIGINT) AS sxx,
+              CAST(sum(y * y) AS BIGINT) AS syy,
+              CAST(sum(x * y) AS BIGINT) AS sxy
+            FROM u),
+      c AS (SELECT n, sx, sy,
+              1.0 * sx / sy AS r,
+              (1.0 * sxx / n - (1.0 * sx / n) * (1.0 * sx / n)) AS vx,
+              (1.0 * syy / n - (1.0 * sy / n) * (1.0 * sy / n)) AS vy,
+              (1.0 * sxy / n - (1.0 * sx / n) * (1.0 * sy / n)) AS cxy
+            FROM m)
+      SELECT n AS n_users, sx AS total_dollars, sy AS total_purchases,
+             CAST(floor(1000.0 * r) AS BIGINT) AS r_milli,
+             CAST(floor(1000.0 * sqrt((vx - 2 * r * cxy + r * r * vy) / n) /
+                        (1.0 * sy / n)) AS BIGINT) AS se_milli,
+             CAST(floor(1000.0 * r - 1.96 * (1000.0 *
+               sqrt((vx - 2 * r * cxy + r * r * vy) / n) / (1.0 * sy / n)))
+               AS BIGINT) AS ci_lo_milli,
+             CAST(floor(1000.0 * r + 1.96 * (1000.0 *
+               sqrt((vx - 2 * r * cxy + r * r * vy) / n) / (1.0 * sy / n)))
+               AS BIGINT) AS ci_hi_milli
+      FROM c"""),
+      (s, d) => {
+        val u = t(s, d, "events")
+          .filter(col("event_type") === "purchase")
+          .groupBy("user_id")
+          .agg(sum(floor(col("value") + lit(0.5)).cast("long")).cast("long")
+            .as("x"), count(lit(1)).as("y"))
+        val m = u.agg(count(lit(1)).as("n"), sum("x").cast("long").as("sx"),
+          sum("y").cast("long").as("sy"),
+          sum(col("x") * col("x")).cast("long").as("sxx"),
+          sum(col("y") * col("y")).cast("long").as("syy"),
+          sum(col("x") * col("y")).cast("long").as("sxy"))
+        val r = lit(1.0) * col("sx") / col("sy")
+        val vx = lit(1.0) * col("sxx") / col("n") -
+          (lit(1.0) * col("sx") / col("n")) * (lit(1.0) * col("sx") / col("n"))
+        val vy = lit(1.0) * col("syy") / col("n") -
+          (lit(1.0) * col("sy") / col("n")) * (lit(1.0) * col("sy") / col("n"))
+        val cxy = lit(1.0) * col("sxy") / col("n") -
+          (lit(1.0) * col("sx") / col("n")) * (lit(1.0) * col("sy") / col("n"))
+        val se = lit(1000.0) *
+          sqrt((vx - lit(2) * r * cxy + r * r * vy) / col("n")) /
+          (lit(1.0) * col("sy") / col("n"))
+        m.select(col("n").as("n_users"), col("sx").as("total_dollars"),
+          col("sy").as("total_purchases"),
+          floor(lit(1000.0) * r).cast("long").as("r_milli"),
+          floor(se).cast("long").as("se_milli"),
+          floor(lit(1000.0) * r - lit(1.96) * se).cast("long").as("ci_lo_milli"),
+          floor(lit(1000.0) * r + lit(1.96) * se).cast("long").as("ci_hi_milli"))
       })
   )
 }
