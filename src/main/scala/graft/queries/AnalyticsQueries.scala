@@ -4696,6 +4696,53 @@ object AnalyticsQueries {
           floor(se).cast("long").as("se_milli"),
           floor(lit(1000.0) * r - lit(1.96) * se).cast("long").as("ci_lo_milli"),
           floor(lit(1000.0) * r + lit(1.96) * se).cast("long").as("ci_hi_milli"))
-      })
+      }),
+
+    // CAPACITY HEADROOM from the minute-grain arrival profile — the
+    // sizing readout an ingestion autoscaler keys on: per event
+    // type, the p50/p99/max minute rates and two ratios, burst
+    // (p99/p50) and headroom past p99 (max vs p99). Discrete
+    // percentiles over the DOMAIN-bounded minute-count table keep
+    // everything integer; ratios are exact ppm. Pairs with
+    // q_burstiness_fano (dispersion) and q_velocity_cap
+    // (enforcement).
+    QDef("q_capacity_headroom", Some("""
+      WITH mc AS (SELECT event_type,
+               epoch_us(date_trunc('minute', ts)) // 60000000 AS mnum,
+               CAST(count(*) AS BIGINT) AS c
+             FROM events GROUP BY 1, 2)
+      SELECT event_type,
+             CAST(count(*) AS BIGINT) AS n_minutes,
+             CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY c) AS BIGINT)
+               AS p50,
+             CAST(percentile_disc(0.99) WITHIN GROUP (ORDER BY c) AS BIGINT)
+               AS p99,
+             CAST(max(c) AS BIGINT) AS peak,
+             CAST((1000000 * percentile_disc(0.99) WITHIN GROUP (ORDER BY c)) //
+                  percentile_disc(0.5) WITHIN GROUP (ORDER BY c) AS BIGINT)
+               AS burst_ppm,
+             CAST((1000000 * max(c)) //
+                  percentile_disc(0.99) WITHIN GROUP (ORDER BY c) AS BIGINT)
+               AS peak_over_p99_ppm
+      FROM mc GROUP BY 1 ORDER BY event_type"""),
+      (s, d) =>
+        t(s, d, "events")
+          .groupBy(col("event_type"),
+            expr("div(unix_micros(date_trunc('minute', ts)), 60000000)")
+              .as("mnum"))
+          .agg(count(lit(1)).as("c"))
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n_minutes"),
+            expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY c)")
+              .cast("long").as("p50"),
+            expr("percentile_disc(0.99) WITHIN GROUP (ORDER BY c)")
+              .cast("long").as("p99"),
+            max("c").cast("long").as("peak"))
+          .select(col("event_type"), col("n_minutes"), col("p50"), col("p99"),
+            col("peak"),
+            expr("div(1000000 * p99, p50)").cast("long").as("burst_ppm"),
+            expr("div(1000000 * peak, p99)").cast("long")
+              .as("peak_over_p99_ppm"))
+          .orderBy("event_type"))
   )
 }
