@@ -4743,6 +4743,126 @@ object AnalyticsQueries {
             expr("div(1000000 * p99, p50)").cast("long").as("burst_ppm"),
             expr("div(1000000 * peak, p99)").cast("long")
               .as("peak_over_p99_ppm"))
-          .orderBy("event_type"))
+          .orderBy("event_type")),
+
+    // INSTRUMENTAL-VARIABLE (Wald) estimator — the third leg of the
+    // causal suite (q_did_lift, q_its_segmented): effect of click
+    // exposure on purchase dollars using a binary instrument
+    // (deterministic user-parity stand-in — production would use a
+    // real encouragement): Wald = (ȳ₁−ȳ₀)/(x̄₁−x̄₀) over user-grain
+    // aggregates. The four cell sums are exact integers off one
+    // user-grain pass; the ratio floors a shared double. The
+    // first-stage strength (Δx̄ in milli) ships alongside — a weak
+    // instrument makes the ratio explode, and the consumer must see
+    // that.
+    QDef("q_iv_wald", Some("""
+      WITH u AS (SELECT user_id, user_id % 2 AS z,
+              CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                AS BIGINT) AS x,
+              CAST(sum(CASE WHEN event_type = 'purchase'
+                       THEN CAST(floor(value + 0.5) AS BIGINT) ELSE 0 END)
+                AS BIGINT) AS y
+            FROM events GROUP BY 1, 2),
+      c AS (SELECT z, CAST(count(*) AS BIGINT) AS n,
+              CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy
+            FROM u GROUP BY 1),
+      w AS (SELECT
+              max(CASE WHEN z = 0 THEN n END) AS n0,
+              max(CASE WHEN z = 1 THEN n END) AS n1,
+              max(CASE WHEN z = 0 THEN sx END) AS sx0,
+              max(CASE WHEN z = 1 THEN sx END) AS sx1,
+              max(CASE WHEN z = 0 THEN sy END) AS sy0,
+              max(CASE WHEN z = 1 THEN sy END) AS sy1
+            FROM c)
+      SELECT CAST(n0 AS BIGINT) AS n_z0, CAST(n1 AS BIGINT) AS n_z1,
+             CAST(floor(1000.0 * (1.0 * sx1 / n1 - 1.0 * sx0 / n0)) AS BIGINT)
+               AS first_stage_dx_milli,
+             CAST(floor(1000.0 * (1.0 * sy1 / n1 - 1.0 * sy0 / n0)) AS BIGINT)
+               AS reduced_form_dy_milli,
+             CAST(floor(1000.0 * (1.0 * sy1 / n1 - 1.0 * sy0 / n0) /
+                        (1.0 * sx1 / n1 - 1.0 * sx0 / n0)) AS BIGINT)
+               AS wald_milli
+      FROM w"""),
+      (s, d) => {
+        val u = t(s, d, "events")
+          .groupBy(col("user_id"), (col("user_id") % 2).as("z"))
+          .agg(sum(when(col("event_type") === "click", 1L).otherwise(0L))
+            .cast("long").as("x"),
+            sum(when(col("event_type") === "purchase",
+              floor(col("value") + lit(0.5)).cast("long")).otherwise(0L))
+              .cast("long").as("y"))
+        val c = u.groupBy("z")
+          .agg(count(lit(1)).as("n"), sum("x").cast("long").as("sx"),
+            sum("y").cast("long").as("sy"))
+        def cell(z: Int, cname: String) =
+          max(when(col("z") === z, col(cname)))
+        val dx = lit(1.0) * cell(1, "sx") / cell(1, "n") -
+          lit(1.0) * cell(0, "sx") / cell(0, "n")
+        val dy = lit(1.0) * cell(1, "sy") / cell(1, "n") -
+          lit(1.0) * cell(0, "sy") / cell(0, "n")
+        c.agg(cell(0, "n").cast("long").as("n_z0"),
+          cell(1, "n").cast("long").as("n_z1"),
+          floor(lit(1000.0) * dx).cast("long").as("first_stage_dx_milli"),
+          floor(lit(1000.0) * dy).cast("long").as("reduced_form_dy_milli"),
+          floor(lit(1000.0) * dy / dx).cast("long").as("wald_milli"))
+      }),
+
+    // REGRESSION DISCONTINUITY at the 950-dollar retail-price
+    // cutoff — the fourth causal leg: compare mean units sold for
+    // parts JUST below vs just above the threshold (±20-dollar
+    // bandwidth), where the running variable is as-good-as-random
+    // locally. Cell sums are exact integers off a part-grain
+    // aggregate; the jump and its ppm-of-below ship with both cell
+    // means so bandwidth sensitivity can be recomputed downstream.
+    QDef("q_rdd_jump", Some("""
+      WITH pq AS (SELECT p.p_partkey,
+              CAST(floor(p.p_retailprice * 100.0 + 0.5) AS BIGINT) AS price,
+              CAST(sum(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS qty
+            FROM part p JOIN lineitem l ON l.l_partkey = p.p_partkey
+            GROUP BY 1, 2),
+      b AS (SELECT CASE WHEN price < 95000 THEN 0 ELSE 1 END AS side,
+              qty
+            FROM pq WHERE price >= 93000 AND price < 97000),
+      c AS (SELECT side, CAST(count(*) AS BIGINT) AS n,
+              CAST(sum(qty) AS BIGINT) AS sq
+            FROM b GROUP BY 1),
+      w AS (SELECT max(CASE WHEN side = 0 THEN n END) AS nb,
+              max(CASE WHEN side = 1 THEN n END) AS na,
+              max(CASE WHEN side = 0 THEN sq END) AS sb,
+              max(CASE WHEN side = 1 THEN sq END) AS sa
+            FROM c)
+      SELECT CAST(nb AS BIGINT) AS n_below, CAST(na AS BIGINT) AS n_above,
+             CAST(sb // nb AS BIGINT) AS mean_below,
+             CAST(sa // na AS BIGINT) AS mean_above,
+             CAST(floor(1000.0 * (1.0 * sa / na - 1.0 * sb / nb)) AS BIGINT)
+               AS jump_milli,
+             CAST(floor(1000000.0 * (1.0 * sa / na - 1.0 * sb / nb) /
+                        (1.0 * sb / nb)) AS BIGINT) AS jump_ppm_of_below
+      FROM w"""),
+      (s, d) => {
+        val pq = t(s, d, "lineitem").select("l_partkey", "l_quantity")
+          .join(broadcast(t(s, d, "part").select(col("p_partkey"),
+            floor(col("p_retailprice") * lit(100.0) + lit(0.5)).cast("long")
+              .as("price"))), col("l_partkey") === col("p_partkey"))
+          .groupBy("p_partkey", "price")
+          .agg(sum(col("l_quantity").cast("long")).cast("long").as("qty"))
+        val c = pq.filter(col("price") >= 93000 && col("price") < 97000)
+          .select(when(col("price") < 95000, 0).otherwise(1).as("side"),
+            col("qty"))
+          .groupBy("side")
+          .agg(count(lit(1)).as("n"), sum("qty").cast("long").as("sq"))
+        def cell(sd: Int, cname: String) = max(when(col("side") === sd, col(cname)))
+        val mb = lit(1.0) * cell(0, "sq") / cell(0, "n")
+        val ma = lit(1.0) * cell(1, "sq") / cell(1, "n")
+        c.agg(cell(0, "n").cast("long").as("n_below"),
+          cell(1, "n").cast("long").as("n_above"),
+          expr("div(max(CASE WHEN side = 0 THEN sq END), max(CASE WHEN side = 0 THEN n END))")
+            .cast("long").as("mean_below"),
+          expr("div(max(CASE WHEN side = 1 THEN sq END), max(CASE WHEN side = 1 THEN n END))")
+            .cast("long").as("mean_above"),
+          floor(lit(1000.0) * (ma - mb)).cast("long").as("jump_milli"),
+          floor(lit(1000000.0) * (ma - mb) / mb).cast("long")
+            .as("jump_ppm_of_below"))
+      })
   )
 }
