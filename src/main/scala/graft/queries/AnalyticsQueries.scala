@@ -4807,22 +4807,28 @@ object AnalyticsQueries {
           floor(lit(1000.0) * dy / dx).cast("long").as("wald_milli"))
       }),
 
-    // REGRESSION DISCONTINUITY at the 950-dollar retail-price
-    // cutoff — the fourth causal leg: compare mean units sold for
-    // parts JUST below vs just above the threshold (±20-dollar
-    // bandwidth), where the running variable is as-good-as-random
-    // locally. Cell sums are exact integers off a part-grain
-    // aggregate; the jump and its ppm-of-below ship with both cell
-    // means so bandwidth sensitivity can be recomputed downstream.
+    // REGRESSION DISCONTINUITY at the MEDIAN retail price — the
+    // fourth causal leg: compare mean units sold for parts JUST
+    // below vs just above the cutoff within a ±2% bandwidth, where
+    // the running variable is as-good-as-random locally. Cutoff and
+    // bandwidth are broadcast scalars derived from the price
+    // distribution (the price RANGE scales with the part count, so
+    // a fixed threshold would empty the band at small SF). Cell
+    // sums are exact integers off a part-grain aggregate; the jump
+    // and its ppm-of-below ship with both cell means.
     QDef("q_rdd_jump", Some("""
       WITH pq AS (SELECT p.p_partkey,
               CAST(floor(p.p_retailprice * 100.0 + 0.5) AS BIGINT) AS price,
               CAST(sum(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS qty
             FROM part p JOIN lineitem l ON l.l_partkey = p.p_partkey
             GROUP BY 1, 2),
-      b AS (SELECT CASE WHEN price < 95000 THEN 0 ELSE 1 END AS side,
-              qty
-            FROM pq WHERE price >= 93000 AND price < 97000),
+      cut AS (SELECT CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY price)
+                  AS BIGINT) AS c0
+              FROM pq),
+      b AS (SELECT CASE WHEN price < cut.c0 THEN 0 ELSE 1 END AS side, qty
+            FROM pq, cut
+            WHERE price >= cut.c0 - cut.c0 // 50
+              AND price < cut.c0 + cut.c0 // 50),
       c AS (SELECT side, CAST(count(*) AS BIGINT) AS n,
               CAST(sum(qty) AS BIGINT) AS sq
             FROM b GROUP BY 1),
@@ -4846,8 +4852,13 @@ object AnalyticsQueries {
               .as("price"))), col("l_partkey") === col("p_partkey"))
           .groupBy("p_partkey", "price")
           .agg(sum(col("l_quantity").cast("long")).cast("long").as("qty"))
-        val c = pq.filter(col("price") >= 93000 && col("price") < 97000)
-          .select(when(col("price") < 95000, 0).otherwise(1).as("side"),
+        val cut = pq.agg(
+          expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY price)")
+            .cast("long").as("c0"))
+        val c = pq.crossJoin(broadcast(cut))
+          .filter(col("price") >= col("c0") - expr("div(c0, 50)") &&
+            col("price") < col("c0") + expr("div(c0, 50)"))
+          .select(when(col("price") < col("c0"), 0).otherwise(1).as("side"),
             col("qty"))
           .groupBy("side")
           .agg(count(lit(1)).as("n"), sum("qty").cast("long").as("sq"))
