@@ -4874,6 +4874,93 @@ object AnalyticsQueries {
           floor(lit(1000.0) * (ma - mb)).cast("long").as("jump_milli"),
           floor(lit(1000000.0) * (ma - mb) / mb).cast("long")
             .as("jump_ppm_of_below"))
+      }),
+
+    // MATCHING ESTIMATOR (ATT) — the fifth causal leg: average
+    // treatment effect on the treated via nearest-neighbor matching
+    // on the activity covariate, with controls COLLAPSED per
+    // covariate value first (coarsened-exact/NN hybrid): each
+    // treated user matches the nearest covariate value present
+    // among controls (tie → smaller value) and inherits that
+    // value-cell's floored mean outcome. The value×value candidate
+    // join is bounded by DISTINCT covariate levels squared — user
+    // activity counts, not users — so the match stage is
+    // histogram-sized at any SF. ATT in milli-dollars plus the
+    // naive (unmatched) difference to show the selection-bias
+    // correction.
+    QDef("q_att_matching", Some("""
+      WITH u AS (SELECT user_id, user_id % 2 AS treat,
+              CAST(count(*) AS BIGINT) AS c,
+              CAST(sum(CASE WHEN event_type = 'purchase'
+                       THEN CAST(floor(value + 0.5) AS BIGINT) ELSE 0 END)
+                AS BIGINT) AS y
+            FROM events GROUP BY 1, 2),
+      ctrl AS (SELECT c AS cv, CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(y) AS BIGINT) AS sy
+               FROM u WHERE treat = 0 GROUP BY 1),
+      tv AS (SELECT DISTINCT c AS tvv FROM u WHERE treat = 1),
+      best AS (SELECT tvv, cv, (sy // n) AS my FROM (
+                 SELECT tv.tvv, ctrl.cv, ctrl.sy, ctrl.n,
+                        row_number() OVER (PARTITION BY tv.tvv
+                          ORDER BY abs(tv.tvv - ctrl.cv), ctrl.cv) AS rn
+                 FROM tv CROSS JOIN ctrl)
+               WHERE rn = 1),
+      att AS (SELECT CAST(count(*) AS BIGINT) AS n_treated,
+                CAST(sum(u.y) AS BIGINT) AS sy_t,
+                CAST(sum(b.my) AS BIGINT) AS sy_m
+              FROM u JOIN best b ON u.c = b.tvv WHERE u.treat = 1),
+      naive AS (SELECT
+                  CAST(sum(CASE WHEN treat = 1 THEN y ELSE 0 END) AS BIGINT)
+                    AS syt,
+                  CAST(sum(CASE WHEN treat = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                    AS nt,
+                  CAST(sum(CASE WHEN treat = 0 THEN y ELSE 0 END) AS BIGINT)
+                    AS syc,
+                  CAST(sum(CASE WHEN treat = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                    AS nc
+                FROM u)
+      SELECT att.n_treated, att.sy_t, att.sy_m,
+             CAST(floor(1000.0 * (att.sy_t - att.sy_m) / att.n_treated)
+               AS BIGINT) AS att_milli,
+             CAST(floor(1000.0 * (1.0 * naive.syt / naive.nt -
+                                  1.0 * naive.syc / naive.nc)) AS BIGINT)
+               AS naive_diff_milli
+      FROM att, naive"""),
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val u = t(s, d, "events")
+          .groupBy(col("user_id"), (col("user_id") % 2).as("treat"))
+          .agg(count(lit(1)).as("c"),
+            sum(when(col("event_type") === "purchase",
+              floor(col("value") + lit(0.5)).cast("long")).otherwise(0L))
+              .cast("long").as("y"))
+        val ctrl = u.filter(col("treat") === 0)
+          .groupBy(col("c").as("cv"))
+          .agg(count(lit(1)).as("n"), sum("y").cast("long").as("sy"))
+        val tv = u.filter(col("treat") === 1).select(col("c").as("tvv")).distinct()
+        val best = tv.crossJoin(broadcast(ctrl))
+          .withColumn("rn", row_number().over(Window.partitionBy("tvv")
+            .orderBy(abs(col("tvv") - col("cv")), col("cv"))))
+          .filter(col("rn") === 1)
+          .select(col("tvv"), expr("div(sy, n)").as("my"))
+        val att = u.filter(col("treat") === 1)
+          .join(broadcast(best), col("c") === col("tvv"))
+          .agg(count(lit(1)).as("n_treated"), sum("y").cast("long").as("sy_t"),
+            sum("my").cast("long").as("sy_m"))
+        val naive = u.agg(
+          sum(when(col("treat") === 1, col("y")).otherwise(0L)).cast("long")
+            .as("syt"),
+          sum(when(col("treat") === 1, 1L).otherwise(0L)).cast("long").as("nt"),
+          sum(when(col("treat") === 0, col("y")).otherwise(0L)).cast("long")
+            .as("syc"),
+          sum(when(col("treat") === 0, 1L).otherwise(0L)).cast("long").as("nc"))
+        att.crossJoin(broadcast(naive))
+          .select(col("n_treated"), col("sy_t"), col("sy_m"),
+            floor(lit(1000.0) * (col("sy_t") - col("sy_m")) / col("n_treated"))
+              .cast("long").as("att_milli"),
+            floor(lit(1000.0) * (lit(1.0) * col("syt") / col("nt") -
+              lit(1.0) * col("syc") / col("nc"))).cast("long")
+              .as("naive_diff_milli"))
       })
   )
 }
