@@ -4961,6 +4961,186 @@ object AnalyticsQueries {
             floor(lit(1000.0) * (lit(1.0) * col("syt") / col("nt") -
               lit(1.0) * col("syc") / col("nc"))).cast("long")
               .as("naive_diff_milli"))
+      }),
+
+    // QUANTILE TREATMENT EFFECTS — where in the distribution does
+    // the arm difference live? Mean lifts (q_did_lift) hide
+    // tail-only effects; QTE reports the p25/p50/p75/p90
+    // purchase-value quantile per arm and the per-quantile deltas.
+    // Discrete percentiles over integer cents are engine-exact; one
+    // arm-keyed pass, 4×2 cells, long-form output.
+    QDef("q_qte_arms", Some("""
+      WITH v AS (SELECT user_id % 2 AS arm,
+              CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS cents
+            FROM events WHERE event_type = 'purchase'),
+      qt AS (
+        SELECT arm, 250 AS qp, CAST(percentile_disc(0.25)
+          WITHIN GROUP (ORDER BY cents) AS BIGINT) AS v FROM v GROUP BY 1
+        UNION ALL
+        SELECT arm, 500, CAST(percentile_disc(0.5)
+          WITHIN GROUP (ORDER BY cents) AS BIGINT) FROM v GROUP BY 1
+        UNION ALL
+        SELECT arm, 750, CAST(percentile_disc(0.75)
+          WITHIN GROUP (ORDER BY cents) AS BIGINT) FROM v GROUP BY 1
+        UNION ALL
+        SELECT arm, 900, CAST(percentile_disc(0.9)
+          WITHIN GROUP (ORDER BY cents) AS BIGINT) FROM v GROUP BY 1)
+      SELECT a.qp AS q_permille, a.v AS ctrl_cents, b.v AS treat_cents,
+             CAST(b.v - a.v AS BIGINT) AS qte_cents
+      FROM qt a JOIN qt b ON a.qp = b.qp AND a.arm = 0 AND b.arm = 1
+      ORDER BY q_permille"""),
+      (s, d) => {
+        val v = t(s, d, "events").filter(col("event_type") === "purchase")
+          .select((col("user_id") % 2).as("arm"),
+            floor(col("value") * lit(100.0) + lit(0.5)).cast("long").as("cents"))
+        def qrow(p: Double, qp: Long) = v.groupBy("arm")
+          .agg(expr(s"percentile_disc($p) WITHIN GROUP (ORDER BY cents)")
+            .cast("long").as("v"))
+          .withColumn("qp", lit(qp))
+        val qt = qrow(0.25, 250L).unionByName(qrow(0.5, 500L))
+          .unionByName(qrow(0.75, 750L)).unionByName(qrow(0.9, 900L))
+        val a = qt.filter(col("arm") === 0)
+          .select(col("qp"), col("v").as("ctrl_cents"))
+        val b = qt.filter(col("arm") === 1)
+          .select(col("qp").as("qp2"), col("v").as("treat_cents"))
+        a.join(b, col("qp") === col("qp2"))
+          .select(col("qp").as("q_permille"), col("ctrl_cents"),
+            col("treat_cents"),
+            (col("treat_cents") - col("ctrl_cents")).cast("long")
+              .as("qte_cents"))
+          .orderBy("q_permille")
+      }),
+
+    // PLACEBO DiD — the robustness check every diff-in-diff readout
+    // must ship with: rerun q_did_lift's cell arithmetic with a FAKE
+    // break at day 8 INSIDE the pre-period (restricted to days
+    // 0-14, so the real day-15 change can't leak in). A material
+    // placebo effect falsifies the parallel-trends assumption. Both
+    // the real and placebo DiD ship in one row; the spec pins that
+    // the placebo stays near zero on this synthetic stream.
+    QDef("q_did_placebo", Some("""
+      WITH d0 AS (SELECT min(epoch_us(date_trunc('day', ts)) // 86400000000)
+                    AS m FROM events),
+      e AS (SELECT user_id % 2 AS grp,
+              epoch_us(date_trunc('day', ts)) // 86400000000 - d0.m AS rd,
+              CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS conv
+            FROM events, d0),
+      real AS (SELECT grp, CASE WHEN rd < 15 THEN 0 ELSE 1 END AS period,
+                 (1000000 * sum(conv)) // count(*) AS r
+               FROM e GROUP BY 1, 2),
+      plac AS (SELECT grp, CASE WHEN rd < 8 THEN 0 ELSE 1 END AS period,
+                 (1000000 * sum(conv)) // count(*) AS r
+               FROM e WHERE rd < 15 GROUP BY 1, 2),
+      rw AS (SELECT
+               (max(CASE WHEN grp = 1 AND period = 1 THEN r END) -
+                max(CASE WHEN grp = 1 AND period = 0 THEN r END)) -
+               (max(CASE WHEN grp = 0 AND period = 1 THEN r END) -
+                max(CASE WHEN grp = 0 AND period = 0 THEN r END)) AS did
+             FROM real),
+      pw AS (SELECT
+               (max(CASE WHEN grp = 1 AND period = 1 THEN r END) -
+                max(CASE WHEN grp = 1 AND period = 0 THEN r END)) -
+               (max(CASE WHEN grp = 0 AND period = 1 THEN r END) -
+                max(CASE WHEN grp = 0 AND period = 0 THEN r END)) AS did
+             FROM plac)
+      SELECT CAST(rw.did AS BIGINT) AS did_ppm,
+             CAST(pw.did AS BIGINT) AS placebo_did_ppm,
+             CASE WHEN abs(pw.did) * 2 > abs(rw.did) AND abs(rw.did) > 0
+                  THEN 1 ELSE 0 END AS trends_suspect
+      FROM rw, pw"""),
+      (s, d) => {
+        val dn = expr("div(unix_micros(date_trunc('day', ts)), 86400000000)")
+        val ev = t(s, d, "events")
+        val d0 = ev.agg(min(dn).as("m"))
+        val e = ev.select((col("user_id") % 2).as("grp"), dn.as("dnum"),
+            when(col("event_type") === "purchase", 1L).otherwise(0L).as("conv"))
+          .crossJoin(broadcast(d0))
+          .select(col("grp"), (col("dnum") - col("m")).as("rd"), col("conv"))
+        def did(df: org.apache.spark.sql.DataFrame, break0: Int) = {
+          val r = df
+            .select(col("grp"),
+              when(col("rd") < break0, 0).otherwise(1).as("period"), col("conv"))
+            .groupBy("grp", "period")
+            .agg(expr("div(1000000 * sum(conv), count(1))").as("r"))
+          def cell(g: Int, p: Int) =
+            max(when(col("grp") === g && col("period") === p, col("r")))
+          r.agg(((cell(1, 1) - cell(1, 0)) - (cell(0, 1) - cell(0, 0)))
+            .cast("long").as("did"))
+        }
+        did(e, 15).select(col("did").as("did_ppm"))
+          .crossJoin(did(e.filter(col("rd") < 15), 8)
+            .select(col("did").as("placebo_did_ppm")))
+          .withColumn("trends_suspect",
+            when(abs(col("placebo_did_ppm")) * 2 > abs(col("did_ppm")) &&
+                 abs(col("did_ppm")) > 0, 1L).otherwise(0L))
+      }),
+
+    // CUPED variance reduction — the standard pre-period covariate
+    // adjustment for experiments: θ = cov(X,Y)/var(X) with X = a
+    // user's pre-period activity and Y their post-period purchase
+    // dollars; the achievable variance reduction at optimal θ is
+    // exactly ρ² = cov²/(varX·varY). All second moments are exact
+    // integers off one user-grain pass (dollar/count quantization);
+    // θ and the reduction floor shared doubles. The readout a
+    // platform uses to decide whether CUPED is worth wiring into a
+    // metric.
+    QDef("q_cuped", Some("""
+      WITH d0 AS (SELECT min(epoch_us(date_trunc('day', ts)) // 86400000000)
+                    AS m FROM events),
+      u AS (SELECT user_id,
+              CAST(sum(CASE WHEN epoch_us(date_trunc('day', ts)) // 86400000000
+                            - d0.m < 15 THEN 1 ELSE 0 END) AS BIGINT) AS x,
+              CAST(sum(CASE WHEN epoch_us(date_trunc('day', ts)) // 86400000000
+                            - d0.m >= 15 AND event_type = 'purchase'
+                       THEN CAST(floor(value + 0.5) AS BIGINT) ELSE 0 END)
+                AS BIGINT) AS y
+            FROM events, d0 GROUP BY 1),
+      m AS (SELECT CAST(count(*) AS BIGINT) AS n,
+              CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+              CAST(sum(x * x) AS BIGINT) AS sxx,
+              CAST(sum(y * y) AS BIGINT) AS syy,
+              CAST(sum(x * y) AS BIGINT) AS sxy
+            FROM u)
+      SELECT n AS n_users,
+             CAST(n * sxx - sx * sx AS BIGINT) AS var_x_scaled,
+             CAST(n * syy - sy * sy AS BIGINT) AS var_y_scaled,
+             CAST(n * sxy - sx * sy AS BIGINT) AS cov_scaled,
+             CAST(floor(1000.0 * (n * sxy - sx * sy) / (n * sxx - sx * sx))
+               AS BIGINT) AS theta_milli,
+             CAST(floor(1000000.0 * (1.0 * (n * sxy - sx * sy)) *
+                        (n * sxy - sx * sy) /
+                        ((1.0 * (n * sxx - sx * sx)) * (n * syy - sy * sy)))
+               AS BIGINT) AS var_reduction_ppm
+      FROM m"""),
+      (s, d) => {
+        val dn = expr("div(unix_micros(date_trunc('day', ts)), 86400000000)")
+        val ev = t(s, d, "events")
+        val d0 = ev.agg(min(dn).as("m"))
+        val m = ev.select(col("user_id"), dn.as("dnum"), col("event_type"),
+            col("value"))
+          .crossJoin(broadcast(d0))
+          .groupBy("user_id")
+          .agg(sum(when(col("dnum") - col("m") < 15, 1L).otherwise(0L))
+            .cast("long").as("x"),
+            sum(when(col("dnum") - col("m") >= 15 &&
+              col("event_type") === "purchase",
+              floor(col("value") + lit(0.5)).cast("long")).otherwise(0L))
+              .cast("long").as("y"))
+          .agg(count(lit(1)).as("n"), sum("x").cast("long").as("sx"),
+            sum("y").cast("long").as("sy"),
+            sum(col("x") * col("x")).cast("long").as("sxx"),
+            sum(col("y") * col("y")).cast("long").as("syy"),
+            sum(col("x") * col("y")).cast("long").as("sxy"))
+        val vx = col("n") * col("sxx") - col("sx") * col("sx")
+        val vy = col("n") * col("syy") - col("sy") * col("sy")
+        val cv = col("n") * col("sxy") - col("sx") * col("sy")
+        m.select(col("n").as("n_users"),
+          vx.cast("long").as("var_x_scaled"),
+          vy.cast("long").as("var_y_scaled"),
+          cv.cast("long").as("cov_scaled"),
+          floor(lit(1000.0) * cv / vx).cast("long").as("theta_milli"),
+          floor(lit(1000000.0) * (lit(1.0) * cv) * cv / ((lit(1.0) * vx) * vy))
+            .cast("long").as("var_reduction_ppm"))
       })
   )
 }
