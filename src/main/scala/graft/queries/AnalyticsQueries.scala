@@ -5141,6 +5141,147 @@ object AnalyticsQueries {
           floor(lit(1000.0) * cv / vx).cast("long").as("theta_milli"),
           floor(lit(1000000.0) * (lit(1.0) * cv) * cv / ((lit(1.0) * vx) * vy))
             .cast("long").as("var_reduction_ppm"))
+      }),
+
+    // FORECAST BAKE-OFF on a 5-day holdout — naive (yesterday),
+    // seasonal-naive (last week), and drift (yesterday + average
+    // historical step) scored head-to-head per event type on mean
+    // absolute error: the model-selection table that decides which
+    // baseline a Holt/seasonal model must beat. Predictions come
+    // from lag windows over the full series (the training cut is
+    // enforced by scoring only the last 5 days, where every lag
+    // reaches back across the boundary); the drift slope is the
+    // exact rational (yₜ₋₁−y₁)/(t−2) floored once per prediction.
+    // MAE in milli-events; winner = argmin with the model-name
+    // tiebreak.
+    QDef("q_forecast_bakeoff", Some("""
+      WITH daily AS (SELECT event_type,
+               epoch_us(date_trunc('day', ts)) // 86400000000 AS dnum,
+               CAST(count(*) AS BIGINT) AS y
+             FROM events GROUP BY 1, 2),
+      idx AS (SELECT event_type, dnum, y,
+                row_number() OVER (PARTITION BY event_type ORDER BY dnum) AS i,
+                count(*) OVER (PARTITION BY event_type) AS n,
+                first_value(y) OVER (PARTITION BY event_type ORDER BY dnum)
+                  AS y1,
+                lag(y, 1) OVER (PARTITION BY event_type ORDER BY dnum) AS l1,
+                lag(y, 7) OVER (PARTITION BY event_type ORDER BY dnum) AS l7
+              FROM daily),
+      hold AS (SELECT event_type, y, l1, l7,
+                 l1 + CAST(floor((1.0 * l1 - y1) / (i - 2)) AS BIGINT)
+                   AS drift_pred
+               FROM idx WHERE i > n - 5),
+      e AS (SELECT event_type,
+              CAST(sum(abs(y - l1)) AS BIGINT) AS e_naive,
+              CAST(sum(abs(y - l7)) AS BIGINT) AS e_snaive,
+              CAST(sum(abs(y - drift_pred)) AS BIGINT) AS e_drift,
+              CAST(count(*) AS BIGINT) AS h
+            FROM hold GROUP BY 1)
+      SELECT event_type, h AS horizon,
+             CAST((1000 * e_naive) // h AS BIGINT) AS mae_naive_milli,
+             CAST((1000 * e_snaive) // h AS BIGINT) AS mae_snaive_milli,
+             CAST((1000 * e_drift) // h AS BIGINT) AS mae_drift_milli,
+             CASE WHEN e_naive <= e_snaive AND e_naive <= e_drift THEN 'naive'
+                  WHEN e_snaive <= e_drift THEN 'seasonal_naive'
+                  ELSE 'drift' END AS winner
+      FROM e ORDER BY event_type"""),
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("event_type").orderBy("dnum")
+        val idx = t(s, d, "events")
+          .groupBy(col("event_type"),
+            expr("div(unix_micros(date_trunc('day', ts)), 86400000000)")
+              .as("dnum"))
+          .agg(count(lit(1)).as("y"))
+          .withColumn("i", row_number().over(w))
+          .withColumn("n", count(lit(1)).over(Window.partitionBy("event_type")))
+          .withColumn("y1", first("y").over(w))
+          .withColumn("l1", lag("y", 1).over(w))
+          .withColumn("l7", lag("y", 7).over(w))
+        idx.filter(col("i") > col("n") - 5)
+          .withColumn("drift_pred", col("l1") +
+            floor((lit(1.0) * col("l1") - col("y1")) / (col("i") - 2))
+              .cast("long"))
+          .groupBy("event_type")
+          .agg(sum(abs(col("y") - col("l1"))).cast("long").as("e_naive"),
+            sum(abs(col("y") - col("l7"))).cast("long").as("e_snaive"),
+            sum(abs(col("y") - col("drift_pred"))).cast("long").as("e_drift"),
+            count(lit(1)).as("h"))
+          .select(col("event_type"), col("h").as("horizon"),
+            expr("div(1000 * e_naive, h)").cast("long").as("mae_naive_milli"),
+            expr("div(1000 * e_snaive, h)").cast("long").as("mae_snaive_milli"),
+            expr("div(1000 * e_drift, h)").cast("long").as("mae_drift_milli"),
+            when(col("e_naive") <= col("e_snaive") &&
+                 col("e_naive") <= col("e_drift"), "naive")
+              .when(col("e_snaive") <= col("e_drift"), "seasonal_naive")
+              .otherwise("drift").as("winner"))
+          .orderBy("event_type")
+      }),
+
+    // SEQUENTIAL-PEEKING chart — the guardrail against the classic
+    // A/B sin of stopping on the first significant daily look: the
+    // running two-proportion z-statistic of the parity split,
+    // recomputed at every daily peek from CUMULATIVE counts, with a
+    // Pocock-style constant boundary (|z| ≥ 2.29 ≈ 2290 milli) and
+    // a crossed flag per day. Cumulative cells come from one
+    // day×arm aggregate + prefix-sum windows; z floors a shared
+    // double of exact integers. The spec pins that crossings are
+    // exactly the days where |z| beats the boundary.
+    QDef("q_sequential_peeking", Some("""
+      WITH e AS (SELECT epoch_us(date_trunc('day', ts)) // 86400000000 AS dnum,
+              user_id % 2 AS grp,
+              CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS conv
+            FROM events),
+      dcell AS (SELECT dnum, grp, CAST(count(*) AS BIGINT) AS n,
+                  CAST(sum(conv) AS BIGINT) AS pos
+                FROM e GROUP BY 1, 2),
+      cum AS (SELECT dnum, grp,
+                sum(n) OVER (PARTITION BY grp ORDER BY dnum
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cn,
+                sum(pos) OVER (PARTITION BY grp ORDER BY dnum
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cp
+              FROM dcell),
+      wide AS (SELECT a.dnum, a.cn AS n0, a.cp AS p0, b.cn AS n1, b.cp AS p1
+               FROM cum a JOIN cum b ON a.dnum = b.dnum
+               WHERE a.grp = 0 AND b.grp = 1),
+      z AS (SELECT dnum, n0, n1,
+              CAST(floor(1000.0 *
+                (1.0 * p1 / n1 - 1.0 * p0 / n0) /
+                sqrt((1.0 * (p0 + p1) / (n0 + n1)) *
+                     (1 - 1.0 * (p0 + p1) / (n0 + n1)) *
+                     (1.0 / n0 + 1.0 / n1))) AS BIGINT) AS z_milli
+            FROM wide)
+      SELECT dnum, n0 AS cum_n_ctrl, n1 AS cum_n_treat, z_milli,
+             CASE WHEN abs(z_milli) >= 2290 THEN 1 ELSE 0 END AS crossed
+      FROM z ORDER BY dnum"""),
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("grp").orderBy("dnum")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val cum = t(s, d, "events")
+          .select(expr("div(unix_micros(date_trunc('day', ts)), 86400000000)")
+            .as("dnum"), (col("user_id") % 2).as("grp"),
+            when(col("event_type") === "purchase", 1L).otherwise(0L).as("conv"))
+          .groupBy("dnum", "grp")
+          .agg(count(lit(1)).as("n"), sum("conv").cast("long").as("pos"))
+          .withColumn("cn", sum("n").over(w))
+          .withColumn("cp", sum("pos").over(w))
+        val a = cum.filter(col("grp") === 0)
+          .select(col("dnum"), col("cn").as("n0"), col("cp").as("p0"))
+        val b = cum.filter(col("grp") === 1)
+          .select(col("dnum").as("d2"), col("cn").as("n1"), col("cp").as("p1"))
+        val pbar = lit(1.0) * (col("p0") + col("p1")) / (col("n0") + col("n1"))
+        a.join(b, col("dnum") === col("d2"))
+          .select(col("dnum"), col("n0").as("cum_n_ctrl"),
+            col("n1").as("cum_n_treat"),
+            floor(lit(1000.0) *
+              (lit(1.0) * col("p1") / col("n1") - lit(1.0) * col("p0") / col("n0")) /
+              sqrt(pbar * (lit(1) - pbar) *
+                (lit(1.0) / col("n0") + lit(1.0) / col("n1"))))
+              .cast("long").as("z_milli"))
+          .withColumn("crossed",
+            when(abs(col("z_milli")) >= 2290, 1L).otherwise(0L))
+          .orderBy("dnum")
       })
   )
 }
