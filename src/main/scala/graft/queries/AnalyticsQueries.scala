@@ -5282,6 +5282,142 @@ object AnalyticsQueries {
           .withColumn("crossed",
             when(abs(col("z_milli")) >= 2290, 1L).otherwise(0L))
           .orderBy("dnum")
+      }),
+
+    // XmR (individuals / moving-range) CONTROL CHART per event
+    // type — the SPC chart for unit-at-a-time metrics, completing
+    // the monitoring family (q_alert_hysteresis debounces,
+    // q_changepoint_cusum localizes, XmR DECIDES what counts as
+    // special-cause): limits = ȳ ± 2.66·M̄R with M̄R the mean
+    // absolute day-over-day move. Both means are exact rationals
+    // floored once to milli; the violation count compares each
+    // day's milli-scaled y against the floored limits — integer
+    // compares end to end. One lag window + one per-type rollup.
+    QDef("q_xmr_chart", Some("""
+      WITH daily AS (SELECT event_type,
+               epoch_us(date_trunc('day', ts)) // 86400000000 AS dnum,
+               CAST(count(*) AS BIGINT) AS y
+             FROM events GROUP BY 1, 2),
+      mr AS (SELECT event_type, y,
+               abs(y - lag(y) OVER (PARTITION BY event_type ORDER BY dnum))
+                 AS m
+             FROM daily),
+      st AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(y) AS BIGINT) AS sy,
+               CAST(sum(m) AS BIGINT) AS sm, CAST(count(m) AS BIGINT) AS nm
+             FROM mr GROUP BY 1),
+      lim AS (SELECT event_type, n,
+                CAST(floor(1000.0 * sy / n) AS BIGINT) AS ybar_milli,
+                CAST(floor(1000.0 * sm / nm) AS BIGINT) AS mrbar_milli,
+                CAST(floor(1000.0 * sy / n + 2.66 * (1000.0 * sm / nm))
+                  AS BIGINT) AS ucl_milli,
+                CAST(floor(1000.0 * sy / n - 2.66 * (1000.0 * sm / nm))
+                  AS BIGINT) AS lcl_milli
+              FROM st)
+      SELECT l.event_type, l.n AS n_days, l.ybar_milli, l.mrbar_milli,
+             l.ucl_milli, l.lcl_milli,
+             CAST(sum(CASE WHEN 1000 * d.y > l.ucl_milli
+                           OR 1000 * d.y < l.lcl_milli
+                      THEN 1 ELSE 0 END) AS BIGINT) AS n_violations
+      FROM lim l JOIN daily d ON d.event_type = l.event_type
+      GROUP BY 1, 2, 3, 4, 5, 6 ORDER BY l.event_type"""),
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val daily = t(s, d, "events")
+          .groupBy(col("event_type"),
+            expr("div(unix_micros(date_trunc('day', ts)), 86400000000)")
+              .as("dnum"))
+          .agg(count(lit(1)).as("y"))
+        val st = daily
+          .withColumn("m", abs(col("y") -
+            lag("y", 1).over(Window.partitionBy("event_type").orderBy("dnum"))))
+          .groupBy(col("event_type").as("et2"))
+          .agg(count(lit(1)).as("n"), sum("y").cast("long").as("sy"),
+            sum("m").cast("long").as("sm"), count("m").cast("long").as("nm"))
+        val ybar = lit(1000.0) * col("sy") / col("n")
+        val mrbar = lit(1000.0) * col("sm") / col("nm")
+        val lim = st.select(col("et2"), col("n"),
+          floor(ybar).cast("long").as("ybar_milli"),
+          floor(mrbar).cast("long").as("mrbar_milli"),
+          floor(ybar + lit(2.66) * mrbar).cast("long").as("ucl_milli"),
+          floor(ybar - lit(2.66) * mrbar).cast("long").as("lcl_milli"))
+        lim.join(daily, col("event_type") === col("et2"))
+          .groupBy(col("event_type"), col("n").as("n_days"), col("ybar_milli"),
+            col("mrbar_milli"), col("ucl_milli"), col("lcl_milli"))
+          .agg(sum(when(lit(1000L) * col("y") > col("ucl_milli") ||
+            lit(1000L) * col("y") < col("lcl_milli"), 1L).otherwise(0L))
+            .cast("long").as("n_violations"))
+          .orderBy("event_type")
+      }),
+
+    // ADF-STYLE UNIT-ROOT SCREEN per event type — is the daily
+    // series mean-reverting (safe to model with the
+    // q_trend_slope/q_holt_linear family) or a random walk (their
+    // standard errors lie)? Regress Δyₜ on yₜ₋₁ and report the
+    // t-statistic of the coefficient via the closed form
+    // t = B·√((n−2)/(A·C−B²)) over the exact centered cross-moment
+    // integers A, B, C (the A·C product routes through doubles —
+    // it passes 1e19 — identically rounded in both engines).
+    // t ≤ −2.86 (milli −2860) rejects the unit root at ~5%;
+    // nonstationary flags the failures. One lag window + one
+    // moment aggregate per type.
+    QDef("q_adf_screen", Some("""
+      WITH daily AS (SELECT event_type,
+               epoch_us(date_trunc('day', ts)) // 86400000000 AS dnum,
+               CAST(count(*) AS BIGINT) AS y
+             FROM events GROUP BY 1, 2),
+      p AS (SELECT event_type,
+              lag(y) OVER (PARTITION BY event_type ORDER BY dnum) AS x,
+              y - lag(y) OVER (PARTITION BY event_type ORDER BY dnum) AS dy
+            FROM daily),
+      m AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+              CAST(sum(x) AS BIGINT) AS sx, CAST(sum(dy) AS BIGINT) AS sd,
+              CAST(sum(x * x) AS BIGINT) AS sxx,
+              CAST(sum(x * dy) AS BIGINT) AS sxd,
+              CAST(sum(dy * dy) AS BIGINT) AS sdd
+            FROM p WHERE x IS NOT NULL GROUP BY 1),
+      abc AS (SELECT event_type, n,
+                CAST(n * sxx - sx * sx AS BIGINT) AS a,
+                CAST(n * sxd - sx * sd AS BIGINT) AS b,
+                CAST(n * sdd - sd * sd AS BIGINT) AS c
+              FROM m)
+      SELECT event_type, n AS n_obs,
+             CAST(floor(1000000.0 * b / a) AS BIGINT) AS phi_micro,
+             CAST(floor(1000.0 * b * sqrt((n - 2) /
+               (1.0 * a * c - 1.0 * b * b))) AS BIGINT) AS t_milli,
+             CASE WHEN floor(1000.0 * b * sqrt((n - 2) /
+               (1.0 * a * c - 1.0 * b * b))) > -2860 THEN 1 ELSE 0 END
+               AS nonstationary
+      FROM abc ORDER BY event_type"""),
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("event_type").orderBy("dnum")
+        val m = t(s, d, "events")
+          .groupBy(col("event_type"),
+            expr("div(unix_micros(date_trunc('day', ts)), 86400000000)")
+              .as("dnum"))
+          .agg(count(lit(1)).as("y"))
+          .withColumn("x", lag("y", 1).over(w))
+          .withColumn("dy", col("y") - col("x"))
+          .filter(col("x").isNotNull)
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n"), sum("x").cast("long").as("sx"),
+            sum("dy").cast("long").as("sd"),
+            sum(col("x") * col("x")).cast("long").as("sxx"),
+            sum(col("x") * col("dy")).cast("long").as("sxd"),
+            sum(col("dy") * col("dy")).cast("long").as("sdd"))
+        val a = (col("n") * col("sxx") - col("sx") * col("sx")).cast("long")
+        val b = (col("n") * col("sxd") - col("sx") * col("sd")).cast("long")
+        val c = (col("n") * col("sdd") - col("sd") * col("sd")).cast("long")
+        val tM = floor(lit(1000.0) * col("b") * sqrt((col("n") - 2) /
+          (lit(1.0) * col("a") * col("c") - lit(1.0) * col("b") * col("b"))))
+        m.select(col("event_type"), col("n"), a.as("a"), b.as("b"), c.as("c"))
+          .select(col("event_type"), col("n").as("n_obs"),
+            floor(lit(1000000.0) * col("b") / col("a")).cast("long")
+              .as("phi_micro"),
+            tM.cast("long").as("t_milli"),
+            when(tM > -2860, 1L).otherwise(0L).as("nonstationary"))
+          .orderBy("event_type")
       })
   )
 }
