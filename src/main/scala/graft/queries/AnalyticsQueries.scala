@@ -5418,6 +5418,146 @@ object AnalyticsQueries {
             tM.cast("long").as("t_milli"),
             when(tM > -2860, 1L).otherwise(0L).as("nonstationary"))
           .orderBy("event_type")
+      }),
+
+    // FIXED-EFFECT META-ANALYSIS of the per-nation price→quantity
+    // slopes — pool q_simpson_audit's stratum estimates with
+    // inverse-variance weights and report Cochran's Q heterogeneity
+    // and I²: the readout that says whether ONE pooled elasticity
+    // is defensible or the nations genuinely differ. Slope
+    // variances come from the OLS closed form on the same exact
+    // moment integers (doubles only at the final ratios, shared
+    // rounding); weights are floored micro-precisions so the pooled
+    // average is integer-weighted. nations-sized arithmetic after
+    // the one part-grain pass.
+    QDef("q_meta_pooled_slope", Some("""
+      WITH pp AS (SELECT s.s_nationkey AS nk,
+              CAST(floor(p.p_retailprice * 100.0 + 0.5) AS BIGINT) AS x,
+              CAST(sum(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS y
+            FROM lineitem l
+            JOIN part p ON p.p_partkey = l.l_partkey
+            JOIN supplier s ON s.s_suppkey = l.l_suppkey
+            GROUP BY 1, l.l_partkey, x),
+      ms AS (SELECT nk, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+               CAST(sum(x * y) AS BIGINT) AS sxy,
+               CAST(sum(x * x) AS BIGINT) AS sxx,
+               CAST(sum(y * y) AS BIGINT) AS syy
+             FROM pp GROUP BY 1),
+      est AS (SELECT nk, n,
+                floor(1000000.0 * (1.0 * n * sxy - 1.0 * sx * sy) /
+                      (1.0 * n * sxx - 1.0 * sx * sx)) AS phi_micro,
+                -- w = 1/Var(phi) in micro-precision units:
+                -- Var = (Sdd - B^2/A) / ((n-2) * A) on centered sums
+                floor(1000000.0 * (n - 2) *
+                  (1.0 * n * sxx - 1.0 * sx * sx) /
+                  ((1.0 * n * syy - 1.0 * sy * sy) -
+                   (1.0 * n * sxy - 1.0 * sx * sy) *
+                   (1.0 * n * sxy - 1.0 * sx * sy) /
+                   (1.0 * n * sxx - 1.0 * sx * sx)) / n) AS w_micro
+              FROM ms WHERE n > 2),
+      pool AS (SELECT CAST(count(*) AS BIGINT) AS k,
+                 CAST(sum(w_micro) AS BIGINT) AS sw,
+                 CAST(floor(1.0 * sum(w_micro * phi_micro) / sum(w_micro))
+                   AS BIGINT) AS pooled_micro
+               FROM est),
+      het AS (SELECT pool.k, pool.pooled_micro,
+                CAST(floor(sum(1.0 * e.w_micro *
+                  (e.phi_micro - pool.pooled_micro) *
+                  (e.phi_micro - pool.pooled_micro)) / 1000000000000.0)
+                  AS BIGINT) AS q_stat
+              FROM est e, pool GROUP BY pool.k, pool.pooled_micro)
+      SELECT k AS k_strata, pooled_micro, q_stat,
+             CAST(CASE WHEN q_stat <= k - 1 THEN 0
+                  ELSE (1000000 * (q_stat - (k - 1))) // q_stat END AS BIGINT)
+               AS i2_ppm
+      FROM het"""),
+      (s, d) => {
+        val pp = t(s, d, "lineitem")
+          .select("l_partkey", "l_suppkey", "l_quantity")
+          .join(broadcast(t(s, d, "part").select(col("p_partkey"),
+            floor(col("p_retailprice") * lit(100.0) + lit(0.5)).cast("long")
+              .as("x"))), col("l_partkey") === col("p_partkey"))
+          .join(broadcast(t(s, d, "supplier").select("s_suppkey", "s_nationkey")),
+            col("l_suppkey") === col("s_suppkey"))
+          .groupBy(col("s_nationkey").as("nk"), col("l_partkey"), col("x"))
+          .agg(sum(col("l_quantity").cast("long")).cast("long").as("y"))
+        val ms = pp.groupBy("nk")
+          .agg(count(lit(1)).as("n"), sum("x").cast("long").as("sx"),
+            sum("y").cast("long").as("sy"),
+            sum(col("x") * col("y")).cast("long").as("sxy"),
+            sum(col("x") * col("x")).cast("long").as("sxx"),
+            sum(col("y") * col("y")).cast("long").as("syy"))
+          .filter(col("n") > 2)
+        val aD = lit(1.0) * col("n") * col("sxx") - lit(1.0) * col("sx") * col("sx")
+        val bD = lit(1.0) * col("n") * col("sxy") - lit(1.0) * col("sx") * col("sy")
+        val cD = lit(1.0) * col("n") * col("syy") - lit(1.0) * col("sy") * col("sy")
+        val est = ms.select(col("nk"), col("n"),
+          floor(lit(1000000.0) * bD / aD).as("phi_micro"),
+          floor(lit(1000000.0) * (col("n") - 2) * aD /
+            (cD - bD * bD / aD) / col("n")).as("w_micro"))
+        val pool = est.agg(count(lit(1)).as("k"),
+          sum("w_micro").cast("long").as("sw"),
+          floor(lit(1.0) * sum(col("w_micro") * col("phi_micro")) /
+            sum(col("w_micro"))).cast("long").as("pooled_micro"))
+        est.crossJoin(broadcast(pool))
+          .groupBy("k", "pooled_micro")
+          .agg(floor(sum(lit(1.0) * col("w_micro") *
+            (col("phi_micro") - col("pooled_micro")) *
+            (col("phi_micro") - col("pooled_micro"))) / lit(1000000000000.0))
+            .cast("long").as("q_stat"))
+          .select(col("k").as("k_strata"), col("pooled_micro"), col("q_stat"),
+            when(col("q_stat") <= col("k") - 1, 0L)
+              .otherwise(expr("div(1000000 * (q_stat - (k - 1)), q_stat)"))
+              .cast("long").as("i2_ppm"))
+      }),
+
+    // DATASET DATASHEET — the one-row corpus card a training-data
+    // release ships with: document and token counts, language and
+    // source cardinalities, dominant-language share, exact-dup rate
+    // and mean document length, all integer-exact off two scans
+    // (one corpus aggregate + one hash-cluster aggregate reusing
+    // the q_dedup_savings grouping). The capstone view over the
+    // curation inventory.
+    QDef("q_dataset_datasheet", Some("""
+      WITH base AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+              CAST(sum(len(list_filter(string_split(text, ' '), t -> t <> '')))
+                AS BIGINT) AS n_tokens,
+              CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+              CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+              CAST(sum(n_chars) AS BIGINT) AS n_chars,
+              CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT)
+                AS n_en
+            FROM documents),
+      dup AS (SELECT CAST(count(*) AS BIGINT) AS n_clusters
+              FROM (SELECT md5(text) FROM documents GROUP BY 1))
+      SELECT b.n_docs, b.n_tokens, b.n_langs, b.n_sources,
+             CAST((1000 * b.n_chars) // b.n_docs AS BIGINT)
+               AS mean_chars_milli,
+             CAST((1000000 * b.n_en) // b.n_docs AS BIGINT) AS en_share_ppm,
+             CAST((1000000 * (b.n_docs - d.n_clusters)) // b.n_docs AS BIGINT)
+               AS dup_ppm
+      FROM base b, dup d"""),
+      (s, d) => {
+        val base = t(s, d, "documents")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(size(TA.tokens(col("text")))).cast("long").as("n_tokens"),
+            countDistinct("lang").as("n_langs"),
+            countDistinct("source").as("n_sources"),
+            sum("n_chars").cast("long").as("n_chars"),
+            sum(when(col("lang") === "en", 1L).otherwise(0L)).cast("long")
+              .as("n_en"))
+        val dup = t(s, d, "documents")
+          .groupBy(md5(col("text"))).count()
+          .agg(count(lit(1)).as("n_clusters"))
+        base.crossJoin(broadcast(dup))
+          .select(col("n_docs"), col("n_tokens"), col("n_langs"),
+            col("n_sources"),
+            expr("div(1000 * n_chars, n_docs)").cast("long")
+              .as("mean_chars_milli"),
+            expr("div(1000000 * n_en, n_docs)").cast("long").as("en_share_ppm"),
+            expr("div(1000000 * (n_docs - n_clusters), n_docs)").cast("long")
+              .as("dup_ppm"))
       })
   )
 }
