@@ -5558,6 +5558,62 @@ object AnalyticsQueries {
             expr("div(1000000 * n_en, n_docs)").cast("long").as("en_share_ppm"),
             expr("div(1000000 * (n_docs - n_clusters), n_docs)").cast("long")
               .as("dup_ppm"))
+      }),
+
+    // INEQUALITY PANEL over customer spend — the one-row
+    // concentration scorecard that condenses the Lorenz/ABC family:
+    // exact Gini via the rank formula G = (2Σi·xᵢ − (n+1)Σx)/(nΣx)
+    // on the ascending spend ranking (spend, custkey total order),
+    // the Palma ratio (top-10% share ÷ bottom-40% share), and both
+    // tail shares. One window pass over the CUSTOMER aggregate
+    // (dim-sized); rank-weighted sums are exact integers, the final
+    // ratios route through shared doubles (n·Σi·x passes 1e19).
+    QDef("q_inequality_panel", Some("""
+      WITH spend AS (SELECT o_custkey,
+              CAST(sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT))
+                AS BIGINT) AS x
+            FROM orders GROUP BY 1),
+      r AS (SELECT x, row_number() OVER (ORDER BY x, o_custkey) AS i,
+              count(*) OVER () AS n
+            FROM spend),
+      m AS (SELECT max(n) AS n, CAST(sum(x) AS BIGINT) AS sx,
+              CAST(sum(i * x) AS BIGINT) AS six,
+              CAST(sum(CASE WHEN i <= (2 * n) // 5 THEN x ELSE 0 END)
+                AS BIGINT) AS bot40,
+              CAST(sum(CASE WHEN i > n - n // 10 THEN x ELSE 0 END)
+                AS BIGINT) AS top10
+            FROM r)
+      SELECT CAST(n AS BIGINT) AS n_customers,
+             CAST(floor(1000000.0 * (2.0 * six - (n + 1.0) * sx) /
+                        (1.0 * n * sx)) AS BIGINT) AS gini_ppm,
+             CAST((1000000 * top10) // sx AS BIGINT) AS top10_share_ppm,
+             CAST((1000000 * bot40) // sx AS BIGINT) AS bot40_share_ppm,
+             CAST((1000 * top10) // bot40 AS BIGINT) AS palma_milli
+      FROM m"""),
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val spend = t(s, d, "orders")
+          .groupBy("o_custkey")
+          .agg(sum(floor(col("o_totalprice") * lit(100.0) + lit(0.5))
+            .cast("long")).cast("long").as("x"))
+        val r = spend
+          .withColumn("i", row_number().over(
+            Window.orderBy(col("x"), col("o_custkey"))).cast("long"))
+          .withColumn("n", count(lit(1)).over(Window.partitionBy()))
+        val m = r.agg(max("n").cast("long").as("n"),
+          sum("x").cast("long").as("sx"),
+          sum(col("i") * col("x")).cast("long").as("six"),
+          sum(when(col("i") <= expr("div(2 * n, 5)"), col("x")).otherwise(0L))
+            .cast("long").as("bot40"),
+          sum(when(col("i") > col("n") - expr("div(n, 10)"), col("x"))
+            .otherwise(0L)).cast("long").as("top10"))
+        m.select(col("n").as("n_customers"),
+          floor(lit(1000000.0) *
+            (lit(2.0) * col("six") - (col("n") + lit(1.0)) * col("sx")) /
+            (lit(1.0) * col("n") * col("sx"))).cast("long").as("gini_ppm"),
+          expr("div(1000000 * top10, sx)").cast("long").as("top10_share_ppm"),
+          expr("div(1000000 * bot40, sx)").cast("long").as("bot40_share_ppm"),
+          expr("div(1000 * top10, bot40)").cast("long").as("palma_milli"))
       })
   )
 }
