@@ -143,6 +143,19 @@ object Verify {
         q(execOut("python3", "-c", "import duckdb; print(duckdb.__version__)"))
     ).map { case (k, v) => s"${q(k)}: $v" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/verify_meta.json"), meta)
+    // Forensic serialization dump (VERDICT r9 item 3): write, per dumped
+    // query, the exact normalized byte stream the gate hashes for the
+    // Spark side (tools/dump_rows.py shares selfcheck.py's norm rules and
+    // — crucially — the same DuckDB read_parquet fetch path the compare
+    // uses). A driver-red becomes a byte-diff against <name>.rows.txt
+    // instead of a per-round re-guess. Best-effort: if the host lacks
+    // python3+duckdb the dump is skipped, never fails the run.
+    val dumped = SparkEntry.queries.keys
+      .filter(n => (only.isEmpty || only(n)) && !errors.contains(n)).toSeq.sorted
+    if (dumped.nonEmpty) {
+      val res = execOut(("python3" +: "tools/dump_rows.py" +: outDir +: dumped): _*)
+      if (res.startsWith("<")) System.err.println(s"[verify] rows dump skipped: $res")
+    }
     spark.stop()
   }
 }

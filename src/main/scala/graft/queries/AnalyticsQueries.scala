@@ -1135,10 +1135,10 @@ object AnalyticsQueries {
             AS n_tokens
         FROM documents),
       w AS (SELECT doc_id, source, prio, n_tokens,
-          sum(n_tokens) OVER (PARTITION BY source) AS total_tokens,
-          sum(n_tokens) OVER (PARTITION BY source
+          CAST(sum(n_tokens) OVER (PARTITION BY source) AS BIGINT) AS total_tokens,
+          CAST(sum(n_tokens) OVER (PARTITION BY source
             ORDER BY prio, doc_id
-            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
         FROM tok)
       SELECT doc_id, source, prio, n_tokens, cum_tokens, total_tokens // 4 AS budget
       FROM w WHERE cum_tokens - n_tokens < total_tokens // 4
@@ -1539,7 +1539,7 @@ object AnalyticsQueries {
                    ELSE ((cents - mm.lo) * 10) // (mm.hi - mm.lo + 1) END AS bin,
               cents FROM e, mm)
       SELECT bin, CAST(count(*) AS BIGINT) AS n, CAST(sum(pos) AS BIGINT) AS positives,
-             (1000 * sum(pos)) // count(*) AS pos_permille,
+             CAST((1000 * sum(pos)) // count(*) AS BIGINT) AS pos_permille,
              min(cents) AS lo_cents, max(cents) AS hi_cents
       FROM b GROUP BY bin ORDER BY bin"""),
       (s, d) => {
@@ -2329,9 +2329,9 @@ object AnalyticsQueries {
                    w2 AS (PARTITION BY user_id ORDER BY dnum
                           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
       SELECT user_id, CAST(dnum AS BIGINT) AS dnum,
-             CASE WHEN cents IS NOT NULL THEN 1000 * cents
+             CAST(CASE WHEN cents IS NOT NULL THEN 1000 * cents
                   ELSE (1000 * pv * (nd - dnum) + 1000 * nv * (dnum - pd))
-                       // (nd - pd) END AS milli,
+                       // (nd - pd) END AS BIGINT) AS milli,
              CASE WHEN cents IS NOT NULL THEN 0 ELSE 1 END AS interpolated
       FROM f ORDER BY user_id, dnum"""),
       (s, d) => {
@@ -2418,8 +2418,8 @@ object AnalyticsQueries {
     // (|days| rows), never events.
     QDef("q_alert_hysteresis", Some("""
       WITH d AS (SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
-                   (1000 * sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END))
-                     // count(*) AS err_pm
+                   CAST((1000 * sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END))
+                     // count(*) AS BIGINT) AS err_pm
                  FROM events GROUP BY 1),
       s AS (SELECT day, err_pm,
               CASE WHEN err_pm > 210 THEN 1 WHEN err_pm < 190 THEN 0 END AS forced
@@ -2458,15 +2458,15 @@ object AnalyticsQueries {
                         count(*) AS c
                  FROM events GROUP BY 1, 2),
       tr AS (SELECT event_type, dnum, c,
-               CASE WHEN count(*) OVER w7 = 7
-                    THEN (1000 * sum(c) OVER w7) // 7 END AS trend_milli
+               CAST(CASE WHEN count(*) OVER w7 = 7
+                    THEN (1000 * sum(c) OVER w7) // 7 END AS BIGINT) AS trend_milli
              FROM d WINDOW w7 AS (PARTITION BY event_type ORDER BY dnum
                                   ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
       de AS (SELECT event_type AS et, dnum, c, trend_milli,
                     1000 * c - trend_milli AS det FROM tr),
       se AS (SELECT et AS set2, (dnum + 3) % 7 + 1 AS dow,
-               CASE WHEN sum(det) >= 0 THEN sum(det) // count(det)
-                    ELSE -((-sum(det)) // count(det)) END AS seasonal_milli
+               CAST(CASE WHEN sum(det) >= 0 THEN sum(det) // count(det)
+                    ELSE -((-sum(det)) // count(det)) END AS BIGINT) AS seasonal_milli
              FROM de WHERE det IS NOT NULL GROUP BY 1, 2)
       SELECT et AS event_type, CAST(dnum AS BIGINT) AS dnum,
              CAST(c AS BIGINT) AS n_events, trend_milli, seasonal_milli,
@@ -5236,10 +5236,10 @@ object AnalyticsQueries {
                   CAST(sum(conv) AS BIGINT) AS pos
                 FROM e GROUP BY 1, 2),
       cum AS (SELECT dnum, grp,
-                sum(n) OVER (PARTITION BY grp ORDER BY dnum
-                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cn,
-                sum(pos) OVER (PARTITION BY grp ORDER BY dnum
-                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cp
+                CAST(sum(n) OVER (PARTITION BY grp ORDER BY dnum
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cn,
+                CAST(sum(pos) OVER (PARTITION BY grp ORDER BY dnum
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cp
               FROM dcell),
       wide AS (SELECT a.dnum, a.cn AS n0, a.cp AS p0, b.cn AS n1, b.cp AS p1
                FROM cum a JOIN cum b ON a.dnum = b.dnum

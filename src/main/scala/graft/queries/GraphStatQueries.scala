@@ -1089,8 +1089,8 @@ object GraphStatQueries {
       h1n AS (SELECT s, (1000 * h) // (SELECT max(h) FROM h1) AS h FROM h1),
       a2 AS (SELECT e.p, sum(h1n.h) AS a FROM edges e JOIN h1n ON e.s = h1n.s GROUP BY 1),
       a2n AS (SELECT p, (1000 * a) // (SELECT max(a) FROM a2) AS a FROM a2)
-      SELECT 'part' AS side, p AS node, a AS score_milli FROM a2n
-      UNION ALL SELECT 'supplier', s, h FROM h1n
+      SELECT 'part' AS side, p AS node, CAST(a AS BIGINT) AS score_milli FROM a2n
+      UNION ALL SELECT 'supplier', s, CAST(h AS BIGINT) FROM h1n
       ORDER BY side, node"""),
       (s, d) => {
         val edges = t(s, d, "lineitem")

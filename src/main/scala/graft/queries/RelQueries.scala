@@ -99,7 +99,7 @@ object RelQueries {
                sum(CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT)) AS rev_cents
         FROM lineitem GROUP BY 1),
       tot AS (SELECT sum(rev_cents) AS tot_cents FROM pr)
-      SELECT pr.l_partkey, pr.rev_cents,
+      SELECT pr.l_partkey, CAST(pr.rev_cents AS BIGINT) AS rev_cents,
              CAST((1000000 * pr.rev_cents) // tot.tot_cents AS BIGINT) AS share_ppm
       FROM pr, tot
       WHERE 1000000 * pr.rev_cents > 700 * tot.tot_cents
@@ -130,7 +130,7 @@ object RelQueries {
         WHERE l_shipdate >= TIMESTAMP '1998-01-01'
           AND l_shipdate <  TIMESTAMP '1998-07-01'
         GROUP BY 1)
-      SELECT s.s_suppkey, s.s_name, sr.rev_cents
+      SELECT s.s_suppkey, s.s_name, CAST(sr.rev_cents AS BIGINT) AS rev_cents
       FROM sr JOIN supplier s ON sr.l_suppkey = s.s_suppkey
       WHERE sr.rev_cents = (SELECT max(rev_cents) FROM sr)
       ORDER BY s_suppkey"""),
@@ -200,7 +200,7 @@ object RelQueries {
         SELECT l_orderkey, sum(CAST(l_quantity AS BIGINT)) AS total_qty
         FROM lineitem GROUP BY 1 HAVING sum(CAST(l_quantity AS BIGINT)) > 250)
       SELECT c.c_name, o.o_orderkey, strftime(o.o_orderdate, '%Y-%m-%d') AS order_day,
-             oq.total_qty
+             CAST(oq.total_qty AS BIGINT) AS total_qty
       FROM oq
       JOIN orders o ON oq.l_orderkey = o.o_orderkey
       JOIN customer c ON o.o_custkey = c.c_custkey
@@ -267,7 +267,7 @@ object RelQueries {
         FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
         WHERE p.p_type = 'PROMO' AND year(l.l_shipdate) = 1997
         GROUP BY 1 HAVING sum(CAST(l.l_quantity AS BIGINT)) > 400)
-      SELECT s.s_suppkey, s.s_name, n.n_name, sq.promo_qty
+      SELECT s.s_suppkey, s.s_name, n.n_name, CAST(sq.promo_qty AS BIGINT) AS promo_qty
       FROM sq
       JOIN supplier s ON sq.l_suppkey = s.s_suppkey
       JOIN nation n ON s.s_nationkey = n.n_nationkey
@@ -691,13 +691,13 @@ object RelQueries {
              CAST(sum(CAST(floor(l.l_extendedprice * 100.0 + 0.5) AS BIGINT)
                       * (1000 - CAST(floor(l.l_discount * 1000.0 + 0.5) AS BIGINT)))
                AS BIGINT) AS region_milli_cents,
-             (1000 * sum(CASE WHEN n.n_name = 'NATION_2'
+             CAST((1000 * sum(CASE WHEN n.n_name = 'NATION_2'
                  THEN CAST(floor(l.l_extendedprice * 100.0 + 0.5) AS BIGINT)
                       * (1000 - CAST(floor(l.l_discount * 1000.0 + 0.5) AS BIGINT))
                  ELSE 0 END))
                // sum(CAST(floor(l.l_extendedprice * 100.0 + 0.5) AS BIGINT)
                    * (1000 - CAST(floor(l.l_discount * 1000.0 + 0.5) AS BIGINT)))
-               AS share_permille
+               AS BIGINT) AS share_permille
       FROM lineitem l
       JOIN supplier s ON l.l_suppkey = s.s_suppkey
       JOIN nation n ON s.s_nationkey = n.n_nationkey

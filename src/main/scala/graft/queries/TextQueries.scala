@@ -747,8 +747,8 @@ object TextQueries {
       SELECT s.doc_id, CAST(count(*) AS BIGINT) AS n_shingles,
              CAST(sum(CASE WHEN f.first_doc = s.doc_id THEN 1 ELSE 0 END) AS BIGINT)
                AS n_new,
-             (1000 * sum(CASE WHEN f.first_doc = s.doc_id THEN 1 ELSE 0 END)) // count(*)
-               AS novelty_permille
+             CAST((1000 * sum(CASE WHEN f.first_doc = s.doc_id THEN 1 ELSE 0 END))
+               // count(*) AS BIGINT) AS novelty_permille
       FROM sh s JOIN f USING (sh) GROUP BY s.doc_id ORDER BY doc_id"""),
       (s, d) => {
         val sh = NearDup.shingles3(t(s, d, "documents"), "doc_id", "text")
@@ -1348,8 +1348,8 @@ object TextQueries {
       SELECT s.doc_id, CAST(sum(s.ntok) AS BIGINT) AS total_tokens,
              CAST(sum(CASE WHEN df.df = 1 THEN s.ntok ELSE 0 END) AS BIGINT)
                AS kept_tokens,
-             (1000 * sum(CASE WHEN df.df = 1 THEN s.ntok ELSE 0 END)) // sum(s.ntok)
-               AS kept_permille
+             CAST((1000 * sum(CASE WHEN df.df = 1 THEN s.ntok ELSE 0 END))
+               // sum(s.ntok) AS BIGINT) AS kept_permille
       FROM seg s JOIN df ON s.seg = df.seg
       GROUP BY 1 ORDER BY doc_id"""),
       (s, d) => {

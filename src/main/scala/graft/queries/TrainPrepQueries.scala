@@ -440,7 +440,7 @@ object TrainPrepQueries {
             FROM tk LEFT JOIN v ON tk.tok = v.tok)
       SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
              CAST(sum(oov) AS BIGINT) AS n_oov,
-             (1000 * sum(oov)) // count(*) AS oov_permille
+             CAST((1000 * sum(oov)) // count(*) AS BIGINT) AS oov_permille
       FROM m GROUP BY doc_id ORDER BY doc_id"""),
       (s, d) => {
         val tk = t(s, d, "documents")

@@ -94,6 +94,24 @@ def check_provenance(out_dir, only):
     return problems
 
 
+# The driver's fetch path renders DuckDB's wide/exotic types differently
+# than fetchall() does (r9 postmortem: all 15 driver-red queries — and ONLY
+# those — emitted a HUGEINT column, because sum(BIGINT) returns HUGEINT in
+# DuckDB; locally int vs driver-side float64/decimal render → hash
+# mismatch with rows+schema green). Only these types are proven
+# render-stable across fetch paths; any other output type fails the gate.
+SAFE_TYPES = {"BIGINT", "VARCHAR", "INTEGER", "DOUBLE",
+              "SMALLINT", "TINYINT", "DATE", "BOOLEAN"}
+
+
+def unsafe_output_types(con, sql):
+    try:
+        cols = con.execute(f"DESCRIBE {sql}").fetchall()
+    except Exception:
+        return []  # the main compare will surface the real error
+    return [(c[0], c[1]) for c in cols if c[1] not in SAFE_TYPES]
+
+
 def norm(v):
     if v is None:
         return "\x00NULL"
@@ -138,6 +156,12 @@ def main():
             fails.append((name, f"ERR in Verify: {errors[name][:300]}"))
             continue
         sql = oracle[name]
+        bad_types = unsafe_output_types(con, sql)
+        if bad_types:
+            fails.append((name, f"oracle emits driver-unsafe output type(s) "
+                          f"{bad_types} — CAST to BIGINT/VARCHAR/DOUBLE "
+                          "(sum(BIGINT) returns HUGEINT: wrap it)"))
+            continue
         pdir = f"{out_dir}/{name}"
         files = glob.glob(f"{pdir}/*.parquet")
         if not files:
@@ -160,6 +184,19 @@ def main():
             fails.append((name, f"rows spark={len(sp_rows)} duck={len(du_rows)}"))
             continue
         hs, hd = table_hash(sp_rows, sp_cols), table_hash(du_rows, du_cols)
+        # serializer-parity check: the forensic .rows.txt written by
+        # tools/dump_rows.py must hash to exactly what this compare
+        # computes from the same parquet — drift there would make the
+        # postmortem artifact lie
+        rows_txt = f"{out_dir}/{name}.rows.txt"
+        if os.path.exists(rows_txt):
+            with open(rows_txt) as fh:
+                first = fh.readline()
+            stamped = first.split("sha256=")[1].split()[0] if "sha256=" in first else "?"
+            if stamped != hs:
+                fails.append((name, f"forensic rows.txt sha {stamped[:12]}… != "
+                              f"computed spark hash {hs[:12]}… (dump_rows drift)"))
+                continue
         if hs != hd:
             # find first differing row for debugging
             so = sorted(range(len(sp_cols)), key=lambda i: sp_cols[i])
