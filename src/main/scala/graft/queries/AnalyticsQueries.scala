@@ -2727,25 +2727,32 @@ object AnalyticsQueries {
       }),
 
     // Maximum drawdown per customer — the classic peak-to-trough
-    // risk statistic over each customer's cumulative spend curve
-    // (orders ordered by date, orderkey tiebreak; o_orderkey is
-    // unique so RANGE peers are single rows, but both sides pin an
-    // explicit ROWS frame anyway). One window partition per
-    // customer, one shuffle on custkey, output is customer-grain —
-    // the state per key is two running BIGINTs, so at 100 TB this is
-    // a single well-distributed window pass with no driver state.
-    // All money is born-integer cents before the windows.
+    // risk statistic over each customer's cumulative NET flow curve:
+    // 'F' orders count negative (refund/chargeback stand-in), so the
+    // series genuinely decreases and the statistic is non-vacuous at
+    // every SF (advisor r9: the previous cumulative-spend series was
+    // monotone, AND the peak window mistakenly ordered by cum_cents —
+    // drawdown was structurally 0 for any input). BOTH windows order
+    // by (o_orderdate, o_orderkey) — the peak must walk time, not
+    // value — and share one frame spec, so Catalyst reuses a single
+    // custkey exchange + sort. Output is customer-grain; per-key
+    // state is two running BIGINTs — at 100 TB this is one
+    // well-distributed window pass with no driver state. Money is
+    // born-integer cents (sign applied AFTER the exact floor, so no
+    // signed division/floor divergence can bite).
     QDef("q_max_drawdown", Some("""
       WITH c AS (
-        SELECT o_custkey,
-               sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT))
+        SELECT o_custkey, o_orderdate, o_orderkey,
+               sum((CASE WHEN o_orderstatus = 'F' THEN -1 ELSE 1 END) *
+                   CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT))
                  OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                  AS cum_cents
         FROM orders),
       r AS (
         SELECT o_custkey, cum_cents,
-               max(cum_cents) OVER (PARTITION BY o_custkey ORDER BY cum_cents
+               max(cum_cents) OVER (PARTITION BY o_custkey
+                       ORDER BY o_orderdate, o_orderkey
                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                  AS peak_cents
         FROM c)
@@ -2758,13 +2765,12 @@ object AnalyticsQueries {
         val w = Window.partitionBy("o_custkey")
           .orderBy(col("o_orderdate"), col("o_orderkey"))
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val signedCents =
+          when(col("o_orderstatus") === "F", lit(-1L)).otherwise(lit(1L)) *
+            floor(col("o_totalprice") * lit(100.0) + lit(0.5)).cast("long")
         t(s, d, "orders")
-          .withColumn("cum_cents",
-            sum(floor(col("o_totalprice") * lit(100.0) + lit(0.5)).cast("long"))
-              .over(w))
-          .withColumn("peak_cents", max(col("cum_cents")).over(
-            Window.partitionBy("o_custkey").orderBy(col("cum_cents"))
-              .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .withColumn("cum_cents", sum(signedCents).over(w))
+          .withColumn("peak_cents", max(col("cum_cents")).over(w))
           .groupBy("o_custkey")
           .agg(max(col("peak_cents") - col("cum_cents")).cast("long")
             .as("max_drawdown_cents"),

@@ -1214,10 +1214,12 @@ object RelQueries {
             JOIN nation n ON n.n_nationkey = s.s_nationkey
             WHERE year(o.o_orderdate) IN (1995, 1996)
             GROUP BY 1, 2, 3),
-      w AS (SELECT nk, ind,
-              CAST(sum(CASE WHEN yr = 1995 THEN rev ELSE 0 END) AS BIGINT) AS b,
-              CAST(sum(CASE WHEN yr = 1996 THEN rev ELSE 0 END) AS BIGINT) AS c
-            FROM cell GROUP BY 1, 2),
+      w AS (SELECT * FROM (
+              SELECT nk, ind,
+                CAST(sum(CASE WHEN yr = 1995 THEN rev ELSE 0 END) AS BIGINT) AS b,
+                CAST(sum(CASE WHEN yr = 1996 THEN rev ELSE 0 END) AS BIGINT) AS c
+              FROM cell GROUP BY 1, 2)
+            WHERE b > 0),
       gi AS (SELECT ind, CAST(floor((1000000.0 * (sum(c) - sum(b))) / sum(b))
                       AS BIGINT) AS g_ind
              FROM w GROUP BY 1),

@@ -1469,8 +1469,8 @@ object TextQueries {
     // q_dedup_token_jaccard (set overlap): dot products accumulate
     // ONLY through shared postings (token-keyed equi-join, never
     // all-pairs), squared norms are one per-doc integer agg, and the
-    // cos ≥ 0.9 gate is the exact integer cross-multiplication
-    // 100·dp² ≥ 81·|a|²·|b|² — no float decides membership. Same
+    // cos ≥ 0.8 gate is the exact integer cross-multiplication
+    // 100·dp² ≥ 64·|a|²·|b|² — no float decides membership. Same
     // 1-in-13 doc_id-mod sample as the other pair queries (this
     // corpus' 31-token vocabulary makes every token a full posting
     // list; real corpora get the df-cap/prefix tricks NearDup

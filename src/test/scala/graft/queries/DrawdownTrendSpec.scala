@@ -37,17 +37,22 @@ class DrawdownTrendSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"))
   }
 
-  test("max_drawdown: non-negative, conserved order count, one customer recomputed") {
+  test("max_drawdown: non-negative, NONZERO somewhere, conserved count, recomputed") {
     import spark.implicits._
     val rows = q("q_max_drawdown").as[(Long, Long, Long)].collect()
     assert(rows.nonEmpty)
     assert(rows.forall(_._2 >= 0), "drawdown is peak minus trough, never negative")
+    // the advisor-r9 regression guard: the old peak-over-cum_cents
+    // window made drawdown structurally 0 for ANY input; with 'F'
+    // orders counting negative the net-flow curve must actually dip
+    assert(rows.exists(_._2 > 0), "signed net flow must produce a real drawdown")
     assert(rows.map(_._3).sum == tbl("orders").count())
     // independent recomputation for the customer with the most orders
     val ck = rows.maxBy(_._3)._1
     val cum = tbl("orders").filter(col("o_custkey") === ck)
       .select(col("o_orderdate"), col("o_orderkey"),
-        floor(col("o_totalprice") * lit(100.0) + lit(0.5)).cast("long").as("cents"))
+        (when(col("o_orderstatus") === "F", lit(-1L)).otherwise(lit(1L)) *
+          floor(col("o_totalprice") * lit(100.0) + lit(0.5)).cast("long")).as("cents"))
       .as[(java.sql.Timestamp, Long, Long)].collect()
       .sortBy(r => (r._1.getTime, r._2)).map(_._3)
       .scanLeft(0L)(_ + _).drop(1)
