@@ -1,0 +1,139 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.GraftColumnBridge
+import org.apache.spark.sql.types._
+
+/** Native Catalyst expression: the PQ ASYMMETRIC-DISTANCE lookup
+  * table of a micro-quantized query vector (`array<long>`) against a
+  * driver-collected codebook — for EVERY (subspace j, codeword c)
+  * pair, the integer squared-L2 distance of the query's j-th
+  * subvector to that codeword, returned as
+  * `array<struct<sub_j, code, d>>` with m·k entries, j-major in
+  * ascending-code order.
+  *
+  * Why custom (the [[PqEncode]] rationale applied to the LUT side):
+  * the composed formulation inlined m·k struct literals of
+  * element_at arithmetic (m·k·dsub ≈ 1024 nodes at 8×16×8) into the
+  * Generate's consume path — past Janino's 64 KB method limit, so
+  * whole-stage codegen FAILED on the LUT projection and the
+  * BroadcastExchange build ran interpreted (the two residual
+  * `ERROR CodeGenerator` events in the r9 test log; VERDICT r9
+  * item 2). Here the same arithmetic is two primitive loops over a
+  * `long[][]` reference object — constant generated-code size at any
+  * m·k·dsub. Differential-pinned row-for-row against the composed
+  * form in PqEncodeSpec.
+  *
+  * The LUT is query-side (rows = |queries|·m·k, queries are few), so
+  * this was never the corpus hot path — but a silent interpreted
+  * fallback inside a broadcast build is still a latency cliff and a
+  * false "codegen'd" claim. ADC search joins `broadcast(lut)` to the
+  * corpus code table on (sub_j, code); see
+  * [[graft.sim.Similarity.pqLut]].
+  */
+case class PqLut(child: Expression, codes: IndexedSeq[Long],
+                 codebook: IndexedSeq[IndexedSeq[Long]],
+                 m: Int, dsub: Int) extends UnaryExpression {
+
+  require(codebook.nonEmpty && codebook.forall(_.length == m * dsub),
+    s"codebook entries must have m*dsub = ${m * dsub} lanes")
+  require(codes.length == codebook.length && codes.sorted == codes,
+    "codes must parallel the codebook, ascending — LUT rows must come " +
+      "out in the composed form's (j, code) order")
+
+  override def prettyName: String = "pq_lut"
+
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("sub_j", LongType, nullable = false),
+    StructField("code", LongType, nullable = false),
+    StructField("d", LongType, nullable = false))), containsNull = false)
+
+  override def nullable: Boolean = true
+  override def nullIntolerant: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects array<bigint>, got ${child.dataType.catalogString}")
+  }
+
+  @transient private lazy val cb: Array[Array[Long]] =
+    codebook.map(_.toArray).toArray
+  @transient private lazy val codeVals: Array[Long] = codes.toArray
+
+  override def nullSafeEval(a: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    if (x.numElements() < m * dsub) return null
+    val k = cb.length
+    val out = new Array[Any](m * k)
+    var j = 0
+    while (j < m) {
+      val base = j * dsub
+      var c = 0
+      while (c < k) {
+        var d = 0L
+        var i = 0
+        while (i < dsub) {
+          val diff = x.getLong(base + i) - cb(c)(base + i)
+          d += diff * diff
+          i += 1
+        }
+        out(j * k + c) = org.apache.spark.sql.catalyst.InternalRow(
+          j.toLong, codeVals(c), d)
+        c += 1
+      }
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val cbRef = ctx.addReferenceObj("pqLutCodebook", cb, "long[][]")
+      val codesRef = ctx.addReferenceObj("pqLutCodes", codeVals, "long[]")
+      val out = ctx.freshName("out")
+      val j = ctx.freshName("j")
+      val c = ctx.freshName("c")
+      val i = ctx.freshName("i")
+      val d = ctx.freshName("d")
+      val diff = ctx.freshName("diff")
+      val base = ctx.freshName("base")
+      val row = ctx.freshName("row")
+      s"""
+         |if ($a.numElements() < ${m * dsub}) { ${ev.isNull} = true; } else {
+         |  Object[] $out = new Object[${m} * $cbRef.length];
+         |  for (int $j = 0; $j < $m; $j++) {
+         |    final int $base = $j * $dsub;
+         |    for (int $c = 0; $c < $cbRef.length; $c++) {
+         |      long $d = 0L;
+         |      for (int $i = 0; $i < $dsub; $i++) {
+         |        final long $diff = $a.getLong($base + $i) - $cbRef[$c][$base + $i];
+         |        $d += $diff * $diff;
+         |      }
+         |      Object[] $row = new Object[]{(long) $j, $codesRef[$c], $d};
+         |      $out[$j * $cbRef.length + $c] =
+         |        new org.apache.spark.sql.catalyst.expressions.GenericInternalRow($row);
+         |    }
+         |  }
+         |  ${ev.value} =
+         |    new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): PqLut =
+    copy(child = newChild)
+}
+
+object PqLut {
+  /** Column-level entry point; `codebook(c)` must be codeword c's
+    * m·dsub quantized lanes, ordered by ascending code. */
+  def apply(vec: Column, codes: Array[Long], codebook: Array[Array[Long]],
+            m: Int, dsub: Int): Column =
+    GraftColumnBridge.column(PqLut(GraftColumnBridge.expression(vec),
+      codes.toIndexedSeq, codebook.map(_.toIndexedSeq).toIndexedSeq, m, dsub))
+}

@@ -301,18 +301,40 @@ object Similarity {
 
   /** PQ ASYMMETRIC-DISTANCE lookup table: for each query row, the
     * integer squared-L2 distance of every (subspace, codeword) pair —
-    * m·k rows per query, built as one narrow explode over inlined
-    * codebook literals. ADC search is then
+    * m·k rows per query. ADC search is then
     * `broadcast(lut) ⨝ codes on (sub_j, code)` + a per-(qid, cid)
     * sum: the corpus contributes only its codes (8 BIGINTs per
     * vector), never raw vectors — the scan-side payoff product
     * quantization exists for.
+    *
+    * Hot path is the native [[graft.functions.PqLut]] expression —
+    * the composed m·k-literal explode (kept below as
+    * [[pqLutComposed]], differential-pinned) blew Janino's 64 KB
+    * method limit inside the Generate consume and silently fell back
+    * to interpreted execution in the broadcast build (the residual
+    * r9 `ERROR CodeGenerator` events).
     *
     * @param queries  (vec_id, q: array<long>) — small
     * @param codebook (code, cq: array<long>) — small, collected
     */
   def pqLut(queries: DataFrame, codebook: DataFrame,
             m: Int, dsub: Int): DataFrame = {
+    val cents = pqCollect(codebook, m, dsub)
+    queries.select(col("vec_id").as("qid"),
+        explode(graft.functions.PqLut(col("q"),
+          cents.map(_._1), cents.map(_._2), m, dsub)).as("c"))
+      .select(col("qid"), col("c.sub_j").as("sub_j"),
+        col("c.code").as("code"), col("c.d").as("d"))
+  }
+
+  /** The pre-native composed LUT — m·k struct literals of inlined
+    * element_at arithmetic under one explode. Kept ONLY as the
+    * differential-test reference for [[graft.functions.PqLut]]
+    * (PqEncodeSpec pins row-for-row equality): at m·k·dsub = 1024 its
+    * Generate consume exceeds Janino's 64 KB limit, codegen fails,
+    * and the projection runs interpreted. */
+  def pqLutComposed(queries: DataFrame, codebook: DataFrame,
+                    m: Int, dsub: Int): DataFrame = {
     val cents = pqCollect(codebook, m, dsub)
     val cells = for { j <- 0 until m; (code, cv) <- cents } yield
       struct(lit(j.toLong).as("sub_j"), lit(code).as("code"),
