@@ -1917,6 +1917,104 @@ object AnalyticsQueries {
           .orderBy("event_type", "dow")
       }),
 
+    // CRAMÉR'S V — the EFFECT SIZE q_chi2_independence's per-cell
+    // table doesn't summarize: V = √(χ²/(n·min(r−1,c−1))), the
+    // scale-free association strength between event_type and ISO
+    // weekday (χ² alone grows with n, so at 100 TB everything is
+    // "significant"; V is what actually answers "does weekday matter").
+    // χ² reuses the chi2 query's floored-milli contribution
+    // convention, then SUMS the already-integer contributions — an
+    // integer sum, aggregation-order-independent, so no double ever
+    // rides a shuffle. The one irrational step is a single
+    // div→div→sqrt→mul chain of exactly-rounded IEEE ops floored
+    // once (the q_sequential_peeking discipline) — ln-free, unlike a
+    // G-test, which is why V and not likelihood ratio. Plan: one
+    // map-side-combined fact aggregate; marginals, total and counts
+    // are dim-sized broadcasts; output is ONE row.
+    QDef("q_cramers_v", Some("""
+      WITH o AS (SELECT event_type, CAST(isodow(ts) AS BIGINT) AS dow,
+              CAST(count(*) AS BIGINT) AS obs
+            FROM events GROUP BY 1, 2),
+      r AS (SELECT event_type, CAST(sum(obs) AS BIGINT) AS rtot FROM o GROUP BY 1),
+      c AS (SELECT dow, CAST(sum(obs) AS BIGINT) AS ctot FROM o GROUP BY 1),
+      tt AS (SELECT CAST(sum(obs) AS BIGINT) AS t FROM o),
+      j AS (SELECT (1000 * abs(o.obs * tt.t - r.rtot * c.ctot)) // tt.t AS d_milli,
+              (1000 * r.rtot * c.ctot) // tt.t AS expected_milli
+            FROM o JOIN r ON o.event_type = r.event_type
+                   JOIN c ON o.dow = c.dow, tt),
+      s AS (SELECT CAST(sum((d_milli * d_milli) // expected_milli) AS BIGINT)
+              AS chi2_milli FROM j),
+      mr AS (SELECT CAST(count(*) AS BIGINT) AS r_cnt FROM r),
+      mc AS (SELECT CAST(count(*) AS BIGINT) AS c_cnt FROM c)
+      SELECT s.chi2_milli, tt.t AS n_events,
+             least(mr.r_cnt - 1, mc.c_cnt - 1) AS dof,
+             CAST(floor(1000.0 * sqrt((s.chi2_milli / 1000.0) /
+               (1.0 * tt.t * least(mr.r_cnt - 1, mc.c_cnt - 1))))
+               AS BIGINT) AS v_milli
+      FROM s, tt, mr, mc"""),
+      (s, d) => {
+        val iso = expr("cast((dayofweek(ts) + 5) % 7 + 1 as bigint)")
+        val o = t(s, d, "events")
+          .select(col("event_type"), iso.as("dow"))
+          .groupBy("event_type", "dow").agg(count(lit(1)).as("obs"))
+        val r = o.groupBy(col("event_type").as("r_et"))
+          .agg(sum("obs").cast("long").as("rtot"))
+        val c = o.groupBy(col("dow").as("c_dow"))
+          .agg(sum("obs").cast("long").as("ctot"))
+        val tt = o.agg(sum("obs").cast("long").as("t"))
+        val chi2 = o.join(broadcast(r), col("event_type") === col("r_et"))
+          .join(broadcast(c), col("dow") === col("c_dow"))
+          .crossJoin(broadcast(tt))
+          .select(
+            expr("div(1000 * abs(obs * t - rtot * ctot), t)").as("d_milli"),
+            expr("div(1000 * rtot * ctot, t)").as("expected_milli"))
+          .agg(sum(expr("div(d_milli * d_milli, expected_milli)"))
+            .cast("long").as("chi2_milli"))
+        chi2.crossJoin(broadcast(tt))
+          .crossJoin(broadcast(r.agg(count(lit(1)).as("r_cnt"))))
+          .crossJoin(broadcast(c.agg(count(lit(1)).as("c_cnt"))))
+          .select(col("chi2_milli"), col("t").as("n_events"),
+            least(col("r_cnt") - 1, col("c_cnt") - 1).as("dof"),
+            floor(lit(1000.0) * sqrt((col("chi2_milli") / lit(1000.0)) /
+              (lit(1.0) * col("t") * least(col("r_cnt") - 1, col("c_cnt") - 1))))
+              .cast("long").as("v_milli"))
+      }),
+
+    // PER-USER BEHAVIORAL DIVERSITY — Gini–Simpson index of each
+    // user's event-type mix, 1 − Σp² in exact permille:
+    // 1000·(n² − Σc²) div n². The Shannon version needs ln(), which
+    // is NOT exactly-rounded IEEE and can floor differently across
+    // engines (the q_bigram_pmi lesson) — Simpson is the
+    // rational-arithmetic diversity index, so the oracle is exact at
+    // any SF. Single-type users score 0, uniform k-type users
+    // approach 1000·(k−1)/k. Two map-side-combined aggregates over
+    // ONE user-keyed shuffle (the (user,type) grain collapses to
+    // user grain without re-exchanging); per-user n is day-bounded
+    // so n² never nears the BIGINT edge.
+    QDef("q_user_simpson_diversity", Some("""
+      WITH c AS (SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS c
+                 FROM events GROUP BY 1, 2),
+      u AS (SELECT user_id, CAST(sum(c) AS BIGINT) AS n_events,
+                   CAST(count(*) AS BIGINT) AS n_types,
+                   CAST(sum(c * c) AS BIGINT) AS ss
+            FROM c GROUP BY 1)
+      SELECT user_id, n_events, n_types,
+             CAST((1000 * (n_events * n_events - ss)) // (n_events * n_events)
+               AS BIGINT) AS simpson_permille
+      FROM u ORDER BY user_id"""),
+      (s, d) => {
+        val c = t(s, d, "events")
+          .groupBy("user_id", "event_type").agg(count(lit(1)).as("c"))
+        c.groupBy("user_id")
+          .agg(sum("c").cast("long").as("n_events"),
+            count(lit(1)).as("n_types"),
+            sum(col("c") * col("c")).cast("long").as("ss"))
+          .select(col("user_id"), col("n_events"), col("n_types"),
+            expr("div(1000 * (n_events * n_events - ss), n_events * n_events)")
+              .as("simpson_permille"))
+          .orderBy("user_id")
+      }),
+
     // ROLLING 14-DAY CORRELATION between the click and purchase
     // daily series — does engagement still track conversion, day by
     // day? (q_corr_exact is the global answer; a drift in the

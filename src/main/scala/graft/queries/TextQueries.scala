@@ -762,6 +762,51 @@ object TextQueries {
           .orderBy("doc_id")
       }),
 
+    // ZIPF GOODNESS-OF-FIT over the corpus vocabulary — per top-32
+    // rank: occurrence frequency, the Zipf invariant freq·rank, and
+    // its ratio to f(1) in exact permille (Zipf's law predicts
+    // freq·rank ≈ f(1), i.e. ratio ≈ 1000; systematic decay below
+    // 1000 reveals a sub-Zipfian, template-heavy corpus — the
+    // vocabulary-health readout next to q_vocab_hapax's tail view).
+    // Deliberately LOG-FREE: the classic log-log slope needs ln(),
+    // which is not exactly-rounded IEEE and can floor differently
+    // across engines (the q_bigram_pmi lesson) — the freq·rank ratio
+    // is the same diagnostic in pure BIGINT. The top-K cut is
+    // (freq DESC, tok) total-ordered, so ranks are engine-stable;
+    // rank assignment happens AFTER the 32-row limit, so the window
+    // is literal-bounded, never a data-scale single-partition sort
+    // (one map-side-combined token count + a 32-row tail).
+    QDef("q_zipf_gof", Some("""
+      WITH tk AS (SELECT tok FROM
+          (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+          WHERE tok <> ''),
+      f AS (SELECT tok, CAST(count(*) AS BIGINT) AS freq FROM tk GROUP BY 1
+            ORDER BY freq DESC, tok LIMIT 32),
+      rk AS (SELECT tok, freq,
+               CAST(row_number() OVER (ORDER BY freq DESC, tok) AS BIGINT) AS rnk
+             FROM f),
+      top AS (SELECT CAST(max(freq) AS BIGINT) AS f1 FROM f)
+      SELECT rk.rnk, rk.tok, rk.freq,
+             CAST(rk.freq * rk.rnk AS BIGINT) AS fr_x_rank,
+             CAST((1000 * rk.freq * rk.rnk) // top.f1 AS BIGINT)
+               AS zipf_ratio_permille
+      FROM rk, top ORDER BY rnk"""),
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val f = t(s, d, "documents")
+          .select(explode(graft.text.TextAnalysis.tokens(col("text"))).as("tok"))
+          .groupBy("tok").agg(count(lit(1)).as("freq"))
+          .orderBy(col("freq").desc, col("tok")).limit(32)
+        f.withColumn("rnk",
+            row_number().over(Window.orderBy(col("freq").desc, col("tok")))
+              .cast("long"))
+          .crossJoin(broadcast(f.agg(max("freq").as("f1"))))
+          .select(col("rnk"), col("tok"), col("freq"),
+            (col("freq") * col("rnk")).as("fr_x_rank"),
+            expr("div(1000 * freq * rnk, f1)").as("zipf_ratio_permille"))
+          .orderBy("rnk")
+      }),
+
     // NEAR-EXACT dedup by EDIT DISTANCE (the similarity modality the
     // token/shingle family can't see: transpositions and small edits
     // inside tokens change every shingle but few characters).

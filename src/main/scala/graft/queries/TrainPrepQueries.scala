@@ -508,6 +508,49 @@ object TrainPrepQueries {
           graft.text.Mixing.splitAssign("split1", col("doc_id")).as("split"))
         .orderBy("doc_id")),
 
+    // K-FOLD CROSS-VALIDATION assignment + balance census: 5 folds
+    // from the same salted-md5-of-id discipline as q_split_assign
+    // (pure function of (seed, id) — stable across engines, runs,
+    // repartitions, and corpus growth; a doc never migrates folds),
+    // reported at FOLD grain with the balance evidence CV protocols
+    // need before trusting fold-out metrics: doc count, distinct
+    // sources, char mass, and each fold's share of both in exact
+    // permille. The assignment is a zero-shuffle codegen'd
+    // projection; the census is one map-side-combined aggregate to 5
+    // rows, totals ride a 1-row broadcast back — at 100 TB the whole
+    // audit costs one pass over (id, source, n_chars), never text.
+    QDef("q_kfold_assign", Some("""
+      WITH h AS (SELECT doc_id, source, CAST(n_chars AS BIGINT) AS nc,
+              CAST(('0x' || substr(md5('fold1|' || doc_id), 1, 2)) AS INTEGER) % 5
+                AS fold
+            FROM documents),
+      f AS (SELECT CAST(fold AS BIGINT) AS fold, CAST(count(*) AS BIGINT) AS n_docs,
+              CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+              CAST(sum(nc) AS BIGINT) AS char_mass
+            FROM h GROUP BY 1),
+      tt AS (SELECT CAST(sum(n_docs) AS BIGINT) AS td,
+                    CAST(sum(char_mass) AS BIGINT) AS tc FROM f)
+      SELECT fold, n_docs, n_sources, char_mass,
+             CAST((1000 * n_docs) // tt.td AS BIGINT) AS doc_share_permille,
+             CAST((1000 * char_mass) // tt.tc AS BIGINT) AS char_share_permille
+      FROM f, tt ORDER BY fold"""),
+      (s, d) => {
+        val fold = (conv(substring(md5(concat(lit("fold1|"), col("doc_id"))), 1, 2),
+          16, 10).cast(IntegerType) % 5).cast(LongType)
+        val f = t(s, d, "documents")
+          .select(fold.as("fold"), col("source"), col("n_chars").cast(LongType).as("nc"))
+          .groupBy("fold")
+          .agg(count(lit(1)).as("n_docs"),
+            countDistinct("source").as("n_sources"),
+            sum("nc").cast(LongType).as("char_mass"))
+        f.crossJoin(broadcast(f.agg(sum("n_docs").cast(LongType).as("td"),
+            sum("char_mass").cast(LongType).as("tc"))))
+          .select(col("fold"), col("n_docs"), col("n_sources"), col("char_mass"),
+            expr("div(1000 * n_docs, td)").as("doc_share_permille"),
+            expr("div(1000 * char_mass, tc)").as("char_share_permille"))
+          .orderBy("fold")
+      }),
+
     // SPLIT-LEAKAGE AUDIT: near-dup pairs that CROSS train/val/test
     // boundaries — the eval-integrity number a split assignment must
     // be judged by (random per-doc splits leak near-duplicates into

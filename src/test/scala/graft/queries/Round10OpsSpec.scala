@@ -1,0 +1,109 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkTesting
+
+/** Invariant checks for the round-10 operator batch: k-fold CV
+  * assignment, Zipf goodness-of-fit, per-user Simpson diversity and
+  * Cramér's V. Value-level correctness is the DuckDB oracle's job;
+  * these pin the algebraic invariants each statistic must satisfy on
+  * ANY input, plus the determinism/purity properties the designs
+  * claim.
+  */
+class Round10OpsSpec extends AnyFunSuite {
+  lazy val spark = SparkTesting.spark
+  private def q(name: String) =
+    graft.SparkEntry.queries(name)(spark, SparkTesting.sf)
+  private def tbl(name: String) =
+    graft.pipeline.Tables.t(spark, SparkTesting.sf, name)
+
+  test("kfold: 5 exhaustive folds, conserved masses, shares sum to ~1000") {
+    import spark.implicits._
+    val rows = q("q_kfold_assign")
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+    assert(rows.map(_._1).sorted.sameElements(Array(0L, 1L, 2L, 3L, 4L)),
+      "every fold 0..4 must be present")
+    assert(rows.map(_._2).sum == tbl("documents").count(),
+      "every document lands in exactly one fold")
+    val charTotal = tbl("documents")
+      .agg(sum(col("n_chars").cast("long"))).as[Long].head()
+    assert(rows.map(_._4).sum == charTotal, "char mass conserved")
+    // permille floors: sum in (1000-5, 1000]
+    val ds = rows.map(_._5).sum
+    val cs = rows.map(_._6).sum
+    assert(ds > 995 && ds <= 1000, s"doc shares sum $ds")
+    assert(cs > 995 && cs <= 1000, s"char shares sum $cs")
+    // purity: the fold of one doc recomputes from md5 alone
+    val id = tbl("documents").select("doc_id").as[Long].head()
+    val md5hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"fold1|$id".getBytes("UTF-8"))
+      .take(1).map("%02x".format(_)).mkString
+    val expect = Integer.parseInt(md5hex, 16) % 5
+    val got = tbl("documents").filter(col("doc_id") === id)
+      .select((conv(substring(md5(concat(lit("fold1|"), col("doc_id"))), 1, 2),
+        16, 10).cast("int") % 5).cast("long")).as[Long].head()
+    assert(got == expect, s"doc $id fold: md5 recompute $expect != engine $got")
+  }
+
+  test("zipf gof: ranks total-ordered, invariant exact, top ratio = 1000") {
+    import spark.implicits._
+    val rows = q("q_zipf_gof")
+      .as[(Long, String, Long, Long, Long)].collect()
+    // the synthetic corpus vocabulary can be SMALLER than the top-K
+    // cut (31 tokens at sf0.001) — the cut is min(32, |vocab|)
+    val vocab = tbl("documents")
+      .select(explode(graft.text.TextAnalysis.tokens(col("text"))).as("tok"))
+      .select("tok").distinct().count()
+    assert(rows.length == math.min(32L, vocab), s"top cut: ${rows.length}")
+    assert(rows.map(_._1).toSeq == (1L to rows.length).toSeq, "dense ranks")
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(a._3 > b._3 || (a._3 == b._3 && a._2 < b._2),
+        s"rank order must follow (freq DESC, tok): $a then $b")
+    }
+    rows.foreach { case (r, _, f, fxr, ratio) =>
+      assert(fxr == f * r, "freq*rank must be exact")
+      assert(ratio == 1000L * f * r / rows.head._3, "permille vs f(1)")
+    }
+    assert(rows.head._5 == 1000, "rank 1 ratio is exactly 1000 by definition")
+  }
+
+  test("simpson diversity: bounds, single-type zero, event mass conserved") {
+    import spark.implicits._
+    val rows = q("q_user_simpson_diversity")
+      .as[(Long, Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (u, n, k, sp) =>
+      assert(n >= k && k >= 1, s"user $u: $k types over $n events")
+      assert(sp >= 0 && sp < 1000, s"user $u: permille $sp out of range")
+      if (k == 1) assert(sp == 0, s"user $u: one type must score 0")
+      // Simpson is bounded by the uniform mix over k types
+      assert(sp <= 1000 * (k - 1) / k, s"user $u: $sp beats uniform bound")
+    }
+    assert(rows.map(_._2).sum == tbl("events").count(), "event mass conserved")
+    // independent recomputation for one user
+    val u0 = rows.head._1
+    val cs = tbl("events").filter(col("user_id") === u0)
+      .groupBy("event_type").agg(count(lit(1)).as("c"))
+      .select("c").as[Long].collect()
+    val n0 = cs.sum
+    val expect = 1000L * (n0 * n0 - cs.map(c => c * c).sum) / (n0 * n0)
+    assert(rows.head._4 == expect, s"user $u0 simpson")
+  }
+
+  test("cramers v: one row, bounded effect, chain recomputes from chi2") {
+    import spark.implicits._
+    val rows = q("q_cramers_v").as[(Long, Long, Long, Long)].collect()
+    assert(rows.length == 1)
+    val (chi2m, n, dof, vm) = rows.head
+    assert(n == tbl("events").count())
+    assert(dof >= 1)
+    assert(vm >= 0 && vm <= 1000, s"V=$vm out of [0,1]")
+    val expect =
+      math.floor(1000.0 * math.sqrt((chi2m / 1000.0) / (1.0 * n * dof))).toLong
+    assert(vm == expect, "v_milli must be the exact floored IEEE chain")
+    // chi2_milli must equal the sum of q_chi2_independence's cells
+    val cells = q("q_chi2_independence").select("contrib_milli").as[Long].collect()
+    assert(chi2m == cells.sum, "chi2 is the integer sum of the cell table")
+  }
+}
