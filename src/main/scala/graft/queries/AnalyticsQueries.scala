@@ -2595,6 +2595,123 @@ object AnalyticsQueries {
           .orderBy("event_type", "dnum")
       }),
 
+    // SEASONAL STRENGTH — the one-row-per-type readout on top of
+    // q_seasonal_decompose's cell table: Fs = 1 − Var(resid)/Var(det)
+    // (Hyndman's strength-of-seasonality), answering "is the weekday
+    // pattern real enough to model?" before anyone fits
+    // q_mase_seasonal_naive. Variances ride as EXACT integer
+    // numerators (n·Σx² − (Σx)², the q_moving_corr discipline) over
+    // the same denominator n², which CANCELS in the ratio — so
+    // strength is a pure BIGINT division, clamped at 0 BEFORE the
+    // division so the floor only ever sees non-negative operands (a
+    // seasonal fit can increase variance; sign never reaches //).
+    // Everything after the one fact aggregate is |types|×|days|.
+    QDef("q_seasonal_strength", Some("""
+      WITH d AS (SELECT event_type, epoch_us(date_trunc('day', ts)) // 86400000000 AS dnum,
+                        count(*) AS c
+                 FROM events GROUP BY 1, 2),
+      tr AS (SELECT event_type, dnum, c,
+               CAST(CASE WHEN count(*) OVER w7 = 7
+                    THEN (1000 * sum(c) OVER w7) // 7 END AS BIGINT) AS trend_milli
+             FROM d WINDOW w7 AS (PARTITION BY event_type ORDER BY dnum
+                                  ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+      de AS (SELECT event_type AS et, dnum, c, trend_milli,
+                    1000 * c - trend_milli AS det FROM tr),
+      se AS (SELECT et AS set2, (dnum + 3) % 7 + 1 AS dow,
+               CAST(CASE WHEN sum(det) >= 0 THEN sum(det) // count(det)
+                    ELSE -((-sum(det)) // count(det)) END AS BIGINT) AS seasonal_milli
+             FROM de WHERE det IS NOT NULL GROUP BY 1, 2),
+      r AS (SELECT et, det, det - seasonal_milli AS resid
+            FROM de JOIN se ON et = set2 AND (dnum + 3) % 7 + 1 = dow
+            WHERE det IS NOT NULL),
+      v AS (SELECT et, CAST(count(*) AS BIGINT) AS n_days,
+              CAST(count(*) * sum(det * det) - sum(det) * sum(det) AS BIGINT)
+                AS var_det_num,
+              CAST(count(*) * sum(resid * resid) - sum(resid) * sum(resid)
+                AS BIGINT) AS var_resid_num
+            FROM r GROUP BY 1)
+      SELECT et AS event_type, n_days, var_det_num, var_resid_num,
+             CASE WHEN var_det_num <= 0 OR var_resid_num >= var_det_num THEN 0
+                  ELSE CAST((1000 * (var_det_num - var_resid_num)) // var_det_num
+                    AS BIGINT) END AS strength_milli
+      FROM v ORDER BY event_type"""),
+      (s, d) => {
+        val w7 = Window.partitionBy("event_type").orderBy("dnum").rowsBetween(-3, 3)
+        val de = t(s, d, "events")
+          .groupBy(col("event_type"),
+            expr("div(unix_micros(date_trunc('day', ts)), 86400000000)").as("dnum"))
+          .agg(count(lit(1)).as("c"))
+          .withColumn("trend_milli",
+            when(count(lit(1)).over(w7) === 7,
+              expr("div(1000 * sum(c) over (partition by event_type order by dnum " +
+                "rows between 3 preceding and 3 following), 7)")))
+          .withColumn("det", lit(1000L) * col("c") - col("trend_milli"))
+        val se = de.filter(col("det").isNotNull)
+          .groupBy(col("event_type").as("set2"),
+            (expr("(dnum + 3) % 7") + lit(1L)).as("dow"))
+          .agg(expr("div(sum(det), count(det))").as("seasonal_milli"))
+        de.filter(col("det").isNotNull)
+          .join(broadcast(se),
+            col("event_type") === col("set2") &&
+              (expr("(dnum + 3) % 7") + lit(1L)) === col("dow"))
+          .select(col("event_type"), col("det"),
+            (col("det") - col("seasonal_milli")).as("resid"))
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n_days"),
+            (count(lit(1)) * sum(col("det") * col("det")) -
+              sum("det") * sum("det")).cast("long").as("var_det_num"),
+            (count(lit(1)) * sum(col("resid") * col("resid")) -
+              sum("resid") * sum("resid")).cast("long").as("var_resid_num"))
+          .select(col("event_type"), col("n_days"), col("var_det_num"),
+            col("var_resid_num"),
+            when(col("var_det_num") <= 0 ||
+                col("var_resid_num") >= col("var_det_num"), 0L)
+              .otherwise(expr(
+                "div(1000 * (var_det_num - var_resid_num), var_det_num)"))
+              .as("strength_milli"))
+          .orderBy("event_type")
+      }),
+
+    // GDPR ERASURE PLANNER (right-to-be-forgotten): given a deletion
+    // request set (user_id ≡ 0 mod 97 as the deterministic stand-in
+    // for the request table), the per-day-partition rewrite plan a
+    // lakehouse needs BEFORE touching files: rows to erase, distinct
+    // requesters present, the partition's total mass, a needs_rewrite
+    // flag and the erase fraction in exact permille. Partition-grain
+    // output pairs directly with PersistTableDual's partition-scoped
+    // rewrite (only flagged days are rewritten; untouched days keep
+    // their files — at 100 TB the difference between a surgical
+    // rewrite and re-writing the lake). ONE map-side-combined
+    // aggregate over (day, user_id); no joins.
+    QDef("q_erasure_plan", Some("""
+      WITH e AS (SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+                        user_id FROM events),
+      p AS (SELECT day, CAST(count(*) AS BIGINT) AS n_rows,
+              CAST(sum(CASE WHEN user_id % 97 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                AS n_erase,
+              CAST(count(DISTINCT CASE WHEN user_id % 97 = 0 THEN user_id END)
+                AS BIGINT) AS n_requesters
+            FROM e GROUP BY 1)
+      SELECT day, n_rows, n_erase, n_requesters,
+             CASE WHEN n_erase > 0 THEN 1 ELSE 0 END AS needs_rewrite,
+             CAST((1000 * n_erase) // n_rows AS BIGINT) AS erase_permille
+      FROM p ORDER BY day"""),
+      (s, d) => {
+        t(s, d, "events")
+          .select(date_format(date_trunc("day", col("ts")), "yyyy-MM-dd").as("day"),
+            col("user_id"))
+          .groupBy("day")
+          .agg(count(lit(1)).as("n_rows"),
+            sum(when(col("user_id") % 97 === 0, 1L).otherwise(0L))
+              .cast("long").as("n_erase"),
+            countDistinct(when(col("user_id") % 97 === 0, col("user_id")))
+              .as("n_requesters"))
+          .select(col("day"), col("n_rows"), col("n_erase"), col("n_requesters"),
+            when(col("n_erase") > 0, 1L).otherwise(0L).as("needs_rewrite"),
+            expr("div(1000 * n_erase, n_rows)").as("erase_permille"))
+          .orderBy("day")
+      }),
+
     // VELOCITY CAP (rate-limit / fraud screen): each user's PEAK
     // event count inside any trailing 1-hour window, flagged at ≥3 —
     // the sliding-rate primitive behind "N requests per hour"

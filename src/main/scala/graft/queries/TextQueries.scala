@@ -655,6 +655,113 @@ object TextQueries {
       (s, d) => NearDup.tokenJaccardPairs(tokDf(s, d, Some(13)), "doc_id", "tok", 4)
         .orderBy("doc_a", "doc_b")),
 
+    // LSH BAND-TUNING ADVISOR: for three (bands, rows) configs of a
+    // 32-hash MinHash budget — (16,2), (8,4), (4,8) — the expected
+    // collision behavior ON THIS CORPUS'S observed pair-similarity
+    // distribution: P(catch) = 1 − (1 − s^r)^b evaluated at each
+    // sampled pair's EXACT Jaccard s, split into true-dup (J ≥ 0.5)
+    // vs non-dup mass. This is the S-curve sweep every LSH
+    // deployment tunes by hand (q_lsh_bucket_skew measures one
+    // config's bucket health AFTER the choice; this picks the
+    // config), made deterministic: powers are REPEATED-SQUARING
+    // chains of exactly-rounded IEEE multiplies (identical trees on
+    // both engines — no pow(), which is not correctly rounded), each
+    // pair's P floors ONCE to permille, and only INTEGER sums cross
+    // the aggregation (the order-dependent double-sum trap never
+    // appears). Pair source is the q_dedup_token_jaccard sample —
+    // bounded, and shared shape with the dedup family.
+    QDef("q_lsh_band_tuning", Some(s"""
+      WITH ${tokCte.format("WHERE doc_id % 13 = 0")},
+      sz AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id),
+      inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+                FROM tok a JOIN tok b ON a.tok = b.tok AND a.doc_id < b.doc_id
+                GROUP BY doc_a, doc_b),
+      p AS (SELECT (1.0 * i) / (sa.n + sb.n - i) AS s,
+              CASE WHEN 2 * i >= (sa.n + sb.n - i) THEN 1 ELSE 0 END AS is_dup
+            FROM inter JOIN sz sa ON doc_a = sa.doc_id
+                       JOIN sz sb ON doc_b = sb.doc_id),
+      c16 AS (SELECT 16 AS bands, 2 AS rows_per_band, is_dup,
+                CAST(floor(1000.0 * (1.0 - t8 * t8)) AS BIGINT) AS catch_pm
+              FROM (SELECT is_dup, t4 * t4 AS t8 FROM (
+                    SELECT is_dup, t2 * t2 AS t4 FROM (
+                    SELECT is_dup, t * t AS t2 FROM (
+                    SELECT is_dup, 1.0 - s * s AS t FROM p))))),
+      c8 AS (SELECT 8 AS bands, 4 AS rows_per_band, is_dup,
+               CAST(floor(1000.0 * (1.0 - t4 * t4)) AS BIGINT) AS catch_pm
+             FROM (SELECT is_dup, t2 * t2 AS t4 FROM (
+                   SELECT is_dup, t * t AS t2 FROM (
+                   SELECT is_dup, 1.0 - s2 * s2 AS t FROM (
+                   SELECT is_dup, s * s AS s2 FROM p))))),
+      c4 AS (SELECT 4 AS bands, 8 AS rows_per_band, is_dup,
+               CAST(floor(1000.0 * (1.0 - t2 * t2)) AS BIGINT) AS catch_pm
+             FROM (SELECT is_dup, t * t AS t2 FROM (
+                   SELECT is_dup, 1.0 - s4 * s4 AS t FROM (
+                   SELECT is_dup, s2 * s2 AS s4 FROM (
+                   SELECT is_dup, s * s AS s2 FROM p))))),
+      allc AS (SELECT * FROM c16 UNION ALL SELECT * FROM c8 UNION ALL
+               SELECT * FROM c4)
+      SELECT CAST(bands AS BIGINT) AS bands,
+             CAST(rows_per_band AS BIGINT) AS rows_per_band,
+             CAST(count(*) AS BIGINT) AS n_pairs,
+             CAST(sum(is_dup) AS BIGINT) AS n_dups,
+             CASE WHEN sum(is_dup) > 0 THEN CAST(
+               sum(CASE WHEN is_dup = 1 THEN catch_pm ELSE 0 END) // sum(is_dup)
+               AS BIGINT) END AS dup_avg_catch_permille,
+             CASE WHEN count(*) - sum(is_dup) > 0 THEN CAST(
+               sum(CASE WHEN is_dup = 0 THEN catch_pm ELSE 0 END)
+                 // (count(*) - sum(is_dup)) AS BIGINT)
+             END AS nondup_avg_catch_permille
+      FROM allc GROUP BY 1, 2 ORDER BY bands DESC"""),
+      (s, d) => {
+        val tok = tokDf(s, d, Some(13))
+        val sz = tok.groupBy(col("doc_id").as("sd")).agg(count(lit(1)).as("n"))
+        val inter = tok.select(col("doc_id").as("doc_a"), col("tok"))
+          .join(tok.select(col("doc_id").as("doc_b"), col("tok")), "tok")
+          .filter(col("doc_a") < col("doc_b"))
+          .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("i"))
+        val p = inter
+          .join(sz, col("doc_a") === col("sd")).withColumnRenamed("n", "na")
+          .drop("sd")
+          .join(sz, col("doc_b") === col("sd")).withColumnRenamed("n", "nb")
+          .select((lit(1.0) * col("i") / (col("na") + col("nb") - col("i"))).as("s"),
+            when(lit(2) * col("i") >= col("na") + col("nb") - col("i"), 1L)
+              .otherwise(0L).as("is_dup"))
+        // repeated-squaring catch chains — the multiplication TREES must
+        // match the oracle's exactly (IEEE ops are exactly rounded, so
+        // identical trees give identical bits)
+        def chain(bands: Int, r: Int) = {
+          val sCol = col("s")
+          val sr = r match {
+            case 2 => sCol * sCol
+            case 4 => { val s2 = sCol * sCol; s2 * s2 }
+            case 8 => { val s2 = sCol * sCol; val s4 = s2 * s2; s4 * s4 }
+          }
+          val t = lit(1.0) - sr
+          val tb = bands match {
+            case 16 => { val t2 = t * t; val t4 = t2 * t2; val t8 = t4 * t4; t8 * t8 }
+            case 8 => { val t2 = t * t; val t4 = t2 * t2; t4 * t4 }
+            case 4 => { val t2 = t * t; t2 * t2 }
+          }
+          p.select(lit(bands.toLong).as("bands"), lit((32 / bands).toLong)
+              .as("rows_per_band"), col("is_dup"),
+            floor(lit(1000.0) * (lit(1.0) - tb)).cast("long").as("catch_pm"))
+        }
+        chain(16, 2).unionByName(chain(8, 4)).unionByName(chain(4, 8))
+          .groupBy("bands", "rows_per_band")
+          .agg(count(lit(1)).as("n_pairs"), sum("is_dup").cast("long").as("n_dups"),
+            sum(when(col("is_dup") === 1, col("catch_pm")).otherwise(0L))
+              .as("dup_sum"),
+            sum(when(col("is_dup") === 0, col("catch_pm")).otherwise(0L))
+              .as("nondup_sum"))
+          .select(col("bands"), col("rows_per_band"), col("n_pairs"), col("n_dups"),
+            when(col("n_dups") > 0, expr("div(dup_sum, n_dups)"))
+              .as("dup_avg_catch_permille"),
+            when(col("n_pairs") - col("n_dups") > 0,
+              expr("div(nondup_sum, n_pairs - n_dups)"))
+              .as("nondup_avg_catch_permille"))
+          .orderBy(col("bands").desc)
+      }),
+
     // PREFIX-FILTERED Jaccard join (AllPairs/PPJoin): same truth as
     // q_dedup_token_jaccard's J≥0.4 pairs, but candidates come ONLY
     // from each doc's rarest n−⌈0.4n⌉+1 tokens under the global

@@ -91,6 +91,72 @@ class Round10OpsSpec extends AnyFunSuite {
     assert(rows.head._4 == expect, s"user $u0 simpson")
   }
 
+  test("lsh band tuning: 32-hash budget, S-curve orderings hold") {
+    import spark.implicits._
+    val rows = q("q_lsh_band_tuning")
+      .as[(Long, Long, Long, Long, Option[Long], Option[Long])].collect()
+    assert(rows.length == 3)
+    rows.foreach { case (b, r, np, nd, davg, navg) =>
+      assert(b * r == 32, s"config ($b,$r) breaks the 32-hash budget")
+      assert(nd <= np)
+      (davg.toSeq ++ navg.toSeq).foreach(v =>
+        assert(v >= 0 && v <= 1000, s"catch permille $v out of range"))
+    }
+    // more rows per band = stricter bands = fewer accidental catches:
+    // the non-dup catch rate must be non-increasing in r
+    val byR = rows.sortBy(_._2).flatMap(_._6)
+    byR.sliding(2).foreach { case Array(a, b) =>
+      assert(a >= b, s"non-dup catch must fall as r grows: $byR")
+    }
+    // within a config, true dups must catch at least as often as
+    // non-dups (the whole point of the S-curve)
+    rows.foreach { case (b, r, _, _, Some(d0), Some(n0)) =>
+      assert(d0 >= n0, s"config ($b,$r): dup catch $d0 < non-dup $n0")
+    case _ => ()
+    }
+  }
+
+  test("seasonal strength: bounds, and variance numerators recompute from " +
+      "the decompose cell table") {
+    import spark.implicits._
+    val rows = q("q_seasonal_strength")
+      .as[(String, Long, Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (et, n, vd, vr, st) =>
+      assert(n >= 1, et)
+      assert(vd >= 0 && vr >= 0, s"$et: variance numerators must be >= 0")
+      assert(st >= 0 && st <= 1000, s"$et: strength $st")
+      if (vd > 0 && vr < vd) assert(st == 1000 * (vd - vr) / vd, s"$et ratio")
+    }
+    // recompute one type's numerators from q_seasonal_decompose cells
+    val et = rows.head._1
+    val cells = q("q_seasonal_decompose")
+      .filter(col("event_type") === et && col("trend_milli").isNotNull)
+      .select(col("resid_milli"), (col("seasonal_milli") + col("resid_milli")).as("det"))
+      .as[(Long, Long)].collect()
+    val n = cells.length.toLong
+    def varNum(xs: Array[Long]) = n * xs.map(x => x * x).sum - {
+      val s0 = xs.sum; s0 * s0 }
+    assert(rows.head._2 == n)
+    assert(rows.head._3 == varNum(cells.map(_._2)), s"$et var_det")
+    assert(rows.head._4 == varNum(cells.map(_._1)), s"$et var_resid")
+  }
+
+  test("erasure plan: request mass conserved, flags and permille consistent") {
+    import spark.implicits._
+    val rows = q("q_erasure_plan")
+      .as[(String, Long, Long, Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    val erased = tbl("events").filter(col("user_id") % 97 === 0).count()
+    assert(rows.map(_._3).sum == erased, "every requester row planned once")
+    assert(rows.map(_._2).sum == tbl("events").count())
+    rows.foreach { case (day, nr, ne, nu, flag, pm) =>
+      assert(ne <= nr && nu <= ne, day)
+      assert(flag == (if (ne > 0) 1 else 0), day)
+      assert(pm == 1000 * ne / nr, day)
+    }
+  }
+
   test("cramers v: one row, bounded effect, chain recomputes from chi2") {
     import spark.implicits._
     val rows = q("q_cramers_v").as[(Long, Long, Long, Long)].collect()
