@@ -148,6 +148,59 @@ object AnalyticsQueries {
           .orderBy("z_bucket")
       }),
 
+    // COUNT-MIN SKETCH: the d=4 × w=64 counter-array frequency
+    // sketch (Cormode–Muthukrishnan) built in ONE map-side-combined
+    // pass — each event lands in 4 salted-md5 buckets, the sketch is
+    // 256 counters TOTAL at any fact scale, and a key's estimate is
+    // the MIN over its 4 counters. Emitted per key against the true
+    // count so the one-sided error contract is on the oracle
+    // surface: est ≥ truth ALWAYS (collisions only ever inflate),
+    // and the overcount column is the measured collision mass. This
+    // completes the sketch family (HLL = distinct, Bloom =
+    // membership, CMS = frequency); at 100 TB the 256-counter state
+    // is what you ship to the driver, not a 10⁹-key exact table. The
+    // key-side probe joins the BROADCAST counter array; everything
+    // is salted-md5-deterministic, no RNG.
+    QDef("q_cms_estimate", Some("""
+      WITH hh AS (SELECT 0 AS i UNION ALL SELECT 1 UNION ALL
+                  SELECT 2 UNION ALL SELECT 3),
+      cnt AS (SELECT hh.i,
+                CAST(('0x' || substr(md5('cms' || hh.i || '|' || e.user_id), 1, 4))
+                  AS INTEGER) % 64 AS bucket,
+                CAST(count(*) AS BIGINT) AS c
+              FROM events e, hh GROUP BY 1, 2),
+      truth AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n
+                FROM events GROUP BY 1),
+      keyb AS (SELECT t.user_id, t.n, hh.i,
+                 CAST(('0x' || substr(md5('cms' || hh.i || '|' || t.user_id), 1, 4))
+                   AS INTEGER) % 64 AS bucket
+               FROM truth t, hh)
+      SELECT k.user_id, k.n AS true_count,
+             CAST(min(c.c) AS BIGINT) AS cms_estimate,
+             CAST(min(c.c) - k.n AS BIGINT) AS overcount
+      FROM keyb k JOIN cnt c ON k.i = c.i AND k.bucket = c.bucket
+      GROUP BY 1, 2 ORDER BY user_id"""),
+      (s, d) => {
+        def bucket(key: org.apache.spark.sql.Column) =
+          conv(substring(md5(concat(lit("cms"), col("i").cast("string"), lit("|"),
+            key.cast("string"))), 1, 4), 16, 10).cast("int") % 64
+        val hh = explode(array((0 to 3).map(lit): _*)).as("i")
+        val cnt = t(s, d, "events").select(col("user_id"), hh)
+          .select(col("i"), bucket(col("user_id")).as("bucket"))
+          .groupBy("i", "bucket").agg(count(lit(1)).as("c"))
+        val truth = t(s, d, "events").groupBy("user_id")
+          .agg(count(lit(1)).as("n"))
+        truth.select(col("user_id"), col("n"), hh)
+          .select(col("user_id"), col("n"), col("i"),
+            bucket(col("user_id")).as("bucket"))
+          .join(broadcast(cnt), Seq("i", "bucket"))
+          .groupBy("user_id", "n")
+          .agg(min("c").cast("long").as("cms_estimate"))
+          .select(col("user_id"), col("n").as("true_count"), col("cms_estimate"),
+            (col("cms_estimate") - col("n")).as("overcount"))
+          .orderBy("user_id")
+      }),
+
     // INCREMENTAL AGGREGATE MERGE (materialized-view maintenance):
     // per-key algebraic states (count / decimal sum / min / max)
     // computed separately on the historical slice (event_id%10<8) and

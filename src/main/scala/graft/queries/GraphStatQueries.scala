@@ -1112,6 +1112,51 @@ object GraphStatQueries {
           .orderBy("side", "node")
       }),
 
+    // WEISFEILER–LEHMAN refinement (1 round): each supplier's WL
+    // label after one neighborhood-aggregation step on the
+    // supplier↔part graph — md5 of (own degree | sorted neighbor-
+    // degree HISTOGRAM). Two suppliers get the same wl_hash iff
+    // their 1-hop neighborhoods are degree-isomorphic: the
+    // structural-role fingerprint (graph-kernel / graph-embedding
+    // primitive) that plain degree (q_degree_distribution) can't
+    // see. The HISTOGRAM form — (degree, count) pairs, not the raw
+    // neighbor multiset — is the 100 TB decision: per-node state is
+    // |distinct neighbor degrees|, never |neighbors|, so hub nodes
+    // cost the same as leaves. Canonical string via ordered
+    // aggregation on both engines (ties are equal strings — order
+    // among them cannot change the output). Degrees are dim-sized
+    // broadcast joins off one distinct edge projection.
+    QDef("q_wl_refine", Some("""
+      WITH e AS (SELECT DISTINCT l_suppkey AS sk, l_partkey AS pk FROM lineitem),
+      sdeg AS (SELECT sk, CAST(count(*) AS BIGINT) AS sd FROM e GROUP BY 1),
+      pdeg AS (SELECT pk, CAST(count(*) AS BIGINT) AS pd FROM e GROUP BY 1),
+      nh AS (SELECT e.sk, pdeg.pd, CAST(count(*) AS BIGINT) AS c
+             FROM e JOIN pdeg ON e.pk = pdeg.pk GROUP BY 1, 2),
+      wl AS (SELECT nh.sk,
+               string_agg(nh.pd || ':' || nh.c, ',' ORDER BY nh.pd) AS sig
+             FROM nh GROUP BY 1)
+      SELECT wl.sk AS s_suppkey, sdeg.sd AS degree,
+             substr(md5(sdeg.sd || '|' || wl.sig), 1, 16) AS wl_hash
+      FROM wl JOIN sdeg ON wl.sk = sdeg.sk ORDER BY s_suppkey"""),
+      (s, d) => {
+        val e = t(s, d, "lineitem")
+          .select(col("l_suppkey").as("sk"), col("l_partkey").as("pk")).distinct()
+        val sdeg = e.groupBy("sk").agg(count(lit(1)).as("sd"))
+        val pdeg = e.groupBy("pk").agg(count(lit(1)).as("pd"))
+        val nh = e.join(broadcast(pdeg), "pk").groupBy("sk", "pd")
+          .agg(count(lit(1)).as("c"))
+        nh.groupBy("sk")
+          .agg(array_sort(collect_list(struct(col("pd"), col("c")))).as("a"))
+          .select(col("sk"),
+            expr("array_join(transform(a, x -> concat(cast(x.pd as string), ':', " +
+              "cast(x.c as string))), ',')").as("sig"))
+          .join(sdeg, "sk")
+          .select(col("sk").as("s_suppkey"), col("sd").as("degree"),
+            substring(md5(concat(col("sd").cast("string"), lit("|"), col("sig"))),
+              1, 16).as("wl_hash"))
+          .orderBy("s_suppkey")
+      }),
+
     // Bipartite (kc,ks)-core peeling — two unrolled rounds of the
     // classic k-core refinement on the customer×part purchase graph
     // (sparse on both sides, unlike customer×supplier which is

@@ -1192,6 +1192,132 @@ object RelQueries {
               .as("fisher_ppm"))
       }),
 
+    // COLUMN-ENCODING ADVISOR: the write-path decision a columnar
+    // lake makes per column — dictionary (low NDV), RLE (long runs
+    // in physical order), or plain — justified by measured evidence:
+    // row count, NDV, NDV permille, run count under the file's
+    // physical (l_orderkey, l_linenumber) order, run permille, and
+    // the verdict. Runs are counted WITHIN orderkey groups (each
+    // group start opens a run), so the window is key-partitioned —
+    // never a global single-partition sort — and the per-group order
+    // tie-breaks on the value itself because (l_orderkey,
+    // l_linenumber) genuinely ties in this lake (the TOTAL-order
+    // rule). Three column branches, each one narrow window pass +
+    // one rollup; thresholds: dict if NDV ≤ 10% of rows, RLE if
+    // runs ≤ 50% of rows.
+    QDef("q_encoding_advisor", Some("""
+      WITH f AS (SELECT 'a_l_returnflag' AS col_name, CAST(count(*) AS BIGINT) AS n,
+               CAST(count(DISTINCT v) AS BIGINT) AS ndv, CAST(sum(chg) AS BIGINT) AS runs
+             FROM (SELECT v, CASE WHEN v = lag(v) OVER
+                     (PARTITION BY k ORDER BY ln, v) THEN 0 ELSE 1 END AS chg
+                   FROM (SELECT l_orderkey AS k, l_linenumber AS ln,
+                         l_returnflag AS v FROM lineitem))),
+      q AS (SELECT 'b_l_quantity', CAST(count(*) AS BIGINT),
+               CAST(count(DISTINCT v) AS BIGINT), CAST(sum(chg) AS BIGINT)
+             FROM (SELECT v, CASE WHEN v = lag(v) OVER
+                     (PARTITION BY k ORDER BY ln, v) THEN 0 ELSE 1 END AS chg
+                   FROM (SELECT l_orderkey AS k, l_linenumber AS ln,
+                         CAST(l_quantity AS BIGINT) AS v FROM lineitem))),
+      p AS (SELECT 'c_l_partkey', CAST(count(*) AS BIGINT),
+               CAST(count(DISTINCT v) AS BIGINT), CAST(sum(chg) AS BIGINT)
+             FROM (SELECT v, CASE WHEN v = lag(v) OVER
+                     (PARTITION BY k ORDER BY ln, v) THEN 0 ELSE 1 END AS chg
+                   FROM (SELECT l_orderkey AS k, l_linenumber AS ln,
+                         l_partkey AS v FROM lineitem))),
+      u AS (SELECT * FROM f UNION ALL SELECT * FROM q UNION ALL SELECT * FROM p)
+      SELECT col_name, n, ndv,
+             CAST((1000 * ndv) // n AS BIGINT) AS ndv_permille,
+             runs, CAST((1000 * runs) // n AS BIGINT) AS runs_permille,
+             CASE WHEN 10 * ndv <= n THEN 'dictionary'
+                  WHEN 2 * runs <= n THEN 'rle'
+                  ELSE 'plain' END AS encoding
+      FROM u ORDER BY col_name"""),
+      (s, d) => {
+        def branch(name: String, v: org.apache.spark.sql.Column) = {
+          val w = org.apache.spark.sql.expressions.Window
+            .partitionBy("k").orderBy("ln", "v")
+          t(s, d, "lineitem")
+            .select(col("l_orderkey").as("k"), col("l_linenumber").as("ln"),
+              v.as("v"))
+            .withColumn("chg",
+              when(col("v") === lag("v", 1).over(w), 0L).otherwise(1L))
+            .agg(count(lit(1)).as("n"), countDistinct("v").as("ndv"),
+              sum("chg").cast("long").as("runs"))
+            .select(lit(name).as("col_name"), col("n"), col("ndv"), col("runs"))
+        }
+        branch("a_l_returnflag", col("l_returnflag"))
+          .unionByName(branch("b_l_quantity", col("l_quantity").cast("long")))
+          .unionByName(branch("c_l_partkey", col("l_partkey")))
+          .select(col("col_name"), col("n"), col("ndv"),
+            expr("div(1000 * ndv, n)").as("ndv_permille"), col("runs"),
+            expr("div(1000 * runs, n)").as("runs_permille"),
+            when(lit(10) * col("ndv") <= col("n"), "dictionary")
+              .when(lit(2) * col("runs") <= col("n"), "rle")
+              .otherwise("plain").as("encoding"))
+          .orderBy("col_name")
+      }),
+
+    // ZONE-MAP PRUNE AUDIT: the data-skipping evidence behind a sort
+    // decision — bucket lineitem into file-sized groups under TWO
+    // layouts (natural l_orderkey ranges vs ship-date-sorted weekly
+    // ranges), carry each file's (min, max) ship-day zone map, and
+    // count how many files a one-week probe predicate can skip.
+    // Natural layout prunes ~nothing (every file spans the whole
+    // date range); the sorted layout prunes all but the probe's
+    // neighborhood — the measured justification for paying the sort
+    // at write time (q_zorder_layout is the multi-column version of
+    // the same decision). Two map-side-combined aggregates over a
+    // 2-column projection; file-grain output.
+    QDef("q_zonemap_prune_audit", Some("""
+      WITH r AS (SELECT l_orderkey,
+               CAST(datediff('day', TIMESTAMP '1995-01-01', l_shipdate) AS BIGINT)
+                 AS d
+             FROM lineitem),
+      nat AS (SELECT l_orderkey // 500 AS fid, min(d) AS lo, max(d) AS hi
+              FROM r GROUP BY 1),
+      srt AS (SELECT d // 7 AS fid, min(d) AS lo, max(d) AS hi
+              FROM r GROUP BY 1),
+      probe AS (SELECT
+          CAST(datediff('day', TIMESTAMP '1995-01-01', TIMESTAMP '1997-06-01')
+            AS BIGINT) AS plo,
+          CAST(datediff('day', TIMESTAMP '1995-01-01', TIMESTAMP '1997-06-08')
+            AS BIGINT) AS phi)
+      SELECT * FROM (
+        SELECT 'a_natural' AS layout, CAST(count(*) AS BIGINT) AS n_files,
+               CAST(sum(CASE WHEN hi < plo OR lo > phi THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_pruned,
+               CAST((1000 * sum(CASE WHEN hi < plo OR lo > phi THEN 1 ELSE 0 END))
+                 // count(*) AS BIGINT) AS prune_permille
+        FROM nat, probe
+        UNION ALL
+        SELECT 'b_shipdate_sorted', CAST(count(*) AS BIGINT),
+               CAST(sum(CASE WHEN hi < plo OR lo > phi THEN 1 ELSE 0 END)
+                 AS BIGINT),
+               CAST((1000 * sum(CASE WHEN hi < plo OR lo > phi THEN 1 ELSE 0 END))
+                 // count(*) AS BIGINT)
+        FROM srt, probe)
+      ORDER BY layout"""),
+      (s, d) => {
+        val r = t(s, d, "lineitem").select(col("l_orderkey"),
+          datediff(col("l_shipdate"), lit("1995-01-01")).cast("long").as("d"))
+        val probe = (datediff(lit("1997-06-01").cast("date"),
+          lit("1995-01-01").cast("date")).cast("long"),
+          datediff(lit("1997-06-08").cast("date"),
+            lit("1995-01-01").cast("date")).cast("long"))
+        def audit(label: String, df: org.apache.spark.sql.DataFrame) =
+          df.agg(count(lit(1)).as("n_files"),
+            sum(when(col("hi") < probe._1 || col("lo") > probe._2, 1L)
+              .otherwise(0L)).cast("long").as("n_pruned"))
+            .select(lit(label).as("layout"), col("n_files"), col("n_pruned"),
+              expr("div(1000 * n_pruned, n_files)").as("prune_permille"))
+        val nat = r.groupBy(expr("div(l_orderkey, 500)").as("fid"))
+          .agg(min("d").as("lo"), max("d").as("hi"))
+        val srt = r.groupBy(expr("div(d, 7)").as("fid"))
+          .agg(min("d").as("lo"), max("d").as("hi"))
+        audit("a_natural", nat).unionByName(audit("b_shipdate_sorted", srt))
+          .orderBy("layout")
+      }),
+
     // SHIFT-SHARE decomposition of each nation's 1995→1996 revenue
     // growth into the three classic components: NATIONAL (what
     // global growth alone would give), INDUSTRY MIX (the nation's

@@ -157,6 +157,61 @@ class Round10OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("cms: the one-sided error contract holds for every key") {
+    import spark.implicits._
+    val rows = q("q_cms_estimate").as[(Long, Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (u, n, est, over) =>
+      assert(est >= n, s"user $u: CMS must never underestimate ($est < $n)")
+      assert(over == est - n, u)
+    }
+    assert(rows.map(_._2).sum == tbl("events").count(), "truth mass conserved")
+  }
+
+  test("wl refinement: the label REFINES degree (same hash -> same degree)") {
+    import spark.implicits._
+    val rows = q("q_wl_refine").as[(Long, Long, String)].collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_._3).foreach { case (h, grp) =>
+      assert(grp.map(_._2).distinct.length == 1,
+        s"hash $h spans degrees ${grp.map(_._2).distinct.toSeq}")
+    }
+    assert(rows.map(_._3).distinct.length >= rows.map(_._2).distinct.length,
+      "WL classes must be at least as fine as the degree partition")
+  }
+
+  test("encoding advisor: verdicts are self-consistent with the evidence") {
+    import spark.implicits._
+    val rows = q("q_encoding_advisor")
+      .as[(String, Long, Long, Long, Long, Long, String)].collect()
+    assert(rows.map(_._1).toSeq ==
+      Seq("a_l_returnflag", "b_l_quantity", "c_l_partkey"))
+    rows.foreach { case (cn, n, ndv, ndvPm, runs, runsPm, enc) =>
+      assert(ndv <= n && runs <= n && runs >= 1, cn)
+      assert(ndvPm == 1000 * ndv / n && runsPm == 1000 * runs / n, cn)
+      val expect = if (10 * ndv <= n) "dictionary"
+      else if (2 * runs <= n) "rle" else "plain"
+      assert(enc == expect, s"$cn: $enc vs evidence $expect")
+    }
+    // the 3-value flag column must be dictionary on any realistic lake
+    assert(rows.head._7 == "dictionary", "l_returnflag has 3 values")
+  }
+
+  test("zonemap audit: the sorted layout prunes at least as much") {
+    import spark.implicits._
+    val rows = q("q_zonemap_prune_audit")
+      .as[(String, Long, Long, Long)].collect()
+    assert(rows.map(_._1).toSeq == Seq("a_natural", "b_shipdate_sorted"))
+    rows.foreach { case (l, nf, np, pm) =>
+      assert(np <= nf, l)
+      assert(pm == 1000 * np / nf, l)
+    }
+    assert(rows(1)._4 >= rows(0)._4,
+      "sorting by ship date must not prune LESS than the natural layout")
+    assert(rows(1)._4 >= 900,
+      "a one-week probe against weekly files must skip nearly everything")
+  }
+
   test("cramers v: one row, bounded effect, chain recomputes from chi2") {
     import spark.implicits._
     val rows = q("q_cramers_v").as[(Long, Long, Long, Long)].collect()
