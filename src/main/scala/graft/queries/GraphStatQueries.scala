@@ -1112,6 +1112,41 @@ object GraphStatQueries {
           .orderBy("side", "node")
       }),
 
+    // BUTTERFLY CENSUS (bipartite 4-cycles): Σ over supplier pairs
+    // C(common_parts, 2) — the bipartite analogue of the triangle
+    // count (q_triangle_support's cohesion primitive needs a
+    // one-mode graph; butterflies measure cohesion ON the bipartite
+    // structure directly, no projection loss). Pairs materialize
+    // only through the part equi-join, so the expansion is
+    // Σ_part C(deg,2) — bounded by per-part supplier counts (the
+    // q_cosupplier_degree discipline; a hub-capped slice bounds it
+    // at adversarial scale). C(c,2) = c·(c−1) div 2 is an even
+    // product — exact non-negative integer division. ONE summary
+    // row.
+    QDef("q_butterfly_count", Some("""
+      WITH e AS (SELECT DISTINCT l_suppkey AS s, l_partkey AS p FROM lineitem),
+      pr AS (SELECT a.s AS sa, b.s AS sb, CAST(count(*) AS BIGINT) AS c
+             FROM e a JOIN e b ON a.p = b.p AND a.s < b.s GROUP BY 1, 2)
+      SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+             CAST(sum(CASE WHEN c >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_pairs_multi,
+             CAST(sum((c * (c - 1)) // 2) AS BIGINT) AS n_butterflies,
+             CAST(max(c) AS BIGINT) AS max_common
+      FROM pr"""),
+      (s, d) => {
+        val e = t(s, d, "lineitem")
+          .select(col("l_suppkey").as("sk"), col("l_partkey").as("p")).distinct()
+        e.select(col("sk").as("sa"), col("p"))
+          .join(e.select(col("sk").as("sb"), col("p")), "p")
+          .filter(col("sa") < col("sb"))
+          .groupBy("sa", "sb").agg(count(lit(1)).as("c"))
+          .agg(count(lit(1)).as("n_pairs"),
+            sum(when(col("c") >= 2, 1L).otherwise(0L)).cast("long")
+              .as("n_pairs_multi"),
+            sum(expr("div(c * (c - 1), 2)")).cast("long").as("n_butterflies"),
+            max("c").cast("long").as("max_common"))
+      }),
+
     // WEISFEILER–LEHMAN refinement (1 round): each supplier's WL
     // label after one neighborhood-aggregation step on the
     // supplier↔part graph — md5 of (own degree | sorted neighbor-

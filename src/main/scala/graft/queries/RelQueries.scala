@@ -1192,6 +1192,81 @@ object RelQueries {
               .as("fisher_ppm"))
       }),
 
+    // JOIN-CARDINALITY ESTIMATOR AUDIT: the textbook CBO estimate
+    // |A⋈B| = n_A·n_B / max(ndv_A, ndv_B) for the two fact joins,
+    // against their MEASURED cardinalities, with the error in
+    // permille — the evidence for trusting (or distrusting) a
+    // cost-based join order on this lake. The stats side is four
+    // count/NDV aggregates (exactly what ANALYZE collects — 1-row
+    // broadcasts); the actuals are the real joins counted. On
+    // FK-clean data the estimate is near-exact (err ≈ 0); the gap IS
+    // the signal when keys are skewed or filtered. Born-integer
+    // throughout; products stay ≤ ~10¹¹ at bench SFs.
+    QDef("q_join_card_estimate", Some("""
+      WITH s1 AS (SELECT CAST(count(*) AS BIGINT) AS n_l,
+              CAST(count(DISTINCT l_orderkey) AS BIGINT) AS v_l FROM lineitem),
+      s2 AS (SELECT CAST(count(*) AS BIGINT) AS n_o,
+              CAST(count(DISTINCT o_orderkey) AS BIGINT) AS v_o,
+              CAST(count(DISTINCT o_custkey) AS BIGINT) AS v_oc FROM orders),
+      s3 AS (SELECT CAST(count(*) AS BIGINT) AS n_c,
+              CAST(count(DISTINCT c_custkey) AS BIGINT) AS v_c FROM customer),
+      a1 AS (SELECT CAST(count(*) AS BIGINT) AS act FROM lineitem l
+             JOIN orders o ON l.l_orderkey = o.o_orderkey),
+      a2 AS (SELECT CAST(count(*) AS BIGINT) AS act FROM orders o
+             JOIN customer c ON o.o_custkey = c.c_custkey)
+      SELECT * FROM (
+        SELECT 'a_lineitem_orders' AS join_name, s1.n_l AS n_left,
+               s2.n_o AS n_right, greatest(s1.v_l, s2.v_o) AS ndv_max,
+               CAST((s1.n_l * s2.n_o) // greatest(s1.v_l, s2.v_o) AS BIGINT)
+                 AS est_rows,
+               a1.act AS actual_rows,
+               CAST((1000 * abs((s1.n_l * s2.n_o) // greatest(s1.v_l, s2.v_o)
+                 - a1.act)) // a1.act AS BIGINT) AS err_permille
+        FROM s1, s2, a1
+        UNION ALL
+        SELECT 'b_orders_customer', s2.n_o, s3.n_c,
+               greatest(s2.v_oc, s3.v_c),
+               CAST((s2.n_o * s3.n_c) // greatest(s2.v_oc, s3.v_c) AS BIGINT),
+               a2.act,
+               CAST((1000 * abs((s2.n_o * s3.n_c) // greatest(s2.v_oc, s3.v_c)
+                 - a2.act)) // a2.act AS BIGINT)
+        FROM s2, s3, a2)
+      ORDER BY join_name"""),
+      (s, d) => {
+        val li = t(s, d, "lineitem")
+        val or = t(s, d, "orders")
+        val cu = t(s, d, "customer")
+        val s1 = li.agg(count(lit(1)).as("n_l"),
+          countDistinct("l_orderkey").as("v_l"))
+        val s2 = or.agg(count(lit(1)).as("n_o"),
+          countDistinct("o_orderkey").as("v_o"),
+          countDistinct("o_custkey").as("v_oc"))
+        val s3 = cu.agg(count(lit(1)).as("n_c"),
+          countDistinct("c_custkey").as("v_c"))
+        val a1 = li.select("l_orderkey")
+          .join(or.select("o_orderkey"), col("l_orderkey") === col("o_orderkey"))
+          .agg(count(lit(1)).as("act"))
+        val a2 = or.select("o_custkey")
+          .join(cu.select("c_custkey"), col("o_custkey") === col("c_custkey"))
+          .agg(count(lit(1)).as("act"))
+        def row(name: String, stats: org.apache.spark.sql.DataFrame,
+                nL: String, nR: String, vL: String, vR: String,
+                act: org.apache.spark.sql.DataFrame) =
+          stats.crossJoin(broadcast(act))
+            .select(lit(name).as("join_name"), col(nL).as("n_left"),
+              col(nR).as("n_right"),
+              greatest(col(vL), col(vR)).as("ndv_max"),
+              expr(s"div($nL * $nR, greatest($vL, $vR))").as("est_rows"),
+              col("act").as("actual_rows"),
+              expr(s"div(1000 * abs(div($nL * $nR, greatest($vL, $vR)) - act), act)")
+                .as("err_permille"))
+        row("a_lineitem_orders", s1.crossJoin(broadcast(s2)),
+            "n_l", "n_o", "v_l", "v_o", a1)
+          .unionByName(row("b_orders_customer", s2.crossJoin(broadcast(s3)),
+            "n_o", "n_c", "v_oc", "v_c", a2))
+          .orderBy("join_name")
+      }),
+
     // COLUMN-ENCODING ADVISOR: the write-path decision a columnar
     // lake makes per column — dictionary (low NDV), RLE (long runs
     // in physical order), or plain — justified by measured evidence:

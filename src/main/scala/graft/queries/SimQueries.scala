@@ -1457,6 +1457,77 @@ object SimQueries {
     // distances to the label centroid in decimal-decade buckets
     // (digit count of the integer micro-distance — the
     // q_lateness_profile bucketing, no float log): the vector-lake
+    // GRID-DBSCAN labeling (one density pass, no iteration): project
+    // embeddings onto dims 1–2, quantize to a 0.25 grid, and label
+    // every OCCUPIED CELL core / border / noise — core if its count
+    // reaches the P75 cell density (a broadcast quantile scalar, so
+    // the threshold adapts to any SF — never a constant tuned to one
+    // corpus), border if an 8-neighbor of a core cell, else noise.
+    // This is the density-clustering modality k-means can't express
+    // (clusters of arbitrary shape + an explicit noise class), made
+    // scale-safe the DBSCAN-on-Spark way: points never pair; all
+    // density logic runs on the CELL table (bounded by occupied
+    // cells), and neighbor tests are an EXPLODED 9-offset equi-join,
+    // not an |Δcx|≤1 band join that would plan a cartesian.
+    // Quantization floors e·4.0 — ×2² is exact in IEEE and floor is
+    // engine-identical, so no negative-// trap (div truncates in
+    // Spark, // floors in DuckDB — neither is ever called on a
+    // sign).
+    QDef("q_dbscan_grid", Some("""
+      WITH pt AS (SELECT vec_id,
+              CAST(floor(embedding[1] * 4.0) AS BIGINT) AS cx,
+              CAST(floor(embedding[2] * 4.0) AS BIGINT) AS cy
+            FROM embeddings WHERE len(embedding) >= 2),
+      cell AS (SELECT cx, cy, CAST(count(*) AS BIGINT) AS n
+               FROM pt GROUP BY 1, 2),
+      th AS (SELECT CAST(percentile_disc(0.75) WITHIN GROUP (ORDER BY n)
+                      AS BIGINT) AS minpts FROM cell),
+      core AS (SELECT cx, cy FROM cell, th WHERE n >= minpts),
+      coren AS (SELECT DISTINCT k.cx + dx.d AS ncx, k.cy + dy.d AS ncy
+                FROM core k,
+                  (SELECT -1 AS d UNION ALL SELECT 0 UNION ALL SELECT 1) dx,
+                  (SELECT -1 AS d UNION ALL SELECT 0 UNION ALL SELECT 1) dy)
+      SELECT c.cx, c.cy, c.n,
+             CASE WHEN k.cx IS NOT NULL THEN 'core'
+                  WHEN nb.ncx IS NOT NULL THEN 'border'
+                  ELSE 'noise' END AS label
+      FROM cell c
+      LEFT JOIN core k ON c.cx = k.cx AND c.cy = k.cy
+      LEFT JOIN coren nb ON c.cx = nb.ncx AND c.cy = nb.ncy
+      ORDER BY c.cx, c.cy"""),
+      (s, d) => {
+        val pt = t(s, d, "embeddings")
+          .filter(size(col("embedding")) >= 2)
+          .select(
+            floor(element_at(col("embedding"), 1).cast("double") * lit(4.0))
+              .cast("long").as("cx"),
+            floor(element_at(col("embedding"), 2).cast("double") * lit(4.0))
+              .cast("long").as("cy"))
+        val cell = pt.groupBy("cx", "cy").agg(count(lit(1)).as("n"))
+        val th = cell.agg(
+          expr("percentile_disc(0.75) WITHIN GROUP (ORDER BY n)").as("minpts"))
+        val core = cell.crossJoin(broadcast(th))
+          .filter(col("n") >= col("minpts")).select("cx", "cy")
+        val offs = explode(sequence(lit(-1), lit(1))).as("d")
+        val coren = core
+          .select(col("cx"), col("cy"), offs)
+          .select(col("cx") + col("d"), col("cy"),
+            explode(sequence(lit(-1), lit(1))).as("d2"))
+          .toDF("ncx", "cy0", "d2")
+          .select(col("ncx"), (col("cy0") + col("d2")).as("ncy"))
+          .distinct()
+        cell
+          .join(broadcast(core.withColumn("is_core", lit(1))),
+            Seq("cx", "cy"), "left")
+          .join(broadcast(coren.withColumn("is_nbr", lit(1))),
+            cell("cx") === coren("ncx") && cell("cy") === coren("ncy"), "left")
+          .select(col("cx"), col("cy"), col("n"),
+            when(col("is_core").isNotNull, "core")
+              .when(col("is_nbr").isNotNull, "border")
+              .otherwise("noise").as("label"))
+          .orderBy("cx", "cy")
+      }),
+
     // compactness readout that flags a label whose members scatter
     // (mislabeled or multi-modal). Centroid means are floored
     // integer micros per (label, dim) — a labels×64 table that

@@ -212,6 +212,58 @@ class Round10OpsSpec extends AnyFunSuite {
       "a one-week probe against weekly files must skip nearly everything")
   }
 
+  test("dbscan grid: labels recompute from the cell table + P75 threshold") {
+    import spark.implicits._
+    val rows = q("q_dbscan_grid").as[(Long, Long, Long, String)].collect()
+    assert(rows.nonEmpty)
+    assert(rows.map(_._4).toSet.subsetOf(Set("core", "border", "noise")))
+    // recompute: minpts = discrete P75 of cell counts
+    val ns = rows.map(_._3).sorted
+    val minpts = ns(math.ceil(0.75 * ns.length).toInt - 1)
+    val core = rows.filter(_._3 >= minpts).map(r => (r._1, r._2)).toSet
+    rows.foreach { case (cx, cy, n, label) =>
+      val isCore = n >= minpts
+      val nearCore = core.exists { case (kx, ky) =>
+        math.abs(kx - cx) <= 1 && math.abs(ky - cy) <= 1 }
+      val expect = if (isCore) "core" else if (nearCore) "border" else "noise"
+      assert(label == expect, s"cell ($cx,$cy) n=$n: $label != $expect")
+    }
+    assert(core.nonEmpty, "P75 threshold guarantees a non-empty core set")
+  }
+
+  test("butterfly census: identity against a brute-force recount") {
+    import spark.implicits._
+    val Array((np, npm, bf, mx)) = q("q_butterfly_count")
+      .as[(Long, Long, Long, Long)].collect()
+    assert(npm <= np && bf >= npm && mx >= 1)
+    // brute-force from the distinct edge list
+    val edges = tbl("lineitem").select(col("l_suppkey"), col("l_partkey"))
+      .distinct().as[(Long, Long)].collect()
+    val byPart = edges.groupBy(_._2).values.map(_.map(_._1).sorted)
+    val common = scala.collection.mutable.Map.empty[(Long, Long), Long]
+    byPart.foreach { ss =>
+      for (i <- ss.indices; j <- i + 1 until ss.length)
+        common((ss(i), ss(j))) = common.getOrElse((ss(i), ss(j)), 0L) + 1
+    }
+    assert(np == common.size, "pair count")
+    assert(bf == common.values.map(c => c * (c - 1) / 2).sum, "butterflies")
+    assert(mx == common.values.max, "max common")
+  }
+
+  test("join cardinality: estimate formula exact, PK-side estimate = |fact|") {
+    import spark.implicits._
+    val rows = q("q_join_card_estimate")
+      .as[(String, Long, Long, Long, Long, Long, Long)].collect()
+    assert(rows.map(_._1).toSeq == Seq("a_lineitem_orders", "b_orders_customer"))
+    rows.foreach { case (jn, nl, nr, v, est, act, err) =>
+      assert(est == nl * nr / v, jn)
+      assert(err == 1000 * math.abs(est - act) / act, jn)
+      // the join's right side is its PK side: ndv_max = n_right, so the
+      // textbook estimate collapses to the fact row count
+      assert(v == nr && est == nl, s"$jn: PK-side estimate must equal |fact|")
+    }
+  }
+
   test("cramers v: one row, bounded effect, chain recomputes from chi2") {
     import spark.implicits._
     val rows = q("q_cramers_v").as[(Long, Long, Long, Long)].collect()
