@@ -1970,6 +1970,106 @@ object AnalyticsQueries {
           .orderBy("event_type", "dow")
       }),
 
+    // RAKING / IPF (one full row→column sweep): post-stratification
+    // weights that calibrate a BIASED sample (user_id ≡ 0 mod 3, the
+    // survey-frame stand-in) back to the population's event_type ×
+    // weekday margins — the survey-statistics primitive behind every
+    // "weighted to census margins" readout. Step 1 scales each row
+    // stratum to its population row margin (w1 = 1000·R/r, exact
+    // milli); step 2 rescales by column so the WEIGHTED column mass
+    // matches the population column margin (w2 = w1·1000·C div C′ —
+    // all born-integer products, ≤ ~10¹³). Margins are dim-sized
+    // broadcasts; the sweep never rescans the fact beyond two
+    // aggregates.
+    QDef("q_raking_ipf", Some("""
+      WITH pop AS (SELECT event_type, CAST(isodow(ts) AS BIGINT) AS dow,
+              CAST(count(*) AS BIGINT) AS n FROM events GROUP BY 1, 2),
+      smp AS (SELECT event_type, CAST(isodow(ts) AS BIGINT) AS dow,
+              CAST(count(*) AS BIGINT) AS n FROM events
+              WHERE user_id % 3 = 0 GROUP BY 1, 2),
+      rpop AS (SELECT event_type, CAST(sum(n) AS BIGINT) AS rt FROM pop GROUP BY 1),
+      rsmp AS (SELECT event_type, CAST(sum(n) AS BIGINT) AS rs FROM smp GROUP BY 1),
+      cpop AS (SELECT dow, CAST(sum(n) AS BIGINT) AS ct FROM pop GROUP BY 1),
+      s1 AS (SELECT smp.event_type, smp.dow, smp.n,
+               CAST((1000 * rpop.rt) // rsmp.rs AS BIGINT) AS w1
+             FROM smp JOIN rpop ON smp.event_type = rpop.event_type
+                      JOIN rsmp ON smp.event_type = rsmp.event_type),
+      cw AS (SELECT dow, CAST(sum(n * w1) AS BIGINT) AS cprime
+             FROM s1 GROUP BY 1)
+      SELECT s1.event_type, s1.dow, s1.n AS n_sample, s1.w1 AS w1_milli,
+             CAST((s1.w1 * 1000 * cpop.ct) // cw.cprime AS BIGINT) AS w2_milli
+      FROM s1 JOIN cpop ON s1.dow = cpop.dow JOIN cw ON s1.dow = cw.dow
+      ORDER BY s1.event_type, s1.dow"""),
+      (s, d) => {
+        val iso = expr("cast((dayofweek(ts) + 5) % 7 + 1 as bigint)")
+        val pop = t(s, d, "events").select(col("event_type"), iso.as("dow"))
+          .groupBy("event_type", "dow").agg(count(lit(1)).as("n"))
+        val smp = t(s, d, "events").filter(col("user_id") % 3 === 0)
+          .select(col("event_type"), iso.as("dow"))
+          .groupBy("event_type", "dow").agg(count(lit(1)).as("n"))
+        val rpop = pop.groupBy(col("event_type").as("re"))
+          .agg(sum("n").cast("long").as("rt"))
+        val rsmp = smp.groupBy(col("event_type").as("se"))
+          .agg(sum("n").cast("long").as("rs"))
+        val cpop = pop.groupBy(col("dow").as("cd"))
+          .agg(sum("n").cast("long").as("ct"))
+        val s1 = smp
+          .join(broadcast(rpop), col("event_type") === col("re"))
+          .join(broadcast(rsmp), col("event_type") === col("se"))
+          .select(col("event_type"), col("dow"), col("n"),
+            expr("div(1000 * rt, rs)").as("w1"))
+        val cw = s1.groupBy(col("dow").as("wd"))
+          .agg(sum(col("n") * col("w1")).cast("long").as("cprime"))
+        s1.join(broadcast(cpop), col("dow") === col("cd"))
+          .join(broadcast(cw), col("dow") === col("wd"))
+          .select(col("event_type"), col("dow"), col("n").as("n_sample"),
+            col("w1").as("w1_milli"),
+            expr("div(w1 * 1000 * ct, cprime)").as("w2_milli"))
+          .orderBy("event_type", "dow")
+      }),
+
+    // TUKEY MEDIAN POLISH (one sweep): the ROBUST two-way
+    // decomposition of the event_type × weekday count table — row
+    // medians removed, then column medians of the residuals — the
+    // outlier-resistant sibling of q_seasonal_decompose's mean-based
+    // split (one wild day shifts a mean but not a median; what
+    // survives the polish IS the anomaly). Medians are
+    // percentile_disc — ALWAYS an existing cell value, so every
+    // column stays born-integer BIGINT with no midpoint float. The
+    // table is |types|×7; both median passes are dim-sized.
+    QDef("q_median_polish", Some("""
+      WITH cellt AS (SELECT event_type, CAST(isodow(ts) AS BIGINT) AS dow,
+              CAST(count(*) AS BIGINT) AS v FROM events GROUP BY 1, 2),
+      rm AS (SELECT event_type, CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY v)
+               AS BIGINT) AS row_med FROM cellt GROUP BY 1),
+      d1 AS (SELECT c.event_type, c.dow, c.v, rm.row_med,
+               c.v - rm.row_med AS det
+             FROM cellt c JOIN rm ON c.event_type = rm.event_type),
+      cm AS (SELECT dow, CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY det)
+               AS BIGINT) AS col_med FROM d1 GROUP BY 1)
+      SELECT d1.event_type, d1.dow, d1.v, d1.row_med, cm.col_med,
+             d1.det - cm.col_med AS residual
+      FROM d1 JOIN cm ON d1.dow = cm.dow
+      ORDER BY d1.event_type, d1.dow"""),
+      (s, d) => {
+        val iso = expr("cast((dayofweek(ts) + 5) % 7 + 1 as bigint)")
+        val cellT = t(s, d, "events").select(col("event_type"), iso.as("dow"))
+          .groupBy("event_type", "dow").agg(count(lit(1)).as("v"))
+        val rm = cellT.groupBy(col("event_type").as("re"))
+          .agg(expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY v)")
+            .cast("long").as("row_med"))
+        val d1 = cellT.join(broadcast(rm), col("event_type") === col("re"))
+          .select(col("event_type"), col("dow"), col("v"), col("row_med"),
+            (col("v") - col("row_med")).as("det"))
+        val cm = d1.groupBy(col("dow").as("cd"))
+          .agg(expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY det)")
+            .cast("long").as("col_med"))
+        d1.join(broadcast(cm), col("dow") === col("cd"))
+          .select(col("event_type"), col("dow"), col("v"), col("row_med"),
+            col("col_med"), (col("det") - col("col_med")).as("residual"))
+          .orderBy("event_type", "dow")
+      }),
+
     // CRAMÉR'S V — the EFFECT SIZE q_chi2_independence's per-cell
     // table doesn't summarize: V = √(χ²/(n·min(r−1,c−1))), the
     // scale-free association strength between event_type and ISO

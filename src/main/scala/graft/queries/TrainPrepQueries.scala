@@ -458,6 +458,39 @@ object TrainPrepQueries {
           .orderBy("doc_id")
       }),
 
+    // EFFECTIVE SAMPLE SIZE per source — Kish's ESS = (Σw)²/Σw² with
+    // char mass as the importance weight: how many EQUAL-WEIGHT docs
+    // this source is really worth once length-weighting skews it
+    // (ess ≈ n means uniform value; ess ≪ n means a few giants carry
+    // the source — the mixture-design readout next to
+    // q_mix_weighted's copy counts). (Σw)² exceeds the exact-double
+    // window, so the ratio routes BOTH products through
+    // exactly-rounded doubles and floors once — the engines compute
+    // identical bits (the count²-overflow rule from the shift-share
+    // family). One map-side-combined aggregate, |sources| rows.
+    QDef("q_weight_ess", Some("""
+      WITH w AS (SELECT source, CAST(n_chars AS BIGINT) AS wt FROM documents),
+      a AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+              CAST(sum(wt) AS BIGINT) AS sw, CAST(sum(wt * wt) AS BIGINT) AS sww
+            FROM w GROUP BY 1)
+      SELECT source, n_docs, sw AS sum_w,
+             CAST(floor((1.0 * sw * sw) / (1.0 * sww)) AS BIGINT) AS ess,
+             CAST(floor((1000.0 * sw * sw) / (1.0 * n_docs * sww)) AS BIGINT)
+               AS ess_permille
+      FROM a ORDER BY source"""),
+      (s, d) => t(s, d, "documents")
+        .select(col("source"), col("n_chars").cast(LongType).as("wt"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum("wt").cast(LongType).as("sw"),
+          sum(col("wt") * col("wt")).cast(LongType).as("sww"))
+        .select(col("source"), col("n_docs"), col("sw").as("sum_w"),
+          floor(lit(1.0) * col("sw") * col("sw") / (lit(1.0) * col("sww")))
+            .cast(LongType).as("ess"),
+          floor(lit(1000.0) * col("sw") * col("sw") /
+            (lit(1.0) * col("n_docs") * col("sww")))
+            .cast(LongType).as("ess_permille"))
+        .orderBy("source")),
+
     // SMALL-FILE COMPACTION planner (the lakehouse maintenance op):
     // greedy bin-packing of per-source docs (stand-ins for data
     // files, sized by n_chars) into ≥4 KB output files — each doc

@@ -264,6 +264,68 @@ class Round10OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("raking ipf: the weighted column margins hit the population targets") {
+    import spark.implicits._
+    val rows = q("q_raking_ipf").as[(String, Long, Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (et, dow, n, w1, w2) =>
+      assert(n >= 1 && w1 >= 1 && w2 >= 1, s"$et/$dow")
+    }
+    // after the column step, Σ n·w2 per dow must equal the population
+    // column margin ×1000 up to integer-floor slack (one floor per
+    // cell on w2, bounded by the number of cells in the column)
+    val iso = expr("cast((dayofweek(ts) + 5) % 7 + 1 as bigint)")
+    val popCol = tbl("events").select(iso.as("dow"))
+      .groupBy("dow").agg(count(lit(1)).as("ct"))
+      .as[(Long, Long)].collect().toMap
+    rows.groupBy(_._2).foreach { case (dow, cells) =>
+      val mass = cells.map(c => c._3 * c._5).sum
+      val target = 1000L * popCol(dow)
+      val slack = cells.map(_._3).sum // Σn · (≤1 floor loss per unit weight)
+      assert(mass <= target && mass >= target - slack,
+        s"dow $dow: weighted mass $mass vs target $target (slack $slack)")
+    }
+  }
+
+  test("median polish: medians are table values, decomposition reconstructs") {
+    import spark.implicits._
+    val rows = q("q_median_polish")
+      .as[(String, Long, Long, Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (et, dow, v, rm, cm, res) =>
+      assert(v == rm + cm + res, s"$et/$dow: polish must reconstruct v")
+    }
+    // each row median is one of that row's values (percentile_disc)
+    rows.groupBy(_._1).foreach { case (et, grp) =>
+      assert(grp.map(_._3).contains(grp.head._4), s"$et row median not a value")
+    }
+    // half-bound: at least half of each row's detrended values are >= 0
+    rows.groupBy(_._1).foreach { case (et, grp) =>
+      val nonneg = grp.count(r => r._3 - r._4 >= 0)
+      assert(2 * nonneg >= grp.length, s"$et median property")
+    }
+  }
+
+  test("weight ess: Kish bounds hold and uniform weights recompute exactly") {
+    import spark.implicits._
+    val rows = q("q_weight_ess").as[(String, Long, Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (src, n, sw, ess, pm) =>
+      assert(ess >= 1 && ess <= n, s"$src: ESS must sit in [1, n]")
+      assert(pm >= 0 && pm <= 1000, s"$src: permille $pm")
+      assert(sw >= n, s"$src: char mass at least one per doc")
+    }
+    // recompute one source with exact BigInt arithmetic (floor of the
+    // true rational) — the double chain must not drift off the exact
+    // value by more than one ulp-floor, and on this data must equal it
+    val src = rows.head._1
+    val ws = tbl("documents").filter(col("source") === src)
+      .select(col("n_chars").cast("long")).as[Long].collect()
+    val swB = BigInt(ws.sum); val swwB = ws.map(w => BigInt(w) * w).sum
+    val exact = (swB * swB / swwB).toLong
+    assert(math.abs(rows.head._4 - exact) <= 1, s"$src ESS $exact")
+  }
+
   test("cramers v: one row, bounded effect, chain recomputes from chi2") {
     import spark.implicits._
     val rows = q("q_cramers_v").as[(Long, Long, Long, Long)].collect()
