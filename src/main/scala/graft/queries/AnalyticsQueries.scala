@@ -1970,6 +1970,72 @@ object AnalyticsQueries {
           .orderBy("event_type", "dow")
       }),
 
+    // MARKOV NEXT-EVENT BACKTEST: train the 1-step transition
+    // predictor (argmax successor per type, count-desc type-asc
+    // tiebreak) on the FIRST temporal half and score it on the
+    // SECOND — the honest sequence-model evaluation
+    // q_markov_transition's in-sample matrix can't give (a model
+    // that memorizes the majority successor looks perfect in-sample;
+    // the split says what transfers). The cut is the DISCRETE MEDIAN
+    // day — a broadcast quantile scalar, so the split adapts to any
+    // SF. Transitions come from ONE user-keyed lag window
+    // (ts, event_id total order); train matrix and test scoring are
+    // |types|²-sized after that single fact pass.
+    QDef("q_markov_backtest", Some("""
+      WITH ev AS (SELECT user_id, event_type, ts, event_id,
+              epoch_us(date_trunc('day', ts)) // 86400000000 AS dnum FROM events),
+      md AS (SELECT CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY dnum)
+               AS BIGINT) AS cut
+             FROM (SELECT DISTINCT dnum FROM ev)),
+      tr AS (SELECT user_id, event_type, dnum,
+               lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                 AS prev
+             FROM ev),
+      trn AS (SELECT prev, event_type AS nxt, count(*) AS c
+              FROM tr, md WHERE prev IS NOT NULL AND dnum <= cut GROUP BY 1, 2),
+      pred AS (SELECT prev, nxt AS pred_next FROM trn
+               QUALIFY row_number() OVER (PARTITION BY prev ORDER BY c DESC, nxt) = 1),
+      tst AS (SELECT tr.prev, tr.event_type AS actual FROM tr, md
+              WHERE tr.prev IS NOT NULL AND tr.dnum > cut)
+      SELECT t.prev AS prev_type, p.pred_next,
+             CAST(count(*) AS BIGINT) AS n_test,
+             CAST(sum(CASE WHEN t.actual = p.pred_next THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_correct,
+             CAST((1000 * sum(CASE WHEN t.actual = p.pred_next THEN 1 ELSE 0 END))
+               // count(*) AS BIGINT) AS acc_permille
+      FROM tst t JOIN pred p ON t.prev = p.prev
+      GROUP BY 1, 2 ORDER BY prev_type"""),
+      (s, d) => {
+        val ev = t(s, d, "events").select(col("user_id"), col("event_type"),
+          col("ts"), col("event_id"),
+          expr("div(unix_micros(date_trunc('day', ts)), 86400000000)").as("dnum"))
+        val md = ev.select("dnum").distinct()
+          .agg(expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY dnum)")
+            .cast("long").as("cut"))
+        val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        val tr = ev.withColumn("prev", lag("event_type", 1).over(w))
+          .filter(col("prev").isNotNull)
+          .crossJoin(broadcast(md))
+        val pred = tr.filter(col("dnum") <= col("cut"))
+          .groupBy(col("prev"), col("event_type").as("nxt"))
+          .agg(count(lit(1)).as("c"))
+          .withColumn("rn", row_number().over(
+            Window.partitionBy("prev").orderBy(col("c").desc, col("nxt"))))
+          .filter(col("rn") === 1)
+          .select(col("prev").as("pp"), col("nxt").as("pred_next"))
+        tr.filter(col("dnum") > col("cut"))
+          .select(col("prev"), col("event_type").as("actual"))
+          .join(broadcast(pred), col("prev") === col("pp"))
+          .groupBy(col("prev").as("prev_type"), col("pred_next"))
+          .agg(count(lit(1)).as("n_test"),
+            sum(when(col("actual") === col("pred_next"), 1L).otherwise(0L))
+              .cast("long").as("n_correct"))
+          .select(col("prev_type"), col("pred_next"), col("n_test"),
+            col("n_correct"),
+            expr("div(1000 * n_correct, n_test)").as("acc_permille"))
+          .orderBy("prev_type")
+      }),
+
     // RAKING / IPF (one full row→column sweep): post-stratification
     // weights that calibrate a BIASED sample (user_id ≡ 0 mod 3, the
     // survey-frame stand-in) back to the population's event_type ×

@@ -356,6 +356,65 @@ object SimQueries {
           .orderBy("qid")
       }),
 
+    // RANK-BIASED PRECISION at p = 1/2 — the RANK-SENSITIVE sibling
+    // of q_embed_recall_eval's set recall: a truth hit at ANN rank 1
+    // is worth 2× one at rank 2 (Moffat–Zobel persistence model), so
+    // a cell search that finds the right neighbors but in the wrong
+    // order is penalized where recall@k can't see it. p = 1/2 is the
+    // engine-exactness trick: every weight is a DYADIC rational, so
+    // the whole metric scales to the integer Σ 2^(10−rank) over hits
+    // (max 1023) — no float touches the oracle surface, unlike nDCG,
+    // whose log2 discount is not exactly-rounded IEEE. Rankings are
+    // the two production paths (brute truth, IVF cell search) at
+    // k = 10; the quadratic truth pass is harness-bounded (10
+    // probes), the IVF side joins on the cell key.
+    QDef("q_rbp_ranking_eval", Some(s"""
+      WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      q AS (SELECT vec_id AS qid, label AS cell, v AS qv FROM e WHERE vec_id < 10),
+      c AS (SELECT vec_id AS cid, label AS cell, v AS cv FROM e),
+      ts AS (SELECT qid, cid, round($cosSql, 3) AS sim3
+             FROM q CROSS JOIN c WHERE qid <> cid),
+      tr AS (SELECT qid, cid FROM ts
+             QUALIFY row_number() OVER (PARTITION BY qid ORDER BY sim3 DESC, cid) <= 10),
+      sv AS (SELECT qid, cid, round($cosSql, 3) AS sim3
+             FROM q JOIN c USING (cell) WHERE qid <> cid),
+      ar AS (SELECT qid, cid,
+               CAST(row_number() OVER (PARTITION BY qid ORDER BY sim3 DESC, cid)
+                 AS BIGINT) AS rnk
+             FROM sv
+             QUALIFY row_number() OVER (PARTITION BY qid ORDER BY sim3 DESC, cid) <= 10),
+      j AS (SELECT ar.qid, ar.rnk,
+              CASE WHEN tr.cid IS NOT NULL THEN 1 ELSE 0 END AS hit
+            FROM ar LEFT JOIN tr ON ar.qid = tr.qid AND ar.cid = tr.cid)
+      SELECT qid, CAST(count(*) AS BIGINT) AS n_ranked,
+             CAST(sum(hit) AS BIGINT) AS hits,
+             CAST(sum(hit * (1 << CAST(10 - rnk AS INTEGER))) AS BIGINT)
+               AS rbp_scaled,
+             CAST((1000 * sum(hit * (1 << CAST(10 - rnk AS INTEGER)))) // 1023
+               AS BIGINT) AS rbp_permille
+      FROM j GROUP BY qid ORDER BY qid"""),
+      (s, d) => {
+        val e = t(s, d, "embeddings")
+          .select(col("vec_id"), col("label").as("cell"), col("embedding").as("v"))
+        val q = e.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("qid"), col("cell"), col("v").as("qv"))
+        val c = e.select(col("vec_id").as("cid"), col("cell"), col("v").as("cv"))
+        val truth = Similarity.bruteForceTopK(
+          c.select("cid", "cv"), q.select("qid", "qv"), 10).select("qid", "cid")
+        val ann = Similarity.ivfTopK(c, q, 10).select("qid", "cid", "rank")
+        ann.join(truth.withColumn("hit", lit(1L)), Seq("qid", "cid"), "left")
+          .select(col("qid"), col("rank"),
+            coalesce(col("hit"), lit(0L)).as("hit"))
+          .groupBy("qid")
+          .agg(count(lit(1)).as("n_ranked"), sum("hit").cast("long").as("hits"),
+            sum(col("hit") *
+              expr("shiftleft(cast(1 as bigint), cast(10 - rank as int))"))
+              .cast("long").as("rbp_scaled"))
+          .select(col("qid"), col("n_ranked"), col("hits"), col("rbp_scaled"),
+            expr("div(1000 * rbp_scaled, 1023)").as("rbp_permille"))
+          .orderBy("qid")
+      }),
+
     // K-MEANS CENTROID RECOMPUTE (one Lloyd iteration): assign every
     // vector to its nearest centroid, then recompute each cell's mean
     // — the "train" step that closes the IVF loop (build → assign →

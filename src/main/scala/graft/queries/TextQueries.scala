@@ -869,6 +869,40 @@ object TextQueries {
           .orderBy("doc_id")
       }),
 
+    // TOKENIZER FERTILITY per language: regex-token mass over
+    // whitespace-token mass in exact permille — the
+    // tokens-per-"word" ratio that decides whether a tokenizer suits
+    // a corpus slice (fertility creeping up on one language = that
+    // language is being shredded into fragments; the metric every
+    // multilingual-tokenizer evaluation tables). Both counts are the
+    // engine-shared TextAnalysis trees (whitespace split; [a-z]+
+    // runs as the BPE-ish stand-in), aggregated map-side to
+    // |langs| rows.
+    QDef("q_tokenizer_fertility", Some("""
+      WITH d AS (SELECT lang,
+              CAST(len(list_filter(string_split(text, ' '), t -> t <> ''))
+                AS BIGINT) AS ws,
+              CAST(len(regexp_extract_all(text, '[a-z]+')) AS BIGINT) AS rx
+            FROM documents)
+      SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(ws) AS BIGINT) AS ws_tokens,
+             CAST(sum(rx) AS BIGINT) AS regex_tokens,
+             CASE WHEN sum(ws) > 0
+                  THEN CAST((1000 * sum(rx)) // sum(ws) AS BIGINT) END
+               AS fertility_permille
+      FROM d GROUP BY 1 ORDER BY lang"""),
+      (s, d) => t(s, d, "documents")
+        .select(col("lang"),
+          graft.text.TextAnalysis.tokenCount(col("text")).as("ws"),
+          graft.text.TextAnalysis.regexTokenCount(col("text")).as("rx"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"), sum("ws").cast("long").as("ws_tokens"),
+          sum("rx").cast("long").as("regex_tokens"))
+        .select(col("lang"), col("n_docs"), col("ws_tokens"), col("regex_tokens"),
+          when(col("ws_tokens") > 0,
+            expr("div(1000 * regex_tokens, ws_tokens)")).as("fertility_permille"))
+        .orderBy("lang")),
+
     // ZIPF GOODNESS-OF-FIT over the corpus vocabulary — per top-32
     // rank: occurrence frequency, the Zipf invariant freq·rank, and
     // its ratio to f(1) in exact permille (Zipf's law predicts

@@ -326,6 +326,64 @@ class Round10OpsSpec extends AnyFunSuite {
     assert(math.abs(rows.head._4 - exact) <= 1, s"$src ESS $exact")
   }
 
+  test("rbp ranking: dyadic weights bounded, consistent with hit counts") {
+    import spark.implicits._
+    val rows = q("q_rbp_ranking_eval").as[(Long, Long, Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (qid, nr, hits, scaled, pm) =>
+      assert(nr >= 1 && nr <= 10 && hits <= nr, s"qid $qid")
+      assert(pm == 1000 * scaled / 1023, s"qid $qid permille")
+      // given `hits` hits at SOME ranks 1..nr, the dyadic mass is
+      // bracketed by the hits sitting at the worst vs best ranks
+      val weights = (1 to nr.toInt).map(r => 1L << (10 - r))
+      val lo = weights.takeRight(hits.toInt).sum
+      val hi = weights.take(hits.toInt).sum
+      assert(scaled >= lo && scaled <= hi, s"qid $qid: $scaled not in [$lo,$hi]")
+    }
+  }
+
+  test("markov backtest: the trained argmax recomputes from the first half") {
+    import spark.implicits._
+    val rows = q("q_markov_backtest")
+      .as[(String, String, Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (p, _, n, c, acc) =>
+      assert(c <= n, p); assert(acc == 1000 * c / n, p)
+    }
+    // recompute the cut + one prev-type's argmax successor from raw events
+    val days = tbl("events")
+      .select(expr("div(unix_micros(date_trunc('day', ts)), 86400000000)").as("d"))
+      .distinct().as[Long].collect().sorted
+    val cut = days(math.ceil(0.5 * days.length).toInt - 1)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("ts", "event_id")
+    val tr = tbl("events")
+      .withColumn("prev", lag("event_type", 1).over(w))
+      .withColumn("d", expr("div(unix_micros(date_trunc('day', ts)), 86400000000)"))
+      .filter(col("prev").isNotNull && col("d") <= cut)
+      .groupBy("prev", "event_type").count()
+      .as[(String, String, Long)].collect()
+    val p0 = rows.head._1
+    val best = tr.filter(_._1 == p0).minBy(t => (-t._3, t._2))._2
+    assert(rows.head._2 == best, s"$p0 argmax successor")
+  }
+
+  test("tokenizer fertility: masses recompute, alpha-run corpus is exact") {
+    import spark.implicits._
+    val rows = q("q_tokenizer_fertility")
+      .as[(String, Long, Long, Long, Option[Long])].collect()
+    assert(rows.nonEmpty)
+    assert(rows.map(_._2).sum == tbl("documents").count())
+    val masses = tbl("documents").groupBy("lang")
+      .agg(sum(graft.text.TextAnalysis.tokenCount(col("text"))).as("ws"),
+        sum(graft.text.TextAnalysis.regexTokenCount(col("text"))).as("rx"))
+      .as[(String, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    rows.foreach { case (lang, _, ws, rx, pm) =>
+      assert(masses(lang) == ((ws, rx)), lang)
+      assert(pm.contains(1000 * rx / ws), lang)
+    }
+  }
+
   test("cramers v: one row, bounded effect, chain recomputes from chi2") {
     import spark.implicits._
     val rows = q("q_cramers_v").as[(Long, Long, Long, Long)].collect()
