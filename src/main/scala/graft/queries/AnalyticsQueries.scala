@@ -1970,6 +1970,127 @@ object AnalyticsQueries {
           .orderBy("event_type", "dow")
       }),
 
+    // PARTITION-GRAIN ADVISOR: the table-layout decision BEFORE the
+    // first write — for day / week / month candidate grains, the
+    // partition census (count, avg/max/min rows, max-over-avg skew
+    // permille, distance to a 20k-rows/partition target) that says
+    // which grain gives healthy file sizes without small-file bloat
+    // (too fine = metadata storms, too coarse = unprunable monsters;
+    // q_zonemap_prune_audit measures the pruning payoff AFTER this
+    // choice). One pass builds all three candidate keyings via a
+    // 3-way projection union; each census is a map-side-combined
+    // aggregate over partition keys — metadata-sized at any fact
+    // scale.
+    QDef("q_partition_grain_advisor", Some("""
+      WITH e AS (SELECT epoch_us(date_trunc('day', ts)) // 86400000000 AS dnum
+                 FROM events),
+      g AS (SELECT 'a_day' AS grain, dnum AS pk FROM e
+            UNION ALL SELECT 'b_week', dnum // 7 FROM e
+            UNION ALL SELECT 'c_month', dnum // 30 FROM e),
+      p AS (SELECT grain, pk, CAST(count(*) AS BIGINT) AS n FROM g GROUP BY 1, 2),
+      a AS (SELECT grain, CAST(count(*) AS BIGINT) AS n_partitions,
+              CAST(sum(n) AS BIGINT) AS total, CAST(max(n) AS BIGINT) AS max_rows,
+              CAST(min(n) AS BIGINT) AS min_rows
+            FROM p GROUP BY 1)
+      SELECT grain, n_partitions, total // n_partitions AS avg_rows,
+             max_rows, min_rows,
+             CAST((1000 * max_rows * n_partitions) // total AS BIGINT)
+               AS skew_permille,
+             abs(total // n_partitions - 20000) AS target_gap
+      FROM a ORDER BY grain"""),
+      (s, d) => {
+        val e = t(s, d, "events").select(
+          expr("div(unix_micros(date_trunc('day', ts)), 86400000000)").as("dnum"))
+        val g = e.select(lit("a_day").as("grain"), col("dnum").as("pk"))
+          .unionByName(e.select(lit("b_week").as("grain"),
+            expr("div(dnum, 7)").as("pk")))
+          .unionByName(e.select(lit("c_month").as("grain"),
+            expr("div(dnum, 30)").as("pk")))
+        g.groupBy("grain", "pk").agg(count(lit(1)).as("n"))
+          .groupBy("grain")
+          .agg(count(lit(1)).as("n_partitions"), sum("n").cast("long").as("total"),
+            max("n").cast("long").as("max_rows"),
+            min("n").cast("long").as("min_rows"))
+          .select(col("grain"), col("n_partitions"),
+            expr("div(total, n_partitions)").as("avg_rows"),
+            col("max_rows"), col("min_rows"),
+            expr("div(1000 * max_rows * n_partitions, total)").as("skew_permille"),
+            abs(expr("div(total, n_partitions)") - lit(20000L)).as("target_gap"))
+          .orderBy("grain")
+      }),
+
+    // GAINS / LIFT CURVE: treating `value` as the model score and
+    // purchase as the positive, the decile-ranked cumulative-lift
+    // table every targeting campaign is judged by ("the top score
+    // decile captures X× its share of conversions"). Deciles come
+    // from NINE percentile_disc boundaries broadcast back onto a
+    // projection — never ntile over the fact (the global-sort trap;
+    // the q_curriculum_schedule discipline), so ties land
+    // deterministically in the same decile on both engines. Lift is
+    // the exact integer cross-ratio 1000·cum_pos·n_total div
+    // (cum_n·pos_total), cumulated over a 10-row window.
+    QDef("q_gains_curve", Some("""
+      WITH e AS (SELECT CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS cents,
+              CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS pos
+            FROM events),
+      b AS (SELECT CAST(percentile_disc(0.1) WITHIN GROUP (ORDER BY cents) AS BIGINT) AS b1,
+              CAST(percentile_disc(0.2) WITHIN GROUP (ORDER BY cents) AS BIGINT) AS b2,
+              CAST(percentile_disc(0.3) WITHIN GROUP (ORDER BY cents) AS BIGINT) AS b3,
+              CAST(percentile_disc(0.4) WITHIN GROUP (ORDER BY cents) AS BIGINT) AS b4,
+              CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY cents) AS BIGINT) AS b5,
+              CAST(percentile_disc(0.6) WITHIN GROUP (ORDER BY cents) AS BIGINT) AS b6,
+              CAST(percentile_disc(0.7) WITHIN GROUP (ORDER BY cents) AS BIGINT) AS b7,
+              CAST(percentile_disc(0.8) WITHIN GROUP (ORDER BY cents) AS BIGINT) AS b8,
+              CAST(percentile_disc(0.9) WITHIN GROUP (ORDER BY cents) AS BIGINT) AS b9
+            FROM e),
+      dd AS (SELECT CAST(1 + CAST(cents > b1 AS INTEGER)
+               + CAST(cents > b2 AS INTEGER) + CAST(cents > b3 AS INTEGER)
+               + CAST(cents > b4 AS INTEGER) + CAST(cents > b5 AS INTEGER)
+               + CAST(cents > b6 AS INTEGER) + CAST(cents > b7 AS INTEGER)
+               + CAST(cents > b8 AS INTEGER) + CAST(cents > b9 AS INTEGER)
+               AS BIGINT) AS decile, pos
+             FROM e, b),
+      dc AS (SELECT decile, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(pos) AS BIGINT) AS npos FROM dd GROUP BY 1),
+      cum AS (SELECT decile, n, npos,
+                CAST(sum(n) OVER w AS BIGINT) AS cum_n,
+                CAST(sum(npos) OVER w AS BIGINT) AS cum_pos,
+                CAST(sum(n) OVER () AS BIGINT) AS tot_n,
+                CAST(sum(npos) OVER () AS BIGINT) AS tot_pos
+              FROM dc WINDOW w AS (ORDER BY decile DESC
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+      SELECT decile, n, npos, cum_n, cum_pos,
+             CAST((1000 * cum_pos * tot_n) // (cum_n * tot_pos) AS BIGINT)
+               AS cum_lift_permille
+      FROM cum ORDER BY decile DESC"""),
+      (s, d) => {
+        val e = t(s, d, "events").select(
+          floor(col("value") * lit(100.0) + lit(0.5)).cast("long").as("cents"),
+          when(col("event_type") === "purchase", 1L).otherwise(0L).as("pos"))
+        val bCols = (1 to 9).map(i =>
+          expr(s"percentile_disc(0.$i) WITHIN GROUP (ORDER BY cents)")
+            .cast("long").as(s"b$i"))
+        val b = e.agg(bCols.head, bCols.tail: _*)
+        val decile = (1 to 9).map(i =>
+          (col("cents") > col(s"b$i")).cast("long")).reduce(_ + _) + lit(1L)
+        val dc = e.crossJoin(broadcast(b))
+          .select(decile.as("decile"), col("pos"))
+          .groupBy("decile").agg(count(lit(1)).as("n"),
+            sum("pos").cast("long").as("npos"))
+        val w = Window.orderBy(col("decile").desc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val tw = Window.partitionBy()
+        dc.withColumn("cum_n", sum("n").over(w).cast("long"))
+          .withColumn("cum_pos", sum("npos").over(w).cast("long"))
+          .withColumn("tot_n", sum("n").over(tw).cast("long"))
+          .withColumn("tot_pos", sum("npos").over(tw).cast("long"))
+          .select(col("decile"), col("n"), col("npos"), col("cum_n"),
+            col("cum_pos"),
+            expr("div(1000 * cum_pos * tot_n, cum_n * tot_pos)")
+              .as("cum_lift_permille"))
+          .orderBy(col("decile").desc)
+      }),
+
     // MARKOV NEXT-EVENT BACKTEST: train the 1-step transition
     // predictor (argmax successor per type, count-desc type-asc
     // tiebreak) on the FIRST temporal half and score it on the

@@ -458,6 +458,43 @@ object TrainPrepQueries {
           .orderBy("doc_id")
       }),
 
+    // JACKKNIFE SOURCE SENSITIVITY: leave-one-SOURCE-out estimates of
+    // the corpus mean doc length — "if this source vanished, how
+    // would the headline statistic move?" — the robustness audit
+    // that catches one source silently carrying (or dragging) a
+    // corpus metric, at the grain removals actually happen
+    // (whole sources, not rows; the jackknife's natural unit here).
+    // All estimates derive from ONE aggregate: full-corpus totals
+    // broadcast back onto the per-source rollup, each LOO mean an
+    // exact integer milli division of (total − this source).
+    QDef("q_jackknife_source", Some("""
+      WITH s AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+              CAST(sum(CAST(n_chars AS BIGINT)) AS BIGINT) AS chars
+            FROM documents GROUP BY 1),
+      tt AS (SELECT CAST(sum(n_docs) AS BIGINT) AS tn,
+                    CAST(sum(chars) AS BIGINT) AS tc FROM s)
+      SELECT source, n_docs,
+             CAST((1000 * tt.tc) // tt.tn AS BIGINT) AS full_mean_milli,
+             CAST((1000 * (tt.tc - chars)) // (tt.tn - n_docs) AS BIGINT)
+               AS loo_mean_milli,
+             CAST((1000 * (tt.tc - chars)) // (tt.tn - n_docs)
+               - (1000 * tt.tc) // tt.tn AS BIGINT) AS delta_milli
+      FROM s, tt ORDER BY source"""),
+      (s, d) => {
+        val src = t(s, d, "documents")
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_chars").cast(LongType)).cast(LongType).as("chars"))
+        src.crossJoin(broadcast(src.agg(sum("n_docs").cast(LongType).as("tn"),
+            sum("chars").cast(LongType).as("tc"))))
+          .select(col("source"), col("n_docs"),
+            expr("div(1000 * tc, tn)").as("full_mean_milli"),
+            expr("div(1000 * (tc - chars), tn - n_docs)").as("loo_mean_milli"),
+            (expr("div(1000 * (tc - chars), tn - n_docs)") -
+              expr("div(1000 * tc, tn)")).as("delta_milli"))
+          .orderBy("source")
+      }),
+
     // EFFECTIVE SAMPLE SIZE per source — Kish's ESS = (Σw)²/Σw² with
     // char mass as the importance weight: how many EQUAL-WEIGHT docs
     // this source is really worth once length-weighting skews it

@@ -384,6 +384,63 @@ class Round10OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("partition grain advisor: censuses conserve mass, skew >= 1000") {
+    import spark.implicits._
+    val rows = q("q_partition_grain_advisor")
+      .as[(String, Long, Long, Long, Long, Long, Long)].collect()
+    assert(rows.map(_._1).toSeq == Seq("a_day", "b_week", "c_month"))
+    val total = tbl("events").count()
+    rows.foreach { case (g, np, avg, mx, mn, skew, gap) =>
+      assert(avg == total / np, g)
+      assert(mn <= avg && avg <= mx, g)
+      assert(skew >= 1000, s"$g: max/avg permille $skew must be >= 1000")
+      assert(gap == math.abs(avg - 20000), g)
+    }
+    // coarser grains have fewer partitions and larger maxima
+    assert(rows(0)._2 >= rows(1)._2 && rows(1)._2 >= rows(2)._2)
+    assert(rows(0)._4 <= rows(1)._4 && rows(1)._4 <= rows(2)._4)
+  }
+
+  test("gains curve: cumulative columns reconstruct, lift ends at 1000") {
+    import spark.implicits._
+    val rows = q("q_gains_curve")
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+    assert(rows.nonEmpty && rows.length <= 10)
+    assert(rows.map(_._1).toSeq == rows.map(_._1).sorted.reverse.toSeq)
+    // cum columns are the running sums in decile-desc order
+    var (cn, cp) = (0L, 0L)
+    rows.foreach { case (dec, n, np, cumN, cumP, lift) =>
+      cn += n; cp += np
+      assert(cumN == cn && cumP == cp, s"decile $dec running sums")
+      assert(np <= n, s"decile $dec")
+    }
+    val last = rows.last
+    assert(last._6 == 1000L * last._5 * cn / (last._4 * cp),
+      "lift formula at the full-population row")
+    assert(last._4 == cn && last._5 == cp)
+    assert(last._6 >= 999 && last._6 <= 1000,
+      "full-population lift is 1 by definition (floor may shave 1)")
+  }
+
+  test("jackknife source: LOO identity holds against BigInt recomputation") {
+    import spark.implicits._
+    val rows = q("q_jackknife_source")
+      .as[(String, Long, Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    val docs = tbl("documents").select(col("source"), col("n_chars").cast("long"))
+      .as[(String, Long)].collect()
+    val tn = docs.length.toLong
+    val tc = docs.map(_._2).sum
+    rows.foreach { case (src, n, full, loo, delta) =>
+      val (sn, sc) = (docs.count(_._1 == src).toLong,
+        docs.filter(_._1 == src).map(_._2).sum)
+      assert(n == sn, src)
+      assert(full == 1000 * tc / tn, src)
+      assert(loo == 1000 * (tc - sc) / (tn - sn), src)
+      assert(delta == loo - full, src)
+    }
+  }
+
   test("cramers v: one row, bounded effect, chain recomputes from chi2") {
     import spark.implicits._
     val rows = q("q_cramers_v").as[(Long, Long, Long, Long)].collect()
