@@ -1713,6 +1713,90 @@ object TextQueries {
     // floored shared double, not integer division). The marginal
     // product is a label-set-sized join — everything after the one
     // doc-grain scoring pass is k-row arithmetic.
+    // MATTHEWS CORRELATION per language (one-vs-rest): the
+    // classifier-eval family closer — accuracy (confusion), chance-
+    // corrected agreement (κ), rank separation (AUC) exist; MCC is
+    // the one single-class summary that stays honest under class
+    // imbalance (a majority-class predictor scores κ≈0 AND MCC≈0,
+    // but hits high accuracy). TP/FP/FN/TN derive from the
+    // |langs|²-sized confusion CELLS, never a per-label rescan of
+    // the corpus — at 100 TB the doc-grain pass happens once and
+    // every label's quadrant algebra is dim-sized. The irrational
+    // step is one fixed mul/sqrt/div tree of exactly-rounded IEEE
+    // ops floored once (can be negative — floor, not truncate, on
+    // both engines by construction).
+    QDef("q_mcc_lang_id", Some("""
+      WITH d AS (SELECT doc_id, lang,
+        list_filter(string_split(text, ' '), t -> t <> '') AS toks
+        FROM documents),
+      s AS (SELECT lang,
+        CAST(len(list_filter(toks, t -> t IN ('the', 'a', 'data'))) AS BIGINT)
+          AS s_en,
+        CAST(len(list_filter(toks, t -> t IN ('agg', 'merge', 'vector')))
+          AS BIGINT) AS s_es,
+        CAST(len(list_filter(toks, t -> t IN ('scan', 'query', 'batch')))
+          AS BIGINT) AS s_fr
+        FROM d),
+      p AS (SELECT lang AS a,
+             CASE WHEN s_en >= s_es AND s_en >= s_fr THEN 'en'
+                  WHEN s_es >= s_fr THEN 'es' ELSE 'fr' END AS pr
+            FROM s),
+      cells AS (SELECT a, pr, CAST(count(*) AS BIGINT) AS n FROM p GROUP BY 1, 2),
+      labs AS (SELECT DISTINCT a AS lab FROM p),
+      m AS (SELECT labs.lab,
+              CAST(coalesce(sum(CASE WHEN c.a = labs.lab AND c.pr = labs.lab
+                THEN c.n END), 0) AS BIGINT) AS tp,
+              CAST(coalesce(sum(CASE WHEN c.a <> labs.lab AND c.pr = labs.lab
+                THEN c.n END), 0) AS BIGINT) AS fp,
+              CAST(coalesce(sum(CASE WHEN c.a = labs.lab AND c.pr <> labs.lab
+                THEN c.n END), 0) AS BIGINT) AS fn,
+              CAST(coalesce(sum(CASE WHEN c.a <> labs.lab AND c.pr <> labs.lab
+                THEN c.n END), 0) AS BIGINT) AS tn
+            FROM labs CROSS JOIN cells c GROUP BY 1)
+      SELECT lab AS lang, tp, fp, fn, tn,
+             CASE WHEN (tp + fp) = 0 OR (tp + fn) = 0
+                    OR (tn + fp) = 0 OR (tn + fn) = 0 THEN 0
+                  ELSE CAST(floor((1000.0 * (tp * tn - fp * fn)) /
+                    sqrt((1.0 * (tp + fp) * (tp + fn)) *
+                         (1.0 * (tn + fp) * (tn + fn)))) AS BIGINT)
+             END AS mcc_milli
+      FROM m ORDER BY lang"""),
+      (s, d) => {
+        val toks = graft.text.TextAnalysis.tokens(col("text"))
+        def score(ws: Seq[String]) =
+          size(filter(toks, tk => tk.isin(ws.map(lit): _*))).cast("long")
+        val p = t(s, d, "documents")
+          .select(col("lang").as("a"),
+            score(Seq("the", "a", "data")).as("s_en"),
+            score(Seq("agg", "merge", "vector")).as("s_es"),
+            score(Seq("scan", "query", "batch")).as("s_fr"))
+          .select(col("a"),
+            when(col("s_en") >= col("s_es") && col("s_en") >= col("s_fr"), "en")
+              .when(col("s_es") >= col("s_fr"), "es").otherwise("fr").as("pr"))
+        val cells = p.groupBy("a", "pr").agg(count(lit(1)).as("n"))
+        val labs = p.select(col("a").as("lab")).distinct()
+        labs.crossJoin(broadcast(cells))
+          .groupBy("lab")
+          .agg(
+            coalesce(sum(when(col("a") === col("lab") && col("pr") === col("lab"),
+              col("n"))), lit(0L)).cast("long").as("tp"),
+            coalesce(sum(when(col("a") =!= col("lab") && col("pr") === col("lab"),
+              col("n"))), lit(0L)).cast("long").as("fp"),
+            coalesce(sum(when(col("a") === col("lab") && col("pr") =!= col("lab"),
+              col("n"))), lit(0L)).cast("long").as("fn"),
+            coalesce(sum(when(col("a") =!= col("lab") && col("pr") =!= col("lab"),
+              col("n"))), lit(0L)).cast("long").as("tn"))
+          .select(col("lab").as("lang"), col("tp"), col("fp"), col("fn"), col("tn"),
+            when(col("tp") + col("fp") === 0 || col("tp") + col("fn") === 0 ||
+                 col("tn") + col("fp") === 0 || col("tn") + col("fn") === 0, 0L)
+              .otherwise(floor((lit(1000.0) * (col("tp") * col("tn") -
+                  col("fp") * col("fn"))) /
+                sqrt((lit(1.0) * (col("tp") + col("fp")) * (col("tp") + col("fn"))) *
+                     (lit(1.0) * (col("tn") + col("fp")) * (col("tn") + col("fn")))))
+                .cast("long")).as("mcc_milli"))
+          .orderBy("lang")
+      }),
+
     QDef("q_lang_id_kappa", Some("""
       WITH d AS (SELECT doc_id, lang,
         list_filter(string_split(text, ' '), t -> t <> '') AS toks

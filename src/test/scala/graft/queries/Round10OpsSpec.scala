@@ -441,6 +441,24 @@ class Round10OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("mcc: quadrants tile the corpus, value recomputes and is bounded") {
+    import spark.implicits._
+    val rows = q("q_mcc_lang_id")
+      .as[(String, Long, Long, Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    val total = tbl("documents").count()
+    rows.foreach { case (lang, tp, fp, fn, tn, mcc) =>
+      assert(tp + fp + fn + tn == total, s"$lang quadrants must tile the corpus")
+      assert(mcc >= -1000 && mcc <= 1000, s"$lang mcc $mcc")
+      if (Seq(tp + fp, tp + fn, tn + fp, tn + fn).forall(_ > 0)) {
+        val expect = math.floor(1000.0 * (tp * tn - fp * fn) /
+          math.sqrt((1.0 * (tp + fp) * (tp + fn)) *
+            (1.0 * (tn + fp) * (tn + fn)))).toLong
+        assert(mcc == expect, s"$lang recompute")
+      } else assert(mcc == 0, s"$lang degenerate quadrant")
+    }
+  }
+
   test("cramers v: one row, bounded effect, chain recomputes from chi2") {
     import spark.implicits._
     val rows = q("q_cramers_v").as[(Long, Long, Long, Long)].collect()
