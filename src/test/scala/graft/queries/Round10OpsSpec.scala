@@ -459,6 +459,36 @@ class Round10OpsSpec extends AnyFunSuite {
     }
   }
 
+  private def executedPlan(df: org.apache.spark.sql.DataFrame): String = {
+    df.collect()
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("round-10 plan shapes: broadcasts where dim-sized, no stray shuffles") {
+    // CMS: the 256-counter array must BROADCAST into the key probe —
+    // a shuffled counter join would defeat the sketch's whole point
+    val cms = executedPlan(q("q_cms_estimate"))
+    assert(cms.contains("BroadcastHashJoin"), s"CMS counters must broadcast:\n$cms")
+    // kfold: the assignment is a pure projection — the only exchange
+    // is the 5-row census rollup + its total broadcast
+    val kf = executedPlan(q("q_kfold_assign"))
+    assert(!kf.contains("SortMergeJoin"), s"kfold must stay broadcast-only:\n$kf")
+    // DBSCAN: density logic must ride broadcast equi-joins (an
+    // |Δcx|<=1 band join would plan BroadcastNestedLoop/cartesian)
+    val db = executedPlan(q("q_dbscan_grid"))
+    assert(db.contains("BroadcastHashJoin") && !db.contains("CartesianProduct"),
+      s"dbscan neighbor test must be a broadcast equi-join:\n$db")
+    // the only nested-loop joins allowed are the 1-row minpts-scalar
+    // crossJoins (the repo-wide broadcast-scalar pattern) — the
+    // core/border NEIGHBOR joins themselves must both be hash joins
+    assert("BroadcastHashJoin \\[cx".r.findAllIn(db).length >= 2,
+      s"both label joins must be equi-hash on (cx, cy):\n$db")
+    // raking: both margin joins are dim-sized broadcasts; the fact
+    // shuffles only for its two aggregates
+    val rk = executedPlan(q("q_raking_ipf"))
+    assert(!rk.contains("SortMergeJoin"), s"raking margins must broadcast:\n$rk")
+  }
+
   test("cramers v: one row, bounded effect, chain recomputes from chi2") {
     import spark.implicits._
     val rows = q("q_cramers_v").as[(Long, Long, Long, Long)].collect()
