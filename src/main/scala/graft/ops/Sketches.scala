@@ -1,0 +1,51 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Shared Count-Min-sketch expression trees — ONE definition of the
+  * salted-md5 bucket hash and the counter build, consumed by the
+  * batch sketch (`q_cms_estimate`, AnalyticsQueries) and the
+  * streaming sketch ([[graft.streaming.EventStream.cmsCounterStream]]),
+  * so the batch oracle check covers the streaming face's arithmetic
+  * (the TextAnalysis / Mixing discipline applied to sketches).
+  *
+  * The sketch is d=4 hash rows × w=64 buckets: 256 counters total at
+  * any fact scale. Counters are pure ADDITIVE state, which is what
+  * makes the streaming form a plain running aggregation — no custom
+  * state store, bounded at d·w rows forever.
+  */
+object Sketches {
+  val CmsDepth = 4
+  val CmsWidth = 64
+
+  /** Row-`i` bucket of `key`: first 16 md5 bits of "cms{i}|{key}"
+    * mod width. Deterministic, engine-reproducible (the
+    * q_split_assign salted-hash discipline). */
+  def cmsBucket(i: Column, key: Column): Column =
+    conv(substring(md5(concat(lit("cms"), i.cast("string"), lit("|"),
+      key.cast("string"))), 1, 4), 16, 10).cast("int") % CmsWidth
+
+  /** One (i, bucket) increment row per (input row, hash row). */
+  def cmsIncrements(df: DataFrame, key: String): DataFrame =
+    df.select(col(key).as("k"),
+        explode(array((0 until CmsDepth).map(lit): _*)).as("i"))
+      .select(col("i"), cmsBucket(col("i"), col("k")).as("bucket"))
+
+  /** The 256-counter array. In batch this is one map-side-combined
+    * aggregate; under a streaming DataFrame the SAME plan is a
+    * running aggregation whose state is exactly d·w rows. */
+  def cmsCounters(df: DataFrame, key: String): DataFrame =
+    cmsIncrements(df, key).groupBy("i", "bucket")
+      .agg(count(lit(1)).as("c"))
+
+  /** Point estimates for a key table: min over the key's d counters —
+    * the counter side broadcasts (256 rows) at any scale. */
+  def cmsEstimate(keys: DataFrame, key: String, counters: DataFrame): DataFrame =
+    keys.select(col(key),
+        explode(array((0 until CmsDepth).map(lit): _*)).as("i"))
+      .select(col(key), col("i"), cmsBucket(col("i"), col(key)).as("bucket"))
+      .join(broadcast(counters), Seq("i", "bucket"))
+      .groupBy(key)
+      .agg(min("c").cast("long").as("cms_estimate"))
+}

@@ -181,21 +181,14 @@ object AnalyticsQueries {
       FROM keyb k JOIN cnt c ON k.i = c.i AND k.bucket = c.bucket
       GROUP BY 1, 2 ORDER BY user_id"""),
       (s, d) => {
-        def bucket(key: org.apache.spark.sql.Column) =
-          conv(substring(md5(concat(lit("cms"), col("i").cast("string"), lit("|"),
-            key.cast("string"))), 1, 4), 16, 10).cast("int") % 64
-        val hh = explode(array((0 to 3).map(lit): _*)).as("i")
-        val cnt = t(s, d, "events").select(col("user_id"), hh)
-          .select(col("i"), bucket(col("user_id")).as("bucket"))
-          .groupBy("i", "bucket").agg(count(lit(1)).as("c"))
+        // counter build + probe live ONCE in ops.Sketches — the
+        // streaming face (EventStream.cmsCounterStream) runs the same
+        // trees, so this oracle covers both
+        val cnt = graft.ops.Sketches.cmsCounters(t(s, d, "events"), "user_id")
         val truth = t(s, d, "events").groupBy("user_id")
           .agg(count(lit(1)).as("n"))
-        truth.select(col("user_id"), col("n"), hh)
-          .select(col("user_id"), col("n"), col("i"),
-            bucket(col("user_id")).as("bucket"))
-          .join(broadcast(cnt), Seq("i", "bucket"))
-          .groupBy("user_id", "n")
-          .agg(min("c").cast("long").as("cms_estimate"))
+        graft.ops.Sketches.cmsEstimate(truth, "user_id", cnt)
+          .join(truth, Seq("user_id"))
           .select(col("user_id"), col("n").as("true_count"), col("cms_estimate"),
             (col("cms_estimate") - col("n")).as("overcount"))
           .orderBy("user_id")

@@ -311,6 +311,19 @@ object EventStream {
           .as("lag_sec"))
   }
 
+  /** Streaming Count-Min sketch: the 4×64 counter array maintained
+    * as a RUNNING aggregation over the event stream — counters are
+    * additive, so the plan is a plain groupBy whose state is exactly
+    * 256 rows forever (no custom state store, no watermark needed:
+    * the sketch summarizes ALL history by design). Point estimates
+    * are then [[graft.ops.Sketches.cmsEstimate]] over the current
+    * counter snapshot — e.g. inside foreachBatch against a keys
+    * table, or batch-side after a sink. Expression trees are shared
+    * with the batch sketch (q_cms_estimate), so the DuckDB oracle
+    * covers this face's arithmetic. */
+  def cmsCounterStream(events: DataFrame, key: String): DataFrame =
+    graft.ops.Sketches.cmsCounters(events, key)
+
   /** At-least-once input → exactly-once effect: drop redelivered
     * rows by id, state bounded by the watermark (the streaming form
     * of the reference's content-hash merge dedup). */

@@ -539,4 +539,41 @@ class EventStreamSpec extends AnyFunSuite {
       .filter($"contact_id" === "3").select("email").as[String].head()
     assert(e3 == "c2@x")
   }
+
+  test("streaming CMS: counters converge to the batch sketch across " +
+      "micro-batches, estimates never undercount, state is <= 256 rows") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Long]
+    val counters = EventStream.cmsCounterStream(
+      input.toDF().toDF("user_id"), "user_id")
+    val q = counters.writeStream.format("memory").queryName("cms")
+      .outputMode(OutputMode.Complete).start()
+    val b1 = Seq.tabulate(40)(i => (i % 7).toLong)
+    val b2 = Seq.tabulate(25)(i => (i % 5).toLong * 13)
+    try {
+      input.addData(b1: _*); q.processAllAvailable()
+      input.addData(b2: _*); q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.sql("SELECT i, bucket, c FROM cms")
+      .as[(Int, Int, Long)].collect().sorted.toSeq
+    assert(got.nonEmpty && got.size <= 256, "state bounded by d*w")
+    // the running aggregation over both batches IS the batch sketch
+    // over the union — additive counters, same expression trees
+    val all = (b1 ++ b2).toDF("user_id")
+    val batch = graft.ops.Sketches.cmsCounters(all, "user_id")
+      .as[(Int, Int, Long)].collect().sorted.toSeq
+    assert(got == batch, "streaming counters == batch counters")
+    // and estimates off the final snapshot obey the one-sided contract
+    val truth = all.groupBy("user_id").count()
+    val est = graft.ops.Sketches.cmsEstimate(
+        truth.select("user_id"), "user_id",
+        spark.sql("SELECT i, bucket, c FROM cms"))
+      .join(truth, Seq("user_id"))
+      .select("user_id", "cms_estimate", "count")
+      .as[(Long, Long, Long)].collect()
+    assert(est.nonEmpty)
+    est.foreach { case (u, e, n) =>
+      assert(e >= n, s"user $u: streaming CMS must never undercount") }
+  }
 }
