@@ -1963,6 +1963,86 @@ object AnalyticsQueries {
           .orderBy("event_type", "dow")
       }),
 
+    // ODDS RATIO + RISK RATIO for the weekend→purchase 2×2 table —
+    // the epidemiology pair the A/B tier doesn't carry (the delta-CI
+    // and χ² queries test DIFFERENCES; OR/RR are the multiplicative
+    // exposure readouts a funnel analyst quotes). Both are exact
+    // integer cross-ratios in milli: OR = 1000·a·d div (b·c),
+    // RR = 1000·a·(c+d) div (c·(a+b)) — no float anywhere, products
+    // ≤ ~10¹¹ at bench SFs. One conditional aggregate builds the
+    // whole table; output is ONE row.
+    QDef("q_odds_risk_ratio", Some("""
+      WITH e AS (SELECT CASE WHEN isodow(ts) >= 6 THEN 1 ELSE 0 END AS exposed,
+              CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS pos
+            FROM events),
+      tt AS (SELECT
+          CAST(sum(CASE WHEN exposed = 1 AND pos = 1 THEN 1 ELSE 0 END) AS BIGINT) AS a,
+          CAST(sum(CASE WHEN exposed = 1 AND pos = 0 THEN 1 ELSE 0 END) AS BIGINT) AS b,
+          CAST(sum(CASE WHEN exposed = 0 AND pos = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c,
+          CAST(sum(CASE WHEN exposed = 0 AND pos = 0 THEN 1 ELSE 0 END) AS BIGINT) AS d
+        FROM e)
+      SELECT a, b, c, d,
+             CAST((1000 * a * d) // (b * c) AS BIGINT) AS odds_ratio_milli,
+             CAST((1000 * a * (c + d)) // (c * (a + b)) AS BIGINT)
+               AS risk_ratio_milli
+      FROM tt"""),
+      (s, d) => {
+        val iso = expr("cast((dayofweek(ts) + 5) % 7 + 1 as bigint)")
+        t(s, d, "events")
+          .select(when(iso >= 6, 1L).otherwise(0L).as("exposed"),
+            when(col("event_type") === "purchase", 1L).otherwise(0L).as("pos"))
+          .agg(
+            sum(when(col("exposed") === 1 && col("pos") === 1, 1L).otherwise(0L))
+              .cast("long").as("a"),
+            sum(when(col("exposed") === 1 && col("pos") === 0, 1L).otherwise(0L))
+              .cast("long").as("b"),
+            sum(when(col("exposed") === 0 && col("pos") === 1, 1L).otherwise(0L))
+              .cast("long").as("c"),
+            sum(when(col("exposed") === 0 && col("pos") === 0, 1L).otherwise(0L))
+              .cast("long").as("d"))
+          .select(col("a"), col("b"), col("c"), col("d"),
+            expr("div(1000 * a * d, b * c)").as("odds_ratio_milli"),
+            expr("div(1000 * a * (c + d), c * (a + b))").as("risk_ratio_milli"))
+      }),
+
+    // POISSON RATE CI per event type: daily arrival rate with the
+    // normal-approximation 95% band — rate ± 1.96·√n/T, the
+    // monitoring annotation that turns a raw count into "is today's
+    // rate outside yesterday's band?" (q_xmr_chart bounds the SERIES;
+    // this bounds the RATE estimate itself). The only irrational step
+    // is one √n per type, multiplied through the exactly-rounded
+    // fixed tree (1960.0·√n)/T and floored once — the
+    // q_sequential_peeking discipline; everything else is integer.
+    // T (observed day span) rides a 1-row broadcast.
+    QDef("q_rate_ci", Some("""
+      WITH e AS (SELECT event_type,
+              epoch_us(date_trunc('day', ts)) // 86400000000 AS dnum FROM events),
+      span AS (SELECT CAST(max(dnum) - min(dnum) + 1 AS BIGINT) AS t FROM e),
+      n AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n FROM e GROUP BY 1)
+      SELECT n.event_type, n.n, span.t AS n_days,
+             CAST((1000 * n.n) // span.t AS BIGINT) AS rate_milli,
+             CAST((1000 * n.n) // span.t
+               - CAST(floor((1960.0 * sqrt(1.0 * n.n)) / (1.0 * span.t)) AS BIGINT)
+               AS BIGINT) AS lo_milli,
+             CAST((1000 * n.n) // span.t
+               + CAST(floor((1960.0 * sqrt(1.0 * n.n)) / (1.0 * span.t)) AS BIGINT)
+               AS BIGINT) AS hi_milli
+      FROM n, span ORDER BY event_type"""),
+      (s, d) => {
+        val e = t(s, d, "events").select(col("event_type"),
+          expr("div(unix_micros(date_trunc('day', ts)), 86400000000)").as("dnum"))
+        val span = e.agg((max("dnum") - min("dnum") + lit(1L)).cast("long").as("t"))
+        val hw = floor(lit(1960.0) * sqrt(lit(1.0) * col("n")) /
+          (lit(1.0) * col("t"))).cast("long")
+        e.groupBy("event_type").agg(count(lit(1)).as("n"))
+          .crossJoin(broadcast(span))
+          .select(col("event_type"), col("n"), col("t").as("n_days"),
+            expr("div(1000 * n, t)").as("rate_milli"),
+            (expr("div(1000 * n, t)") - hw).as("lo_milli"),
+            (expr("div(1000 * n, t)") + hw).as("hi_milli"))
+          .orderBy("event_type")
+      }),
+
     // PARTITION-GRAIN ADVISOR: the table-layout decision BEFORE the
     // first write — for day / week / month candidate grains, the
     // partition census (count, avg/max/min rows, max-over-avg skew

@@ -489,6 +489,32 @@ class Round10OpsSpec extends AnyFunSuite {
     assert(!rk.contains("SortMergeJoin"), s"raking margins must broadcast:\n$rk")
   }
 
+  test("odds/risk ratio: quadrants tile, ratios recompute, OR bounds RR") {
+    import spark.implicits._
+    val Array((a, b, c, dd, or, rr)) = q("q_odds_risk_ratio")
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+    assert(a + b + c + dd == tbl("events").count())
+    assert(or == 1000 * a * dd / (b * c))
+    assert(rr == 1000 * a * (c + dd) / (c * (a + b)))
+    // for a positive outcome, OR is always at least as far from 1 as RR
+    assert((or - 1000) * (rr - 1000) >= 0, "OR and RR agree in direction")
+    assert(math.abs(or - 1000) + 1 >= math.abs(rr - 1000),
+      s"OR ($or) must be at least as extreme as RR ($rr) up to floor slack")
+  }
+
+  test("rate ci: band is symmetric, recomputes, and contains the rate") {
+    import spark.implicits._
+    val rows = q("q_rate_ci").as[(String, Long, Long, Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (et, n, t, rate, lo, hi) =>
+      assert(rate == 1000 * n / t, et)
+      val hw = math.floor(1960.0 * math.sqrt(1.0 * n) / (1.0 * t)).toLong
+      assert(lo == rate - hw && hi == rate + hw, s"$et band")
+      assert(lo <= rate && rate <= hi, et)
+      assert(t >= 1 && n >= 1, et)
+    }
+  }
+
   test("cramers v: one row, bounded effect, chain recomputes from chi2") {
     import spark.implicits._
     val rows = q("q_cramers_v").as[(Long, Long, Long, Long)].collect()
