@@ -1963,6 +1963,102 @@ object AnalyticsQueries {
           .orderBy("event_type", "dow")
       }),
 
+    // CAPTURE–RECAPTURE (Lincoln–Petersen + Chapman): estimate the
+    // TRUE user-base size from two observation windows — users seen
+    // in the first half (n1), the second half (n2), and both (m) give
+    // N̂ = n1·n2/m, with Chapman's (n1+1)(n2+1)/(m+1) − 1 as the
+    // small-m-robust variant — the ecology estimator that audits
+    // "how many users exist that we NEVER see" (coverage_permille =
+    // observed/N̂), which no direct count can answer. The window cut
+    // is the discrete median day (scale-adaptive broadcast scalar);
+    // both sightings sets are one distinct-projection aggregate; all
+    // estimates exact integer divisions. ONE row.
+    QDef("q_capture_recapture", Some("""
+      WITH e AS (SELECT DISTINCT user_id,
+              CASE WHEN epoch_us(date_trunc('day', ts)) // 86400000000 <=
+                (SELECT CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY dnum)
+                   AS BIGINT)
+                 FROM (SELECT DISTINCT epoch_us(date_trunc('day', ts))
+                         // 86400000000 AS dnum FROM events))
+              THEN 1 ELSE 2 END AS half
+            FROM events),
+      tt AS (SELECT
+          CAST(sum(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+          CAST(sum(CASE WHEN half = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+          CAST(count(DISTINCT user_id) AS BIGINT) AS observed
+        FROM e),
+      mm AS (SELECT CAST(count(*) AS BIGINT) AS m FROM
+             (SELECT user_id FROM e GROUP BY user_id HAVING count(*) = 2))
+      SELECT n1, n2, mm.m, observed,
+             CAST((n1 * n2) // mm.m AS BIGINT) AS lincoln_petersen,
+             CAST((n1 + 1) * (n2 + 1) // (mm.m + 1) - 1 AS BIGINT) AS chapman,
+             CAST((1000 * observed * mm.m) // (n1 * n2) AS BIGINT)
+               AS coverage_permille
+      FROM tt, mm"""),
+      (s, d) => {
+        val dn = expr("div(unix_micros(date_trunc('day', ts)), 86400000000)")
+        val ev = t(s, d, "events").select(col("user_id"), dn.as("dnum"))
+        val cut = ev.select("dnum").distinct()
+          .agg(expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY dnum)")
+            .cast("long").as("cut"))
+        val e = ev.crossJoin(broadcast(cut))
+          .select(col("user_id"),
+            when(col("dnum") <= col("cut"), 1L).otherwise(2L).as("half"))
+          .distinct()
+        val tt = e.agg(
+          sum(when(col("half") === 1, 1L).otherwise(0L)).cast("long").as("n1"),
+          sum(when(col("half") === 2, 1L).otherwise(0L)).cast("long").as("n2"),
+          countDistinct("user_id").as("observed"))
+        val mm = e.groupBy("user_id").agg(count(lit(1)).as("k"))
+          .filter(col("k") === 2).agg(count(lit(1)).as("m"))
+        tt.crossJoin(broadcast(mm))
+          .select(col("n1"), col("n2"), col("m"), col("observed"),
+            expr("div(n1 * n2, m)").as("lincoln_petersen"),
+            (expr("div((n1 + 1) * (n2 + 1), m + 1)") - lit(1L)).as("chapman"),
+            expr("div(1000 * observed * m, n1 * n2)").as("coverage_permille"))
+      }),
+
+    // GOOD–TURING frequency smoothing: the frequency-of-frequencies
+    // table N_r with the discounted estimate r* = (r+1)·N_{r+1}/N_r
+    // in milli — the LM-smoothing primitive behind Katz backoff
+    // ("how much probability mass do unseen tokens deserve?" is
+    // N_1/N, read straight off row r=1; q_vocab_hapax counts the
+    // hapaxes, this turns them into the estimator). The freq-of-freq
+    // table derives from the token count in one extra map-side
+    // aggregate (|distinct r| rows — tiny at any corpus size); r*
+    // comes from a self-join on r+1 (broadcast). All exact integers;
+    // rows with no N_{r+1} successor emit NULL (the raw-count
+    // fallback regime, reported honestly rather than extrapolated).
+    // Emitted rows are the lowest 10 DISTINCT r values (scale-
+    // adaptive; a fixed r ≤ K cut is vacuous when every token's
+    // frequency scales past K with the corpus).
+    QDef("q_good_turing", Some("""
+      WITH tk AS (SELECT tok FROM
+          (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+          WHERE tok <> ''),
+      f AS (SELECT tok, CAST(count(*) AS BIGINT) AS r FROM tk GROUP BY 1),
+      nr AS (SELECT r, CAST(count(*) AS BIGINT) AS n_r FROM f GROUP BY 1),
+      j AS (SELECT a.r, a.n_r, b.n_r AS n_r1 FROM nr a
+            LEFT JOIN nr b ON b.r = a.r + 1)
+      SELECT r, n_r,
+             CAST((1000 * (r + 1) * n_r1) // n_r AS BIGINT) AS r_star_milli
+      FROM j ORDER BY r LIMIT 10"""),
+      (s, d) => {
+        val f = t(s, d, "documents")
+          .select(explode(graft.text.TextAnalysis.tokens(col("text"))).as("tok"))
+          .groupBy("tok").agg(count(lit(1)).as("r"))
+        val nr = f.groupBy("r").agg(count(lit(1)).as("n_r"))
+        // the emitted prefix is the LOWEST 10 distinct r values — the
+        // GT regime of interest — never a fixed r cutoff (frequencies
+        // scale with the corpus; a constant cut goes vacuous at small
+        // SF and truncates at large, the scale-adaptive-scalar rule)
+        nr.join(broadcast(nr.select((col("r") - 1).as("r"),
+            col("n_r").as("n_r1"))), Seq("r"), "left")
+          .select(col("r"), col("n_r"),
+            expr("div(1000 * (r + 1) * n_r1, n_r)").as("r_star_milli"))
+          .orderBy("r").limit(10)
+      }),
+
     // ODDS RATIO + RISK RATIO for the weekend→purchase 2×2 table —
     // the epidemiology pair the A/B tier doesn't carry (the delta-CI
     // and χ² queries test DIFFERENCES; OR/RR are the multiplicative

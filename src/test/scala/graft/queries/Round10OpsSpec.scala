@@ -515,6 +515,40 @@ class Round10OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("capture-recapture: estimator bounds and identities hold") {
+    import spark.implicits._
+    val Array((n1, n2, m, obs, lp, ch, cov)) = q("q_capture_recapture")
+      .as[(Long, Long, Long, Long, Long, Long, Long)].collect()
+    assert(m >= 1 && m <= math.min(n1, n2))
+    assert(obs == n1 + n2 - m, "inclusion-exclusion over the two halves")
+    assert(lp == n1 * n2 / m && ch == (n1 + 1) * (n2 + 1) / (m + 1) - 1)
+    assert(lp >= obs - 1, "the estimate can never fall below the observed base")
+    assert(ch <= lp, "Chapman corrects the LP estimate downward")
+    assert(cov == 1000 * obs * m / (n1 * n2))
+    assert(cov >= 1 && cov <= 1000)
+  }
+
+  test("good-turing: the lowest-r prefix recomputes from token counts") {
+    import spark.implicits._
+    val rows = q("q_good_turing").as[(Long, Long, Option[Long])].collect()
+    assert(rows.nonEmpty && rows.length <= 10)
+    val freqs = tbl("documents")
+      .select(explode(graft.text.TextAnalysis.tokens(col("text"))).as("tok"))
+      .groupBy("tok").count().select("count").as[Long].collect()
+    val nr = freqs.groupBy(identity).map { case (r, xs) => r -> xs.length.toLong }
+    // the emitted rows are exactly the lowest min(10, |distinct r|)
+    // frequencies — the scale-adaptive cut
+    val expectR = nr.keys.toSeq.sorted.take(10)
+    assert(rows.map(_._1).toSeq == expectR, "lowest-r prefix")
+    rows.foreach { case (r, n, rstar) =>
+      assert(nr(r) == n, s"N_$r")
+      nr.get(r + 1) match {
+        case Some(n1) => assert(rstar.contains(1000 * (r + 1) * n1 / n), s"r*=$r")
+        case None => assert(rstar.isEmpty, s"r=$r has no successor")
+      }
+    }
+  }
+
   test("cramers v: one row, bounded effect, chain recomputes from chi2") {
     import spark.implicits._
     val rows = q("q_cramers_v").as[(Long, Long, Long, Long)].collect()
