@@ -655,6 +655,119 @@ object TextQueries {
       (s, d) => NearDup.tokenJaccardPairs(tokDf(s, d, Some(13)), "doc_id", "tok", 4)
         .orderBy("doc_a", "doc_b")),
 
+    // NEAR-DUP EVIDENCE: for every flagged n-gram-Jaccard pair, the
+    // three RAREST shared shingles (global-DF asc, shingle asc) —
+    // the explainability view a curation reviewer reads before
+    // trusting a dedup drop ("these pairs share THIS text", with
+    // rarity making the evidence specific: a shared stop-phrase
+    // proves nothing, a shared rare 3-gram does). Composes the
+    // ngram-jaccard pair set with the shingle inverted index it
+    // already built; the per-pair window is bounded by the pair's
+    // shared-shingle count, and the rank is a total order so both
+    // engines pick identical evidence.
+    QDef("q_dup_evidence", Some(s"""
+      WITH d AS (SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS toks
+                 FROM documents WHERE doc_id % 13 = 0),
+      sh AS (SELECT DISTINCT doc_id, sh FROM
+        (SELECT doc_id, unnest(list_transform(range(1, greatest(len(toks) - 1, 1)),
+                i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh FROM d)),
+      sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+      inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+                FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+                GROUP BY doc_a, doc_b),
+      flagged AS (SELECT doc_a, doc_b FROM inter
+                  JOIN sz sa ON doc_a = sa.doc_id JOIN sz sb ON doc_b = sb.doc_id
+                  WHERE i * 10 >= 2 * (sa.n + sb.n - i)),
+      gdf AS (SELECT sh, CAST(count(*) AS BIGINT) AS df FROM sh GROUP BY sh),
+      ev AS (SELECT f.doc_a, f.doc_b, a.sh, gdf.df,
+               CAST(row_number() OVER (PARTITION BY f.doc_a, f.doc_b
+                 ORDER BY gdf.df, a.sh) AS BIGINT) AS rnk
+             FROM flagged f
+             JOIN sh a ON a.doc_id = f.doc_a
+             JOIN sh b ON b.doc_id = f.doc_b AND a.sh = b.sh
+             JOIN gdf ON gdf.sh = a.sh)
+      SELECT doc_a, doc_b, rnk, sh AS shingle, df AS shingle_df
+      FROM ev WHERE rnk <= 3 ORDER BY doc_a, doc_b, rnk"""),
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val sh = NearDup.shingles3(
+          t(s, d, "documents").filter(col("doc_id") % 13 === 0), "doc_id", "text")
+        val flagged = NearDup.tokenJaccardPairs(sh, "doc_id", "sh", 2)
+          .filter(col("near_dup") === 1).select("doc_a", "doc_b")
+        val gdf = sh.groupBy("sh").agg(count(lit(1)).as("df"))
+        flagged
+          .join(sh.select(col("doc_id").as("doc_a"), col("sh")), Seq("doc_a"))
+          .join(sh.select(col("doc_id").as("doc_b"), col("sh")), Seq("doc_b", "sh"))
+          .join(gdf, Seq("sh"))
+          .withColumn("rnk", row_number().over(
+            Window.partitionBy("doc_a", "doc_b").orderBy(col("df"), col("sh")))
+            .cast("long"))
+          .filter(col("rnk") <= 3)
+          .select(col("doc_a"), col("doc_b"), col("rnk"),
+            col("sh").as("shingle"), col("df").as("shingle_df"))
+          .orderBy("doc_a", "doc_b", "rnk")
+      }),
+
+    // MINHASH ERROR CURVE: the sketch-SIZING advisor — for signature
+    // sizes k ∈ {2, 4, 8} (nested prefixes of ONE 8-hash signature
+    // build, so the comparison is apples-to-apples), the measured
+    // |estimate − exact| Jaccard error over every sampled
+    // shared-token pair: mean and max in exact permille. This is the
+    // accuracy side of the (k, bands, rows) budget the
+    // q_lsh_band_tuning S-curve spends — together they answer "how
+    // many hashes do I pay per doc at 100 TB". All integer: each
+    // pair's error is a born-integer |a − b|, and only integer sums
+    // cross the aggregation.
+    QDef("q_minhash_error_curve", Some(s"""
+      WITH ${tokCte.format("WHERE doc_id % 7 = 0")}, ${sigSelect(8, "tok")},
+      sz AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id),
+      inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+                FROM tok a JOIN tok b ON a.tok = b.tok AND a.doc_id < b.doc_id
+                GROUP BY doc_a, doc_b),
+      truep AS (SELECT doc_a, doc_b,
+                  CAST((1000 * i) // (sa.n + sb.n - i) AS BIGINT) AS true_pm
+                FROM inter JOIN sz sa ON doc_a = sa.doc_id
+                           JOIN sz sb ON doc_b = sb.doc_id),
+      ag AS (SELECT t.true_pm,
+               ${(0 until 8).map(x =>
+                 s"(CASE WHEN sa.s$x = sb.s$x THEN 1 ELSE 0 END) AS g$x")
+                 .mkString(", ")}
+             FROM truep t JOIN sig sa ON t.doc_a = sa.doc_id
+                          JOIN sig sb ON t.doc_b = sb.doc_id),
+      er AS (SELECT 2 AS k, abs((1000 * (g0 + g1)) // 2 - true_pm) AS err FROM ag
+             UNION ALL
+             SELECT 4, abs((1000 * (g0 + g1 + g2 + g3)) // 4 - true_pm) FROM ag
+             UNION ALL
+             SELECT 8, abs((1000 * (g0 + g1 + g2 + g3 + g4 + g5 + g6 + g7)) // 8
+               - true_pm) FROM ag)
+      SELECT CAST(k AS BIGINT) AS k, CAST(count(*) AS BIGINT) AS n_pairs,
+             CAST(sum(err) // count(*) AS BIGINT) AS mean_abs_err_permille,
+             CAST(max(err) AS BIGINT) AS max_err_permille
+      FROM er GROUP BY 1 ORDER BY k"""),
+      (s, d) => {
+        val tok = tokDf(s, d, Some(7))
+        val sig = NearDup.minhashSignatures(tok, "doc_id", "tok", 8)
+        val truep = NearDup.tokenJaccardPairs(tok, "doc_id", "tok", 0)
+          .select(col("doc_a"), col("doc_b"),
+            expr("div(1000 * i, na + nb - i)").as("true_pm"))
+        val ag = truep
+          .join(sig.toDF("doc_a" +: (0 until 8).map(x => s"a$x"): _*), Seq("doc_a"))
+          .join(sig.toDF("doc_b" +: (0 until 8).map(x => s"b$x"): _*), Seq("doc_b"))
+          .select(col("true_pm") +: (0 until 8).map(x =>
+            when(col(s"a$x") === col(s"b$x"), 1L).otherwise(0L).as(s"g$x")): _*)
+        def branch(k: Int) =
+          ag.select(lit(k.toLong).as("k"),
+            abs(expr(s"div(1000 * (${(0 until k).map(x => s"g$x").mkString(" + ")}), $k)")
+              - col("true_pm")).as("err"))
+        branch(2).unionByName(branch(4)).unionByName(branch(8))
+          .groupBy("k")
+          .agg(count(lit(1)).as("n_pairs"),
+            expr("div(sum(err), count(1))").cast("long")
+              .as("mean_abs_err_permille"),
+            max("err").cast("long").as("max_err_permille"))
+          .orderBy("k")
+      }),
+
     // LSH BAND-TUNING ADVISOR: for three (bands, rows) configs of a
     // 32-hash MinHash budget — (16,2), (8,4), (4,8) — the expected
     // collision behavior ON THIS CORPUS'S observed pair-similarity

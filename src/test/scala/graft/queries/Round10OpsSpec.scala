@@ -549,6 +549,45 @@ class Round10OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("dup evidence: every flagged pair gets evidence, ranked by rarity") {
+    import spark.implicits._
+    val rows = q("q_dup_evidence").as[(Long, Long, Long, String, Long)].collect()
+    val flagged = q("q_dedup_ngram_jaccard").filter(col("near_dup") === 1)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    // at sf0.001 the 1-in-13 sample may flag NO pairs — evidence must
+    // then be empty too (exact parity with the flagging query either way)
+    assert(rows.map(r => (r._1, r._2)).toSet == flagged,
+      "evidence pairs are exactly the flagged ngram-jaccard pairs")
+    rows.groupBy(r => (r._1, r._2)).foreach { case (p, grp) =>
+      val sorted = grp.sortBy(_._3)
+      assert(sorted.map(_._3).toSeq == (1L to grp.length).toSeq, s"$p ranks")
+      assert(grp.length <= 3, p)
+      // rarity order: df non-decreasing with rank
+      sorted.sliding(2).foreach {
+        case Array(x, y) => assert(x._5 < y._5 || (x._5 == y._5 && x._4 < y._4), p)
+        case _ => ()
+      }
+      // each evidence shingle really occurs in BOTH docs
+      grp.foreach(r => assert(r._5 >= 2, s"$p: shared shingle must have df >= 2"))
+    }
+  }
+
+  test("minhash error curve: nested prefixes, error shrinks with k on average") {
+    import spark.implicits._
+    val rows = q("q_minhash_error_curve").as[(Long, Long, Long, Long)].collect()
+    assert(rows.map(_._1).toSeq == Seq(2L, 4L, 8L))
+    val n = rows.head._2
+    rows.foreach { case (k, np, mean, mx) =>
+      assert(np == n, "every k evaluates the SAME pair set")
+      assert(mean <= mx && mx <= 1000 && mean >= 0, s"k=$k")
+    }
+    // more hashes should not be worse on average (quantization means
+    // strict monotonicity isn't guaranteed row-to-row, but the 8-hash
+    // estimate must beat the 2-hash one)
+    assert(rows(2)._3 <= rows(0)._3,
+      s"k=8 mean error ${rows(2)._3} must be <= k=2 mean ${rows(0)._3}")
+  }
+
   test("cramers v: one row, bounded effect, chain recomputes from chi2") {
     import spark.implicits._
     val rows = q("q_cramers_v").as[(Long, Long, Long, Long)].collect()
