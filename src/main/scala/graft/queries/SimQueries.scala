@@ -356,6 +356,74 @@ object SimQueries {
           .orderBy("qid")
       }),
 
+    // RECALL@K CURVE: the IVF cell search's recall at k ∈ {1, 3, 5,
+    // 10} against brute-force truth — the acceptance CURVE
+    // (q_embed_recall_eval is the single @5 gate; deployments pick k
+    // from the knee of this table, and a curve that's flat-low at
+    // small k but fine at 10 means the cell search finds the
+    // neighborhood but misorders it — exactly what q_rbp_ranking_eval
+    // then quantifies). Both rankings are computed ONCE at depth 10
+    // and every k is a rank-filtered join of the same two tables —
+    // no re-search per k. Aggregate permille over querying probes;
+    // exact integers.
+    QDef("q_recall_curve", Some(s"""
+      WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      q AS (SELECT vec_id AS qid, label AS cell, v AS qv FROM e WHERE vec_id < 10),
+      c AS (SELECT vec_id AS cid, label AS cell, v AS cv FROM e),
+      ts AS (SELECT qid, cid, round($cosSql, 3) AS sim3
+             FROM q CROSS JOIN c WHERE qid <> cid),
+      tr AS (SELECT qid, cid,
+               CAST(row_number() OVER (PARTITION BY qid ORDER BY sim3 DESC, cid)
+                 AS BIGINT) AS rnk
+             FROM ts
+             QUALIFY row_number() OVER (PARTITION BY qid ORDER BY sim3 DESC, cid) <= 10),
+      sv AS (SELECT qid, cid, round($cosSql, 3) AS sim3
+             FROM q JOIN c USING (cell) WHERE qid <> cid),
+      ar AS (SELECT qid, cid,
+               CAST(row_number() OVER (PARTITION BY qid ORDER BY sim3 DESC, cid)
+                 AS BIGINT) AS rnk
+             FROM sv
+             QUALIFY row_number() OVER (PARTITION BY qid ORDER BY sim3 DESC, cid) <= 10),
+      ks AS (SELECT 1 AS k UNION ALL SELECT 3 UNION ALL SELECT 5 UNION ALL
+             SELECT 10),
+      cell_h AS (SELECT ks.k, t.qid, count(a.cid) AS hits, count(*) AS n_truth
+                 FROM ks JOIN tr t ON t.rnk <= ks.k
+                 LEFT JOIN ar a ON a.qid = t.qid AND a.cid = t.cid
+                   AND a.rnk <= ks.k
+                 GROUP BY 1, 2)
+      SELECT CAST(k AS BIGINT) AS k,
+             CAST(count(*) AS BIGINT) AS n_queries,
+             CAST(sum(hits) AS BIGINT) AS hits,
+             CAST(sum(n_truth) AS BIGINT) AS n_truth,
+             CAST((1000 * sum(hits)) // sum(n_truth) AS BIGINT)
+               AS recall_permille
+      FROM cell_h GROUP BY 1 ORDER BY k"""),
+      (s, d) => {
+        val e = t(s, d, "embeddings")
+          .select(col("vec_id"), col("label").as("cell"), col("embedding").as("v"))
+        val q = e.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("qid"), col("cell"), col("v").as("qv"))
+        val c = e.select(col("vec_id").as("cid"), col("cell"), col("v").as("cv"))
+        val truth = Similarity.bruteForceTopK(
+          c.select("cid", "cv"), q.select("qid", "qv"), 10)
+          .select(col("qid"), col("cid"), col("rank").as("t_rnk"))
+        val ann = Similarity.ivfTopK(c, q, 10)
+          .select(col("qid").as("a_qid"), col("cid").as("a_cid"),
+            col("rank").as("a_rnk"))
+        val ks = Seq(1, 3, 5, 10).map(k =>
+          truth.filter(col("t_rnk") <= k)
+            .join(ann.filter(col("a_rnk") <= k),
+              col("qid") === col("a_qid") && col("cid") === col("a_cid"), "left")
+            .groupBy("qid")
+            .agg(count(col("a_cid")).as("hits"), count(lit(1)).as("n_truth"))
+            .agg(count(lit(1)).as("n_queries"), sum("hits").cast("long").as("hits"),
+              sum("n_truth").cast("long").as("n_truth"))
+            .select(lit(k.toLong).as("k"), col("n_queries"), col("hits"),
+              col("n_truth"),
+              expr("div(1000 * hits, n_truth)").as("recall_permille")))
+        ks.reduce(_ unionByName _).orderBy("k")
+      }),
+
     // RANK-BIASED PRECISION at p = 1/2 — the RANK-SENSITIVE sibling
     // of q_embed_recall_eval's set recall: a truth hit at ANN rank 1
     // is worth 2× one at rank 2 (Moffat–Zobel persistence model), so

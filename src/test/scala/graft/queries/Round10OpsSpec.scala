@@ -588,6 +588,25 @@ class Round10OpsSpec extends AnyFunSuite {
       s"k=8 mean error ${rows(2)._3} must be <= k=2 mean ${rows(0)._3}")
   }
 
+  test("recall curve: truth masses are k-exact, @5 row matches recall_eval") {
+    import spark.implicits._
+    val rows = q("q_recall_curve").as[(Long, Long, Long, Long, Long)].collect()
+    assert(rows.map(_._1).toSeq == Seq(1L, 3L, 5L, 10L))
+    val nq = rows.head._2
+    rows.foreach { case (k, n, hits, nt, pm) =>
+      assert(n == nq, "same probe set at every k")
+      assert(nt == k * nq, s"k=$k: truth depth is exact (corpus >> k)")
+      assert(hits <= nt, s"k=$k")
+      assert(pm == 1000 * hits / nt, s"k=$k permille")
+    }
+    // the @5 row must reconcile with q_embed_recall_eval's per-query gate
+    val eval5 = q("q_embed_recall_eval").select("hits", "n_truth")
+      .as[(Long, Long)].collect()
+    val r5 = rows.find(_._1 == 5L).get
+    assert(r5._3 == eval5.map(_._1).sum && r5._4 == eval5.map(_._2).sum,
+      "recall@5 aggregates the single-gate query exactly")
+  }
+
   test("cramers v: one row, bounded effect, chain recomputes from chi2") {
     import spark.implicits._
     val rows = q("q_cramers_v").as[(Long, Long, Long, Long)].collect()
