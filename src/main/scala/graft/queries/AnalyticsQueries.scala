@@ -1963,6 +1963,125 @@ object AnalyticsQueries {
           .orderBy("event_type", "dow")
       }),
 
+    // SURVEY DESIGN EFFECT: DEFF = 1 + (m̄−1)·ICC over source
+    // clusters of doc length — "how much does sampling whole SOURCES
+    // (the only practical unit) inflate variance vs simple random
+    // sampling of docs?" — the sample-size multiplier every
+    // cluster-sampled audit needs (q_sample_neyman allocates strata;
+    // this prices the clustering itself). ICC comes from the one-way
+    // ANOVA components (q_anova_oneway's exact integer SSB/SSW
+    // convention) through ONE fixed chain of exactly-rounded IEEE
+    // ops floored once; n₀ is the unequal-cluster-size correction.
+    // Three dim-sized aggregates, ONE row.
+    QDef("q_design_effect", Some("""
+      WITH g AS (SELECT source, CAST(count(*) AS BIGINT) AS n,
+              CAST(sum(CAST(n_chars AS BIGINT)) AS BIGINT) AS s,
+              CAST(sum(CAST(n_chars AS BIGINT) * CAST(n_chars AS BIGINT))
+                AS BIGINT) AS ss
+            FROM documents GROUP BY 1),
+      tot AS (SELECT CAST(sum(n) AS BIGINT) AS nn, CAST(count(*) AS BIGINT) AS k,
+                CAST(sum(s) AS BIGINT) AS ts2, CAST(sum(ss) AS BIGINT) AS tss,
+                CAST(sum((s * s) // n) AS BIGINT) AS sq,
+                CAST(sum(n * n) AS BIGINT) AS ssqn
+              FROM g),
+      c AS (SELECT nn, k,
+              CAST(sq - (ts2 * ts2) // nn AS BIGINT) AS ssb,
+              CAST(tss - sq AS BIGINT) AS ssw, ssqn FROM tot)
+      SELECT nn AS n_docs, k AS k_sources, ssb AS ssb_int, ssw AS ssw_int,
+             CAST(floor(1000.0 * ((1.0 * nn - (1.0 * ssqn) / nn) / (k - 1)))
+               AS BIGINT) AS n0_milli,
+             CAST(floor(1000000.0 *
+               (((1.0 * ssb) / (k - 1)) - ((1.0 * ssw) / (nn - k))) /
+               (((1.0 * ssb) / (k - 1)) +
+                (((1.0 * nn - (1.0 * ssqn) / nn) / (k - 1)) - 1.0) *
+                  ((1.0 * ssw) / (nn - k)))) AS BIGINT) AS icc_micro,
+             CAST(floor(1000.0 * (1.0 + ((1.0 * nn) / k - 1.0) *
+               ((((1.0 * ssb) / (k - 1)) - ((1.0 * ssw) / (nn - k))) /
+                (((1.0 * ssb) / (k - 1)) +
+                 (((1.0 * nn - (1.0 * ssqn) / nn) / (k - 1)) - 1.0) *
+                   ((1.0 * ssw) / (nn - k)))))) AS BIGINT) AS deff_milli
+      FROM c"""),
+      (s, d) => {
+        val w = col("n_chars").cast("long")
+        val g = t(s, d, "documents").groupBy("source")
+          .agg(count(lit(1)).as("n"), sum(w).cast("long").as("s"),
+            sum(w * w).cast("long").as("ss"))
+        val tot = g.agg(sum("n").cast("long").as("nn"), count(lit(1)).as("k"),
+          sum("s").cast("long").as("ts2"), sum("ss").cast("long").as("tss"),
+          sum(expr("div(s * s, n)")).cast("long").as("sq"),
+          sum(col("n") * col("n")).cast("long").as("ssqn"))
+        val c = tot.select(col("nn"), col("k"),
+          (col("sq") - expr("div(ts2 * ts2, nn)")).cast("long").as("ssb"),
+          (col("tss") - col("sq")).cast("long").as("ssw"), col("ssqn"))
+        // the IEEE chains below mirror the oracle's trees EXACTLY
+        val msb = (lit(1.0) * col("ssb")) / (col("k") - 1)
+        val msw = (lit(1.0) * col("ssw")) / (col("nn") - col("k"))
+        val n0 = (lit(1.0) * col("nn") - (lit(1.0) * col("ssqn")) / col("nn")) /
+          (col("k") - 1)
+        val icc = (msb - msw) / (msb + (n0 - lit(1.0)) * msw)
+        c.select(col("nn").as("n_docs"), col("k").as("k_sources"),
+          col("ssb").as("ssb_int"), col("ssw").as("ssw_int"),
+          floor(lit(1000.0) * n0).cast("long").as("n0_milli"),
+          floor(lit(1000000.0) * icc).cast("long").as("icc_micro"),
+          floor(lit(1000.0) * (lit(1.0) +
+            ((lit(1.0) * col("nn")) / col("k") - lit(1.0)) * icc))
+            .cast("long").as("deff_milli"))
+      }),
+
+    // ALLAN VARIANCE over daily event counts — the frequency-
+    // stability diagnostic at averaging windows τ ∈ {1, 2, 4} days:
+    // AVAR(τ) = Σ(ȳ_{b+1} − ȳ_b)² / (2(m−1)) over τ-day block sums.
+    // Where the ACF (q_acf_lags) asks "how correlated", Allan asks
+    // "which NOISE regime" — flat AVAR·τ is white noise, rising is
+    // drift — the telemetry-health view SRE burn-rate alerts assume.
+    // Exact: block sums are integers, consecutive diffs ride one lag
+    // window per (type, τ) over the tiny block table, and the output
+    // floors 1000·Σd² div 2(m−1) once. The three τ branches reuse
+    // the SAME daily aggregate.
+    QDef("q_allan_variance", Some("""
+      WITH daily AS (SELECT event_type,
+              epoch_us(date_trunc('day', ts)) // 86400000000 AS dnum,
+              CAST(count(*) AS BIGINT) AS y
+            FROM events GROUP BY 1, 2),
+      b AS (SELECT tau, event_type, blk, CAST(sum(y) AS BIGINT) AS yb FROM (
+              SELECT 1 AS tau, event_type, dnum AS blk, y FROM daily
+              UNION ALL SELECT 2, event_type, dnum // 2, y FROM daily
+              UNION ALL SELECT 4, event_type, dnum // 4, y FROM daily)
+            GROUP BY 1, 2, 3),
+      df AS (SELECT tau, event_type,
+               yb - lag(yb) OVER (PARTITION BY tau, event_type ORDER BY blk)
+                 AS dd
+             FROM b)
+      SELECT CAST(tau AS BIGINT) AS tau, event_type,
+             CAST(count(dd) AS BIGINT) AS n_diffs,
+             CAST(sum(dd * dd) AS BIGINT) AS sum_sq_diff,
+             CAST((1000 * sum(dd * dd)) // (2 * count(dd)) AS BIGINT)
+               AS avar_milli
+      FROM df WHERE dd IS NOT NULL
+      GROUP BY 1, 2 ORDER BY tau, event_type"""),
+      (s, d) => {
+        val daily = t(s, d, "events")
+          .groupBy(col("event_type"),
+            expr("div(unix_micros(date_trunc('day', ts)), 86400000000)").as("dnum"))
+          .agg(count(lit(1)).as("y"))
+        val stacked = Seq(1, 2, 4).map(tau =>
+          daily.select(lit(tau.toLong).as("tau"), col("event_type"),
+            expr(s"div(dnum, $tau)").as("blk"), col("y")))
+          .reduce(_ unionByName _)
+        val b = stacked.groupBy("tau", "event_type", "blk")
+          .agg(sum("y").cast("long").as("yb"))
+        val w = Window.partitionBy("tau", "event_type").orderBy("blk")
+        b.withColumn("dd", col("yb") - lag("yb", 1).over(w))
+          .filter(col("dd").isNotNull)
+          .groupBy("tau", "event_type")
+          .agg(count(lit(1)).as("n_diffs"),
+            sum(col("dd") * col("dd")).cast("long").as("sum_sq_diff"))
+          .select(col("tau"), col("event_type"), col("n_diffs"),
+            col("sum_sq_diff"),
+            expr("div(1000 * sum_sq_diff, 2 * n_diffs)").as("avar_milli"))
+          .orderBy("tau", "event_type")
+      }),
+
     // CAPTURE–RECAPTURE (Lincoln–Petersen + Chapman): estimate the
     // TRUE user-base size from two observation windows — users seen
     // in the first half (n1), the second half (n2), and both (m) give

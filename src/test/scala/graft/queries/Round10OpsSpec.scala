@@ -607,6 +607,48 @@ class Round10OpsSpec extends AnyFunSuite {
       "recall@5 aggregates the single-gate query exactly")
   }
 
+  test("design effect: components reconcile with anova, DEFF recomputes") {
+    import spark.implicits._
+    val Array((n, k, ssb, ssw, n0m, iccU, deffM)) = q("q_design_effect")
+      .as[(Long, Long, Long, Long, Long, Long, Long)].collect()
+    assert(n == tbl("documents").count())
+    assert(k >= 2 && ssb >= 0 && ssw >= 0)
+    assert(iccU >= -1000000 && iccU <= 1000000, s"ICC $iccU out of [-1,1]")
+    // recompute the full IEEE chain from the integer components
+    val docs = tbl("documents").groupBy("source").count()
+      .select("count").as[Long].collect()
+    val ssqn = docs.map(x => x * x).sum
+    val msb = 1.0 * ssb / (k - 1); val msw = 1.0 * ssw / (n - k)
+    val n0 = (1.0 * n - (1.0 * ssqn) / n) / (k - 1)
+    val icc = (msb - msw) / (msb + (n0 - 1.0) * msw)
+    assert(n0m == math.floor(1000.0 * n0).toLong)
+    assert(iccU == math.floor(1000000.0 * icc).toLong)
+    assert(deffM == math.floor(1000.0 *
+      (1.0 + ((1.0 * n) / k - 1.0) * icc)).toLong)
+    assert(deffM >= 0, "DEFF is a variance multiplier")
+  }
+
+  test("allan variance: block masses conserve and one cell recomputes") {
+    import spark.implicits._
+    val rows = q("q_allan_variance").as[(Long, String, Long, Long, Long)].collect()
+    assert(rows.map(_._1).distinct.sorted.toSeq == Seq(1L, 2L, 4L))
+    rows.foreach { case (tau, et, m, ssd, av) =>
+      assert(m >= 1, s"$et tau=$tau")
+      assert(av == 1000 * ssd / (2 * m), s"$et tau=$tau formula")
+    }
+    // recompute tau=2 for one type from the daily series
+    val et = rows.head._2
+    val daily = tbl("events").filter(col("event_type") === et)
+      .groupBy(expr("div(unix_micros(date_trunc('day', ts)), 86400000000)").as("d"))
+      .agg(count(lit(1)).as("y")).as[(Long, Long)].collect()
+    val blocks = daily.groupBy(_._1 / 2).map { case (b, xs) => b -> xs.map(_._2).sum }
+      .toSeq.sortBy(_._1).map(_._2)
+    val ssd = blocks.sliding(2).collect { case Seq(a, b2) => (b2 - a) * (b2 - a) }.sum
+    val got = rows.find(r => r._1 == 2 && r._2 == et).get
+    assert(got._4 == ssd, s"$et tau=2 sum of squared diffs")
+    assert(got._3 == blocks.length - 1)
+  }
+
   test("cramers v: one row, bounded effect, chain recomputes from chi2") {
     import spark.implicits._
     val rows = q("q_cramers_v").as[(Long, Long, Long, Long)].collect()
