@@ -655,6 +655,110 @@ object TextQueries {
       (s, d) => NearDup.tokenJaccardPairs(tokDf(s, d, Some(13)), "doc_id", "tok", 4)
         .orderBy("doc_a", "doc_b")),
 
+    // SHINGLE-SIZE SWEEP: the dedup-design dial q_dedup_ngram_jaccard
+    // fixes at n=3, swept — for n ∈ {2, 3, 5}: candidate pairs,
+    // flagged pairs at J ≥ 0.2, and the mean candidate Jaccard
+    // permille. Smaller shingles blur (everything overlaps), larger
+    // sharpen until recall dies — this table is the measured argument
+    // for the n the pipeline ships. Each branch is the standard
+    // inverted-index pair shape on the same 1-in-13 sample; per-pair
+    // permille floors once and only integer sums aggregate.
+    QDef("q_shingle_size_sweep", Some({
+      def branch(n: Int) = s"""
+        SELECT $n AS sn, i, sa.n + sb.n - i AS u FROM (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+          FROM sh$n a JOIN sh$n b ON a.sh = b.sh AND a.doc_id < b.doc_id
+          GROUP BY 1, 2) p
+        JOIN sz$n sa ON p.doc_a = sa.doc_id JOIN sz$n sb ON p.doc_b = sb.doc_id"""
+      def cte(n: Int) = s"""
+      sh$n AS (SELECT DISTINCT doc_id, sh FROM
+        (SELECT doc_id, unnest(list_transform(range(1, greatest(len(toks) - ${n - 2}, 1)),
+                i -> ${(0 until n).map(j => s"toks[i+$j]").mkString(" || ' ' || ")})) AS sh
+         FROM d)),
+      sz$n AS (SELECT doc_id, count(*) AS n FROM sh$n GROUP BY doc_id)"""
+      s"""
+      WITH d AS (SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS toks
+                 FROM documents WHERE doc_id % 13 = 0),
+      ${Seq(2, 3, 5).map(cte).mkString(",")},
+      u AS (${Seq(2, 3, 5).map(branch).mkString(" UNION ALL ")}),
+      agg AS (SELECT sn, CAST(count(*) AS BIGINT) AS n_pairs,
+                CAST(sum(CASE WHEN 10 * i >= 2 * u THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_flagged,
+                CAST(sum((1000 * i) // u) // count(*) AS BIGINT)
+                  AS mean_jac_permille
+              FROM u GROUP BY 1),
+      ns AS (SELECT 2 AS sn UNION ALL SELECT 3 UNION ALL SELECT 5)
+      SELECT CAST(ns.sn AS BIGINT) AS shingle_n,
+             coalesce(agg.n_pairs, 0) AS n_pairs,
+             coalesce(agg.n_flagged, 0) AS n_flagged,
+             agg.mean_jac_permille
+      FROM ns LEFT JOIN agg ON ns.sn = agg.sn ORDER BY shingle_n"""
+    }),
+      (s, d) => {
+        val docs = t(s, d, "documents").filter(col("doc_id") % 13 === 0)
+        val branches = Seq(2, 3, 5).map { n =>
+          NearDup.tokenJaccardPairs(
+              NearDup.shinglesN(docs, "doc_id", "text", n), "doc_id", "sh", 2)
+            .select(lit(n.toLong).as("shingle_n"), col("i"),
+              (col("na") + col("nb") - col("i")).as("u"), col("near_dup"))
+        }
+        val agg = branches.reduce(_ unionByName _)
+          .groupBy("shingle_n")
+          .agg(count(lit(1)).as("n_pairs"),
+            sum(col("near_dup").cast("long")).cast("long").as("n_flagged"),
+            expr("div(sum(div(1000 * i, u)), count(1))").cast("long")
+              .as("mean_jac_permille"))
+        // a branch with NO candidate pairs must still report its zero
+        // row — an absent sweep point reads as "not measured"
+        s.createDataset(Seq(2L, 3L, 5L))(org.apache.spark.sql.Encoders.scalaLong)
+          .toDF("shingle_n")
+          .join(agg, Seq("shingle_n"), "left")
+          .select(col("shingle_n"),
+            coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+            coalesce(col("n_flagged"), lit(0L)).as("n_flagged"),
+            col("mean_jac_permille"))
+          .orderBy("shingle_n")
+      }),
+
+    // JACCARD-THRESHOLD SWEEP: the dedup POLICY curve — at J ≥
+    // {0.2, 0.4, 0.6, 0.8} over the same token-Jaccard pair table:
+    // flagged pairs and the docs that would be dropped (pair count
+    // upper-bounds removals; distinct doc_b is the min-id-survivor
+    // removal estimate). One pair pass, four conditional sums — the
+    // cost/aggressiveness table a curation review reads before fixing
+    // THE threshold (q_dedup_eval scores one choice; this shows the
+    // cliff). Integer cross-multiplied thresholds, no floats.
+    QDef("q_jaccard_threshold_sweep", Some(s"""
+      WITH ${tokCte.format("WHERE doc_id % 13 = 0")},
+      sz AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id),
+      p AS (SELECT doc_a, doc_b, i, sa.n + sb.n - i AS u FROM (
+              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+              FROM tok a JOIN tok b ON a.tok = b.tok AND a.doc_id < b.doc_id
+              GROUP BY 1, 2) q
+            JOIN sz sa ON q.doc_a = sa.doc_id JOIN sz sb ON q.doc_b = sb.doc_id),
+      th AS (SELECT 2 AS t10 UNION ALL SELECT 4 UNION ALL SELECT 6
+             UNION ALL SELECT 8)
+      SELECT CAST(th.t10 * 100 AS BIGINT) AS threshold_permille,
+             CAST(sum(CASE WHEN 10 * p.i >= th.t10 * p.u THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_flagged,
+             CAST(count(DISTINCT CASE WHEN 10 * p.i >= th.t10 * p.u
+               THEN p.doc_b END) AS BIGINT) AS est_docs_dropped
+      FROM th CROSS JOIN p GROUP BY 1 ORDER BY threshold_permille"""),
+      (s, d) => {
+        val p = NearDup.tokenJaccardPairs(tokDf(s, d, Some(13)), "doc_id", "tok", 0)
+          .select(col("doc_a"), col("doc_b"), col("i"),
+            (col("na") + col("nb") - col("i")).as("u"))
+        val hit = lit(10) * col("i") >= col("t10") * col("u")
+        p.select(col("doc_b"), col("i"), col("u"),
+            explode(array(Seq(2, 4, 6, 8).map(x => lit(x.toLong)): _*)).as("t10"))
+          .groupBy("t10")
+          .agg(sum(when(hit, 1L).otherwise(0L)).cast("long").as("n_flagged"),
+            countDistinct(when(hit, col("doc_b"))).as("est_docs_dropped"))
+          .select((col("t10") * 100).cast("long").as("threshold_permille"),
+            col("n_flagged"), col("est_docs_dropped"))
+          .orderBy("threshold_permille")
+      }),
+
     // NEAR-DUP EVIDENCE: for every flagged n-gram-Jaccard pair, the
     // three RAREST shared shingles (global-DF asc, shingle asc) —
     // the explainability view a curation reviewer reads before

@@ -649,6 +649,40 @@ class Round10OpsSpec extends AnyFunSuite {
     assert(got._3 == blocks.length - 1)
   }
 
+  test("shingle sweep: n=3 row reconciles with the ngram-jaccard query") {
+    import spark.implicits._
+    val rows = q("q_shingle_size_sweep")
+      .as[(Long, Long, Long, Option[Long])].collect()
+    assert(rows.map(_._1).toSeq == Seq(2L, 3L, 5L))
+    rows.foreach { case (n, np, nf, mj) =>
+      assert(nf <= np, s"n=$n")
+      assert(mj.isEmpty == (np == 0), s"n=$n: mean is NULL iff no pairs")
+      mj.foreach(v => assert(v >= 0 && v <= 1000, s"n=$n mean jac $v"))
+    }
+    // candidate sets shrink (weakly) as shingles grow on this corpus
+    assert(rows(0)._2 >= rows(1)._2 && rows(1)._2 >= rows(2)._2,
+      "longer shingles cannot create new candidate pairs")
+    val base = q("q_dedup_ngram_jaccard")
+    val r3 = rows.find(_._1 == 3L).get
+    assert(r3._2 == base.count(), "n=3 candidate pairs")
+    assert(r3._3 == base.filter(col("near_dup") === 1).count(), "n=3 flagged")
+  }
+
+  test("jaccard threshold sweep: monotone in the threshold, 0.4 reconciles") {
+    import spark.implicits._
+    val rows = q("q_jaccard_threshold_sweep").as[(Long, Long, Long)].collect()
+    assert(rows.map(_._1).toSeq == Seq(200L, 400L, 600L, 800L))
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(a._2 >= b._2 && a._3 >= b._3,
+        "a stricter threshold can only flag fewer pairs/docs")
+    case _ => ()
+    }
+    rows.foreach { case (_, nf, nd) => assert(nd <= nf || nf == 0) }
+    val flagged04 = q("q_dedup_token_jaccard").filter(col("near_dup") === 1)
+    assert(rows.find(_._1 == 400L).get._2 == flagged04.count(),
+      "the 0.4 row is exactly q_dedup_token_jaccard's flag count")
+  }
+
   test("cramers v: one row, bounded effect, chain recomputes from chi2") {
     import spark.implicits._
     val rows = q("q_cramers_v").as[(Long, Long, Long, Long)].collect()
