@@ -655,6 +655,61 @@ object TextQueries {
       (s, d) => NearDup.tokenJaccardPairs(tokDf(s, d, Some(13)), "doc_id", "tok", 4)
         .orderBy("doc_a", "doc_b")),
 
+    // LENGTH↔RICHNESS CORRELATION per source: exact Pearson
+    // components between doc length (chars) and lexical richness
+    // (distinct tokens) — "are this source's long docs actually
+    // richer, or just repetitive?" — the per-source scatter summary
+    // behind a quality-filter tuning call (q_doc_quality scores each
+    // doc; this says whether LENGTH is even a useful proxy per
+    // source). Components ride as exact integer numerators
+    // (n·Σxy−ΣxΣy etc., the q_moving_corr discipline); corr_milli is
+    // the single irrational step — one exactly-rounded
+    // mul/sqrt/div chain floored once, NULL when either variance is
+    // zero. One map-side-combined aggregate, |sources| rows.
+    QDef("q_quality_length_corr", Some("""
+      WITH m AS (SELECT source, CAST(n_chars AS BIGINT) AS x,
+              CAST(len(list_distinct(list_filter(string_split(text, ' '),
+                t -> t <> ''))) AS BIGINT) AS y
+            FROM documents),
+      a AS (SELECT source, CAST(count(*) AS BIGINT) AS n,
+              CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+              CAST(sum(x * y) AS BIGINT) AS sxy,
+              CAST(sum(x * x) AS BIGINT) AS sxx,
+              CAST(sum(y * y) AS BIGINT) AS syy
+            FROM m GROUP BY 1)
+      SELECT source, n,
+             CAST(n * sxy - sx * sy AS BIGINT) AS cov_num,
+             CAST(n * sxx - sx * sx AS BIGINT) AS var_x_num,
+             CAST(n * syy - sy * sy AS BIGINT) AS var_y_num,
+             CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+                  THEN CAST(floor(1000.0 * (n * sxy - sx * sy) /
+                    sqrt((1.0 * (n * sxx - sx * sx)) *
+                         (1.0 * (n * syy - sy * sy)))) AS BIGINT)
+             END AS corr_milli
+      FROM a ORDER BY source"""),
+      (s, d) => {
+        val m = t(s, d, "documents").select(col("source"),
+          col("n_chars").cast("long").as("x"),
+          size(array_distinct(graft.text.TextAnalysis.tokens(col("text"))))
+            .cast("long").as("y"))
+        val a = m.groupBy("source").agg(count(lit(1)).as("n"),
+          sum("x").cast("long").as("sx"), sum("y").cast("long").as("sy"),
+          sum(col("x") * col("y")).cast("long").as("sxy"),
+          sum(col("x") * col("x")).cast("long").as("sxx"),
+          sum(col("y") * col("y")).cast("long").as("syy"))
+        val cov = col("n") * col("sxy") - col("sx") * col("sy")
+        val vx = col("n") * col("sxx") - col("sx") * col("sx")
+        val vy = col("n") * col("syy") - col("sy") * col("sy")
+        a.select(col("source"), col("n"),
+          cov.cast("long").as("cov_num"), vx.cast("long").as("var_x_num"),
+          vy.cast("long").as("var_y_num"),
+          when(vx > 0 && vy > 0,
+            floor(lit(1000.0) * cov /
+              sqrt((lit(1.0) * vx) * (lit(1.0) * vy))).cast("long"))
+            .as("corr_milli"))
+          .orderBy("source")
+      }),
+
     // SHINGLE-SIZE SWEEP: the dedup-design dial q_dedup_ngram_jaccard
     // fixes at n=3, swept — for n ∈ {2, 3, 5}: candidate pairs,
     // flagged pairs at J ≥ 0.2, and the mean candidate Jaccard

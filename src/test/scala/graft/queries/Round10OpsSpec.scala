@@ -683,6 +683,31 @@ class Round10OpsSpec extends AnyFunSuite {
       "the 0.4 row is exactly q_dedup_token_jaccard's flag count")
   }
 
+  test("length-richness corr: components recompute with BigInt, bounded") {
+    import spark.implicits._
+    val rows = q("q_quality_length_corr")
+      .as[(String, Long, Long, Long, Long, Option[Long])].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (src, n, cov, vx, vy, cm) =>
+      assert(vx >= 0 && vy >= 0, src)
+      cm.foreach(v => assert(v >= -1000 && v <= 1000, s"$src corr $v"))
+      // BigInt recomputation of the integer components
+      val xs = tbl("documents").filter(col("source") === src)
+        .select(col("n_chars").cast("long"),
+          size(array_distinct(graft.text.TextAnalysis.tokens(col("text"))))
+            .cast("long")).as[(Long, Long)].collect()
+      assert(n == xs.length)
+      def bi(f: ((Long, Long)) => BigInt) = xs.map(f).sum
+      val (bn, bsx, bsy) = (BigInt(n), bi(t => BigInt(t._1)), bi(t => BigInt(t._2)))
+      assert(BigInt(cov) == bn * bi(t => BigInt(t._1) * t._2) - bsx * bsy, src)
+      assert(BigInt(vx) == bn * bi(t => BigInt(t._1) * t._1) - bsx * bsx, src)
+      assert(BigInt(vy) == bn * bi(t => BigInt(t._2) * t._2) - bsy * bsy, src)
+      if (vx > 0 && vy > 0)
+        assert(cm.contains(math.floor(
+          1000.0 * cov / math.sqrt((1.0 * vx) * (1.0 * vy))).toLong), src)
+    }
+  }
+
   test("cramers v: one row, bounded effect, chain recomputes from chi2") {
     import spark.implicits._
     val rows = q("q_cramers_v").as[(Long, Long, Long, Long)].collect()
