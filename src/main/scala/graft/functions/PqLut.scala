@@ -68,6 +68,15 @@ case class PqLut(child: Expression, codes: IndexedSeq[Long],
   override def nullSafeEval(a: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     if (x.numElements() < m * dsub) return null
+    // A NULL lane must null the whole row, matching the composed
+    // element_at form (which propagates NULL through the distance
+    // arithmetic) — getLong on a null slot would silently read 0 and
+    // produce a wrong-but-plausible distance (ADVICE r10 item 2).
+    var lane = 0
+    while (lane < m * dsub) {
+      if (x.isNullAt(lane)) return null
+      lane += 1
+    }
     val k = cb.length
     val out = new Array[Any](m * k)
     var j = 0
@@ -103,8 +112,18 @@ case class PqLut(child: Expression, codes: IndexedSeq[Long],
       val diff = ctx.freshName("diff")
       val base = ctx.freshName("base")
       val row = ctx.freshName("row")
+      val lane = ctx.freshName("lane")
+      val hasNullLane = ctx.freshName("hasNullLane")
       s"""
-         |if ($a.numElements() < ${m * dsub}) { ${ev.isNull} = true; } else {
+         |boolean $hasNullLane = false;
+         |if ($a.numElements() >= ${m * dsub}) {
+         |  for (int $lane = 0; $lane < ${m * dsub}; $lane++) {
+         |    if ($a.isNullAt($lane)) { $hasNullLane = true; break; }
+         |  }
+         |}
+         |if ($a.numElements() < ${m * dsub} || $hasNullLane) {
+         |  ${ev.isNull} = true;
+         |} else {
          |  Object[] $out = new Object[${m} * $cbRef.length];
          |  for (int $j = 0; $j < $m; $j++) {
          |    final int $base = $j * $dsub;

@@ -882,13 +882,19 @@ object AnalyticsQueries {
     // mod-13 Jaccard≥0.6 edge set shared with q_dedup_cluster) —
     // triangle density distinguishes genuine duplicate CLIQUES from
     // chains of pairwise-similar docs before survivor selection.
-    // Edges are oriented a<b so each triangle is enumerated exactly
-    // once by the e(a,b)⋈e(b,c)⋈e(a,c) two-join plan; the edge set
-    // is persisted — three scans of one materialization, not three
-    // runs of the whole Jaccard pipeline (released post-action by
-    // QDef.withCacheRelease). At web scale the standard
-    // extra step is degeneracy (low-degree-first) orientation, which
-    // bounds the join fan-out per node by core number, not degree.
+    // Edges are DEGENERACY-ORIENTED — each undirected edge directed
+    // from its lower-(degree, id) endpoint to the higher — before the
+    // e(a→b)⋈e(b→c)⋈e(a→c) two-join, so each triangle is still
+    // enumerated exactly once (the orientation is acyclic) but the
+    // per-node join fan-out is bounded by √(2m), not raw degree: a
+    // mega-hub in a 100× near-dup cluster no longer blows a reducer
+    // (NearDup.orientByDegree has the proof; the triangle SET — and
+    // hence every output row — is orientation-invariant, and both
+    // engines run the same oriented plan). The oriented edge set is
+    // persisted — three scans of one materialization, not three runs
+    // of the whole Jaccard pipeline (released post-action by
+    // QDef.withCacheRelease). TriangleOrientationSpec pins the
+    // star-graph fan-out bound mechanically.
     QDef("q_triangle_support", Some(s"""
       WITH d AS (SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS toks
                  FROM documents WHERE doc_id % 13 = 0),
@@ -896,28 +902,26 @@ object AnalyticsQueries {
       sz AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id),
       inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
                 FROM tok a JOIN tok b ON a.tok = b.tok AND a.doc_id < b.doc_id GROUP BY 1, 2),
-      e AS (SELECT doc_a, doc_b FROM inter
-            JOIN sz sa ON doc_a = sa.doc_id JOIN sz sb ON doc_b = sb.doc_id
-            WHERE i * 10 >= 6 * (sa.n + sb.n - i)),
-      tri AS (SELECT e1.doc_a AS a, e1.doc_b AS b, e2.doc_b AS c
-              FROM e e1 JOIN e e2 ON e2.doc_a = e1.doc_b
-              JOIN e e3 ON e3.doc_a = e1.doc_a AND e3.doc_b = e2.doc_b),
+      e0 AS (SELECT doc_a, doc_b FROM inter
+             JOIN sz sa ON doc_a = sa.doc_id JOIN sz sb ON doc_b = sb.doc_id
+             WHERE i * 10 >= 6 * (sa.n + sb.n - i)),
+      deg AS (SELECT v, count(*) AS dg FROM (
+                SELECT doc_a AS v FROM e0 UNION ALL SELECT doc_b FROM e0)
+              GROUP BY v),
+      e AS (SELECT CASE WHEN da.dg <= db.dg THEN doc_a ELSE doc_b END AS src,
+                   CASE WHEN da.dg <= db.dg THEN doc_b ELSE doc_a END AS dst
+            FROM e0 JOIN deg da ON e0.doc_a = da.v JOIN deg db ON e0.doc_b = db.v),
+      tri AS (SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+              FROM e e1 JOIN e e2 ON e2.src = e1.dst
+              JOIN e e3 ON e3.src = e1.src AND e3.dst = e2.dst),
       m AS (SELECT a AS doc_id FROM tri UNION ALL SELECT b FROM tri UNION ALL SELECT c FROM tri)
       SELECT doc_id, count(*) AS n_triangles FROM m GROUP BY doc_id ORDER BY doc_id"""),
       (s, d) => {
         val tok = t(s, d, "documents").filter(col("doc_id") % 13 === 0)
           .select(col("doc_id"), explode(TA.tokens(col("text"))).as("tok")).distinct()
-        val e = NearDup.tokenJaccardPairs(tok, "doc_id", "tok", 6)
+        val und = NearDup.tokenJaccardPairs(tok, "doc_id", "tok", 6)
           .filter(col("near_dup") === 1).select("doc_a", "doc_b")
-          .persist()
-        val tri = e.select(col("doc_a").as("a"), col("doc_b").as("b"))
-          .join(e.select(col("doc_a").as("b"), col("doc_b").as("c")), "b")
-          .join(e.select(col("doc_a").as("a"), col("doc_b").as("c")), Seq("a", "c"))
-        tri.select(col("a").as("doc_id"))
-          .unionAll(tri.select(col("b").as("doc_id")))
-          .unionAll(tri.select(col("c").as("doc_id")))
-          .groupBy("doc_id").agg(count(lit(1)).as("n_triangles"))
-          .orderBy("doc_id")
+        NearDup.triangleSupport(und).orderBy("doc_id")
       }),
 
     // Sketch-based QUANTILES: per-type approximate median with a
@@ -1991,10 +1995,10 @@ object AnalyticsQueries {
              CAST(floor(1000.0 * ((1.0 * nn - (1.0 * ssqn) / nn) / (k - 1)))
                AS BIGINT) AS n0_milli,
              CAST(floor(1000000.0 *
-               (((1.0 * ssb) / (k - 1)) - ((1.0 * ssw) / (nn - k))) /
-               (((1.0 * ssb) / (k - 1)) +
-                (((1.0 * nn - (1.0 * ssqn) / nn) / (k - 1)) - 1.0) *
-                  ((1.0 * ssw) / (nn - k)))) AS BIGINT) AS icc_micro,
+               ((((1.0 * ssb) / (k - 1)) - ((1.0 * ssw) / (nn - k))) /
+                (((1.0 * ssb) / (k - 1)) +
+                 (((1.0 * nn - (1.0 * ssqn) / nn) / (k - 1)) - 1.0) *
+                   ((1.0 * ssw) / (nn - k))))) AS BIGINT) AS icc_micro,
              CAST(floor(1000.0 * (1.0 + ((1.0 * nn) / k - 1.0) *
                ((((1.0 * ssb) / (k - 1)) - ((1.0 * ssw) / (nn - k))) /
                 (((1.0 * ssb) / (k - 1)) +
@@ -2559,6 +2563,14 @@ object AnalyticsQueries {
     // G-test, which is why V and not likelihood ratio. Plan: one
     // map-side-combined fact aggregate; marginals, total and counts
     // are dim-sized broadcasts; output is ONE row.
+    // SAFE OPERAND ENVELOPE (the q_odds_risk_ratio discipline): the
+    // integer chain's first overflow is obs·t (then d_milli²), so the
+    // exact path requires total events t < ~3·10⁹ (t·max(obs) and
+    // 1000·rtot·ctot ≤ 2⁶³; bench SFs sit ≥6 orders inside). Beyond
+    // that DuckDB raises while Spark wraps silently — at larger fact
+    // scales pre-scale the table first (divide every obs by a common
+    // 10^s; χ² contributions scale by 10^s and V is invariant up to
+    // the milli floor), do NOT run this form raw at 100 TB.
     QDef("q_cramers_v", Some("""
       WITH o AS (SELECT event_type, CAST(isodow(ts) AS BIGINT) AS dow,
               CAST(count(*) AS BIGINT) AS obs

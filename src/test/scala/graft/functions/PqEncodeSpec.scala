@@ -107,6 +107,26 @@ class PqEncodeSpec extends AnyFunSuite {
     }
   }
 
+  test("LUT: a NULL lane nulls the row in both eval paths (never reads 0)") {
+    // ADVICE r10 item 2: checkInputDataTypes admits array<bigint>
+    // with containsNull=true, and getLong on a null slot silently
+    // yields 0 — a wrong-but-plausible distance. The contract is the
+    // composed element_at form's: NULL propagates, so the whole LUT
+    // row must come back NULL. Pinned on BOTH the codegen'd and the
+    // interpreted path.
+    import spark.implicits._
+    val cb = Array(Array(1L, 2L, 3L, 4L), Array(5L, 6L, 7L, 8L))
+    val df = Seq(
+      (1L, Seq[java.lang.Long](1L, 2L, 3L, 4L)),
+      (2L, Seq[java.lang.Long](1L, null, 3L, 4L))
+    ).toDF("id", "q")
+    def run() = df
+      .select(col("id"), PqLut(col("q"), Array(0L, 1L), cb, m = 2, dsub = 2).as("lut"))
+      .orderBy("id").select(col("lut").isNull).as[Boolean].collect().toSeq
+    assert(run() == Seq(false, true), "codegen path")
+    assert(withInterpreted(run()) == Seq(false, true), "interpreted path")
+  }
+
   test("PQ family survives spark.sql.codegen.fallback=false end to end " +
       "(VERDICT r9 item 4: the residual janino fallback is gone)") {
     // with fallback disabled, a Janino 64 KB failure THROWS instead of

@@ -145,4 +145,61 @@ class NearDupSpec extends AnyFunSuite {
       NearDup.connectedComponents(nodes, "doc_id", chain, maxIters = 1).collect()
     }
   }
+
+  test("dfCap: a synthetic hub token no longer expands quadratically") {
+    // 200 docs ALL share 'hub'; only docs 1,2 also share {x1,x2,x3}.
+    // Uncapped, the hub alone materializes C(200,2) = 19900 pair rows
+    // before any filter — the VERDICT r10 melt scenario. With
+    // dfCap=16 (< df('hub')=200) the ONLY surviving pair is (1,2)
+    // via its 3 rare tokens.
+    val rows = (1L to 200L).flatMap { d =>
+      val extra = if (d <= 2) Seq("x1", "x2", "x3") else Seq(s"u$d")
+      ("hub" +: extra).map(tk => (d, tk))
+    }
+    val d = rows.toDF("doc_id", "tok")
+    val uncapped = tokenJaccardPairs(d, "doc_id", "tok", 0)
+    assert(uncapped.count() == 19900L, "uncapped: every hub pair materializes")
+    val capped = tokenJaccardPairs(d, "doc_id", "tok", 0, dfCap = Some(16))
+      .select("doc_a", "doc_b", "i", "na", "nb").as[(Long, Long, Long, Long, Long)]
+      .collect().toSeq
+    // sizes stay FULL (na = nb = 4 incl. the dropped hub) while i
+    // counts only capped-join tokens (3) — the one-sided J ≤ true-J
+    // guarantee: 3/5 = 0.6 ≤ true 4/4
+    assert(capped == Seq((1L, 2L, 3L, 4L, 4L)))
+  }
+
+  test("dfCap: identity when every df ≤ cap; capped near-dups ⊆ uncapped") {
+    val d = toks((1L, "a b c"), (2L, "b c d"), (3L, "x y"), (4L, "a b c"))
+    val un = tokenJaccardPairs(d, "doc_id", "tok", 4)
+      .orderBy("doc_a", "doc_b").collect().toSeq
+    val cap = tokenJaccardPairs(d, "doc_id", "tok", 4, dfCap = Some(TokenDfCap))
+      .orderBy("doc_a", "doc_b").collect().toSeq
+    assert(cap == un, "cap above max df must be the identity")
+    val tight = tokenJaccardPairs(d, "doc_id", "tok", 4, dfCap = Some(2))
+      .filter($"near_dup" === 1).select("doc_a", "doc_b").as[(Long, Long)]
+      .collect().toSet
+    val unDups = un.filter(_.getAs[Int]("near_dup") == 1)
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(tight.subsetOf(unDups),
+      "one-sided: a df cap can only REMOVE near-dup flags, never add")
+  }
+
+  test("dfCap on containmentPairs: hub drop lowers permilles, sizes stay full") {
+    // doc 1 = {hub, a, b, c, d}, doc 2 = {hub, a, b, c, d, e...j},
+    // hub shared by all 40 docs → dropped at cap=8
+    val rows = (1L to 40L).flatMap { dd =>
+      val extra =
+        if (dd == 1) Seq("a", "b", "c", "d")
+        else if (dd == 2) Seq("a", "b", "c", "d", "e", "f", "g", "h", "i", "j")
+        else Seq(s"u$dd")
+      ("hub" +: extra).map(tk => (dd, tk))
+    }
+    val d = rows.toDF("doc_id", "tok")
+    val got = containmentPairs(d, "doc_id", "tok", dfCap = Some(8))
+      .select("doc_a", "doc_b", "i", "na", "nb", "cont_a_permille")
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq
+    // i = 4 (a..d; hub dropped), na = 5 FULL → C(a→) = 4000/5 = 800‰
+    // (uncapped would be 5/5 = 1000‰: the cap only ever lowers)
+    assert(got == Seq((1L, 2L, 4L, 5L, 11L, 800L)))
+  }
 }
