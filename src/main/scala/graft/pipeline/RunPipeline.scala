@@ -110,12 +110,19 @@ object RunPipeline {
               sampleSize: Option[Int] = None,
               dimTtlDays: Int = 7,
               acApiBase: Option[String] = None,
-              acFanouts: Seq[String] = Seq("email_activities", "contact_notes")): FullRunReport = {
+              acFanouts: Seq[String] = Seq("email_activities", "contact_notes"),
+              stageHook: String => Unit = _ => ()): FullRunReport = {
     import graft.ops.Ops._
     import spark.implicits._
     val statePath = s"$outRoot/state.json"
     val state = Watermark.load(statePath)
     val runId = mkRunId(nowUtc, state.maxId)
+    // per-endpoint resume (StageLedger scaladoc): a retry under the
+    // SAME runId skips every already-persisted stage — its lazy delta
+    // is never even planned, so no source scan / REST fetch happens
+    val resumed = StageLedger.load(outRoot, runId)
+    // `stageHook` fires after each completed stage — the fault-
+    // injection seam RunPipelineSpec uses to kill a run mid-catalog
 
     // ── contacts collection (DSv2 paged source) ──
     val contacts = spark.read.format("graft.sources.PagedSource")
@@ -159,12 +166,22 @@ object RunPipeline {
     val region = DimCache.loadOrRefreshDim(spark, dims, "region",
       () => Tables.t(spark, sfDir, "region"), dimTtlDays, nowInstant)
 
-    // 6. persist stages (each one is the proven E2 merge)
-    def stage(table: String, delta: org.apache.spark.sql.DataFrame,
+    // 6. persist stages (each one is the proven E2 merge). `delta` is
+    // BY-NAME: a ledgered (resumed) stage returns its recorded counts
+    // without constructing the plan at all — for fan-out endpoints
+    // that means zero REST fetches, for star stages zero scans.
+    def stage(table: String, delta: => org.apache.spark.sql.DataFrame,
               keys: Seq[String], updatedAt: String): (String, (Long, Long)) =
-      table -> PersistTableDual.persist(spark,
-        PersistTableDual.Paths(outRoot, table), delta, runId, nowUtc,
-        keys, updatedAt)
+      resumed.get(table) match {
+        case Some(counts) => table -> counts
+        case None =>
+          val counts = PersistTableDual.persist(spark,
+            PersistTableDual.Paths(outRoot, table), delta, runId, nowUtc,
+            keys, updatedAt)
+          StageLedger.markDone(outRoot, runId, table, counts)
+          stageHook(table)
+          table -> counts
+      }
 
     // CACHED: the universe-bounded events slice feeds the combined
     // activities stage, the five per-endpoint splits, and the
@@ -328,6 +345,9 @@ object RunPipeline {
       PersistTableDual.Paths(outRoot, "contacts").delta(runId))
     val advanced = Watermark.advance(writtenDelta, "id", state, nowUtc)
     Watermark.save(statePath, advanced)
+    // run complete — the per-endpoint resume ledger describes only
+    // in-flight runs, and a stale one must not shadow the next retry
+    StageLedger.clear(outRoot)
 
     FullRunReport(runId, nSeeds, universeSize, persisted, martRows, nDigests,
       state.maxId, advanced.maxId)

@@ -1138,7 +1138,11 @@ object RelQueries {
     // integers with ≤|parts| cents of flooring slack — no float
     // accumulation. Only parts traded in BOTH years enter (the
     // matched-sample convention). Indices in ppm of the base;
-    // Fisher takes one shared-double sqrt.
+    // Fisher takes one shared-double sqrt over the EXACT integer ppm
+    // columns — never re-derived via float floor-div: 1000000·p1q0 ≈
+    // 5.5e17 exceeds 2^53, so `1.0 * X // Y` floor-divides a rounded
+    // double and can land one ppm off the integer div (the r11
+    // fresh-draw sweep caught exactly that fisher_ppm 1-off).
     QDef("q_price_index", Some("""
       WITH y AS (SELECT l.l_partkey, year(o.o_orderdate) AS yr,
               CAST(sum(CAST(floor(l.l_extendedprice * 100.0 + 0.5) AS BIGINT))
@@ -1155,14 +1159,15 @@ object RelQueries {
               CAST(sum((r1 * q0) // q1) AS BIGINT) AS p1q0,
               CAST(sum((r0 * q1) // q0) AS BIGINT) AS p0q1,
               CAST(sum(r1) AS BIGINT) AS p1q1
-            FROM j)
-      SELECT n_parts, p0q0, p1q0, p0q1, p1q1,
-             CAST((1000000 * p1q0) // p0q0 AS BIGINT) AS laspeyres_ppm,
-             CAST((1000000 * p1q1) // p0q1 AS BIGINT) AS paasche_ppm,
-             CAST(floor(sqrt((1.0 * (1000000 * p1q0) // p0q0) *
-                             (1.0 * (1000000 * p1q1) // p0q1))) AS BIGINT)
-               AS fisher_ppm
-      FROM s"""),
+            FROM j),
+      f AS (SELECT n_parts, p0q0, p1q0, p0q1, p1q1,
+              CAST((1000000 * p1q0) // p0q0 AS BIGINT) AS laspeyres_ppm,
+              CAST((1000000 * p1q1) // p0q1 AS BIGINT) AS paasche_ppm
+            FROM s)
+      SELECT n_parts, p0q0, p1q0, p0q1, p1q1, laspeyres_ppm, paasche_ppm,
+             CAST(floor(sqrt((1.0 * laspeyres_ppm) * (1.0 * paasche_ppm)))
+               AS BIGINT) AS fisher_ppm
+      FROM f"""),
       (s, d) => {
         val y = t(s, d, "lineitem")
           .join(t(s, d, "orders").select("o_orderkey", "o_orderdate"),

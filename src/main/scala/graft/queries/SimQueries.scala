@@ -19,7 +19,17 @@ object SimQueries {
   /** Shared DuckDB cosine expression over two named vector columns
     * (mirrors Similarity.cosine: dot / (||a||·||b||), each norm
     * sqrt'd separately) — ONE formula, parameterized, so every oracle
-    * that scores cosine stays in lockstep. */
+    * that scores cosine stays in lockstep.
+    *
+    * NEGATIVE-ZERO RULE: every `round(cos, 3)` that becomes an OUTPUT
+    * column is wrapped `(round(...) + 0.0)` in the oracle. DuckDB's
+    * round on DOUBLE preserves IEEE -0.0 while Spark's BigDecimal
+    * round cannot represent it, so a cosine in (-0.0005, 0) renders
+    * '-0.0' vs '0.0' and hash-diverges — caught by the r11 fresh-draw
+    * sweep on q_embed_outlier_dist (ascending-sim outputs are where
+    * near-zero negatives surface). Sort order needs no guard: both
+    * engines compare -0.0 == 0.0, so the cid tiebreak decides ties
+    * identically; only the rendered value differs. */
   private def cosineSql(a: String, b: String): String =
     s"""list_sum(list_transform(list_zip($a, $b), p -> p[1] * p[2])) /
        |(${normSql(a)} *
@@ -145,7 +155,7 @@ object SimQueries {
       WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
       q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 10),
       c AS (SELECT vec_id AS cid, v AS cv FROM e),
-      s AS (SELECT qid, cid, round($cosSql, 3) AS sim3
+      s AS (SELECT qid, cid, (round($cosSql, 3) + 0.0) AS sim3
             FROM q CROSS JOIN c WHERE qid <> cid),
       r AS (SELECT qid, cid, sim3,
             CAST(row_number() OVER (PARTITION BY qid ORDER BY sim3 DESC, cid) AS BIGINT) AS rank
@@ -168,7 +178,7 @@ object SimQueries {
       WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
       q AS (SELECT vec_id AS qid, label AS cell, v AS qv FROM e WHERE vec_id < 10),
       c AS (SELECT vec_id AS cid, label AS cell, v AS cv FROM e),
-      s AS (SELECT qid, cid, round($cosSql, 3) AS sim3
+      s AS (SELECT qid, cid, (round($cosSql, 3) + 0.0) AS sim3
             FROM q JOIN c USING (cell) WHERE qid <> cid),
       r AS (SELECT qid, cid, sim3,
             CAST(row_number() OVER (PARTITION BY qid ORDER BY sim3 DESC, cid) AS BIGINT) AS rank
@@ -199,7 +209,7 @@ object SimQueries {
         QUALIFY row_number() OVER (PARTITION BY cid ORDER BY cs DESC, cell) = 1),
       q AS (SELECT cid AS qid, cell, cv AS qv FROM assigned WHERE cid < 10),
       c AS (SELECT cid, cell, cv FROM assigned),
-      s AS (SELECT qid, cid, round($cosSql, 3) AS sim3
+      s AS (SELECT qid, cid, (round($cosSql, 3) + 0.0) AS sim3
             FROM q JOIN c USING (cell) WHERE qid <> cid),
       r AS (SELECT qid, cid, sim3,
             CAST(row_number() OVER (PARTITION BY qid ORDER BY sim3 DESC, cid) AS BIGINT) AS rank
@@ -237,7 +247,7 @@ object SimQueries {
         FROM e CROSS JOIN cent),
       assigned AS (SELECT cid, cv, cell FROM scored
         QUALIFY row_number() OVER (PARTITION BY cid ORDER BY cs DESC, cell) = 1),
-      s AS (SELECT a.cell, a.cid, round(${cosineSql("a.cv", "cent.centv")}, 3) AS sim3
+      s AS (SELECT a.cell, a.cid, (round(${cosineSql("a.cv", "cent.centv")}, 3) + 0.0) AS sim3
             FROM assigned a JOIN cent USING (cell)),
       r AS (SELECT cell, cid, sim3,
             CAST(row_number() OVER (PARTITION BY cell ORDER BY sim3 ASC, cid) AS BIGINT) AS rank
@@ -281,7 +291,7 @@ object SimQueries {
         QUALIFY row_number() OVER (PARTITION BY cid ORDER BY cs DESC, cell) = 1),
       qprobe AS (SELECT cid AS qid, cv AS qv, cell FROM scored WHERE cid < 10
         QUALIFY row_number() OVER (PARTITION BY cid ORDER BY cs DESC, cell) <= 2),
-      s AS (SELECT qid, cid, round($cosSql, 3) AS sim3
+      s AS (SELECT qid, cid, (round($cosSql, 3) + 0.0) AS sim3
             FROM qprobe q JOIN assigned c USING (cell) WHERE qid <> cid),
       r AS (SELECT qid, cid, sim3,
             CAST(row_number() OVER (PARTITION BY qid ORDER BY sim3 DESC, cid) AS BIGINT) AS rank
@@ -319,11 +329,11 @@ object SimQueries {
       WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
       q AS (SELECT vec_id AS qid, label AS cell, v AS qv FROM e WHERE vec_id < 10),
       c AS (SELECT vec_id AS cid, label AS cell, v AS cv FROM e),
-      ts AS (SELECT qid, cid, round($cosSql, 3) AS sim3
+      ts AS (SELECT qid, cid, (round($cosSql, 3) + 0.0) AS sim3
              FROM q CROSS JOIN c WHERE qid <> cid),
       tr AS (SELECT qid, cid FROM ts
              QUALIFY row_number() OVER (PARTITION BY qid ORDER BY sim3 DESC, cid) <= 5),
-      sv AS (SELECT qid, cid, round($cosSql, 3) AS sim3
+      sv AS (SELECT qid, cid, (round($cosSql, 3) + 0.0) AS sim3
              FROM q JOIN c USING (cell) WHERE qid <> cid),
       ar AS (SELECT qid, cid FROM sv
              QUALIFY row_number() OVER (PARTITION BY qid ORDER BY sim3 DESC, cid) <= 5),
@@ -370,14 +380,14 @@ object SimQueries {
       WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
       q AS (SELECT vec_id AS qid, label AS cell, v AS qv FROM e WHERE vec_id < 10),
       c AS (SELECT vec_id AS cid, label AS cell, v AS cv FROM e),
-      ts AS (SELECT qid, cid, round($cosSql, 3) AS sim3
+      ts AS (SELECT qid, cid, (round($cosSql, 3) + 0.0) AS sim3
              FROM q CROSS JOIN c WHERE qid <> cid),
       tr AS (SELECT qid, cid,
                CAST(row_number() OVER (PARTITION BY qid ORDER BY sim3 DESC, cid)
                  AS BIGINT) AS rnk
              FROM ts
              QUALIFY row_number() OVER (PARTITION BY qid ORDER BY sim3 DESC, cid) <= 10),
-      sv AS (SELECT qid, cid, round($cosSql, 3) AS sim3
+      sv AS (SELECT qid, cid, (round($cosSql, 3) + 0.0) AS sim3
              FROM q JOIN c USING (cell) WHERE qid <> cid),
       ar AS (SELECT qid, cid,
                CAST(row_number() OVER (PARTITION BY qid ORDER BY sim3 DESC, cid)
@@ -440,11 +450,11 @@ object SimQueries {
       WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
       q AS (SELECT vec_id AS qid, label AS cell, v AS qv FROM e WHERE vec_id < 10),
       c AS (SELECT vec_id AS cid, label AS cell, v AS cv FROM e),
-      ts AS (SELECT qid, cid, round($cosSql, 3) AS sim3
+      ts AS (SELECT qid, cid, (round($cosSql, 3) + 0.0) AS sim3
              FROM q CROSS JOIN c WHERE qid <> cid),
       tr AS (SELECT qid, cid FROM ts
              QUALIFY row_number() OVER (PARTITION BY qid ORDER BY sim3 DESC, cid) <= 10),
-      sv AS (SELECT qid, cid, round($cosSql, 3) AS sim3
+      sv AS (SELECT qid, cid, (round($cosSql, 3) + 0.0) AS sim3
              FROM q JOIN c USING (cell) WHERE qid <> cid),
       ar AS (SELECT qid, cid,
                CAST(row_number() OVER (PARTITION BY qid ORDER BY sim3 DESC, cid)
@@ -966,7 +976,7 @@ object SimQueries {
         FROM e),
       qs AS (SELECT vec_id AS qid, v AS qv, sig AS qsig FROM s WHERE vec_id < 10),
       ts AS (SELECT qid, s.vec_id AS cid,
-               round(${cosineSql("qv", "s.v")}, 3) AS sim3
+               (round(${cosineSql("qv", "s.v")}, 3) + 0.0) AS sim3
              FROM qs CROSS JOIN s WHERE qid <> s.vec_id),
       tr AS (SELECT qid, cid FROM ts
              QUALIFY row_number() OVER (PARTITION BY qid ORDER BY sim3 DESC, cid) <= 5),
@@ -1058,7 +1068,7 @@ object SimQueries {
       WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
                  WHERE vec_id % 5 = 0),
       p AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-                   round(${cosineSql("a.v", "b.v")}, 3) AS sim3
+                   (round(${cosineSql("a.v", "b.v")}, 3) + 0.0) AS sim3
             FROM e a JOIN e b ON a.vec_id < b.vec_id)
       SELECT vec_a, vec_b, sim3 FROM p WHERE sim3 >= 0.35 ORDER BY vec_a, vec_b"""),
       (s, d) => {
@@ -1137,7 +1147,7 @@ object SimQueries {
             FROM e WHERE vec_id % 100 = 0),
       c AS (SELECT vec_id AS cid, CAST(label AS BIGINT) AS clabel, v AS cv
             FROM e WHERE vec_id % 100 <> 0),
-      s AS (SELECT qid, cid, clabel, round($cosSql, 3) AS sim3 FROM q CROSS JOIN c),
+      s AS (SELECT qid, cid, clabel, (round($cosSql, 3) + 0.0) AS sim3 FROM q CROSS JOIN c),
       r AS (SELECT qid, clabel, sim3, cid,
             row_number() OVER (PARTITION BY qid ORDER BY sim3 DESC, cid) AS rank
             FROM s),
@@ -1185,7 +1195,7 @@ object SimQueries {
       WITH e AS (SELECT vec_id, CAST(label AS BIGINT) AS lab, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
       q AS (SELECT vec_id AS qid, lab AS qlab, v AS qv FROM e WHERE vec_id % 100 = 0),
       c AS (SELECT vec_id AS cid, lab AS clab, v AS cv FROM e WHERE vec_id % 100 <> 0),
-      s AS (SELECT qid, qlab, cid, clab, round($cosSql, 3) AS sim3 FROM q CROSS JOIN c),
+      s AS (SELECT qid, qlab, cid, clab, (round($cosSql, 3) + 0.0) AS sim3 FROM q CROSS JOIN c),
       hp AS (SELECT qid, cid, sim3 FROM s WHERE clab = qlab
              QUALIFY row_number() OVER (PARTITION BY qid ORDER BY sim3 DESC, cid) = 1),
       hn AS (SELECT qid, cid, sim3 FROM s WHERE clab <> qlab
@@ -1300,13 +1310,13 @@ object SimQueries {
       WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
       q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 10),
       c AS (SELECT vec_id AS cid, v AS cv FROM e),
-      ts AS (SELECT qid, cid, round($cosSql, 3) AS sim3
+      ts AS (SELECT qid, cid, (round($cosSql, 3) + 0.0) AS sim3
              FROM q CROSS JOIN c WHERE qid <> cid),
       tr AS (SELECT qid, cid FROM ts
              QUALIFY row_number() OVER (PARTITION BY qid ORDER BY sim3 DESC, cid) <= 5),
       qp AS (SELECT qid, qv[1:16] AS qv FROM q),
       cp AS (SELECT cid, cv[1:16] AS cv FROM c),
-      ps AS (SELECT qid, cid, round($cosSql, 3) AS sim3
+      ps AS (SELECT qid, cid, (round($cosSql, 3) + 0.0) AS sim3
              FROM qp CROSS JOIN cp WHERE qid <> cid),
       pr AS (SELECT qid, cid FROM ps
              QUALIFY row_number() OVER (PARTITION BY qid ORDER BY sim3 DESC, cid) <= 5),
@@ -1530,12 +1540,12 @@ object SimQueries {
                  FROM embeddings),
       q AS (SELECT vec_id AS qid, label AS cell, v AS qv FROM e WHERE vec_id < 10),
       c AS (SELECT vec_id AS cid, label AS cell, v AS cv FROM e),
-      sa AS (SELECT qid, cid, round($cosSql, 3) AS sim3
+      sa AS (SELECT qid, cid, (round($cosSql, 3) + 0.0) AS sim3
              FROM q CROSS JOIN c WHERE qid <> cid),
       ra AS (SELECT qid, cid, CAST(row_number() OVER (PARTITION BY qid
                ORDER BY sim3 DESC, cid) AS BIGINT) AS rnk FROM sa),
       ral AS (SELECT * FROM ra WHERE rnk <= 20),
-      sb AS (SELECT qid, cid, round($cosSql, 3) AS sim3
+      sb AS (SELECT qid, cid, (round($cosSql, 3) + 0.0) AS sim3
              FROM q JOIN c USING (cell) WHERE qid <> cid),
       rb AS (SELECT qid, cid, CAST(row_number() OVER (PARTITION BY qid
                ORDER BY sim3 DESC, cid) AS BIGINT) AS rnk FROM sb),
@@ -1727,7 +1737,7 @@ object SimQueries {
                  FROM embeddings WHERE vec_id % 10 = 0),
       q AS (SELECT vec_id AS qid, v AS qv FROM e),
       c AS (SELECT vec_id AS cid, v AS cv FROM e),
-      sc AS (SELECT qid, cid, round($cosSql, 3) AS sim3
+      sc AS (SELECT qid, cid, (round($cosSql, 3) + 0.0) AS sim3
              FROM q CROSS JOIN c WHERE qid <> cid),
       kn AS (SELECT qid, cid FROM (
                SELECT qid, cid, row_number() OVER (PARTITION BY qid
@@ -1772,7 +1782,7 @@ object SimQueries {
                  FROM embeddings),
       q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 10),
       c AS (SELECT vec_id AS cid, v AS cv FROM e),
-      sc AS (SELECT qid, cid, round($cosSql, 3) AS sim3
+      sc AS (SELECT qid, cid, (round($cosSql, 3) + 0.0) AS sim3
              FROM q CROSS JOIN c WHERE qid <> cid),
       r AS (SELECT qid, cid, sim3, row_number() OVER (PARTITION BY qid
               ORDER BY sim3 DESC, cid) AS rnk FROM sc),
@@ -1821,7 +1831,7 @@ object SimQueries {
       assigned AS (SELECT cid, cv, cell FROM scored
         QUALIFY row_number() OVER (PARTITION BY cid ORDER BY cs DESC, cell) = 1),
       p AS (SELECT a.cid AS vec_a, b.cid AS vec_b,
-                   round(${cosineSql("a.cv", "b.cv")}, 3) AS sim3
+                   (round(${cosineSql("a.cv", "b.cv")}, 3) + 0.0) AS sim3
             FROM assigned a JOIN assigned b
               ON a.cell = b.cell AND a.cid < b.cid)""".stripMargin
 

@@ -172,4 +172,60 @@ class RunPipelineSpec extends AnyFunSuite {
       assert(dimHits == 0, "TTL-fresh dims must not refetch")
     } finally server.stop(0)
   }
+
+  test("per-endpoint resume: a run killed mid-catalog resumes under the same " +
+      "runId without re-fetching completed endpoints (CONTRIBUTING.md:8)") {
+    val root = Files.createTempDirectory("pipeline_resume").toString
+    FixtureBackend.reset()
+    val sf = SparkTesting.sf
+    val (server, apiBase, seen) = graft.sources.StubApi.startAc()
+    try {
+      // kill the lifecycle immediately after the email_activities
+      // fan-out persists — contact_notes and every star-schema stage
+      // are still undone
+      val boom = intercept[RuntimeException] {
+        RunPipeline.runFull(spark, root, sf, totalRows = 10,
+          nowUtc = "2026-03-01T00:00:00Z", acApiBase = Some(apiBase),
+          stageHook = t =>
+            if (t == "email_activities") throw new RuntimeException(s"kill:$t"))
+      }
+      assert(boom.getMessage == "kill:email_activities")
+      // the interrupted run left its ledger and never advanced the
+      // watermark
+      assert(new java.io.File(StageLedger.path(root)).exists())
+      assert(Watermark.load(s"$root/state.json").maxId == -1L)
+      val fetchesBeforeResume = seen.toArray.map(_.toString)
+      assert(fetchesBeforeResume.exists(_.startsWith("/api/3/emailActivities")),
+        "the killed run must actually have extracted email_activities")
+
+      // resume: SAME nowUtc → same runId → ledgered stages skip
+      val mark = seen.size
+      val r = RunPipeline.runFull(spark, root, sf, totalRows = 10,
+        nowUtc = "2026-03-01T00:00:00Z", acApiBase = Some(apiBase))
+      val resumeFetches = seen.toArray.map(_.toString).drop(mark)
+      assert(!resumeFetches.exists(_.startsWith("/api/3/emailActivities")),
+        s"resume must not re-fetch the completed endpoint: " +
+          resumeFetches.filter(_.startsWith("/api/3/emailActivities")).take(3).mkString(", "))
+      assert(resumeFetches.exists(_.matches("/api/3/contacts/\\d+/notes.*")),
+        "the UNfinished endpoint must still extract on resume")
+
+      // the resumed run's report carries the ledgered counts and the
+      // full catalog — indistinguishable from an uninterrupted run
+      assert(r.persisted("email_activities") == ((50L, 50L)))
+      assert(r.persisted("contact_notes") == ((20L, 20L)))
+      assert(r.persisted("contacts")._1 == 10L)
+      assert(r.watermarkAfter == 9L)
+      // completion cleared the ledger; latest lakes are whole
+      assert(!new java.io.File(StageLedger.path(root)).exists(),
+        "a completed run must clear its resume ledger")
+      assert(spark.read.parquet(s"$root/master/latest/email_activities")
+        .select("driving_id").distinct().count() == 10)
+
+      // a FOREIGN-runId retry (different stamp) ignores the ledger
+      // path entirely and still converges (content-hash dedup)
+      val r3 = RunPipeline.runFull(spark, root, sf, totalRows = 10,
+        nowUtc = "2026-03-02T00:00:00Z", acApiBase = Some(apiBase))
+      assert(r3.persisted("contact_notes") == ((20L, 20L)))
+    } finally server.stop(0)
+  }
 }
