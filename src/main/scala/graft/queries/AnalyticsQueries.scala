@@ -1994,11 +1994,11 @@ object AnalyticsQueries {
       SELECT nn AS n_docs, k AS k_sources, ssb AS ssb_int, ssw AS ssw_int,
              CAST(floor(1000.0 * ((1.0 * nn - (1.0 * ssqn) / nn) / (k - 1)))
                AS BIGINT) AS n0_milli,
-             CAST(floor(1000000.0 *
-               ((((1.0 * ssb) / (k - 1)) - ((1.0 * ssw) / (nn - k))) /
+             CAST(floor((1000000.0 *
+               (((1.0 * ssb) / (k - 1)) - ((1.0 * ssw) / (nn - k)))) /
                 (((1.0 * ssb) / (k - 1)) +
                  (((1.0 * nn - (1.0 * ssqn) / nn) / (k - 1)) - 1.0) *
-                   ((1.0 * ssw) / (nn - k))))) AS BIGINT) AS icc_micro,
+                   ((1.0 * ssw) / (nn - k)))) AS BIGINT) AS icc_micro,
              CAST(floor(1000.0 * (1.0 + ((1.0 * nn) / k - 1.0) *
                ((((1.0 * ssb) / (k - 1)) - ((1.0 * ssw) / (nn - k))) /
                 (((1.0 * ssb) / (k - 1)) +
@@ -2017,7 +2017,11 @@ object AnalyticsQueries {
         val c = tot.select(col("nn"), col("k"),
           (col("sq") - expr("div(ts2 * ts2, nn)")).cast("long").as("ssb"),
           (col("tss") - col("sq")).cast("long").as("ssw"), col("ssqn"))
-        // the IEEE chains below mirror the oracle's trees EXACTLY
+        // the IEEE chains below mirror the oracle's trees EXACTLY —
+        // icc_micro deliberately scales the NUMERATOR before dividing
+        // ((1e6 * num) / den) on BOTH engines: 1e6 * (num / den) is a
+        // different IEEE tree that lands 1 ulp away on ~1/3 of inputs,
+        // enough to flip the floor at a boundary (ADVICE r10)
         val msb = (lit(1.0) * col("ssb")) / (col("k") - 1)
         val msw = (lit(1.0) * col("ssw")) / (col("nn") - col("k"))
         val n0 = (lit(1.0) * col("nn") - (lit(1.0) * col("ssqn")) / col("nn")) /
@@ -2026,7 +2030,8 @@ object AnalyticsQueries {
         c.select(col("nn").as("n_docs"), col("k").as("k_sources"),
           col("ssb").as("ssb_int"), col("ssw").as("ssw_int"),
           floor(lit(1000.0) * n0).cast("long").as("n0_milli"),
-          floor(lit(1000000.0) * icc).cast("long").as("icc_micro"),
+          floor((lit(1000000.0) * (msb - msw)) /
+            (msb + (n0 - lit(1.0)) * msw)).cast("long").as("icc_micro"),
           floor(lit(1000.0) * (lit(1.0) +
             ((lit(1.0) * col("nn")) / col("k") - lit(1.0)) * icc))
             .cast("long").as("deff_milli"))

@@ -176,61 +176,81 @@ object NearDup {
   }
 
   /** Dedup CLUSTERS from candidate pairs: connected components over
-    * the near-dup graph by iterative min-label propagation. Every doc
-    * ends labeled with the smallest doc id reachable through the pair
-    * graph — that label is the cluster id AND the dedup group's
-    * deterministic survivor (the same smallest-id-survives rule as
-    * [[exactDedup]], lifted from equality groups to near-dup
-    * components).
+    * the near-dup graph. Every doc ends labeled with the smallest doc
+    * id reachable through the pair graph — that label is the cluster
+    * id AND the dedup group's deterministic survivor (the same
+    * smallest-id-survives rule as [[exactDedup]], lifted from
+    * equality groups to near-dup components).
     *
-    * Each round combines neighbor-min propagation (one edges⋈labels
-    * equi-join + min-aggregate) with POINTER JUMPING (each node also
-    * adopts its current label's label — one labels⋈labels join), so
-    * convergence takes O(log diameter) rounds instead of O(diameter);
-    * all joins are hash-partitioned on the doc id.
+    * Algorithm: alternating LARGE-STAR / SMALL-STAR edge rewiring
+    * (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    * SoCC'14). Each full round rewrites the EDGE SET itself:
+    * large-star points every neighbor larger than u at u's minimum
+    * neighborhood id; small-star points every smaller neighbor (and u)
+    * at the minimum. At fixpoint the edges form star forests rooted at
+    * each component's minimum id, so labels fall out of one final
+    * left join. Rewiring is the load-bearing choice: the previous
+    * min-label-PROPAGATION form (neighbor-min + pointer jumping over
+    * a STATIC edge list) needs O(diameter) rounds no matter how hard
+    * the label forest is compressed, because new information crosses
+    * a labeled-segment boundary only one graph hop per round — a
+    * permuted 10^4-node path blew its 25-round budget (the r10
+    * adversarial-depth spec). Star rounds double the reach through
+    * the rewired edges themselves: the same path converges in 13
+    * rounds ≈ log2(n), and NearDupSpec pins that bound mechanically.
     *
-    * Each round's labels are materialized by persisting the row RDD
-    * and rebuilding the frame over it, not by cache(): the round
-    * references the previous labels three times (neighbor join,
-    * label-of-label join, carry), so the LOGICAL plan would otherwise
-    * grow 3^rounds — caching cuts physical recompute but Catalyst
-    * still re-optimizes the full exponential tree every round.
-    * Rebuilding from the materialized RDD truncates lineage, keeping
-    * per-round planning O(1), and the RDD handle gives DETERMINISTIC
-    * release: each round frees the previous round's blocks the moment
-    * its own labeling is materialized, so live storage is bounded at
-    * ~2 labelings regardless of round count; failure paths release
-    * everything. (Trade-off: RDD persistence is not
-    * executor-loss-tolerant — a production cluster run would
-    * checkpoint() rounds to a reliable dir instead — pass
-    * `checkpointDir`.)
+    * Each round is two agg+join+distinct passes, all hash-partitioned
+    * on node id; edge count never grows (large-star maps each edge to
+    * at most one rewired edge, small-star is per-hub size-preserving
+    * before dedup), so per-round cost is bounded by the INPUT edge
+    * count throughout.
     *
-    * `checkpointDir`: when set, every round's labeling is ALSO
+    * Each round's edge set is materialized by persisting the row RDD
+    * and rebuilding the frame over it, not by cache(): rebuilding from
+    * the materialized RDD truncates lineage (the logical plan would
+    * otherwise nest one round per iteration), keeping per-round
+    * planning O(1), and the RDD handle gives DETERMINISTIC release:
+    * each round frees the previous round's blocks the moment its own
+    * edge set is materialized, so live storage is bounded at ~2 edge
+    * sets regardless of round count; failure paths release everything.
+    * (Trade-off: RDD persistence is not executor-loss-tolerant — a
+    * production cluster run would checkpoint() rounds to a reliable
+    * dir instead — pass `checkpointDir`.)
+    *
+    * `checkpointDir`: when set, every round's edge set is ALSO
     * checkpointed to that (reliable, e.g. HDFS) directory, making the
     * loop executor-loss-tolerant: a lost executor recomputes from the
     * round's checkpoint files instead of replaying the whole loop
     * from the source. Each round's files are deleted as soon as the
     * next round has fully materialized (same discipline as the block
     * release), so the dir holds at most two rounds at any instant;
-    * the final round's files back the returned frame and are left
-    * for the session/checkpoint-dir owner to reclaim. Note Spark's
-    * checkpoint dir is session-global (`setCheckpointDir`) and has no
-    * public unset, so passing `checkpointDir` REQUIRES the session to
-    * already own a checkpoint dir (fail-fast `require`): the caller's
-    * dir is swapped in for the loop and restored on exit. Without
-    * that precondition the per-call dir would silently remain the
-    * session's dir, and later unrelated `rdd.checkpoint()` calls
-    * would land in — and be reclaimed with — a directory they never
-    * chose.
+    * the final round's files back the star forest behind the returned
+    * frame and are left for the session/checkpoint-dir owner to
+    * reclaim. Note Spark's checkpoint dir is session-global
+    * (`setCheckpointDir`) and has no public unset, so passing
+    * `checkpointDir` REQUIRES the session to already own a checkpoint
+    * dir (fail-fast `require`): the caller's dir is swapped in for the
+    * loop and restored on exit. Without that precondition the per-call
+    * dir would silently remain the session's dir, and later unrelated
+    * `rdd.checkpoint()` calls would land in — and be reclaimed with —
+    * a directory they never chose.
     *
-    * Convergence is detected by an aggregate checksum: labels only
-    * ever DECREASE, so the decimal sum of labels strictly decreases
-    * until fixpoint — one cheap agg per round, no prev-vs-next join.
-    * `maxIters` guards non-convergence by FAILING rather than
-    * returning a partial labeling.
+    * Convergence is detected by an aggregate checksum pair
+    * (edge count, decimal endpoint sum): BOTH are non-increasing under
+    * each star operation — large-star maps edge (u,v>u) to (m≤u, v)
+    * and only ever merges duplicates; small-star maps a hub's k
+    * smaller-neighbor edges to k edges whose endpoint sum drops by
+    * (k−1)·(hub−min) — with per-edge equality exactly when the edge is
+    * unchanged, so an unchanged (count, sum) pair across a full round
+    * IS the fixpoint; one cheap agg per round, no prev-vs-next join.
+    * Decimal, not long: ids can be large and corpora huge, so a long
+    * sum could overflow and falsely report convergence. `maxIters`
+    * guards non-convergence by FAILING rather than returning a
+    * partial labeling.
     *
     * `nodes` must carry every doc (docs in no pair become singleton
-    * clusters); `pairs` must carry (doc_a, doc_b). */
+    * clusters); `pairs` must carry (doc_a, doc_b), both within
+    * `nodes`' id set. */
   def connectedComponents(nodes: DataFrame, id: String, pairs: DataFrame,
                           maxIters: Int = 25,
                           checkpointDir: Option[String] = None): DataFrame = {
@@ -252,9 +272,6 @@ object NearDup {
           ".setCheckpointDir) so the caller's dir can be restored on exit")
       spark.sparkContext.setCheckpointDir(d)
     }
-    val edges = pairs.select(col("doc_a").as("_src"), col("doc_b").as("_dst"))
-      .union(pairs.select(col("doc_b").as("_src"), col("doc_a").as("_dst")))
-      .cache()
     var liveRdd: org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] = null
     // BEST-EFFORT: losing an obsolete round's files to a transient FS
     // error is harmless; failing the whole computation (or masking
@@ -267,28 +284,27 @@ object NearDup {
     def release(rdd: org.apache.spark.rdd.RDD[_]): Unit = {
       rdd.unpersist(blocking = false); dropCheckpointFiles(rdd)
     }
-    // materialize df into persisted blocks (+ reliable checkpoint
-    // when configured), rebuild the frame over them (lineage cut),
-    // and free the PREVIOUS round — safe because the materializing
-    // job below has fully computed the new blocks first. The SAME job
-    // that materializes also returns the label checksum: a separate
-    // count() + checksum-aggregate would cost two scheduled jobs (and
-    // one extra tiny plan) per round, and on an iterative loop the
-    // per-round fixed overhead IS the runtime. Decimal sum: ids can
-    // be large and corpora huge — a long sum could overflow at scale
-    // and falsely report convergence; cluster_id sits at ordinal 1 of
-    // the (id, cluster_id) projection every round builds.
-    def materialize(df: DataFrame): (DataFrame, BigDecimal) = {
+    // materialize an edge frame into persisted blocks (+ reliable
+    // checkpoint when configured), rebuild the frame over them
+    // (lineage cut), and free the PREVIOUS round — safe because the
+    // materializing job below has fully computed the new blocks
+    // first. The SAME job that materializes also returns the
+    // (count, endpoint-sum) convergence checksum: a separate count()
+    // + sum-aggregate would cost two scheduled jobs per round, and on
+    // an iterative loop the per-round fixed overhead IS the runtime.
+    def materialize(df: DataFrame): (DataFrame, (BigDecimal, BigDecimal)) = {
       val rdd = df.rdd
       rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val sum =
+      val chk =
         try {
           // checkpoint() must be requested before the materializing job;
           // the persisted blocks make the checkpoint write a cheap replay
           if (checkpointDir.isDefined) rdd.checkpoint()
-          rdd.aggregate(BigDecimal(0))(
-            (acc, row) => acc + BigDecimal(row.getAs[Number](1).longValue()),
-            _ + _)
+          rdd.aggregate((BigDecimal(0), BigDecimal(0)))(
+            (acc, row) => (acc._1 + 1,
+              acc._2 + BigDecimal(row.getAs[Number](0).longValue()) +
+                BigDecimal(row.getAs[Number](1).longValue())),
+            (x, y) => (x._1 + y._1, x._2 + y._2))
         } catch {
           // the IN-FLIGHT round's blocks must not outlive its failure
           // (partial checkpoint files of a failed write are not
@@ -297,39 +313,60 @@ object NearDup {
         }
       if (liveRdd != null) release(liveRdd)
       liveRdd = rdd
-      (df.sparkSession.createDataFrame(rdd, df.schema), sum)
+      (df.sparkSession.createDataFrame(rdd, df.schema), chk)
+    }
+    // one large-star pass: every neighbor of u LARGER than u is
+    // rewired to m = min(Γ(u) ∪ {u}); since m ≤ u < v the output is
+    // already in canonical (a < b) form. The agg and the join both
+    // hash-partition the symmetric view on u, so the exchange is
+    // planned once and reused.
+    def largeStar(e: DataFrame): DataFrame = {
+      val sym = e.select(col("a").as("u"), col("b").as("v"))
+        .union(e.select(col("b").as("u"), col("a").as("v")))
+      val m = sym.groupBy("u").agg(min("v").as("_mnv"))
+        .select(col("u"), least(col("u"), col("_mnv")).as("_m"))
+      sym.join(m, "u").filter(col("v") > col("u"))
+        .select(col("_m").as("a"), col("v").as("b"))
+        .distinct()
+    }
+    // one small-star pass over canonical (a < b) edges: each hub b's
+    // smaller neighbors — and b itself — are rewired to the hub's
+    // minimum smaller neighbor m (= min(Γ⁻(b)), necessarily < b).
+    def smallStar(e: DataFrame): DataFrame = {
+      val m = e.groupBy("b").agg(min("a").as("_m"))
+      val rewired = e.join(m, "b").filter(col("a") =!= col("_m"))
+        .select(col("_m").as("a"), col("a").as("b"))
+      val self = m.select(col("_m").as("a"), col("b"))
+      rewired.union(self).distinct()
     }
     try {
-      var (labels, prevSum) =
-        materialize(nodes.select(col(id), col(id).as("cluster_id")))
+      var (edges, prevChk) = materialize(pairs
+        .select(least(col("doc_a"), col("doc_b")).as("a"),
+          greatest(col("doc_a"), col("doc_b")).as("b"))
+        .filter(col("a") =!= col("b"))
+        .distinct())
       var converged = false
       var it = 0
       while (!converged) {
         require(it < maxIters,
           s"connectedComponents: no fixpoint after $maxIters rounds — " +
             "raise maxIters deliberately")
-        val minNbr = edges
-          .join(labels.select(col(id).as("_dst"), col("cluster_id").as("_nl")), "_dst")
-          .groupBy(col("_src").as(id)).agg(min(col("_nl")).as("_mn"))
-        // label-of-label (path doubling): label values are always node
-        // ids of the same component, so the self-join always resolves
-        val lofl = labels.select(col(id).as("_lid"), col("cluster_id").as("_ll"))
-        val (next, s) = materialize(labels
-          .join(minNbr, Seq(id), "left")
-          .join(lofl, col("cluster_id") === col("_lid"), "left")
-          .select(col(id), least(
-            col("cluster_id"),
-            coalesce(col("_mn"), col("cluster_id")),
-            coalesce(col("_ll"), col("cluster_id"))).as("cluster_id")))
-        // labels only ever DECREASE, so the sum strictly decreases
-        // until fixpoint; equal sums ⇔ converged (an empty input
-        // converges on its first (empty, free) round: 0 == 0)
-        converged = s == prevSum
-        prevSum = s
-        labels = next
+        val (next, chk) = materialize(smallStar(largeStar(edges)))
+        // count and endpoint sum are both non-increasing with
+        // per-edge equality only for unchanged edges, so an unchanged
+        // pair across a full round ⇔ fixpoint (an empty input
+        // converges on its first (empty, free) round)
+        converged = chk == prevChk
+        prevChk = chk
+        edges = next
         it += 1
       }
-      labels
+      // fixpoint edges are star forests (a = component minimum id);
+      // docs in no pair label themselves
+      nodes.join(
+        edges.select(col("b").as(id), col("a").as("cluster_id")),
+        Seq(id), "left")
+        .select(col(id), coalesce(col("cluster_id"), col(id)).as("cluster_id"))
     } catch {
       // failed invocations must not pin blocks (or checkpoint files)
       // for the session
@@ -337,10 +374,9 @@ object NearDup {
         if (liveRdd != null) release(liveRdd)
         throw e
     } finally {
-      // the returned frame reads the final round's persisted RDD —
-      // that one stays live and is reclaimed by the ContextCleaner
-      // once the result is unreferenced
-      edges.unpersist()
+      // the returned frame reads the final round's persisted star
+      // forest — that one stays live and is reclaimed by the
+      // ContextCleaner once the result is unreferenced
       callerCkptDir.foreach(spark.sparkContext.setCheckpointDir)
     }
   }
