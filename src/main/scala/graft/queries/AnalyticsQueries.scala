@@ -900,8 +900,11 @@ object AnalyticsQueries {
                  FROM documents WHERE doc_id % 13 = 0),
       tok AS (SELECT DISTINCT doc_id, unnest(toks) AS tok FROM d),
       sz AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id),
+      kept AS (SELECT t.doc_id, t.tok FROM tok t JOIN (
+                 SELECT tok FROM tok GROUP BY tok
+                 HAVING count(*) <= ${graft.text.NearDup.TokenDfCap}) lv USING (tok)),
       inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
-                FROM tok a JOIN tok b ON a.tok = b.tok AND a.doc_id < b.doc_id GROUP BY 1, 2),
+                FROM kept a JOIN kept b ON a.tok = b.tok AND a.doc_id < b.doc_id GROUP BY 1, 2),
       e0 AS (SELECT doc_a, doc_b FROM inter
              JOIN sz sa ON doc_a = sa.doc_id JOIN sz sb ON doc_b = sb.doc_id
              WHERE i * 10 >= 6 * (sa.n + sb.n - i)),
@@ -919,7 +922,8 @@ object AnalyticsQueries {
       (s, d) => {
         val tok = t(s, d, "documents").filter(col("doc_id") % 13 === 0)
           .select(col("doc_id"), explode(TA.tokens(col("text"))).as("tok")).distinct()
-        val und = NearDup.tokenJaccardPairs(tok, "doc_id", "tok", 6)
+        val und = NearDup.tokenJaccardPairs(tok, "doc_id", "tok", 6,
+            dfCap = Some(NearDup.TokenDfCap))
           .filter(col("near_dup") === 1).select("doc_a", "doc_b")
         NearDup.triangleSupport(und).orderBy("doc_id")
       }),

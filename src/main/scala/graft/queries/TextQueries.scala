@@ -1439,12 +1439,18 @@ object TextQueries {
     // survivor). Spark side is iterative min-label propagation
     // (NearDup.connectedComponents); the oracle walks the same graph
     // with a recursive CTE. Pair generation reuses the exact
-    // integer-cross-multiplied Jaccard predicate.
+    // integer-cross-multiplied Jaccard predicate, hub-capped
+    // (df > TokenDfCap dropped from the intersection join only, sizes
+    // full — identical edge set at tested SFs, bounded fan-out at any
+    // SF; the cap rides the oracle's kept CTE).
     QDef("q_dedup_cluster", Some(s"""
       WITH RECURSIVE ${tokCte.format("WHERE doc_id % 13 = 0")},
       sz AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id),
+      kept AS (SELECT t.doc_id, t.tok FROM tok t JOIN (
+                 SELECT tok FROM tok GROUP BY tok
+                 HAVING count(*) <= ${NearDup.TokenDfCap}) lv USING (tok)),
       inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
-                FROM tok a JOIN tok b ON a.tok = b.tok AND a.doc_id < b.doc_id
+                FROM kept a JOIN kept b ON a.tok = b.tok AND a.doc_id < b.doc_id
                 GROUP BY doc_a, doc_b),
       pairs AS (SELECT doc_a, doc_b FROM inter
                 JOIN sz sa ON doc_a = sa.doc_id JOIN sz sb ON doc_b = sb.doc_id
@@ -1460,7 +1466,8 @@ object TextQueries {
              CASE WHEN min(r) = id THEN 1 ELSE 0 END AS is_survivor
       FROM reach GROUP BY id ORDER BY doc_id"""),
       (s, d) => {
-        val edges = NearDup.tokenJaccardPairs(tokDf(s, d, Some(13)), "doc_id", "tok", 6)
+        val edges = NearDup.tokenJaccardPairs(tokDf(s, d, Some(13)), "doc_id", "tok", 6,
+            dfCap = Some(NearDup.TokenDfCap))
           .filter(col("near_dup") === 1).select("doc_a", "doc_b")
         val nodes = t(s, d, "documents").filter(col("doc_id") % 13 === 0)
           .select("doc_id")
@@ -1475,15 +1482,18 @@ object TextQueries {
     // drop rest" step that turns cluster labels into an actual
     // deduplicated corpus (min-id survivorship in q_dedup_cluster is
     // arbitrary; real pipelines keep by a quality signal). Same
-    // mod-13 Jaccard + connected-components machinery, then ONE
-    // cluster-partitioned window — clusters are near-dup groups,
+    // mod-13 hub-capped Jaccard + connected-components machinery, then
+    // ONE cluster-partitioned window — clusters are near-dup groups,
     // inherently small, so the window never sees a hot partition and
     // there is no global sort.
     QDef("q_dedup_cluster_rep", Some(s"""
       WITH RECURSIVE ${tokCte.format("WHERE doc_id % 13 = 0")},
       sz AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id),
+      kept AS (SELECT t.doc_id, t.tok FROM tok t JOIN (
+                 SELECT tok FROM tok GROUP BY tok
+                 HAVING count(*) <= ${NearDup.TokenDfCap}) lv USING (tok)),
       inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
-                FROM tok a JOIN tok b ON a.tok = b.tok AND a.doc_id < b.doc_id
+                FROM kept a JOIN kept b ON a.tok = b.tok AND a.doc_id < b.doc_id
                 GROUP BY doc_a, doc_b),
       pairs AS (SELECT doc_a, doc_b FROM inter
                 JOIN sz sa ON doc_a = sa.doc_id JOIN sz sb ON doc_b = sb.doc_id
@@ -1506,7 +1516,8 @@ object TextQueries {
              CASE WHEN rn = 1 THEN 1 ELSE 0 END AS is_rep
       FROM q ORDER BY doc_id"""),
       (s, d) => {
-        val edges = NearDup.tokenJaccardPairs(tokDf(s, d, Some(13)), "doc_id", "tok", 6)
+        val edges = NearDup.tokenJaccardPairs(tokDf(s, d, Some(13)), "doc_id", "tok", 6,
+            dfCap = Some(NearDup.TokenDfCap))
           .filter(col("near_dup") === 1).select("doc_a", "doc_b")
         val docs = t(s, d, "documents").filter(col("doc_id") % 13 === 0)
         val byCluster = org.apache.spark.sql.expressions.Window
