@@ -124,6 +124,44 @@ object Multimodal {
     }
   }
 
+  /** A decoded IMAGE's envelope — what a real vision-data pipeline
+    * keys its filters on (resolution gates, aspect-ratio gates,
+    * channel sanity) before any pixel work. */
+  final case class ImageMeta(doc_id: Long, width: Int, height: Int,
+                             channels: Int, n_bytes: Long,
+                             decode_status: String)
+
+  /** REAL image decode (PNG/BMP/GIF via `javax.imageio` — the JDK's
+    * own codecs, no external libs): width/height/channels per blob,
+    * same mapPartitions batch shape as the stub stages. This is the
+    * production path the stubs stand in for; `q_multimodal_meta`
+    * keeps the stub (deterministic, oracle-exact), and
+    * MultimodalSpec drives THIS path with a real in-memory PNG.
+    *
+    * Corpus-scale decode discipline: a corrupt/unknown blob must
+    * never fail the job — it becomes `decode_status = "undecodable"`
+    * with −1 dims, a filterable row, because at 10^9 images some
+    * payloads WILL be garbage and one bad blob must not kill a
+    * 1000-executor stage. `ImageIO.setUseCache(false)` once per
+    * partition keeps the decoder off local disk (executor temp dirs
+    * are not sized for codec scratch at task concurrency). */
+  def decodeImageMeta(media: Dataset[MediaRow]): Dataset[ImageMeta] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false) // once per partition
+      it.map { r =>
+        val img =
+          try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.data))
+          catch { case _: java.io.IOException | _: RuntimeException => null }
+        if (img == null)
+          ImageMeta(r.doc_id, -1, -1, -1, r.data.length.toLong, "undecodable")
+        else
+          ImageMeta(r.doc_id, img.getWidth, img.getHeight,
+            img.getColorModel.getNumComponents, r.data.length.toLong, "decoded")
+      }
+    }
+  }
+
   /** Documents table → MediaRow dataset (text bytes standing in for
     * a real media payload; schema/partitioning identical). */
   def mediaFromDocuments(spark: SparkSession, sfDir: String): Dataset[MediaRow] = {

@@ -831,7 +831,7 @@ object TrainPrepQueries {
     // stay cheap; the scale path swaps in LSH candidate pairs
     // (CurationSpec proves the swap preserves the lifecycle's
     // invariants).
-    QDef("q_curate_audit", Some("""
+    QDef("q_curate_audit", Some(s"""
       WITH RECURSIVE
       s0 AS (SELECT * FROM documents WHERE doc_id % 13 = 0),
       dd AS (SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS toks FROM s0),
@@ -850,8 +850,11 @@ object TrainPrepQueries {
       tok AS (SELECT DISTINCT doc_id, unnest(toks) AS tok
               FROM (SELECT dd.doc_id, dd.toks FROM dd JOIN q2 USING (doc_id))),
       sz AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id),
+      kept AS (SELECT t.doc_id, t.tok FROM tok t JOIN (
+                 SELECT tok FROM tok GROUP BY tok
+                 HAVING count(*) <= ${NearDup.TokenDfCap}) lv USING (tok)),
       inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
-                FROM tok a JOIN tok b ON a.tok = b.tok AND a.doc_id < b.doc_id
+                FROM kept a JOIN kept b ON a.tok = b.tok AND a.doc_id < b.doc_id
                 GROUP BY doc_a, doc_b),
       pairs AS (SELECT doc_a, doc_b FROM inter
                 JOIN sz sa ON doc_a = sa.doc_id JOIN sz sb ON doc_b = sb.doc_id
@@ -899,7 +902,7 @@ object TrainPrepQueries {
           docs.filter(col("doc_id") % 50 === 0),
           ex => NearDup.tokenJaccardPairs(
             ex.select(col("doc_id"), explode(TA.tokens(col("text"))).as("tok")).distinct(),
-            "doc_id", "tok", 6)
+            "doc_id", "tok", 6, dfCap = Some(NearDup.TokenDfCap))
             .filter(col("near_dup") === 1).select("doc_a", "doc_b"))
         graft.pipeline.Curation.audit(st)
       }),

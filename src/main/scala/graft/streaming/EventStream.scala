@@ -69,27 +69,27 @@ final case class FunnelStep(contact_id: Long, step: Int, step_ts: Timestamp)
   * Residual honesty: completion rows already emitted cannot be
   * RETRACTED in update mode — a late signup that shifts the window
   * enough to undo a previously-satisfied step leaves the old row in
-  * the sink (true retraction needs close-on-watermark emission).
-  * Improvements re-emit the step with its earlier timestamp.
+  * the sink. Improvements re-emit the step with its earlier
+  * timestamp. Sinks that need exact convergence use
+  * [[FunnelChangelogProcessor]], which emits −1/+1 changelog rows
+  * for exactly these undo cases (same shared resolution).
   *
   * NOTE (state schema): round 7 widened [[FunnelState]] with the two
   * candidate vectors — funnel checkpoints written by the previous
   * 3-field state do not restore into this processor; restart the
   * funnel query from a fresh checkpoint. */
-object FunnelProcessor { val MaxCands = 64 }
-final class FunnelProcessor(deadlineMs: Long)
-    extends StatefulProcessor[Long, ContactEvent, FunnelStep] {
+object FunnelProcessor {
+  val MaxCands = 64
 
-  @transient private var state: ValueState[FunnelState] = _
-
-  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
-    state = getHandle.getValueState[FunnelState](
-      "funnel", Encoders.product[FunnelState], TTLConfig.NONE)
-
-  override def handleInputRows(contactId: Long, rows: Iterator[ContactEvent],
-                               timers: TimerValues): Iterator[FunnelStep] = {
-    val st = if (state.exists()) state.get()
-             else FunnelState(None, None, None, Vector.empty, Vector.empty)
+  /** Fold one micro-batch of events into the funnel state — the
+    * SINGLE definition both the update-mode processor and the
+    * changelog processor resolve with, so the two surfaces cannot
+    * drift. Resolution is the batch formula (order-free): t1 = min
+    * signup, t2 = min view in (t1, t1+d], t3 = min purchase in
+    * (t2, t2+d]; candidates are pruned to the horizon then capped
+    * QUALIFYING-first (see the class doc for the eviction argument). */
+  def advance(st: FunnelState, rows: Iterator[ContactEvent],
+              deadlineMs: Long): FunnelState = {
     var minSignup = st.t1
     var views = st.viewCands
     var purchases = st.purchCands
@@ -115,25 +115,88 @@ final class FunnelProcessor(deadlineMs: Long)
     // silently regress the resolved step). Non-qualifying earliest
     // candidates fill the remaining slots — they only matter if a
     // later, earlier signup re-opens an earlier window.
-    val cap = FunnelProcessor.MaxCands
+    val cap = MaxCands
     def retain(cands: Vector[Long], bound: Option[Long],
                qualifies: Long => Boolean): Vector[Long] = {
       val inHorizon = bound.fold(cands)(b => cands.filter(_ <= b)).distinct
       val (qual, rest) = inHorizon.partition(qualifies)
       (qual.sorted ++ rest.sorted).take(cap)
     }
-    views = retain(views, t1.map(_ + deadlineMs),
-      v => t1.exists(s => v > s && v <= s + deadlineMs))
-    purchases = retain(purchases, t2.map(_ + deadlineMs),
-      p => t2.exists(v => p > v && p <= v + deadlineMs))
-    state.update(FunnelState(t1, t2, t3, views, purchases))
+    FunnelState(t1, t2, t3,
+      retain(views, t1.map(_ + deadlineMs),
+        v => t1.exists(s => v > s && v <= s + deadlineMs)),
+      retain(purchases, t2.map(_ + deadlineMs),
+        p => t2.exists(v => p > v && p <= v + deadlineMs)))
+  }
+}
+final class FunnelProcessor(deadlineMs: Long)
+    extends StatefulProcessor[Long, ContactEvent, FunnelStep] {
+
+  @transient private var state: ValueState[FunnelState] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    state = getHandle.getValueState[FunnelState](
+      "funnel", Encoders.product[FunnelState], TTLConfig.NONE)
+
+  override def handleInputRows(contactId: Long, rows: Iterator[ContactEvent],
+                               timers: TimerValues): Iterator[FunnelStep] = {
+    val st = if (state.exists()) state.get()
+             else FunnelState(None, None, None, Vector.empty, Vector.empty)
+    val next = FunnelProcessor.advance(st, rows, deadlineMs)
+    state.update(next)
     // emit steps that are newly completed or improved to an earlier ts
     def changed(prev: Option[Long], now: Option[Long]): Boolean =
       now.isDefined && now != prev
-    Seq((1, st.t1, t1), (2, st.t2, t2), (3, st.t3, t3)).collect {
+    Seq((1, st.t1, next.t1), (2, st.t2, next.t2), (3, st.t3, next.t3)).collect {
       case (step, prev, now) if changed(prev, now) =>
         FunnelStep(contactId, step, new Timestamp(now.get))
     }.iterator
+  }
+}
+
+/** One changelog row: `action` is `+1` (assert: this step's resolved
+  * timestamp is now `step_ts`) or `-1` (retract: the previously
+  * emitted `step_ts` for this step no longer holds). Folding the
+  * changelog (last assertion per (contact, step) minus retractions)
+  * reproduces the batch funnel EXACTLY — including the cases update
+  * mode cannot express. */
+final case class FunnelChange(contact_id: Long, step: Int,
+                              step_ts: Timestamp, action: Int)
+
+/** Changelog-emitting funnel (VERDICT r11 task 7): the retraction-
+  * complete face of [[FunnelProcessor]]. Update mode's residual
+  * honesty gap is the case where a LATER-ARRIVING EARLIER opener
+  * (e.g. an earlier signup) shifts a window so a previously-emitted
+  * step resolves to a different timestamp — or stops resolving at
+  * all (the view that qualified against the old t1 is outside
+  * (t1', t1'+d] of the new one). Update mode leaves the stale row in
+  * the sink; this processor emits `-1` for every previously-asserted
+  * step value that changed or vanished, then `+1` for the new value,
+  * so a changelog-aware sink (a MERGE target, a Flink-style upsert
+  * topic) converges to batch truth. Same shared [[FunnelProcessor
+  * .advance]] resolution, same O(1) state. */
+final class FunnelChangelogProcessor(deadlineMs: Long)
+    extends StatefulProcessor[Long, ContactEvent, FunnelChange] {
+
+  @transient private var state: ValueState[FunnelState] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    state = getHandle.getValueState[FunnelState](
+      "funnel_cl", Encoders.product[FunnelState], TTLConfig.NONE)
+
+  override def handleInputRows(contactId: Long, rows: Iterator[ContactEvent],
+                               timers: TimerValues): Iterator[FunnelChange] = {
+    val st = if (state.exists()) state.get()
+             else FunnelState(None, None, None, Vector.empty, Vector.empty)
+    val next = FunnelProcessor.advance(st, rows, deadlineMs)
+    state.update(next)
+    Seq((1, st.t1, next.t1), (2, st.t2, next.t2), (3, st.t3, next.t3))
+      .iterator.flatMap { case (step, prev, now) =>
+        if (prev == now) Iterator.empty
+        else
+          prev.iterator.map(p => FunnelChange(contactId, step, new Timestamp(p), -1)) ++
+            now.iterator.map(n => FunnelChange(contactId, step, new Timestamp(n), 1))
+      }
   }
 }
 
@@ -393,6 +456,20 @@ object EventStream {
     import events.sparkSession.implicits._
     events.groupByKey(_.contact_id)
       .transformWithState(new FunnelProcessor(deadlineMs),
+        TimeMode.None(), OutputMode.Update())
+  }
+
+  /** [[FunnelChangelogProcessor]] wired to a grouped stream: the
+    * retraction-complete funnel face. Folding the changelog — the
+    * LAST +1 per (contact, step) not cancelled by a later −1 in the
+    * same batch prefix — equals the batch funnel on the events so
+    * far, even when a late earlier opener undoes an emitted step
+    * (the case update mode structurally cannot fix in the sink). */
+  def funnelChangelogStream(events: Dataset[ContactEvent],
+                            deadlineMs: Long = 86400000L): Dataset[FunnelChange] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.contact_id)
+      .transformWithState(new FunnelChangelogProcessor(deadlineMs),
         TimeMode.None(), OutputMode.Update())
   }
 

@@ -253,7 +253,8 @@ object NearDup {
     * `nodes`' id set. */
   def connectedComponents(nodes: DataFrame, id: String, pairs: DataFrame,
                           maxIters: Int = 25,
-                          checkpointDir: Option[String] = None): DataFrame = {
+                          checkpointDir: Option[String] = None,
+                          onConverged: Int => Unit = _ => ()): DataFrame = {
     val spark = nodes.sparkSession
     // session-global state: remember the caller's checkpoint dir so
     // it can be RESTORED on the way out — hijacking it for the rest
@@ -361,6 +362,9 @@ object NearDup {
         edges = next
         it += 1
       }
+      // observability hook: NearDupSpec pins the O(log n) depth claim
+      // (a 10^4-node path must converge in ~log2(n) rounds, not n)
+      onConverged(it)
       // fixpoint edges are star forests (a = component minimum id);
       // docs in no pair label themselves
       nodes.join(
@@ -392,9 +396,13 @@ object NearDup {
 
   /** Drops tokens whose document frequency exceeds `cap` from the
     * JOIN side only (doc sizes stay uncapped) — see the one-sided
-    * error argument on [[tokenJaccardPairs]]. One token-keyed agg +
-    * one co-partitioned semi-style join; both reuse the pair join's
-    * own exchange on `tok`, so the cap costs no extra shuffle class. */
+    * error argument on [[tokenJaccardPairs]]. Plan shape (pinned by
+    * ScalePlanSpec's "containment dfCap" EXPLAIN test): the corpus is
+    * scanned/tokenized/shuffled ONCE — the df-aggregate and the kept
+    * join read ReusedExchange nodes of the pair join's own token
+    * exchange — and the only new shuffle carries (tok, partial count)
+    * rows, vocab-bounded, never corpus-sized (at bench SF the keep
+    * list broadcast-folds and even that exchange disappears). */
   private def dropHubTokens(docTokens: DataFrame, tok: String,
                             cap: Int): DataFrame = {
     val keep = docTokens.groupBy(col(tok))

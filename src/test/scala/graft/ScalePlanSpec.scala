@@ -370,6 +370,52 @@ class ScalePlanSpec extends AnyFunSuite {
       "all ranks at the floor — the graph contributed nothing, test is vacuous")
   }
 
+  test("containment dfCap: the hub-drop costs no extra shuffle class of the " +
+      "token stream (df-agg + kept-join ride the pair join's own exchanges)") {
+    // At bench SF every join broadcast-folds, so the scale shape is
+    // invisible; disable broadcast to surface the SMJ/exchange plan a
+    // 100 TB corpus would run, then compare capped vs uncapped.
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val docs = graft.pipeline.Tables.t(spark, SparkTesting.sf, "documents")
+        .filter(col("doc_id") % 13 === 0)
+      def toks = docs.select(col("doc_id"),
+        explode(graft.text.TextAnalysis.tokens(col("text"))).as("tok")).distinct()
+      // live (non-reused) token-keyed exchanges: ReusedExchange nodes
+      // repeat the original exchange's description, so exclude them
+      def tokExchanges(plan: String): Int = plan.linesIterator.count(l =>
+        l.contains("Exchange hashpartitioning(tok") && !l.contains("ReusedExchange"))
+      def docScans(plan: String): Int = plan.linesIterator.count(l =>
+        l.contains("FileScan parquet") && l.contains("documents.parquet"))
+      val uncapped = executedPlan(
+        graft.text.NearDup.containmentPairs(toks, "doc_id", "tok"))
+        .split("== Initial Plan ==")(0)
+      val capped = executedPlan(
+        graft.text.NearDup.containmentPairs(toks, "doc_id", "tok",
+          dfCap = Some(graft.text.NearDup.TokenDfCap)))
+        .split("== Initial Plan ==")(0)
+      val (u, c) = (tokExchanges(uncapped), tokExchanges(capped))
+      assert(u >= 1, s"expected a token-keyed exchange in the pair join:\n$uncapped")
+      // the corpus is scanned + tokenized + shuffled ONCE; the df-agg,
+      // kept-join, and both pair-join sides all read ReusedExchange
+      // nodes of that one exchange — dfCap must not re-derive the
+      // corpus for its frequency count
+      assert(docScans(capped) == 1,
+        s"capped plan re-scans documents ${docScans(capped)}x — the df-agg " +
+          s"must reuse the tokenization exchange, not recompute it:\n$capped")
+      assert(capped.contains("ReusedExchange"),
+        s"capped plan must reuse the tokenization exchange across the " +
+          s"df-agg/kept/pair branches:\n$capped")
+      // the cap's only new shuffle carries (tok, partial count) rows —
+      // vocab-bounded, never corpus-sized: at most one extra live
+      // token-keyed exchange class vs the uncapped plan
+      assert(c <= u + 1,
+        s"dfCap added ${c - u} token-keyed shuffle classes (capped $c vs " +
+          s"uncapped $u) — expected at most the vocab-bounded df partial " +
+          s"aggregate:\n$capped")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10MB")
+  }
+
   test("prefix-filtered Jaccard join: differentially equal to the " +
       "full-join truth (candidate completeness)") {
     import spark.implicits._

@@ -47,6 +47,29 @@ class MultimodalSpec extends AnyFunSuite {
     assert(d3.map(_.n_bytes).sum == 2 && d3.length == 2, "short payload: only non-empty slices")
   }
 
+  test("REAL codec: javax.imageio decodes an actual PNG; garbage degrades, never throws") {
+    import spark.implicits._
+    // a real 7x5 RGB PNG, written by the JDK's own encoder in memory
+    val img = new java.awt.image.BufferedImage(7, 5,
+      java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    (0 until 7).foreach(x => (0 until 5).foreach(y =>
+      img.setRGB(x, y, (x * 41 + y * 7919) & 0xffffff)))
+    val baos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "png", baos))
+    val png = baos.toByteArray
+    assert(png.take(4).toSeq == Seq(0x89.toByte, 'P'.toByte, 'N'.toByte, 'G'.toByte))
+    val media = Seq(
+      MediaRow(1L, "image/png", png),
+      MediaRow(2L, "image/png", "not a png at all".getBytes("UTF-8")),
+      MediaRow(3L, "image/png", Array.emptyByteArray)).toDS()
+    val got = decodeImageMeta(media).orderBy("doc_id").collect()
+    assert(got(0) == ImageMeta(1L, 7, 5, 3, png.length.toLong, "decoded"),
+      s"real PNG must decode to 7x5x3, got ${got(0)}")
+    assert(got(1).decode_status == "undecodable" && got(1).width == -1)
+    assert(got(2).decode_status == "undecodable",
+      "empty payload degrades to a filterable row, not an exception")
+  }
+
   test("documents → media rows plumbing at sf0.001") {
     val media = mediaFromDocuments(spark, SparkTesting.sf)
     val metas = extractMeta(media)

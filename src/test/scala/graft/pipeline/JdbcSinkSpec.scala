@@ -89,6 +89,81 @@ class JdbcSinkSpec extends AnyFunSuite {
       Set((7L, "new@x.com", "2026-01-01T00:00:00Z", "2026-01-09T00:00:00Z")))
   }
 
+  test("mid-export crash: a leftover staging table (loaded, never merged) " +
+      "leaves the target unharmed and the next export recovers") {
+    val url = freshUrl()
+    val snap1 = df(
+      (1L, "a@x.com", "2026-01-01T00:00:00Z", "2026-01-02T00:00:00Z"),
+      (2L, "b@x.com", "2026-01-03T00:00:00Z", "2026-01-04T00:00:00Z"))
+    JdbcSink.exportLatest(spark, snap1, url, "contacts",
+      Seq("id"), Seq("udate", "extracted_at"), props = props)
+    val healthy = readBack(url, "contacts")
+
+    // simulate a run that DIED between the staging bulk-load and the
+    // MERGE: staging exists with in-flight rows, no merge, no drop —
+    // exactly the state a killed executor-complete/driver-dead export
+    // leaves behind (steps 1 and 2 of exportLatest are not atomic)
+    val crashed = df((1L, "SHOULD-NEVER-LAND@x.com",
+      "2026-09-09T00:00:00Z", "2026-09-09T00:00:00Z"))
+    crashed.write.mode("overwrite").option("createTableColumnTypes",
+      "email VARCHAR(4096), udate VARCHAR(4096), extracted_at VARCHAR(4096)")
+      .jdbc(url, "contacts_stage", props)
+    // the crash itself cannot have touched the target: the only writer
+    // of the target is the MERGE, which never ran
+    assert(readBack(url, "contacts") == healthy,
+      "a crash before the MERGE must leave the target byte-identical")
+
+    // next scheduled export: mode(overwrite) replaces the orphaned
+    // staging table, and ONLY the new snapshot's rows merge — the
+    // dead run's in-flight rows are discarded, not replayed
+    val snap2 = df(
+      (1L, "a@x.com", "2026-01-01T00:00:00Z", "2026-01-02T00:00:00Z"),
+      (2L, "b2@x.com", "2026-02-03T00:00:00Z", "2026-02-04T00:00:00Z"))
+    assert(JdbcSink.exportLatest(spark, snap2, url, "contacts",
+      Seq("id"), Seq("udate", "extracted_at"), props = props) == 2L)
+    assert(readBack(url, "contacts") == Set(
+      (1L, "a@x.com", "2026-01-01T00:00:00Z", "2026-01-02T00:00:00Z"),
+      (2L, "b2@x.com", "2026-02-03T00:00:00Z", "2026-02-04T00:00:00Z")),
+      "recovery export must merge only its own snapshot")
+    // and the recovered run cleaned its staging table up
+    val c = java.sql.DriverManager.getConnection(url, props)
+    try {
+      val rs = c.getMetaData.getTables(null, null, "CONTACTS_STAGE", Array("TABLE"))
+      try assert(!rs.next(), "staging must be dropped after a successful merge")
+      finally rs.close()
+    } finally c.close()
+  }
+
+  test("numPartitions > 1: the staging load runs PARALLEL JDBC writers " +
+      "(one task per partition) and the merge still converges") {
+    val url = freshUrl()
+    val rows = (1L to 97L).map(i =>
+      (i, s"u$i@x.com", f"2026-01-${i % 28 + 1}%02dT00:00:00Z", "2026-02-01T00:00:00Z"))
+    // listener: capture the task count of the JDBC save stage(s)
+    val saveTasks = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onStageCompleted(
+          sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit =
+        if (sc.stageInfo.name.contains("jdbc") ||
+            sc.stageInfo.details.contains("saveTable"))
+          saveTasks.addAndGet(sc.stageInfo.numTasks)
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      assert(JdbcSink.exportLatest(spark, df(rows: _*), url, "contacts",
+        Seq("id"), Seq("udate", "extracted_at"), numPartitions = 4,
+        props = props) == 97L)
+      // listener events are delivered async; poll briefly
+      val deadline = System.currentTimeMillis + 30000
+      while (saveTasks.get() < 4 && System.currentTimeMillis < deadline)
+        Thread.sleep(100)
+    } finally spark.sparkContext.removeSparkListener(listener)
+    assert(saveTasks.get() >= 4,
+      s"expected a 4-task parallel JDBC load stage, saw ${saveTasks.get()} tasks")
+    assert(readBack(url, "contacts").size == 97,
+      "all partitions' rows must land exactly once")
+  }
+
   test("exportAll ships a real PersistTableDual lake and re-running the " +
       "E2 merge + export converges (end-to-end idempotence)") {
     import spark.implicits._

@@ -300,6 +300,82 @@ class EventStreamSpec extends AnyFunSuite {
     }
   }
 
+  test("funnel changelog: a later-arriving EARLIER signup retracts emitted steps " +
+      "and the folded changelog equals the batch formula (VERDICT r11 task 7)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val prevProvider = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val input = MemoryStream[ContactEvent]
+      val q = EventStream.funnelChangelogStream(input.toDS())
+        .writeStream.format("memory").queryName("funnel_changelog")
+        .outputMode(OutputMode.Update).start()
+      try {
+        // batch 1: both contacts resolve against their first-seen signup
+        input.addData(
+          // c5 completes the whole chain
+          ContactEvent(5, 50, ts("2024-01-05 00:00:00"), "signup"),
+          ContactEvent(5, 51, ts("2024-01-05 06:00:00"), "view"),
+          ContactEvent(5, 52, ts("2024-01-05 12:00:00"), "purchase"),
+          // c6: a pre-signup view (non-qualifying, retained) + a
+          // qualifying one
+          ContactEvent(6, 60, ts("2024-01-03 00:00:00"), "signup"),
+          ContactEvent(6, 61, ts("2024-01-02 18:00:00"), "view"),
+          ContactEvent(6, 62, ts("2024-01-03 10:00:00"), "view"))
+        q.processAllAvailable()
+        // batch 2: the undo case update mode cannot express — a LATE,
+        // EARLIER signup arrives for both. c5's view now falls outside
+        // (t1', t1'+1d] so steps 2 AND 3 must be retracted outright;
+        // c6's step 2 must MOVE to the previously-non-qualifying
+        // earlier view.
+        input.addData(
+          ContactEvent(5, 53, ts("2024-01-01 00:00:00"), "signup"),
+          ContactEvent(6, 63, ts("2024-01-02 12:00:00"), "signup"))
+        q.processAllAvailable()
+      } finally q.stop()
+      val changes = spark.sql(
+        "SELECT contact_id, step, CAST(step_ts AS STRING), action FROM funnel_changelog")
+        .as[(Long, Int, String, Int)].collect().toSeq
+      assert(changes.toSet == Set(
+        // batch 1 assertions
+        (5L, 1, "2024-01-05 00:00:00", 1),
+        (5L, 2, "2024-01-05 06:00:00", 1),
+        (5L, 3, "2024-01-05 12:00:00", 1),
+        (6L, 1, "2024-01-03 00:00:00", 1),
+        (6L, 2, "2024-01-03 10:00:00", 1),
+        // batch 2: c5 — step 1 moves, steps 2+3 retract with NO
+        // replacement (the chain is genuinely undone)
+        (5L, 1, "2024-01-05 00:00:00", -1),
+        (5L, 1, "2024-01-01 00:00:00", 1),
+        (5L, 2, "2024-01-05 06:00:00", -1),
+        (5L, 3, "2024-01-05 12:00:00", -1),
+        // batch 2: c6 — step 1 moves, step 2 moves to the earlier view
+        (6L, 1, "2024-01-03 00:00:00", -1),
+        (6L, 1, "2024-01-02 12:00:00", 1),
+        (6L, 2, "2024-01-03 10:00:00", -1),
+        (6L, 2, "2024-01-02 18:00:00", 1)))
+      // fold the changelog the way a MERGE sink would: net assertion
+      // per (contact, step, ts) — the survivors must equal the batch
+      // formula over ALL 8 events (t1 = min signup, t2 = min view in
+      // (t1, t1+d], t3 = min purchase in (t2, t2+d])
+      val folded = changes.groupBy(c => (c._1, c._2, c._3))
+        .map { case (k, v) => k -> v.map(_._4).sum }
+        .filter(_._2 > 0).keySet
+      assert(folded == Set(
+        (5L, 1, "2024-01-01 00:00:00"),
+        (6L, 1, "2024-01-02 12:00:00"),
+        (6L, 2, "2024-01-02 18:00:00")),
+        "folded changelog must equal the batch funnel on the full event set")
+    } finally {
+      prevProvider match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("streaming funnel: a late pre-signup view backlog cannot evict the resolved step") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

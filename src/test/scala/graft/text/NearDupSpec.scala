@@ -156,13 +156,18 @@ class NearDupSpec extends AnyFunSuite {
     val dir = java.nio.file.Files.createTempDirectory("cc_deep").toString
     val sessionDir = java.nio.file.Files.createTempDirectory("cc_deep_sess").toString
     spark.sparkContext.setCheckpointDir(sessionDir)
+    var rounds = -1
     val labels = NearDup.connectedComponents(nodes, "doc_id", chain,
-      maxIters = 25, checkpointDir = Some(dir))
+      maxIters = 16, checkpointDir = Some(dir), onConverged = rounds = _)
       .agg(countDistinct($"cluster_id").as("nc"), min($"cluster_id").as("mn"),
         count(lit(1)).as("n"))
       .as[(Long, Long, Long)].head()
     assert(labels == ((1L, 0L, n)),
       s"one component labeled 0 over all $n nodes, got $labels")
+    // the depth claim itself: log2(10^4)=13.3, so a diameter-9999 path
+    // must settle in <=16 rounds (linear propagation would need ~10^4)
+    assert(rounds >= 1 && rounds <= 16,
+      s"path-doubling depth regressed: $rounds rounds for a 10^4 path")
   }
 
   test("connectedComponents: maxIters too small for the diameter fails loudly") {
