@@ -24,7 +24,15 @@ object Bench {
     // same cold cache state the single-run bench measured.
     val nRuns = sys.env.get("SPARK_GRAFT_BENCH_RUNS")
       .flatMap(_.toIntOption).filter(_ >= 1).getOrElse(2)
+    // SPARK_GRAFT_BENCH_ONLY (comma-separated names): targeted re-runs
+    // for budget-breach adjudication — BENCH_PROTOCOL.md rule 3 needs a
+    // cheap idle-machine re-measure of ONE suspect query, not a 25-min
+    // full sweep. The full-sweep driver path never sets it.
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      .filter(_.nonEmpty)
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_(n)) }
     val sweeps: Seq[Seq[(String, Double, Boolean)]] = (1 to nRuns).map { run =>
       ordered.map { case (name, fn) =>
         val t0 = System.nanoTime()

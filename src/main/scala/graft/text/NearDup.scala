@@ -574,13 +574,26 @@ object NearDup {
     * appears once (acyclic orientation), so per-node support is the
     * count of its appearances across the three corners. */
   def triangleSupport(und: DataFrame): DataFrame = {
-    val e = orientByDegree(und).persist()
+    // Persist the UNDIRECTED edge list too: orientByDegree consumes it
+    // twice (degree agg + orientation join-back), and without this the
+    // entire upstream edge BUILD — tokenize → df-cap → pair join →
+    // size joins — re-executes per consumer. The dfCap port made that
+    // recomputed pipeline longer, which is exactly how r13's clean
+    // sweep caught q_triangle_support 1.69× over its pre-cap time
+    // while the cluster queries (single-consumer edge builds) moved
+    // with the ambient 1.19× median. Edges are near-dup-filtered and
+    // hub-capped, so the materialization is bounded ≪ corpus size.
+    val u = und.persist()
+    val e = orientByDegree(u).persist()
     val tri = e.select(col("src").as("a"), col("dst").as("b"))
       .join(e.select(col("src").as("b"), col("dst").as("c")), "b")
       .join(e.select(col("src").as("a"), col("dst").as("c")), Seq("a", "c"))
-    tri.select(col("a").as("doc_id"))
-      .unionAll(tri.select(col("b").as("doc_id")))
-      .unionAll(tri.select(col("c").as("doc_id")))
+    // One explode over the three corners, NOT three unionAll branches
+    // of `tri`: each union branch re-executes the wedge join (the
+    // expensive part — e⋈e enumerates every oriented two-path), and
+    // only the INPUT edge list is persisted. r13 profiling measured
+    // the 3× re-join at ~2× the whole query's edge-build cost.
+    tri.select(explode(array(col("a"), col("b"), col("c"))).as("doc_id"))
       .groupBy("doc_id").agg(count(lit(1)).as("n_triangles"))
   }
 }
