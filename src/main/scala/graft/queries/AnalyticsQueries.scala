@@ -399,15 +399,16 @@ object AnalyticsQueries {
     // association LIFT, P(xy)/(P(x)P(y)) = c_xy·t_uni²/(t_bi·c_x·c_y)
     // — exp(PMI), reported instead of PMI itself because ln() is not
     // bitwise-portable across libm implementations, and reported as
-    // an integer PERMILLE: (1000·c_xy·t_uni²) div (t_bi·c_x·c_y),
-    // plain BIGINT products and one truncating division on
-    // non-negative counts — no HUGEINT, no DECIMAL, so the output
-    // column is int64 under any oracle engine and any dataframe
-    // conversion (lift ranks pairs identically to PMI, ln being
-    // monotone). Magnitude: 1000·c_xy·t_uni² ≤ ~1.5e18 at sf0.1
-    // (t_uni ≈ 2.7e5) — inside BIGINT; a 100 TB corpus would move
-    // the numerator to DECIMAL(38,0) internally and emit the same
-    // permille. Bigrams come from the ONE shingle definition
+    // an integer PERMILLE: (1000·c_xy·t_uni²) div (t_bi·c_x·c_y) on
+    // non-negative counts. The products route through DECIMAL(38,0)
+    // (Spark) / HUGEINT (DuckDB): 1000·c_xy·t_uni² ≈ 1.5e18 at sf0.1
+    // but ~1.5e21 at sf1 (t_uni scales with the corpus and appears
+    // SQUARED — the r13 sf1 sweep caught the BIGINT overflow live),
+    // and exact integer arithmetic to 1e38 keeps the permille
+    // identical on both engines out past a 1e12-token corpus. Only
+    // the BIGINT-small quotient crosses the oracle (lift ranks pairs
+    // identically to PMI, ln being monotone). Bigrams come from the
+    // ONE shingle definition
     // (NearDup.shingleExpr, n=2, non-distinct — occurrence counts,
     // not doc membership). Unigram counts join back by word — a
     // shuffle join, NOT a broadcast: a web-scale vocabulary (typos,
@@ -422,7 +423,8 @@ object AnalyticsQueries {
       tt AS (SELECT CAST(sum(c_xy) AS BIGINT) AS t_bi FROM bc),
       t1 AS (SELECT CAST(sum(c_w) AS BIGINT) AS t_uni FROM uc)
       SELECT bg, c_xy,
-        (1000 * c_xy * t_uni * t_uni) // (t_bi * cx.c_w * cy.c_w) AS lift_permille
+        CAST((1000 * CAST(c_xy AS HUGEINT) * t_uni * t_uni)
+          // (CAST(t_bi AS HUGEINT) * cx.c_w * cy.c_w) AS BIGINT) AS lift_permille
       FROM bc CROSS JOIN tt CROSS JOIN t1
       JOIN uc cx ON cx.w = split_part(bg, ' ', 1)
       JOIN uc cy ON cy.w = split_part(bg, ' ', 2)
@@ -440,7 +442,8 @@ object AnalyticsQueries {
           .join(uc.as("cx"), col("cx.w") === split_part(col("bg"), lit(" "), lit(1)))
           .join(uc.as("cy"), col("cy.w") === split_part(col("bg"), lit(" "), lit(2)))
           .select(col("bg"), col("c_xy"),
-            expr("div(1000 * c_xy * t_uni * t_uni, t_bi * cx.c_w * cy.c_w)")
+            expr("div(1000 * cast(c_xy as decimal(38,0)) * t_uni * t_uni, " +
+              "cast(t_bi as decimal(38,0)) * cx.c_w * cy.c_w)")
               .as("lift_permille"))
           .orderBy(col("c_xy").desc, col("bg").asc)
           .limit(50)
@@ -1058,15 +1061,21 @@ object AnalyticsQueries {
     //   z_sign   = sign(D)
     //   z2_milli = (1000·D²·N) div (n_a·n_b·C·(N−C))  [⌊1000·z²⌋]
     //   significant ⇔ |z| > 1.96 ⇔ 10⁴·D²·N > 38416·n_a·n_b·C·(N−C)
-    // — exact BIGINT predicates and one truncating division on
-    // non-negative operands: no sqrt, no double, no DECIMAL render,
-    // so the readout is identical under any oracle engine (the z
-    // itself is √(z2_milli/1000) with D's sign — derivable).
-    // Degenerate pools (C=0 or C=N) force D=0 → z2 NULL via nullif,
-    // significant=0, matching the old NULL-z semantics. Magnitudes:
-    // 10⁴·D²·N ≈ 4.7e18 at sf0.1 — inside BIGINT. 100 TB shape: one
-    // per-user aggregate, one 2-row variant aggregate, then a 1-row
-    // pivot; the fact is shuffled once on user_id.
+    // — exact integer predicates and one truncating division on
+    // non-negative operands: no sqrt, no double RENDER (the output
+    // columns are BIGINT), so the readout is identical under any
+    // oracle engine (the z itself is √(z2_milli/1000) with D's sign
+    // — derivable). Degenerate pools (C=0 or C=N) force D=0 → z2
+    // NULL via nullif, significant=0, matching the old NULL-z
+    // semantics. Magnitudes: 10⁴·D²·N ≈ 4.7e18 at sf0.1 but ~4.7e21
+    // at sf1 (D and N both scale with users, so the product scales
+    // as SF³) — the r13 sf1 sweep caught the BIGINT overflow live.
+    // The D²·N and n_a·n_b·C·(N−C) products therefore route through
+    // DECIMAL(38,0) (Spark) / HUGEINT (DuckDB) — exact integer
+    // arithmetic on both engines to ~1e38, i.e. user counts past
+    // 1e9; only the BIGINT-small quotient crosses the oracle. 100 TB
+    // shape: one per-user aggregate, one 2-row variant aggregate,
+    // then a 1-row pivot; the fact is shuffled once on user_id.
     QDef("q_ab_readout", Some("""
       WITH u AS (SELECT user_id,
           CASE WHEN sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) >= 14
@@ -1079,12 +1088,12 @@ object AnalyticsQueries {
                    max(CASE WHEN variant = 1 THEN n END) AS n_b,
                    max(CASE WHEN variant = 1 THEN c END) AS c_b FROM v),
       m AS (SELECT n_a, c_a, n_b, c_b,
-              c_a * n_b - c_b * n_a AS dd,
-              n_a * n_b * (c_a + c_b) * (n_a + n_b - c_a - c_b) AS den
+              CAST(c_a AS HUGEINT) * n_b - CAST(c_b AS HUGEINT) * n_a AS dd,
+              CAST(n_a AS HUGEINT) * n_b * (c_a + c_b) * (n_a + n_b - c_a - c_b) AS den
             FROM w)
       SELECT n_a, c_a, n_b, c_b,
         CAST(CASE WHEN dd > 0 THEN 1 WHEN dd < 0 THEN -1 ELSE 0 END AS BIGINT) AS z_sign,
-        (1000 * dd * dd * (n_a + n_b)) // nullif(den, 0) AS z2_milli,
+        CAST((1000 * dd * dd * (n_a + n_b)) // nullif(den, 0) AS BIGINT) AS z2_milli,
         CAST(CASE WHEN 10000 * dd * dd * (n_a + n_b) > 38416 * den
              THEN 1 ELSE 0 END AS BIGINT) AS significant
       FROM m"""),
@@ -1099,9 +1108,12 @@ object AnalyticsQueries {
           max(when(col("variant") === 0, col("c"))).as("c_a"),
           max(when(col("variant") === 1, col("n"))).as("n_b"),
           max(when(col("variant") === 1, col("c"))).as("c_b"))
-        w.withColumn("dd", col("c_a") * col("n_b") - col("c_b") * col("n_a"))
+        w.withColumn("dd",
+            col("c_a").cast("decimal(38,0)") * col("n_b") -
+              col("c_b").cast("decimal(38,0)") * col("n_a"))
           .withColumn("den",
-            col("n_a") * col("n_b") * (col("c_a") + col("c_b")) *
+            col("n_a").cast("decimal(38,0)") * col("n_b") *
+              (col("c_a") + col("c_b")) *
               (col("n_a") + col("n_b") - col("c_a") - col("c_b")))
           .select(col("n_a"), col("c_a"), col("n_b"), col("c_b"),
             when(col("dd") > 0, 1L).when(col("dd") < 0, -1L).otherwise(0L).as("z_sign"),
@@ -3886,7 +3898,11 @@ object AnalyticsQueries {
     // order. The unpartitioned window runs over the CUSTOMER
     // aggregate, one row per customer — at 100 TB that's dim-sized,
     // and the decile rollup + running share are 10-row operations.
-    // Shares are exact integer ppm (positive // on both engines).
+    // Shares are exact integer ppm (positive // on both engines);
+    // 1e6·cum scales with TOTAL money (2e19 at sf1 — the r13 sf1
+    // sweep caught the BIGINT overflow live), so the ppm product
+    // routes through DECIMAL(38,0) / HUGEINT and only the ≤1e6
+    // quotient crosses the oracle.
     QDef("q_lorenz_deciles", Some("""
       WITH spend AS (SELECT o_custkey,
               CAST(sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT))
@@ -3899,8 +3915,8 @@ object AnalyticsQueries {
               FROM dec GROUP BY 1),
       tot AS (SELECT sum(decile_cents) AS tc FROM agg)
       SELECT CAST(decile AS BIGINT) AS decile, n_customers, decile_cents,
-             CAST((1000000 * sum(decile_cents) OVER (ORDER BY decile
-               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) // tc
+             CAST((1000000 * CAST(sum(decile_cents) OVER (ORDER BY decile
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS HUGEINT)) // tc
                AS BIGINT) AS cum_share_ppm
       FROM agg, tot ORDER BY decile"""),
       (s, d) => {
@@ -3921,7 +3937,8 @@ object AnalyticsQueries {
             .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
           .select(col("decile").cast("long").as("decile"), col("n_customers"),
             col("decile_cents"),
-            expr("div(1000000 * cum, tc)").cast("long").as("cum_share_ppm"))
+            expr("div(1000000 * cast(cum as decimal(38,0)), tc)")
+              .cast("long").as("cum_share_ppm"))
           .orderBy("decile")
       }),
 
@@ -6436,8 +6453,14 @@ object AnalyticsQueries {
     // on the ascending spend ranking (spend, custkey total order),
     // the Palma ratio (top-10% share ÷ bottom-40% share), and both
     // tail shares. One window pass over the CUSTOMER aggregate
-    // (dim-sized); rank-weighted sums are exact integers, the final
-    // ratios route through shared doubles (n·Σi·x passes 1e19).
+    // (dim-sized); rank-weighted sums are exact integers and the
+    // Gini ratio routes through shared doubles. The ppm/ratio
+    // products and Σi·x route through DECIMAL(38,0) / HUGEINT:
+    // 1e6·bot40 ≈ 1.1e19 at sf1 overflowed BIGINT in the r13 sf1
+    // sweep (synthetic spend is near-uniform, so the bottom-40%
+    // tranche holds ~30% of total money), and Σi·x = 3.4e18 at sf1
+    // scales as SF² — exact to 1e38 on both engines; only
+    // BIGINT-small quotients cross the oracle.
     QDef("q_inequality_panel", Some("""
       WITH spend AS (SELECT o_custkey,
               CAST(sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT))
@@ -6447,14 +6470,14 @@ object AnalyticsQueries {
               count(*) OVER () AS n
             FROM spend),
       m AS (SELECT max(n) AS n, CAST(sum(x) AS BIGINT) AS sx,
-              CAST(sum(i * x) AS BIGINT) AS six,
-              CAST(sum(CASE WHEN i <= (2 * n) // 5 THEN x ELSE 0 END)
-                AS BIGINT) AS bot40,
-              CAST(sum(CASE WHEN i > n - n // 10 THEN x ELSE 0 END)
-                AS BIGINT) AS top10
+              sum(CAST(i AS HUGEINT) * x) AS six,
+              sum(CASE WHEN i <= (2 * n) // 5 THEN CAST(x AS HUGEINT)
+                ELSE 0 END) AS bot40,
+              sum(CASE WHEN i > n - n // 10 THEN CAST(x AS HUGEINT)
+                ELSE 0 END) AS top10
             FROM r)
       SELECT CAST(n AS BIGINT) AS n_customers,
-             CAST(floor(1000000.0 * (2.0 * six - (n + 1.0) * sx) /
+             CAST(floor(1000000.0 * (2.0 * CAST(six AS DOUBLE) - (n + 1.0) * sx) /
                         (1.0 * n * sx)) AS BIGINT) AS gini_ppm,
              CAST((1000000 * top10) // sx AS BIGINT) AS top10_share_ppm,
              CAST((1000000 * bot40) // sx AS BIGINT) AS bot40_share_ppm,
@@ -6472,14 +6495,15 @@ object AnalyticsQueries {
           .withColumn("n", count(lit(1)).over(Window.partitionBy()))
         val m = r.agg(max("n").cast("long").as("n"),
           sum("x").cast("long").as("sx"),
-          sum(col("i") * col("x")).cast("long").as("six"),
-          sum(when(col("i") <= expr("div(2 * n, 5)"), col("x")).otherwise(0L))
-            .cast("long").as("bot40"),
-          sum(when(col("i") > col("n") - expr("div(n, 10)"), col("x"))
-            .otherwise(0L)).cast("long").as("top10"))
+          sum((col("i").cast("decimal(38,0)") * col("x"))).as("six"),
+          sum(when(col("i") <= expr("div(2 * n, 5)"),
+            col("x").cast("decimal(38,0)")).otherwise(lit(0))).as("bot40"),
+          sum(when(col("i") > col("n") - expr("div(n, 10)"),
+            col("x").cast("decimal(38,0)")).otherwise(lit(0))).as("top10"))
         m.select(col("n").as("n_customers"),
           floor(lit(1000000.0) *
-            (lit(2.0) * col("six") - (col("n") + lit(1.0)) * col("sx")) /
+            (lit(2.0) * col("six").cast("double") -
+              (col("n") + lit(1.0)) * col("sx")) /
             (lit(1.0) * col("n") * col("sx"))).cast("long").as("gini_ppm"),
           expr("div(1000000 * top10, sx)").cast("long").as("top10_share_ppm"),
           expr("div(1000000 * bot40, sx)").cast("long").as("bot40_share_ppm"),

@@ -985,10 +985,15 @@ object RelQueries {
     // 15%, C = the tail: the warehouse-ops sibling of the Lorenz
     // curve that outputs a CLASSIFICATION, not a curve. The ordered
     // pass runs over the PART aggregate (dim-sized); boundaries are
-    // exact integer cross-multiplications on the running sum
-    // (cum·1e6 vs threshold·total), so class membership never
-    // touches a float. Output is the per-class rollup with exact
-    // revenue shares.
+    // exact integer cross-multiplications on the running sum in
+    // REDUCED-FRACTION form (5·cum ≤ 4·tr for the 80% line,
+    // 20·cum ≤ 19·tr for 95% — NOT cum·1e6 vs threshold·tr, whose
+    // left side is 3.2e19 at sf1 and overflowed BIGINT in the r13
+    // sf1 sweep; ×20 keeps the predicate exact in BIGINT past a
+    // 4e17-cent ≈ $4-quadrillion book), so class membership never
+    // touches a float. The ppm share product still scales with
+    // total money, so it alone routes through DECIMAL(38,0) /
+    // HUGEINT; output columns stay BIGINT.
     QDef("q_abc_classification", Some("""
       WITH pr AS (SELECT l_partkey,
               CAST(sum(CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT))
@@ -1000,13 +1005,14 @@ object RelQueries {
                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
             FROM pr),
       k AS (SELECT l_partkey, rev,
-              CASE WHEN 1000000 * cum <= 800000 * tr THEN 'A'
-                   WHEN 1000000 * cum <= 950000 * tr THEN 'B'
+              CASE WHEN 5 * cum <= 4 * tr THEN 'A'
+                   WHEN 20 * cum <= 19 * tr THEN 'B'
                    ELSE 'C' END AS abc
             FROM c, tot)
       SELECT abc, CAST(count(*) AS BIGINT) AS n_parts,
              CAST(sum(rev) AS BIGINT) AS class_rev_cents,
-             CAST((1000000 * sum(rev)) // max(tr) AS BIGINT) AS rev_share_ppm
+             CAST((1000000 * CAST(sum(rev) AS HUGEINT)) // max(tr) AS BIGINT)
+               AS rev_share_ppm
       FROM k, tot GROUP BY abc ORDER BY abc"""),
       (s, d) => {
         import org.apache.spark.sql.expressions.Window
@@ -1020,14 +1026,14 @@ object RelQueries {
             .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
           .crossJoin(broadcast(tot))
           .select(col("rev"), col("tr"),
-            when(lit(1000000L) * col("cum") <= lit(800000L) * col("tr"), "A")
-              .when(lit(1000000L) * col("cum") <= lit(950000L) * col("tr"), "B")
+            when(lit(5L) * col("cum") <= lit(4L) * col("tr"), "A")
+              .when(lit(20L) * col("cum") <= lit(19L) * col("tr"), "B")
               .otherwise("C").as("abc"))
           .groupBy("abc")
           .agg(count(lit(1)).as("n_parts"),
             sum("rev").cast("long").as("class_rev_cents"),
-            expr("div(1000000 * sum(rev), max(tr))").cast("long")
-              .as("rev_share_ppm"))
+            expr("div(1000000 * cast(sum(rev) as decimal(38,0)), max(tr))")
+              .cast("long").as("rev_share_ppm"))
           .orderBy("abc")
       }),
 
