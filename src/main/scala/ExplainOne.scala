@@ -7,9 +7,9 @@ object ExplainOne {
     graft.queries.QDef.withCacheRelease(spark,
       graft.SparkEntry.queries(name)(spark, sf)) { df =>
       df.explain("formatted")
-      val t0 = System.nanoTime(); df.count()
+      val t0 = System.nanoTime(); val n = df.count()
       val t1 = System.nanoTime(); df.count()
-      println(f"[explain-one] $name run1=${(t1 - t0) / 1e9}%.3f run2=${(System.nanoTime() - t1) / 1e9}%.3f")
+      println(f"[explain-one] $name rows=$n run1=${(t1 - t0) / 1e9}%.3f run2=${(System.nanoTime() - t1) / 1e9}%.3f")
     }
     spark.stop()
   }

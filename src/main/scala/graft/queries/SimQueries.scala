@@ -1057,22 +1057,29 @@ object SimQueries {
 
     // Embedding-cosine near-dup pairs: vector pairs above a high
     // similarity bar — the EXACTNESS REFERENCE for the celled ANN
-    // path below, run on a declared 1-in-5 sample. The all-pairs
-    // expansion is structurally bounded: the right side is broadcast,
-    // so the plan is a BroadcastNestedLoopJoin over a bounded build
-    // side (zero shuffles, cost O(|left|·|sample|)), never a shuffled
+    // path below, run on a declared 1-in-5 sample of the fixed
+    // PILOT prefix (vec_id < PilotVecCap: a reference pass is a
+    // pilot, and its quadratic term must be O(1) in corpus size —
+    // the uncapped fraction sample grew 28× on 10× data in the r13
+    // slope sweep). The all-pairs expansion is structurally bounded:
+    // the right side is broadcast, so the plan is a
+    // BroadcastNestedLoopJoin over a bounded build side (zero
+    // shuffles, cost O(|left|·|sample|)), never a shuffled
     // n²-partition CartesianProduct — and at scale the broadcast
     // build cap makes an unbounded "sample" fail fast at build time
     // instead of silently launching n². Asserted in ScalePlanSpec.
     QDef("q_dedup_embed_cosine", Some(s"""
       WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
-                 WHERE vec_id % 5 = 0),
+                 WHERE vec_id % 5 = 0
+                   AND vec_id < ${graft.text.NearDup.PilotVecCap}),
       p AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
                    (round(${cosineSql("a.v", "b.v")}, 3) + 0.0) AS sim3
             FROM e a JOIN e b ON a.vec_id < b.vec_id)
       SELECT vec_a, vec_b, sim3 FROM p WHERE sim3 >= 0.35 ORDER BY vec_a, vec_b"""),
       (s, d) => {
-        val e = t(s, d, "embeddings").filter(col("vec_id") % 5 === 0)
+        val e = t(s, d, "embeddings")
+          .filter(col("vec_id") % 5 === 0 &&
+            col("vec_id") < graft.text.NearDup.PilotVecCap)
           .select(col("vec_id"), col("embedding").as("v"))
         val a = e.select(col("vec_id").as("vec_a"), col("v").as("va"))
         val b = e.select(col("vec_id").as("vec_b"), col("v").as("vb"))
@@ -1730,11 +1737,15 @@ object SimQueries {
     // hubness or disconnected manifolds before an ANN index is
     // built on the lake. The sample-restricted graph keeps the
     // scoring quadratic term sample²-bounded (the declared-sample
-    // discipline of the pair queries); the mutuality check is one
-    // self-join of the 5·n edge list on the reversed key.
+    // discipline of the pair queries) — and the sample is the fixed
+    // PILOT prefix, not a fraction: a diagnostic's cost must be
+    // O(1) in corpus size (vec_id < PilotVecCap; 17× slope at sf1
+    // before). The mutuality check is one self-join of the 5·n edge
+    // list on the reversed key.
     QDef("q_knn_reciprocity", Some(s"""
       WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
-                 FROM embeddings WHERE vec_id % 10 = 0),
+                 FROM embeddings WHERE vec_id % 10 = 0
+                   AND vec_id < ${graft.text.NearDup.PilotVecCap}),
       q AS (SELECT vec_id AS qid, v AS qv FROM e),
       c AS (SELECT vec_id AS cid, v AS cv FROM e),
       sc AS (SELECT qid, cid, (round($cosSql, 3) + 0.0) AS sim3
@@ -1753,7 +1764,9 @@ object SimQueries {
                AS reciprocity_ppm
       FROM mu"""),
       (s, d) => {
-        val e = t(s, d, "embeddings").filter(col("vec_id") % 10 === 0)
+        val e = t(s, d, "embeddings")
+          .filter(col("vec_id") % 10 === 0 &&
+            col("vec_id") < graft.text.NearDup.PilotVecCap)
           .select(col("vec_id"), col("embedding").as("v"))
         val q = e.select(col("vec_id").as("qid"), col("v").as("qv"))
         val c = e.select(col("vec_id").as("cid"), col("v").as("cv"))
@@ -1824,7 +1837,8 @@ object SimQueries {
     * cannot desync. */
   private def annPairCtes: String = s"""
       e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-      cent AS (SELECT vec_id AS cell, v AS centv FROM e WHERE vec_id < 8),
+      cent AS (SELECT vec_id AS cell, v AS centv FROM e
+               WHERE vec_id < (SELECT greatest(8, count(*) // 250) FROM e)),
       scored AS (SELECT e.vec_id AS cid, e.v AS cv, cent.cell,
         round(${cosineSql("e.v", "cent.centv")}, 6) AS cs
         FROM e CROSS JOIN cent),
@@ -1838,13 +1852,26 @@ object SimQueries {
   /** The Spark side of `annPairCtes`: IVF cell assignment (narrow
     * per-row argmax over the bounded centroid set) then within-cell
     * candidate pairs ≥ 0.35 — cartesian-free by construction,
-    * plan-asserted in ScalePlanSpec. */
+    * plan-asserted in ScalePlanSpec. Cell count SCALES with the
+    * corpus, k = max(8, N/250): the within-cell pair term is
+    * Σ n_cell² ≈ N²/k, so a FIXED k degrades back to quadratic as N
+    * grows (the r13 slope sweep measured 20× time on 10× vectors at
+    * k=8) while k ∝ N pins expected cell size at ~250 vectors and
+    * the pair term at ~250·N — linear. Identical at the tested SFs
+    * (N=2000 → k=8); at sf1 k=80, still far below the
+    * CentroidInlineThreshold codegen cutover. At 100 TB the same
+    * rule gives k ≈ N/250 kmeans cells (q_embed_ann_ivf_kmeans has
+    * the trained-centroid variant) and the assigned corpus is
+    * written partitioned by cell. The N-scan to size k is one
+    * column-pruned count, and the centroid rows were already a
+    * driver collect by design (ivfAssign inlines them). */
   private def annPairsDf(s: org.apache.spark.sql.SparkSession,
                          d: String): org.apache.spark.sql.DataFrame = {
     val e = t(s, d, "embeddings")
       .select(col("vec_id"), col("embedding").as("v"))
+    val kCells = math.max(8L, e.count() / 250L)
     val corpus = e.select(col("vec_id").as("cid"), col("v").as("cv"))
-    val centroids = e.filter(col("vec_id") < 8)
+    val centroids = e.filter(col("vec_id") < kCells)
       .select(col("vec_id").as("cell"), col("v").as("centv"))
     val assigned = Similarity.ivfAssign(corpus, centroids)
     val a = assigned.select(col("cell"), col("cid").as("vec_a"),

@@ -25,9 +25,14 @@ object TextQueries {
       |  WHERE tok <> '')""".stripMargin
 
   private[queries] def tokDf(s: org.apache.spark.sql.SparkSession, d: String,
-                             sampleMod: Option[Int] = None) = {
-    val docs = sampleMod.fold(t(s, d, "documents"))(m =>
-      t(s, d, "documents").filter(col("doc_id") % m === 0))
+                             sampleMod: Option[Int] = None,
+                             pilot: Boolean = false) = {
+    val base = t(s, d, "documents")
+    val sampled = sampleMod.fold(base)(m => base.filter(col("doc_id") % m === 0))
+    // pilot=true: the fixed-size prefix cap for calibration faces —
+    // see NearDup.PilotDocCap for the Θ(N²)-by-the-data argument.
+    val docs =
+      if (pilot) sampled.filter(col("doc_id") < NearDup.PilotDocCap) else sampled
     docs.select(col("doc_id"), explode(TA.tokens(col("text"))).as("tok")).distinct()
   }
 
@@ -535,13 +540,22 @@ object TextQueries {
         .orderBy("doc_id")),
 
     // MinHash LSH candidate pairs: 4 bands × 2 rows, on a
-    // deterministic 1-in-7 sample (see class doc).
+    // deterministic 1-in-7 sample of the fixed PILOT prefix. The
+    // pair-LIST face is a calibration deliverable: with this
+    // corpus's 31-token vocabulary a random pair sits at J ≈ 0.6,
+    // so candidates at ANY band geometry are Θ(N²) by the data
+    // (measured: 203k pairs at sf0.1 → 20.2M at sf1, 100× on 10×
+    // docs before the cap). The production dedup paths are
+    // q_dedup_incremental (O(delta) probe) and q_dedup_cluster
+    // (capped edges → CC); see NearDup.PilotDocCap.
     QDef("q_dedup_minhash_pairs", Some(
-      s"WITH ${tokCte.format("WHERE doc_id % 7 = 0")}, ${sigSelect(8, "tok")}, " +
-        s"${bandsSql(8, 2)} $pairsSql"),
+      s"WITH ${tokCte.format(
+        s"WHERE doc_id % 7 = 0 AND doc_id < ${NearDup.PilotDocCap}")}, " +
+        s"${sigSelect(8, "tok")}, ${bandsSql(8, 2)} $pairsSql"),
       (s, d) => NearDup.lshCandidatePairs(
         NearDup.lshBands(
-          NearDup.minhashSignatures(tokDf(s, d, Some(7)), "doc_id", "tok", 8),
+          NearDup.minhashSignatures(tokDf(s, d, Some(7), pilot = true),
+            "doc_id", "tok", 8),
           "doc_id", 8, 2),
         "doc_id").orderBy("doc_a", "doc_b")),
 
@@ -554,8 +568,12 @@ object TextQueries {
     // set is LSH-bounded and the signature table is one row per doc —
     // the two sig probes are key-equi-joins on doc id; production
     // callers persist `sigs` so the signature aggregation runs once.
+    // Pilot-capped like q_dedup_minhash_pairs, whose candidate set
+    // (Θ(N²) on this corpus) it consumes.
     QDef("q_dedup_minhash_est", Some(s"""
-      WITH ${tokCte.format("WHERE doc_id % 7 = 0")}, ${sigSelect(8, "tok")},
+      WITH ${tokCte.format(
+        s"WHERE doc_id % 7 = 0 AND doc_id < ${NearDup.PilotDocCap}")},
+      ${sigSelect(8, "tok")},
       ${bandsSql(8, 2)},
       cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
                FROM bands a JOIN bands b
@@ -572,7 +590,7 @@ object TextQueries {
       ORDER BY doc_a, doc_b"""),
       (s, d) => {
         val sigs = NearDup.minhashSignatures(
-          tokDf(s, d, Some(7)), "doc_id", "tok", 8)
+          tokDf(s, d, Some(7), pilot = true), "doc_id", "tok", 8)
         val cand = NearDup.lshCandidatePairs(
           NearDup.lshBands(sigs, "doc_id", 8, 2), "doc_id")
         def side(p: String) = sigs.toDF(
@@ -621,9 +639,14 @@ object TextQueries {
 
     // SimHash near-dup pairs: 4-nibble banding (hamming<=3 pairs must
     // share a band by pigeonhole) then exact bit_count(xor) filter, on
-    // the 1-in-7 sample.
+    // the 1-in-7 sample of the fixed pilot prefix. A 16-bit simhash
+    // has 16 values per nibble band, so band buckets hold N/16 docs
+    // and the candidate expansion is Θ(N²) by construction (measured
+    // 81k → 8.0M pairs on 10× docs before the cap) — the pair-list
+    // face is a calibration pilot; see NearDup.PilotDocCap.
     QDef("q_dedup_simhash_pairs", Some(s"""
-      ${simhashSigCtes("WHERE doc_id % 7 = 0")},
+      ${simhashSigCtes(
+        s"WHERE doc_id % 7 = 0 AND doc_id < ${NearDup.PilotDocCap}")},
       bands AS (
         SELECT doc_id, 0 AS band, (simhash16 >> 0) & 15 AS bv FROM sig
         UNION ALL SELECT doc_id, 1, (simhash16 >> 4) & 15 FROM sig
@@ -637,7 +660,7 @@ object TextQueries {
             FROM cand JOIN sig sa ON doc_a = sa.doc_id JOIN sig sb ON doc_b = sb.doc_id)
       SELECT doc_a, doc_b, hamming FROM p WHERE hamming <= 3 ORDER BY doc_a, doc_b"""),
       (s, d) => NearDup.simhashPairs(
-        NearDup.simhash16(tokDf(s, d, Some(7)), "doc_id", "tok"),
+        NearDup.simhash16(tokDf(s, d, Some(7), pilot = true), "doc_id", "tok"),
         "doc_id", maxHamming = 3).orderBy("doc_a", "doc_b")),
 
     // Exact token-set Jaccard near-dup pairs on a 1-in-13 sample;
@@ -792,8 +815,12 @@ object TextQueries {
     // cost/aggressiveness table a curation review reads before fixing
     // THE threshold (q_dedup_eval scores one choice; this shows the
     // cliff). Integer cross-multiplied thresholds, no floats.
+    // Pilot-capped: the sweep's all-pairs table is the quadratic
+    // truth pass — a tuning pilot, O(1) in corpus size by contract
+    // (NearDup.PilotDocCap).
     QDef("q_jaccard_threshold_sweep", Some(s"""
-      WITH ${tokCte.format("WHERE doc_id % 13 = 0")},
+      WITH ${tokCte.format(
+        s"WHERE doc_id % 13 = 0 AND doc_id < ${NearDup.PilotDocCap}")},
       sz AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id),
       p AS (SELECT doc_a, doc_b, i, sa.n + sb.n - i AS u FROM (
               SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
@@ -809,7 +836,8 @@ object TextQueries {
                THEN p.doc_b END) AS BIGINT) AS est_docs_dropped
       FROM th CROSS JOIN p GROUP BY 1 ORDER BY threshold_permille"""),
       (s, d) => {
-        val p = NearDup.tokenJaccardPairs(tokDf(s, d, Some(13)), "doc_id", "tok", 0)
+        val p = NearDup.tokenJaccardPairs(tokDf(s, d, Some(13), pilot = true),
+            "doc_id", "tok", 0)
           .select(col("doc_a"), col("doc_b"), col("i"),
             (col("na") + col("nb") - col("i")).as("u"))
         val hit = lit(10) * col("i") >= col("t10") * col("u")
@@ -885,9 +913,13 @@ object TextQueries {
     // q_lsh_band_tuning S-curve spends — together they answer "how
     // many hashes do I pay per doc at 100 TB". All integer: each
     // pair's error is a born-integer |a − b|, and only integer sums
-    // cross the aggregation.
+    // cross the aggregation. Pilot-capped: the exact-Jaccard truth
+    // pass is all-pairs — an accuracy pilot, O(1) in corpus size
+    // by contract (NearDup.PilotDocCap; 165× slope at sf1 before).
     QDef("q_minhash_error_curve", Some(s"""
-      WITH ${tokCte.format("WHERE doc_id % 7 = 0")}, ${sigSelect(8, "tok")},
+      WITH ${tokCte.format(
+        s"WHERE doc_id % 7 = 0 AND doc_id < ${NearDup.PilotDocCap}")},
+      ${sigSelect(8, "tok")},
       sz AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id),
       inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
                 FROM tok a JOIN tok b ON a.tok = b.tok AND a.doc_id < b.doc_id
@@ -913,7 +945,7 @@ object TextQueries {
              CAST(max(err) AS BIGINT) AS max_err_permille
       FROM er GROUP BY 1 ORDER BY k"""),
       (s, d) => {
-        val tok = tokDf(s, d, Some(7))
+        val tok = tokDf(s, d, Some(7), pilot = true)
         val sig = NearDup.minhashSignatures(tok, "doc_id", "tok", 8)
         val truep = NearDup.tokenJaccardPairs(tok, "doc_id", "tok", 0)
           .select(col("doc_a"), col("doc_b"),
@@ -949,10 +981,13 @@ object TextQueries {
     // both engines — no pow(), which is not correctly rounded), each
     // pair's P floors ONCE to permille, and only INTEGER sums cross
     // the aggregation (the order-dependent double-sum trap never
-    // appears). Pair source is the q_dedup_token_jaccard sample —
-    // bounded, and shared shape with the dedup family.
+    // appears). Pair source is the q_dedup_token_jaccard sample,
+    // pilot-capped: the S-curve is tuned on a fixed-size pilot by
+    // contract — its all-pairs exact-Jaccard term is quadratic in
+    // the sample (NearDup.PilotDocCap; 66× slope at sf1 before).
     QDef("q_lsh_band_tuning", Some(s"""
-      WITH ${tokCte.format("WHERE doc_id % 13 = 0")},
+      WITH ${tokCte.format(
+        s"WHERE doc_id % 13 = 0 AND doc_id < ${NearDup.PilotDocCap}")},
       sz AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id),
       inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
                 FROM tok a JOIN tok b ON a.tok = b.tok AND a.doc_id < b.doc_id
@@ -994,7 +1029,7 @@ object TextQueries {
              END AS nondup_avg_catch_permille
       FROM allc GROUP BY 1, 2 ORDER BY bands DESC"""),
       (s, d) => {
-        val tok = tokDf(s, d, Some(13))
+        val tok = tokDf(s, d, Some(13), pilot = true)
         val sz = tok.groupBy(col("doc_id").as("sd")).agg(count(lit(1)).as("n"))
         val inter = tok.select(col("doc_id").as("doc_a"), col("tok"))
           .join(tok.select(col("doc_id").as("doc_b"), col("tok")), "tok")
@@ -1052,9 +1087,13 @@ object TextQueries {
     // NearDup.prefixJaccardPairs for the theorem and the 100 TB
     // rationale (prefixes hold rare tokens, so candidate buckets are
     // the frequency tail; no pruning is visible on this 31-token-
-    // vocabulary corpus, by construction).
+    // vocabulary corpus, by construction — which also makes the
+    // true pair set Θ(N²) here, so the pair-LIST face is
+    // pilot-capped like the rest of the family; see
+    // NearDup.PilotDocCap).
     QDef("q_dedup_prefix_jaccard", Some(s"""
-      WITH ${tokCte.format("WHERE doc_id % 13 = 0")},
+      WITH ${tokCte.format(
+        s"WHERE doc_id % 13 = 0 AND doc_id < ${NearDup.PilotDocCap}")},
       sz AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id),
       inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
                 FROM tok a JOIN tok b ON a.tok = b.tok AND a.doc_id < b.doc_id
@@ -1063,7 +1102,8 @@ object TextQueries {
       FROM inter JOIN sz sa ON doc_a = sa.doc_id JOIN sz sb ON doc_b = sb.doc_id
       WHERE i * 10 >= 4 * (sa.n + sb.n - i)
       ORDER BY doc_a, doc_b"""),
-      (s, d) => NearDup.prefixJaccardPairs(tokDf(s, d, Some(13)), "doc_id", "tok", 4)
+      (s, d) => NearDup.prefixJaccardPairs(tokDf(s, d, Some(13), pilot = true),
+          "doc_id", "tok", 4)
         .orderBy("doc_a", "doc_b")),
 
     // n-gram Jaccard near-dup pairs: word-3-gram shingle sets, exact
@@ -1295,16 +1335,21 @@ object TextQueries {
     // LSH EVALUATION harness: confusion counts of the minhash-LSH
     // candidate generator (k=8, 4 bands × 2 rows — the
     // q_dedup_minhash_pairs operating point) against exact token-set
-    // Jaccard >= 0.4 ground truth, on the same 1-in-7 sample. THE
-    // tuning loop of a production dedup pipeline: before spending a
-    // cluster-day LSH-joining 100 TB, you measure band geometry
-    // recall/precision on a bounded sample exactly like this — the
-    // truth pass is all-pairs (quadratic) and lives ONLY here, never
-    // on the full corpus. One summary row, born-integer counts +
+    // Jaccard >= 0.4 ground truth, on the same 1-in-7 PILOT sample.
+    // THE tuning loop of a production dedup pipeline: before
+    // spending a cluster-day LSH-joining 100 TB, you measure band
+    // geometry recall/precision on a bounded pilot exactly like
+    // this — the truth pass is all-pairs (quadratic) and lives ONLY
+    // here, never on the full corpus, and "bounded" must mean
+    // FIXED-SIZE, not fixed-fraction: the uncapped 1-in-7 sample
+    // grew 154× on 10× data in the r13 slope sweep
+    // (NearDup.PilotDocCap). One summary row, born-integer counts +
     // permille ratios (BIGINT div; -1 sentinel when a denominator is
     // empty, so the output is total and exact on any corpus).
     QDef("q_dedup_eval", Some(s"""
-      WITH ${tokCte.format("WHERE doc_id % 7 = 0")}, ${sigSelect(8, "tok")},
+      WITH ${tokCte.format(
+        s"WHERE doc_id % 7 = 0 AND doc_id < ${NearDup.PilotDocCap}")},
+      ${sigSelect(8, "tok")},
       ${bandsSql(8, 2)},
       cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
                FROM bands a JOIN bands b
@@ -1327,7 +1372,7 @@ object TextQueries {
                AS recall_permille
       FROM m"""),
       (s, d) => {
-        val toks = tokDf(s, d, Some(7))
+        val toks = tokDf(s, d, Some(7), pilot = true)
         val truth = NearDup.tokenJaccardPairs(toks, "doc_id", "tok", 4)
           .filter(col("near_dup") === 1).select("doc_a", "doc_b")
         val cand = NearDup.lshCandidatePairs(
@@ -1961,15 +2006,19 @@ object TextQueries {
     // all-pairs), squared norms are one per-doc integer agg, and the
     // cos ≥ 0.8 gate is the exact integer cross-multiplication
     // 100·dp² ≥ 64·|a|²·|b|² — no float decides membership. Same
-    // 1-in-13 doc_id-mod sample as the other pair queries (this
-    // corpus' 31-token vocabulary makes every token a full posting
-    // list; real corpora get the df-cap/prefix tricks NearDup
-    // documents). cos_milli = floor of the shared IEEE value,
-    // reported for the survivors only.
-    QDef("q_bow_cosine_pairs", Some("""
+    // 1-in-13 doc_id-mod sample as the other pair queries, on the
+    // fixed PILOT prefix (this corpus' 31-token vocabulary makes
+    // every token a full posting list, so survivors at ANY cosine
+    // bar are Θ(N²) by the data — measured 3.1k → 285k pairs on 10×
+    // docs before the cap; real corpora get the df-cap/prefix
+    // tricks NearDup documents, and the pair-LIST face is a pilot —
+    // NearDup.PilotDocCap). cos_milli = floor of the shared IEEE
+    // value, reported for the survivors only.
+    QDef("q_bow_cosine_pairs", Some(s"""
       WITH tf AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS f FROM
         (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
-         FROM documents WHERE doc_id % 13 = 0)
+         FROM documents
+         WHERE doc_id % 13 = 0 AND doc_id < ${NearDup.PilotDocCap})
         WHERE tok <> '' GROUP BY doc_id, tok),
       nrm AS (SELECT doc_id, CAST(sum(f * f) AS BIGINT) AS nsq
               FROM tf GROUP BY doc_id),
@@ -1985,7 +2034,9 @@ object TextQueries {
       WHERE 100 * dp * dp >= 64 * na.nsq * nb.nsq
       ORDER BY doc_a, doc_b"""),
       (s, d) => {
-        val tf = t(s, d, "documents").filter(col("doc_id") % 13 === 0)
+        val tf = t(s, d, "documents")
+          .filter(col("doc_id") % 13 === 0 &&
+            col("doc_id") < NearDup.PilotDocCap)
           .select(col("doc_id"), explode(TA.tokens(col("text"))).as("tok"))
           .groupBy("doc_id", "tok").agg(count(lit(1)).as("f"))
         val nrm = tf.groupBy("doc_id")

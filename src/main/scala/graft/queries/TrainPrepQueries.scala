@@ -630,8 +630,13 @@ object TrainPrepQueries {
     // assignment on the same sample; output is the per-(split,split)
     // pair census with a leak flag. Canonical pair order via
     // least/greatest so (train,val) and (val,train) collapse.
+    // Pilot-capped: the near-dup pair table is Θ(N²) on this corpus
+    // (31-token vocabulary), so the audit runs on the fixed pilot
+    // prefix — at scale you audit the SPLIT POLICY on a pilot, then
+    // split by dedup cluster (NearDup.PilotDocCap; 59× slope before).
     QDef("q_split_leakage_audit", Some(s"""
-      WITH ${TextQueries.tokCte.format("WHERE doc_id % 13 = 0")},
+      WITH ${TextQueries.tokCte.format(
+        s"WHERE doc_id % 13 = 0 AND doc_id < ${graft.text.NearDup.PilotDocCap}")},
       sz AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id),
       inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
                 FROM tok a JOIN tok b ON a.tok = b.tok AND a.doc_id < b.doc_id
@@ -652,7 +657,7 @@ object TrainPrepQueries {
       FROM cl GROUP BY split_lo, split_hi ORDER BY split_lo, split_hi"""),
       (s, d) => {
         val pairs = graft.text.NearDup.prefixJaccardPairs(
-          TextQueries.tokDf(s, d, Some(13)), "doc_id", "tok", 4)
+          TextQueries.tokDf(s, d, Some(13), pilot = true), "doc_id", "tok", 4)
           .select("doc_a", "doc_b")
         val sp = t(s, d, "documents").filter(col("doc_id") % 13 === 0)
           .select(col("doc_id"),

@@ -76,11 +76,48 @@ object Similarity {
 
   /** The per-row argmax column over the centroid set: an
     * array<struct<cs, negCell>> whose max is (best cosine, smallest
-    * cell on ties) — inlined per-centroid structs below
-    * [[CentroidInlineThreshold]], one constant-array `transform`
-    * above it. */
+    * cell on ties). Since r13 this is ONE native
+    * [[graft.functions.CentroidScores]] expression — the centroid
+    * matrix ships as a single codegen reference object and the
+    * scoring is a primitive double loop, so generated-code size is
+    * constant in k (the composed per-centroid-literal form silently
+    * left whole-stage codegen in the low-k-tens and evaluated
+    * interpreted: 30× slower at k=80 on the sf1 sweep).
+    * [[centroidArgmaxComposed]] keeps the composed form as the
+    * differential reference; CentroidScoresSpec pins them equal
+    * row-for-row. */
   private def centroidArgmax(vecCol: Column, centroids: DataFrame,
                              inlineThreshold: Int): Column = {
+    import org.apache.spark.sql.types.{ArrayType, FloatType}
+    val rows = centroids.select(col("cell").cast("long"), col("centv")).collect()
+    require(rows.nonEmpty, "centroid argmax needs at least one centroid")
+    val elemIsFloat = centroids.schema("centv").dataType
+      .asInstanceOf[ArrayType].elementType == FloatType
+    val cells = rows.map(_.getLong(0))
+    val matrix =
+      if (elemIsFloat) rows.map(_.getSeq[Float](1).map(_.toDouble).toArray)
+      else rows.map(_.getSeq[Double](1).toArray)
+    graft.functions.CentroidScores(vecCol, cells, matrix)
+  }
+
+  /** Test access: the per-row score array of `vecCol`-shaped input
+    * (`vec_id`, `v`) against `centroids`, native or composed —
+    * CentroidScoresSpec's differential surface. */
+  private[graft] def centroidScoresForTest(vecs: DataFrame, centroids: DataFrame,
+      composed: Boolean): DataFrame = {
+    val scores =
+      if (composed) centroidArgmaxComposed(col("v"), centroids)
+      else centroidArgmax(col("v"), centroids, CentroidInlineThreshold)
+    vecs.select(col("vec_id"), scores.as("scores"))
+  }
+
+  /** The pre-r13 composed form of [[centroidArgmax]] — per-centroid
+    * struct literals below `inlineThreshold`, one constant-array
+    * `transform` above. Retained ONLY as the differential-test
+    * reference for the native expression (CentroidScoresSpec); no
+    * production path calls it. */
+  private[graft] def centroidArgmaxComposed(vecCol: Column, centroids: DataFrame,
+      inlineThreshold: Int = CentroidInlineThreshold): Column = {
     import org.apache.spark.sql.types.{ArrayType, FloatType}
     val rows = centroids.select(col("cell").cast("long"), col("centv")).collect()
     require(rows.nonEmpty, "centroid argmax needs at least one centroid")

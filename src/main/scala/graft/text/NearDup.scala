@@ -394,6 +394,34 @@ object NearDup {
     * GraphStatQueries applied to the token side). */
   val TokenDfCap = 1024
 
+  /** Fixed-SIZE pilot prefix for the calibration/eval/pair-list faces
+    * (`doc_id < PilotDocCap`, on top of each query's declared mod
+    * sample). The r13 sf0.1→sf1 slope sweep proved why a fixed
+    * FRACTION is not enough: this corpus has a 31-token global
+    * vocabulary, so a random doc pair shares ~17 of ~23 distinct
+    * tokens (J ≈ 0.6) and the set of near-dup pairs at any useful
+    * threshold is Θ(N²) BY THE DATA — q_dedup_eval grew 154× and
+    * q_minhash_error_curve 165× on 10× data. No engine makes a
+    * pair LIST sub-quadratic when the true pair count is quadratic;
+    * the scalable production deliverables are the cluster /
+    * incremental / capped faces. The calibration faces (band
+    * geometry tuning, error curves, threshold sweeps, truth-pass
+    * evals, pair-list references) are pilot studies, and a pilot's
+    * cost must be O(1) in corpus size — exactly how a 100 TB dedup
+    * run is tuned: measure recall/precision on a bounded pilot,
+    * then run the bounded-fan-out production path on the corpus.
+    * The cap equals the sf0.1 doc count, so every tested-SF result
+    * (sf0.001/0.01/0.1, max doc_id 4999) is bit-identical with and
+    * without it; from sf1 up the pilot faces read the same 5k-doc
+    * prefix (deterministic — doc_id is a stable synthetic key). */
+  val PilotDocCap = 5000L
+
+  /** Embedding-side pilot prefix (`vec_id < PilotVecCap`): same
+    * argument for the quadratic embedding faces (brute-force cosine
+    * reference, kNN-graph diagnostics); equals the sf0.1 embedding
+    * count so tested-SF results are unchanged. */
+  val PilotVecCap = 2000L
+
   /** Drops tokens whose document frequency exceeds `cap` from the
     * JOIN side only (doc sizes stay uncapped) — see the one-sided
     * error argument on [[tokenJaccardPairs]]. Plan shape (pinned by
