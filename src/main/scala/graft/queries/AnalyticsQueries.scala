@@ -310,23 +310,29 @@ object AnalyticsQueries {
     // r5–r7 hard-signal divergence: HUGEINT/DECIMAL outputs convert
     // to float64 in pandas readers while Spark's stay int64).
     // Spark-side moments run in DECIMAL(38,0) so the arithmetic stays
-    // exact far past sf0.1 (n·Σc² ≈ 1.3e18 at sf0.1; BIGINT would
-    // overflow near sf1 — the emitted num/den themselves still fit
-    // BIGINT: |num| ≤ n·max(c) ≈ 1.1e9, den ≤ n·Σc² at sf0.1).
-    // 100 TB shape unchanged: one map-side-combined aggregate + one
-    // broadcast join; the fact is never shuffled.
+    // exact far past sf0.1, and since r13 the ORACLE's moments/
+    // predicate run in HUGEINT for the same reason — the sf1
+    // selfcheck caught its 4·num² filter product at 3.1e19 (the
+    // Spark side, already decimal, sailed through; the comparison
+    // engine is subject to the same overflow discipline as the
+    // engine under test). The EMITTED num/den still fit BIGINT at
+    // sf1 (den ≈ 1.0e18, measured; num² headroom to ~sf30) so the
+    // output type contract is unchanged. 100 TB shape: one
+    // map-side-combined aggregate + one broadcast join; the fact is
+    // never shuffled.
     QDef("q_zscore_outliers", Some("""
       WITH e AS (SELECT event_id, event_type,
           CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS c FROM events),
-      st AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
-          CAST(sum(c) AS BIGINT) AS sc,
-          CAST(sum(c * c) AS BIGINT) AS scc
+      st AS (SELECT event_type, CAST(count(*) AS HUGEINT) AS n,
+          CAST(sum(c) AS HUGEINT) AS sc,
+          sum(CAST(c AS HUGEINT) * c) AS scc
         FROM e GROUP BY event_type),
       j AS (SELECT e.event_id, e.event_type,
           st.n * e.c - st.sc AS num,
           st.n * st.scc - st.sc * st.sc AS den
         FROM e JOIN st USING (event_type))
-      SELECT event_id, event_type, num AS znum_cents, den AS zden_cents2
+      SELECT event_id, event_type, CAST(num AS BIGINT) AS znum_cents,
+             CAST(den AS BIGINT) AS zden_cents2
       FROM j WHERE 4 * num * num > 25 * den ORDER BY event_id"""),
       (s, d) => {
         val cents = floor(col("value") * lit(100.0) + lit(0.5)).cast("long")
