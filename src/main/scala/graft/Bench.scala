@@ -31,6 +31,16 @@ object Bench {
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
       .filter(_.nonEmpty)
+    // A typo'd name must fail loudly: a silent empty (or partial) run
+    // would emit total≈0 and read as a flattering sweep.
+    only.foreach { names =>
+      val unknown = names.diff(SparkEntry.queries.keySet)
+      if (unknown.nonEmpty) {
+        System.err.println(s"[bench] ERROR unknown query name(s) in " +
+          s"SPARK_GRAFT_BENCH_ONLY: ${unknown.toSeq.sorted.mkString(", ")}")
+        sys.exit(2)
+      }
+    }
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_(n)) }
     val sweeps: Seq[Seq[(String, Double, Boolean)]] = (1 to nRuns).map { run =>
@@ -126,19 +136,29 @@ object Bench {
     val exceededJson = exceeded
       .map { case (k, r) => "\"" + k + "\":" + fmt(r, 3) }.mkString("{", ",", "}")
     val failedJson = failed.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
+    // A filtered run stamps its filter into the JSON so a subset total
+    // can never be mistaken for a full sweep downstream.
+    val onlyJson = only.fold("")(names =>
+      s""","only":${names.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")}""")
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
         s""""failed":$failedJson,""" +
         s""""budget_exceeded":$exceededJson,"budget_n":${budgets.size},""" +
-        s""""runs":${runTotals.mkString("[", ",", "]")},"sf":"$sfDir"}"""
+        s""""runs":${runTotals.mkString("[", ",", "]")}$onlyJson,"sf":"$sfDir"}"""
     println(line)
     // Also persist the line so the driver can recover it even if
     // stdout is truncated (BENCH_r01.json lost its head that way).
-    try java.nio.file.Files.write(
-      java.nio.file.Paths.get("bench_last.json"),
-      (line + "\n").getBytes("UTF-8"))
-    catch { case e: Throwable =>
-      System.err.println(s"[bench] could not write bench_last.json: ${e.getMessage}") }
+    // Filtered runs do NOT overwrite bench_last.json: the file is the
+    // full-sweep record the protocol artifacts copy from, and a
+    // subset-only total there is indistinguishable from a real sweep.
+    if (only.isEmpty)
+      try java.nio.file.Files.write(
+        java.nio.file.Paths.get("bench_last.json"),
+        (line + "\n").getBytes("UTF-8"))
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] could not write bench_last.json: ${e.getMessage}") }
+    else
+      System.err.println("[bench] filtered run — bench_last.json NOT updated")
     spark.stop()
   }
 }

@@ -1865,11 +1865,24 @@ object SimQueries {
     * written partitioned by cell. The N-scan to size k is one
     * column-pruned count, and the centroid rows were already a
     * driver collect by design (ivfAssign inlines them). */
+  /** Memo for the one eager N-scan annPairsDf needs to size its cell
+    * count (r13 ADVICE): several ANN-family queries rebuild the same
+    * DataFrame, and plan-only consumers (explain paths, plan-shape
+    * specs) were paying a full embeddings count per BUILD. The corpus
+    * size is a property of (session, dataset dir), so cache it there —
+    * keyed on the session identity (not equals: sessions are mutable)
+    * and the sfDir string. Bounded: one Long per (session, SF) pair
+    * ever seen in a JVM. */
+  private val corpusCountMemo =
+    new java.util.concurrent.ConcurrentHashMap[(Int, String), java.lang.Long]()
+
   private def annPairsDf(s: org.apache.spark.sql.SparkSession,
                          d: String): org.apache.spark.sql.DataFrame = {
     val e = t(s, d, "embeddings")
       .select(col("vec_id"), col("embedding").as("v"))
-    val kCells = math.max(8L, e.count() / 250L)
+    val n: Long = corpusCountMemo.computeIfAbsent(
+      (System.identityHashCode(s), d), _ => e.count())
+    val kCells = math.max(8L, n / 250L)
     val corpus = e.select(col("vec_id").as("cid"), col("v").as("cv"))
     val centroids = e.filter(col("vec_id") < kCells)
       .select(col("vec_id").as("cell"), col("v").as("centv"))

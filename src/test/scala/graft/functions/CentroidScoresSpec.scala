@@ -75,6 +75,47 @@ class CentroidScoresSpec extends AnyFunSuite {
       .filter(col("cell") > col("cid")).count() == 0L)
   }
 
+  // Off-contract inputs (r13 ADVICE): the embeddings contract keeps
+  // lanes dense and fixed-width, so these rows are unreachable in the
+  // live queries — but the expression's behavior there must be PINNED,
+  // not incidental: a null element or a length-mismatched vector nulls
+  // the ENTIRE score array (so ivfAssign would surface a null cell for
+  // that row rather than silently scoring a truncated vector), and a
+  // null input array is null-intolerant NULL. Both eval paths.
+  test("off-contract inputs null the whole score array (codegen + interpreted)") {
+    import scala.jdk.CollectionConverters._
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.IntegerType),
+      org.apache.spark.sql.types.StructField("v",
+        org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.DoubleType, true))))
+    val rows = Seq(
+      Row(0, Seq(1.0, 0.0)),                       // on-contract: scores
+      Row(1, null),                                // null array
+      Row(2, Seq[Any](1.0, null)),                 // null element
+      Row(3, Seq(1.0, 0.0, 5.0)),                  // too long
+      Row(4, Seq(1.0))                             // too short
+    )
+    val df = spark.createDataFrame(rows.asJava, schema)
+    val cells = Array(0L, 1L)
+    val cents = Array(Array(1.0, 0.0), Array(0.0, 1.0))
+    def scored(interpreted: Boolean) = {
+      val run = () => df
+        .select(col("id"), CentroidScores(col("v"), cells, cents).as("s"))
+        .collect().map(r => (r.getInt(0), r.isNullAt(1))).toSeq.sortBy(_._1)
+      if (interpreted) withInterpreted(run()) else run()
+    }
+    for (interp <- Seq(false, true)) {
+      val got = scored(interp)
+      assert(got == Seq((0, false), (1, true), (2, true), (3, true), (4, true)),
+        s"off-contract null pinning broke (interpreted=$interp): $got")
+    }
+    // and the on-contract row's scores are the expected cosines
+    val s = df.filter(col("id") === 0)
+      .select(CentroidScores(col("v"), cells, cents).as("s"))
+      .collect()(0).getSeq[Row](0).map(r => (r.getDouble(0), r.getLong(1)))
+    assert(s == Seq((1.0, 0L), (0.0, -1L)))
+  }
+
   test("native expression stays in whole-stage codegen at k=80") {
     val e = embeddings.select(col("vec_id").as("cid"), col("v").as("cv"))
     val plan = Similarity.ivfAssign(e, centroids(80))
