@@ -955,11 +955,17 @@ object TextQueries {
           .join(sig.toDF("doc_b" +: (0 until 8).map(x => s"b$x"): _*), Seq("doc_b"))
           .select(col("true_pm") +: (0 until 8).map(x =>
             when(col(s"a$x") === col(s"b$x"), 1L).otherwise(0L).as(s"g$x")): _*)
-        def branch(k: Int) =
-          ag.select(lit(k.toLong).as("k"),
-            abs(expr(s"div(1000 * (${(0 until k).map(x => s"g$x").mkString(" + ")}), $k)")
-              - col("true_pm")).as("err"))
-        branch(2).unionByName(branch(4)).unionByName(branch(8))
+        // One pass, not three: a per-k UNION of branches re-executes
+        // the whole pilot join tree once per k (3× the token join +
+        // signature joins — measured as this query's entire thin
+        // bench margin). All three |est − true| errors are columns of
+        // the SAME row, so compute them in one projection and unpivot
+        // with stack() — the plan runs the join tree exactly once.
+        def errCol(k: Int) =
+          abs(expr(s"div(1000 * (${(0 until k).map(x => s"g$x").mkString(" + ")}), $k)")
+            - col("true_pm"))
+        ag.select(errCol(2).as("e2"), errCol(4).as("e4"), errCol(8).as("e8"))
+          .select(expr("stack(3, 2L, e2, 4L, e4, 8L, e8) AS (k, err)"))
           .groupBy("k")
           .agg(count(lit(1)).as("n_pairs"),
             expr("div(sum(err), count(1))").cast("long")
