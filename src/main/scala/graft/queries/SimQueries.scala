@@ -907,7 +907,13 @@ object SimQueries {
     // a (ida, idb) groupBy of identical values. Spark dedups the two
     // identical band-explode subtrees under the self-join via
     // ReusedExchange — signatures compute once per execution.
-    QDef("q_embed_srp_pairs", Some("""
+    // Buckets past SrpBucketCap are dropped from the join (oracle
+    // bkeep CTE mirrors): under a fixed 8-bit band width bucket
+    // sizes grow ∝ N, so the uncapped Σ C(n,2) is quadratic — the
+    // cap bounds it at buckets × C(cap,2) with the same one-sided
+    // weakest-evidence argument as the MinHash maxBucket drop.
+    // Bit-identical at tested SFs (sf0.1 max bucket 113 < 250).
+    QDef("q_embed_srp_pairs", Some(s"""
       WITH e AS (SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]),
                    x -> CAST(floor(x * 1000000.0 + 0.5) AS BIGINT)) AS q FROM embeddings),
       s AS (SELECT vec_id, q,
@@ -921,10 +927,13 @@ object SimQueries {
         UNION ALL SELECT vec_id, sig, q, 1, (sig // 256) % 256 FROM s
         UNION ALL SELECT vec_id, sig, q, 2, (sig // 65536) % 256 FROM s
         UNION ALL SELECT vec_id, sig, q, 3, (sig // 16777216) % 256 FROM s),
+      bkeep AS (SELECT bi, bv FROM bands GROUP BY bi, bv
+                HAVING count(*) <= ${Similarity.SrpBucketCap}),
+      kept AS (SELECT bands.* FROM bands JOIN bkeep USING (bi, bv)),
       hit AS (SELECT a.vec_id AS ida, b.vec_id AS idb,
                 CAST(bit_count(xor(a.sig, b.sig)) AS BIGINT) AS hamming,
                 CAST(list_sum(list_transform(list_zip(a.q, b.q), z -> z[1] * z[2])) AS BIGINT) AS dot_pico
-              FROM bands a JOIN bands b USING (bi, bv)
+              FROM kept a JOIN kept b USING (bi, bv)
               WHERE a.vec_id < b.vec_id),
       pairs AS (SELECT ida, idb, min(hamming) AS hamming, min(dot_pico) AS dot_pico
                 FROM hit GROUP BY ida, idb)
@@ -935,9 +944,15 @@ object SimQueries {
           Similarity.srpQuantize(col("embedding")).as("q"),
           Similarity.srpSignature(col("embedding")).as("sig"))
         val bands = Similarity.srpBands(sg)
-        val a = bands.select(col("bi"), col("bv"), col("vec_id").as("ida"),
+        // mega-bucket drop (SrpBucketCap): the keep list aggregates the
+        // band table's own exchange (ReusedExchange — the corpus is
+        // banded once) and is bucket-count-bounded, so it broadcasts
+        val keep = bands.groupBy("bi", "bv").agg(count(lit(1)).as("_n"))
+          .filter(col("_n") <= Similarity.SrpBucketCap).select("bi", "bv")
+        val kept = bands.join(keep, Seq("bi", "bv"))
+        val a = kept.select(col("bi"), col("bv"), col("vec_id").as("ida"),
           col("sig").as("siga"), col("q").as("qa"))
-        val b = bands.select(col("bi"), col("bv"), col("vec_id").as("idb"),
+        val b = kept.select(col("bi"), col("bv"), col("vec_id").as("idb"),
           col("sig").as("sigb"), col("q").as("qb"))
         a.join(b, Seq("bi", "bv"))
           .filter(col("ida") < col("idb"))
@@ -1140,18 +1155,23 @@ object SimQueries {
       }),
 
     // kNN CLASSIFICATION eval: 5-NN majority vote over the labeled
-    // embedding corpus for a held-out probe set (vec_id % 100 = 0),
-    // plurality with (votes desc, label asc) tie-break, scored
-    // against the probe's true label. The probe set broadcasts
-    // against one corpus scan (bruteForceTopK's WindowGroupLimit
-    // keeps the shuffle at O(k) rows per probe); the vote and the
-    // label joins are probe-sized. The eval-gate shape every
-    // embedding-model regression suite needs at 100 TB: the expensive
-    // part is a single corpus pass regardless of k or probe count.
+    // embedding corpus for a held-out probe set, plurality with
+    // (votes desc, label asc) tie-break, scored against the probe's
+    // true label. The probe set broadcasts against one corpus scan
+    // (bruteForceTopK's WindowGroupLimit keeps the shuffle at O(k)
+    // rows per probe); the vote and the label joins are probe-sized.
+    // The probe set is FIXED-SIZE (vec_id % 100 = 0 within the
+    // PilotVecCap prefix): an eval set is a curated constant, not a
+    // corpus fraction — with a % sample alone the broadcast scoring
+    // term is N/100 × N (the r13 slope sweep's worst tail, 13.6× on
+    // 10× data); capped, the scan is probes × N — linear, and the
+    // expensive part is a single corpus pass regardless of k.
+    // Bit-identical at tested SFs (every vec_id < cap there).
     QDef("q_knn_classify", Some(s"""
       WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
       q AS (SELECT vec_id AS qid, CAST(label AS BIGINT) AS true_label, v AS qv
-            FROM e WHERE vec_id % 100 = 0),
+            FROM e WHERE vec_id % 100 = 0
+              AND vec_id < ${graft.text.NearDup.PilotVecCap}),
       c AS (SELECT vec_id AS cid, CAST(label AS BIGINT) AS clabel, v AS cv
             FROM e WHERE vec_id % 100 <> 0),
       s AS (SELECT qid, cid, clabel, (round($cosSql, 3) + 0.0) AS sim3 FROM q CROSS JOIN c),
@@ -1169,7 +1189,8 @@ object SimQueries {
         val e = t(s, d, "embeddings")
           .select(col("vec_id"), col("label").cast("long").as("lab"),
             col("embedding").as("v"))
-        val q = e.filter(col("vec_id") % 100 === 0)
+        val q = e.filter(col("vec_id") % 100 === 0 &&
+            col("vec_id") < graft.text.NearDup.PilotVecCap)
           .select(col("vec_id").as("qid"), col("lab").as("true_label"),
             col("v").as("qv"))
         val c = e.filter(col("vec_id") % 100 =!= 0)
@@ -1198,9 +1219,15 @@ object SimQueries {
     // contrastive/triplet trainer wants. ONE broadcast-probe corpus
     // scan scores everything; both argmaxes are rank-1 windows
     // (WindowGroupLimit: map-side reduction before the qid shuffle).
+    // Probe set fixed-size like q_knn_classify (PilotVecCap prefix):
+    // mining batches are drawn per training step, not as a corpus
+    // fraction — the cap turns the N/100 × N broadcast term (11.4×
+    // on 10× data in the r13 slope sweep) into probes × N, linear.
     QDef("q_hard_negative_mining", Some(s"""
       WITH e AS (SELECT vec_id, CAST(label AS BIGINT) AS lab, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-      q AS (SELECT vec_id AS qid, lab AS qlab, v AS qv FROM e WHERE vec_id % 100 = 0),
+      q AS (SELECT vec_id AS qid, lab AS qlab, v AS qv FROM e
+            WHERE vec_id % 100 = 0
+              AND vec_id < ${graft.text.NearDup.PilotVecCap}),
       c AS (SELECT vec_id AS cid, lab AS clab, v AS cv FROM e WHERE vec_id % 100 <> 0),
       s AS (SELECT qid, qlab, cid, clab, (round($cosSql, 3) + 0.0) AS sim3 FROM q CROSS JOIN c),
       hp AS (SELECT qid, cid, sim3 FROM s WHERE clab = qlab
@@ -1216,7 +1243,8 @@ object SimQueries {
         val e = t(s, d, "embeddings")
           .select(col("vec_id"), col("label").cast("long").as("lab"),
             col("embedding").as("v"))
-        val q = e.filter(col("vec_id") % 100 === 0)
+        val q = e.filter(col("vec_id") % 100 === 0 &&
+            col("vec_id") < graft.text.NearDup.PilotVecCap)
           .select(col("vec_id").as("qid"), col("lab").as("qlab"), col("v").as("qv"))
         val c = e.filter(col("vec_id") % 100 =!= 0)
           .select(col("vec_id").as("cid"), col("lab").as("clab"), col("v").as("cv"))

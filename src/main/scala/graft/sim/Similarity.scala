@@ -209,6 +209,21 @@ object Similarity {
   val SrpBands = 4
   val SrpBandBits = 8
 
+  /** Mega-bucket drop for the banded SRP self-join (the MinHash
+    * maxBucket discipline applied to sign-random-projection buckets):
+    * a band bucket with more than this many members contributes
+    * C(n,2) candidate pairs from its WEAKEST evidence class (an
+    * 8-bit band value shared by a crowd is near-noise), and bucket
+    * sizes grow ∝ N under a fixed band width — the uncapped self-join
+    * is the quadratic term the r13 slope sweep measured at 12.4× on
+    * 10× data. Dropping buckets past the cap bounds per-bucket work
+    * at C(cap,2) while close pairs survive through their other,
+    * discriminative bands (a pair lost entirely had mega-bucket-only
+    * collisions — the weakest candidates). 250 > the observed sf0.1
+    * max bucket (113), so tested-SF results are bit-identical; sf1's
+    * max (1030) is exactly the blow-up being bounded. */
+  val SrpBucketCap = 250
+
   /** The coefficient table strides at 64 lanes per plane (the
     * testdata embedding width); correct for any len(vec) ≤ 64. */
   val SrpStride = 64L
