@@ -750,6 +750,12 @@ object TextQueries {
     // for the n the pipeline ships. Each branch is the standard
     // inverted-index pair shape on the same 1-in-13 sample; per-pair
     // permille floors once and only integer sums aggregate.
+    // Pilot-capped like the other calibration faces (threshold sweep,
+    // error curve, band tuning): a design-dial sweep is a pilot study
+    // and its three uncapped pair branches were the last >10× slope
+    // ratio of the r13 sweep (11.35× on 10× data) — O(1) in corpus
+    // size by the NearDup.PilotDocCap contract, bit-identical at
+    // tested SFs.
     QDef("q_shingle_size_sweep", Some({
       def branch(n: Int) = s"""
         SELECT $n AS sn, i, sa.n + sb.n - i AS u FROM (
@@ -765,7 +771,8 @@ object TextQueries {
       sz$n AS (SELECT doc_id, count(*) AS n FROM sh$n GROUP BY doc_id)"""
       s"""
       WITH d AS (SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS toks
-                 FROM documents WHERE doc_id % 13 = 0),
+                 FROM documents
+                 WHERE doc_id % 13 = 0 AND doc_id < ${NearDup.PilotDocCap}),
       ${Seq(2, 3, 5).map(cte).mkString(",")},
       u AS (${Seq(2, 3, 5).map(branch).mkString(" UNION ALL ")}),
       agg AS (SELECT sn, CAST(count(*) AS BIGINT) AS n_pairs,
@@ -782,7 +789,8 @@ object TextQueries {
       FROM ns LEFT JOIN agg ON ns.sn = agg.sn ORDER BY shingle_n"""
     }),
       (s, d) => {
-        val docs = t(s, d, "documents").filter(col("doc_id") % 13 === 0)
+        val docs = t(s, d, "documents").filter(col("doc_id") % 13 === 0 &&
+          col("doc_id") < NearDup.PilotDocCap)
         val branches = Seq(2, 3, 5).map { n =>
           NearDup.tokenJaccardPairs(
               NearDup.shinglesN(docs, "doc_id", "text", n), "doc_id", "sh", 2)
