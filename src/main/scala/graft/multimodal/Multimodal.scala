@@ -162,6 +162,56 @@ object Multimodal {
     }
   }
 
+  /** A decoded AUDIO stream's envelope — what an audio-data pipeline
+    * gates on (sample-rate buckets, channel sanity, duration caps)
+    * before any signal work. Durations in exact integer frames; the
+    * millis derivation stays in integer arithmetic. */
+  final case class AudioMeta(doc_id: Long, sample_rate_hz: Int,
+                             channels: Int, bits_per_sample: Int,
+                             n_frames: Long, duration_ms: Long,
+                             n_bytes: Long, decode_status: String)
+
+  /** REAL audio decode (WAV/AU/AIFF via `javax.sound.sampled` — the
+    * JDK's own parsers, no external libs): container envelope per
+    * blob, same mapPartitions batch shape and same corpus-scale
+    * decode discipline as [[decodeImageMeta]] — a corrupt/unknown
+    * payload becomes `decode_status = "undecodable"` with −1 dims
+    * instead of failing the stage (at 10⁹ clips some payloads WILL
+    * be garbage). Header-only: `getAudioFileFormat` reads the format
+    * chunk without decoding sample data, so the per-blob cost is
+    * O(header), not O(payload) — the right gate shape before an
+    * expensive resample/feature stage. MultimodalSpec drives this
+    * with a real in-memory PCM WAV; `q_multimodal_meta` keeps the
+    * stub as the oracle-exact path. */
+  def decodeAudioMeta(media: Dataset[MediaRow]): Dataset[AudioMeta] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.map { r =>
+        val fmt =
+          try javax.sound.sampled.AudioSystem.getAudioFileFormat(
+            new java.io.ByteArrayInputStream(r.data))
+          catch {
+            case _: javax.sound.sampled.UnsupportedAudioFileException |
+                 _: java.io.IOException => null
+          }
+        if (fmt == null)
+          AudioMeta(r.doc_id, -1, -1, -1, -1L, -1L,
+            r.data.length.toLong, "undecodable")
+        else {
+          val af = fmt.getFormat
+          val frames = fmt.getFrameLength.toLong
+          val rate = af.getSampleRate.toInt
+          // frame count may be unknown (-1) in streamed containers
+          val durMs = if (frames < 0 || rate <= 0) -1L
+                      else frames * 1000L / rate
+          AudioMeta(r.doc_id, rate, af.getChannels,
+            af.getSampleSizeInBits, frames, durMs,
+            r.data.length.toLong, "decoded")
+        }
+      }
+    }
+  }
+
   /** Documents table → MediaRow dataset (text bytes standing in for
     * a real media payload; schema/partitioning identical). */
   def mediaFromDocuments(spark: SparkSession, sfDir: String): Dataset[MediaRow] = {

@@ -70,6 +70,34 @@ class MultimodalSpec extends AnyFunSuite {
       "empty payload degrades to a filterable row, not an exception")
   }
 
+  test("REAL codec: javax.sound parses an actual PCM WAV header; garbage degrades, never throws") {
+    import spark.implicits._
+    // a real 16-bit mono 8kHz PCM WAV, written by the JDK's own encoder
+    val nFrames = 800 // 100 ms at 8 kHz
+    val pcm = Array.tabulate(nFrames * 2) { i =>
+      if (i % 2 == 0) ((i * 37) & 0xff).toByte else (((i * 37) >> 8) & 0xff).toByte
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, nFrames.toLong)
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, baos)
+    val wav = baos.toByteArray
+    assert(wav.take(4).toSeq == "RIFF".getBytes("US-ASCII").toSeq)
+    val media = Seq(
+      MediaRow(1L, "audio/wav", wav),
+      MediaRow(2L, "audio/wav", "definitely not audio".getBytes("UTF-8")),
+      MediaRow(3L, "audio/wav", Array.emptyByteArray)).toDS()
+    val got = decodeAudioMeta(media).orderBy("doc_id").collect()
+    assert(got(0) == AudioMeta(1L, 8000, 1, 16, nFrames.toLong, 100L,
+      wav.length.toLong, "decoded"),
+      s"real WAV must parse to 8kHz/1ch/16bit/800 frames/100ms, got ${got(0)}")
+    assert(got(1).decode_status == "undecodable" && got(1).sample_rate_hz == -1)
+    assert(got(2).decode_status == "undecodable",
+      "empty payload degrades to a filterable row, not an exception")
+  }
+
   test("documents → media rows plumbing at sf0.001") {
     val media = mediaFromDocuments(spark, SparkTesting.sf)
     val metas = extractMeta(media)
