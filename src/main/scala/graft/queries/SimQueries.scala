@@ -1266,6 +1266,85 @@ object SimQueries {
           .orderBy("qid")
       }),
 
+    // SEMANTIC DECONTAMINATION: the embedding-space complement of
+    // q_decontam_ngram — per corpus vector, the nearest EVAL-SET
+    // vector by rounded cosine (smaller eval id tiebreak) and a
+    // contaminated flag at sim ≥ 0.5; n-gram decontam misses
+    // paraphrased eval leakage, this face catches it. Same linear
+    // shape as the kNN eval gates: the fixed-size eval set
+    // (PilotVecCap-prefix multiples of 100 — an eval set is a
+    // curated constant) broadcasts against ONE corpus scan, and the
+    // argmax is a rank-1 window (WindowGroupLimit map-side
+    // reduction) — probes × N, never N².
+    QDef("q_decontam_embed", Some(s"""
+      WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      q AS (SELECT vec_id AS eid, v AS qv FROM e
+            WHERE vec_id % 100 = 0
+              AND vec_id < ${graft.text.NearDup.PilotVecCap}),
+      c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id % 100 <> 0),
+      s AS (SELECT cid, eid, (round($cosSql, 3) + 0.0) AS sim3 FROM c CROSS JOIN q),
+      top AS (SELECT cid, eid, sim3 FROM s
+              QUALIFY row_number() OVER (PARTITION BY cid
+                ORDER BY sim3 DESC, eid) = 1)
+      SELECT cid AS vec_id, eid AS nearest_eval_id, sim3 AS max_sim3,
+             CASE WHEN sim3 >= 0.5 THEN 1 ELSE 0 END AS contaminated
+      FROM top ORDER BY vec_id"""),
+      (s, d) => {
+        val e = t(s, d, "embeddings")
+          .select(col("vec_id"), col("embedding").as("v"))
+        val q = e.filter(col("vec_id") % 100 === 0 &&
+            col("vec_id") < graft.text.NearDup.PilotVecCap)
+          .select(col("vec_id").as("eid"), col("v").as("qv"))
+        val c = e.filter(col("vec_id") % 100 =!= 0)
+          .select(col("vec_id").as("cid"), col("v").as("cv"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("cid").orderBy(col("sim3").desc, col("eid"))
+        c.crossJoin(broadcast(q))
+          .select(col("cid"), col("eid"),
+            round(Similarity.cosine(col("cv"), col("qv")), 3).as("sim3"))
+          .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+          .select(col("cid").as("vec_id"), col("eid").as("nearest_eval_id"),
+            col("sim3").as("max_sim3"),
+            when(col("sim3") >= 0.5, 1).otherwise(0).as("contaminated"))
+          .orderBy("vec_id")
+      }),
+
+    // SEMANTIC-DEDUP THRESHOLD SWEEP: the embedding-level analog of
+    // q_jaccard_threshold_sweep — over the IVF-celled ANN pair table
+    // (the SAME bounded candidate machinery as q_dedup_embed_ann),
+    // flagged pairs and the distinct-vec_b removal estimate at
+    // cosine ≥ {0.35, 0.5, 0.65, 0.8}. The policy curve a curation
+    // review reads before fixing THE semantic-dedup threshold.
+    // Similarities quantize to permille ONCE (round(sim3·1000) — an
+    // integer-valued double, exact in both engines) so the sweep
+    // compares integers; one pair pass, four conditional sums.
+    QDef("q_semdedup_threshold_sweep", Some(s"""
+      WITH $annPairCtes,
+      pm AS (SELECT vec_b, CAST(round(sim3 * 1000) AS BIGINT) AS sim_pm
+             FROM p WHERE sim3 >= 0.35),
+      th AS (SELECT 350 AS tpm UNION ALL SELECT 500
+             UNION ALL SELECT 650 UNION ALL SELECT 800)
+      SELECT CAST(th.tpm AS BIGINT) AS threshold_permille,
+             CAST(sum(CASE WHEN pm.sim_pm >= th.tpm THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_flagged,
+             CAST(count(DISTINCT CASE WHEN pm.sim_pm >= th.tpm
+               THEN pm.vec_b END) AS BIGINT) AS est_vecs_dropped
+      FROM th CROSS JOIN pm GROUP BY 1 ORDER BY threshold_permille"""),
+      (s, d) => {
+        val pm = annPairsDf(s, d)
+          .select(col("vec_b"), round(col("sim3") * 1000).cast("long").as("sim_pm"))
+        val hit = col("sim_pm") >= col("tpm")
+        pm.select(col("vec_b"), col("sim_pm"),
+            explode(array(Seq(350, 500, 650, 800).map(x => lit(x.toLong)): _*))
+              .as("tpm"))
+          .groupBy("tpm")
+          .agg(sum(when(hit, 1L).otherwise(0L)).cast("long").as("n_flagged"),
+            countDistinct(when(hit, col("vec_b"))).as("est_vecs_dropped"))
+          .select(col("tpm").cast("long").as("threshold_permille"),
+            col("n_flagged"), col("est_vecs_dropped"))
+          .orderBy("threshold_permille")
+      }),
+
     // CLASS-MARGIN separability readout: per vector, squared L2 to
     // its OWN label centroid vs the NEAREST other-label centroid —
     // the per-example Fisher-style margin that tells an embedding

@@ -2304,6 +2304,54 @@ object TextQueries {
               ((col("n") - lit(1.0)) * col("occ"))).cast("long")
               .as("burstiness_milli"))
           .orderBy(col("occ").desc, col("tok")).limit(20)
+      }),
+
+    // CHUNK-BOUNDARY OVERLAP: detect chunking artifacts — document
+    // pairs where A's last 16 chars EQUAL B's first 16 chars, the
+    // signature of one source text split into overlapping chunks (a
+    // scraped page chunked with window overlap, a book split on
+    // rolling offsets). Near-dup machinery misses these: consecutive
+    // chunks can have low global Jaccard while their seam matches
+    // exactly. Shape: two narrow projections (head/tail substring of
+    // a column-pruned scan) and ONE string equi-join — linear, no
+    // token explode, no window. SEAM df cap on the join key (df ≤ 16
+    // per side, oracle-mirrored — deliberately far tighter than
+    // TokenDfCap): a genuine chunk seam is near-unique (one doc
+    // continues another), while a boundary shared by a crowd is a
+    // template ("Click here to subscr…") whose heads×tails fan-out
+    // is the quadratic term — an uncapped probe at sf1 returned 89×
+    // the sf0.1 pairs on 10× docs, all template noise. With the cap
+    // the per-boundary fan-out is ≤ 16², output linear in boundary
+    // values. Inert at tested SFs (max bucket 10). At most one row
+    // per (doc_a, doc_b): a doc has ONE tail, so ORDER BY
+    // (doc_a, doc_b) is total.
+    QDef("q_chunk_boundary_overlap", Some(s"""
+      WITH d AS (SELECT doc_id, substr(text, 1, 16) AS head,
+                        substr(text, CAST(n_chars AS INTEGER) - 15, 16) AS tail
+                 FROM documents WHERE n_chars >= 32),
+      hk AS (SELECT head FROM d GROUP BY head HAVING count(*) <= 16),
+      tk AS (SELECT tail FROM d GROUP BY tail HAVING count(*) <= 16),
+      a AS (SELECT d.doc_id AS doc_a, d.tail AS boundary FROM d JOIN tk USING (tail)),
+      b AS (SELECT d.doc_id AS doc_b, d.head AS boundary FROM d JOIN hk USING (head))
+      SELECT doc_a, doc_b, boundary FROM a JOIN b USING (boundary)
+      WHERE doc_a <> doc_b ORDER BY doc_a, doc_b"""),
+      (s, dd) => {
+        val d = t(s, dd, "documents").filter(col("n_chars") >= 32)
+          .select(col("doc_id"),
+            substring(col("text"), 1, 16).as("head"),
+            expr("substring(text, cast(n_chars - 15 as int), 16)").as("tail"))
+        val hk = d.groupBy("head").agg(count(lit(1)).as("_df"))
+          .filter(col("_df") <= 16).select("head")
+        val tk = d.groupBy("tail").agg(count(lit(1)).as("_df"))
+          .filter(col("_df") <= 16).select("tail")
+        val a = d.join(tk, Seq("tail"))
+          .select(col("doc_id").as("doc_a"), col("tail").as("boundary"))
+        val b = d.join(hk, Seq("head"))
+          .select(col("doc_id").as("doc_b"), col("head").as("boundary"))
+        a.join(b, Seq("boundary"))
+          .filter(col("doc_a") =!= col("doc_b"))
+          .select(col("doc_a"), col("doc_b"), col("boundary"))
+          .orderBy("doc_a", "doc_b")
       })
   )
 }
