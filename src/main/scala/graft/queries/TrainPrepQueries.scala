@@ -1527,6 +1527,60 @@ object TrainPrepQueries {
           .select(col("n_docs"), col("n_clusters"), col("n_dups"),
             col("total_chars"), col("dropped_chars"),
             expr("div(1000000 * dropped_chars, total_chars)").cast("long")
-              .as("savings_ppm")))
+              .as("savings_ppm"))),
+
+    // TEMPERATURE-SCALED MIXING WEIGHTS (τ = 1/2): per-source
+    // sampling weights wᵢ ∝ √shareᵢ — the standard rebalancing that
+    // up-weights small sources without letting them dominate
+    // (multilingual/DoReMi-style mixing at its most common fixed τ).
+    // τ = 1/2 specifically because √ is the ONE power IEEE requires
+    // correctly rounded — pow(x, 0.7) can differ across libm
+    // implementations, sqrt cannot — so the whole chain is
+    // bit-deterministic: micro-share floors once through an
+    // exactly-rounded double product (the count²-overflow rule: at
+    // 100 TB char totals, 10⁶·chars exceeds BIGINT but the double
+    // route is correctly rounded identically in any engine), √ of an
+    // integer-valued double, then only INTEGER sums/divs normalize.
+    // boost_milli = wᵢ/shareᵢ is the effective oversampling factor a
+    // mixing loader applies per source. |sources| rows, one
+    // map-side-combined aggregate + two broadcast scalars.
+    QDef("q_mix_temperature", Some("""
+      WITH a AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(n_chars) AS BIGINT) AS chars
+                 FROM documents GROUP BY 1),
+      t AS (SELECT CAST(sum(chars) AS BIGINT) AS tot FROM a),
+      x AS (SELECT source, n_docs, chars,
+              CAST(floor(1000000.0 * chars / tot) AS BIGINT) AS share_micro
+            FROM a, t),
+      y AS (SELECT *, CAST(floor(sqrt(CAST(share_micro AS DOUBLE))) AS BIGINT) AS s
+            FROM x),
+      sm AS (SELECT CAST(sum(s) AS BIGINT) AS ssum FROM y)
+      SELECT source, n_docs, chars,
+             share_micro // 1000 AS share_permille,
+             (1000 * s) // ssum AS w_t05_permille,
+             CASE WHEN share_micro = 0 THEN NULL
+                  ELSE (1000000000 * s) // (ssum * share_micro) END AS boost_milli
+      FROM y, sm ORDER BY source"""),
+      (s, d) => {
+        val a = t(s, d, "documents")
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum("n_chars").cast(LongType).as("chars"))
+        val tot = a.agg(sum("chars").cast(LongType).as("tot"))
+        val y = a.crossJoin(broadcast(tot))
+          .withColumn("share_micro",
+            floor(lit(1000000.0) * col("chars") / col("tot")).cast(LongType))
+          .withColumn("s",
+            floor(sqrt(col("share_micro").cast("double"))).cast(LongType))
+        val sm = y.agg(sum("s").cast(LongType).as("ssum"))
+        y.crossJoin(broadcast(sm))
+          .select(col("source"), col("n_docs"), col("chars"),
+            expr("div(share_micro, 1000)").as("share_permille"),
+            expr("div(1000 * s, ssum)").as("w_t05_permille"),
+            when(col("share_micro") === 0, lit(null))
+              .otherwise(expr("div(1000000000 * s, ssum * share_micro)"))
+              .cast(LongType).as("boost_milli"))
+          .orderBy("source")
+      })
   )
 }
