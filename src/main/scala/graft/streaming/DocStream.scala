@@ -180,6 +180,34 @@ object DocStream {
       .dropDuplicatesWithinWatermark(idCol)
   }
 
+  /** Streaming SEMANTIC contamination gate — the embedding-space
+    * sibling of [[contaminatedStream]] (q_decontam_embed's streaming
+    * face): vectors whose max rounded cosine against the eval set
+    * reaches `threshold` emit once within the watermark. The eval
+    * set is a curated CONSTANT (the PilotVecCap contract), so it
+    * ships like the IVF centroids — embedded in the native
+    * [[graft.functions.CentroidScores]] expression — and the gate is
+    * a NARROW codegen'd projection: zero joins, zero extra shuffles,
+    * the only stateful operator is the redelivery dedup. Contrast
+    * with the n-gram face, which must explode shingles and
+    * semi-join; here a 1000-executor stream scores vectors entirely
+    * map-side. Scores use CentroidScores' 6-decimal round (the
+    * expression contract) — parity with the batch projection is
+    * pinned by DocStreamSpec on the same expression tree. */
+  def semContaminatedStream(vecs: DataFrame, evalIds: Array[Long],
+                            evalVecs: Array[Array[Double]], threshold: Double,
+                            tsCol: String, watermarkDelay: String,
+                            vecCol: String = "embedding",
+                            idCol: String = "vec_id"): DataFrame =
+    vecs
+      .select(col(idCol), col(tsCol),
+        graft.functions.CentroidScores(col(vecCol), evalIds, evalVecs).as("_s"))
+      .select(col(idCol), col(tsCol),
+        expr("array_max(transform(_s, x -> x.cs))").as("max_cs"))
+      .filter(col("max_cs") >= threshold)
+      .withWatermark(tsCol, watermarkDelay)
+      .dropDuplicatesWithinWatermark(idCol)
+
   /** The END-TO-END streaming training-data ingestion lifecycle:
     * watermark-bounded exact dedup → shared quality verdict → the E2
     * dual merge (delta / content-hash-deduped raw / latest-per-doc),

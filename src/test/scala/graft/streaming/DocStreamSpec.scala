@@ -399,4 +399,47 @@ class DocStreamSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("streaming semantic gate: flags by eval cosine, emits once per vec, matches the batch tree") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, expr}
+    implicit val sqlCtx = spark.sqlContext
+    // eval set: two orthogonal axes; stream: a near-copy of eval 0
+    // (flagged), an orthogonal vector (clean), a diagonal at cos≈0.71
+    // (above the 0.5 gate), and a REDELIVERY of the first
+    val e0 = Array.tabulate(8)(i => if (i == 0) 1f else 0f)
+    val e1 = Array.tabulate(8)(i => if (i == 1) 1f else 0f)
+    val evalIds = Array(0L, 1L)
+    val evalVecs = Array(e0, e1).map(_.map(_.toDouble))
+    val near = e0.clone(); near(7) = 0.01f
+    val ortho = Array.tabulate(8)(i => if (i == 7) 1f else 0f)
+    val diag = Array.tabulate(8)(i => if (i <= 1) 1f else 0f)
+    val input = MemoryStream[(Long, Timestamp, Array[Float])]
+    val vecs = input.toDF().toDF("vec_id", "ingest_ts", "embedding")
+    val q = DocStream.semContaminatedStream(vecs, evalIds, evalVecs, 0.5,
+      "ingest_ts", "10 minutes")
+      .writeStream.format("memory").queryName("sem_contam")
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData(
+        (10L, ts("2024-01-01 00:00:00"), near),
+        (11L, ts("2024-01-01 00:01:00"), ortho),
+        (12L, ts("2024-01-01 00:02:00"), diag),
+        (10L, ts("2024-01-01 00:03:00"), near)) // redelivery
+      q.processAllAvailable()
+      val got = spark.sql("SELECT vec_id, max_cs FROM sem_contam ORDER BY vec_id")
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(got.map(_._1) == Seq(10L, 12L),
+        s"near-copy + diagonal flagged once each, orthogonal clean; got $got")
+      // parity: the streaming scores ARE the batch expression's scores
+      val batch = Seq((10L, near), (11L, ortho), (12L, diag))
+        .toDF("vec_id", "embedding")
+        .select(col("vec_id"),
+          graft.functions.CentroidScores(col("embedding"), evalIds, evalVecs).as("_s"))
+        .select(col("vec_id"), expr("array_max(transform(_s, x -> x.cs))").as("max_cs"))
+        .filter(col("max_cs") >= 0.5)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq.sortBy(_._1)
+      assert(got == batch, s"stream/batch divergence: $got vs $batch")
+    } finally q.stop()
+  }
 }
