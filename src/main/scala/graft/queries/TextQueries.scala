@@ -72,17 +72,25 @@ object TextQueries {
        |fp AS (SELECT doc_id, min(($terms) % $M) AS fp_roll FROM w GROUP BY doc_id)""".stripMargin
   }
 
-  /** 16-bit SimHash CTEs (tok → votes → sig), shared by the signature
-    * and candidate-pair oracles. */
-  private def simhashSigCtes(where: String): String = {
+  /** 16-bit SimHash CTE body (`tok` → `{p}v` → `{p}sig`), name-
+    * prefixed so a composite oracle can host it alongside the MinHash
+    * `sig` CTE without a clash — the ONE copy of the vote/bit trees,
+    * shared by the signature, candidate-pair, and method-agreement
+    * oracles so none can desync. */
+  private def simhashSigBody(p: String): String = {
     val v = "CAST(('0x' || substr(md5(tok), 1, 4)) AS INTEGER)"
     val votes = (0 until 16).map(j =>
       s"sum(CASE WHEN ($v >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS b$j").mkString(", ")
     val bits = (0 until 16).map(j =>
       s"CASE WHEN b$j > 0 THEN ${1L << j} ELSE 0 END").mkString(" + ")
-    s"WITH ${tokCte.format(where)}, v AS (SELECT doc_id, $votes FROM tok GROUP BY doc_id), " +
-      s"sig AS (SELECT doc_id, CAST($bits AS BIGINT) AS simhash16 FROM v)"
+    s"${p}v AS (SELECT doc_id, $votes FROM tok GROUP BY doc_id), " +
+      s"${p}sig AS (SELECT doc_id, CAST($bits AS BIGINT) AS simhash16 FROM ${p}v)"
   }
+
+  /** 16-bit SimHash CTEs (tok → votes → sig), shared by the signature
+    * and candidate-pair oracles. */
+  private def simhashSigCtes(where: String): String =
+    s"WITH ${tokCte.format(where)}, ${simhashSigBody("")}"
 
   val all: Seq[QDef] = Seq(
 
@@ -2304,6 +2312,100 @@ object TextQueries {
               ((col("n") - lit(1.0)) * col("occ"))).cast("long")
               .as("burstiness_milli"))
           .orderBy(col("occ").desc, col("tok")).limit(20)
+      }),
+
+    // DETECTOR-AGREEMENT MATRIX: the same pilot sample pushed through
+    // the three near-dup detectors the engine ships — exact token
+    // Jaccard ≥ 0.5, MinHash(8) LSH candidates with estimate ≥ 0.5,
+    // SimHash16 hamming ≤ 3 — and the Venn census of which pairs each
+    // catches. THE curation diagnostic before choosing a detector: a
+    // pair in jaccard-only is LSH recall loss, minhash-only above the
+    // jaccard cell is estimator false-positive mass, simhash-only is
+    // the bag-of-words-weighted relation the set-based detectors
+    // ignore. All three detector trees are the registry's own
+    // machinery (shared CTE bodies / NearDup calls — this query
+    // cannot desync from the individual faces). Pilot-capped like
+    // every calibration face; the matrix is ≤ 7 rows.
+    QDef("q_dedup_method_agreement", Some({
+      val agreeSum = (0 until 8).map(i =>
+        s"(CASE WHEN sa.s$i = sb.s$i THEN 1 ELSE 0 END)").mkString(" + ")
+      s"""
+      WITH ${tokCte.format(
+        s"WHERE doc_id % 7 = 0 AND doc_id < ${NearDup.PilotDocCap}")},
+      ${sigSelect(8, "tok")},
+      ${bandsSql(8, 2)},
+      mhc AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+              FROM bands a JOIN bands b
+                ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
+      mh AS (SELECT doc_a, doc_b FROM mhc
+             JOIN sig sa ON doc_a = sa.doc_id JOIN sig sb ON doc_b = sb.doc_id
+             WHERE $agreeSum >= 4),
+      ${simhashSigBody("sh_")},
+      shb AS (
+        SELECT doc_id, 0 AS band, (simhash16 >> 0) & 15 AS bv FROM sh_sig
+        UNION ALL SELECT doc_id, 1, (simhash16 >> 4) & 15 FROM sh_sig
+        UNION ALL SELECT doc_id, 2, (simhash16 >> 8) & 15 FROM sh_sig
+        UNION ALL SELECT doc_id, 3, (simhash16 >> 12) & 15 FROM sh_sig),
+      shc AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+              FROM shb a JOIN shb b
+                ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id),
+      sh AS (SELECT doc_a, doc_b FROM shc
+             JOIN sh_sig sa ON doc_a = sa.doc_id
+             JOIN sh_sig sb ON doc_b = sb.doc_id
+             WHERE bit_count(xor(sa.simhash16, sb.simhash16)) <= 3),
+      sz AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id),
+      inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+                FROM tok a JOIN tok b ON a.tok = b.tok AND a.doc_id < b.doc_id
+                GROUP BY doc_a, doc_b),
+      jac AS (SELECT doc_a, doc_b FROM inter
+              JOIN sz sa ON doc_a = sa.doc_id JOIN sz sb ON doc_b = sb.doc_id
+              WHERE i * 10 >= 5 * (sa.n + sb.n - i)),
+      uni AS (SELECT doc_a, doc_b FROM jac
+              UNION SELECT doc_a, doc_b FROM mh
+              UNION SELECT doc_a, doc_b FROM sh),
+      m AS (SELECT
+              CASE WHEN j.doc_a IS NOT NULL THEN 1 ELSE 0 END AS in_jaccard,
+              CASE WHEN h.doc_a IS NOT NULL THEN 1 ELSE 0 END AS in_minhash,
+              CASE WHEN s2.doc_a IS NOT NULL THEN 1 ELSE 0 END AS in_simhash
+            FROM uni u
+            LEFT JOIN jac j ON u.doc_a = j.doc_a AND u.doc_b = j.doc_b
+            LEFT JOIN mh h ON u.doc_a = h.doc_a AND u.doc_b = h.doc_b
+            LEFT JOIN sh s2 ON u.doc_a = s2.doc_a AND u.doc_b = s2.doc_b)
+      SELECT in_jaccard, in_minhash, in_simhash,
+             CAST(count(*) AS BIGINT) AS n_pairs
+      FROM m GROUP BY 1, 2, 3
+      ORDER BY in_jaccard DESC, in_minhash DESC, in_simhash DESC"""
+    }),
+      (s, d) => {
+        val tok = tokDf(s, d, Some(7), pilot = true)
+        val jac = NearDup.tokenJaccardPairs(tok, "doc_id", "tok", 5)
+          .filter(col("near_dup") === 1).select("doc_a", "doc_b")
+        val sigs = NearDup.minhashSignatures(tok, "doc_id", "tok", 8)
+        val cand = NearDup.lshCandidatePairs(
+          NearDup.lshBands(sigs, "doc_id", 8, 2), "doc_id")
+        def side(p: String) = sigs.toDF(
+          "doc_id" +: (0 until 8).map(i => s"$p$i"): _*)
+        val agree = (0 until 8).map(i =>
+          when(col(s"a$i") === col(s"b$i"), 1).otherwise(0)).reduce(_ + _)
+        val mh = cand
+          .join(side("a").withColumnRenamed("doc_id", "doc_a"), Seq("doc_a"))
+          .join(side("b").withColumnRenamed("doc_id", "doc_b"), Seq("doc_b"))
+          .filter(agree >= 4).select("doc_a", "doc_b")
+        val sh = NearDup.simhashPairs(
+            NearDup.simhash16(tok, "doc_id", "tok"), "doc_id", maxHamming = 3)
+          .select("doc_a", "doc_b")
+        val uni = jac.union(mh).union(sh).distinct()
+        uni
+          .join(jac.withColumn("ij", lit(1)), Seq("doc_a", "doc_b"), "left")
+          .join(mh.withColumn("im", lit(1)), Seq("doc_a", "doc_b"), "left")
+          .join(sh.withColumn("is", lit(1)), Seq("doc_a", "doc_b"), "left")
+          .select(coalesce(col("ij"), lit(0)).as("in_jaccard"),
+            coalesce(col("im"), lit(0)).as("in_minhash"),
+            coalesce(col("is"), lit(0)).as("in_simhash"))
+          .groupBy("in_jaccard", "in_minhash", "in_simhash")
+          .agg(count(lit(1)).as("n_pairs"))
+          .orderBy(col("in_jaccard").desc, col("in_minhash").desc,
+            col("in_simhash").desc)
       }),
 
     // CHUNK-BOUNDARY OVERLAP: detect chunking artifacts — document
