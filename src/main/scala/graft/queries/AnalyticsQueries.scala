@@ -937,6 +937,66 @@ object AnalyticsQueries {
         NearDup.triangleSupport(und).orderBy("doc_id")
       }),
 
+    // GRAPH: local clustering coefficient per node of the same
+    // near-dup graph — LCC(v) = triangles(v) / C(deg v, 2) in exact
+    // milli. The per-node refinement of q_triangle_support's census:
+    // LCC ≈ 1000 marks clique-like duplicate families (drop all but
+    // one), low LCC at high degree marks hub/chain structure where
+    // pairwise evidence should NOT be transitively trusted — the
+    // decision signal between "collapse the cluster" and "review the
+    // chain". Reuses the SAME degeneracy-oriented triangle machinery
+    // and persisted edge list (triangleSupport persists `und`; the
+    // degree aggregate reads those cached blocks, so the Jaccard
+    // edge build still runs once); nodes with degree < 2 have no
+    // defined LCC and are excluded, triangle-less nodes report 0.
+    QDef("q_local_clustering", Some(s"""
+      WITH d AS (SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS toks
+                 FROM documents WHERE doc_id % 13 = 0),
+      tok AS (SELECT DISTINCT doc_id, unnest(toks) AS tok FROM d),
+      sz AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id),
+      kept AS (SELECT t.doc_id, t.tok FROM tok t JOIN (
+                 SELECT tok FROM tok GROUP BY tok
+                 HAVING count(*) <= ${graft.text.NearDup.TokenDfCap}) lv USING (tok)),
+      inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+                FROM kept a JOIN kept b ON a.tok = b.tok AND a.doc_id < b.doc_id GROUP BY 1, 2),
+      e0 AS (SELECT doc_a, doc_b FROM inter
+             JOIN sz sa ON doc_a = sa.doc_id JOIN sz sb ON doc_b = sb.doc_id
+             WHERE i * 10 >= 6 * (sa.n + sb.n - i)),
+      deg AS (SELECT v, count(*) AS dg FROM (
+                SELECT doc_a AS v FROM e0 UNION ALL SELECT doc_b FROM e0)
+              GROUP BY v),
+      e AS (SELECT CASE WHEN da.dg <= db.dg THEN doc_a ELSE doc_b END AS src,
+                   CASE WHEN da.dg <= db.dg THEN doc_b ELSE doc_a END AS dst
+            FROM e0 JOIN deg da ON e0.doc_a = da.v JOIN deg db ON e0.doc_b = db.v),
+      tri AS (SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+              FROM e e1 JOIN e e2 ON e2.src = e1.dst
+              JOIN e e3 ON e3.src = e1.src AND e3.dst = e2.dst),
+      m AS (SELECT a AS doc_id FROM tri UNION ALL SELECT b FROM tri UNION ALL SELECT c FROM tri),
+      tc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_triangles FROM m GROUP BY doc_id)
+      SELECT deg.v AS doc_id, deg.dg AS degree,
+             coalesce(tc.n_triangles, 0) AS n_triangles,
+             (2000 * coalesce(tc.n_triangles, 0)) // (deg.dg * (deg.dg - 1)) AS lcc_milli
+      FROM deg LEFT JOIN tc ON deg.v = tc.doc_id
+      WHERE deg.dg >= 2 ORDER BY doc_id"""),
+      (s, d) => {
+        val tok = t(s, d, "documents").filter(col("doc_id") % 13 === 0)
+          .select(col("doc_id"), explode(TA.tokens(col("text"))).as("tok")).distinct()
+        val und = NearDup.tokenJaccardPairs(tok, "doc_id", "tok", 6,
+            dfCap = Some(NearDup.TokenDfCap))
+          .filter(col("near_dup") === 1).select("doc_a", "doc_b")
+        val tri = NearDup.triangleSupport(und)
+        val deg = und.select(col("doc_a").as("v"))
+          .union(und.select(col("doc_b")))
+          .groupBy("v").agg(count(lit(1)).as("degree"))
+        deg.filter(col("degree") >= 2)
+          .join(tri.withColumnRenamed("doc_id", "v"), Seq("v"), "left")
+          .select(col("v").as("doc_id"), col("degree"),
+            coalesce(col("n_triangles"), lit(0L)).as("n_triangles"),
+            expr("div(2000 * coalesce(n_triangles, 0), degree * (degree - 1))")
+              .as("lcc_milli"))
+          .orderBy("doc_id")
+      }),
+
     // Sketch-based QUANTILES: per-type approximate median with a
     // VERIFIED rank bound (the q_approx_distinct discipline for
     // quantiles). The sketch value itself is engine-specific, so the
