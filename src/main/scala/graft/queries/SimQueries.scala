@@ -1309,6 +1309,90 @@ object SimQueries {
           .orderBy("vec_id")
       }),
 
+    // CONTAMINATION RATE BY LABEL: q_decontam_embed rolled up to the
+    // report a benchmark owner actually reads — per label (the class/
+    // task proxy): corpus size, contaminated count at sim ≥ 0.5, rate
+    // permille, and the label's worst similarity. A label with an
+    // outlier rate means its eval split leaks into training data
+    // systematically (template reuse, shared source), not randomly —
+    // the signal for re-drawing that split. Same linear probes × N
+    // scan; the rollup adds one |labels|-sized aggregate.
+    QDef("q_contam_rate_by_label", Some(s"""
+      WITH e AS (SELECT vec_id, CAST(label AS BIGINT) AS lab,
+                   CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      q AS (SELECT vec_id AS eid, v AS qv FROM e
+            WHERE vec_id % 100 = 0
+              AND vec_id < ${graft.text.NearDup.PilotVecCap}),
+      c AS (SELECT vec_id AS cid, lab, v AS cv FROM e WHERE vec_id % 100 <> 0),
+      s AS (SELECT cid, lab, (round($cosSql, 3) + 0.0) AS sim3 FROM c CROSS JOIN q),
+      top AS (SELECT cid, lab, max(sim3) AS max_sim3 FROM s GROUP BY cid, lab)
+      SELECT lab AS label, CAST(count(*) AS BIGINT) AS n_vecs,
+             CAST(sum(CASE WHEN max_sim3 >= 0.5 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_contaminated,
+             CAST((1000 * sum(CASE WHEN max_sim3 >= 0.5 THEN 1 ELSE 0 END))
+               // count(*) AS BIGINT) AS rate_permille,
+             (max(max_sim3) + 0.0) AS worst_sim3
+      FROM top GROUP BY lab ORDER BY label"""),
+      (s, d) => {
+        val e = t(s, d, "embeddings")
+          .select(col("vec_id"), col("label").cast("long").as("lab"),
+            col("embedding").as("v"))
+        val q = e.filter(col("vec_id") % 100 === 0 &&
+            col("vec_id") < graft.text.NearDup.PilotVecCap)
+          .select(col("vec_id").as("eid"), col("v").as("qv"))
+        val c = e.filter(col("vec_id") % 100 =!= 0)
+          .select(col("vec_id").as("cid"), col("lab"), col("v").as("cv"))
+        c.crossJoin(broadcast(q))
+          .select(col("cid"), col("lab"),
+            round(Similarity.cosine(col("cv"), col("qv")), 3).as("sim3"))
+          .groupBy("cid", "lab").agg(max("sim3").as("max_sim3"))
+          .groupBy("lab")
+          .agg(count(lit(1)).as("n_vecs"),
+            sum(when(col("max_sim3") >= 0.5, 1L).otherwise(0L)).cast("long")
+              .as("n_contaminated"),
+            max("max_sim3").as("worst_sim3"))
+          .select(col("lab").as("label"), col("n_vecs"), col("n_contaminated"),
+            expr("div(1000 * n_contaminated, n_vecs)").as("rate_permille"),
+            col("worst_sim3"))
+          .orderBy("label")
+      }),
+
+    // IVF CELL-BALANCE AUDIT: the load-balance health check every
+    // IVF deployment watches — over the SAME scaled cell assignment
+    // the ANN faces search (annPairCtes' assigned), the cell-size
+    // distribution in one row: cell count, corpus size, min/max cell,
+    // and imbalance = max_cell · k / N in milli (1000 = perfectly
+    // balanced; the within-cell pair term and per-cell probe cost
+    // both scale with the WORST cell, so imbalance is the multiplier
+    // on every Σ n_cell² argument this engine makes). One
+    // cell-keyed aggregate over the assignment — no pair join.
+    QDef("q_ann_cell_balance", Some(s"""
+      WITH $annPairCtes,
+      cs AS (SELECT cell, CAST(count(*) AS BIGINT) AS n FROM assigned GROUP BY cell)
+      SELECT CAST(count(*) AS BIGINT) AS n_cells,
+             CAST(sum(n) AS BIGINT) AS n_vecs,
+             CAST(min(n) AS BIGINT) AS min_cell,
+             CAST(max(n) AS BIGINT) AS max_cell,
+             CAST((1000 * max(n) * count(*)) // sum(n) AS BIGINT) AS imbalance_milli
+      FROM cs"""),
+      (s, d) => {
+        val e = t(s, d, "embeddings")
+          .select(col("vec_id"), col("embedding").as("v"))
+        val n: Long = corpusCountMemo.computeIfAbsent(
+          (System.identityHashCode(s), d), _ => e.count())
+        val kCells = math.max(8L, n / 250L)
+        val corpus = e.select(col("vec_id").as("cid"), col("v").as("cv"))
+        val centroids = e.filter(col("vec_id") < kCells)
+          .select(col("vec_id").as("cell"), col("v").as("centv"))
+        Similarity.ivfAssign(corpus, centroids)
+          .groupBy("cell").agg(count(lit(1)).as("n"))
+          .agg(count(lit(1)).as("n_cells"), sum("n").cast("long").as("n_vecs"),
+            min("n").cast("long").as("min_cell"),
+            max("n").cast("long").as("max_cell"))
+          .select(col("n_cells"), col("n_vecs"), col("min_cell"), col("max_cell"),
+            expr("div(1000 * max_cell * n_cells, n_vecs)").as("imbalance_milli"))
+      }),
+
     // SEMANTIC-DEDUP THRESHOLD SWEEP: the embedding-level analog of
     // q_jaccard_threshold_sweep — over the IVF-celled ANN pair table
     // (the SAME bounded candidate machinery as q_dedup_embed_ann),

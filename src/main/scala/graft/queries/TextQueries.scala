@@ -2408,6 +2408,43 @@ object TextQueries {
             col("in_simhash").desc)
       }),
 
+    // DEDUP REVIEW QUEUE: a deterministic, UNBIASED sample of 20
+    // flagged near-dup pairs for human audit — ranked by the md5 of
+    // the pair key, so the queue is (a) reproducible run-over-run and
+    // engine-over-engine, (b) not biased toward low doc ids or high
+    // similarity the way head-of-sort sampling is (auditing only the
+    // most-similar pairs systematically overstates detector
+    // precision). Ships the evidence a reviewer needs inline
+    // (intersection, sizes, exact Jaccard permille). Same hub-capped
+    // pair machinery as q_dedup_cluster; the hash rank is one
+    // bounded-input sort.
+    QDef("q_dedup_review_queue", Some(s"""
+      WITH ${tokCte.format("WHERE doc_id % 13 = 0")},
+      sz AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id),
+      kept AS (SELECT t.doc_id, t.tok FROM tok t JOIN (
+                 SELECT tok FROM tok GROUP BY tok
+                 HAVING count(*) <= ${NearDup.TokenDfCap}) lv USING (tok)),
+      inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+                FROM kept a JOIN kept b ON a.tok = b.tok AND a.doc_id < b.doc_id
+                GROUP BY doc_a, doc_b),
+      p AS (SELECT doc_a, doc_b, i, sa.n AS na, sb.n AS nb,
+              (1000 * i) // (sa.n + sb.n - i) AS jac_permille,
+              md5(CAST(doc_a AS VARCHAR) || '|' || CAST(doc_b AS VARCHAR))
+                AS sample_key
+            FROM inter JOIN sz sa ON doc_a = sa.doc_id
+                       JOIN sz sb ON doc_b = sb.doc_id
+            WHERE i * 10 >= 6 * (sa.n + sb.n - i))
+      SELECT doc_a, doc_b, i, na, nb, jac_permille, sample_key
+      FROM p ORDER BY sample_key LIMIT 20"""),
+      (s, d) => NearDup.tokenJaccardPairs(tokDf(s, d, Some(13)), "doc_id", "tok", 6,
+          dfCap = Some(NearDup.TokenDfCap))
+        .filter(col("near_dup") === 1)
+        .select(col("doc_a"), col("doc_b"), col("i"), col("na"), col("nb"),
+          expr("div(1000 * i, na + nb - i)").as("jac_permille"),
+          md5(concat(col("doc_a").cast("string"), lit("|"),
+            col("doc_b").cast("string"))).as("sample_key"))
+        .orderBy("sample_key").limit(20)),
+
     // CHUNK-BOUNDARY OVERLAP: detect chunking artifacts — document
     // pairs where A's last 16 chars EQUAL B's first 16 chars, the
     // signature of one source text split into overlapping chunks (a
