@@ -152,7 +152,7 @@ object Multimodal {
       it.map { r =>
         val img =
           try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.data))
-          catch { case _: java.io.IOException | _: RuntimeException => null }
+          catch { case scala.util.control.NonFatal(_) => null }
         if (img == null)
           ImageMeta(r.doc_id, -1, -1, -1, r.data.length.toLong, "undecodable")
         else
@@ -191,8 +191,11 @@ object Multimodal {
           try javax.sound.sampled.AudioSystem.getAudioFileFormat(
             new java.io.ByteArrayInputStream(r.data))
           catch {
-            case _: javax.sound.sampled.UnsupportedAudioFileException |
-                 _: java.io.IOException => null
+            // NonFatal, not just the two declared exceptions: the JDK
+            // file readers throw unchecked errors (NegativeArraySize,
+            // Arithmetic) on adversarially malformed WAV/AIFF headers,
+            // and one such blob must not fail the whole partition.
+            case scala.util.control.NonFatal(_) => null
           }
         if (fmt == null)
           AudioMeta(r.doc_id, -1, -1, -1, -1L, -1L,

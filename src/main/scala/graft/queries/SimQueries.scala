@@ -1173,7 +1173,7 @@ object SimQueries {
             FROM e WHERE vec_id % 100 = 0
               AND vec_id < ${graft.text.NearDup.PilotVecCap}),
       c AS (SELECT vec_id AS cid, CAST(label AS BIGINT) AS clabel, v AS cv
-            FROM e WHERE vec_id % 100 <> 0),
+            FROM e WHERE vec_id % 100 <> 0 OR vec_id >= ${graft.text.NearDup.PilotVecCap}),
       s AS (SELECT qid, cid, clabel, (round($cosSql, 3) + 0.0) AS sim3 FROM q CROSS JOIN c),
       r AS (SELECT qid, clabel, sim3, cid,
             row_number() OVER (PARTITION BY qid ORDER BY sim3 DESC, cid) AS rank
@@ -1193,7 +1193,8 @@ object SimQueries {
             col("vec_id") < graft.text.NearDup.PilotVecCap)
           .select(col("vec_id").as("qid"), col("lab").as("true_label"),
             col("v").as("qv"))
-        val c = e.filter(col("vec_id") % 100 =!= 0)
+        val c = e.filter(col("vec_id") % 100 =!= 0 ||
+            col("vec_id") >= graft.text.NearDup.PilotVecCap)
           .select(col("vec_id").as("cid"), col("lab").as("clabel"),
             col("v").as("cv"))
         val top = Similarity.bruteForceTopK(c.drop("clabel"), q.drop("true_label"), 5)
@@ -1228,7 +1229,7 @@ object SimQueries {
       q AS (SELECT vec_id AS qid, lab AS qlab, v AS qv FROM e
             WHERE vec_id % 100 = 0
               AND vec_id < ${graft.text.NearDup.PilotVecCap}),
-      c AS (SELECT vec_id AS cid, lab AS clab, v AS cv FROM e WHERE vec_id % 100 <> 0),
+      c AS (SELECT vec_id AS cid, lab AS clab, v AS cv FROM e WHERE vec_id % 100 <> 0 OR vec_id >= ${graft.text.NearDup.PilotVecCap}),
       s AS (SELECT qid, qlab, cid, clab, (round($cosSql, 3) + 0.0) AS sim3 FROM q CROSS JOIN c),
       hp AS (SELECT qid, cid, sim3 FROM s WHERE clab = qlab
              QUALIFY row_number() OVER (PARTITION BY qid ORDER BY sim3 DESC, cid) = 1),
@@ -1246,7 +1247,8 @@ object SimQueries {
         val q = e.filter(col("vec_id") % 100 === 0 &&
             col("vec_id") < graft.text.NearDup.PilotVecCap)
           .select(col("vec_id").as("qid"), col("lab").as("qlab"), col("v").as("qv"))
-        val c = e.filter(col("vec_id") % 100 =!= 0)
+        val c = e.filter(col("vec_id") % 100 =!= 0 ||
+            col("vec_id") >= graft.text.NearDup.PilotVecCap)
           .select(col("vec_id").as("cid"), col("lab").as("clab"), col("v").as("cv"))
         val scored = broadcast(q).crossJoin(c)
           .select(col("qid"), col("qlab"), col("cid"), col("clab"),
@@ -1281,7 +1283,7 @@ object SimQueries {
       q AS (SELECT vec_id AS eid, v AS qv FROM e
             WHERE vec_id % 100 = 0
               AND vec_id < ${graft.text.NearDup.PilotVecCap}),
-      c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id % 100 <> 0),
+      c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id % 100 <> 0 OR vec_id >= ${graft.text.NearDup.PilotVecCap}),
       s AS (SELECT cid, eid, (round($cosSql, 3) + 0.0) AS sim3 FROM c CROSS JOIN q),
       top AS (SELECT cid, eid, sim3 FROM s
               QUALIFY row_number() OVER (PARTITION BY cid
@@ -1295,7 +1297,8 @@ object SimQueries {
         val q = e.filter(col("vec_id") % 100 === 0 &&
             col("vec_id") < graft.text.NearDup.PilotVecCap)
           .select(col("vec_id").as("eid"), col("v").as("qv"))
-        val c = e.filter(col("vec_id") % 100 =!= 0)
+        val c = e.filter(col("vec_id") % 100 =!= 0 ||
+            col("vec_id") >= graft.text.NearDup.PilotVecCap)
           .select(col("vec_id").as("cid"), col("v").as("cv"))
         val w = org.apache.spark.sql.expressions.Window
           .partitionBy("cid").orderBy(col("sim3").desc, col("eid"))
@@ -1323,7 +1326,7 @@ object SimQueries {
       q AS (SELECT vec_id AS eid, v AS qv FROM e
             WHERE vec_id % 100 = 0
               AND vec_id < ${graft.text.NearDup.PilotVecCap}),
-      c AS (SELECT vec_id AS cid, lab, v AS cv FROM e WHERE vec_id % 100 <> 0),
+      c AS (SELECT vec_id AS cid, lab, v AS cv FROM e WHERE vec_id % 100 <> 0 OR vec_id >= ${graft.text.NearDup.PilotVecCap}),
       s AS (SELECT cid, lab, (round($cosSql, 3) + 0.0) AS sim3 FROM c CROSS JOIN q),
       top AS (SELECT cid, lab, max(sim3) AS max_sim3 FROM s GROUP BY cid, lab)
       SELECT lab AS label, CAST(count(*) AS BIGINT) AS n_vecs,
@@ -1340,7 +1343,8 @@ object SimQueries {
         val q = e.filter(col("vec_id") % 100 === 0 &&
             col("vec_id") < graft.text.NearDup.PilotVecCap)
           .select(col("vec_id").as("eid"), col("v").as("qv"))
-        val c = e.filter(col("vec_id") % 100 =!= 0)
+        val c = e.filter(col("vec_id") % 100 =!= 0 ||
+            col("vec_id") >= graft.text.NearDup.PilotVecCap)
           .select(col("vec_id").as("cid"), col("lab"), col("v").as("cv"))
         c.crossJoin(broadcast(q))
           .select(col("cid"), col("lab"),
@@ -1379,7 +1383,7 @@ object SimQueries {
         val e = t(s, d, "embeddings")
           .select(col("vec_id"), col("embedding").as("v"))
         val n: Long = corpusCountMemo.computeIfAbsent(
-          (System.identityHashCode(s), d), _ => e.count())
+          s -> d, _ => e.count())
         val kCells = math.max(8L, n / 250L)
         val corpus = e.select(col("vec_id").as("cid"), col("v").as("cv"))
         val centroids = e.filter(col("vec_id") < kCells)
@@ -2061,18 +2065,28 @@ object SimQueries {
     * DataFrame, and plan-only consumers (explain paths, plan-shape
     * specs) were paying a full embeddings count per BUILD. The corpus
     * size is a property of (session, dataset dir), so cache it there —
-    * keyed on the session identity (not equals: sessions are mutable)
-    * and the sfDir string. Bounded: one Long per (session, SF) pair
-    * ever seen in a JVM. */
+    * keyed on the session REFERENCE itself (reference equality can't
+    * collide across live sessions, unlike the identity hash the r14
+    * ADVICE flagged) and the sfDir string. Bounded: one Long per
+    * (session, SF) pair ever seen in a JVM; the strong session ref is
+    * fine because a JVM holds a handful of sessions, not thousands.
+    * Caveat: a dataset REWRITTEN at the same path within one session
+    * (mode-overwrite in tests) would read a stale count; tests use
+    * fresh dirs, and production SF dirs are immutable — call
+    * [[clearCorpusCountMemo]] if that ever changes. */
   private val corpusCountMemo =
-    new java.util.concurrent.ConcurrentHashMap[(Int, String), java.lang.Long]()
+    new java.util.concurrent.ConcurrentHashMap[
+      (org.apache.spark.sql.SparkSession, String), java.lang.Long]()
+
+  /** Test-only escape hatch for the same-path-rewrite staleness. */
+  def clearCorpusCountMemo(): Unit = corpusCountMemo.clear()
 
   private def annPairsDf(s: org.apache.spark.sql.SparkSession,
                          d: String): org.apache.spark.sql.DataFrame = {
     val e = t(s, d, "embeddings")
       .select(col("vec_id"), col("embedding").as("v"))
     val n: Long = corpusCountMemo.computeIfAbsent(
-      (System.identityHashCode(s), d), _ => e.count())
+      s -> d, _ => e.count())
     val kCells = math.max(8L, n / 250L)
     val corpus = e.select(col("vec_id").as("cid"), col("v").as("cv"))
     val centroids = e.filter(col("vec_id") < kCells)

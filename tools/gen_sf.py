@@ -23,7 +23,19 @@ sf0.1 tables (see the per-table notes inline):
 NOT the driver's RNG — correctness at any sf is Spark-vs-DuckDB on
 the SAME files, so only the distributions matter, not the draws.
 
-Usage: python3 tools/gen_sf.py <sf> <outDir>   # e.g. 1 tools/sf1
+Usage: python3 tools/gen_sf.py <sf> <outDir> [--vocab=zipf]
+
+--vocab=zipf (VERDICT r14 item 3): swaps ONLY the documents table for
+a REALISTIC corpus — ~50k word types drawn Zipf(s=1.07) (natural-
+language-like: a fat head of stopwords, a long tail of hapaxes),
+lognormal doc lengths, and near-dup children made by token-level
+mutation (drop/replace ~8%% of tokens) instead of a " dup" suffix.
+The synthetic default has a 30-token vocabulary where RANDOM pairs
+share Jaccard≈0.6 — a pathologically dense similarity graph; every
+LSH census, S-curve advisor and cap sizing deserves one validation
+run on a corpus where random pairs are near-disjoint, which is what
+this mode provides. Other tables are identical to the default so the
+whole 400-query Verify can run against the dir.
 """
 import sys, os, json
 import numpy as np
@@ -64,7 +76,7 @@ def ts_col(us):  # int64 micros -> timestamp[us]
     return pa.array(np.asarray(us, dtype=np.int64), type=pa.timestamp("us"))
 
 
-def main(sf, out):
+def main(sf, out, vocab_mode="synthetic"):
     rng = np.random.default_rng(SEED)
     os.makedirs(out, exist_ok=True)
 
@@ -155,12 +167,42 @@ def main(sf, out):
     lang_idx = rng.choice(len(LANGS), n_doc, p=LANG_W)
     lengths = rng.integers(10, 101, n_doc)
     dup_flags = rng.random(n_doc) < 0.05
-    for i in range(n_doc):
-        if i > 0 and dup_flags[i]:
-            texts.append(texts[int(rng.integers(0, i))] + " dup")
-        else:
-            toks = np.array(VOCAB)[rng.integers(0, len(VOCAB), lengths[i])]
-            texts.append(" ".join(toks))
+    if vocab_mode == "zipf":
+        # ~50k types, Zipf-ranked: P(rank r) ∝ 1/r^1.07 (s just over 1
+        # keeps the tail heavy enough that most types are rare). Doc
+        # lengths lognormal (median ~55 tokens, capped 10..400). Near-
+        # dup children mutate ~8% of the parent's tokens in place, the
+        # structure real near-dup detectors face (high-but-<1 Jaccard,
+        # shared shingle runs), instead of the suffix trick.
+        v_n = 50_000
+        zvocab = np.array([f"w{i}" for i in range(v_n)])
+        zw = 1.0 / np.power(np.arange(1, v_n + 1), 1.07)
+        zw /= zw.sum()
+        lengths = np.clip(np.exp(rng.normal(4.0, 0.6, n_doc)), 10, 400).astype(int)
+        tok_lists = []
+        for i in range(n_doc):
+            if i > 0 and dup_flags[i]:
+                parent = tok_lists[int(rng.integers(0, i))]
+                child = list(parent)
+                n_mut = max(1, int(0.08 * len(child)))
+                for j in rng.integers(0, len(child), n_mut):
+                    if rng.random() < 0.5 and len(child) > 10:
+                        child[int(j) % len(child)] = None  # drop
+                    else:
+                        child[int(j) % len(child)] = zvocab[
+                            int(rng.choice(v_n, p=zw))]
+                tok_lists.append([t for t in child if t is not None])
+            else:
+                tok_lists.append(list(
+                    zvocab[rng.choice(v_n, lengths[i], p=zw)]))
+        texts = [" ".join(t) for t in tok_lists]
+    else:
+        for i in range(n_doc):
+            if i > 0 and dup_flags[i]:
+                texts.append(texts[int(rng.integers(0, i))] + " dup")
+            else:
+                toks = np.array(VOCAB)[rng.integers(0, len(VOCAB), lengths[i])]
+                texts.append(" ".join(toks))
     write(out, "documents", pa.table({
         "doc_id": pa.array(np.arange(n_doc), pa.int64()),
         "text": texts,
@@ -177,8 +219,10 @@ def main(sf, out):
         "label": pa.array(rng.integers(0, 10, n_vec), pa.int32())}))
 
     with open(os.path.join(out, "GEN_META.json"), "w") as f:
-        json.dump({"sf": sf, "seed": SEED, "generator": "tools/gen_sf.py"}, f)
+        json.dump({"sf": sf, "seed": SEED, "generator": "tools/gen_sf.py",
+                   "vocab": vocab_mode}, f)
 
 
 if __name__ == "__main__":
-    main(float(sys.argv[1]), sys.argv[2])
+    mode = "zipf" if "--vocab=zipf" in sys.argv[3:] else "synthetic"
+    main(float(sys.argv[1]), sys.argv[2], mode)
