@@ -843,13 +843,16 @@ object CoreQueries {
         FROM range(0, 200) t(i))
       SELECT * FROM (SELECT * FROM ev UNION ALL SELECT * FROM od
                      UNION ALL SELECT * FROM sh UNION ALL SELECT * FROM sd)
-      ORDER BY contact_id, event_ts, event_id, title, detail"""),
+      ORDER BY contact_id, event_ts, event_id, title, detail,
+               part_id, supplier_id"""),
       // event_id is not unique for lineitem-derived events (duplicate
-      // (l_orderkey, l_linenumber) pairs exist in the synthetic data),
-      // so title+detail complete the total order.
+      // (l_orderkey, l_linenumber) pairs exist in the synthetic data);
+      // at sf>=1 two such twins can also tie on shipdate+quantity+
+      // flags, so part_id+supplier_id complete the total order.
       (s, d) => ChatterMaster.unifiedEvents(s, d)
         .unionByName(ChatterMaster.conformContactSeed(s))
-        .orderBy("contact_id", "event_ts", "event_id", "title", "detail")),
+        .orderBy("contact_id", "event_ts", "event_id", "title", "detail",
+                 "part_id", "supplier_id")),
 
     // ─────────────────── §2.7 scalar functions ────────────────────
 
