@@ -1,5 +1,6 @@
 package graft
 import java.nio.file.{Files, Paths}
+import org.apache.spark.sql.SparkSession
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
   * plus oracle_sql.json, for the driver's DuckDB compare.
   *
@@ -44,7 +45,7 @@ object Verify {
     val (sfDir, outDir) = (args(0), args(1))
     // Optional extra args: run only the named queries (local iteration).
     val only = args.drop(2).toSet
-    val spark = Sessions.local("graft-verify")
+    var spark = Sessions.local("graft-verify")
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     // A query that throws must leave a LOUD artifact, not just a
@@ -56,6 +57,18 @@ object Verify {
     SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only(name) }
       .foreach { case (name, fn) =>
+      // One query's executor-level abort (task OOM at a big SF) stops
+      // the shared local SparkContext; without recovery every LATER
+      // query would be a false "stopped SparkContext" failure — the
+      // r15 sf10 sweep lost 46 dumps to one such abort. Recreate the
+      // session so each query is judged on its own behavior.
+      if (spark.sparkContext.isStopped) {
+        System.err.println(s"[verify] SparkContext stopped — recreating session before $name")
+        SparkSession.clearActiveSession()
+        SparkSession.clearDefaultSession()
+        spark = Sessions.local("graft-verify")
+        spark.sparkContext.setLogLevel("WARN")
+      }
       try graft.queries.QDef.withCacheRelease(spark, fn(spark, sfDir)) {
         _.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
       }

@@ -315,11 +315,16 @@ object AnalyticsQueries {
     // selfcheck caught its 4·num² filter product at 3.1e19 (the
     // Spark side, already decimal, sailed through; the comparison
     // engine is subject to the same overflow discipline as the
-    // engine under test). The EMITTED num/den still fit BIGINT at
-    // sf1 (den ≈ 1.0e18, measured; num² headroom to ~sf30) so the
-    // output type contract is unchanged. 100 TB shape: one
-    // map-side-combined aggregate + one broadcast join; the fact is
-    // never shuffled.
+    // engine under test). EMITTED columns must also be scale-stable:
+    // raw den = n·Σc² − (Σc)² grows as n² and passed BIGINT at sf10
+    // (1.0e20; the r15 sf10 sweep caught the CAST), so the dump
+    // carries znum_cents (exact, headroom to ~sf30) plus the
+    // SCALE-FREE floored population variance den div n² (≈ cents²
+    // variance of the metric, ~1e8 at every SF; positive, so DuckDB
+    // // and the HUGEINT/decimal floor agree exactly). Membership
+    // still comes from the exact 4·num² > 25·den predicate on the
+    // unreduced integers. 100 TB shape: one map-side-combined
+    // aggregate + one broadcast join; the fact is never shuffled.
     QDef("q_zscore_outliers", Some("""
       WITH e AS (SELECT event_id, event_type,
           CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS c FROM events),
@@ -327,12 +332,12 @@ object AnalyticsQueries {
           CAST(sum(c) AS HUGEINT) AS sc,
           sum(CAST(c AS HUGEINT) * c) AS scc
         FROM e GROUP BY event_type),
-      j AS (SELECT e.event_id, e.event_type,
+      j AS (SELECT e.event_id, e.event_type, st.n AS n,
           st.n * e.c - st.sc AS num,
           st.n * st.scc - st.sc * st.sc AS den
         FROM e JOIN st USING (event_type))
       SELECT event_id, event_type, CAST(num AS BIGINT) AS znum_cents,
-             CAST(den AS BIGINT) AS zden_cents2
+             CAST(den // (n * n) AS BIGINT) AS zvar_cents2
       FROM j WHERE 4 * num * num > 25 * den ORDER BY event_id"""),
       (s, d) => {
         val cents = floor(col("value") * lit(100.0) + lit(0.5)).cast("long")
@@ -349,7 +354,7 @@ object AnalyticsQueries {
           .filter(lit(4) * col("num") * col("num") > lit(25) * col("den"))
           .select(col("event_id"), col("event_type"),
             col("num").cast("long").as("znum_cents"),
-            col("den").cast("long").as("zden_cents2"))
+            expr("div(den, n * n)").cast("long").as("zvar_cents2"))
           .orderBy("event_id")
       }),
 
@@ -4073,9 +4078,13 @@ object AnalyticsQueries {
               CAST(sum(x * y) AS BIGINT) AS sxy, CAST(sum(x * x) AS BIGINT) AS sxx
             FROM pp GROUP BY 1)
       SELECT p_brand, n, sx, sy, sxy, sxx,
-             CAST(CASE WHEN n * sxx - sx * sx = 0 THEN 0
-                  ELSE floor(1000000.0 * (n * sxy - sx * sy) /
-                             (n * sxx - sx * sx)) END AS BIGINT) AS slope_micro
+             CAST(CASE WHEN CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx = 0
+                  THEN 0
+                  ELSE floor(1000000.0 *
+                    CAST(CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy
+                      AS DOUBLE) /
+                    CAST(CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx
+                      AS DOUBLE)) END AS BIGINT) AS slope_micro
       FROM m ORDER BY p_brand"""),
       (s, d) => {
         val pp = t(s, d, "lineitem").select("l_partkey", "l_quantity")
@@ -4091,12 +4100,20 @@ object AnalyticsQueries {
             sum("y").cast("long").as("sy"),
             sum(col("x") * col("y")).cast("long").as("sxy"),
             sum(col("x") * col("x")).cast("long").as("sxx"))
+          // n·sxx passes 2^63 at sf10 (80k parts/brand × Σx² ≈ 6e19):
+          // the moment DIFFERENCES are exact in DECIMAL(38,0)/HUGEINT,
+          // then the slope stays the shared IEEE double ratio — same
+          // doubles as before wherever BIGINT didn't overflow.
+          .withColumn("den", expr(
+            "cast(n as decimal(38,0)) * sxx - cast(sx as decimal(38,0)) * sx"))
+          .withColumn("num", expr(
+            "cast(n as decimal(38,0)) * sxy - cast(sx as decimal(38,0)) * sy"))
           .withColumn("slope_micro",
-            when(col("n") * col("sxx") - col("sx") * col("sx") === 0, 0L)
+            when(col("den") === 0, 0L)
               .otherwise(floor(lit(1000000.0) *
-                (col("n") * col("sxy") - col("sx") * col("sy")) /
-                (col("n") * col("sxx") - col("sx") * col("sx"))))
+                col("num").cast("double") / col("den").cast("double")))
               .cast("long"))
+          .drop("num", "den")
           .orderBy("p_brand")
       }),
 

@@ -951,10 +951,10 @@ object RelQueries {
               FROM nat GROUP BY 1),
       tot AS (SELECT sum(rev) AS tot_rev FROM nat)
       SELECT nat.r_name, nat.n_name, nat.rev AS rev_cents,
-             CAST((1000000 * nat.rev) // reg.reg_rev AS BIGINT)
+             CAST((1000000 * CAST(nat.rev AS HUGEINT)) // reg.reg_rev AS BIGINT)
                AS share_of_region_ppm,
-             CAST((1000000 * reg.reg_rev) // tot.tot_rev AS BIGINT)
-               AS region_share_ppm
+             CAST((1000000 * CAST(reg.reg_rev AS HUGEINT)) // tot.tot_rev
+               AS BIGINT) AS region_share_ppm
       FROM nat JOIN reg USING (r_name), tot
       ORDER BY r_name, n_name"""),
       (s, d) => {
@@ -973,10 +973,13 @@ object RelQueries {
         val tot = nat.agg(sum("rev").cast("long").as("tot_rev"))
         nat.join(broadcast(reg), Seq("r_name")).crossJoin(broadcast(tot))
           .select(col("r_name"), col("n_name"), col("rev").as("rev_cents"),
-            expr("div(1000000 * rev, reg_rev)").cast("long")
-              .as("share_of_region_ppm"),
-            expr("div(1000000 * reg_rev, tot_rev)").cast("long")
-              .as("region_share_ppm"))
+            // rev×1e6 passes 2^63 once national revenue crosses ~$92T
+            // (the sf10 sweep hit it) — route the product through
+            // DECIMAL(38,0)/HUGEINT, the q_abc_classification pattern.
+            expr("div(1000000 * cast(rev as decimal(38,0)), reg_rev)")
+              .cast("long").as("share_of_region_ppm"),
+            expr("div(1000000 * cast(reg_rev as decimal(38,0)), tot_rev)")
+              .cast("long").as("region_share_ppm"))
           .orderBy("r_name", "n_name")
       }),
 
@@ -1167,8 +1170,10 @@ object RelQueries {
               CAST(sum(r1) AS BIGINT) AS p1q1
             FROM j),
       f AS (SELECT n_parts, p0q0, p1q0, p0q1, p1q1,
-              CAST((1000000 * p1q0) // p0q0 AS BIGINT) AS laspeyres_ppm,
-              CAST((1000000 * p1q1) // p0q1 AS BIGINT) AS paasche_ppm
+              CAST((1000000 * CAST(p1q0 AS HUGEINT)) // p0q0 AS BIGINT)
+                AS laspeyres_ppm,
+              CAST((1000000 * CAST(p1q1 AS HUGEINT)) // p0q1 AS BIGINT)
+                AS paasche_ppm
             FROM s)
       SELECT n_parts, p0q0, p1q0, p0q1, p1q1, laspeyres_ppm, paasche_ppm,
              CAST(floor(sqrt((1.0 * laspeyres_ppm) * (1.0 * paasche_ppm)))
@@ -1196,11 +1201,21 @@ object RelQueries {
             sum("r1").cast("long").as("p1q1"))
           .select(col("n_parts"), col("p0q0"), col("p1q0"), col("p0q1"),
             col("p1q1"),
-            expr("div(1000000 * p1q0, p0q0)").cast("long").as("laspeyres_ppm"),
-            expr("div(1000000 * p1q1, p0q1)").cast("long").as("paasche_ppm"),
-            floor(sqrt((lit(1.0) * expr("div(1000000 * p1q0, p0q0)")) *
-              (lit(1.0) * expr("div(1000000 * p1q1, p0q1)")))).cast("long")
-              .as("fisher_ppm"))
+            // basket-sum × 1e6 passes 2^63 once a year's basket
+            // crosses ~$92T in cents (the sf10 sweep hit it) —
+            // DECIMAL(38,0)/HUGEINT product, q_abc_classification
+            // pattern; ppm itself stays ~1e6 so fisher's shared
+            // double sqrt is unchanged.
+            expr("div(1000000 * cast(p1q0 as decimal(38,0)), p0q0)")
+              .cast("long").as("laspeyres_ppm"),
+            expr("div(1000000 * cast(p1q1 as decimal(38,0)), p0q1)")
+              .cast("long").as("paasche_ppm"),
+            floor(sqrt(
+              (lit(1.0) *
+                expr("div(1000000 * cast(p1q0 as decimal(38,0)), p0q0)")) *
+              (lit(1.0) *
+                expr("div(1000000 * cast(p1q1 as decimal(38,0)), p0q1)"))))
+              .cast("long").as("fisher_ppm"))
       }),
 
     // JOIN-CARDINALITY ESTIMATOR AUDIT: the textbook CBO estimate

@@ -220,13 +220,29 @@ class AnalyticsQueriesSpec extends AnyFunSuite {
       s"per-type stats must broadcast:\n$plan")
     assert(!plan.contains("SortMergeJoin"),
       s"the fact must never be shuffled for the stats join:\n$plan")
-    // every surviving row satisfies the exact-integer outlier
-    // predicate |z| > 2.5 ⇔ 4·num² > 25·den on the emitted rational
-    assert(df.filter(
-      lit(4) * col("znum_cents") * col("znum_cents") <=
-        lit(25) * col("zden_cents2")).count() == 0)
-    // and den is a true centered second moment: non-negative
-    assert(df.filter(col("zden_cents2") < 0).count() == 0)
+    // recompute the exact per-type moments: every surviving row must
+    // satisfy the exact-integer predicate 4·num² > 25·den against the
+    // UNREDUCED den (the emitted zvar_cents2 is den div n² — the
+    // scale-free floored population variance that replaced raw den
+    // when sf10 pushed den past BIGINT)
+    val ev = graft.pipeline.Tables.t(spark, SparkTesting.sf, "events")
+      .select(col("event_type"),
+        floor(col("value") * lit(100.0) + lit(0.5))
+          .cast("decimal(38,0)").as("c"))
+    val st = ev.groupBy("event_type").agg(
+      count(lit(1)).cast("decimal(38,0)").as("n"),
+      sum(col("c")).as("sc"), sum(expr("c * c")).as("scc"))
+    val joined = df.join(st, "event_type")
+    assert(joined.filter(expr(
+      "4 * cast(znum_cents as decimal(38,0)) * znum_cents <= " +
+        "25 * (n * scc - sc * sc)")).count() == 0,
+      "an emitted row fails the exact |z| > 2.5 predicate")
+    assert(joined.filter(expr(
+      "cast(zvar_cents2 as decimal(38,0)) <> div(n * scc - sc * sc, n * n)"))
+      .count() == 0,
+      "zvar_cents2 must be the floored population variance den div n²")
+    // and the variance is a true centered second moment: non-negative
+    assert(df.filter(col("zvar_cents2") < 0).count() == 0)
   }
 
   test("inverted index: posting lists capped before collection") {
