@@ -94,7 +94,7 @@ object PipelineBench {
     val inv1 = files()
     val preBuckets = spark.read.parquet(rawDir)
       .groupBy("bucket").count()
-      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      .collect().map(r => r.getAs[Number](0).longValue -> r.getLong(1)).toMap
     val t3 = System.nanoTime()
     graft.pipeline.RunPipeline.runStreamingOnce(spark, sroot,
       Map("totalrows" -> "12600", "pagelimit" -> "500"),
