@@ -139,6 +139,10 @@ def main():
         print("\nartifact is STALE — rerun: sbt -batch compile && runMain graft.Verify …")
         sys.exit(1)
     con = duckdb.connect()
+    # GRAFT_DUCKDB_THREADS caps the oracle's parallelism so a big-SF
+    # selfcheck can run alongside a timed Bench without polluting it.
+    if os.environ.get("GRAFT_DUCKDB_THREADS"):
+        con.execute(f"PRAGMA threads={int(os.environ['GRAFT_DUCKDB_THREADS'])}")
     for t in TABLES:
         p = f"{sf_dir}/{t}.parquet"
         if os.path.exists(p):
