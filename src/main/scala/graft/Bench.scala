@@ -8,6 +8,7 @@ package graft
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    Sessions.guardHeapForLake(sfDir)
     val spark = Sessions.local("graft-bench")
     spark.sparkContext.setLogLevel("WARN")
     // Warm up codegen/JIT/parquet-footer paths so the alphabetically

@@ -43,6 +43,7 @@ object Verify {
 
   def main(args: Array[String]): Unit = {
     val (sfDir, outDir) = (args(0), args(1))
+    Sessions.guardHeapForLake(sfDir)
     // Optional extra args: run only the named queries (local iteration).
     val only = args.drop(2).toSet
     var spark = Sessions.local("graft-verify")

@@ -323,8 +323,15 @@ object AnalyticsQueries {
     // variance of the metric, ~1e8 at every SF; positive, so DuckDB
     // // and the HUGEINT/decimal floor agree exactly). Membership
     // still comes from the exact 4·num² > 25·den predicate on the
-    // unreduced integers. 100 TB shape: one map-side-combined
-    // aggregate + one broadcast join; the fact is never shuffled.
+    // unreduced integers. The floor loses den mod n² cents², so a
+    // consumer rebuilding |z| from (znum_cents, zvar_cents2) alone
+    // would land a hair HIGH when the floor bites (ADVICE r14);
+    // zvar_rem = den mod n² carries the dropped remainder — the
+    // exact rational variance is (zvar_cents2·n² + zvar_rem)/n²,
+    // recoverable because n is the per-type row count. Both operands
+    // are non-negative, so Spark % and DuckDB/HUGEINT % agree.
+    // 100 TB shape: one map-side-combined aggregate + one broadcast
+    // join; the fact is never shuffled.
     QDef("q_zscore_outliers", Some("""
       WITH e AS (SELECT event_id, event_type,
           CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS c FROM events),
@@ -337,7 +344,8 @@ object AnalyticsQueries {
           st.n * st.scc - st.sc * st.sc AS den
         FROM e JOIN st USING (event_type))
       SELECT event_id, event_type, CAST(num AS BIGINT) AS znum_cents,
-             CAST(den // (n * n) AS BIGINT) AS zvar_cents2
+             CAST(den // (n * n) AS BIGINT) AS zvar_cents2,
+             CAST(den % (n * n) AS BIGINT) AS zvar_rem
       FROM j WHERE 4 * num * num > 25 * den ORDER BY event_id"""),
       (s, d) => {
         val cents = floor(col("value") * lit(100.0) + lit(0.5)).cast("long")
@@ -354,7 +362,8 @@ object AnalyticsQueries {
           .filter(lit(4) * col("num") * col("num") > lit(25) * col("den"))
           .select(col("event_id"), col("event_type"),
             col("num").cast("long").as("znum_cents"),
-            expr("div(den, n * n)").cast("long").as("zvar_cents2"))
+            expr("div(den, n * n)").cast("long").as("zvar_cents2"),
+            expr("den % (n * n)").cast("long").as("zvar_rem"))
           .orderBy("event_id")
       }),
 

@@ -567,6 +567,52 @@ object TextQueries {
           "doc_id", 8, 2),
         "doc_id").orderBy("doc_a", "doc_b")),
 
+    // CROSS-LINGUAL NEAR-DUP AUDIT: the LSH candidate pairs census'd
+    // by (canonicalized) language pair — pairs whose langs DIFFER are
+    // template/boilerplate artifacts or machine translations, and a
+    // corpus where they dominate has a shared-scaffold problem no
+    // same-language dedup threshold will fix (the reviewer reads this
+    // 15-row census before trusting the dedup drop list). Composes
+    // the q_dedup_minhash_pairs candidate set (same pilot cap — the
+    // census is a calibration face) with two lang probes; 100 TB
+    // shape: the LSH-bounded pair set BROADCASTS onto the documents
+    // scan twice (key equi-joins, docs never shuffle), then a
+    // ≤|langs|² hash aggregate.
+    QDef("q_dedup_crosslingual_pairs", Some(
+      s"""WITH ${tokCte.format(
+        s"WHERE doc_id % 7 = 0 AND doc_id < ${NearDup.PilotDocCap}")},
+      ${sigSelect(8, "tok")}, ${bandsSql(8, 2)},
+      cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+               FROM bands a JOIN bands b
+                 ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
+      l AS (SELECT least(da.lang, db.lang) AS lang_a,
+                   greatest(da.lang, db.lang) AS lang_b
+            FROM cand c JOIN documents da ON da.doc_id = c.doc_a
+                        JOIN documents db ON db.doc_id = c.doc_b)
+      SELECT lang_a, lang_b,
+             CAST(CASE WHEN lang_a <> lang_b THEN 1 ELSE 0 END AS BIGINT)
+               AS cross_lingual,
+             CAST(count(*) AS BIGINT) AS n_pairs
+      FROM l GROUP BY lang_a, lang_b ORDER BY lang_a, lang_b"""),
+      (s, d) => {
+        val pairs = NearDup.lshCandidatePairs(
+          NearDup.lshBands(
+            NearDup.minhashSignatures(tokDf(s, d, Some(7), pilot = true),
+              "doc_id", "tok", 8),
+            "doc_id", 8, 2), "doc_id")
+        val langs = t(s, d, "documents").select("doc_id", "lang")
+        val withLa = langs.toDF("doc_a", "la").join(broadcast(pairs), Seq("doc_a"))
+        langs.toDF("doc_b", "lb").join(broadcast(withLa), Seq("doc_b"))
+          .select(least(col("la"), col("lb")).as("lang_a"),
+            greatest(col("la"), col("lb")).as("lang_b"))
+          .groupBy("lang_a", "lang_b").agg(count(lit(1)).as("n_pairs"))
+          .select(col("lang_a"), col("lang_b"),
+            when(col("lang_a") =!= col("lang_b"), 1L).otherwise(0L)
+              .as("cross_lingual"),
+            col("n_pairs"))
+          .orderBy("lang_a", "lang_b")
+      }),
+
     // MinHash JACCARD ESTIMATE — the filter stage between LSH
     // candidate generation and exact verification: for each candidate
     // pair, the fraction of the k=8 signature components that agree
@@ -1639,6 +1685,76 @@ object TextQueries {
       (s, d) => TA.withQualityVerdict(t(s, d, "documents"), "text")
         .select("doc_id", "n_tokens", "reject_reason", "keep")
         .orderBy("doc_id")),
+
+    // QUALITY GATE WATERFALL: the attrition ledger of the filter
+    // chain — per gate (in q_doc_quality_filter's first-match CASE
+    // order), how many docs reached it, how many it dropped, how many
+    // survived. The last row's n_surviving IS the kept-corpus size;
+    // a gate dropping far more than its neighbors is either doing its
+    // job or miscalibrated, and this 6-row table is how a curation
+    // review tells which before anyone re-tunes a threshold. The
+    // verdict tree is the ONE shared TA.withQualityVerdict (batch,
+    // stream, and this census can't desync); the waterfall itself is
+    // one map-side-combined count per reason + a 6-row spine window —
+    // the corpus is scanned once and never shuffled.
+    QDef("q_quality_gate_waterfall", Some("""
+      WITH d AS (SELECT doc_id,
+        list_filter(string_split(text, ' '), t -> t <> '') AS toks FROM documents),
+      m AS (SELECT
+        CAST(len(toks) AS BIGINT) AS n_tokens,
+        CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct,
+        CAST(len(list_filter(toks, t -> t IN ('the', 'a'))) AS BIGINT) AS n_stop,
+        CAST(COALESCE(list_sum(list_transform(toks, t -> length(t))), 0) AS BIGINT) AS tok_chars
+        FROM d),
+      r AS (SELECT CASE WHEN n_tokens IS NULL THEN 'unscorable'
+                  WHEN n_tokens < 20 THEN 'too_short'
+                  WHEN n_tokens > 90 THEN 'too_long'
+                  WHEN 100 * tok_chars < 420 * n_tokens
+                       OR 100 * tok_chars > 520 * n_tokens THEN 'word_length'
+                  WHEN 2 * n_distinct < n_tokens THEN 'low_diversity'
+                  WHEN n_stop = 0 THEN 'no_stopwords' END AS reject_reason
+            FROM m),
+      dr AS (SELECT reject_reason, CAST(count(*) AS BIGINT) AS n_dropped
+             FROM r WHERE reject_reason IS NOT NULL GROUP BY reject_reason),
+      tot AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM r),
+      sp AS (SELECT * FROM (VALUES (1, 'unscorable'), (2, 'too_short'),
+               (3, 'too_long'), (4, 'word_length'), (5, 'low_diversity'),
+               (6, 'no_stopwords')) AS v(gate_order, gate)),
+      w AS (SELECT sp.gate_order, sp.gate, coalesce(dr.n_dropped, 0) AS n_dropped
+            FROM sp LEFT JOIN dr ON dr.reject_reason = sp.gate)
+      SELECT CAST(gate_order AS BIGINT) AS gate_order, gate,
+             CAST(tot.n_total - coalesce(sum(n_dropped) OVER (ORDER BY gate_order
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+               AS n_entering,
+             CAST(n_dropped AS BIGINT) AS n_dropped,
+             CAST(tot.n_total - sum(n_dropped) OVER (ORDER BY gate_order)
+               AS BIGINT) AS n_surviving
+      FROM w, tot ORDER BY gate_order"""),
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val v = TA.withQualityVerdict(t(s, d, "documents"), "text")
+          .select("reject_reason")
+        val dr = v.filter(col("reject_reason").isNotNull)
+          .groupBy("reject_reason").agg(count(lit(1)).as("n_dropped"))
+        val tot = v.agg(count(lit(1)).as("n_total"))
+        val spine = s.createDataFrame(Seq(
+          (1L, "unscorable"), (2L, "too_short"), (3L, "too_long"),
+          (4L, "word_length"), (5L, "low_diversity"), (6L, "no_stopwords")))
+          .toDF("gate_order", "gate")
+        // the 6-row spine windows run single-partition by construction
+        // (bounded by the gate count, never the corpus)
+        val ord = Window.orderBy("gate_order")
+        val before = ord.rowsBetween(Window.unboundedPreceding, -1)
+        spine.join(dr.withColumnRenamed("reject_reason", "gate"), Seq("gate"), "left")
+          .crossJoin(broadcast(tot))
+          .withColumn("n_dropped", coalesce(col("n_dropped"), lit(0L)))
+          .select(col("gate_order"), col("gate"),
+            (col("n_total") - coalesce(sum(col("n_dropped")).over(before), lit(0L)))
+              .as("n_entering"),
+            col("n_dropped"),
+            (col("n_total") - sum(col("n_dropped")).over(ord)).as("n_surviving"))
+          .orderBy("gate_order")
+      }),
 
     // Deterministic hash-stratified sampling (training-data mixture
     // balancing): downsample the over-represented stratum ('en' here)

@@ -20,9 +20,13 @@ object TrainPrepQueries {
       |  list_filter(string_split(text, ' '), t -> t <> '') AS toks FROM documents)""".stripMargin
 
   /** Distinct word n-gram CTE over `d` (mirrors NearDup.shinglesN). */
-  private def shCte(n: Int): String = {
+  private def shCte(n: Int): String = shCteNamed(n, "sh")
+
+  /** Same CTE under a caller-chosen name, so one oracle can host
+    * several shingle widths side by side (q_contam_ngram_size_sweep). */
+  private def shCteNamed(n: Int, nm: String): String = {
     val terms = (0 until n).map(j => s"toks[i+$j]").mkString(" || ' ' || ")
-    s"""sh AS (SELECT DISTINCT doc_id, sh FROM
+    s"""$nm AS (SELECT DISTINCT doc_id, sh FROM
        |  (SELECT doc_id, unnest(list_transform(range(1, greatest(len(toks) - ${n - 2}, 1)),
        |          i -> $terms)) AS sh FROM d))""".stripMargin
   }
@@ -93,6 +97,95 @@ object TrainPrepQueries {
           .join(broadcast(contaminated), Seq("doc_id"), "left_anti")
           .select("doc_id", "lang", "n_chars")
           .orderBy("doc_id")
+      }),
+
+    // EVAL-SET COVERAGE — the flip side of q_decontam_ngram: that
+    // face asks "which TRAIN docs leak eval text"; this one asks, per
+    // EVAL doc, "how much of it does the train corpus already
+    // contain" (distinct word-3-grams found anywhere in train, as a
+    // permille) — the benchmark-saturation / memorization-risk score
+    // a curation report carries next to the contamination list (a
+    // benchmark whose items are 900‰-covered measures retrieval, not
+    // generalization). Same 100 TB shape as decontam, reversed
+    // aggregation: the bounded eval shingle set BROADCASTS, the
+    // train-side scan joins with NO fact shuffle (train shingles stay
+    // raw — the broadcast join filters first, the distinct dedups
+    // only the surviving hits), and the per-eval-doc counts are one
+    // tiny hash aggregate. Eval docs with <3 tokens have no shingles
+    // and are (correctly) absent.
+    QDef("q_eval_coverage_ngram", Some(s"""
+      WITH $toksCte, ${shCte(3)},
+      ev AS (SELECT doc_id AS eval_id, sh FROM sh WHERE doc_id % 50 = 0),
+      tr AS (SELECT doc_id, sh FROM sh WHERE doc_id % 50 <> 0),
+      hit AS (SELECT DISTINCT ev.eval_id, ev.sh FROM tr JOIN ev USING (sh)),
+      tot AS (SELECT eval_id, CAST(count(*) AS BIGINT) AS n_shingles FROM ev GROUP BY eval_id),
+      cov AS (SELECT eval_id, CAST(count(*) AS BIGINT) AS n_covered FROM hit GROUP BY eval_id)
+      SELECT t.eval_id, t.n_shingles,
+             coalesce(c.n_covered, 0) AS n_covered,
+             CAST((1000 * coalesce(c.n_covered, 0)) // t.n_shingles AS BIGINT)
+               AS coverage_permille
+      FROM tot t LEFT JOIN cov c USING (eval_id) ORDER BY t.eval_id"""),
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val ev = NearDup.shinglesN(docs.filter(col("doc_id") % 50 === 0),
+          "doc_id", "text", 3)
+          .select(col("doc_id").as("eval_id"), col("sh"))
+        val tr = NearDup.shinglesN(docs.filter(col("doc_id") % 50 =!= 0),
+          "doc_id", "text", 3, distinct = false)
+        val hit = tr.join(broadcast(ev), Seq("sh"))
+          .select("eval_id", "sh").distinct()
+        val tot = ev.groupBy("eval_id").agg(count(lit(1)).as("n_shingles"))
+        val cov = hit.groupBy("eval_id").agg(count(lit(1)).as("n_covered"))
+        tot.join(cov, Seq("eval_id"), "left")
+          .select(col("eval_id"), col("n_shingles"),
+            coalesce(col("n_covered"), lit(0L)).as("n_covered"),
+            expr("div(1000 * coalesce(n_covered, 0), n_shingles)")
+              .as("coverage_permille"))
+          .orderBy("eval_id")
+      }),
+
+    // DECONTAMINATION SENSITIVITY SWEEP: q_decontam_ngram's verdict
+    // at shingle widths n ∈ {3,4,5} side by side — contaminated
+    // train docs, distinct shared shingles, eval docs hit — the
+    // tuning table that justifies the production width (too small ⇒
+    // stop-phrase false positives inflate the drop list; too large ⇒
+    // paraphrased leakage slips through; the knee is where
+    // n_contaminated stops falling). Three independent broadcast
+    // decontam passes (one corpus scan each, eval side broadcast,
+    // corpus never shuffles) unioned into a 3-row table — the
+    // per-width term is linear, so the sweep is 3× decontam, never
+    // more. Train shingles stay raw (non-distinct); the
+    // count(DISTINCT) aggregates dedup only the contaminated
+    // survivors.
+    QDef("q_contam_ngram_size_sweep", Some(s"""
+      WITH $toksCte, ${shCteNamed(3, "sh3")}, ${shCteNamed(4, "sh4")}, ${shCteNamed(5, "sh5")}
+      SELECT CAST(n AS BIGINT) AS n,
+             CAST(n_contaminated AS BIGINT) AS n_contaminated,
+             CAST(n_shared_shingles AS BIGINT) AS n_shared_shingles,
+             CAST(n_eval_docs_hit AS BIGINT) AS n_eval_docs_hit
+      FROM (${Seq(3, 4, 5).map(n =>
+        s"""SELECT $n AS n, count(DISTINCT tr.doc_id) AS n_contaminated,
+           |       count(DISTINCT tr.sh) AS n_shared_shingles,
+           |       count(DISTINCT ev.doc_id) AS n_eval_docs_hit
+           |FROM sh$n tr JOIN sh$n ev ON tr.sh = ev.sh
+           |WHERE tr.doc_id % 50 <> 0 AND ev.doc_id % 50 = 0""".stripMargin)
+        .mkString(" UNION ALL ")})
+      ORDER BY n"""),
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        Seq(3, 4, 5).map { n =>
+          val ev = NearDup.shinglesN(docs.filter(col("doc_id") % 50 === 0),
+            "doc_id", "text", n)
+            .select(col("doc_id").as("eval_id"), col("sh"))
+          val tr = NearDup.shinglesN(docs.filter(col("doc_id") % 50 =!= 0),
+            "doc_id", "text", n, distinct = false)
+          tr.join(broadcast(ev), Seq("sh"))
+            .agg(countDistinct(col("doc_id")).as("n_contaminated"),
+              countDistinct(col("sh")).as("n_shared_shingles"),
+              countDistinct(col("eval_id")).as("n_eval_docs_hit"))
+            .select(lit(n.toLong).as("n"), col("n_contaminated"),
+              col("n_shared_shingles"), col("n_eval_docs_hit"))
+        }.reduce(_ unionByName _).orderBy("n")
       }),
 
     // REPETITION signal (Gopher-style): most frequent bigram's share

@@ -23,7 +23,7 @@ sf0.1 tables (see the per-table notes inline):
 NOT the driver's RNG — correctness at any sf is Spark-vs-DuckDB on
 the SAME files, so only the distributions matter, not the draws.
 
-Usage: python3 tools/gen_sf.py <sf> <outDir> [--vocab=zipf]
+Usage: python3 tools/gen_sf.py <sf> <outDir> [--vocab=zipf] [--embed=planted]
 
 --vocab=zipf (VERDICT r14 item 3): swaps ONLY the documents table for
 a REALISTIC corpus — ~50k word types drawn Zipf(s=1.07) (natural-
@@ -76,7 +76,7 @@ def ts_col(us):  # int64 micros -> timestamp[us]
     return pa.array(np.asarray(us, dtype=np.int64), type=pa.timestamp("us"))
 
 
-def main(sf, out, vocab_mode="synthetic"):
+def main(sf, out, vocab_mode="synthetic", embed_mode="gaussian"):
     rng = np.random.default_rng(SEED)
     os.makedirs(out, exist_ok=True)
 
@@ -210,19 +210,54 @@ def main(sf, out, vocab_mode="synthetic"):
         "source": [f"src{i % 20}" for i in range(n_doc)],
         "n_chars": pa.array([len(t) for t in texts], pa.int64())}))
 
-    emb = rng.standard_normal((n_vec, 64)).astype(np.float32)
-    emb /= np.linalg.norm(emb, axis=1, keepdims=True)
+    if embed_mode == "planted":
+        # --embed=planted (ADVICE r14 item 3): label-aligned CLUSTERS
+        # plus planted NEAR-DUP children, so the semantic-dedup / kNN /
+        # decontam faces are validated on vectors with real structure
+        # instead of the gaussian null. Geometry (unit vectors; noise
+        # sigmas below are PER-DIM, so a 64-dim noise vector's NORM is
+        # sigma*8 — the first cut of this generator used 0.6 per-dim,
+        # i.e. noise norm 4.8, and buried the clusters entirely):
+        #   member = 0.8*center + noise(per-dim 0.075, norm~0.6)
+        #   -> E[cos] within a cluster ~0.64, across clusters ~0 —
+        #   straddles the engines' 0.5 cosine gates, so threshold
+        #   sweeps see a real knee;
+        #   child = normalize(parent + noise(per-dim 0.04, norm~0.32))
+        #   -> cos ~0.95, the true-positive band every embedding
+        #   near-dup detector gates on. ~5% children, parent's label
+        #   inherited (clusters stay pure); chains arise when a child
+        #   is re-picked as parent.
+        centers = rng.standard_normal((10, 64)).astype(np.float32)
+        centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+        labels = rng.integers(0, 10, n_vec)
+        emb = (0.8 * centers[labels]
+               + 0.075 * rng.standard_normal((n_vec, 64)).astype(np.float32))
+        emb /= np.linalg.norm(emb, axis=1, keepdims=True)
+        vdup = rng.random(n_vec) < 0.05
+        for i in range(1, n_vec):
+            if vdup[i]:
+                p = int(rng.integers(0, i))
+                emb[i] = emb[p] + 0.04 * rng.standard_normal(64).astype(np.float32)
+                emb[i] /= np.linalg.norm(emb[i])
+                labels[i] = labels[p]
+        emb = emb.astype(np.float32)
+        labels = labels.astype(np.int32)
+    else:
+        emb = rng.standard_normal((n_vec, 64)).astype(np.float32)
+        emb /= np.linalg.norm(emb, axis=1, keepdims=True)
+        labels = rng.integers(0, 10, n_vec).astype(np.int32)
     write(out, "embeddings", pa.table({
         "vec_id": pa.array(np.arange(n_vec), pa.int64()),
         "embedding": pa.array([v for v in emb.tolist()],
                               pa.list_(pa.float32())),
-        "label": pa.array(rng.integers(0, 10, n_vec), pa.int32())}))
+        "label": pa.array(labels, pa.int32())}))
 
     with open(os.path.join(out, "GEN_META.json"), "w") as f:
         json.dump({"sf": sf, "seed": SEED, "generator": "tools/gen_sf.py",
-                   "vocab": vocab_mode}, f)
+                   "vocab": vocab_mode, "embed": embed_mode}, f)
 
 
 if __name__ == "__main__":
     mode = "zipf" if "--vocab=zipf" in sys.argv[3:] else "synthetic"
-    main(float(sys.argv[1]), sys.argv[2], mode)
+    emb_mode = "planted" if "--embed=planted" in sys.argv[3:] else "gaussian"
+    main(float(sys.argv[1]), sys.argv[2], mode, emb_mode)
