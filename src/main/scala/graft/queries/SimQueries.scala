@@ -2023,6 +2023,132 @@ object SimQueries {
             when(col("s1_milli") - col("s2_milli") < 10, 1L).otherwise(0L)
               .as("thin_margin"))
           .orderBy("qid")
+      }),
+
+    // CORESET BY FARTHEST-POINT SAMPLING (greedy k-center, Gonzalez
+    // 1985), 3 unrolled rounds: seed at vec_id 0, then twice pick the
+    // vector FARTHEST from everything selected so far — the diverse-
+    // exemplar selection a labeling/eval budget spends first. Row k
+    // reports the pick, its distance at selection time, and the
+    // coverage radius (max / mean min-dist) AFTER k centers — the
+    // radius-vs-k curve that says when the coreset is "enough".
+    // Distances quantize to integer milli (1000 − cos·1000) BEFORE
+    // every argmin/argmax, so ties break identically cross-engine.
+    // Scale shape: each round is one broadcast-scalar crossJoin + a
+    // narrow per-row min + a TakeOrdered(1) — k linear passes, no
+    // shuffle wider than the 1-row picks; the honest FPS cost is k·N
+    // and that is exactly what the plan spends.
+    QDef("q_coreset_fps", Some(s"""
+      WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      c1 AS (SELECT vec_id AS id1, v AS v1 FROM e WHERE vec_id = 0),
+      d1 AS (SELECT e.vec_id, e.v,
+               CAST(1000 - floor(1000 * (${cosineSql("e.v", "c1.v1")}) + 0.5) AS BIGINT) AS dm
+             FROM e, c1),
+      c2 AS (SELECT vec_id AS id2, v AS v2, dm AS pd2 FROM d1 ORDER BY dm DESC, vec_id LIMIT 1),
+      d2 AS (SELECT d1.vec_id, d1.v, least(d1.dm,
+               CAST(1000 - floor(1000 * (${cosineSql("d1.v", "c2.v2")}) + 0.5) AS BIGINT)) AS dm
+             FROM d1, c2),
+      c3 AS (SELECT vec_id AS id3, v AS v3, dm AS pd3 FROM d2 ORDER BY dm DESC, vec_id LIMIT 1),
+      d3 AS (SELECT d2.vec_id, least(d2.dm,
+               CAST(1000 - floor(1000 * (${cosineSql("d2.v", "c3.v3")}) + 0.5) AS BIGINT)) AS dm
+             FROM d2, c3),
+      cov1 AS (SELECT max(dm) AS mx, CAST(sum(dm) AS BIGINT) AS sm, CAST(count(*) AS BIGINT) AS nn FROM d1),
+      cov2 AS (SELECT max(dm) AS mx, CAST(sum(dm) AS BIGINT) AS sm, CAST(count(*) AS BIGINT) AS nn FROM d2),
+      cov3 AS (SELECT max(dm) AS mx, CAST(sum(dm) AS BIGINT) AS sm, CAST(count(*) AS BIGINT) AS nn FROM d3)
+      SELECT * FROM (
+        SELECT CAST(1 AS BIGINT) AS sel_rank, id1 AS sel_vec_id,
+               CAST(0 AS BIGINT) AS picked_dist_milli,
+               mx AS cover_max_milli, CAST(sm // nn AS BIGINT) AS cover_mean_milli
+        FROM c1, cov1
+        UNION ALL SELECT CAST(2 AS BIGINT), id2, pd2, mx, CAST(sm // nn AS BIGINT) FROM c2, cov2
+        UNION ALL SELECT CAST(3 AS BIGINT), id3, pd3, mx, CAST(sm // nn AS BIGINT) FROM c3, cov3)
+      ORDER BY sel_rank"""),
+      (s, d) => {
+        def dm(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+          (lit(1000) - floor(lit(1000) * Similarity.cosine(a, b) + lit(0.5)))
+            .cast("long")
+        val e = t(s, d, "embeddings")
+          .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+        val c1 = e.filter(col("vec_id") === 0)
+          .select(col("vec_id").as("id1"), col("v").as("v1"))
+        val d1 = e.crossJoin(broadcast(c1))
+          .select(col("vec_id"), col("v"), dm(col("v"), col("v1")).as("dm"))
+        val c2 = d1.orderBy(col("dm").desc, col("vec_id")).limit(1)
+          .select(col("vec_id").as("id2"), col("v").as("v2"), col("dm").as("pd2"))
+        val d2 = d1.crossJoin(broadcast(c2))
+          .select(col("vec_id"), col("v"),
+            least(col("dm"), dm(col("v"), col("v2"))).as("dm"))
+        val c3 = d2.orderBy(col("dm").desc, col("vec_id")).limit(1)
+          .select(col("vec_id").as("id3"), col("v").as("v3"), col("dm").as("pd3"))
+        val d3 = d2.crossJoin(broadcast(c3))
+          .select(col("vec_id"),
+            least(col("dm"), dm(col("v"), col("v3"))).as("dm"))
+        def cov(df: org.apache.spark.sql.DataFrame) =
+          df.agg(max("dm").as("mx"), sum("dm").cast("long").as("sm"),
+            count(lit(1)).as("nn"))
+        val r1 = c1.crossJoin(cov(d1)).select(lit(1L).as("sel_rank"),
+          col("id1").as("sel_vec_id"), lit(0L).as("picked_dist_milli"),
+          col("mx").as("cover_max_milli"), expr("div(sm, nn)").as("cover_mean_milli"))
+        val r2 = c2.crossJoin(cov(d2)).select(lit(2L).as("sel_rank"),
+          col("id2").as("sel_vec_id"), col("pd2").as("picked_dist_milli"),
+          col("mx").as("cover_max_milli"), expr("div(sm, nn)").as("cover_mean_milli"))
+        val r3 = c3.crossJoin(cov(d3)).select(lit(3L).as("sel_rank"),
+          col("id3").as("sel_vec_id"), col("pd3").as("picked_dist_milli"),
+          col("mx").as("cover_max_milli"), expr("div(sm, nn)").as("cover_mean_milli"))
+        r1.union(r2).union(r3).orderBy("sel_rank")
+      }),
+
+    // CLUSTER↔LABEL PURITY: assign every vector to its nearest
+    // centroid (the q_embed_ann_ivf_kmeans coarse quantizer — same
+    // ivfAssign, same 6-decimal tie discipline) and census each cell
+    // against the ground-truth label column: members, distinct
+    // labels, majority label, purity permille. With --embed=planted
+    // lakes this is the clustering-quality readout (planted clusters
+    // ⇒ high purity); on the gaussian null it flags that "cells" are
+    // arbitrary Voronoi shards (purity ≈ 1/|labels|). Scale shape:
+    // assignment is a narrow per-row argmax over driver-inlined
+    // centroids (no join, no shuffle); the census is two tiny
+    // aggregates over (cell,label) — output is bounded by k·|labels|.
+    QDef("q_cluster_label_purity", Some(s"""
+      WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      cent AS (SELECT vec_id AS cell, v AS centv FROM e WHERE vec_id < 8),
+      scored AS (SELECT e.vec_id AS cid, e.label, cent.cell,
+          round(${cosineSql("e.v", "cent.centv")}, 6) AS cs
+        FROM e CROSS JOIN cent),
+      assigned AS (SELECT cid, label, cell FROM scored
+        QUALIFY row_number() OVER (PARTITION BY cid ORDER BY cs DESC, cell) = 1),
+      lc AS (SELECT cell, label, CAST(count(*) AS BIGINT) AS c
+             FROM assigned GROUP BY cell, label),
+      top AS (SELECT cell, CAST(label AS BIGINT) AS top_label, c AS top_n FROM lc
+        QUALIFY row_number() OVER (PARTITION BY cell ORDER BY c DESC, label) = 1),
+      tot AS (SELECT cell, CAST(sum(c) AS BIGINT) AS n_members,
+                     CAST(count(*) AS BIGINT) AS n_labels FROM lc GROUP BY cell)
+      SELECT tot.cell, n_members, n_labels, top_label, top_n,
+             CAST((1000 * top_n) // n_members AS BIGINT) AS purity_permille
+      FROM tot JOIN top USING (cell) ORDER BY cell"""),
+      (s, d) => {
+        val e = t(s, d, "embeddings")
+          .select(col("vec_id"), col("label"), col("embedding").as("v"))
+        val corpus = e.select(col("vec_id").as("cid"), col("label"),
+          col("v").as("cv"))
+        val centroids = e.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("cell"), col("v").as("centv"))
+        val lc = Similarity.ivfAssign(corpus, centroids)
+          .groupBy("cell", "label").agg(count(lit(1)).as("c"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("cell").orderBy(col("c").desc, col("label"))
+        val top = lc.withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select(col("cell"), col("label").cast("long").as("top_label"),
+            col("c").as("top_n"))
+        val tot = lc.groupBy("cell")
+          .agg(sum("c").cast("long").as("n_members"),
+            count(lit(1)).as("n_labels"))
+        tot.join(top, "cell")
+          .select(col("cell"), col("n_members"), col("n_labels"),
+            col("top_label"), col("top_n"),
+            expr("div(1000 * top_n, n_members)").as("purity_permille"))
+          .orderBy("cell")
       })
   )
 

@@ -2607,6 +2607,109 @@ object TextQueries {
           .filter(col("doc_a") =!= col("doc_b"))
           .select(col("doc_a"), col("doc_b"), col("boundary"))
           .orderBy("doc_a", "doc_b")
+      }),
+
+    // BPE MERGE TRAINING, 3 unrolled steps (Sennrich et al. 2016):
+    // the tokenizer-training loop itself, not just the pair census
+    // q_bpe_pair_count takes. Each step counts adjacent unit pairs
+    // over the space-separated character sequences of the WORD VOCAB
+    // (weighted by word frequency), merges the (count desc, pair asc)
+    // winner everywhere, and repeats on the merged sequences. Merge
+    // application is boundary-guarded leftmost non-overlapping
+    // `replace` — identical scan semantics in both engines; inside a
+    // run of 3+ identical units the leftmost pair wins and the scan
+    // resumes AFTER it (alternate-pair variant of reference BPE,
+    // deterministic and engine-identical; documented, not hidden).
+    // Scale shape: the corpus is touched ONCE (the word count); all
+    // three merge rounds run over the vocab table, which is
+    // Heaps-law-sublinear in corpus size, and each winner is a
+    // broadcast 1-row scalar. ASCII corpus contract: '(.)' strides
+    // one codepoint identically under Java regex and RE2 here.
+    QDef("q_bpe_merge_unrolled", Some("""
+      WITH tk AS (SELECT unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS tok FROM documents),
+      w0 AS (SELECT tok, CAST(count(*) AS BIGINT) AS n FROM tk GROUP BY tok),
+      s0 AS (SELECT rtrim(regexp_replace(tok, '(.)', '\1 ', 'g')) AS seq, n FROM w0),
+      p1 AS (SELECT pair, CAST(sum(n) AS BIGINT) AS cnt FROM (
+               SELECT n, unnest(list_transform(range(1, len(u)), i -> u[i] || ' ' || u[i+1])) AS pair
+               FROM (SELECT string_split(seq, ' ') AS u, n FROM s0)) GROUP BY pair),
+      m1 AS (SELECT pair, cnt FROM p1 ORDER BY cnt DESC, pair LIMIT 1),
+      s1 AS (SELECT trim(replace(' ' || seq || ' ', ' ' || m1.pair || ' ',
+               ' ' || replace(m1.pair, ' ', '') || ' ')) AS seq, n FROM s0, m1),
+      p2 AS (SELECT pair, CAST(sum(n) AS BIGINT) AS cnt FROM (
+               SELECT n, unnest(list_transform(range(1, len(u)), i -> u[i] || ' ' || u[i+1])) AS pair
+               FROM (SELECT string_split(seq, ' ') AS u, n FROM s1)) GROUP BY pair),
+      m2 AS (SELECT pair, cnt FROM p2 ORDER BY cnt DESC, pair LIMIT 1),
+      s2 AS (SELECT trim(replace(' ' || seq || ' ', ' ' || m2.pair || ' ',
+               ' ' || replace(m2.pair, ' ', '') || ' ')) AS seq, n FROM s1, m2),
+      p3 AS (SELECT pair, CAST(sum(n) AS BIGINT) AS cnt FROM (
+               SELECT n, unnest(list_transform(range(1, len(u)), i -> u[i] || ' ' || u[i+1])) AS pair
+               FROM (SELECT string_split(seq, ' ') AS u, n FROM s2)) GROUP BY pair),
+      m3 AS (SELECT pair, cnt FROM p3 ORDER BY cnt DESC, pair LIMIT 1)
+      SELECT * FROM (
+        SELECT CAST(1 AS BIGINT) AS step, pair, cnt FROM m1
+        UNION ALL SELECT CAST(2 AS BIGINT), pair, cnt FROM m2
+        UNION ALL SELECT CAST(3 AS BIGINT), pair, cnt FROM m3)
+      ORDER BY step"""),
+      (s, d) => {
+        val w0 = t(s, d, "documents")
+          .select(explode(TA.tokens(col("text"))).as("tok"))
+          .groupBy("tok").agg(count(lit(1)).as("n"))
+        var seqDf = w0.select(
+          rtrim(regexp_replace(col("tok"), "(.)", "$1 ")).as("seq"), col("n"))
+        val steps = (1 to 3).map { k =>
+          val top = seqDf
+            .select(col("n"), split(col("seq"), " ").as("u"))
+            .filter(size(col("u")) >= 2)
+            .select(col("n"), explode(
+              expr("transform(sequence(0, size(u) - 2), i -> concat(u[i], ' ', u[i+1]))"))
+              .as("pair"))
+            .groupBy("pair").agg(sum("n").cast(LongType).as("cnt"))
+            .orderBy(col("cnt").desc, col("pair")).limit(1)
+          seqDf = seqDf.crossJoin(broadcast(top.select(col("pair").as("mp"))))
+            .select(trim(expr(
+              "replace(concat(' ', seq, ' '), concat(' ', mp, ' '), concat(' ', replace(mp, ' ', ''), ' '))"))
+              .as("seq"), col("n"))
+          top.select(lit(k.toLong).as("step"), col("pair"), col("cnt"))
+        }
+        steps.reduce(_ union _).orderBy("step")
+      }),
+
+    // TOKEN SHANNON ENTROPY per doc — the information-density quality
+    // facet the ratio gates (q_doc_quality_ratios) and char-level
+    // Gini (q_char_gini) both miss: a doc looping one phrase has high
+    // length and normal punctuation but LOW unigram entropy.
+    // H = ln(n) − (Σ c·ln c)/n over per-doc token counts; normalized
+    // H/ln(types) rescales to [0,1] so a length-independent threshold
+    // works. One explode → (doc,tok) count → per-doc aggregate, both
+    // map-side-combined; no joins, no windows — at 100 TB this is a
+    // single linear pass. Zero-token docs are structurally absent on
+    // both sides (no tokens → no rows).
+    QDef("q_doc_entropy", Some("""
+      WITH tk AS (SELECT doc_id, unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS tok FROM documents),
+      c AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS c FROM tk GROUP BY doc_id, tok),
+      h AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n, CAST(count(*) AS BIGINT) AS n_types,
+                   sum(c * ln(CAST(c AS DOUBLE))) AS sclnc
+            FROM c GROUP BY doc_id)
+      SELECT doc_id, n AS n_tokens, n_types,
+             (round(ln(CAST(n AS DOUBLE)) - sclnc / n, 3) + 0.0) AS entropy3,
+             CASE WHEN n_types <= 1 THEN 0.0
+                  ELSE (round((ln(CAST(n AS DOUBLE)) - sclnc / n)
+                              / ln(CAST(n_types AS DOUBLE)), 3) + 0.0) END AS norm_entropy3
+      FROM h ORDER BY doc_id"""),
+      (s, d) => {
+        val c = t(s, d, "documents")
+          .select(col("doc_id"), explode(TA.tokens(col("text"))).as("tok"))
+          .groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
+        c.groupBy("doc_id")
+          .agg(sum("c").cast(LongType).as("n"), count(lit(1)).as("n_types"),
+            sum(col("c") * log(col("c").cast("double"))).as("sclnc"))
+          .select(col("doc_id"), col("n").as("n_tokens"), col("n_types"),
+            round(log(col("n").cast("double")) - col("sclnc") / col("n"), 3)
+              .as("entropy3"),
+            when(col("n_types") <= 1, lit(0.0))
+              .otherwise(round((log(col("n").cast("double")) - col("sclnc") / col("n"))
+                / log(col("n_types").cast("double")), 3)).as("norm_entropy3"))
+          .orderBy("doc_id")
       })
   )
 }

@@ -1674,6 +1674,72 @@ object TrainPrepQueries {
               .otherwise(expr("div(1000000000 * s, ssum * share_micro)"))
               .cast(LongType).as("boost_milli"))
           .orderBy("source")
+      }),
+
+    // DSIR IMPORTANCE WEIGHTS (Data Selection via Importance
+    // Resampling, Xie et al. 2023): score every raw-pool doc by how
+    // much more likely its hashed-bigram profile is under the TARGET
+    // distribution (the doc_id%50=0 eval slice, the same stand-in
+    // q_decontam_ngram uses) than under the raw pool itself.
+    // log w(d) = Σ_b n_db·[ln(ct_b+1) − ln(cr_b+1)]
+    //         + n_d·[ln(Nr+B) − ln(Nt+B)]   (add-1 over B=256 buckets)
+    // Bigrams hash through the shared md5-byte discipline
+    // (q_feature_hashing), so both engines bucket identically. Scale
+    // shape: the two bucket-count tables are ≤256 rows — the
+    // log-ratio table BROADCASTS; the corpus path is explode → two
+    // map-side-combined aggregates (doc×bucket, then doc) → one
+    // broadcast join. The corpus never shuffles on a wide key and the
+    // target slice is bounded by construction. Downstream resampling
+    // (top-p by logw3) is a TopK, deliberately not emitted here — a
+    // global rank column would force a total sort at 100 TB.
+    QDef("q_dsir_weights", Some("""
+      WITH d AS (SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS toks FROM documents),
+      bi AS (SELECT doc_id, unnest(list_transform(range(1, greatest(len(toks), 1)),
+               i -> toks[i] || ' ' || toks[i+1])) AS bg FROM d),
+      hb AS (SELECT doc_id, CAST(('0x' || substr(md5('ds1|' || bg), 1, 2)) AS INTEGER) AS bucket FROM bi),
+      tc AS (SELECT bucket, CAST(count(*) AS BIGINT) AS ct FROM hb WHERE doc_id % 50 = 0 GROUP BY bucket),
+      rc AS (SELECT bucket, CAST(count(*) AS BIGINT) AS cr FROM hb WHERE doc_id % 50 <> 0 GROUP BY bucket),
+      nt AS (SELECT CAST(coalesce(sum(ct), 0) AS BIGINT) AS ntot FROM tc),
+      nr AS (SELECT CAST(coalesce(sum(cr), 0) AS BIGINT) AS rtot FROM rc),
+      lr AS (SELECT bucket, ln(coalesce(ct, 0) + 1.0) - ln(coalesce(cr, 0) + 1.0) AS lrb
+             FROM tc FULL JOIN rc USING (bucket)),
+      db AS (SELECT doc_id, bucket, CAST(count(*) AS BIGINT) AS ndb FROM hb
+             WHERE doc_id % 50 <> 0 GROUP BY doc_id, bucket),
+      w AS (SELECT db.doc_id, CAST(sum(ndb) AS BIGINT) AS n_feats,
+                   sum(ndb * lrb) AS lw FROM db JOIN lr USING (bucket) GROUP BY db.doc_id)
+      SELECT doc_id, n_feats,
+             (round(lw + n_feats * (ln(rtot + 256.0) - ln(ntot + 256.0)), 3) + 0.0) AS logw3
+      FROM w, nt, nr ORDER BY doc_id"""),
+      (s, d) => {
+        val docs = t(s, d, "documents")
+          .select(col("doc_id"), TA.tokens(col("text")).as("toks"))
+        val hb = docs
+          .select(col("doc_id"), explode(NearDup.shingleExpr("toks", 2)).as("bg"))
+          .select(col("doc_id"),
+            conv(substring(md5(concat(lit("ds1|"), col("bg"))), 1, 2), 16, 10)
+              .cast(IntegerType).as("bucket"))
+        val tc = hb.filter(col("doc_id") % 50 === 0)
+          .groupBy("bucket").agg(count(lit(1)).as("ct"))
+        val rc = hb.filter(col("doc_id") % 50 =!= 0)
+          .groupBy("bucket").agg(count(lit(1)).as("cr"))
+        val lr = tc.join(rc, Seq("bucket"), "full")
+          .select(col("bucket"),
+            (log(coalesce(col("ct"), lit(0L)) + lit(1.0))
+              - log(coalesce(col("cr"), lit(0L)) + lit(1.0))).as("lrb"))
+        val nt = tc.agg(coalesce(sum("ct"), lit(0L)).cast(LongType).as("ntot"))
+        val nr = rc.agg(coalesce(sum("cr"), lit(0L)).cast(LongType).as("rtot"))
+        val db = hb.filter(col("doc_id") % 50 =!= 0)
+          .groupBy("doc_id", "bucket").agg(count(lit(1)).as("ndb"))
+        db.join(broadcast(lr), "bucket")
+          .groupBy("doc_id")
+          .agg(sum("ndb").cast(LongType).as("n_feats"),
+            sum(col("ndb") * col("lrb")).as("lw"))
+          .crossJoin(broadcast(nt)).crossJoin(broadcast(nr))
+          .select(col("doc_id"), col("n_feats"),
+            round(col("lw") + col("n_feats")
+              * (log(col("rtot") + lit(256.0)) - log(col("ntot") + lit(256.0))), 3)
+              .as("logw3"))
+          .orderBy("doc_id")
       })
   )
 }
