@@ -2674,6 +2674,134 @@ object TextQueries {
         steps.reduce(_ union _).orderBy("step")
       }),
 
+    // INTERPOLATED KNESER–NEY BIGRAM LM (Kneser & Ney 1995, fixed
+    // discount D=0.75): the classic n-gram LM estimator — what
+    // q_doc_lm_score's raw-frequency proxy graduates into. For each
+    // bigram: p(w2|w1) = (c−D)/c(w1) + D·N1+(w1,·)/c(w1) · p_cont(w2)
+    // with continuation probability p_cont = N1+(·,w2)/|bigram types|.
+    // Output: the global top-20 bigrams by probability, micro-
+    // quantized BEFORE ranking so ties break identically cross-engine.
+    // Scale shape: every table is a map-side-combined aggregate keyed
+    // on w1 / w2 / the bigram; the joins are linear equi-joins on
+    // those keys; the type total is a broadcast scalar; the final
+    // top-20 is a TakeOrdered, never a global sort.
+    QDef("q_kn_bigram_lm", Some("""
+      WITH d AS (SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS toks FROM documents),
+      bi AS (SELECT unnest(list_transform(range(1, greatest(len(toks), 1)),
+               i -> toks[i] || ' ' || toks[i+1])) AS bg FROM d),
+      bc AS (SELECT split_part(bg, ' ', 1) AS w1, split_part(bg, ' ', 2) AS w2,
+                    CAST(count(*) AS BIGINT) AS c FROM bi GROUP BY 1, 2),
+      ctx AS (SELECT w1, CAST(sum(c) AS BIGINT) AS cw1 FROM bc GROUP BY w1),
+      fan AS (SELECT w1, CAST(count(*) AS BIGINT) AS n1f FROM bc GROUP BY w1),
+      hist AS (SELECT w2, CAST(count(*) AS BIGINT) AS n1h FROM bc GROUP BY w2),
+      tt AS (SELECT CAST(count(*) AS BIGINT) AS types FROM bc),
+      p AS (SELECT w1, w2, c,
+              CAST(floor(((c - 0.75) / cw1
+                + 0.75 * n1f / cw1 * (CAST(n1h AS DOUBLE) / types)) * 1000000 + 0.5)
+                AS BIGINT) AS p_micro
+            FROM bc JOIN ctx USING (w1) JOIN fan USING (w1) JOIN hist USING (w2), tt)
+      SELECT w1, w2, c, p_micro FROM p
+      ORDER BY p_micro DESC, w1, w2 LIMIT 20"""),
+      (s, d) => {
+        val bi = t(s, d, "documents")
+          .select(TA.tokens(col("text")).as("toks"))
+          .select(explode(NearDup.shingleExpr("toks", 2)).as("bg"))
+        val bc = bi
+          .select(substring_index(col("bg"), " ", 1).as("w1"),
+            substring_index(col("bg"), " ", -1).as("w2"))
+          .groupBy("w1", "w2").agg(count(lit(1)).as("c"))
+        val ctx = bc.groupBy("w1").agg(sum("c").cast(LongType).as("cw1"))
+        val fan = bc.groupBy("w1").agg(count(lit(1)).as("n1f"))
+        val hist = bc.groupBy("w2").agg(count(lit(1)).as("n1h"))
+        val tt = bc.agg(count(lit(1)).as("types"))
+        bc.join(ctx, "w1").join(fan, "w1").join(hist, "w2")
+          .crossJoin(broadcast(tt))
+          .select(col("w1"), col("w2"), col("c"),
+            floor(((col("c") - lit(0.75)) / col("cw1")
+              + lit(0.75) * col("n1f") / col("cw1")
+                * (col("n1h").cast("double") / col("types"))) * lit(1000000)
+              + lit(0.5)).cast(LongType).as("p_micro"))
+          .orderBy(col("p_micro").desc, col("w1"), col("w2")).limit(20)
+      }),
+
+    // EXACT-SUBSTRING DUPLICATE-SPAN CENSUS (the ExactSubstr dedup of
+    // Lee et al. 2022 at 8-token granularity): positions whose 8-token
+    // window occurs MORE THAN ONCE in the corpus are duplicated;
+    // overlapping duplicated windows merge into maximal spans
+    // (interval merge, not position islands — islands would double-
+    // count tokens when two dup positions sit < 8 apart). Per doc with
+    // any dup span: span count, longest span, duplicated token mass,
+    // permille of the doc that is copy. This is the span-level answer
+    // q_doc_dup_ngram_mass's per-shingle mass can't give — "HOW LONG
+    // are the copied stretches". Scale shape: window-occurrence counts
+    // are one map-side-combined aggregate on md5(window); the join
+    // back is a linear equi-join; the merge windows run per doc over
+    // DUP positions only. At 100 TB the occurrence table shuffles on
+    // the hash key — linear, and exactly what ExactSubstr's suffix
+    // array replaces when spans must be arbitrary-length.
+    QDef("q_dup_span_census", Some("""
+      WITH d AS (SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS toks FROM documents),
+      sh AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens, i AS pos,
+               md5(toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3]
+                 || ' ' || toks[i+4] || ' ' || toks[i+5] || ' ' || toks[i+6] || ' ' || toks[i+7]) AS h
+             FROM d, unnest(range(1, greatest(len(toks) - 6, 1))) AS r(i)),
+      occ AS (SELECT h FROM sh GROUP BY h HAVING count(*) > 1),
+      dp AS (SELECT doc_id, n_tokens, pos AS s, pos + 7 AS e FROM sh JOIN occ USING (h)),
+      mk AS (SELECT doc_id, n_tokens, s, e,
+               CASE WHEN max(e) OVER (PARTITION BY doc_id ORDER BY s
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+                    OR s > max(e) OVER (PARTITION BY doc_id ORDER BY s
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                    THEN 1 ELSE 0 END AS brk
+             FROM dp),
+      isl AS (SELECT doc_id, n_tokens, s, e,
+               sum(brk) OVER (PARTITION BY doc_id ORDER BY s
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+              FROM mk),
+      sp AS (SELECT doc_id, n_tokens, island,
+               CAST(max(e) - min(s) + 1 AS BIGINT) AS span_tokens
+             FROM isl GROUP BY doc_id, n_tokens, island)
+      SELECT doc_id, n_tokens, CAST(count(*) AS BIGINT) AS n_spans,
+             CAST(max(span_tokens) AS BIGINT) AS longest_span,
+             CAST(sum(span_tokens) AS BIGINT) AS dup_tokens,
+             CAST((1000 * sum(span_tokens)) // n_tokens AS BIGINT) AS dup_permille
+      FROM sp GROUP BY doc_id, n_tokens ORDER BY doc_id"""),
+      (s, d) => {
+        val docs = t(s, d, "documents")
+          .select(col("doc_id"), TA.tokens(col("text")).as("toks"))
+        val sh = docs
+          .select(col("doc_id"), size(col("toks")).cast(LongType).as("n_tokens"),
+            posexplode(NearDup.shingleExpr("toks", 8)))
+          .select(col("doc_id"), col("n_tokens"),
+            (col("pos") + 1).cast(LongType).as("pos"), md5(col("col")).as("h"))
+        val occ = sh.groupBy("h").agg(count(lit(1)).as("occ"))
+          .filter(col("occ") > 1).select("h")
+        val dp = sh.join(occ, "h")
+          .select(col("doc_id"), col("n_tokens"), col("pos").as("s"),
+            (col("pos") + 7).as("e"))
+        val wPrev = org.apache.spark.sql.expressions.Window
+          .partitionBy("doc_id").orderBy("s")
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+        val wRun = org.apache.spark.sql.expressions.Window
+          .partitionBy("doc_id").orderBy("s")
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+        val isl = dp
+          .withColumn("pmax", max("e").over(wPrev))
+          .withColumn("brk",
+            when(col("pmax").isNull || col("s") > col("pmax"), 1L).otherwise(0L))
+          .withColumn("island", sum("brk").over(wRun))
+        val sp = isl.groupBy("doc_id", "n_tokens", "island")
+          .agg((max("e") - min("s") + 1).cast(LongType).as("span_tokens"))
+        sp.groupBy("doc_id", "n_tokens")
+          .agg(count(lit(1)).as("n_spans"),
+            max("span_tokens").as("longest_span"),
+            sum("span_tokens").cast(LongType).as("dup_tokens"))
+          .select(col("doc_id"), col("n_tokens"), col("n_spans"),
+            col("longest_span"), col("dup_tokens"),
+            expr("div(1000 * dup_tokens, n_tokens)").as("dup_permille"))
+          .orderBy("doc_id")
+      }),
+
     // TOKEN SHANNON ENTROPY per doc — the information-density quality
     // facet the ratio gates (q_doc_quality_ratios) and char-level
     // Gini (q_char_gini) both miss: a doc looping one phrase has high

@@ -1676,6 +1676,73 @@ object TrainPrepQueries {
           .orderBy("source")
       }),
 
+    // QUALITY-CLASSIFIER TRAINING, 2 unrolled full-batch GD steps:
+    // logistic regression (en-vs-rest on [1, chars/1000, tokens/100])
+    // trained INSIDE the engine — the fastText-style quality-
+    // classifier fit as pure aggregates, no ML runtime. From w=0
+    // (where sigmoid is exactly 0.5), each step is one mean-gradient
+    // aggregate + a broadcast weight update; the readout is the
+    // post-step-2 weights and mean log-loss. Deterministic: fixed
+    // feature scalings (never data-dependent), lr=1, and every
+    // per-doc term is the same IEEE expression on both engines,
+    // rounded AFTER the final aggregate. Scale shape: 3 linear
+    // passes over docs (gradient, gradient, loss), each one
+    // map-side-combined aggregate; weights travel as broadcast
+    // 1-row scalars. No shuffle at any width.
+    QDef("q_logreg_gd_steps", Some("""
+      WITH f AS (SELECT CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y,
+                        n_chars / 1000.0 AS x2,
+                        len(list_filter(string_split(text, ' '), t -> t <> '')) / 100.0 AS x3
+                 FROM documents),
+      g0 AS (SELECT count(*) AS n,
+                    sum(0.5 - y) / count(*) AS g1,
+                    sum(x2 * (0.5 - y)) / count(*) AS g2,
+                    sum(x3 * (0.5 - y)) / count(*) AS g3 FROM f),
+      w1 AS (SELECT n, -g1 AS a1, -g2 AS a2, -g3 AS a3 FROM g0),
+      g1s AS (SELECT n, a1, a2, a3,
+                sum(1.0 / (1.0 + exp(-(a1 + a2 * x2 + a3 * x3))) - y) / n AS h1,
+                sum(x2 * (1.0 / (1.0 + exp(-(a1 + a2 * x2 + a3 * x3))) - y)) / n AS h2,
+                sum(x3 * (1.0 / (1.0 + exp(-(a1 + a2 * x2 + a3 * x3))) - y)) / n AS h3
+              FROM f, w1 GROUP BY n, a1, a2, a3),
+      w2 AS (SELECT n, a1 - h1 AS b1, a2 - h2 AS b2, a3 - h3 AS b3 FROM g1s),
+      ls AS (SELECT n, b1, b2, b3,
+               sum(-(y * ln(1.0 / (1.0 + exp(-(b1 + b2 * x2 + b3 * x3))))
+                 + (1.0 - y) * ln(1.0 - 1.0 / (1.0 + exp(-(b1 + b2 * x2 + b3 * x3)))))) / n AS loss
+             FROM f, w2 GROUP BY n, b1, b2, b3)
+      SELECT CAST(n AS BIGINT) AS n_docs,
+             (round(b1, 4) + 0.0) AS w_bias4, (round(b2, 4) + 0.0) AS w_chars4,
+             (round(b3, 4) + 0.0) AS w_tokens4, (round(loss, 4) + 0.0) AS loss4
+      FROM ls"""),
+      (s, d) => {
+        val f = t(s, d, "documents")
+          .select(when(col("lang") === "en", lit(1.0)).otherwise(lit(0.0)).as("y"),
+            (col("n_chars") / lit(1000.0)).as("x2"),
+            (size(TA.tokens(col("text"))) / lit(100.0)).as("x3"))
+        val g0 = f.agg(count(lit(1)).as("n"),
+          (sum(lit(0.5) - col("y")) / count(lit(1))).as("g1"),
+          (sum(col("x2") * (lit(0.5) - col("y"))) / count(lit(1))).as("g2"),
+          (sum(col("x3") * (lit(0.5) - col("y"))) / count(lit(1))).as("g3"))
+        val w1 = g0.select(col("n"), (-col("g1")).as("a1"),
+          (-col("g2")).as("a2"), (-col("g3")).as("a3"))
+        def sig(z: org.apache.spark.sql.Column) =
+          lit(1.0) / (lit(1.0) + exp(-z))
+        val fw1 = f.crossJoin(broadcast(w1))
+        val z1 = col("a1") + col("a2") * col("x2") + col("a3") * col("x3")
+        val g1s = fw1.groupBy("n", "a1", "a2", "a3")
+          .agg((sum(sig(z1) - col("y")) / col("n")).as("h1"),
+            (sum(col("x2") * (sig(z1) - col("y"))) / col("n")).as("h2"),
+            (sum(col("x3") * (sig(z1) - col("y"))) / col("n")).as("h3"))
+        val w2 = g1s.select(col("n"), (col("a1") - col("h1")).as("b1"),
+          (col("a2") - col("h2")).as("b2"), (col("a3") - col("h3")).as("b3"))
+        val z2 = col("b1") + col("b2") * col("x2") + col("b3") * col("x3")
+        f.crossJoin(broadcast(w2)).groupBy("n", "b1", "b2", "b3")
+          .agg((sum(-(col("y") * log(sig(z2))
+            + (lit(1.0) - col("y")) * log(lit(1.0) - sig(z2)))) / col("n")).as("loss"))
+          .select(col("n").cast(LongType).as("n_docs"),
+            round(col("b1"), 4).as("w_bias4"), round(col("b2"), 4).as("w_chars4"),
+            round(col("b3"), 4).as("w_tokens4"), round(col("loss"), 4).as("loss4"))
+      }),
+
     // DSIR IMPORTANCE WEIGHTS (Data Selection via Importance
     // Resampling, Xie et al. 2023): score every raw-pool doc by how
     // much more likely its hashed-bigram profile is under the TARGET
