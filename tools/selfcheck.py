@@ -143,6 +143,14 @@ def main():
     # selfcheck can run alongside a timed Bench without polluting it.
     if os.environ.get("GRAFT_DUCKDB_THREADS"):
         con.execute(f"PRAGMA threads={int(os.environ['GRAFT_DUCKDB_THREADS'])}")
+    # GRAFT_DUCKDB_MEMLIMIT (e.g. "48GB") bounds the oracle so a big-SF
+    # embedding CROSS JOIN spills instead of tripping the kernel OOM
+    # killer into a concurrently-running Verify/Bench JVM (bitten at
+    # sf10 in r15: an unbounded DuckDB grew to ~90 GB next to a 64 GB
+    # Spark heap and the kernel shot the JVM).
+    if os.environ.get("GRAFT_DUCKDB_MEMLIMIT"):
+        con.execute(
+            f"PRAGMA memory_limit='{os.environ['GRAFT_DUCKDB_MEMLIMIT']}'")
     for t in TABLES:
         p = f"{sf_dir}/{t}.parquet"
         if os.path.exists(p):
