@@ -1384,7 +1384,7 @@ object SimQueries {
           .select(col("vec_id"), col("embedding").as("v"))
         val n: Long = corpusCountMemo.computeIfAbsent(
           s -> d, _ => e.count())
-        val kCells = math.max(8L, n / 250L)
+        val kCells = Similarity.ivfCellCount(n)
         val corpus = e.select(col("vec_id").as("cid"), col("v").as("cv"))
         val centroids = e.filter(col("vec_id") < kCells)
           .select(col("vec_id").as("cell"), col("v").as("centv"))
@@ -2159,7 +2159,7 @@ object SimQueries {
   private def annPairCtes: String = s"""
       e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
       cent AS (SELECT vec_id AS cell, v AS centv FROM e
-               WHERE vec_id < (SELECT greatest(8, count(*) // 250) FROM e)),
+               WHERE vec_id < (SELECT least(greatest(8, count(*) // 250), 2048) FROM e)),
       scored AS (SELECT e.vec_id AS cid, e.v AS cv, cent.cell,
         round(${cosineSql("e.v", "cent.centv")}, 6) AS cs
         FROM e CROSS JOIN cent),
@@ -2213,7 +2213,7 @@ object SimQueries {
       .select(col("vec_id"), col("embedding").as("v"))
     val n: Long = corpusCountMemo.computeIfAbsent(
       s -> d, _ => e.count())
-    val kCells = math.max(8L, n / 250L)
+    val kCells = Similarity.ivfCellCount(n)
     val corpus = e.select(col("vec_id").as("cid"), col("v").as("cv"))
     val centroids = e.filter(col("vec_id") < kCells)
       .select(col("vec_id").as("cell"), col("v").as("centv"))

@@ -162,6 +162,27 @@ object Similarity {
     * @param corpus    (cid, cv) full collection
     * @param centroids (cell, centv) small — collected to the driver
     */
+  /** Hard ceiling on the scaled IVF cell count. The engine sizes
+    * cells as N/250 so the per-cell candidate set stays constant —
+    * but that makes ASSIGNMENT cost N·k = N²/250, and the r15
+    * sf1→sf10 decade sweep measured exactly that curve live
+    * (q_ann_cell_balance 75.7× on 10× data; the dedup/semdedup ANN
+    * family 16–28×). The cap bounds the quadratic: beyond
+    * N = 250·IvfCellCap ≈ 512k vectors, assignment is N·2048 —
+    * linear with a stated constant — and cell SIZE grows ∝N instead
+    * (a search-cost trade the scaladoc of annPairsDf documents).
+    * Inert at every tested SF ≤ sf10 (200k vectors), so existing
+    * oracle artifacts stay valid; IvfCellCapSpec pins the arithmetic
+    * on both sides of the boundary. The real 100 TB fix is
+    * hierarchical (two-level) assignment — ADVICE.md r15. */
+  val IvfCellCap = 2048L
+
+  /** Scaled IVF cell count for an N-vector corpus: max(8, N/250)
+    * capped at [[IvfCellCap]]. The ONE formula both the Spark
+    * builders and the DuckDB oracle SQL must mirror. */
+  def ivfCellCount(n: Long): Long =
+    math.max(8L, math.min(n / 250L, IvfCellCap))
+
   def ivfAssign(corpus: DataFrame, centroids: DataFrame,
                 inlineThreshold: Int = CentroidInlineThreshold): DataFrame =
     corpus
