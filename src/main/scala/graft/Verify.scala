@@ -164,9 +164,17 @@ object Verify {
     // uses). A driver-red becomes a byte-diff against <name>.rows.txt
     // instead of a per-round re-guess. Best-effort: if the host lacks
     // python3+duckdb the dump is skipped, never fails the run.
+    // GRAFT_SKIP_ROWS_DUMP=1 gates the tail off entirely for big-SF
+    // runs (r15: the single-threaded pass ran 40+ min at sf10 and was
+    // killed by hand — the forensic artifact is a small-SF debugging
+    // aid, not part of the gate itself, whose hashes selfcheck.py
+    // recomputes independently). When it does run, dump_rows.py now
+    // fans out across processes (see its scaladoc).
     val dumped = SparkEntry.queries.keys
       .filter(n => (only.isEmpty || only(n)) && !errors.contains(n)).toSeq.sorted
-    if (dumped.nonEmpty) {
+    if (sys.env.get("GRAFT_SKIP_ROWS_DUMP").exists(_.nonEmpty)) {
+      System.err.println("[verify] rows dump skipped (GRAFT_SKIP_ROWS_DUMP set)")
+    } else if (dumped.nonEmpty) {
       val res = execOut(("python3" +: "tools/dump_rows.py" +: outDir +: dumped): _*)
       if (res.startsWith("<")) System.err.println(s"[verify] rows dump skipped: $res")
     }

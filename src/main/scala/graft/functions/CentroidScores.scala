@@ -57,6 +57,14 @@ case class CentroidScores(child: Expression, cells: IndexedSeq[Long],
 
   override def prettyName: String = "centroid_scores"
 
+  /** Plan prints summarize the matrix instead of dumping k·dim
+    * doubles (k=800 at sf10 is ~1 MB of text per EXPLAIN).
+    * Canonicalization/equality still use the full case-class
+    * product, so semantic dedup is unaffected. */
+  override def stringArgs: Iterator[Any] =
+    Iterator(child, s"k=${cells.length}",
+      s"dim=${centroids.head.length}")
+
   override def dataType: DataType = ArrayType(StructType(Seq(
     StructField("cs", DoubleType, nullable = true),
     StructField("negCell", LongType, nullable = false))),

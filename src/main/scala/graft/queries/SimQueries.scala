@@ -2037,7 +2037,13 @@ object SimQueries {
     // Scale shape: each round is one broadcast-scalar crossJoin + a
     // narrow per-row min + a TakeOrdered(1) — k linear passes, no
     // shuffle wider than the 1-row picks; the honest FPS cost is k·N
-    // and that is exactly what the plan spends.
+    // and that is exactly what the plan spends. The Spark side
+    // PERSISTS each round's min-dist table (d1, d2): every dᵏ is
+    // read by three consumers (the next pick, the next dᵏ⁺¹, its cov
+    // aggregate), and without the persist the k-pass bound would
+    // hinge on ReuseExchange deduping nested subtrees (dᵏ recomputes
+    // dᵏ⁻¹ recursively — k² passes if the dedup misses). ~N rows ×
+    // (id, vec, dist) per round, MEMORY_AND_DISK, spill-safe.
     QDef("q_coreset_fps", Some(s"""
       WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
       c1 AS (SELECT vec_id AS id1, v AS v1 FROM e WHERE vec_id = 0),
@@ -2073,11 +2079,13 @@ object SimQueries {
           .select(col("vec_id").as("id1"), col("v").as("v1"))
         val d1 = e.crossJoin(broadcast(c1))
           .select(col("vec_id"), col("v"), dm(col("v"), col("v1")).as("dm"))
+          .persist()
         val c2 = d1.orderBy(col("dm").desc, col("vec_id")).limit(1)
           .select(col("vec_id").as("id2"), col("v").as("v2"), col("dm").as("pd2"))
         val d2 = d1.crossJoin(broadcast(c2))
           .select(col("vec_id"), col("v"),
             least(col("dm"), dm(col("v"), col("v2"))).as("dm"))
+          .persist()
         val c3 = d2.orderBy(col("dm").desc, col("vec_id")).limit(1)
           .select(col("vec_id").as("id3"), col("v").as("v3"), col("dm").as("pd3"))
         val d3 = d2.crossJoin(broadcast(c3))
@@ -2152,19 +2160,62 @@ object SimQueries {
       })
   )
 
-  /** IVF-celled embedding near-dup pair CTEs (`e` → `cent` → `scored`
-    * → `assigned` → `p(vec_a, vec_b, sim3)`) — ONE copy, shared by
-    * the pair query and the semantic-cluster oracle so the two
-    * cannot desync. */
+  /** IVF-celled embedding near-dup pair CTEs (`e` → `assigned` →
+    * `p(vec_a, vec_b, sim3)`) — ONE copy, shared by every ANN-pair
+    * oracle so they cannot desync, and the relational mirror of
+    * [[graft.sim.Similarity.ivfAssign]]'s r16 TWO-LEVEL assignment.
+    * Both constants interpolate from Similarity (the r15 ADVICE
+    * desync hazard): k = least(greatest(8, N//250), IvfCellCap);
+    * below IvfHierCutover the flat branch (`af`) assigns exactly as
+    * pre-r16 (tested small SFs resolve k=8 → bit-identical
+    * artifacts); at or above it (`ah`) each vector first picks its
+    * best of m = ⌈√k⌉ meta centroids (the m smallest cell ids), then
+    * its best cell among that meta's children, where every meta is
+    * its own child and every other centroid joins its best meta —
+    * the same round-6 score and smaller-cell tiebreak at every
+    * level. Exactly one of af/ah is nonempty (af's WHERE gate;
+    * meta/cm/rowmeta are empty when m=0), so `assigned` is total
+    * either way. Oracle cost mirrors the engine's: N·2√k scoring
+    * rows instead of N·k. */
   private def annPairCtes: String = s"""
       e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      kk AS (SELECT least(greatest(8, count(*) // 250),
+                          ${Similarity.IvfCellCap}) AS k FROM e),
+      mm AS (SELECT CASE WHEN k >= ${Similarity.IvfHierCutover}
+                         THEN CAST(ceil(sqrt(CAST(k AS DOUBLE))) AS BIGINT)
+                         ELSE CAST(0 AS BIGINT) END AS m FROM kk),
       cent AS (SELECT vec_id AS cell, v AS centv FROM e
-               WHERE vec_id < (SELECT least(greatest(8, count(*) // 250), 2048) FROM e)),
-      scored AS (SELECT e.vec_id AS cid, e.v AS cv, cent.cell,
-        round(${cosineSql("e.v", "cent.centv")}, 6) AS cs
-        FROM e CROSS JOIN cent),
-      assigned AS (SELECT cid, cv, cell FROM scored
-        QUALIFY row_number() OVER (PARTITION BY cid ORDER BY cs DESC, cell) = 1),
+               WHERE vec_id < (SELECT k FROM kk)),
+      meta AS (SELECT cell AS mcell, centv AS mv FROM cent
+               WHERE cell < (SELECT m FROM mm)),
+      cm AS (SELECT cell, cell AS mcell, centv FROM cent
+             WHERE cell < (SELECT m FROM mm)
+             UNION ALL
+             SELECT cell, mcell, centv FROM (
+               SELECT cent.cell, meta.mcell, cent.centv,
+                      round(${cosineSql("cent.centv", "meta.mv")}, 6) AS cs
+               FROM cent, meta WHERE cent.cell >= (SELECT m FROM mm))
+             QUALIFY row_number() OVER (PARTITION BY cell
+               ORDER BY cs DESC, mcell) = 1),
+      rowmeta AS (SELECT cid, cv, mcell FROM (
+               SELECT e.vec_id AS cid, e.v AS cv, meta.mcell,
+                      round(${cosineSql("e.v", "meta.mv")}, 6) AS cs
+               FROM e CROSS JOIN meta)
+             QUALIFY row_number() OVER (PARTITION BY cid
+               ORDER BY cs DESC, mcell) = 1),
+      af AS (SELECT cid, cv, cell FROM (
+               SELECT e.vec_id AS cid, e.v AS cv, cent.cell,
+                      round(${cosineSql("e.v", "cent.centv")}, 6) AS cs
+               FROM e CROSS JOIN cent WHERE (SELECT m FROM mm) = 0)
+             QUALIFY row_number() OVER (PARTITION BY cid
+               ORDER BY cs DESC, cell) = 1),
+      ah AS (SELECT cid, cv, cell FROM (
+               SELECT r.cid, r.cv, cm.cell,
+                      round(${cosineSql("r.cv", "cm.centv")}, 6) AS cs
+               FROM rowmeta r JOIN cm USING (mcell))
+             QUALIFY row_number() OVER (PARTITION BY cid
+               ORDER BY cs DESC, cell) = 1),
+      assigned AS (SELECT * FROM af UNION ALL SELECT * FROM ah),
       p AS (SELECT a.cid AS vec_a, b.cid AS vec_b,
                    (round(${cosineSql("a.cv", "b.cv")}, 3) + 0.0) AS sim3
             FROM assigned a JOIN assigned b
@@ -2178,11 +2229,15 @@ object SimQueries {
     * Σ n_cell² ≈ N²/k, so a FIXED k degrades back to quadratic as N
     * grows (the r13 slope sweep measured 20× time on 10× vectors at
     * k=8) while k ∝ N pins expected cell size at ~250 vectors and
-    * the pair term at ~250·N — linear. Identical at the tested SFs
-    * (N=2000 → k=8); at sf1 k=80, still far below the
-    * CentroidInlineThreshold codegen cutover. At 100 TB the same
-    * rule gives k ≈ N/250 kmeans cells (q_embed_ann_ivf_kmeans has
-    * the trained-centroid variant) and the assigned corpus is
+    * the pair term at ~250·N — linear. And since r16 the ASSIGNMENT
+    * term stays linear too: at k ≥ IvfHierCutover, ivfAssign scores
+    * two levels (N·2√k cosines, not N·k — the r15 decade's
+    * q_ann_cell_balance 75.7× flag, killed at the root instead of
+    * frozen by the old IvfCellCap=2048, which let pairs regrow
+    * ∝N²/2048 past 512k vectors). Identical at the tested SFs
+    * (N ≤ 2000 → k=8, flat); at sf1 k=80 → m=9 metas. At 100 TB the
+    * same rule gives k ≈ N/250 kmeans cells (q_embed_ann_ivf_kmeans
+    * has the trained-centroid variant) and the assigned corpus is
     * written partitioned by cell. The N-scan to size k is one
     * column-pruned count, and the centroid rows were already a
     * driver collect by design (ivfAssign inlines them). */

@@ -1360,11 +1360,18 @@ object TextQueries {
     // computes BANDED Levenshtein with the threshold argument —
     // O(K·n) per pair instead of O(n²), the 100 TB difference — and
     // caps the emitted distance at K+1 ("beyond K"), which the
-    // oracle mirrors with least(full_distance, K+1). 1-in-13 sample
-    // bounds the within-band quadratic on this synthetic corpus.
+    // oracle mirrors with least(full_distance, K+1). The pair list is
+    // a CALIBRATION face, and its sample is a FIXED-SIZE pilot
+    // prefix (1-in-13 below PilotDocCap), not a fixed fraction: the
+    // pre-r16 %-only sample kept pairs ∝ (N/13)²/bands — 37.3×
+    // measured on the r15 sf1→sf10 decade — while the capped pilot
+    // pins the within-band quadratic at O(1) in corpus size, exactly
+    // how an edit-distance threshold is tuned before a 100 TB run
+    // (the q_dedup_eval / PilotDocCap discipline). Bit-identical at
+    // sf ≤ 0.1 (max doc_id 4999 < cap).
     QDef("q_dedup_edit_distance", Some(s"""
       WITH d AS (SELECT doc_id, text, length(text) AS ln FROM documents
-                 WHERE doc_id % 13 = 0),
+                 WHERE doc_id % 13 = 0 AND doc_id < ${NearDup.PilotDocCap}),
       blk AS (SELECT doc_id, unnest([ln // 20, ln // 20 + 1]) AS b FROM d),
       cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
                FROM blk a JOIN blk b ON a.b = b.b AND a.doc_id < b.doc_id),
@@ -1377,7 +1384,8 @@ object TextQueries {
       FROM p ORDER BY doc_a, doc_b"""),
       (s, d) => {
         val k = 20
-        val docs = t(s, d, "documents").filter(col("doc_id") % 13 === 0)
+        val docs = t(s, d, "documents").filter(col("doc_id") % 13 === 0 &&
+            col("doc_id") < NearDup.PilotDocCap)
           .select(col("doc_id"), col("text"), length(col("text")).as("ln"))
         val blk = docs.select(col("doc_id"),
           explode(array(expr(s"ln div $k"), expr(s"ln div $k + 1"))).as("b"))
@@ -2616,10 +2624,16 @@ object TextQueries {
     // (weighted by word frequency), merges the (count desc, pair asc)
     // winner everywhere, and repeats on the merged sequences. Merge
     // application is boundary-guarded leftmost non-overlapping
-    // `replace` — identical scan semantics in both engines; inside a
-    // run of 3+ identical units the leftmost pair wins and the scan
-    // resumes AFTER it (alternate-pair variant of reference BPE,
-    // deterministic and engine-identical; documented, not hidden).
+    // `replace` — identical scan semantics in both engines; because
+    // each match consumes BOTH flanking spaces, ANY space-adjacent
+    // occurrence of the winning pair is skipped, not just runs of 3+
+    // identical units: ' a b a b ' merges to 'ab a b' (the first
+    // match eats the boundary space the second needs), where
+    // reference BPE yields 'ab ab'; likewise in an 'a a a' run the
+    // leftmost pair wins and the scan resumes after it
+    // (alternate-occurrence variant of reference BPE, deterministic
+    // and engine-identical; documented, not hidden — a skipped
+    // occurrence merges on a later step that re-picks the pair).
     // Scale shape: the corpus is touched ONCE (the word count); all
     // three merge rounds run over the vocab table, which is
     // Heaps-law-sublinear in corpus size, and each winner is a

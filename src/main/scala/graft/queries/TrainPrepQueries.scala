@@ -36,19 +36,44 @@ object TrainPrepQueries {
   private val EmailPat = "[a-z0-9.#_-]+@[a-z0-9.-]+"
   private val PhonePat = "[0-9]{2}-[0-9]{3}-[0-9]{3}-[0-9]{4}"
 
+  /** Held-out eval set for the decontamination family: FIXED-SIZE
+    * pilot prefix, not a fixed fraction. A real benchmark suite is a
+    * curated CONSTANT — it does not grow when the train corpus grows
+    * — but the pre-r16 `doc_id % 50 = 0` set did, and since the
+    * broadcast contamination join's output is |train shingles ∩ eval
+    * shingles|, a ∝N eval set made every decontam face quadratic
+    * (the r15 sf1→sf10 decade measured it live: q_decontam_ngram
+    * 16.5×, q_eval_coverage_ngram 262 s at sf10). The
+    * [[graft.text.NearDup.PilotDocCap]] prefix pins |eval| ≤ 100
+    * docs (every 50th id below 5000) at ANY corpus size, so the
+    * broadcast side is O(1), the join output is O(N), and docs past
+    * the cap rejoin the train side — the same discipline the
+    * embedding faces adopted in r14 (PilotVecCap). Bit-identical at
+    * sf ≤ 0.1 (max doc_id 4999 < cap). */
+  private val evalSqlPred =
+    s"doc_id % 50 = 0 AND doc_id < ${NearDup.PilotDocCap}"
+  private val trainSqlPred =
+    s"(doc_id % 50 <> 0 OR doc_id >= ${NearDup.PilotDocCap})"
+  private def evalColPred =
+    col("doc_id") % 50 === 0 && col("doc_id") < NearDup.PilotDocCap
+  private def trainColPred =
+    col("doc_id") % 50 =!= 0 || col("doc_id") >= NearDup.PilotDocCap
+
   val all: Seq[QDef] = Seq(
 
     // Benchmark DECONTAMINATION: train docs sharing any word-4-gram
-    // with the eval set (doc_id % 50 = 0 stands in for a held-out
-    // benchmark) are contaminated; report how many distinct shingles
-    // and eval docs each one hits. 100 TB shape: the eval set is
-    // bounded by construction (benchmark suites are small), so its
-    // shingle set BROADCASTS — the train-side scan joins without a
-    // fact shuffle, and the per-doc counts are one hash aggregate.
+    // with the eval set ([[evalSqlPred]] — a FIXED-SIZE pilot prefix
+    // standing in for a held-out benchmark) are contaminated; report
+    // how many distinct shingles and eval docs each one hits. 100 TB
+    // shape: the eval set is bounded BY CONSTRUCTION (≤100 docs at
+    // any corpus size — see evalSqlPred), so its shingle set
+    // BROADCASTS as an O(1) constant, the train-side scan joins
+    // without a fact shuffle, the join output is O(N), and the
+    // per-doc counts are one hash aggregate.
     QDef("q_decontam_ngram", Some(s"""
       WITH $toksCte, ${shCte(4)},
-      ev AS (SELECT doc_id AS eval_id, sh FROM sh WHERE doc_id % 50 = 0),
-      tr AS (SELECT doc_id, sh FROM sh WHERE doc_id % 50 <> 0)
+      ev AS (SELECT doc_id AS eval_id, sh FROM sh WHERE $evalSqlPred),
+      tr AS (SELECT doc_id, sh FROM sh WHERE $trainSqlPred)
       SELECT tr.doc_id, count(DISTINCT tr.sh) AS n_shared,
              count(DISTINCT ev.eval_id) AS n_eval_docs
       FROM tr JOIN ev USING (sh) GROUP BY tr.doc_id ORDER BY tr.doc_id"""),
@@ -58,10 +83,10 @@ object TrainPrepQueries {
         // filters first and the countDistinct aggregate dedups after,
         // over only the contaminated survivors
         val docs = t(s, d, "documents")
-        val ev = NearDup.shinglesN(docs.filter(col("doc_id") % 50 === 0),
+        val ev = NearDup.shinglesN(docs.filter(evalColPred),
           "doc_id", "text", 4)
           .select(col("doc_id").as("eval_id"), col("sh"))
-        val tr = NearDup.shinglesN(docs.filter(col("doc_id") % 50 =!= 0),
+        val tr = NearDup.shinglesN(docs.filter(trainColPred),
           "doc_id", "text", 4, distinct = false)
         tr.join(broadcast(ev), Seq("sh"))
           .groupBy("doc_id")
@@ -78,22 +103,22 @@ object TrainPrepQueries {
     // join shuffles the corpus.
     QDef("q_decontam_filter", Some(s"""
       WITH $toksCte, ${shCte(4)},
-      ev AS (SELECT sh FROM sh WHERE doc_id % 50 = 0),
-      tr AS (SELECT doc_id, sh FROM sh WHERE doc_id % 50 <> 0),
+      ev AS (SELECT sh FROM sh WHERE $evalSqlPred),
+      tr AS (SELECT doc_id, sh FROM sh WHERE $trainSqlPred),
       bad AS (SELECT DISTINCT tr.doc_id FROM tr JOIN ev USING (sh))
       SELECT doc_id, lang, n_chars FROM documents
-      WHERE doc_id % 50 <> 0 AND doc_id NOT IN (SELECT doc_id FROM bad)
+      WHERE $trainSqlPred AND doc_id NOT IN (SELECT doc_id FROM bad)
       ORDER BY doc_id"""),
       (s, d) => {
         val docs = t(s, d, "documents")
-        val ev = NearDup.shinglesN(docs.filter(col("doc_id") % 50 === 0),
+        val ev = NearDup.shinglesN(docs.filter(evalColPred),
           "doc_id", "text", 4).select("sh")
         val contaminated = NearDup.shinglesN(
-          docs.filter(col("doc_id") % 50 =!= 0), "doc_id", "text", 4,
+          docs.filter(trainColPred), "doc_id", "text", 4,
           distinct = false)
           .join(broadcast(ev), Seq("sh"))
           .select("doc_id").distinct()
-        docs.filter(col("doc_id") % 50 =!= 0)
+        docs.filter(trainColPred)
           .join(broadcast(contaminated), Seq("doc_id"), "left_anti")
           .select("doc_id", "lang", "n_chars")
           .orderBy("doc_id")
@@ -115,8 +140,8 @@ object TrainPrepQueries {
     // and are (correctly) absent.
     QDef("q_eval_coverage_ngram", Some(s"""
       WITH $toksCte, ${shCte(3)},
-      ev AS (SELECT doc_id AS eval_id, sh FROM sh WHERE doc_id % 50 = 0),
-      tr AS (SELECT doc_id, sh FROM sh WHERE doc_id % 50 <> 0),
+      ev AS (SELECT doc_id AS eval_id, sh FROM sh WHERE $evalSqlPred),
+      tr AS (SELECT doc_id, sh FROM sh WHERE $trainSqlPred),
       hit AS (SELECT DISTINCT ev.eval_id, ev.sh FROM tr JOIN ev USING (sh)),
       tot AS (SELECT eval_id, CAST(count(*) AS BIGINT) AS n_shingles FROM ev GROUP BY eval_id),
       cov AS (SELECT eval_id, CAST(count(*) AS BIGINT) AS n_covered FROM hit GROUP BY eval_id)
@@ -127,10 +152,10 @@ object TrainPrepQueries {
       FROM tot t LEFT JOIN cov c USING (eval_id) ORDER BY t.eval_id"""),
       (s, d) => {
         val docs = t(s, d, "documents")
-        val ev = NearDup.shinglesN(docs.filter(col("doc_id") % 50 === 0),
+        val ev = NearDup.shinglesN(docs.filter(evalColPred),
           "doc_id", "text", 3)
           .select(col("doc_id").as("eval_id"), col("sh"))
-        val tr = NearDup.shinglesN(docs.filter(col("doc_id") % 50 =!= 0),
+        val tr = NearDup.shinglesN(docs.filter(trainColPred),
           "doc_id", "text", 3, distinct = false)
         val hit = tr.join(broadcast(ev), Seq("sh"))
           .select("eval_id", "sh").distinct()
@@ -168,16 +193,17 @@ object TrainPrepQueries {
            |       count(DISTINCT tr.sh) AS n_shared_shingles,
            |       count(DISTINCT ev.doc_id) AS n_eval_docs_hit
            |FROM sh$n tr JOIN sh$n ev ON tr.sh = ev.sh
-           |WHERE tr.doc_id % 50 <> 0 AND ev.doc_id % 50 = 0""".stripMargin)
+           |WHERE (tr.doc_id % 50 <> 0 OR tr.doc_id >= ${NearDup.PilotDocCap})
+           |  AND ev.doc_id % 50 = 0 AND ev.doc_id < ${NearDup.PilotDocCap}""".stripMargin)
         .mkString(" UNION ALL ")})
       ORDER BY n"""),
       (s, d) => {
         val docs = t(s, d, "documents")
         Seq(3, 4, 5).map { n =>
-          val ev = NearDup.shinglesN(docs.filter(col("doc_id") % 50 === 0),
+          val ev = NearDup.shinglesN(docs.filter(evalColPred),
             "doc_id", "text", n)
             .select(col("doc_id").as("eval_id"), col("sh"))
-          val tr = NearDup.shinglesN(docs.filter(col("doc_id") % 50 =!= 0),
+          val tr = NearDup.shinglesN(docs.filter(trainColPred),
             "doc_id", "text", n, distinct = false)
           tr.join(broadcast(ev), Seq("sh"))
             .agg(countDistinct(col("doc_id")).as("n_contaminated"),

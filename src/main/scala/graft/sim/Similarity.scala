@@ -88,6 +88,16 @@ object Similarity {
     * row-for-row. */
   private def centroidArgmax(vecCol: Column, centroids: DataFrame,
                              inlineThreshold: Int): Column = {
+    val (cells, matrix) = collectCentroids(centroids)
+    graft.functions.CentroidScores(vecCol, cells, matrix)
+  }
+
+  /** Collect a (cell, centv) relation to the driver as (cells,
+    * matrix), widening float lanes to double exactly as [[CosineSim]]
+    * does (per-element, exact). Centroid sets are coarse-quantizer-
+    * sized by contract — bounded by [[IvfCellCap]]·64 lanes. */
+  private def collectCentroids(centroids: DataFrame)
+      : (Array[Long], Array[Array[Double]]) = {
     import org.apache.spark.sql.types.{ArrayType, FloatType}
     val rows = centroids.select(col("cell").cast("long"), col("centv")).collect()
     require(rows.nonEmpty, "centroid argmax needs at least one centroid")
@@ -97,7 +107,7 @@ object Similarity {
     val matrix =
       if (elemIsFloat) rows.map(_.getSeq[Float](1).map(_.toDouble).toArray)
       else rows.map(_.getSeq[Double](1).toArray)
-    graft.functions.CentroidScores(vecCol, cells, matrix)
+    (cells, matrix)
   }
 
   /** Test access: the per-row score array of `vecCol`-shaped input
@@ -163,19 +173,39 @@ object Similarity {
     * @param centroids (cell, centv) small — collected to the driver
     */
   /** Hard ceiling on the scaled IVF cell count. The engine sizes
-    * cells as N/250 so the per-cell candidate set stays constant —
-    * but that makes ASSIGNMENT cost N·k = N²/250, and the r15
-    * sf1→sf10 decade sweep measured exactly that curve live
-    * (q_ann_cell_balance 75.7× on 10× data; the dedup/semdedup ANN
-    * family 16–28×). The cap bounds the quadratic: beyond
-    * N = 250·IvfCellCap ≈ 512k vectors, assignment is N·2048 —
-    * linear with a stated constant — and cell SIZE grows ∝N instead
-    * (a search-cost trade the scaladoc of annPairsDf documents).
-    * Inert at every tested SF ≤ sf10 (200k vectors), so existing
-    * oracle artifacts stay valid; IvfCellCapSpec pins the arithmetic
-    * on both sides of the boundary. The real 100 TB fix is
-    * hierarchical (two-level) assignment — ADVICE.md r15. */
-  val IvfCellCap = 2048L
+    * cells as N/250 so the per-cell candidate set stays constant.
+    * r15 capped k at 2048 because FLAT assignment is N·k = N²/250
+    * cosines (the r15 sf1→sf10 decade measured the curve live:
+    * q_ann_cell_balance 75.7×), but a frozen k let the within-cell
+    * PAIR term grow back ∝N²/k past the cap. r16's two-level
+    * assignment ([[graft.functions.HierCentroidAssign]]) costs
+    * N·2√k, so k keeps scaling and the cap retreats to a DRIVER
+    * bound, not an asymptotic one: 2¹⁸ cells × 64 lanes × 8 B =
+    * 128 MB of collected centroids (the matrix ships to executors
+    * once, inside the task binary, like any broadcast relation).
+    * The cap now fires at N = 250·2¹⁸ ≈ 65.5M vectors — beyond it
+    * assignment is N·1024 cosines and cell size grows ∝N/2¹⁸ (at
+    * N = 10⁹ that is ~3.8k-vector cells; the pair faces remain
+    * O(N·cell)). Inert at every tested SF (sf10 = 200k vectors,
+    * k=800); IvfCellCapSpec pins both sides of the boundary. */
+  val IvfCellCap = 262144L
+
+  /** Centroid count at which [[ivfAssign]] switches from flat argmax
+    * (N·k cosines) to two-level assignment (N·(m + k/m) ≈ N·2√k).
+    * Below the cutover flat is cheap and BIT-IDENTICAL to the
+    * pre-r16 engine: every tested small SF resolves k=8 (N ≤ 2000
+    * ⇒ N/250 ≤ 8), so sf0.001/0.01/0.1 oracle artifacts are
+    * unchanged; sf1 (k=80) and up take the hierarchical path, whose
+    * DuckDB mirror lives in SimQueries.annPairCtes. 32 sits between
+    * the regimes: at k=32, 2√k ≈ 11 already beats 32. */
+  val IvfHierCutover = 32
+
+  /** Meta-centroid count for a k-cell two-level index: m = ⌈√k⌉ —
+    * minimizes m + k/m, the per-row cosine count. One formula,
+    * mirrored by the oracle SQL (`ceil(sqrt(k))`, exact in IEEE
+    * double for any k ≤ 2⁵³). */
+  def ivfMetaCount(k: Long): Long =
+    math.ceil(math.sqrt(k.toDouble)).toLong
 
   /** Scaled IVF cell count for an N-vector corpus: max(8, N/250)
     * capped at [[IvfCellCap]]. The ONE formula both the Spark
@@ -184,12 +214,63 @@ object Similarity {
     math.max(8L, math.min(n / 250L, IvfCellCap))
 
   def ivfAssign(corpus: DataFrame, centroids: DataFrame,
-                inlineThreshold: Int = CentroidInlineThreshold): DataFrame =
-    corpus
-      .withColumn("_best",
-        array_max(centroidArgmax(col("cv"), centroids, inlineThreshold)))
-      .withColumn("cell", -col("_best.negCell"))
-      .drop("_best")
+                inlineThreshold: Int = CentroidInlineThreshold): DataFrame = {
+    val (cells, matrix) = collectCentroids(centroids)
+    if (cells.length < IvfHierCutover) {
+      corpus
+        .withColumn("_best",
+          array_max(graft.functions.CentroidScores(col("cv"), cells, matrix)))
+        .withColumn("cell", -col("_best.negCell"))
+        .drop("_best")
+    } else {
+      val (metas, off, childCells, childVecs) = hierStructure(cells, matrix)
+      corpus.withColumn("cell", graft.functions.HierCentroidAssign(
+        col("cv"), metas, off, childCells, childVecs))
+    }
+  }
+
+  /** Build the two-level structure from a collected centroid set:
+    * sort by cell id ascending; metas = the m = ⌈√k⌉ SMALLEST cell
+    * ids (for the `vec_id < k` centroid convention that is exactly
+    * `cell < m`, which the oracle SQL writes); every meta is its own
+    * child (so no meta's candidate list is ever empty); every other
+    * centroid joins its highest-round6-cosine meta, keep-first tie =
+    * smaller meta cell — the same argmax kernel the row-level
+    * expression runs, so the driver map and the per-row scoring
+    * cannot drift. Segments stay cell-ascending by construction
+    * (sorted input, in-order appends), which is what makes the
+    * expression's keep-first tiebreak mean "smaller cell". */
+  private[graft] def hierStructure(cells: Array[Long],
+                                   matrix: Array[Array[Double]])
+      : (Array[Array[Double]], Array[Int], Array[Long], Array[Array[Double]]) = {
+    val order = cells.indices.sortBy(cells(_)).toArray
+    val sc = order.map(cells(_))
+    val sm = order.map(matrix(_))
+    val k = sc.length
+    val m = ivfMetaCount(k.toLong).toInt
+    val metas = sm.take(m)
+    val groups = Array.fill(m)(scala.collection.mutable.ArrayBuffer.empty[Int])
+    var i = 0
+    while (i < k) {
+      val g =
+        if (i < m) i
+        else graft.functions.HierCentroidAssign.argmaxRound6(sm(i), metas, 0, m)
+      groups(g) += i
+      i += 1
+    }
+    val off = new Array[Int](m + 1)
+    val cc = new Array[Long](k)
+    val cv = new Array[Array[Double]](k)
+    var p = 0
+    var g = 0
+    while (g < m) {
+      off(g) = p
+      groups(g).foreach { idx => cc(p) = sc(idx); cv(p) = sm(idx); p += 1 }
+      g += 1
+    }
+    off(m) = p
+    (metas, off, cc, cv)
+  }
 
   /** Query-side multi-cell probe: emit each query row once per probed
     * cell — its `nprobe` highest-cosine centroids (deterministic

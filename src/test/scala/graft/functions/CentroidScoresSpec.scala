@@ -117,8 +117,12 @@ class CentroidScoresSpec extends AnyFunSuite {
   }
 
   test("native expression stays in whole-stage codegen at k=80") {
-    val e = embeddings.select(col("vec_id").as("cid"), col("v").as("cv"))
-    val plan = Similarity.ivfAssign(e, centroids(80))
+    // score surface, not ivfAssign: since r16 assignment at k >= the
+    // hier cutover routes to HierCentroidAssign (its own codegen
+    // witness lives in HierCentroidAssignSpec); CentroidScores still
+    // carries flat small-k assignment and ivfProbeCells at any k
+    val plan = Similarity
+      .centroidScoresForTest(embeddings, centroids(80), composed = false)
       .queryExecution.executedPlan.toString()
     // the `*(n)` stage marker on the Project carrying centroid_scores
     // is the codegen witness (executedPlan pretty-print; a fallen-back
