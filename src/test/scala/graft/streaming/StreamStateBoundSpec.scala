@@ -70,4 +70,54 @@ class StreamStateBoundSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("curated-ingest dedup state = O(watermark window), evicted as " +
+      "event time advances — not O(corpus)") {
+    // The curation path's ONE stateful operator is the watermarked
+    // exact dedup (dropDuplicatesWithinWatermark on the content
+    // fingerprint). Its scaling claim: state holds the fingerprints
+    // of the last `watermarkDelay` of event time, never the corpus.
+    // Three micro-batches of 60 DISTINCT texts each, hours apart on
+    // the event clock with a 10-minute watermark: if eviction works,
+    // final state is far below the 180 distinct fingerprints pushed;
+    // if someone swaps in a plain dropDuplicates (the unbounded-state
+    // trap), state converges on all 180 and this fails by name.
+    // graft.StreamBench measures the same curve at SF size
+    // (max_state_rows / distinct_fingerprints / state_bounded_by_watermark).
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[StateBoundDoc]
+    val q = DocStream.dedupExactStream(input.toDF(), "ingest_ts", "10 minutes")
+      .writeStream.format("memory").queryName("state_bound_dedup")
+      .outputMode(OutputMode.Append).start()
+    try {
+      (0 until 3).foreach { b =>
+        val docs = (0 until 60).map { i =>
+          StateBoundDoc(b * 60L + i,
+            s"distinct text $b-$i with enough words to be a doc",
+            ts(f"2024-01-01 ${2 * b}%02d:${i % 60}%02d:00"))
+        }
+        input.addData(docs: _*)
+        q.processAllAvailable()
+      }
+      val finalRows = q.lastProgress.stateOperators.map(_.numRowsTotal).sum
+      assert(finalRows >= 1,
+        "state is vacuously empty — nothing was stored")
+      // eviction keeps only ~the last watermarkDelay of event time
+      // (observed: the trailing 10 minutes of batch 3, ~20 rows) —
+      // anywhere under one batch proves the bound; 180 would mean a
+      // plain dropDuplicates snuck in
+      assert(finalRows <= 60,
+        s"state holds $finalRows rows for 180 distinct fingerprints pushed " +
+          "hours apart — watermark eviction is not happening")
+      // every doc was distinct, so all 180 must have been emitted
+      val emitted = spark.table("state_bound_dedup").count()
+      assert(emitted == 180, s"expected all 180 distinct docs out, got $emitted")
+    } finally q.stop()
+  }
 }
+
+/** MemoryStream fixture for the dedup state-bound test (top-level so
+  * the case-class Encoder derives). */
+case class StateBoundDoc(doc_id: Long, text: String,
+                         ingest_ts: Timestamp)
