@@ -160,12 +160,20 @@ def main():
     # that fails analysis must read as ERR, never as "not sampled")
     err_path = f"{out_dir}/errors.json"
     errors = json.load(open(err_path)) if os.path.exists(err_path) else {}
+    # Incremental per-query verdicts (r16): results print AS the loop
+    # runs (flushed), so a kernel OOM kill mid-pass leaves a log that
+    # names the query in flight instead of an empty file (the r15 sf10
+    # postmortem had to bisect by hand). Names are looped in sorted
+    # order, so the output ordering is unchanged from the batch form.
+    def verdict(line):
+        print(line, flush=True)
     fails, passes, skips = [], [], []
     for name in sorted(set(oracle) | set(errors)):
         if only and name not in only:
             continue
         if name in errors:
             fails.append((name, f"ERR in Verify: {errors[name][:300]}"))
+            verdict(f"FAIL {name}: {fails[-1][1]}")
             continue
         sql = oracle[name]
         bad_types = unsafe_output_types(con, sql)
@@ -173,11 +181,13 @@ def main():
             fails.append((name, f"oracle emits driver-unsafe output type(s) "
                           f"{bad_types} — CAST to BIGINT/VARCHAR/DOUBLE "
                           "(sum(BIGINT) returns HUGEINT: wrap it)"))
+            verdict(f"FAIL {name}: {fails[-1][1]}")
             continue
         pdir = f"{out_dir}/{name}"
         files = glob.glob(f"{pdir}/*.parquet")
         if not files:
             fails.append((name, "no spark output"))
+            verdict(f"FAIL {name}: no spark output")
             continue
         try:
             sp = con.execute(f"SELECT * FROM read_parquet({files!r})")
@@ -188,12 +198,15 @@ def main():
             du_rows = du.fetchall()
         except Exception as ex:
             fails.append((name, f"exec error: {str(ex)[:300]}"))
+            verdict(f"FAIL {name}: {fails[-1][1]}")
             continue
         if sorted(sp_cols) != sorted(du_cols):
             fails.append((name, f"cols spark={sorted(sp_cols)} duck={sorted(du_cols)}"))
+            verdict(f"FAIL {name}: {fails[-1][1]}")
             continue
         if len(sp_rows) != len(du_rows):
             fails.append((name, f"rows spark={len(sp_rows)} duck={len(du_rows)}"))
+            verdict(f"FAIL {name}: {fails[-1][1]}")
             continue
         hs, hd = table_hash(sp_rows, sp_cols), table_hash(du_rows, du_cols)
         # serializer-parity check: the forensic .rows.txt written by
@@ -208,6 +221,7 @@ def main():
             if stamped != hs:
                 fails.append((name, f"forensic rows.txt sha {stamped[:12]}… != "
                               f"computed spark hash {hs[:12]}… (dump_rows drift)"))
+                verdict(f"FAIL {name}: {fails[-1][1]}")
                 continue
         if hs != hd:
             # find first differing row for debugging
@@ -221,12 +235,10 @@ def main():
                     diff = f" first diff @row {i}: spark={na} duck={nb}"
                     break
             fails.append((name, "hash mismatch" + diff))
+            verdict(f"FAIL {name}: {fails[-1][1]}")
         else:
             passes.append(name)
-    for n in passes:
-        print(f"PASS {n}")
-    for n, why in fails:
-        print(f"FAIL {n}: {why}")
+            verdict(f"PASS {name}")
     print(f"\n{len(passes)} pass / {len(fails)} fail")
     sys.exit(1 if fails else 0)
 
