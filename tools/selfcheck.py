@@ -189,26 +189,63 @@ def main():
             fails.append((name, "no spark output"))
             verdict(f"FAIL {name}: no spark output")
             continue
+        # STREAMED compare (r16): both sides advance through fetchmany
+        # chunks with incremental hashes — never a full fetchall. At
+        # sf10 the whole-table-shaped outputs (q_conform_union & co,
+        # ~20M wide VARCHAR rows) cost ~50 GB PER SIDE as python
+        # tuples; that python heap — not DuckDB's buffer pool — is
+        # what tripped the kernel OOM killer in r15 and in this
+        # round's first two attempts (GRAFT_DUCKDB_MEMLIMIT can't see
+        # it). Hash/normalization semantics are byte-identical to the
+        # old table_hash: same row order (both cursors preserve it),
+        # same per-row norm()+\x01/\x02 framing. The spark side reads
+        # through a SECOND cursor of the same connection so the two
+        # result sets stay independently open.
+        CHUNK = 65536
         try:
-            sp = con.execute(f"SELECT * FROM read_parquet({files!r})")
+            cur_sp = con.cursor()
+            sp = cur_sp.execute(f"SELECT * FROM read_parquet({files!r})")
             sp_cols = [c[0] for c in sp.description]
-            sp_rows = sp.fetchall()
             du = con.execute(sql)
             du_cols = [c[0] for c in du.description]
-            du_rows = du.fetchall()
+            if sorted(sp_cols) != sorted(du_cols):
+                fails.append((name, f"cols spark={sorted(sp_cols)} duck={sorted(du_cols)}"))
+                verdict(f"FAIL {name}: {fails[-1][1]}")
+                continue
+            so = sorted(range(len(sp_cols)), key=lambda i: sp_cols[i])
+            do = sorted(range(len(du_cols)), key=lambda i: du_cols[i])
+            h_sp, h_du = hashlib.sha256(), hashlib.sha256()
+            n_sp = n_du = 0
+            first_diff = None
+            while True:
+                a = sp.fetchmany(CHUNK)
+                b = du.fetchmany(CHUNK)
+                for r in a:
+                    h_sp.update("\x01".join(norm(r[j]) for j in so).encode())
+                    h_sp.update(b"\x02")
+                for r in b:
+                    h_du.update("\x01".join(norm(r[j]) for j in do).encode())
+                    h_du.update(b"\x02")
+                if first_diff is None:
+                    for i, (ra, rb) in enumerate(zip(a, b)):
+                        na = [norm(ra[j]) for j in so]
+                        nb = [norm(rb[j]) for j in do]
+                        if na != nb:
+                            first_diff = (n_sp + i, na, nb)
+                            break
+                n_sp += len(a)
+                n_du += len(b)
+                if not a and not b:
+                    break
         except Exception as ex:
             fails.append((name, f"exec error: {str(ex)[:300]}"))
             verdict(f"FAIL {name}: {fails[-1][1]}")
             continue
-        if sorted(sp_cols) != sorted(du_cols):
-            fails.append((name, f"cols spark={sorted(sp_cols)} duck={sorted(du_cols)}"))
+        if n_sp != n_du:
+            fails.append((name, f"rows spark={n_sp} duck={n_du}"))
             verdict(f"FAIL {name}: {fails[-1][1]}")
             continue
-        if len(sp_rows) != len(du_rows):
-            fails.append((name, f"rows spark={len(sp_rows)} duck={len(du_rows)}"))
-            verdict(f"FAIL {name}: {fails[-1][1]}")
-            continue
-        hs, hd = table_hash(sp_rows, sp_cols), table_hash(du_rows, du_cols)
+        hs, hd = h_sp.hexdigest(), h_du.hexdigest()
         # serializer-parity check: the forensic .rows.txt written by
         # tools/dump_rows.py must hash to exactly what this compare
         # computes from the same parquet — drift there would make the
@@ -224,16 +261,10 @@ def main():
                 verdict(f"FAIL {name}: {fails[-1][1]}")
                 continue
         if hs != hd:
-            # find first differing row for debugging
-            so = sorted(range(len(sp_cols)), key=lambda i: sp_cols[i])
-            do = sorted(range(len(du_cols)), key=lambda i: du_cols[i])
             diff = ""
-            for i, (a, b) in enumerate(zip(sp_rows, du_rows)):
-                na = [norm(a[j]) for j in so]
-                nb = [norm(b[j]) for j in do]
-                if na != nb:
-                    diff = f" first diff @row {i}: spark={na} duck={nb}"
-                    break
+            if first_diff is not None:
+                i, na, nb = first_diff
+                diff = f" first diff @row {i}: spark={na} duck={nb}"
             fails.append((name, "hash mismatch" + diff))
             verdict(f"FAIL {name}: {fails[-1][1]}")
         else:
