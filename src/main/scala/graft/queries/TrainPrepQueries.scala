@@ -1833,6 +1833,69 @@ object TrainPrepQueries {
               * (log(col("rtot") + lit(256.0)) - log(col("ntot") + lit(256.0))), 3)
               .as("logw3"))
           .orderBy("doc_id")
+      }),
+
+    // DOMAIN REWEIGHTING, one multiplicative-weights step (the
+    // DoReMi-shaped loop of Xie et al. 2023, with the per-domain
+    // QUALITY SURVIVAL rate as the integer-exact reward surrogate —
+    // the curation analogue of excess loss, and exp(η·x) replaced by
+    // its first-order rational form 1000+x so the update is BIGINT
+    // all the way and hash-identical cross-engine): starting from
+    // uniform weights, each source's weight moves by its kept-rate
+    // excess over the corpus-wide kept rate (the shared
+    // TA.withQualityVerdict gate), floored at 1‰ so no domain is ever
+    // starved, then renormalized by truncating division. The output
+    // is the next epoch's sampling mixture over sources — what
+    // q_mix_weighted consumes as its weight table. Scale shape: ONE
+    // corpus scan into a map-side-combined per-source aggregate
+    // (|sources| rows); the corpus-total and weight-sum terms are
+    // window sums over that domain-cardinality table, so nothing
+    // wider than |sources| ever shuffles and the corpus never moves.
+    QDef("q_domain_reweight", Some("""
+      WITH d AS (SELECT doc_id, source,
+        list_filter(string_split(text, ' '), t -> t <> '') AS toks FROM documents),
+      m AS (SELECT source,
+        CAST(len(toks) AS BIGINT) AS n_tokens,
+        CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct,
+        CAST(len(list_filter(toks, t -> t IN ('the', 'a'))) AS BIGINT) AS n_stop,
+        CAST(COALESCE(list_sum(list_transform(toks, t -> length(t))), 0) AS BIGINT) AS tok_chars
+        FROM d),
+      k AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        CAST(sum(CASE WHEN n_tokens >= 20 AND n_tokens <= 90
+                       AND 100 * tok_chars >= 420 * n_tokens
+                       AND 100 * tok_chars <= 520 * n_tokens
+                       AND 2 * n_distinct >= n_tokens
+                       AND n_stop > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+        FROM m GROUP BY source),
+      tot AS (SELECT CAST((1000 * sum(n_kept)) // sum(n_docs) AS BIGINT) AS kept_all FROM k),
+      w AS (SELECT source, n_docs, n_kept,
+              CAST((1000 * n_kept) // n_docs AS BIGINT) AS kept_permille,
+              CAST((1000 * n_kept) // n_docs - tot.kept_all AS BIGINT) AS excess_permille,
+              CAST(greatest(1, 1000 + (1000 * n_kept) // n_docs - tot.kept_all) AS BIGINT) AS w_raw
+            FROM k, tot),
+      ws AS (SELECT CAST(sum(w_raw) AS BIGINT) AS w_sum FROM w)
+      SELECT source, n_docs, n_kept, kept_permille, excess_permille,
+             CAST((1000 * w_raw) // ws.w_sum AS BIGINT) AS new_weight_permille
+      FROM w, ws ORDER BY source"""),
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val all = Window.partitionBy(lit(1))
+        TA.withQualityVerdict(t(s, d, "documents"), "text")
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("keep").cast(LongType)).cast(LongType).as("n_kept"))
+          .withColumn("_tk", sum("n_kept").over(all))
+          .withColumn("_td", sum("n_docs").over(all))
+          .withColumn("kept_permille", expr("div(1000 * n_kept, n_docs)"))
+          .withColumn("excess_permille",
+            col("kept_permille") - expr("div(1000 * _tk, _td)"))
+          .withColumn("w_raw",
+            greatest(lit(1L), lit(1000L) + col("excess_permille")))
+          .withColumn("_ws", sum("w_raw").over(all))
+          .select(col("source"), col("n_docs"), col("n_kept"),
+            col("kept_permille"), col("excess_permille"),
+            expr("div(1000 * w_raw, _ws)").as("new_weight_permille"))
+          .orderBy("source")
       })
   )
 }
