@@ -40,26 +40,33 @@ object PipelineBench {
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("tools/sf1")
+    // args(1): contact-universe base (default 12000, the sf1 scale);
+    // the incremental delta is always 5% of it — pass 120000 with
+    // tools/sf10 for the decade leg of the lifecycle evidence
+    val baseRows = args.lift(1).flatMap(_.toIntOption).getOrElse(12000)
+    val deltaRows = baseRows / 20
     val spark = Sessions.local("graft-pipelinebench")
     spark.sparkContext.setLogLevel("WARN")
 
     val results = scala.collection.mutable.LinkedHashMap[String, Any]()
 
-    // ── A. batch lifecycle at sf1 ──
+    // ── A. batch lifecycle at sfDir scale ──
     graft.sources.FixtureBackend.reset()
     val root = java.nio.file.Files.createTempDirectory("graft_pipebench").toString
     val seeds = Seq("row#3@x.test", "row#7@x.test")
     val t1 = System.nanoTime()
     val r1 = graft.pipeline.RunPipeline.runFull(spark, root, sfDir,
-      totalRows = 12000, seedEmails = seeds, nowUtc = "2026-08-01T00:00:00Z")
+      totalRows = baseRows, seedEmails = seeds, nowUtc = "2026-08-01T00:00:00Z")
     val sec1 = (System.nanoTime() - t1) / 1e9
     val t2 = System.nanoTime()
     val r2 = graft.pipeline.RunPipeline.runFull(spark, root, sfDir,
-      totalRows = 12600, seedEmails = seeds, nowUtc = "2026-08-02T00:00:00Z")
+      totalRows = baseRows + deltaRows, seedEmails = seeds,
+      nowUtc = "2026-08-02T00:00:00Z")
     val sec2 = (System.nanoTime() - t2) / 1e9
     val delta2 = r2.persisted("contacts")._1
     results += "runfull" -> Map(
       "sf_dir" -> sfDir,
+      "base_rows" -> baseRows,
       "initial_contacts" -> r1.persisted("contacts")._1,
       "initial_wall_sec" -> sec1,
       "incr_contacts_delta" -> delta2,
@@ -89,7 +96,7 @@ object PipelineBench {
       }
     }
     graft.pipeline.RunPipeline.runStreamingOnce(spark, sroot,
-      Map("totalrows" -> "12000", "pagelimit" -> "500"),
+      Map("totalrows" -> baseRows.toString, "pagelimit" -> "500"),
       "2026-08-01T00:00:00Z")
     val inv1 = files()
     val preBuckets = spark.read.parquet(rawDir)
@@ -97,12 +104,12 @@ object PipelineBench {
       .collect().map(r => r.getAs[Number](0).longValue -> r.getLong(1)).toMap
     val t3 = System.nanoTime()
     graft.pipeline.RunPipeline.runStreamingOnce(spark, sroot,
-      Map("totalrows" -> "12600", "pagelimit" -> "500"),
+      Map("totalrows" -> (baseRows + deltaRows).toString,
+        "pagelimit" -> "500"),
       "2026-08-02T00:00:00Z")
     val sec3 = (System.nanoTime() - t3) / 1e9
     val inv2 = files()
-
-    val deltaRows = 600L // 12600 - 12000, keyset resume
+    // deltaRows new ids arrive via keyset resume
     val changed = inv2.keySet.filter(k => !inv1.get(k).contains(inv2(k)))
     val removed = inv1.keySet -- inv2.keySet
     val untouched = inv1.keySet.intersect(inv2.keySet)

@@ -173,7 +173,16 @@ object Verify {
     val dumped = SparkEntry.queries.keys
       .filter(n => (only.isEmpty || only(n)) && !errors.contains(n)).toSeq.sorted
     if (sys.env.get("GRAFT_SKIP_ROWS_DUMP").exists(_.nonEmpty)) {
-      System.err.println("[verify] rows dump skipped (GRAFT_SKIP_ROWS_DUMP set)")
+      // Skipping must also EVICT: a reused outDir can hold rows.txt
+      // files stamped from an older build's parquet, and selfcheck's
+      // serializer-parity check would diff those stale bytes against
+      // the fresh Spark hash and report phantom "dump_rows drift" for
+      // any query whose output legitimately changed (r16 ADVICE).
+      val stale = new java.io.File(outDir).listFiles()
+      if (stale != null) stale.filter(_.getName.endsWith(".rows.txt"))
+        .foreach(f => Files.deleteIfExists(f.toPath))
+      System.err.println("[verify] rows dump skipped (GRAFT_SKIP_ROWS_DUMP set; " +
+        "stale *.rows.txt evicted)")
     } else if (dumped.nonEmpty) {
       val res = execOut(("python3" +: "tools/dump_rows.py" +: outDir +: dumped): _*)
       if (res.startsWith("<")) System.err.println(s"[verify] rows dump skipped: $res")

@@ -165,7 +165,14 @@ object HierCentroidAssign {
     * centroid→meta grouping in Similarity uses: single-pass
     * dot/na/nb accumulation (bit-equal to [[CosineSim]] /
     * [[CentroidScores]]), then the exact `round(x, 6)` decimal.
-    * Keep-first + cell-ascending row order = smaller-cell tiebreak. */
+    * Keep-first + cell-ascending row order = smaller-cell tiebreak.
+    * NaN scores (a zero-norm vector or centroid: 0/0) rank GREATEST,
+    * not never-selected: the flat path's struct array_max and the
+    * oracle's ORDER BY cs DESC both put NaN above every real score,
+    * so this kernel maps NaN → +∞ before the compare — all-NaN rows
+    * then resolve keep-first = smallest cell on every engine face
+    * (cosine over finite inputs can produce NaN but never ±∞: a zero
+    * denominator forces a zero numerator). */
   def argmaxRound6(vec: Array[Double], rows: Array[Array[Double]],
                    from: Int, until: Int): Int = {
     var best = from
@@ -180,7 +187,9 @@ object HierCentroidAssign {
         dot += xi * yi; na += xi * xi; nb += yi * yi
         j += 1
       }
-      val cs = CentroidScores.round6(dot / (math.sqrt(na) * math.sqrt(nb)))
+      val raw = CentroidScores.round6(dot / (math.sqrt(na) * math.sqrt(nb)))
+      val cs = if (java.lang.Double.isNaN(raw))
+        java.lang.Double.POSITIVE_INFINITY else raw
       if (cs > bestCs) { bestCs = cs; best = c }
       c += 1
     }

@@ -470,13 +470,17 @@ object AnalyticsQueries {
       }),
 
     // Inverted index: term → doc frequency + the first 10 postings.
-    // The posting list is CAPPED BEFORE collection: rn ≤ 10 via a
-    // row_number window, with the full doc count from a second frame
-    // over the SAME partition key — one shuffle serves both windows
-    // AND the final per-term aggregate (hash partitioning on term is
-    // already satisfied), and no group ever materializes more than
-    // 10 ids. A naive collect_list-then-slice holds a stop-word's
-    // entire corpus-wide posting list in one aggregation buffer.
+    // The posting list is CAPPED BEFORE the shuffle, not just before
+    // collection: the rank window carries row_number ALONE, so
+    // InferWindowGroupLimit inserts a partial WindowGroupLimit on the
+    // MAP side — each map partition forwards at most 10 postings per
+    // term, and a stop-word's corpus-wide posting list never reaches
+    // one reducer (the r16 sf10 sweep's top slow-grower, 10.63×, when
+    // a count(*) frame rode the same window select and blocked the
+    // pushdown). n_docs comes from a map-side-combined
+    // groupBy(term).count joined back CO-PARTITIONED — both sides
+    // hash on term, so the join adds no exchange. ScalePlanSpec pins
+    // the WindowGroupLimit node and the single-exchange shape.
     QDef("q_inverted_index", Some(s"""
       WITH $toksCte,
       td AS (SELECT DISTINCT doc_id, unnest(toks) AS term FROM d)
@@ -487,15 +491,17 @@ object AnalyticsQueries {
         val td = t(s, d, "documents")
           .select(col("doc_id"), explode(TA.tokens(col("text"))).as("term"))
           .distinct()
-        val byTerm = Window.partitionBy("term")
-        td.select(col("term"), col("doc_id"),
-            row_number().over(byTerm.orderBy("doc_id")).as("rn"),
-            count(lit(1)).over(byTerm).as("n_docs"))
+        val byTerm = Window.partitionBy("term").orderBy("doc_id")
+        val postings = td
+          .select(col("term"), col("doc_id"),
+            row_number().over(byTerm).as("rn"))
           .filter(col("rn") <= 10)
           .groupBy("term")
-          .agg(max(col("n_docs")).as("n_docs"),
-            expr("array_join(transform(array_sort(collect_list(doc_id)), x -> cast(x AS STRING)), ',')")
-              .as("postings"))
+          .agg(expr("array_join(transform(array_sort(collect_list(doc_id)), x -> cast(x AS STRING)), ',')")
+            .as("postings"))
+        val counts = td.groupBy("term").agg(count(lit(1)).as("n_docs"))
+        postings.join(counts, Seq("term"))
+          .select(col("term"), col("n_docs"), col("postings"))
           .orderBy("term")
       }),
 
@@ -3488,28 +3494,35 @@ object AnalyticsQueries {
     // WEIGHTED MEDIAN: the smallest price whose cumulative QUANTITY
     // mass reaches half the flag's total — the volume-weighted
     // central price a plain median (one row, one vote) misstates.
-    // Exact by cumulative-weight rank selection. Tie-independence
-    // argument (why no unique tiebreak is needed): cumulative sums
-    // only vary WITHIN a group of identical cents, and whether the
-    // half-mass crossing lands on the group's first or last row,
-    // min(cents) over the qualifying set is that same group's value
-    // — so engines may order tied rows differently and still agree.
-    // One flag-keyed Sort serves both window passes and the final
-    // aggregate.
+    // Exact by cumulative-weight rank selection over the (f, cents)
+    // SUPPORT TABLE, not the raw fact (the q_mann_whitney /
+    // q_ks_two_sample discipline): a map-side-combined sum(w) per
+    // (flag, cents) collapses lineitem to the price domain FIRST, so
+    // the 3-partition cumulative window — a hard ≤3-task parallelism
+    // ceiling when fed the raw table (the r16 sf10 sweep's
+    // 2nd-slowest grower at 60.9 s) — orders |price domain|·3
+    // support rows instead of the whole fact. Tie-independence
+    // argument (why pre-grouping is semantics-preserving): in the
+    // per-row form, cumulative sums only vary WITHIN a group of
+    // identical cents, and whether the half-mass crossing lands on
+    // the group's first or last row, min(cents) over the qualifying
+    // set is that same group's value — which is exactly the grouped
+    // row's verdict. tw is unchanged (sum of group sums).
     QDef("q_weighted_median", Some("""
       WITH x AS (SELECT l_returnflag AS f,
                    CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT) AS cents,
                    CAST(l_quantity AS BIGINT) AS w FROM lineitem),
-      c AS (SELECT f, cents, w,
-              sum(w) OVER (PARTITION BY f ORDER BY cents, w
-                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw,
-              sum(w) OVER (PARTITION BY f) AS tw
-            FROM x)
+      g AS (SELECT f, cents, sum(w) AS gw FROM x GROUP BY 1, 2),
+      c AS (SELECT f, cents,
+              sum(gw) OVER (PARTITION BY f ORDER BY cents
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw,
+              sum(gw) OVER (PARTITION BY f) AS tw
+            FROM g)
       SELECT f AS l_returnflag, CAST(min(cents) AS BIGINT) AS wmedian_cents,
              CAST(max(tw) AS BIGINT) AS total_weight
       FROM c WHERE 2 * cw >= tw GROUP BY 1 ORDER BY l_returnflag"""),
       (s, d) => {
-        val wc = Window.partitionBy("f").orderBy("cents", "w")
+        val wc = Window.partitionBy("f").orderBy("cents")
           .rowsBetween(Window.unboundedPreceding, 0)
         val wt = Window.partitionBy("f")
         t(s, d, "lineitem")
@@ -3517,8 +3530,10 @@ object AnalyticsQueries {
             floor(col("l_extendedprice") * lit(100.0) + lit(0.5)).cast("long")
               .as("cents"),
             col("l_quantity").cast("long").as("w"))
-          .withColumn("cw", sum("w").over(wc))
-          .withColumn("tw", sum("w").over(wt))
+          .groupBy("f", "cents")
+          .agg(sum("w").as("gw"))
+          .withColumn("cw", sum("gw").over(wc))
+          .withColumn("tw", sum("gw").over(wt))
           .filter(lit(2L) * col("cw") >= col("tw"))
           .groupBy(col("f").as("l_returnflag"))
           .agg(min("cents").cast("long").as("wmedian_cents"),

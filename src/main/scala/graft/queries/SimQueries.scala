@@ -2043,7 +2043,14 @@ object SimQueries {
     // aggregate), and without the persist the k-pass bound would
     // hinge on ReuseExchange deduping nested subtrees (dᵏ recomputes
     // dᵏ⁻¹ recursively — k² passes if the dedup misses). ~N rows ×
-    // (id, vec, dist) per round, MEMORY_AND_DISK, spill-safe.
+    // (id, vec, dist) per round, MEMORY_AND_DISK, spill-safe. The
+    // caches are SCOPED, not leaked: the 3 summary rows (bounded by
+    // construction — one per round) are materialized eagerly inside
+    // the builder and both round tables unpersisted before the
+    // result returns, since QDef builders have no other lifecycle
+    // owner and ~2N cached (id, vec, dist) blocks would otherwise
+    // stay pinned for the whole Verify/Bench session
+    // (CoresetCacheSpec pins the net-zero persistent-RDD delta).
     QDef("q_coreset_fps", Some(s"""
       WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
       c1 AS (SELECT vec_id AS id1, v AS v1 FROM e WHERE vec_id = 0),
@@ -2103,7 +2110,11 @@ object SimQueries {
         val r3 = c3.crossJoin(cov(d3)).select(lit(3L).as("sel_rank"),
           col("id3").as("sel_vec_id"), col("pd3").as("picked_dist_milli"),
           col("mx").as("cover_max_milli"), expr("div(sm, nn)").as("cover_mean_milli"))
-        r1.union(r2).union(r3).orderBy("sel_rank")
+        val out = r1.union(r2).union(r3).orderBy("sel_rank")
+        val rows = out.collect() // bounded: exactly 3 rows by construction
+        d1.unpersist(blocking = false)
+        d2.unpersist(blocking = false)
+        s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
       }),
 
     // CLUSTER↔LABEL PURITY: assign every vector to its nearest

@@ -56,6 +56,19 @@ object Mixing {
     pick(_ / 1000) + when(pick(w => w % 1000 * 16 / 1000) > nib, 1).otherwise(0)
   }
 
+  /** Adapter between q_domain_reweight's truncating-division output
+    * (arbitrary permille) and [[epochCopies]]' exactness contract
+    * (fractional part a multiple of 125‰ — the smallest fraction an
+    * integer-permille md5-nibble decision resolves exactly): snap to
+    * the nearest 125‰ step, half away from zero, never below 0.
+    * Pure integer arithmetic, so the quantized mixture is itself
+    * engine-reproducible. DomainReweightComposeSpec proves the
+    * reweight → quantize → mix loop composes end to end. */
+  def quantizeEpochPermille(w: Int): Int = {
+    require(w >= 0, s"epoch weight must be nonnegative, got $w")
+    (2 * w + 125) / 250 * 125
+  }
+
   /** One output row per epoch copy (`copy_n` = 1..n); docs mixed out
     * (zero copies) disappear. The empty-array guard matters:
     * `sequence(1, 0)` would COUNT DOWN in Spark and emit [1, 0]. */

@@ -641,6 +641,45 @@ class ScalePlanSpec extends AnyFunSuite {
       s"per-doc shingles must not shuffle for the membership join:\n$plan")
   }
 
+  test("weighted median: the cumulative window consumes the (f, cents) " +
+      "support aggregate, never the raw fact") {
+    // the r16 sf10 sweep's 2nd-slowest grower: a 3-value PARTITION BY
+    // window over raw lineitem is a hard <=3-task parallelism ceiling.
+    // The rewrite pre-collapses the fact to the price-domain support
+    // table, so EVERY Window node must sit above an Aggregate.
+    import org.apache.spark.sql.catalyst.plans.logical
+    val df = SparkEntry.queries("q_weighted_median")(spark, SparkTesting.sf)
+    val windows = df.queryExecution.optimizedPlan.collect {
+      case w: logical.Window => w
+    }
+    assert(windows.nonEmpty, "expected the cumulative-weight window")
+    windows.foreach { w =>
+      val aggBelow = w.child.collectFirst { case a: logical.Aggregate => a }
+      assert(aggBelow.isDefined,
+        s"window fed by the raw fact (no support aggregate below):\n$w")
+    }
+    // two hash exchanges total: fact -> (f, cents) support, support ->
+    // f-keyed window; the final groupBy(f) reuses the window's keying
+    val plan = executedPlan(df)
+    assert(SparkTesting.hashExchanges(plan) <= 2,
+      s"support-table shape should shuffle at most twice:\n$plan")
+    assert(df.count() === 3, "expected one median row per returnflag")
+  }
+
+  test("inverted index: rank-only window unlocks the map-side " +
+      "WindowGroupLimit; n_docs joins back co-partitioned") {
+    // the r16 sf10 sweep's top slow-grower: a count(*) frame riding
+    // the same window select forced every posting of every stop-word
+    // term to one reducer. With row_number alone, Spark inserts a
+    // PARTIAL WindowGroupLimit before the shuffle — each map task
+    // forwards at most 10 postings per term.
+    val df = SparkEntry.queries("q_inverted_index")(spark, SparkTesting.sf)
+    val plan = executedPlan(df)
+    assert(plan.contains("WindowGroupLimit"),
+      s"expected the map-side group limit in:\n$plan")
+    assert(df.count() > 0, "inverted index produced no rows — vacuous")
+  }
+
   test("capped LSH buckets: one pass — capped aggregate, no semi-join, one scan") {
     val df = SparkEntry.queries("q_dedup_winnow_pairs")(spark, SparkTesting.sf)
     val plan = executedPlan(df)

@@ -165,6 +165,43 @@ class HierCentroidAssignSpec extends AnyFunSuite {
     }
   }
 
+  test("zero-norm vector (all-NaN scores): hier picks the smallest cell, " +
+      "matching the flat path and the oracle's ORDER BY cs DESC") {
+    import scala.jdk.CollectionConverters._
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("cid",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("cv",
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.DoubleType, false))))
+    val df = spark.createDataFrame(
+      Seq(Row(0L, Seq(0.0, 0.0)), Row(1L, Seq(0.0, 1.0))).asJava, schema)
+    // metas = cells (3, 7); 3's children = (3, 5), 7's = (7)
+    val hier = HierCentroidAssign(col("cv"),
+      Array(Array(1.0, 0.0), Array(0.0, 1.0)), Array(0, 2, 3),
+      Array(3L, 5L, 7L),
+      Array(Array(1.0, 0.0), Array(0.5, 0.5), Array(0.0, 1.0)))
+    for (interp <- Seq(false, true)) {
+      val f = () => df.select(col("cid"), hier.as("cell")).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val got = if (interp) withInterpreted(f()) else f()
+      // zero vector: every cosine is NaN -> NaN-as-greatest keep-first
+      // = first meta (cell 3), then its first child (cell 3)
+      assert(got(0L) === 3L, s"zero vector must land in the smallest cell " +
+        s"(interpreted=$interp), got ${got(0L)}")
+      // a real vector is unaffected by the NaN mapping
+      assert(got(1L) === 7L, s"real vector drifted (interpreted=$interp)")
+    }
+    // the flat CentroidScores path agrees: all-NaN struct array_max
+    // resolves to max negCell = smallest cell
+    val flat = df.select(col("cid"),
+      (-array_max(CentroidScores(col("cv"), Array(3L, 5L, 7L),
+        Array(Array(1.0, 0.0), Array(0.5, 0.5), Array(0.0, 1.0))))
+        .getField("negCell")).as("cell"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(flat(0L) === 3L, "flat path zero-vector cell diverged from hier")
+  }
+
   test("stays in whole-stage codegen at the scaled operating point (k=80)") {
     val plan = Similarity.ivfAssign(
       embeddings.select(col("vec_id").as("cid"), col("v").as("cv")),

@@ -255,11 +255,21 @@ class AnalyticsQueriesSpec extends AnyFunSuite {
       assert(postings.length <= r.getAs[Long]("n_docs"))
       assert(postings.map(_.toLong).toSeq == postings.map(_.toLong).toSeq.sorted)
     }
-    // windows + final agg all key on term: distinct pays one shuffle on
-    // (doc_id, term), the term window one more — the groupBy reuses it
+    // r17 shape: the rank window carries row_number ALONE so the
+    // map-side WindowGroupLimit fires (ScalePlanSpec pins it); n_docs
+    // is its own term-keyed aggregate joined back. Cost: the distinct
+    // pays one (doc_id, term) exchange — REUSED by both branches —
+    // and each branch one term exchange: ≤3 real exchanges, one more
+    // than the pre-r17 fused-window shape, bought back many times
+    // over by stop-word posting lists never reaching a reducer.
     val plan = executed(df)
-    assert(hashExchanges(plan) <= 2,
-      s"expected ≤2 hash exchanges (distinct, term):\n$plan")
+    val real = graft.SparkTesting.finalSection(plan).linesIterator
+      .filter(_.contains("Exchange hashpartitioning"))
+      .count(!_.contains("ReusedExchange"))
+    assert(real <= 3, s"expected ≤3 real hash exchanges:\n$plan")
+    assert(graft.SparkTesting.finalSection(plan).linesIterator
+      .exists(l => l.contains("ReusedExchange") && l.contains("term")),
+      s"the distinct exchange must be shared by both branches:\n$plan")
   }
 
   test("chunking is narrow (no hash shuffle) and covers every token") {

@@ -220,18 +220,24 @@ def main():
             while True:
                 a = sp.fetchmany(CHUNK)
                 b = du.fetchmany(CHUNK)
-                for r in a:
-                    h_sp.update("\x01".join(norm(r[j]) for j in so).encode())
+                # normalize ONCE per row; the same strings feed the hash
+                # and (only when a chunk pair actually differs) the
+                # first-diff scan — the passing-query common case pays
+                # zero extra normalization (r16 ADVICE: the old
+                # unconditional scan re-norm'd every row a second time)
+                na_rows = ["\x01".join(norm(r[j]) for j in so) for r in a]
+                nb_rows = ["\x01".join(norm(r[j]) for j in do) for r in b]
+                for s in na_rows:
+                    h_sp.update(s.encode())
                     h_sp.update(b"\x02")
-                for r in b:
-                    h_du.update("\x01".join(norm(r[j]) for j in do).encode())
+                for s in nb_rows:
+                    h_du.update(s.encode())
                     h_du.update(b"\x02")
-                if first_diff is None:
-                    for i, (ra, rb) in enumerate(zip(a, b)):
-                        na = [norm(ra[j]) for j in so]
-                        nb = [norm(rb[j]) for j in do]
-                        if na != nb:
-                            first_diff = (n_sp + i, na, nb)
+                if first_diff is None and na_rows != nb_rows:
+                    for i, (ra, rb) in enumerate(zip(na_rows, nb_rows)):
+                        if ra != rb:
+                            first_diff = (n_sp + i, ra.split("\x01"),
+                                          rb.split("\x01"))
                             break
                 n_sp += len(a)
                 n_du += len(b)
