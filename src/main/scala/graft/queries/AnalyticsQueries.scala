@@ -3494,20 +3494,30 @@ object AnalyticsQueries {
     // WEIGHTED MEDIAN: the smallest price whose cumulative QUANTITY
     // mass reaches half the flag's total — the volume-weighted
     // central price a plain median (one row, one vote) misstates.
-    // Exact by cumulative-weight rank selection over the (f, cents)
-    // SUPPORT TABLE, not the raw fact (the q_mann_whitney /
-    // q_ks_two_sample discipline): a map-side-combined sum(w) per
-    // (flag, cents) collapses lineitem to the price domain FIRST, so
-    // the 3-partition cumulative window — a hard ≤3-task parallelism
-    // ceiling when fed the raw table (the r16 sf10 sweep's
-    // 2nd-slowest grower at 60.9 s) — orders |price domain|·3
-    // support rows instead of the whole fact. Tie-independence
-    // argument (why pre-grouping is semantics-preserving): in the
-    // per-row form, cumulative sums only vary WITHIN a group of
-    // identical cents, and whether the half-mass crossing lands on
-    // the group's first or last row, min(cents) over the qualifying
-    // set is that same group's value — which is exactly the grouped
-    // row's verdict. tw is unchanged (sum of group sums).
+    // Exact by DISTRIBUTED RANK SELECTION in two fully-parallel
+    // passes. Why not one cumulative window: PARTITION BY f has 3
+    // values — fed the raw fact it is a hard ≤3-task ceiling (the
+    // r16 sf10 sweep's 2nd-slowest grower, 60.9 s) — and on this
+    // lake a (f, cents) support table barely helps either: the cents
+    // domain is 0.99×/0.91×/0.44× the fact at sf0.1/1/10 (measured
+    // r17), so the q_mann_whitney domain-support trick buys no real
+    // collapse. Instead: pass 1 folds quantity mass into fixed
+    // 4096-cent price BANDS (map-side-combined, ≤3·|domain|/4096 ≈
+    // 8k rows at any SF) and a band-cumulative window finds each
+    // flag's half-mass crossing band plus the mass BEFORE it; pass 2
+    // re-scans only that band (broadcast 3-row filter, ~1/2500
+    // selectivity — the shuffle AFTER it is band-bounded) and the
+    // exact within-band cumulative picks min(cents) past the
+    // crossing. Output provably equals the oracle's one-shot
+    // cumulative statement: bands below the crossing satisfy
+    // 2·cum < tw for every row, the crossing band's last row
+    // satisfies ≥, so the answer is inside it, where pass 2's
+    // prior+within-band cum IS the global cum. Tie-independence of
+    // the grouped restatement (oracle side): cumulative sums only
+    // vary WITHIN a group of identical cents, and whichever tied row
+    // crosses, min(cents) over the qualifying set is that group's
+    // value. Both windows run over band-bounded aggregates, never
+    // the fact; the fact is scanned twice, 3 pruned columns each.
     QDef("q_weighted_median", Some("""
       WITH x AS (SELECT l_returnflag AS f,
                    CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT) AS cents,
@@ -3522,18 +3532,34 @@ object AnalyticsQueries {
              CAST(max(tw) AS BIGINT) AS total_weight
       FROM c WHERE 2 * cw >= tw GROUP BY 1 ORDER BY l_returnflag"""),
       (s, d) => {
-        val wc = Window.partitionBy("f").orderBy("cents")
-          .rowsBetween(Window.unboundedPreceding, 0)
-        val wt = Window.partitionBy("f")
-        t(s, d, "lineitem")
+        def fact = t(s, d, "lineitem")
           .select(col("l_returnflag").as("f"),
             floor(col("l_extendedprice") * lit(100.0) + lit(0.5)).cast("long")
               .as("cents"),
             col("l_quantity").cast("long").as("w"))
-          .groupBy("f", "cents")
+        // pass 1: band mass + crossing-band locator (all band-sized)
+        val bs = fact.groupBy(col("f"), expr("div(cents, 4096)").as("bkt"))
+          .agg(sum("w").as("bw"))
+        val wc = Window.partitionBy("f").orderBy("bkt")
+          .rowsBetween(Window.unboundedPreceding, 0)
+        val wt = Window.partitionBy("f")
+        val cross = bs
+          .withColumn("cbw", sum("bw").over(wc))
+          .withColumn("tw", sum("bw").over(wt))
+          .filter(lit(2L) * col("cbw") >= col("tw"))
+          .withColumn("rn",
+            row_number().over(Window.partitionBy("f").orderBy("bkt")))
+          .filter(col("rn") === 1)
+          .select(col("f").as("cf"), col("bkt").as("cbkt"),
+            (col("cbw") - col("bw")).as("prior"), col("tw"))
+        // pass 2: exact crossing inside the one band per flag
+        val w2 = Window.partitionBy("f").orderBy("cents")
+          .rowsBetween(Window.unboundedPreceding, 0)
+        fact.join(broadcast(cross),
+            col("f") === col("cf") && expr("div(cents, 4096)") === col("cbkt"))
+          .groupBy("f", "cents", "prior", "tw")
           .agg(sum("w").as("gw"))
-          .withColumn("cw", sum("gw").over(wc))
-          .withColumn("tw", sum("gw").over(wt))
+          .withColumn("cw", col("prior") + sum("gw").over(w2))
           .filter(lit(2L) * col("cw") >= col("tw"))
           .groupBy(col("f").as("l_returnflag"))
           .agg(min("cents").cast("long").as("wmedian_cents"),

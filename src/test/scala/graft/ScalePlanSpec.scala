@@ -641,28 +641,35 @@ class ScalePlanSpec extends AnyFunSuite {
       s"per-doc shingles must not shuffle for the membership join:\n$plan")
   }
 
-  test("weighted median: the cumulative window consumes the (f, cents) " +
-      "support aggregate, never the raw fact") {
+  test("weighted median: two-pass rank selection — every window rides a " +
+      "band-bounded aggregate, the crossing-band filter broadcasts") {
     // the r16 sf10 sweep's 2nd-slowest grower: a 3-value PARTITION BY
-    // window over raw lineitem is a hard <=3-task parallelism ceiling.
-    // The rewrite pre-collapses the fact to the price-domain support
-    // table, so EVERY Window node must sit above an Aggregate.
+    // window over raw lineitem is a hard <=3-task parallelism ceiling
+    // (and this lake's cents domain is 0.44-0.99x the fact, so a
+    // support table alone doesn't collapse it). The rewrite locates
+    // each flag's half-mass crossing in 4096-cent bands first, then
+    // resolves exactly inside the one crossing band — so EVERY Window
+    // node must sit above an Aggregate, the band filter must be a
+    // broadcast join, and the fact is scanned exactly twice.
     import org.apache.spark.sql.catalyst.plans.logical
     val df = SparkEntry.queries("q_weighted_median")(spark, SparkTesting.sf)
     val windows = df.queryExecution.optimizedPlan.collect {
       case w: logical.Window => w
     }
-    assert(windows.nonEmpty, "expected the cumulative-weight window")
+    assert(windows.nonEmpty, "expected the cumulative-weight windows")
     windows.foreach { w =>
       val aggBelow = w.child.collectFirst { case a: logical.Aggregate => a }
       assert(aggBelow.isDefined,
-        s"window fed by the raw fact (no support aggregate below):\n$w")
+        s"window fed by the raw fact (no bounded aggregate below):\n$w")
     }
-    // two hash exchanges total: fact -> (f, cents) support, support ->
-    // f-keyed window; the final groupBy(f) reuses the window's keying
     val plan = executedPlan(df)
-    assert(SparkTesting.hashExchanges(plan) <= 2,
-      s"support-table shape should shuffle at most twice:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"the 3-row crossing-band table must broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"),
+      s"pass 2 must not shuffle the fact for the band filter:\n$plan")
+    val scans = SparkTesting.finalSection(plan).linesIterator
+      .count(_.contains("Scan parquet"))
+    assert(scans == 2, s"expected exactly two pruned fact scans, got $scans:\n$plan")
     assert(df.count() === 3, "expected one median row per returnflag")
   }
 
