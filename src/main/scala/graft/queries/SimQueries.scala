@@ -493,6 +493,69 @@ object SimQueries {
           .orderBy("qid")
       }),
 
+    // MEAN-RECIPROCAL-RANK at k = 10 — the FIRST-HIT member of the
+    // eval triad (q_embed_recall_eval: set overlap; q_rbp: all-hit
+    // rank weighting; MRR: position of the first relevant result
+    // only — the number a RAG front-end actually reports, because one
+    // good passage at rank 1 is all the generator consumes). Same
+    // exactness trick as RBP's dyadic weights, adapted: 1/r is not a
+    // terminating binary fraction for r ∈ {3,6,7,9}, so the metric is
+    // scaled by 2520 = lcm(1..10) — every 2520/r is an exact BIGINT
+    // and no float touches the oracle surface. Rankings are the two
+    // production paths (brute-force truth, IVF cell search) at
+    // k = 10; a probe whose ANN list contains no truth neighbor
+    // scores 0 via the left join (never NULL). The quadratic truth
+    // pass is harness-bounded (10 probes); the IVF side joins on the
+    // cell key — at corpus scale both sides stay the bounded probe
+    // fan-out, never an all-pairs product.
+    QDef("q_mrr_eval", Some(s"""
+      WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      q AS (SELECT vec_id AS qid, label AS cell, v AS qv FROM e WHERE vec_id < 10),
+      c AS (SELECT vec_id AS cid, label AS cell, v AS cv FROM e),
+      ts AS (SELECT qid, cid, (round($cosSql, 3) + 0.0) AS sim3
+             FROM q CROSS JOIN c WHERE qid <> cid),
+      tr AS (SELECT qid, cid FROM ts
+             QUALIFY row_number() OVER (PARTITION BY qid ORDER BY sim3 DESC, cid) <= 10),
+      sv AS (SELECT qid, cid, (round($cosSql, 3) + 0.0) AS sim3
+             FROM q JOIN c USING (cell) WHERE qid <> cid),
+      ar AS (SELECT qid, cid,
+               CAST(row_number() OVER (PARTITION BY qid ORDER BY sim3 DESC, cid)
+                 AS BIGINT) AS rnk
+             FROM sv
+             QUALIFY row_number() OVER (PARTITION BY qid ORDER BY sim3 DESC, cid) <= 10),
+      fh AS (SELECT ar.qid, CAST(count(tr.cid) AS BIGINT) AS hits,
+               min(CASE WHEN tr.cid IS NOT NULL THEN ar.rnk END) AS fr
+             FROM ar LEFT JOIN tr ON ar.qid = tr.qid AND ar.cid = tr.cid
+             GROUP BY ar.qid)
+      SELECT q.qid, coalesce(fh.hits, 0) AS hits,
+             CAST(coalesce(fh.fr, 0) AS BIGINT) AS first_hit_rank,
+             CAST(CASE WHEN fh.fr IS NULL THEN 0 ELSE 2520 // fh.fr END
+               AS BIGINT) AS mrr_scaled_2520
+      FROM (SELECT DISTINCT qid FROM q) q LEFT JOIN fh USING (qid)
+      ORDER BY qid"""),
+      (s, d) => {
+        val e = t(s, d, "embeddings")
+          .select(col("vec_id"), col("label").as("cell"), col("embedding").as("v"))
+        val q = e.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("qid"), col("cell"), col("v").as("qv"))
+        val c = e.select(col("vec_id").as("cid"), col("cell"), col("v").as("cv"))
+        val truth = Similarity.bruteForceTopK(
+          c.select("cid", "cv"), q.select("qid", "qv"), 10).select("qid", "cid")
+        val ann = Similarity.ivfTopK(c, q, 10).select("qid", "cid", "rank")
+        val fh = ann
+          .join(truth.withColumn("hit", lit(1L)), Seq("qid", "cid"), "left")
+          .groupBy("qid")
+          .agg(count(col("hit")).as("hits"),
+            min(when(col("hit").isNotNull, col("rank"))).as("fr"))
+        q.select("qid").distinct()
+          .join(fh, Seq("qid"), "left")
+          .select(col("qid"), coalesce(col("hits"), lit(0L)).as("hits"),
+            coalesce(col("fr"), lit(0L)).cast("long").as("first_hit_rank"),
+            when(col("fr").isNull, lit(0L))
+              .otherwise(expr("div(2520, fr)")).as("mrr_scaled_2520"))
+          .orderBy("qid")
+      }),
+
     // K-MEANS CENTROID RECOMPUTE (one Lloyd iteration): assign every
     // vector to its nearest centroid, then recompute each cell's mean
     // — the "train" step that closes the IVF loop (build → assign →

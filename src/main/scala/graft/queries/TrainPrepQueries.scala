@@ -1129,6 +1129,127 @@ object TrainPrepQueries {
             when(col("cnt") < 5, 1L).otherwise(0L).as("risky"))
           .orderBy("lang", "source", "len_bucket")),
 
+    // L-DIVERSITY AUDIT (l=3) — the companion gate q_k_anonymity
+    // cannot express: a class can be large (k-anonymous) yet still
+    // leak because every member shares ONE sensitive value (the
+    // homogeneity attack of Machanavajjhala 2006). QI here is
+    // (source, length-bucket); the sensitive attribute is `lang` (a
+    // nationality-grade proxy). Per class: population, DISTINCT
+    // sensitive values, the dominant value's share in permille (the
+    // probabilistic-inference view — 1000 means total homogeneity),
+    // and risky = fewer than l distinct values. Scale shape: TWO
+    // map-side-combined hash aggregates — raw rows collapse to
+    // (QI, lang) counts first, so the distinct count is a plain
+    // count over the collapsed table, never a count-distinct shuffle
+    // of corpus rows; output is bounded by the QI×sensitive domain
+    // at any corpus size. Integer-exact end to end.
+    QDef("q_l_diversity", Some("""
+      WITH g AS (SELECT source, n_chars // 100 AS len_bucket, lang,
+          CAST(count(*) AS BIGINT) AS cnt FROM documents GROUP BY 1, 2, 3),
+      c AS (SELECT source, len_bucket,
+          CAST(sum(cnt) AS BIGINT) AS cnt,
+          CAST(count(*) AS BIGINT) AS n_sensitive,
+          CAST(max(cnt) AS BIGINT) AS top_cnt
+        FROM g GROUP BY 1, 2)
+      SELECT source, len_bucket, cnt, n_sensitive,
+          (1000 * top_cnt) // cnt AS top_share_permille,
+          CAST(CASE WHEN n_sensitive < 3 THEN 1 ELSE 0 END AS BIGINT) AS risky
+      FROM c ORDER BY source, len_bucket"""),
+      (s, d) =>
+        t(s, d, "documents")
+          .groupBy(col("source"), expr("div(n_chars, 100)").as("len_bucket"),
+            col("lang"))
+          .agg(count(lit(1)).as("cnt"))
+          .groupBy("source", "len_bucket")
+          .agg(sum("cnt").cast(LongType).as("cnt"),
+            count(lit(1)).as("n_sensitive"),
+            max("cnt").cast(LongType).as("top_cnt"))
+          .select(col("source"), col("len_bucket"), col("cnt"),
+            col("n_sensitive"),
+            expr("div(1000 * top_cnt, cnt)").as("top_share_permille"),
+            when(col("n_sensitive") < 3, 1L).otherwise(0L).as("risky"))
+          .orderBy("source", "len_bucket")),
+
+    // CCNET HEAD/MIDDLE/TAIL BUCKETS (Wenzek 2020): rank each
+    // language's documents by LM quality and split into terciles —
+    // the curation cut CCNet/LLaMA-era recipes apply per language
+    // (keep head+middle, drop tail) so high-resource languages don't
+    // set the quality bar for low-resource ones. The LM score is the
+    // engine's self-supervised bigram proxy (q_doc_lm_score's exact
+    // pipeline — high milli-score = in-distribution = "head", the
+    // low-perplexity end). Tercile assignment is SCORE-GROUP ATOMIC:
+    // bucket = 1 + floor(3·p0/n) where p0 is the group's 0-based
+    // start position in the per-language score-descending order —
+    // ties land in one bucket together, so the split is a pure
+    // function of the score (deterministic in any engine, no
+    // doc-level tiebreak window). Scale shape: the scoring pass is
+    // the tf-idf shape (explode → map-side-combined bigram count →
+    // key join → doc re-agg); the tercile windows then run over the
+    // (lang, score) SUPPORT table — bounded by distinct milli scores,
+    // not corpus rows — the q_weighted_median support-table
+    // discipline applied proactively rather than retrofitted. Output
+    // is ≤ 3·|langs| rows at any corpus size; BIGINT-exact
+    // throughout (both engines' integer division on non-negative
+    // operands).
+    QDef("q_ccnet_buckets", Some("""
+      WITH d AS (SELECT doc_id, lang,
+        list_filter(string_split(text, ' '), t -> t <> '') AS toks FROM documents),
+      bi AS (SELECT doc_id, unnest(list_transform(range(1, greatest(len(toks), 1)),
+               i -> toks[i] || ' ' || toks[i+1])) AS bg FROM d),
+      bc AS (SELECT bg, CAST(count(*) AS BIGINT) AS cnt FROM bi GROUP BY bg),
+      ds AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+                    CAST(sum(cnt) AS BIGINT) AS sum_cnt
+             FROM bi JOIN bc USING (bg) GROUP BY doc_id),
+      sc AS (SELECT d.doc_id, d.lang,
+               CASE WHEN coalesce(n_bigrams, 0) = 0 THEN 0
+                    ELSE (1000 * sum_cnt) // n_bigrams END AS score
+             FROM d LEFT JOIN ds USING (doc_id)),
+      sup AS (SELECT lang, score, CAST(count(*) AS BIGINT) AS cnt
+              FROM sc GROUP BY 1, 2),
+      cum AS (SELECT lang, score, cnt,
+                sum(cnt) OVER (PARTITION BY lang ORDER BY score DESC
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS chi,
+                sum(cnt) OVER (PARTITION BY lang) AS n
+              FROM sup),
+      bk AS (SELECT lang, score, cnt, n,
+               1 + (3 * (chi - cnt)) // n AS bucket FROM cum)
+      SELECT lang, CAST(bucket AS BIGINT) AS bucket,
+             CAST(sum(cnt) AS BIGINT) AS n_docs,
+             CAST((1000 * sum(cnt)) // max(n) AS BIGINT) AS share_permille,
+             CAST(min(score) AS BIGINT) AS score_min,
+             CAST(max(score) AS BIGINT) AS score_max
+      FROM bk GROUP BY 1, 2 ORDER BY lang, bucket"""),
+      (s, d) => {
+        val docs = t(s, d, "documents")
+          .select(col("doc_id"), col("lang"), TA.tokens(col("text")).as("toks"))
+        val bi = docs.select(col("doc_id"),
+          explode(NearDup.shingleExpr("toks", 2)).as("bg"))
+        val bc = bi.groupBy("bg").agg(count(lit(1)).as("cnt"))
+        val ds = bi.join(bc, "bg").groupBy("doc_id")
+          .agg(count(lit(1)).as("n_bigrams"), sum(col("cnt")).as("sum_cnt"))
+        val sc = docs.select("doc_id", "lang").join(ds, Seq("doc_id"), "left")
+          .select(col("lang"),
+            when(coalesce(col("n_bigrams"), lit(0L)) === 0, lit(0L))
+              .otherwise(expr("div(1000 * sum_cnt, n_bigrams)")).as("score"))
+        val sup = sc.groupBy("lang", "score").agg(count(lit(1)).as("cnt"))
+        val wCum = Window.partitionBy("lang").orderBy(col("score").desc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val wAll = Window.partitionBy("lang")
+        sup
+          .withColumn("chi", sum("cnt").over(wCum))
+          .withColumn("n", sum("cnt").over(wAll))
+          .withColumn("bucket", expr("1 + div(3 * (chi - cnt), n)"))
+          .groupBy("lang", "bucket")
+          .agg(sum("cnt").cast(LongType).as("n_docs"),
+            max("n").as("n"),
+            min("score").cast(LongType).as("score_min"),
+            max("score").cast(LongType).as("score_max"))
+          .select(col("lang"), col("bucket"), col("n_docs"),
+            expr("div(1000 * n_docs, n)").as("share_permille"),
+            col("score_min"), col("score_max"))
+          .orderBy("lang", "bucket")
+      }),
+
     // Decision-stump split search — the 1-D CART building block: for
     // every candidate threshold on an integral feature (l_quantity,
     // label = returned line), the left/right class counts and the

@@ -702,4 +702,26 @@ class ScalePlanSpec extends AnyFunSuite {
     assert(scans == 1,
       s"expected exactly one documents scan, got $scans:\n$plan")
   }
+
+  test("ccnet buckets: tercile windows ride the (lang, score) support " +
+      "aggregate, never corpus rows") {
+    // the q_weighted_median support-table discipline applied at design
+    // time: a per-language cumulative window over raw docs would be a
+    // |langs|-task parallelism ceiling; here every Window node must
+    // sit above the support Aggregate (distinct milli scores per
+    // language), so window input is support-bounded at any corpus
+    // size.
+    import org.apache.spark.sql.catalyst.plans.logical
+    val df = SparkEntry.queries("q_ccnet_buckets")(spark, SparkTesting.sf)
+    val windows = df.queryExecution.optimizedPlan.collect {
+      case w: logical.Window => w
+    }
+    assert(windows.nonEmpty, "expected the tercile windows")
+    windows.foreach { w =>
+      val aggBelow = w.child.collectFirst { case a: logical.Aggregate => a }
+      assert(aggBelow.isDefined,
+        s"window fed by raw docs (no support aggregate below):\n$w")
+    }
+    assert(df.count() > 0, "no buckets produced — vacuous")
+  }
 }
