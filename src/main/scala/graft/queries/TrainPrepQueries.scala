@@ -577,6 +577,105 @@ object TrainPrepQueries {
           .orderBy("doc_id")
       }),
 
+    // VOCAB COVERAGE CURVE — q_oov_rate's tokenizer-SIZING sweep (the
+    // house "gate + its curve" pairing, like recall_eval →
+    // recall_curve): what share of the corpus token MASS does a
+    // top-k vocabulary cover, at k ∈ {256, 1024, 4096, 16384}? The
+    // knee of this curve is where a vocab budget stops paying — the
+    // decision table a BPE/WordPiece sizing pass reads. Scale shape:
+    // the corpus-sized work is the map-side-combined token count; the
+    // top-16384 cut is a bounded TakeOrdered selection (never a
+    // global sort of the Heaps-growing vocab); then ALL FOUR cuts
+    // come from ONE pass over the 16384-row top table — each top row
+    // explodes into the cuts it belongs to (≤4 rows) and a single
+    // hash aggregate rolls them up, so per-k work is a PLAN FACT,
+    // never a per-k re-evaluation of the pipeline (the coreset-fps
+    // lesson). The grand total is a second 1-row aggregate of the
+    // SAME token-count exchange (runtime exchange reuse collapses it;
+    // worst case it is one extra 1-column pruned scan) riding a
+    // broadcast. ScalePlanSpec pins: exactly one TakeOrdered, no
+    // per-k union fan-out, ≤2 pruned scans. BIGINT-exact; at tiny SF
+    // the vocab may be smaller than every cut (all curves flat at
+    // 1000‰) — the curve stays well-defined.
+    QDef("q_vocab_coverage_curve", Some("""
+      WITH tk AS (SELECT unnest(list_filter(string_split(text, ' '),
+              t -> t <> '')) AS tok FROM documents),
+      tc AS (SELECT tok, CAST(count(*) AS BIGINT) AS cnt FROM tk GROUP BY tok),
+      top AS (SELECT tok, cnt,
+                CAST(row_number() OVER (ORDER BY cnt DESC, tok) AS BIGINT) AS rnk
+              FROM tc
+              QUALIFY row_number() OVER (ORDER BY cnt DESC, tok) <= 16384),
+      tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS total_tokens FROM tc),
+      ks AS (SELECT CAST(256 AS BIGINT) AS k UNION ALL SELECT 1024
+             UNION ALL SELECT 4096 UNION ALL SELECT 16384)
+      SELECT ks.k, CAST(count(*) AS BIGINT) AS n_vocab_at_cut,
+             CAST(sum(t.cnt) AS BIGINT) AS covered_mass,
+             CAST(max(tot.total_tokens) AS BIGINT) AS total_tokens,
+             CAST((1000 * sum(t.cnt)) // max(tot.total_tokens)
+               AS BIGINT) AS coverage_permille
+      FROM ks JOIN top t ON t.rnk <= ks.k CROSS JOIN tot
+      GROUP BY ks.k ORDER BY ks.k"""),
+      (s, d) => {
+        val tk = t(s, d, "documents")
+          .select(explode(TA.tokens(col("text"))).as("tok"))
+        val tc = tk.groupBy("tok").agg(count(lit(1)).as("cnt"))
+        val top = tc.orderBy(col("cnt").desc, col("tok")).limit(16384)
+          .withColumn("rnk", row_number().over(
+            Window.orderBy(col("cnt").desc, col("tok"))))
+        val tot = tc.agg(sum("cnt").cast(LongType).as("total_tokens"))
+        top.select(col("cnt"),
+            explode(expr(
+              "filter(array(256L, 1024L, 4096L, 16384L), k -> rnk <= k)"))
+              .as("k"))
+          .groupBy("k")
+          .agg(count(lit(1)).as("n_vocab_at_cut"),
+            sum("cnt").cast(LongType).as("covered_mass"))
+          .crossJoin(broadcast(tot))
+          .select(col("k"), col("n_vocab_at_cut"), col("covered_mass"),
+            col("total_tokens"),
+            expr("div(1000 * covered_mass, total_tokens)")
+              .as("coverage_permille"))
+          .orderBy("k")
+      }),
+
+    // DETERMINISTIC RESERVOIR SAMPLE (k = 5 per language): the
+    // fixed-size uniform without-replacement draw every pipeline
+    // needs for eyeball QA, labeling batches, and held-out audits —
+    // as a PURE FUNCTION of (seed, doc_id), not an RNG (the
+    // q_kfold_assign md5 discipline), so the "reservoir" re-draws
+    // identically on any engine, any partitioning, any run. Rank =
+    // row_number over md5('rsv1|' || doc_id) per language, keep ≤ 5.
+    // Scale shape: the rank window carries ONLY row_number, so the
+    // optimizer inserts the PARTIAL WindowGroupLimit (the
+    // q_inverted_index lesson applied at design time) — each map
+    // task forwards at most 5 rows per language and the per-language
+    // reducer sees ≤ 5·|map tasks| rows, never the corpus; a
+    // |langs|-partition window over raw docs would otherwise be a
+    // parallelism ceiling AND a full shuffle. Plan-pinned in
+    // ScalePlanSpec.
+    QDef("q_sample_reservoir", Some("""
+      WITH r AS (SELECT lang, doc_id,
+               md5('rsv1|' || CAST(doc_id AS VARCHAR)) AS tag
+             FROM documents),
+      pick AS (SELECT lang, doc_id, tag,
+                 CAST(row_number() OVER (PARTITION BY lang
+                   ORDER BY tag, doc_id) AS BIGINT) AS pick_rank
+               FROM r
+               QUALIFY row_number() OVER (PARTITION BY lang
+                 ORDER BY tag, doc_id) <= 5)
+      SELECT lang, pick_rank, doc_id FROM pick
+      ORDER BY lang, pick_rank"""),
+      (s, d) => {
+        val r = t(s, d, "documents")
+          .select(col("lang"), col("doc_id"),
+            md5(concat(lit("rsv1|"), col("doc_id").cast("string"))).as("tag"))
+        val w = Window.partitionBy("lang").orderBy(col("tag"), col("doc_id"))
+        r.withColumn("pick_rank", row_number().over(w).cast(LongType))
+          .filter(col("pick_rank") <= 5)
+          .select(col("lang"), col("pick_rank"), col("doc_id"))
+          .orderBy("lang", "pick_rank")
+      }),
+
     // JACKKNIFE SOURCE SENSITIVITY: leave-one-SOURCE-out estimates of
     // the corpus mean doc length — "if this source vanished, how
     // would the headline statistic move?" — the robustness audit

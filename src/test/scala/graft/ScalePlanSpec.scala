@@ -724,4 +724,37 @@ class ScalePlanSpec extends AnyFunSuite {
     }
     assert(df.count() > 0, "no buckets produced — vacuous")
   }
+
+  test("sample reservoir: rank-only window gets the map-side WindowGroupLimit") {
+    // a |langs|-partition window over raw docs would be a parallelism
+    // ceiling and a full corpus shuffle; with row_number alone the
+    // optimizer inserts the PARTIAL group limit, so each map task
+    // forwards at most 5 rows per language.
+    val df = SparkEntry.queries("q_sample_reservoir")(spark, SparkTesting.sf)
+    val plan = executedPlan(df)
+    assert(plan.contains("WindowGroupLimit"),
+      s"expected the map-side group limit in:\n$plan")
+    assert(df.count() > 0, "no sample produced — vacuous")
+  }
+
+  test("vocab coverage curve: one bounded TakeOrdered, no per-k fan-out, " +
+      "≤2 pruned scans") {
+    // the four cuts must come from ONE pass over the bounded top
+    // table (explode-of-cuts + a single aggregate), never a per-k
+    // union that re-evaluates the tokenize/count pipeline; the top
+    // selection must be TakeOrdered (bounded), not a global sort.
+    val df = SparkEntry.queries("q_vocab_coverage_curve")(spark, SparkTesting.sf)
+    val plan = executedPlan(df)
+    val finalSection = SparkTesting.finalSection(plan)
+    val takeOrdered = finalSection.linesIterator
+      .count(_.contains("TakeOrderedAndProject"))
+    assert(takeOrdered == 1,
+      s"expected exactly one bounded TakeOrdered, got $takeOrdered:\n$plan")
+    assert(!finalSection.contains("Union"),
+      s"per-k union fan-out re-evaluates the pipeline:\n$plan")
+    val scans = finalSection.linesIterator.count(_.contains("Scan parquet"))
+    assert(scans <= 2,
+      s"expected ≤2 pruned scans (count + total), got $scans:\n$plan")
+    assert(df.count() === 4, "expected one row per vocab cut")
+  }
 }

@@ -117,4 +117,53 @@ class Round17OpsSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("sample reservoir: k per group, dense ranks, md5-pure draw") {
+    import spark.implicits._
+    val rows = q("q_sample_reservoir").as[(String, Long, Long)].collect()
+    val langSizes = tbl("documents").groupBy("lang").count()
+      .as[(String, Long)].collect().toMap
+    assert(rows.map(_._1).toSet == langSizes.keySet, "every language sampled")
+    rows.groupBy(_._1).foreach { case (lang, rs) =>
+      assert(rs.length == math.min(5L, langSizes(lang)),
+        s"$lang: expected min(5, n) picks")
+      assert(rs.map(_._2).sorted.toSeq == (1L to rs.length).toSeq,
+        s"$lang: dense pick ranks")
+      assert(rs.map(_._3).distinct.length == rs.length,
+        s"$lang: duplicate doc in sample")
+    }
+    // purity: the engine's draw for one language recomputes from JVM
+    // md5 alone (same discipline as the kfold spec)
+    val lang0 = langSizes.keys.min
+    def tag(id: Long): String = java.security.MessageDigest
+      .getInstance("MD5").digest(s"rsv1|$id".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    val expect = tbl("documents").filter(col("lang") === lang0)
+      .select("doc_id").as[Long].collect()
+      .map(id => (tag(id), id)).sorted.take(5).map(_._2).toSeq
+    val got = rows.filter(_._1 == lang0).sortBy(_._2).map(_._3).toSeq
+    assert(got == expect, s"$lang0: engine draw $got != md5 recompute $expect")
+  }
+
+  test("vocab coverage curve: monotone in k, exact vocab cuts, mass bounds") {
+    import spark.implicits._
+    val rows = q("q_vocab_coverage_curve")
+      .as[(Long, Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(rows.map(_._1).toSeq == Seq(256L, 1024L, 4096L, 16384L))
+    val vocab = tbl("documents")
+      .select(explode(graft.text.TextAnalysis.tokens(col("text"))).as("tok"))
+      .agg(countDistinct("tok"), count(lit(1))).as[(Long, Long)].head()
+    val (nVocab, nTokens) = vocab
+    rows.foreach { case (k, nCut, mass, tot, cov) =>
+      assert(nCut == math.min(k, nVocab), s"k=$k: n_vocab_at_cut $nCut")
+      assert(tot == nTokens, s"k=$k: total_tokens $tot != $nTokens")
+      assert(mass <= tot && cov == 1000L * mass / tot, s"k=$k: mass/coverage")
+      if (k >= nVocab) assert(mass == tot && cov == 1000L,
+        s"k=$k covers the whole vocab but mass $mass != total $tot")
+    }
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(a._2 <= b._2 && a._3 <= b._3 && a._5 <= b._5,
+        "curve must be non-decreasing in k")
+    }
+  }
 }
