@@ -2727,6 +2727,75 @@ object AnalyticsQueries {
               .cast("long").as("v_milli"))
       }),
 
+    // MUTUAL INFORMATION between `lang` and `source` — the
+    // information-theoretic dependence gauge that complements the
+    // frequentist pair (q_chi2_independence tests, q_cramers_v
+    // normalizes): MI in milli-nats plus both marginal entropies and
+    // the min-entropy-normalized NMI, the number a curation review
+    // quotes when asking "does knowing the source tell you the
+    // language?" (NMI → 0: mix is language-balanced per source;
+    // → 1000: sources are language silos and per-source sampling
+    // skews the language mix). Float discipline: ln() terms follow
+    // the q_doc_entropy containment (IEEE doubles from exact BIGINT
+    // cell counts, one round-3 at the end); the MI sum has
+    // |langs|·|sources| terms — domain-bounded, so accumulated
+    // error sits orders below the milli-nat rounding grain. Scale
+    // shape: ONE map-side-combined aggregate collapses the corpus to
+    // the contingency table; marginals, entropies and the MI sum all
+    // run on that ≤|langs|·|sources|-row table via broadcast joins —
+    // 1-row output at any corpus size.
+    QDef("q_mutual_information", Some("""
+      WITH c AS (SELECT lang, source, CAST(count(*) AS BIGINT) AS n_xy
+                 FROM documents GROUP BY 1, 2),
+      r AS (SELECT lang, CAST(sum(n_xy) AS BIGINT) AS n_x FROM c GROUP BY 1),
+      cc AS (SELECT source, CAST(sum(n_xy) AS BIGINT) AS n_y FROM c GROUP BY 1),
+      tt AS (SELECT CAST(sum(n_xy) AS BIGINT) AS n FROM c),
+      mi AS (SELECT CAST(count(*) AS BIGINT) AS n_cells, max(tt.n) AS n,
+               sum((CAST(n_xy AS DOUBLE) / tt.n)
+                   * ln((CAST(n_xy AS DOUBLE) * tt.n)
+                        / (CAST(n_x AS DOUBLE) * n_y))) AS mi_nats
+             FROM c JOIN r USING (lang) JOIN cc USING (source)
+             CROSS JOIN tt),
+      hx AS (SELECT -sum((CAST(n_x AS DOUBLE) / tt.n)
+                         * ln(CAST(n_x AS DOUBLE) / tt.n)) AS h_lang
+             FROM r CROSS JOIN tt),
+      hy AS (SELECT -sum((CAST(n_y AS DOUBLE) / tt.n)
+                         * ln(CAST(n_y AS DOUBLE) / tt.n)) AS h_source
+             FROM cc CROSS JOIN tt)
+      SELECT n_cells, n AS n_docs,
+             (round(1000 * mi_nats, 3) + 0.0) AS mi_milli3,
+             (round(1000 * h_lang, 3) + 0.0) AS h_lang_milli3,
+             (round(1000 * h_source, 3) + 0.0) AS h_source_milli3,
+             (round(1000 * mi_nats / least(h_lang, h_source), 3) + 0.0)
+               AS nmi_milli3
+      FROM mi, hx, hy"""),
+      (s, d) => {
+        val c = t(s, d, "documents")
+          .groupBy("lang", "source").agg(count(lit(1)).as("n_xy"))
+        val r = c.groupBy("lang").agg(sum("n_xy").cast("long").as("n_x"))
+        val cc = c.groupBy("source").agg(sum("n_xy").cast("long").as("n_y"))
+        val tt = c.agg(sum("n_xy").cast("long").as("n"))
+        val mi = c.join(broadcast(r), "lang").join(broadcast(cc), "source")
+          .crossJoin(broadcast(tt))
+          .agg(count(lit(1)).as("n_cells"), max("n").as("n"),
+            sum((col("n_xy").cast("double") / col("n"))
+              * log((col("n_xy").cast("double") * col("n"))
+                / (col("n_x").cast("double") * col("n_y")))).as("mi_nats"))
+        val hx = r.crossJoin(broadcast(tt))
+          .agg((-sum((col("n_x").cast("double") / col("n"))
+            * log(col("n_x").cast("double") / col("n")))).as("h_lang"))
+        val hy = cc.crossJoin(broadcast(tt))
+          .agg((-sum((col("n_y").cast("double") / col("n"))
+            * log(col("n_y").cast("double") / col("n")))).as("h_source"))
+        mi.crossJoin(broadcast(hx)).crossJoin(broadcast(hy))
+          .select(col("n_cells"), col("n").as("n_docs"),
+            (round(lit(1000) * col("mi_nats"), 3) + 0.0).as("mi_milli3"),
+            (round(lit(1000) * col("h_lang"), 3) + 0.0).as("h_lang_milli3"),
+            (round(lit(1000) * col("h_source"), 3) + 0.0).as("h_source_milli3"),
+            (round(lit(1000) * col("mi_nats") / least(col("h_lang"),
+              col("h_source")), 3) + 0.0).as("nmi_milli3"))
+      }),
+
     // PER-USER BEHAVIORAL DIVERSITY — Gini–Simpson index of each
     // user's event-type mix, 1 − Σp² in exact permille:
     // 1000·(n² − Σc²) div n². The Shannon version needs ln(), which

@@ -2004,6 +2004,56 @@ object TextQueries {
             expr("div(1000 * (n_docs - n_distinct), n_docs)").as("dup_permille"))
           .orderBy("source")),
 
+    // SOFT DEDUPLICATION WEIGHTS — down-weight duplicates instead of
+    // dropping them: every doc keeps sampling weight 1/|its exact
+    // cluster|, so each distinct CONTENT contributes unit mass while
+    // every copy stays available (the soft alternative to
+    // q_dedup_exact's hard survivor pick — recent LLM-data work
+    // prefers it because hard dedup throws away the duplication
+    // signal itself and can distort the source mix). Weights are
+    // permille-QUANTIZED (w = 1000 div cluster_size) so the rollup
+    // is integer-exact on both engines — the quantization is the
+    // operator's contract, not an approximation note. Per-source
+    // rollup: doc count, kept mass, effective weight, and the
+    // permille the sampler saves vs uniform. Scale shape: ONE corpus
+    // scan collapses rows to the (fp, source) support table
+    // (map-side combined — duplicates compress in the map phase);
+    // cluster sizes re-aggregate that table by fp (exchange reused)
+    // and join back fp-keyed, so every join input is support-table
+    // sized — the corpus is never scanned twice nor joined at row
+    // grain. Clusters SPAN sources, so per-source kept mass
+    // deliberately reflects cross-source duplication (a source of
+    // pure copies of another source's docs rolls up near-zero kept
+    // mass).
+    QDef("q_soft_dedup_weights", Some("""
+      WITH g AS (SELECT md5(text) AS fp, source, CAST(count(*) AS BIGINT) AS cnt
+                 FROM documents GROUP BY 1, 2),
+      f AS (SELECT fp, CAST(sum(cnt) AS BIGINT) AS csz FROM g GROUP BY 1)
+      SELECT source, CAST(sum(cnt) AS BIGINT) AS n_docs,
+             CAST(sum(cnt * (1000 // csz)) AS BIGINT) AS kept_mass_permille,
+             CAST(sum(cnt * (1000 // csz)) // sum(cnt) AS BIGINT)
+               AS eff_weight_permille,
+             CAST(1000 - sum(cnt * (1000 // csz)) // sum(cnt) AS BIGINT)
+               AS saved_permille
+      FROM g JOIN f USING (fp)
+      GROUP BY source ORDER BY source"""),
+      (s, d) => {
+        val g = t(s, d, "documents")
+          .select(col("source"), md5(col("text")).as("fp"))
+          .groupBy("fp", "source").agg(count(lit(1)).as("cnt"))
+        val f = g.groupBy("fp").agg(sum("cnt").cast(LongType).as("csz"))
+        g.join(f, "fp")
+          .groupBy("source")
+          .agg(sum("cnt").cast(LongType).as("n_docs"),
+            sum(col("cnt") * expr("div(1000, csz)")).cast(LongType)
+              .as("kept_mass_permille"))
+          .select(col("source"), col("n_docs"), col("kept_mass_permille"),
+            expr("div(kept_mass_permille, n_docs)").as("eff_weight_permille"),
+            (lit(1000L) - expr("div(kept_mass_permille, n_docs)"))
+              .as("saved_permille"))
+          .orderBy("source")
+      }),
+
     // SEGMENT-LEVEL DEDUP (CCNet-style line dedup adapted to
     // newline-free docs): the corpus is cut into consecutive 8-token
     // segments, a segment occurring in ≥2 DISTINCT docs is

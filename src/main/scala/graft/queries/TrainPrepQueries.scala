@@ -1269,6 +1269,65 @@ object TrainPrepQueries {
             when(col("n_sensitive") < 3, 1L).otherwise(0L).as("risky"))
           .orderBy("source", "len_bucket")),
 
+    // T-CLOSENESS AUDIT (t = 0.2, Li 2007) — the third privacy gate,
+    // closing the triad q_k_anonymity (class too small) and
+    // q_l_diversity (class too uniform) leave open: a class can be
+    // large AND diverse yet still leak because its sensitive-value
+    // DISTRIBUTION differs sharply from the corpus-wide one (the
+    // skewness attack — "this class is 90% zh in a 15% zh corpus"
+    // is an inference gain even with all 5 values present). Distance
+    // is total variation (the categorical EMD), kept INTEGER-EXACT by
+    // clearing denominators: TV·(2·cls_n·N) = Σ_v |N·cv − cls_n·g_v|,
+    // so tv_permille = (500·Σ|…|) div (cls_n·N) with no floating
+    // division until the final floor. Absent values contribute their
+    // full global mass via the class × global-domain cross join.
+    // Scale shape: raw rows collapse once to (QI, lang) counts
+    // (map-side combined); everything after runs on that support
+    // table crossed with the |langs|-row broadcast global — output
+    // and state bounded by the QI×sensitive domain at any corpus
+    // size. Magnitudes: N·cv ≤ N² = 2.5e11 at sf10, ×500 well inside
+    // BIGINT.
+    QDef("q_t_closeness", Some("""
+      WITH g AS (SELECT source, n_chars // 100 AS len_bucket, lang,
+          CAST(count(*) AS BIGINT) AS cnt FROM documents GROUP BY 1, 2, 3),
+      c AS (SELECT source, len_bucket, CAST(sum(cnt) AS BIGINT) AS cls_n
+            FROM g GROUP BY 1, 2),
+      gl AS (SELECT lang, CAST(sum(cnt) AS BIGINT) AS gcnt FROM g GROUP BY 1),
+      tt AS (SELECT CAST(sum(gcnt) AS BIGINT) AS n FROM gl),
+      x AS (SELECT c.source, c.len_bucket, c.cls_n, gl.gcnt, tt.n,
+              COALESCE(g.cnt, 0) AS cv
+            FROM c CROSS JOIN gl CROSS JOIN tt
+            LEFT JOIN g ON g.source = c.source
+              AND g.len_bucket = c.len_bucket AND g.lang = gl.lang),
+      a AS (SELECT source, len_bucket, cls_n,
+              CAST((500 * sum(abs(n * cv - cls_n * gcnt)))
+                // (cls_n * max(n)) AS BIGINT) AS tv_permille
+            FROM x GROUP BY 1, 2, 3)
+      SELECT source, len_bucket, cls_n, tv_permille,
+          CAST(CASE WHEN tv_permille > 200 THEN 1 ELSE 0 END AS BIGINT) AS risky
+      FROM a ORDER BY source, len_bucket"""),
+      (s, d) => {
+        val g = t(s, d, "documents")
+          .groupBy(col("source"), expr("div(n_chars, 100)").as("len_bucket"),
+            col("lang"))
+          .agg(count(lit(1)).as("cnt"))
+        val c = g.groupBy("source", "len_bucket")
+          .agg(sum("cnt").cast(LongType).as("cls_n"))
+        val gl = g.groupBy("lang").agg(sum("cnt").cast(LongType).as("gcnt"))
+        val tt = gl.agg(sum("gcnt").cast(LongType).as("n"))
+        c.crossJoin(broadcast(gl)).crossJoin(broadcast(tt))
+          .join(g, Seq("source", "len_bucket", "lang"), "left")
+          .select(col("source"), col("len_bucket"), col("cls_n"), col("gcnt"),
+            col("n"), coalesce(col("cnt"), lit(0L)).as("cv"))
+          .groupBy("source", "len_bucket", "cls_n")
+          .agg(expr("div(500 * sum(abs(n * cv - cls_n * gcnt)), cls_n * max(n))")
+            .as("tv_permille"))
+          .select(col("source"), col("len_bucket"), col("cls_n"),
+            col("tv_permille"),
+            when(col("tv_permille") > 200, 1L).otherwise(0L).as("risky"))
+          .orderBy("source", "len_bucket")
+      }),
+
     // CCNET HEAD/MIDDLE/TAIL BUCKETS (Wenzek 2020): rank each
     // language's documents by LM quality and split into terciles —
     // the curation cut CCNet/LLaMA-era recipes apply per language
@@ -2116,6 +2175,122 @@ object TrainPrepQueries {
             col("kept_permille"), col("excess_permille"),
             expr("div(1000 * w_raw, _ws)").as("new_weight_permille"))
           .orderBy("source")
-      })
+      }),
+
+    // PER-SOURCE JENSEN–SHANNON DIVERGENCE vs the corpus token mix —
+    // the bounded, symmetric divergence mixture papers (DoReMi, DSIR,
+    // data-selection surveys) quote when they say "domain X is far
+    // from the corpus": JSD(P_s ‖ P_corpus) in milli-nats, plus the
+    // bits view (JSD/ln 2, bounded by 1000 milli-bits). Complements
+    // the engine's integer-exact TV gauge (q_tv_drift) — TV counts
+    // mass moved, JSD weighs it information-theoretically, and the
+    // two rank drift differently on fat-vs-thin-tailed differences.
+    // Float discipline: ln() is not bitwise-portable across libm
+    // (the q_bigram_pmi lesson) and no exp/lift trick can clear a
+    // SUM of logs, so this follows the q_doc_entropy containment —
+    // both engines compute IEEE-double terms from the SAME exact
+    // integer counts and round once at the end (round-3 on
+    // milli-nats; term counts are vocab-bounded, so accumulated
+    // error sits ~9 orders below the rounding grain). Scale shape:
+    // one token explode collapses to the (source, token) support
+    // table (map-side combined; its exchange is reused by the vocab
+    // and per-source re-aggs); the only join is st ⋈ gt co-keyed on
+    // token — support-table sized both sides. Absent-token terms
+    // (p=0) are NOT enumerated: for p=0 the JSD term is exactly
+    // q·ln2/2, so their total contribution is (ln2/2)·(1 − Σ_present
+    // q) — closed form from the per-source present-token global
+    // mass, no |sources|×|vocab| cross join, and exact (not a
+    // shared-support approximation).
+    QDef("q_jsd_sources", Some("""
+      WITH tk AS (SELECT source,
+              unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS tok
+            FROM documents),
+      st AS (SELECT source, tok, CAST(count(*) AS BIGINT) AS c
+             FROM tk GROUP BY 1, 2),
+      gt AS (SELECT tok, CAST(sum(c) AS BIGINT) AS g FROM st GROUP BY 1),
+      ns AS (SELECT source, CAST(sum(c) AS BIGINT) AS n_s FROM st GROUP BY 1),
+      tt AS (SELECT CAST(sum(g) AS BIGINT) AS n FROM gt),
+      term AS (SELECT st.source, ns.n_s,
+                 CAST(st.c AS DOUBLE) / ns.n_s AS p,
+                 CAST(gt.g AS DOUBLE) / tt.n AS q
+               FROM st JOIN gt USING (tok) JOIN ns USING (source)
+               CROSS JOIN tt),
+      j AS (SELECT source, max(n_s) AS n_tokens,
+              sum((p * ln(p / ((p + q) / 2))
+                   + q * ln(q / ((p + q) / 2))) / 2) AS jsd_present,
+              sum(q) AS q_present
+            FROM term GROUP BY source)
+      SELECT source, CAST(n_tokens AS BIGINT) AS n_tokens,
+             (round(1000 * (jsd_present + ln(2) / 2 * (1 - q_present)), 3)
+               + 0.0) AS jsd_milli3,
+             (round(1000 * (jsd_present + ln(2) / 2 * (1 - q_present)) / ln(2), 3)
+               + 0.0) AS jsd_bits_milli3
+      FROM j ORDER BY source"""),
+      (s, d) => {
+        // the isnotnull join-key constraints are baked into the ONE
+        // st subtree (they hold trivially — split() never yields
+        // nulls) so the later equi-joins don't push fresh filters
+        // into a diverged copy: all four uses stay canonical-equal
+        // and the explode+aggregate exchange is reused, not re-run
+        // (plan-pinned in ScalePlanSpec).
+        val st = t(s, d, "documents")
+          .select(col("source"), explode(TA.tokens(col("text"))).as("tok"))
+          .filter(col("source").isNotNull && col("tok").isNotNull)
+          .groupBy("source", "tok").agg(count(lit(1)).as("c"))
+        val gt = st.groupBy("tok").agg(sum("c").cast(LongType).as("g"))
+        val ns = st.groupBy("source").agg(sum("c").cast(LongType).as("n_s"))
+        val tt = gt.agg(sum("g").cast(LongType).as("n"))
+        val j = st.join(gt, "tok").join(ns, "source").crossJoin(broadcast(tt))
+          .select(col("source"), col("n_s"),
+            (col("c").cast("double") / col("n_s")).as("p"),
+            (col("g").cast("double") / col("n")).as("q"))
+          .groupBy("source")
+          .agg(max("n_s").cast(LongType).as("n_tokens"),
+            sum((col("p") * log(col("p") / ((col("p") + col("q")) / 2))
+              + col("q") * log(col("q") / ((col("p") + col("q")) / 2))) / 2)
+              .as("jsd_present"),
+            sum(col("q")).as("q_present"))
+        val jsd = col("jsd_present") + log(lit(2.0)) / 2 * (lit(1.0) - col("q_present"))
+        j.select(col("source"), col("n_tokens"),
+            (round(lit(1000) * jsd, 3) + 0.0).as("jsd_milli3"),
+            (round(lit(1000) * jsd / log(lit(2.0)), 3) + 0.0)
+              .as("jsd_bits_milli3"))
+          .orderBy("source")
+      }),
+
+    // SHARD CHECKSUM MANIFEST — the lake-integrity artifact a
+    // migration/compaction/replication job publishes so a second
+    // copy can be verified WITHOUT row-by-row diffing: per source
+    // shard, row count, doc_id span, char mass, and an
+    // order-independent content checksum (sum over docs of the first
+    // 8 md5 hex digits of 'doc_id|text' as an integer — commutative,
+    // so the manifest is identical under any partitioning, file
+    // layout, or row order, which is exactly what a rewrite is
+    // allowed to change; any byte drift in any doc moves the sum).
+    // Complements q_snapshot_diff (which finds WHICH rows changed —
+    // run it only on shards this manifest flags) and q_dq_audit
+    // (semantic checks, not byte fidelity). One scan, one map-side-
+    // combined aggregate, |sources| output rows at any corpus size;
+    // sum magnitude ≤ N·2³² ≈ 2.1e15 at sf10 — inside BIGINT with
+    // 3 orders of headroom.
+    QDef("q_shard_checksum", Some("""
+      SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+          CAST(min(doc_id) AS BIGINT) AS min_id,
+          CAST(max(doc_id) AS BIGINT) AS max_id,
+          CAST(sum(CAST(n_chars AS BIGINT)) AS BIGINT) AS char_mass,
+          CAST(sum(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|' || text), 1, 8))
+            AS BIGINT)) AS BIGINT) AS content_sum
+      FROM documents GROUP BY 1 ORDER BY source"""),
+      (s, d) =>
+        t(s, d, "documents")
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            min("doc_id").cast(LongType).as("min_id"),
+            max("doc_id").cast(LongType).as("max_id"),
+            sum(col("n_chars").cast(LongType)).cast(LongType).as("char_mass"),
+            sum(conv(substring(md5(concat(col("doc_id").cast("string"),
+                lit("|"), col("text"))), 1, 8), 16, 10).cast(LongType))
+              .cast(LongType).as("content_sum"))
+          .orderBy("source"))
   )
 }

@@ -757,4 +757,68 @@ class ScalePlanSpec extends AnyFunSuite {
       s"expected ≤2 pruned scans (count + total), got $scans:\n$plan")
     assert(df.count() === 4, "expected one row per vocab cut")
   }
+
+  test("soft dedup weights: ONE corpus scan, all joins support-table sized") {
+    // the naive shape scans documents twice (once for cluster sizes,
+    // once for the probe) and joins at row grain; the support-table
+    // shape collapses the corpus once to (fp, source) counts and
+    // every later input derives from that aggregate.
+    val df = SparkEntry.queries("q_soft_dedup_weights")(spark, SparkTesting.sf)
+    val plan = executedPlan(df)
+    val fin = SparkTesting.finalSection(plan)
+    val scans = fin.linesIterator.count(_.contains("Scan parquet"))
+    assert(scans == 1, s"expected exactly one corpus scan, got $scans:\n$plan")
+    assert(df.count() > 0)
+  }
+
+  test("t-closeness: ≤2 pruned 3-column scans, class-lang exchange reused") {
+    val df = SparkEntry.queries("q_t_closeness")(spark, SparkTesting.sf)
+    val plan = executedPlan(df)
+    val fin = SparkTesting.finalSection(plan)
+    val scans = fin.linesIterator.filter(_.contains("Scan parquet")).toSeq
+    assert(scans.size <= 2, s"expected ≤2 scans, got ${scans.size}:\n$plan")
+    scans.foreach(l => assert(
+      l.contains("ReadSchema: struct<lang:string,source:string,n_chars:bigint>"),
+      s"scan not pruned to the 3 QI/sensitive columns:\n$l"))
+    assert(plan.contains("ReusedExchange"),
+      s"the (QI, lang) aggregate exchange must be reused by the marginals:\n$plan")
+    assert(df.count() > 0)
+  }
+
+  test("jsd sources: corpus tokenized ONCE, absent-token mass in closed form") {
+    // the (source, token) explode+aggregate is the expensive stage;
+    // the closed-form absent-mass residual means no probe-side
+    // re-tokenize and no |sources|×|vocab| cross product.
+    val df = SparkEntry.queries("q_jsd_sources")(spark, SparkTesting.sf)
+    val plan = executedPlan(df)
+    val fin = SparkTesting.finalSection(plan)
+    // AQE's result-stage print can repeat the tree, so pin the RATIO:
+    // one tokenize explode per corpus scan (every other use of the
+    // (source, token) aggregate must be a ReusedExchange).
+    val generates = fin.linesIterator.count(_.contains("Generate explode"))
+    val scans = fin.linesIterator.count(_.contains("Scan parquet"))
+    assert(scans >= 1 && generates == scans,
+      s"expected one tokenize explode per scan, got $generates/$scans:\n$plan")
+    assert(fin.contains("ReusedExchange"),
+      s"the st aggregate exchange must be reused, not re-run:\n$plan")
+    // exactly one cross join per tree copy is allowed — the 1-row
+    // global-total broadcast; a second would be the |sources|×|vocab|
+    // product this shape exists to avoid
+    val bnlj = fin.linesIterator.count(_.contains("BroadcastNestedLoopJoin"))
+    assert(bnlj <= scans,
+      s"more cross joins than scalar-total broadcasts ($bnlj vs $scans):\n$plan")
+    assert(df.count() > 0)
+  }
+
+  test("shard checksum: one scan, map-side-combined commutative aggregate") {
+    val df = SparkEntry.queries("q_shard_checksum")(spark, SparkTesting.sf)
+    val plan = executedPlan(df)
+    val fin = SparkTesting.finalSection(plan)
+    assert(fin.linesIterator.count(_.contains("Scan parquet")) == 1,
+      s"expected one scan:\n$plan")
+    assert(fin.contains("partial_sum") || fin.contains("partial_count"),
+      s"aggregate must map-side combine:\n$plan")
+    assert(!fin.contains("Join"), s"manifest must be join-free:\n$plan")
+    assert(df.count() > 0)
+  }
 }
