@@ -39,6 +39,23 @@ object Sketches {
     cmsIncrements(df, key).groupBy("i", "bucket")
       .agg(count(lit(1)).as("c"))
 
+  /** Counters from a PRE-AGGREGATED (key, weight) table — identical
+    * counters to [[cmsCounters]] over the raw stream (the sketch is
+    * additive: Σ_{rows with key} 1 = weight), at |keys|·d hash
+    * evaluations instead of |rows|·d. r17 OPT (guide §2.3, aggregate
+    * before you explode): the batch q_cms_estimate already owns the
+    * exact per-key counts for its truth column, so hashing every raw
+    * event row again — 4 md5s per event — only re-derived what the
+    * truth table states. The streaming face keeps [[cmsCounters]]:
+    * a stream has no finished per-key table to fold. */
+  def cmsCountersWeighted(keyCounts: DataFrame, key: String,
+                          weight: String): DataFrame =
+    keyCounts.select(col(key).as("k"), col(weight).as("w"),
+        explode(array((0 until CmsDepth).map(lit): _*)).as("i"))
+      .select(col("i"), cmsBucket(col("i"), col("k")).as("bucket"), col("w"))
+      .groupBy("i", "bucket")
+      .agg(sum("w").cast("long").as("c"))
+
   /** Point estimates for a key table: min over the key's d counters —
     * the counter side broadcasts (256 rows) at any scale. */
   def cmsEstimate(keys: DataFrame, key: String, counters: DataFrame): DataFrame =

@@ -39,7 +39,8 @@ object Curation {
   final case class Stages(
       raw: DataFrame, quality: DataFrame, exactDeduped: DataFrame,
       reps: DataFrame, clean: DataFrame, split: DataFrame) {
-    def unpersist(): Unit = { reps.unpersist(); clean.unpersist(); () }
+    def unpersist(): Unit =
+      { exactDeduped.unpersist(); reps.unpersist(); clean.unpersist(); () }
   }
 
   /** Run the lifecycle. `edgePairs` turns the exact-deduped corpus
@@ -57,7 +58,15 @@ object Curation {
 
     val keepIds = NearDup.exactDedup(quality, "doc_id", "text")
       .select(col("keep_id").as("doc_id"))
-    val exact = quality.join(keepIds, "doc_id")
+    // persisted (r17 OPT): this boundary used to be re-derived three
+    // times — once for the audit's c-count and TWICE inside the reps
+    // plan (the edge generator and the survivor join both consume it,
+    // and each derivation pays the quality verdict twice: probe side
+    // + md5-agg build side). Like reps/clean below it is a stage
+    // boundary with multiple downstream readers, which is exactly the
+    // persist() case (guide §5); a 100 TB run writes stage boundaries
+    // to storage instead.
+    val exact = quality.join(keepIds, "doc_id").persist()
 
     val cc = NearDup.connectedComponents(exact.select("doc_id"), "doc_id",
       edgePairs(exact))

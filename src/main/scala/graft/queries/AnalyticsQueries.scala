@@ -183,10 +183,16 @@ object AnalyticsQueries {
       (s, d) => {
         // counter build + probe live ONCE in ops.Sketches — the
         // streaming face (EventStream.cmsCounterStream) runs the same
-        // trees, so this oracle covers both
-        val cnt = graft.ops.Sketches.cmsCounters(t(s, d, "events"), "user_id")
+        // trees, so this oracle covers both. r17 OPT: counters now
+        // fold the ALREADY-COMPUTED truth table (weighted build,
+        // Sketches.cmsCountersWeighted — additive counters are
+        // identical by construction) instead of re-hashing every raw
+        // event ×4; the truth aggregate's exchange is shared by both
+        // consumers (one canonical subtree), so the events fact is
+        // hashed per distinct user, not per event.
         val truth = t(s, d, "events").groupBy("user_id")
           .agg(count(lit(1)).as("n"))
+        val cnt = graft.ops.Sketches.cmsCountersWeighted(truth, "user_id", "n")
         graft.ops.Sketches.cmsEstimate(truth, "user_id", cnt)
           .join(truth, Seq("user_id"))
           .select(col("user_id"), col("n").as("true_count"), col("cms_estimate"),

@@ -1134,10 +1134,23 @@ object GraphStatQueries {
              CAST(max(c) AS BIGINT) AS max_common
       FROM pr"""),
       (s, d) => {
-        val e = t(s, d, "lineitem")
-          .select(col("l_suppkey").as("sk"), col("l_partkey").as("p")).distinct()
-        e.select(col("sk").as("sa"), col("p"))
-          .join(e.select(col("sk").as("sb"), col("p")), "p")
+        // r17 OPT (guide §2.4 / the q_cosupplier_degree discipline):
+        // the old part-keyed SELF-JOIN evaluated the distinct edge
+        // subtree twice — the two renamed sides canonicalize
+        // differently, so AQE stage reuse never fired (final plan:
+        // 4 scans, 0 ReusedExchange) and the corpus was scanned +
+        // deduped twice. One collect_set per part now generates the
+        // same Σ_p C(deg,2) pair mass by an in-row double explode —
+        // no join anywhere, one distinct-edge aggregation. The sorted
+        // set is sliced to HubCap (identity at every tested SF — max
+        // part degree 52 at sf0.1 — same cap + rationale as
+        // q_cosupplier_degree for the adversarial hub part).
+        val sets = t(s, d, "lineitem")
+          .groupBy(col("l_partkey"))
+          .agg(slice(sort_array(collect_set(col("l_suppkey"))), 1, HubCap).as("ss"))
+          .filter(size(col("ss")) > 1)
+        sets.select(explode(col("ss")).as("sa"), col("ss"))
+          .select(col("sa"), explode(col("ss")).as("sb"))
           .filter(col("sa") < col("sb"))
           .groupBy("sa", "sb").agg(count(lit(1)).as("c"))
           .agg(count(lit(1)).as("n_pairs"),
@@ -1174,18 +1187,26 @@ object GraphStatQueries {
              substr(md5(sdeg.sd || '|' || wl.sig), 1, 16) AS wl_hash
       FROM wl JOIN sdeg ON wl.sk = sdeg.sk ORDER BY s_suppkey"""),
       (s, d) => {
+        // r17 OPT: (1) the supplier degree is the HISTOGRAM's own mass
+        // — sd = Σ_pd c — so the third edge pass (sdeg) and the final
+        // shuffle join that attached it are gone; (2) isNotNull bake
+        // (q_jsd_sources discipline) so pdeg's copy of the edge
+        // subtree — decorated with isnotnull(pk) by its join — stays
+        // canonically identical to the probe's copy and the distinct
+        // stage is reused, not re-run.
         val e = t(s, d, "lineitem")
-          .select(col("l_suppkey").as("sk"), col("l_partkey").as("pk")).distinct()
-        val sdeg = e.groupBy("sk").agg(count(lit(1)).as("sd"))
+          .select(col("l_suppkey").as("sk"), col("l_partkey").as("pk"))
+          .filter(col("sk").isNotNull && col("pk").isNotNull)
+          .distinct()
         val pdeg = e.groupBy("pk").agg(count(lit(1)).as("pd"))
         val nh = e.join(broadcast(pdeg), "pk").groupBy("sk", "pd")
           .agg(count(lit(1)).as("c"))
         nh.groupBy("sk")
-          .agg(array_sort(collect_list(struct(col("pd"), col("c")))).as("a"))
-          .select(col("sk"),
+          .agg(array_sort(collect_list(struct(col("pd"), col("c")))).as("a"),
+            sum("c").cast("long").as("sd"))
+          .select(col("sk"), col("sd"),
             expr("array_join(transform(a, x -> concat(cast(x.pd as string), ':', " +
               "cast(x.c as string))), ',')").as("sig"))
-          .join(sdeg, "sk")
           .select(col("sk").as("s_suppkey"), col("sd").as("degree"),
             substring(md5(concat(col("sd").cast("string"), lit("|"), col("sig"))),
               1, 16).as("wl_hash"))
@@ -1297,10 +1318,19 @@ object GraphStatQueries {
                   END AS BIGINT) AS assortativity_milli
       FROM m"""),
       (s, d) => {
+        // isNotNull bake (r17 OPT, q_jsd_sources discipline): dc's and
+        // dp's joins push isnotnull(c) / isnotnull(p) respectively
+        // into THEIR copies of this subtree, so the three copies
+        // canonicalized differently and the join+distinct ran three
+        // times (final plan: 6 scans, 0 ReusedExchange). Baking both
+        // (vacuous on inner-join keys that the moment pass joins on
+        // anyway) makes the copies identical → one edge stage, two
+        // ReusedExchange.
         val e = t(s, d, "orders").select("o_orderkey", "o_custkey")
           .join(t(s, d, "lineitem").select("l_orderkey", "l_partkey"),
             col("l_orderkey") === col("o_orderkey"))
           .select(col("o_custkey").as("c"), col("l_partkey").as("p"))
+          .filter(col("c").isNotNull && col("p").isNotNull)
           .distinct()
         val dc = e.groupBy("c").agg(count(lit(1)).as("x"))
         val dp = e.groupBy("p").agg(count(lit(1)).as("y"))

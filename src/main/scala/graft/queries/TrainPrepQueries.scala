@@ -288,6 +288,15 @@ object TrainPrepQueries {
       (s, d) => {
         val docs = t(s, d, "documents")
           .select(col("doc_id"), TA.tokens(col("text")).as("toks"))
+        // r17 OPT attempt, REVERTED after measurement (guide §1.1 —
+        // the "ideal" single-scan plan lost): merging both widths
+        // into one struct-tagged explode + (doc_id, k, g) wordcount
+        // halved the scan/tokenize work on paper but measured 1.45 →
+        // 1.94 s at sf0.1 and 6.68 → 14.0 s at sf1 — the struct
+        // wrapper + wider hash key cost more per gram than the saved
+        // tokenize pass. The two independent chains below also
+        // overlap on the 32 slots, which the serial merged stage
+        // forfeits.
         def mass(k: Int, nCol: String, dupCol: String) = docs
           .select(col("doc_id"), explode(NearDup.shingleExpr("toks", k)).as("g"))
           .groupBy("doc_id", "g").agg(count(lit(1)).as("n"))
@@ -969,7 +978,14 @@ object TrainPrepQueries {
       FROM j ORDER BY doc_id"""),
       (s, d) => {
         val docs = t(s, d, "documents")
+        // isNotNull bake (r17 OPT, the q_jsd_sources discipline): the
+        // boiler branch's join key pushes isnotnull(sh) into its copy
+        // of the shingle subtree; adding the same (vacuous — concat_ws
+        // never yields null) predicate here makes both copies
+        // canonically identical so the tokenize+explode+distinct stage
+        // is computed once and reused, instead of twice.
         val sh = NearDup.shinglesN(docs, "doc_id", "text", 3)
+          .filter(col("sh").isNotNull)
         val nDocs = docs.agg(count(lit(1)).as("n_docs"))
         val boiler = sh.groupBy("sh")
           .agg(count(lit(1)).as("df"))
@@ -2090,18 +2106,37 @@ object TrainPrepQueries {
           .select(col("doc_id"),
             conv(substring(md5(concat(lit("ds1|"), col("bg"))), 1, 2), 16, 10)
               .cast(IntegerType).as("bucket"))
-        val tc = hb.filter(col("doc_id") % 50 === 0)
-          .groupBy("bucket").agg(count(lit(1)).as("ct"))
-        val rc = hb.filter(col("doc_id") % 50 =!= 0)
-          .groupBy("bucket").agg(count(lit(1)).as("cr"))
+        // r17 OPT (guide §2.4, one exchange instead of three): tc/rc/db
+        // used to filter the RAW exploded stream below three different
+        // aggregates, so the tokenize→explode→md5 map stage (the
+        // expensive part) ran three times — the %50 filters made the
+        // subtrees non-identical, defeating AQE stage reuse. Folding
+        // everything onto ONE (doc_id, bucket) count first makes all
+        // three consumers share a single canonical exchange (computed
+        // once, reused twice); the bucket-level counts then aggregate
+        // the ≤|docs|·256 support rows, with the filter applied ABOVE
+        // the shared stage. Counts are identical: Σ_{docs in slice}
+        // ndb ≡ the old filtered raw count. sf1 10.3 s → see
+        // OPTIMIZATION_r17.md.
+        // the isNotNull bake (q_jsd_sources discipline): db's broadcast
+        // join on bucket pushes an isnotnull(bucket) into ITS copy of
+        // the subtree; without the same predicate in the shared tree,
+        // tc/rc's copies canonicalize differently and the stage is
+        // re-run instead of reused. bucket is never null (md5 of a
+        // non-null concat), so the filter is a no-op semantically.
+        val base = hb.filter(col("bucket").isNotNull)
+          .groupBy("doc_id", "bucket").agg(count(lit(1)).as("ndb"))
+        val tc = base.filter(col("doc_id") % 50 === 0)
+          .groupBy("bucket").agg(sum("ndb").cast(LongType).as("ct"))
+        val rc = base.filter(col("doc_id") % 50 =!= 0)
+          .groupBy("bucket").agg(sum("ndb").cast(LongType).as("cr"))
         val lr = tc.join(rc, Seq("bucket"), "full")
           .select(col("bucket"),
             (log(coalesce(col("ct"), lit(0L)) + lit(1.0))
               - log(coalesce(col("cr"), lit(0L)) + lit(1.0))).as("lrb"))
         val nt = tc.agg(coalesce(sum("ct"), lit(0L)).cast(LongType).as("ntot"))
         val nr = rc.agg(coalesce(sum("cr"), lit(0L)).cast(LongType).as("rtot"))
-        val db = hb.filter(col("doc_id") % 50 =!= 0)
-          .groupBy("doc_id", "bucket").agg(count(lit(1)).as("ndb"))
+        val db = base.filter(col("doc_id") % 50 =!= 0)
         db.join(broadcast(lr), "bucket")
           .groupBy("doc_id")
           .agg(sum("ndb").cast(LongType).as("n_feats"),

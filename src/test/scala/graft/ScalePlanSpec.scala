@@ -151,6 +151,18 @@ class ScalePlanSpec extends AnyFunSuite {
         s"q_cosupplier_degree must be join-free (pairs via capped explode), found $j:\n$co")
     assert(SparkTesting.finalSection(co).contains("Generate explode"),
       s"expected explode-based pair generation:\n$co")
+    // q_butterfly_count (r17 OPT): same discipline — the old part-keyed
+    // self-join evaluated the distinct-edge subtree twice (the renamed
+    // sides canonicalize apart, so nothing was reused); pairs now come
+    // from the HubCap-sliced per-part set explode, join-free.
+    val bf = executedPlan(
+      SparkEntry.queries("q_butterfly_count")(spark, SparkTesting.sf))
+    for (j <- Seq("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin",
+        "CartesianProduct", "BroadcastNestedLoopJoin"))
+      assert(!SparkTesting.finalSection(bf).contains(j),
+        s"q_butterfly_count must be join-free (pairs via capped explode), found $j:\n$bf")
+    assert(SparkTesting.finalSection(bf).contains("Generate explode"),
+      s"expected explode-based pair generation:\n$bf")
     val ar = executedPlan(
       SparkEntry.queries("q_assoc_rules")(spark, SparkTesting.sf))
     for (j <- Seq("SortMergeJoin", "ShuffledHashJoin", "CartesianProduct"))
@@ -630,6 +642,29 @@ class ScalePlanSpec extends AnyFunSuite {
     assert(!plan.contains("Exchange hashpartitioning") &&
       !plan.contains("Exchange SinglePartition"),
       s"mixing must not shuffle (only the oracle orderBy may range-sort):\n$plan")
+  }
+
+  test("approx distinct: no per-key HLL partial state crosses the exchange") {
+    // r17 OPT: the one-shot countDistinct+approx_count_distinct
+    // aggregate shipped a 410-slot HLL++ buffer per (flag, partkey)
+    // GROUP through the first exchange (a 413-column partial row).
+    // The rewrite dedups to the (flag, partkey) grain first — 3
+    // narrow columns — and sketches the deduped keys above it. Pin:
+    // no aggregate keyed by (l_returnflag, l_partkey) may carry an
+    // approx_count_distinct partial.
+    val df = SparkEntry.queries("q_approx_distinct")(spark, SparkTesting.sf)
+    val plan = executedPlan(df)
+    val offending = plan.linesIterator.filter { l =>
+      // key LIST contains l_partkey (not merely the sketch's argument)
+      val k = l.indexOf("keys=[")
+      l.contains("approx_count_distinct") && k >= 0 &&
+        l.substring(k, l.indexOf("]", k) max k).contains("l_partkey")
+    }.toSeq
+    assert(offending.isEmpty,
+      s"HLL partial state rides the per-key aggregate again:\n${offending.mkString("\n")}")
+    assert(plan.contains("approx_count_distinct"),
+      s"the sketch must still be computed (above the deduped grain):\n$plan")
+    assert(df.count() == 3)
   }
 
   test("boilerplate fraction: the common set broadcasts — the doc side never shuffle-joins") {
