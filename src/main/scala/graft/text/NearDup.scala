@@ -285,15 +285,46 @@ object NearDup {
     def release(rdd: org.apache.spark.rdd.RDD[_]): Unit = {
       rdd.unpersist(blocking = false); dropCheckpointFiles(rdd)
     }
-    // materialize an edge frame into persisted blocks (+ reliable
-    // checkpoint when configured), rebuild the frame over them
-    // (lineage cut), and free the PREVIOUS round — safe because the
-    // materializing job below has fully computed the new blocks
-    // first. The SAME job that materializes also returns the
-    // (count, endpoint-sum) convergence checksum: a separate count()
-    // + sum-aggregate would cost two scheduled jobs per round, and on
-    // an iterative loop the per-round fixed overhead IS the runtime.
-    def materialize(df: DataFrame): (DataFrame, (BigDecimal, BigDecimal)) = {
+    var livePlain: DataFrame = null
+    // materialize an edge frame into persisted blocks (lineage cut),
+    // and free the PREVIOUS round — safe because the materializing
+    // job below has fully computed the new blocks first. The SAME job
+    // that materializes also returns the (count, endpoint-sum)
+    // convergence checksum: a separate count() + sum-aggregate would
+    // cost two scheduled jobs per round, and on an iterative loop the
+    // per-round fixed overhead IS the runtime.
+    //
+    // r17 OPT (guide §1.4's df.rdd warning, applied to the loop):
+    // without a reliable-checkpoint request the round snapshot now
+    // cuts lineage with a LAZY localCheckpoint — blocks stay
+    // INTERNAL rows and the checksum is one whole-stage-codegen
+    // DECIMAL(38,0) aggregate over them (exact, like the BigDecimal
+    // fold it replaces). The old `df.rdd` route deserialized every
+    // edge into an external Row and folded per-row BigDecimals in
+    // driver-supplied closures — measured 20-30% of the CC family's
+    // per-round cost. The reliable path (checkpointDir set) keeps the
+    // RDD route: rdd.checkpoint() is the documented way to get
+    // recomputation-proof files.
+    def materializePlain(df: DataFrame): (DataFrame, (BigDecimal, BigDecimal)) = {
+      val snap = df.localCheckpoint(false)
+      val ca = col(df.columns(0)).cast("decimal(38,0)")
+      val cb = col(df.columns(1)).cast("decimal(38,0)")
+      val chk =
+        try {
+          val r = snap.agg(
+            count(lit(1)).cast("decimal(38,0)"),
+            coalesce(sum(ca + cb), lit(0).cast("decimal(38,0)"))).head()
+          (BigDecimal(r.getDecimal(0)), BigDecimal(r.getDecimal(1)))
+        } catch {
+          case e: Throwable => snap.unpersist(blocking = false); throw e
+        }
+      if (livePlain != null) livePlain.unpersist(blocking = false)
+      livePlain = snap
+      (snap, chk)
+    }
+    def materialize(df: DataFrame): (DataFrame, (BigDecimal, BigDecimal)) =
+      if (checkpointDir.isEmpty) materializePlain(df) else materializeRdd(df)
+    def materializeRdd(df: DataFrame): (DataFrame, (BigDecimal, BigDecimal)) = {
       val rdd = df.rdd
       rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val chk =
@@ -376,6 +407,7 @@ object NearDup {
       // for the session
       case e: Throwable =>
         if (liveRdd != null) release(liveRdd)
+        if (livePlain != null) livePlain.unpersist(blocking = false)
         throw e
     } finally {
       // the returned frame reads the final round's persisted star
